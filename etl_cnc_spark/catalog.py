@@ -1,0 +1,60 @@
+"""Catalog: load the fixture tables as DataFrames / temp views.
+
+SURVEY.md §1: ten parquet tables per scale-factor dir
+(``region nation customer supplier part orders lineitem events
+documents embeddings``). Schema-on-read from parquet footers; the
+DuckDB oracle pre-registers views of the same names, so view names
+here match exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Lazy: only the footer is touched until an
+    action runs, so repeated calls are cheap.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 cannot
+    read natively; with ``nanosAsLong`` it arrives as long nanos and is
+    converted here to a µs TimestampType by integer division — matching
+    DuckDB's own nanos→µs truncation of the same file.
+    """
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of DataFrames."""
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for the SQL entry point
+    (SURVEY.md §3.2) — the same names the DuckDB oracle uses."""
+    for name, df in load(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,353 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes (100 TB mandate):
+- Dimension tables (region/nation/part/supplier/customer-at-small-SF)
+  get explicit ``F.broadcast`` hints where they are guaranteed small;
+  everything else relies on AQE (sort-merge → broadcast conversion,
+  skew splitting) rather than hand-scheduling.
+- The as-of join is the union+window formulation: one shuffle on the
+  join key, then a single sort per partition — the scalable pattern
+  (no per-row lookups, no crossJoin).
+- ``join_skew_salted`` demonstrates deterministic key salting: the
+  dimension side is replicated NSALT ways, the fact side picks a salt
+  by hashing a unique column, so one hot key spreads over NSALT tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import sql_sum_money, sum_money
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join, row-level output so duplicate/drop bugs show."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, e.event_id, e.event_type
+    FROM customer c LEFT JOIN events e ON c.c_custkey = e.user_id
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — most customers have no events (nulls appear)."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left").select(
+        "c_custkey", "event_id", "event_type"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT e.event_id, e.value, c.c_custkey, c.c_mktsegment
+    FROM events e RIGHT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of left; planner flips build side)."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return e.join(c, e.user_id == c.c_custkey, "right").select(
+        "event_id", "value", "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT coalesce(cu.nk, su.nk) AS nationkey, cu.n_cust, su.n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+          WHERE c_nationkey < 20 GROUP BY c_nationkey) cu
+    FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+               WHERE s_nationkey >= 5 GROUP BY s_nationkey) su
+      ON cu.nk = su.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two disjointly-filtered aggregates so both
+    null sides actually occur."""
+    cu = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 20)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    su = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") >= 5)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = cu.join(su, cu.nk == su.nk, "full")
+    return j.select(
+        F.coalesce(cu.nk, su.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with a very large order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no events —
+    non-empty by fixture design (events cover ~10% of customers)."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — bounded inputs only (5 x 25). Unbounded
+    crossJoin is banned by the 100 TB design discipline (SURVEY §7)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+    SELECT p_brand, {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join: explicit hint on the dimension side —
+    no shuffle of the fact table at any scale (part fits in memory)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_shipped,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: equi key + interval predicate. The equi
+    component keeps it a hash/sort-merge join (the range part is a
+    post-join filter) — crucial at scale vs a pure theta join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_shipped"),
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           epoch_us(o.o_orderdate) AS asof_order_us
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order date at or
+    before the event time, per user.
+
+    Spark lacks a native ASOF JOIN; this is the scalable union+window
+    formulation: tag both sides, union, window per key ordered by
+    (time, side) with orders sorting before events at equal
+    timestamps (>= inclusivity), then ``last(..., ignorenulls)`` over
+    an unbounded-preceding frame. One shuffle + one sort, no
+    point-lookups — survives arbitrarily large inputs.
+    Output only the matched *date* (deterministic under same-date
+    ties; two orders on the tying date carry the same date value).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("timestamp").alias("ord_date"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderdate").alias("ord_date"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = e.unionByName(o).withColumn(
+        "asof_date", F.last("ord_date", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where((F.col("is_event") == 1) & F.col("asof_date").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("t").alias("ts_us"),
+            F.unix_micros("asof_date").alias("asof_order_us"),
+        )
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+    SELECT n_name, {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship star join (TPC-H Q5 shape): fact ⋈ 4 dimensions.
+
+    nation/region are broadcast explicitly (25 / 5 rows at any SF);
+    lineitem⋈orders is the only real shuffle — AQE handles its
+    partitioning and any skew. The date filter prunes orders before
+    the join (pushed to the parquet scan).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+NSALT = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT n_name, count(*) AS n_events, {sql_sum_money("value")} AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via deterministic salting.
+
+    Fact side: salt = xxhash64(event_id) mod NSALT (deterministic —
+    no rand(), per SURVEY §5 determinism rule). Dimension side:
+    replicated NSALT ways with explode(sequence(...)). The join key
+    becomes (user_id, salt), spreading one hot user over NSALT tasks.
+    Semantics identical to the plain join (oracle is the plain join).
+    AQE skew-join handles this automatically too; this operator is
+    the manual fallback for engines/pipelines where AQE is off.
+    """
+    e = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(NSALT))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(NSALT - 1))))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+    )

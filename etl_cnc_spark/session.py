@@ -1,0 +1,65 @@
+"""SparkSession factory and runtime tuning.
+
+SURVEY.md §4: AQE on, Arrow on, shuffle partitions ~ cores (the
+default 200 over-parallelizes local runs and under-parallelizes a
+real cluster — on a 1000-executor cluster this would be set to
+2-3x total cores via the same knob).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "etl-cnc-spark") -> SparkSession:
+    """Create (or reuse) a tuned local SparkSession."""
+    cpus = _cpus()
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(16, cpus)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .getOrCreate()
+    )
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an externally-created session.
+
+    The driver contract hands operators an arbitrary SparkSession
+    (``__spark_entry__.py``); these confs are all runtime-settable and
+    make oracle comparison deterministic (UTC timestamps) and local
+    execution sane (shuffle partitions ~ cores).
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores ts as TIMESTAMP(NANOS) which Spark 4 refuses
+    # to read natively; read as long nanos, converted in catalog.table.
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        par = spark.sparkContext.defaultParallelism
+        conf.set("spark.sql.shuffle.partitions", str(max(16, par)))
+    except Exception:  # pragma: no cover - conf may be static in some envs
+        pass
+    return spark

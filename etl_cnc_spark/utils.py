@@ -1,0 +1,79 @@
+"""Cross-engine deterministic numeric helpers.
+
+Problem (SURVEY.md §5 "float discipline"): Spark's ``round()`` and
+DuckDB's ``round()`` disagree on representation-boundary halves
+(Spark uses BigDecimal HALF_UP on the exact double; DuckDB rounds
+via scaled floating multiply), producing 1-ulp 2dp mismatches on
+~0.2% of rows. The driver hash-compares exact values, so any
+disagreement fails the gate.
+
+Fix: quantize with pure IEEE-754 ops that both engines execute
+bitwise-identically on identical inputs:
+
+    q2(x)  = floor(x*100 + 0.5) / 100.0          -- 2dp round
+    cents  = floor(x*100 + 0.5) as BIGINT         -- exact integer
+    sum2   = sum(cents)/100.0                     -- order-exact sum
+
+Integer-cent sums make aggregation *exact* (no float associativity),
+so parallel/partial aggregation order — which differs between Spark
+partitions and DuckDB morsels — cannot change the result. This also
+holds on a 1000-executor cluster, where partial-agg ordering is
+nondeterministic run to run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def q2(col: Column) -> Column:
+    """Deterministic 2-decimal rounding (IEEE-stable across engines)."""
+    return F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)
+
+
+def q4(col: Column) -> Column:
+    """Deterministic 4-decimal rounding."""
+    return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+
+def cents(col: Column) -> Column:
+    """Exact integer cents of a money expression."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def sum_money(col: Column) -> Column:
+    """Order-exact money sum: integer-cent sum scaled back to units."""
+    return F.sum(cents(col)) / F.lit(100.0)
+
+
+def avg_money(col: Column) -> Column:
+    """Order-exact money average via integer cents.
+
+    sum_cents/count is long/long → double in Spark; the oracle SQL
+    must cast the same way (see :func:`sql_avg_money`).
+    """
+    return (F.sum(cents(col)) / F.count(col)) / F.lit(100.0)
+
+
+# --- SQL (DuckDB oracle) builders for the same formulas -------------
+
+def sql_q2(expr: str) -> str:
+    return f"floor(({expr})*100 + 0.5)/100.0"
+
+
+def sql_q4(expr: str) -> str:
+    return f"floor(({expr})*10000 + 0.5)/10000.0"
+
+
+def sql_sum_money(expr: str) -> str:
+    # CAST to DOUBLE: DuckDB's bigint/decimal-literal division would
+    # otherwise produce DECIMAL, not DOUBLE.
+    return f"CAST(sum(CAST(floor(({expr})*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0"
+
+
+def sql_avg_money(expr: str) -> str:
+    return (
+        f"(CAST(sum(CAST(floor(({expr})*100 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f"/count({expr}))/100.0"
+    )
