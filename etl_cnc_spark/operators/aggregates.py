@@ -1,0 +1,270 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Scale notes: every groupBy here is a hash aggregate with map-side
+partial aggregation (automatic in Spark — see `agg_partial_final`
+note at the bottom); money sums use exact integer cents so the
+nondeterministic partial-agg combine order on a real cluster cannot
+perturb results (utils.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register_views, table
+from ..registry import register
+from ..utils import (
+    avg_money,
+    q4,
+    sql_avg_money,
+    sql_q4,
+    sql_sum_money,
+    sql_sum_money_filter,
+    sum_money,
+)
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+    SELECT count(*) AS cnt,
+           {sql_sum_money("l_extendedprice")} AS sum_price,
+           {sql_avg_money("l_extendedprice")} AS avg_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           {sql_sum_money("l_quantity")} AS sum_qty
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: count/sum/avg/min/max in one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        sum_money(F.col("l_extendedprice")).alias("sum_price"),
+        avg_money(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        sum_money(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_money("l_quantity")} AS sum_qty,
+           {sql_sum_money("l_extendedprice")} AS sum_base_price,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_sum_money("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_avg_money("l_quantity")} AS avg_qty,
+           {sql_avg_money("l_extendedprice")} AS avg_price,
+           {sql_avg_money("l_discount")} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape hash aggregate: 2 group keys, 8 aggregates."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_money(F.col("l_quantity")).alias("sum_qty"),
+        sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+        sum_money(disc_price).alias("sum_disc_price"),
+        sum_money(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        avg_money(F.col("l_quantity")).alias("avg_qty"),
+        avg_money(F.col("l_extendedprice")).alias("avg_price"),
+        avg_money(F.col("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 14
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") > 14)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate (expand-then-dedup under the hood)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    notes="HLL sketch: approximate by construction — rows-only check; "
+    "tests assert relative error vs exact count (SURVEY §2.4).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for
+    distinct counts — mergeable sketches, no expand-dedup shuffle."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_q4("stddev_samp(l_quantity)")} AS std_qty,
+           {sql_q4("var_samp(l_quantity)")} AS var_qty,
+           {sql_q4("median(l_quantity)")} AS med_qty,
+           {sql_q4("corr(l_quantity, l_extendedprice)")} AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; 4dp quantization absorbs the tiny
+    accumulation-order differences between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        q4(F.stddev_samp("l_quantity")).alias("std_qty"),
+        q4(F.var_samp("l_quantity")).alias("var_qty"),
+        q4(F.median("l_quantity")).alias("med_qty"),
+        q4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + deterministic ordering, emitted as a joined
+    string (array stringification differs across engines)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(epoch_us(date_trunc('day', ts))) AS BIGINT) AS g_day
+    FROM events
+    GROUP BY ROLLUP (event_type, epoch_us(date_trunc('day', ts)))
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (type, day) with per-column grouping flags
+    (single-column GROUPING is engine-neutral; bit-packed
+    grouping_id order is not — SURVEY §7 hard parts)."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "day_us", F.unix_micros(F.date_trunc("DAY", F.col("ts")))
+    )
+    return e.rollup("event_type", "day_us").agg(
+        F.count("*").alias("n"),
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("day_us").cast("long").alias("g_day"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {sql_sum_money("l_quantity")} AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with grouping flags."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        sum_money(F.col("l_quantity")).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+    )
+
+
+_GSETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {sql_sum_money("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (SURVEY §3.2) — the same
+    SQL text runs on both engines (dialect-neutral by construction)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_sum_money_filter("l_quantity", "l_linestatus = 'F'")} AS "F",
+           {sql_sum_money_filter("l_quantity", "l_linestatus = 'O'")} AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide: one column per l_linestatus value. Values are
+    listed explicitly — at scale, an unlisted pivot triggers an extra
+    distinct-collect job over the full input."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(sum_money(F.col("l_quantity")))
+    )
+
+
+# ``agg_partial_final`` (SURVEY §2.4): partial→final aggregation is
+# automatic in Spark (HashAggregate partial → shuffle → HashAggregate
+# final); tests/test_plans.py asserts both stages appear in the plan
+# for agg_groupby rather than declaring a separate query key.

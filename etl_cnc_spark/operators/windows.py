@@ -1,0 +1,215 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Determinism rule: every ORDER BY inside a window carries a unique
+tie-break column (custkey / event_id) so row_number-style outputs are
+stable across engines and across runs (the driver hash is
+order-insensitive but value-sensitive).
+
+Scale notes: all windows partition by a real key (segment / user) —
+no global single-partition windows in hot paths. Running/moving sums
+use integer cents (exact, frame-order independent of engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import cents
+
+
+@register(
+    "win_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_nationkey DESC, c_custkey) AS BIGINT) AS rn,
+           CAST(rank() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_nationkey DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_nationkey DESC) AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_nationkey DESC, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile. rank/dense_rank are computed
+    over the tie-producing key alone (nationkey) so they genuinely
+    differ from row_number; row_number/ntile get the unique tiebreak."""
+    c = table(spark, sf_dir, "customer")
+    w_ties = Window.partitionBy("c_mktsegment").orderBy(F.col("c_nationkey").desc())
+    w_uniq = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_nationkey").desc(), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w_uniq).cast("long").alias("rn"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.ntile(4).over(w_uniq).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(lag(ts, 1) OVER w) AS prev_ts_us,
+           epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+           lead(event_type, 1) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user: time-since-previous-event and next event
+    type; NULLs appear at partition edges (fixtures have none)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev_us = F.unix_micros(F.lag("ts", 1).over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        prev_us.alias("prev_ts_us"),
+        (ts_us - prev_us).alias("gap_us"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+             AS cum_value,
+           CAST(count(*) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_so_far
+    FROM events
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user sum (integer cents → exact prefix sums)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents(F.col("value"))).over(w) / F.lit(100.0)).alias("cum_value"),
+        F.count("*").over(w).cast("long").alias("n_so_far"),
+    )
+
+
+@register(
+    "win_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           avg(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)/100.0 AS moving_avg
+    FROM events
+    """,
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 4-row average per user (exact: integer-cent avg)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.avg(cents(F.col("value"))).over(w) / F.lit(100.0)).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           first_value(c_acctbal) OVER w AS top_bal,
+           last_value(c_acctbal) OVER w AS bottom_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over a full-partition frame (note: without
+    the explicit frame, last_value degenerates to current row)."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first("c_acctbal").over(w).alias("top_bal"),
+        F.last("c_acctbal").over(w).alias("bottom_bal"),
+    )
+
+
+@register(
+    "win_pct",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — pure rank ratios, identical double
+    divisions on both engines (no rounding needed)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+    bench=True,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the row_number+filter pattern. At scale this
+    is the right shape — Spark pushes a per-partition top-k (window
+    group limit) before the shuffle in recent versions."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )

@@ -72,6 +72,15 @@ def sql_sum_money(expr: str) -> str:
     return f"CAST(sum(CAST(floor(({expr})*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0"
 
 
+def sql_sum_money_filter(expr: str, cond: str) -> str:
+    """Filtered money sum (for pivot oracles): FILTER binds to the
+    aggregate itself, inside the outer CAST."""
+    return (
+        f"CAST(sum(CAST(floor(({expr})*100 + 0.5) AS BIGINT)) "
+        f"FILTER (WHERE {cond}) AS DOUBLE)/100.0"
+    )
+
+
 def sql_avg_money(expr: str) -> str:
     return (
         f"(CAST(sum(CAST(floor(({expr})*100 + 0.5) AS BIGINT)) AS DOUBLE)"
