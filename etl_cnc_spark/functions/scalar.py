@@ -1,0 +1,349 @@
+"""Scalar function library (SURVEY.md §2.8).
+
+One umbrella query per family over a deterministic key-bounded
+sample, so a single oracle hash covers the whole family. All
+expressions are JVM-side builtins (whole-stage codegen — no Python
+boundary anywhere in this module).
+
+Dialect traps handled (probed against DuckDB 1.0.0):
+- double→int: Spark CAST truncates, DuckDB CAST rounds → oracle uses
+  CAST(trunc(x) AS ...).
+- regexp_replace: Spark is global by default, DuckDB needs 'g'.
+- ceil/floor return BIGINT in Spark, DOUBLE in DuckDB → cast oracle.
+- transcendentals (ln/log10/pow): libm last-ulp differences → q4.
+- initcap / schema_of_json: no DuckDB equivalent → omitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..registry import register
+from ..utils import q4, sql_q4
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           upper(p_name) AS up_name,
+           lower(p_brand) AS low_brand,
+           substring(p_name, 2, 3) AS sub_name,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           replace(p_name, ' ', '_') AS underscored,
+           lpad(p_brand, 10, '*') AS lpadded,
+           rpad(p_brand, 10, '*') AS rpadded,
+           string_split(p_name, ' ')[1] AS first_word,
+           reverse(p_name) AS rev_name,
+           CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+           translate(p_name, 'aeiou', 'AEIOU') AS upvowels,
+           CAST(levenshtein(p_name, p_brand) AS BIGINT) AS lev,
+           CAST(ascii(substring(p_name, 1, 1)) AS BIGINT) AS first_ascii
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/case/substring/trim/replace/pad/split/
+    reverse/instr/translate/levenshtein/ascii."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.substring("p_name", 2, 3).alias("sub_name"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.expr("replace(p_name, ' ', '_')").alias("underscored"),
+        F.lpad("p_brand", 10, "*").alias("lpadded"),
+        F.rpad("p_brand", 10, "*").alias("rpadded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.reverse("p_name").alias("rev_name"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("upvowels"),
+        F.levenshtein("p_name", "p_brand").cast("long").alias("lev"),
+        F.ascii(F.substring("p_name", 1, 1)).cast("long").alias("first_ascii"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+           regexp_matches(p_name, 'widget') AS has_widget,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract (group), rlike, global replace. Patterns
+    kept dialect-neutral (Java regex vs RE2 both accept these)."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.col("p_name").rlike("widget").alias("has_widget"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS mo,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           CAST(minute(ts) AS BIGINT) AS mi,
+           epoch_us(date_trunc('month', ts)) AS month_start_us,
+           epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+           epoch_us(ts + INTERVAL 7 DAY) AS plus7d_us,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS days_since,
+           strftime(ts, '%Y-%m-%d') AS day_str,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+           epoch_us(CAST(make_date(2024, 3, 15) AS TIMESTAMP)) AS const_date_us
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family over the µs-precision event stream: extract
+    fields, truncate, interval arithmetic, day diff, format, epoch,
+    make_date. All timestamp outputs are epoch-µs longs (engine-
+    neutral encoding — SURVEY §5 float/ts discipline)."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.unix_micros(F.date_trunc("month", "ts")).alias("month_start_us"),
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("plus7d_us"),
+        F.datediff("ts", F.lit("2024-01-01").cast("timestamp")).cast("long").alias(
+            "days_since"
+        ),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+        F.unix_micros(F.make_date(F.lit(2024), F.lit(3), F.lit(15)).cast("timestamp")).alias(
+            "const_date_us"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS abs_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           {sql_q4("sqrt(l_extendedprice)")} AS price_sqrt,
+           {sql_q4("pow(1 + l_discount, 2)")} AS disc_sq,
+           {sql_q4("ln(l_extendedprice)")} AS price_ln,
+           {sql_q4("log10(l_extendedprice)")} AS price_log10,
+           CAST(((CAST(l_partkey - 1000 AS INT) % 7) + 7) % 7 AS INT) AS pm,
+           CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. pmod is Spark's positive-mod — the oracle spells
+    out ((x % n)+n)%n since DuckDB's % keeps the dividend sign."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        q4(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        q4(F.pow(1 + F.col("l_discount"), 2)).alias("disc_sq"),
+        q4(F.log(F.col("l_extendedprice"))).alias("price_ln"),
+        q4(F.log10("l_extendedprice")).alias("price_log10"),
+        F.pmod((F.col("l_partkey") - 1000).cast("int"), F.lit(7)).cast("int").alias("pm"),
+        F.signum(F.col("l_quantity") - 25).cast("long").alias("qty_sign"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 1000.0) AS bal_cap1k,
+           CASE WHEN c_nationkey < 12 THEN 'west' ELSE 'east' END AS hemisphere
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least / if."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+        F.expr("if(c_nationkey < 12, 'west', 'east')").alias("hemisphere"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           TRY_CAST(o_orderpriority AS INT) AS prio_int_null,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_int,
+           epoch_us(CAST('2024-03-05 06:30:00' AS TIMESTAMP)) AS const_ts_us
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts incl. try_cast. Note: Spark's double→int CAST truncates;
+    DuckDB's rounds, so the oracle truncates explicitly."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_int_null"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_int"),
+        F.unix_micros(F.lit("2024-03-05 06:30:00").cast("timestamp")).alias("const_ts_us"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hashes (lowercase hex in both engines)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@register(
+    "fn_hash_native",
+    notes="xxhash64 and monotonically_increasing_id are Spark-native "
+    "(no DuckDB twin) → rows-only; tests assert mono-id uniqueness.",
+)
+def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hashing: xxhash64 (the engine's shuffle/bucket
+    hash) and monotonically_increasing_id (partition-encoded ids)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.monotonically_increasing_id().alias("mono_id"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           embedding[1] AS first_elem,
+           {sql_q4("list_aggregate(list_transform(embedding,"
+                   " x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')")} AS norm2,
+           {sql_q4("list_aggregate(list_transform(embedding[1:8],"
+                   " x -> CAST(x AS DOUBLE)), 'sum')")} AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           list_max(embedding) AS max_elem
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family via higher-order functions: size/element_at/
+    slice/aggregate(fold)/filter/max — all JVM-side, no UDF."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        q4(F.aggregate("embedding", F.lit(0.0), sq)).alias("norm2"),
+        q4(
+            F.aggregate(
+                F.slice("embedding", 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+        ).alias("head_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.array_max("embedding").alias("max_elem"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT doc_id, lang AS lang_val, source AS source_val,
+           'lang,source' AS keys_joined, CAST(2 AS BIGINT) AS map_size
+    FROM documents
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build a map, extract by key, list keys, size.
+    The oracle checks the *round-trip identity* (DuckDB's MAP
+    extraction returns lists — not oracle-comparable directly)."""
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_joined"),
+        F.size(m).cast("long").alias("map_size"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(length(props) AS BIGINT) AS props_len
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction (lazy, schema-on-demand) and
+    schema-full parsing via from_json (SURVEY §1.2 semi-structured
+    escape hatch)."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.length("props").cast("long").alias("props_len"),
+    )

@@ -1,0 +1,84 @@
+"""Scan/source operators (SURVEY.md §2.1).
+
+Parquet is the primary columnar source (vectorized reader, predicate
+pushdown, column pruning — asserted in tests/test_plans.py). CSV and
+JSON sources round-trip fixture data through a temp dir so the
+oracle can verify content, not just row counts.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..registry import register
+from ..utils import ts_us
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           epoch_us(l_shipdate) AS l_shipdate_us
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fact-table scan, every column (timestamp emitted as
+    epoch-µs for engine-neutral hashing)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        *[c for c in li.columns if c != "l_shipdate"],
+        ts_us(F.col("l_shipdate")).alias("l_shipdate_us"),
+    )
+
+
+@register(
+    "scan_parquet_pruned",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scan: 3 of 16 columns + a selective predicate, both
+    pushed into the parquet reader (ReadSchema/PushedFilters asserted
+    in tests — at 100 TB this is the difference between reading 3
+    columns' row groups and the whole table)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register("source_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with explicit schema + header: round-trips nation
+    through CSV; the oracle verifies lossless content."""
+    out = tempfile.mkdtemp(prefix="etlcnc_csv_")
+    table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(NATION_SCHEMA).option("header", True).csv(out)
+
+
+@register("source_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: round-trips nation through json. Schema is
+    explicit (inference would widen int32→int64 and cost an extra
+    pass over the data at scale)."""
+    out = tempfile.mkdtemp(prefix="etlcnc_json_")
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    return spark.read.schema(NATION_SCHEMA).json(out)

@@ -27,6 +27,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ts_us(col: Column) -> Column:
+    """Engine-neutral timestamp encoding: epoch microseconds.
+
+    Parquet ms timestamps (not UTC-adjusted) arrive as TIMESTAMP_NTZ
+    in Spark 4; with the session TZ pinned to UTC the NTZ→LTZ cast
+    matches DuckDB's naive-as-UTC ``epoch_us`` exactly.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def q2(col: Column) -> Column:
     """Deterministic 2-decimal rounding (IEEE-stable across engines)."""
     return F.floor(col * 100 + F.lit(0.5)) / F.lit(100.0)
