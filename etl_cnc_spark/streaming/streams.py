@@ -1,0 +1,236 @@
+"""Real Structured Streaming runs (SURVEY.md §2.9).
+
+Each query here actually executes a streaming pipeline —
+``readStream`` → transform → ``writeStream`` with
+``trigger(availableNow=True)`` and a fresh checkpoint — then returns
+the sink contents as a batch DataFrame for the driver's comparison.
+
+Empirically verified semantics these oracles rely on (probed on
+Spark 4.1.2):
+- availableNow + watermark DOES flush closed windows at end-of-
+  stream: emitted set == {windows with end <= max(ts) - delay}.
+- A single parquet file yields a single micro-batch, so stateful
+  update-mode output has exactly one row per key.
+- FileStreamSource with maxFilesPerTrigger=1 processes files in
+  modification-time order (we set mtimes explicitly).
+
+At scale the same code runs against a directory/Kafka source with a
+real trigger; availableNow is the batch-replay harness (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..catalog import table
+from ..registry import register
+from ..session import tune
+
+EVENTS_RAW_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """File-stream sources need a directory: symlink the events
+    fixture into a fresh temp dir (no data copy)."""
+    d = tempfile.mkdtemp(prefix="etlcnc_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    return d
+
+
+def _read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _run_to_parquet(df: DataFrame, output_mode: str = "append") -> str:
+    """Execute a streaming DataFrame to a parquet sink; returns path."""
+    out = tempfile.mkdtemp(prefix="etlcnc_stream_out_")
+    ck = tempfile.mkdtemp(prefix="etlcnc_stream_ck_")
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming query did not drain in 600s")
+    return out
+
+
+@register(
+    "source_stream_files",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source, identity pipeline: every event flows
+    through a real micro-batch execution into a parquet sink; the
+    oracle verifies lossless content."""
+    src = _stage_events_dir(sf_dir)
+    s = _read_stream(spark, src).select(
+        "event_id", "user_id", "event_type", "value", "props",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = _run_to_parquet(s)
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_stream",
+    oracle="""
+    SELECT epoch_us(w) AS window_start_us, event_type, n
+    FROM (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    WHERE w + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate → append-mode parquet sink.
+    Emitted set is exactly the windows closed by the final watermark
+    (end <= max_ts - 1h) — the oracle states that in SQL."""
+    src = _stage_events_dir(sf_dir)
+    agg = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_parquet(agg)
+    return spark.read.parquet(out).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "stream_watermark",
+    oracle="""
+    SELECT epoch_us(w) AS window_start_us, n
+    FROM (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, count(*) AS n
+        FROM events WHERE day(ts) <> 5 GROUP BY 1
+    )
+    WHERE w + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, made observable: the stream sees
+    three single-file micro-batches in mtime order — (1) all events
+    except days 5/6 (carries max ts → sets the watermark), (2) day-6
+    events (buffer batch: the watermark computed from batch 1 becomes
+    *effective* one batch later — verified empirically on 4.1.2),
+    (3) the day-5 events arriving 'late'. Every day-5 row is behind
+    the effective watermark and is dropped; no day-5 window ever
+    appears. The oracle encodes exactly that."""
+    tune(spark)
+    import glob
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="etlcnc_late_src_")
+    ev = table(spark, sf_dir, "events")
+    slices = {
+        "f1_bulk": ev.where(~F.dayofmonth("ts").isin(5, 6)),
+        "f2_buffer": ev.where(F.dayofmonth("ts") == 6),
+        "f3_late": ev.where(F.dayofmonth("ts") == 5),
+    }
+    t0 = 1_700_000_000
+    for i, (name, df) in enumerate(slices.items()):
+        # Re-encode ts as raw long-nanos so the streaming reader sees
+        # the same schema as the fixture file.
+        tmp = os.path.join(src, "_tmp")
+        df.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*")[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + i * 100, t0 + i * 100))
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_parquet(agg)
+    return spark.read.parquet(out).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"), "n"
+    )
+
+
+_STATE_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+_STATE = StructType([StructField("n", LongType()), StructField("c", LongType())])
+
+
+def _per_user_totals(key, pdfs, state):
+    """Arbitrary stateful logic: exact running count + integer-cent
+    sum per user, kept in the state store across micro-batches."""
+    n, c = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        c += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+    state.update((n, c))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [c]})
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState): per-user
+    running totals in the state store, update-mode output. The
+    fixture is one file → one micro-batch → final state per user ==
+    the batch aggregate, which is the oracle."""
+    src = _stage_events_dir(sf_dir)
+    s = _read_stream(spark, src)
+    res = s.groupBy("user_id").applyInPandasWithState(
+        _per_user_totals, _STATE_OUT, _STATE, "update", "NoTimeout"
+    )
+    name = "etlcnc_stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stateful streaming query did not drain in 600s")
+    return spark.table(name)
