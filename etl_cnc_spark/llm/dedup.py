@@ -1,0 +1,257 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.10; mandated beyond the reference surface).
+
+Five flavors, each the scalable shape for its tier:
+- exact:        content hash → groupBy (one shuffle on the hash)
+- simhash:      per-doc bit-vote fingerprint (pure relational —
+                shuffle on (doc, bit), then (doc); no pairwise work)
+- n-gram LSH-free Jaccard: inverted shingle index join (candidates
+                only where at least one shingle collides — never the
+                full cross product)
+- MinHash+LSH:  ml.feature MinHashLSH banded similarity join
+- embedding:    cosine near-dup pairs (bounded brute force here; the
+                LSH variant in llm/similarity.py is the scale path)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import q4, sql_q4
+
+HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS h, count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: per-hash copy counts plus the
+    deterministic keeper (min doc_id). The fixtures contain no exact
+    duplicates, so every n_copies is 1 — the per-hash output keeps
+    the oracle hash meaningful anyway (SURVEY §2.10)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), bits AS (
+        SELECT doc_id, g.j,
+               CASE WHEN substring(md5(w), g.j, 1)
+                    IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS v
+        FROM words CROSS JOIN generate_series(1, 32) AS g(j)
+    ), votes AS (
+        SELECT doc_id, j, sum(v) AS tot FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN tot > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+             AS simhash32
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) document fingerprint, fully relational.
+
+    Each word votes ±1 on 32 bit positions derived from its md5 hex
+    digits (md5 is the cross-engine-deterministic hash; bit j is the
+    high bit of hex digit j). Near-duplicate docs land on fingerprints
+    within small Hamming distance. Scale shape: explode (doc×32) →
+    two hash aggregations — linear in corpus size, no pairwise stage."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    bits = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("j"),
+        "w",
+    ).select(
+        "doc_id",
+        "j",
+        F.when(F.expr("substring(md5(w), j, 1)").isin(HEX_HIGH), 1).otherwise(-1).alias("v"),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(F.sum("v").alias("tot"))
+    bitchar = F.when(F.col("tot") > 0, "1").otherwise("0")
+    return (
+        votes.select("doc_id", F.struct("j", bitchar.alias("b")).alias("jb"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("jb")), lambda s: s["b"]), ""
+            ).alias("simhash32")
+        )
+    )
+
+
+_SHINGLE_SQL = """
+        SELECT DISTINCT doc_id, unnest(
+            [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 40 AND b.doc_id < 40
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {sql_q4("CAST(i AS DOUBLE) / (sa.n + sb.n - i)")} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram shingle Jaccard similarity via an inverted shingle
+    index: candidate pairs come from the shingle equi-join (only
+    docs sharing ≥1 shingle ever meet — the LSH-free scalable shape;
+    bounded here to doc_id<40 on the pair side)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where((F.col("a.doc_id") < 40) & (F.col("b.doc_id") < 40))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.02)
+        .select("doc_a", "doc_b", q4(jac).alias("jaccard"))
+    )
+
+
+def _dot64(qe, ce):
+    """Exact-order fold of the 64-dim dot product in doubles (matches
+    the oracle's list_transform+list_aggregate order bitwise)."""
+    prods = F.zip_with(qe, ce, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(e):
+    return F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+_SQL_NORM2 = (
+    "list_aggregate(list_transform({col}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')"
+)
+_SQL_DOT = (
+    "list_aggregate([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)"
+    " for i in range(1, 65)], 'sum')"
+)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_SQL_DOT} /
+               sqrt({_SQL_NORM2.format(col="a.embedding")}
+                    * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {sql_q4("cos")} AS cosine
+    FROM pairs WHERE cos >= 0.3
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.3).
+
+    Brute-force pairwise — correct and bounded at fixture scale; the
+    100 TB path is the LSH bucketed variant (sim_ann_lsh) which
+    generates candidates without the quadratic stage. The dot-product
+    fold order is identical on both engines → bitwise-equal cosines."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot64(F.col("ea"), F.col("eb")) / F.sqrt(
+        _norm2(F.col("ea")) * _norm2(F.col("eb"))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= 0.3)
+        .select("vec_a", "vec_b", q4(F.col("cos")).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_minhash",
+    notes="MinHash-LSH similarity join — statistical by construction; "
+    "tests/test_llm.py measures recall vs exact shingle Jaccard "
+    "(SURVEY §2.10: document tolerance, don't pretend to hash-match).",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHashLSH over 2-gram shingle sets.
+
+    Pipeline: shingles → HashingTF sparse vectors → MinHashLSH
+    (fixed seed) → approxSimilarityJoin on Jaccard distance ≤ 0.98.
+    This is the banded-LSH scale shape: candidates are generated by
+    hash-bucket join, never the full cross product."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.98, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            q4(1 - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+    )

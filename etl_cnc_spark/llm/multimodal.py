@@ -1,0 +1,137 @@
+"""Multimodal (binary) columns for LLM data pipelines
+(SURVEY.md §2.10).
+
+Images/audio/video are opaque ``binary`` payloads with a typed
+metadata struct; the engine provides the Spark-side plumbing —
+schema, filtering on metadata, hashing, Arrow-batched per-partition
+decode via ``mapInPandas``. Actual media decoding needs libraries
+not present in this container, so the decode step is STUBBED behind
+an import gate (``NotImplementedError`` branch) with a deterministic
+byte-level feature extractor standing in — the distributed plumbing
+(batch iteration, schema, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import q4
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-cast as an opaque binary payload column with
+    a metadata struct — the multimodal column shape (binary payload +
+    typed metadata travels with every row)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode("text", "utf-8")).alias("byte_len"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           'text/plain' AS mime,
+           sha256(text) AS payload_sha256
+    FROM documents
+    WHERE octet_length(encode(text)) > 300
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct: filter on metadata, hash the
+    payload bytes. (Fixture text is pure ASCII — verified — so the
+    oracle's string sha256 equals the binary-side hash.)"""
+    p = _payloads(spark, sf_dir)
+    return p.where(F.col("meta.byte_len") > 300).select(
+        "doc_id",
+        F.col("meta.byte_len").cast("long").alias("byte_len"),
+        F.col("meta.mime").alias("mime"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id LONG, mime STRING, byte_len LONG, n_chunks LONG, byte_mean DOUBLE"
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Arrow-batched 'decode'.
+
+    Real media decode would dispatch on mime type here (PIL/librosa/
+    pyav); those libs aren't in this container, so non-text mimes
+    raise NotImplementedError and text payloads get a deterministic
+    byte-level feature (mean of the first 64 byte values + 16-byte
+    chunk count) — same batch shape a real decoder would produce.
+    """
+    try:  # pragma: no cover - decode libs absent by design
+        import PIL.Image  # noqa: F401
+
+        have_media_libs = True
+    except ImportError:
+        have_media_libs = False
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+            if mime != "text/plain":
+                if not have_media_libs:
+                    raise NotImplementedError(
+                        f"decode for mime={mime} requires media libraries "
+                        "not present in this environment"
+                    )
+                continue  # pragma: no cover
+            head = payload[:64]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "mime": mime,
+                    "byte_len": len(payload),
+                    "n_chunks": (len(payload) + 15) // 16,
+                    "byte_mean": float(sum(head)) / len(head),
+                }
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "mime", "byte_len", "n_chunks", "byte_mean"])
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST((octet_length(encode(text)) + 15) // 16 AS BIGINT) AS n_chunks,
+           floor((CAST(list_aggregate(list_transform(
+                    range(1, least(octet_length(encode(text)) + 1, 65)),
+                    i -> ascii(text[i])), 'sum') AS DOUBLE)
+                  / least(octet_length(encode(text)), 64))
+                 *10000 + 0.5)/10000.0 AS byte_mean
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over binary payloads: Arrow-batch
+    iterator in, typed feature rows out. The stub feature (mean of
+    the first 64 payload bytes) is deterministic, so even the stub is
+    content-verified against SQL (ASCII text ⇒ byte value == ascii
+    code)."""
+    p = _payloads(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.mime").alias("mime")
+    )
+    decoded = p.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+    return decoded.select(
+        "doc_id", "mime", "byte_len", "n_chunks", q4(F.col("byte_mean")).alias("byte_mean")
+    )

@@ -1,0 +1,286 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.10).
+
+All pure relational / higher-order-function compositions — the whole
+module runs JVM-side (no Python UDFs), so every operator keeps
+whole-stage codegen and scales linearly with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import q4, sql_q4
+
+# A tiny function-word list for the language-ID heuristic. The
+# fixture corpus is a synthetic word salad, so the *predictions* are
+# arbitrary — the point is the scoring machinery (stopword-ratio
+# n-gram heuristic), which is what a real pipeline would swap lists
+# into.
+EN_STOPWORDS = ["the", "of", "and", "a", "in", "to", "is", "on", "for", "with"]
+
+
+@register(
+    "text_stats",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wstats AS (
+        SELECT lang, count(*) AS n_words, count(DISTINCT w) AS n_distinct_words
+        FROM words GROUP BY lang
+    ), dstats AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang, n_docs, avg_chars, n_words, n_distinct_words
+    FROM dstats d JOIN wstats w ON d.lang = w.lang
+    """,
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, avg length, word
+    counts, vocabulary size (explode → two hash aggregates)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    wstats = words.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct_words"),
+    )
+    dstats = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+    )
+    return dstats.join(wstats, "lang").select(
+        "lang", "n_docs", "avg_chars", "n_words", "n_distinct_words"
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) * ln((n.n + 1.0)/(d.df + 1.0)) AS tfidf
+        FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        FROM scored WHERE doc_id < 20
+    )
+    SELECT doc_id, term, tf, df, {sql_q4("tfidf")} AS tfidf, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term ranking, pure relational algebra (preferred over
+    ml.feature.IDF whose smoothing differs — SURVEY §2.10): term
+    frequencies, document frequencies, idf = ln((N+1)/(df+1)), top-5
+    terms per doc for the first 20 docs."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", q4(F.col("tfidf")).alias("tfidf"), "rn")
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(language, source) corpus profile."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {sql_q4("CAST(len(list_filter(string_split(text, ' '),"
+                   f" x -> x IN ({_STOP_SQL})) ) AS DOUBLE)"
+                   " / len(string_split(text, ' '))")} AS en_score,
+           (CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.02) AS pred_en
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio per document (the
+    n-gram-profile family of detectors, reduced to one feature). A
+    real pipeline swaps in per-language function-word lists and takes
+    the argmax; the machinery (higher-order filter, ratio, threshold)
+    is identical."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    hits = F.size(F.filter(words, lambda x: x.isin(*EN_STOPWORDS)))
+    score = hits.cast("double") / F.size(words)
+    return d.select(
+        "doc_id",
+        "lang",
+        q4(score).alias("en_score"),
+        (score >= 0.02).alias("pred_en"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                    w -> CAST(length(w) AS BIGINT)), 'sum') AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           {sql_q4("CAST(sum_word_len AS DOUBLE)/n_words")} AS avg_word_len,
+           {sql_q4("CAST(n_stop AS DOUBLE)/n_words")} AS stop_ratio,
+           {sql_q4("0.5 * least(CAST(n_words AS DOUBLE)/100.0, 1.0)"
+                   " + 0.3 * (1.0 - least(CAST(sum_word_len AS DOUBLE)/n_words/10.0, 1.0))"
+                   " + 0.2 * least(10.0*CAST(n_stop AS DOUBLE)/n_words, 1.0)")}
+             AS quality_score
+    FROM feat
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, mean word length, stopword
+    ratio, combined into a bounded [0,1] score — the standard
+    pre-training filter-feature shape (each term is a clamped ratio,
+    so the score is scale-free)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(words, lambda x: x.isin(*EN_STOPWORDS))).cast("long")
+    awl = sum_word_len.cast("double") / n_words
+    sr = n_stop.cast("double") / n_words
+    score = (
+        0.5 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - F.least(awl / F.lit(10.0), F.lit(1.0)))
+        + 0.2 * F.least(F.lit(10.0) * sr, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        q4(awl).alias("avg_word_len"),
+        q4(sr).alias("stop_ratio"),
+        q4(score).alias("quality_score"),
+    )
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                w -> CAST((length(w) + 3) // 4 AS BIGINT)), 'sum') AS BIGINT)
+             AS n_subword_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword
+    estimate (⌈len/4⌉ chunks per word — the usual chars-per-token
+    budget heuristic). Pure integer arithmetic, exact on both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sub = F.aggregate(
+        F.transform(words, lambda w: ((F.length(w) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_ws_tokens"),
+        sub.alias("n_subword_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id, min(md5(s)) AS fingerprint,
+           substring(min(md5(s)), 1, 8) AS fp_short
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum hash over rolling 3-gram
+    shingles (a 1-permutation MinHash — the winnowing/fingerprint
+    family). md5 keeps it engine-deterministic; docs sharing a
+    fingerprint are near-dup candidates."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), i -> concat_ws(' ',"
+                " element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"
+            )
+        ).alias("s"),
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("fingerprint"),
+        F.substring(F.min(F.md5("s")), 1, 8).alias("fp_short"),
+    )

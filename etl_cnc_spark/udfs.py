@@ -1,0 +1,210 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+One key per extension-point kind, each oracle-verified by a SQL
+reimplementation. Performance ordering (SURVEY §4): builtin exprs >
+Arrow-vectorized pandas UDFs > row-at-a-time Python UDFs — the
+row-at-a-time kind appears exactly once, as the demonstration of the
+slow path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from .catalog import table
+from .registry import register
+from .utils import q4, sql_q4
+
+
+@register(
+    "udf_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS bracket
+    FROM orders
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path: per-row serde, no
+    codegen — kept off hot paths by policy)."""
+
+    def bracket(p: float) -> str:
+        if p < 100_000:
+            return "low"
+        if p < 300_000:
+            return "mid"
+        return "high"
+
+    b = F.udf(bracket, "string")
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", b("o_totalprice").alias("bracket"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_q4("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, ~10-100x the
+    row-at-a-time path). The numpy formula mirrors utils.q4 ops
+    bitwise, so it hash-matches the SQL oracle exactly."""
+
+    @pandas_udf("double")
+    def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return np.floor(price * (1 - disc) * 10000 + 0.5) / 10000.0
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+@register(
+    "udaf_pandas_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF: quantity-weighted mean price.
+    Inputs are quantized to integer cents inside the UDAF so the
+    sums are exact (order-independent) and match the SQL oracle
+    bitwise — the same discipline as utils.sum_money."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        pc = np.floor(price * 100 + 0.5).astype("int64")
+        qc = np.floor(qty * 100 + 0.5).astype("int64")
+        return float(np.sum(pc * qc)) / float(np.sum(qc)) / 100.0
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@register(
+    "udtf_grouped_map",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           {sql_q4("(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))"
+                   " / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment)")}
+             AS bal_z
+    FROM customer
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (table in → table out per group):
+    z-score normalization within each market segment. numpy's
+    mean/std(ddof=1) agree with the window-function oracle to ~1e-12
+    relative; q4 quantization absorbs that."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["c_acctbal"]
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "bal_z": np.floor(z * 10000 + 0.5) / 10000.0,
+            }
+        )
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey LONG, c_mktsegment STRING, bal_z DOUBLE"
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 5
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → many output rows
+    (tokenize with positions), consumed via LATERAL join."""
+
+    @udtf(returnType="doc_id bigint, pos bigint, word string")
+    class SplitWords:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield doc_id, i, w
+
+    spark.udtf.register("etlcnc_split_words", SplitWords)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("etlcnc_docs_udtf")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.pos, s.word
+        FROM etlcnc_docs_udtf d, LATERAL etlcnc_split_words(d.doc_id, d.text) s
+        WHERE d.doc_id < 5
+        """
+    )
+
+
+@register(
+    "udf_arrow_batch",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_q4("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS charge
+    FROM lineitem
+    """,
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: zero-copy Arrow RecordBatch iterator per
+    partition — the lowest-overhead Python extension point (no
+    pandas conversion), for custom batch-level operators."""
+
+    def charge_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pc = pa.compute
+        for batch in batches:
+            price = batch.column(batch.schema.get_field_index("l_extendedprice"))
+            disc = batch.column(batch.schema.get_field_index("l_discount"))
+            tax = batch.column(batch.schema.get_field_index("l_tax"))
+            charge = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            q = pc.divide(
+                pc.floor(pc.add(pc.multiply(charge, pa.scalar(10000.0)), pa.scalar(0.5))),
+                pa.scalar(10000.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("l_orderkey")),
+                    batch.column(batch.schema.get_field_index("l_linenumber")),
+                    q,
+                ],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInArrow(
+        charge_batches, "l_orderkey LONG, l_linenumber INT, charge DOUBLE"
+    )
