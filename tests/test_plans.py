@@ -1,0 +1,85 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations that
+matter at 100 TB must actually appear in the plan — verify, don't
+assume. These read ``explain(formatted)`` output."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from etl_cnc_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(key: str, spark, sf_dir: str) -> str:
+    df = REGISTRY[key].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pruning_and_pushdown(spark, sf_dir):
+    """Column pruning + predicate pushdown reach the parquet reader."""
+    plan = plan_of("scan_parquet_pruned", spark, sf_dir)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,45" in plan.replace(" ", "")
+    # ReadSchema carries only the 3 projected columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    """nation/region reach the flagship join as broadcast sides."""
+    plan = plan_of("join_multiway", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_groupby_has_partial_final_aggregation(spark, sf_dir):
+    """agg_partial_final (SURVEY §2.4): map-side partial aggregation
+    before the shuffle, final after — automatic, but must be present."""
+    plan = plan_of("agg_groupby", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_global_is_take_ordered(spark, sf_dir):
+    """orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k + single merge), not a full global sort."""
+    plan = plan_of("topk_global", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    """Built-in-expression queries stay inside WholeStageCodegen
+    (codegen explain mode — the formatted mode hides codegen
+    annotation under AdaptiveSparkPlan)."""
+    for key in ("agg_groupby", "project_expr", "fn_string"):
+        df = REGISTRY[key].build(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        out = buf.getvalue()
+        assert "WholeStageCodegen" in out, f"{key} fell out of codegen"
+
+
+def test_semi_join_build_side_is_broadcast(spark, sf_dir):
+    plan = plan_of("filter_subquery", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_exact_topk_has_no_shuffle_on_candidates(spark, sf_dir):
+    """sim_topk_exact: the query side is broadcast — the big
+    candidate table must not be exchanged before the join."""
+    plan = plan_of("sim_topk_exact", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_session_tuning_applied(spark):
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 64
