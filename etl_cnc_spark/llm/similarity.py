@@ -55,12 +55,21 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw double cosine (bitwise identical to the oracle's fold) with
     cid as tie-break."""
     e = table(spark, sf_dir, "embeddings")
+    # Pre-compute each side's squared norm BEFORE the join: one fold per
+    # row (N+Q folds) instead of two folds per pair (2·N·Q) — the values
+    # are bitwise identical, so oracle hashing is unaffected.
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
     )
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
     pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
-    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(_norm2(F.col("qe")) * _norm2(F.col("ce")))
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     return (
         pairs.select("qid", "cid", cos.alias("cos"))
@@ -100,13 +109,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; recall@k vs sim_topk_exact is measured in tests."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("label").alias("ql")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+        _norm2(F.col("embedding")).alias("qn2"),
     )
     c = e.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("label").alias("cl")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cl"),
+        _norm2(F.col("embedding")).alias("cn2"),
     )
     pairs = F.broadcast(q).join(c, (F.col("qid") != F.col("cid")) & (F.col("ql") == F.col("cl")))
-    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(_norm2(F.col("qe")) * _norm2(F.col("ce")))
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     return (
         pairs.select("qid", "cid", cos.alias("cos"))
