@@ -347,3 +347,107 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_int"),
         F.length("props").cast("long").alias("props_len"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber & 3 AS BIGINT) AS band,
+           CAST(l_linenumber | 8 AS BIGINT) AS bor,
+           CAST(xor(l_linenumber, 5) AS BIGINT) AS bxor,
+           CAST(l_linenumber << 2 AS BIGINT) AS shl,
+           CAST(l_linenumber >> 1 AS BIGINT) AS shr,
+           CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS popcnt,
+           CAST(~l_linenumber AS BIGINT) AS bnot
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR/NOT, shifts, popcount — all JVM
+    built-ins inside codegen."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ln.bitwiseAND(F.lit(3)).cast("long").alias("band"),
+        ln.bitwiseOR(F.lit(8)).cast("long").alias("bor"),
+        ln.bitwiseXOR(F.lit(5)).cast("long").alias("bxor"),
+        F.shiftleft(ln, 2).cast("long").alias("shl"),
+        F.shiftright(ln, 1).cast("long").alias("shr"),
+        F.bit_count(F.col("l_orderkey").cast("long")).cast("long").alias("popcnt"),
+        F.bitwise_not(ln).cast("long").alias("bnot"),
+    )
+
+
+@register(
+    "fn_strdist",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS d_brand_type,
+           CAST(levenshtein(p_name, 'standard burnished brass') AS BIGINT) AS d_name_probe
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def fn_strdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance family: Levenshtein edit distance (fuzzy-match
+    building block for ETL reconciliation). O(m*n) per pair but pure
+    per-row compute — scales linearly, no shuffle."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 400)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("long").alias("d_brand_type"),
+        F.levenshtein(F.col("p_name"), F.lit("standard burnished brass"))
+        .cast("long")
+        .alias("d_name_probe"),
+    )
+
+
+@register(
+    "fn_sequence",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(unnest(generate_series(1, 1 + o_orderkey % 4)) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence generation + lateral explode: per-row generate_series
+    — the row-multiplying generator pattern (date spines, retry
+    schedules). Explode is local (no shuffle)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    seq = F.sequence(F.lit(1), (F.lit(1) + F.col("o_orderkey") % 4).cast("int"))
+    return o.select("o_orderkey", F.explode(seq).alias("n0")).select(
+        "o_orderkey", F.col("n0").cast("long").alias("n")
+    )
+
+
+@register(
+    "fn_trig",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_q4("sin(l_quantity)")} AS sin_q,
+           {sql_q4("cos(l_quantity)")} AS cos_q,
+           {sql_q4("atan2(l_discount, l_tax + 0.01)")} AS atan2_dt,
+           {sql_q4("exp(l_discount)")} AS exp_d,
+           {sql_q4("degrees(l_tax)")} AS deg_t,
+           {sql_q4("radians(l_quantity)")} AS rad_q
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental family: sin/cos/atan2/exp/degrees/radians,
+    quantized to 4dp (JVM StrictMath vs libm may differ in the last
+    ulp; q4 absorbs it)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        q4(F.sin("l_quantity")).alias("sin_q"),
+        q4(F.cos("l_quantity")).alias("cos_q"),
+        q4(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01)).alias("atan2_dt"),
+        q4(F.exp("l_discount")).alias("exp_d"),
+        q4(F.degrees("l_tax")).alias("deg_t"),
+        q4(F.radians("l_quantity")).alias("rad_q"),
+    )

@@ -268,3 +268,61 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # automatic in Spark (HashAggregate partial → shuffle → HashAggregate
 # final); tests/test_plans.py asserts both stages appear in the plan
 # for agg_groupby rather than declaring a separate query key.
+
+
+@register(
+    "agg_arg_minmax",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_custkey, CAST(floor(c_acctbal*100+0.5) AS BIGINT)*1000000
+                              + c_custkey) AS richest_cust,
+           arg_min(c_custkey, CAST(floor(c_acctbal*100+0.5) AS BIGINT)*1000000
+                              + c_custkey) AS poorest_cust
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by): which customer has the
+    extreme balance per nation. Ties are broken deterministically by
+    folding the unique key into exact integer cents (cents*1e6 +
+    custkey stays < 2^53, so the ordering value is exact on both
+    engines)."""
+    c = table(spark, sf_dir, "customer")
+    rank = (
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long") * F.lit(1000000)
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", rank).alias("richest_cust"),
+        F.min_by("c_custkey", rank).alias("poorest_cust"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+           {sql_sum_money_filter("l_extendedprice", "l_discount > 0.05")} AS disc_rev,
+           count(*) FILTER (WHERE l_tax = 0) AS taxfree_cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (conditional aggregation): several
+    differently-filtered measures in ONE pass over the fact table —
+    the scale-friendly alternative to N separate filtered scans."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("big_cnt"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("disc_rev"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("taxfree_cnt"),
+    )

@@ -1,0 +1,311 @@
+"""ETL pipeline operators — the reference project's home turf
+(BASELINE.json: "ETL/pipeline ... standard Spark DataFrame
+transformations"; no reference source exists to cite, see SURVEY.md §0).
+
+These are the classic warehouse-loading shapes: MERGE/upsert, SCD
+type-2 dimension versioning, typed cleaning, deterministic sampling,
+wide→long unpivot, bucketed co-located joins, and a composed
+documents-cleaning pipeline. Each is a pure DataFrame composition
+(Catalyst plans it; no driver-side loops), and each is designed so
+the same plan survives a 1000-executor / 100 TB scale-up:
+
+- merge/SCD2 shuffle once on the natural key (AQE handles skew);
+- sampling is hash-based (md5 prefix), so it needs no global state,
+  samples the same rows on any cluster size, and pushes down as a
+  cheap per-row predicate — never a driver-side random draw;
+- the bucketed join removes the per-query shuffle entirely by
+  pre-bucketing both sides on the join key (write once, join many).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import q2, sql_q2
+
+
+# ---------------------------------------------------------------- merge
+
+
+@register(
+    "etl_merge_upsert",
+    oracle=f"""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 != 0
+    ), source AS (
+        SELECT o_orderkey, 'U' AS new_status, o_totalprice * 1.1 AS new_total
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_status
+                ELSE t.o_orderstatus END AS status,
+           {sql_q2("COALESCE(s.new_total, t.o_totalprice)")} AS total,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet tables.
+
+    WHEN MATCHED → update, WHEN NOT MATCHED → insert, else keep —
+    expressed as one full outer join + CASE, which is exactly the
+    shuffle-once plan a native MERGE executes. At 100 TB the join key
+    is the table's natural key, so AQE skew-join and partial
+    aggregation apply unchanged; no per-row driver logic exists."""
+    orders = table(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("s_orderkey"),
+        F.lit("U").alias("new_status"),
+        (F.col("o_totalprice") * 1.1).alias("new_total"),
+    )
+    merged = target.join(
+        source, target["o_orderkey"] == source["s_orderkey"], "full_outer"
+    )
+    matched = F.col("s_orderkey").isNotNull()
+    return merged.select(
+        F.coalesce("o_orderkey", "s_orderkey").alias("o_orderkey"),
+        F.when(matched, F.col("new_status")).otherwise(F.col("o_orderstatus")).alias("status"),
+        q2(F.coalesce("new_total", "o_totalprice")).alias("total"),
+        F.when(F.col("o_orderkey").isNull(), "insert")
+        .when(~matched, "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+# ----------------------------------------------------------------- scd2
+
+
+@register(
+    "etl_scd2",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS version_key,
+           epoch_us(o_orderdate) AS valid_from_us,
+           epoch_us(lead(o_orderdate) OVER w) AS valid_to_us,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: effective-dated versions.
+
+    Each order is a new version of the customer's state; valid_to is
+    the next version's valid_from (NULL = current). One window over
+    (custkey, orderdate) — a single shuffle on the dimension key, the
+    canonical SCD2 build at any scale."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ------------------------------------------------------- typed cleaning
+
+
+@register(
+    "etl_clean_types",
+    oracle="""
+    SELECT c_custkey,
+           upper(trim(c_name)) AS name_clean,
+           COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment,
+           CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,
+           (c_acctbal >= 0) AS in_good_standing
+    FROM customer
+    """,
+)
+def etl_clean_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-cleaning stage: trim/normalize strings, sentinel→NULL→
+    default, money→exact integer cents, derived flags. All built-in
+    expressions (whole-stage codegen; no Python in the row path)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim("c_name")).alias("name_clean"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("")), F.lit("UNKNOWN")).alias(
+            "segment"
+        ),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("acctbal_cents"),
+        (F.col("c_acctbal") >= 0).alias("in_good_standing"),
+    )
+
+
+# -------------------------------------------------- deterministic sample
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 1) = 'a'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/16 deterministic sample via md5-prefix of the row key.
+
+    The scale-correct sampling pattern: a pure per-row predicate —
+    no RNG state, no seed coordination across executors, identical
+    sample on 1 core or 1000 executors, and reproducible forever.
+    (``df.sample(seed=)`` is partition-layout-dependent; this isn't.)"""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.where(F.substring(F.md5(key), 1, 1) == "a").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# -------------------------------------------------------------- unpivot
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT * FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                      l_discount, l_tax
+               FROM lineitem WHERE l_orderkey % 50 = 0)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val
+    )
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the four lineitem measures.
+
+    Narrow, shuffle-free transformation — each input row expands to
+    4 output rows locally, so it scales embarrassingly."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+# -------------------------------------------------------- bucketed join
+
+
+@register(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_lines,
+           {sql_q2("CAST(sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0")} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketing (write once, join many).
+
+    Both sides are written ``bucketBy(8, key) sortBy(key)`` into the
+    session catalog; Spark's bucketed scan then feeds a sort-merge
+    join with NO Exchange on either side — at 100 TB this converts
+    the dominant per-query shuffle into a one-time write cost. The
+    aggregate after the join still shuffles (on the small group key),
+    which is the cheap part."""
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+
+    def _write(name: str, df: DataFrame, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # A fresh session's in-memory catalog doesn't know tables a
+        # previous session left in the warehouse dir — clear the stale
+        # location or the managed-table create refuses.
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        shutil.rmtree(f"{wh.path or wh.netloc}/{name.lower()}", ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(name)
+
+    _write(
+        t_orders,
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+    )
+    _write(
+        t_lineitem,
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        q2(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
+# ------------------------------------------- composed cleaning pipeline
+
+
+@register(
+    "pipeline_docs_clean",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS words
+        FROM documents
+        WHERE n_chars BETWEEN 50 AND 2000
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM scored
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(words) AS DOUBLE)/count(*) AS avg_words
+    FROM ranked WHERE rn = 1
+    GROUP BY lang, source
+    """,
+)
+def pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline: quality gate →
+    exact dedup (keep lowest doc_id per content hash) → per-(lang,
+    source) profile. One quality filter (pushed to the scan), one
+    dedup shuffle on the content hash, one aggregate — the minimal
+    shuffle count for these semantics at any scale."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("n_chars").between(50, 2000)
+    )
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.select("doc_id", "lang", "source", words.alias("words"), "text")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("words").cast("double") / F.count(F.lit(1))).alias("avg_words"),
+    )

@@ -83,3 +83,21 @@ def test_session_tuning_applied(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 64
+
+
+def test_bucketed_join_has_no_shuffle_on_inputs(spark, sf_dir):
+    """join_bucketed: both sides pre-bucketed on the join key →
+    sort-merge join with NO Exchange feeding it (the whole point:
+    at 100 TB the per-query shuffle becomes a one-time write)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of("join_bucketed", spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[0]
+    # the aggregate above the join may exchange; the join inputs must not
+    assert "Exchange hashpartitioning" not in join_part, (
+        "bucketed join inputs were shuffled:\n" + join_part
+    )
