@@ -79,17 +79,44 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENT_MOD = 64  # every 64th vector is a coarse centroid (deterministic)
+NPROBE = 2
+
+
 @register(
     "sim_ann_ivf",
     oracle=f"""
-    WITH scored AS (
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce,
+               {_SQL_NORM2.format(col="embedding")} AS cn2
+        FROM embeddings WHERE vec_id % {CENT_MOD} = 0
+    ), vec AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM2.format(col="embedding")} AS n2
+        FROM embeddings
+    ), ranked_cells AS (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   v.n2 + c.cn2 - 2*(list_aggregate(
+                       [CAST(v.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+                        for i in range(1, 65)], 'sum')),
+                   c.cent_id) AS cell_rank
+        FROM vec v CROSS JOIN cent c
+    ), assign AS (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE cell_rank = 1
+    ), probes AS (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells
+        WHERE cell_rank <= {NPROBE} AND vec_id < {N_QUERIES}
+    ), scored AS (
         SELECT a.vec_id AS qid, b.vec_id AS cid,
                {_SQL_DOT} /
                sqrt({_SQL_NORM2.format(col="a.embedding")}
                     * {_SQL_NORM2.format(col="b.embedding")}) AS cos
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label = b.label
-        WHERE a.vec_id < {N_QUERIES}
+        FROM probes p
+        JOIN assign ca ON ca.cell = p.cell
+        JOIN embeddings a ON a.vec_id = p.vec_id
+        JOIN embeddings b ON b.vec_id = ca.vec_id
+        WHERE a.vec_id <> b.vec_id
     ), ranked AS (
         SELECT qid, cid, cos,
                CAST(row_number() OVER (PARTITION BY qid
@@ -101,30 +128,59 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: search only the query's coarse
-    cell (here the ``label`` column stands in for a centroid
-    assignment). This is the inverted-file scale shape — the
-    candidate join key (label) partitions the work, cutting the
-    scanned candidates by ~the cell count. Deterministic → full SQL
-    oracle; recall@k vs sim_topk_exact is measured in tests."""
+    """Inverted-file (IVF) approximate top-k cosine search.
+
+    Real IVF mechanics, fully deterministic (→ SQL oracle):
+    1. Coarse centroids = every 64th vector (at scale: k-means run
+       once offline; any fixed centroid set gives the same plan).
+    2. Every vector is assigned to its nearest centroid by squared
+       L2 (n2 + cn2 - 2·dot, centroid id tie-break) — centroids are
+       BROADCAST, so assignment is a map-only pass over the corpus.
+    3. A query probes its NPROBE=2 nearest cells; exact cosine runs
+       only against candidates assigned there — the scanned fraction
+       is ~NPROBE/num_cells of the corpus, the IVF recall/cost dial.
+    Recall@k vs sim_topk_exact is measured in tests/test_llm.py."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
+    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
+    cent = e.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
+    ranked_cells = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(wc))
+    )
+    assign = ranked_cells.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
+    )
+    probes = ranked_cells.where(
+        (F.col("cell_rank") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+
+    q = e.select(
+        F.col("vec_id").alias("qid2"),
         F.col("embedding").alias("qe"),
-        F.col("label").alias("ql"),
         _norm2(F.col("embedding")).alias("qn2"),
     )
     c = e.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.col("label").alias("cl"),
-        _norm2(F.col("embedding")).alias("cn2"),
+        F.col("vec_id").alias("cid2"),
+        F.col("embedding").alias("ce2"),
+        _norm2(F.col("embedding")).alias("cn2b"),
     )
-    pairs = F.broadcast(q).join(c, (F.col("qid") != F.col("cid")) & (F.col("ql") == F.col("cl")))
-    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .join(q, F.col("qid") == F.col("qid2"))
+        .join(c, F.col("cid") == F.col("cid2"))
+    )
+    cos = _dot64(F.col("qe"), F.col("ce2")) / F.sqrt(F.col("qn2") * F.col("cn2b"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     return (
-        pairs.select("qid", "cid", cos.alias("cos"))
+        cand.select("qid", "cid", cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= TOP_K)
         .select("qid", "cid", q4(F.col("cos")).alias("cosine"), "rn")

@@ -25,15 +25,16 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall@5 = {recall:.3f}"
 
 
-def test_ivf_recall_matches_scan_fraction(spark, sf_dir):
-    """IVF with nprobe=1 over 10 structureless cells: recall ≈ the
-    1/10 scan fraction (the fixtures' labels are not geometry-derived
-    — this documents the honest lower bound; clustered real data
-    does far better). The win is cost: ~10% of candidates scanned."""
+def test_ivf_recall_beats_scan_fraction(spark, sf_dir):
+    """Real IVF (nearest-centroid cells, nprobe=2 of ~8 cells):
+    recall@5 must beat the ~25% scanned fraction — geometric cells
+    concentrate true neighbors even on these quasi-random fixtures
+    (measured 0.48 at 500 vecs; clustered real data does far
+    better). The win is cost: ~nprobe/cells of candidates scanned."""
     exact = _pairs(REGISTRY["sim_topk_exact"].build(spark, sf_dir))
     ivf = _pairs(REGISTRY["sim_ann_ivf"].build(spark, sf_dir))
     recall = len(exact & ivf) / len(exact)
-    assert 0.02 <= recall <= 0.4, f"IVF recall@5 = {recall:.3f}"
+    assert 0.3 <= recall <= 0.95, f"IVF recall@5 = {recall:.3f}"
 
 
 def test_minhash_estimates_jaccard(spark, sf_dir):

@@ -1,0 +1,55 @@
+"""Metamorphic invariants (SURVEY.md §5): results must be invariant
+to physical execution layout — partition count, input split size,
+and therefore partial-aggregation order. This is the local proxy for
+the 100 TB claim in SCALE.md: a 1000-executor cluster is "just" a
+different partitioning, so any key that changes its answer under
+repartitioning here is broken at scale by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_cnc_spark.registry import load_all
+
+REGISTRY = load_all()
+
+# Keys whose outputs are designed partition-order-exact (integer-cent
+# money, deterministic tie-breaks, content-hash sampling).
+INVARIANT_KEYS = [
+    "agg_groupby",
+    "join_inner",
+    "join_multiway",
+    "win_ranking",
+    "dedup_exact",
+    "sample_deterministic",
+    "pipeline_docs_clean",
+    "etl_merge_upsert",
+    "sim_topk_exact",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = [tuple(r[c] for c in cols) for r in df.collect()]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("key", INVARIANT_KEYS)
+def test_result_invariant_to_partitioning(key, spark, sf_dir):
+    conf = spark.conf
+    old_shuffle = conf.get("spark.sql.shuffle.partitions")
+    old_split = conf.get("spark.sql.files.maxPartitionBytes")
+    build = REGISTRY[key].build
+    try:
+        conf.set("spark.sql.shuffle.partitions", "3")
+        conf.set("spark.sql.files.maxPartitionBytes", "65536")  # many tiny splits
+        a = _rows(build(spark, sf_dir))
+        conf.set("spark.sql.shuffle.partitions", "32")
+        conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        b = _rows(build(spark, sf_dir))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        conf.set("spark.sql.files.maxPartitionBytes", old_split)
+    assert len(a) == len(b), f"{key}: row count changed with partitioning"
+    assert a == b, f"{key}: values changed with partitioning"
