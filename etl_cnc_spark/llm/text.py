@@ -284,3 +284,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("s")).alias("fingerprint"),
         F.substring(F.min(F.md5("s")), 1, 8).alias("fp_short"),
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase → strip non-alnum →
+    collapse whitespace → trim. The standard pre-dedup/pre-tokenize
+    stage; row-local regex work inside codegen, linear at any scale."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).cast("long").alias("norm_len")
+    )

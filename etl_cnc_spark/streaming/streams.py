@@ -234,3 +234,41 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stateful streaming query did not drain in 600s")
     return spark.table(name)
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands via arbitrary batch
+    logic (here: append to parquet with the batch id stamped) — the
+    escape hatch for sinks Structured Streaming lacks natively
+    (JDBC upserts, MERGE targets). Checkpointed batch ids give
+    exactly-once replay, which the oracle verifies: the re-read sink
+    must aggregate to exactly the batch answer."""
+    src = _stage_events_dir(sf_dir)
+    out = tempfile.mkdtemp(prefix="etlcnc_stream_fb_")
+    ck = tempfile.mkdtemp(prefix="etlcnc_stream_fbck_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        _read_stream(spark, src)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("foreachBatch stream did not drain in 600s")
+    sunk = spark.read.parquet(out)
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("users"),
+    )

@@ -1,0 +1,59 @@
+"""SQL entry point (SURVEY §3.2): the same SQL text must run on both
+engines and agree with the equivalent DataFrame composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_cnc_spark import sql as engine_sql
+from etl_cnc_spark.catalog import table
+
+Q3ISH = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0
+           AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+def test_sql_entry_matches_dataframe(spark, sf_dir):
+    via_sql = {
+        r["o_orderpriority"]: (r["n"], r["revenue"])
+        for r in engine_sql.run(spark, sf_dir, Q3ISH).collect()
+    }
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = table(spark, sf_dir, "lineitem")
+    via_df = {
+        r["o_orderpriority"]: (r["n"], r["revenue"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert via_sql == via_df
+
+
+def test_sql_entry_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle = {r[0]: (r[1], r[2]) for r in con.execute(Q3ISH).fetchall()}
+    ours = {
+        r["o_orderpriority"]: (r["n"], r["revenue"])
+        for r in engine_sql.run(spark, sf_dir, Q3ISH).collect()
+    }
+    assert ours == oracle
