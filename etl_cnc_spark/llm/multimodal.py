@@ -135,3 +135,59 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "mime", "byte_len", "n_chunks", q4(F.col("byte_mean")).alias("byte_mean")
     )
+
+
+_FRAME_SCHEMA = "doc_id LONG, frame_idx LONG, frame_len LONG, first_byte LONG"
+FRAME_BYTES = 256
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition frame sampler: chunk each payload into fixed
+    FRAME_BYTES frames and emit every FRAME_STRIDE-th one — the video
+    frame-sampling shape (a real decoder would seek keyframes; the
+    byte-chunk stand-in keeps identical batch geometry)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": idx,
+                        "frame_len": len(frame),
+                        "first_byte": frame[0],
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_len", "first_byte"]
+        )
+
+
+@register(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             CAST(unnest(generate_series(0,
+                  (octet_length(encode(text))-1)//{FRAME_BYTES}, {FRAME_STRIDE}))
+                  AS BIGINT) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           CAST(octet_length(encode(substr(text, 1 + frame_idx*{FRAME_BYTES},
+                {FRAME_BYTES}))) AS BIGINT) AS frame_len,
+           CAST(ascii(substr(text, 1 + frame_idx*{FRAME_BYTES}, 1)) AS BIGINT)
+               AS first_byte
+    FROM f
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas: fixed-size
+    byte frames, every 4th emitted (video keyframe-sampling geometry;
+    ASCII fixtures make even the stub content-verifiable in SQL).
+    Row-local expansion — no shuffle, scales with the corpus."""
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(_frame_sample_batches, _FRAME_SCHEMA)

@@ -326,3 +326,25 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("disc_rev"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("taxfree_cnt"),
     )
+
+
+@register(
+    "agg_approx_quantile",
+    notes="KLL/GK-style sketch percentiles (approx_percentile): "
+    "mergeable fixed-size sketch - the 100 TB path where exact "
+    "percentile_disc would shuffle the full column. Accuracy bound "
+    "(accuracy=1000 => rank error <= 0.1%) asserted vs the exact "
+    "quantile in tests/test_llm.py::test_approx_quantile_error.",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of l_extendedprice per returnflag via
+    a mergeable rank sketch: map-side partial sketches merge at the
+    final stage, so shuffle volume is sketch-size x partitions,
+    independent of row count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 1000).alias(
+            "price_quartiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -351,3 +351,56 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_money(F.col("value")).alias("total_value"),
         )
     )
+
+
+@register(
+    "join_asof_fwd",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+           epoch_us(c.ts) AS next_click_us
+    FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.ts <= c.ts
+    """,
+)
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each view event, the NEXT click at or
+    after it, per user (time-to-next-action).
+
+    Mirror of ``join_asof``: union both tagged sides, window per user
+    ordered by time DESCENDING with clicks sorting before views at
+    equal timestamps (<= inclusivity), running ``last(..,
+    ignorenulls)`` = earliest click ≥ the view. One shuffle + one
+    sort at any scale. The matched value is the click timestamp
+    itself, so equal-timestamp ties carry identical values."""
+    e = table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_view"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_view"),
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), "is_view")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = v.unionByName(c).withColumn(
+        "next_click", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(
+        (F.col("is_view") == 1) & F.col("next_click").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("t").alias("ts_us"),
+        F.unix_micros("next_click").alias("next_click_us"),
+    )

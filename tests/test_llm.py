@@ -113,3 +113,24 @@ def test_simhash_is_32_bits(spark, sf_dir):
     df = REGISTRY["dedup_simhash"].build(spark, sf_dir)
     bad = df.where(~F.col("simhash32").rlike("^[01]{32}$")).count()
     assert bad == 0
+
+
+def test_approx_quantile_error(spark, sf_dir):
+    """approx_percentile(accuracy=1000) vs exact percentiles: the
+    sketch's rank error must stay within 1% of the distribution's
+    span per group (the documented bound is ~1/accuracy)."""
+    rows = REGISTRY["agg_approx_quantile"].build(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    for r in rows:
+        exact = li.where(F.col("l_returnflag") == r["l_returnflag"]).agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+            ).alias("p"),
+            F.max("l_extendedprice").alias("hi"),
+            F.min("l_extendedprice").alias("lo"),
+        ).first()
+        span = exact["hi"] - exact["lo"]
+        for approx, true in zip(r["price_quartiles"], exact["p"]):
+            assert abs(approx - true) <= 0.01 * span, (
+                f"{r['l_returnflag']}: approx {approx} vs exact {true}"
+            )

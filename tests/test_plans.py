@@ -101,3 +101,28 @@ def test_bucketed_join_has_no_shuffle_on_inputs(spark, sf_dir):
     assert "Exchange hashpartitioning" not in join_part, (
         "bucketed join inputs were shuffled:\n" + join_part
     )
+
+
+def test_partition_pruning_on_partitioned_readback(spark, sf_dir, tmp_path):
+    """A hive-partitioned write must give readers partition pruning:
+    a filter on the partition column appears as PartitionFilters at
+    the scan (only matching directories are listed/read) — at 100 TB
+    this skips entire partitions, before row groups are even opened."""
+    from etl_cnc_spark.catalog import table as t
+
+    out = str(tmp_path / "part_lineitem")
+    t(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+    df = (
+        spark.read.parquet(out)
+        .where("l_returnflag = 'A'")
+        .select("l_orderkey", "l_quantity")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    compact = plan.replace(" ", "")
+    assert "l_returnflag),A" in compact or "l_returnflag,A" in compact or "isnotnull(l_returnflag" in compact, plan
