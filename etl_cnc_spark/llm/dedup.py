@@ -268,3 +268,72 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(1 - F.col("jaccard_dist")).alias("est_jaccard"),
         )
     )
+
+
+@register(
+    "dedup_cluster",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id
+       AND md5(substr(a.text, 1, 40)) = md5(substr(b.text, 1, 40))
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over near-dup
+    candidate pairs, so each group of mutual near-dups gets one
+    canonical id (min doc_id) — the step after pair generation in
+    every dedup pipeline (keep one doc per cluster).
+
+    Candidates come from fingerprint blocking (md5 of the 40-char
+    prefix — at scale: MinHash band buckets, same join shape).
+    Components run as iterative min-label propagation: each round is
+    one distributed join + min-aggregate (data never leaves
+    executors; the driver only checks the converged-count, which is
+    how every Pregel-style loop terminates). Fixture graphs have
+    tiny diameters, so this converges in 2-3 rounds; the oracle is
+    DuckDB's recursive CTE computing true reachability minima."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 40)).alias("fp")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = d.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = a.join(b, "fp").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("nid"))
+        .distinct()
+        .select("nid", F.col("nid").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["nid"])
+            .groupBy(edges["u"].alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = labels.join(
+            nbr_min, labels["nid"] == nbr_min["node"], "left"
+        ).select(
+            "nid",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = updated.where(F.col("label") != F.col("old_label")).count()
+        labels = updated.select("nid", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("nid").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -213,3 +213,35 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+               AS trailing_1h_value
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: trailing-1-hour sum of value per user,
+    ordered by epoch seconds (SURVEY §2.5 range-frame variant). A
+    RANGE frame includes all peer rows at equal timestamps on both
+    engines, and the cent-sum is order-exact, so ties can't drift.
+    One shuffle on user_id; frames stream within the sorted
+    partition."""
+    e = table(spark, sf_dir, "events")
+    secs = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    tr = (
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).over(w)
+        / F.lit(100.0)
+    )
+    return e.select("user_id", "event_id", tr.alias("trailing_1h_value"))
