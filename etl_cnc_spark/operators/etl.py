@@ -224,8 +224,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate after the join still shuffles (on the small group key),
     which is the cheap part."""
     import re
-    import shutil
-    from urllib.parse import urlparse
+    import tempfile
 
     tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
@@ -233,14 +232,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _write(name: str, df: DataFrame, key: str) -> None:
         if spark.catalog.tableExists(name):
             return
-        # A fresh session's in-memory catalog doesn't know tables a
-        # previous session left in the warehouse dir — clear the stale
-        # location or the managed-table create refuses.
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        shutil.rmtree(f"{wh.path or wh.netloc}/{name.lower()}", ignore_errors=True)
+        # External table at a fresh temp path: works even when the
+        # session's warehouse dir (defaults to the caller's cwd) is
+        # not writable, and a fresh path can never collide with a
+        # previous session's leftover managed-table location.
+        path = tempfile.mkdtemp(prefix=f"etlcnc_{name}_")
         df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
             "parquet"
-        ).saveAsTable(name)
+        ).option("path", path).saveAsTable(name)
 
     _write(
         t_orders,
