@@ -102,3 +102,50 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     streamed = spark.read.parquet(out)
     batch = REGISTRY["stream_dedup"].build(spark, sf_dir)
     assert _canon(streamed) == _canon(batch)
+
+
+def test_session_window_stream_equals_batch_closed_sessions(spark, sf_dir):
+    """Real streaming session windows (30-min gap, 1-h watermark,
+    availableNow replay): the emitted sessions must be exactly the
+    batch-mode sessions that CLOSED before the final watermark
+    (end = last_ts + gap <= max_ts - delay). Session windows carry
+    the most complex streaming state (gap-merging); this pins their
+    batch parity."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_cnc_spark.catalog import table
+    from etl_cnc_spark.streaming.streams import (
+        _read_stream,
+        _run_to_parquet,
+        _stage_events_dir,
+    )
+
+    src = _stage_events_dir(sf_dir)
+    s = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.unix_micros("last_ts").alias("last_event_us"),
+            "n_events",
+        )
+    )
+    out = _run_to_parquet(s, "append")
+    streamed = spark.read.parquet(out).toPandas()
+
+    e = table(spark, sf_dir, "events")
+    max_us = e.agg(F.unix_micros(F.max("ts"))).first()[0]
+    horizon_us = max_us - 3_600_000_000  # watermark delay
+    batch = (
+        REGISTRY["stream_session"].build(spark, sf_dir).toPandas()
+    )
+    gap_us = 30 * 60 * 1_000_000
+    closed = batch[batch["last_event_us"] + gap_us <= horizon_us]
+
+    key = ["user_id", "last_event_us", "n_events"]
+    a = streamed[key].sort_values(key).reset_index(drop=True)
+    b = closed[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
