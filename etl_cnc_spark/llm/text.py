@@ -186,7 +186,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_q4("CAST(n_stop AS DOUBLE)/n_words")} AS stop_ratio,
            {sql_q4("0.5 * least(CAST(n_words AS DOUBLE)/100.0, 1.0)"
                    " + 0.3 * (1.0 - least(CAST(sum_word_len AS DOUBLE)/n_words/10.0, 1.0))"
-                   " + 0.2 * least(10.0*CAST(n_stop AS DOUBLE)/n_words, 1.0)")}
+                   " + 0.2 * least(10.0*(CAST(n_stop AS DOUBLE)/n_words), 1.0)")}
              AS quality_score
     FROM feat
     """,
