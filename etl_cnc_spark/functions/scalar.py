@@ -451,3 +451,43 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.degrees("l_tax")).alias("deg_t"),
         q4(F.radians("l_quantity")).alias("rad_q"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang
+                 || '?id=' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: parse_url HOST/PATH/QUERY over synthesized URLs
+    (web-corpus pipelines live on these). The oracle re-derives the
+    parts with trivial regexes, so both engines must agree on the
+    full parse."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )

@@ -310,3 +310,41 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).cast("long").alias("norm_len")
     )
+
+
+@register(
+    "text_pii_mask",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 555 0' || CAST(doc_id AS VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]+', '<NUM>', 'g') AS masked
+    FROM w
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking: emails then digit runs replaced by placeholder
+    tokens (the standard pre-training scrub pass). Row-local regex
+    rewriting inside codegen — linear at any corpus size. Emails and
+    phone-ish digits are synthesized deterministically per row so the
+    masking actually fires on every document."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 0"),
+        F.col("doc_id").cast("string"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(raw, "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+        "[0-9]+",
+        "<NUM>",
+    )
+    return d.select("doc_id", masked.alias("masked"))

@@ -348,3 +348,34 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_hll_merge",
+    notes="Apache DataSketches HLL: per-group sketches + cross-group "
+    "sketch UNION (register-max merge: order-independent, so results "
+    "are identical on any cluster size). No DuckDB twin for the "
+    "sketch binary -> rows check; estimate accuracy vs exact distinct "
+    "asserted in tests/test_llm.py::test_hll_sketch_merge_error.",
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-event-type HLL sketch of
+    user_id, plus the UNION of all sketches re-estimated — the 100 TB
+    distinct-count pattern (fixed-size sketches shuffle, never the
+    distinct values; partial sketches merge exactly like partial
+    sums)."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"), F.count(F.lit(1)).alias("n_rows")
+    )
+    per = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_rows",
+    )
+    total = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return per.unionByName(total)

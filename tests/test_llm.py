@@ -134,3 +134,23 @@ def test_approx_quantile_error(spark, sf_dir):
             assert abs(approx - true) <= 0.01 * span, (
                 f"{r['l_returnflag']}: approx {approx} vs exact {true}"
             )
+
+
+def test_hll_sketch_merge_error(spark, sf_dir):
+    """DataSketches HLL per-type estimates and the cross-type sketch
+    UNION must land within 5% of exact distinct counts (register-max
+    merge is order-independent, so this is stable at any
+    parallelism)."""
+    rows = {
+        r["event_type"]: r["est_users"]
+        for r in REGISTRY["agg_hll_merge"].build(spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = e.agg(F.count_distinct("user_id")).first()[0]
+    for k, n in exact.items():
+        rel = abs(rows[k] - n) / n
+        assert rel < 0.05, f"{k}: HLL rel err {rel:.3f}"
