@@ -491,3 +491,85 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY")).alias("query"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS s_name,
+           CAST(n_regionkey AS BIGINT) AS s_region,
+           to_json(struct_pack(k := n_nationkey, nm := n_name)) AS s_json,
+           to_json(struct_pack(outer_key := n_nationkey,
+                               inner := struct_pack(r := n_regionkey, nm := n_name)))
+               AS nested_json
+    FROM nation
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family (§1.2 nested types): build named structs, access
+    fields, nest structs, serialize to JSON — both engines emit the
+    same compact JSON encoding, so the round-trip is hash-verified."""
+    n = table(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_nationkey").alias("k"), F.col("n_name").alias("nm"))
+    nested = F.struct(
+        F.col("n_nationkey").alias("outer_key"),
+        F.struct(F.col("n_regionkey").alias("r"), F.col("n_name").alias("nm")).alias(
+            "inner"
+        ),
+    )
+    return n.select(
+        "n_nationkey",
+        s.getField("nm").alias("s_name"),
+        nested.getField("inner").getField("r").cast("long").alias("s_region"),
+        F.to_json(s).alias("s_json"),
+        F.to_json(nested).alias("nested_json"),
+    )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest([{'pos': i-1, 'word': w[i]}
+                   for i in range(1, len(w)+1)], recursive := true)
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: (position, element) rows from an array —
+    the ordinality-preserving lateral view. Row-local expansion, no
+    shuffle."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(l_quantity AS DOUBLE)/(l_linenumber - 1) END AS qty_per,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(l_extendedprice AS DOUBLE)/l_quantity END AS unit_price
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide returns NULL instead of
+    raising/infinity on zero denominators — the ANSI-safe path for
+    dirty data (the oracle spells out the equivalent CASE guard)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_quantity").cast("double"), F.col("l_linenumber") - 1).alias(
+            "qty_per"
+        ),
+        F.try_divide(F.col("l_extendedprice").cast("double"), F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+    )

@@ -379,3 +379,26 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
     )
     return per.unionByName(total)
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_discount > 0.09) AS any_big_disc,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree,
+           CAST(bool_and(l_extendedprice > 900) AS BOOLEAN) AS all_above_900
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: every/any/count_if — one-bit partial state,
+    the cheapest possible map-side combine."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        F.bool_and(F.col("l_extendedprice") > 900).alias("all_above_900"),
+    )

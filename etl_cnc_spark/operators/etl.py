@@ -308,3 +308,36 @@ def pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("words").cast("double") / F.count(F.lit(1))).alias("avg_words"),
     )
+
+
+@register(
+    "etl_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+           event_type AS last_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def etl_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot compaction: latest record per key (the
+    first thing every warehouse does with a change stream). One
+    window shuffle on the key; (ts, event_id) DESC makes the winner
+    unique and deterministic."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+            F.col("event_type").alias("last_type"),
+        )
+    )

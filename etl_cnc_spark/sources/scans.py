@@ -82,3 +82,20 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="etlcnc_json_")
     table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
     return spark.read.schema(NATION_SCHEMA).json(out)
+
+
+@register(
+    "source_text",
+    oracle="SELECT text AS value FROM documents",
+)
+def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source: documents round-tripped through
+    line-oriented files (spark.read.text), the ingestion format of
+    most raw web/LLM corpora. Fixture text is newline-free (verified)
+    so lines == documents; the oracle checks lossless content."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="etlcnc_srctext_")
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
+    return spark.read.text(out)
