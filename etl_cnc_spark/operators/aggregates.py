@@ -402,3 +402,26 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
         F.bool_and(F.col("l_extendedprice") > 900).alias("all_above_900"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice/5000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(floor(l_extendedprice/5000.0)*5000) AS DOUBLE) AS bucket_lo
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning: fixed-width buckets via floor division —
+    one hash aggregate over |buckets| groups (the scalable histogram;
+    bucket arithmetic is identical IEEE division on both engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0).cast("long")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.floor(F.col("l_extendedprice") / 5000.0) * 5000).cast("double").alias(
+            "bucket_lo"
+        ),
+    )

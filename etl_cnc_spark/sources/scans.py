@@ -99,3 +99,36 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="etlcnc_srctext_")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@register(
+    "scan_schema_merge",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_nationkey >= 10
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet files with different
+    schemas (a column added later) read as one dataset with
+    mergeSchema — the rule at 100 TB, where datasets accrete columns
+    over years and a full rewrite is off the table. Old files
+    surface NULL for the new column."""
+    import tempfile
+
+    n = table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="etlcnc_merge_")
+    n.where(F.col("n_nationkey") < 10).select("n_nationkey", "n_name").write.parquet(
+        f"{out}/v1"
+    )
+    n.where(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
+    ).write.parquet(f"{out}/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/v1", f"{out}/v2")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
