@@ -1,13 +1,16 @@
 """SparkSession factory and runtime tuning.
 
-SURVEY.md §4: AQE on, Arrow on. Shuffle partitions: measured on the
-local bench, cores/2 beats 1x cores by ~20% at sf0.1 (task-dispatch
-overhead dominates sub-second stages; AQE coalescing still right-
-sizes larger shuffles at runtime). On a real cluster the same knob
-is sized by DATA, not cores: shuffle.partitions ≈ shuffle bytes /
-128 MB target-partition, floored at 2x total executor cores — at
-100 TB that is tens of thousands, with AQE coalescing the light
-stages back down.
+SURVEY.md §4: AQE on, Arrow on. Shuffle partitions: A/B-measured in
+fresh processes on the sf0.1 bench, cores/2 beats 1x cores by ~5%
+(task-dispatch overhead on sub-second stages; AQE coalescing still
+right-sizes larger shuffles at runtime). Smaller parquet splits
+(maxPartitionBytes 8 MB) were ALSO A/B-tested and are a net loss
+under cold-start conditions — more tasks pay more scheduling than
+the extra scan parallelism returns; the 128 MB default stays. On a
+real cluster the same knobs are sized by DATA, not cores:
+shuffle.partitions ≈ shuffle bytes / 128 MB target-partition,
+floored at 2x total executor cores — at 100 TB that is tens of
+thousands, with AQE coalescing the light stages back down.
 """
 
 from __future__ import annotations
