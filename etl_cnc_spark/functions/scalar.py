@@ -573,3 +573,34 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_price"
         ),
     )
+
+
+@register(
+    "fn_datetime2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           epoch_us(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS eom_us,
+           epoch_us(o_orderdate + INTERVAL 3 MONTH) AS plus3m_us
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar family: quarter, ISO weekday/week, day-of-year,
+    month-end, month arithmetic (both engines clamp month-end the
+    same way). ISO weekday = Spark weekday(Monday=0) + 1."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.unix_micros(F.last_day("o_orderdate").cast("timestamp")).alias("eom_us"),
+        F.unix_micros(F.add_months("o_orderdate", 3).cast("timestamp")).alias(
+            "plus3m_us"
+        ),
+    )

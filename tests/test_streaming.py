@@ -149,3 +149,47 @@ def test_session_window_stream_equals_batch_closed_sessions(spark, sf_dir):
     a = streamed[key].sort_values(key).reset_index(drop=True)
     b = closed[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_sliding_window_stream_equals_batch_closed_windows(spark, sf_dir):
+    """Real streaming sliding windows (1h length / 15min slide, 1-h
+    watermark, availableNow): emitted windows must be exactly the
+    batch windows whose END cleared the final watermark. Overlapping
+    windows mean each event updates 4 window states — the high-state
+    sliding shape."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_cnc_spark.catalog import table
+    from etl_cnc_spark.streaming.streams import (
+        _read_stream,
+        _run_to_parquet,
+        _stage_events_dir,
+    )
+
+    src = _stage_events_dir(sf_dir)
+    s = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            F.unix_micros("window.end").alias("window_end_us"),
+            "n",
+        )
+    )
+    out = _run_to_parquet(s, "append")
+    streamed = spark.read.parquet(out).toPandas()
+
+    e = table(spark, sf_dir, "events")
+    max_us = e.agg(F.unix_micros(F.max("ts"))).first()[0]
+    horizon_us = max_us - 3_600_000_000
+    batch = REGISTRY["stream_sliding"].build(spark, sf_dir).toPandas()
+    hour_us = 3_600_000_000
+    closed = batch[batch["window_start_us"] + hour_us <= horizon_us]
+
+    key = ["window_start_us", "n"]
+    a = streamed[key].sort_values(key).reset_index(drop=True)
+    b = closed[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
