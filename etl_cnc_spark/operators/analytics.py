@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ..utils import sql_q4
 
 
 @register(
@@ -115,4 +116,60 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("week_n")
         .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "events_anomaly",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), stats AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(cents) AS DOUBLE) AS s1,
+               CAST(sum(cents*cents) AS DOUBLE) AS s2
+        FROM c GROUP BY event_type
+    ), scored AS (
+        SELECT c.event_id, c.event_type,
+               (c.cents - s.s1/s.n)
+                 / sqrt((s.s2 - (s.s1*s.s1)/s.n)/(s.n - 1)) AS z
+        FROM c JOIN stats s ON c.event_type = s.event_type
+    )
+    SELECT event_id, event_type, {sql_q4("z")} AS z
+    FROM scored WHERE abs(z) > 2
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type (|z| > 2).
+
+    Mean/variance come from EXACT integer-cent sums (count, Σc, Σc²),
+    then one shared double formula on both engines — so the partial-
+    aggregation order on a 1000-executor cluster cannot move a value
+    across the threshold (the flaw in naive avg/stddev anomaly
+    detectors). Stats table is |event_types| rows → broadcast join
+    back onto the stream."""
+    from ..utils import q4
+
+    e = table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("s2"),
+    )
+    j = c.join(F.broadcast(stats), "event_type")
+    z = (F.col("cents") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        j.select("event_id", "event_type", z.alias("z"))
+        .where(F.abs(F.col("z")) > 2)
+        .select("event_id", "event_type", q4(F.col("z")).alias("z"))
     )

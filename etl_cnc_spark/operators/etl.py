@@ -341,3 +341,47 @@ def etl_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
         )
     )
+
+
+@register(
+    "pipeline_orders_mart",
+    oracle="""
+    SELECT n_name, epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                    AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+           count(*) AS n_lines,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY n_name, month_us
+    """,
+)
+def pipeline_orders_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end relational ETL pipeline: extract facts → filter bad
+    status → conform against dimensions → monthly revenue mart per
+    nation. The classic warehouse load this engine's reference
+    category ('ETL/pipeline') exists for: dims broadcast, the fact
+    table shuffles once into the final aggregate grain."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return joined.groupBy(
+        "n_name",
+        F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias("month_us"),
+    ).agg(
+        (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
