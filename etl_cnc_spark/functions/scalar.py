@@ -604,3 +604,28 @@ def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plus3m_us"
         ),
     )
+
+
+@register(
+    "fn_hex",
+    oracle="""
+    SELECT p_partkey,
+           hex(p_partkey) AS key_hex,
+           hex(p_brand) AS brand_hex,
+           lower(hex(p_brand)) AS brand_hex_lc,
+           decode(unhex(hex(p_brand))) AS brand_roundtrip
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def fn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex/binary conversions: int→hex, string-bytes→hex, and the
+    unhex round trip back to text (binary plumbing both engines
+    agree on byte-for-byte)."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.hex("p_partkey").alias("key_hex"),
+        F.hex("p_brand").alias("brand_hex"),
+        F.lower(F.hex("p_brand")).alias("brand_hex_lc"),
+        F.decode(F.unhex(F.hex("p_brand")), "utf-8").alias("brand_roundtrip"),
+    )

@@ -404,3 +404,34 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("t").alias("ts_us"),
         F.unix_micros("next_click").alias("next_click_us"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg
+      FROM customer WHERE c_custkey < 50
+    ), b AS (
+      SELECT c_custkey AS k2, NULLIF(c_mktsegment, 'MACHINERY') AS seg2
+      FROM customer WHERE c_custkey >= 50 AND c_custkey < 100
+    )
+    SELECT a.c_custkey, b.k2, a.seg
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg2
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the dirty-data join
+    semantics every ETL reconciliation eventually needs. Still hash-
+    partitionable on the key (NULL hashes like any value under
+    null-safe equality), so it scales like a plain equi-join."""
+    cu = table(spark, sf_dir, "customer")
+    a = cu.where(F.col("c_custkey") < 50).select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg")
+    )
+    b = cu.where((F.col("c_custkey") >= 50) & (F.col("c_custkey") < 100)).select(
+        F.col("c_custkey").alias("k2"),
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg2"),
+    )
+    return a.join(b, a["seg"].eqNullSafe(b["seg2"])).select("c_custkey", "k2", "seg")
