@@ -264,10 +264,27 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ``agg_partial_final`` (SURVEY §2.4): partial→final aggregation is
-# automatic in Spark (HashAggregate partial → shuffle → HashAggregate
-# final); tests/test_plans.py asserts both stages appear in the plan
-# for agg_groupby rather than declaring a separate query key.
+@register(
+    "agg_partial_final",
+    oracle=f"""
+    SELECT l_linestatus, count(*) AS n,
+           {sql_sum_money("l_extendedprice")} AS sum_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial→final aggregation (SURVEY §2.4): automatic in Spark —
+    map-side partial HashAggregate, shuffle of |groups|-sized partial
+    state, final HashAggregate. This key exists so the contract line
+    is executable; the plan shape itself is asserted in
+    tests/test_plans.py::test_groupby_has_partial_final_aggregation
+    (>= 2 HashAggregates around an Exchange). Exact cent-sums make
+    the partial merge order irrelevant to the hash."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        sum_money(F.col("l_extendedprice")).alias("sum_price"),
+    )
 
 
 @register(
