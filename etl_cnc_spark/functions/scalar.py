@@ -629,3 +629,29 @@ def fn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex("p_brand")).alias("brand_hex_lc"),
         F.decode(F.unhex(F.hex("p_brand")), "utf-8").alias("brand_roundtrip"),
     )
+
+
+@register(
+    "fn_timezone",
+    oracle="""
+    SELECT event_id,
+           epoch_us(timezone('America/New_York', ts)) AS ny_wall_as_utc_us,
+           epoch_us(timezone('Asia/Tokyo', ts)) AS tokyo_wall_as_utc_us
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion: interpret the naive event time as a wall
+    time in a named zone and convert to UTC instants (the ingest-
+    normalization step for multi-region logs). Both engines resolve
+    zone rules from the same IANA database."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    # convert_timezone yields TIMESTAMP_NTZ (a UTC wall time); the cast
+    # to TIMESTAMP under the UTC session reads it as the same instant.
+    ny = F.convert_timezone(F.lit("America/New_York"), F.lit("UTC"), F.col("ts"))
+    tk = F.convert_timezone(F.lit("Asia/Tokyo"), F.lit("UTC"), F.col("ts"))
+    return e.select(
+        "event_id",
+        F.unix_micros(ny.cast("timestamp")).alias("ny_wall_as_utc_us"),
+        F.unix_micros(tk.cast("timestamp")).alias("tokyo_wall_as_utc_us"),
+    )

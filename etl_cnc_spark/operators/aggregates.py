@@ -442,3 +442,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_lo"
         ),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(arg_max(qc, n*1000000 - qc) AS DOUBLE)/100.0 AS mode_qty,
+           max(n) AS mode_n
+    FROM counts GROUP BY l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent quantity per flag, ties
+    broken toward the smallest value (built-in ``mode()`` leaves
+    ties engine-defined — useless for cross-engine verification).
+    Two hash aggregates; the arg_max rank packs (count, -value)
+    into one exact integer."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("qc"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rank = F.col("n") * F.lit(1000000) - F.col("qc")
+    return counts.groupBy("l_returnflag").agg(
+        (F.max_by("qc", rank).cast("double") / 100.0).alias("mode_qty"),
+        F.max("n").alias("mode_n"),
+    )
