@@ -337,3 +337,89 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("nid").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_minhash_relational",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 60").replace("SELECT doc_id, string_split(text, ' ') AS w", "SELECT doc_id, string_split(text, ' ') AS w")}
+    ), sig AS (
+        SELECT doc_id, g.i AS h,
+               min(md5(CAST(g.i AS VARCHAR) || '|' || sh)) AS mh
+        FROM (SELECT * FROM sh WHERE doc_id < 60)
+        CROSS JOIN generate_series(1, 16) AS g(i)
+        GROUP BY doc_id, g.i
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.h = b.h AND a.mh = b.mh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           {sql_q4("CAST(count(*) FILTER (WHERE sa.mh = sb.mh) AS DOUBLE)/16")}
+               AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash entirely in relational algebra — unlike
+    the ml.feature variant (seed-internal, rows-only check), this one
+    is hash-verified end-to-end against DuckDB.
+
+    Hash family: h_i(shingle) = md5(i || '|' || shingle), i=1..16;
+    signature = per-doc min of each h_i (binary string min, identical
+    collation both engines). Banding with r=1: any equal signature
+    component makes a candidate pair (the LSH bucket join — candidates
+    scale with collisions, never |docs|²); estimated Jaccard = equal
+    components / 16. The exact same three shuffles (signature agg,
+    bucket join, estimate agg) run at 100 TB with more hash rows."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sig = (
+        sh.select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("h"), "sh")
+        .select(
+            "doc_id",
+            "h",
+            F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("sh"))).alias(
+                "hv"
+            ),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("mh"))
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"), F.col("mh").alias("mha")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"), F.col("mh").alias("mhb")
+    )
+    cand = (
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("mha") == F.col("mhb")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("da"), "h", F.col("mh").alias("mha"))
+    sb = sig.select(F.col("doc_id").alias("db"), F.col("h").alias("h2"), F.col("mh").alias("mhb"))
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("da"))
+        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("h2") == F.col("h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.count(F.when(F.col("mha") == F.col("mhb"), 1)).cast("double") / 16
+            ).alias("est_j")
+        )
+    )
+    return est.select("doc_a", "doc_b", q4(F.col("est_j")).alias("est_jaccard"))
