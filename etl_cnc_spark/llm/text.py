@@ -348,3 +348,42 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<NUM>",
     )
     return d.select("doc_id", masked.alias("masked"))
+
+
+@register(
+    "text_bigram_freq",
+    oracle="""
+    WITH sh AS (
+      SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    ), counts AS (SELECT bg, count(*) AS n FROM sh GROUP BY bg),
+    ranked AS (
+      SELECT bg, n,
+             CAST(row_number() OVER (ORDER BY n DESC, bg) AS BIGINT) AS rn
+      FROM counts
+    )
+    SELECT bg, n, rn FROM ranked WHERE rn <= 50
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top 50, count-then-bigram
+    ordered): the n-gram language-model / contamination-check
+    building block. Explode → one aggregate → global top-k
+    (TakeOrderedAndProject, no full sort)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(F.split("text", " ").alias("w"))
+    sh = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bg")
+    )
+    counts = sh.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition top-k + driver merge), THEN rank the surviving 50
+    # rows - the global row_number window never sees the full vocab.
+    top = counts.orderBy(F.col("n").desc(), "bg").limit(50)
+    wr = Window.orderBy(F.col("n").desc(), "bg")
+    return top.withColumn("rn", F.row_number().over(wr).cast("long"))

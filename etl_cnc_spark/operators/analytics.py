@@ -173,3 +173,34 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z")) > 2)
         .select("event_id", "event_type", q4(F.col("z")).alias("z"))
     )
+
+
+@register(
+    "events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, count(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    """,
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (first-order Markov counts): per-user
+    lag over the event sequence, then one |types|²-group aggregate.
+    One window shuffle on user_id, one tiny aggregate shuffle — the
+    behavioral-model-building block at any scale."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
