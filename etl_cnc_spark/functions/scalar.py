@@ -12,6 +12,8 @@ Dialect traps handled (probed against DuckDB 1.0.0):
 - ceil/floor return BIGINT in Spark, DOUBLE in DuckDB → cast oracle.
 - transcendentals (ln/log10/pow): libm last-ulp differences → q4.
 - initcap / schema_of_json: no DuckDB equivalent → omitted.
+- string_agg over an EMPTY list: DuckDB yields NULL, Spark
+  array_join yields '' → COALESCE(…, '') on the oracle side.
 """
 
 from __future__ import annotations
@@ -654,4 +656,51 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros(ny.cast("timestamp")).alias("ny_wall_as_utc_us"),
         F.unix_micros(tk.cast("timestamp")).alias("tokyo_wall_as_utc_us"),
+    )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             string_split(text, ' ')[1:6] AS a,
+             string_split(text, ' ')[4:9] AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(list_aggregate(list_sort(list_intersect(a, b)),
+                    'string_agg', ','), '') AS inter_csv,
+           COALESCE(list_aggregate(list_sort(list_distinct(list_concat(a, b))),
+                    'string_agg', ','), '') AS union_csv,
+           COALESCE(list_aggregate(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))),
+                    'string_agg', ','), '') AS except_csv,
+           COALESCE(list_aggregate(flatten([a, b]), 'string_agg', ','), '')
+               AS flat_csv,
+           CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union
+    FROM arrs
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations: intersect, union-distinct, except,
+    flatten, distinct-count — element order is engine-unspecified, so
+    every set result is sorted and joined before hashing. Row-local
+    array work inside codegen."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    arrs = d.select(
+        "doc_id",
+        F.slice(words, 1, 6).alias("a"),
+        F.slice(words, 4, 6).alias("b"),
+    )
+    return arrs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias("inter_csv"),
+        F.array_join(F.array_sort(F.array_distinct(F.concat("a", "b"))), ",").alias(
+            "union_csv"
+        ),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("except_csv"),
+        F.array_join(F.flatten(F.array("a", "b")), ",").alias("flat_csv"),
+        F.size(F.array_distinct(F.concat("a", "b"))).cast("long").alias("n_union"),
     )
