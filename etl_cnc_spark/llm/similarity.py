@@ -221,3 +221,59 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("qid", "cid", q4(F.col("dist")).alias("euclid_dist"), "rn")
     )
+
+
+@register(
+    "sim_topk_pandas",
+    notes="Arrow-vectorized numpy path for cosine top-k; BLAS "
+    "summation order differs from the sequential fold, so this is "
+    "rows-checked, and tests/test_llm.py::test_pandas_topk_matches_exact "
+    "asserts the neighbor SETS equal sim_topk_exact.",
+)
+def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k via a vectorized Pandas UDF: each Arrow batch of
+    candidates is scored against the broadcast query block with one
+    numpy matmul (BLAS) instead of per-pair expression folds — the
+    Python-side scale path when JVM folds dominate (dim >> 64).
+    Per-query top-k then reduces the matmul scores relationally."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which breaks pandas_udf eval-type inference
+    def _cos_block(emb):
+        _, qm, qn = bq.value
+        c = np.array(emb.tolist(), dtype=np.float64)
+        sims = (c @ qm.T) / (np.linalg.norm(c, axis=1)[:, None] * qn[None, :])
+        return pd.Series(list(sims))
+
+    cos_block = pandas_udf(_cos_block, "array<double>")
+
+    scored = e.select(
+        F.col("vec_id").alias("cid"), cos_block("embedding").alias("sims")
+    ).select(
+        "cid", F.posexplode("sims").alias("qidx", "cos")
+    )
+    qid_map = spark.createDataFrame(
+        [(int(i), int(q)) for i, q in enumerate(qids)], "qidx int, qid long"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.join(F.broadcast(qid_map), "qidx")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "cid", q4(F.col("cos")).alias("cosine"), "rn")
+    )

@@ -154,3 +154,12 @@ def test_hll_sketch_merge_error(spark, sf_dir):
     for k, n in exact.items():
         rel = abs(rows[k] - n) / n
         assert rel < 0.05, f"{k}: HLL rel err {rel:.3f}"
+
+
+def test_pandas_topk_matches_exact(spark, sf_dir):
+    """The BLAS-vectorized pandas-UDF top-k must select the same
+    neighbor sets as the fold-based exact key (scores differ only in
+    summation order ~1e-15; ranks with the cid tie-break agree)."""
+    exact = _pairs(REGISTRY["sim_topk_exact"].build(spark, sf_dir))
+    fast = _pairs(REGISTRY["sim_topk_pandas"].build(spark, sf_dir))
+    assert exact == fast
