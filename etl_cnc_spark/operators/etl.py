@@ -385,3 +385,151 @@ def pipeline_orders_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.count_distinct("o_custkey").alias("n_customers"),
     )
+
+
+# ------------------------------------------------- stratified sampling
+
+# Per-segment sampling fractions in 1/16ths of the hash space.
+_STRATA = [
+    ("AUTOMOBILE", 2),
+    ("BUILDING", 4),
+    ("FURNITURE", 6),
+    ("HOUSEHOLD", 8),
+    ("MACHINERY", 16),
+]
+_STRATA_SQL = ", ".join(f"('{s}', {f})" for s, f in _STRATA)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH strata(c_mktsegment, frac16) AS (VALUES {_STRATA_SQL}),
+    b AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1
+                    AS INT) AS bucket
+        FROM customer
+    )
+    SELECT b.c_custkey, b.c_mktsegment, b.bucket
+    FROM b JOIN strata s USING (c_mktsegment)
+    WHERE b.bucket < s.frac16
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (``df.sampleBy`` semantics,
+    but hash-based): each market segment keeps a different fraction,
+    expressed in 1/16ths of the md5-prefix hash space.
+
+    The strata spec is a 5-row DataFrame broadcast-joined onto the
+    fact — the scale pattern for per-group sampling rates: the
+    predicate stays per-row (no RNG state, identical sample on any
+    cluster size), and changing rates means changing the tiny dim,
+    not the query. Same md5-prefix trick as ``sample_deterministic``."""
+    c = table(spark, sf_dir, "customer")
+    strata = spark.createDataFrame(_STRATA, "c_mktsegment string, frac16 int")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1),
+        )
+        - 1
+    ).cast("int")
+    return (
+        c.withColumn("bucket", bucket)
+        .join(F.broadcast(strata), "c_mktsegment")
+        .where(F.col("bucket") < F.col("frac16"))
+        .select("c_custkey", "c_mktsegment", "bucket")
+    )
+
+
+# --------------------------------------------------- data-quality audit
+
+
+@register(
+    "etl_quality_report",
+    oracle="""
+    WITH o AS (
+        SELECT count(*) AS total,
+               CAST(count_if(o_custkey IS NULL) AS BIGINT) AS null_cust,
+               CAST(count_if(o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+                   AS bad_status,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dups
+        FROM orders
+    ), l AS (
+        SELECT count(*) AS total,
+               CAST(count_if(l_discount < 0 OR l_discount > 1) AS BIGINT)
+                   AS bad_disc,
+               CAST(count_if(l_quantity <= 0) AS BIGINT) AS bad_qty
+        FROM lineitem
+    ), orphans AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem li
+        WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                          WHERE oo.o_orderkey = li.l_orderkey)
+    )
+    SELECT 'orders.custkey_not_null' AS check_name, null_cust AS violations,
+           CAST(total AS BIGINT) AS total FROM o
+    UNION ALL
+    SELECT 'orders.status_domain', bad_status, CAST(total AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'orders.orderkey_unique', dups, CAST(total AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'lineitem.discount_range', bad_disc, CAST(total AS BIGINT) FROM l
+    UNION ALL
+    SELECT 'lineitem.quantity_positive', bad_qty, CAST(total AS BIGINT) FROM l
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk', orphans.n, CAST(l.total AS BIGINT)
+    FROM orphans, l
+    """,
+)
+def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit report: null / domain / uniqueness / range /
+    referential-integrity checks, one row per check with violation
+    and total counts — the validation pass a production pipeline runs
+    before publishing a load.
+
+    All per-table checks fold into ONE conditional aggregate per
+    table (a single scan each, map-side partials, 1-row outputs);
+    only the FK check needs a join, expressed as a left-anti count
+    that shuffles on the join key. Integer counts only — no float in
+    the report, so the oracle hash is exact by construction."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def _flag(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        _flag(F.col("o_custkey").isNull()).alias("null_cust"),
+        _flag(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dups"),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        _flag((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "bad_disc"
+        ),
+        _flag(F.col("l_quantity") <= 0).alias("bad_qty"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(l_agg.select(F.col("total").alias("li_total")))
+    )
+
+    def _row(src: DataFrame, name: str, vcol: str, tcol: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.col(vcol).cast("long").alias("violations"),
+            F.col(tcol).cast("long").alias("total"),
+        )
+
+    return (
+        _row(o_agg, "orders.custkey_not_null", "null_cust", "total")
+        .unionAll(_row(o_agg, "orders.status_domain", "bad_status", "total"))
+        .unionAll(_row(o_agg, "orders.orderkey_unique", "dups", "total"))
+        .unionAll(_row(l_agg, "lineitem.discount_range", "bad_disc", "total"))
+        .unionAll(_row(l_agg, "lineitem.quantity_positive", "bad_qty", "total"))
+        .unionAll(_row(orphans, "lineitem.orderkey_fk", "n", "li_total"))
+    )

@@ -47,6 +47,7 @@ _OP_MODULES = [
     "etl_cnc_spark.operators.sets",
     "etl_cnc_spark.operators.etl",
     "etl_cnc_spark.operators.analytics",
+    "etl_cnc_spark.operators.stats",
     "etl_cnc_spark.functions.scalar",
     "etl_cnc_spark.streaming.batch_equiv",
     "etl_cnc_spark.streaming.streams",
