@@ -39,6 +39,7 @@ REGISTRY: dict[str, QueryDef] = {}
 _OP_MODULES = [
     "etl_cnc_spark.sources.scans",
     "etl_cnc_spark.sources.sinks",
+    "etl_cnc_spark.sources.kafka",
     "etl_cnc_spark.operators.projection",
     "etl_cnc_spark.operators.joins",
     "etl_cnc_spark.operators.aggregates",
@@ -56,6 +57,7 @@ _OP_MODULES = [
     "etl_cnc_spark.llm.text",
     "etl_cnc_spark.llm.multimodal",
     "etl_cnc_spark.udfs",
+    "etl_cnc_spark.plans.rewrite",  # needs llm.similarity registered first
 ]
 
 

@@ -163,3 +163,32 @@ def test_pandas_topk_matches_exact(spark, sf_dir):
     exact = _pairs(REGISTRY["sim_topk_exact"].build(spark, sf_dir))
     fast = _pairs(REGISTRY["sim_topk_pandas"].build(spark, sf_dir))
     assert exact == fast
+
+
+def test_quantize_reconstruction_bound(spark, sf_dir):
+    """Dequantized error per element is <= scale/2 (the rounding
+    bound; clamping never exceeds it because max|x| maps to 127)."""
+    from etl_cnc_spark.catalog import table
+
+    e = table(spark, sf_dir, "embeddings")
+    q = REGISTRY["embed_quantize"].build(spark, sf_dir)
+    # mse <= (scale/2)^2 ; outputs are scaled x1k / x1e6
+    bad = q.where(
+        F.col("mse_x1m") > F.pow(F.col("scale_x1k") / 2, 2) + 1e-6
+    ).count()
+    assert bad == 0
+    assert q.count() == e.count()
+
+
+def test_sim_auto_dispatch(spark, sf_dir):
+    """Chooser picks brute at fixture scale (result == exact key) and
+    switches strategies at synthetic cardinalities."""
+    from etl_cnc_spark.plans.rewrite import choose_strategy
+
+    assert choose_strategy(2_000, 50) == "brute"
+    assert choose_strategy(1_000_000, 50) == "ivf"
+    assert choose_strategy(50_000_000, 50) == "lsh"
+
+    exact = _pairs(REGISTRY["sim_topk_exact"].build(spark, sf_dir))
+    auto = _pairs(REGISTRY["sim_auto"].build(spark, sf_dir))
+    assert exact == auto
