@@ -387,3 +387,85 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "bg").limit(50)
     wr = Window.orderBy(F.col("n").desc(), "bg")
     return top.withColumn("rn", F.row_number().over(wr).cast("long"))
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), doc_bg AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      FROM toks
+    ), uni AS (
+      SELECT unnest(w) AS tok FROM toks
+    ), uni_cnt AS (
+      SELECT tok, count(*) AS uc FROM uni GROUP BY tok
+    ), bg_cnt AS (
+      SELECT bg, count(*) AS bc FROM doc_bg GROUP BY bg
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(floor(ln(CAST(b.bc AS DOUBLE) / CAST(u.uc AS DOUBLE))
+                        * 1e6) AS BIGINT) AS lp_micro
+      FROM doc_bg d
+      JOIN bg_cnt b ON b.bg = d.bg
+      JOIN uni_cnt u ON u.tok = string_split(d.bg, ' ')[1]
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro_sum,
+           CAST(SUM(lp_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS avg_lp_micro
+    FROM scored GROUP BY doc_id
+    """,
+    notes="cross-engine ln() agrees to ~1 ulp (StrictMath vs libm); "
+    "floor(x*1e6) flip probability per value ~1e-10 — accepted, and "
+    "the per-doc SUM is exact BIGINT so no order sensitivity.",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document — the
+    CCNet/KenLM-style perplexity filter of an LLM data pipeline,
+    self-trained on the corpus: P(w2|w1) = count(w1 w2)/count(w1)
+    (MLE — every document bigram occurs in the corpus, so no
+    smoothing is needed), scored as the per-doc mean log-probability.
+
+    Float discipline: each bigram's log-prob is quantized ONCE to
+    integer micronats; per-document totals are then exact BIGINT sums
+    (order-free across any partitioning), and the mean uses integer
+    DIV. The n-gram tables are corpus-global aggregates joined back
+    to the exploded bigrams — broadcast-sized for a bounded
+    vocabulary, and a plain shuffle join when the vocab outgrows
+    that (Catalyst/AQE picks)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    doc_bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    uni_cnt = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    bg_cnt = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("bc"))
+    lp = F.floor(
+        F.log(F.col("bc").cast("double") / F.col("uc").cast("double")) * 1e6
+    ).cast("long")
+    scored = (
+        doc_bg.join(F.broadcast(bg_cnt), "bg")
+        .join(
+            F.broadcast(uni_cnt),
+            F.split(F.col("bg"), " ").getItem(0) == F.col("tok"),
+        )
+        .select("doc_id", lp.alias("lp_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").cast("long").alias("logprob_micro_sum"),
+        F.expr("SUM(lp_micro) DIV count(*)").alias("avg_lp_micro"),
+    )

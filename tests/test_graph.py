@@ -1,0 +1,55 @@
+"""Semantic tests for the graph family (oracle parity is in `check`;
+these assert algorithm invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_cnc_spark.operators.graph import SCALE, trade_edges
+from etl_cnc_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_pagerank_mass_and_ranks(spark, sf_dir):
+    rows = REGISTRY["graph_pagerank"].build(spark, sf_dir).collect()
+    assert len(rows) == 25
+    # fixed-point mass stays within integer-truncation slack of SCALE
+    total = sum(r["pr_fixed"] for r in rows)
+    assert 0.97 * SCALE < total <= SCALE
+    assert sorted(r["rank"] for r in rows) == list(range(1, 26))
+    # every node keeps at least the teleport mass
+    assert min(r["pr_fixed"] for r in rows) >= (15 * SCALE) // (100 * 25)
+
+
+def test_triangles_bound(spark, sf_dir):
+    n_edges = (
+        trade_edges(spark, sf_dir)
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v"), F.greatest("u", "v"))
+        .distinct()
+        .count()
+    )
+    tri = REGISTRY["graph_triangles"].build(spark, sf_dir).first()["triangles"]
+    # complete-graph upper bound on 25 nodes; sanity lower bound
+    assert 0 <= tri <= 2300
+    if n_edges == 300:  # dense fixture: K25 -> C(25,3)
+        assert tri == 2300
+
+
+def test_lm_score_probability_axioms(spark, sf_dir):
+    """Log-probs are <= 0 (MLE ratios never exceed 1), and doc bigram
+    counts match len(tokens)-1."""
+    out = REGISTRY["text_lm_score"].build(spark, sf_dir)
+    assert out.where(F.col("avg_lp_micro") > 0).count() == 0
+    from etl_cnc_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.size(F.split("text", " ")) - 1).alias("nb")
+    )
+    mism = (
+        out.join(d, "doc_id")
+        .where(F.col("n_bigrams") != F.col("nb"))
+        .count()
+    )
+    assert mism == 0
