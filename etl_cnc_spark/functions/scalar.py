@@ -704,3 +704,35 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.flatten(F.array("a", "b")), ",").alias("flat_csv"),
         F.size(F.array_distinct(F.concat("a", "b"))).cast("long").alias("n_union"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT)
+               AS absent
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: `parse_json` → open-schema binary-JSON
+    storage, `variant_get` with typed paths, `try_variant_get` for
+    absent fields. VARIANT is the Spark-4-native answer to schemaless
+    columns — unlike `get_json_object` (re-parses the string per
+    expression) the document parses ONCE into a binary form that all
+    downstream path extractions share, the right trade at 100 TB of
+    telemetry. Missing paths surface as NULL via the try_ variant,
+    mirroring json_extract's NULL."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_int"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+        (F.variant_get("v", "$.k", "bigint") % 10).alias("k_mod"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
+    )

@@ -475,3 +475,73 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max_by("qc", rank).cast("double") / 100.0).alias("mode_qty"),
         F.max("n").alias("mode_n"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap aggregation (Spark 3.5+
+    bitmap functions) — the scale path for COUNT(DISTINCT) over dense
+    integer keys: ids fold into fixed 4KB bitmap buckets
+    (bucket = id>>15), so the shuffle carries |groups|×|buckets|
+    bitmaps instead of every distinct value, then popcounts sum.
+    Unlike approx_count_distinct this is EXACT, and unlike
+    count(DISTINCT) the pre-shuffle state is bounded — the same
+    two-level shape as a datasketches Theta union but lossless.
+
+    The oracle is plain COUNT(DISTINCT): the bitmap path must
+    reproduce it bit-for-bit."""
+    e = table(spark, sf_dir, "events")
+    bm = (
+        e.groupBy(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position("user_id")
+            ).alias("bm")
+        )
+    )
+    return bm.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_users")
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_q4("quantile_cont(l_quantity, 0.25)")} AS p25_qty,
+           {sql_q4("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+           {sql_q4("quantile_cont(l_quantity, 0.75)")} AS p75_qty,
+           quantile_disc(l_quantity, 0.5) AS p50_disc,
+           {sql_q4("median(l_extendedprice)")} AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (percentile_cont semantics with linear
+    interpolation, plus the discrete variant) — complements
+    agg_approx_quantile: exact needs a per-group sort (expensive but
+    correct), approx (KLL/GK) is the 100 TB default; both live in the
+    library so the caller chooses the trade.
+
+    Both engines use the classic h=(n-1)p rank + linear interpolation
+    formula; interpolation arithmetic is quantized to 4dp."""
+    li = table(spark, sf_dir, "lineitem")
+    pcts = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
+    return li.groupBy("l_returnflag").agg(
+        q4(pcts.getItem(0)).alias("p25_qty"),
+        q4(pcts.getItem(1)).alias("p50_qty"),
+        q4(pcts.getItem(2)).alias("p75_qty"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+        .alias("p50_disc"),
+        q4(F.median("l_extendedprice")).alias("median_price"),
+    )

@@ -6,6 +6,7 @@ that the sink preserved the data (not merely that a file appeared).
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -13,7 +14,22 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import sql_sum_money, sum_money
+from ..utils import cents, sql_sum_money, sum_money
+
+
+@contextlib.contextmanager
+def _conf(spark: SparkSession, key: str, value: str):
+    """Set a SQLConf for the duration of a write, restoring the prior
+    value (the shared test session must not leak config)."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 @register(
@@ -65,3 +81,50 @@ def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = spark.read.schema("o_orderpriority STRING, n LONG").json(out_json)
     return c.join(j, ["o_orderpriority", "n"], "inner")
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus <> 'P'
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice * 2 AS o_totalprice FROM orders
+        WHERE o_orderstatus = 'P'
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the production backfill
+    primitive: rewrite ONE hive partition in place while every other
+    partition's files are untouched (partitionOverwriteMode=dynamic,
+    vs the static mode that would truncate the whole table). The key
+    writes orders partitioned by status, backfills the 'P' partition
+    with corrected rows (price×2), and aggregates the read-back; the
+    oracle recomputes the expected final state relationally, so a
+    mode bug (clobbered sibling partitions) or a non-atomic rewrite
+    breaks count AND cents.
+
+    Money is compared in integer cents (exact, order-free sums)."""
+    out = tempfile.mkdtemp(prefix="etlcnc_dynover_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fixed = (
+        spark.read.parquet(out)
+        .where(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        fixed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("sum_cents"),
+    )

@@ -183,3 +183,53 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev_stats)
     assert "dynamicpruning" in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's runtime-filter rule pushes a bloom filter built
+    from the selective (dim) side into the fact scan — the automatic
+    semi-join reduction that saves shuffling non-matching fact rows
+    at 100 TB. Broadcast is disabled to exercise the shuffle-join
+    path (broadcast joins get their filtering for free)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from etl_cnc_spark.catalog import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
