@@ -469,3 +469,73 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lp_micro").cast("long").alias("logprob_micro_sum"),
         F.expr("SUM(lp_micro) DIV count(*)").alias("avg_lp_micro"),
     )
+
+
+MIN_TOKENS = 30
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS toks, md5(text) AS h
+        FROM documents WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+    ), winners AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY h
+    ), final AS (
+        SELECT k.lang, k.toks FROM kept k
+        JOIN winners w ON k.doc_id = w.doc_id
+    ), per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+               CAST(SUM(toks) AS BIGINT) AS tokens
+        FROM final GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM per_lang
+    )
+    SELECT lang, docs, tokens,
+           {sql_q4("CAST(tokens AS DOUBLE) / total")} AS share,
+           {sql_q4("(CAST(total AS DOUBLE) / n_langs)"
+                   " / CAST(tokens AS DOUBLE)")} AS upsample
+    FROM per_lang, tot
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data mix pipeline: quality gate (min token
+    count) → exact dedup (md5 groupBy, min-doc_id winner) → per-
+    language token accounting → sampling weights targeting a uniform
+    language mix (upsample = uniform-share / observed-share) — the
+    composition a data-curation run executes before tokenization.
+
+    Plan shape at 100 TB: the quality filter pushes to the scan; the
+    dedup shuffle moves 16-byte digests + ids, not documents; the
+    language rollup is |langs| rows; totals broadcast back. Three
+    shuffles total, each strictly smaller than the last."""
+    d = table(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        F.md5("text").alias("h"),
+    ).where(F.col("toks") >= MIN_TOKENS)
+    winners = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(winners.select("doc_id"), "doc_id")
+    per_lang = final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("toks").alias("tokens")
+    )
+    tot = per_lang.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "docs",
+        "tokens",
+        q4(F.col("tokens").cast("double") / F.col("total")).alias("share"),
+        q4(
+            (F.col("total").cast("double") / F.col("n_langs"))
+            / F.col("tokens").cast("double")
+        ).alias("upsample"),
+    )

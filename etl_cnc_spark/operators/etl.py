@@ -533,3 +533,64 @@ def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_row(l_agg, "lineitem.quantity_positive", "bad_qty", "total"))
         .unionAll(_row(orphans, "lineitem.orderkey_fk", "n", "li_total"))
     )
+
+
+# ----------------------------------------------- incremental loading
+
+_CUTOFF = "2024-01-15"
+
+
+@register(
+    "etl_incremental_merge",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(max(ts)) AS last_ts_us,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def etl_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (two-batch) aggregate maintenance: the nightly-
+    load pattern where a running per-user summary table absorbs each
+    new extract instead of recomputing history. Batch 1 = events
+    before the cutoff, batch 2 = the rest; states merge with a
+    full-outer join (count-sum / max / coalesce — all mergeable
+    aggregates, the precondition for incremental maintenance).
+
+    The oracle is the one-shot aggregate over ALL events: merging
+    per-batch states MUST equal recomputation (the algebraic
+    invariant that makes incremental loads trustworthy). Cost per
+    load at 100 TB: one shuffle of the NEW batch + a key-join
+    against the summary (|users| rows), never a history rescan."""
+    e = table(spark, sf_dir, "events")
+
+    def _state(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchases"),
+        )
+
+    s1 = _state(e.where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")))
+    s2 = _state(e.where(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp")))
+    a, b = s1.alias("a"), s2.alias("b")
+    merged = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+
+    def _z(side: str, col: str) -> F.Column:
+        return F.coalesce(F.col(f"{side}.{col}"), F.lit(0))
+
+    return merged.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        (_z("a", "n_events") + _z("b", "n_events")).cast("long")
+        .alias("n_events"),
+        F.unix_micros(
+            F.greatest(
+                F.coalesce(F.col("a.last_ts"), F.col("b.last_ts")),
+                F.coalesce(F.col("b.last_ts"), F.col("a.last_ts")),
+            ).cast("timestamp")
+        ).alias("last_ts_us"),
+        (_z("a", "purchases") + _z("b", "purchases")).cast("long")
+        .alias("purchases"),
+    )

@@ -272,3 +272,64 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("users"),
     )
+
+
+@register(
+    "stream_kafka_wire",
+    oracle="""
+    SELECT epoch_us(w) AS window_start_us, CAST(partition AS INT) AS partition,
+           n, purchases
+    FROM (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS w,
+               user_id % 8 AS partition, count(*) AS n,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
+        FROM events GROUP BY 1, 2
+    )
+    WHERE w + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+    """,
+)
+def stream_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Kafka-shaped streaming pipeline without a broker:
+    producer-side serialization to the connector's wire schema
+    (binary key/value JSON), then the consumer path — binary decode,
+    1-day watermark, tumbling-window × partition bookkeeping — run
+    through a real micro-batch execution into an append sink.
+
+    Against a live cluster only the first line changes
+    (`readStream.format("kafka")`, see sources/kafka.py); the decode,
+    watermark, and stateful aggregation below are byte-identical.
+    The oracle states the closed-window set in SQL."""
+    from ..sources.kafka import _VALUE_SCHEMA, N_PARTITIONS
+
+    src = _stage_events_dir(sf_dir)
+    raw = _read_stream(spark, src)
+    wire = raw.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "event_type", "user_id"))
+        .cast("binary")
+        .alias("value"),
+        (F.col("user_id") % N_PARTITIONS).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = wire.select(
+        "partition",
+        "timestamp",
+        F.from_json(F.col("value").cast("string"), _VALUE_SCHEMA).alias("v"),
+    )
+    agg = (
+        decoded.withWatermark("timestamp", "1 day")
+        .groupBy(F.window("timestamp", "1 day"), "partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("v.event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("purchases"),
+        )
+    )
+    out = _run_to_parquet(agg)
+    return spark.read.parquet(out).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "partition",
+        "n",
+        "purchases",
+    )

@@ -192,3 +192,14 @@ def test_sim_auto_dispatch(spark, sf_dir):
     exact = _pairs(REGISTRY["sim_topk_exact"].build(spark, sf_dir))
     auto = _pairs(REGISTRY["sim_auto"].build(spark, sf_dir))
     assert exact == auto
+
+
+def test_training_mix_shares(spark, sf_dir):
+    """Shares sum to ~1 and upsample×share ≈ uniform share."""
+    rows = REGISTRY["pipeline_training_mix"].build(spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r["share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-2
+    n = len(rows)
+    for r in rows:
+        assert abs(r["upsample"] * r["share"] - 1.0 / n) < 1e-2
