@@ -204,3 +204,56 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_rollup_cascade",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS day_start_us,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded rollup (continuous-aggregate
+    hierarchy): raw events → hourly rollup → daily rollup computed
+    FROM the hourly one, never re-reading raw data — the TimescaleDB
+    / materialized-rollup pattern that makes multi-resolution
+    dashboards O(|rollup|) instead of O(|raw|).
+
+    Correctness hinges on mergeability (counts and integer-cent sums
+    re-aggregate losslessly); the oracle computes the DAILY result
+    directly from raw events, so the hash proves cascade ==
+    recompute. At 100 TB each tier shrinks by the bucket ratio
+    (24× here), and the hourly tier would be a persisted table the
+    daily query reuses."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+    return daily.select(
+        F.unix_micros(F.col("day_start").cast("timestamp"))
+        .alias("day_start_us"),
+        "event_type",
+        "n",
+        "value_cents",
+    )

@@ -1,0 +1,95 @@
+"""Custom Python data source (Spark 4 `pyspark.sql.datasource` API)
+— the extension point for reading systems Spark has no connector for,
+implemented the scale-correct way: `partitions()` declares N
+independent splits, each executor task materializes only its split in
+`read()`, so ingest parallelism is declared to the scheduler instead
+of funneling through the driver.
+
+The demo source generates a deterministic arithmetic series (seeded
+per partition — NO RNG, reproducible on any cluster), which makes it
+fully hash-verifiable against a DuckDB range() oracle — the point is
+the connector machinery: registration, schema declaration, partition
+planning, per-partition iteration, and filter pushdown surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..registry import register
+from ..utils import q4, sql_q4
+
+N_SPLITS = 8
+ROWS_PER_SPLIT = 1000
+
+
+class _RangeSplit(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SeriesDataSource(DataSource):
+    """`format("series")`: n_splits × rows_per_split deterministic
+    rows (i, i*i % 97, i/7)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "series"
+
+    def schema(self) -> str:
+        return "i bigint, mod97 bigint, seventh double"
+
+    def reader(self, schema) -> DataSourceReader:
+        opts = self.options
+        return _SeriesReader(
+            int(opts.get("n_splits", N_SPLITS)),
+            int(opts.get("rows_per_split", ROWS_PER_SPLIT)),
+        )
+
+
+class _SeriesReader(DataSourceReader):
+    def __init__(self, n_splits: int, rows_per_split: int):
+        self.n_splits = n_splits
+        self.rows_per_split = rows_per_split
+
+    def partitions(self):
+        return [
+            _RangeSplit(k * self.rows_per_split, (k + 1) * self.rows_per_split)
+            for k in range(self.n_splits)
+        ]
+
+    def read(self, partition: _RangeSplit):
+        for i in range(partition.start, partition.end):
+            yield (i, (i * i) % 97, i / 7.0)
+
+
+def register_series_source(spark: SparkSession) -> None:
+    """Idempotent registration (shared sessions re-register safely)."""
+    spark.dataSource.register(SeriesDataSource)
+
+
+@register(
+    "source_python_ds",
+    oracle=f"""
+    SELECT i, (i * i) % 97 AS mod97, {sql_q4("i / 7.0")} AS seventh_q
+    FROM range({N_SPLITS * ROWS_PER_SPLIT}) t(i)
+    WHERE (i * i) % 97 < 50
+    """,
+)
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a registered custom Python data source (Spark 4
+    DataSource API), with a post-scan filter. The 8 declared splits
+    become 8 scheduler tasks — connector parallelism without any JVM
+    code; the oracle regenerates the series relationally."""
+    register_series_source(spark)
+    df = (
+        spark.read.format("series")
+        .option("n_splits", N_SPLITS)
+        .option("rows_per_split", ROWS_PER_SPLIT)
+        .load()
+    )
+    return df.where(F.col("mod97") < 50).select(
+        "i", "mod97", q4(F.col("seventh")).alias("seventh_q")
+    )

@@ -62,3 +62,17 @@ def test_quality_report_clean_fixtures(spark, sf_dir):
         table(spark, sf_dir, "orders").count()
     assert rows["lineitem.orderkey_fk"]["total"] == \
         table(spark, sf_dir, "lineitem").count()
+
+
+def test_python_datasource_declares_splits(spark):
+    """The custom DataSource's partitions() must surface as scan
+    parallelism (8 splits -> 8 tasks)."""
+    from etl_cnc_spark.sources.python_ds import (
+        N_SPLITS,
+        register_series_source,
+    )
+
+    register_series_source(spark)
+    df = spark.read.format("series").load()
+    assert df.rdd.getNumPartitions() == N_SPLITS
+    assert df.count() == N_SPLITS * 1000
