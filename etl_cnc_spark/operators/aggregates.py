@@ -545,3 +545,116 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p50_disc"),
         q4(F.median("l_extendedprice")).alias("median_price"),
     )
+
+
+# --------------------------------------------- count-min sketch (CMS)
+
+_CMS_W = 4096  # buckets per hash row (16^3: three md5 hex chars)
+_CMS_D = 4  # independent hash rows
+_HEXP = "0123456789abcdef"
+
+
+def _sql_cms_bucket(item: str, j: str) -> str:
+    """DuckDB: bucket = first-3-hex-chars of md5(item '#' j) as int."""
+    h = f"md5({item} || '#' || CAST({j} AS VARCHAR))"
+    return (
+        f"((strpos('{_HEXP}', substr({h},1,1))-1)*256"
+        f" + (strpos('{_HEXP}', substr({h},2,1))-1)*16"
+        f" + (strpos('{_HEXP}', substr({h},3,1))-1))"
+    )
+
+
+def _cms_bucket(item: F.Column, j: int) -> F.Column:
+    h = F.md5(F.concat(item, F.lit("#"), F.lit(str(j))))
+    pos = lambda k: F.instr(F.lit(_HEXP), F.substring(h, k, 1)) - 1  # noqa: E731
+    return (pos(1) * 256 + pos(2) * 16 + pos(3)).cast("long")
+
+
+@register(
+    "agg_sketch_cms",
+    oracle=f"""
+    WITH items AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem
+    ), hx(j) AS (VALUES (0), (1), (2), (3)),
+    hashed AS (
+        SELECT j, {_sql_cms_bucket('item', 'j')} AS bucket
+        FROM items CROSS JOIN hx
+    ), cms AS (
+        SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM hashed GROUP BY j, bucket
+    ), queries AS (
+        SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS item
+        FROM lineitem WHERE l_partkey < 20
+    ), qh AS (
+        SELECT item, j, {_sql_cms_bucket('item', 'j')} AS bucket
+        FROM queries CROSS JOIN hx
+    ), est AS (
+        SELECT item, min(c) AS est_n
+        FROM qh JOIN cms USING (j, bucket) GROUP BY item
+    ), truth AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS item,
+               CAST(count(*) AS BIGINT) AS true_n
+        FROM lineitem WHERE l_partkey < 20 GROUP BY 1
+    )
+    SELECT item, est_n, true_n FROM est JOIN truth USING (item)
+    """,
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built as a RELATIONAL TABLE — the Spark-first
+    sketch design: d=4 hash rows × w=4096 buckets materialize as a
+    (j, bucket, count) frame via one explode + one groupBy, so the
+    sketch is mergeable with plain SUM (union two sketches, groupBy
+    again), shuffles at most d·w rows however large the input, and
+    point queries are a broadcast join + min — no UDAF, no binary
+    blobs, no driver.
+
+    Hashes are md5-prefix (cross-engine deterministic, same trick as
+    sample_deterministic); the oracle replicates the construction
+    exactly, and the error bound (est ≥ true, est ≤ true + εN with
+    ε = e/w) is asserted in tests on top."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_partkey").cast("string").alias("item"))
+    hashed = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("item"), j).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    cms = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    queries = (
+        li.where(F.col("l_partkey") < 20)
+        .select(F.col("l_partkey").cast("string").alias("item"))
+        .distinct()
+    )
+    qh = queries.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("item"), j).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("item", "jb.j", "jb.bucket")
+    est = (
+        qh.join(cms, ["j", "bucket"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est_n"))
+    )
+    truth = (
+        li.where(F.col("l_partkey") < 20)
+        .groupBy(F.col("l_partkey").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(truth, "item")

@@ -435,3 +435,70 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg2"),
     )
     return a.join(b, a["seg"].eqNullSafe(b["seg2"])).select("c_custkey", "k2", "seg")
+
+
+# --------------------------------------------- pure interval (no equi key)
+
+_BIN_DAYS = 7  # bucket width; intervals are at most 8 days long
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped,
+           {sql_sum_money("l.l_extendedprice")} AS revenue
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+                 CAST(o_orderdate AS DATE)
+                     + CAST(o_orderkey % 7 + 1 AS INT) AS d1
+          FROM orders WHERE o_orderkey % 100 = 0) o
+    JOIN lineitem l
+      ON CAST(l.l_shipdate AS DATE) BETWEEN o.d0 AND o.d1
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join — no equi key at all: count shipments (from
+    ANY order) falling inside each probe order's date window. Naive
+    plans make this a cartesian product; the scale path is the
+    bin-and-equi-join rewrite: intervals explode to the fixed-width
+    date bins they cover (≤2 extra rows each at bin ≥ interval
+    length), points map to exactly ONE bin, so bin equality becomes a
+    plain hash-join key and the exact containment predicate filters
+    after. Each qualifying pair appears exactly once (the point's bin
+    is unique) — no dedup step. Cost: O(points + intervals·bins) with
+    a shuffle on the bin key, instead of O(points × intervals).
+
+    DuckDB runs the same semantics through its native IEJoin — an
+    independent algorithm, so the hash cross-checks the rewrite."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    iv = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE),"
+            " CAST(o_orderkey % 7 + 1 AS INT))"
+        ).alias("d1"),
+    )
+    day = lambda c: F.datediff(c, F.lit("1990-01-01").cast("date"))  # noqa: E731
+    iv_binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(day(F.col("d0")) / _BIN_DAYS).cast("long"),
+                F.floor(day(F.col("d1")) / _BIN_DAYS).cast("long"),
+            )
+        ),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("sd"), "l_extendedprice"
+    )
+    pts = li.withColumn(
+        "bin", F.floor(day(F.col("sd")) / _BIN_DAYS).cast("long")
+    )
+    joined = iv_binned.join(pts, "bin").where(
+        F.col("sd").between(F.col("d0"), F.col("d1"))
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        sum_money(F.col("l_extendedprice")).alias("revenue"),
+    )

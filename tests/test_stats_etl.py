@@ -76,3 +76,33 @@ def test_python_datasource_declares_splits(spark):
     df = spark.read.format("series").load()
     assert df.rdd.getNumPartitions() == N_SPLITS
     assert df.count() == N_SPLITS * 1000
+
+
+def test_cms_error_bounds(spark, sf_dir):
+    """CMS never underestimates, and stays within the e/w * N
+    classical bound (with 4 rows the failure probability is
+    e^-4 per item; deterministic fixtures make this stable)."""
+    import math
+
+    rows = REGISTRY["agg_sketch_cms"].build(spark, sf_dir).collect()
+    assert rows
+    n_total = table(spark, sf_dir, "lineitem").count()
+    eps = math.e / 4096
+    for r in rows:
+        assert r["est_n"] >= r["true_n"], r
+        assert r["est_n"] <= r["true_n"] + eps * n_total + 1, r
+
+
+def test_range_binned_no_cartesian(spark, sf_dir):
+    """The bin rewrite must plan as an equi hash/sort-merge join —
+    never a cartesian/BNL product."""
+    import contextlib
+    import io
+
+    df = REGISTRY["join_range_binned"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
