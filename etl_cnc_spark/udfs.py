@@ -208,3 +208,58 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         charge_batches, "l_orderkey LONG, l_linenumber INT, charge DOUBLE"
     )
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM events WHERE event_id < 2000
+    """,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze()`): the OUTPUT
+    SCHEMA is computed at plan time from a literal argument — here a
+    field list the UDTF extracts from a JSON payload, one column per
+    requested field. This is the extension point for schema-on-demand
+    connectors and generic exploders where the shape isn't known
+    until the query names it; Catalyst sees concrete columns (full
+    pruning/pushdown downstream), while eval() stays generic."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class ExtractFields:
+        @staticmethod
+        def analyze(
+            js: AnalyzeArgument, fields: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for name in fields.value.split(","):
+                schema = schema.add(name, LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, js: str, fields: str):
+            d = _json.loads(js)
+            yield tuple(int(d[n]) for n in fields.split(","))
+
+    spark.udtf.register("etlcnc_extract_fields", ExtractFields)
+    table(spark, sf_dir, "events").createOrReplaceTempView(
+        "etlcnc_events_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT s.event_id, s.user_id, s.value_cents
+        FROM etlcnc_events_udtf e,
+             LATERAL etlcnc_extract_fields(
+                 to_json(struct(
+                     e.event_id, e.user_id,
+                     CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                         AS value_cents)),
+                 'event_id,user_id,value_cents') s
+        WHERE e.event_id < 2000
+        """
+    )

@@ -106,3 +106,17 @@ def test_range_binned_no_cartesian(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_files_are_tight_rectangles(spark, sf_dir):
+    """Every Z-ordered file's (x, y) envelope must be much tighter
+    than the full domain on BOTH dims — the data-skipping payoff a
+    single-column sort cannot give for the second dimension."""
+    rows = REGISTRY["sort_zorder"].build(spark, sf_dir).collect()
+    assert len(rows) == 16
+    x_dom = max(r["max_x"] for r in rows) - min(r["min_x"] for r in rows)
+    y_dom = max(r["max_y"] for r in rows) - min(r["min_y"] for r in rows)
+    avg_x = sum(r["max_x"] - r["min_x"] for r in rows) / len(rows)
+    avg_y = sum(r["max_y"] - r["min_y"] for r in rows) / len(rows)
+    assert avg_x <= 0.6 * x_dom, (avg_x, x_dom)
+    assert avg_y <= 0.6 * y_dom, (avg_y, y_dom)
