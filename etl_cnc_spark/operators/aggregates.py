@@ -658,3 +658,112 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("true_n"))
     )
     return est.join(truth, "item")
+
+
+@register(
+    "agg_bitmap_union",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase')
+    SELECT
+        CAST((SELECT count(*) FROM v) AS BIGINT) AS viewers,
+        CAST((SELECT count(*) FROM p) AS BIGINT) AS purchasers,
+        CAST((SELECT count(*) FROM (SELECT * FROM v UNION SELECT * FROM p))
+             AS BIGINT) AS either,
+        CAST((SELECT count(*) FROM (SELECT * FROM v INTERSECT
+                                    SELECT * FROM p)) AS BIGINT) AS both
+    """,
+)
+def agg_bitmap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA on pre-aggregated bitmaps: per-segment
+    user bitmaps (viewers, purchasers) merge with `bitmap_or_agg`
+    for the union count, and intersection falls out by
+    inclusion–exclusion — no re-scan of raw events to answer a new
+    set combination, which is the whole point of keeping bitmap
+    rollups at scale (audience overlap over 10^11 events = OR/AND
+    over kilobyte bitmaps).
+
+    Exact (bitmaps, not sketches); the oracle recomputes every count
+    from raw rows with UNION/INTERSECT."""
+    e = table(spark, sf_dir, "events")
+    per_type = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position("user_id")
+            ).alias("bm")
+        )
+    )
+    counts = per_type.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n")
+    )
+    union_bm = per_type.groupBy("bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    either = union_bm.agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("either")
+    )
+    wide = counts.groupBy().pivot("event_type", ["view", "purchase"]).sum("n")
+    return wide.crossJoin(either).select(
+        F.col("view").cast("long").alias("viewers"),
+        F.col("purchase").cast("long").alias("purchasers"),
+        "either",
+        (F.col("view") + F.col("purchase") - F.col("either"))
+        .cast("long")
+        .alias("both"),
+    )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS DOUBLE)
+               AS sum_price,
+           CAST(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                               + 0.5) AS BIGINT))
+                * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS DOUBLE)
+               AS sum_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation — the type discipline a money
+    pipeline should ship with at scale: quantize once to
+    DECIMAL(18,2/4) at ingest, then every SUM is exact and
+    order-independent at any parallelism (128-bit accumulators), so
+    results are bit-stable across partitionings, AQE re-plans, and
+    engines — no float drift to paper over. Contrast with the
+    double+cents trick used where the fixtures force doubles.
+
+    The fixtures store doubles, so quantization double->fixed-point
+    happens ONCE per row via the engine-neutral floor(x*s+0.5) (a
+    native cast would hit each engine's own tie-rounding); from there
+    everything is exact decimal arithmetic: BIGINT sum x decimal unit
+    -> DECIMAL(38,s). A real deployment writes DECIMAL columns at
+    ingest and skips the quantization step entirely."""
+    li = table(spark, sf_dir, "lineitem")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    # final cast to double ONLY for the cross-engine hash (decimal
+    # string normalization differs); the correctly-rounded
+    # decimal->double conversion is identical on both engines
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(price_c) * F.lit("0.01").cast("decimal(3,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_price"),
+        (F.sum(rev_c) * F.lit("0.0001").cast("decimal(5,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("sum_revenue"),
+    )

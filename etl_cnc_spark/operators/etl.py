@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import q2, sql_q2
+from ..utils import cents, q2, sql_q2
 
 
 # ---------------------------------------------------------------- merge
@@ -593,4 +593,85 @@ def etl_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_ts_us"),
         (_z("a", "purchases") + _z("b", "purchases")).cast("long")
         .alias("purchases"),
+    )
+
+
+# ------------------------------------------------------ snapshot diff
+
+
+@register(
+    "etl_table_diff",
+    oracle="""
+    WITH newsnap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 3
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderkey + 1000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             WHEN n.o_orderkey IS NULL THEN 'removed'
+             ELSE 'changed' END AS change,
+        COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CAST(floor(COALESCE(o.o_totalprice, 0) * 100 + 0.5) AS BIGINT)
+            AS old_cents,
+        CAST(floor(COALESCE(n.o_totalprice, 0) * 100 + 0.5) AS BIGINT)
+            AS new_cents
+    FROM orders o FULL OUTER JOIN newsnap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR floor(o.o_totalprice * 100 + 0.5)
+          <> floor(n.o_totalprice * 100 + 0.5)
+    """,
+)
+def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation / CDC generation — the inverse of
+    MERGE: given yesterday's and today's snapshots, emit the change
+    set (added / removed / changed rows with old and new values).
+    One full-outer join on the key + a cents-compared value filter;
+    the synthetic 'today' applies deterministic deletes (keys %10=7),
+    updates (+10%% on %10=3), and inserts (shifted keys).
+
+    At 100 TB the join shuffles both snapshots once on the key —
+    bucket both snapshot tables on it and the diff is shuffle-free;
+    value comparison in integer cents avoids float-equality traps."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    newsnap = (
+        o.where(F.col("o_orderkey") % 10 != 7)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 10 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    a, b = o.alias("a"), newsnap.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    oc = cents(F.coalesce(F.col("a.o_totalprice"), F.lit(0.0)))
+    nc = cents(F.coalesce(F.col("b.o_totalprice"), F.lit(0.0)))
+    return j.where(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (cents(F.col("a.o_totalprice")) != cents(F.col("b.o_totalprice")))
+    ).select(
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+        .alias("o_orderkey"),
+        oc.cast("long").alias("old_cents"),
+        nc.cast("long").alias("new_cents"),
     )
