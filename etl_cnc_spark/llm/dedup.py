@@ -423,3 +423,75 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.select("doc_a", "doc_b", q4(F.col("est_j")).alias("est_jaccard"))
+
+
+# ----------------------------------------- benchmark decontamination
+
+_EVAL_MOD, _EVAL_REM = 20, 7  # doc_id % 20 == 7 -> held-out eval set
+_GRAM_N = 8
+
+
+@register(
+    "dedup_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest([array_to_string(w[i:i+{_GRAM_N - 1}], ' ')
+                       for i in range(1, len(w) - {_GRAM_N - 2})]) AS g
+        FROM toks
+    ), eval_grams AS (
+        SELECT DISTINCT doc_id AS eval_id, g FROM grams
+        WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+    ), train_grams AS (
+        SELECT DISTINCT doc_id, g FROM grams
+        WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+    )
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.g) AS BIGINT) AS shared_grams,
+           CAST(count(DISTINCT e.eval_id) AS BIGINT) AS eval_docs_hit
+    FROM train_grams t JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene pass
+    that removes documents overlapping a held-out eval set: any
+    training doc sharing an 8-word shingle with any eval doc is
+    flagged with its overlap mass (shared distinct shingles, eval
+    docs hit). This is the standard n-gram-collision
+    decontamination (GPT-3/PaLM style), expressed as distinct-
+    shingle sets + one equi-join on the shingle.
+
+    Scale shape: the eval side is tiny by construction (benchmarks
+    are small) → broadcast; the train side streams through explode →
+    distinct → join without ever materializing pairwise doc
+    comparisons. Shingles could hash to 64-bit fingerprints to cut
+    shuffle bytes (same plan, fingerprint collisions ~2^-64)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_GRAM_N - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {_GRAM_N})))"
+            )
+        ).alias("g"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    eval_grams = (
+        grams.where(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), "g")
+        .distinct()
+    )
+    train_grams = grams.where(~is_eval).distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("shared_grams"),
+            F.countDistinct("eval_id").alias("eval_docs_hit"),
+        )
+    )

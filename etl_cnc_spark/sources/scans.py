@@ -132,3 +132,63 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{out}/v1", f"{out}/v2")
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "source_csv_corrupt",
+    oracle="""
+    SELECT
+        CAST(count_if(o_orderkey % 10 <> 3) AS BIGINT) AS n_good,
+        CAST(count_if(o_orderkey % 10 = 3) AS BIGINT) AS n_corrupt,
+        CAST(SUM(CASE WHEN o_orderkey % 10 <> 3
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS good_cents
+    FROM orders
+    """,
+)
+def source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance on CSV ingest: a deterministically
+    corrupted extract (every key%10==3 row carries a non-numeric
+    price) is read back in PERMISSIVE mode with a
+    `_corrupt_record` capture column — bad rows land in quarantine
+    instead of failing the job or silently vanishing, which is the
+    only acceptable behavior for TB-scale third-party feeds
+    (DROPMALFORMED loses data, FAILFAST loses the night). The
+    aggregate proves the good/quarantined split and that good-row
+    money survived the round-trip to the cent."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    price_txt = F.when(
+        F.col("o_orderkey") % 10 == 3, F.lit("N/A")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    # double->string->double round-trips exactly (Spark emits
+    # shortest-round-trip representations), so good_cents matches the
+    # oracle computed on the original doubles
+    lines = o.select(
+        F.concat_ws(
+            ",", F.col("o_orderkey").cast("string"), price_txt
+        ).alias("value")
+    )
+    src = tempfile.mkdtemp(prefix="etlcnc_csvcorrupt_")
+    lines.write.mode("overwrite").text(src)
+    back = (
+        spark.read.schema(
+            "o_orderkey LONG, o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                good, F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("good_cents"),
+    )
