@@ -333,3 +333,80 @@ def stream_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "purchases",
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+               - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+        SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
+               epoch_us(p.ts) AS purchase_us
+        FROM v JOIN p ON v.user_id = p.user_id
+                     AND p.ts >= v.ts
+                     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+        SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
+               CAST(NULL AS BIGINT) AS purchase_us
+        FROM v, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p WHERE p.user_id = v.user_id
+              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+          AND v.ts + INTERVAL 1 HOUR < wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    notes="left-outer stream-stream join; the oracle states Spark's "
+    "state-eviction rule: null-extended rows emit only for views "
+    "whose join window fell below the final global watermark "
+    "(min of both streams' max ts, minus the 1h delay).",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM left-outer join with event-time range condition
+    and watermarked state on both sides: views join purchases by the
+    same user within [view_ts, view_ts + 1h]; matches emit as they
+    arrive, and a view with no purchase emits null-extended ONLY
+    once the global watermark proves no future purchase can match —
+    the buffered-state semantics that distinguish stream-stream from
+    stream-static joins. State per side is bounded by the watermark
+    horizon (1h of events per user), which is what makes an
+    unbounded two-stream join feasible at all.
+
+    Run via availableNow replay; the drained output is deterministic
+    and the oracle reproduces both the match set AND the eviction
+    cutoff relationally."""
+    src = _stage_events_dir(sf_dir)
+    raw = _read_stream(spark, src)
+    views = (
+        raw.where(F.col("event_type") == "view")
+        .select("event_id", "user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = _run_to_parquet(
+        joined.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+        )
+    )
+    return spark.read.parquet(out)
