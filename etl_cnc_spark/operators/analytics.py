@@ -257,3 +257,73 @@ def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_cents",
     )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'v'
+                          WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                          WHEN 'signup' THEN 's' ELSE 'e' END, ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+           regexp_matches(s, 'v.*c.*p') AS funnel_vcp,
+           regexp_matches(s, 's.*p') AS signup_to_purchase,
+           CAST(length(s) - length(replace(s, 'e', '')) AS BIGINT)
+               AS n_errors
+    FROM seq
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event histories (the
+    ClickHouse sequenceMatch / windowFunnel family): each user's
+    time-ordered event types compress to a one-char-per-event string,
+    and funnels become regexes — 'v.*c.*p' is view→click→purchase in
+    order. One groupBy builds the sequence (sort_array of (ts, id,
+    char) structs gives deterministic order under ties without a
+    window shuffle), then pattern checks are per-row regex — trivially
+    parallel however many users.
+
+    At 100 TB the per-user string is bounded by history length;
+    for unbounded histories the same shape runs windowed (sessionized
+    sequences) or with a max-events cap pushed into a slice()."""
+    e = table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                ch.alias("c"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list("ev")), lambda x: x["c"]
+                ),
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.col("s").rlike("v.*c.*p").alias("funnel_vcp"),
+        F.col("s").rlike("s.*p").alias("signup_to_purchase"),
+        (
+            F.length("s") - F.length(F.regexp_replace("s", "e", ""))
+        ).cast("long").alias("n_errors"),
+    )

@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..registry import register
 from ..utils import q4, sql_q4
@@ -93,3 +99,97 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(F.col("mod97") < 50).select(
         "i", "mod97", q4(F.col("seventh")).alias("seventh_q")
     )
+
+
+# ------------------------------------------------------ write path
+
+class _JsonCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+class JsonLinesDataSource(DataSource):
+    """`format("jsonlines")` writer: each task writes its partition
+    to a uniquely-named part file (task-local, no coordination), and
+    `commit()` publishes a _SUCCESS manifest listing every part — the
+    standard two-phase commit of a distributed sink, in Python."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlines"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonLinesWriter(self.options["path"], [f.name for f in schema.fields])
+
+
+class _JsonLinesWriter(DataSourceWriter):
+    def __init__(self, path: str, cols: list):
+        self.path, self.cols = path, cols
+
+    def write(self, rows) -> "_JsonCommit":
+        import json
+        import os
+        import uuid
+
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.json")
+        n = 0
+        with open(fname, "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(self.cols, tuple(row)))) + "\n")
+                n += 1
+        return _JsonCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = [
+            {"path": m.path, "rows": m.rows} for m in messages if m
+        ]
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+@register(
+    "sink_python_ds",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through a custom Python DataSourceWriter (Spark 4):
+    per-task part files + a driver-side commit manifest (two-phase
+    commit — abort cleans up orphans, so a failed job never publishes
+    partial output). The key writes an aggregate through the custom
+    sink, re-reads the published files, and hash-verifies content —
+    proving the writer path end to end, not just that files appeared."""
+    import tempfile
+
+    from ..catalog import table as _table
+
+    spark.dataSource.register(JsonLinesDataSource)
+    out = tempfile.mkdtemp(prefix="etlcnc_pyds_")
+    agg = (
+        _table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    agg.write.format("jsonlines").option("path", out).mode("append").save()
+    return spark.read.schema(
+        "o_orderpriority STRING, n LONG, cents LONG"
+    ).json(f"{out}/part-*.json")
