@@ -11,12 +11,12 @@ user id (AQE-skew-safe).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import sql_q4
+from ..utils import q4, sql_q4
 
 
 @register(
@@ -327,3 +327,118 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("s") - F.length(F.regexp_replace("s", "e", ""))
         ).cast("long").alias("n_errors"),
     )
+
+
+@register(
+    "events_concurrency",
+    oracle="""
+    WITH bounds AS (
+        SELECT ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 30 MINUTE, -1, event_id FROM events
+    ), running AS (
+        SELECT t, delta, event_id,
+               CAST(SUM(delta) OVER (ORDER BY t, delta, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS concurrent
+        FROM bounds
+    )
+    SELECT epoch_us(t) AS t_us, delta, event_id, concurrent
+    FROM running WHERE event_id % 50 = 0
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency (occupancy) counting: each event holds a
+    30-minute presence window; +1/-1 boundary deltas sorted by time
+    and run-summed give the number of simultaneously-active sessions
+    at every boundary — the classic max-concurrent-users /
+    room-occupancy sweep-line, as one union + one running-sum window.
+
+    The global ORDER BY window is the scale limiter (single ordered
+    partition): at 100 TB, range-partition by time and carry per-
+    partition offsets (prefix sums of partition totals) — same
+    algebra, one extra tiny pass; ties break by (delta, event_id) so
+    ends sort before starts at equal instants deterministically."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        e.select(
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bounds.withColumn(
+        "concurrent", F.sum("delta").over(w).cast("long")
+    )
+    return running.where(F.col("event_id") % 50 == 0).select(
+        F.unix_micros(F.col("t").cast("timestamp")).alias("t_us"),
+        "delta",
+        "event_id",
+        "concurrent",
+    )
+
+
+_ETYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def _entropy_sql() -> str:
+    # fixed association order: (((t1 + t2) + t3) + t4) + t5 — each
+    # term computed from conditional-aggregate counts, never SUM over
+    # rows (row-order-dependent float addition would break the hash)
+    terms = [
+        f"(CASE WHEN n_{t} = 0 THEN 0.0 ELSE "
+        f"-(CAST(n_{t} AS DOUBLE)/n_all)"
+        f" * ln(CAST(n_{t} AS DOUBLE)/n_all) END)"
+        for t in _ETYPES
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+@register(
+    "events_entropy",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_all,
+               {', '.join(
+                   f"CAST(count_if(event_type = '{t}') AS BIGINT) AS n_{t}"
+                   for t in _ETYPES)}
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_all,
+           {sql_q4(_entropy_sql())} AS entropy
+    FROM cnt
+    """,
+)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    information-theoretic diversity feature data-curation pipelines
+    use to flag bots (near-zero entropy: one repeated action) and
+    noise (max entropy: uniform random). One conditional aggregate
+    per type in a single groupBy pass; the entropy formula then runs
+    over the COUNTS in one expression with a fixed association
+    order, so no row-order float summation can perturb the hash."""
+    e = table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in _ETYPES
+        ],
+    )
+    expr = None
+    for t in _ETYPES:
+        p = F.col(f"n_{t}").cast("double") / F.col("n_all")
+        term = F.when(F.col(f"n_{t}") == 0, 0.0).otherwise(-p * F.log(p))
+        expr = term if expr is None else expr + term
+    return cnt.select("user_id", "n_all", q4(expr).alias("entropy"))
