@@ -57,3 +57,15 @@ def test_connector_stub_raises_with_package_hint(spark):
     with pytest.raises(NotImplementedError) as ei:
         kafka.read_kafka(spark, "localhost:9092", "events")
     assert "--packages" in str(ei.value)
+
+
+def test_lakehouse_stubs_raise_with_recipes(spark):
+    from etl_cnc_spark.sources import lakehouse
+
+    with pytest.raises(NotImplementedError) as d:
+        lakehouse.read_delta(spark, "/tmp/nope")
+    assert "--packages io.delta" in str(d.value)
+    assert "DeltaSparkSessionExtension" in str(d.value)
+    with pytest.raises(NotImplementedError) as i:
+        lakehouse.read_iceberg(spark, "local.db.t")
+    assert "iceberg-spark-runtime" in str(i.value)
