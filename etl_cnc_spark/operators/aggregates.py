@@ -767,3 +767,32 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_revenue"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_custkey) AS segs,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey < 100
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG, Spark 4
+    native): per-group concatenation with an explicit WITHIN GROUP
+    order — the deterministic form (unordered listagg is a hash
+    landmine, like collect_list). Grows O(group size); at scale cap
+    group contributions first (slice after sort) or emit arrays."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    c.createOrReplaceTempView("etlcnc_cust_la")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_mktsegment, '|')
+                   WITHIN GROUP (ORDER BY c_custkey) AS segs,
+               count(*) AS n
+        FROM etlcnc_cust_la GROUP BY c_nationkey
+        """
+    )

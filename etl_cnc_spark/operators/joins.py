@@ -502,3 +502,46 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"),
         sum_money(F.col("l_extendedprice")).alias("revenue"),
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_cents, t.rk
+    FROM customer c, LATERAL (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS o_totalprice_cents,
+               CAST(row_number() OVER (ORDER BY o_orderdate DESC,
+                                       o_orderkey) AS BIGINT) AS rk
+        FROM orders WHERE o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 3
+    ) t
+    WHERE c.c_custkey < 200
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — each customer's 3 most
+    recent orders, written as the natural per-row subquery. Catalyst
+    DECORRELATES it (RewriteLateralSubquery) into a window + filter
+    over one join, so what reads as a nested loop executes as a
+    shuffle + per-key rank — the difference between O(cust·orders)
+    and one pass at 100 TB; the equivalent explicit formulation is
+    `topk_per_group`."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("etlcnc_cust_lat")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("etlcnc_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_cents, t.rk
+        FROM etlcnc_cust_lat c, LATERAL (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_totalprice_cents,
+                   CAST(row_number() OVER (ORDER BY o_orderdate DESC,
+                                           o_orderkey) AS BIGINT) AS rk
+            FROM etlcnc_ord_lat WHERE o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey LIMIT 3
+        ) t
+        WHERE c.c_custkey < 200
+        """
+    )
