@@ -545,3 +545,53 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """
     )
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH s AS (
+        SELECT s_suppkey, lower(replace(s_name, '#', '')) AS nm,
+               substr(s_name, 18, 1) AS blk
+        FROM supplier
+    )
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+    FROM s a JOIN s b
+      ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join with BLOCKING — the entity-
+    resolution pattern: a cheap blocking key (here the name's last
+    digit — zero-padded fixture names share every prefix, so a prefix
+    block would degenerate to one giant block)
+    turns the quadratic all-pairs edit-distance comparison into an
+    equi-join whose pairwise work is confined to each block, then
+    levenshtein filters within the block. At 100 TB the blocking key
+    is the whole game (candidate pairs ∝ Σ block², so block on
+    something selective — phonetic code, sorted-token prefix, LSH
+    band); the pairwise predicate never sees the cross product.
+    a < b ordering halves the work and dedups symmetric pairs."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.lower(F.regexp_replace("s_name", "#", "")).alias("nm"),
+        F.substring("s_name", 18, 1).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .where(F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+            F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
