@@ -736,3 +736,37 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get("v", "$.k", "bigint") % 10).alias("k_mod"),
         F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS padded,
+           rpad(p_brand, 12, '.') AS brand_pad,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           repeat('-', CAST(p_partkey % 5 AS INT)) AS dashes,
+           printf('%s-%05d', p_brand, p_partkey % 100000) AS tagged,
+           reverse(p_name) AS rev_name
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: lpad/rpad/translate/repeat/
+    format_string (C-style printf — identical format-spec semantics
+    in DuckDB's printf)/reverse. All codegen'd JVM expressions —
+    formatting belongs in the engine, not a Python UDF."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 12, "0").alias("padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_pad"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.repeat(F.lit("-"), (F.col("p_partkey") % 5).cast("int")).alias(
+            "dashes"
+        ),
+        F.format_string(
+            "%s-%05d", F.col("p_brand"), F.col("p_partkey") % 100000
+        ).alias("tagged"),
+        F.reverse("p_name").alias("rev_name"),
+    )

@@ -552,7 +552,7 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT s_suppkey, lower(replace(s_name, '#', '')) AS nm,
-               substr(s_name, 18, 1) AS blk
+               substr(s_name, 17, 1) AS blk
         FROM supplier
     )
     SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
@@ -564,7 +564,7 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (edit-distance) self-join with BLOCKING — the entity-
-    resolution pattern: a cheap blocking key (here the name's last
+    resolution pattern: a cheap blocking key (here the name's tens
     digit — zero-padded fixture names share every prefix, so a prefix
     block would degenerate to one giant block)
     turns the quadratic all-pairs edit-distance comparison into an
@@ -577,7 +577,7 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         F.lower(F.regexp_replace("s_name", "#", "")).alias("nm"),
-        F.substring("s_name", 18, 1).alias("blk"),
+        F.substring("s_name", 17, 1).alias("blk"),
     )
     a, b = s.alias("a"), s.alias("b")
     return (
