@@ -539,3 +539,60 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tokens").cast("double")
         ).alias("upsample"),
     )
+
+
+CHUNK, STRIDE = 50, 25  # tokens per chunk, overlap stride
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), idx AS (
+        SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - {CHUNK} + 1, 1) + 1,
+                            {STRIDE})) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {STRIDE} AS BIGINT) AS chunk_id,
+           CAST(least({CHUNK}, len(w) - start + 1) AS BIGINT) AS n_tokens,
+           w[start] AS first_tok,
+           md5(array_to_string(w[start:start+{CHUNK - 1}], ' ')) AS chunk_md5
+    FROM idx
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the RAG/embedding prep
+    step: each doc splits into {CHUNK}-token chunks with {STRIDE}-token
+    stride (50% overlap), emitting per-chunk ids, lengths, and a
+    content fingerprint ready for the embedding stage (and for
+    chunk-level dedup via the md5). Pure explode over a stride
+    sequence + array slice — narrow, shuffle-free, scales with corpus
+    size; chunk boundaries are token-positional so re-chunking is
+    deterministic and incremental loads chunk identically."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    idx = toks.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("w") - CHUNK + 1, F.lit(1)),
+                F.lit(STRIDE),
+            )
+        ).alias("start"),
+    )
+    return idx.select(
+        "doc_id",
+        ((F.col("start") - 1) / STRIDE).cast("long").alias("chunk_id"),
+        F.least(F.lit(CHUNK), F.size("w") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.element_at("w", F.col("start")).alias("first_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("w", F.col("start"), CHUNK))
+        ).alias("chunk_md5"),
+    )

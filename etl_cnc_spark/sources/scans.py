@@ -192,3 +192,43 @@ def source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("good_cents"),
     )
+
+
+@register(
+    "scan_observe",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS rows_seen,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(count_if(l_quantity > 45) AS BIGINT) AS big_qty
+    FROM lineitem
+    """,
+)
+def scan_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline health metrics via the Observation API: named
+    aggregates piggyback on a query's existing pass (`df.observe`),
+    so row counts / money totals / anomaly tallies cost ZERO extra
+    scans — the production pattern for load-time metric emission
+    (vs. a separate audit query that doubles the I/O). The observed
+    values are returned as a 1-row frame and hash-verified against
+    recomputation, proving observe() sees every row exactly once."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("etlcnc_scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.sum(F.when(F.col("l_quantity") > 45, 1).otherwise(0))
+        .cast("long")
+        .alias("big_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_seen"], m["price_cents"], m["big_qty"])],
+        "rows_seen long, price_cents long, big_qty long",
+    )
