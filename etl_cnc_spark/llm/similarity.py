@@ -353,3 +353,67 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("qv", 1, 8).alias("q8"),
         q4(mse * 1e6).alias("mse_x1m"),
     )
+
+
+# ------------------------------------------- batch model inference
+
+_W_EXPR = "((i * 37) % 19 - 9) / 10.0"  # deterministic weight_i, i 1-based
+
+
+@register(
+    "ml_batch_inference",
+    oracle=f"""
+    SELECT vec_id,
+           {sql_q4("list_aggregate([CAST(embedding[i] AS DOUBLE)"
+                   f" * ({_W_EXPR})"
+                   " for i in range(1, 65)], 'sum') + 0.5")} AS score,
+           (list_aggregate([CAST(embedding[i] AS DOUBLE)"""
+    f""" * ({_W_EXPR})
+             for i in range(1, 65)], 'sum') + 0.5 > 0) AS accept
+    FROM embeddings
+    """,
+)
+def ml_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference inside the pipeline via the official
+    `pyspark.ml.functions.predict_batch_udf` — the API that loads a
+    model ONCE per executor (make_predict_fn closure), feeds it
+    Arrow-batched numpy arrays with a controlled batch_size, and is
+    how quality classifiers / reward models / embedding models run
+    over 100 TB without per-row model reloads. The 'model' here is a
+    deterministic linear scorer (weights derived from the index) so
+    the whole inference path is hash-verifiable; scoring folds
+    left-to-right to match the oracle's sequential sum exactly."""
+    import numpy as np
+    from pyspark.ml.functions import predict_batch_udf
+
+    def make_predict_fn():
+        w = [((i * 37) % 19 - 9) / 10.0 for i in range(1, 65)]
+
+        def predict(inputs: "np.ndarray") -> "np.ndarray":
+            out = []
+            for row in inputs:
+                acc = 0.0
+                for x, wi in zip(row.tolist(), w):
+                    acc = acc + float(x) * wi
+                out.append(acc + 0.5)
+            return np.array(out, dtype=np.float64)
+
+        return predict
+
+    from pyspark.sql.types import DoubleType
+
+    score_udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=DoubleType(),
+        batch_size=256,
+        input_tensor_shapes=[[64]],  # array column -> fixed-dim tensor
+    )
+    e = table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id", score_udf(F.col("embedding")).alias("raw_score")
+    )
+    return scored.select(
+        "vec_id",
+        q4(F.col("raw_score")).alias("score"),
+        (F.col("raw_score") > 0).alias("accept"),
+    )

@@ -105,3 +105,84 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(F.col("cnt") / F.col("total")).alias("support"),
         )
     )
+
+
+def _moments_sql() -> str:
+    # raw moment sums are exact integers (l_quantity is integer-valued,
+    # x^k <= 50^4 and partial sums < 2^53), so they are order-free;
+    # the float formulas then run ONCE per group in a fixed shape
+    return """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT) *
+                        CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+               CAST(SUM(CAST(l_quantity AS BIGINT) *
+                        CAST(l_quantity AS BIGINT) *
+                        CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+               CAST(SUM(CAST(l_quantity AS BIGINT) *
+                        CAST(l_quantity AS BIGINT) *
+                        CAST(l_quantity AS BIGINT) *
+                        CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+
+@register(
+    "agg_moments",
+    oracle=f"""
+    WITH m AS ({_moments_sql()}),
+    c AS (
+        SELECT l_returnflag, n, s1, s2, s3, s4,
+               CAST(s1 AS DOUBLE) / n AS mu
+        FROM m
+    ), central AS (
+        SELECT l_returnflag, n, mu,
+               (CAST(s2 AS DOUBLE) / n) - mu * mu AS m2,
+               (CAST(s3 AS DOUBLE) / n) - 3 * mu * (CAST(s2 AS DOUBLE) / n)
+                   + 2 * mu * mu * mu AS m3,
+               (CAST(s4 AS DOUBLE) / n) - 4 * mu * (CAST(s3 AS DOUBLE) / n)
+                   + 6 * mu * mu * (CAST(s2 AS DOUBLE) / n)
+                   - 3 * mu * mu * mu * mu AS m4
+        FROM c
+    )
+    SELECT l_returnflag, n, {sql_q4("mu")} AS mean_qty,
+           {sql_q4("m2")} AS var_pop,
+           {sql_q4("m3 / pow(m2, 1.5)")} AS skewness,
+           {sql_q4("m4 / (m2 * m2) - 3")} AS excess_kurtosis
+    FROM central
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments (population skewness, excess
+    kurtosis) computed the distributed-exact way: raw power sums
+    Σx..Σx⁴ as BIGINTs (integer-valued measure → exact, therefore
+    order-independent across any partitioning — engine skewness()
+    builtins use running float updates whose bias corrections AND
+    summation orders differ between engines), then the central-moment
+    formulas applied once per group in a fixed association order.
+    Raw moment sums are also trivially mergeable — the same shape
+    works as a partial-aggregate / rollup state."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+        F.sum(q * q * q).cast("long").alias("s3"),
+        F.sum(q * q * q * q).cast("long").alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    s2n = F.col("s2").cast("double") / F.col("n")
+    s3n = F.col("s3").cast("double") / F.col("n")
+    s4n = F.col("s4").cast("double") / F.col("n")
+    m2 = s2n - mu * mu
+    m3 = s3n - 3 * mu * s2n + 2 * mu * mu * mu
+    m4 = s4n - 4 * mu * s3n + 6 * mu * mu * s2n - 3 * mu * mu * mu * mu
+    return m.select(
+        "l_returnflag",
+        "n",
+        q4(mu).alias("mean_qty"),
+        q4(m2).alias("var_pop"),
+        q4(m3 / F.pow(m2, 1.5)).alias("skewness"),
+        q4(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    )
