@@ -232,3 +232,31 @@ def scan_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_seen"], m["price_cents"], m["big_qty"])],
         "rows_seen long, price_cents long, big_qty long",
     )
+
+
+@register(
+    "scan_metadata",
+    oracle="""
+    SELECT 'lineitem' AS file_stem, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file columns — per-row lineage (source
+    file path, size, mtime) exposed by the parquet reader with no
+    data rewrite. This is how a 100 TB pipeline answers "which input
+    file produced this bad row" and how file-level incremental
+    processing (only new files since the last high-water mark)
+    selects its work. Output keys on the file stem so the check is
+    path-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"([a-z]+)\.parquet", 1
+        ).alias("file_stem"),
+    )
+    return li.groupBy("file_stem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

@@ -233,3 +233,30 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exchange_reuse_for_shared_subplan(spark, sf_dir):
+    """The same aggregated subquery used on both sides of a join
+    must plan ONE shuffle + a ReusedExchange, not two — at scale
+    this halves the shuffle for self-comparison queries (share-of-
+    total, vs-average patterns)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from etl_cnc_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).alias("cents")
+    )
+    joined = per_flag.alias("a").crossJoin(
+        per_flag.agg(F.sum("cents").alias("total")).alias("b")
+    )
+    joined.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan, "shared subplan shuffled twice"
