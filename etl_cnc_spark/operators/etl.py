@@ -675,3 +675,54 @@ def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         oc.cast("long").alias("old_cents"),
         nc.cast("long").alias("new_cents"),
     )
+
+
+# -------------------------------------------------- right-to-erasure
+
+
+@register(
+    "etl_gdpr_delete",
+    oracle="""
+    WITH forget AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 13
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(count_if(user_id % 97 <> 13) AS BIGINT) AS n_after,
+           CAST(count_if(user_id % 97 = 13) AS BIGINT) AS n_purged
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR/CCPA) hard delete: purge every event
+    belonging to a deletion list, with an auditable before/after/
+    purged count per event type — the compliance job every data
+    platform runs on a clock. The delete is a LEFT ANTI join against
+    the (small, broadcast) forget-list; at 100 TB this pairs with
+    partition-aware rewrites: touch only files whose min/max user_id
+    ranges can contain a listed user (the z-order/file-stats
+    machinery), rewrite those, leave the rest byte-identical. The
+    audit proves n_before = n_after + n_purged row-for-row."""
+    e = table(spark, sf_dir, "events")
+    forget = (
+        e.where(F.col("user_id") % 97 == 13).select("user_id").distinct()
+    )
+    kept = e.join(F.broadcast(forget), "user_id", "left_anti")
+    before = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .select(
+            "event_type",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long")
+            .alias("n_after"),
+            (F.col("n_before") - F.coalesce(F.col("n_after"), F.lit(0)))
+            .cast("long")
+            .alias("n_purged"),
+        )
+    )
