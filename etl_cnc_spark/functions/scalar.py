@@ -770,3 +770,33 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tagged"),
         F.reverse("p_name").alias("rev_name"),
     )
+
+
+@register(
+    "fn_mask_builtin",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_default,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def fn_mask_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builtin `mask()` (Spark 3.4+) — PII redaction as one codegen'd
+    expression: uppercase→X, lowercase→x, digits→n by default, with
+    per-class overrides (here: keep letters, star the digits). The
+    declarative cousin of `text_pii_mask`'s regex pipeline; the
+    oracle reproduces the class mapping with regexes."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("*"),
+        ).alias("masked_digits"),
+    )

@@ -417,3 +417,50 @@ def ml_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("raw_score")).alias("score"),
         (F.col("raw_score") > 0).alias("accept"),
     )
+
+
+SIM_TAU = 0.35  # radius threshold (fixture cosines top out ~0.48)
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           {sql_q4(f"{_SQL_DOT} / sqrt(" + _SQL_NORM2.format(col="a.embedding")
+                   + " * " + _SQL_NORM2.format(col="b.embedding") + ")")}
+               AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+      AND {_SQL_DOT} / sqrt({_SQL_NORM2.format(col="a.embedding")}
+           * {_SQL_NORM2.format(col="b.embedding")}) >= {SIM_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — ALL neighbors with cosine
+    ≥ τ, the other half of the similarity API surface from top-k:
+    result size is data-dependent (0 or 500 matches), which is what
+    dedup thresholds and recall-oriented retrieval want. Same
+    broadcast-query / fold-dot machinery as `sim_topk_exact`, minus
+    the ranking window — cheaper when τ is selective because nothing
+    needs sorting. The LSH bucket path (`sim_ann_lsh`) serves the
+    same query at scale with per-bucket post-filtering."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(
+        F.col("qn2") * F.col("cn2")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .where(cos >= SIM_TAU)
+        .select("qid", "cid", q4(cos).alias("cosine"))
+    )
