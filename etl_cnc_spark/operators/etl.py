@@ -726,3 +726,40 @@ def etl_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_purged"),
         )
     )
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+                    AS BIGINT) AS rk
+        FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group fixed-size uniform sample (reservoir-sampling
+    semantics, k=3 per segment) the deterministic distributed way:
+    rank rows inside each group by their md5 hash — a uniform random
+    permutation that every executor computes identically — and keep
+    the k smallest. No RNG state, no sequential reservoir, same
+    sample at any parallelism, and incremental loads can re-derive
+    membership (a row's hash never changes). The eval-set/spot-check
+    sampler for grouped data at scale; per-group k generalizes via a
+    broadcast dim exactly like `sample_stratified`'s rates."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
