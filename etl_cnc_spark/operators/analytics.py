@@ -442,3 +442,60 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"n_{t}") == 0, 0.0).otherwise(-p * F.log(p))
         expr = term if expr is None else expr + term
     return cnt.select("user_id", "n_all", q4(expr).alias("entropy"))
+
+
+@register(
+    "events_pareto",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), ranked AS (
+        SELECT user_id, cents,
+               CAST(row_number() OVER (ORDER BY cents DESC, user_id)
+                    AS BIGINT) AS rk,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_cents,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+        FROM per_user
+    )
+    SELECT user_id, cents, rk, running_cents
+    FROM ranked
+    WHERE running_cents - cents < CAST(0.8 * total_cents AS BIGINT) + 1
+    """,
+)
+def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: the smallest prefix of top-revenue
+    users covering 80% of purchase value — rank by contribution,
+    running integer-cent sum, cut where the PRIOR prefix already
+    reached the threshold (so the emitted set is exactly the minimal
+    cover). All-integer running sums make the cutoff exact at any
+    partitioning. The global-order window runs over the AGGREGATED
+    per-user table (|users| rows), not raw events — at 100 TB the
+    expensive order-by sees the small rollup, and range-partitioned
+    prefix sums remove even that if |users| explodes."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_ord = Window.orderBy(F.col("cents").desc(), "user_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "user_id",
+        "cents",
+        F.row_number().over(w_ord).cast("long").alias("rk"),
+        F.sum("cents").over(w_run).cast("long").alias("running_cents"),
+        F.sum("cents").over(w_all).cast("long").alias("total_cents"),
+    )
+    return ranked.where(
+        F.col("running_cents") - F.col("cents")
+        < (0.8 * F.col("total_cents")).cast("long") + 1
+    ).select("user_id", "cents", "rk", "running_cents")

@@ -245,3 +245,38 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(100.0)
     )
     return e.select("user_id", "event_id", tr.alias("trailing_1h_value"))
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS types_seen
+    FROM events WHERE user_id < 30
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per key over event time ("how many
+    distinct actions has this user taken so far") — Spark windows
+    reject DISTINCT aggregates, so the idiomatic form is
+    size(collect_set(...)) over the running frame: the set dedups
+    incrementally, giving the same result with bounded per-row state
+    (≤ |type domain|). For high-cardinality distincts swap the set
+    for an HLL sketch column (agg_hll_merge machinery) — same window
+    shape, fixed state."""
+    e = table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("types_seen"),
+    )
