@@ -499,3 +499,137 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("running_cents") - F.col("cents")
         < (0.8 * F.col("total_cents")).cast("long") + 1
     ).select("user_id", "cents", "rk", "running_cents")
+
+
+@register(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS d
+        FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY d)
+                        AS BIGINT) AS island
+        FROM days
+    ), streaks AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    canonical gaps-and-islands: distinct active days, then
+    (day − dense_rank(day)) is constant exactly within a
+    consecutive run, so islands fall out of one window + one
+    groupBy. Day numbers are integers, so every step is exact.
+    The window partitions by user (no global order), making this
+    embarrassingly parallel across the user dimension at any
+    scale."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        (F.col("d") - F.dense_rank().over(w).cast("long")).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS baskets FROM ob),
+    brand_n AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS co
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b, p.co,
+           {sql_q4("CAST(p.co AS DOUBLE) * n.baskets"
+                   " / (CAST(x.cnt AS DOUBLE) * y.cnt)")} AS lift
+    FROM pairs p
+    JOIN brand_n x ON x.brand = p.brand_a
+    JOIN brand_n y ON y.brand = p.brand_b
+    CROSS JOIN n
+    WHERE p.co >= 20
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (association-rule mining core): brand
+    pairs co-occurring in the same order, with lift =
+    P(a,b)/(P(a)·P(b)). The a<b ordered self-join of the DISTINCT
+    (basket, item) table is the scale-critical move — pair fan-out is
+    per-basket C(k,2) on deduped items, not raw line items; the
+    min-support filter (co ≥ 20) is pushed to the pair aggregate, the
+    same pruning Apriori's first pass performs. Lift's float division
+    mirrors the oracle's association order exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.select(F.countDistinct("ok").alias("baskets"))
+    brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 20)
+    )
+    x = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    y = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(x), "brand_a")
+        .join(F.broadcast(y), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "co",
+            q4(
+                F.col("co").cast("double")
+                * F.col("baskets")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+    )
