@@ -495,3 +495,47 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_id").alias("eval_docs_hit"),
         )
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, md5(text) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) * 1000000
+                   - doc_id AS pref
+        FROM documents
+    ), winners AS (
+        SELECT h, CAST(max(pref) AS BIGINT) AS best FROM scored GROUP BY h
+    )
+    SELECT s.doc_id, s.h AS content_md5
+    FROM scored s JOIN winners w ON s.h = w.h AND s.pref = w.best
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: among identical texts keep the
+    BEST copy, not an arbitrary or min-id one — curation pipelines
+    rank duplicates by a quality signal (here token count, the
+    richer-metadata copy) before discarding. Implemented as max_by
+    over a composite integer preference (quality*1e6 − doc_id, the
+    deterministic-tiebreak encoding used by agg_mode): one groupBy
+    over digests, so the shuffle carries 16-byte hashes + one
+    preference long per row regardless of document size."""
+    d = table(spark, sf_dir, "documents")
+    pref = (
+        F.size(F.split("text", " ")).cast("long") * 1000000
+        - F.col("doc_id")
+    )
+    scored = d.select(
+        "doc_id", F.md5("text").alias("h"), pref.alias("pref")
+    )
+    winners = scored.groupBy("h").agg(F.max("pref").alias("best"))
+    return (
+        scored.alias("s")
+        .join(
+            winners.alias("w"),
+            (F.col("s.h") == F.col("w.h"))
+            & (F.col("s.pref") == F.col("w.best")),
+        )
+        .select("s.doc_id", F.col("s.h").alias("content_md5"))
+    )

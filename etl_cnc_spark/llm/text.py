@@ -596,3 +596,69 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("w", F.col("start"), CHUNK))
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS g
+      FROM toks
+    ), gcount AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count_if(c.n = 1) AS BIGINT) AS unique_grams
+      FROM grams d JOIN gcount c ON d.g = c.g
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_grams, unique_grams,
+           {sql_q4("CAST(unique_grams AS DOUBLE) / n_grams")} AS novelty
+    FROM per_doc
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's word trigrams
+    that occur NOWHERE else in the corpus — low novelty flags
+    boilerplate/template documents (their n-grams repeat corpus-wide),
+    high novelty marks genuinely fresh text; the complement of the
+    duplication signal and a standard curation feature next to
+    quality and LM scores. Corpus trigram counts aggregate once and
+    join back to the exploded grams (broadcast while the gram table
+    is bounded; plain shuffle join beyond); counts are exact ints so
+    only the final ratio is float (one division, quantized)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', element_at(w, i),"
+                " element_at(w, i + 1), element_at(w, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    gcount = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        grams.join(F.broadcast(gcount), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("unique_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "unique_grams",
+        q4(F.col("unique_grams").cast("double") / F.col("n_grams")).alias(
+            "novelty"
+        ),
+    )
