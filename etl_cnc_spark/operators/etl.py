@@ -763,3 +763,74 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "etl_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey AS custkey, o_orderkey AS version_key,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), probes AS (
+        SELECT o_custkey AS custkey, o_orderkey AS probe_id,
+               o_orderdate + INTERVAL 30 DAY AS probe_ts
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT p.probe_id, p.custkey, epoch_us(p.probe_ts) AS probe_us,
+           d.version_key, epoch_us(d.valid_from) AS valid_from_us
+    FROM probes p JOIN dim d
+      ON p.custkey = d.custkey
+     AND d.valid_from <= p.probe_ts
+     AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+    """,
+)
+def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension — the other
+    half of effective-dating: given (key, timestamp) probes, find
+    THE version whose [valid_from, valid_to) contains the instant.
+    Equi-join on the dimension key + interval containment filter:
+    the range predicate rides on a hash join (never a theta join),
+    and each probe matches exactly one version by construction —
+    the half-open intervals tile the timeline. This is how every
+    fact-table load resolves 'which customer state was true when
+    this happened'; at 100 TB bucket both sides on the key and the
+    lookup is shuffle-free."""
+    dim_w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    o = table(spark, sf_dir, "orders")
+    dim = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(dim_w).alias("valid_to"),
+    )
+    probes = o.where(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("probe_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("probe_ts"),
+    )
+    p, d = probes.alias("p"), dim.alias("d")
+    return (
+        p.join(
+            d,
+            (F.col("p.custkey") == F.col("d.custkey"))
+            & (F.col("d.valid_from") <= F.col("p.probe_ts"))
+            & (
+                F.col("d.valid_to").isNull()
+                | (F.col("p.probe_ts") < F.col("d.valid_to"))
+            ),
+        )
+        .select(
+            "p.probe_id",
+            "p.custkey",
+            F.unix_micros(F.col("p.probe_ts").cast("timestamp"))
+            .alias("probe_us"),
+            "d.version_key",
+            F.unix_micros(F.col("d.valid_from").cast("timestamp"))
+            .alias("valid_from_us"),
+        )
+    )
