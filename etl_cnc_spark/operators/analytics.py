@@ -633,3 +633,79 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS now FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(max(ts) AS DATE),
+                    CAST((SELECT now FROM mx) AS DATE)) AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS monetary_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(100 * ntile(5) OVER (ORDER BY recency_days, user_id)
+              + 10 * ntile(5) OVER (ORDER BY frequency DESC, user_id)
+              + ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)
+              AS BIGINT) AS rfm_code
+    FROM base
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the
+    classic customer-value scoring: per-user recency in days from
+    the corpus high-water mark, activity count, integer-cent
+    purchase value, each quintiled with ntile(5) (user_id tiebreak
+    for determinism) and packed into a 3-digit segment code. One
+    aggregate pass + three rank windows over the |users| rollup —
+    the global windows see the small table, the raw events only one
+    groupBy; same pattern as events_pareto for the scale path."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now"))
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("now").cast("date"), F.col("last_ts").cast("date"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    w_r = Window.orderBy("recency_days", "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (
+            100 * F.ntile(5).over(w_r)
+            + 10 * F.ntile(5).over(w_f)
+            + F.ntile(5).over(w_m)
+        )
+        .cast("long")
+        .alias("rfm_code"),
+    )

@@ -280,3 +280,40 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("types_seen"),
     )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           median(l_quantity) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med3
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (robust local smoother — the outlier-proof
+    alternative to win_moving's mean): Spark windows have no median
+    aggregate, so the idiomatic form collects the frame into an
+    array, sorts, and interpolates the middle — O(frame log frame)
+    per row with a tiny bounded frame (3 here), which is exactly
+    where exact medians are affordable; for wide frames switch to
+    approx_percentile's sketch. Quantities are half-integer-exact,
+    so the even-count interpolation matches DuckDB's median()
+    bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col("l_quantity")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((lo + hi) / 2).alias("med3"),
+    )
