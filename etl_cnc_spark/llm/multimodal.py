@@ -191,3 +191,52 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-local expansion — no shuffle, scales with the corpus."""
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
     return p.mapInPandas(_frame_sample_batches, _FRAME_SCHEMA)
+
+
+SHARD_SIZE = 64  # documents per training shard
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle=f"""
+    SELECT CAST(doc_id // {SHARD_SIZE} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes_approx,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS member_digest
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (webdataset/tar-shard layout prep):
+    documents assign to fixed-size shards by id range, and the
+    manifest records per-shard cardinality, approximate byte load,
+    id bounds, and an order-insensitive-storage-but-order-exact
+    membership digest (md5 over the sorted member list) — what a
+    dataloader needs to plan epochs and what an integrity check
+    diffs after a rewrite. Id-range sharding keeps assignment
+    deterministic and join-free; byte-balanced sharding would swap
+    the DIV for a running-sum cut like events_pareto's."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.expr(f"doc_id DIV {SHARD_SIZE}").cast("long").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("bytes_approx"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("member_digest"),
+        )
+    )

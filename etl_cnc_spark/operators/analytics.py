@@ -709,3 +709,50 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm_code"),
     )
+
+
+@register(
+    "events_forecast_baseline",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), dow AS (
+        SELECT dayofweek(d) AS dw, event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS total
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT CAST(dw AS BIGINT) AS dow, event_type, n_days, total,
+           {sql_q4("CAST(total AS DOUBLE) / n_days")} AS forecast
+    FROM dow
+    """,
+)
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline: expected event volume per
+    (day-of-week, type) = mean of observed daily counts for that
+    weekday — the baseline every real forecast must beat, and the
+    capacity-planning number ops teams actually use. Two integer
+    rollups (daily, then weekday) with one final division; the
+    second tier re-aggregates the first (mergeable counts), same
+    cascade shape as agg_rollup_cascade. DuckDB's dayofweek is
+    0=Sunday; Spark's dayofweek is 1=Sunday — aligned by
+    (dayofweek - 1)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dow = daily.groupBy(
+        (F.dayofweek("d") - 1).cast("long").alias("dow"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    return dow.select(
+        "dow",
+        "event_type",
+        "n_days",
+        "total",
+        q4(F.col("total").cast("double") / F.col("n_days")).alias("forecast"),
+    )

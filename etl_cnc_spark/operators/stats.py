@@ -186,3 +186,64 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(m3 / F.pow(m2, 1.5)).alias("skewness"),
         q4(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "agg_corr_exact",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sx,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS sxy,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sxx,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {sql_q4("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+                   " * CAST(sy AS DOUBLE) / n)"
+                   " / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+                   " * CAST(sx AS DOUBLE) / n)"
+                   " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+                   " * CAST(sy AS DOUBLE) / n))")} AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact wide-integer co-moment sums —
+    the distributed-exact sibling of agg_moments: Σx, Σy, Σxy, Σx²,
+    Σy² accumulate as 128-bit integers (quantity is integer-valued,
+    price quantized to cents; cents² sums overflow 64-bit at sf0.1,
+    hence DECIMAL(38,0) accumulators — Spark's sum over decimal and
+    DuckDB's HUGEINT sum are both exact), then one fixed-order
+    double formula. Engine-native corr() uses running float updates
+    whose summation order is partition-dependent; this formulation
+    is bit-stable at any parallelism AND mergeable (the five sums
+    are the partial state)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
+    )
+    n = F.col("n")
+    fx = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = fx("sxy") - fx("sx") * fx("sy") / n
+    vx = fx("sxx") - fx("sx") * fx("sx") / n
+    vy = fx("syy") - fx("sy") * fx("sy") / n
+    return s.select(
+        "l_returnflag", "n", q4(cov / F.sqrt(vx * vy)).alias("corr_qty_price")
+    )
