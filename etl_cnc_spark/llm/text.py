@@ -662,3 +662,73 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+@register(
+    "pipeline_rag_corpus",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, md5(text) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+    ), winners AS (
+        SELECT h, max(toks * 1000000 - doc_id) AS best FROM kept GROUP BY h
+    ), final AS (
+        SELECT k.doc_id, k.toks FROM kept k
+        JOIN winners w ON k.h = w.h
+                      AND k.toks * 1000000 - k.doc_id = w.best
+    ), chunked AS (
+        SELECT doc_id, toks,
+               CAST(greatest((toks - {CHUNK}) // {STRIDE}, 0)
+                    + 1 AS BIGINT) AS n_chunks
+        FROM final
+    )
+    SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS chunks
+    FROM chunked GROUP BY 1
+    """,
+)
+def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone RAG-corpus materialization: quality gate → quality-
+    aware exact dedup (keep the longest duplicate) → chunk-count
+    accounting ({CHUNK}-token windows, {STRIDE} stride — closed form,
+    no explode needed for planning) → shard rollup. The manifest a
+    retrieval stack needs before embedding: per shard, how many docs,
+    tokens, and chunks are coming. Composes the session's curation
+    operators end to end in three strictly-shrinking shuffles
+    (digest dedup → per-doc arithmetic → |shards| rollup)."""
+    d = table(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    ).where(F.col("toks") >= MIN_TOKENS)
+    pref = F.col("toks") * 1000000 - F.col("doc_id")
+    winners = kept.select("h", pref.alias("pref")).groupBy("h").agg(
+        F.max("pref").alias("best")
+    )
+    final = (
+        kept.alias("k")
+        .join(
+            winners.alias("w"),
+            (F.col("k.h") == F.col("w.h"))
+            & (
+                F.col("k.toks") * 1000000 - F.col("k.doc_id")
+                == F.col("w.best")
+            ),
+        )
+        .select("k.doc_id", "k.toks")
+    )
+    n_chunks = (
+        F.greatest(F.floor((F.col("toks") - CHUNK) / STRIDE), F.lit(0)) + 1
+    ).cast("long")
+    chunked = final.select("doc_id", "toks", n_chunks.alias("n_chunks"))
+    return chunked.groupBy(
+        F.expr("doc_id DIV 64").cast("long").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("tokens"),
+        F.sum("n_chunks").cast("long").alias("chunks"),
+    )

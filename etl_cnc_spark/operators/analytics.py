@@ -756,3 +756,80 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         q4(F.col("total").cast("double") / F.col("n_days")).alias("forecast"),
     )
+
+
+@register(
+    "events_ab_test",
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CAST(count(*) AS BIGINT) AS trials,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ), cohort AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS users,
+               CAST(SUM(trials) AS BIGINT) AS trials,
+               CAST(SUM(conv) AS BIGINT) AS conv
+        FROM assign GROUP BY grp
+    ), wide AS (
+        SELECT
+            (SELECT trials FROM cohort WHERE grp = 0) AS n_a,
+            (SELECT conv FROM cohort WHERE grp = 0) AS c_a,
+            (SELECT trials FROM cohort WHERE grp = 1) AS n_b,
+            (SELECT conv FROM cohort WHERE grp = 1) AS c_b
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           {sql_q4("CAST(c_a AS DOUBLE) / n_a * 10000")} AS rate_a_bp,
+           {sql_q4("CAST(c_b AS DOUBLE) / n_b * 10000")} AS rate_b_bp,
+           {sql_q4("(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)"
+                   " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+                   " * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+                   " * (1.0 / n_a + 1.0 / n_b))")} AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation-platform readout:
+    users split into cohorts (even/odd id stands in for the bucketing
+    hash), per-cohort purchase conversion, pooled-variance z-score
+    for the rate difference. Everything reduces to FOUR integers
+    (trials and conversions per arm), so the sufficient statistics
+    shuffle as two rows regardless of event volume, and the test
+    statistic is one fixed-order double expression — the pattern for
+    any metric that admits count-sufficient statistics."""
+    e = table(spark, sf_dir, "events")
+    cohort = (
+        e.groupBy((F.col("user_id") % 2).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("trials"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    a = cohort.where(F.col("grp") == 0).select(
+        F.col("trials").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = cohort.where(F.col("grp") == 1).select(
+        F.col("trials").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    wide = a.crossJoin(b)
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rb - ra) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        q4(ra * 10000).alias("rate_a_bp"),
+        q4(rb * 10000).alias("rate_b_bp"),
+        q4(z).alias("z_score"),
+    )

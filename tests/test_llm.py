@@ -203,3 +203,26 @@ def test_training_mix_shares(spark, sf_dir):
     n = len(rows)
     for r in rows:
         assert abs(r["upsample"] * r["share"] - 1.0 / n) < 1e-2
+
+
+def test_rag_chunk_counts_match_explode(spark, sf_dir):
+    """pipeline_rag_corpus's closed-form chunk arithmetic must equal
+    the actual exploded chunk rows of text_chunk_windows per doc."""
+    from etl_cnc_spark.llm.text import CHUNK, MIN_TOKENS, STRIDE  # noqa: F401
+
+    from etl_cnc_spark.catalog import table
+
+    exploded = (
+        REGISTRY["text_chunk_windows"]
+        .build(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exploded"))
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("toks")
+    )
+    import math
+
+    for r in d.join(exploded, "doc_id").collect():
+        want = max(math.floor((r["toks"] - CHUNK) / STRIDE), 0) + 1
+        assert r["n_exploded"] == want, (r["doc_id"], r["toks"])
