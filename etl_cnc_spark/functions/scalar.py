@@ -800,3 +800,45 @@ def fn_mask_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             digitChar=F.lit("*"),
         ).alias("masked_digits"),
     )
+
+
+@register(
+    "fn_struct_surgery",
+    oracle="""
+    SELECT event_id,
+           event_type AS meta_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS meta_cents,
+           user_id % 8 AS meta_shard
+    FROM events WHERE event_id < 1500
+    """,
+)
+def fn_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surgery without rebuild (Spark 3.1+
+    withField/dropFields): add a computed field into an existing
+    struct and drop another IN PLACE — on deeply nested telemetry
+    schemas this is the difference between a two-line amendment and
+    reconstructing the whole struct tree (error-prone and
+    pruning-hostile). The final flatten proves the surgery: the
+    dropped field is gone, the added fields carry computed values."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 1500)
+    nested = e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.col("value").alias("raw_value"),
+            F.col("user_id").alias("uid"),
+        ).alias("meta"),
+    )
+    operated = nested.withColumn(
+        "meta",
+        F.col("meta")
+        .withField("cents", F.floor(F.col("meta.raw_value") * 100 + 0.5))
+        .withField("shard", F.col("meta.uid") % 8)
+        .dropFields("raw_value", "uid"),
+    )
+    return operated.select(
+        "event_id",
+        F.col("meta.type").alias("meta_type"),
+        F.col("meta.cents").cast("long").alias("meta_cents"),
+        F.col("meta.shard").alias("meta_shard"),
+    )
