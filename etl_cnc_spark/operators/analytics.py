@@ -833,3 +833,126 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(rb * 10000).alias("rate_b_bp"),
         q4(z).alias("z_score"),
     )
+
+
+@register(
+    "events_survival",
+    oracle=f"""
+    WITH span AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(min(ts) AS DATE),
+                              CAST(max(ts) AS DATE)) AS BIGINT) AS life_days
+        FROM events GROUP BY user_id
+    ), horizon(t) AS (
+        SELECT unnest(range(0, 15))
+    )
+    SELECT CAST(h.t AS BIGINT) AS t_days,
+           CAST(count_if(s.life_days >= h.t) AS BIGINT) AS surviving,
+           CAST(count(*) AS BIGINT) AS cohort,
+           {sql_q4("CAST(count_if(s.life_days >= h.t) AS DOUBLE)"
+                   " / count(*)")} AS survival
+    FROM horizon h CROSS JOIN span s
+    GROUP BY h.t
+    """,
+)
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort survival curve S(t): fraction of users whose activity
+    lifespan (first→last event) reaches t days, for t = 0..14 — the
+    retention-decay readout behind every growth dashboard. The
+    per-user lifespan table (|users| rows, one aggregate over raw
+    events) cross-joins a 15-row horizon axis — the cross join is
+    axis × rollup, never axis × events, so the quadratic term is
+    15·|users|; counts are exact and only the final ratio is
+    float."""
+    e = table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+        .cast("long")
+        .alias("life_days")
+    )
+    horizon = spark.range(0, 15).select(F.col("id").alias("t"))
+    return (
+        F.broadcast(horizon)
+        .crossJoin(span)
+        .groupBy(F.col("t").cast("long").alias("t_days"))
+        .agg(
+            F.sum(F.when(F.col("life_days") >= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("surviving"),
+            F.count(F.lit(1)).alias("cohort"),
+        )
+        .select(
+            "t_days",
+            "surviving",
+            "cohort",
+            q4(
+                F.col("surviving").cast("double") / F.col("cohort")
+            ).alias("survival"),
+        )
+    )
+
+
+@register(
+    "events_gini",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, user_id)
+                    AS BIGINT) AS rk
+        FROM per_user
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total,
+               SUM(rk * cents) AS weighted
+        FROM ranked
+    )
+    SELECT n, total,
+           {sql_q4("(2.0 * CAST(weighted AS DOUBLE)"
+                   " - (n + 1.0) * CAST(total AS DOUBLE))"
+                   " / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))")}
+               AS gini
+    FROM s
+    """,
+)
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase value — the
+    concentration metric behind 'whales vs long tail' revenue
+    analysis (0 = uniform, →1 = one user is everything), via the
+    rank formulation G = (2Σ(i·xᵢ) − (n+1)Σx)/(nΣx) over
+    ascending-sorted integer cents: every sum is an exact integer
+    (rk·cents fits comfortably in 64/128-bit), one double formula at
+    the end. The global sort ranks the |users| rollup, not raw
+    events — the same rollup-first discipline as events_pareto."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "user_id")
+    ranked = per_user.select(
+        "cents", F.row_number().over(w).cast("long").alias("rk")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias(
+            "weighted"
+        ),
+    )
+    gini = (
+        2.0 * F.col("weighted").cast("double")
+        - (F.col("n") + 1.0) * F.col("total").cast("double")
+    ) / (F.col("n").cast("double") * F.col("total").cast("double"))
+    return s.select("n", "total", q4(gini).alias("gini"))
