@@ -956,3 +956,119 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("n") + 1.0) * F.col("total").cast("double")
     ) / (F.col("n").cast("double") * F.col("total").cast("double"))
     return s.select("n", "total", q4(gini).alias("gini"))
+
+
+CUSUM_K = 350  # slack (events/day); fixture averages ~330/day at sf0.01
+
+
+@register(
+    "events_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), mx AS (SELECT max(d) AS last FROM daily),
+    walk AS (
+        WITH RECURSIVE r(d, s, peak) AS (
+            SELECT CAST(0 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                   (SELECT n FROM daily WHERE d = 0) - {CUSUM_K}),
+                   greatest(CAST(0 AS BIGINT),
+                   (SELECT n FROM daily WHERE d = 0) - {CUSUM_K})
+            UNION ALL
+            SELECT r.d + 1,
+                   greatest(CAST(0 AS BIGINT), r.s
+                       + COALESCE((SELECT n FROM daily
+                                   WHERE daily.d = r.d + 1), 0)
+                       - {CUSUM_K}),
+                   greatest(r.peak, greatest(CAST(0 AS BIGINT), r.s
+                       + COALESCE((SELECT n FROM daily
+                                   WHERE daily.d = r.d + 1), 0)
+                       - {CUSUM_K}))
+            FROM r WHERE r.d < (SELECT last FROM mx)
+        )
+        SELECT * FROM r
+    )
+    SELECT d AS day_idx, s AS cusum, peak AS peak_cusum FROM walk
+    """,
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over daily event volume: the classic
+    one-sided cumulative-sum statistic s_t = max(0, s_{t-1} + x_t − k)
+    with its running peak — an inherently SEQUENTIAL recurrence that
+    windows cannot express. The distributed form: reduce raw events
+    to the tiny daily series, assemble the dense series as a sorted
+    array (map_from_entries fills gaps with 0), and run ONE
+    `aggregate` fold with a struct accumulator — per-series state
+    walks executor-side, no driver loop; thousands of independent
+    series would fold in parallel, one per row. All-integer
+    arithmetic keeps the fold exactly reproducible; the oracle walks
+    the same recurrence with a RECURSIVE CTE."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("d", "n")))
+        ).alias("m"),
+        F.max("d").alias("last"),
+    )
+    # dense series 0..last, gaps as 0; then the CUSUM left fold
+    folded = series.select(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("last")),
+                lambda d: F.coalesce(
+                    F.element_at(F.col("m"), d), F.lit(0).cast("long")
+                ),
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(0).cast("long").alias("peak"),
+                F.array().cast("array<struct<s:bigint,peak:bigint>>")
+                .alias("hist"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(
+                    F.lit(0).cast("long"), acc["s"] + x - CUSUM_K
+                ).alias("s"),
+                F.greatest(
+                    acc["peak"],
+                    F.greatest(
+                        F.lit(0).cast("long"), acc["s"] + x - CUSUM_K
+                    ),
+                ).alias("peak"),
+                F.concat(
+                    acc["hist"],
+                    F.array(
+                        F.struct(
+                            F.greatest(
+                                F.lit(0).cast("long"),
+                                acc["s"] + x - CUSUM_K,
+                            ).alias("s"),
+                            F.greatest(
+                                acc["peak"],
+                                F.greatest(
+                                    F.lit(0).cast("long"),
+                                    acc["s"] + x - CUSUM_K,
+                                ),
+                            ).alias("peak"),
+                        )
+                    ),
+                ).alias("hist"),
+            ),
+        ).alias("acc")
+    )
+    return folded.select(
+        F.posexplode(F.col("acc.hist")).alias("day_idx", "sp")
+    ).select(
+        F.col("day_idx").cast("long"),
+        F.col("sp.s").alias("cusum"),
+        F.col("sp.peak").alias("peak_cusum"),
+    )
