@@ -595,3 +595,53 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist"),
         )
     )
+
+
+@register(
+    "join_nearest_time",
+    oracle="""
+    WITH pairs AS (
+        SELECT e.event_id, e.user_id,
+               abs(epoch_us(e.ts) // 1000000
+                   - epoch_us(o.o_orderdate) // 1000000) AS du,
+               o.o_orderkey
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        WHERE e.event_id % 20 = 0
+    )
+    SELECT event_id, user_id,
+           CAST(min(du) AS BIGINT) AS nearest_s,
+           CAST(min_by(o_orderkey, du * 10000000 + o_orderkey) AS BIGINT)
+               AS nearest_orderkey
+    FROM pairs GROUP BY event_id, user_id
+    """,
+)
+def join_nearest_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-timestamp join (bidirectional as-of): each probe event
+    matches its temporally CLOSEST order by the same customer —
+    forward or backward, unlike join_asof's one-sided semantics;
+    the sensor-fusion / record-linkage alignment primitive. Equi-join
+    on the entity key bounds candidates to the key's own records,
+    then min_by on a composite (distance, key) integer picks the
+    winner deterministically. At scale the union-of-two-asof-scans
+    formulation (one sort, two windows) replaces the per-key
+    aggregate when per-entity record counts are large."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    o = table(spark, sf_dir, "orders")
+    pairs = e.join(o, e.user_id == o.o_custkey).select(
+        "event_id",
+        "user_id",
+        F.abs(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+            - F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                     " DIV 1000000")
+        ).alias("du"),
+        "o_orderkey",
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.min("du").cast("long").alias("nearest_s"),
+        F.min_by(
+            "o_orderkey", F.col("du") * 10000000 + F.col("o_orderkey")
+        )
+        .cast("long")
+        .alias("nearest_orderkey"),
+    )
