@@ -35,6 +35,39 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# SURVEY.md §2 contract keys, ordered so they register AHEAD of the
+# extra (beyond-contract) keys.  The driver's correctness sweep checks
+# a bounded prefix of the registry (50 keys in round 1), so ordering is
+# evidence: within the contract set, the keys the round-1 driver did
+# NOT reach come first (in §2 order), followed by the keys that already
+# have a green round-1 driver row.  Extras keep registration order
+# after these.
+CONTRACT_PRIORITY: list[str] = [
+    # -- §2 keys without a driver correctness row in round 1 --
+    "source_stream_files", "sink_stream", "agg_pivot", "win_ranking",
+    "win_lag_lead", "win_running", "win_moving", "win_first_last",
+    "win_pct", "topk_per_group", "sort_multi", "limit_k", "topk_global",
+    "set_union_all", "set_union", "set_intersect", "set_except",
+    "fn_string", "fn_regex", "fn_datetime", "fn_math", "fn_conditional",
+    "fn_cast", "fn_hash", "fn_array", "fn_map", "fn_json",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark", "stream_dedup", "stream_stateful", "stream_join",
+    "dedup_exact", "dedup_minhash", "sim_topk_exact", "sim_ann_lsh",
+    "text_stats", "text_tfidf", "text_lang_profile", "multimodal_cols",
+    "udf_python", "udf_pandas_scalar", "udaf_pandas_agg",
+    "udtf_grouped_map", "udtf_python", "udf_arrow_batch",
+    # -- §2 keys already driver-green in round 1 --
+    "scan_parquet", "scan_parquet_pruned", "source_csv", "source_json",
+    "sink_parquet", "sink_csv_json", "project_cols", "project_expr",
+    "filter_simple", "filter_compound", "filter_null", "distinct_rows",
+    "filter_subquery", "join_inner", "join_left", "join_right",
+    "join_full", "join_semi", "join_anti", "join_cross", "join_broadcast",
+    "join_range", "join_asof", "join_multiway", "join_skew_salted",
+    "agg_global", "agg_groupby", "agg_having", "agg_count_distinct",
+    "agg_approx_distinct", "agg_stats", "agg_collect", "agg_rollup",
+    "agg_cube", "agg_grouping_sets",
+]
+
 # Modules that register queries (imported for side effects by load_all).
 _OP_MODULES = [
     "etl_cnc_spark.sources.scans",
@@ -93,13 +126,15 @@ def load_all() -> dict[str, QueryDef]:
     global _loaded
     if not _loaded:
         for mod in _OP_MODULES:
-            try:
-                importlib.import_module(mod)
-            except ModuleNotFoundError as e:
-                # Modules are added incrementally during the build; a
-                # missing module is fine as long as its keys aren't
-                # declared anywhere yet.
-                if mod not in str(e):
-                    raise
+            # A missing operator module means silent coverage loss —
+            # always raise so the registry can never shrink unnoticed.
+            importlib.import_module(mod)
+        missing = [k for k in CONTRACT_PRIORITY if k not in REGISTRY]
+        if missing:
+            raise RuntimeError(f"contract keys not registered: {missing}")
+        ordered = {k: REGISTRY.pop(k) for k in CONTRACT_PRIORITY}
+        ordered.update(REGISTRY)
+        REGISTRY.clear()
+        REGISTRY.update(ordered)
         _loaded = True
     return REGISTRY
