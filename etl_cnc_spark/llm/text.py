@@ -383,10 +383,14 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sh.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
     # partition top-k + driver merge), THEN rank the surviving 50
-    # rows - the global row_number window never sees the full vocab.
+    # rows with the range-partitioned parallel rank helper — the
+    # full vocab never meets any global ordering stage.
+    from ..operators.prefix import global_ordered
+
     top = counts.orderBy(F.col("n").desc(), "bg").limit(50)
-    wr = Window.orderBy(F.col("n").desc(), "bg")
-    return top.withColumn("rn", F.row_number().over(wr).cast("long"))
+    return global_ordered(
+        top, [F.col("n").desc(), F.col("bg")], rank_col="rn"
+    )
 
 
 @register(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 from ..utils import q4, sql_q4
+from .prefix import global_ordered, ntile_from_rank
 
 
 @register(
@@ -352,13 +353,14 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-minute presence window; +1/-1 boundary deltas sorted by time
     and run-summed give the number of simultaneously-active sessions
     at every boundary — the classic max-concurrent-users /
-    room-occupancy sweep-line, as one union + one running-sum window.
+    room-occupancy sweep-line, as one union + one running sum.
 
-    The global ORDER BY window is the scale limiter (single ordered
-    partition): at 100 TB, range-partition by time and carry per-
-    partition offsets (prefix sums of partition totals) — same
-    algebra, one extra tiny pass; ties break by (delta, event_id) so
-    ends sort before starts at equal instants deterministically."""
+    The running sum is computed with ``global_ordered`` — time-range
+    partitioning + per-partition prefix sums + a broadcast offset
+    merge — so the sweep runs in parallel over every time bucket; no
+    single-partition global window anywhere.  Ties break by
+    (delta, event_id) so ends sort before starts at equal instants
+    deterministically."""
     e = table(spark, sf_dir, "events")
     bounds = e.select(
         F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
@@ -369,12 +371,11 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
-    w = (
-        Window.orderBy("t", "delta", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = bounds.withColumn(
-        "concurrent", F.sum("delta").over(w).cast("long")
+    running = global_ordered(
+        bounds,
+        [F.col("t"), F.col("delta"), F.col("event_id")],
+        sums={"delta": "concurrent"},
+        rank_col=None,
     )
     return running.where(F.col("event_id") % 50 == 0).select(
         F.unix_micros(F.col("t").cast("timestamp")).alias("t_us"),
@@ -473,10 +474,10 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     running integer-cent sum, cut where the PRIOR prefix already
     reached the threshold (so the emitted set is exactly the minimal
     cover). All-integer running sums make the cutoff exact at any
-    partitioning. The global-order window runs over the AGGREGATED
-    per-user table (|users| rows), not raw events — at 100 TB the
-    expensive order-by sees the small rollup, and range-partitioned
-    prefix sums remove even that if |users| explodes."""
+    partitioning. Rank + running sum come from ``global_ordered``
+    (range-partitioned prefix sums over the |users| rollup, never a
+    single-partition window), and the grand total is a broadcast
+    single-row aggregate — every stage parallel at 100 TB."""
     e = table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
@@ -485,16 +486,14 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    w_ord = Window.orderBy(F.col("cents").desc(), "user_id")
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "user_id",
-        "cents",
-        F.row_number().over(w_ord).cast("long").alias("rk"),
-        F.sum("cents").over(w_run).cast("long").alias("running_cents"),
-        F.sum("cents").over(w_all).cast("long").alias("total_cents"),
+    total = per_user.agg(
+        F.sum("cents").cast("long").alias("total_cents")
     )
+    ranked = global_ordered(
+        per_user,
+        [F.col("cents").desc(), F.col("user_id")],
+        sums={"cents": "running_cents"},
+    ).crossJoin(F.broadcast(total))
     return ranked.where(
         F.col("running_cents") - F.col("cents")
         < (0.8 * F.col("total_cents")).cast("long") + 1
@@ -662,11 +661,13 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary) — the
     classic customer-value scoring: per-user recency in days from
     the corpus high-water mark, activity count, integer-cent
-    purchase value, each quintiled with ntile(5) (user_id tiebreak
-    for determinism) and packed into a 3-digit segment code. One
-    aggregate pass + three rank windows over the |users| rollup —
-    the global windows see the small table, the raw events only one
-    groupBy; same pattern as events_pareto for the scale path."""
+    purchase value, each quintiled (user_id tiebreak for
+    determinism) and packed into a 3-digit segment code. One
+    aggregate pass, then three range-partitioned global ranks
+    (``global_ordered`` — parallel prefix ranks, no single-partition
+    window) converted to exact ntile(5) buckets arithmetically from
+    (rank, n); the oracle keeps its ntile(5) formulation and the
+    hashes agree bit-for-bit."""
     e = table(spark, sf_dir, "events")
     mx = e.agg(F.max("ts").alias("now"))
     base = (
@@ -693,18 +694,30 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    w_r = Window.orderBy("recency_days", "user_id")
-    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
-    w_m = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
-    return base.select(
+    n_df = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = global_ordered(
+        base, [F.col("recency_days"), F.col("user_id")], rank_col="_rk_r"
+    )
+    ranked = global_ordered(
+        ranked,
+        [F.col("frequency").desc(), F.col("user_id")],
+        rank_col="_rk_f",
+    )
+    ranked = global_ordered(
+        ranked,
+        [F.col("monetary_cents").desc(), F.col("user_id")],
+        rank_col="_rk_m",
+    ).crossJoin(F.broadcast(n_df))
+    n = F.col("_n")
+    return ranked.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
         (
-            100 * F.ntile(5).over(w_r)
-            + 10 * F.ntile(5).over(w_f)
-            + F.ntile(5).over(w_m)
+            100 * ntile_from_rank(F.col("_rk_r"), n, 5)
+            + 10 * ntile_from_rank(F.col("_rk_f"), n, 5)
+            + ntile_from_rank(F.col("_rk_m"), n, 5)
         )
         .cast("long")
         .alias("rfm_code"),
@@ -927,8 +940,9 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank formulation G = (2Σ(i·xᵢ) − (n+1)Σx)/(nΣx) over
     ascending-sorted integer cents: every sum is an exact integer
     (rk·cents fits comfortably in 64/128-bit), one double formula at
-    the end. The global sort ranks the |users| rollup, not raw
-    events — the same rollup-first discipline as events_pareto."""
+    the end. Ranks come from ``global_ordered`` (range-partitioned
+    parallel prefix ranks over the |users| rollup — no
+    single-partition window), same discipline as events_pareto."""
     e = table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.sum(
@@ -940,10 +954,9 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "user_id")
-    ranked = per_user.select(
-        "cents", F.row_number().over(w).cast("long").alias("rk")
-    )
+    ranked = global_ordered(
+        per_user, [F.col("cents"), F.col("user_id")]
+    ).select("cents", "rk")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("total"),

@@ -133,13 +133,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pr")
             )
         )
-    from pyspark.sql import Window
+    # rank via range-partitioned parallel prefix rank — no
+    # single-partition window even for the final ordering
+    from .prefix import global_ordered
 
-    w = Window.orderBy(F.col("pr").desc(), "v")
-    return pr.select(
+    ranked = global_ordered(
+        pr, [F.col("pr").desc(), F.col("v")], rank_col="rank"
+    )
+    return ranked.select(
         F.col("v").alias("nationkey"),
         F.col("pr").alias("pr_fixed"),
-        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("rank"),
     )
 
 

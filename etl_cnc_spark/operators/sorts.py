@@ -9,12 +9,13 @@ never a full global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
 from ..utils import q2, sql_q2
+from .prefix import global_ordered, ntile_from_rank
 
 
 @register(
@@ -144,9 +145,13 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence: per-simulated-file min/max envelopes per dimension,
     which the test compares against the full domain width.
 
-    At 100 TB this is the layout step before `sink_parquet`
-    (sortWithinPartitions(z) + maxRecordsPerFile); bit-interleave is
-    pure JVM integer arithmetic, cost ~a sort."""
+    At 100 TB this is the layout step before `sink_parquet`:
+    repartitionByRange(z) + sortWithinPartitions(z) +
+    maxRecordsPerFile cuts the same envelopes while writing.  The
+    file_id labels here come from ``global_ordered`` (range-
+    partitioned parallel rank) + an exact arithmetic ntile — no
+    single-partition window; bit-interleave is pure JVM integer
+    arithmetic."""
     p = table(spark, sf_dir, "part")
     pts = p.select(
         "p_partkey",
@@ -156,9 +161,17 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     zed = pts.select(
         "p_partkey", "x", "y", _z_spark(F.col("x"), F.col("y")).alias("z")
     )
-    w = Window.orderBy("z", "p_partkey")
-    filed = zed.select(
-        "x", "y", F.ntile(_ZFILES).over(w).cast("long").alias("file_id")
+    n_df = zed.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    filed = (
+        global_ordered(zed, [F.col("z"), F.col("p_partkey")])
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "x",
+            "y",
+            ntile_from_rank(F.col("rk"), F.col("_n"), _ZFILES).alias(
+                "file_id"
+            ),
+        )
     )
     return filed.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n"),
