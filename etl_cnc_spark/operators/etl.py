@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import cents, q2, sql_q2
+from ..utils import cents, q2, sql_q2, tmpdir
 
 
 # ---------------------------------------------------------------- merge
@@ -224,8 +224,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate after the join still shuffles (on the small group key),
     which is the cheap part."""
     import re
-    import tempfile
-
+    
     tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
 
@@ -236,7 +235,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session's warehouse dir (defaults to the caller's cwd) is
         # not writable, and a fresh path can never collide with a
         # previous session's leftover managed-table location.
-        path = tempfile.mkdtemp(prefix=f"etlcnc_{name}_")
+        path = tmpdir(prefix=f"etlcnc_{name}_")
         df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
             "parquet"
         ).option("path", path).saveAsTable(name)

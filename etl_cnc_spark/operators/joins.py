@@ -610,7 +610,7 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id,
            CAST(min(du) AS BIGINT) AS nearest_s,
-           CAST(min_by(o_orderkey, du * 10000000 + o_orderkey) AS BIGINT)
+           CAST((min(struct_pack(du := du, k := o_orderkey))).k AS BIGINT)
                AS nearest_orderkey
     FROM pairs GROUP BY event_id, user_id
     """,
@@ -621,10 +621,12 @@ def join_nearest_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward or backward, unlike join_asof's one-sided semantics;
     the sensor-fusion / record-linkage alignment primitive. Equi-join
     on the entity key bounds candidates to the key's own records,
-    then min_by on a composite (distance, key) integer picks the
-    winner deterministically. At scale the union-of-two-asof-scans
-    formulation (one sort, two windows) replaces the per-key
-    aggregate when per-entity record counts are large."""
+    then min over a (distance, key) STRUCT — lexicographic struct
+    ordering is the overflow-free deterministic tie-break (a scaled
+    integer composite breaks once keys outgrow the scale factor).
+    At scale the union-of-two-asof-scans formulation (one sort, two
+    windows) replaces the per-key aggregate when per-entity record
+    counts are large."""
     e = table(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
     o = table(spark, sf_dir, "orders")
     pairs = e.join(o, e.user_id == o.o_custkey).select(
@@ -639,9 +641,8 @@ def join_nearest_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("event_id", "user_id").agg(
         F.min("du").cast("long").alias("nearest_s"),
-        F.min_by(
-            "o_orderkey", F.col("du") * 10000000 + F.col("o_orderkey")
-        )
+        F.min(F.struct(F.col("du"), F.col("o_orderkey")))
+        .getField("o_orderkey")
         .cast("long")
         .alias("nearest_orderkey"),
     )

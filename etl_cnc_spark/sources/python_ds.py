@@ -25,7 +25,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..registry import register
-from ..utils import q4, sql_q4
+from ..utils import q4, sql_q4, tmpdir
 
 N_SPLITS = 8
 ROWS_PER_SPLIT = 1000
@@ -173,12 +173,11 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial output). The key writes an aggregate through the custom
     sink, re-reads the published files, and hash-verifies content —
     proving the writer path end to end, not just that files appeared."""
-    import tempfile
-
+    
     from ..catalog import table as _table
 
     spark.dataSource.register(JsonLinesDataSource)
-    out = tempfile.mkdtemp(prefix="etlcnc_pyds_")
+    out = tmpdir(prefix="etlcnc_pyds_")
     agg = (
         _table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")

@@ -8,7 +8,6 @@ oracle can verify content, not just row counts.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -16,7 +15,7 @@ from pyspark.sql import types as T
 
 from ..catalog import table
 from ..registry import register
-from ..utils import ts_us
+from ..utils import ts_us, tmpdir
 
 NATION_SCHEMA = T.StructType(
     [
@@ -69,7 +68,7 @@ def scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source with explicit schema + header: round-trips nation
     through CSV; the oracle verifies lossless content."""
-    out = tempfile.mkdtemp(prefix="etlcnc_csv_")
+    out = tmpdir(prefix="etlcnc_csv_")
     table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(NATION_SCHEMA).option("header", True).csv(out)
 
@@ -79,7 +78,7 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source: round-trips nation through json. Schema is
     explicit (inference would widen int32→int64 and cost an extra
     pass over the data at scale)."""
-    out = tempfile.mkdtemp(prefix="etlcnc_json_")
+    out = tmpdir(prefix="etlcnc_json_")
     table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
     return spark.read.schema(NATION_SCHEMA).json(out)
 
@@ -93,10 +92,8 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-oriented files (spark.read.text), the ingestion format of
     most raw web/LLM corpora. Fixture text is newline-free (verified)
     so lines == documents; the oracle checks lossless content."""
-    import tempfile
-
     d = table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="etlcnc_srctext_")
+    out = tmpdir(prefix="etlcnc_srctext_")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
 
@@ -117,10 +114,8 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema — the rule at 100 TB, where datasets accrete columns
     over years and a full rewrite is off the table. Old files
     surface NULL for the new column."""
-    import tempfile
-
     n = table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="etlcnc_merge_")
+    out = tmpdir(prefix="etlcnc_merge_")
     n.where(F.col("n_nationkey") < 10).select("n_nationkey", "n_name").write.parquet(
         f"{out}/v1"
     )
@@ -156,8 +151,6 @@ def source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DROPMALFORMED loses data, FAILFAST loses the night). The
     aggregate proves the good/quarantined split and that good-row
     money survived the round-trip to the cent."""
-    import tempfile
-
     o = table(spark, sf_dir, "orders")
     price_txt = F.when(
         F.col("o_orderkey") % 10 == 3, F.lit("N/A")
@@ -170,7 +163,7 @@ def source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.col("o_orderkey").cast("string"), price_txt
         ).alias("value")
     )
-    src = tempfile.mkdtemp(prefix="etlcnc_csvcorrupt_")
+    src = tmpdir(prefix="etlcnc_csvcorrupt_")
     lines.write.mode("overwrite").text(src)
     back = (
         spark.read.schema(

@@ -7,14 +7,13 @@ that the sink preserved the data (not merely that a file appeared).
 from __future__ import annotations
 
 import contextlib
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import cents, sql_sum_money, sum_money
+from ..utils import cents, sql_sum_money, sum_money, tmpdir
 
 
 @contextlib.contextmanager
@@ -44,7 +43,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet write (partitionBy l_returnflag) +
     read-back aggregate. At scale, partitionBy on a low-cardinality
     column gives partition pruning to every downstream reader."""
-    out = tempfile.mkdtemp(prefix="etlcnc_sinkpq_")
+    out = tmpdir(prefix="etlcnc_sinkpq_")
     li = table(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
@@ -70,8 +69,8 @@ def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
-    out_csv = tempfile.mkdtemp(prefix="etlcnc_sinkcsv_")
-    out_json = tempfile.mkdtemp(prefix="etlcnc_sinkjson_")
+    out_csv = tmpdir(prefix="etlcnc_sinkcsv_")
+    out_json = tmpdir(prefix="etlcnc_sinkjson_")
     agg.write.mode("overwrite").option("header", True).csv(out_csv)
     agg.write.mode("overwrite").json(out_json)
     c = (
@@ -111,15 +110,20 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks count AND cents.
 
     Money is compared in integer cents (exact, order-free sums)."""
-    out = tempfile.mkdtemp(prefix="etlcnc_dynover_")
+    out = tmpdir(prefix="etlcnc_dynover_")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # Materialize the backfill BEFORE overwriting its own source
+    # partition: with task retries/speculation on a real cluster, a
+    # lazy plan re-scanning the path after the partition commit could
+    # observe the rewritten 'P' data and double-apply the correction.
     fixed = (
         spark.read.parquet(out)
         .where(F.col("o_orderstatus") == "P")
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .localCheckpoint(eager=True)
     )
     with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         fixed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)

@@ -21,9 +21,9 @@ real trigger; availableNow is the batch-replay harness (SURVEY §5).
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +31,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..catalog import table
 from ..registry import register
+from ..utils import tmpdir
 from ..session import tune
 
 EVENTS_RAW_SCHEMA = (
@@ -41,7 +42,7 @@ EVENTS_RAW_SCHEMA = (
 def _stage_events_dir(sf_dir: str) -> str:
     """File-stream sources need a directory: symlink the events
     fixture into a fresh temp dir (no data copy)."""
-    d = tempfile.mkdtemp(prefix="etlcnc_stream_src_")
+    d = tmpdir(prefix="etlcnc_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
     return d
 
@@ -57,8 +58,8 @@ def _read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
 
 def _run_to_parquet(df: DataFrame, output_mode: str = "append") -> str:
     """Execute a streaming DataFrame to a parquet sink; returns path."""
-    out = tempfile.mkdtemp(prefix="etlcnc_stream_out_")
-    ck = tempfile.mkdtemp(prefix="etlcnc_stream_ck_")
+    out = tmpdir(prefix="etlcnc_stream_out_")
+    ck = tmpdir(prefix="etlcnc_stream_ck_")
     q = (
         df.writeStream.outputMode(output_mode)
         .format("parquet")
@@ -147,7 +148,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import shutil
 
-    src = tempfile.mkdtemp(prefix="etlcnc_late_src_")
+    src = tmpdir(prefix="etlcnc_late_src_")
     ev = table(spark, sf_dir, "events")
     slices = {
         "f1_bulk": ev.where(~F.dayofmonth("ts").isin(5, 6)),
@@ -199,7 +200,9 @@ def _per_user_totals(key, pdfs, state):
     n, c = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        c += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+        # np.floor (not int-cast truncation) so negative values agree
+        # with cents()/the oracle's floor() discipline
+        c += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
     state.update((n, c))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [c]})
 
@@ -251,8 +254,8 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once replay, which the oracle verifies: the re-read sink
     must aggregate to exactly the batch answer."""
     src = _stage_events_dir(sf_dir)
-    out = tempfile.mkdtemp(prefix="etlcnc_stream_fb_")
-    ck = tempfile.mkdtemp(prefix="etlcnc_stream_fbck_")
+    out = tmpdir(prefix="etlcnc_stream_fb_")
+    ck = tmpdir(prefix="etlcnc_stream_fbck_")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)

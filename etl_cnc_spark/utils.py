@@ -23,8 +23,25 @@ nondeterministic run to run.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def tmpdir(prefix: str) -> str:
+    """``mkdtemp`` registered for removal at interpreter exit.
+
+    Sink/stream keys stage data under /tmp and return LAZY DataFrames
+    that re-read the staged files when the driver finally collects —
+    so an eager ``finally: rmtree`` would break the contract. Exit-
+    time reaping keeps repeated check/bench sweeps (each its own
+    process) from accumulating lineitem-sized copies in /tmp."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def ts_us(col: Column) -> Column:
