@@ -464,3 +464,79 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= SIM_TAU)
         .select("qid", "cid", q4(cos).alias("cosine"))
     )
+
+
+# ------------------------------------------------- recall as data
+# (VERDICT r01 task #4: ANN recall emitted as a verifiable query
+# output, not just a pytest assertion)
+
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+
+def _recall_frame(spark: SparkSession, sf_dir: str, tier: str,
+                  approx_key: str) -> DataFrame:
+    """recall@TOP_K of an approximate tier vs sim_topk_exact: the
+    fraction of true top-K neighbor pairs the tier reproduced."""
+    exact = _REG["sim_topk_exact"].build(spark, sf_dir).select("qid", "cid")
+    approx = (
+        _REG[approx_key]
+        .build(spark, sf_dir)
+        .select("qid", "cid", F.lit(1).alias("hit"))
+    )
+    j = exact.join(approx, ["qid", "cid"], "left")
+    return j.agg(
+        F.lit(tier).alias("tier"),
+        F.countDistinct("qid").cast("long").alias("n_queries"),
+        q4(F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+            f"recall_at_{TOP_K}"
+        ),
+    )
+
+
+# the two composable tier oracles, captured at module-definition time
+# (both keys register earlier in this module)
+_IVF_ORACLE = _REG["sim_ann_ivf"].oracle
+
+
+def _recall_oracle(tier: str, approx_oracle: str) -> str:
+    return f"""
+    WITH exact_tk AS ({_REG["sim_topk_exact"].oracle}),
+         approx_tk AS ({approx_oracle})
+    SELECT '{tier}' AS tier,
+           CAST(count(DISTINCT e.qid) AS BIGINT) AS n_queries,
+           {sql_q4("CAST(count(v.cid) AS DOUBLE) / count(*)")}
+               AS recall_at_{TOP_K}
+    FROM exact_tk e
+    LEFT JOIN approx_tk v ON v.qid = e.qid AND v.cid = e.cid
+    """
+
+
+@register(
+    "sim_recall_report",
+    # sim_topk_exact / sim_ann_ivf registered above in this module,
+    # so their oracles compose here at decoration time
+    oracle=_recall_oracle("ivf", _IVF_ORACLE),
+    notes="IVF is deterministic, so its recall@5 vs the exact tier is "
+    "itself a fully SQL-oracled value — the ANN quality dial measured "
+    "as data.",
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF tier against sim_topk_exact, as a query
+    output: one row (tier, n_queries, recall_at_5). Composes the two
+    registered builders — both sides' costs are the tiers' own
+    (broadcast query block, bucketed candidates), and the recall join
+    touches only 2×50×5 (qid, cid) pairs, so the report is free at
+    any corpus scale."""
+    return _recall_frame(spark, sf_dir, "ivf", "sim_ann_ivf")
+
+
+@register(
+    "sim_recall_lsh",
+    notes="LSH buckets come from seeded random hyperplanes — not "
+    "SQL-expressible, so rows-only; the emitted recall value is "
+    "bound-asserted in tests/test_llm.py.",
+)
+def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the seeded-LSH tier against sim_topk_exact, as
+    data: one row (tier, n_queries, recall_at_5)."""
+    return _recall_frame(spark, sf_dir, "lsh", "sim_ann_lsh")

@@ -37,6 +37,23 @@ def test_ivf_recall_beats_scan_fraction(spark, sf_dir):
     assert 0.3 <= recall <= 0.95, f"IVF recall@5 = {recall:.3f}"
 
 
+def test_recall_report_keys_agree_with_set_measurement(spark, sf_dir):
+    """The recall-as-data keys (sim_recall_report / sim_recall_lsh)
+    must emit the same recall@5 the set comparison measures, and the
+    LSH tier must clear its quality gate as DATA, not just as a test
+    assertion."""
+    exact = _pairs(REGISTRY["sim_topk_exact"].build(spark, sf_dir))
+
+    [ivf_row] = REGISTRY["sim_recall_report"].build(spark, sf_dir).collect()
+    ivf = _pairs(REGISTRY["sim_ann_ivf"].build(spark, sf_dir))
+    assert ivf_row["tier"] == "ivf" and ivf_row["n_queries"] == 50
+    assert abs(ivf_row["recall_at_5"] - len(exact & ivf) / len(exact)) < 1e-9
+
+    [lsh_row] = REGISTRY["sim_recall_lsh"].build(spark, sf_dir).collect()
+    assert lsh_row["tier"] == "lsh"
+    assert lsh_row["recall_at_5"] >= 0.9
+
+
 def test_minhash_estimates_jaccard(spark, sf_dir):
     """MinHash-LSH similarity estimates vs exact shingle Jaccard:
     mean absolute error bounded (5 hash tables → coarse but sane)."""
