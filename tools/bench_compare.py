@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Per-query bench regression gate (VERDICT r01 task #5).
+
+Compares a BENCH_r{N}.json (or a fresh `python bench.py` output line)
+against the frozen per-query baseline in BASELINE.md and renders the
+ratio table the judge reads; exits 1 if ANY query (not just the
+total) exceeds the 2x gate.
+
+Usage:
+  python tools/bench_compare.py BENCH_r02.json        # a driver record
+  python bench.py | python tools/bench_compare.py -   # fresh run
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# Frozen per-query baseline (BASELINE.md table, commit 5b5ec4a@sf0.1).
+BASELINE = {
+    "agg_groupby": 0.656,
+    "join_multiway": 0.789,
+    "topk_per_group": 0.202,
+    "stream_tumbling": 0.247,
+    "sim_topk_exact": 1.675,
+    "text_stats": 0.288,
+}
+BASELINE_TOTAL = 3.857
+GATE = 2.0
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "-"
+    raw = sys.stdin.read() if src == "-" else open(src).read()
+    # accept a driver BENCH_r{N}.json wrapper, a bare bench.py JSON
+    # line, or bench.py output with leading log noise
+    bench = None
+    try:
+        doc = json.loads(raw)
+        bench = doc.get("parsed", doc) if isinstance(doc, dict) else None
+    except json.JSONDecodeError:
+        for line in raw.strip().splitlines():
+            try:
+                bench = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    if not bench or "queries" not in bench:
+        print("no bench JSON found in input", file=sys.stderr)
+        return 2
+
+    rows, worst = [], 0.0
+    for q, base in BASELINE.items():
+        cur = bench["queries"].get(q)
+        if cur is None:
+            rows.append((q, base, None, None, "MISSING"))
+            worst = max(worst, GATE + 1)
+            continue
+        ratio = cur / base
+        worst = max(worst, ratio)
+        flag = "OVER-2x" if ratio > GATE else ("warn" if ratio > 1.5 else "ok")
+        rows.append((q, base, cur, ratio, flag))
+    total = bench.get("value", sum(v for _, _, v, _, _ in rows if v))
+    total_ratio = total / BASELINE_TOTAL
+
+    print(f"| query | baseline s | current s | ratio | gate({GATE}x) |")
+    print("|---|---|---|---|---|")
+    for q, base, cur, ratio, flag in rows:
+        cur_s = f"{cur:.3f}" if cur is not None else "-"
+        ratio_s = f"{ratio:.2f}x" if ratio is not None else "-"
+        print(f"| {q} | {base:.3f} | {cur_s} | {ratio_s} | {flag} |")
+    print(
+        f"| **total** | {BASELINE_TOTAL:.3f} | {total:.3f} "
+        f"| {total_ratio:.2f}x | {'OVER-2x' if total_ratio > GATE else 'ok'} |"
+    )
+    return 1 if worst > GATE or total_ratio > GATE else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
