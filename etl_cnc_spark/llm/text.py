@@ -736,3 +736,172 @@ def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").cast("long").alias("tokens"),
         F.sum("n_chunks").cast("long").alias("chunks"),
     )
+
+
+# ------------------------------------------- training-prep additions (r2)
+
+SEQ_LEN = 512  # pack length in whitespace tokens
+MIX_TOTAL = 100_000  # examples to allocate across languages
+_SQRT_MICRO = 1_000_000  # fixed-point quantum for temperature weights
+
+
+@register(
+    "pipeline_seq_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ), run AS (
+        SELECT doc_id, tokens,
+               CAST(SUM(tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM toks
+    )
+    SELECT doc_id, tokens,
+           cum - tokens AS cum_before,
+           (cum - tokens) // {SEQ_LEN} AS pack_id,
+           ((cum - tokens) // {SEQ_LEN}) <> ((cum - 1) // {SEQ_LEN})
+               AS crosses_boundary
+    FROM run
+    """,
+)
+def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    prep step: documents concatenated in a fixed (doc_id) order and
+    cut into SEQ_LEN-token training sequences. Per doc: its running
+    token offset, the pack (sequence) it starts in, and whether it
+    straddles a pack boundary (the attention-masking / doc-boundary
+    bookkeeping a training reader needs).
+
+    The running offset uses ``global_ordered`` (range-partitioned
+    parallel prefix sums, operators/prefix.py) — the corpus-wide
+    cumulative sum runs parallel at any corpus size; the oracle
+    states the same algebra as a plain SQL window."""
+    from ..operators.prefix import global_ordered
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    )
+    run = global_ordered(
+        d, [F.col("doc_id")], sums={"tokens": "cum"}, rank_col=None
+    )
+    cum_before = F.col("cum") - F.col("tokens")
+    return run.select(
+        "doc_id",
+        "tokens",
+        cum_before.alias("cum_before"),
+        F.expr(f"(cum - tokens) DIV {SEQ_LEN}").alias("pack_id"),
+        (
+            F.expr(f"(cum - tokens) DIV {SEQ_LEN}")
+            != F.expr(f"(cum - 1) DIV {SEQ_LEN}")
+        ).alias("crosses_boundary"),
+    )
+
+
+@register(
+    "pipeline_mix_temperature",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY lang
+    ), weighted AS (
+        SELECT lang, n_docs, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * {_SQRT_MICRO})
+                    AS BIGINT) AS w_micro
+        FROM per_lang
+    ), tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS t FROM weighted)
+    SELECT lang, n_docs, tokens, w_micro,
+           CAST((w_micro * {MIX_TOTAL}) // (SELECT t FROM tot) AS BIGINT)
+               AS alloc
+    FROM weighted
+    """,
+)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (T=2 ⇒ weight ∝ tokens^0.5)
+    — the multilingual up/down-sampling rule (mT5/XLM-R style): raw
+    token counts per language are flattened toward uniform so
+    low-resource languages aren't drowned. Weights are quantized to
+    integer micro-units (floor(sqrt·1e6)) and the allocation is pure
+    BIGINT arithmetic — cross-engine exact at any group count, since
+    only correctly-rounded sqrt touches floating point and the
+    total is an order-free integer sum. One groupBy + one broadcast
+    single-row total: two metadata-sized shuffles at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("tokens"),
+    )
+    weighted = per_lang.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * _SQRT_MICRO).cast(
+            "long"
+        ),
+    )
+    tot = weighted.agg(F.sum("w_micro").cast("long").alias("t"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "w_micro",
+            F.expr(f"(w_micro * {MIX_TOTAL}) DIV t").alias("alloc"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w) - 1)]) AS g
+        FROM toks WHERE len(w) >= 3
+    ), cnt AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(SUM(c) - count(*) AS BIGINT) AS n_repeated
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram counting — the Gopher/FineWeb 'repetition'
+    quality filter: documents whose n-grams repeat heavily are
+    boilerplate/spam and get culled before training. Per doc: total
+    trigrams, distinct trigrams, and the repeat surplus (all exact
+    integers; the downstream filter is a threshold on
+    n_repeated/n_grams). explode → two hash aggregations, both
+    partitioned by doc — embarrassingly parallel over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 3
+    )
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat(element_at(w, i), ' ',"
+                " element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_repeated"),
+    )

@@ -1085,3 +1085,77 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sp.s").alias("cusum"),
         F.col("sp.peak").alias("peak_cusum"),
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH ord AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, t_us,
+               CASE WHEN prev_us IS NULL
+                         OR t_us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ord
+    ), sess AS (
+        SELECT user_id, event_id, t_us,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY t_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(t_us) AS start_us, max(t_us) AS end_us,
+           max(t_us) - min(t_us) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute inactivity gaps (the product-analytics /
+    clickstream primitive behind session counts, durations, and
+    funnels; the streaming twin is ``stream_session``'s
+    session_window). Classic gaps-and-islands: lag per user marks
+    session starts, a per-user running sum numbers them, one groupBy
+    rolls sessions up. Every window partitions by user_id — no
+    global ordering anywhere, embarrassingly parallel across users
+    at any scale; all arithmetic is integer microseconds."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.select(
+        "user_id",
+        "t_us",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+    )
