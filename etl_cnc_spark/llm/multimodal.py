@@ -240,3 +240,112 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("member_digest"),
         )
     )
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+    WITH crawl AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+    ), hashed AS (
+        SELECT doc_id, sha256(text) AS payload_sha256 FROM crawl
+    )
+    SELECT payload_sha256,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc
+    FROM hashed GROUP BY payload_sha256
+    HAVING count(*) > 1
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup over opaque payloads: content-hash the
+    bytes, group, keep the lowest id — identical-image/audio removal,
+    the first pass of every multimodal curation pipeline (CLIP-style
+    datasets drop 20-30% of crawled images here). The fixture corpus
+    is duplicate-free, so the crawl is simulated as documents ∪ a
+    re-crawl of every 7th payload under fresh ids — the dedup must
+    recover exactly those groups with the original as keeper. One
+    hash + one groupBy shuffle on the digest at any scale; near-dup
+    perceptual hashing slots into the same plan by swapping the
+    digest column. (ASCII fixture text ⇒ the binary sha256 equals
+    the oracle's string sha256, as in multimodal_cols.)"""
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    crawl = p.unionAll(
+        p.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "payload"
+        )
+    )
+    return (
+        crawl.select("doc_id", F.sha2("payload", 256).alias("payload_sha256"))
+        .groupBy("payload_sha256")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+N_READERS = 8  # parallel dataloader workers per epoch
+N_EPOCHS = 2
+
+
+@register(
+    "pipeline_shuffle_epoch",
+    oracle=f"""
+    WITH epochs AS (
+        SELECT d.doc_id, e.epoch,
+               md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                   CAST(e.epoch AS VARCHAR)) AS perm
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range({N_EPOCHS})) AS epoch) e
+    ), ranked AS (
+        SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, perm,
+               CAST(row_number() OVER (PARTITION BY epoch
+                    ORDER BY perm, doc_id) AS BIGINT) AS rank
+        FROM epochs
+    )
+    SELECT doc_id, epoch, rank,
+           (rank - 1) % {N_READERS} AS reader_id
+    FROM ranked
+    """,
+)
+def pipeline_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: every epoch permutes
+    the corpus by a seeded content-independent key (md5 of
+    doc_id:epoch — identical bytes in any engine), ranks the
+    permutation, and deals documents round-robin to N_READERS
+    dataloader workers. Reproducible-by-construction (a crashed run
+    resumes mid-epoch from (epoch, rank)), and balanced: each reader
+    gets ⌈n/N⌉±1 docs with no coordination.
+
+    The per-epoch rank partitions by epoch (bounded epochs ⇒ windows
+    fine); at extreme corpus scale the same ``global_ordered`` prefix
+    machinery drops in per epoch. One projection + one window shuffle
+    per epoch — no data movement proportional to payload bytes, the
+    manifest is ids only."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.crossJoin(
+        spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    )
+    perm = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy("perm", "doc_id")
+    ranked = epochs.select("doc_id", "epoch", perm.alias("perm")).withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.select(
+        "doc_id",
+        "epoch",
+        "rank",
+        ((F.col("rank") - 1) % N_READERS).cast("long").alias("reader_id"),
+    )
