@@ -29,6 +29,64 @@ from pyspark.sql import functions as F
 
 __all__ = ["global_ordered", "ntile_from_rank"]
 
+_BUCKET = 1024  # pids per offset-fold bucket (step 3)
+
+
+def _exclusive_offsets(totals: DataFrame, cols: list[str]) -> DataFrame:
+    """Exclusive prefix sums of ``cols`` over the per-partition totals
+    table, ordered by ``_pid`` — output columns ``_off_<c>``.
+
+    Hierarchical two-level fold so the cost stays near-linear in the
+    partition count P: within 1024-pid buckets the fold is an
+    EQUI-join on the bucket id (hash join, ≤1024² pairs per bucket);
+    across buckets the fold runs over only ⌈P/1024⌉ bucket-total rows
+    (a broadcast non-equi join of metadata). A flat P² non-equi fold
+    would be quadratic at cluster partition counts (P=10⁵ → 10¹⁰
+    pairs); this shape is ≤1024·P + (P/1024)² — metadata-sized
+    through P≈10⁶."""
+    t = totals.withColumn("_bkt", F.expr(f"_pid DIV {_BUCKET}"))
+    a, b = t.alias("a"), t.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("b._bkt") == F.col("a._bkt"))
+            & (F.col("b._pid") < F.col("a._pid")),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"), F.col("a._bkt").alias("_bkt"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.{c}"), F.lit(0))
+                .cast("long")
+                .alias(f"_w_{c}")
+                for c in cols
+            ]
+        )
+    )
+    bkt_tot = t.groupBy("_bkt").agg(
+        *[F.sum(c).cast("long").alias(c) for c in cols]
+    )
+    ba, bb = bkt_tot.alias("ba"), bkt_tot.alias("bb")
+    bkt_off = (
+        ba.join(F.broadcast(bb), F.col("bb._bkt") < F.col("ba._bkt"), "left")
+        .groupBy(F.col("ba._bkt").alias("_bkt"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"bb.{c}"), F.lit(0))
+                .cast("long")
+                .alias(f"_b_{c}")
+                for c in cols
+            ]
+        )
+    )
+    return within.join(F.broadcast(bkt_off), "_bkt").select(
+        "_pid",
+        *[
+            (F.col(f"_w_{c}") + F.col(f"_b_{c}")).alias(f"_off_{c}")
+            for c in cols
+        ],
+    )
+
 
 def global_ordered(
     df: DataFrame,
@@ -71,19 +129,14 @@ def global_ordered(
             for src, dst in sums.items()
         ],
     )
-    a, b = totals.alias("a"), totals.alias("b")
-    offsets = (
-        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(
-            F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("long").alias("_off"),
-            *[
-                F.coalesce(F.sum(f"b._tot_{dst}"), F.lit(0))
-                .cast("long")
-                .alias(f"_off_{dst}")
-                for dst in sums.values()
-            ],
-        )
+    offsets = _exclusive_offsets(totals, ["_cnt"] + [f"_tot_{d}" for d in sums.values()])
+    offsets = offsets.select(
+        "_pid",
+        F.col("_off__cnt").alias("_off"),
+        *[
+            F.col(f"_off__tot_{dst}").alias(f"_off_{dst}")
+            for dst in sums.values()
+        ],
     )
     out = local.join(F.broadcast(offsets), "_pid")
     proj = list(out_cols)

@@ -89,3 +89,31 @@ def test_no_unpartitioned_window_in_plan(spark):
             assert "partitionBy" not in line or "_pid" in line
         if "windowspecdefinition" in line:
             assert "_pid" in line
+
+
+def test_hierarchical_offsets_multi_bucket(spark, monkeypatch):
+    """Force the two-level offset fold across several buckets (bucket
+    width 4, 32 partitions → 8 bucket rows) and confirm the global
+    running sums still match the reference window."""
+    from etl_cnc_spark.operators import prefix
+
+    monkeypatch.setattr(prefix, "_BUCKET", 4)
+    df = spark.createDataFrame(_data(500, seed=21))
+    got = global_ordered(
+        df,
+        [F.col("val"), F.col("id")],
+        sums={"amt": "run"},
+        num_parts=32,
+    )
+    w = Window.orderBy(F.col("val"), F.col("id"))
+    ref = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("amt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("run"),
+    )
+    g = {r["id"]: (r["rk"], r["run"]) for r in got.collect()}
+    r = {r["id"]: (r["rk"], r["run"]) for r in ref.collect()}
+    assert g == r
