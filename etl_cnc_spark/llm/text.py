@@ -389,7 +389,11 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = counts.orderBy(F.col("n").desc(), "bg").limit(50)
     return global_ordered(
-        top, [F.col("n").desc(), F.col("bg")], rank_col="rn"
+        top,
+        [F.col("n").desc(), F.col("bg")],
+        bucket_key="n",
+        bucket_desc=True,
+        rank_col="rn",
     )
 
 
@@ -786,7 +790,11 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("tokens"),
     )
     run = global_ordered(
-        d, [F.col("doc_id")], sums={"tokens": "cum"}, rank_col=None
+        d,
+        [F.col("doc_id")],
+        bucket_key="doc_id",
+        sums={"tokens": "cum"},
+        rank_col=None,
     )
     cum_before = F.col("cum") - F.col("tokens")
     return run.select(

@@ -374,6 +374,7 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     running = global_ordered(
         bounds,
         [F.col("t"), F.col("delta"), F.col("event_id")],
+        bucket_key=F.unix_micros(F.col("t").cast("timestamp")),
         sums={"delta": "concurrent"},
         rank_col=None,
     )
@@ -492,6 +493,8 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_ordered(
         per_user,
         [F.col("cents").desc(), F.col("user_id")],
+        bucket_key="cents",
+        bucket_desc=True,
         sums={"cents": "running_cents"},
     ).crossJoin(F.broadcast(total))
     return ranked.where(
@@ -696,16 +699,23 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_df = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     ranked = global_ordered(
-        base, [F.col("recency_days"), F.col("user_id")], rank_col="_rk_r"
+        base,
+        [F.col("recency_days"), F.col("user_id")],
+        bucket_key="recency_days",
+        rank_col="_rk_r",
     )
     ranked = global_ordered(
         ranked,
         [F.col("frequency").desc(), F.col("user_id")],
+        bucket_key="frequency",
+        bucket_desc=True,
         rank_col="_rk_f",
     )
     ranked = global_ordered(
         ranked,
         [F.col("monetary_cents").desc(), F.col("user_id")],
+        bucket_key="monetary_cents",
+        bucket_desc=True,
         rank_col="_rk_m",
     ).crossJoin(F.broadcast(n_df))
     n = F.col("_n")
@@ -955,7 +965,7 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     ranked = global_ordered(
-        per_user, [F.col("cents"), F.col("user_id")]
+        per_user, [F.col("cents"), F.col("user_id")], bucket_key="cents"
     ).select("cents", "rk")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),

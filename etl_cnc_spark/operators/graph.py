@@ -138,7 +138,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .prefix import global_ordered
 
     ranked = global_ordered(
-        pr, [F.col("pr").desc(), F.col("v")], rank_col="rank"
+        pr,
+        [F.col("pr").desc(), F.col("v")],
+        bucket_key="pr",
+        bucket_desc=True,
+        rank_col="rank",
     )
     return ranked.select(
         F.col("v").alias("nationkey"),

@@ -4,22 +4,37 @@ WITHOUT a single-partition window.
 ``Window.orderBy(...)`` with no ``partitionBy`` collapses the whole
 input onto one task ("WindowExec: No Partition Defined") — correct,
 but a scale killer on unbounded inputs.  This module provides the
-classic two-phase (range-partitioned) prefix computation instead:
+classic two-phase prefix computation instead:
 
-1. ``repartitionByRange`` on the sort key — each partition holds a
-   contiguous key range, partitions are ordered by partition id;
-2. a PARTITIONED window per range bucket computes local row numbers
-   and local running sums in parallel;
-3. per-bucket totals (one tiny row per partition) are folded into
-   exclusive offsets with a broadcast non-equi self-join — no window,
-   no driver collect;
+1. every row gets a DETERMINISTIC ordered bucket id computed from its
+   own sort-key value against the global [min, max] of the key (one
+   broadcast single-row aggregate) — bucket boundaries are a pure
+   function of the data, so every branch of the plan derives the
+   identical id;
+2. a PARTITIONED window per bucket computes local row numbers and
+   local running sums in parallel (one hash shuffle of the data);
+3. per-bucket totals (one tiny row per bucket) fold into exclusive
+   offsets with a hierarchical broadcast join — no window, no driver
+   collect;
 4. global rank = offset_count + local rank; global running sum =
    offset_sum + local running sum.
 
-Cost: two shuffles of the data (range + hash-by-bucket) plus one
-metadata-sized join, all parallel — the same algebra as the global
-window, at any scale.  Results are independent of the number of
-partitions, so range-sampling nondeterminism cannot perturb output.
+Why not ``repartitionByRange`` + ``spark_partition_id()``: the
+physical partition id is NOT stable across plan branches — the range
+exchange is sampled per compiled RDD (seeded by rdd.id) and AQE may
+read the same shuffle coalesced in one branch and raw in another, so
+a diamond plan can disagree with itself about which partition a row
+sits in (observed as corrupted ranks at sf0.1, first run in a fresh
+session).  Value-derived bucket ids are immune by construction: AQE
+and sampling can do anything to the physical layout without touching
+the bucket column.
+
+Trade-off: value-linear buckets are balanced only for roughly
+uniform keys; a skewed key distribution makes some buckets larger
+(still correct — the per-bucket window just has more rows).  For
+heavy skew pass a larger ``num_parts`` or pre-transform the bucket
+key (e.g. a CDF-ish monotone map); balance is a performance knob,
+never a correctness one.
 """
 
 from __future__ import annotations
@@ -29,18 +44,18 @@ from pyspark.sql import functions as F
 
 __all__ = ["global_ordered", "ntile_from_rank"]
 
-_BUCKET = 1024  # pids per offset-fold bucket (step 3)
+_BUCKET = 1024  # bucket-group width for the hierarchical offset fold
 
 
 def _exclusive_offsets(totals: DataFrame, cols: list[str]) -> DataFrame:
-    """Exclusive prefix sums of ``cols`` over the per-partition totals
+    """Exclusive prefix sums of ``cols`` over the per-bucket totals
     table, ordered by ``_pid`` — output columns ``_off_<c>``.
 
     Hierarchical two-level fold so the cost stays near-linear in the
-    partition count P: within 1024-pid buckets the fold is an
-    EQUI-join on the bucket id (hash join, ≤1024² pairs per bucket);
-    across buckets the fold runs over only ⌈P/1024⌉ bucket-total rows
-    (a broadcast non-equi join of metadata). A flat P² non-equi fold
+    bucket count P: within 1024-pid groups the fold is an EQUI-join
+    on the group id (hash join, ≤1024² pairs per group); across
+    groups the fold runs over only ⌈P/1024⌉ group-total rows (a
+    broadcast non-equi join of metadata). A flat P² non-equi fold
     would be quadratic at cluster partition counts (P=10⁵ → 10¹⁰
     pairs); this shape is ≤1024·P + (P/1024)² — metadata-sized
     through P≈10⁶."""
@@ -92,6 +107,8 @@ def global_ordered(
     df: DataFrame,
     order_cols: list[Column],
     *,
+    bucket_key: Column | str,
+    bucket_desc: bool = False,
     sums: dict[str, str] | None = None,
     rank_col: str | None = "rk",
     num_parts: int | None = None,
@@ -99,12 +116,17 @@ def global_ordered(
     """Append a global 1-based row number (``rank_col``) and, for each
     ``sums`` entry ``{src: dst}``, an inclusive global running BIGINT
     sum of ``src`` named ``dst``, ordered by ``order_cols`` — computed
-    with range-partitioned prefix sums (see module docstring), never a
+    with bucketed prefix sums (see module docstring), never a
     single-partition window.
 
-    ``order_cols`` must be a total order (tie-break with a unique key)
-    for the rank to be deterministic.  Sum columns must be integral
-    (the running sums are exact BIGINT — the money/cents discipline).
+    ``bucket_key`` must be an integral-valued expression monotone in
+    the LEADING sort column (pass ``bucket_desc=True`` when that
+    column sorts descending); rows with equal leading keys land in
+    the same bucket, so secondary tie-break columns never cross a
+    bucket boundary.  ``order_cols`` must be a total order (tie-break
+    with a unique key) for the rank to be deterministic.  Sum columns
+    must be integral (exact BIGINT running sums — the money/cents
+    discipline).
     """
     sums = sums or {}
     out_cols = df.columns
@@ -112,12 +134,27 @@ def global_ordered(
         num_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    ranged = df.repartitionByRange(num_parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id().cast("long")
+    key = (
+        F.col(bucket_key) if isinstance(bucket_key, str) else bucket_key
+    ).cast("long")
+    mm = df.agg(
+        F.min(key).alias("_lo"), F.max(key).alias("_hi")
+    )
+    # ordered bucket id from the row's own key value: a pure function
+    # of (key, lo, hi, num_parts) — identical in every plan branch.
+    # width = ceil(span / num_parts) ≥ 1, so _pid ∈ [0, num_parts-1].
+    pos = (F.col("_hi") - key) if bucket_desc else (key - F.col("_lo"))
+    bucketed = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("_pos", pos.cast("long"))
+        .withColumn(
+            "_pid",
+            F.expr(f"_pos DIV ((_hi - _lo + {num_parts}) DIV {num_parts})"),
+        )
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = ranged.withColumn("_lrk", F.row_number().over(w).cast("long"))
+    local = bucketed.withColumn("_lrk", F.row_number().over(w).cast("long"))
     for src, dst in sums.items():
         local = local.withColumn(
             f"_lrun_{dst}", F.sum(src).over(w_run).cast("long")
@@ -129,7 +166,9 @@ def global_ordered(
             for src, dst in sums.items()
         ],
     )
-    offsets = _exclusive_offsets(totals, ["_cnt"] + [f"_tot_{d}" for d in sums.values()])
+    offsets = _exclusive_offsets(
+        totals, ["_cnt"] + [f"_tot_{d}" for d in sums.values()]
+    )
     offsets = offsets.select(
         "_pid",
         F.col("_off__cnt").alias("_off"),
@@ -161,6 +200,7 @@ def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
     keep using ``ntile(k)`` while the Spark side stays free of the
     single-partition global window ntile would need.
     """
+
     def idiv(a: Column, b: Column) -> Column:
         # exact non-negative integer division (numerator made exactly
         # divisible first, so the double division is lossless)

@@ -163,7 +163,9 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_df = zed.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     filed = (
-        global_ordered(zed, [F.col("z"), F.col("p_partkey")])
+        global_ordered(
+            zed, [F.col("z"), F.col("p_partkey")], bucket_key="z"
+        )
         .crossJoin(F.broadcast(n_df))
         .select(
             "x",

@@ -32,6 +32,8 @@ def test_global_rank_and_running_sum_match_reference(spark):
     got = global_ordered(
         df,
         [F.col("val").desc(), F.col("id")],
+        bucket_key="val",
+        bucket_desc=True,
         sums={"amt": "run_amt"},
     )
     w = Window.orderBy(F.col("val").desc(), F.col("id"))
@@ -53,7 +55,8 @@ def test_rank_invariant_to_partition_count(spark):
     outs = []
     for parts in (1, 3, 32):
         got = global_ordered(
-            df, [F.col("val"), F.col("id")], num_parts=parts
+            df, [F.col("val"), F.col("id")], bucket_key="val",
+            num_parts=parts,
         )
         outs.append({r["id"]: r["rk"] for r in got.collect()})
     assert outs[0] == outs[1] == outs[2]
@@ -68,7 +71,7 @@ def test_ntile_from_rank_matches_builtin_ntile(spark):
         ref = df.select(
             "id", F.ntile(k).over(w).cast("long").alias("t")
         )
-        got = global_ordered(df, [F.col("id")]).select(
+        got = global_ordered(df, [F.col("id")], bucket_key="id").select(
             "id",
             ntile_from_rank(
                 F.col("rk"), F.lit(n).cast("long"), k
@@ -81,7 +84,9 @@ def test_ntile_from_rank_matches_builtin_ntile(spark):
 
 def test_no_unpartitioned_window_in_plan(spark):
     df = spark.createDataFrame(_data(100, seed=3))
-    got = global_ordered(df, [F.col("id")], sums={"amt": "run"})
+    got = global_ordered(
+        df, [F.col("id")], bucket_key="id", sums={"amt": "run"}
+    )
     plan = got._jdf.queryExecution().executedPlan().toString()
     # every WindowExec in the helper's plan is partitioned by _pid
     for line in plan.splitlines():
@@ -102,6 +107,7 @@ def test_hierarchical_offsets_multi_bucket(spark, monkeypatch):
     got = global_ordered(
         df,
         [F.col("val"), F.col("id")],
+        bucket_key="val",
         sums={"amt": "run"},
         num_parts=32,
     )
