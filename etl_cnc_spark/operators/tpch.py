@@ -1,0 +1,885 @@
+"""Adapted TPC-H query suite (whole-query workloads, beyond §2).
+
+SURVEY.md §6 notes the fixture star schema is TPC-H-*shaped*; the
+operator keys cover the building blocks, but a user of an analytics
+engine runs whole queries. This module registers the classic TPC-H
+decision-support suite re-targeted at the fixture schema, each as one
+registry key with a full DuckDB oracle.
+
+Adaptations (the fixtures are a REDUCED TPC-H — no ``partsupp``
+table; lineitem lacks commitdate/receiptdate/shipmode/shipinstruct;
+part lacks container/mfgr; customer lacks phone/address):
+
+- q2, q9, q11, q16, q20 need ``partsupp`` → not portable, omitted.
+- "late shipment" (q4, q12, q21): ``l_receiptdate > l_commitdate``
+  becomes ``l_shipdate > o_orderdate + INTERVAL N DAY``.
+- q12 groups by ``l_linestatus`` (no ``l_shipmode``).
+- q13's comment filter becomes an ``o_orderpriority`` filter.
+- q17/q19 container predicates become brand/type/size predicates.
+- q22's phone country code becomes ``c_custkey % 10``.
+
+Scale design: every query is a declarative DataFrame plan — Catalyst
+pushes the date/segment filters into the parquet scans, nation/region
+(25/5 rows at ANY scale factor) are broadcast explicitly, and the
+fact-fact joins (lineitem⋈orders) shuffle on their join key where AQE
+handles partition sizing and skew. Money aggregates use exact integer
+cents (utils.py) so cluster partial-agg order cannot perturb results;
+top-k selections tie-break on integer cents + primary key so LIMIT is
+deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import (
+    avg_money,
+    cents,
+    sql_avg_money,
+    sql_sum_money,
+    sum_money,
+    ts_us,
+)
+
+_SQL_CENTS = "CAST(sum(CAST(floor(({e})*100 + 0.5) AS BIGINT)) AS BIGINT)"
+
+
+def _sql_cents(expr: str) -> str:
+    """Exact integer-cent sum, BIGINT (not HUGEINT) for stable division."""
+    return _SQL_CENTS.format(e=expr)
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_money("l_quantity")} AS sum_qty,
+           {sql_sum_money("l_extendedprice")} AS sum_base_price,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_sum_money("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_avg_money("l_quantity")} AS avg_qty,
+           {sql_avg_money("l_extendedprice")} AS avg_price,
+           {sql_avg_money("l_discount")} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary report: one scan, one hash aggregate.
+
+    The shipdate filter pushes to the parquet scan; partial+final hash
+    agg over 6 groups — the map-side combine means the shuffle carries
+    6 rows per task regardless of input size.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_money(F.col("l_quantity")).alias("sum_qty"),
+        sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+        sum_money(disc).alias("sum_disc_price"),
+        sum_money(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        avg_money(F.col("l_quantity")).alias("avg_qty"),
+        avg_money(F.col("l_extendedprice")).alias("avg_price"),
+        avg_money(F.col("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY {_sql_cents("l_extendedprice * (1 - l_discount)")} DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: top-10 unshipped orders by revenue.
+
+    o_shippriority doesn't exist in the fixture → o_orderpriority.
+    Top-10 tie-breaks on (exact cents DESC, l_orderkey) so the LIMIT
+    is deterministic across engines.
+    """
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rc"))
+        .orderBy(F.col("_rc").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("_rc") / F.lit(100.0)).alias("revenue"),
+            ts_us(F.col("o_orderdate")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (late-shipment EXISTS → semi join).
+
+    "late" = shipped >30 days after order date (fixture has no
+    commit/receipt dates). The correlated EXISTS is a LEFT SEMI join
+    on orderkey with the date condition in the join predicate — one
+    shuffle, no row duplication.
+    """
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: 6-table star join with the
+    customer-nation = supplier-nation co-location predicate.
+
+    nation/region broadcast (25/5 rows at any SF); supplier is
+    broadcastable at bench SF and AQE picks BHJ vs SMJ at scale. The
+    only unavoidable shuffle is lineitem⋈orders.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_sum_money("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting revenue change: pure scan+filter+global agg.
+
+    All three predicates push to the parquet scan (min/max row-group
+    skipping on shipdate at scale); zero shuffles beyond the final
+    single-row combine.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        sum_money(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations, by year.
+
+    Both nation aliases broadcast; the OR'd nation-pair predicate is
+    applied after those map-side joins so it prunes before the
+    lineitem⋈orders shuffle.
+    """
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    joined = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           CAST({_sql_cents("CASE WHEN n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS DOUBLE)
+           / {_sql_cents("l_extendedprice * (1 - l_discount)")} AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice, l_discount, n1.n_name
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01')
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: supplier-nation revenue fraction per
+    order-year within one customer region and part type.
+
+    The share is a ratio of two exact integer-cent sums (cast to
+    double only at the division), so the output double is bit-stable
+    regardless of aggregation order on either engine.
+    """
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), "n_name"
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nat = F.sum(
+        F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0))
+    )
+    joined = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nat.cast("long").alias("_nat"),
+            F.sum(vol).cast("long").alias("_tot"),
+        )
+        .select(
+            "o_year",
+            (F.col("_nat").cast("double") / F.col("_tot")).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY {_sql_cents("l_extendedprice * (1 - l_discount)")} DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by lost revenue.
+
+    Group keys carry the customer attributes through the aggregate
+    (no post-agg re-join); top-20 tie-breaks on exact cents then
+    custkey.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("_rc"))
+        .orderBy(F.col("_rc").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("_rc") / F.lit(100.0)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode/priority: late lines split by order priority.
+
+    No l_shipmode in the fixture → grouped by l_linestatus; "late" =
+    shipped >60 days after order date. Conditional counts fold into
+    one aggregate pass.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (two-level aggregate).
+
+    The o_comment NOT LIKE filter becomes an o_orderpriority filter
+    (fixture has no comments). LEFT join keeps zero-order customers;
+    count(o_orderkey) skips their NULLs.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT (100.0 * {_sql_cents("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")})
+           / {_sql_cents("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: promo share of one month's revenue.
+
+    p_type is a single word in the fixture ('PROMO' exact match, not
+    the TPC-H 'PROMO%' prefix). Ratio of exact cent sums → bit-stable
+    double.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            promo.cast("long").alias("_promo"),
+            F.sum(vol).cast("long").alias("_tot"),
+        )
+        .select(
+            (
+                (F.lit(100.0) * F.col("_promo")) / F.col("_tot")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS MATERIALIZED (
+      SELECT l_suppkey AS supplier_no,
+             {_sql_cents("l_extendedprice * (1 - l_discount)")} AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: max-revenue scalar subquery over a quarter.
+
+    The per-supplier revenue frame is built once; its single-row max
+    is broadcast back (crossJoin of a 1-row aggregate, not a window),
+    so ties are all kept exactly like the spec's view formulation.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("total_cents")
+    )
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_cents") == F.col("_mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents").cast("double") / F.lit(100.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle=f"""
+    SELECT CAST({_sql_cents("l_extendedprice")} AS DOUBLE) / 100.0 / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue (correlated avg subquery).
+
+    The container predicate becomes a brand predicate. The correlated
+    per-part average is a separate aggregate joined back on partkey —
+    the classic decorrelation Catalyst would also produce. l_quantity
+    is integral-valued, so avg = exact_sum/count is bit-identical on
+    both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thresh")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")))
+                .cast("double")
+                / F.lit(100.0)
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice,
+           {sql_sum_money("l_quantity")} AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers (IN-subquery → semi join).
+
+    Threshold 250 fits the fixture's qty distribution (spec's 300
+    exceeds the max order size here). The HAVING-filtered orderkey
+    set joins as LEFT SEMI before the wide join, so only qualifying
+    orders reach the 3-table join. Top-100 tie-breaks on exact
+    totalprice cents then orderkey.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_sq"))
+        .where(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum_money(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(cents(F.col("o_totalprice")).desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ts_us(F.col("o_orderdate")).alias("o_orderdate_us"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {sql_sum_money("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue: disjunctive brand/size/quantity
+    predicates (container/shipmode clauses dropped with the columns).
+
+    The OR spans both sides of the join, so it evaluates post-join;
+    the p_size/p_brand legs still prune part rows via a pre-join
+    filter union bound (p_brand IN ...), which Catalyst extracts.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q, b, z = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & z.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & z.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & z.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH lo AS MATERIALIZED (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    st AS MATERIALIZED (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM lo GROUP BY l_orderkey)
+    SELECT s_name, count(*) AS numwait
+    FROM lo
+    JOIN st USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late AND n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting: the spec's
+    EXISTS/NOT-EXISTS pair decorrelated into per-order supplier
+    counts ("multi-supplier order where exactly one supplier — this
+    one — was late"). "late" = shipped >60 days after order date.
+
+    One lineitem⋈orders shuffle builds the late-flag frame; the
+    per-order distinct-supplier stats reuse the same orderkey
+    partitioning (no extra exchange); supplier is broadcastable.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+        )
+    )
+    st = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        lo.join(st, "l_orderkey")
+        .where(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH eligible AS MATERIALIZED (
+      SELECT c_custkey, c_custkey % 10 AS cntrycode,
+             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)),
+    thresh AS (
+      SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+      FROM eligible WHERE bal_cents > 0)
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+    FROM eligible, thresh
+    WHERE bal_cents > avg_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity: rich customers with no orders.
+
+    The phone country code becomes ``c_custkey % 10`` (fixture has no
+    c_phone), and "has not placed orders" becomes "no orders since
+    2000-01-01" (every fixture customer has SOME order). The
+    positive-balance average threshold is computed in exact integer
+    cents (double only at the final division) so the comparison is
+    bit-stable; the NOT EXISTS is a LEFT ANTI join.
+    """
+    c = table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.col("c_custkey") % 10
+    ).withColumn("bal_cents", cents(F.col("c_acctbal"))).where(
+        F.col("cntrycode").isin(1, 3, 5, 7, 9)
+    )
+    thresh = c.where(F.col("bal_cents") > 0).agg(
+        (
+            F.sum("bal_cents").cast("double") / F.count(F.lit(1))
+        ).alias("avg_cents")
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.crossJoin(F.broadcast(thresh))
+        .where(F.col("bal_cents") > F.col("avg_cents"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents").cast("double") / F.lit(100.0)).alias(
+                "totacctbal"
+            ),
+        )
+    )

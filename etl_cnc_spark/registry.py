@@ -84,6 +84,7 @@ _OP_MODULES = [
     "etl_cnc_spark.operators.analytics",
     "etl_cnc_spark.operators.stats",
     "etl_cnc_spark.operators.graph",
+    "etl_cnc_spark.operators.tpch",
     "etl_cnc_spark.functions.scalar",
     "etl_cnc_spark.streaming.batch_equiv",
     "etl_cnc_spark.streaming.streams",
