@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .session import tune
 
@@ -32,19 +33,37 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_is_long(spark: SparkSession, events_path: str) -> bool:
+    """How does THIS runtime surface the events table's
+    TIMESTAMP(NANOS) parquet column?
+
+    - older Spark 4 + ``nanosAsLong=true``: LongType raw nanos
+    - pyspark >= 4.1.2: native read as TIMESTAMP_NTZ (already
+      truncated to µs; ``nanosAsLong`` no longer changes the schema)
+
+    Both runtimes exist across driver rounds, so every events reader
+    branches on the observed schema instead of assuming one era.
+    """
+    dt = spark.read.parquet(events_path).schema["ts"].dataType
+    return isinstance(dt, LongType)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Lazy: only the footer is touched until an
     action runs, so repeated calls are cheap.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 cannot
-    read natively; with ``nanosAsLong`` it arrives as long nanos and is
-    converted here to a µs TimestampType by integer division — matching
-    DuckDB's own nanos→µs truncation of the same file.
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; whatever type the
+    runtime surfaces it as (see ``events_ts_is_long``), normalize to a
+    µs TimestampType in the session TZ (tune() pins UTC) so downstream
+    ``unix_micros`` math matches DuckDB's ``epoch_us`` of the same file.
     """
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -57,9 +57,15 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet stores ts as TIMESTAMP(NANOS) which Spark 4 refuses
-    # to read natively; read as long nanos, converted in catalog.table.
-    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet stores ts as TIMESTAMP(NANOS).  Older Spark 4
+    # refuses to read it natively and needs this conf (→ long nanos,
+    # converted in catalog.table); pyspark >= 4.1.2 reads it natively
+    # as TIMESTAMP_NTZ and ignores the conf.  Set it where accepted and
+    # let catalog.events_ts_is_long branch on the observed schema.
+    try:
+        conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf removed in future Spark
+        pass
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

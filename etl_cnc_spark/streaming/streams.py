@@ -29,13 +29,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..catalog import table
+from ..catalog import events_ts_is_long, table
 from ..registry import register
 from ..utils import tmpdir
 from ..session import tune
 
 EVENTS_RAW_SCHEMA = (
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+)
+EVENTS_NTZ_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
 )
 
 
@@ -48,11 +52,23 @@ def _stage_events_dir(sf_dir: str) -> str:
 
 
 def _read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Stream the staged events fixture.  readStream needs a
+    user-supplied schema, so sniff how this runtime surfaces the
+    TIMESTAMP(NANOS) column via a batch footer read first
+    (catalog.events_ts_is_long) and declare the matching schema —
+    forcing ``ts LONG`` on a runtime that reads nanos natively would
+    silently coerce to µs and double-divide."""
     tune(spark)
+    if events_ts_is_long(spark, os.path.join(src_dir, "events.parquet")):
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(src_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
     return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_NTZ_SCHEMA)
         .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

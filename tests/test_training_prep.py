@@ -28,7 +28,11 @@ def test_seq_pack_covers_corpus_contiguously(spark, sf_dir):
         assert r["pack_id"] == cum // SEQ_LEN
         cum += r["tokens"]
     total = cum
-    n_packs = rows[-1]["cum_before"] // SEQ_LEN + 1
+    # The last pack is whichever one holds the corpus's final token —
+    # derive from the token total, not the last doc's *starting* pack
+    # (a doc can straddle a pack boundary, starting in pack k and
+    # ending in pack k+1).
+    n_packs = (total - 1) // SEQ_LEN + 1
     assert n_packs == (total + SEQ_LEN - 1) // SEQ_LEN
 
 
