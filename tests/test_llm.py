@@ -54,6 +54,42 @@ def test_recall_report_keys_agree_with_set_measurement(spark, sf_dir):
     assert lsh_row["recall_at_5"] >= 0.9
 
 
+def test_embedding_dedup_blocking_recall(spark, sf_dir):
+    """IVF-blocked dedup_embedding vs the brute-force all-pairs
+    ground truth: pair recall ≥ 0.8 overall and ≥ 0.85 for the
+    high-similarity stratum (cos ≥ 0.35) — the regime a real dedup
+    threshold lives in. Ground truth is computed here (bounded
+    fixture corpus); the operator itself never does the O(N²) join."""
+    from etl_cnc_spark.llm.dedup import DEDUP_TAU, _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm2(F.col("embedding")).alias("na2"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm2(F.col("embedding")).alias("nb2"),
+    )
+    cos = _dot64(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na2") * F.col("nb2"))
+    truth = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= DEDUP_TAU)
+        .collect()
+    }
+    got = _pairs(REGISTRY["dedup_embedding"].build(spark, sf_dir), "vec_a", "vec_b")
+    assert got <= set(truth), "blocked output must be a subset of true pairs"
+    recall = len(got) / len(truth)
+    hi = [p for p, c in truth.items() if c >= 0.35]
+    hi_recall = sum(p in got for p in hi) / len(hi)
+    assert recall >= 0.8, f"overall blocking recall = {recall:.3f}"
+    assert hi_recall >= 0.85, f"high-sim blocking recall = {hi_recall:.3f}"
+
+
 def test_minhash_estimates_jaccard(spark, sf_dir):
     """MinHash-LSH similarity estimates vs exact shingle Jaccard:
     mean absolute error bounded (5 hash tables → coarse but sane)."""
