@@ -53,3 +53,33 @@ def test_lm_score_probability_axioms(spark, sf_dir):
         .count()
     )
     assert mism == 0
+
+
+def test_min_label_components_long_path(spark):
+    """A 41-node path (diameter 40, > the old 20-round cap) must fully
+    converge — pointer jumping covers 2^rounds hops — and every node
+    must get label 0."""
+    from etl_cnc_spark.llm.dedup import min_label_components
+
+    pairs = [(i, i + 1) for i in range(40)]
+    edges = spark.createDataFrame(
+        pairs + [(v, u) for u, v in pairs], "u long, v long"
+    )
+    rows = min_label_components(edges).collect()
+    assert len(rows) == 41
+    assert {r["label"] for r in rows} == {0}
+
+
+def test_min_label_components_raises_on_round_cap(spark):
+    """Exhausting max_rounds must raise, never silently return
+    partially-propagated labels."""
+    import pytest
+
+    from etl_cnc_spark.llm.dedup import min_label_components
+
+    pairs = [(i, i + 1) for i in range(40)]
+    edges = spark.createDataFrame(
+        pairs + [(v, u) for u, v in pairs], "u long, v long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(edges, max_rounds=2)
