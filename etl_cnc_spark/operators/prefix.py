@@ -47,37 +47,46 @@ __all__ = ["global_ordered", "ntile_from_rank"]
 _BUCKET = 1024  # bucket-group width for the hierarchical offset fold
 
 
-def _exclusive_offsets(totals: DataFrame, cols: list[str]) -> DataFrame:
+def _exclusive_offsets(
+    totals: DataFrame, cols: list[str], num_parts: int | None = None
+) -> DataFrame:
     """Exclusive prefix sums of ``cols`` over the per-bucket totals
     table, ordered by ``_pid`` — output columns ``_off_<c>``.
 
     Hierarchical two-level fold so the cost stays near-linear in the
-    bucket count P: within 1024-pid groups the fold is an EQUI-join
-    on the group id (hash join, ≤1024² pairs per group); across
-    groups the fold runs over only ⌈P/1024⌉ group-total rows (a
-    broadcast non-equi join of metadata). A flat P² non-equi fold
-    would be quadratic at cluster partition counts (P=10⁵ → 10¹⁰
-    pairs); this shape is ≤1024·P + (P/1024)² — metadata-sized
-    through P≈10⁶."""
+    bucket count P: within 1024-pid groups the fold is a PARTITIONED
+    window (partitionBy the group id — each window partition holds
+    ≤1024 metadata rows, never data); across groups the fold runs
+    over only ⌈P/1024⌉ group-total rows (a broadcast non-equi join
+    of metadata). A flat P² non-equi fold would be quadratic at
+    cluster partition counts (P=10⁵ → 10¹⁰ pairs); this shape is
+    one small shuffle + (P/1024)² metadata pairs through P≈10⁶.
+
+    When ``num_parts`` ≤ 1024 every pid shares group 0 and the
+    cross-group level is statically zero — it is skipped outright,
+    which matters for latency: each extra exchange is a whole AQE
+    stage wave, and small-input queries are stage-bound, not
+    row-bound."""
     t = totals.withColumn("_bkt", F.expr(f"_pid DIV {_BUCKET}"))
-    a, b = t.alias("a"), t.alias("b")
-    within = (
-        a.join(
-            b,
-            (F.col("b._bkt") == F.col("a._bkt"))
-            & (F.col("b._pid") < F.col("a._pid")),
-            "left",
-        )
-        .groupBy(F.col("a._pid").alias("_pid"), F.col("a._bkt").alias("_bkt"))
-        .agg(
-            *[
-                F.coalesce(F.sum(f"b.{c}"), F.lit(0))
-                .cast("long")
-                .alias(f"_w_{c}")
-                for c in cols
-            ]
-        )
+    w_excl = (
+        Window.partitionBy("_bkt")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    within = t.select(
+        "_pid",
+        "_bkt",
+        *[
+            F.coalesce(F.sum(c).over(w_excl), F.lit(0))
+            .cast("long")
+            .alias(f"_w_{c}")
+            for c in cols
+        ],
+    )
+    if num_parts is not None and num_parts <= _BUCKET:
+        return within.select(
+            "_pid", *[F.col(f"_w_{c}").alias(f"_off_{c}") for c in cols]
+        )
     bkt_tot = t.groupBy("_bkt").agg(
         *[F.sum(c).cast("long").alias(c) for c in cols]
     )
@@ -167,7 +176,7 @@ def global_ordered(
         ],
     )
     offsets = _exclusive_offsets(
-        totals, ["_cnt"] + [f"_tot_{d}" for d in sums.values()]
+        totals, ["_cnt"] + [f"_tot_{d}" for d in sums.values()], num_parts
     )
     offsets = offsets.select(
         "_pid",
