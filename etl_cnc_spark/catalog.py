@@ -44,6 +44,9 @@ def events_ts_is_long(spark: SparkSession, events_path: str) -> bool:
     Both runtimes exist across driver rounds, so every events reader
     branches on the observed schema instead of assuming one era.
     """
+    # tune() first: on nanosAsLong-era runtimes this batch read throws
+    # without the conf, and callers must not have to know that.
+    tune(spark)
     dt = spark.read.parquet(events_path).schema["ts"].dataType
     return isinstance(dt, LongType)
 

@@ -173,8 +173,9 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     t0 = 1_700_000_000
     for i, (name, df) in enumerate(slices.items()):
-        # Re-encode ts as raw long-nanos so the streaming reader sees
-        # the same schema as the fixture file.
+        # Write ts as an EXPLICIT long (µs*1000 nanos) so the declared
+        # EVENTS_RAW_SCHEMA (ts LONG) is valid on every runtime era —
+        # NTZ-era Sparks would otherwise surface a timestamp column.
         tmp = os.path.join(src, "_tmp")
         df.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.parquet(tmp)
         part = glob.glob(tmp + "/part-*")[0]

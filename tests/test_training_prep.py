@@ -28,12 +28,24 @@ def test_seq_pack_covers_corpus_contiguously(spark, sf_dir):
         assert r["pack_id"] == cum // SEQ_LEN
         cum += r["tokens"]
     total = cum
-    # The last pack is whichever one holds the corpus's final token —
-    # derive from the token total, not the last doc's *starting* pack
-    # (a doc can straddle a pack boundary, starting in pack k and
-    # ending in pack k+1).
+    # Occupancy check derived from the OUTPUT: spread each doc's
+    # [cum_before, cum_before + tokens) token interval over packs;
+    # every pack except the last must be exactly full, the last
+    # non-empty. (A doc can straddle a boundary — pack_id is only its
+    # STARTING pack, so occupancy must be computed intervalwise.)
     n_packs = (total - 1) // SEQ_LEN + 1
-    assert n_packs == (total + SEQ_LEN - 1) // SEQ_LEN
+    occ = [0] * n_packs
+    for r in rows:
+        start, remaining = r["cum_before"], r["tokens"]
+        while remaining > 0:
+            p = start // SEQ_LEN
+            take = min(remaining, (p + 1) * SEQ_LEN - start)
+            occ[p] += take
+            start += take
+            remaining -= take
+    assert all(o == SEQ_LEN for o in occ[:-1])
+    assert 0 < occ[-1] <= SEQ_LEN
+    assert max(r["pack_id"] for r in rows) == (rows[-1]["cum_before"]) // SEQ_LEN
 
 
 def test_mix_temperature_flattens_distribution(spark, sf_dir):
