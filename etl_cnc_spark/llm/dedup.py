@@ -461,6 +461,8 @@ def min_label_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
 
 @register(
     "dedup_minhash_relational",
+    bench=True,  # explode-heavy signature build + bucket join: the
+    # LLM-dedup tier's cost representative in the bench set
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 60").replace("SELECT doc_id, string_split(text, ' ') AS w", "SELECT doc_id, string_split(text, ' ') AS w")}
     ), sig AS (

@@ -639,6 +639,8 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rfm",
+    bench=True,  # the distributed-global-rank representative: a
+    # 22.8s-class regression here was invisible to the old bench set
     oracle="""
     WITH mx AS (SELECT max(ts) AS now FROM events),
     base AS (

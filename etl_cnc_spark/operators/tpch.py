@@ -763,6 +763,8 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q21",
+    bench=True,  # heaviest self-correlation in the suite: keeps the
+    # regression gate honest for multi-shuffle plans (VERDICT r3 #3)
     oracle="""
     WITH lo AS MATERIALIZED (
       SELECT l_orderkey, l_suppkey,
