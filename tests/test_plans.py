@@ -260,3 +260,24 @@ def test_exchange_reuse_for_shared_subplan(spark, sf_dir):
         joined.explain("formatted")
     plan = buf.getvalue().split("== Initial Plan ==")[0]
     assert "ReusedExchange" in plan, "shared subplan shuffled twice"
+
+
+def test_embedding_dedup_has_no_all_pairs_join(spark, sf_dir):
+    """dedup_embedding (r4 rewrite): the only nested-loop join allowed
+    is the broadcast of the bounded CENTROID table (corpus × N/64
+    centroids, map-only assignment); candidates must flow through
+    equi-joins on the cell id / vec id — never a data×data cartesian
+    or an all-pairs theta join."""
+    import re
+
+    plan = plan_of("dedup_embedding", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    # formatted explain mentions each node in tree + details; count
+    # DISTINCT node ids. ranked_cells feeds two branches (assign,
+    # probes), so the one bounded vec×centroid crossJoin may appear as
+    # up to two plan nodes — anything more means an all-pairs join
+    # crept back in.
+    bnl_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnl_ids) <= 2, plan
+    # the exact re-rank joins embeddings back by id: hash joins exist
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -16,7 +16,12 @@ from __future__ import annotations
 import json
 import sys
 
-# Frozen per-query baseline (BASELINE.md table, commit 5b5ec4a@sf0.1).
+# Frozen per-query baseline (BASELINE.md table, commit 5b5ec4a@sf0.1),
+# extended in round 4 with the heavy representatives added to the
+# bench set (BASELINE.md "Round-4 re-freeze"; commit 227a6cb@sf0.1).
+# The original six keep their r1-frozen values — the 2× gate on them
+# is unchanged; the three additions are gated against their own
+# first-measurement freeze.
 BASELINE = {
     "agg_groupby": 0.656,
     "join_multiway": 0.789,
@@ -24,8 +29,12 @@ BASELINE = {
     "stream_tumbling": 0.247,
     "sim_topk_exact": 1.675,
     "text_stats": 0.288,
+    # round-4 freeze
+    "events_rfm": 2.403,
+    "tpch_q21": 1.250,
+    "dedup_minhash_relational": 0.987,
 }
-BASELINE_TOTAL = 3.857
+BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 8.497
 GATE = 2.0
 
 
