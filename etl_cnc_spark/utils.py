@@ -31,16 +31,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def tmpdir(prefix: str) -> str:
+_STABLE_DIRS: dict[str, str] = {}
+
+
+def tmpdir(prefix: str, *, stable: bool = False) -> str:
     """``mkdtemp`` registered for removal at interpreter exit.
 
     Sink/stream keys stage data under /tmp and return LAZY DataFrames
     that re-read the staged files when the driver finally collects —
     so an eager ``finally: rmtree`` would break the contract. Exit-
     time reaping keeps repeated check/bench sweeps (each its own
-    process) from accumulating lineitem-sized copies in /tmp."""
+    process) from accumulating lineitem-sized copies in /tmp.
+
+    ``stable=True`` additionally reuses ONE directory per prefix
+    within the process, so a long-lived session re-running the same
+    sink key overwrites its staging area instead of accumulating a
+    fresh lineitem-sized copy per call. Safe because every stable
+    caller (a) writes with ``mode("overwrite")`` or rewrites whole
+    files, and (b) stages DETERMINISTIC content, so a lazy frame from
+    an earlier call re-reads byte-identical data. Streaming keys must
+    NOT use it: a reused checkpoint dir would make the second run
+    replay from "already processed" offsets. The dir itself is still
+    mkdtemp-unique per process, so concurrent sweeps never collide."""
+    if stable and prefix in _STABLE_DIRS:
+        return _STABLE_DIRS[prefix]
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
+    if stable:
+        _STABLE_DIRS[prefix] = d
     return d
 
 
