@@ -661,3 +661,149 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.doc_id", F.col("s.h").alias("content_md5"))
     )
+
+
+# --------------------------------------- end-to-end curation capstone
+
+
+@register(
+    "pipeline_curate_e2e",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               (n_chars BETWEEN 50 AND 2000
+                AND len(string_split(text, ' ')) >= 8) AS q,
+               (doc_id % {_EVAL_MOD} = {_EVAL_REM}) AS is_eval
+        FROM documents
+    ), train AS (
+        SELECT * FROM base WHERE NOT is_eval
+    ), ranked AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY words DESC, doc_id) AS rn
+        FROM train WHERE q
+    ), uniq AS (
+        SELECT doc_id FROM ranked WHERE rn = 1
+    ), grams AS (
+        SELECT doc_id,
+               unnest([array_to_string(w[i:i+{_GRAM_N - 1}], ' ')
+                       for i in range(1, len(w) - {_GRAM_N - 2})]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+    ), cont AS (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN eval_grams e ON gr.g = e.g
+        WHERE gr.doc_id IN (SELECT doc_id FROM uniq)
+    ), flagged AS (
+        SELECT t.lang, t.source, t.words, t.q,
+               (u.doc_id IS NOT NULL) AS uniq_f,
+               (u.doc_id IS NOT NULL AND c.doc_id IS NULL) AS clean_f
+        FROM train t
+        LEFT JOIN uniq u ON t.doc_id = u.doc_id
+        LEFT JOIN cont c ON t.doc_id = c.doc_id
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) FILTER (WHERE q) AS BIGINT) AS n_quality,
+           CAST(count(*) FILTER (WHERE uniq_f) AS BIGINT) AS n_unique,
+           CAST(count(*) FILTER (WHERE clean_f) AS BIGINT) AS n_clean,
+           CAST(COALESCE(sum(words) FILTER (WHERE clean_f), 0) AS BIGINT)
+               AS tokens_clean
+    FROM flagged GROUP BY lang, source
+    """,
+)
+def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation capstone — the full hygiene
+    chain every LLM corpus goes through, composed as ONE lazy plan
+    with per-stage survivor counts as the verifiable output:
+
+      1. quality gate   — length window + minimum token count
+                          (row-local, pushes to the scan);
+      2. exact dedup    — keep the BEST copy per content digest
+                          (most tokens, doc_id tie-break): one
+                          shuffle of 16-byte digests;
+      3. decontaminate  — drop survivors sharing any 8-gram with the
+                          held-out eval split (doc_id % 20 == 7,
+                          excluded from the corpus): eval grams are
+                          benchmark-sized → broadcast, train grams
+                          stream through explode+distinct;
+      4. report         — per (lang, source): raw / quality / unique /
+                          clean cardinalities + surviving token mass.
+
+    The staged counts make the funnel itself the oracle artifact: a
+    regression in ANY stage shifts a cardinality and breaks the hash.
+    Scale shape: no pairwise stage anywhere — dedup is digest-grouped,
+    contamination is an inverted-gram equi-join (dedup_contamination's
+    plan), and the final report is one hash aggregate."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("long")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        words.alias("words"),
+        (F.col("n_chars").between(50, 2000) & (words >= 8)).alias("q"),
+        (F.col("doc_id") % _EVAL_MOD == _EVAL_REM).alias("is_eval"),
+    )
+    train = base.where(~F.col("is_eval"))
+    w_best = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("words").desc(), "doc_id"
+    )
+    uniq = (
+        train.where("q")
+        .withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    grams = (
+        base.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= _GRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_GRAM_N - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_GRAM_N})))"
+                )
+            ).alias("g"),
+        )
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == _EVAL_REM)
+        .select("g")
+        .distinct()
+    )
+    cont = (
+        grams.join(uniq, "doc_id", "left_semi")
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = (
+        train.join(
+            uniq.withColumn("_u", F.lit(True)), "doc_id", "left"
+        )
+        .join(cont.withColumn("_c", F.lit(True)), "doc_id", "left")
+        .select(
+            "lang",
+            "source",
+            "words",
+            "q",
+            F.col("_u").isNotNull().alias("uniq_f"),
+            (F.col("_u").isNotNull() & F.col("_c").isNull()).alias("clean_f"),
+        )
+    )
+    return flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("q"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("uniq_f"), 1)).alias("n_unique"),
+        F.count(F.when(F.col("clean_f"), 1)).alias("n_clean"),
+        F.coalesce(F.sum(F.when(F.col("clean_f"), F.col("words"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_clean"),
+    )
