@@ -540,3 +540,209 @@ def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the seeded-LSH tier against sim_topk_exact, as
     data: one row (tier, n_queries, recall_at_5)."""
     return _recall_frame(spark, sf_dir, "lsh", "sim_ann_lsh")
+
+
+# ------------------------------------- quantized IVF (ADC-style) tier
+
+RERANK = 2 * TOP_K  # approx-score candidates kept for exact re-rank
+_SQL_Q8 = f"""
+    qs AS (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') / {Q_BITS_MAX}
+                   AS scale
+        FROM embeddings
+    ), quant AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(greatest(-{Q_BITS_MAX},
+                   least({Q_BITS_MAX}, floor(CAST(x AS DOUBLE)/scale + 0.5)))
+                   AS BIGINT)) AS qv
+        FROM qs
+    ), qnorm AS (
+        SELECT vec_id, qv,
+               list_aggregate(list_transform(qv, x -> x*x), 'sum') AS qn2i
+        FROM quant
+    )"""
+
+
+@register(
+    "sim_ann_ivf_q8",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce,
+               {_SQL_NORM2.format(col="embedding")} AS cn2
+        FROM embeddings WHERE vec_id % {CENT_MOD} = 0
+    ), vec AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM2.format(col="embedding")} AS n2
+        FROM embeddings
+    ), ranked_cells AS (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   v.n2 + c.cn2 - 2*(list_aggregate(
+                       [CAST(v.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+                        for i in range(1, 65)], 'sum')),
+                   c.cent_id) AS cell_rank
+        FROM vec v CROSS JOIN cent c
+    ), assign AS (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE cell_rank = 1
+    ), probes AS (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells
+        WHERE cell_rank <= {NPROBE} AND vec_id < {N_QUERIES}
+    ), {_SQL_Q8},
+    cand AS (
+        SELECT DISTINCT p.vec_id AS qid, ca.vec_id AS cid
+        FROM probes p JOIN assign ca ON ca.cell = p.cell
+        WHERE p.vec_id <> ca.vec_id
+    ), approx AS (
+        SELECT c.qid, c.cid,
+               CAST(list_aggregate([a.qv[i]*b.qv[i]
+                    for i in range(1, 65)], 'sum') AS DOUBLE)
+               / sqrt(CAST(a.qn2i * b.qn2i AS DOUBLE)) AS acos_
+        FROM cand c
+        JOIN qnorm a ON a.vec_id = c.qid
+        JOIN qnorm b ON b.vec_id = c.cid
+    ), shortlist AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                        ORDER BY acos_ DESC, cid) AS rn_a
+            FROM approx
+        ) WHERE rn_a <= {RERANK}
+    ), exact AS (
+        SELECT s.qid, s.cid,
+               {_SQL_DOT} /
+               sqrt({_SQL_NORM2.format(col="a.embedding")}
+                    * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+        FROM shortlist s
+        JOIN embeddings a ON a.vec_id = s.qid
+        JOIN embeddings b ON b.vec_id = s.cid
+    )
+    SELECT qid, cid, {sql_q4("cos")} AS cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS rn
+        FROM exact
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized IVF search (the IVF-ADC pattern): candidates come
+    from the coarse-cell probe join, but candidate SCORING runs on
+    int8 codes — the asymmetric-distance-computation trick that makes
+    100 TB ANN memory-bandwidth-bound on 1/4 the bytes. Scales cancel
+    in the quantized cosine (q_dot / sqrt(q_norm²·q_norm²)), so the
+    approximate score is a ratio of EXACT INTEGERS — bitwise
+    deterministic on both engines, hence a full SQL oracle for a
+    quantized ANN path. The top 2k approx candidates per query are
+    re-ranked with full-precision cosine (the standard refine step);
+    recall vs sim_topk_exact is measured in tests/test_llm.py.
+
+    Plan shape: broadcast centroids (map-only assignment), equi-join
+    on cell for candidates, int folds for scoring, one ranking window
+    per stage — no pairwise stage, no Python."""
+    e = table(spark, sf_dir, "embeddings")
+    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
+    cent = e.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
+    ranked_cells = vec.crossJoin(F.broadcast(cent)).withColumn(
+        "cell_rank", F.row_number().over(wc)
+    )
+    assign = ranked_cells.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
+    )
+    probes = ranked_cells.where(
+        (F.col("cell_rank") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.aggregate(
+            F.transform("embedding", lambda x: F.abs(xd(x))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / Q_BITS_MAX
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-Q_BITS_MAX).cast("double"),
+            F.least(
+                F.lit(Q_BITS_MAX).cast("double"),
+                F.floor(xd(x) / F.col("scale") + 0.5).cast("double"),
+            ),
+        ).cast("long"),
+    )
+    qnorm = (
+        e.select("vec_id", "embedding", scale.alias("scale"))
+        .select("vec_id", qv.alias("qv"))
+        .select(
+            "vec_id",
+            "qv",
+            F.aggregate(
+                F.transform("qv", lambda x: x * x), F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qn2i"),
+        )
+    )
+    qa = qnorm.select(
+        F.col("vec_id").alias("qid2"), F.col("qv").alias("qva"),
+        F.col("qn2i").alias("qn2a"),
+    )
+    qb = qnorm.select(
+        F.col("vec_id").alias("cid2"), F.col("qv").alias("qvb"),
+        F.col("qn2i").alias("qn2b"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qva", "qvb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        cand.join(qa, F.col("qid") == F.col("qid2"))
+        .join(qb, F.col("cid") == F.col("cid2"))
+        .select(
+            "qid",
+            "cid",
+            (idot.cast("double") / F.sqrt((F.col("qn2a") * F.col("qn2b")).cast("double"))).alias("acos_"),
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("acos_").desc(), "cid")
+    shortlist = (
+        approx.withColumn("rn_a", F.row_number().over(wa))
+        .where(F.col("rn_a") <= RERANK)
+        .select("qid", "cid")
+    )
+    fa = e.select(
+        F.col("vec_id").alias("qid3"), F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("fn2a"),
+    )
+    fb = e.select(
+        F.col("vec_id").alias("cid3"), F.col("embedding").alias("ce2"),
+        _norm2(F.col("embedding")).alias("fn2b"),
+    )
+    cos = _dot64(F.col("qe"), F.col("ce2")) / F.sqrt(F.col("fn2a") * F.col("fn2b"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        shortlist.join(fa, F.col("qid") == F.col("qid3"))
+        .join(fb, F.col("cid") == F.col("cid3"))
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "cid", q4(F.col("cos")).alias("cosine"), "rn")
+    )

@@ -279,3 +279,17 @@ def test_rag_chunk_counts_match_explode(spark, sf_dir):
     for r in d.join(exploded, "doc_id").collect():
         want = max(math.floor((r["toks"] - CHUNK) / STRIDE), 0) + 1
         assert r["n_exploded"] == want, (r["doc_id"], r["toks"])
+
+
+def test_q8_ivf_matches_fp_ivf_quality(spark, sf_dir):
+    """The int8-scored IVF tier must not lose quality vs the
+    full-precision IVF at fixture scale: recall@5 vs exact within
+    0.05 of sim_ann_ivf's, and the 2k-deep re-rank recovers ≥95% of
+    the fp tier's neighbor pairs (measured: identical sets)."""
+    exact = _pairs(REGISTRY["sim_topk_exact"].build(spark, sf_dir))
+    ivf = _pairs(REGISTRY["sim_ann_ivf"].build(spark, sf_dir))
+    q8 = _pairs(REGISTRY["sim_ann_ivf_q8"].build(spark, sf_dir))
+    r_ivf = len(exact & ivf) / len(exact)
+    r_q8 = len(exact & q8) / len(exact)
+    assert r_q8 >= r_ivf - 0.05, f"q8 recall {r_q8:.3f} vs ivf {r_ivf:.3f}"
+    assert len(ivf & q8) / len(ivf) >= 0.95
