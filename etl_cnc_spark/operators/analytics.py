@@ -1215,3 +1215,93 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_us").alias("end_us"),
         (F.max("t_us") - F.min("t_us")).alias("duration_us"),
     )
+
+
+_ATTR_LOOKBACK_H = 48
+_ATTR_SCALE = 1_000_000  # micro-credits per conversion
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT e.event_type, c.conv_id,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY e.ts, e.event_id) AS pos,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touch
+        FROM conv c JOIN events e
+          ON e.user_id = c.user_id
+         AND e.event_type <> 'purchase'
+         AND e.ts < c.conv_ts
+         AND e.ts >= c.conv_ts - INTERVAL {_ATTR_LOOKBACK_H} HOUR
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE pos = 1) AS BIGINT) AS first_touches,
+           CAST(count(*) FILTER (WHERE pos = n_touch) AS BIGINT)
+               AS last_touches,
+           CAST(SUM({_ATTR_SCALE} // n_touch
+                    + CASE WHEN pos = 1
+                           THEN {_ATTR_SCALE} % n_touch ELSE 0 END)
+                AS BIGINT) AS linear_microcredits
+    FROM touch GROUP BY event_type
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — the marketing-analytics staple the
+    funnel/retention family doesn't cover: every purchase credits the
+    user's touches (non-purchase events) in its 48-hour lookback
+    under three models at once — first-touch, last-touch, and linear.
+
+    Linear credit is an EXACT INTEGER ledger: each conversion splits
+    1e6 micro-credits as floor(1e6/n) per touch with the remainder
+    assigned to the first touch, so total credit is conserved
+    bit-for-bit (Σ = 1e6 × attributed conversions) and the aggregate
+    is order-free at any parallelism — the cents discipline applied
+    to fractional attribution (a double 1/n ledger would drift with
+    partial-agg order across 1000 executors).
+
+    Plan shape: one equi-join on user_id bounds candidates to the
+    user's own events (the range predicate prunes within the join —
+    join_range's shape); one window per conversion for position/count;
+    one final hash aggregate. No pairwise stage outside the per-user
+    candidate set."""
+    e = table(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = conv.join(
+        e,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("event_type") != "purchase")
+        & (F.col("ts") < F.col("conv_ts"))
+        & (
+            F.col("ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_H} HOURS")
+        ),
+    )
+    w_pos = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("conv_id")
+    scored = touch.select(
+        "event_type",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_all).alias("n_touch"),
+    )
+    base_credit = F.floor(F.lit(_ATTR_SCALE) / F.col("n_touch")).cast("long")
+    remainder = F.lit(_ATTR_SCALE) % F.col("n_touch")
+    return scored.groupBy("event_type").agg(
+        F.count(F.when(F.col("pos") == 1, 1)).alias("first_touches"),
+        F.count(F.when(F.col("pos") == F.col("n_touch"), 1)).alias(
+            "last_touches"
+        ),
+        F.sum(
+            base_credit
+            + F.when(F.col("pos") == 1, remainder).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("linear_microcredits"),
+    )

@@ -76,3 +76,41 @@ def test_market_basket_lift_bounds(spark, sf_dir):
         assert r["co"] >= 20
         assert r["co"] <= min(brand_n[r["brand_a"]], brand_n[r["brand_b"]])
         assert r["lift"] > 0
+
+
+def test_attribution_credit_conserved(spark, sf_dir):
+    """Linear attribution is an exact ledger: total micro-credits ==
+    1e6 × conversions that have ≥1 touch, and first/last touch counts
+    both equal that conversion count (every attributed conversion has
+    exactly one first and one last touch)."""
+    from etl_cnc_spark.catalog import table
+    from etl_cnc_spark.operators.analytics import (
+        _ATTR_LOOKBACK_H,
+        _ATTR_SCALE,
+    )
+
+    rows = REGISTRY["events_attribution"].build(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("conv_ts"),
+    )
+    attributed = (
+        conv.join(
+            e,
+            (F.col("user_id") == F.col("c_uid"))
+            & (F.col("event_type") != "purchase")
+            & (F.col("ts") < F.col("conv_ts"))
+            & (
+                F.col("ts")
+                >= F.col("conv_ts")
+                - F.expr(f"INTERVAL {_ATTR_LOOKBACK_H} HOURS")
+            ),
+            "left_semi",
+        )
+        .count()
+    )
+    assert sum(r["linear_microcredits"] for r in rows) == attributed * _ATTR_SCALE
+    assert sum(r["first_touches"] for r in rows) == attributed
+    assert sum(r["last_touches"] for r in rows) == attributed
