@@ -1305,3 +1305,80 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("linear_microcredits"),
     )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), grid AS (
+        SELECT d, event_type FROM days CROSS JOIN types
+    ), daily AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT g.d, g.event_type, COALESCE(daily.n, 0) AS n
+        FROM grid g LEFT JOIN daily
+          ON g.d = daily.d AND g.event_type = daily.event_type
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS day_n,
+           event_type,
+           CAST(n AS BIGINT) AS n,
+           {sql_q4("CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w")} AS ma7
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + gap-fill + trailing smoothing — the
+    time-series resample every dashboard needs: daily counts per
+    event type LEFT-joined onto the COMPLETE (day × type) grid with
+    zero-fill, then a 7-day trailing average computed over the dense
+    series (a moving average over a sparse series silently skips the
+    zero days — the classic resample bug this operator exists to
+    prevent).
+
+    Scale shape: the grid is METADATA (days × types — a year of 1000
+    event types is 365k rows) built from one broadcast bounds
+    aggregate + sequence/explode; the event log collapses to |grid|
+    rows in its one aggregate shuffle, and the smoothing window
+    partitions by type over day-grained rows. ma7 is Σ/count of exact
+    integer counts over a fixed frame — deterministic at any
+    parallelism."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(days).crossJoin(F.broadcast(types))
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = grid.join(daily, ["d", "event_type"], "left").select(
+        "d", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return dense.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("day_n"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        q4(F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "ma7"
+        ),
+    )
