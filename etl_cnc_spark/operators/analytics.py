@@ -1382,3 +1382,86 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ma7"
         ),
     )
+
+
+@register(
+    "events_conversion_paths",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT c.conv_id, e.event_type, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY e.ts DESC, e.event_id DESC)
+                   AS rpos
+        FROM conv c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type <> 'purchase'
+         AND e.ts < c.conv_ts
+         AND e.ts >= c.conv_ts - INTERVAL {_ATTR_LOOKBACK_H} HOUR
+    ), paths AS (
+        SELECT conv_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM touch WHERE rpos <= 3 GROUP BY conv_id
+    ), counted AS (
+        SELECT path, count(*) AS n FROM paths GROUP BY path
+    )
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+    FROM counted QUALIFY rnk <= 20
+    """,
+)
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 converting paths — which ordered sequence of (up to 3)
+    final touches precedes a purchase: the path-analysis companion to
+    events_attribution (credit) and events_markov (one-step
+    transitions). Paths are the LAST ≤3 touches in the 48 h lookback,
+    rendered oldest→newest as 'a>b>c'.
+
+    Determinism: per-conversion touch order is (ts, event_id) — a
+    total order — so the path string is unique; path assembly is an
+    array_sort over collected (ts, event_id, type) structs, identical
+    to the oracle's ORDER BY string_agg. Scale shape: candidates
+    bounded by the per-user equi-join (attribution's plan), one
+    groupBy per conversion (state = ≤3 structs per group), one path
+    aggregate, then a global top-20 (TakeOrderedAndProject); the
+    final rank window runs on the LIMITED 20-row frame only."""
+    e = table(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = conv.join(
+        e,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("event_type") != "purchase")
+        & (F.col("ts") < F.col("conv_ts"))
+        & (
+            F.col("ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_H} HOURS")
+        ),
+    )
+    w_r = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last3 = touch.withColumn("rpos", F.row_number().over(w_r)).where(
+        F.col("rpos") <= 3
+    )
+    paths = last3.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.col("n").desc(), "path").limit(20)
+    w_rank = Window.orderBy(F.col("n").desc(), "path")
+    return top.withColumn("rnk", F.row_number().over(w_rank).cast("long")).select(
+        "path", F.col("n").cast("long").alias("n"), "rnk"
+    )
