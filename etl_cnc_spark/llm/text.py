@@ -913,3 +913,72 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_unique"),
         (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_repeated"),
     )
+
+
+N_PHASES = 4  # curriculum phases
+
+
+@register(
+    "pipeline_curriculum",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               (CAST(n_chars AS BIGINT) * 1000)
+                 // CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS difficulty
+        FROM documents
+    ), phased AS (
+        SELECT CAST(ntile({N_PHASES}) OVER (ORDER BY difficulty, doc_id)
+                    AS BIGINT) AS phase,
+               words, difficulty
+        FROM scored
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS tokens,
+           CAST(min(difficulty) AS BIGINT) AS min_difficulty,
+           CAST(max(difficulty) AS BIGINT) AS max_difficulty
+    FROM phased GROUP BY phase
+    """,
+)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: rank the corpus by a
+    difficulty score (average word length in milli-chars — integral,
+    so bucketing and ties are exact) and split it into N_PHASES
+    equal-size phases, easy→hard, reporting each phase's size, token
+    mass, and difficulty range. Phases come from the distributed
+    prefix-rank machinery (`global_ordered` + exact ntile-from-rank
+    arithmetic) — no single-partition window at any corpus size; the
+    oracle keeps the standard ntile formulation."""
+    from ..operators.prefix import global_ordered, ntile_from_rank
+
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("long")
+    scored = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.expr("CAST(n_chars AS BIGINT) * 1000").alias("_c1000"),
+    ).select(
+        "doc_id",
+        "words",
+        F.expr("_c1000 DIV words").alias("difficulty"),
+    )
+    ranked = global_ordered(
+        scored,
+        [F.col("difficulty"), F.col("doc_id")],
+        bucket_key="difficulty",
+        rank_col="_rk",
+    )
+    n_df = scored.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    phased = ranked.crossJoin(F.broadcast(n_df)).select(
+        ntile_from_rank(F.col("_rk"), F.col("_n"), N_PHASES).alias("phase"),
+        "words",
+        "difficulty",
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").cast("long").alias("tokens"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+    )
