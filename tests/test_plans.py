@@ -281,3 +281,15 @@ def test_embedding_dedup_has_no_all_pairs_join(spark, sf_dir):
     assert len(bnl_ids) <= 2, plan
     # the exact re-rank joins embeddings back by id: hash joins exist
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_attribution_candidates_are_equi_joined(spark, sf_dir):
+    """events_attribution / events_conversion_paths: conversion×touch
+    candidates must come from a HASH/SORT-MERGE equi-join on user_id
+    (range predicates applied post-join inside the same operator) —
+    never a nested-loop over the full event log."""
+    for key in ("events_attribution", "events_conversion_paths"):
+        plan = plan_of(key, spark, sf_dir)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, key
