@@ -42,9 +42,12 @@ REGISTRY: dict[str, QueryDef] = {}
 # never-driver-checked keys (extended aggregates, event analytics,
 # graph, samples, remaining stream keys — VERDICT r3 priority order)
 # plus dedup_embedding, kept in-window so its de-quadratic rewrite
-# (IVF-blocked candidates) gets RE-verified by the driver.  ~33 keys
-# (the fn_* and text_* long tails + 5 rows-only keys) remain for the
-# round-5 rotation, which closes full driver coverage.
+# (IVF-blocked candidates) gets RE-verified by the driver.  ~39 keys
+# remain for the round-5 rotation (the fn_* and text_* long tails,
+# 5 rows-only keys, and the six operators ADDED in round 4:
+# pipeline_curate_e2e, sim_ann_ivf_q8, events_attribution,
+# events_conversion_paths, events_resample_gapfill,
+# pipeline_curriculum), which closes full driver coverage.
 DRIVER_WINDOW: list[str] = [
     # re-verify after the all-pairs -> IVF-blocked rewrite
     "dedup_embedding",
