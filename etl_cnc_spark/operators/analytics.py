@@ -710,10 +710,28 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage, so executor loss on a real cluster recomputes instead
     # of failing the query; the rollup is |users| rows — tiny.
     base = base.cache()
-    base.count()  # materialize the cache BEFORE fan-out: the melted
-    # union + pivot + final join read InMemoryTableScan instead of
-    # racing to recompute the events aggregate per branch
-    n_df = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # Bounded metadata collected ONCE at the driver: the user count
+    # and the three per-metric (lo, hi) ranges — 1 scalar + 3 rows,
+    # never data. Inlining them as literals (instead of broadcast
+    # single-row frames) removes three broadcast-exchange waves from
+    # the cold plan; this first action also materializes the cache
+    # every later branch reads. Small-input rank queries are
+    # stage-bound, so each removed wave is wall-clock.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("recency_days").alias("r_lo"),
+        F.max("recency_days").alias("r_hi"),
+        F.min(-F.col("frequency")).alias("f_lo"),
+        F.max(-F.col("frequency")).alias("f_hi"),
+        F.min(-F.col("monetary_cents")).alias("m_lo"),
+        F.max(-F.col("monetary_cents")).alias("m_hi"),
+    ).first()
+    n_val = int(stats["n"])
+    rng = {
+        0: (int(stats["r_lo"]), int(stats["r_hi"])),
+        1: (int(stats["f_lo"]), int(stats["f_hi"])),
+        2: (int(stats["m_lo"]), int(stats["m_hi"])),
+    }
     # Melt: metric 0 = recency asc, 1 = frequency desc, 2 = monetary
     # desc — descending metrics negate their value, so every metric
     # sorts (value asc, user_id asc) and ties break identically to
@@ -733,18 +751,18 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (metric, value) sort by construction; DIV (never multiply) so a
     # cents-scale span cannot overflow the composite.
     grid = 1 << 20
-    rng = melted.groupBy("_m").agg(
-        F.min("_v").alias("_vlo"), F.max("_v").alias("_vhi")
+
+    def _ck_for(m: int) -> F.Column:
+        lo, hi = rng[m]
+        width = (hi - lo + grid) // grid
+        return F.expr(f"CAST({m * grid} AS BIGINT) + (_v - {lo}) DIV {width}")
+
+    norm = (
+        F.when(F.col("_m") == 0, _ck_for(0))
+        .when(F.col("_m") == 1, _ck_for(1))
+        .otherwise(_ck_for(2))
     )
-    keyed = melted.join(F.broadcast(rng), "_m").select(
-        "user_id",
-        "_m",
-        "_v",
-        (
-            F.col("_m").cast("long") * grid
-            + F.expr(f"(_v - _vlo) DIV ((_vhi - _vlo + {grid}) DIV {grid})")
-        ).alias("_ck"),
-    )
+    keyed = melted.select("user_id", "_m", "_v", norm.alias("_ck"))
     ranked = global_ordered(
         keyed,
         [F.col("_ck"), F.col("_v"), F.col("user_id")],
@@ -754,17 +772,13 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global rank → per-metric rank: metrics are sorted by _m first
     # and each contributes exactly n rows, so metric m's ranks occupy
     # (m·n, (m+1)·n]; pivot back to one row per user.
-    n = F.col("_n")
-    piv = (
-        ranked.crossJoin(F.broadcast(n_df))
-        .groupBy("user_id")
-        .agg(
-            F.max(F.when(F.col("_m") == 0, F.col("_grk"))).alias("_rk_r"),
-            F.max(F.when(F.col("_m") == 1, F.col("_grk") - n)).alias("_rk_f"),
-            F.max(F.when(F.col("_m") == 2, F.col("_grk") - 2 * n)).alias("_rk_m"),
-        )
+    n = F.lit(n_val).cast("long")
+    piv = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("_m") == 0, F.col("_grk"))).alias("_rk_r"),
+        F.max(F.when(F.col("_m") == 1, F.col("_grk") - n)).alias("_rk_f"),
+        F.max(F.when(F.col("_m") == 2, F.col("_grk") - 2 * n)).alias("_rk_m"),
     )
-    out = base.join(piv, "user_id").crossJoin(F.broadcast(n_df))
+    out = base.join(piv, "user_id")
     return out.select(
         "user_id",
         "recency_days",
