@@ -899,3 +899,140 @@ def etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+K_ANON = 20  # minimum group size for a quasi-identifier to survive
+
+
+@register(
+    "etl_k_anonymity",
+    oracle=f"""
+    WITH sized AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                   AS full_n,
+               count(*) OVER (PARTITION BY c_nationkey) AS nat_n
+        FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN full_n >= {K_ANON} OR nat_n >= {K_ANON}
+                THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS nation_qi,
+           CASE WHEN full_n >= {K_ANON} THEN c_mktsegment
+                ELSE '*' END AS segment_qi,
+           CAST(CASE WHEN full_n >= {K_ANON} THEN 0
+                     WHEN nat_n >= {K_ANON} THEN 1
+                     ELSE 2 END AS BIGINT) AS generalization_level,
+           CAST(CASE WHEN full_n >= {K_ANON} THEN full_n
+                     WHEN nat_n >= {K_ANON} THEN nat_n
+                     ELSE 0 END AS BIGINT) AS group_n
+    FROM sized
+    """,
+)
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization — the privacy transform next to
+    gdpr_delete/pii_mask in every compliance pipeline: each row's
+    quasi-identifiers (nation, market segment) are generalized up a
+    fixed hierarchy until the row is hidden among ≥ k peers —
+    level 0 keeps both, level 1 drops the segment (nation-only
+    anonymity set), level 2 masks everything. Output is ROW-level
+    (the anonymized release table), so the oracle hash verifies
+    every row's generalization decision, not just group counts.
+
+    Two window counts over the same shuffle key family (the finer
+    partition is a refinement of the coarser, so AQE plans one
+    exchange + one re-use); row-local CASE ladder after that —
+    linear at any scale, no joins."""
+    w_full = Window.partitionBy("c_nationkey", "c_mktsegment")
+    w_nat = Window.partitionBy("c_nationkey")
+    sized = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.count(F.lit(1)).over(w_full).alias("full_n"),
+        F.count(F.lit(1)).over(w_nat).alias("nat_n"),
+    )
+    lvl0 = F.col("full_n") >= K_ANON
+    lvl1 = F.col("nat_n") >= K_ANON
+    return sized.select(
+        "c_custkey",
+        F.when(lvl0 | lvl1, F.col("c_nationkey").cast("string"))
+        .otherwise("*")
+        .alias("nation_qi"),
+        F.when(lvl0, F.col("c_mktsegment")).otherwise("*").alias("segment_qi"),
+        F.when(lvl0, 0).when(lvl1, 1).otherwise(2).cast("long").alias(
+            "generalization_level"
+        ),
+        F.when(lvl0, F.col("full_n"))
+        .when(lvl1, F.col("nat_n"))
+        .otherwise(0)
+        .cast("long")
+        .alias("group_n"),
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS m0
+        FROM orders GROUP BY 1
+    ), cells AS (
+        SELECT year(f.m0)*100 + month(f.m0) AS cohort_ym,
+               (year(o.o_orderdate)*12 + month(o.o_orderdate))
+                 - (year(f.m0)*12 + month(f.m0)) AS age_months,
+               count(DISTINCT o.o_custkey) AS active_customers,
+               CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(active_customers AS BIGINT) AS active_customers,
+           revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_ym
+                ORDER BY age_months) AS BIGINT) AS cum_revenue_cents
+    FROM cells
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value — the money companion to
+    events_retention: customers are cohorted by first-order month,
+    and every (cohort, months-since-first) cell reports active
+    customers, exact integer-cent revenue, and the RUNNING cumulative
+    LTV curve per cohort. Month arithmetic is exact integer
+    (year×12+month deltas), revenue is the cents discipline, and the
+    cumulative window partitions by cohort over month-grained rows
+    (≤ ~100 per cohort — metadata-sized partitions at any scale;
+    the heavy lifting is the one per-customer aggregate + one
+    cohort-cell aggregate)."""
+    o = table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("m0")
+    )
+    ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    cells = (
+        o.join(f, "o_custkey")
+        .groupBy(
+            (F.year("m0") * 100 + F.month("m0")).cast("long").alias("cohort_ym"),
+            (ym(F.col("o_orderdate")) - ym(F.col("m0")))
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_ym",
+        "age_months",
+        "active_customers",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
