@@ -1479,3 +1479,80 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w_rank).cast("long")).select(
         "path", F.col("n").cast("long").alias("n"), "rnk"
     )
+
+
+_BOT_MIN_GAPS = 10
+_BOT_CV_TAU = 0.3  # coefficient-of-variation below this = suspect
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                 // 1000000 AS gap_s
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_s) AS BIGINT) AS s1,
+               CAST(sum(gap_s*gap_s) AS BIGINT) AS s2
+        FROM d WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(s1 // n_gaps AS BIGINT) AS mean_gap_s,
+           {sql_q4("sqrt(greatest(CAST(s2 AS DOUBLE)"
+                   " - CAST(s1 AS DOUBLE)*s1/n_gaps, 0) / n_gaps)"
+                   " / (CAST(s1 AS DOUBLE)/n_gaps)")} AS cv_gap,
+           (sqrt(greatest(CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE)*s1/n_gaps, 0) / n_gaps)
+             / (CAST(s1 AS DOUBLE)/n_gaps) < {_BOT_CV_TAU}) AS bot_suspect
+    FROM s WHERE n_gaps >= {_BOT_MIN_GAPS}
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by cadence regularity — the
+    training-data hygiene pass that flags machine-generated activity:
+    human inter-event gaps are bursty (coefficient of variation ≈ 1),
+    schedulers and scripts are metronomic (cv → 0). Per user: gap
+    count, mean gap, cv, and the suspect flag (cv < 0.3, ≥10 gaps).
+
+    Determinism discipline: gaps are exact integer SECONDS (µs DIV
+    1e6 — second-granularity keeps Σgap² inside int64 for years-long
+    histories), moments are exact integer sums (count, Σg, Σg²), and
+    the population-cv double formula is evaluated once per user from
+    those sums — partial-agg order on a 1000-executor cluster cannot
+    move a user across the threshold. One window shuffle on user_id,
+    one aggregate: linear."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.select(
+        "user_id",
+        ((us - F.lag(us).over(w)) / F.lit(1000000))
+        .cast("long")
+        .alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("s2"),
+    )
+    var = F.greatest(
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_gaps"),
+        F.lit(0.0),
+    ) / F.col("n_gaps")
+    cv = F.sqrt(var) / (F.col("s1").cast("double") / F.col("n_gaps"))
+    return (
+        s.where(F.col("n_gaps") >= _BOT_MIN_GAPS)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("s1 DIV n_gaps").alias("mean_gap_s"),
+            q4(cv).alias("cv_gap"),
+            (cv < _BOT_CV_TAU).alias("bot_suspect"),
+        )
+    )

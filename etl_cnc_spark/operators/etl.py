@@ -1036,3 +1036,66 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+_FK_RELATIONS = [
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_RELATIONS:
+        parts.append(f"""
+        SELECT '{child}.{ck}->{parent}.{pk}' AS relation,
+               CAST(count(*) AS BIGINT) AS child_rows,
+               CAST(count(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT)
+                   AS orphan_rows,
+               CAST(count(DISTINCT CASE WHEN p.{pk} IS NULL
+                    THEN c.{ck} END) AS BIGINT) AS orphan_keys
+        FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}""")
+    return " UNION ALL ".join(parts)
+
+
+@register("etl_fk_integrity", oracle=_fk_oracle())
+def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: for
+    every declared FK relation, the child row count, rows whose key
+    has no parent (orphans), and distinct orphan key values — the
+    first report a warehouse runs after any load, and the check that
+    catches a bad incremental merge before queries silently drop
+    rows via inner joins.
+
+    Each relation is one left join + conditional aggregate; parents
+    are dimension-sized → broadcast (the fixture's relations), and a
+    fact×fact relation degrades to one shuffle. The per-relation
+    single-row aggregates union into the report — metadata-sized
+    output at any scale."""
+    out = None
+    for child, ck, parent, pk in _FK_RELATIONS:
+        c = table(spark, sf_dir, child).select(F.col(ck).alias("_ck"))
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("_pk")).distinct()
+        row = (
+            c.join(F.broadcast(p), F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("relation"),
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.count(F.when(F.col("_pk").isNull(), 1))
+                .cast("long")
+                .alias("orphan_rows"),
+                F.countDistinct(
+                    F.when(F.col("_pk").isNull(), F.col("_ck"))
+                )
+                .cast("long")
+                .alias("orphan_keys"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
