@@ -112,6 +112,7 @@ _OP_MODULES = [
     "etl_cnc_spark.sources.scans",
     "etl_cnc_spark.sources.sinks",
     "etl_cnc_spark.sources.kafka",
+    "etl_cnc_spark.sources.lakehouse",
     "etl_cnc_spark.sources.python_ds",
     "etl_cnc_spark.operators.projection",
     "etl_cnc_spark.operators.joins",

@@ -67,3 +67,84 @@ def read_iceberg(spark: SparkSession, table_id: str) -> DataFrame:
         return spark.read.format("iceberg").load(table_id)
     except Exception as exc:
         _stub("iceberg", ICEBERG_PACKAGE, ICEBERG_CONFS, exc)
+
+
+# ------------------------------ runnable manifest-snapshot mechanics
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import cents, tmpdir
+
+
+def _write_batch(df: DataFrame, root: str, batch: str) -> str:
+    path = os.path.join(root, "data", batch)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _commit_version(root: str, version: int, paths: list[str]) -> None:
+    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+    with open(os.path.join(root, "_manifests", f"v{version}.json"), "w") as f:
+        json.dump({"version": version, "paths": paths}, f)
+
+
+def _read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    with open(os.path.join(root, "_manifests", f"v{version}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(*manifest["paths"])
+
+
+@register(
+    "lakehouse_manifest_snapshot",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ), v2 AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+    )
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM v1
+    UNION ALL
+    SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM v2
+    """,
+)
+def lakehouse_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse snapshot/time-travel mechanics, runnable without
+    any table-format jar: immutable data files + versioned MANIFESTS
+    (v1 = initial load, v2 = v1 files ∪ appended batch — appends
+    never rewrite data, exactly Delta/Iceberg's commit model), and
+    snapshot reads that list a manifest instead of the directory.
+    The key verifies TIME TRAVEL: the v1 aggregate is computed AFTER
+    the v2 append landed in the same directory tree — a plain
+    directory read would see both batches, the manifest read must
+    not. At scale manifests also carry file-level stats for pruning;
+    the jar-gated connectors above are the production path, and this
+    key proves the pipeline semantics they provide are understood and
+    testable on plain parquet."""
+    root = tmpdir(prefix="etlcnc_lakehouse_", stable=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b1 = _write_batch(o.where(F.col("o_orderkey") % 3 == 0), root, "batch1")
+    _commit_version(root, 1, [b1])
+    # append AFTER v1 committed: v1 readers must never see batch2
+    b2 = _write_batch(o.where(F.col("o_orderkey") % 3 == 1), root, "batch2")
+    _commit_version(root, 2, [b1, b2])
+
+    def _agg(version: int) -> DataFrame:
+        return _read_version(spark, root, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+        )
+
+    return _agg(1).unionByName(_agg(2))
