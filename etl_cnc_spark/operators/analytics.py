@@ -1556,3 +1556,65 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cv < _BOT_CV_TAU).alias("bot_suspect"),
         )
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle=f"""
+    WITH h AS (
+        SELECT user_id,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+               (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) - epoch_us(ts)) // 1000000
+                   AS dur_s
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_holds,
+               CAST(sum(dur_s) AS BIGINT) AS total_s,
+               CAST(sum(cents * dur_s) AS BIGINT) AS weighted_cents_s
+        FROM h WHERE dur_s IS NOT NULL AND dur_s > 0 GROUP BY user_id
+    )
+    SELECT user_id, n_holds, total_s, weighted_cents_s,
+           {sql_q4("CAST(weighted_cents_s AS DOUBLE) / total_s / 100")}
+               AS twap
+    FROM s
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user — the sensor/market
+    staple a plain AVG gets wrong: each observed value HOLDS until
+    the user's next event, so the mean must weight by holding
+    duration, not by observation count (irregular sampling otherwise
+    biases toward chatty periods).
+
+    Exactness at scale: durations are integer SECONDS (µs DIV 1e6),
+    values integer cents, so each cents×dur_s term and their sums
+    stay well inside int64 for month-scale holds (2.6e11 per term vs
+    the 1.8e19 overflow a µs-granularity product hits); the one
+    double division happens after the exact integer aggregate. One
+    lead-window shuffle on user_id, one aggregate — linear."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    h = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        ((F.lead(us).over(w) - us) / F.lit(1000000)).cast("long").alias("dur_s"),
+    ).where(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    s = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_holds"),
+        F.sum("dur_s").cast("long").alias("total_s"),
+        F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias(
+            "weighted_cents_s"
+        ),
+    )
+    return s.select(
+        "user_id",
+        "n_holds",
+        "total_s",
+        "weighted_cents_s",
+        q4(
+            F.col("weighted_cents_s").cast("double") / F.col("total_s") / 100
+        ).alias("twap"),
+    )
