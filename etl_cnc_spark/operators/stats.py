@@ -247,3 +247,76 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", q4(cov / F.sqrt(vx * vy)).alias("corr_qty_price")
     )
+
+
+@register(
+    "agg_linear_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {sql_q4("(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)"
+                   " / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)")}
+               AS slope,
+           {sql_q4("(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*sxy"
+                   " - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx"
+                   " - CAST(sx AS DOUBLE)*sx)) * sx) / n")} AS intercept,
+           {sql_q4("pow(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy, 2)"
+                   " / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
+                   " * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))")}
+               AS r2
+    FROM m
+    """,
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line (slope/intercept/R²) of daily event
+    volume vs day index — regression AS AN AGGREGATE, the way it
+    runs at scale: five exact integer moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) in the one groupBy shuffle, then the closed-form
+    normal-equation doubles evaluated once per group. Identical IEEE
+    op order on both engines → hash-exact regression outputs; no
+    per-row doubles means partial-agg order cannot shift a
+    coefficient. The daily rollup tier is mergeable (same cascade
+    shape as events_forecast_baseline)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    var_n = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_n = nd * F.col("syy") - syd * F.col("sy")
+    slope = cov_n / var_n
+    return m.select(
+        "event_type",
+        "n",
+        q4(slope).alias("slope"),
+        q4((syd - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        q4(F.pow(cov_n, 2) / (var_n * vary_n)).alias("r2"),
+    )
