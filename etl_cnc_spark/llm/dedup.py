@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import register
+from ..registry import REGISTRY, register
 from ..utils import q4, sql_q4, tmpdir
 
 HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
@@ -806,4 +806,56 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("clean_f"), F.col("words"))), F.lit(0))
         .cast("long")
         .alias("tokens_clean"),
+    )
+
+
+NEARDUP_TAU = 0.1875  # 3/16 equal MinHash components
+
+# the deterministic MinHash oracle registered above in this module,
+# captured for composition (same pattern as sim_recall_report)
+_MINHASH_ORACLE = REGISTRY["dedup_minhash_relational"].oracle
+
+
+@register(
+    "text_near_dup_cluster",
+    oracle=f"""
+    WITH RECURSIVE mh AS ({_MINHASH_ORACLE}),
+    pairs AS (
+        SELECT doc_a, doc_b FROM mh WHERE est_jaccard >= {NEARDUP_TAU}
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def text_near_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate clustering: deterministic MinHash
+    candidates (dedup_minhash_relational's banded bucket join, so the
+    WHOLE chain is hash-verifiable — no seed-internal ml.feature
+    stage) filtered at est_jaccard ≥ 3/16, then transitive closure
+    via the pointer-jumping min-label components helper. This is the
+    composition every dedup pipeline actually ships — candidates →
+    similarity gate → clusters → keep one per cluster — with each
+    stage individually verified elsewhere (dedup_minhash_relational,
+    dedup_cluster) and the composition verified here against DuckDB's
+    recursive-CTE reachability. Scale: bucket-join candidates are
+    linear-ish, components run O(log diameter) rounds, driver sees
+    only convergence counts."""
+    mh = REGISTRY["dedup_minhash_relational"].build(spark, sf_dir)
+    pairs = mh.where(F.col("est_jaccard") >= NEARDUP_TAU).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = min_label_components(edges)
+    return labels.select(
+        F.col("nid").alias("doc_id"), F.col("label").alias("cluster_id")
     )
