@@ -42,12 +42,13 @@ REGISTRY: dict[str, QueryDef] = {}
 # never-driver-checked keys (extended aggregates, event analytics,
 # graph, samples, remaining stream keys — VERDICT r3 priority order)
 # plus dedup_embedding, kept in-window so its de-quadratic rewrite
-# (IVF-blocked candidates) gets RE-verified by the driver.  ~39 keys
+# (IVF-blocked candidates) gets RE-verified by the driver.  48 keys
 # remain for the round-5 rotation (the fn_* and text_* long tails,
-# 5 rows-only keys, and the six operators ADDED in round 4:
-# pipeline_curate_e2e, sim_ann_ivf_q8, events_attribution,
-# events_conversion_paths, events_resample_gapfill,
-# pipeline_curriculum), which closes full driver coverage.
+# 5 rows-only keys, and the fifteen operators ADDED in round 4 —
+# curation/attribution/path/resample/curriculum/matryoshka/q8-IVF/
+# k-anonymity/cohort-LTV/bot-detection/FK-audit/lakehouse-manifest/
+# TWAP/OLS-trend/near-dup-cluster); they fit ONE more 50-key window,
+# so round 5 closes full driver coverage.
 DRIVER_WINDOW: list[str] = [
     # re-verify after the all-pairs -> IVF-blocked rewrite
     "dedup_embedding",
