@@ -42,13 +42,14 @@ REGISTRY: dict[str, QueryDef] = {}
 # never-driver-checked keys (extended aggregates, event analytics,
 # graph, samples, remaining stream keys — VERDICT r3 priority order)
 # plus dedup_embedding, kept in-window so its de-quadratic rewrite
-# (IVF-blocked candidates) gets RE-verified by the driver.  48 keys
-# remain for the round-5 rotation (the fn_* and text_* long tails,
-# 5 rows-only keys, and the fifteen operators ADDED in round 4 —
-# curation/attribution/path/resample/curriculum/matryoshka/q8-IVF/
-# k-anonymity/cohort-LTV/bot-detection/FK-audit/lakehouse-manifest/
-# TWAP/OLS-trend/near-dup-cluster); they fit ONE more 50-key window,
-# so round 5 closes full driver coverage.
+# (IVF-blocked candidates) gets RE-verified by the driver.  Exactly
+# 50 keys remain for the round-5 rotation (the fn_* and text_* long
+# tails, 5 rows-only keys, and the seventeen operators ADDED in
+# round 4 — curation/attribution/path/resample/curriculum/matryoshka/
+# q8-IVF/k-anonymity/cohort-LTV/bot-detection/FK-audit/
+# lakehouse-manifest/TWAP/OLS-trend/near-dup-cluster/shared-text-SQL
+# ×2); they fill ONE more 50-key window, so round 5 closes full
+# driver coverage.
 DRIVER_WINDOW: list[str] = [
     # re-verify after the all-pairs -> IVF-blocked rewrite
     "dedup_embedding",
@@ -134,6 +135,7 @@ _OP_MODULES = [
     "etl_cnc_spark.llm.text",
     "etl_cnc_spark.llm.multimodal",
     "etl_cnc_spark.udfs",
+    "etl_cnc_spark.sql",
     "etl_cnc_spark.plans.rewrite",  # needs llm.similarity registered first
 ]
 

@@ -20,3 +20,52 @@ def run(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     """Execute ``text`` against the fixture tables as temp views."""
     register_views(spark, sf_dir)
     return spark.sql(text)
+
+
+from .registry import register  # noqa: E402
+
+# Shared-text keys: ONE dialect-neutral SQL string is BOTH the Spark
+# query (via run()) and the DuckDB oracle — the strongest §3.2
+# demonstration the harness allows: any divergence in parser,
+# analyzer, or execution between the engines breaks the hash.
+
+_SHARED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SHARED_WINDOW = """
+SELECT * FROM (
+    SELECT c.c_mktsegment AS segment, o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rn
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) ranked
+WHERE rn <= 10
+"""
+
+
+@register("sql_entry_agg", oracle=_SHARED_AGG)
+def sql_entry_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1-shape aggregate submitted as SQL TEXT through the §3.2
+    entry point — the registered build and the DuckDB oracle are the
+    IDENTICAL string, so the whole parse→analyze→optimize→execute
+    pipeline is what's under test (the cents discipline keeps the
+    shared text dialect-neutral and hash-exact)."""
+    return run(spark, sf_dir, _SHARED_AGG)
+
+
+@register("sql_entry_window", oracle=_SHARED_WINDOW)
+def sql_entry_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + ranking window + derived-table filter as shared SQL
+    text through the §3.2 entry point: exercises the analyzer's
+    aliasing/scoping and window planning from the SQL side (the
+    DataFrame twins are join_inner/topk_per_group). Same string,
+    both engines, one hash."""
+    return run(spark, sf_dir, _SHARED_WINDOW)
