@@ -726,6 +726,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(-F.col("monetary_cents")).alias("m_lo"),
         F.max(-F.col("monetary_cents")).alias("m_hi"),
     ).first()
+    if not stats["n"]:
+        # empty source: emit the (empty) output schema instead of
+        # crashing on None range literals
+        return base.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            F.lit(None).cast("long").alias("rfm_code"),
+        )
     n_val = int(stats["n"])
     rng = {
         0: (int(stats["r_lo"]), int(stats["r_hi"])),
