@@ -195,3 +195,98 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+@register(
+    "graph_hierarchy_walk",
+    oracle="""
+    WITH RECURSIVE pm AS (
+        SELECT p_partkey AS p,
+               CASE WHEN p_partkey = 1 THEN NULL
+                    ELSE 1 + CAST(concat('0x',
+                        substr(md5(CAST(p_partkey AS VARCHAR)), 1, 6))
+                        AS BIGINT) % (p_partkey - 1) END AS par
+        FROM part
+    ), walk(p, par, depth) AS (
+        SELECT p, par, 0 FROM pm WHERE par IS NULL
+        UNION ALL
+        SELECT c.p, c.par, w.depth + 1
+        FROM pm c JOIN walk w ON c.par = w.p
+    )
+    SELECT p AS p_partkey, par AS parent_key,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    """,
+)
+def graph_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal (BOM / org-chart walk): every
+    part's depth in a data-driven parent tree — the capability class
+    recursive CTEs serve in a warehouse, which Spark SQL lacks
+    natively. The tree is deterministic and engine-neutral: part 1 is
+    the root; parent(p) = 1 + (int(md5(p)[:6 hex]) mod (p-1)) < p, so
+    the structure is acyclic by construction and identical in DuckDB
+    (whose RECURSIVE walk is the oracle).
+
+    Execution is POINTER JUMPING over (node, ancestor, steps) state:
+    each round joins the state with itself to double the hop count
+    (anc ← anc's ancestor, steps add), so a depth-D tree finishes in
+    ceil(log2 D) rounds — ~5 rounds for the ~e·ln(N) expected max
+    depth of this random tree, not D level-wise passes. The driver
+    sees only per-round remaining counts; non-convergence raises.
+    Same O(log) shape as min_label_components — transitive closure
+    machinery, reused for directed ancestry with exact depths."""
+    from ..utils import tmpdir
+
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(tmpdir(prefix="etlcnc_ckpt_"))
+    p = table(spark, sf_dir, "part").select(F.col("p_partkey").alias("p"))
+    hexval = F.conv(
+        F.substring(F.md5(F.col("p").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    pm = p.select(
+        "p",
+        F.when(F.col("p") == 1, F.lit(None).cast("long"))
+        .otherwise(1 + hexval % (F.col("p") - 1))
+        .alias("par"),
+    ).localCheckpoint(eager=True)
+    # state: ancestor reached from each non-root node and the exact
+    # step count to it; roots carry depth 0 directly
+    state = pm.where(F.col("par").isNotNull()).select(
+        "p", F.col("par").alias("anc"), F.lit(1).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    for rnd in range(12):
+        remaining = state.where(F.col("anc") != 1).count()
+        if remaining == 0:
+            break
+        jump = state.select(
+            F.col("p").alias("j_p"), F.col("anc").alias("j_anc"),
+            F.col("d").alias("j_d"),
+        )
+        state = state.join(
+            jump, state["anc"] == jump["j_p"], "left"
+        ).select(
+            "p",
+            F.coalesce("j_anc", "anc").alias("anc"),
+            (F.col("d") + F.coalesce("j_d", F.lit(0))).alias("d"),
+        )
+        state = (
+            state.checkpoint(eager=True)
+            if rnd % 3 == 2
+            else state.localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            "hierarchy walk did not reach the root in 12 doubling rounds "
+            "(depth > 4096): raise max rounds"
+        )
+    roots = pm.where(F.col("par").isNull()).select(
+        "p",
+        F.lit(None).cast("long").alias("parent_key"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    walked = state.join(pm, "p").select(
+        "p", F.col("par").alias("parent_key"), F.col("d").alias("depth")
+    )
+    return roots.unionByName(walked).select(
+        F.col("p").alias("p_partkey"), "parent_key", "depth"
+    )
