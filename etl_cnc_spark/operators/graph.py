@@ -290,3 +290,100 @@ def graph_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roots.unionByName(walked).select(
         F.col("p").alias("p_partkey"), "parent_key", "depth"
     )
+
+
+@register(
+    "graph_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE pm AS (
+        SELECT p_partkey AS p,
+               CASE WHEN p_partkey = 1 THEN NULL
+                    ELSE 1 + CAST(concat('0x',
+                        substr(md5(CAST(p_partkey AS VARCHAR)), 1, 6))
+                        AS BIGINT) % (p_partkey - 1) END AS par,
+               CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) AS cents
+        FROM part
+    ), anc(p, a) AS (
+        SELECT p, par FROM pm WHERE par IS NOT NULL
+        UNION
+        SELECT anc.p, pm.par FROM anc JOIN pm ON anc.a = pm.p
+        WHERE pm.par IS NOT NULL
+    )
+    SELECT pm.p AS p_partkey,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_descendants,
+           CAST(pm.cents + COALESCE(d.c, 0) AS BIGINT) AS subtree_cents
+    FROM pm LEFT JOIN (
+        SELECT a, count(*) AS n, sum(pm2.cents) AS c
+        FROM anc JOIN pm pm2 ON anc.p = pm2.p GROUP BY a
+    ) d ON d.a = pm.p
+    """,
+)
+def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over the same deterministic part hierarchy as
+    graph_hierarchy_walk — the BOM costing query: every node's
+    descendant count and total subtree value (exact cents, node
+    included). Needs ALL (node, ancestor) pairs, built by DOUBLING
+    transitive closure: P ← P ∪ (P∘P) per round with a distinct, so
+    a depth-D tree closes in ceil(log2 D) rounds and the pair count
+    is Σdepths (~N·ln N for this random tree) — never N². One
+    aggregate over the pairs + a left join back finishes the rollup;
+    the oracle is DuckDB's recursive ancestry CTE."""
+    from ..utils import tmpdir
+
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(tmpdir(prefix="etlcnc_ckpt_"))
+    base = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("p"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    hexval = F.conv(
+        F.substring(F.md5(F.col("p").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    pm = base.select(
+        "p",
+        "cents",
+        F.when(F.col("p") == 1, F.lit(None).cast("long"))
+        .otherwise(1 + hexval % (F.col("p") - 1))
+        .alias("par"),
+    ).localCheckpoint(eager=True)
+    pairs = pm.where(F.col("par").isNotNull()).select(
+        "p", F.col("par").alias("a")
+    ).localCheckpoint(eager=True)
+    for rnd in range(12):
+        left = pairs.select(F.col("p").alias("l_p"), F.col("a").alias("l_a"))
+        right = pairs.select(F.col("p").alias("r_p"), F.col("a").alias("r_a"))
+        composed = left.join(
+            right, F.col("l_a") == F.col("r_p")
+        ).select(F.col("l_p").alias("p"), F.col("r_a").alias("a"))
+        grown = pairs.unionByName(composed).distinct()
+        grown = (
+            grown.checkpoint(eager=True)
+            if rnd % 3 == 2
+            else grown.localCheckpoint(eager=True)
+        )
+        n_before, n_after = pairs.count(), grown.count()
+        pairs = grown
+        if n_after == n_before:
+            break
+    else:
+        raise RuntimeError(
+            "transitive closure did not stabilize in 12 doubling rounds"
+        )
+    desc = (
+        pairs.join(pm.select(F.col("p").alias("dp"), "cents"),
+                   F.col("p") == F.col("dp"))
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        )
+    )
+    return pm.join(desc, pm["p"] == desc["a"], "left").select(
+        F.col("p").alias("p_partkey"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_descendants"),
+        (F.col("cents") + F.coalesce("c", F.lit(0)))
+        .cast("long")
+        .alias("subtree_cents"),
+    )
