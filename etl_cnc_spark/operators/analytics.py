@@ -1628,3 +1628,72 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("weighted_cents_s").cast("double") / F.col("total_s") / 100
         ).alias("twap"),
     )
+
+
+@register(
+    "events_capped_balance",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(value*100 + 0.5) AS BIGINT) END AS delta,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), walk(user_id, rn, bal) AS (
+        SELECT user_id, rn, greatest(0, delta) FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, greatest(0, w.bal + s.delta)
+        FROM walk w JOIN seq s
+          ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT s.event_id, s.user_id, CAST(w.bal AS BIGINT) AS balance_after
+    FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn
+    """,
+)
+def events_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user (credits from
+    purchases, debits otherwise, balance never below zero) — the
+    inventory/wallet/rate-limiter scan that is PROVABLY not a window
+    function: the clamp makes each row's state a non-linear function
+    of the previous row's, so no prefix-sum decomposition exists.
+
+    This is the textbook justification for the grouped-map escape
+    hatch: one shuffle on user_id, then an Arrow-batched per-group
+    sequential fold in exact integer cents (each group's history fits
+    a worker — the same contract as every stateful-stream op; the
+    streaming twin is stream_stateful's per-user state). The oracle
+    is DuckDB's recursive CTE walking (user, rn) — sequential
+    semantics verified row-for-row, hash-exact."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100 + 0.5).cast("long"),
+    ).otherwise(-F.floor(F.col("value") * 100 + 0.5).cast("long"))
+    seq = e.select(
+        "user_id",
+        "event_id",
+        delta.alias("delta"),
+        F.col("ts").alias("_ts"),
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["_ts", "event_id"])
+        bal, out = 0, []
+        for d in pdf["delta"]:
+            bal = max(0, bal + int(d))
+            out.append(bal)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "balance_after": out,
+            }
+        )
+
+    return seq.groupBy("user_id").applyInPandas(
+        fold, "event_id long, user_id long, balance_after long"
+    )
