@@ -42,14 +42,14 @@ REGISTRY: dict[str, QueryDef] = {}
 # never-driver-checked keys (extended aggregates, event analytics,
 # graph, samples, remaining stream keys — VERDICT r3 priority order)
 # plus dedup_embedding, kept in-window so its de-quadratic rewrite
-# (IVF-blocked candidates) gets RE-verified by the driver.  Exactly
-# 50 keys remain for the round-5 rotation (the fn_* and text_* long
-# tails, 5 rows-only keys, and the seventeen operators ADDED in
-# round 4 — curation/attribution/path/resample/curriculum/matryoshka/
-# q8-IVF/k-anonymity/cohort-LTV/bot-detection/FK-audit/
-# lakehouse-manifest/TWAP/OLS-trend/near-dup-cluster/shared-text-SQL
-# ×2); they fill ONE more 50-key window, so round 5 closes full
-# driver coverage.
+# (IVF-blocked candidates) gets RE-verified by the driver.  53 keys
+# remain after this round (the fn_* and text_* long tails, 5
+# rows-only keys, and the twenty operators ADDED in round 4 —
+# curation/attribution/path/resample/curriculum/matryoshka/q8-IVF/
+# k-anonymity/cohort-LTV/bot-detection/FK-audit/lakehouse-manifest/
+# TWAP/OLS-trend/near-dup-cluster/shared-text-SQL×2/hierarchy-walk/
+# hierarchy-rollup/capped-balance): one more 50-key window + 3.
+# `python tools/next_window.py` prints the exact next rotation.
 DRIVER_WINDOW: list[str] = [
     # re-verify after the all-pairs -> IVF-blocked rewrite
     "dedup_embedding",
