@@ -255,9 +255,6 @@ def graph_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p", F.col("par").alias("anc"), F.lit(1).cast("long").alias("d")
     ).localCheckpoint(eager=True)
     for rnd in range(12):
-        remaining = state.where(F.col("anc") != 1).count()
-        if remaining == 0:
-            break
         jump = state.select(
             F.col("p").alias("j_p"), F.col("anc").alias("j_anc"),
             F.col("d").alias("j_d"),
@@ -274,6 +271,10 @@ def graph_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rnd % 3 == 2
             else state.localCheckpoint(eager=True)
         )
+        # convergence measured AFTER the jump, so finishing exactly on
+        # the final round cannot false-raise
+        if state.where(F.col("anc") != 1).count() == 0:
+            break
     else:
         raise RuntimeError(
             "hierarchy walk did not reach the root in 12 doubling rounds "
