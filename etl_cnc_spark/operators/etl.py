@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import cents, q2, sql_q2, tmpdir
+from ..utils import cents, q2, q4, sql_q2, tmpdir
 
 
 # ---------------------------------------------------------------- merge
@@ -1099,3 +1099,110 @@ def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "etl_skew_report",
+    oracle="""
+    WITH freq AS (
+        SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(n) AS BIGINT) AS max_n
+        FROM freq
+    )
+    SELECT key, n,
+           CAST(rnk AS BIGINT) AS rnk,
+           round(CAST(n AS DOUBLE) / total, 4) AS share,
+           n_keys,
+           round(CAST(max_n AS DOUBLE) * n_keys / total, 4) AS skew_factor
+    FROM (
+        SELECT f.key, f.n, t.total, t.n_keys, t.max_n,
+               row_number() OVER (ORDER BY f.n DESC, f.key) AS rnk
+        FROM freq f CROSS JOIN tot t
+    ) WHERE rnk <= 10
+    """,
+)
+def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report that DECIDES whether a
+    key needs salting before a 100 TB join: the 10 heaviest key
+    values with their shuffle share, total key cardinality, and the
+    skew factor (max key frequency ÷ mean; 1.0 = perfectly uniform,
+    ≫1 = a straggler partition waiting to happen). One groupBy on
+    the key (the same shuffle the join would pay), one single-row
+    totals broadcast; the top-10 comes from TakeOrderedAndProject
+    with the rank window running on the limited 10-row frame only —
+    never a global window over the key table."""
+    li = table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    top = (
+        freq.orderBy(F.col("n").desc(), "key")
+        .limit(10)
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy(F.col("n").desc(), "key")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "key",
+        "n",
+        "rnk",
+        q4(F.col("n").cast("double") / F.col("total")).alias("share"),
+        "n_keys",
+        q4(F.col("max_n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+            "skew_factor"
+        ),
+    )
+
+
+@register(
+    "orders_order_to_cash",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(datediff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS min_days,
+           round(quantile_cont(datediff('day', o.o_orderdate,
+                l.l_shipdate), 0.5), 4) AS p50_days,
+           round(quantile_cont(datediff('day', o.o_orderdate,
+                l.l_shipdate), 0.9), 4) AS p90_days,
+           CAST(max(datediff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def orders_order_to_cash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class — the
+    operational SLA metric every order pipeline reports: min / exact
+    interpolated p50 & p90 / max of the per-line (shipdate −
+    orderdate) day gap. Exact integer day deltas feed Spark's exact
+    `percentile` (same linear-interpolation definition as DuckDB's
+    quantile_cont — the agg_stats-verified pairing), so the
+    percentiles hash-match without approximation. One fact⋈fact
+    equi-join shuffle + one aggregate."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    days = F.datediff("l_shipdate", "o_orderdate").cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min(days).cast("long").alias("min_days"),
+            q4(F.expr(
+                "percentile(CAST(datediff(l_shipdate, o_orderdate) AS LONG), 0.5)"
+            )).alias("p50_days"),
+            q4(F.expr(
+                "percentile(CAST(datediff(l_shipdate, o_orderdate) AS LONG), 0.9)"
+            )).alias("p90_days"),
+            F.max(days).cast("long").alias("max_days"),
+        )
+    )
