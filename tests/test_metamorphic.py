@@ -26,6 +26,19 @@ INVARIANT_KEYS = [
     "pipeline_docs_clean",
     "etl_merge_upsert",
     "sim_topk_exact",
+    # r4: the keys whose machinery is MOST at risk of partition
+    # dependence — prefix-rank melts, iterative closures, grouped
+    # sequential folds, blocked candidate joins
+    "events_rfm",
+    "pipeline_seq_pack",
+    "pipeline_curriculum",
+    "dedup_cluster",
+    "graph_hierarchy_walk",
+    "graph_hierarchy_rollup",
+    "events_capped_balance",
+    "dedup_embedding",
+    "events_attribution",
+    "pipeline_curate_e2e",
 ]
 
 
