@@ -1206,3 +1206,48 @@ def orders_order_to_cash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(days).cast("long").alias("max_days"),
         )
     )
+
+
+@register(
+    "sample_weighted_deterministic",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) AS h
+        FROM documents
+    ), weighted AS (
+        SELECT doc_id, lang, words,
+               round(CAST(h AS DOUBLE) / 16777216, 4) AS u,
+               round(least(1.0, CAST(words AS DOUBLE) / 120), 4) AS keep_p
+        FROM scored
+    )
+    SELECT doc_id, lang, words, u, keep_p FROM weighted WHERE u < keep_p
+    """,
+)
+def sample_weighted_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED deterministic sampling — the importance-sampling
+    primitive behind quality-weighted training mixes: each document
+    is kept with probability proportional to its quality signal
+    (token count here, capped at 1), decided by comparing a content-
+    hash uniform u = int(md5(id)[:6]) / 2^24 against the weight.
+    Same guarantees as sample_deterministic (no RNG state, identical
+    sample at any parallelism, reproducible forever, pushes down as a
+    row-local predicate) but with PER-ROW acceptance probabilities —
+    upsampling high-quality and downsampling boilerplate without a
+    shuffle. Emitting (u, keep_p) makes the accept decision itself
+    auditable/hash-verified."""
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    weighted = d.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        q4(h.cast("double") / (1 << 24)).alias("u"),
+        q4(F.least(F.lit(1.0), words.cast("double") / 120)).alias("keep_p"),
+    )
+    return weighted.where(F.col("u") < F.col("keep_p"))
