@@ -302,7 +302,7 @@ Q_BITS_MAX = 127  # symmetric int8 range
         FROM s
     )
     SELECT vec_id, {sql_q4("scale * 1000")} AS scale_x1k,
-           qv[1:8] AS q8,
+           array_to_string(qv[1:8], ',') AS q8,
            {sql_q4("list_aggregate([pow(CAST(embedding[i] AS DOUBLE)"
                    " - CAST(qv[i] AS DOUBLE)*scale, 2)"
                    " for i in range(1, 65)], 'sum') / 64 * 1e6")} AS mse_x1m
@@ -350,7 +350,11 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         q4(F.col("scale") * 1000).alias("scale_x1k"),
-        F.slice("qv", 1, 8).alias("q8"),
+        # comma-joined, not array<int>: the driver's pandas
+        # canonicalizer cannot factorize array cells (r4 red row)
+        F.array_join(
+            F.transform(F.slice("qv", 1, 8), lambda x: x.cast("string")), ","
+        ).alias("q8"),
         q4(mse * 1e6).alias("mse_x1m"),
     )
 

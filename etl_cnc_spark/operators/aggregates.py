@@ -359,11 +359,21 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     final stage, so shuffle volume is sketch-size x partitions,
     independent of row count."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    qs = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 1000).alias(
             "price_quartiles"
         ),
         F.count(F.lit(1)).alias("n"),
+    )
+    # scalar columns, not array<double>: the driver's pandas
+    # canonicalizer cannot factorize array cells (tools/preflight.py)
+    return qs.select(
+        "l_returnflag",
+        F.col("price_quartiles")[0].alias("p25"),
+        F.col("price_quartiles")[1].alias("p50"),
+        F.col("price_quartiles")[2].alias("p75"),
+        F.col("price_quartiles")[3].alias("p99"),
+        "n",
     )
 
 

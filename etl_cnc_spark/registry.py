@@ -36,49 +36,45 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 # The driver's correctness sweep checks a bounded prefix of the
-# registry (first 50 keys), so ordering is evidence.  Rounds 1-3
-# accumulated 148 distinct driver-checked keys (145 hash-green, 3
-# rows-only by design).  DRIVER_WINDOW r4 rotates onto the next 49
-# never-driver-checked keys (extended aggregates, event analytics,
-# graph, samples, remaining stream keys — VERDICT r3 priority order)
-# plus dedup_embedding, kept in-window so its de-quadratic rewrite
-# (IVF-blocked candidates) gets RE-verified by the driver.  53 keys
-# remain after this round (the fn_* and text_* long tails, 5
-# rows-only keys, and the twenty operators ADDED in round 4 —
-# curation/attribution/path/resample/curriculum/matryoshka/q8-IVF/
-# k-anonymity/cohort-LTV/bot-detection/FK-audit/lakehouse-manifest/
-# TWAP/OLS-trend/near-dup-cluster/shared-text-SQL×2/hierarchy-walk/
-# hierarchy-rollup/capped-balance): one more 50-key window + 3.
-# `python tools/next_window.py` prints the exact next rotation.
+# registry (first 50 keys), so ordering is evidence.  Rounds 1-4
+# accumulated 197 distinct driver-checked keys (193 hash-green, 3
+# rows-only by design, 1 red).  DRIVER_WINDOW r5 = the red key
+# (embed_quantize, re-verify after its q8 array->string fix) plus the
+# next 49 never-driver-checked keys in registry order (the round-4
+# operator wave: curation/attribution/paths/hierarchy/q8-IVF/
+# matryoshka, the fn_* long tail, the text_* tail).  Remainder for
+# round 6 (7 keys): pipeline_rag_corpus, pipeline_mix_temperature,
+# text_repetition, pipeline_curriculum, multimodal_framesample,
+# sql_entry_agg, sql_entry_window — plus whatever round 5 adds
+# (r6's window has 43 spare slots).  `python tools/next_window.py`
+# prints the exact next rotation; run `python tools/preflight.py`
+# before rotating (catches driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [
-    # re-verify after the all-pairs -> IVF-blocked rewrite
-    "dedup_embedding",
-    # extended aggregate family
-    "agg_arg_minmax", "agg_conditional", "agg_boolean", "agg_histogram",
-    "agg_mode", "agg_bitmap_distinct", "agg_percentile_exact",
-    "agg_sketch_cms", "agg_bitmap_union", "agg_decimal_exact",
-    "agg_listagg", "agg_rollup_cascade", "agg_moments", "agg_corr_exact",
-    # event analytics
-    "events_anomaly", "events_markov", "events_sequence_match",
-    "events_concurrency", "events_entropy", "events_pareto",
-    "events_streaks", "events_forecast_baseline", "events_ab_test",
-    "events_survival", "events_gini", "events_cusum",
-    "orders_market_basket",
-    # graph
-    "graph_pagerank", "graph_triangles",
-    # sampling
-    "sample_deterministic", "sample_stratified", "sample_reservoir",
-    # remaining streaming keys
-    "stream_foreach_batch", "stream_kafka_wire", "stream_stream_join",
-    # extended window family
-    "win_range_frame", "win_running_distinct", "win_moving_median",
-    # layout / reshape / stats
-    "sort_zorder", "unpivot_melt", "join_bucketed", "stat_crosstab",
-    "stat_freq_items",
-    # embedding / inference / dispatch tiers
-    "embed_quantize", "ml_batch_inference", "sim_auto",
-    # UDTF + text quality tiers
-    "udtf_dynamic_schema", "text_langid", "text_quality",
+    # re-verify after the q8 array-column -> comma-joined-string fix
+    # (r4's only red row: the driver's canonicalizer cannot
+    # factorize numpy array cells)
+    "embed_quantize",
+    # round-3/4 operators never yet driver-attested
+    "lakehouse_manifest_snapshot", "agg_approx_quantile", "agg_hll_merge",
+    "etl_k_anonymity", "orders_cohort_ltv", "etl_fk_integrity",
+    "etl_skew_report", "orders_order_to_cash",
+    "sample_weighted_deterministic", "events_attribution",
+    "events_resample_gapfill", "events_conversion_paths",
+    "events_bot_detection", "events_time_weighted_avg",
+    "events_capped_balance", "agg_linear_trend", "graph_hierarchy_walk",
+    "graph_hierarchy_rollup",
+    # fn_* long tail
+    "fn_hash_native", "fn_bitwise", "fn_strdist", "fn_sequence",
+    "fn_trig", "fn_url", "fn_struct", "fn_posexplode", "fn_try_arith",
+    "fn_datetime2", "fn_hex", "fn_timezone", "fn_array_setops",
+    "fn_variant", "fn_format", "fn_mask_builtin", "fn_struct_surgery",
+    # LLM-pipeline wave
+    "pipeline_curate_e2e", "text_near_dup_cluster", "sim_topk_pandas",
+    "sim_recall_lsh", "sim_ann_ivf_q8", "embed_matryoshka_topk",
+    # text_* tail
+    "text_tokens", "text_fingerprint", "text_normalize", "text_pii_mask",
+    "text_bigram_freq", "text_lm_score", "text_chunk_windows",
+    "text_ngram_novelty",
 ]
 
 # SURVEY.md §2 contract keys (all driver-green across rounds 1-2 except
