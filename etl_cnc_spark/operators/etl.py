@@ -235,7 +235,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session's warehouse dir (defaults to the caller's cwd) is
         # not writable, and a fresh path can never collide with a
         # previous session's leftover managed-table location.
-        path = tmpdir(prefix=f"etlcnc_{name}_", stable=True)
+        path = tmpdir(prefix=f"etlcnc_{name}_", stable=True, key=sf_dir)
         df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
             "parquet"
         ).option("path", path).saveAsTable(name)

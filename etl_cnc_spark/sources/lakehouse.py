@@ -132,7 +132,7 @@ def lakehouse_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the jar-gated connectors above are the production path, and this
     key proves the pipeline semantics they provide are understood and
     testable on plain parquet."""
-    root = tmpdir(prefix="etlcnc_lakehouse_", stable=True)
+    root = tmpdir(prefix="etlcnc_lakehouse_", stable=True, key=sf_dir)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     b1 = _write_batch(o.where(F.col("o_orderkey") % 3 == 0), root, "batch1")
     _commit_version(root, 1, [b1])

@@ -177,7 +177,7 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _table
 
     spark.dataSource.register(JsonLinesDataSource)
-    out = tmpdir(prefix="etlcnc_pyds_", stable=True)
+    out = tmpdir(prefix="etlcnc_pyds_", stable=True, key=sf_dir)
     agg = (
         _table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")

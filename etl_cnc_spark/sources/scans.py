@@ -68,7 +68,7 @@ def scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source with explicit schema + header: round-trips nation
     through CSV; the oracle verifies lossless content."""
-    out = tmpdir(prefix="etlcnc_csv_", stable=True)
+    out = tmpdir(prefix="etlcnc_csv_", stable=True, key=sf_dir)
     table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(NATION_SCHEMA).option("header", True).csv(out)
 
@@ -78,7 +78,7 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source: round-trips nation through json. Schema is
     explicit (inference would widen int32→int64 and cost an extra
     pass over the data at scale)."""
-    out = tmpdir(prefix="etlcnc_json_", stable=True)
+    out = tmpdir(prefix="etlcnc_json_", stable=True, key=sf_dir)
     table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
     return spark.read.schema(NATION_SCHEMA).json(out)
 
@@ -93,7 +93,7 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     most raw web/LLM corpora. Fixture text is newline-free (verified)
     so lines == documents; the oracle checks lossless content."""
     d = table(spark, sf_dir, "documents")
-    out = tmpdir(prefix="etlcnc_srctext_", stable=True)
+    out = tmpdir(prefix="etlcnc_srctext_", stable=True, key=sf_dir)
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
 
@@ -115,7 +115,7 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     over years and a full rewrite is off the table. Old files
     surface NULL for the new column."""
     n = table(spark, sf_dir, "nation")
-    out = tmpdir(prefix="etlcnc_merge_", stable=True)
+    out = tmpdir(prefix="etlcnc_merge_", stable=True, key=sf_dir)
     n.where(F.col("n_nationkey") < 10).select("n_nationkey", "n_name").write.parquet(
         f"{out}/v1"
     )
@@ -163,7 +163,7 @@ def source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.col("o_orderkey").cast("string"), price_txt
         ).alias("value")
     )
-    src = tmpdir(prefix="etlcnc_csvcorrupt_", stable=True)
+    src = tmpdir(prefix="etlcnc_csvcorrupt_", stable=True, key=sf_dir)
     lines.write.mode("overwrite").text(src)
     back = (
         spark.read.schema(

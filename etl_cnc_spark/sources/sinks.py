@@ -43,7 +43,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet write (partitionBy l_returnflag) +
     read-back aggregate. At scale, partitionBy on a low-cardinality
     column gives partition pruning to every downstream reader."""
-    out = tmpdir(prefix="etlcnc_sinkpq_", stable=True)
+    out = tmpdir(prefix="etlcnc_sinkpq_", stable=True, key=sf_dir)
     li = table(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
@@ -69,8 +69,8 @@ def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
-    out_csv = tmpdir(prefix="etlcnc_sinkcsv_", stable=True)
-    out_json = tmpdir(prefix="etlcnc_sinkjson_", stable=True)
+    out_csv = tmpdir(prefix="etlcnc_sinkcsv_", stable=True, key=sf_dir)
+    out_json = tmpdir(prefix="etlcnc_sinkjson_", stable=True, key=sf_dir)
     agg.write.mode("overwrite").option("header", True).csv(out_csv)
     agg.write.mode("overwrite").json(out_json)
     c = (
@@ -110,7 +110,7 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks count AND cents.
 
     Money is compared in integer cents (exact, order-free sums)."""
-    out = tmpdir(prefix="etlcnc_dynover_", stable=True)
+    out = tmpdir(prefix="etlcnc_dynover_", stable=True, key=sf_dir)
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )

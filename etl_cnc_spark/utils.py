@@ -31,10 +31,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-_STABLE_DIRS: dict[str, str] = {}
+_STABLE_DIRS: dict[tuple[str, str], str] = {}
 
 
-def tmpdir(prefix: str, *, stable: bool = False) -> str:
+def tmpdir(prefix: str, *, stable: bool = False, key: str = "") -> str:
     """``mkdtemp`` registered for removal at interpreter exit.
 
     Sink/stream keys stage data under /tmp and return LAZY DataFrames
@@ -52,13 +52,20 @@ def tmpdir(prefix: str, *, stable: bool = False) -> str:
     an earlier call re-reads byte-identical data. Streaming keys must
     NOT use it: a reused checkpoint dir would make the second run
     replay from "already processed" offsets. The dir itself is still
-    mkdtemp-unique per process, so concurrent sweeps never collide."""
-    if stable and prefix in _STABLE_DIRS:
-        return _STABLE_DIRS[prefix]
+    mkdtemp-unique per process, so concurrent sweeps never collide.
+
+    ``key`` scopes the reuse: stable callers pass their ``sf_dir`` so
+    the same sink/source key built against TWO fixture scales in one
+    process stages into two distinct directories — otherwise the
+    second build would overwrite the first's staged files and a
+    still-lazy DataFrame from the first would silently re-read the
+    other scale's data."""
+    if stable and (prefix, key) in _STABLE_DIRS:
+        return _STABLE_DIRS[(prefix, key)]
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     if stable:
-        _STABLE_DIRS[prefix] = d
+        _STABLE_DIRS[(prefix, key)] = d
     return d
 
 

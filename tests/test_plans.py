@@ -274,11 +274,13 @@ def test_embedding_dedup_has_no_all_pairs_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # formatted explain mentions each node in tree + details; count
     # DISTINCT node ids. ranked_cells feeds two branches (assign,
-    # probes), so the one bounded vec×centroid crossJoin may appear as
-    # up to two plan nodes — anything more means an all-pairs join
-    # crept back in.
+    # probes); each branch carries TWO bounded crossJoins — the 1-row
+    # corpus-count frame (capped_centroids' lazy step computation)
+    # and the ≤4096-row centroid broadcast — so up to four BNL nodes
+    # are legitimate. Anything more means an all-pairs join crept
+    # back in.
     bnl_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
-    assert len(bnl_ids) <= 2, plan
+    assert len(bnl_ids) <= 4, plan
     # the exact re-rank joins embeddings back by id: hash joins exist
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
