@@ -947,3 +947,75 @@ def text_near_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("nid").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT sha256(text) AS h, min(doc_id) AS canonical_id
+        FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+    ), batch AS (
+        SELECT doc_id, sha256(text) AS h FROM documents
+        WHERE doc_id % 3 = 0
+    ), in_batch AS (
+        SELECT doc_id, h,
+               min(doc_id) OVER (PARTITION BY h) AS batch_canonical
+        FROM batch
+    )
+    SELECT b.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> b.batch_canonical THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           COALESCE(c.canonical_id,
+               CASE WHEN b.doc_id <> b.batch_canonical
+                    THEN b.batch_canonical END) AS canonical_id
+    FROM in_batch b LEFT JOIN corpus c ON b.h = c.h
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the 'new crawl vs existing corpus'
+    pattern every continuously-ingesting training pipeline runs:
+    classify each NEW document (fixture split: doc_id % 3 = 0 is the
+    incoming batch, the rest the standing corpus) as `dup_of_corpus`
+    (content hash already present — points at the corpus canonical),
+    `dup_in_batch` (first occurrence wins inside the batch), or
+    `new`.
+
+    Scale design: the corpus side collapses to one 32-byte digest +
+    one id per distinct content BEFORE the join (at 100 TB the
+    standing corpus's digest index is rebuilt incrementally, not
+    rescanned — here it is an aggregate over the corpus slice); the
+    batch joins it hash-to-hash (equi join on the digest — with AQE
+    this is a broadcast when the daily batch is small relative to the
+    index). Intra-batch dedup is a window min over the digest, not a
+    self-join. Document text never shuffles — only digests and ids do."""
+    d = table(spark, sf_dir, "documents")
+    corpus = (
+        d.where(F.col("doc_id") % 3 != 0)
+        .groupBy(F.sha2("text", 256).alias("ch"))
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    batch = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    from pyspark.sql import Window
+
+    in_batch = batch.withColumn(
+        "batch_canonical", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    joined = in_batch.join(corpus, F.col("h") == F.col("ch"), "left")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("ch").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") != F.col("batch_canonical"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.coalesce(
+            F.col("canonical_id"),
+            F.when(
+                F.col("doc_id") != F.col("batch_canonical"),
+                F.col("batch_canonical"),
+            ),
+        ).alias("canonical_id"),
+    )

@@ -850,3 +850,230 @@ def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("qid", "cid", q4(F.col("cos")).alias("cosine"), "rn")
     )
+
+
+# ------------------------------------------- IVF-PQ (ADC) search
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8-dim subvectors)
+PQ_K = 16  # codewords per subspace (codebook = first 16 vectors)
+PQ_RERANK = 50  # full-precision re-rank depth
+
+_SQL_SUB_D2 = (
+    "list_aggregate([ (CAST(s.sv[i] AS DOUBLE) - CAST(c.cw[i] AS DOUBLE))"
+    " * (CAST(s.sv[i] AS DOUBLE) - CAST(c.cw[i] AS DOUBLE))"
+    " for i in range(1, 9)], 'sum')"
+)
+_SQL_RECON_DOT = (
+    "list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(r.rx[i] AS DOUBLE)"
+    " for i in range(1, 65)], 'sum')"
+)
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce,
+               {_SQL_NORM2.format(col="embedding")} AS cn2
+        FROM embeddings WHERE vec_id % {_SQL_CENT_STEP} = 0
+    ), vec AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM2.format(col="embedding")} AS n2
+        FROM embeddings
+    ), ranked_cells AS (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   v.n2 + c.cn2 - 2*(list_aggregate(
+                       [CAST(v.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+                        for i in range(1, 65)], 'sum')),
+                   c.cent_id) AS cell_rank
+        FROM vec v CROSS JOIN cent c
+    ), assign AS (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE cell_rank = 1
+    ), probes AS (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells
+        WHERE cell_rank <= {NPROBE} AND vec_id < {N_QUERIES}
+    ), cand AS (
+        SELECT DISTINCT p.vec_id AS qid, a2.vec_id AS cid
+        FROM probes p JOIN assign a2 ON a2.cell = p.cell
+        WHERE p.vec_id <> a2.vec_id
+    ), ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    cb AS (
+        SELECT ms.m, vec_id AS k,
+               embedding[8*ms.m + 1 : 8*ms.m + 8] AS cw
+        FROM embeddings CROSS JOIN ms WHERE vec_id < {PQ_K}
+    ), sub AS (
+        SELECT vec_id, ms.m, embedding[8*ms.m + 1 : 8*ms.m + 8] AS sv
+        FROM embeddings CROSS JOIN ms
+    ), enc AS (
+        SELECT s.vec_id, s.m, c.cw,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY {_SQL_SUB_D2}, c.k) AS rk
+        FROM sub s JOIN cb c ON s.m = c.m
+    ), recon AS (
+        SELECT vec_id, flatten(list(cw ORDER BY m)) AS rx
+        FROM enc WHERE rk = 1 GROUP BY vec_id
+    ), approx AS (
+        SELECT cand.qid, cand.cid,
+               {_SQL_RECON_DOT} /
+               sqrt({_SQL_NORM2.format(col="q.embedding")}
+                    * {_SQL_NORM2.format(col="r.rx")}) AS ascore
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.qid
+        JOIN recon r ON r.vec_id = cand.cid
+    ), shortlist AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY ascore DESC, cid) AS rn_a
+            FROM approx
+        ) WHERE rn_a <= {PQ_RERANK}
+    ), exact AS (
+        SELECT s.qid, s.cid,
+               {_SQL_DOT} /
+               sqrt({_SQL_NORM2.format(col="a.embedding")}
+                    * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+        FROM shortlist s
+        JOIN embeddings a ON a.vec_id = s.qid
+        JOIN embeddings b ON b.vec_id = s.cid
+    )
+    SELECT qid, cid, {sql_q4("cos")} AS cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid) AS rn
+        FROM exact
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation (ADC) — the
+    memory-bandwidth end-game for 100 TB ANN: candidates come from
+    the capped-centroid IVF probe join, but each candidate is stored
+    as 8 four-bit-ish codes (one codeword index per 8-dim subspace,
+    16-entry codebook = the first 16 vectors' subvectors), i.e.
+    8 bytes instead of 256 — a 32× compression of the scan set.
+    Scoring is asymmetric: the QUERY stays full-precision while the
+    candidate is its reconstruction (concatenated codewords), so the
+    approximate cosine is one 64-dim fold against the reconstructed
+    array — bitwise-deterministic on both engines (the fold order is
+    the array order; no cross-row double summation), hence a full
+    SQL oracle for a PQ pipeline. Top PQ_RERANK=50 per query re-rank
+    with exact cosine (the standard refine step); recall@5 vs
+    sim_topk_exact is measured in tests/test_llm.py.
+
+    Plan shape: codebook (16×8 subvectors) and centroids are
+    broadcast; encoding is a per-(vector, subspace) window argmin —
+    linear in N·M·K; reconstruction is a collect_list/sort/flatten
+    per vector (M structs, bounded); candidate scoring joins the
+    bounded probe pairs to the reconstructed table by id. At scale
+    the recon table IS the compressed index: 8 codes + norm per
+    vector, rebuilt only when the codebook retrains."""
+    e = table(spark, sf_dir, "embeddings")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    cb = (
+        e.where(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("k"), "embedding")
+        .select("k", ms, "embedding")
+        .select(
+            "m",
+            "k",
+            F.expr("slice(embedding, 8*m + 1, 8)").alias("cw"),
+        )
+    )
+    sub = e.select("vec_id", ms, "embedding").select(
+        "vec_id", "m", F.expr("slice(embedding, 8*m + 1, 8)").alias("sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "sv",
+            "cw",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wk = Window.partitionBy("vec_id", "m").orderBy(d2.asc(), F.col("k"))
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+    )
+    recon = (
+        enc.select("vec_id", F.struct("m", "cw").alias("mcw"))
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("mcw")), lambda s: s["cw"]
+                )
+            ).alias("rx")
+        )
+    )
+
+    # IVF candidate generation (same machinery as sim_ann_ivf)
+    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
+    cent = capped_centroids(e)
+    cd2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    wc = Window.partitionBy("vec_id").orderBy(cd2.asc(), F.col("cent_id"))
+    ranked_cells = vec.crossJoin(F.broadcast(cent)).withColumn(
+        "cell_rank", F.row_number().over(wc)
+    )
+    assign = ranked_cells.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
+    )
+    probes = ranked_cells.where(
+        (F.col("cell_rank") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+
+    q = e.select(
+        F.col("vec_id").alias("qid2"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    r = recon.select(
+        F.col("vec_id").alias("cid2"),
+        "rx",
+        _norm2(F.col("rx")).alias("rn2"),
+    )
+    ascore = _dot64(F.col("qe"), F.col("rx")) / F.sqrt(
+        F.col("qn2") * F.col("rn2")
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("ascore").desc(), "cid")
+    shortlist = (
+        cand.join(q, F.col("qid") == F.col("qid2"))
+        .join(r, F.col("cid") == F.col("cid2"))
+        .select("qid", "cid", ascore.alias("ascore"))
+        .withColumn("rn_a", F.row_number().over(wa))
+        .where(F.col("rn_a") <= PQ_RERANK)
+        .select("qid", "cid")
+    )
+    a = e.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ae"),
+        _norm2(F.col("embedding")).alias("an2"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("be"),
+        _norm2(F.col("embedding")).alias("bn2"),
+    )
+    cos = _dot64(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    we = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        shortlist.join(a, F.col("qid") == F.col("aid"))
+        .join(b, F.col("cid") == F.col("bid"))
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(we).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "cid", q4(F.col("cos")).alias("cosine"), "rn")
+    )

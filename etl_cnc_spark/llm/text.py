@@ -982,3 +982,62 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("difficulty").alias("min_difficulty"),
         F.max("difficulty").alias("max_difficulty"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source, lang, doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               sha256(text) AS h
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+           {sql_q4("1.0 - CAST(count(DISTINCT h) AS DOUBLE)/count(*)")}
+               AS dup_rate,
+           {sql_q4("CAST(sum(n_words) AS DOUBLE)/count(*)")} AS avg_words,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM feat GROUP BY 1, 2
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-(source, language) composition report
+    published alongside a training corpus — document and token-proxy
+    volumes, exact-duplicate rate, length envelope.
+
+    Scale design: ONE pass over the corpus computing per-doc
+    features (word count via split — no explode, the row count never
+    grows), then one hash aggregate keyed by the (source, lang)
+    card cell; the duplicate rate rides the same aggregate as a
+    count(DISTINCT digest) (expands to the standard two-level
+    partial aggregate — 32-byte digests shuffle, never text).
+    Cells = sources × languages — bounded output regardless of
+    corpus size."""
+    d = table(spark, sf_dir, "documents")
+    feat = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.sha2("text", 256).alias("h"),
+    )
+    return feat.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.count_distinct("h").cast("long").alias("n_unique"),
+        q4(
+            1.0 - F.count_distinct("h").cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        q4(F.sum("n_words").cast("double") / F.count(F.lit(1))).alias(
+            "avg_words"
+        ),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -1710,3 +1710,75 @@ def events_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("user_id").applyInPandas(
         fold, "event_id long, user_id long, balance_after long"
     )
+
+
+@register(
+    "events_dau_mau",
+    oracle=f"""
+    WITH act AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM act),
+    rolled AS (
+        SELECT days.d,
+               count(DISTINCT CASE WHEN a.d = days.d
+                                   THEN a.user_id END) AS dau,
+               count(DISTINCT CASE WHEN a.d > days.d - 7
+                                   THEN a.user_id END) AS wau,
+               count(DISTINCT a.user_id) AS mau
+        FROM days JOIN act a ON a.d BETWEEN days.d - 29 AND days.d
+        GROUP BY days.d
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS day_n,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           {sql_q4("CAST(dau AS DOUBLE) / mau")} AS stickiness
+    FROM rolled
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and the DAU/MAU stickiness ratio per active
+    day — the product-analytics vital signs.
+
+    Scale design: rolling DISTINCT counts can't use an ordinary
+    window aggregate (count_distinct over a moving frame isn't
+    decomposable).  The scalable rewrite: dedup the log to (user,
+    day) pairs FIRST (one shuffle, map-side combine collapses each
+    user's events per day), then EXPLODE each pair to the ≤30 target
+    days it contributes to and hash-aggregate per target day with
+    conditional distinct counts (off = 0 → DAU, < 7 → WAU, any →
+    MAU).  Work is |user-days| × 30 — linear in the deduped activity
+    set, independent of raw event volume, no per-day re-scan of the
+    log and no quadratic day × log range join (which the oracle, at
+    fixture scale, can afford)."""
+    e = table(spark, sf_dir, "events")
+    act = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = act.select("d").distinct()
+    contrib = act.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"),
+    ).select(
+        "user_id", "off", F.date_add("d", F.col("off")).alias("t")
+    )
+    rolled = (
+        contrib.join(F.broadcast(days), F.col("t") == F.col("d")).drop("d")
+        .groupBy("t")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.count_distinct(
+                F.when(F.col("off") < 7, F.col("user_id"))
+            ).cast("long").alias("wau"),
+            F.count_distinct("user_id").cast("long").alias("mau"),
+        )
+    )
+    return rolled.select(
+        F.datediff("t", F.lit("1970-01-01")).cast("long").alias("day_n"),
+        "dau",
+        "wau",
+        "mau",
+        q4(F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    )

@@ -646,3 +646,114 @@ def join_nearest_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nearest_orderkey"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH ord_iv AS (
+        SELECT l_orderkey AS orderkey,
+               CAST(o_orderdate AS DATE) AS iv_start,
+               greatest(CAST(max(l_shipdate) AS DATE),
+                        CAST(o_orderdate AS DATE)) AS iv_end
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, CAST(o_orderdate AS DATE)
+    ), bounds AS (
+        SELECT date_trunc('month', min(iv_start)) AS m0,
+               date_trunc('month', max(iv_end)) AS m1
+        FROM ord_iv
+    ), promo AS (
+        SELECT CAST(m AS DATE) AS w_start,
+               CAST(m + INTERVAL 6 DAY AS DATE) AS w_end
+        FROM (SELECT unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS m
+              FROM bounds)
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', w_start) AS BIGINT)
+               AS promo_day_n,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(datediff('day', DATE '1970-01-01',
+                    least(o.iv_end, p.w_end)) -
+                    datediff('day', DATE '1970-01-01',
+                    greatest(o.iv_start, p.w_start)) + 1) AS BIGINT)
+               AS overlap_days
+    FROM ord_iv o JOIN promo p
+      ON o.iv_start <= p.w_end AND p.w_start <= o.iv_end
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — interval × interval (distinct from
+    ``join_range``'s point-in-interval): order fulfillment windows
+    [orderdate, last shipdate] against a monthly promo calendar
+    (first week of each month), emitting the overlap length.
+
+    Scale design: the naive overlap join is a theta join (O(N·M)
+    nested loop).  Here each order interval EXPLODES to the month
+    buckets it spans (bounded: fulfillment windows are months, not
+    years) and joins the promo table on the month bucket as an
+    EQUI key; the overlap predicate becomes a post-join filter.
+    That is the standard time-bucket blocking rewrite: shuffle volume
+    is rows × avg-months-spanned, never pairs.  Each promo window
+    lies entirely inside one month, so a matched pair appears in
+    exactly one bucket — no post-join dedup needed."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ord_iv = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("iv_start"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("max_ship"))
+        # clamp: fixture shipdates can precede the order date
+        .withColumn("iv_end", F.greatest("max_ship", "iv_start"))
+        .drop("max_ship")
+    )
+    bounds = ord_iv.agg(
+        F.date_trunc("month", F.min("iv_start")).alias("m0"),
+        F.date_trunc("month", F.max("iv_end")).alias("m1"),
+    )
+    promo = bounds.select(
+        F.explode(F.expr("sequence(m0, m1, interval 1 month)")).alias("m")
+    ).select(
+        F.col("m").cast("date").alias("w_start"),
+        F.date_add(F.col("m").cast("date"), 6).alias("w_end"),
+        F.date_trunc("month", F.col("m")).cast("date").alias("w_month"),
+    )
+    exploded = ord_iv.select(
+        "orderkey",
+        "iv_start",
+        "iv_end",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('month', iv_start),"
+                " date_trunc('month', iv_end), interval 1 month)"
+            )
+        ).alias("o_month_ts"),
+    ).withColumn("o_month", F.col("o_month_ts").cast("date"))
+    return (
+        exploded.join(
+            F.broadcast(promo), F.col("o_month") == F.col("w_month")
+        )
+        .where(
+            (F.col("iv_start") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("iv_end"))
+        )
+        .groupBy(
+            F.datediff("w_start", F.lit("1970-01-01"))
+            .cast("long")
+            .alias("promo_day_n")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.datediff(
+                    F.least("iv_end", "w_end"),
+                    F.greatest("iv_start", "w_start"),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )
