@@ -1782,3 +1782,112 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         q4(F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
     )
+
+
+EWMA_ALPHA = 0.2  # smoothing factor; beta = 1 - alpha
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT g.d, g.event_type, COALESCE(daily.n, 0) AS n,
+               datediff('day', (SELECT d0 FROM bounds), g.d) AS t
+        FROM (SELECT d, event_type FROM days CROSS JOIN types) g
+        LEFT JOIN daily ON g.d = daily.d AND g.event_type = daily.event_type
+    ), pre AS (
+        SELECT d, event_type, n, t,
+               CAST(n AS DOUBLE) / pow({1 - EWMA_ALPHA}, t) AS y
+        FROM dense
+    ), run AS (
+        SELECT d, event_type, n, t,
+               sum(y) OVER w AS c,
+               first_value(CAST(n AS DOUBLE)) OVER w AS x0
+        FROM pre
+        WINDOW w AS (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS day_n,
+           event_type, CAST(n AS BIGINT) AS n,
+           {sql_q4(f"pow({1 - EWMA_ALPHA}, t)"
+                   f" * ({EWMA_ALPHA} * c + {1 - EWMA_ALPHA} * x0)")} AS ewma
+    FROM run
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume
+    per type — smoothing with infinite memory, which LOOKS inherently
+    sequential (s_t = α·x_t + (1−α)·s_{t−1}) and is usually cited as
+    "not expressible in SQL / not distributable".
+
+    It is, via the prefix-sum rewrite: dividing the recurrence by
+    β^t (β = 1−α) turns it into a running SUM —
+    s_t = β^t·(α·Σ_{{i≤t}} x_i/β^i + β·x_0) — so the whole computation is one
+    zero-filled densify (same grid machinery as
+    events_resample_gapfill), one narrow projection, and ONE ordered
+    window sum per type: embarrassingly parallel across types,
+    sequential only in the already-tiny per-type daily series.
+    Numerics: β^{{−t}} grows ~2500× at t=35; for multi-year series
+    the rewrite is applied per bounded block (e.g. 256 days) with the
+    carry s_{{block−1}} folded into the next block's x_0 — same plan
+    shape, bounded exponents. q4 quantization absorbs the last-bit
+    double differences between engines."""
+    e = table(spark, sf_dir, "events")
+    beta = 1 - EWMA_ALPHA
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        "d0",
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(days).crossJoin(F.broadcast(types))
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("dd"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    dense = (
+        grid.join(
+            F.broadcast(daily),
+            (F.col("d") == F.col("dd"))
+            & (grid.event_type == daily.event_type),
+            "left",
+        )
+        .select(
+            "d",
+            grid.event_type.alias("event_type"),
+            F.coalesce("n_raw", F.lit(0)).alias("n"),
+            F.datediff("d", "d0").alias("t"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dense.withColumn(
+        "y", F.col("n").cast("double") / F.pow(F.lit(beta), F.col("t"))
+    )
+    run = pre.withColumn("c", F.sum("y").over(w)).withColumn(
+        "x0", F.first(F.col("n").cast("double")).over(w)
+    )
+    return run.select(
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("day_n"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        q4(
+            F.pow(F.lit(beta), F.col("t"))
+            * (EWMA_ALPHA * F.col("c") + beta * F.col("x0"))
+        ).alias("ewma"),
+    )

@@ -757,3 +757,69 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_days"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH m AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts <= p.ts) AS click_ts
+        FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(click_ts) AS asof_click_us
+    FROM m
+    WHERE click_ts IS NOT NULL AND click_ts >= ts - INTERVAL 1 HOUR
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound: for each purchase, the most
+    recent click by the same user at or before it — but only if it
+    happened within the last hour. The `tolerance` parameter every
+    native as-of join exposes (pandas merge_asof, kdb wj): matches
+    staler than the bound are DROPPED, not approximated by an
+    arbitrarily old record (attribution windows, sensor staleness).
+
+    Same scalable union+window machinery as ``join_asof`` (one
+    shuffle on the key, one sort, last-non-null over the unbounded
+    frame); the tolerance is a pure post-window filter on the matched
+    timestamp, so it adds zero shuffles at any scale."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_purchase"),
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = p.unionByName(c).withColumn(
+        "asof_click", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where(
+            (F.col("is_purchase") == 1)
+            & F.col("asof_click").isNotNull()
+            & (F.col("asof_click") >= F.col("t") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("t").alias("ts_us"),
+            F.unix_micros("asof_click").alias("asof_click_us"),
+        )
+    )
