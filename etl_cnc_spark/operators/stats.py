@@ -16,7 +16,7 @@ SURVEY.md §0); surface derives from the driver contract + the public
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -319,4 +319,76 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(slope).alias("slope"),
         q4((syd - slope * F.col("sx")) / F.col("n")).alias("intercept"),
         q4(F.pow(cov_n, 2) / (var_n * vary_n)).alias("r2"),
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v_cents,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+        FROM lineitem
+    ), c AS (
+        SELECT l_returnflag, v_cents, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM s
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 4*cw >= tw   THEN v_cents END) AS BIGINT)
+               AS wp25_cents,
+           CAST(min(CASE WHEN 2*cw >= tw   THEN v_cents END) AS BIGINT)
+               AS wp50_cents,
+           CAST(min(CASE WHEN 4*cw >= 3*tw THEN v_cents END) AS BIGINT)
+               AS wp75_cents,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY 1
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED percentiles (quantity-weighted price quartiles per
+    returnflag) — "the price below which half the UNITS sold lie",
+    the token-weighted-quantile shape training-data pipelines need
+    (e.g. the quality score below which half the tokens fall).
+    Neither engine has a native weighted quantile, so both sides use
+    the same formulation: cumulative weight over the value order,
+    quartile = first value whose cumulative weight crosses the
+    fraction (all-INTEGER comparisons — 4·cw ≥ k·tw — so there is no
+    float threshold to disagree on; ties in the value column cannot
+    change the selected value since every tied row carries it).
+
+    Scale shape: one window sort per group + one hash aggregate.
+    Within-group value ordering is the same sort a percentile_disc
+    would need; weights ride along, adding no extra shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("v_cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = s.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+        "tw", F.sum("w").over(wall)
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("v_cents")))
+        .cast("long")
+        .alias("wp25_cents"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v_cents")))
+        .cast("long")
+        .alias("wp50_cents"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("v_cents")))
+        .cast("long")
+        .alias("wp75_cents"),
+        F.max("tw").cast("long").alias("total_weight"),
     )

@@ -39,6 +39,17 @@ INVARIANT_KEYS = [
     "dedup_embedding",
     "events_attribution",
     "pipeline_curate_e2e",
+    # r5: the new machinery most at risk of partition dependence —
+    # the capped-centroid lazy count, PQ encode/reconstruct windows,
+    # the EWMA prefix-sum rewrite, weighted cumulative crossings,
+    # rolling-distinct explode, and the derived-partsupp aggregate
+    "sim_ann_ivfpq",
+    "events_ewma",
+    "agg_weighted_percentile",
+    "events_dau_mau",
+    "dedup_incremental",
+    "tpch_q9",
+    "join_interval_overlap",
 ]
 
 
