@@ -1019,3 +1019,77 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("canonical_id"),
     )
+
+
+CONTAIN_TAU = 0.15  # shingle-containment threshold (fixture containments top ~0.30)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, count(*) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < 60 AND b.doc_id < 60
+        GROUP BY 1, 2
+    )
+    SELECT doc_small, doc_big,
+           {sql_q4("CAST(i AS DOUBLE) / sa.n")} AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_small
+    WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAIN_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B| / |A| — the right metric when one document quotes or
+    wholly embeds another (Jaccard punishes the size mismatch, so a
+    200-word article pasted inside a 10k-word page scores near 0
+    Jaccard but ~1.0 containment; Broder's original resemblance/
+    containment pair).
+
+    Scale shape: identical inverted-shingle-index machinery as
+    ``dedup_ngram_jaccard`` (candidates only where ≥1 shingle
+    collides — the equi-join on the shingle, never all pairs), one
+    extra join against the small-side size table. Direction matters:
+    (small ⊂ big) and (big ⊂ small) are different rows; both emerge
+    from the same candidate join. Bounded to doc_id<60 on the pair
+    side at fixture scale; at 100 TB frequent-shingle stopwording
+    caps the index's posting-list skew (same note as the Jaccard
+    key)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .where((F.col("a.doc_id") < 60) & (F.col("b.doc_id") < 60))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    containment = F.col("i").cast("double") / F.col("sa.n")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_small"))
+        .where(containment >= CONTAIN_TAU)
+        .select("doc_small", "doc_big", q4(containment).alias("containment"))
+    )

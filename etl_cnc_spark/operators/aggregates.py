@@ -9,7 +9,7 @@ perturb results (utils.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register_views, table
@@ -805,4 +805,83 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n
         FROM etlcnc_cust_la GROUP BY c_nationkey
         """
+    )
+
+
+KMV_K = 64  # k-minimum-values sketch size
+_HEX15 = float(1 << 60)  # 16^15: normalizer for 15-hex-digit hashes
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH vals AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+        SELECT event_type, user_id,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS UBIGINT) AS BIGINT) AS h
+        FROM vals
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed
+    )
+    SELECT event_type,
+           CAST(max(n_exact) AS BIGINT) AS n_exact,
+           CAST(least(max(n_exact), {KMV_K}) AS BIGINT) AS k_used,
+           {sql_q4(f"CASE WHEN max(n_exact) < {KMV_K} THEN"
+                   f" CAST(max(n_exact) AS DOUBLE)"
+                   f" ELSE ({KMV_K} - 1) * {_HEX15}"
+                   f" / max(CASE WHEN rk = {KMV_K} THEN h END) END")}
+               AS est_kmv
+    FROM ranked GROUP BY event_type
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch — unlike HLL
+    (`agg_approx_distinct` / `agg_hll_merge`, whose register layout
+    is engine-internal and therefore rows-only), KMV is fully
+    DETERMINISTIC given a deterministic hash: the sketch is literally
+    the k smallest md5 values, so the estimate (k−1)/h_(k) is
+    bit-reproducible on BOTH engines and this is — unusually for an
+    approximate-distinct operator — hash-oracled end to end, with the
+    exact count alongside so the sketch error is visible as data.
+
+    Scale design: the sketch is mergeable (k smallest of a union =
+    k smallest of the per-partition k-smallest), which is what the
+    per-group window + top-k computes relationally; shuffle volume is
+    ≤ k rows per group after partial selection, independent of corpus
+    size. Groups smaller than k degrade to the exact count (the
+    standard KMV fallback). Hash = first 15 hex digits of md5 → an
+    exact 60-bit integer on both engines (no float in the ordering;
+    doubles appear only in the final (k−1)·2⁶⁰/h_k estimate,
+    identical IEEE ops on identical integers)."""
+    e = table(spark, sf_dir, "events")
+    vals = e.select("event_type", "user_id").distinct()
+    hashed = vals.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("h", "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = hashed.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n_exact", F.count(F.lit(1)).over(wn)
+    )
+    est = F.when(
+        F.max("n_exact") < KMV_K, F.max("n_exact").cast("double")
+    ).otherwise(
+        (KMV_K - 1)
+        * F.lit(_HEX15)
+        / F.max(F.when(F.col("rk") == KMV_K, F.col("h")))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_exact").cast("long").alias("n_exact"),
+        F.least(F.max("n_exact"), F.lit(KMV_K)).cast("long").alias("k_used"),
+        q4(est).alias("est_kmv"),
     )
