@@ -132,3 +132,78 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority AS dim_priority,
+               CASE WHEN substr(md5(o_orderpriority), 1, 1) < '8'
+                    THEN 'a' ELSE 'b' END AS tier
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders JOIN dim ON o_orderpriority = dim_priority
+    WHERE tier = 'a'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is stored
+    hive-partitioned on the join key (o_orderpriority); the dim
+    table is a STORED parquet table carrying a tier attribute whose
+    relationship to the key only exists as data — so when the query
+    filters ``tier = 'a'`` and joins on the key, the qualifying
+    partitions are unknowable at plan time and Spark injects a
+    dynamic-pruning subquery into the fact SCAN's PartitionFilters:
+    whole partition directories are skipped at RUN time based on the
+    dim's surviving keys. At 100 TB with date-partitioned facts and
+    a "which dates are in this campaign" dim, this is the biggest
+    I/O lever after column pruning. Both tables stage once per
+    process (stable dirs); the plan assertion lives in
+    tests/test_plans.py::test_dpp_subquery_in_fact_scan.
+
+    The tier is an md5-derived deterministic attribute (DuckDB
+    computes the identical digests in the oracle), stored — not
+    computed in the query — precisely so Catalyst cannot fold the
+    filter through the join statically (which would demote this to
+    static partition pruning)."""
+    import os
+
+    out = tmpdir(prefix="etlcnc_dpp_", stable=True, key=sf_dir)
+    fact_dir = os.path.join(out, "fact")
+    dim_dir = os.path.join(out, "dim")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            fact_dir
+        )
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        tier = F.when(
+            F.substring(F.md5(F.col("dim_priority")), 1, 1) < "8", "a"
+        ).otherwise("b")
+        (
+            table(spark, sf_dir, "orders")
+            .select(F.col("o_orderpriority").alias("dim_priority"))
+            .distinct()
+            .withColumn("tier", tier)
+            .write.mode("overwrite")
+            .parquet(dim_dir)
+        )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("tier") == "a")
+    return (
+        fact.join(dim, F.col("o_orderpriority") == F.col("dim_priority"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )

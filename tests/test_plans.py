@@ -295,3 +295,14 @@ def test_attribution_candidates_are_equi_joined(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, key
+
+
+def test_dpp_subquery_in_fact_scan(spark, sf_dir):
+    """join_dynamic_partition_pruning: the hive-partitioned fact scan
+    must carry a runtime dynamic-pruning subquery in its
+    PartitionFilters (the dim's tier filter is data-dependent, so
+    static folding is impossible) — proving partition directories are
+    skipped at run time, not filtered post-scan."""
+    df = REGISTRY["join_dynamic_partition_pruning"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
