@@ -1,0 +1,268 @@
+"""Lexical and hybrid retrieval over the document corpus
+(SURVEY.md §2.10 extension — the query side of a RAG data pipeline).
+
+Two operators:
+
+- ``text_bm25``: Okapi BM25 scoring of a fixed query-term set against
+  the whole corpus — pure relational algebra (explode → tf/df
+  aggregates → scalar scoring expression), no UDFs, fully
+  whole-stage-codegen.
+- ``sim_hybrid_rrf``: reciprocal-rank fusion of the BM25 lexical
+  ranking with an embedding-cosine ranking — the standard hybrid
+  retrieval pattern (lexical recall + semantic recall, fused without
+  score calibration).
+
+Float discipline (SURVEY.md §5): every scoring formula is written
+with byte-identical literals and operation order on the Spark and
+DuckDB sides; per-term partial scores are aggregated into fixed
+slots (``sum(CASE term WHEN ...)``) and added in a fixed expression
+order, so no floating-point sum depends on row order — the results
+are bitwise reproducible at any parallelism.
+
+No reference citations possible — /root/reference is empty (see
+SURVEY.md §0); the surface derives from the public BM25/RRF
+literature (Robertson & Zaragoza 2009; Cormack et al. 2009).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import q4, sql_q4
+from .dedup import _SQL_NORM2
+from .similarity import _dot64, _norm2
+
+# A fixed 4-term query: one rare, discriminative term (df≈25 of 500)
+# plus three common ones — exercises the full idf dynamic range.
+QUERY_TERMS = ("dup", "vector", "merge", "spark")
+BM25_K1 = "1.2"
+BM25_K1P1 = "2.2"  # k1 + 1, as ONE literal (1.2+1.0 != 2.2 bitwise)
+BM25_B = "0.75"
+BM25_OMB = "0.25"  # 1 - b, as one literal
+TOP_N = 20
+RRF_K = 60
+HYB_QID = 0  # query vector for the hybrid key = embedding of vec_id 0
+LIST_N = 100  # depth of each ranked list fed into the fusion
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+# Per-term fixed score slots: each doc has at most ONE row per term,
+# and x + 0.0 is exact, so these sums are order-independent; the
+# final score adds the slots in a fixed expression order.
+_SLOTS_SQL = ",\n           ".join(
+    f"sum(CASE WHEN term = '{t}' THEN contrib ELSE 0.0 END) AS s{i}"
+    for i, t in enumerate(QUERY_TERMS)
+)
+_SCORE_SQL = " + ".join(f"s{i}" for i in range(len(QUERY_TERMS)))
+
+# BM25(term, doc) with identical literals/op-order on both engines:
+#   idf  = ln(1.0 + ((N - df) + 0.5) / (df + 0.5))
+#   norm = tf + k1 * ((1-b) + b * (dl / avgdl))
+#   contrib = idf * (tf * (k1+1)) / norm
+_CONTRIB_SQL = f"""
+        ln(1.0 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+        * (CAST(t.tf AS DOUBLE) * {BM25_K1P1})
+        / (t.tf + {BM25_K1} * ({BM25_OMB} + {BM25_B} * (l.dl / s.avgdl)))
+"""
+
+_BM25_CTE = f"""
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST((SELECT count(*) FROM words) AS DOUBLE)
+                   / (SELECT count(*) FROM documents) AS avgdl
+    ), qw AS (
+        SELECT doc_id, term FROM words WHERE term IN ({_TERMS_SQL})
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM qw GROUP BY doc_id, term
+    ), dfx AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM qw GROUP BY term
+    ), scored AS (
+        SELECT t.doc_id, t.term, {_CONTRIB_SQL} AS contrib
+        FROM tf t
+        JOIN dfx d USING (term)
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s
+    ), per_doc AS (
+        SELECT doc_id,
+           {_SLOTS_SQL},
+           CAST(count(*) AS BIGINT) AS n_terms
+        FROM scored GROUP BY doc_id
+    ), lex_ranked AS (
+        SELECT doc_id, n_terms, {_SCORE_SQL} AS score,
+               CAST(row_number() OVER (
+                    ORDER BY {_SCORE_SQL} DESC, doc_id) AS BIGINT) AS rn
+        FROM per_doc
+    )
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms, score, rn) for every doc matching ≥1 query
+    term — the shared lexical stage of both retrieval keys."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = d.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        words.agg(F.count("*").cast("double").alias("n_words"))
+    ).select(
+        "n_docs", (F.col("n_words") / F.col("n_docs")).alias("avgdl")
+    )
+    qw = words.where(F.col("term").isin(*QUERY_TERMS))
+    tf = qw.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfx = qw.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    contrib: Column = (
+        F.log(
+            F.lit(1.0)
+            + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf").cast("double") * F.lit(float(BM25_K1P1)))
+        / (
+            F.col("tf")
+            + F.lit(float(BM25_K1))
+            * (
+                F.lit(float(BM25_OMB))
+                + F.lit(float(BM25_B)) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("contrib"))
+    )
+    slots = [
+        F.sum(
+            F.when(F.col("term") == t, F.col("contrib")).otherwise(F.lit(0.0))
+        ).alias(f"s{i}")
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(
+        *slots, F.count("*").cast("long").alias("n_terms")
+    )
+    score = sum(
+        (F.col(f"s{i}") for i in range(1, len(QUERY_TERMS))), F.col("s0")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        per_doc.select("doc_id", "n_terms", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT doc_id, n_terms, {sql_q4("score")} AS score, rn
+    FROM lex_ranked WHERE rn <= {TOP_N}
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed 4-term query.
+
+    Scale shape: two hash aggregates over the exploded words (tf per
+    (doc, query-term) after a pushed-down term filter; df per term),
+    a broadcast of the 4-row df table and the 1-row corpus stats,
+    then a scalar scoring expression — the only data-sized shuffles
+    are the tf/dl aggregations, both keyed on doc_id. The final
+    global top-N window is bounded by |matching docs|; at 100 TB you
+    would pre-filter with a per-partition top-N (as ``topk_global``
+    does) before the single-partition rank — the scoring stages are
+    already linear."""
+    ranked = _bm25_scores(spark, sf_dir)
+    return ranked.where(F.col("rn") <= TOP_N).select(
+        "doc_id", "n_terms", q4(F.col("score")).alias("score"), "rn"
+    )
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_CTE}, vec_scored AS (
+        SELECT b.vec_id AS doc_id,
+               list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                               * CAST(b.embedding[i] AS DOUBLE)
+                               for i in range(1, 65)], 'sum')
+               / sqrt({_SQL_NORM2.format(col="a.embedding")}
+                      * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id = {HYB_QID}
+    ), vec_ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                    AS BIGINT) AS rn
+        FROM vec_scored
+    ), fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               l.rn AS lex_rn, v.rn AS vec_rn,
+               coalesce(1.0 / ({RRF_K} + l.rn), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + v.rn), 0.0) AS rrf
+        FROM (SELECT doc_id, rn FROM lex_ranked WHERE rn <= {LIST_N}) l
+        FULL OUTER JOIN
+             (SELECT doc_id, rn FROM vec_ranked WHERE rn <= {LIST_N}) v
+        ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rn, vec_rn, {sql_q4("rrf")} AS rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                AS BIGINT) AS rn
+    FROM fused
+    QUALIFY rn <= {TOP_N}
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    lexical top-100 and the cosine top-100 against the query
+    embedding (vec_id 0), fused without score calibration.
+
+    RRF needs only the two rank columns, so the fusion is a full
+    outer join of two already-bounded (≤100-row) lists — trivially
+    broadcastable at any corpus size; the expensive stages are the
+    two rankers, each linear (BM25 above; cosine is one broadcast
+    1-row query × corpus pass, same shape as ``sim_topk_exact``)."""
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .where(F.col("rn") <= LIST_N)
+        .select("doc_id", F.col("rn").alias("lex_rn"))
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == HYB_QID).select(
+        F.col("embedding").alias("qe"), _norm2(F.col("embedding")).alias("qn2")
+    )
+    cos = _dot64(F.col("qe"), F.col("embedding")) / F.sqrt(
+        F.col("qn2") * _norm2(F.col("embedding"))
+    )
+    wv = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vec = (
+        e.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wv).cast("long"))
+        .where(F.col("rn") <= LIST_N)
+        .select("doc_id", F.col("rn").alias("vec_rn"))
+    )
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        "lex_rn",
+        "vec_rn",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rn")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rn")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOP_N)
+        .select("doc_id", "lex_rn", "vec_rn", q4(F.col("rrf")).alias("rrf"), "rn")
+    )

@@ -392,3 +392,205 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wp75_cents"),
         F.max("tw").cast("long").alias("total_weight"),
     )
+
+
+# ----------------------------------------------- distribution drift
+
+KS_G1 = "click"
+KS_G2 = "purchase"
+# Two-sample KS critical value at alpha = 0.05: c(alpha) = 1.358.
+KS_CALPHA = "1.358"
+
+
+@register(
+    "stat_ks_test",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents,
+               sum(c1) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+               sum(c2) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM grid
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), d AS (
+        SELECT max(abs(CAST(cum1 AS DOUBLE)/n1 - CAST(cum2 AS DOUBLE)/n2))
+               AS ks_d
+        FROM cum CROSS JOIN totals
+    )
+    SELECT n1, n2, {sql_q4("ks_d")} AS ks_d,
+           {sql_q4(f"{KS_CALPHA} * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2))")}
+               AS d_crit,
+           ks_d > {KS_CALPHA} * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2))
+               AS drifted
+    FROM d CROSS JOIN totals
+    """,
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the 'click' and
+    'purchase' value distributions: D = max |ECDF₁ − ECDF₂|, with the
+    α=0.05 critical value 1.358·√((n₁+n₂)/(n₁·n₂)) and a drift flag.
+
+    Scale shape: values are quantized to integer cents and hash-
+    aggregated FIRST, so the ECDF window runs over the bounded value
+    DOMAIN (≤ |price grid| rows), not the input rows — the single-
+    partition ordered window is bounded however large the fact table
+    grows; cumulative counts are integer (exact, order-free), with
+    doubles appearing only in the final per-gridpoint division."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    ev = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    )
+    grid = ev.groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    wcum = Window.orderBy("v_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "v_cents",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("ks_d")
+        )
+    )
+    crit = F.lit(float(KS_CALPHA)) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double") / (F.col("n1") * F.col("n2"))
+    )
+    return d.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(F.col("ks_d")).alias("ks_d"),
+        q4(crit).alias("d_crit"),
+        (F.col("ks_d") > crit).alias("drifted"),
+    )
+
+
+PSI_SPLIT = "2024-01-16"  # ref = days 1-15, cur = days 16-30
+PSI_BIN_W = "25.0"
+PSI_NBINS = 20  # bins 0..19 (top bin open-ended)
+
+
+@register(
+    "stat_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '{PSI_SPLIT}'
+                    THEN 'ref' ELSE 'cur' END AS period,
+               least(CAST(floor(value / {PSI_BIN_W}) AS BIGINT),
+                     {PSI_NBINS - 1}) AS b
+        FROM events
+    ), counts AS (
+        SELECT event_type, b,
+               CAST(count_if(period = 'ref') AS BIGINT) AS nb_ref,
+               CAST(count_if(period = 'cur') AS BIGINT) AS nb_cur
+        FROM binned GROUP BY event_type, b
+    ), totals AS (
+        SELECT event_type,
+               CAST(sum(nb_ref) AS BIGINT) AS n_ref,
+               CAST(sum(nb_cur) AS BIGINT) AS n_cur
+        FROM counts GROUP BY event_type
+    ), contrib AS (
+        SELECT c.event_type, t.n_ref, t.n_cur,
+               CAST(floor(
+                   (((c.nb_cur + 0.5) / (t.n_cur + 10.0))
+                      - ((c.nb_ref + 0.5) / (t.n_ref + 10.0)))
+                   * ln(((c.nb_cur + 0.5) / (t.n_cur + 10.0))
+                        / ((c.nb_ref + 0.5) / (t.n_ref + 10.0)))
+                   * 1e10 + 0.5) AS BIGINT) AS contrib_e10
+        FROM counts c JOIN totals t ON c.event_type = t.event_type
+    ), psi AS (
+        SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(contrib_e10) AS DOUBLE) / 1e10 AS psi
+        FROM contrib GROUP BY event_type
+    )
+    SELECT event_type, n_ref, n_cur, n_bins, {sql_q4("psi")} AS psi,
+           psi > 0.1 AS drifted
+    FROM psi
+    """,
+)
+def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift per event_type between the
+    first and second half of the month, over 20 fixed-width value
+    bins with Laplace smoothing (+0.5 per observed bin):
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref); PSI > 0.1 flags drift.
+
+    Scale shape: one hash aggregate to (event_type × ≤20 bins), a
+    broadcast-sized totals join, then a second tiny aggregate — the
+    only data-sized pass is the first groupBy. Per-bin contributions
+    are non-negative and summed as scaled INTEGERS (e-10 fixed
+    point), so the PSI is exact and order-free — bit-identical on 1
+    core or 1000 executors (the repo's integer-cents discipline
+    applied to an information-theoretic sum)."""
+    e = table(spark, sf_dir, "events")
+    binned = e.select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.lit(PSI_SPLIT).cast("date"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.floor(F.col("value") / F.lit(float(PSI_BIN_W))).cast("long"),
+            F.lit(PSI_NBINS - 1),
+        ).alias("b"),
+    )
+    counts = binned.groupBy("event_type", "b").agg(
+        F.count_if(F.col("period") == "ref").cast("long").alias("nb_ref"),
+        F.count_if(F.col("period") == "cur").cast("long").alias("nb_cur"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("nb_ref").cast("long").alias("n_ref"),
+        F.sum("nb_cur").cast("long").alias("n_cur"),
+    )
+    p_cur = (F.col("nb_cur") + F.lit(0.5)) / (F.col("n_cur") + F.lit(10.0))
+    p_ref = (F.col("nb_ref") + F.lit(0.5)) / (F.col("n_ref") + F.lit(10.0))
+    contrib_e10 = F.floor(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e10) + F.lit(0.5)
+    ).cast("long")
+    contrib = counts.join(F.broadcast(totals), "event_type").select(
+        "event_type", "n_ref", "n_cur", contrib_e10.alias("contrib_e10")
+    )
+    psi = contrib.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.count("*").cast("long").alias("n_bins"),
+        (F.sum("contrib_e10").cast("double") / F.lit(1e10)).alias("psi"),
+    )
+    return psi.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "n_bins",
+        q4(F.col("psi")).alias("psi"),
+        (F.col("psi") > F.lit(0.1)).alias("drifted"),
+    )

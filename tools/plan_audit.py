@@ -92,6 +92,15 @@ EXTRA_KEYS = [
     "dedup_containment",
     "graph_bfs_distance",
     "join_asof_tolerance",
+    # r5 retrieval/drift/spatial wave: BM25 + RRF fusion (bounded
+    # top-N windows only after linear scoring stages), the bounded-
+    # grid KS window, the integer-summed PSI, and the 3×3-cell
+    # spatial join (no all-pairs BNL)
+    "text_bm25",
+    "sim_hybrid_rrf",
+    "stat_ks_test",
+    "stat_psi_drift",
+    "join_spatial_grid",
 ]
 
 
