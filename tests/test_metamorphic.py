@@ -50,6 +50,14 @@ INVARIANT_KEYS = [
     "dedup_incremental",
     "tpch_q9",
     "join_interval_overlap",
+    # r5 retrieval/drift/spatial wave: fixed-slot float sums (BM25),
+    # two-list fusion, bounded-grid ECDF, fixed-point PSI sums, and
+    # the 9-cell replicated join — all designed order-exact
+    "text_bm25",
+    "sim_hybrid_rrf",
+    "stat_ks_test",
+    "stat_psi_drift",
+    "join_spatial_grid",
 ]
 
 
