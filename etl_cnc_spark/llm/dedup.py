@@ -15,7 +15,7 @@ Five flavors, each the scalable shape for its tier:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1093,3 +1093,104 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(containment >= CONTAIN_TAU)
         .select("doc_small", "doc_big", q4(containment).alias("containment"))
     )
+
+
+# ---------------------------------------- duplicated-passage spans
+
+SPAN_K = 10  # shingle width (words) — spans shorter than K can't match
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(ws) - {SPAN_K} + 1, 0))) AS p
+        FROM w
+    ), sh AS (
+        SELECT pos.doc_id, pos.p,
+               md5(array_to_string(w.ws[pos.p + 1 : pos.p + {SPAN_K}], ' '))
+                   AS sh
+        FROM pos JOIN w ON pos.doc_id = w.doc_id
+    ), dup AS (
+        SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+    ), dpos AS (
+        SELECT doc_id, p FROM sh WHERE sh IN (SELECT sh FROM dup)
+    ), flagged AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         > {SPAN_K} THEN 1
+                    WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         IS NULL THEN 1
+                    ELSE 0 END AS new_span
+        FROM dpos
+    ), grouped AS (
+        SELECT doc_id, p,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged
+    )
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + {SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(max(p) + {SPAN_K} - min(p) AS BIGINT) AS span_words,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM grouped GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (the substring-level dedup
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed relationally): every {SPAN_K}-word
+    shingle occurring in ≥2 distinct documents marks its positions
+    duplicated; overlapping/adjacent duplicated positions merge into
+    maximal spans (gaps-and-islands over the position sequence) —
+    the word ranges a curation pipeline would cut, not just a
+    doc-level verdict.
+
+    Scale shape: positional shingling is a narrow explode (~L rows
+    per doc); the duplicate test is one hash aggregate on the shingle
+    digest + a semi join back — the 100 TB analogue of a suffix-array
+    pass, but shuffle-partitioned by digest so no node ever holds
+    the corpus. Span merging windows partition per doc (bounded by
+    doc length). Only digests shuffle, never text."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= SPAN_K
+    )
+    sh = w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - SPAN_K)).alias("p"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("p") + 1, SPAN_K))
+        ).alias("sh"),
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("sh")
+    )
+    dpos = sh.join(dup, "sh", "left_semi").select("doc_id", "p")
+    wlag = Window.partitionBy("doc_id").orderBy("p")
+    flagged = dpos.withColumn(
+        "new_span",
+        F.when(F.col("p") - F.lag("p").over(wlag) > SPAN_K, 1)
+        .when(F.lag("p").over(wlag).isNull(), 1)
+        .otherwise(0),
+    )
+    wcum = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grouped = flagged.withColumn("grp", F.sum("new_span").over(wcum))
+    return grouped.groupBy("doc_id", "grp").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + SPAN_K - 1).cast("long").alias("span_end"),
+        (F.max("p") + SPAN_K - F.min("p")).cast("long").alias("span_words"),
+        F.count("*").cast("long").alias("n_shingles"),
+    ).drop("grp")

@@ -1077,3 +1077,103 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("qid", "cid", q4(F.col("cos")).alias("cosine"), "rn")
     )
+
+
+# ------------------------------------------------ diverse top-k (MMR-lite)
+
+N_DIVERSE_Q = 10
+DIVERSE_K = 5
+
+
+@register(
+    "sim_topk_diverse",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce,
+               {_SQL_NORM2.format(col="embedding")} AS cn2
+        FROM embeddings WHERE vec_id % {_SQL_CENT_STEP} = 0
+    ), vec AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM2.format(col="embedding")} AS n2
+        FROM embeddings
+    ), ranked_cells AS (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   v.n2 + c.cn2 - 2*(list_aggregate(
+                       [CAST(v.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+                        for i in range(1, 65)], 'sum')),
+                   c.cent_id) AS cell_rank
+        FROM vec v CROSS JOIN cent c
+    ), assign AS (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE cell_rank = 1
+    ), scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, ca.cell,
+               {_SQL_DOT} /
+               sqrt({_SQL_NORM2.format(col="a.embedding")}
+                    * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        JOIN assign ca ON ca.vec_id = b.vec_id
+        WHERE a.vec_id < {N_DIVERSE_Q}
+    ), cell_best AS (
+        SELECT qid, cid, cell, cos,
+               row_number() OVER (PARTITION BY qid, cell
+                    ORDER BY cos DESC, cid) AS rn_cell
+        FROM scored
+    ), ranked AS (
+        SELECT qid, cid, cell, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS BIGINT) AS rn
+        FROM cell_best WHERE rn_cell = 1
+    )
+    SELECT qid, cid, cell, {sql_q4("cos")} AS cosine, rn
+    FROM ranked WHERE rn <= {DIVERSE_K}
+    """,
+)
+def sim_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped top-k: exact cosine scoring, but AT MOST ONE
+    result per coarse IVF cell — the cheap deterministic stand-in for
+    MMR re-ranking (results can't all come from one tight cluster,
+    which plain top-k over a corpus full of near-dups produces).
+
+    Scale shape: exact scoring is the same broadcast query-block ×
+    corpus pass as ``sim_topk_exact``; the diversity cap is two
+    window ranks (per (query, cell), then per query over ≤C
+    cell-bests) — both bounded, adding no data-sized shuffle beyond
+    the (broadcast) cell-assignment join."""
+    e = table(spark, sf_dir, "embeddings")
+    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
+    cent = capped_centroids(e)
+    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
+    assign = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .where(F.col("cell_rank") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    q = e.where(F.col("vec_id") < N_DIVERSE_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce2"),
+        _norm2(F.col("embedding")).alias("cn2b"),
+    ).join(assign.withColumnRenamed("vec_id", "cid"), "cid")
+    cos = _dot64(F.col("qe"), F.col("ce2")) / F.sqrt(
+        F.col("qn2") * F.col("cn2b")
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid")).select(
+        "qid", "cid", "cell", cos.alias("cos")
+    )
+    wcell = Window.partitionBy("qid", "cell").orderBy(F.col("cos").desc(), "cid")
+    wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        pairs.withColumn("rn_cell", F.row_number().over(wcell))
+        .where(F.col("rn_cell") == 1)
+        .withColumn("rn", F.row_number().over(wq).cast("long"))
+        .where(F.col("rn") <= DIVERSE_K)
+        .select("qid", "cid", "cell", q4(F.col("cos")).alias("cosine"), "rn")
+    )

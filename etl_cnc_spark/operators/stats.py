@@ -594,3 +594,94 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("psi")).alias("psi"),
         (F.col("psi") > F.lit(0.1)).alias("drifted"),
     )
+
+
+CHI2_EPOCH = "2024-01-01"  # dow = days-since-epoch mod 7 (engine-neutral)
+
+
+@register(
+    "stat_chi2_test",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               date_diff('day', DATE '{CHI2_EPOCH}', CAST(ts AS DATE)) % 7
+                   AS dow
+        FROM events
+    ), obs AS (
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+        FROM g GROUP BY event_type, dow
+    ), rt AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        FROM obs GROUP BY event_type
+    ), ct AS (
+        SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY dow
+    ), tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+               CAST(count(DISTINCT dow) AS BIGINT) AS nc
+        FROM obs
+    ), contrib AS (
+        SELECT CAST(floor(
+            ((o - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n))
+             * (o - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n))
+            * 1e6 + 0.5) AS BIGINT) AS c_e6
+        FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
+        CROSS JOIN tot
+    ), chi AS (
+        SELECT CAST(sum(c_e6) AS DOUBLE) / 1e6 AS chi2 FROM contrib
+    )
+    SELECT n, (nr - 1) * (nc - 1) AS dof, {sql_q4("chi2")} AS chi2,
+           {sql_q4("sqrt(chi2 / (n * least(nr - 1, nc - 1)))")} AS cramers_v
+    FROM chi CROSS JOIN tot
+    """,
+)
+def stat_chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and
+    day-of-week, with Cramér's V effect size. Day-of-week is
+    days-since-epoch mod 7 (engine-neutral — Spark's dayofweek and
+    DuckDB's dayofweek disagree on numbering).
+
+    Scale shape: ONE data-sized hash aggregate to the bounded
+    (event_type × 7) contingency grid; everything after is
+    grid-sized. Expected counts multiply as DOUBLES (rt·ct overflows
+    int64 at ~10⁹·10⁹ rows); per-cell contributions sum as e-6
+    fixed-point integers, so χ² is exact and partition-order-free."""
+    e = table(spark, sf_dir, "events")
+    g = e.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit(CHI2_EPOCH).cast("date"))
+            % 7
+        ).alias("dow"),
+    )
+    obs = g.groupBy("event_type", "dow").agg(F.count("*").cast("long").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    exp = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n")
+    c_e6 = F.floor(
+        ((F.col("o") - exp) * (F.col("o") - exp) / exp) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    contrib = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(c_e6.alias("c_e6"))
+    )
+    chi = contrib.agg((F.sum("c_e6").cast("double") / F.lit(1e6)).alias("chi2"))
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        q4(F.col("chi2")).alias("chi2"),
+        q4(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            )
+        ).alias("cramers_v"),
+    )

@@ -58,6 +58,9 @@ INVARIANT_KEYS = [
     "stat_ks_test",
     "stat_psi_drift",
     "join_spatial_grid",
+    "dedup_substring_spans",
+    "sim_topk_diverse",
+    "stat_chi2_test",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Independent-recomputation properties for the second round-5
+operator wave (duplicated-passage spans, diversity-capped top-k,
+chi-square independence) — plain-Python references over the SAME
+parquet inputs, mirroring test_retrieval_props.py."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import duckdb
+
+from etl_cnc_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_substring_spans_match_python_reference(spark, sf_dir):
+    """Recompute the Lee-et-al-style duplicated spans with a dict
+    fold: shingle → docs, dup positions, greedy island merge."""
+    from etl_cnc_spark.llm.dedup import SPAN_K
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    occurrences = defaultdict(set)  # shingle -> doc ids
+    positions = defaultdict(list)  # doc -> [(p, shingle)]
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        for p in range(0, len(ws) - SPAN_K + 1):
+            sh = hashlib.md5(" ".join(ws[p : p + SPAN_K]).encode()).hexdigest()
+            occurrences[sh].add(doc_id)
+            positions[doc_id].append((p, sh))
+    expect = set()
+    for doc_id, plist in positions.items():
+        dup_ps = sorted(p for p, sh in plist if len(occurrences[sh]) >= 2)
+        if not dup_ps:
+            continue
+        start = prev = dup_ps[0]
+        n = 1
+        for p in dup_ps[1:]:
+            if p - prev > SPAN_K:
+                expect.add((doc_id, start, prev + SPAN_K - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        expect.add((doc_id, start, prev + SPAN_K - 1, n))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in REGISTRY["dedup_substring_spans"].build(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for _, s, e, _ in got:
+        assert e - s + 1 >= SPAN_K  # a span is at least one shingle wide
+
+
+def _vectors(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+
+
+def test_diverse_topk_matches_python_reference(spark, sf_dir):
+    """Full Python replay: capped-centroid assignment, per-cell best,
+    global top-k — and the headline property, all cells distinct."""
+    from etl_cnc_spark.llm.dedup import CENT_BUDGET, DEDUP_CENT_MOD
+    from etl_cnc_spark.llm.similarity import DIVERSE_K, N_DIVERSE_Q
+
+    vecs = _vectors(sf_dir)
+    n = len(vecs)
+    step = max(DEDUP_CENT_MOD, math.ceil(n / CENT_BUDGET))
+    cents = [(vid, v) for vid, v in vecs if vid % step == 0]
+
+    def dot(a, b):
+        return sum(float(x) * float(y) for x, y in zip(a, b))
+
+    assign = {}
+    for vid, v in vecs:
+        n2 = dot(v, v)
+        best = min(
+            ((n2 + dot(c, c) - 2 * dot(v, c), cid) for cid, c in cents)
+        )
+        assign[vid] = best[1]
+    expect = {}
+    by_id = dict(vecs)
+    for qid in range(N_DIVERSE_Q):
+        qv = by_id[qid]
+        qn = math.sqrt(dot(qv, qv))
+        cell_best = {}
+        for cid, cv in vecs:
+            if cid == qid:
+                continue
+            cos = dot(qv, cv) / (qn * math.sqrt(dot(cv, cv)))
+            cell = assign[cid]
+            if cell not in cell_best or (-cos, cid) < cell_best[cell][:2]:
+                cell_best[cell] = (-cos, cid, cell)
+        top = sorted(cell_best.values())[:DIVERSE_K]
+        for rn, (negcos, cid, cell) in enumerate(top, start=1):
+            expect[(qid, rn)] = (cid, cell, -negcos)
+    got = REGISTRY["sim_topk_diverse"].build(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        cid, cell, cos = expect[(r["qid"], r["rn"])]
+        assert r["cid"] == cid and r["cell"] == cell
+        assert abs(r["cosine"] - cos) <= 1e-3
+    # headline diversity invariant: one result per cell per query
+    seen = defaultdict(set)
+    for r in got:
+        assert r["cell"] not in seen[r["qid"]]
+        seen[r["qid"]].add(r["cell"])
+
+
+def test_chi2_matches_python_fold(spark, sf_dir):
+    from datetime import date
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(ts AS DATE) FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    epoch = date(2024, 1, 1)
+    obs = defaultdict(int)
+    for etype, d in rows:
+        obs[(etype, (d - epoch).days % 7)] += 1
+    rt = defaultdict(int)
+    ct = defaultdict(int)
+    for (etype, dow), o in obs.items():
+        rt[etype] += o
+        ct[dow] += o
+    n = sum(obs.values())
+    chi2 = 0.0
+    for (etype, dow), o in obs.items():
+        exp = rt[etype] * ct[dow] / n
+        chi2 += (o - exp) ** 2 / exp
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    row = REGISTRY["stat_chi2_test"].build(spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["dof"] == dof
+    assert abs(row["chi2"] - chi2) <= 1e-2
+    assert abs(row["cramers_v"] - v) <= 1e-3
+    assert 0.0 <= row["cramers_v"] <= 1.0
