@@ -306,3 +306,29 @@ def test_dpp_subquery_in_fact_scan(spark, sf_dir):
     df = REGISTRY["join_dynamic_partition_pruning"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_spatial_grid_join_is_hash_not_all_pairs(spark, sf_dir):
+    """The grid join must execute as an equi hash join on the cell
+    key — never a nested-loop over all customer×supplier pairs."""
+    plan = plan_of("join_spatial_grid", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled, both equi
+
+
+def test_bm25_aggregates_are_partial_final(spark, sf_dir):
+    """The tf/df aggregations over the exploded words must map-side
+    combine (shuffle |groups|, not |words|)."""
+    plan = plan_of("text_bm25", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 4  # ≥2 aggs × partial+final
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_substring_span_dedup_joins_on_digest(spark, sf_dir):
+    """Duplicate-shingle filtering is a semi join on the digest —
+    no all-pairs comparison anywhere in the plan."""
+    plan = plan_of("dedup_substring_spans", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
