@@ -107,20 +107,46 @@ _BM25_CTE = f"""
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_terms, score, rn) for every doc matching ≥1 query
-    term — the shared lexical stage of both retrieval keys."""
-    d = table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    stats = d.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
-        words.agg(F.count("*").cast("double").alias("n_words"))
-    ).select(
-        "n_docs", (F.col("n_words") / F.col("n_docs")).alias("avgdl")
+    term — the shared lexical stage of both retrieval keys.
+
+    Deliberately does NOT explode the corpus into words: per-term
+    frequencies come from |Q| array folds per document (``F.filter``
+    + ``size`` over the split array), so tf and dl are computed
+    row-locally with ZERO data-sized shuffle — the only shuffles are
+    the 4-row df aggregate, the 1-row corpus stats, and the final
+    per-doc score aggregate. (An exploded-words formulation shuffles
+    ~avg-doc-length× more rows twice; the oracle deliberately keeps
+    that independent shape — tf/df/dl are integers either way, so the
+    two formulations agree bitwise.)"""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
     )
-    qw = words.where(F.col("term").isin(*QUERY_TERMS))
-    tf = qw.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
-    dfx = qw.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("ws")).cast("double").alias("n_words"),
+    ).select("n_docs", (F.col("n_words") / F.col("n_docs")).alias("avgdl"))
+    def _eq(term: str):
+        # closure factory: a plain 1-arg lambda (a `t=t` default would
+        # make PySpark treat it as the (value, index) 2-arg form)
+        return lambda w: w == F.lit(term)
+
+    per_term = [
+        F.struct(
+            F.lit(t).alias("term"),
+            F.size(F.filter(F.col("ws"), _eq(t))).cast("long").alias("tf"),
+        )
+        for t in QUERY_TERMS
+    ]
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("dl"),
+            F.explode(F.array(*per_term)).alias("s"),
+        )
+        .select("doc_id", "dl", "s.term", "s.tf")
+        .where(F.col("tf") > 0)
     )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     contrib: Column = (
         F.log(
             F.lit(1.0)
@@ -139,7 +165,6 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(dfx), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", contrib.alias("contrib"))
     )
