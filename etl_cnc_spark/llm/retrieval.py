@@ -105,9 +105,9 @@ _BM25_CTE = f"""
 """
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_terms, score, rn) for every doc matching ≥1 query
-    term — the shared lexical stage of both retrieval keys.
+def _bm25_scores(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(doc_id, n_terms, score, rn) for the top-``n`` BM25 docs — the
+    shared lexical stage of both retrieval keys.
 
     Deliberately does NOT explode the corpus into words: per-term
     frequencies come from |Q| array folds per document (``F.filter``
@@ -180,11 +180,17 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = sum(
         (F.col(f"s{i}") for i in range(1, len(QUERY_TERMS))), F.col("s0")
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return (
+    # Global top-n WITHOUT a corpus-sized single-partition window:
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition
+    # top-n, merged at the driver-side take), and row_number then
+    # runs over the already-bounded n rows.
+    top = (
         per_doc.select("doc_id", "n_terms", score.alias("score"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(n)
     )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 @register(
@@ -198,17 +204,13 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 documents for a fixed 4-term query.
 
-    Scale shape: two hash aggregates over the exploded words (tf per
-    (doc, query-term) after a pushed-down term filter; df per term),
-    a broadcast of the 4-row df table and the 1-row corpus stats,
-    then a scalar scoring expression — the only data-sized shuffles
-    are the tf/dl aggregations, both keyed on doc_id. The final
-    global top-N window is bounded by |matching docs|; at 100 TB you
-    would pre-filter with a per-partition top-N (as ``topk_global``
-    does) before the single-partition rank — the scoring stages are
-    already linear."""
-    ranked = _bm25_scores(spark, sf_dir)
-    return ranked.where(F.col("rn") <= TOP_N).select(
+    Scale shape: tf/dl are row-local array folds (no corpus explode,
+    no data-sized shuffle — see ``_bm25_scores``); df and corpus
+    stats are broadcast; scoring is one scalar expression; the final
+    top-N is TakeOrderedAndProject (per-partition top-N merge), so no
+    stage ever concentrates the corpus on one task."""
+    ranked = _bm25_scores(spark, sf_dir, TOP_N)
+    return ranked.select(
         "doc_id", "n_terms", q4(F.col("score")).alias("score"), "rn"
     )
 
@@ -255,11 +257,11 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer join of two already-bounded (≤100-row) lists — trivially
     broadcastable at any corpus size; the expensive stages are the
     two rankers, each linear (BM25 above; cosine is one broadcast
-    1-row query × corpus pass, same shape as ``sim_topk_exact``)."""
-    lex = (
-        _bm25_scores(spark, sf_dir)
-        .where(F.col("rn") <= LIST_N)
-        .select("doc_id", F.col("rn").alias("lex_rn"))
+    1-row query × corpus pass, same shape as ``sim_topk_exact``),
+    and each takes its top-100 via TakeOrderedAndProject before any
+    single-partition ranking window runs."""
+    lex = _bm25_scores(spark, sf_dir, LIST_N).select(
+        "doc_id", F.col("rn").alias("lex_rn")
     )
     e = table(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id") == HYB_QID).select(
@@ -272,8 +274,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = (
         e.crossJoin(F.broadcast(qv))
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(LIST_N)
         .withColumn("rn", F.row_number().over(wv).cast("long"))
-        .where(F.col("rn") <= LIST_N)
         .select("doc_id", F.col("rn").alias("vec_rn"))
     )
     fused = lex.join(vec, "doc_id", "full").select(
