@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import sql_sum_money, sum_money, ts_us
+from ..utils import q4, sql_q4, sql_sum_money, sum_money, ts_us
 
 
 @register(
@@ -141,4 +141,116 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(c), e.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n"), sum_money(F.col("value")).alias("total_value"))
+    )
+
+
+# ------------------------------------------------ drift monitoring
+
+DRIFT_REF_DAY = "2024-01-01"  # reference distribution = first day
+DRIFT_BIN_W = "25.0"
+DRIFT_NBINS = 20
+DRIFT_TAU = "0.25"  # PSI alert threshold for a single day's traffic
+
+
+@register(
+    "stream_drift_monitor",
+    oracle=f"""
+    WITH binned AS (
+        SELECT CAST(date_diff('day', DATE '{DRIFT_REF_DAY}',
+                              CAST(ts AS DATE)) AS BIGINT) AS day_n,
+               least(CAST(floor(value / {DRIFT_BIN_W}) AS BIGINT),
+                     {DRIFT_NBINS - 1}) AS b
+        FROM events
+    ), cur AS (
+        SELECT day_n, b, CAST(count(*) AS BIGINT) AS nb
+        FROM binned GROUP BY day_n, b
+    ), ref AS (
+        SELECT b, nb AS nb_ref FROM cur WHERE day_n = 0
+    ), days AS (
+        SELECT day_n, CAST(sum(nb) AS BIGINT) AS n_day FROM cur
+        GROUP BY day_n
+    ), ref_total AS (
+        SELECT CAST(sum(nb_ref) AS BIGINT) AS n_ref FROM ref
+    ), bins AS (
+        SELECT DISTINCT b FROM cur
+    ), grid AS (
+        SELECT d.day_n, d.n_day, bb.b FROM days d CROSS JOIN bins bb
+    ), contrib AS (
+        SELECT g.day_n, g.n_day,
+               CAST(floor(
+                   (((coalesce(c.nb, 0) + 0.5) / (g.n_day + 10.0))
+                      - ((coalesce(r.nb_ref, 0) + 0.5) / (t.n_ref + 10.0)))
+                   * ln(((coalesce(c.nb, 0) + 0.5) / (g.n_day + 10.0))
+                        / ((coalesce(r.nb_ref, 0) + 0.5) / (t.n_ref + 10.0)))
+                   * 1e10 + 0.5) AS BIGINT) AS c_e10
+        FROM grid g
+        LEFT JOIN cur c ON c.day_n = g.day_n AND c.b = g.b
+        LEFT JOIN ref r ON r.b = g.b
+        CROSS JOIN ref_total t
+    ), psi AS (
+        SELECT day_n, max(n_day) AS n_day,
+               CAST(sum(c_e10) AS DOUBLE) / 1e10 AS psi
+        FROM contrib GROUP BY day_n
+    )
+    SELECT day_n, n_day, {sql_q4("psi")} AS psi,
+           psi > {DRIFT_TAU} AS drifted
+    FROM psi
+    """,
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time drift monitor: per-day PSI of the value
+    distribution against the FIRST day's reference distribution —
+    the production monitoring twin of ``stat_psi_drift`` (one PSI
+    point per tumbling day instead of one report).
+
+    Streaming execution shape: tumbling-day windowed bin counts
+    (map-side combinable) ⋈ a broadcast static reference — the
+    stream-static join pattern of ``stream_join``; the reference
+    table would be the frozen training-time distribution. Batch twin
+    here carries the oracle (event-time semantics identical).
+
+    Scale shape: ONE data-sized aggregate to (day × ≤20 bins); the
+    per-day PSI runs on the bounded (days × bins) grid with
+    contributions summed as e-10 fixed-point integers — exact,
+    order-free, bit-identical at any parallelism."""
+    e = table(spark, sf_dir, "events")
+    binned = e.select(
+        F.datediff(F.col("ts").cast("date"), F.lit(DRIFT_REF_DAY).cast("date"))
+        .cast("long")
+        .alias("day_n"),
+        F.least(
+            F.floor(F.col("value") / F.lit(float(DRIFT_BIN_W))).cast("long"),
+            F.lit(DRIFT_NBINS - 1),
+        ).alias("b"),
+    )
+    cur = binned.groupBy("day_n", "b").agg(F.count("*").cast("long").alias("nb"))
+    ref = cur.where(F.col("day_n") == 0).select("b", F.col("nb").alias("nb_ref"))
+    days = cur.groupBy("day_n").agg(F.sum("nb").cast("long").alias("n_day"))
+    ref_total = ref.agg(F.sum("nb_ref").cast("long").alias("n_ref"))
+    bins = cur.select("b").distinct()
+    grid = days.crossJoin(F.broadcast(bins))
+    p_cur = (F.coalesce(F.col("nb"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("n_day") + F.lit(10.0)
+    )
+    p_ref = (F.coalesce(F.col("nb_ref"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("n_ref") + F.lit(10.0)
+    )
+    c_e10 = F.floor(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e10) + F.lit(0.5)
+    ).cast("long")
+    contrib = (
+        grid.join(cur, ["day_n", "b"], "left")
+        .join(F.broadcast(ref), "b", "left")
+        .crossJoin(F.broadcast(ref_total))
+        .select("day_n", "n_day", c_e10.alias("c_e10"))
+    )
+    psi = contrib.groupBy("day_n").agg(
+        F.max("n_day").alias("n_day"),
+        (F.sum("c_e10").cast("double") / F.lit(1e10)).alias("psi"),
+    )
+    return psi.select(
+        "day_n",
+        "n_day",
+        q4(F.col("psi")).alias("psi"),
+        (F.col("psi") > F.lit(float(DRIFT_TAU))).alias("drifted"),
     )

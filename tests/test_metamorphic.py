@@ -61,6 +61,7 @@ INVARIANT_KEYS = [
     "dedup_substring_spans",
     "sim_topk_diverse",
     "stat_chi2_test",
+    "stream_drift_monitor",
 ]
 
 

@@ -142,3 +142,42 @@ def test_chi2_matches_python_fold(spark, sf_dir):
     assert abs(row["chi2"] - chi2) <= 1e-2
     assert abs(row["cramers_v"] - v) <= 1e-3
     assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_stream_drift_monitor_matches_python_fold(spark, sf_dir):
+    """Daily PSI vs the day-1 reference recomputed with dict folds;
+    day 0 must sit near zero (it IS the reference)."""
+    from datetime import date
+
+    from etl_cnc_spark.streaming.batch_equiv import DRIFT_NBINS
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(ts AS DATE), value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    epoch = date(2024, 1, 1)
+    cur = defaultdict(lambda: defaultdict(int))
+    for d, v in rows:
+        b = min(int(math.floor(v / 25.0)), DRIFT_NBINS - 1)
+        cur[(d - epoch).days][b] += 1
+    ref = cur[0]
+    n_ref = sum(ref.values())
+    all_bins = {b for day in cur.values() for b in day}
+    expect = {}
+    for day_n, day in cur.items():
+        n_day = sum(day.values())
+        psi = 0.0
+        for b in all_bins:
+            p_c = (day.get(b, 0) + 0.5) / (n_day + 10.0)
+            p_r = (ref.get(b, 0) + 0.5) / (n_ref + 10.0)
+            psi += (p_c - p_r) * math.log(p_c / p_r)
+        expect[day_n] = (n_day, psi)
+    got = REGISTRY["stream_drift_monitor"].build(spark, sf_dir).collect()
+    assert {r["day_n"] for r in got} == set(expect)
+    for r in got:
+        n_day, psi = expect[r["day_n"]]
+        assert r["n_day"] == n_day
+        assert abs(r["psi"] - psi) <= 1e-3
+        assert r["drifted"] == (psi > 0.25)
+        if r["day_n"] == 0:
+            assert r["psi"] <= 0.01  # the reference vs itself

@@ -104,6 +104,7 @@ EXTRA_KEYS = [
     "dedup_substring_spans",
     "sim_topk_diverse",
     "stat_chi2_test",
+    "stream_drift_monitor",
 ]
 
 
