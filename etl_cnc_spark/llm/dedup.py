@@ -1138,6 +1138,7 @@ SPAN_K = 10  # shingle width (words) — spans shorter than K can't match
            CAST(count(*) AS BIGINT) AS n_shingles
     FROM grouped GROUP BY doc_id, grp
     """,
+    bench=True,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-passage detection (the substring-level dedup

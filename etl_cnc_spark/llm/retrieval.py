@@ -247,6 +247,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fused
     QUALIFY rn <= {TOP_N}
     """,
+    bench=True,
 )
 def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25

@@ -33,8 +33,13 @@ BASELINE = {
     "events_rfm": 2.403,
     "tpch_q21": 1.250,
     "dedup_minhash_relational": 0.987,
+    # round-5 freeze (BASELINE.md "Round-5 re-freeze"): first
+    # measurement at HEAD for the retrieval and passage-dedup
+    # families, previously unrepresented in the bench set
+    "sim_hybrid_rrf": 1.489,
+    "dedup_substring_spans": 1.519,
 }
-BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 8.497
+BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 11.505
 GATE = 2.0
 
 
