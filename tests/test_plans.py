@@ -323,6 +323,9 @@ def test_bm25_aggregates_are_partial_final(spark, sf_dir):
     plan = plan_of("text_bm25", spark, sf_dir)
     assert plan.count("HashAggregate") >= 4  # ≥2 aggs × partial+final
     assert "partial_count" in plan or "partial" in plan.lower()
+    # the global top-N must be a distributed TakeOrderedAndProject,
+    # never a corpus-sized single-partition ranking window
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_substring_span_dedup_joins_on_digest(spark, sf_dir):
