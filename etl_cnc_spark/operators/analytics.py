@@ -1891,3 +1891,233 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (EWMA_ALPHA * F.col("c") + beta * F.col("x0"))
         ).alias("ewma"),
     )
+
+
+# ------------------------------------- classical seasonal decomposition
+
+SEAS_EPOCH = "2024-01-01"
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '{SEAS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS day_n,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, d.day_n, coalesce(x.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT DISTINCT day_n FROM daily) d
+        LEFT JOIN daily x
+          ON x.event_type = t.event_type AND x.day_n = d.day_n
+    ), trend AS (
+        SELECT event_type, day_n, n,
+               CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w AS trend
+        FROM grid
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_n
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+        SELECT event_type, day_n, n, trend, day_n % 7 AS dow,
+               CAST(floor((n - trend) * 1e6 + 0.5) AS BIGINT) AS detr_e6
+        FROM trend
+    ), seasonal AS (
+        SELECT event_type, dow,
+               CAST(sum(detr_e6) AS DOUBLE) / count(*) / 1e6 AS seasonal
+        FROM detr GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day_n, d.n, {sql_q4("d.trend")} AS trend,
+           {sql_q4("s.seasonal")} AS seasonal,
+           {sql_q4("d.n - d.trend - s.seasonal")} AS residual
+    FROM detr d JOIN seasonal s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily count
+    series per event type: trend = centered 7-day moving average
+    (edge-shrunk), seasonal = per-day-of-week mean of the detrended
+    series, residual = n − trend − seasonal.
+
+    Float discipline: the trend is integer-sum/count (exact inputs);
+    detrended values are fixed-pointed to e-6 integers before the
+    seasonal mean, so the group mean is order-free; the residual
+    subtracts in one fixed expression order.
+
+    Scale shape: one data-sized aggregate to (type × day); the
+    moving-average window partitions per type over the bounded day
+    grid — at years of history this is still |days| rows per type,
+    never raw events. The dense grid (types × observed days,
+    zero-filled) keeps window frames aligned across engines."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(SEAS_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day_n"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    types = daily.select("event_type").distinct()
+    days = daily.select("day_n").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day_n"], "left")
+        .select(
+            "event_type", "day_n", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_n")
+        .rowsBetween(-3, 3)
+    )
+    trend = grid.select(
+        "event_type",
+        "day_n",
+        "n",
+        (F.sum("n").over(w).cast("double") / F.count("*").over(w)).alias("trend"),
+    )
+    detr = trend.select(
+        "event_type",
+        "day_n",
+        "n",
+        "trend",
+        (F.col("day_n") % 7).alias("dow"),
+        F.floor((F.col("n") - F.col("trend")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("detr_e6"),
+    )
+    seasonal = detr.groupBy("event_type", "dow").agg(
+        (F.sum("detr_e6").cast("double") / F.count("*") / F.lit(1e6)).alias(
+            "seasonal"
+        )
+    )
+    return detr.join(F.broadcast(seasonal), ["event_type", "dow"]).select(
+        "event_type",
+        "day_n",
+        "n",
+        q4(F.col("trend")).alias("trend"),
+        q4(F.col("seasonal")).alias("seasonal"),
+        q4(F.col("n") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )
+
+
+# ------------------------------------------------ Theil–Sen robust trend
+
+
+@register(
+    "events_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '{SEAS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS day_n,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.event_type,
+               CAST(b.n - a.n AS DOUBLE) / (b.day_n - a.day_n) AS slope,
+               a.day_n AS da, b.day_n AS db
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day_n < b.day_n
+    ), ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY slope, da, db) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM slopes
+    ), med AS (
+        SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_pairs,
+               max(CASE WHEN rk = (cnt + 1) // 2 THEN slope END) AS slope_med
+        FROM ranked GROUP BY event_type
+    ), icepts AS (
+        SELECT d.event_type, d.n - m.slope_med * d.day_n AS b0, d.day_n
+        FROM daily d JOIN med m ON d.event_type = m.event_type
+    ), iranked AS (
+        SELECT event_type, b0,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY b0, day_n) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM icepts
+    ), imed AS (
+        SELECT event_type,
+               max(CASE WHEN rk = (cnt + 1) // 2 THEN b0 END) AS icept_med
+        FROM iranked GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_pairs, {sql_q4("m.slope_med")} AS slope,
+           {sql_q4("i.icept_med")} AS intercept
+    FROM med m JOIN imed i ON m.event_type = i.event_type
+    """,
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily count series per event
+    type: slope = LOWER MEDIAN of all pairwise slopes (deterministic
+    tie-break by the pair's day indices), intercept = lower median of
+    n_i − slope·day_i — the outlier-resistant complement to the OLS
+    ``agg_linear_trend``.
+
+    Scale shape: the pairwise self-join is O(D²) in DAYS PER TYPE
+    (30 days → 435 pairs), never in events — the data-sized pass is
+    the one daily aggregate; everything after runs on the bounded
+    day grid. Medians use integer rank = (cnt+1)/2 comparisons (no
+    float percentile for engines to disagree on); slopes are exact
+    integer differences divided once."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(SEAS_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day_n"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day_n") < F.col("b.day_n")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / (F.col("b.day_n") - F.col("a.day_n"))
+        ).alias("slope"),
+        F.col("a.day_n").alias("da"),
+        F.col("b.day_n").alias("db"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "da", "db")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "cnt", F.count("*").over(wc)
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor((F.col("cnt") + 1) / 2), F.col("slope")
+            )
+        ).alias("slope_med"),
+    )
+    icepts = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        (F.col("n") - F.col("slope_med") * F.col("day_n")).alias("b0"),
+        "day_n",
+    )
+    wir = Window.partitionBy("event_type").orderBy("b0", "day_n")
+    iranked = icepts.withColumn("rk", F.row_number().over(wir)).withColumn(
+        "cnt", F.count("*").over(wc)
+    )
+    imed = iranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == F.floor((F.col("cnt") + 1) / 2), F.col("b0"))
+        ).alias("icept_med")
+    )
+    return (
+        med.join(imed, "event_type")
+        .select(
+            "event_type",
+            "n_pairs",
+            q4(F.col("slope_med")).alias("slope"),
+            q4(F.col("icept_med")).alias("intercept"),
+        )
+    )

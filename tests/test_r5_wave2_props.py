@@ -181,3 +181,88 @@ def test_stream_drift_monitor_matches_python_fold(spark, sf_dir):
         assert r["drifted"] == (psi > 0.25)
         if r["day_n"] == 0:
             assert r["psi"] <= 0.01  # the reference vs itself
+
+
+def test_seasonal_decompose_matches_python_fold(spark, sf_dir):
+    """Trend/seasonal/residual recomputed with plain list folds;
+    components must re-add to the observation."""
+    from datetime import date
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(ts AS DATE), count(*) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    epoch = date(2024, 1, 1)
+    daily = defaultdict(dict)
+    all_days = set()
+    for etype, d, n in rows:
+        day = (d - epoch).days
+        daily[etype][day] = n
+        all_days.add(day)
+    days = sorted(all_days)
+    expect = {}
+    for etype, series in daily.items():
+        n_of = {d: series.get(d, 0) for d in days}
+        trend = {}
+        for i, d in enumerate(days):
+            lo, hi = max(0, i - 3), min(len(days), i + 4)
+            win = [n_of[days[j]] for j in range(lo, hi)]
+            trend[d] = sum(win) / len(win)
+        by_dow = defaultdict(list)
+        for d in days:
+            by_dow[d % 7].append(math.floor((n_of[d] - trend[d]) * 1e6 + 0.5))
+        seas = {dw: sum(v) / len(v) / 1e6 for dw, v in by_dow.items()}
+        for d in days:
+            expect[(etype, d)] = (
+                n_of[d],
+                trend[d],
+                seas[d % 7],
+                n_of[d] - trend[d] - seas[d % 7],
+            )
+    got = REGISTRY["events_seasonal_decompose"].build(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n, t, s, res = expect[(r["event_type"], r["day_n"])]
+        assert r["n"] == n
+        assert abs(r["trend"] - t) <= 1e-3
+        assert abs(r["seasonal"] - s) <= 1e-3
+        assert abs(r["residual"] - res) <= 1e-3
+        # additivity: components reconstruct the observation
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - n) <= 1e-3
+
+
+def test_theil_sen_matches_python_fold(spark, sf_dir):
+    """Lower-median pairwise slope and intercept recomputed naively;
+    robustness sanity — slope must be finite and pairs = D*(D-1)/2."""
+    from datetime import date
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(ts AS DATE), count(*) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    epoch = date(2024, 1, 1)
+    daily = defaultdict(dict)
+    for etype, d, n in rows:
+        daily[etype][(d - epoch).days] = n
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_theil_sen"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for etype, series in daily.items():
+        pts = sorted(series.items())
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (da, na), (db, nb) = pts[i], pts[j]
+                slopes.append(((nb - na) / (db - da), da, db))
+        slopes.sort()
+        slope = slopes[(len(slopes) + 1) // 2 - 1][0]
+        b0s = sorted((n - slope * d, d) for d, n in pts)
+        icept = b0s[(len(b0s) + 1) // 2 - 1][0]
+        r = got[etype]
+        assert r["n_pairs"] == len(slopes) == len(pts) * (len(pts) - 1) // 2
+        assert abs(r["slope"] - slope) <= 1e-3
+        assert abs(r["intercept"] - icept) <= 1e-3

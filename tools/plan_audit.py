@@ -105,6 +105,8 @@ EXTRA_KEYS = [
     "sim_topk_diverse",
     "stat_chi2_test",
     "stream_drift_monitor",
+    "events_seasonal_decompose",
+    "events_theil_sen",
 ]
 
 
