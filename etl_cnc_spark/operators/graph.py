@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ..utils import sql_q4
 
 SCALE = 100_000_000  # 1e8 fixed-point
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85
@@ -483,3 +484,132 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return dist
+
+
+# --------------------------------------------- link-prediction features
+
+
+@register(
+    "graph_link_features",
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM edges WHERE u <> v
+    ), nbr AS (
+        SELECT a AS x, b AS z FROM und
+        UNION ALL
+        SELECT b AS x, a AS z FROM und
+    ), deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY x
+    ), pairs AS (
+        SELECT p.x AS a, q.x AS b, p.z,
+               CAST(floor(1e9 / ln(dz.deg) + 0.5) AS BIGINT) AS aa_e9
+        FROM nbr p
+        JOIN nbr q ON p.z = q.z AND p.x < q.x
+        JOIN deg dz ON dz.x = p.z
+    ), feats AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(aa_e9) AS DOUBLE) / 1e9 AS adamic_adar
+        FROM pairs GROUP BY a, b
+    )
+    SELECT f.a, f.b, f.cn, da.deg AS deg_a, db.deg AS deg_b,
+           {sql_q4("CAST(f.cn AS DOUBLE) / (da.deg + db.deg - f.cn)")}
+               AS jaccard,
+           {sql_q4("f.adamic_adar")} AS adamic_adar,
+           (e.a IS NOT NULL) AS is_edge
+    FROM feats f
+    JOIN deg da ON da.x = f.a
+    JOIN deg db ON db.x = f.b
+    LEFT JOIN und e ON e.a = f.a AND e.b = f.b
+    """,
+)
+def graph_link_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features over the undirected trade graph:
+    common-neighbor count, neighborhood Jaccard, and Adamic–Adar
+    (Σ 1/ln deg(z) over common neighbors z) for every node pair
+    sharing ≥1 neighbor, flagged by whether the pair is already an
+    edge — the classic features a graph-ML pipeline joins onto
+    candidate pairs.
+
+    Scale shape: candidate pairs come from the neighbor-list
+    self-join on the shared node z (the wedge enumeration triangle
+    counting uses), so work is Σ deg(z)² — the hub-bound cost every
+    link-prediction system pays; at scale, cap or sample hub
+    neighborhoods. Adamic–Adar contributions are e-9 fixed-point
+    INTEGERS, so the sum is exact and order-free; doubles appear only
+    in the final scaled outputs."""
+    from ..utils import q4
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    und = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    nbr = und.select(F.col("a").alias("x"), F.col("b").alias("z")).unionAll(
+        und.select(F.col("b").alias("x"), F.col("a").alias("z"))
+    )
+    deg = nbr.groupBy("x").agg(F.count("*").cast("long").alias("deg"))
+    p = nbr.alias("p")
+    q = nbr.alias("q")
+    dz = deg.alias("dz")
+    pairs = (
+        p.join(q, (F.col("p.z") == F.col("q.z")) & (F.col("p.x") < F.col("q.x")))
+        .join(F.broadcast(dz), F.col("dz.x") == F.col("p.z"))
+        .select(
+            F.col("p.x").alias("a"),
+            F.col("q.x").alias("b"),
+            F.floor(F.lit(1e9) / F.log(F.col("dz.deg")) + F.lit(0.5))
+            .cast("long")
+            .alias("aa_e9"),
+        )
+    )
+    feats = (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            (F.sum("aa_e9").cast("double") / F.lit(1e9)).alias("adamic_adar"),
+        )
+        .withColumnRenamed("a", "fa")
+        .withColumnRenamed("b", "fb")
+    )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    e = und.alias("e")
+    jac = F.col("cn").cast("double") / (
+        F.col("da.deg") + F.col("db.deg") - F.col("cn")
+    )
+    return (
+        feats.join(F.broadcast(da), F.col("da.x") == F.col("fa"))
+        .join(F.broadcast(db), F.col("db.x") == F.col("fb"))
+        .join(
+            F.broadcast(e),
+            (F.col("e.a") == F.col("fa")) & (F.col("e.b") == F.col("fb")),
+            "left",
+        )
+        .select(
+            F.col("fa").alias("a"),
+            F.col("fb").alias("b"),
+            "cn",
+            F.col("da.deg").alias("deg_a"),
+            F.col("db.deg").alias("deg_b"),
+            q4(jac).alias("jaccard"),
+            q4(F.col("adamic_adar")).alias("adamic_adar"),
+            F.col("e.a").isNotNull().alias("is_edge"),
+        )
+    )

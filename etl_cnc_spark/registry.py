@@ -43,18 +43,19 @@ REGISTRY: dict[str, QueryDef] = {}
 # next 49 never-driver-checked keys in registry order (the round-4
 # operator wave: curation/attribution/paths/hierarchy/q8-IVF/
 # matryoshka, the fn_* long tail, the text_* tail).  Remainder for
-# round 6 (36 keys): the 7 r4 leftovers (pipeline_rag_corpus,
+# round 6 (37 keys): the 7 r4 leftovers (pipeline_rag_corpus,
 # pipeline_mix_temperature, text_repetition, pipeline_curriculum,
 # multimodal_framesample, sql_entry_agg, sql_entry_window) plus the
-# 29 keys round 5 added (dedup_embedding_exact, tpch_q2/q9/q11/q16/
+# 30 keys round 5 added (dedup_embedding_exact, tpch_q2/q9/q11/q16/
 # q20, join_interval_overlap, join_asof_tolerance, dedup_incremental,
 # dedup_containment, events_dau_mau, events_ewma, agg_kmv_distinct,
 # agg_weighted_percentile, graph_bfs_distance, pipeline_dataset_card,
 # sim_ann_ivfpq, join_dynamic_partition_pruning, text_bm25,
 # sim_hybrid_rrf, stat_ks_test, stat_psi_drift, join_spatial_grid,
 # dedup_substring_spans, sim_topk_diverse, stat_chi2_test,
-# stream_drift_monitor, events_seasonal_decompose, events_theil_sen)
-# — all fit in one r6 window with 14 spare slots.  `python tools/next_window.py`
+# stream_drift_monitor, events_seasonal_decompose, events_theil_sen,
+# graph_link_features) — all fit in one r6 window with 13 spare
+# slots.  `python tools/next_window.py`
 # prints the exact next rotation; run `python tools/preflight.py`
 # before rotating (catches driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [

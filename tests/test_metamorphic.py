@@ -64,6 +64,7 @@ INVARIANT_KEYS = [
     "stream_drift_monitor",
     "events_seasonal_decompose",
     "events_theil_sen",
+    "graph_link_features",
 ]
 
 

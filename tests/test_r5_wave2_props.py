@@ -266,3 +266,42 @@ def test_theil_sen_matches_python_fold(spark, sf_dir):
         assert r["n_pairs"] == len(slopes) == len(pts) * (len(pts) - 1) // 2
         assert abs(r["slope"] - slope) <= 1e-3
         assert abs(r["intercept"] - icept) <= 1e-3
+
+
+def test_link_features_match_python_fold(spark, sf_dir):
+    """Common-neighbor / Jaccard / Adamic-Adar recomputed from a
+    Python adjacency dict over the same nation trade graph."""
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey),
+                        greatest(c.c_nationkey, s.s_nationkey)
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    """).fetchall()
+    adj = defaultdict(set)
+    und = set()
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+        und.add((a, b))
+    got = REGISTRY["graph_link_features"].build(spark, sf_dir).collect()
+    expect_pairs = {
+        (x, y)
+        for x in adj
+        for y in adj
+        if x < y and adj[x] & adj[y]
+    }
+    assert {(r["a"], r["b"]) for r in got} == expect_pairs
+    for r in got:
+        x, y = r["a"], r["b"]
+        common = adj[x] & adj[y]
+        assert r["cn"] == len(common)
+        assert r["deg_a"] == len(adj[x]) and r["deg_b"] == len(adj[y])
+        jac = len(common) / (len(adj[x]) + len(adj[y]) - len(common))
+        aa = sum(1.0 / math.log(len(adj[z])) for z in common)
+        assert abs(r["jaccard"] - jac) <= 1e-3
+        assert abs(r["adamic_adar"] - aa) <= 1e-3
+        assert r["is_edge"] == ((x, y) in und)

@@ -107,6 +107,7 @@ EXTRA_KEYS = [
     "stream_drift_monitor",
     "events_seasonal_decompose",
     "events_theil_sen",
+    "graph_link_features",
 ]
 
 
