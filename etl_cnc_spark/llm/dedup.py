@@ -305,7 +305,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
     cent = capped_centroids(e)
-    from pyspark.sql import Window
 
     d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
     wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
@@ -825,7 +824,6 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: no pairwise stage anywhere — dedup is digest-grouped,
     contamination is an inverted-gram equi-join (dedup_contamination's
     plan), and the final report is one hash aggregate."""
-    from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
     words = F.size(F.split("text", " ")).cast("long")
@@ -999,7 +997,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.where(F.col("doc_id") % 3 == 0).select(
         "doc_id", F.sha2("text", 256).alias("h")
     )
-    from pyspark.sql import Window
 
     in_batch = batch.withColumn(
         "batch_canonical", F.min("doc_id").over(Window.partitionBy("h"))

@@ -21,7 +21,7 @@ integer scaling) so pr*w stays < 2^63.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -446,21 +446,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan runs with the frontier partitioned on u; a diameter-bound
     unroll (or iterate-with-checkpoint every ~8 rounds, as
     dedup_cluster does) keeps lineage bounded."""
-    from pyspark.sql import Window
-
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
-    all_edges = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    all_edges = trade_edges(spark, sf_dir)
     wk = Window.partitionBy("u").orderBy(F.col("w").desc(), "v")
     edges = (
         all_edges.withColumn("rk", F.row_number().over(wk))
@@ -541,19 +527,7 @@ def graph_link_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the final scaled outputs."""
     from ..utils import q4
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
-    )
+    edges = trade_edges(spark, sf_dir)
     und = (
         edges.where(F.col("u") != F.col("v"))
         .select(

@@ -318,8 +318,10 @@ def test_spatial_grid_join_is_hash_not_all_pairs(spark, sf_dir):
 
 
 def test_bm25_aggregates_are_partial_final(spark, sf_dir):
-    """The tf/df aggregations over the exploded words must map-side
-    combine (shuffle |groups|, not |words|)."""
+    """The df and per-doc score aggregations must map-side combine
+    (shuffle |groups|, not rows). tf itself never aggregates — it is
+    a row-local array fold; the exploded-words shape lives only in
+    the DuckDB oracle."""
     plan = plan_of("text_bm25", spark, sf_dir)
     assert plan.count("HashAggregate") >= 4  # ≥2 aggs × partial+final
     assert "partial_count" in plan or "partial" in plan.lower()

@@ -211,9 +211,11 @@ def test_spatial_grid_finds_true_nearest(spark, sf_dir):
     """Brute-force all-pairs check: for every customer the grid join
     must return exactly the nearest supplier within r (ties by
     suppkey), and omit the customer iff no supplier is within r."""
-    from etl_cnc_spark.operators.joins import GRID_CELL
+    from etl_cnc_spark.operators.joins import GRID_R2
 
-    r = float(GRID_CELL)
+    r2 = float(GRID_R2)  # the operator's literal bound, NOT r*r
+    # (0.05**2 = 0.0025000000000000005 != 0.0025 — the exact FP trap
+    # the operator avoids by using one literal on both engines)
     con = duckdb.connect()
     custs = con.execute(
         f"SELECT c_custkey FROM '{sf_dir}/customer.parquet'"
@@ -230,7 +232,7 @@ def test_spatial_grid_finds_true_nearest(spark, sf_dir):
         best = None
         for sk, sx, sy in spts:
             d2 = (x - sx) ** 2 + (y - sy) ** 2
-            if d2 <= r * r and (best is None or (d2, sk) < best):
+            if d2 <= r2 and (best is None or (d2, sk) < best):
                 best = (d2, sk)
         if best is not None:
             expect[ck] = (best[1], math.sqrt(best[0]))

@@ -4,6 +4,13 @@ queries plus the heaviest non-bench operators — the ".explain and
 iterate" evidence trail. For each audited key it extracts the plan
 features that matter at 100 TB:
 
+Reproducibility caveat: exchange counts can differ by ±1 between runs
+for keys whose plans hit exchange/subquery REUSE (e.g. graph_pagerank)
+— reuse depends on what the session planned earlier in the same
+process. Treat a one-count drift on an untouched row as run-order
+noise, not a regression; structural columns (pushdown, join mix, BNL)
+are stable.
+
 - scan health: PushedFilters present? ReadSchema column count
   (column pruning) vs table width;
 - join strategy mix (broadcast / sort-merge / hash / BNL);
@@ -167,7 +174,10 @@ def main() -> None:
         "",
         f"Generated by `python tools/plan_audit.py` at {SF_DIR} "
         "(regenerate after plan-affecting changes; values are "
-        "plan-shape, not timings, so they are host-stable).",
+        "plan-shape, not timings, so they are host-stable — except "
+        "exchange counts, which can drift ±1 on keys whose plans hit "
+        "exchange/subquery reuse depending on session run order; "
+        "treat such a one-count drift on an untouched row as noise).",
         "",
         "Columns: scans with predicate pushdown / total parquet scans; "
         "columns read per scan (pruning); shuffle exchanges; join "

@@ -11,9 +11,14 @@ and so tolerates them — a local-green / driver-red divergence.
 
 This tool closes the gap two ways:
 
-1. ``schema scan`` (default, fast): build every registered query's
-   DataFrame (lazy — no execution) and flag any output column whose
-   dataType is complex.  Complex output == driver trap, period.
+1. ``schema scan`` (default): build every registered query's
+   DataFrame and flag any output column whose dataType is complex.
+   Complex output == driver trap, period.  NOTE: "build" is not free —
+   sink/stream/bucketed keys stage real data or run availableNow
+   streams as part of constructing their result frame, and events_rfm
+   collects its bounded stats eagerly; a full no-args run executes
+   dozens of small Spark jobs (~minutes), it just skips the final
+   collect of every query.
 2. ``--exec``: additionally run each flagged-clean query at sf0.001
    and replicate the driver's pandas canonicalization verbatim
    (``DataFrame.sort_values`` over all columns) to catch anything the
@@ -66,6 +71,10 @@ def main() -> int:
     from etl_cnc_spark.session import get_spark
 
     reg = load_all()
+    unknown = [k for k in args.keys if k not in reg]
+    if unknown:
+        print(f"unknown keys: {', '.join(unknown)}", file=sys.stderr)
+        return 2
     keys = args.keys or sorted(reg)
     spark = get_spark()
 
