@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import cents, q2, q4, sql_q2, tmpdir
+from ..utils import cents, q2, q4, sql_q2, sql_q4, tmpdir
 
 
 # ---------------------------------------------------------------- merge
@@ -1251,3 +1251,63 @@ def sample_weighted_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame
         q4(F.least(F.lit(1.0), words.cast("double") / 120)).alias("keep_p"),
     )
     return weighted.where(F.col("u") < F.col("keep_p"))
+
+
+# ------------------------------------------------------------- benford
+
+
+@register(
+    "etl_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice*100 + 0.5)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM orders
+    ), obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS obs
+        FROM digits GROUP BY d
+    ), tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs)
+    SELECT d, obs, n,
+           {sql_q4("CAST(obs AS DOUBLE) / n")} AS obs_p,
+           {sql_q4("log10(1.0 + 1.0 / d)")} AS exp_p,
+           {sql_q4("(obs - n * log10(1.0 + 1.0 / d))"
+                   " * (obs - n * log10(1.0 + 1.0 / d))"
+                   " / (n * log10(1.0 + 1.0 / d))")} AS chi2_contrib
+    FROM obs CROSS JOIN tot
+    """,
+)
+def etl_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the
+    classic fraud / data-fabrication screen a warehouse QA layer
+    runs next to etl_quality_report: observed first-significant-
+    digit shares vs the Benford expectation log10(1+1/d), with the
+    per-digit chi-square contribution so an analyst sees WHICH digit
+    deviates, not just that the total does.
+
+    The first digit comes from the integer-cents string (exact: no
+    float formatting differences between engines), so the data-sized
+    work is one projection plus a 9-row hash aggregate; everything
+    after runs on the digit grid with a broadcast of the single-row
+    total. Expected counts multiply as doubles (n * p_d overflows
+    nothing, but keeps the op order fixed on both engines)."""
+    o = table(spark, sf_dir, "orders")
+    d_col = (
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    obs = o.select(d_col).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    tot = obs.agg(F.sum("obs").cast("long").alias("n"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    dev = F.col("obs") - F.col("n") * exp_p
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "obs",
+        "n",
+        q4(F.col("obs").cast("double") / F.col("n")).alias("obs_p"),
+        q4(exp_p).alias("exp_p"),
+        q4(dev * dev / (F.col("n") * exp_p)).alias("chi2_contrib"),
+    )

@@ -596,6 +596,239 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MWU_G1 = "click"
+MWU_G2 = "purchase"
+
+
+@register(
+    "stat_mann_whitney",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{MWU_G1}', '{MWU_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{MWU_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{MWU_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT c1, c2, c1 + c2 AS t,
+               COALESCE(sum(c1 + c2) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS before
+        FROM grid
+    ), sums AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * (2*before + t + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(t*t*t - t) AS BIGINT) AS tie3
+        FROM cum
+    ), u AS (
+        SELECT n1, n2,
+               CAST(r1x2 - n1*(n1+1) AS DOUBLE)/2.0 AS u1,
+               (CAST(r1x2 - n1*(n1+1) AS DOUBLE)/2.0
+                  - CAST(n1 AS DOUBLE)*n2/2.0)
+               / sqrt(CAST(n1 AS DOUBLE)*n2/12.0
+                      * (CAST(n1+n2+1 AS DOUBLE)
+                         - CAST(tie3 AS DOUBLE)
+                           / (CAST(n1+n2 AS DOUBLE) * (n1+n2-1)))) AS z
+        FROM sums
+    )
+    SELECT n1, n2, u1, {sql_q4("z")} AS z, abs(z) > 1.96 AS significant
+    FROM u
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the 'click'
+    and 'purchase' value distributions, with midrank tie handling and
+    the tie-corrected normal approximation.
+
+    Scale shape — the same bounded-domain trick as stat_ks_test:
+    values quantize to integer cents and hash-aggregate FIRST, so
+    ranks come from a window over the value DOMAIN, not the input
+    rows (a naive rank() over 10^11 rows would be a single-partition
+    sort of the whole fact table). Midranks stay INTEGER by tracking
+    2x the rank (2·before + t + 1), so the rank-sum R1 is an exact
+    order-free integer; doubles appear only in the final z formula,
+    evaluated once. The tie term Σ(t³−t) accumulates as int64 —
+    at 10^11 rows per value the cube overflows, so the 100 TB variant
+    promotes it to decimal(38,0) (same one-line change as
+    agg_corr_exact's syy accumulator)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(MWU_G1, MWU_G2)
+    )
+    ev = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    )
+    grid = ev.groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == MWU_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == MWU_G2).cast("long").alias("c2"),
+    )
+    wprev = Window.orderBy("v_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = F.col("c1") + F.col("c2")
+    cum = grid.select(
+        "c1",
+        "c2",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(wprev), F.lit(0)).alias("before"),
+    )
+    sums = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("before") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = (F.col("r1x2") - n1 * (n1 + 1)).cast("double") / F.lit(2.0)
+    mu = n1.cast("double") * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        n1.cast("double") * n2 / F.lit(12.0)
+        * (
+            (n1 + n2 + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+        )
+    )
+    u = sums.select(
+        "n1", "n2", u1.alias("u1"), ((u1 - mu) / sigma).alias("z")
+    )
+    return u.select(
+        "n1",
+        "n2",
+        "u1",
+        q4(F.col("z")).alias("z"),
+        (F.abs(F.col("z")) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "stat_jackknife_cv",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS x
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS s1,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        FROM s GROUP BY event_type
+    ), loo AS (
+        SELECT s.event_type, m.n, m.s1, m.s2,
+               CAST(floor(
+                   sqrt((CAST(m.s2 - CAST(s.x AS HUGEINT)*s.x AS DOUBLE)
+                         - (m.n - 1)
+                           * (CAST(m.s1 - s.x AS DOUBLE)/(m.n - 1))
+                           * (CAST(m.s1 - s.x AS DOUBLE)/(m.n - 1)))
+                        / (m.n - 2))
+                   / (CAST(m.s1 - s.x AS DOUBLE)/(m.n - 1))
+                   * 1e8 + 0.5) AS BIGINT) AS cvq
+        FROM s JOIN m USING (event_type)
+    ), j AS (
+        SELECT event_type, max(n) AS n, max(s1) AS s1, max(s2) AS s2,
+               CAST(sum(cvq) AS HUGEINT) AS sc1,
+               CAST(sum(CAST(cvq AS HUGEINT) * cvq) AS HUGEINT) AS sc2
+        FROM loo GROUP BY event_type
+    ), o AS (
+        SELECT event_type, n,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE)/n) * CAST(s1 AS DOUBLE))
+                    / (n - 1))
+               / (CAST(s1 AS DOUBLE)/n) AS cv_full,
+               CAST(sc1 AS DOUBLE)/n/1e8 AS cv_bar,
+               (CAST(sc2 AS DOUBLE)/1e16
+                - (CAST(sc1 AS DOUBLE)/n) * (CAST(sc1 AS DOUBLE)/1e16))
+                   AS ssq
+        FROM j
+    )
+    SELECT event_type, n, {sql_q4("cv_full")} AS cv_full,
+           {sql_q4("CAST(n AS DOUBLE)*cv_full - (n - 1)*cv_bar")}
+               AS cv_jack_bc,
+           {sql_q4("sqrt((CAST(n - 1 AS DOUBLE)/n) * ssq)")} AS se_jack
+    FROM o
+    """,
+)
+def stat_jackknife_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error and bias correction for a NONLINEAR
+    statistic — the coefficient of variation of event value per
+    event_type. The point of the shape: the n leave-one-out
+    replicates are NOT n re-aggregations; each replicate's mean and
+    variance come from MOMENT ALGEBRA on the full-group sums
+    (m_i = (S1−x_i)/(n−1), v_i from S2 minus the held-out square), so
+    the whole jackknife is two hash aggregates and one broadcast join
+    — no resampling shuffle, no per-replicate pass. That is the only
+    formulation that survives 10^11 rows.
+
+    Determinism: raw sums are exact int128; each replicate's cv_i is
+    a fixed-order IEEE expression quantized to e-8 fixed point, so
+    the second-level sums Σcvq, Σcvq² are again exact integers —
+    partition order cannot shift the reported SE (same discipline as
+    stat_psi_drift's contribution sums)."""
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+    )
+    dec = "decimal(38,0)"
+    x = F.col("x")
+    m = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("s1"),
+        F.sum((x * x).cast(dec)).alias("s2"),
+    )
+    nm1 = (F.col("n") - 1).cast("double")
+    m_i = (F.col("s1") - x).cast("double") / (F.col("n") - 1)
+    v_i = (
+        (F.col("s2") - (x.cast(dec) * x.cast(dec))).cast("double")
+        - (F.col("n") - 1) * m_i * m_i
+    ) / (F.col("n") - 2)
+    cvq = F.floor(F.sqrt(v_i) / m_i * F.lit(1e8) + F.lit(0.5)).cast("long")
+    loo = s.join(F.broadcast(m), "event_type").select(
+        "event_type", "n", "s1", "s2", cvq.alias("cvq")
+    )
+    j = loo.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("s1").alias("s1"),
+        F.max("s2").alias("s2"),
+        F.sum(F.col("cvq").cast(dec)).alias("sc1"),
+        F.sum((F.col("cvq").cast(dec) * F.col("cvq").cast(dec))).alias("sc2"),
+    )
+    n = F.col("n")
+    s1d = F.col("s1").cast("double")
+    cv_full = F.sqrt(
+        (F.col("s2").cast("double") - (s1d / n) * s1d) / (n - 1)
+    ) / (s1d / n)
+    cv_bar = F.col("sc1").cast("double") / n / F.lit(1e8)
+    ssq = F.col("sc2").cast("double") / F.lit(1e16) - (
+        F.col("sc1").cast("double") / n
+    ) * (F.col("sc1").cast("double") / F.lit(1e16))
+    o = j.select(
+        "event_type",
+        "n",
+        cv_full.alias("cv_full"),
+        cv_bar.alias("cv_bar"),
+        ssq.alias("ssq"),
+    )
+    return o.select(
+        "event_type",
+        "n",
+        q4(F.col("cv_full")).alias("cv_full"),
+        q4(n.cast("double") * F.col("cv_full") - (n - 1) * F.col("cv_bar")).alias(
+            "cv_jack_bc"
+        ),
+        q4(F.sqrt(((n - 1).cast("double") / n) * F.col("ssq"))).alias("se_jack"),
+    )
+
+
 CHI2_EPOCH = "2024-01-01"  # dow = days-since-epoch mod 7 (engine-neutral)
 
 
