@@ -9,7 +9,7 @@ perturb results (utils.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register_views, table
@@ -884,4 +884,321 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_exact").cast("long").alias("n_exact"),
         F.least(F.max("n_exact"), F.lit(KMV_K)).cast("long").alias("k_used"),
         q4(est).alias("est_kmv"),
+    )
+
+
+_KMV_EST = (
+    "CASE WHEN {c} < {k} THEN CAST({c} AS DOUBLE) "
+    "ELSE ({k} - 1) * 1152921504606846976.0 / {h} END"
+)
+
+
+@register(
+    "agg_kmv_setops",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+    ), h AS (
+        SELECT user_id, in_a, in_b,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS UBIGINT) AS BIGINT) AS h
+        FROM ev
+    ), ru AS (
+        SELECT in_a, in_b, h,
+               row_number() OVER (ORDER BY h, user_id) AS rk
+        FROM h
+    ), sku AS (
+        SELECT CAST(count(*) AS BIGINT) AS ku, CAST(max(h) AS BIGINT) AS hku,
+               CAST(sum(in_a * in_b) AS BIGINT) AS nab
+        FROM ru WHERE rk <= {KMV_K}
+    ), ra AS (
+        SELECT h, row_number() OVER (ORDER BY h, user_id) AS rk
+        FROM h WHERE in_a = 1
+    ), ska AS (
+        SELECT CAST(count(*) AS BIGINT) AS ka, CAST(max(h) AS BIGINT) AS hka
+        FROM ra WHERE rk <= {KMV_K}
+    ), rb AS (
+        SELECT h, row_number() OVER (ORDER BY h, user_id) AS rk
+        FROM h WHERE in_b = 1
+    ), skb AS (
+        SELECT CAST(count(*) AS BIGINT) AS kb, CAST(max(h) AS BIGINT) AS hkb
+        FROM rb WHERE rk <= {KMV_K}
+    ), ex AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(in_b) AS BIGINT) AS n_b,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+               CAST(count(*) AS BIGINT) AS n_union
+        FROM h
+    ), est AS (
+        SELECT n_a, n_b, n_inter, n_union,
+               {_KMV_EST.format(c="ka", k=KMV_K, h="hka")} AS est_a,
+               {_KMV_EST.format(c="kb", k=KMV_K, h="hkb")} AS est_b,
+               {_KMV_EST.format(c="ku", k=KMV_K, h="hku")} AS est_union,
+               CAST(nab AS DOUBLE) / ku AS rho
+        FROM ex CROSS JOIN sku CROSS JOIN ska CROSS JOIN skb
+    )
+    SELECT n_a, n_b, n_inter, n_union,
+           {sql_q4("est_a")} AS est_a, {sql_q4("est_b")} AS est_b,
+           {sql_q4("est_union")} AS est_union,
+           {sql_q4("est_a + est_b - est_union")} AS est_inter_ie,
+           {sql_q4("rho * est_union")} AS est_inter_rho,
+           {sql_q4("rho")} AS jaccard_est,
+           {sql_q4("CAST(n_inter AS DOUBLE) / n_union")} AS jaccard_exact
+    FROM est
+    """,
+)
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations ON SKETCHES — union and intersection
+    cardinality of the click-user and purchase-user sets estimated
+    from three KMV sketches, with the exact counts alongside so the
+    sketch error is data. Two estimators for the intersection:
+    inclusion-exclusion (est_a + est_b − est_union) and the
+    better-behaved ρ-estimator (fraction of the union sketch's k
+    values that belong to both sets, times the union estimate) —
+    shipping both is the point: at 100 TB you cannot afford the
+    exact distinct-intersection shuffle, and the two estimators
+    bracket the truth from different directions.
+
+    Scale design: each sketch is a global top-k by hash, planned as
+    TakeOrderedAndProject (per-partition partial top-k, then a
+    k-row merge on one reducer — shuffle volume is 3·k rows
+    regardless of corpus size); the per-user flag aggregation is the
+    only data-sized shuffle. Deterministic md5 60-bit hashes keep the
+    whole thing hash-oracled like agg_kmv_distinct."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
+    )
+    h = users.select(
+        "user_id",
+        "in_a",
+        "in_b",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sku = (
+        h.orderBy("h", "user_id")
+        .limit(KMV_K)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ku"),
+            F.max("h").cast("long").alias("hku"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("nab"),
+        )
+    )
+    ska = (
+        h.where(F.col("in_a") == 1)
+        .orderBy("h", "user_id")
+        .limit(KMV_K)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ka"),
+            F.max("h").cast("long").alias("hka"),
+        )
+    )
+    skb = (
+        h.where(F.col("in_b") == 1)
+        .orderBy("h", "user_id")
+        .limit(KMV_K)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kb"),
+            F.max("h").cast("long").alias("hkb"),
+        )
+    )
+    ex = h.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    )
+
+    def kmv_est(c: str, hk: str):
+        return F.when(F.col(c) < KMV_K, F.col(c).cast("double")).otherwise(
+            (KMV_K - 1) * F.lit(_HEX15) / F.col(hk)
+        )
+
+    est = (
+        ex.crossJoin(F.broadcast(sku))
+        .crossJoin(F.broadcast(ska))
+        .crossJoin(F.broadcast(skb))
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter",
+            "n_union",
+            kmv_est("ka", "hka").alias("est_a"),
+            kmv_est("kb", "hkb").alias("est_b"),
+            kmv_est("ku", "hku").alias("est_union"),
+            (F.col("nab").cast("double") / F.col("ku")).alias("rho"),
+        )
+    )
+    return est.select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        q4(F.col("est_a")).alias("est_a"),
+        q4(F.col("est_b")).alias("est_b"),
+        q4(F.col("est_union")).alias("est_union"),
+        q4(F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_inter_ie"
+        ),
+        q4(F.col("rho") * F.col("est_union")).alias("est_inter_rho"),
+        q4(F.col("rho")).alias("jaccard_est"),
+        q4(F.col("n_inter").cast("double") / F.col("n_union")).alias(
+            "jaccard_exact"
+        ),
+    )
+
+
+BLOOM_M = 16384  # bit-array size (power of two: 1/M is float-exact)
+BLOOM_K = 3  # hash functions
+BLOOM_BAL = 5000.0  # build set = customers with acctbal above this
+_BLOOM_BASE = "0.99993896484375"  # exactly 1 - 1/16384 in binary
+
+
+@register(
+    "agg_bloom_membership",
+    oracle=f"""
+    WITH build AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_BAL}
+    ), seeds AS (SELECT unnest(['1', '2', '3']) AS s),
+    bits AS (
+        SELECT DISTINCT
+               CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                            || ':' || s), 1, 6)
+                    AS UBIGINT) % {BLOOM_M} AS BIGINT) AS pos
+        FROM build CROSS JOIN seeds
+    ), probe AS (SELECT DISTINCT o_custkey FROM orders),
+    ppos AS (
+        SELECT DISTINCT o_custkey,
+               CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                            || ':' || s), 1, 6)
+                    AS UBIGINT) % {BLOOM_M} AS BIGINT) AS pos
+        FROM probe CROSS JOIN seeds
+    ), flags AS (
+        SELECT p.o_custkey,
+               (count_if(b.pos IS NOT NULL) = count(*)) AS pass
+        FROM ppos p LEFT JOIN bits b USING (pos)
+        GROUP BY p.o_custkey
+    ), mem AS (
+        SELECT f.o_custkey, f.pass, (b.c_custkey IS NOT NULL) AS is_member
+        FROM flags f LEFT JOIN (SELECT DISTINCT c_custkey FROM build) b
+          ON f.o_custkey = b.c_custkey
+    ), bstats AS (
+        SELECT CAST((SELECT count(*) FROM build) AS BIGINT) AS n_build,
+               CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set
+    ), pstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(count_if(pass) AS BIGINT) AS n_pass,
+               CAST(count_if(is_member) AS BIGINT) AS n_true,
+               CAST(count_if(pass AND NOT is_member) AS BIGINT) AS n_false_pos
+        FROM mem
+    )
+    SELECT n_build, bits_set, n_probe, n_pass, n_true, n_false_pos,
+           {sql_q4("CAST(n_false_pos AS DOUBLE) / (n_probe - n_true)")}
+               AS fp_rate,
+           {sql_q4(f"pow(1.0 - pow({_BLOOM_BASE}, {BLOOM_K} * n_build),"
+                   f" {BLOOM_K})")} AS fp_theory
+    FROM pstats CROSS JOIN bstats
+    """,
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership expressed RELATIONALLY — the build
+    side (high-balance customers) hashes each key to k=3 positions
+    in a 2^14-bit array; the probe side (order custkeys) passes iff
+    every one of its positions is set. Reports the measured
+    false-positive rate against the textbook prediction
+    (1 − (1−1/m)^{{kn}})^k, with the exact membership alongside — so
+    the operator doubles as its own calibration check, and the
+    no-false-negatives guarantee is hash-verified (n_pass ≥ n_true
+    with every true member passing).
+
+    Scale design: the bit array IS a DataFrame of ≤ m distinct
+    positions — broadcast-sized by construction (m is fixed), however
+    large the build side grows; the probe side explodes to k rows per
+    key and broadcast-joins the bit set, so the only data-sized
+    shuffles are the two distincts. This is the join-pre-filter shape
+    (runtime-filter / semi-join reduction) engines apply before an
+    expensive shuffle join, made explicit and auditable."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+
+    def positions(key: Column) -> Column:
+        return F.array_distinct(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":", key.cast("string"), F.lit(str(i))
+                                    )
+                                ),
+                                1,
+                                6,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % BLOOM_M
+                    )
+                    for i in range(1, BLOOM_K + 1)
+                ]
+            )
+        )
+
+    build = c.where(F.col("c_acctbal") > BLOOM_BAL).select("c_custkey")
+    bits = (
+        build.select(F.explode(positions(F.col("c_custkey"))).alias("pos"))
+        .distinct()
+    )
+    probe = o.select("o_custkey").distinct()
+    ppos = probe.select(
+        "o_custkey", F.explode(positions(F.col("o_custkey"))).alias("pos")
+    )
+    flags = (
+        ppos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("o_custkey")
+        .agg((F.count_if(F.col("hit").isNotNull()) == F.count(F.lit(1))).alias("pass"))
+    )
+    mem = flags.join(
+        F.broadcast(build.distinct().withColumn("m", F.lit(1))),
+        flags["o_custkey"] == F.col("c_custkey"),
+        "left",
+    ).select("o_custkey", "pass", F.col("m").isNotNull().alias("is_member"))
+    bstats = build.agg(F.count(F.lit(1)).cast("long").alias("n_build")).crossJoin(
+        bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    )
+    pstats = mem.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.count_if(F.col("pass")).cast("long").alias("n_pass"),
+        F.count_if(F.col("is_member")).cast("long").alias("n_true"),
+        F.count_if(F.col("pass") & ~F.col("is_member"))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    fp_theory = F.pow(
+        F.lit(1.0) - F.pow(F.lit(float(_BLOOM_BASE)), BLOOM_K * F.col("n_build")),
+        F.lit(BLOOM_K),
+    )
+    return pstats.crossJoin(F.broadcast(bstats)).select(
+        "n_build",
+        "bits_set",
+        "n_probe",
+        "n_pass",
+        "n_true",
+        "n_false_pos",
+        q4(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probe") - F.col("n_true"))
+        ).alias("fp_rate"),
+        q4(fp_theory).alias("fp_theory"),
     )

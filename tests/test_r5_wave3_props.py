@@ -117,3 +117,95 @@ def test_benford_matches_python_fold(spark, sf_dir):
         p_sum += r["obs_p"]
     # observed shares are a distribution over the digits present
     assert abs(p_sum - 1.0) <= 1e-3
+
+
+def test_kmv_setops_matches_python_sketches(spark, sf_dir):
+    """KMV union/intersection recomputed with hashlib: the k-smallest
+    md5 sketches and both estimators, plus the accuracy envelope."""
+    import hashlib
+
+    from etl_cnc_spark.operators.aggregates import KMV_K
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT user_id, event_type FROM '{sf_dir}/events.parquet' "
+        "WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    a, b = set(), set()
+    for uid, etype in rows:
+        (a if etype == "click" else b).add(uid)
+    union = a | b
+
+    def h(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+
+    def est(s):
+        if len(s) < KMV_K:
+            return float(len(s))
+        hk = sorted((h(u), u) for u in s)[KMV_K - 1][0]
+        return (KMV_K - 1) * float(1 << 60) / hk
+
+    sk_union = sorted((h(u), u) for u in union)[:KMV_K]
+    ku = len(sk_union)
+    nab = sum(1 for _, u in sk_union if u in a and u in b)
+    rho = nab / ku
+    row = REGISTRY["agg_kmv_setops"].build(spark, sf_dir).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["n_inter"] == len(a & b) and row["n_union"] == len(union)
+    assert abs(row["est_a"] - est(a)) <= 1e-3
+    assert abs(row["est_b"] - est(b)) <= 1e-3
+    assert abs(row["est_union"] - est(union)) <= 1e-3
+    assert abs(row["jaccard_est"] - rho) <= 1e-3
+    assert abs(row["est_inter_rho"] - rho * est(union)) <= 1e-2
+    # the estimators should land within ~4/sqrt(k) of the truth
+    tol = 4 / (KMV_K ** 0.5)
+    for key, truth in (
+        ("est_a", len(a)), ("est_b", len(b)), ("est_union", len(union)),
+    ):
+        assert abs(row[key] - truth) <= max(tol * truth, 5)
+
+
+def test_bloom_membership_matches_python_filter(spark, sf_dir):
+    """Bit-set replay with hashlib; the headline guarantee — zero
+    false negatives — plus calibration against the textbook rate."""
+    import hashlib
+
+    from etl_cnc_spark.operators.aggregates import BLOOM_BAL, BLOOM_K, BLOOM_M
+
+    con = duckdb.connect()
+    build = {
+        ck
+        for (ck,) in con.execute(
+            f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' "
+            f"WHERE c_acctbal > {BLOOM_BAL}"
+        ).fetchall()
+    }
+    probe = {
+        ck
+        for (ck,) in con.execute(
+            f"SELECT DISTINCT o_custkey FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    }
+
+    def pos(key, i):
+        return int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:6], 16) % BLOOM_M
+
+    bits = {pos(k, i) for k in build for i in range(1, BLOOM_K + 1)}
+    passing = {
+        k
+        for k in probe
+        if all(pos(k, i) in bits for i in range(1, BLOOM_K + 1))
+    }
+    true_members = probe & build
+    row = REGISTRY["agg_bloom_membership"].build(spark, sf_dir).collect()[0]
+    assert row["n_build"] == len(build)
+    assert row["bits_set"] == len(bits)
+    assert row["n_probe"] == len(probe)
+    assert row["n_pass"] == len(passing)
+    assert row["n_true"] == len(true_members)
+    assert row["n_false_pos"] == len(passing - true_members)
+    # Bloom guarantee: every true member passes (no false negatives)
+    assert true_members <= passing
+    assert row["n_pass"] >= row["n_true"]
+    # measured FP rate within a loose factor of the textbook rate
+    assert 0.0 <= row["fp_rate"] <= max(5 * row["fp_theory"], 0.02)
