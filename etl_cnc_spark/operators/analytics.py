@@ -2121,3 +2121,341 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(F.col("icept_med")).alias("intercept"),
         )
     )
+
+
+# ------------------------------------------- time-series wave 2 (r5)
+
+_TS_DENSE_SQL = """
+    bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT g.event_type,
+               datediff('day', (SELECT d0 FROM bounds), g.d) AS t,
+               CAST(COALESCE(daily.n, 0) AS BIGINT) AS y
+        FROM (SELECT d, event_type FROM days CROSS JOIN types) g
+        LEFT JOIN daily ON g.d = daily.d AND g.event_type = daily.event_type
+    )
+"""
+
+
+def _ts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled (event_type, t, y) daily grid — the shared input
+    of the time-series operators (same shape as events_ewma's densify:
+    two broadcast-sized dimension frames crossed, one data-sized
+    aggregate, one broadcast left join)."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"), "d0"
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(days).crossJoin(F.broadcast(types))
+    daily = e.groupBy(F.col("ts").cast("date").alias("dd"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    return grid.join(
+        F.broadcast(daily),
+        (F.col("d") == F.col("dd")) & (grid.event_type == daily.event_type),
+        "left",
+    ).select(
+        grid.event_type.alias("event_type"),
+        F.datediff("d", "d0").alias("t"),
+        F.coalesce("n_raw", F.lit(0)).cast("long").alias("y"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "events_autocorr",
+    oracle=f"""
+    WITH {_TS_DENSE_SQL},
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s1,
+               CAST(sum(y*y) AS BIGINT) AS s2
+        FROM dense GROUP BY event_type
+    ), lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+    pairs AS (
+        SELECT a.event_type, l.lag,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+               CAST(sum(a.y) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy
+        FROM dense a
+        CROSS JOIN lags l
+        JOIN dense b ON b.event_type = a.event_type AND b.t = a.t - l.lag
+        GROUP BY a.event_type, l.lag
+    ), acf AS (
+        SELECT p.event_type, p.lag, p.cnt,
+               (CAST(p.sxy AS DOUBLE)
+                  - (CAST(s.s1 AS DOUBLE) / s.n) * (p.sx + p.sy)
+                  + p.cnt * (CAST(s.s1 AS DOUBLE) / s.n)
+                          * (CAST(s.s1 AS DOUBLE) / s.n))
+               / (CAST(s.s2 AS DOUBLE)
+                  - s.n * (CAST(s.s1 AS DOUBLE) / s.n)
+                        * (CAST(s.s1 AS DOUBLE) / s.n)) AS r
+        FROM pairs p JOIN stats s ON p.event_type = s.event_type
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, cnt AS n_terms,
+           {sql_q4("r")} AS r
+    FROM acf
+    """,
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily count series per
+    event_type at lags 1..7 — the seasonality detector that tells a
+    pipeline WHICH period events_seasonal_decompose should use
+    (a weekly cycle shows as a spike at lag 7).
+
+    Determinism the moment-sum way: the lagged cross-products
+    Σy_t·y_{{t−k}} accumulate as exact integers (the covariance is
+    then one fixed-order double formula per (type, lag)), so no
+    per-row float ever enters a commutative sum. Scale: the series
+    is the bounded DAILY rollup — the only data-sized pass is the
+    first aggregate; the 7-way lag self-join runs on |days|×|types|
+    rows, broadcast-sized at any fact-table scale."""
+    dense = _ts_dense(spark, sf_dir)
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.t") == F.col("a.t") - F.col("lag")),
+        )
+        .groupBy("a.event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("a.y") * F.col("b.y")).cast("long").alias("sxy"),
+            F.sum(F.col("a.y")).cast("long").alias("sx"),
+            F.sum(F.col("b.y")).cast("long").alias("sy"),
+        )
+    )
+    ybar = F.col("s1").cast("double") / F.col("n")
+    r = (
+        F.col("sxy").cast("double")
+        - ybar * (F.col("sx") + F.col("sy"))
+        + F.col("cnt") * ybar * ybar
+    ) / (F.col("s2").cast("double") - F.col("n") * ybar * ybar)
+    return pairs.join(stats, "event_type").select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("cnt").alias("n_terms"),
+        q4(r).alias("r"),
+    )
+
+
+@register(
+    "events_changepoint",
+    oracle=f"""
+    WITH {_TS_DENSE_SQL},
+    pre AS (
+        SELECT event_type, t, y,
+               sum(y) OVER (PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(y) OVER (PARTITION BY event_type) AS s,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dense
+    ), cand AS (
+        SELECT event_type, t,
+               CAST(t + 1 AS BIGINT) AS n1, CAST(n - (t+1) AS BIGINT) AS n2,
+               CAST(cum AS DOUBLE) / (t + 1) AS m1,
+               CAST(s - cum AS DOUBLE) / (n - (t+1)) AS m2,
+               CAST(t + 1 AS DOUBLE) * (n - (t+1)) / n
+                 * ((CAST(cum AS DOUBLE) / (t + 1)
+                     - CAST(s - cum AS DOUBLE) / (n - (t+1)))
+                    * (CAST(cum AS DOUBLE) / (t + 1)
+                       - CAST(s - cum AS DOUBLE) / (n - (t+1)))) AS gain
+        FROM pre WHERE t + 1 < n
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gain DESC, t) AS rk
+        FROM cand
+    )
+    SELECT event_type, CAST(t AS BIGINT) AS split_t, n1, n2,
+           {sql_q4("m1")} AS mean_left, {sql_q4("m2")} AS mean_right,
+           {sql_q4("gain")} AS gain
+    FROM ranked WHERE rk = 1
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event_type daily series —
+    the first step of binary segmentation / CUSUM-style monitoring:
+    the split t* maximizing the between-segment gain
+    n1·n2/n·(μ_left − μ_right)², i.e. the variance explained by a
+    level shift at t*. (events_cusum flags THAT drift happened; this
+    localizes WHERE.)
+
+    Every candidate split is scored from one running integer sum
+    (prefix window) — no per-candidate re-aggregation — and the
+    argmax is a row_number over the bounded candidate grid. Gains
+    are identical IEEE expressions on exact integer inputs, so the
+    ranking (with the deterministic t tie-break) agrees across
+    engines. Data-sized work: the daily rollup only."""
+    dense = _ts_dense(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    pre = (
+        dense.withColumn("cum", F.sum("y").over(wcum))
+        .withColumn("s", F.sum("y").over(wall))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    n1 = F.col("t") + 1
+    n2 = F.col("n") - (F.col("t") + 1)
+    m1 = F.col("cum").cast("double") / (F.col("t") + 1)
+    m2 = (F.col("s") - F.col("cum")).cast("double") / (F.col("n") - (F.col("t") + 1))
+    gain = (F.col("t") + 1).cast("double") * (
+        F.col("n") - (F.col("t") + 1)
+    ) / F.col("n") * ((m1 - m2) * (m1 - m2))
+    cand = pre.where(F.col("t") + 1 < F.col("n")).select(
+        "event_type",
+        "t",
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        m1.alias("m1"),
+        m2.alias("m2"),
+        gain.alias("gain"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(F.desc("gain"), "t")
+    return (
+        cand.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("t").cast("long").alias("split_t"),
+            "n1",
+            "n2",
+            q4(F.col("m1")).alias("mean_left"),
+            q4(F.col("m2")).alias("mean_right"),
+            q4(F.col("gain")).alias("gain"),
+        )
+    )
+
+
+HOLT_A = "0.3"  # level smoothing
+HOLT_B = "0.2"  # trend smoothing
+HOLT_H = 7  # forecast horizon (days)
+
+
+@register(
+    "events_holt",
+    oracle=f"""
+    WITH RECURSIVE {_TS_DENSE_SQL},
+    nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM dense GROUP BY event_type
+    ), init AS (
+        SELECT d0.event_type,
+               CAST(d0.y AS DOUBLE) AS lvl,
+               CAST(d1.y AS DOUBLE) - d0.y AS tr
+        FROM dense d0
+        JOIN dense d1 ON d1.event_type = d0.event_type AND d1.t = 1
+        WHERE d0.t = 0
+    ), holt AS (
+        SELECT event_type, 0 AS i, lvl, tr, CAST(0.0 AS DOUBLE) AS sse FROM init
+        UNION ALL
+        SELECT h.event_type, h.i + 1,
+               {HOLT_A}*CAST(d.y AS DOUBLE) + {1 - float(HOLT_A)}*(h.lvl + h.tr),
+               {HOLT_B}*(({HOLT_A}*CAST(d.y AS DOUBLE)
+                          + {1 - float(HOLT_A)}*(h.lvl + h.tr)) - h.lvl)
+                 + {1 - float(HOLT_B)}*h.tr,
+               h.sse + (CAST(d.y AS DOUBLE) - (h.lvl + h.tr))
+                     * (CAST(d.y AS DOUBLE) - (h.lvl + h.tr))
+        FROM holt h
+        JOIN dense d ON d.event_type = h.event_type AND d.t = h.i + 1
+    ), final AS (
+        SELECT h.event_type, nn.n, h.lvl, h.tr, h.sse
+        FROM holt h JOIN nn ON h.event_type = nn.event_type
+        WHERE h.i = nn.n - 1
+    ), hs AS (SELECT unnest(generate_series(1, {HOLT_H})) AS h)
+    SELECT event_type, n, CAST(h AS BIGINT) AS h,
+           {sql_q4("lvl + h * tr")} AS forecast,
+           {sql_q4("lvl")} AS level, {sql_q4("tr")} AS trend,
+           {sql_q4("sse / (n - 1)")} AS mse
+    FROM final CROSS JOIN hs
+    """,
+)
+def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) of the
+    daily series per event_type, with a 7-day forecast and the
+    one-step-ahead MSE — the coupled recursion
+    l_t = α·y_t + (1−α)(l_{{t−1}} + b_{{t−1}});
+    b_t = β(l_t − l_{{t−1}}) + (1−β)b_{{t−1}} that, unlike the single
+    EWMA, has NO prefix-sum rewrite.
+
+    The Spark-first answer for genuinely-sequential-but-bounded
+    state: collect each type's daily series into a sorted array
+    (bounded: |days| per group, NOT data-sized) and run the
+    recursion as a single JVM-side F.aggregate fold — sequential in
+    exactly the dimension the math requires, parallel across series,
+    zero Python in the loop. The DuckDB oracle runs the same
+    recursion as a RECURSIVE CTE with the identical operation order,
+    so even this iterative operator stays hash-verified. At 100 TB
+    the daily rollup tier bounds the array; multi-year series chunk
+    by year with carried (l, b) state — same fold, same plan."""
+    a, b = float(HOLT_A), float(HOLT_B)
+    dense = _ts_dense(spark, sf_dir)
+    ser = dense.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("y").cast("double").alias("y")))
+        ).alias("arr")
+    )
+    y0 = F.element_at(F.col("arr"), 1)["y"]
+    y1 = F.element_at(F.col("arr"), 2)["y"]
+    acc0 = F.struct(
+        y0.alias("lvl"), (y1 - y0).alias("tr"), F.lit(0.0).alias("sse")
+    )
+    rest = F.slice(F.col("arr"), 2, F.size(F.col("arr")) - 1)
+
+    def step(acc, e):
+        lnew = F.lit(a) * e["y"] + F.lit(1 - a) * (acc["lvl"] + acc["tr"])
+        return F.struct(
+            lnew.alias("lvl"),
+            (F.lit(b) * (lnew - acc["lvl"]) + F.lit(1 - b) * acc["tr"]).alias(
+                "tr"
+            ),
+            (
+                acc["sse"]
+                + (e["y"] - (acc["lvl"] + acc["tr"]))
+                * (e["y"] - (acc["lvl"] + acc["tr"]))
+            ).alias("sse"),
+        )
+
+    final = ser.select(
+        "event_type",
+        F.size(F.col("arr")).cast("long").alias("n"),
+        F.aggregate(rest, acc0, step).alias("st"),
+    )
+    hs = spark.range(1, HOLT_H + 1).select(F.col("id").alias("h"))
+    return final.crossJoin(F.broadcast(hs)).select(
+        "event_type",
+        "n",
+        F.col("h").cast("long").alias("h"),
+        q4(F.col("st.lvl") + F.col("h") * F.col("st.tr")).alias("forecast"),
+        q4(F.col("st.lvl")).alias("level"),
+        q4(F.col("st.tr")).alias("trend"),
+        q4(F.col("st.sse") / (F.col("n") - 1)).alias("mse"),
+    )

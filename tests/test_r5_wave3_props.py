@@ -209,3 +209,99 @@ def test_bloom_membership_matches_python_filter(spark, sf_dir):
     assert row["n_pass"] >= row["n_true"]
     # measured FP rate within a loose factor of the textbook rate
     assert 0.0 <= row["fp_rate"] <= max(5 * row["fp_theory"], 0.02)
+
+
+def _dense_series(sf_dir):
+    """Zero-filled per-type daily count series, t indexed from the
+    global min date."""
+    from collections import defaultdict
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(ts AS DATE), count(*) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    d0 = min(d for _, d, _ in rows)
+    d1 = max(d for _, d, _ in rows)
+    ndays = (d1 - d0).days + 1
+    series = defaultdict(lambda: [0] * ndays)
+    for etype, d, n in rows:
+        series[etype][(d - d0).days] = n
+    return dict(series)
+
+
+def test_autocorr_matches_python_fold(spark, sf_dir):
+    series = _dense_series(sf_dir)
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in REGISTRY["events_autocorr"].build(spark, sf_dir).collect()
+    }
+    for etype, ys in series.items():
+        n = len(ys)
+        ybar = sum(ys) / n
+        den = sum((y - ybar) ** 2 for y in ys)
+        for k in range(1, 8):
+            cov = sum((ys[t] - ybar) * (ys[t - k] - ybar) for t in range(k, n))
+            r = got[(etype, k)]
+            assert r["n_terms"] == n - k
+            assert abs(r["r"] - cov / den) <= 1e-3
+            assert -1.0 - 1e-9 <= r["r"] <= 1.0 + 1e-9
+    assert len(got) == len(series) * 7
+
+
+def test_changepoint_matches_python_argmax(spark, sf_dir):
+    series = _dense_series(sf_dir)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_changepoint"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(series)
+    for etype, ys in series.items():
+        n = len(ys)
+        best = None
+        for t in range(n - 1):
+            n1, n2 = t + 1, n - (t + 1)
+            m1 = sum(ys[: t + 1]) / n1
+            m2 = sum(ys[t + 1 :]) / n2
+            gain = n1 * n2 / n * (m1 - m2) ** 2
+            if best is None or gain > best[0] + 1e-12:
+                best = (gain, t, n1, n2, m1, m2)
+        gain, t, n1, n2, m1, m2 = best
+        r = got[etype]
+        assert r["split_t"] == t
+        assert r["n1"] == n1 and r["n2"] == n2
+        assert abs(r["mean_left"] - m1) <= 1e-3
+        assert abs(r["mean_right"] - m2) <= 1e-3
+        assert abs(r["gain"] - gain) <= 1e-2
+
+
+def test_holt_matches_python_recursion(spark, sf_dir):
+    from etl_cnc_spark.operators.analytics import HOLT_A, HOLT_B
+
+    a, b = float(HOLT_A), float(HOLT_B)
+    series = _dense_series(sf_dir)
+    got = {
+        (r["event_type"], r["h"]): r
+        for r in REGISTRY["events_holt"].build(spark, sf_dir).collect()
+    }
+    for etype, ys in series.items():
+        lvl, tr, sse = float(ys[0]), float(ys[1] - ys[0]), 0.0
+        for y in ys[1:]:
+            err = y - (lvl + tr)
+            sse += err * err
+            lnew = a * y + (1 - a) * (lvl + tr)
+            tr = b * (lnew - lvl) + (1 - b) * tr
+            lvl = lnew
+        n = len(ys)
+        for h in range(1, 8):
+            r = got[(etype, h)]
+            assert r["n"] == n
+            assert abs(r["level"] - lvl) <= 1e-3
+            assert abs(r["trend"] - tr) <= 1e-3
+            assert abs(r["forecast"] - (lvl + h * tr)) <= 1e-3
+            assert abs(r["mse"] - sse / (n - 1)) <= 1e-2
+        # forecasts step linearly by the trend
+        f1 = got[(etype, 1)]["forecast"]
+        f7 = got[(etype, 7)]["forecast"]
+        assert abs((f7 - f1) - 6 * tr) <= 1e-2
+    assert len(got) == len(series) * 7
