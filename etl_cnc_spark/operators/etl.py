@@ -1311,3 +1311,100 @@ def etl_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(exp_p).alias("exp_p"),
         q4(dev * dev / (F.col("n") * exp_p)).alias("chi2_contrib"),
     )
+
+
+# -------------------------------------------------------- survivorship
+
+
+@register(
+    "etl_survivorship",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderpriority, o_orderstatus, o_orderdate,
+               o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ), latest AS (
+        SELECT o_custkey,
+               max(CASE WHEN rn = 1 THEN o_orderpriority END)
+                   AS latest_priority,
+               CAST(count(*) AS BIGINT) AS n_records,
+               epoch_us(min(o_orderdate)) AS first_seen_us,
+               epoch_us(max(o_orderdate)) AS last_seen_us,
+               CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM ranked GROUP BY o_custkey
+    ), status_counts AS (
+        SELECT o_custkey, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY count(*) DESC, o_orderstatus) AS srk
+        FROM orders GROUP BY o_custkey, o_orderstatus
+    )
+    SELECT l.o_custkey AS custkey, l.latest_priority,
+           s.o_orderstatus AS status_mode, s.cnt AS status_mode_n,
+           l.n_records, l.first_seen_us, l.last_seen_us, l.total_cents
+    FROM latest l JOIN status_counts s
+      ON l.o_custkey = s.o_custkey AND s.srk = 1
+    """,
+)
+def etl_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the merge step after entity
+    resolution (join_fuzzy_names finds the duplicates; this decides
+    which field value wins). Per customer, each order is treated as
+    a record snapshot and each field gets its own survivorship rule:
+    most-recent-wins for priority (recency rule), most-frequent-wins
+    with a deterministic lexicographic tie-break for status
+    (consensus rule), plus first/last-seen lineage and the exact
+    money total.
+
+    Both rules are window + aggregate compositions on the SAME
+    partition key, so Catalyst reuses one shuffle for the recency
+    window and the status rank joins back on the already-clustered
+    key — no per-field pass, no driver-side merge logic. Determinism
+    everywhere: ties broken by (date, key) or (count, value), never
+    by arrival order."""
+    o = table(spark, sf_dir, "orders")
+    wrec = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = o.withColumn("rn", F.row_number().over(wrec))
+    latest = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("o_orderpriority"))).alias(
+            "latest_priority"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias(
+            "first_seen_us"
+        ),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "last_seen_us"
+        ),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+    )
+    counts = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wmode = Window.partitionBy("o_custkey").orderBy(
+        F.desc("cnt"), "o_orderstatus"
+    )
+    mode = (
+        counts.withColumn("srk", F.row_number().over(wmode))
+        .where(F.col("srk") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status_mode"),
+            F.col("cnt").alias("status_mode_n"),
+        )
+    )
+    return latest.join(mode, "o_custkey").select(
+        F.col("o_custkey").alias("custkey"),
+        "latest_priority",
+        "status_mode",
+        "status_mode_n",
+        "n_records",
+        "first_seen_us",
+        "last_seen_us",
+        "total_cents",
+    )

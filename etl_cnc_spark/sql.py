@@ -69,3 +69,27 @@ def sql_entry_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame twins are join_inner/topk_per_group). Same string,
     both engines, one hash."""
     return run(spark, sf_dir, _SHARED_WINDOW)
+
+
+_SHARED_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.total_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("sql_entry_lateral", oracle=_SHARED_LATERAL)
+def sql_entry_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    (top-2 orders per building-segment customer) as shared SQL text:
+    the §3.2 surface where the analyzer must decorrelate a
+    limit-bearing subquery into a ranked window join — which is
+    exactly how Catalyst plans it (DomainJoin → rank ≤ 2), so the
+    scale shape is one shuffle on the correlation key, not a per-row
+    re-execution. Same string runs on both engines; one hash."""
+    return run(spark, sf_dir, _SHARED_LATERAL)

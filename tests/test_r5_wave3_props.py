@@ -305,3 +305,102 @@ def test_holt_matches_python_recursion(spark, sf_dir):
         f7 = got[(etype, 7)]["forecast"]
         assert abs((f7 - f1) - 6 * tr) <= 1e-2
     assert len(got) == len(series) * 7
+
+
+def test_fuzzy_names_matches_python_blocking(spark, sf_dir):
+    """Two-pass blocking + edit distance replayed in Python, plus
+    the blocking-completeness check: every within-threshold pair
+    that shares a token is found."""
+    from etl_cnc_spark.operators.joins import FUZZY_MAX_LEV
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT p_name, min(p_partkey), count(*) "
+        f"FROM '{sf_dir}/part.parquet' GROUP BY p_name"
+    ).fetchall()
+    names = {nm: (rep, cnt) for nm, rep, cnt in rows}
+    expect = {}
+    for x in names:
+        for y in names:
+            if x >= y:
+                continue
+            tx, ty = x.split(" "), y.split(" ")
+            if tx[0] != ty[0] and tx[1] != ty[1]:
+                continue
+            d = lev(x, y)
+            if d <= FUZZY_MAX_LEV:
+                expect[(x, y)] = d
+    got = REGISTRY["join_fuzzy_names"].build(spark, sf_dir).collect()
+    assert {(r["name_a"], r["name_b"]) for r in got} == set(expect)
+    for r in got:
+        assert r["lev"] == expect[(r["name_a"], r["name_b"])]
+        assert r["key_a"] == names[r["name_a"]][0]
+        assert r["rows_a"] == names[r["name_a"]][1]
+        assert r["rows_b"] == names[r["name_b"]][1]
+
+
+def test_survivorship_matches_python_rules(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, "
+        f"o_orderstatus, o_totalprice FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    by_cust = {}
+    for ck, ok, od, pri, st, tp in rows:
+        by_cust.setdefault(ck, []).append((od, ok, pri, st, tp))
+    got = {
+        r["custkey"]: r
+        for r in REGISTRY["etl_survivorship"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_cust)
+    for ck, recs in by_cust.items():
+        r = got[ck]
+        latest = max(recs, key=lambda t: (t[0], t[1]))
+        assert r["latest_priority"] == latest[2]
+        sc = Counter(st for _, _, _, st, _ in recs)
+        # most frequent, ties to the lexicographically smallest
+        mode = min(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["status_mode"], r["status_mode_n"]) == mode
+        assert r["n_records"] == len(recs)
+        assert r["first_seen_us"] <= r["last_seen_us"]
+        assert r["total_cents"] == sum(
+            math.floor(tp * 100 + 0.5) for _, _, _, _, tp in recs
+        )
+
+
+def test_lateral_topn_matches_python(spark, sf_dir):
+    con = duckdb.connect()
+    custs = {
+        ck
+        for (ck,) in con.execute(
+            f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' "
+            "WHERE c_mktsegment = 'BUILDING'"
+        ).fetchall()
+    }
+    orders = {}
+    for ck, ok, tp in con.execute(
+        f"SELECT o_custkey, o_orderkey, o_totalprice "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall():
+        if ck in custs:
+            orders.setdefault(ck, []).append((-tp, ok))
+    expect = set()
+    for ck, lst in orders.items():
+        for negtp, ok in sorted(lst)[:2]:
+            expect.add((ck, ok, math.floor(-negtp * 100 + 0.5)))
+    got = REGISTRY["sql_entry_lateral"].build(spark, sf_dir).collect()
+    assert {(r["c_custkey"], r["o_orderkey"], r["total_cents"]) for r in got} == expect
+    # at most two rows per customer, only building-segment customers
+    per = Counter(r["c_custkey"] for r in got)
+    assert all(v <= 2 for v in per.values())
+    assert set(per) <= custs
