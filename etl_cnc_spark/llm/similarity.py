@@ -1177,3 +1177,166 @@ def sim_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= DIVERSE_K)
         .select("qid", "cid", "cell", q4(F.col("cos")).alias("cosine"), "rn")
     )
+
+
+# ------------------------------------------------- embedding profiles
+
+
+@register(
+    "embed_norm_stats",
+    oracle=f"""
+    WITH norms AS (
+        SELECT label,
+               CAST(floor(sqrt({_SQL_NORM2.format(col="embedding")})
+                          * 1e8 + 0.5) AS BIGINT) AS nq
+        FROM embeddings
+    ), m AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(nq) AS HUGEINT) AS s1,
+               CAST(sum(CAST(nq AS HUGEINT) * nq) AS HUGEINT) AS s2,
+               CAST(min(nq) AS BIGINT) AS mn, CAST(max(nq) AS BIGINT) AS mx
+        FROM norms GROUP BY label
+    )
+    SELECT label, n,
+           {sql_q4("CAST(s1 AS DOUBLE)/n/1e8")} AS mean_norm,
+           {sql_q4("sqrt((CAST(s2 AS DOUBLE)/1e16"
+                   " - (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/1e16))"
+                   " / (n - 1))")} AS std_norm,
+           {sql_q4("CAST(mn AS DOUBLE)/1e8")} AS min_norm,
+           {sql_q4("CAST(mx AS DOUBLE)/1e8")} AS max_norm
+    FROM m
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm profile per label (mean/std/min/max of the L2
+    norm) — the first sanity check on any ingested embedding table:
+    un-normalized vectors, truncated writes, and mixed model versions
+    all show up here before they poison downstream cosine math.
+
+    Per-row norms are JVM higher-order-function folds (no Python),
+    quantized to e-8 fixed point so the group sums are exact
+    integers — the same order-free discipline as stat_jackknife_cv —
+    and the whole profile is one narrow projection + one hash
+    aggregate: embarrassingly scalable."""
+    e = table(spark, sf_dir, "embeddings")
+    nq = F.floor(
+        F.sqrt(_norm2(F.col("embedding"))) * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    norms = e.select("label", nq.alias("nq"))
+    m = norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("nq").cast(dec)).alias("s1"),
+        F.sum(F.col("nq").cast(dec) * F.col("nq").cast(dec)).alias("s2"),
+        F.min("nq").cast("long").alias("mn"),
+        F.max("nq").cast("long").alias("mx"),
+    )
+    s1d = F.col("s1").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.lit(1e16)
+        - (s1d / F.col("n")) * (s1d / F.lit(1e16))
+    ) / (F.col("n") - 1)
+    return m.select(
+        "label",
+        "n",
+        q4(s1d / F.col("n") / F.lit(1e8)).alias("mean_norm"),
+        q4(F.sqrt(var)).alias("std_norm"),
+        q4(F.col("mn").cast("double") / F.lit(1e8)).alias("min_norm"),
+        q4(F.col("mx").cast("double") / F.lit(1e8)).alias("max_norm"),
+    )
+
+
+@register(
+    "embed_centroid_inertia",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    comp AS (
+        SELECT e.label, d.i,
+               CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1e7 + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings e CROSS JOIN dims d
+    ), cent AS (
+        SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vq) AS BIGINT) AS sv
+        FROM comp GROUP BY label, i
+    ), cnorm AS (
+        SELECT label, max(n) AS n,
+               CAST(sum(CAST(floor(
+                   (CAST(sv AS DOUBLE)/n/1e7) * (CAST(sv AS DOUBLE)/n/1e7)
+                   * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS c_norm2
+        FROM cent GROUP BY label
+    ), vnorm AS (
+        SELECT label,
+               CAST(sum(CAST(floor({_SQL_NORM2.format(col="embedding")}
+                                   * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8
+                   AS sum_norm2
+        FROM embeddings GROUP BY label
+    )
+    SELECT c.label, c.n AS n_vecs,
+           {sql_q4("c.c_norm2")} AS c_norm2,
+           {sql_q4("v.sum_norm2 / c.n")} AS mean_norm2,
+           {sql_q4("v.sum_norm2 - c.n * c.c_norm2")} AS inertia,
+           {sql_q4("(v.sum_norm2 - c.n * c.c_norm2) / c.n")}
+               AS inertia_per_vec
+    FROM cnorm c JOIN vnorm v ON c.label = v.label
+    """,
+)
+def embed_centroid_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm and within-cluster inertia
+    Σ‖x−c‖² — one full k-means iteration's statistics (M-step
+    centroid + E-step cost) computed RELATIONALLY: positions explode
+    to a (label × 64) component grid, the centroid is an integer-sum
+    average per component, and the inertia uses the algebraic
+    identity Σ‖x−c‖² = Σ‖x‖² − n·‖c‖² so no per-vector distance to
+    the centroid is ever materialized (that join would be a second
+    data-sized pass).
+
+    Every commutative sum is fixed-point integer (components e-7,
+    norms e-8, centroid squares e-12); doubles appear only in
+    per-group final formulas. Shuffle inventory: one explode +
+    grouped aggregate (64 rows per label) + one narrow norm
+    aggregate — both map-side combinable, the centroid grid is
+    dimension-bounded at any corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * F.lit(1e7) + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    cent = comp.groupBy("label", "i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").cast("long").alias("sv"),
+    )
+    cd = F.col("sv").cast("double") / F.col("n") / F.lit(1e7)
+    cnorm = cent.groupBy("label").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(
+                F.floor(cd * cd * F.lit(1e12) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.lit(1e12)
+        ).alias("c_norm2"),
+    )
+    vnorm = e.groupBy("label").agg(
+        (
+            F.sum(
+                F.floor(
+                    _norm2(F.col("embedding")) * F.lit(1e8) + F.lit(0.5)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1e8)
+        ).alias("sum_norm2")
+    )
+    inertia = F.col("sum_norm2") - F.col("n") * F.col("c_norm2")
+    return cnorm.join(vnorm, "label").select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        q4(F.col("c_norm2")).alias("c_norm2"),
+        q4(F.col("sum_norm2") / F.col("n")).alias("mean_norm2"),
+        q4(inertia).alias("inertia"),
+        q4(inertia / F.col("n")).alias("inertia_per_vec"),
+    )

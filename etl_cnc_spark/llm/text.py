@@ -1041,3 +1041,177 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# ------------------------------------------------- corpus-level stats
+
+VOCAB_BUCKET_W = 20  # docs per growth-curve sample bucket
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), per_doc AS (
+        SELECT CAST(doc_id // {VOCAB_BUCKET_W} AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS toks
+        FROM words GROUP BY 1
+    ), tok_bucket AS (
+        SELECT bucket, CAST(sum(toks) AS BIGINT) AS toks
+        FROM per_doc GROUP BY bucket
+    ), first_seen AS (
+        SELECT w, CAST(min(doc_id) // {VOCAB_BUCKET_W} AS BIGINT) AS fb
+        FROM words GROUP BY w
+    ), vocab_bucket AS (
+        SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_vocab
+        FROM first_seen GROUP BY fb
+    ), curve AS (
+        SELECT t.bucket, 
+               sum(t.toks) OVER (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens,
+               sum(COALESCE(v.new_vocab, 0)) OVER (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_vocab
+        FROM tok_bucket t LEFT JOIN vocab_bucket v ON t.bucket = v.bucket
+    )
+    SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           {sql_q4("CAST(cum_vocab AS DOUBLE) / cum_tokens")} AS ttr
+    FROM curve
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve of the corpus: cumulative
+    distinct tokens vs cumulative token count, sampled per bucket of
+    20 docs, with the type-token ratio — the dataset-health curve
+    that shows whether a crawl is still contributing novel language
+    or has gone repetitive (TTR collapse = boilerplate flood).
+
+    Scale shape: "cumulative distinct" does NOT need a running
+    distinct — each term contributes exactly once at its FIRST
+    bucket (min(doc_id) per term, one hash aggregate), so the curve
+    is a prefix sum over the bounded bucket grid. The only ordered
+    window runs over |corpus|/bucket_width rows; at 100 TB you widen
+    the bucket (the curve needs ~10³ sample points regardless of
+    corpus size), keeping the window driver-small while every
+    data-sized stage stays an unordered hash aggregate."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok_bucket = words.groupBy(
+        (F.col("doc_id") / VOCAB_BUCKET_W).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("toks"))
+    vocab_bucket = (
+        words.groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            (F.col("first_doc") / VOCAB_BUCKET_W).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tok_bucket.join(vocab_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "toks",
+            F.coalesce("new_vocab", F.lit(0)).alias("nv"),
+        )
+        .select(
+            "bucket",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.sum("nv").over(w).alias("cum_vocab"),
+        )
+    )
+    return curve.select(
+        "bucket",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        q4(F.col("cum_vocab").cast("double") / F.col("cum_tokens")).alias("ttr"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), counts AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM words GROUP BY source, w
+    ), totals AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM counts GROUP BY source
+    ), contrib AS (
+        SELECT c.source, t.n, t.vocab,
+               CAST(floor(-(CAST(c.c AS DOUBLE)/t.n)
+                          * log2(CAST(c.c AS DOUBLE)/t.n) * 1e10 + 0.5)
+                    AS BIGINT) AS h_e10,
+               CAST(floor((CAST(c.c AS DOUBLE)/t.n)
+                          * (CAST(c.c AS DOUBLE)/t.n) * 1e10 + 0.5)
+                    AS BIGINT) AS s_e10
+        FROM counts c JOIN totals t ON c.source = t.source
+    ), agg AS (
+        SELECT source, max(n) AS n_tokens, max(vocab) AS vocab,
+               CAST(sum(h_e10) AS DOUBLE) / 1e10 AS entropy_bits,
+               CAST(sum(s_e10) AS DOUBLE) / 1e10 AS simpson
+        FROM contrib GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, {sql_q4("entropy_bits")} AS entropy_bits,
+           {sql_q4("entropy_bits / log2(CAST(vocab AS DOUBLE))")}
+               AS norm_entropy,
+           {sql_q4("simpson")} AS simpson
+    FROM agg
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy (bits), normalized entropy, and the
+    Simpson concentration index per source — the information-density
+    triple a corpus-quality dashboard runs next to text_quality:
+    low entropy / high Simpson flags template-generated or keyword-
+    stuffed sources that per-document stats miss.
+
+    Scale shape: one explode + two hash aggregates to the bounded
+    (source × vocab) grid; per-term entropy contributions are
+    quantized to e-10 fixed point and summed as INTEGERS (the
+    stat_psi_drift discipline), so the entropy is exact and
+    partition-order-free however the term grid shuffles."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "n",
+        "vocab",
+        F.floor(-p * F.log2(p) * F.lit(1e10) + F.lit(0.5))
+        .cast("long")
+        .alias("h_e10"),
+        F.floor(p * p * F.lit(1e10) + F.lit(0.5)).cast("long").alias("s_e10"),
+    )
+    agg = contrib.groupBy("source").agg(
+        F.max("n").alias("n_tokens"),
+        F.max("vocab").alias("vocab"),
+        (F.sum("h_e10").cast("double") / F.lit(1e10)).alias("entropy_bits"),
+        (F.sum("s_e10").cast("double") / F.lit(1e10)).alias("simpson"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        q4(F.col("entropy_bits")).alias("entropy_bits"),
+        q4(
+            F.col("entropy_bits") / F.log2(F.col("vocab").cast("double"))
+        ).alias("norm_entropy"),
+        q4(F.col("simpson")).alias("simpson"),
+    )

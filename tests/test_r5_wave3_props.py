@@ -404,3 +404,103 @@ def test_lateral_topn_matches_python(spark, sf_dir):
     per = Counter(r["c_custkey"] for r in got)
     assert all(v <= 2 for v in per.values())
     assert set(per) <= custs
+
+
+def test_vocab_growth_matches_python_scan(spark, sf_dir):
+    """Sequential corpus scan with a real running set — the operator
+    must reproduce it from first-occurrence buckets alone."""
+    from etl_cnc_spark.llm.text import VOCAB_BUCKET_W
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    seen: set[str] = set()
+    toks = 0
+    curve = {}
+    by_bucket = {}
+    for doc_id, text in docs:
+        by_bucket.setdefault(doc_id // VOCAB_BUCKET_W, []).append((doc_id, text))
+    for bucket in sorted(by_bucket):
+        for _, text in sorted(by_bucket[bucket]):
+            ws = text.split(" ")
+            toks += len(ws)
+            seen |= set(ws)
+        curve[bucket] = (toks, len(seen))
+    got = REGISTRY["text_vocab_growth"].build(spark, sf_dir).collect()
+    assert {r["bucket"] for r in got} == set(curve)
+    prev_vocab = 0
+    for r in sorted(got, key=lambda r: r["bucket"]):
+        toks, vocab = curve[r["bucket"]]
+        assert r["cum_tokens"] == toks
+        assert r["cum_vocab"] == vocab
+        assert abs(r["ttr"] - vocab / toks) <= 1e-3
+        # monotone growth
+        assert r["cum_vocab"] >= prev_vocab
+        prev_vocab = r["cum_vocab"]
+
+
+def test_token_entropy_matches_python_fold(spark, sf_dir):
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_src = {}
+    for src, text in docs:
+        c = by_src.setdefault(src, Counter())
+        c.update(text.split(" "))
+    got = {
+        r["source"]: r
+        for r in REGISTRY["text_token_entropy"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_src)
+    for src, c in by_src.items():
+        n = sum(c.values())
+        ent = -sum((v / n) * math.log2(v / n) for v in c.values())
+        simpson = sum((v / n) ** 2 for v in c.values())
+        r = got[src]
+        assert r["n_tokens"] == n and r["vocab"] == len(c)
+        assert abs(r["entropy_bits"] - ent) <= 1e-3
+        assert abs(r["norm_entropy"] - ent / math.log2(len(c))) <= 1e-3
+        assert abs(r["simpson"] - simpson) <= 1e-3
+        # normalized entropy is a [0, 1] quantity
+        assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-9
+
+
+def test_embed_profiles_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    by_label = {}
+    for label, emb in rows:
+        by_label.setdefault(label, []).append(np.array(emb, dtype=np.float64))
+    norm_got = {
+        r["label"]: r
+        for r in REGISTRY["embed_norm_stats"].build(spark, sf_dir).collect()
+    }
+    in_got = {
+        r["label"]: r
+        for r in REGISTRY["embed_centroid_inertia"].build(spark, sf_dir).collect()
+    }
+    assert set(norm_got) == set(by_label) == set(in_got)
+    for label, vecs in by_label.items():
+        x = np.stack(vecs)
+        norms = np.linalg.norm(x, axis=1)
+        r = norm_got[label]
+        assert r["n"] == len(vecs)
+        assert abs(r["mean_norm"] - norms.mean()) <= 1e-3
+        assert abs(r["std_norm"] - norms.std(ddof=1)) <= 1e-3
+        assert abs(r["min_norm"] - norms.min()) <= 1e-3
+        assert abs(r["max_norm"] - norms.max()) <= 1e-3
+        c = x.mean(axis=0)
+        inertia = float(((x - c) ** 2).sum())
+        ri = in_got[label]
+        assert ri["n_vecs"] == len(vecs)
+        assert abs(ri["c_norm2"] - float(c @ c)) <= 1e-3
+        assert abs(ri["inertia"] - inertia) <= max(1e-2, 1e-4 * inertia)
+        # inertia identity: sum ||x||^2 = inertia + n ||c||^2
+        total = float((x ** 2).sum())
+        assert abs(ri["inertia"] + ri["n_vecs"] * ri["c_norm2"] - total) <= 1e-2
