@@ -992,6 +992,10 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality blocks (shared first token, shared last token), the
     union is deduplicated, and only candidates pay the levenshtein
     edit-distance score; pairs within distance 4 survive.
+    (join_fuzzy_blocked is the single-pass sibling on raw supplier
+    rows; this key adds the two ingredients production linkage
+    needs: matching on the COLLAPSED name domain and unioned
+    blocking passes so a typo in either token still blocks.)
 
     The scale design is the whole point: matching runs on the
     DISTINCT NAME DOMAIN (one hash aggregate collapses the rows —

@@ -42,22 +42,25 @@ REGISTRY: dict[str, QueryDef] = {}
 # (embed_quantize, re-verify after its q8 array->string fix) plus the
 # next 49 never-driver-checked keys in registry order (the round-4
 # operator wave: curation/attribution/paths/hierarchy/q8-IVF/
-# matryoshka, the fn_* long tail, the text_* tail).  Remainder for
-# round 6 (37 keys): the 7 r4 leftovers (pipeline_rag_corpus,
-# pipeline_mix_temperature, text_repetition, pipeline_curriculum,
-# multimodal_framesample, sql_entry_agg, sql_entry_window) plus the
-# 30 keys round 5 added (dedup_embedding_exact, tpch_q2/q9/q11/q16/
-# q20, join_interval_overlap, join_asof_tolerance, dedup_incremental,
-# dedup_containment, events_dau_mau, events_ewma, agg_kmv_distinct,
-# agg_weighted_percentile, graph_bfs_distance, pipeline_dataset_card,
-# sim_ann_ivfpq, join_dynamic_partition_pruning, text_bm25,
-# sim_hybrid_rrf, stat_ks_test, stat_psi_drift, join_spatial_grid,
-# dedup_substring_spans, sim_topk_diverse, stat_chi2_test,
-# stream_drift_monitor, events_seasonal_decompose, events_theil_sen,
-# graph_link_features) — all fit in one r6 window with 13 spare
-# slots.  `python tools/next_window.py`
-# prints the exact next rotation; run `python tools/preflight.py`
-# before rotating (catches driver-canonicalization traps).
+# matryoshka, the fn_* long tail, the text_* tail).  Remainder after
+# the r5 sweep: 52 never-checked keys — the 7 r4 leftovers
+# (pipeline_rag_corpus, pipeline_mix_temperature, text_repetition,
+# pipeline_curriculum, multimodal_framesample, sql_entry_agg,
+# sql_entry_window), the 30 keys from r5's first waves (TPC-H
+# completion, interval/asof-tolerance joins, incremental/containment
+# dedup, KMV/weighted-percentile, BFS, dataset card, IVF-PQ, DPP,
+# BM25/RRF retrieval, KS/PSI/chi2 drift, spatial grid, span dedup,
+# diverse top-k, drift monitor, seasonal/Theil-Sen, link features),
+# and the 15 keys from r5 wave 3 (stat_mann_whitney,
+# stat_jackknife_cv, etl_benford, agg_kmv_setops,
+# agg_bloom_membership, events_autocorr, events_changepoint,
+# events_holt, join_fuzzy_names, etl_survivorship, sql_entry_lateral,
+# text_vocab_growth, text_token_entropy, embed_norm_stats,
+# embed_centroid_inertia).  Plan: r6 window = first 50 of those (in
+# registry order, `python tools/next_window.py` prints them), r7
+# mini-window = the last 2 plus re-verify slots.  Run
+# `python tools/preflight.py` before rotating (catches
+# driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [
     # re-verify after the q8 array-column -> comma-joined-string fix
     # (r4's only red row: the driver's canonicalizer cannot

@@ -91,5 +91,8 @@ def sql_entry_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit-bearing subquery into a ranked window join — which is
     exactly how Catalyst plans it (DomainJoin → rank ≤ 2), so the
     scale shape is one shuffle on the correlation key, not a per-row
-    re-execution. Same string runs on both engines; one hash."""
+    re-execution. Same string runs on both engines; one hash.
+    (join_lateral is the DataFrame-registered twin with repo-managed
+    views; this key proves the identical TEXT parses and decorrelates
+    on both engines — the strongest §3.2 form.)"""
     return run(spark, sf_dir, _SHARED_LATERAL)

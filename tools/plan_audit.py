@@ -115,6 +115,26 @@ EXTRA_KEYS = [
     "events_seasonal_decompose",
     "events_theil_sen",
     "graph_link_features",
+    # r5 wave 3: rank tests on the bounded value grid, sketch set-ops
+    # (the three KMV sketches must plan as TakeOrderedAndProject),
+    # the broadcast Bloom probe, multi-pass-blocked fuzzy matching,
+    # survivorship's shared-shuffle windows, the recursive Holt fold,
+    # and the corpus/embedding profile aggregates
+    "stat_mann_whitney",
+    "stat_jackknife_cv",
+    "agg_kmv_setops",
+    "agg_bloom_membership",
+    "join_fuzzy_names",
+    "etl_survivorship",
+    "etl_benford",
+    "events_autocorr",
+    "events_changepoint",
+    "events_holt",
+    "text_vocab_growth",
+    "text_token_entropy",
+    "embed_norm_stats",
+    "embed_centroid_inertia",
+    "sql_entry_lateral",
 ]
 
 
