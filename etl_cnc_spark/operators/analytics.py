@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import q4, sql_q4
+from ..utils import cents, q4, sql_q4
 from .prefix import global_ordered, ntile_from_rank
 
 
@@ -2458,4 +2458,160 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("st.lvl")).alias("level"),
         q4(F.col("st.tr")).alias("trend"),
         q4(F.col("st.sse") / (F.col("n") - 1)).alias("mse"),
+    )
+
+
+# -------------------------------------------- decayed feature counters
+
+DECAY_HALF_LIFE_D = 7.0
+
+
+@register(
+    "events_decay_counter",
+    oracle=f"""
+    WITH t AS (SELECT max(CAST(ts AS DATE)) AS tmax FROM events),
+    rows_d AS (
+        SELECT user_id,
+               datediff('day', CAST(ts AS DATE), t.tmax) AS dd,
+               value
+        FROM events CROSS JOIN t
+    ), contrib AS (
+        SELECT user_id,
+               CAST(floor(pow(0.5, dd / {DECAY_HALF_LIFE_D}) * 1e8 + 0.5)
+                    AS BIGINT) AS cq,
+               CAST(floor(value * pow(0.5, dd / {DECAY_HALF_LIFE_D})
+                          * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM rows_d
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           {sql_q4("CAST(sum(cq) AS DOUBLE) / 1e8")} AS decayed_count,
+           {sql_q4("CAST(sum(vq) AS DOUBLE) / 1e6")} AS decayed_value
+    FROM contrib GROUP BY user_id
+    """,
+)
+def events_decay_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement counters per user (half-life 7 days,
+    anchored at the corpus max date) — the feature-store freshness
+    primitive: a decayed count weights yesterday's event 2^(1/7)×
+    more than the day before's, so one number captures both volume
+    and recency without a cutoff cliff (compare events_rfm's hard
+    recency buckets).
+
+    The decisive scale property: exponential decay is MERGEABLE —
+    decayed sums from two partitions (or two days' incremental
+    batches) add directly after rescaling to a common anchor, which
+    is why this exact shape backs streaming feature pipelines.
+    Per-row decay factors are identical IEEE pow() on integer day
+    deltas, quantized to fixed point so the per-user sums are exact
+    integers (order-free at any parallelism); one broadcast of the
+    1-row anchor, one hash aggregate."""
+    e = table(spark, sf_dir, "events")
+    t = e.agg(F.max(F.col("ts").cast("date")).alias("tmax"))
+    rows_d = e.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        F.datediff(F.col("tmax"), F.col("ts").cast("date")).alias("dd"),
+        "value",
+    )
+    f = F.pow(F.lit(0.5), F.col("dd") / F.lit(DECAY_HALF_LIFE_D))
+    contrib = rows_d.select(
+        "user_id",
+        F.floor(f * F.lit(1e8) + F.lit(0.5)).cast("long").alias("cq"),
+        F.floor(F.col("value") * f * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    return contrib.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        q4(F.sum("cq").cast("double") / F.lit(1e8)).alias("decayed_count"),
+        q4(F.sum("vq").cast("double") / F.lit(1e6)).alias("decayed_value"),
+    )
+
+
+@register(
+    "ml_point_in_time_features",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               (event_type = 'purchase') AS is_label,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+                   AS click_cents,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        FROM events
+    ), feat AS (
+        SELECT user_id, event_id, ts_us, is_label, v_cents,
+               sum(is_view) OVER w AS f_views,
+               last_value(click_cents IGNORE NULLS) OVER w
+                   AS f_last_click_cents,
+               min(ts_us) OVER w AS first_ts_us
+        FROM base
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts_us, is_label DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS label_event_id, ts_us AS label_ts_us,
+           v_cents AS label_cents,
+           CAST(f_views AS BIGINT) AS f_views,
+           f_last_click_cents,
+           CAST((ts_us - first_ts_us) // 86400000000 AS BIGINT)
+               AS f_days_active
+    FROM feat WHERE is_label
+    """,
+)
+def ml_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature extraction — the
+    training-serving-skew killer: for every label event (purchase),
+    the feature values AS OF strictly before that moment (views so
+    far, last click value, days since first activity), with no
+    leakage from the future and no leakage from same-instant events
+    (labels sort BEFORE ties so a simultaneous click is excluded).
+
+    The scale-defining choice: NOT one as-of join per feature
+    (N features → N shuffles) but ONE union-and-window pass — labels
+    and feature events interleave in a single per-user ordered
+    window, every running feature computes in that one shuffle, and
+    label rows are filtered at the end. This is how feature
+    backfills stay one-pass at 10^11 events; adding a feature adds a
+    column, not a join. All outputs integer (cents/counts/epochs) —
+    hash-exact with no quantization."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("event_type") == "purchase").alias("is_label"),
+        F.when(
+            F.col("event_type") == "click", cents(F.col("value"))
+        ).alias("click_cents"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"), F.col("is_label").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feat = base.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "is_label",
+        "v_cents",
+        F.sum("is_view").over(w).alias("f_views"),
+        F.last("click_cents", ignorenulls=True).over(w).alias(
+            "f_last_click_cents"
+        ),
+        F.min("ts_us").over(w).alias("first_ts_us"),
+    )
+    return feat.where(F.col("is_label")).select(
+        "user_id",
+        F.col("event_id").alias("label_event_id"),
+        F.col("ts_us").alias("label_ts_us"),
+        F.col("v_cents").alias("label_cents"),
+        F.col("f_views").cast("long").alias("f_views"),
+        "f_last_click_cents",
+        F.floor((F.col("ts_us") - F.col("first_ts_us")) / F.lit(86400000000))
+        .cast("long")
+        .alias("f_days_active"),
     )

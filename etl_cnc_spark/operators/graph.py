@@ -587,3 +587,124 @@ def graph_link_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.a").isNotNull().alias("is_edge"),
         )
     )
+
+
+# ------------------------------------------------------ k-core peeling
+
+KCORE_K = 4  # core threshold
+KCORE_ROUNDS = 3  # unrolled peel rounds (partial peel, documented)
+KCORE_TOPK = 3  # per-node heaviest-lane sparsification (as BFS)
+
+
+def _kcore_oracle() -> str:
+    sql = f"""
+    WITH all_edges AS MATERIALIZED ({_EDGES_SQL}),
+    top AS (
+        SELECT u, v FROM (
+            SELECT u, v, row_number() OVER (PARTITION BY u
+                                            ORDER BY w DESC, v) AS rk
+            FROM all_edges WHERE u <> v
+        ) WHERE rk <= {KCORE_TOPK}
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM top
+    ),
+    sym AS MATERIALIZED (
+        SELECT a AS n, b AS m FROM und UNION ALL SELECT b, a FROM und
+    ),
+    alive0 AS (SELECT DISTINCT n FROM sym),
+    deg0 AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY n)
+    """
+    prev = "alive0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    deg{i} AS (
+        SELECT s.n, CAST(count(*) AS BIGINT) AS d
+        FROM sym s
+        JOIN {prev} x ON s.n = x.n
+        JOIN {prev} y ON s.m = y.n
+        GROUP BY s.n
+    ),
+    alive{i} AS (SELECT n FROM deg{i} WHERE d >= {KCORE_K})"""
+        prev = f"alive{i}"
+    survived = " + ".join(
+        f"(CASE WHEN a{i}.n IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN alive{i} a{i} ON d0.n = a{i}.n"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    return sql + f"""
+    SELECT d0.n AS node, d0.d AS degree0,
+           CAST({survived} AS BIGINT) AS rounds_survived,
+           (a{KCORE_ROUNDS}.n IS NOT NULL) AS in_core
+    FROM deg0 d0
+    {joins}
+    """
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    notes="3-round partial k-core peel: fully deterministic, so "
+    "hash-oracled despite being iterative.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4) by iterative peeling over the
+    sparsified trade graph (same top-3-heaviest-lanes graph as
+    graph_bfs_distance): repeatedly drop nodes with fewer than k
+    surviving neighbors; what remains after convergence is the
+    k-core — the densely-interlocked trading bloc, the graph
+    analogue of the Pareto head. Three unrolled rounds (a partial
+    peel, like pagerank's fixed 3 iterations): the output reports
+    per-node initial degree, rounds survived, and core membership,
+    so convergence-in-3 is itself visible in the data.
+
+    Each round is degree-count + semi-join against the shrinking
+    alive set — the Pregel-as-joins shape: at web scale every round
+    shuffles on the vertex id and the alive set only shrinks, and
+    the edge list is computed once and reused (cached here,
+    checkpointed at scale, exactly as dedup_cluster does)."""
+    edges = trade_edges(spark, sf_dir).where(F.col("u") != F.col("v"))
+    wtop = Window.partitionBy("u").orderBy(F.desc("w"), "v")
+    top = (
+        edges.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= KCORE_TOPK)
+        .select("u", "v")
+    )
+    und = top.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    sym = (
+        und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .cache()
+    )
+    deg0 = sym.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("degree0"))
+    alive = sym.select("n").distinct()
+    survived_flags = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg_i = (
+            sym.join(alive.select(F.col("n")), "n")
+            .join(alive.select(F.col("n").alias("m")), "m")
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg_i.where(F.col("d") >= KCORE_K).select("n")
+        survived_flags.append(
+            alive.select("n").withColumn(f"s{i}", F.lit(1))
+        )
+    out = deg0
+    for i, fl in enumerate(survived_flags, start=1):
+        out = out.join(fl, "n", "left")
+    survived = sum(
+        F.coalesce(F.col(f"s{i}"), F.lit(0))
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    return out.select(
+        F.col("n").alias("node"),
+        "degree0",
+        survived.cast("long").alias("rounds_survived"),
+        F.col(f"s{KCORE_ROUNDS}").isNotNull().alias("in_core"),
+    )

@@ -317,3 +317,74 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         ((lo + hi) / 2).alias("med3"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day_n
+        FROM events
+    ), grp AS (
+        SELECT user_id, day_n,
+               day_n - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_n) AS g
+        FROM days
+    ), islands AS (
+        SELECT user_id, CAST(min(day_n) AS BIGINT) AS start_day,
+               CAST(max(day_n) AS BIGINT) AS end_day,
+               CAST(count(*) AS BIGINT) AS len_days
+        FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id, start_day, end_day, len_days,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY start_day) AS BIGINT)
+               AS island_n,
+           CAST(start_day - lag(end_day) OVER (PARTITION BY user_id
+                                               ORDER BY start_day)
+                AS BIGINT) AS gap_before
+    FROM islands
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of consecutive active days
+    as (start, end, length) intervals with the gap to the previous
+    island — the full decomposition behind events_streaks (which
+    reports only the longest island) and the input shape for churn /
+    reactivation analytics.
+
+    The classic row_number difference trick: consecutive days share
+    the constant day_n − rank, so islands fall out of one hash
+    aggregate on (user, group) — no self-join, no iterative
+    stretching. Two windows + one aggregate, ALL partitioned by
+    user_id, so Catalyst plans a single shuffle and the per-user
+    sequential work is bounded by that user's active days."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_n"),
+    ).distinct()
+    wrn = Window.partitionBy("user_id").orderBy("day_n")
+    grp = days.withColumn(
+        "g", F.col("day_n") - F.row_number().over(wrn)
+    )
+    islands = grp.groupBy("user_id", "g").agg(
+        F.min("day_n").cast("long").alias("start_day"),
+        F.max("day_n").cast("long").alias("end_day"),
+        F.count(F.lit(1)).cast("long").alias("len_days"),
+    )
+    wisl = Window.partitionBy("user_id").orderBy("start_day")
+    return islands.select(
+        "user_id",
+        "start_day",
+        "end_day",
+        "len_days",
+        F.row_number().over(wisl).cast("long").alias("island_n"),
+        (F.col("start_day") - F.lag("end_day").over(wisl))
+        .cast("long")
+        .alias("gap_before"),
+    )

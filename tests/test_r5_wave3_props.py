@@ -504,3 +504,154 @@ def test_embed_profiles_match_numpy(spark, sf_dir):
         # inertia identity: sum ||x||^2 = inertia + n ||c||^2
         total = float((x ** 2).sum())
         assert abs(ri["inertia"] + ri["n_vecs"] * ri["c_norm2"] - total) <= 1e-2
+
+
+def test_gaps_islands_matches_python_runs(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    from datetime import date
+
+    epoch = date(1970, 1, 1)
+    by_user = {}
+    for uid, d in rows:
+        by_user.setdefault(uid, set()).add((d - epoch).days)
+    expect = {}
+    for uid, ds in by_user.items():
+        days = sorted(ds)
+        islands = []
+        start = prev = days[0]
+        for d in days[1:]:
+            if d > prev + 1:
+                islands.append((start, prev))
+                start = d
+            prev = d
+        islands.append((start, prev))
+        for i, (s, e) in enumerate(islands, start=1):
+            gap = s - islands[i - 2][1] if i > 1 else None
+            expect[(uid, i)] = (s, e, e - s + 1, gap)
+    got = REGISTRY["win_gaps_islands"].build(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        s, e, ln, gap = expect[(r["user_id"], r["island_n"])]
+        assert (r["start_day"], r["end_day"], r["len_days"]) == (s, e, ln)
+        assert r["gap_before"] == gap
+        if gap is not None:
+            assert gap >= 2  # otherwise it would be the same island
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_cnc_spark.operators.graph import KCORE_K, KCORE_ROUNDS, KCORE_TOPK
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH w AS (
+            SELECT c.c_nationkey AS u, s.s_nationkey AS v, count(*) AS w
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+            JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+        )
+        SELECT DISTINCT least(u, v), greatest(u, v) FROM (
+            SELECT u, v, row_number() OVER (PARTITION BY u
+                ORDER BY w DESC, v) AS rk FROM w
+        ) WHERE rk <= {KCORE_TOPK}
+    """).fetchall()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg0 = {n: len(v) for n, v in adj.items()}
+    cur = {n: set(v) for n, v in adj.items()}
+    survived = dict.fromkeys(adj, 0)
+    for _ in range(KCORE_ROUNDS):
+        alive = {n for n in cur if len(cur[n]) >= KCORE_K}
+        for n in alive:
+            survived[n] += 1
+        cur = {n: v & alive for n, v in cur.items() if n in alive}
+    got = {r["node"]: r for r in REGISTRY["graph_kcore"].build(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for n, r in got.items():
+        assert r["degree0"] == deg0[n]
+        assert r["rounds_survived"] == survived[n]
+        assert r["in_core"] == (survived[n] == KCORE_ROUNDS)
+    # peeling is monotone: the core is non-empty or everything peeled
+    cores = [r for r in got.values() if r["in_core"]]
+    for r in cores:
+        assert r["degree0"] >= KCORE_K
+
+
+def test_decay_counter_matches_python_fold(spark, sf_dir):
+    from etl_cnc_spark.operators.analytics import DECAY_HALF_LIFE_D
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, CAST(ts AS DATE), value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    tmax = max(d for _, d, _ in rows)
+    agg = {}
+    for uid, d, v in rows:
+        dd = (tmax - d).days
+        f = 0.5 ** (dd / DECAY_HALF_LIFE_D)
+        n, dc, dv = agg.get(uid, (0, 0.0, 0.0))
+        agg[uid] = (n + 1, dc + f, dv + v * f)
+    got = {
+        r["user_id"]: r
+        for r in REGISTRY["events_decay_counter"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for uid, (n, dc, dv) in agg.items():
+        r = got[uid]
+        assert r["n_events"] == n
+        assert abs(r["decayed_count"] - dc) <= 1e-3
+        assert abs(r["decayed_value"] - dv) <= 1e-2
+        # decayed count is bounded by the raw count
+        assert r["decayed_count"] <= n + 1e-9
+
+
+def test_pit_features_no_leakage(spark, sf_dir):
+    """Replay the point-in-time features sequentially and assert the
+    headline guarantee: nothing at-or-after the label leaks in."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_id, epoch_us(ts), event_type, value "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    by_user = {}
+    for uid, eid, ts, et, v in rows:
+        by_user.setdefault(uid, []).append((ts, et != "purchase", eid, et, v))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()  # (ts, labels-first at ties, event_id)
+        views = 0
+        last_click = None
+        first_ts = None
+        for ts, _, eid, et, v in evs:
+            first_ts = ts if first_ts is None else min(first_ts, ts)
+            if et == "purchase":
+                expect[eid] = (
+                    uid,
+                    ts,
+                    math.floor(v * 100 + 0.5),
+                    views,
+                    last_click,
+                    (ts - first_ts) // 86400000000,
+                )
+            if et == "view":
+                views += 1
+            elif et == "click":
+                last_click = math.floor(v * 100 + 0.5)
+    got = REGISTRY["ml_point_in_time_features"].build(spark, sf_dir).collect()
+    assert {r["label_event_id"] for r in got} == set(expect)
+    for r in got:
+        uid, ts, cents_, views, last_click, days = expect[r["label_event_id"]]
+        assert r["user_id"] == uid and r["label_ts_us"] == ts
+        assert r["label_cents"] == cents_
+        assert r["f_views"] == views
+        assert r["f_last_click_cents"] == last_click
+        assert r["f_days_active"] == days
