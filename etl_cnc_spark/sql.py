@@ -96,3 +96,34 @@ def sql_entry_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     views; this key proves the identical TEXT parses and decorrelates
     on both engines — the strongest §3.2 form.)"""
     return run(spark, sf_dir, _SHARED_LATERAL)
+
+
+_SHARED_RECURSIVE = """
+WITH RECURSIVE walk(p, depth) AS (
+  SELECT CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT)
+  FROM part WHERE p_partkey = 0
+  UNION ALL
+  SELECT CAST(c.p_partkey AS BIGINT), w.depth + 1
+  FROM part c JOIN walk w
+    ON CAST(floor((c.p_partkey - 1) / 2.0) AS BIGINT) = w.p
+   AND c.p_partkey > 0
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(p) AS BIGINT) AS min_key, CAST(max(p) AS BIGINT) AS max_key
+FROM walk GROUP BY depth
+"""
+
+
+@register("sql_entry_recursive", oracle=_SHARED_RECURSIVE)
+def sql_entry_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE as shared SQL text — a binary-heap-shaped part
+    hierarchy (parent = (k−1) div 2, expressed dialect-neutrally via
+    floor/2.0) walked from the root, aggregated per depth level.
+    Spark 4 executes recursive CTEs natively (UnionLoop); DuckDB runs
+    the identical string, so parser + fixpoint-execution parity is
+    one hash. The recursion depth is log2(N) and each iteration is a
+    join against the shrinking frontier — the same
+    Pregel-as-iterated-joins scale shape graph_hierarchy_walk builds
+    by hand with doubling, now through the SQL front door.
+    Depth-grouped output keeps rows bounded at any table size."""
+    return run(spark, sf_dir, _SHARED_RECURSIVE)

@@ -254,3 +254,47 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("psi")).alias("psi"),
         (F.col("psi") > F.lit(float(DRIFT_TAU))).alias("drifted"),
     )
+
+
+@register(
+    "stream_topk_windowed",
+    oracle="""
+    WITH agg AS (
+        SELECT epoch_us(time_bucket(INTERVAL 6 HOUR, ts)) AS window_start_us,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT window_start_us, event_type, n,
+               CAST(row_number() OVER (PARTITION BY window_start_us
+                    ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        FROM agg
+    )
+    SELECT window_start_us, event_type, n, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 6-hour tumbling window — the trending-
+    topics shape: a windowed aggregate followed by a rank WITHIN each
+    window. In streaming execution the aggregate tier runs
+    incrementally with a watermark and the rank runs per emitted
+    window on the bounded (window × type) grid — which is exactly
+    the batch plan too: one data-sized shuffle into the window
+    aggregate, then a window function over |windows|·|types| rows
+    (never the raw events). Deterministic tie-break on event_type
+    keeps the podium hash-stable."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    grid = agg.select(
+        ts_us(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n",
+    )
+    wrk = W.partitionBy("window_start_us").orderBy(F.desc("n"), "event_type")
+    return (
+        grid.withColumn("rk", F.row_number().over(wrk).cast("long"))
+        .where(F.col("rk") <= 3)
+    )

@@ -655,3 +655,45 @@ def test_pit_features_no_leakage(spark, sf_dir):
         assert r["f_views"] == views
         assert r["f_last_click_cents"] == last_click
         assert r["f_days_active"] == days
+
+
+def test_recursive_cte_heap_shape(spark, sf_dir):
+    """The heap hierarchy's depth histogram is fully predictable:
+    level d holds keys [2^d - 1, min(2^(d+1) - 2, N-1)]."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/part.parquet'"
+    ).fetchone()[0]
+    got = sorted(
+        (r["depth"], r["n"], r["min_key"], r["max_key"])
+        for r in REGISTRY["sql_entry_recursive"].build(spark, sf_dir).collect()
+    )
+    expect = []
+    d = 0
+    while (1 << d) - 1 < n:
+        lo = (1 << d) - 1
+        hi = min((1 << (d + 1)) - 2, n - 1)
+        expect.append((d, hi - lo + 1, lo, hi))
+        d += 1
+    assert got == expect
+    assert sum(r[1] for r in got) == n  # every part reached exactly once
+
+
+def test_stream_topk_windowed_matches_python(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT epoch_us(time_bucket(INTERVAL 6 HOUR, ts)), event_type, "
+        f"count(*) FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    by_win = {}
+    for w, et, n in rows:
+        by_win.setdefault(w, []).append((-n, et))
+    expect = {}
+    for w, lst in by_win.items():
+        for rk, (negn, et) in enumerate(sorted(lst)[:3], start=1):
+            expect[(w, rk)] = (et, -negn)
+    got = REGISTRY["stream_topk_windowed"].build(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        et, n = expect[(r["window_start_us"], r["rk"])]
+        assert (r["event_type"], r["n"]) == (et, n)
