@@ -16,6 +16,7 @@ from ..catalog import register_views, table
 from ..registry import register
 from ..utils import (
     avg_money,
+    cents,
     q4,
     sql_avg_money,
     sql_q4,
@@ -1201,4 +1202,63 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_probe") - F.col("n_true"))
         ).alias("fp_rate"),
         q4(fp_theory).alias("fp_theory"),
+    )
+
+
+EQUIDEPTH_B = 8  # buckets
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v_cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), bucketed AS (
+        SELECT l_returnflag, v_cents,
+               ntile({EQUIDEPTH_B}) OVER (PARTITION BY l_returnflag
+                   ORDER BY v_cents, l_orderkey, l_linenumber) AS bucket
+        FROM s
+    )
+    SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v_cents) AS BIGINT) AS lo_cents,
+           CAST(max(v_cents) AS BIGINT) AS hi_cents
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (8 buckets of equal row count per
+    returnflag) — the histogram query optimizers actually keep:
+    agg_histogram's fixed-width bins mislocate skewed mass, while
+    equi-depth boundaries ARE the 12.5% quantiles, exact. ntile with
+    a fully deterministic order (value, then row key) makes boundary
+    assignment reproducible: standard SQL ntile gives the first
+    n mod b buckets one extra row on both engines.
+
+    Scale note: exact ntile sorts each group once — the same
+    single-sort-per-group cost as agg_weighted_percentile, fine
+    while groups fit a partition pipeline; past that you'd sample or
+    sketch the boundaries (agg_approx_quantile is the registered
+    sketch sibling) and keep THIS key as the exact auditor run on
+    samples."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("v_cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "v_cents", "l_orderkey", "l_linenumber"
+    )
+    bucketed = s.withColumn("bucket", F.ntile(EQUIDEPTH_B).over(w))
+    return bucketed.groupBy(
+        "l_returnflag", F.col("bucket").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v_cents").cast("long").alias("lo_cents"),
+        F.max("v_cents").cast("long").alias("hi_cents"),
     )

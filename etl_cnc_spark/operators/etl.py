@@ -1408,3 +1408,91 @@ def etl_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_seen_us",
         "total_cents",
     )
+
+
+# ------------------------------------------------ DP noisy release
+
+DP_EPS_B = 1.0  # Laplace scale b = sensitivity/epsilon = 1/1
+
+
+@register(
+    "etl_dp_release",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_true
+        FROM orders GROUP BY 1, 2
+    ), seeded AS (
+        SELECT o_orderpriority, o_orderstatus, n_true,
+               (CAST(CAST('0x' || substr(md5(o_orderpriority || '|'
+                                             || o_orderstatus), 1, 6)
+                     AS UBIGINT) AS DOUBLE) + 0.5) / 16777216.0 - 0.5 AS uc
+        FROM g
+    ), noised AS (
+        SELECT o_orderpriority, o_orderstatus, n_true,
+               -{DP_EPS_B} * CASE WHEN uc < 0 THEN -1.0 ELSE 1.0 END
+                 * ln(1.0 - 2.0 * abs(uc)) AS noise
+        FROM seeded
+    )
+    SELECT o_orderpriority, o_orderstatus, n_true,
+           {sql_q4("noise")} AS noise,
+           CAST(greatest(0, n_true
+                + CAST(floor(noise + 0.5) AS BIGINT)) AS BIGINT)
+               AS n_released
+    FROM noised
+    """,
+)
+def etl_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1, ε=1) over the priority×status contingency grid —
+    the privacy-layer sibling of etl_k_anonymity: each released
+    count is the true count plus Laplace(1) noise via the inverse
+    CDF −b·sgn(u)·ln(1−2|u|), clamped at zero.
+
+    The noise draw is PSEUDO-noise seeded by a content hash of the
+    group key — deliberately, and the point for a verified pipeline:
+    a DP release job must be rerunnable/auditable (same release on
+    retry, not a fresh draw that burns extra ε), so production DP
+    systems derive noise from a keyed PRF exactly like this; swap
+    the md5 for a secret-keyed HMAC and the release is real DP. The
+    true count rides along here ONLY for the verification hash.
+    Scale: one hash aggregate to the bounded group grid; noise is a
+    per-group scalar expression."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("o_orderpriority"), F.col("o_orderstatus")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(16777216.0) - F.lit(0.5)
+    noise = (
+        -F.lit(DP_EPS_B)
+        * F.when(u < 0, -1.0).otherwise(1.0)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    noised = g.select("o_orderpriority", "o_orderstatus", "n_true", noise.alias("noise"))
+    return noised.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_true",
+        q4(F.col("noise")).alias("noise"),
+        F.greatest(
+            F.lit(0),
+            F.col("n_true") + F.floor(F.col("noise") + F.lit(0.5)).cast("long"),
+        )
+        .cast("long")
+        .alias("n_released"),
+    )

@@ -65,6 +65,23 @@ INVARIANT_KEYS = [
     "events_seasonal_decompose",
     "events_theil_sen",
     "graph_link_features",
+    # r5 wave 3: fixed-point moment sums (jackknife/entropy/decay),
+    # bounded-grid midranks, top-k-by-hash sketches, the sequential
+    # Holt fold, iterative k-core peel, and the one-pass PIT window —
+    # again the machinery most at risk of partition dependence
+    "stat_mann_whitney",
+    "stat_jackknife_cv",
+    "agg_kmv_setops",
+    "agg_bloom_membership",
+    "events_holt",
+    "events_decay_counter",
+    "graph_kcore",
+    "ml_point_in_time_features",
+    "text_token_entropy",
+    "text_vocab_growth",
+    "embed_centroid_inertia",
+    "win_gaps_islands",
+    "sql_entry_recursive",
 ]
 
 

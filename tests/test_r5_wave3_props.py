@@ -697,3 +697,63 @@ def test_stream_topk_windowed_matches_python(spark, sf_dir):
     for r in got:
         et, n = expect[(r["window_start_us"], r["rk"])]
         assert (r["event_type"], r["n"]) == (et, n)
+
+
+def test_dp_release_matches_python_mechanism(spark, sf_dir):
+    """Replay the keyed-PRF Laplace draw; check the DP-shaped
+    invariants (clamped at zero, |noise| plausible for b=1)."""
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderpriority, o_orderstatus, count(*) "
+        f"FROM '{sf_dir}/orders.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    got = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r
+        for r in REGISTRY["etl_dp_release"].build(spark, sf_dir).collect()
+    }
+    assert len(got) == len(rows)
+    for pri, st, n in rows:
+        u = (int(hashlib.md5(f"{pri}|{st}".encode()).hexdigest()[:6], 16) + 0.5) / (
+            1 << 24
+        ) - 0.5
+        noise = -1.0 * (1 if u >= 0 else -1) * math.log(1 - 2 * abs(u))
+        r = got[(pri, st)]
+        assert r["n_true"] == n
+        assert abs(r["noise"] - noise) <= 1e-3
+        assert r["n_released"] == max(0, n + math.floor(noise + 0.5))
+        assert r["n_released"] >= 0
+
+
+def test_equidepth_histogram_matches_python(spark, sf_dir):
+    from etl_cnc_spark.operators.aggregates import EQUIDEPTH_B
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT), "
+        f"l_orderkey, l_linenumber FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    by_flag = {}
+    for fl, v, ok, ln in rows:
+        by_flag.setdefault(fl, []).append((v, ok, ln))
+    got = {
+        (r["l_returnflag"], r["bucket"]): r
+        for r in REGISTRY["agg_equidepth_histogram"].build(spark, sf_dir).collect()
+    }
+    for fl, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        base, extra = divmod(n, EQUIDEPTH_B)
+        idx = 0
+        for b in range(1, EQUIDEPTH_B + 1):
+            size = base + (1 if b <= extra else 0)
+            chunk = vals[idx : idx + size]
+            idx += size
+            r = got[(fl, b)]
+            assert r["n"] == size
+            assert r["lo_cents"] == chunk[0][0]
+            assert r["hi_cents"] == chunk[-1][0]
+        # equi-depth: bucket sizes differ by at most one
+        sizes = [got[(fl, b)]["n"] for b in range(1, EQUIDEPTH_B + 1)]
+        assert max(sizes) - min(sizes) <= 1
