@@ -2615,3 +2615,231 @@ def ml_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f_days_active"),
     )
+
+
+# ----------------------------------------- sequential experimentation
+
+SEQ_OBF_C = 2.797  # O'Brien-Fleming-shaped boundary constant
+
+
+@register(
+    "events_ab_sequential",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day_n,
+               user_id % 2 AS grp,
+               CAST(count(*) AS BIGINT) AS trials,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS conv
+        FROM events GROUP BY 1, 2
+    ), wide AS (
+        SELECT day_n,
+               CAST(sum(CASE WHEN grp = 0 THEN trials ELSE 0 END) AS BIGINT)
+                   AS t_a,
+               CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS v_a,
+               CAST(sum(CASE WHEN grp = 1 THEN trials ELSE 0 END) AS BIGINT)
+                   AS t_b,
+               CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS v_b
+        FROM daily GROUP BY day_n
+    ), cum AS (
+        SELECT day_n,
+               sum(t_a) OVER w AS n_a, sum(v_a) OVER w AS c_a,
+               sum(t_b) OVER w AS n_b, sum(v_b) OVER w AS c_b
+        FROM wide
+        WINDOW w AS (ORDER BY day_n
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT CAST(sum(t_a) + sum(t_b) AS BIGINT) AS n_final FROM wide
+    ), scored AS (
+        SELECT c.day_n, c.n_a, c.c_a, c.n_b, c.c_b,
+               (CAST(c.c_b AS DOUBLE) / c.n_b
+                  - CAST(c.c_a AS DOUBLE) / c.n_a)
+               / sqrt((CAST(c.c_a + c.c_b AS DOUBLE) / (c.n_a + c.n_b))
+                      * (1 - CAST(c.c_a + c.c_b AS DOUBLE)
+                             / (c.n_a + c.n_b))
+                      * (1.0 / c.n_a + 1.0 / c.n_b)) AS z,
+               {SEQ_OBF_C} / sqrt(CAST(c.n_a + c.n_b AS DOUBLE) / t.n_final)
+                   AS boundary
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT day_n, CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           {sql_q4("z")} AS z, {sql_q4("boundary")} AS boundary,
+           abs(z) > boundary AS crossed
+    FROM scored
+    """,
+)
+def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring — the peeking-safe companion
+    to events_ab_test's single readout: the cumulative two-proportion
+    z after each day against an O'Brien-Fleming-shaped spending
+    boundary c/√(information fraction), which is wide early (hard to
+    cross on noise) and tightens to ~c at full information. The
+    'crossed' column is the day-by-day stop/continue decision an
+    experimentation platform renders.
+
+    Scale shape: one data-sized aggregate to (day × arm), then every
+    cumulative statistic comes from a prefix window over the bounded
+    daily grid and one broadcast of the 1-row final-information
+    total — daily peeking costs nothing more than the dashboard
+    query. Sufficient statistics stay integer through the window;
+    doubles only in the per-day closed forms."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_n"),
+        (F.col("user_id") % 2).alias("grp"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("trials"),
+        F.count_if(F.col("event_type") == "purchase").cast("long").alias("conv"),
+    )
+    wide = daily.groupBy("day_n").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("trials")).otherwise(0))
+        .cast("long")
+        .alias("t_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("v_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("trials")).otherwise(0))
+        .cast("long")
+        .alias("t_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("v_b"),
+    )
+    w = Window.orderBy("day_n").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wide.select(
+        "day_n",
+        F.sum("t_a").over(w).alias("n_a"),
+        F.sum("v_a").over(w).alias("c_a"),
+        F.sum("t_b").over(w).alias("n_b"),
+        F.sum("v_b").over(w).alias("c_b"),
+    )
+    tot = wide.agg((F.sum("t_a") + F.sum("t_b")).cast("long").alias("n_final"))
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_b - p_a) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    boundary = F.lit(SEQ_OBF_C) / F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double") / F.col("n_final")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "day_n",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("c_b"),
+        z.alias("z"),
+        boundary.alias("boundary"),
+    )
+    return scored.select(
+        "day_n",
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        q4(F.col("z")).alias("z"),
+        q4(F.col("boundary")).alias("boundary"),
+        (F.abs(F.col("z")) > F.col("boundary")).alias("crossed"),
+    )
+
+
+BACKTEST_LAG = 7  # seasonal-naive horizon (days)
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH {_TS_DENSE_SQL},
+    lagged AS (
+        SELECT event_type, t, y,
+               lag(y, {BACKTEST_LAG}) OVER w AS f7,
+               lag(y, 1) OVER w AS f1
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY t)
+    ), contrib AS (
+        SELECT event_type,
+               y - f7 AS e7, abs(y - f7) AS a7, abs(y - f1) AS a1,
+               CAST(floor(CASE WHEN y + f7 = 0 THEN 0.0
+                    ELSE 2.0 * abs(y - f7) / (y + f7) END * 1e8 + 0.5)
+                    AS BIGINT) AS smape_e8
+        FROM lagged WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+    ), agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+               CAST(sum(a7) AS BIGINT) AS sa7,
+               CAST(sum(a1) AS BIGINT) AS sa1,
+               CAST(sum(e7) AS BIGINT) AS se7,
+               CAST(sum(smape_e8) AS BIGINT) AS ss
+        FROM contrib GROUP BY event_type
+    )
+    SELECT event_type, n_evals,
+           {sql_q4("CAST(sa7 AS DOUBLE) / n_evals")} AS mae7,
+           {sql_q4("CAST(sa1 AS DOUBLE) / n_evals")} AS mae1,
+           {sql_q4("CAST(se7 AS DOUBLE) / n_evals")} AS bias7,
+           {sql_q4("CAST(ss AS DOUBLE) / 1e8 / n_evals")} AS smape7,
+           {sql_q4("1.0 - CAST(sa7 AS DOUBLE) / sa1")} AS skill_vs_naive1
+    FROM agg
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — the ML-ops evaluation loop
+    for the forecasting family (events_forecast_baseline /
+    events_holt): every day from day 7 on is scored as if forecast
+    with the seasonal-naive rule (y_{{t-7}}), reporting MAE, bias,
+    sMAPE, and the SKILL against the lag-1 naive — the number that
+    says whether weekly seasonality actually helps on this series.
+
+    All error sums are exact integers (counts; sMAPE contributions
+    e-8 fixed-point), accumulated in one pass over the bounded daily
+    grid: backtesting is a LAG WINDOW, not a per-origin re-fit — the
+    reason this shape scales to thousands of series where literal
+    re-fitting cannot."""
+    dense = _ts_dense(spark, sf_dir)
+    wlag = Window.partitionBy("event_type").orderBy("t")
+    lagged = dense.select(
+        "event_type",
+        "y",
+        F.lag("y", BACKTEST_LAG).over(wlag).alias("f7"),
+        F.lag("y", 1).over(wlag).alias("f1"),
+    ).where(F.col("f7").isNotNull() & F.col("f1").isNotNull())
+    smape = F.when(F.col("y") + F.col("f7") == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0)
+        * F.abs(F.col("y") - F.col("f7"))
+        / (F.col("y") + F.col("f7"))
+    )
+    contrib = lagged.select(
+        "event_type",
+        (F.col("y") - F.col("f7")).alias("e7"),
+        F.abs(F.col("y") - F.col("f7")).alias("a7"),
+        F.abs(F.col("y") - F.col("f1")).alias("a1"),
+        F.floor(smape * F.lit(1e8) + F.lit(0.5)).cast("long").alias("smape_e8"),
+    )
+    agg = contrib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.sum("a7").cast("long").alias("sa7"),
+        F.sum("a1").cast("long").alias("sa1"),
+        F.sum("e7").cast("long").alias("se7"),
+        F.sum("smape_e8").cast("long").alias("ss"),
+    )
+    return agg.select(
+        "event_type",
+        "n_evals",
+        q4(F.col("sa7").cast("double") / F.col("n_evals")).alias("mae7"),
+        q4(F.col("sa1").cast("double") / F.col("n_evals")).alias("mae1"),
+        q4(F.col("se7").cast("double") / F.col("n_evals")).alias("bias7"),
+        q4(
+            F.col("ss").cast("double") / F.lit(1e8) / F.col("n_evals")
+        ).alias("smape7"),
+        q4(
+            F.lit(1.0) - F.col("sa7").cast("double") / F.col("sa1")
+        ).alias("skill_vs_naive1"),
+    )

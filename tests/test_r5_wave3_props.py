@@ -757,3 +757,82 @@ def test_equidepth_histogram_matches_python(spark, sf_dir):
         # equi-depth: bucket sizes differ by at most one
         sizes = [got[(fl, b)]["n"] for b in range(1, EQUIDEPTH_B + 1)]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_ab_sequential_matches_python_monitoring(spark, sf_dir):
+    from etl_cnc_spark.operators.analytics import SEQ_OBF_C
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) "
+        f"AS BIGINT), user_id % 2, event_type "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    daily = {}
+    for day, grp, et in rows:
+        t, c = daily.get((day, grp), (0, 0))
+        daily[(day, grp)] = (t + 1, c + (et == "purchase"))
+    days = sorted({d for d, _ in daily})
+    n_final = sum(t for t, _ in daily.values())
+    got = {
+        r["day_n"]: r
+        for r in REGISTRY["events_ab_sequential"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(days)
+    na = ca = nb = cb = 0
+    prev_boundary = None
+    for d in days:
+        ta, va = daily.get((d, 0), (0, 0))
+        tb, vb = daily.get((d, 1), (0, 0))
+        na, ca, nb, cb = na + ta, ca + va, nb + tb, cb + vb
+        pool = (ca + cb) / (na + nb)
+        z = (cb / nb - ca / na) / math.sqrt(
+            pool * (1 - pool) * (1 / na + 1 / nb)
+        )
+        boundary = SEQ_OBF_C / math.sqrt((na + nb) / n_final)
+        r = got[d]
+        assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (na, ca, nb, cb)
+        assert abs(r["z"] - z) <= 1e-3
+        assert abs(r["boundary"] - boundary) <= 1e-3
+        assert r["crossed"] == (abs(z) > boundary)
+        # the spending boundary tightens monotonically
+        if prev_boundary is not None:
+            assert r["boundary"] <= prev_boundary + 1e-9
+        prev_boundary = r["boundary"]
+    # final-day boundary equals the constant at full information
+    assert abs(got[days[-1]]["boundary"] - SEQ_OBF_C) <= 1e-3
+
+
+def test_forecast_backtest_matches_python(spark, sf_dir):
+    from etl_cnc_spark.operators.analytics import BACKTEST_LAG
+
+    series = _dense_series(sf_dir)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_forecast_backtest"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(series)
+    for etype, ys in series.items():
+        evals = [
+            (ys[t], ys[t - BACKTEST_LAG], ys[t - 1])
+            for t in range(BACKTEST_LAG, len(ys))
+        ]
+        n = len(evals)
+        mae7 = sum(abs(y - f7) for y, f7, _ in evals) / n
+        mae1 = sum(abs(y - f1) for y, _, f1 in evals) / n
+        bias7 = sum(y - f7 for y, f7, _ in evals) / n
+        smape = (
+            sum(
+                0.0 if y + f7 == 0 else 2 * abs(y - f7) / (y + f7)
+                for y, f7, _ in evals
+            )
+            / n
+        )
+        r = got[etype]
+        assert r["n_evals"] == n
+        assert abs(r["mae7"] - mae7) <= 1e-3
+        assert abs(r["mae1"] - mae1) <= 1e-3
+        assert abs(r["bias7"] - bias7) <= 1e-3
+        assert abs(r["smape7"] - smape) <= 1e-3
+        assert abs(r["skill_vs_naive1"] - (1 - mae7 / mae1)) <= 1e-3
+        assert 0.0 <= r["smape7"] <= 2.0
