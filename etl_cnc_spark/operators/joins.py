@@ -1056,3 +1056,70 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("lev") <= FUZZY_MAX_LEV)
+
+
+# -------------------------------------- sampled cardinality estimate
+
+CARD_SAMPLE_HEX = "0"  # keep rows whose md5 first hex digit matches (1/16)
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 1)
+              = '{CARD_SAMPLE_HEX}'
+    ), est AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sample_join
+        FROM sampled s JOIN orders o ON s.l_orderkey = o.o_orderkey
+    ), exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_exact
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT n_sample_join, n_sample_join * 16 AS n_estimated, n_exact,
+           {sql_q4("abs(CAST(n_sample_join * 16 - n_exact AS DOUBLE))"
+                   " / n_exact")} AS rel_error
+    FROM est CROSS JOIN exact
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by FK-side sampling — the
+    optimizer/capacity-planning probe run BEFORE committing to an
+    expensive join strategy: deterministically sample 1/16 of the
+    fact side (md5 row-hash, the sample_deterministic predicate —
+    pushes to the scan), join the sample against the full dimension
+    side, scale by the inverse sampling rate. Sampling the FK side
+    only keeps the estimator unbiased for key joins (every sampled
+    row finds the same matches it would in the full join); the exact
+    join rides along here so the relative error is itself data.
+
+    At 100 TB this is the difference between a 1/16-cost dry run and
+    a blind shuffle; the same pattern with both sides sampled (and
+    1/p² scaling) covers many-many joins at higher variance."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sampled = li.where(
+        F.substring(F.md5(key), 1, 1) == CARD_SAMPLE_HEX
+    ).select("l_orderkey")
+    est = sampled.join(o, sampled["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample_join")
+    )
+    exact = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sample_join",
+        (F.col("n_sample_join") * 16).alias("n_estimated"),
+        "n_exact",
+        q4(
+            F.abs((F.col("n_sample_join") * 16 - F.col("n_exact")).cast("double"))
+            / F.col("n_exact")
+        ).alias("rel_error"),
+    )

@@ -67,3 +67,22 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _rich(spark, sf_dir).select("c_nationkey")
     b = _auto(spark, sf_dir).select("c_nationkey")
     return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle=f"""
+    SELECT c_nationkey FROM ({_A})
+    INTERSECT ALL
+    SELECT c_nationkey FROM ({_B})
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL on the nationkey multiset — bag semantics
+    completing the §2.7 family next to set_except's EXCEPT ALL:
+    each nationkey survives min(count_A, count_B) times. Planned as
+    one count-per-key aggregate on each side + a join (no row-pair
+    matching), which is the shape that scales."""
+    a = _rich(spark, sf_dir).select("c_nationkey")
+    b = _auto(spark, sf_dir).select("c_nationkey")
+    return a.intersectAll(b)

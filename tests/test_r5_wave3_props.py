@@ -836,3 +836,56 @@ def test_forecast_backtest_matches_python(spark, sf_dir):
         assert abs(r["smape7"] - smape) <= 1e-3
         assert abs(r["skill_vs_naive1"] - (1 - mae7 / mae1)) <= 1e-3
         assert 0.0 <= r["smape7"] <= 2.0
+
+
+def test_intersect_all_bag_semantics(spark, sf_dir):
+    con = duckdb.connect()
+    a = Counter(
+        nk
+        for (nk,) in con.execute(
+            f"SELECT c_nationkey FROM '{sf_dir}/customer.parquet' "
+            "WHERE c_acctbal > 8000"
+        ).fetchall()
+    )
+    b = Counter(
+        nk
+        for (nk,) in con.execute(
+            f"SELECT c_nationkey FROM '{sf_dir}/customer.parquet' "
+            "WHERE c_mktsegment = 'AUTOMOBILE'"
+        ).fetchall()
+    )
+    got = Counter(
+        r["c_nationkey"]
+        for r in REGISTRY["set_intersect_all"].build(spark, sf_dir).collect()
+    )
+    assert got == {k: min(a[k], b[k]) for k in a.keys() & b.keys()
+                   if min(a[k], b[k]) > 0}
+
+
+def test_join_cardinality_estimate_unbiased_shape(spark, sf_dir):
+    import hashlib
+
+    con = duckdb.connect()
+    keys = con.execute(
+        f"SELECT l_orderkey, l_linenumber FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    okeys = {
+        k
+        for (k,) in con.execute(
+            f"SELECT o_orderkey FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    }
+    n_sample = sum(
+        1
+        for ok, ln in keys
+        if hashlib.md5(f"{ok}-{ln}".encode()).hexdigest()[0] == "0"
+        and ok in okeys
+    )
+    n_exact = sum(1 for ok, _ in keys if ok in okeys)
+    row = REGISTRY["join_cardinality_estimate"].build(spark, sf_dir).collect()[0]
+    assert row["n_sample_join"] == n_sample
+    assert row["n_estimated"] == n_sample * 16
+    assert row["n_exact"] == n_exact
+    assert abs(row["rel_error"] - abs(n_sample * 16 - n_exact) / n_exact) <= 1e-3
+    # a 1/16 row sample of an FK join should land within ~25%
+    assert row["rel_error"] < 0.25
