@@ -1496,3 +1496,135 @@ def etl_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_released"),
     )
+
+
+# ---------------------------------------------- reconciliation / privacy
+
+CHECKSUM_MOD = 1 << 62
+
+
+@register(
+    "etl_table_checksum",
+    oracle=f"""
+    WITH canon AS (
+        SELECT CAST(CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|' || o_orderpriority || '|'
+                   || CAST(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                           AS VARCHAR) || '|'
+                   || CAST(o_orderdate AS VARCHAR)), 1, 15)
+               AS UBIGINT) AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT)
+                % {CHECKSUM_MOD} AS BIGINT) AS checksum,
+           CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+    FROM canon
+    """,
+)
+def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the cross-system
+    reconciliation primitive behind every migration cutover: each
+    row canonicalizes to a delimited string of engine-neutral
+    lexemes (integer keys, strings, money as integer cents, dates as
+    ISO text — NEVER raw doubles, whose formatting differs between
+    engines), hashes to a 60-bit md5 integer, and the table digest
+    is the exact SUM of row hashes mod 2^62 — commutative, so two
+    systems can compare digests regardless of partitioning, sort
+    order, or engine, and a single changed row changes the digest.
+
+    Scale: embarrassingly parallel (one projection + one agg with
+    map-side partials); min/max row hashes ride along so a mismatch
+    can be range-bisected to the offending rows — checksum, then
+    binary-search by hash range, the standard reconciliation
+    drill-down."""
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        cents(F.col("o_totalprice")).cast("string"),
+        F.col("o_orderdate").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    rows = o.select(h.alias("h"))
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % CHECKSUM_MOD)
+        .cast("long")
+        .alias("checksum"),
+        F.min("h").cast("long").alias("min_h"),
+        F.max("h").cast("long").alias("max_h"),
+    )
+
+
+@register(
+    "etl_pseudonymize",
+    oracle="""
+    WITH c_tok AS (
+        SELECT substr(md5('cust|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                   AS c_token,
+               c_nationkey
+        FROM customer
+    ), o_tok AS (
+        SELECT substr(md5('cust|' || CAST(o_custkey AS VARCHAR)), 1, 16)
+                   AS o_token
+        FROM orders
+    ), joined AS (
+        SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM o_tok o JOIN c_tok c ON o.o_token = c.c_token
+        GROUP BY c.c_nationkey
+    ), raw AS (
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders_raw
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_nationkey
+    )
+    SELECT j.c_nationkey AS nationkey, j.n_orders, r.n_orders_raw,
+           j.n_orders = r.n_orders_raw AS integrity_ok
+    FROM joined j JOIN raw r ON j.c_nationkey = r.c_nationkey
+    """,
+)
+def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization — the privacy transform between
+    etl_k_anonymity (generalize) and etl_gdpr_delete (erase): the
+    customer key is replaced by a keyed-hash token IDENTICALLY in
+    every table that carries it, so referential integrity survives
+    tokenization (analysts join on tokens; the raw key never leaves
+    the trust boundary — in production the '|'-salted md5 becomes a
+    secret-keyed HMAC, same plan). The output is the integrity
+    audit itself: per nation, order counts joined via tokens must
+    equal the raw-key join, and the equality flag is hash-verified.
+
+    Scale: tokenization is a per-row scalar (pushes through the
+    scan); the token join shuffles exactly like the raw-key join it
+    replaces — pseudonymization adds zero shuffle structure."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+
+    def token(col):
+        return F.substring(
+            F.md5(F.concat_ws("|", F.lit("cust"), col.cast("string"))), 1, 16
+        )
+
+    c_tok = c.select(token(F.col("c_custkey")).alias("c_token"), "c_nationkey")
+    o_tok = o.select(token(F.col("o_custkey")).alias("o_token"))
+    joined = (
+        o_tok.join(c_tok, o_tok["o_token"] == c_tok["c_token"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    raw = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_raw"))
+    )
+    return joined.join(raw, "c_nationkey").select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n_orders",
+        "n_orders_raw",
+        (F.col("n_orders") == F.col("n_orders_raw")).alias("integrity_ok"),
+    )

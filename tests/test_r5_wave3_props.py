@@ -889,3 +889,46 @@ def test_join_cardinality_estimate_unbiased_shape(spark, sf_dir):
     assert abs(row["rel_error"] - abs(n_sample * 16 - n_exact) / n_exact) <= 1e-3
     # a 1/16 row sample of an FK join should land within ~25%
     assert row["rel_error"] < 0.25
+
+
+def test_table_checksum_matches_python_and_detects_change(spark, sf_dir):
+    import hashlib
+
+    from etl_cnc_spark.operators.etl import CHECKSUM_MOD
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, "
+        f"o_totalprice, CAST(o_orderdate AS VARCHAR) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    hs = []
+    for ok, ck, st, pri, tp, d in rows:
+        canon = f"{ok}|{ck}|{st}|{pri}|{math.floor(tp * 100 + 0.5)}|{d}"
+        hs.append(int(hashlib.md5(canon.encode()).hexdigest()[:15], 16))
+    r = REGISTRY["etl_table_checksum"].build(spark, sf_dir).collect()[0]
+    assert r["n_rows"] == len(hs)
+    assert r["checksum"] == sum(hs) % CHECKSUM_MOD
+    assert r["min_h"] == min(hs) and r["max_h"] == max(hs)
+    # sensitivity: perturbing ONE row's amount must change the digest
+    altered = sum(hs) - hs[0] + int(
+        hashlib.md5(b"perturbed-row").hexdigest()[:15], 16
+    )
+    assert altered % CHECKSUM_MOD != r["checksum"]
+
+
+def test_pseudonymize_preserves_referential_integrity(spark, sf_dir):
+    got = REGISTRY["etl_pseudonymize"].build(spark, sf_dir).collect()
+    con = duckdb.connect()
+    raw = dict(
+        con.execute(
+            f"SELECT c_nationkey, count(*) "
+            f"FROM '{sf_dir}/orders.parquet' o "
+            f"JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey "
+            f"GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r["nationkey"] for r in got} == set(raw)
+    for r in got:
+        assert r["integrity_ok"]  # the headline guarantee
+        assert r["n_orders"] == r["n_orders_raw"] == raw[r["nationkey"]]

@@ -135,6 +135,22 @@ EXTRA_KEYS = [
     "embed_norm_stats",
     "embed_centroid_inertia",
     "sql_entry_lateral",
+    # r5 wave 4: the one-pass PIT window (must be ONE shuffle on
+    # user_id), the recursive-CTE UnionLoop, the iterative k-core
+    # semi-joins, the scan-pushed sampling estimate, and the
+    # bounded-grid sequential-test windows
+    "ml_point_in_time_features",
+    "sql_entry_recursive",
+    "graph_kcore",
+    "join_cardinality_estimate",
+    "events_ab_sequential",
+    "events_forecast_backtest",
+    "events_decay_counter",
+    "win_gaps_islands",
+    "agg_equidepth_histogram",
+    "etl_dp_release",
+    "stream_topk_windowed",
+    "set_intersect_all",
 ]
 
 
