@@ -2843,3 +2843,303 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("sa7").cast("double") / F.col("sa1")
         ).alias("skill_vs_naive1"),
     )
+
+
+# --------------------------------------------- financial dedup / causal
+
+DUP_PAY_PCT = 20  # amounts within 5% (cross-multiplied: diff*20 <= amt)
+DUP_PAY_DAYS = 14
+
+
+@register(
+    "orders_duplicate_payments",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS day_n
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_diff,
+           CAST(abs(a.day_n - b.day_n) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(a.cents - b.cents) * {DUP_PAY_PCT} <= a.cents
+      AND abs(a.day_n - b.day_n) <= {DUP_PAY_DAYS}
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the fintech fraud/error screen:
+    pairs of orders from the SAME customer whose amounts agree
+    within 5% and whose dates fall within 14 days. The numeric/
+    temporal-proximity sibling of join_fuzzy_names: here the
+    blocking key is the customer (the only equi-component), and the
+    tolerance predicates run inside each customer's block.
+
+    All-integer predicates: 5%-proximity as cross-multiplied cents
+    (|Δ|·100 ≤ amount — no float epsilon to disagree on), date
+    proximity on day numbers. Scale: candidate pairs ∝ Σ per-
+    customer-order-count², bounded in practice (payments per payer);
+    for pathological payers the amount-bucket second blocking key
+    (join on cents DIV bucket ± 1) drops in as one more equi-join
+    column — documented, not needed at fixture skew."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_n"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            (
+                F.abs(F.col("a.cents") - F.col("b.cents")) * DUP_PAY_PCT
+                <= F.col("a.cents")
+            )
+            & (F.abs(F.col("a.day_n") - F.col("b.day_n")) <= DUP_PAY_DAYS)
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+            F.abs(F.col("a.cents") - F.col("b.cents"))
+            .cast("long")
+            .alias("cents_diff"),
+            F.abs(F.col("a.day_n") - F.col("b.day_n"))
+            .cast("long")
+            .alias("days_apart"),
+        )
+    )
+
+
+DID_SPLIT = "2024-01-16"  # pre = before, post = from this date
+
+
+@register(
+    "events_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id % 2 AS grp,
+               CASE WHEN CAST(ts AS DATE) < DATE '{DID_SPLIT}' THEN 0
+                    ELSE 1 END AS period,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), m AS (
+        SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+        FROM cells GROUP BY grp, period
+    ), wide AS (
+        SELECT
+          (SELECT n FROM m WHERE grp=0 AND period=0) AS n_a0,
+          (SELECT s1 FROM m WHERE grp=0 AND period=0) AS s_a0,
+          (SELECT s2 FROM m WHERE grp=0 AND period=0) AS q_a0,
+          (SELECT n FROM m WHERE grp=0 AND period=1) AS n_a1,
+          (SELECT s1 FROM m WHERE grp=0 AND period=1) AS s_a1,
+          (SELECT s2 FROM m WHERE grp=0 AND period=1) AS q_a1,
+          (SELECT n FROM m WHERE grp=1 AND period=0) AS n_b0,
+          (SELECT s1 FROM m WHERE grp=1 AND period=0) AS s_b0,
+          (SELECT s2 FROM m WHERE grp=1 AND period=0) AS q_b0,
+          (SELECT n FROM m WHERE grp=1 AND period=1) AS n_b1,
+          (SELECT s1 FROM m WHERE grp=1 AND period=1) AS s_b1,
+          (SELECT s2 FROM m WHERE grp=1 AND period=1) AS q_b1
+    )
+    SELECT n_a0, n_a1, n_b0, n_b1,
+           {sql_q4("CAST(s_a0 AS DOUBLE)/n_a0/100")} AS mean_a_pre,
+           {sql_q4("CAST(s_a1 AS DOUBLE)/n_a1/100")} AS mean_a_post,
+           {sql_q4("CAST(s_b0 AS DOUBLE)/n_b0/100")} AS mean_b_pre,
+           {sql_q4("CAST(s_b1 AS DOUBLE)/n_b1/100")} AS mean_b_post,
+           {sql_q4("(CAST(s_b1 AS DOUBLE)/n_b1 - CAST(s_b0 AS DOUBLE)/n_b0"
+                   " - (CAST(s_a1 AS DOUBLE)/n_a1"
+                   "    - CAST(s_a0 AS DOUBLE)/n_a0)) / 100")} AS did,
+           {sql_q4("sqrt("
+                   " (CAST(q_a0 AS DOUBLE) - CAST(s_a0 AS DOUBLE)/n_a0*s_a0)"
+                   "   / (n_a0 - 1) / n_a0"
+                   " + (CAST(q_a1 AS DOUBLE) - CAST(s_a1 AS DOUBLE)/n_a1*s_a1)"
+                   "   / (n_a1 - 1) / n_a1"
+                   " + (CAST(q_b0 AS DOUBLE) - CAST(s_b0 AS DOUBLE)/n_b0*s_b0)"
+                   "   / (n_b0 - 1) / n_b0"
+                   " + (CAST(q_b1 AS DOUBLE) - CAST(s_b1 AS DOUBLE)/n_b1*s_b1)"
+                   "   / (n_b1 - 1) / n_b1) / 100")} AS se_did
+    FROM wide
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference staple the
+    experimentation family lacked: mean event value per
+    (cohort × pre/post) cell, DiD = (B_post−B_pre) − (A_post−A_pre),
+    with the four-cell pooled standard error. The estimator removes
+    both the stable group difference and the common time shock —
+    what an A/B readout cannot do when assignment wasn't random in
+    time.
+
+    Everything reduces to 12 integers (n, Σ, Σ² per cell — Σ² as
+    int128), so the whole analysis is ONE data-sized hash aggregate
+    and a fixed-shape scalar epilogue; the same sufficient-statistic
+    discipline as events_ab_test, extended to variance terms."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    c = cents(F.col("value"))
+    cells = e.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.col("ts").cast("date") < F.lit(DID_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        c.alias("cents"),
+    )
+    m = cells.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias("s2"),
+    )
+
+    def cell(g, p, col):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
+        )
+
+    wide = m.agg(
+        *[
+            cell(g, p, col).alias(f"{name}_{'ab'[g]}{p}")
+            for g in (0, 1)
+            for p in (0, 1)
+            for col, name in (("n", "n"), ("s1", "s"), ("s2", "q"))
+        ]
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    var_term = (
+        lambda q, s, n: (
+            F.col(q).cast("double") - F.col(s).cast("double") / F.col(n) * F.col(s)
+        )
+        / (F.col(n) - 1)
+        / F.col(n)
+    )  # noqa: E731
+    did = (
+        mean("s_b1", "n_b1")
+        - mean("s_b0", "n_b0")
+        - (mean("s_a1", "n_a1") - mean("s_a0", "n_a0"))
+    ) / 100
+    se = (
+        F.sqrt(
+            var_term("q_a0", "s_a0", "n_a0")
+            + var_term("q_a1", "s_a1", "n_a1")
+            + var_term("q_b0", "s_b0", "n_b0")
+            + var_term("q_b1", "s_b1", "n_b1")
+        )
+        / 100
+    )
+    return wide.select(
+        "n_a0",
+        "n_a1",
+        "n_b0",
+        "n_b1",
+        q4(mean("s_a0", "n_a0") / 100).alias("mean_a_pre"),
+        q4(mean("s_a1", "n_a1") / 100).alias("mean_a_post"),
+        q4(mean("s_b0", "n_b0") / 100).alias("mean_b_pre"),
+        q4(mean("s_b1", "n_b1") / 100).alias("mean_b_post"),
+        q4(did).alias("did"),
+        q4(se).alias("se_did"),
+    )
+
+
+POWER_Z_ALPHA = 1.96  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.8416  # power = 0.80
+POWER_MDE_REL = 0.05  # minimum detectable effect: 5% of the mean
+
+
+@register(
+    "events_power_analysis",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s1,
+               CAST(sum(CAST(CAST(floor(value*100 + 0.5) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(floor(value*100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS s2
+        FROM events GROUP BY event_type
+    ), m AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1) / (n - 1)
+                   AS var
+        FROM s
+    )
+    SELECT event_type, n, {sql_q4("mu / 100")} AS mean_value,
+           {sql_q4("sqrt(var) / 100")} AS sd_value,
+           {sql_q4("sqrt(var) / mu")} AS cv,
+           CAST(ceil(2.0 * var
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                / (({POWER_MDE_REL} * mu) * ({POWER_MDE_REL} * mu)))
+                AS BIGINT) AS n_per_arm,
+           CAST(ceil(CAST(ceil(2.0 * var
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                / (({POWER_MDE_REL} * mu) * ({POWER_MDE_REL} * mu)))
+                AS DOUBLE) * 2.0 / n) AS BIGINT) AS runs_needed
+    FROM m
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori power analysis from observed moments — the third leg
+    of the experimentation family (events_ab_test reads out,
+    events_ab_sequential monitors, THIS sizes the next test): per
+    event_type, the per-arm sample size n = 2σ²(z_α+z_β)²/δ² to
+    detect a 5%-of-mean effect at 80% power, plus how many runs of
+    the current daily volume that takes.
+
+    Variance comes from the same exact integer moment sums as
+    events_ab_test's conversions (Σ, Σ² with an int128 accumulator),
+    so the sizing is one data-sized hash aggregate and a scalar
+    epilogue — the planning query costs nothing beyond the
+    dashboard it already powers."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    c = cents(F.col("value"))
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s1"),
+        F.sum(c.cast(dec) * c.cast(dec)).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+    ) / (F.col("n") - 1)
+    zsum = POWER_Z_ALPHA + POWER_Z_BETA
+    n_per_arm = F.ceil(
+        F.lit(2.0)
+        * var
+        * F.lit(zsum)
+        * F.lit(zsum)
+        / ((F.lit(POWER_MDE_REL) * mu) * (F.lit(POWER_MDE_REL) * mu))
+    ).cast("long")
+    return s.select(
+        "event_type",
+        "n",
+        q4(mu / 100).alias("mean_value"),
+        q4(F.sqrt(var) / 100).alias("sd_value"),
+        q4(F.sqrt(var) / mu).alias("cv"),
+        n_per_arm.alias("n_per_arm"),
+        F.ceil(n_per_arm.cast("double") * 2.0 / F.col("n"))
+        .cast("long")
+        .alias("runs_needed"),
+    )

@@ -932,3 +932,102 @@ def test_pseudonymize_preserves_referential_integrity(spark, sf_dir):
     for r in got:
         assert r["integrity_ok"]  # the headline guarantee
         assert r["n_orders"] == r["n_orders_raw"] == raw[r["nationkey"]]
+
+
+def test_duplicate_payments_matches_python_scan(spark, sf_dir):
+    from etl_cnc_spark.operators.analytics import DUP_PAY_DAYS, DUP_PAY_PCT
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey, o_orderkey, o_totalprice, "
+        f"datediff('day', DATE '1970-01-01', o_orderdate) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    by_cust = {}
+    for ck, ok, tp, dn in rows:
+        by_cust.setdefault(ck, []).append((ok, math.floor(tp * 100 + 0.5), dn))
+    expect = {}
+    for ck, lst in by_cust.items():
+        for i, (ka, ca, da) in enumerate(lst):
+            for kb, cb, db in lst[i + 1 :]:
+                a, b = (ka, ca, da), (kb, cb, db)
+                if a[0] > b[0]:
+                    a, b = b, a
+                if abs(a[1] - b[1]) * DUP_PAY_PCT <= a[1] and abs(a[2] - b[2]) <= DUP_PAY_DAYS:
+                    expect[(a[0], b[0])] = (ck, abs(a[1] - b[1]), abs(a[2] - b[2]))
+    got = REGISTRY["orders_duplicate_payments"].build(spark, sf_dir).collect()
+    assert {(r["key_a"], r["key_b"]) for r in got} == set(expect)
+    for r in got:
+        ck, cd, dd = expect[(r["key_a"], r["key_b"])]
+        assert r["custkey"] == ck
+        assert r["cents_diff"] == cd and r["days_apart"] == dd
+        assert r["cents_diff"] * DUP_PAY_PCT <= max(r["cents_a"], r["cents_b"])
+
+
+def test_diff_in_diff_matches_python_cells(spark, sf_dir):
+    from datetime import date
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, CAST(ts AS DATE), value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    split = date(2024, 1, 16)
+    cells = {}
+    for uid, d, v in rows:
+        key = (uid % 2, 0 if d < split else 1)
+        c = math.floor(v * 100 + 0.5)
+        n, s1, s2 = cells.get(key, (0, 0, 0))
+        cells[key] = (n + 1, s1 + c, s2 + c * c)
+    mean = {k: s1 / n / 100 for k, (n, s1, _) in cells.items()}
+    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    se2 = 0.0
+    for k, (n, s1, s2) in cells.items():
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        se2 += var / n
+    se = math.sqrt(se2) / 100
+    r = REGISTRY["events_diff_in_diff"].build(spark, sf_dir).collect()[0]
+    assert (r["n_a0"], r["n_a1"]) == (cells[(0, 0)][0], cells[(0, 1)][0])
+    assert (r["n_b0"], r["n_b1"]) == (cells[(1, 0)][0], cells[(1, 1)][0])
+    assert abs(r["mean_a_pre"] - mean[(0, 0)]) <= 1e-3
+    assert abs(r["mean_b_post"] - mean[(1, 1)]) <= 1e-3
+    assert abs(r["did"] - did) <= 1e-3
+    assert abs(r["se_did"] - se) <= 1e-3
+    # arms split by user-hash: with random assignment DiD ~ 0
+    assert abs(r["did"]) <= 5 * r["se_did"]
+
+
+def test_power_analysis_matches_python_formula(spark, sf_dir):
+    from etl_cnc_spark.operators.analytics import (
+        POWER_MDE_REL,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    groups = {}
+    for et, v in rows:
+        groups.setdefault(et, []).append(math.floor(v * 100 + 0.5))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_power_analysis"].build(spark, sf_dir).collect()
+    }
+    for et, xs in groups.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        var = (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1)
+        zsum = POWER_Z_ALPHA + POWER_Z_BETA
+        req = math.ceil(2 * var * zsum * zsum / ((POWER_MDE_REL * mu) ** 2))
+        r = got[et]
+        assert r["n"] == n
+        assert abs(r["mean_value"] - mu / 100) <= 1e-3
+        assert abs(r["cv"] - math.sqrt(var) / mu) <= 1e-3
+        assert r["n_per_arm"] == req
+        assert r["runs_needed"] == math.ceil(req * 2 / n)
+        # the sizing formula is scale-free in the value unit: n ∝ cv²
+        assert abs(
+            r["n_per_arm"]
+            - math.ceil(2 * (zsum / POWER_MDE_REL) ** 2 * (var / mu ** 2))
+        ) <= 1
