@@ -3143,3 +3143,114 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("runs_needed"),
     )
+
+
+MIX_SPLIT = "2024-01-16"  # period 0 = before, period 1 = from this date
+
+
+@register(
+    "events_mix_shift",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '{MIX_SPLIT}' THEN 0
+                    ELSE 1 END AS period,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT period, CAST(sum(n) AS BIGINT) AS n_tot
+        FROM cells GROUP BY period
+    ), wide AS (
+        SELECT c0.event_type,
+               c0.n AS n0, c1.n AS n1,
+               CAST(c0.n AS DOUBLE) / t0.n_tot AS share0,
+               CAST(c1.n AS DOUBLE) / t1.n_tot AS share1,
+               CAST(c0.cents AS DOUBLE) / c0.n / 100 AS rate0,
+               CAST(c1.cents AS DOUBLE) / c1.n / 100 AS rate1
+        FROM cells c0
+        JOIN cells c1 ON c0.event_type = c1.event_type
+        JOIN tot t0 ON t0.period = 0 JOIN tot t1 ON t1.period = 1
+        WHERE c0.period = 0 AND c1.period = 1
+    )
+    SELECT event_type, n0, n1,
+           {sql_q4("share0")} AS share0, {sql_q4("share1")} AS share1,
+           {sql_q4("rate0")} AS rate0, {sql_q4("rate1")} AS rate1,
+           {sql_q4("(share1 - share0) * rate0")} AS mix_effect,
+           {sql_q4("share1 * (rate1 - rate0)")} AS rate_effect,
+           {sql_q4("share1 * rate1 - share0 * rate0")} AS total_effect
+    FROM wide
+    """,
+)
+def events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition (Oaxaca-style) of the average event
+    value between the two halves of the month: per event_type, the
+    change in its contribution splits EXACTLY into a mix effect
+    (share moved, old rate held: (s₁−s₀)·r₀) and a rate effect (new
+    share, rate moved: s₁·(r₁−r₀)) — the "did the metric move
+    because behavior changed or because the traffic mix changed"
+    question every metrics review asks, answered additively
+    (mix + rate = total per type, Σ total = overall Δ).
+
+    One data-sized hash aggregate to (type × period); shares, rates,
+    and effects are a broadcast-joined scalar epilogue on the
+    bounded type grid — same sufficient-statistic shape as
+    events_diff_in_diff with the decomposition algebra on top."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.lit(MIX_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents(F.col("value"))).cast("long").alias("cents"),
+    )
+    tot = cells.groupBy("period").agg(F.sum("n").cast("long").alias("n_tot"))
+    c0 = cells.where(F.col("period") == 0).select(
+        "event_type", F.col("n").alias("n0"), F.col("cents").alias("cents0")
+    )
+    c1 = cells.where(F.col("period") == 1).select(
+        "event_type", F.col("n").alias("n1"), F.col("cents").alias("cents1")
+    )
+    t0 = tot.where(F.col("period") == 0).select(
+        F.col("n_tot").alias("nt0")
+    )
+    t1 = tot.where(F.col("period") == 1).select(
+        F.col("n_tot").alias("nt1")
+    )
+    wide = (
+        c0.join(c1, "event_type")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            (F.col("n0").cast("double") / F.col("nt0")).alias("share0"),
+            (F.col("n1").cast("double") / F.col("nt1")).alias("share1"),
+            (F.col("cents0").cast("double") / F.col("n0") / 100).alias("rate0"),
+            (F.col("cents1").cast("double") / F.col("n1") / 100).alias("rate1"),
+        )
+    )
+    return wide.select(
+        "event_type",
+        "n0",
+        "n1",
+        q4(F.col("share0")).alias("share0"),
+        q4(F.col("share1")).alias("share1"),
+        q4(F.col("rate0")).alias("rate0"),
+        q4(F.col("rate1")).alias("rate1"),
+        q4((F.col("share1") - F.col("share0")) * F.col("rate0")).alias(
+            "mix_effect"
+        ),
+        q4(F.col("share1") * (F.col("rate1") - F.col("rate0"))).alias(
+            "rate_effect"
+        ),
+        q4(
+            F.col("share1") * F.col("rate1") - F.col("share0") * F.col("rate0")
+        ).alias("total_effect"),
+    )

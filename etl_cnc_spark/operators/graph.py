@@ -708,3 +708,118 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         survived.cast("long").alias("rounds_survived"),
         F.col(f"s{KCORE_ROUNDS}").isNotNull().alias("in_core"),
     )
+
+
+# ------------------------------------------- deterministic random walk
+
+WALK_STEPS = 3
+
+
+def _walk_oracle() -> str:
+    sql = f"""
+    WITH all_edges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM all_edges WHERE u <> v
+    ),
+    sym AS MATERIALIZED (
+        SELECT a AS n, b AS m FROM und UNION ALL SELECT b, a FROM und
+    ),
+    w0 AS (SELECT DISTINCT n AS start, n AS cur FROM sym)
+    """
+    prev = "w0"
+    for i in range(1, WALK_STEPS + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT w.start, s.m AS nxt,
+               row_number() OVER (
+                   PARTITION BY w.start
+                   ORDER BY CAST(CAST('0x' || substr(md5(
+                       CAST(w.start AS VARCHAR) || ':{i}:'
+                       || CAST(s.m AS VARCHAR)), 1, 6)
+                     AS UBIGINT) AS BIGINT), s.m) AS rk
+        FROM {prev} w JOIN sym s ON s.n = w.cur
+    ),
+    w{i} AS (SELECT start, nxt AS cur FROM c{i} WHERE rk = 1)"""
+        prev = f"w{i}"
+    hops = ", ".join(
+        f"w{i}.cur AS hop{i}" for i in range(1, WALK_STEPS + 1)
+    )
+    joins = "\n    ".join(
+        f"JOIN w{i} ON w{i}.start = w0.start"
+        for i in range(1, WALK_STEPS + 1)
+    )
+    return sql + f"""
+    SELECT DISTINCT w0.start AS node, {hops}
+    FROM w0
+    {joins}
+    """
+
+
+@register(
+    "graph_random_walk",
+    oracle=_walk_oracle(),
+    notes="hash-seeded deterministic walk: the node2vec/GraphSAGE "
+    "sampling primitive made exactly reproducible.",
+)
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' walks over the undirected trade graph
+    — the sampling primitive under node2vec / DeepWalk / GraphSAGE
+    neighborhoods: from every node, a 3-step walk whose step choice
+    is a keyed hash over (start, step, candidate) instead of an RNG
+    draw. Determinism is not a test convenience, it IS the
+    production property: re-running the sampler yields the same
+    walks (reproducible training corpus), and no RNG state needs
+    coordinating across 1000 executors.
+
+    Each step is one join frontier→neighbors + a per-start rank —
+    walk length L costs L shuffles on the vertex id regardless of
+    graph size, and all walks advance TOGETHER in each round (batch
+    frontier, not per-walk loops)."""
+    edges = trade_edges(spark, sf_dir).where(F.col("u") != F.col("v"))
+    und = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    sym = (
+        und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .cache()
+    )
+    walk = sym.select("n").distinct().select(
+        F.col("n").alias("start"), F.col("n").alias("cur")
+    )
+    hops = []
+    for i in range(1, WALK_STEPS + 1):
+        cand = walk.join(sym, walk["cur"] == sym["n"]).select(
+            "start", F.col("m").alias("nxt")
+        )
+        hkey = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.col("start").cast("string"),
+                        F.lit(f":{i}:"),
+                        F.col("nxt").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        wrk = Window.partitionBy("start").orderBy(hkey, F.col("nxt"))
+        walk = (
+            cand.withColumn("rk", F.row_number().over(wrk))
+            .where(F.col("rk") == 1)
+            .select("start", F.col("nxt").alias("cur"))
+        )
+        hops.append(walk.select("start", F.col("cur").alias(f"hop{i}")))
+    out = sym.select(F.col("n").alias("start")).distinct()
+    for h in hops:
+        out = out.join(h, "start")
+    return out.select(
+        F.col("start").alias("node"),
+        *[f"hop{i}" for i in range(1, WALK_STEPS + 1)],
+    ).distinct()

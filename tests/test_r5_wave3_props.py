@@ -1031,3 +1031,89 @@ def test_power_analysis_matches_python_formula(spark, sf_dir):
             r["n_per_arm"]
             - math.ceil(2 * (zsum / POWER_MDE_REL) ** 2 * (var / mu ** 2))
         ) <= 1
+
+
+def test_random_walk_matches_python_replay(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    from etl_cnc_spark.operators.graph import WALK_STEPS
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey),
+                        greatest(c.c_nationkey, s.s_nationkey)
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    """).fetchall()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for start in adj:
+        cur = start
+        hops = []
+        for i in range(1, WALK_STEPS + 1):
+            nxt = min(
+                adj[cur],
+                key=lambda m: (
+                    int(hashlib.md5(f"{start}:{i}:{m}".encode()).hexdigest()[:6], 16),
+                    m,
+                ),
+            )
+            hops.append(nxt)
+            cur = nxt
+        expect[start] = tuple(hops)
+    got = {
+        r["node"]: tuple(r[f"hop{i}"] for i in range(1, WALK_STEPS + 1))
+        for r in REGISTRY["graph_random_walk"].build(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # every hop is an actual neighbor of its predecessor
+    for start, hops in got.items():
+        cur = start
+        for h in hops:
+            assert h in adj[cur]
+            cur = h
+
+
+def test_mix_shift_decomposition_adds_up(spark, sf_dir):
+    from datetime import date
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(ts AS DATE), value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    split = date(2024, 1, 16)
+    cells = {}
+    for et, d, v in rows:
+        p = 0 if d < split else 1
+        n, s = cells.get((et, p), (0, 0))
+        cells[(et, p)] = (n + 1, s + math.floor(v * 100 + 0.5))
+    nt = {p: sum(n for (et, pp), (n, _) in cells.items() if pp == p) for p in (0, 1)}
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_mix_shift"].build(spark, sf_dir).collect()
+    }
+    total = 0.0
+    overall = {}
+    for p in (0, 1):
+        s_all = sum(s for (et, pp), (_, s) in cells.items() if pp == p)
+        overall[p] = s_all / nt[p] / 100
+    for et, r in got.items():
+        n0, s0 = cells[(et, 0)]
+        n1, s1 = cells[(et, 1)]
+        share0, share1 = n0 / nt[0], n1 / nt[1]
+        rate0, rate1 = s0 / n0 / 100, s1 / n1 / 100
+        assert abs(r["mix_effect"] - (share1 - share0) * rate0) <= 1e-3
+        assert abs(r["rate_effect"] - share1 * (rate1 - rate0)) <= 1e-3
+        assert abs(r["total_effect"] - (share1 * rate1 - share0 * rate0)) <= 1e-3
+        # exact additivity per type
+        assert abs(r["mix_effect"] + r["rate_effect"] - r["total_effect"]) <= 2e-3
+        total += r["total_effect"]
+    # the per-type totals sum to the overall average-value change
+    assert abs(total - (overall[1] - overall[0])) <= 1e-2
