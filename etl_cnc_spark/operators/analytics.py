@@ -2418,10 +2418,20 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     by year with carried (l, b) state — same fold, same plan."""
     a, b = float(HOLT_A), float(HOLT_B)
     dense = _ts_dense(spark, sf_dir)
-    ser = dense.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("t"), F.col("y").cast("double").alias("y")))
-        ).alias("arr")
+    # Holt needs two points to initialize (lvl=y0, tr=y1-y0); the
+    # oracle's init CTE inner-joins t=0 with t=1, so a single-day
+    # series emits nothing there — match that here rather than
+    # emitting NULL-valued forecast rows.
+    ser = (
+        dense.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("t"), F.col("y").cast("double").alias("y"))
+                )
+            ).alias("arr")
+        )
+        .where(F.size(F.col("arr")) >= 2)
     )
     y0 = F.element_at(F.col("arr"), 1)["y"]
     y1 = F.element_at(F.col("arr"), 2)["y"]
@@ -2868,7 +2878,7 @@ DUP_PAY_DAYS = 14
            CAST(abs(a.day_n - b.day_n) AS BIGINT) AS days_apart
     FROM o a JOIN o b
       ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
-    WHERE abs(a.cents - b.cents) * {DUP_PAY_PCT} <= a.cents
+    WHERE abs(a.cents - b.cents) * {DUP_PAY_PCT} <= least(a.cents, b.cents)
       AND abs(a.day_n - b.day_n) <= {DUP_PAY_DAYS}
     """,
 )
@@ -2881,7 +2891,9 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance predicates run inside each customer's block.
 
     All-integer predicates: 5%-proximity as cross-multiplied cents
-    (|Δ|·100 ≤ amount — no float epsilon to disagree on), date
+    (|Δ|·20 ≤ min(amount_a, amount_b) — symmetric, so the verdict
+    cannot flip on which duplicate drew the smaller surrogate key,
+    and no float epsilon to disagree on), date
     proximity on day numbers. Scale: candidate pairs ∝ Σ per-
     customer-order-count², bounded in practice (payments per payer);
     for pathological payers the amount-bucket second blocking key
@@ -2905,7 +2917,7 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (
                 F.abs(F.col("a.cents") - F.col("b.cents")) * DUP_PAY_PCT
-                <= F.col("a.cents")
+                <= F.least(F.col("a.cents"), F.col("b.cents"))
             )
             & (F.abs(F.col("a.day_n") - F.col("b.day_n")) <= DUP_PAY_DAYS)
         )

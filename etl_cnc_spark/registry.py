@@ -56,16 +56,19 @@ REGISTRY: dict[str, QueryDef] = {}
 # agg_bloom_membership, events_autocorr, events_changepoint,
 # events_holt, join_fuzzy_names, etl_survivorship, sql_entry_lateral,
 # text_vocab_growth, text_token_entropy, embed_norm_stats,
-# embed_centroid_inertia).  Wave 4+ added 12 more
+# embed_centroid_inertia).  Wave 4+ added 17 more
 # (win_gaps_islands, graph_kcore, events_decay_counter,
 # ml_point_in_time_features, sql_entry_recursive,
 # stream_topk_windowed, etl_dp_release, agg_equidepth_histogram,
 # events_ab_sequential, events_forecast_backtest, set_intersect_all,
-# join_cardinality_estimate), so 64 never-checked keys remain after
-# the r5 sweep.  Plan: r6 window = first 50 in registry order
-# (`python tools/next_window.py` prints them), r7 mini-window = the
-# last 14 plus re-verify slots.  Run `python tools/preflight.py`
-# before rotating (catches driver-canonicalization traps).
+# join_cardinality_estimate, orders_duplicate_payments,
+# events_diff_in_diff, events_power_analysis, events_mix_shift,
+# graph_random_walk), so 69+ never-checked keys remain after the r5
+# sweep (plus any late-r5 additions).  Plan: r6 window = first 50 in
+# registry order (`python tools/next_window.py` prints them), r7
+# window = the remainder plus re-verify slots.  Run
+# `python tools/preflight.py` before rotating (catches
+# driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [
     # re-verify after the q8 array-column -> comma-joined-string fix
     # (r4's only red row: the driver's canonicalizer cannot

@@ -252,7 +252,7 @@ def test_stream_restart_resumes_from_checkpoint(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "availableNow query timed out"
 
     e.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
     run_once()

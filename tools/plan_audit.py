@@ -151,6 +151,12 @@ EXTRA_KEYS = [
     "etl_dp_release",
     "stream_topk_windowed",
     "set_intersect_all",
+    # financial-dedup / causal / graph-walk wave
+    "orders_duplicate_payments",
+    "events_diff_in_diff",
+    "events_power_analysis",
+    "events_mix_shift",
+    "graph_random_walk",
 ]
 
 
