@@ -1215,3 +1215,128 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_entropy"),
         q4(F.col("simpson")).alias("simpson"),
     )
+
+
+# -------------------------------------------- preference-pair curation
+
+@register(
+    "pipeline_preference_pairs",
+    oracle="""
+    WITH scored AS (
+        SELECT source, lang, doc_id,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) * 1000000000000
+                 + n_chars * 10000000 + doc_id AS score
+        FROM documents
+    ), grp AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               arg_max(doc_id, score) AS chosen_doc,
+               arg_min(doc_id, score) AS rejected_doc,
+               max(score) AS chosen_score, min(score) AS rejected_score
+        FROM scored GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, chosen_doc, rejected_doc,
+           chosen_score, rejected_score
+    FROM grp WHERE n_docs >= 2
+    """,
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF data-prep step: in
+    each candidate pool (here (source, lang), standing in for "N
+    sampled responses to one prompt") pick the best- and worst-scored
+    document as the (chosen, rejected) pair. Scoring is a
+    deterministic composite (distinct-token count, then length, then
+    doc_id as the final tiebreak) packed into ONE comparable BIGINT,
+    which is the trick that keeps the whole selection a plain
+    max_by/min_by hash aggregate: no window, no sort, one shuffle on
+    the pool key, mergeable partials — at 100 TB the pair extraction
+    costs the same as a count per pool. Pools with a single candidate
+    cannot form a pair and are dropped (n_docs >= 2)."""
+    d = table(spark, sf_dir, "documents")
+    score = (
+        F.size(F.array_distinct(F.split("text", " "))).cast("long")
+        * F.lit(1000000000000).cast("long")
+        + F.col("n_chars") * F.lit(10000000).cast("long")
+        + F.col("doc_id")
+    )
+    scored = d.select("source", "lang", "doc_id", score.alias("score"))
+    return (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max_by("doc_id", "score").alias("chosen_doc"),
+            F.min_by("doc_id", "score").alias("rejected_doc"),
+            F.max("score").alias("chosen_score"),
+            F.min("score").alias("rejected_score"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "source", "lang", "n_docs", "chosen_doc", "rejected_doc",
+            "chosen_score", "rejected_score",
+        )
+    )
+
+
+# -------------------------------------------- tokenizer fertility
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH base AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               n_chars,
+               CAST(strlen(text) AS BIGINT) AS bytes
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           floor(CAST(sum(n_chars) AS DOUBLE) / sum(toks) * 10000 + 0.5)
+             / 10000.0 AS chars_per_token,
+           floor(CAST(sum(bytes) AS DOUBLE) / sum(toks) * 10000 + 0.5)
+             / 10000.0 AS bytes_per_token,
+           floor(CAST(sum(toks) AS DOUBLE) / sum(n_chars) * 10000 + 0.5)
+             / 10000.0 AS fertility
+    FROM base GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility accounting per language — the budgeting
+    number every multilingual training mix is planned around: tokens
+    per char (fertility), chars per token, and bytes per token.  A
+    language whose tokenizer fertility is 2x pays 2x the compute for
+    the same text; this table is what the mix designer reads before
+    setting per-language sampling weights (pipeline_training_mix).
+
+    Whitespace tokens stand in for the BPE segmenter (the fixture
+    corpus is space-delimited word salad); byte counts come from
+    octet_length so multi-byte scripts would be measured honestly.
+    All sums are exact integers -> one hash aggregate, ratios divided
+    once per group."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        "n_chars",
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    g = base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("schars"),
+        F.sum("bytes").cast("long").alias("sbytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        q4(F.col("schars").cast("double") / F.col("total_tokens")).alias(
+            "chars_per_token"
+        ),
+        q4(F.col("sbytes").cast("double") / F.col("total_tokens")).alias(
+            "bytes_per_token"
+        ),
+        q4(F.col("total_tokens").cast("double") / F.col("schars")).alias(
+            "fertility"
+        ),
+    )

@@ -16,7 +16,7 @@ SURVEY.md §0); surface derives from the driver contract + the public
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -917,4 +917,395 @@ def stat_chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
             )
         ).alias("cramers_v"),
+    )
+
+
+# ------------------------------------------------- Poisson bootstrap
+
+BOOT_B = 32  # bootstrap replicates
+
+# Cumulative Poisson(1) CDF thresholds: a uniform u maps to the
+# replicate weight w = #occurrences of the row in that resample.
+# The Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012 — public) replaces the
+# multinomial resample (which needs the global N) with independent
+# per-row Poisson(1) weights, which is the ONLY bootstrap that
+# streams/shards: each row decides its own weight from a content
+# hash, no coordination, so the resample is a map-side expression.
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119",
+)
+
+
+def _sql_pois_w(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+def _pois_w(u: Column) -> Column:
+    w: Column = F.lit(7)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS_CDF[i]), i).otherwise(w)
+    return w
+
+
+@register(
+    "stat_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b),
+    base AS (
+        SELECT event_type, event_id,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ), expanded AS (
+        SELECT event_type, b,
+               {_sql_pois_w(
+                   "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)"
+                   " || '_' || CAST(b AS VARCHAR)), 1, 6)) AS BIGINT)"
+                   " / 16777216.0")} AS w,
+               vc
+        FROM base CROSS JOIN reps
+    ), rep_means AS (
+        SELECT event_type, b,
+               {sql_q4("CAST(sum(w * vc) AS DOUBLE)"
+                       " / (100.0 * sum(w))")} AS m
+        FROM expanded GROUP BY event_type, b HAVING sum(w) > 0
+    ), ranked AS (
+        SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY m, b) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nb
+        FROM rep_means
+    ), ci AS (
+        SELECT event_type,
+               max(CASE WHEN rn = 2 THEN m END) AS boot_lo,
+               max(CASE WHEN rn = nb - 1 THEN m END) AS boot_hi
+        FROM ranked GROUP BY event_type
+    ), pt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               {sql_q4("CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))"
+                       " AS DOUBLE) / (100.0 * count(*))")} AS point_mean
+        FROM events GROUP BY event_type
+    )
+    SELECT pt.event_type, pt.n, pt.point_mean, ci.boot_lo, ci.boot_hi
+    FROM pt JOIN ci ON ci.event_type = pt.event_type
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value
+    per event_type — the uncertainty-quantification primitive that
+    actually works at 100 TB. The classical bootstrap multinomially
+    resamples N rows B times (needs the global N up front and a
+    shuffle per replicate); the Poisson bootstrap gives each row an
+    independent Poisson(1) weight per replicate, derived HERE from a
+    content hash (md5(event_id, b) -> uniform -> inverse-CDF), so the
+    whole resample is one map-side expression: B x N weighted rows,
+    one hash-aggregate with map-side partials, no RNG state, no
+    coordination, bit-identical at any parallelism.
+
+    Replicate means are exact-integer-cent sums divided once (then
+    q4-quantized BEFORE ranking, so the order statistic is engine-
+    stable); the CI is the index-based 2nd / (B-1)th order statistic
+    of the B replicate means — no percentile-interpolation semantics
+    to disagree on. Scale: the B-fold expansion is a broadcast of a
+    {BOOT_B}-row frame (never a shuffle); total work is O(B*N) map +
+    one aggregate of |types| x B partials."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    reps = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    expanded = e.crossJoin(F.broadcast(reps)).select(
+        "event_type", "b", _pois_w(u).alias("w"), "vc"
+    )
+    rep_means = (
+        expanded.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("vc")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            q4(F.col("swv").cast("double") / (F.lit(100.0) * F.col("sw"))).alias(
+                "m"
+            ),
+        )
+    )
+    wdw = Window.partitionBy("event_type").orderBy("m", "b")
+    ranked = rep_means.select(
+        "event_type",
+        "m",
+        F.row_number().over(wdw).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("nb"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == F.col("nb") - 1, F.col("m"))).alias(
+            "boot_hi"
+        ),
+    )
+    pt = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        q4(
+            F.sum("vc").cast("double") / (F.lit(100.0) * F.count("*"))
+        ).alias("point_mean"),
+    )
+    return pt.join(F.broadcast(ci), "event_type").select(
+        "event_type", "n", "point_mean", "boot_lo", "boot_hi"
+    )
+
+
+# -------------------------------------- closed-form multiple regression
+
+# det of the 3x3 normal-equation matrix [[n,s1,s2],[s1,s11,s12],
+# [s2,s12,s22]] and the Cramer numerators, written ONCE as text so
+# the Spark and DuckDB sides evaluate the IDENTICAL IEEE expression
+# tree (same operand order, same parenthesization) over exactly-
+# representable integer sums.
+_LR_DET = (
+    "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+)
+_LR_D0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+    " + s2*(s1y*s12 - s11*s2y))"
+)
+_LR_D1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+    " + s2*(s1*s2y - s1y*s2))"
+)
+_LR_D2 = (
+    "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+    " + sy*(s1*s12 - s11*s2))"
+)
+
+
+@register(
+    "stat_linreg_multi",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(isodow(ts) - 1 AS BIGINT) AS x2,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ), sums AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x1) AS DOUBLE) AS s1,
+               CAST(sum(x2) AS DOUBLE) AS s2,
+               CAST(sum(x1*x1) AS DOUBLE) AS s11,
+               CAST(sum(x2*x2) AS DOUBLE) AS s22,
+               CAST(sum(x1*x2) AS DOUBLE) AS s12,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x1*y) AS DOUBLE) AS s1y,
+               CAST(sum(x2*y) AS DOUBLE) AS s2y,
+               CAST(sum(y*y) AS DOUBLE) AS syy
+        FROM base GROUP BY event_type
+    ), fit AS (
+        SELECT event_type, n, sy,
+               {_LR_D0} / {_LR_DET} AS b0,
+               {_LR_D1} / {_LR_DET} AS b1,
+               {_LR_D2} / {_LR_DET} AS b2,
+               syy, s1y, s2y
+        FROM sums
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {sql_q4("b0 / 100.0")} AS intercept,
+           {sql_q4("b1 / 100.0")} AS beta_hour,
+           {sql_q4("b2 / 100.0")} AS beta_weekday,
+           {sql_q4("1.0 - (syy - b0*sy - b1*s1y - b2*s2y)"
+                   " / (syy - sy*sy/n)")} AS r2
+    FROM fit
+    """,
+)
+def stat_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (value ~ hour-of-day + weekday) per
+    event_type, solved in CLOSED FORM from one aggregation pass — the
+    way OLS actually scales: nine sufficient statistics (sums of
+    products, exact integers) per group via a single map-side-partial
+    hash aggregate, then the 3x3 normal equations solved by Cramer's
+    rule as a scalar expression on the 1-row-per-group result. No
+    gradient iterations, no feature matrix materialization, no
+    driver-side math — at 100 TB the cost is exactly one pass and a
+    |types|-row epilogue.
+
+    Engine parity is by construction: the sufficient statistics are
+    exact BIGINT sums (x1<=23, x2<=6, y in cents), promoted once to
+    double, and the determinant/numerator expressions are generated
+    from the SAME text for both engines, so the IEEE evaluation order
+    is identical. R^2 comes from the same sums (SSE via the fitted
+    coefficients, SST via sy,syy)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x1"),
+        F.expr("CAST(weekday(ts) AS BIGINT)").alias("x2"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    sums = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    fit = sums.select(
+        "event_type",
+        "n",
+        "sy",
+        F.expr(f"{_LR_D0} / {_LR_DET}").alias("b0"),
+        F.expr(f"{_LR_D1} / {_LR_DET}").alias("b1"),
+        F.expr(f"{_LR_D2} / {_LR_DET}").alias("b2"),
+        "syy",
+        "s1y",
+        "s2y",
+    )
+    return fit.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        q4(F.col("b0") / 100.0).alias("intercept"),
+        q4(F.col("b1") / 100.0).alias("beta_hour"),
+        q4(F.col("b2") / 100.0).alias("beta_weekday"),
+        q4(
+            F.lit(1.0)
+            - (
+                F.col("syy")
+                - F.col("b0") * F.col("sy")
+                - F.col("b1") * F.col("s1y")
+                - F.col("b2") * F.col("s2y")
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        ).alias("r2"),
+    )
+
+
+# ------------------------------------------------- Welch's t-test
+
+@register(
+    "stat_welch_ttest",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, user_id % 2 AS arm,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ), arms AS (
+        SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vc) AS BIGINT) AS s1,
+               CAST(sum(vc*vc) AS BIGINT) AS s2
+        FROM base GROUP BY event_type, arm
+    ), wide AS (
+        SELECT a0.event_type,
+               a0.n AS n0, a1.n AS n1,
+               CAST(a0.s1 AS DOUBLE) / a0.n AS m0,
+               CAST(a1.s1 AS DOUBLE) / a1.n AS m1,
+               (CAST(a0.s2 AS DOUBLE) - CAST(a0.s1 AS DOUBLE)
+                  * a0.s1 / a0.n) / (a0.n - 1) AS v0,
+               (CAST(a1.s2 AS DOUBLE) - CAST(a1.s1 AS DOUBLE)
+                  * a1.s1 / a1.n) / (a1.n - 1) AS v1
+        FROM arms a0 JOIN arms a1
+          ON a0.event_type = a1.event_type AND a0.arm = 0 AND a1.arm = 1
+    )
+    SELECT event_type, n0, n1,
+           {sql_q4("m0 / 100.0")} AS mean_control,
+           {sql_q4("m1 / 100.0")} AS mean_treatment,
+           {sql_q4("(m1 - m0) / 100.0")} AS diff,
+           {sql_q4("(m1 - m0) / sqrt(v1/n1 + v0/n0)")} AS t_stat,
+           {sql_q4("(v1/n1 + v0/n0) * (v1/n1 + v0/n0)"
+                   " / ((v1/n1) * (v1/n1) / (n1 - 1)"
+                   "    + (v0/n0) * (v0/n0) / (n0 - 1))")} AS welch_df
+    FROM wide
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean event value, treatment
+    = user_id parity per event_type — the means-comparison leg of the
+    experimentation suite (events_ab_test does proportions,
+    stat_mann_whitney ranks, events_power_analysis planning). Welch
+    is the right default: it does not assume equal arm variances, and
+    its Satterthwaite df comes from the same four sufficient
+    statistics.
+
+    Distribution shape: exact BIGINT (n, Σx, Σx²) per (type, arm) in
+    ONE map-side-partial aggregate, self-joined arm0 x arm1 (5-row
+    frames), then the t statistic and df evaluated once per type in a
+    fixed IEEE order mirrored in the oracle. 100 TB cost = one pass,
+    like every closed-form test here."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    arms = e.groupBy("event_type", "arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("s2"),
+    )
+    a0 = arms.where(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("s1").alias("s1_0"),
+        F.col("s2").alias("s2_0"),
+    )
+    a1 = arms.where(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s1").alias("s1_1"),
+        F.col("s2").alias("s2_1"),
+    )
+    w = a0.join(a1, "event_type")
+    m0 = F.col("s1_0").cast("double") / F.col("n0")
+    m1 = F.col("s1_1").cast("double") / F.col("n1")
+    v0 = (
+        F.col("s2_0").cast("double")
+        - F.col("s1_0").cast("double") * F.col("s1_0") / F.col("n0")
+    ) / (F.col("n0") - 1)
+    v1 = (
+        F.col("s2_1").cast("double")
+        - F.col("s1_1").cast("double") * F.col("s1_1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    se0, se1 = v0 / F.col("n0"), v1 / F.col("n1")
+    return w.select(
+        "event_type",
+        "n0",
+        "n1",
+        q4(m0 / 100.0).alias("mean_control"),
+        q4(m1 / 100.0).alias("mean_treatment"),
+        q4((m1 - m0) / 100.0).alias("diff"),
+        q4((m1 - m0) / F.sqrt(se1 + se0)).alias("t_stat"),
+        q4(
+            (se1 + se0) * (se1 + se0)
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se0 * se0 / (F.col("n0") - 1)
+            )
+        ).alias("welch_df"),
     )

@@ -157,6 +157,12 @@ EXTRA_KEYS = [
     "events_power_analysis",
     "events_mix_shift",
     "graph_random_walk",
+    # closed-form inference / curation wave
+    "stat_bootstrap_ci",
+    "stat_linreg_multi",
+    "stat_welch_ttest",
+    "pipeline_preference_pairs",
+    "text_tokenizer_fertility",
 ]
 
 
