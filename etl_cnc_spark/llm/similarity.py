@@ -1340,3 +1340,138 @@ def embed_centroid_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(inertia).alias("inertia"),
         q4(inertia / F.col("n")).alias("inertia_per_vec"),
     )
+
+
+# ---------------------------------------------- per-dimension whitening
+
+@register(
+    "embed_whitening_stats",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+    vals AS (
+        SELECT dim,
+               CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1e8 + 0.5)
+                    AS BIGINT) AS xq,
+               CAST(floor(CAST(embedding[dim] AS DOUBLE)
+                          * CAST(embedding[dim] AS DOUBLE) * 1e8 + 0.5)
+                    AS BIGINT) AS x2q,
+               CAST(embedding[dim] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN dims
+    ), agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xq) AS DOUBLE) / 1e8 AS sx,
+               CAST(sum(x2q) AS DOUBLE) / 1e8 AS sxx,
+               min(x) AS mn, max(x) AS mx
+        FROM vals GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           {sql_q4("sx / n")} AS mean,
+           {sql_q4("sxx / n - (sx / n) * (sx / n)")} AS var_pop,
+           {sql_q4("mn")} AS min_val, {sql_q4("mx")} AS max_val
+    FROM agg
+    """,
+)
+def embed_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding corpus — the
+    sufficient statistics for whitening / mean-centering (the
+    standard post-processing that fixes embedding anisotropy before
+    cosine retrieval; see "All-but-the-Top", Mu et al., ICLR 2018 —
+    public). posexplode flattens vectors to (dim, value) rows; each
+    contribution is fixed-point-quantized (1e-8) BEFORE summing so
+    the per-dimension sums are exact integers — order-free at any
+    parallelism, unlike a raw float sum. One explode (64x rows, map-
+    side) + one hash aggregate of 64 groups; the output is the 64-row
+    statistics table a whitening transform would broadcast."""
+    e = table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    vals = e.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(x * F.lit(1e8) + F.lit(0.5)).cast("long").alias("xq"),
+        F.floor(x * x * F.lit(1e8) + F.lit(0.5)).cast("long").alias("x2q"),
+        x.alias("x"),
+    )
+    agg = vals.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("xq").cast("double") / F.lit(1e8)).alias("sx"),
+        (F.sum("x2q").cast("double") / F.lit(1e8)).alias("sxx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        q4(mean).alias("mean"),
+        q4(F.col("sxx") / F.col("n") - mean * mean).alias("var_pop"),
+        q4(F.col("mn")).alias("min_val"),
+        q4(F.col("mx")).alias("max_val"),
+    )
+
+
+# ------------------------------------------------- MIPS via augmentation
+
+MIPS_QUERIES = 20
+MIPS_K = 5
+
+
+@register(
+    "sim_mips_transform",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, {_SQL_DOT} AS dot
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {MIPS_QUERIES}
+    ), ranked AS (
+        SELECT qid, cid, dot,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dot DESC, cid) AS BIGINT) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, {sql_q4("dot")} AS dot, rn
+    FROM ranked WHERE rn <= {MIPS_K}
+    """,
+)
+def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) reduced to cosine search
+    via the order-preserving augmentation (Bachrach et al., RecSys
+    2014 — public): append sqrt(M^2 - ||c||^2) to each candidate
+    (M = max corpus norm, a 1-row broadcast) and 0 to each query;
+    then augmented-space cosine = dot / (||q|| * M), monotone in the
+    inner product, so ANY cosine index (LSH, IVF) can serve MIPS —
+    which is how recommender retrieval actually runs at scale.
+
+    The ORACLE ranks by the raw inner product directly; the Spark
+    side ranks by the augmented cosine — the hash match IS the proof
+    that the transform preserves the ranking (ties broken by cid on
+    both sides; the emitted dot is recomputed exactly)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < MIPS_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    m = c.agg(F.max(F.sqrt(F.col("cn2"))).alias("m_norm"))
+    # augmented candidate norm is exactly M for every candidate:
+    # ||(c, sqrt(M^2-||c||^2))|| = M; the extra query coordinate is 0,
+    # so the augmented dot equals the raw dot.
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid")).crossJoin(
+        F.broadcast(m)
+    )
+    dot = _dot64(F.col("qe"), F.col("ce"))
+    cos_aug = dot / (F.col("qn") * F.col("m_norm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_aug").desc(), "cid")
+    return (
+        pairs.select(
+            "qid", "cid", dot.alias("dot"), cos_aug.alias("cos_aug")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= MIPS_K)
+        .select("qid", "cid", q4(F.col("dot")).alias("dot"), "rn")
+    )

@@ -1340,3 +1340,79 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility"
         ),
     )
+
+
+# -------------------------------------------- deterministic data splits
+
+SPLIT_TRAIN, SPLIT_VAL = 90, 95  # /100 bucket fences: 90/5/5
+
+
+@register(
+    "ml_train_test_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100 AS bucket,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ), tagged AS (
+        SELECT lang, toks,
+               CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+    ), per AS (
+        SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens
+        FROM tagged GROUP BY split, lang
+    ), lt AS (
+        SELECT lang, sum(n_docs) AS lang_docs FROM per GROUP BY lang
+    )
+    SELECT per.split, per.lang, per.n_docs, per.n_tokens,
+           floor(CAST(per.n_docs AS DOUBLE) / lt.lang_docs * 10000 + 0.5)
+             / 10000.0 AS lang_share
+    FROM per JOIN lt ON lt.lang = per.lang
+    """,
+)
+def ml_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content
+    hash, with the stratification report that validates it — the
+    split every training pipeline needs but must NEVER do with
+    ``rand()``: a hash split (md5(doc_id) % 100 against fixed
+    fences) is identical at any parallelism, stable across reruns
+    and appends (a new document never reshuffles old assignments),
+    and needs no persisted assignment table — the split IS a pure
+    function of the row. The report shows per-(split, lang) doc and
+    token counts plus each split's share within its language, which
+    is how you check the hash didn't accidentally skew a stratum.
+    One map-side expression + one aggregate."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 100
+    )
+    tagged = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = tagged.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    lt = per.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    return per.join(F.broadcast(lt), "lang").select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        q4(F.col("n_docs").cast("double") / F.col("lang_docs")).alias(
+            "lang_share"
+        ),
+    )

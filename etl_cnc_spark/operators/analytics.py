@@ -3266,3 +3266,117 @@ def events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("share1") * F.col("rate1") - F.col("share0") * F.col("rate0")
         ).alias("total_effect"),
     )
+
+
+# ----------------------------------------------- robust (MAD) outliers
+
+MAD_K = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normals
+MAD_NSIG = 3.0
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ), med AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY vc) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ), m1 AS (
+        SELECT event_type, max(n) AS n,
+               max(CASE WHEN rn = (n + 1) // 2 THEN vc END) AS med
+        FROM med GROUP BY event_type
+    ), dev AS (
+        SELECT b.event_type, abs(b.vc - m1.med) AS d, b.vc, m1.med, m1.n
+        FROM base b JOIN m1 ON m1.event_type = b.event_type
+    ), dmed AS (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nn
+        FROM dev
+    ), m2 AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (nn + 1) // 2 THEN d END) AS mad
+        FROM dmed GROUP BY event_type
+    )
+    SELECT dev.event_type, CAST(max(dev.n) AS BIGINT) AS n,
+           {sql_q4("max(dev.med) / 100.0")} AS median_value,
+           {sql_q4("max(m2.mad) / 100.0")} AS mad,
+           CAST(count_if(dev.d > {MAD_NSIG} * ({MAD_K} * m2.mad))
+                AS BIGINT) AS n_outliers,
+           {sql_q4(f"count_if(dev.d > {MAD_NSIG} * ({MAD_K} * m2.mad))"
+                   " / CAST(max(dev.n) AS DOUBLE)")} AS outlier_rate
+    FROM dev JOIN m2 ON m2.event_type = dev.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event_type: median + MAD instead of
+    mean + stddev (events_anomaly) — the estimator pair with a 50%
+    breakdown point, so the fences themselves cannot be dragged by
+    the outliers they are meant to catch (a z-score screen fails
+    exactly when contamination is heavy). Flag = |x - med| >
+    3 * 1.4826 * MAD, the standard robust-sigma rule.
+
+    Exact medians over integer cents by the index rule rn=(n+1)//2
+    (lower median — no interpolation semantics to disagree on),
+    computed twice (values, then absolute deviations) as two window
+    + aggregate rounds; counts and rates from exact integers. Scale:
+    two shuffles on event_type — at 100 TB swap the exact median for
+    approx_percentile and keep the identical shape."""
+    base = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("vc")
+    wn = Window.partitionBy("event_type")
+    med = base.select(
+        "event_type",
+        "vc",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    m1 = med.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("vc")
+            )
+        ).alias("med"),
+    )
+    dev = base.join(m1, "event_type").select(
+        "event_type",
+        F.abs(F.col("vc") - F.col("med")).alias("d"),
+        "med",
+        "n",
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    dmed = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wn).alias("nn"),
+    )
+    m2 = dmed.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("nn") + 1) / 2), F.col("d")
+            )
+        ).alias("mad")
+    )
+    out = dev.join(m2, "event_type")
+    is_out = F.col("d") > F.lit(MAD_NSIG) * (F.lit(MAD_K) * F.col("mad"))
+    return out.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        q4(F.max("med") / 100.0).alias("median_value"),
+        q4(F.max("mad") / 100.0).alias("mad"),
+        F.count_if(is_out).cast("long").alias("n_outliers"),
+        q4(
+            F.count_if(is_out) / F.max("n").cast("double")
+        ).alias("outlier_rate"),
+    )

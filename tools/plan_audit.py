@@ -163,6 +163,11 @@ EXTRA_KEYS = [
     "stat_welch_ttest",
     "pipeline_preference_pairs",
     "text_tokenizer_fertility",
+    # whitening / MIPS / robust-outlier / split wave
+    "embed_whitening_stats",
+    "sim_mips_transform",
+    "events_anomaly_mad",
+    "ml_train_test_split",
 ]
 
 
