@@ -1262,3 +1262,109 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v_cents").cast("long").alias("lo_cents"),
         F.max("v_cents").cast("long").alias("hi_cents"),
     )
+
+
+# --------------------------------------------------- count-min sketch
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row
+CMS_TOPN = 20  # query keys: the exact top-N part keys
+
+
+@register(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH hashes AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j),
+    cells AS (
+        SELECT j,
+               CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '_'
+                    || CAST(l_partkey AS VARCHAR)), 1, 6)) AS BIGINT)
+                 % {CMS_W} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem CROSS JOIN hashes
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY exact_cnt DESC, l_partkey LIMIT {CMS_TOPN}
+    ), probes AS (
+        SELECT e.l_partkey, e.exact_cnt, h.j,
+               CAST(concat('0x', substr(md5(CAST(h.j AS VARCHAR) || '_'
+                    || CAST(e.l_partkey AS VARCHAR)), 1, 6)) AS BIGINT)
+                 % {CMS_W} AS bucket
+        FROM exact e CROSS JOIN hashes h
+    )
+    SELECT p.l_partkey, p.exact_cnt,
+           min(c.cnt) AS cms_estimate,
+           min(c.cnt) - p.exact_cnt AS overestimate
+    FROM probes p
+    JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.l_partkey, p.exact_cnt
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005 — public) built
+    RELATIONALLY: d=4 deterministic md5 hash rows x w=256
+    buckets, so the whole sketch is one 4x-explode + hash
+    aggregate into d*w cells — a fixed-size, MERGEABLE summary
+    (cells from two partitions/days just add), which is why CMS backs
+    streaming frequency estimation at 100 TB: the sketch is
+    d*w integers no matter how many rows or keys flow
+    through it (1024 cells here).
+
+    Queried for the exact top-20 part keys: estimate =
+    min over the d cells the key hashes into; the one-sided guarantee
+    (estimate >= exact, overestimate <= eN/w with prob 1-delta) is
+    emitted as a column and property-tested. Everything is exact
+    integer arithmetic on both engines — the sketch itself is the
+    operator, not a statistical approximation of one."""
+    li = table(spark, sf_dir, "lineitem")
+    hashes = spark.range(CMS_D).select(F.col("id").cast("int").alias("j"))
+
+    def bucket(j: Column, key: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_", j.cast("string"), key.cast("string")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    cells = (
+        li.select("l_partkey")
+        .crossJoin(F.broadcast(hashes))
+        .groupBy("j", bucket(F.col("j"), F.col("l_partkey")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+        .limit(CMS_TOPN)
+    )
+    probes = exact.crossJoin(F.broadcast(hashes)).select(
+        "l_partkey",
+        "exact_cnt",
+        "j",
+        bucket(F.col("j"), F.col("l_partkey")).alias("bucket"),
+    )
+    return (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )

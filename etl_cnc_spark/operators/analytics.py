@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import cents, q4, sql_q4
+from ..utils import cents, q4, sql_q4, ts_us
 from .prefix import global_ordered, ntile_from_rank
 
 
@@ -3379,4 +3379,107 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(
             F.count_if(is_out) / F.max("n").cast("double")
         ).alias("outlier_rate"),
+    )
+
+
+# ------------------------------------------------- interval union/merge
+
+HOLD_US = 300_000_000  # each event holds a 5-minute interval
+
+
+@register(
+    "events_interval_union",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {HOLD_US} AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island, min(s) AS ms, max(e) AS me,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(me - ms) AS BIGINT) AS covered_us,
+           CAST(max(me - ms) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval union per user: each event holds a
+    5-minute presence interval; merge every overlapping/touching run
+    into maximal intervals and report how much wall-clock each user
+    actually covered — the uptime/downtime-merging primitive (SLA
+    accounting, ad viewability, machine utilization) that naive
+    sum-of-durations double-counts.
+
+    The classic sweep: order intervals by start within user, flag a
+    new island when the start exceeds the running max end over all
+    PRECEDING rows (ROWS ... 1 PRECEDING — the current row must not
+    see itself), prefix-sum the flags into island ids, aggregate
+    twice. All integer epoch-microseconds; one shuffle on user_id,
+    every window shares that partitioning (single sort, no extra
+    exchange). The max-end trick (not lag(e)) is what makes it
+    correct when an early interval swallows several later ones."""
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_us(F.col("ts")).alias("s"),
+        (ts_us(F.col("ts")) + F.lit(HOLD_US)).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(wprev), F.lit(-(1 << 63)).cast("long")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(wrun).alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+        F.max(F.col("me") - F.col("ms")).cast("long").alias("longest_us"),
     )

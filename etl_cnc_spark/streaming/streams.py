@@ -509,3 +509,100 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spark.read.parquet(out)
+
+
+@register(
+    "stream_upsert_snapshot",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert via foreachBatch — the CDC-apply
+    pattern: each micro-batch is merged into a latest-state-per-key
+    snapshot (read current target, union the batch, keep the max
+    (ts, event_id) row per user, atomically swap directories). The
+    source is staged as 4 hash-partitioned files consumed
+    maxFilesPerTrigger=1, so the merge really runs 4 times
+    incrementally; the oracle computes latest-per-user over the
+    WHOLE table in one shot — the hash match proves the incremental
+    merge converges to the batch answer regardless of batch order
+    (keep-max is commutative/associative over batches).
+
+    At scale the swap step is what Delta/Iceberg MERGE does with
+    metadata instead of directory renames; the per-batch cost is
+    |target| + |batch|, the reason real systems partition the target
+    and prune untouched partitions."""
+    import shutil
+
+    tune(spark)
+    src = tmpdir(prefix="etlcnc_upsert_src_")
+    (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .repartition(4, "user_id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    tgt = tmpdir(prefix="etlcnc_upsert_tgt_")
+    shutil.rmtree(tgt)  # foreachBatch creates it on first merge
+    ck = tmpdir(prefix="etlcnc_upsert_ck_")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        batch = batch_df.select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        if os.path.isdir(tgt):
+            merged = batch.sparkSession.read.parquet(tgt).unionByName(batch)
+        else:
+            merged = batch
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        nxt = tgt + f"_b{batch_id}"
+        latest.write.mode("overwrite").parquet(nxt)
+        if os.path.isdir(tgt):
+            shutil.rmtree(tgt)
+        os.rename(nxt, tgt)
+
+    q = (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, ts TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("upsert stream did not drain in 600s")
+    snap = spark.read.parquet(tgt)
+    return snap.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        (
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("total_value"),
+    )

@@ -168,6 +168,10 @@ EXTRA_KEYS = [
     "sim_mips_transform",
     "events_anomaly_mad",
     "ml_train_test_split",
+    # sketch / interval wave (stream_upsert_snapshot excluded: its
+    # build executes a streaming job, not a single explainable plan)
+    "agg_countmin_sketch",
+    "events_interval_union",
 ]
 
 
