@@ -1475,3 +1475,257 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= MIPS_K)
         .select("qid", "cid", q4(F.col("dot")).alias("dot"), "rn")
     )
+
+
+# ------------------------------------------------- model evaluation
+
+# The deterministic linear scorer from ml_batch_inference, as a pure
+# JVM fold (same left-to-right order as the oracle comprehension) —
+# shared by the evaluation keys below so scores are bit-identical.
+_SCORE_SQL = (
+    "list_aggregate([CAST(embedding[i] AS DOUBLE)"
+    f" * ({_W_EXPR}) for i in range(1, 65)], 'sum') + 0.5"
+)
+
+
+def _score_col() -> "F.Column":
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda x, i: x.cast("double")
+                * ((i * 37 % 19 - 9).cast("double") / 10.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + 0.5
+    )
+
+
+@register(
+    "ml_confusion_metrics",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y,
+               CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), c AS (
+        SELECT CAST(count_if(y = 1 AND sq > 0) AS BIGINT) AS tp,
+               CAST(count_if(y = 0 AND sq > 0) AS BIGINT) AS fp,
+               CAST(count_if(y = 0 AND sq <= 0) AS BIGINT) AS tn,
+               CAST(count_if(y = 1 AND sq <= 0) AS BIGINT) AS fn
+        FROM scored
+    )
+    SELECT tp, fp, tn, fn,
+           {sql_q4("CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn)")}
+             AS accuracy,
+           {sql_q4("CAST(tp AS DOUBLE) / (tp + fp)")} AS precision_,
+           {sql_q4("CAST(tp AS DOUBLE) / (tp + fn)")} AS recall_,
+           {sql_q4("2.0 * tp / (2.0 * tp + fp + fn)")} AS f1
+    FROM c
+    """,
+)
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy/precision/recall/F1 for the
+    deterministic scorer against the parity label — the model-eval
+    readout every inference pipeline (ml_batch_inference) feeds.
+    Scores are quantized to 1e-6 BEFORE thresholding so the decision
+    boundary is engine-stable; the four cells are one conditional
+    aggregate (map-side partials, single reduce) and the metrics are
+    ratios of exact integers. 100 TB cost: one pass, four counters."""
+    e = table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long").alias("sq"),
+    )
+    c = scored.agg(
+        F.count_if((F.col("y") == 1) & (F.col("sq") > 0)).cast("long").alias("tp"),
+        F.count_if((F.col("y") == 0) & (F.col("sq") > 0)).cast("long").alias("fp"),
+        F.count_if((F.col("y") == 0) & (F.col("sq") <= 0)).cast("long").alias("tn"),
+        F.count_if((F.col("y") == 1) & (F.col("sq") <= 0)).cast("long").alias("fn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        q4(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"))
+        ).alias("accuracy"),
+        q4(F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "precision_"
+        ),
+        q4(F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias(
+            "recall_"
+        ),
+        q4(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )
+
+
+@register(
+    "ml_roc_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y,
+               CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), grp AS (
+        SELECT sq, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count_if(y = 1) AS BIGINT) AS pos
+        FROM scored GROUP BY sq
+    ), cum AS (
+        SELECT sq, cnt, pos,
+               coalesce(sum(cnt) OVER (ORDER BY sq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior
+        FROM grp
+    ), s AS (
+        SELECT CAST(sum(pos * (2 * prior + cnt + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(pos) AS BIGINT) AS n1,
+               CAST(sum(cnt - pos) AS BIGINT) AS n0
+        FROM cum
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           {sql_q4("CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)"
+                   " / (2.0 * n1 * n0)")} AS auc,
+           {sql_q4("CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)"
+                   " / (1.0 * n1 * n0) - 1.0")} AS gini
+    FROM s
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the rank-sum identity AUC = (R1 - n1(n1+1)/2)
+    / (n1*n0) — the Mann-Whitney relationship, which is what makes
+    exact AUC computable at 100 TB: no threshold sweep, no curve
+    materialization, just midranks. Ties get proper midranks WITHOUT
+    a global sort of rows: scores collapse to distinct-value groups
+    (groupBy sq), the prior-count prefix runs as a TWO-LEVEL prefix
+    sum (order-preserving coarse buckets + per-bucket offsets, so no
+    single-partition window — the bucket table is bounded by the
+    score range, not the corpus), and doubled midranks keep
+    everything in exact BIGINTs
+    (2*midrank = 2*prior + cnt + 1), so the only float op is the
+    final division. Gini = 2*AUC - 1 from the same integers."""
+    e = table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long").alias("sq"),
+    )
+    grp = scored.groupBy("sq").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.count_if(F.col("y") == 1).cast("long").alias("pos"),
+    )
+    # Two-level prefix sum so no window ever sees a single global
+    # partition: scores fall into order-preserving coarse buckets
+    # (sq div 1e6 ~ one bucket per score unit — bucket count bounded
+    # by the score RANGE, not the corpus), per-bucket offsets
+    # prefix-sum over that tiny table, and the within-bucket prefix
+    # runs partitioned by bucket. prior == the plain global prefix,
+    # just computed scalably (the oracle keeps the 1-level form).
+    grp = grp.withColumn("bkt", F.floor(F.col("sq") / F.lit(1_000_000)))
+    btot = grp.groupBy("bkt").agg(F.sum("cnt").cast("long").alias("bcnt"))
+    wboff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt", F.coalesce(F.sum("bcnt").over(wboff), F.lit(0)).alias("boff")
+    )
+    wprior = (
+        Window.partitionBy("bkt")
+        .orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        grp.join(F.broadcast(boff), "bkt")
+        .select(
+            "sq",
+            "cnt",
+            "pos",
+            (
+                F.col("boff")
+                + F.coalesce(F.sum("cnt").over(wprior), F.lit(0))
+            ).alias("prior"),
+        )
+    )
+    s = cum.agg(
+        F.sum(F.col("pos") * (2 * F.col("prior") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n0"),
+    )
+    return s.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        q4(
+            (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2.0 * F.col("n1") * F.col("n0"))
+        ).alias("auc"),
+        q4(
+            (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (1.0 * F.col("n1") * F.col("n0"))
+            - 1.0
+        ).alias("gini"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y, ({_SCORE_SQL}) AS score,
+               CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), binned AS (
+        SELECT y, sq,
+               least(9, greatest(0,
+                   CAST(floor((score + 3.0) / 0.6) AS BIGINT))) AS bin
+        FROM scored
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           {sql_q4("CAST(sum(sq) AS DOUBLE) / 1e6 / count(*)")}
+             AS mean_score,
+           {sql_q4("CAST(count_if(y = 1) AS DOUBLE) / count(*)")}
+             AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / calibration table for the scorer: fixed-width
+    score bins over [-3, 3] (clamped), each reporting its mean score
+    and observed positive rate — the table a calibration plot (or a
+    Platt/isotonic recalibration) is fit from. Fixed-width bins
+    instead of rank deciles on purpose: deciles need a global
+    quantile pass, fixed fences are a pure map-side expression, and
+    the bin populations still expose miscalibration. Per-row scores
+    are the bit-identical shared fold; mean scores sum 1e-6-quantized
+    integers so the aggregate is order-free. One pass, 10 groups."""
+    e = table(spark, sf_dir, "embeddings")
+    score = _score_col()
+    scored = e.select(
+        (F.col("label") % 2).alias("y"),
+        score.alias("score"),
+        F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("sq"),
+    )
+    binned = scored.select(
+        "y",
+        "sq",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor((F.col("score") + 3.0) / 0.6).cast("long")
+            ),
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        q4(F.sum("sq").cast("double") / 1e6 / F.count("*")).alias(
+            "mean_score"
+        ),
+        q4(F.count_if(F.col("y") == 1).cast("double") / F.count("*")).alias(
+            "pos_rate"
+        ),
+    )

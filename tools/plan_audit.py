@@ -172,6 +172,10 @@ EXTRA_KEYS = [
     # build executes a streaming job, not a single explainable plan)
     "agg_countmin_sketch",
     "events_interval_union",
+    # model-evaluation wave
+    "ml_confusion_metrics",
+    "ml_roc_auc",
+    "ml_calibration_bins",
 ]
 
 
