@@ -1416,3 +1416,76 @@ def ml_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_share"
         ),
     )
+
+
+# -------------------------------------------- per-doc keyword extraction
+
+KW_TOPN = 3
+KW_DOC_MOD = 20  # report every 20th doc (bounded driver output)
+
+
+@register(
+    "text_keyword_extract",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY tok
+    ), scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) / df.df AS score
+        FROM tf JOIN df ON df.tok = tf.tok
+        WHERE tf.doc_id % {KW_DOC_MOD} = 0
+    ), ranked AS (
+        SELECT doc_id, tok, tf, df, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, tok, tf, df, {sql_q4("score")} AS score
+    FROM ranked WHERE rank <= {KW_TOPN}
+    """,
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by the tf/df
+    ratio (term frequency over corpus document frequency — high when
+    a token is dense in THIS doc but rare across the corpus, the
+    same discrimination signal as tf-idf but computed as one exact
+    IEEE division of integers, so ranking is engine-stable with no
+    log() in the order key). This is the inverted-index + salience
+    shape: explode to (doc, token) term postings (the data-sized
+    shuffle), document frequencies as a second aggregate over the
+    postings, salience join, top-k per doc via the standard
+    row_number window. At 100 TB the postings table IS the search
+    index build — everything downstream of it is bounded by distinct
+    (doc, token), and the df side joins back in by token (no
+    broadcast needed: it shares the token shuffle key)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.where(F.col("doc_id") % KW_DOC_MOD == 0)
+        .join(df, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KW_TOPN)
+        .select("doc_id", "rank", "tok", "tf", "df", q4(F.col("score")).alias("score"))
+    )

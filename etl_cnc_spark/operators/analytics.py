@@ -3483,3 +3483,169 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
         F.max(F.col("me") - F.col("ms")).cast("long").alias("longest_us"),
     )
+
+
+# --------------------------------------------------- audience overlap
+
+@register(
+    "events_user_overlap",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM du GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+           {sql_q4("CAST(p.n_both AS DOUBLE)"
+                   " / (sa.n + sb.n - p.n_both)")} AS jaccard,
+           {sql_q4("CAST(p.n_both AS DOUBLE)"
+                   " / least(sa.n, sb.n)")} AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: exact Jaccard
+    and containment of the user sets — the segment-overlap matrix
+    behind audience planning ("how much of 'click' is also
+    'purchase'?"). Shape that scales: ONE distinct (type, user) pass
+    (the only data-sized shuffle), then a self-join keyed on user_id
+    whose output is bounded by |types|² per user; sizes join in as a
+    broadcast of the |types|-row aggregate. The exact companion to
+    the KMV-sketch set operations (agg_kmv_setops) — same question,
+    sketch vs exact cost."""
+    du = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            q4(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+            q4(
+                F.col("n_both").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+    )
+
+
+# --------------------------------------------- time-constrained funnel
+
+FUNNEL_CLICK_US = 3_600_000_000  # click within 1h of first view
+FUNNEL_BUY_US = 86_400_000_000  # purchase within 24h of that click
+
+
+@register(
+    "events_funnel_constrained",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > v.t_view
+          AND epoch_us(e.ts) <= v.t_view + {FUNNEL_CLICK_US}
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > c.t_click
+          AND epoch_us(e.ts) <= c.t_click + {FUNNEL_BUY_US}
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_1h,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_buy_24h,
+           {sql_q4("CAST((SELECT count(*) FROM c) AS DOUBLE)"
+                   " / (SELECT count(*) FROM v)")} AS conv_click,
+           {sql_q4("CAST((SELECT count(*) FROM p) AS DOUBLE)"
+                   " / nullif((SELECT count(*) FROM c), 0)")} AS conv_buy
+    """,
+)
+def events_funnel_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED conversion funnel: click must land within 1h
+    of the first view, purchase within 24h of that click — the
+    semantics product analytics actually uses (an unconstrained
+    funnel, events_funnel, credits conversions weeks apart). Each
+    stage is an aggregate-then-join on user_id with the window
+    predicate inside the join filter, so attribution windows cost
+    nothing extra over the plain funnel: same three shuffles, just
+    tighter predicates; integer-microsecond bounds, no timezone
+    arithmetic. Output is the one-row funnel summary with step
+    conversion rates."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us(F.col("ts")).alias("t")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("t") > F.col("t_view"))
+            & (F.col("t") <= F.col("t_view") + FUNNEL_CLICK_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("t") > F.col("t_click"))
+            & (F.col("t") <= F.col("t_click") + FUNNEL_BUY_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    nv = v.agg(F.count("*").cast("long").alias("n_view"))
+    nc = c.agg(F.count("*").cast("long").alias("n_click_1h"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_buy_24h"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_1h",
+            "n_buy_24h",
+            q4(F.col("n_click_1h").cast("double") / F.col("n_view")).alias(
+                "conv_click"
+            ),
+            q4(
+                F.col("n_buy_24h").cast("double")
+                / F.nullif(F.col("n_click_1h").cast("double"), F.lit(0.0))
+            ).alias("conv_buy"),
+        )
+    )

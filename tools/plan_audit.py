@@ -176,6 +176,10 @@ EXTRA_KEYS = [
     "ml_confusion_metrics",
     "ml_roc_auc",
     "ml_calibration_bins",
+    # audience / funnel / keyword wave
+    "events_user_overlap",
+    "events_funnel_constrained",
+    "text_keyword_extract",
 ]
 
 
