@@ -63,12 +63,19 @@ REGISTRY: dict[str, QueryDef] = {}
 # events_ab_sequential, events_forecast_backtest, set_intersect_all,
 # join_cardinality_estimate, orders_duplicate_payments,
 # events_diff_in_diff, events_power_analysis, events_mix_shift,
-# graph_random_walk), so 69+ never-checked keys remain after the r5
-# sweep (plus any late-r5 additions).  Plan: r6 window = first 50 in
-# registry order (`python tools/next_window.py` prints them), r7
-# window = the remainder plus re-verify slots.  Run
-# `python tools/preflight.py` before rotating (catches
-# driver-canonicalization traps).
+# graph_random_walk), and the closing waves added 18 more (stat_
+# bootstrap_ci/linreg_multi/welch_ttest, pipeline_preference_pairs,
+# text_tokenizer_fertility, embed_whitening_stats,
+# sim_mips_transform, events_anomaly_mad, ml_train_test_split,
+# agg_countmin_sketch, events_interval_union,
+# stream_upsert_snapshot, ml_confusion_metrics/roc_auc/
+# calibration_bins, events_user_overlap, events_funnel_constrained,
+# text_keyword_extract).  State at end of r5: 335 registered, 197
+# driver-checked, 138 never-checked; the r5 sweep (this window)
+# covers 50, leaving 88.  Plan: r6 window = first 50 in registry
+# order (`python tools/next_window.py` prints them), r7 window = the
+# remaining 38 plus re-verify slots.  Run `python tools/preflight.py`
+# before rotating (catches driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [
     # re-verify after the q8 array-column -> comma-joined-string fix
     # (r4's only red row: the driver's canonicalizer cannot
