@@ -82,6 +82,24 @@ INVARIANT_KEYS = [
     "embed_centroid_inertia",
     "win_gaps_islands",
     "sql_entry_recursive",
+    # r5 closing waves: hash-derived Poisson weights + quantized
+    # order statistics, exact sufficient-statistic solves, integer
+    # sketch cells, running-max interval sweeps, the two-level AUC
+    # prefix, fold-based MIPS ranking, and packed-score argmax —
+    # every one claims order-exactness by construction; prove it
+    "stat_bootstrap_ci",
+    "stat_linreg_multi",
+    "stat_welch_ttest",
+    "agg_countmin_sketch",
+    "events_interval_union",
+    "ml_roc_auc",
+    "ml_confusion_metrics",
+    "sim_mips_transform",
+    "pipeline_preference_pairs",
+    "ml_train_test_split",
+    "events_user_overlap",
+    "text_keyword_extract",
+    "embed_whitening_stats",
 ]
 
 
