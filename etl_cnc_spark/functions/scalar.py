@@ -842,3 +842,65 @@ def fn_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.cents").cast("long").alias("meta_cents"),
         F.col("meta.shard").alias("meta_shard"),
     )
+
+
+# ------------------------------------------- structured-text parsing
+
+@register(
+    "fn_structured_parse",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS csv_name, n_regionkey AS csv_region,
+           n_name AS xml_name, n_regionkey AS xml_region,
+           TRUE AS csv_roundtrip, TRUE AS xml_roundtrip
+    FROM nation
+    """,
+)
+def fn_structured_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded structured-text parsing: serialize nation fields to a
+    CSV line and an XML snippet IN-PLAN, then parse them back with
+    ``from_csv`` / ``from_xml`` (Spark 4) — the single-column
+    ingestion path for logs that carry CSV/XML payloads inside a
+    string field (the common "column 7 is actually a CSV record"
+    mess). The oracle asserts the roundtrip identity: parse(render(
+    row)) must reproduce the original fields exactly, which pins the
+    quoting/escaping behavior of both codecs. Everything is per-row
+    expression work — no shuffle, full codegen except the XML codec
+    itself."""
+    n = table(spark, sf_dir, "nation")
+    csv_line = F.concat_ws(
+        ",", F.col("n_name"), F.col("n_regionkey").cast("string")
+    )
+    xml_doc = F.concat(
+        F.lit("<r><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></r>"),
+    )
+    parsed = n.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.from_csv(
+            csv_line, "name STRING, region INT"
+        ).alias("c"),
+        F.from_xml(
+            xml_doc, "name STRING, region INT"
+        ).alias("x"),
+    )
+    return parsed.select(
+        "n_nationkey",
+        F.col("c.name").alias("csv_name"),
+        F.col("c.region").cast("int").alias("csv_region"),
+        F.col("x.name").alias("xml_name"),
+        F.col("x.region").cast("int").alias("xml_region"),
+        (
+            (F.col("c.name") == F.col("n_name"))
+            & (F.col("c.region") == F.col("n_regionkey"))
+        ).alias("csv_roundtrip"),
+        (
+            (F.col("x.name") == F.col("n_name"))
+            & (F.col("x.region") == F.col("n_regionkey"))
+        ).alias("xml_roundtrip"),
+    )

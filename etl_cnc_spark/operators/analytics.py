@@ -3649,3 +3649,64 @@ def events_funnel_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_buy"),
         )
     )
+
+
+# ------------------------------------------------- year-over-year growth
+
+@register(
+    "orders_yoy_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ), laged AS (
+        SELECT yr, mo, n_orders, cents,
+               lag(cents) OVER (PARTITION BY mo ORDER BY yr) AS prev_cents
+        FROM monthly
+    )
+    SELECT yr, mo, n_orders,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(prev_cents AS DOUBLE) / 100.0 AS revenue_prev_year,
+           {sql_q4("CAST(cents - prev_cents AS DOUBLE) / prev_cents")}
+             AS yoy_pct
+    FROM laged
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth of monthly order revenue — the BI
+    staple, expressed so the comparison NEVER needs a global sort:
+    lag(1) PARTITIONED BY calendar month ORDER BY year reaches the
+    same month one year back directly (12 independent partitions,
+    each a few rows per year), instead of the lag(12)-over-global-
+    order formulation that funnels the whole grid through one
+    partition and breaks when a month is missing. Revenue sums are
+    exact integer cents off one hash aggregate; the window runs on
+    the tiny (yr, mo) grid. First year of each month has NULL
+    prior/growth by construction."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    laged = monthly.withColumn("prev_cents", F.lag("cents").over(w))
+    return laged.select(
+        "yr",
+        "mo",
+        "n_orders",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.col("prev_cents").cast("double") / 100.0).alias(
+            "revenue_prev_year"
+        ),
+        q4(
+            (F.col("cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents")
+        ).alias("yoy_pct"),
+    )

@@ -180,6 +180,9 @@ EXTRA_KEYS = [
     "events_user_overlap",
     "events_funnel_constrained",
     "text_keyword_extract",
+    # structured-text / BI wave
+    "fn_structured_parse",
+    "orders_yoy_growth",
 ]
 
 
