@@ -349,3 +349,85 @@ def pipeline_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         ((F.col("rank") - 1) % N_READERS).cast("long").alias("reader_id"),
     )
+
+
+# ------------------------------------------------- payload byte entropy
+
+ENT_DOC_MOD = 10  # report every 10th doc (bounded driver output)
+
+
+@register(
+    "multimodal_byte_entropy",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE doc_id % {ENT_DOC_MOD} = 0
+    ), freq AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS distinct_bytes
+        FROM freq GROUP BY doc_id
+    ), ent AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(floor(-(CAST(f.c AS DOUBLE) / t.n)
+                   * log2(CAST(f.c AS DOUBLE) / t.n) * 1e9 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 1e9 AS entropy_bits
+        FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+        GROUP BY f.doc_id
+    )
+    SELECT t.doc_id, t.n AS n_bytes, t.distinct_bytes,
+           floor(e.entropy_bits * 10000 + 0.5) / 10000.0 AS entropy_bits
+    FROM tot t JOIN ent e ON e.doc_id = t.doc_id
+    """,
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy of binary payloads via an
+    Arrow-batched ``mapInPandas`` pass — the cheap modality-agnostic
+    quality/dedup signal for blobs: compressed media sits near 8
+    bits/byte, text far below, truncated or padded payloads stand
+    out immediately. The UDF is the real multimodal plumbing (whole
+    Arrow record batches, numpy ``frombuffer`` + ``bincount`` per
+    payload — no per-row Python call overhead); per-term entropy
+    contributions are fixed-point-quantized (1e-9) before summing so
+    the Python-side result is bit-identical to the oracle's
+    char-frequency formulation (payloads are ASCII text stand-ins —
+    byte histogram == char histogram, verified by multimodal_cols'
+    sha256 parity)."""
+    import math
+
+    import numpy as np
+
+    p = _payloads(spark, sf_dir).where(F.col("doc_id") % ENT_DOC_MOD == 0)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                nz = counts[counts > 0].astype(np.float64)
+                n = float(arr.size)
+                acc = 0
+                for c in nz.tolist():
+                    pr = c / n
+                    acc += math.floor(-pr * math.log2(pr) * 1e9 + 0.5)
+                out.append(
+                    (int(doc_id), int(arr.size), int(nz.size), acc / 1e9)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_bytes", "distinct_bytes", "ent"],
+            )
+
+    feats = p.select("doc_id", "payload").mapInPandas(
+        batches,
+        "doc_id LONG, n_bytes LONG, distinct_bytes LONG, ent DOUBLE",
+    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "distinct_bytes",
+        q4(F.col("ent")).alias("entropy_bits"),
+    )

@@ -3710,3 +3710,106 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("prev_cents")
         ).alias("yoy_pct"),
     )
+
+
+# --------------------------------------------- Markov stationary dist
+
+MARKOV_ITERS = 4
+_PI_Q = "1e12"  # fixed-point quantum for per-iteration mass terms
+
+
+def _markov_iter_sql(prev_cte: str, out_cte: str) -> str:
+    # one power-iteration step; each (state -> next) mass term is
+    # fixed-point-quantized BEFORE the sum so the per-state total is
+    # an exact integer (order-free) in both engines
+    return f"""
+    {out_cte} AS (
+        SELECT p.next AS s,
+               CAST(sum(CAST(floor({prev_cte}.pi * p.p * {_PI_Q} + 0.5)
+                             AS BIGINT)) AS DOUBLE) / {_PI_Q} AS pi
+        FROM {prev_cte} JOIN p ON p.prev = {prev_cte}.s
+        GROUP BY 1
+    )"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), c AS (
+        SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+        SELECT prev, CAST(sum(n) AS BIGINT) AS rs FROM c GROUP BY 1
+    ), p AS (
+        SELECT c.prev, c.next, CAST(c.n AS DOUBLE) / r.rs AS p
+        FROM c JOIN r ON r.prev = c.prev
+    ), states AS (SELECT DISTINCT prev AS s FROM c),
+    it0 AS (
+        SELECT s, 1.0 / (SELECT count(*) FROM states) AS pi FROM states
+    ),{_markov_iter_sql("it0", "it1")},{_markov_iter_sql("it1", "it2")},{
+        _markov_iter_sql("it2", "it3")},{_markov_iter_sql("it3", "it4")}
+    SELECT it4.s AS state, {sql_q4("it4.pi")} AS pi,
+           r.rs AS n_transitions_out
+    FROM it4 JOIN r ON r.prev = it4.s
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain
+    (events_markov's transition matrix) by 4 power iterations from
+    the uniform start — "where do user sessions spend their time in
+    the long run", the quantity behind PageRank-style importance
+    and journey simulation. The matrix lives as (prev, next, p)
+    EDGES, never materialized densely, so an iteration is one join +
+    aggregate against a |states|²-bounded table — the same
+    Pregel-as-joins shape as graph_pagerank, but over behavioral
+    states.
+
+    Determinism through iteration: every mass term pi_i * P_ij is
+    fixed-point-quantized (1e-12) before the per-state sum, so each
+    iteration's vector is exact and order-free, and four chained
+    iterations stay bit-identical across engines — an iterative
+    numerical fixpoint under the exact-hash gate."""
+    e = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    c = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    r = c.groupBy("prev").agg(F.sum("n").cast("long").alias("rs"))
+    p = c.join(r, "prev").select(
+        "prev", "next", (F.col("n").cast("double") / F.col("rs")).alias("p")
+    )
+    states = c.select(F.col("prev").alias("s")).distinct()
+    nstates = states.agg(F.count("*").alias("ns"))
+    pi = states.crossJoin(F.broadcast(nstates)).select(
+        "s", (F.lit(1.0) / F.col("ns")).alias("pi")
+    )
+    quantum = float(_PI_Q)
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(p, pi["s"] == p["prev"])
+            .groupBy(F.col("next").alias("s2"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("pi") * F.col("p") * quantum + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / quantum
+                ).alias("pi")
+            )
+            .select(F.col("s2").alias("s"), "pi")
+        )
+    return pi.join(r, pi["s"] == r["prev"]).select(
+        F.col("s").alias("state"),
+        q4(F.col("pi")).alias("pi"),
+        F.col("rs").alias("n_transitions_out"),
+    )

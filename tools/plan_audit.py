@@ -183,6 +183,9 @@ EXTRA_KEYS = [
     # structured-text / BI wave
     "fn_structured_parse",
     "orders_yoy_growth",
+    # iterative-fixpoint / binary-payload wave
+    "events_markov_stationary",
+    "multimodal_byte_entropy",
 ]
 
 
