@@ -406,6 +406,10 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    # the oracle's char-unnest yields no rows for an
+                    # empty doc; mirror that by emitting nothing
+                    continue
                 counts = np.bincount(arr, minlength=256)
                 nz = counts[counts > 0].astype(np.float64)
                 n = float(arr.size)

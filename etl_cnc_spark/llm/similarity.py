@@ -1466,7 +1466,16 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = _dot64(F.col("qe"), F.col("ce"))
     cos_aug = dot / (F.col("qn") * F.col("m_norm"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_aug").desc(), "cid")
+    # rank by (cos_aug, dot, cid): cos_aug is the augmented-space
+    # score the reduction actually serves, but IEEE division by the
+    # per-query constant can COLLAPSE two dots ~1 ulp apart into one
+    # cos_aug — the dot tiebreak restores exactly the oracle's
+    # (dot DESC, cid) order in that case (strict cos_aug order
+    # already implies strict dot order, so the composite order equals
+    # the oracle's everywhere)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_aug").desc(), F.col("dot").desc(), "cid"
+    )
     return (
         pairs.select(
             "qid", "cid", dot.alias("dot"), cos_aug.alias("cos_aug")

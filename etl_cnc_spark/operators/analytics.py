@@ -3395,7 +3395,7 @@ HOLD_US = 300_000_000  # each event holds a 5-minute interval
                epoch_us(ts) + {HOLD_US} AS e
         FROM events
     ), flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, event_id, s, e,
                CASE WHEN s > coalesce(max(e) OVER (
                         PARTITION BY user_id ORDER BY s, e, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -3405,7 +3405,7 @@ HOLD_US = 300_000_000  # each event holds a 5-minute interval
     ), islands AS (
         SELECT user_id, s, e,
                sum(new_island) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, e, event_id
                    ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged
     ), merged AS (
@@ -3449,6 +3449,7 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(
@@ -3461,9 +3462,13 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_island"),
     )
+    # the prefix-sum window MUST share the flag window's full
+    # (s, e, event_id) order: with ties on (s, e) a weaker order could
+    # visit a flag-0 row before its flag-1 twin and split/merge
+    # islands nondeterministically
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(

@@ -70,11 +70,13 @@ REGISTRY: dict[str, QueryDef] = {}
 # agg_countmin_sketch, events_interval_union,
 # stream_upsert_snapshot, ml_confusion_metrics/roc_auc/
 # calibration_bins, events_user_overlap, events_funnel_constrained,
-# text_keyword_extract).  State at end of r5: 335 registered, 197
-# driver-checked, 138 never-checked; the r5 sweep (this window)
-# covers 50, leaving 88.  Plan: r6 window = first 50 in registry
+# text_keyword_extract), then fn_structured_parse,
+# orders_yoy_growth, events_markov_stationary, and
+# multimodal_byte_entropy.  State at end of r5: 339 registered, 197
+# driver-checked, 142 never-checked; the r5 sweep (this window)
+# covers 50, leaving 92.  Plan: r6 window = first 50 in registry
 # order (`python tools/next_window.py` prints them), r7 window = the
-# remaining 38 plus re-verify slots.  Run `python tools/preflight.py`
+# remaining 42 plus re-verify slots.  Run `python tools/preflight.py`
 # before rotating (catches driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [
     # re-verify after the q8 array-column -> comma-joined-string fix

@@ -530,7 +530,8 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE/upsert via foreachBatch — the CDC-apply
     pattern: each micro-batch is merged into a latest-state-per-key
     snapshot (read current target, union the batch, keep the max
-    (ts, event_id) row per user, atomically swap directories). The
+    (ts, event_id) row per user, swap directories crash-safely:
+    old aside, new in, then delete). The
     source is staged as 4 hash-partitioned files consumed
     maxFilesPerTrigger=1, so the merge really runs 4 times
     incrementally; the oracle computes latest-per-user over the
@@ -577,9 +578,16 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nxt = tgt + f"_b{batch_id}"
         latest.write.mode("overwrite").parquet(nxt)
+        # crash-safe swap: move the OLD state aside first, then bring
+        # the new state in, then drop the old — a failure between any
+        # two steps leaves a complete state dir recoverable on disk
+        # (rmtree-before-rename would lose everything if the driver
+        # died in between)
+        old = tgt + "_old"
         if os.path.isdir(tgt):
-            shutil.rmtree(tgt)
+            os.rename(tgt, old)
         os.rename(nxt, tgt)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         spark.readStream.schema(
