@@ -1368,3 +1368,88 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------- HDR log-bucket histogram
+
+@register(
+    "agg_hdr_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(strlen(format('{{:b}}',
+                    greatest(CAST(floor(value*100 + 0.5) AS BIGINT), 1)))
+                    AS BIGINT) AS bucket
+        FROM events
+    ), h AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY event_type, bucket
+    ), c AS (
+        SELECT event_type, bucket, n,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        FROM h
+    )
+    SELECT event_type, bucket,
+           CAST(2 ** (bucket - 1) AS BIGINT) AS lo_cents,
+           CAST(2 ** bucket - 1 AS BIGINT) AS hi_cents,
+           n, cum_n,
+           {sql_q4("CAST(cum_n AS DOUBLE) / tot")} AS cum_share,
+           (cum_n * 100 >= 95 * tot AND (cum_n - n) * 100 < 95 * tot)
+             AS is_p95_bucket
+    FROM c
+    """,
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style log2 value buckets per event_type — the
+    observability percentile sketch (hdrhistogram.org — public):
+    bucket = bit-length of the integer cents, so the bucket count is
+    ~log2(max) regardless of input size, relative error is bounded at
+    2x per bucket, and the histogram is MERGEABLE (bucket counts from
+    shards/days just add — same argument as the CMS cells). The p95
+    bucket is flagged in-plan with pure integer arithmetic
+    (cum*100 >= 95*tot crossing), which is how a latency SLO monitor
+    reads it without a percentile interpolation step.
+
+    Bit-length via bin()/format('{{:b}}') string length on BOTH
+    engines — no log2() call, so no libm boundary to disagree on at
+    exact powers of two. One hash aggregate + one bounded window."""
+    e = table(spark, sf_dir, "events")
+    vc = F.greatest(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"), F.lit(1)
+    )
+    b = e.select(
+        "event_type", F.length(F.bin(vc)).cast("long").alias("bucket")
+    )
+    h = b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(wcum).cast("long").alias("cum_n"),
+        F.sum("n").over(wtot).cast("long").alias("tot"),
+    )
+    return c.select(
+        "event_type",
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket") - 1).cast("long").alias("lo_cents"),
+        (F.pow(F.lit(2.0), F.col("bucket")).cast("long") - 1).alias(
+            "hi_cents"
+        ),
+        "n",
+        "cum_n",
+        q4(F.col("cum_n").cast("double") / F.col("tot")).alias("cum_share"),
+        (
+            (F.col("cum_n") * 100 >= 95 * F.col("tot"))
+            & ((F.col("cum_n") - F.col("n")) * 100 < 95 * F.col("tot"))
+        ).alias("is_p95_bucket"),
+    )

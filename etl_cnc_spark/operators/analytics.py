@@ -3818,3 +3818,71 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("pi")).alias("pi"),
         F.col("rs").alias("n_transitions_out"),
     )
+
+
+# ------------------------------------------------------ skyline query
+
+@register(
+    "orders_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS day_n
+        FROM orders
+    ), ranked AS (
+        SELECT o_orderkey, cents, day_n,
+               max(day_n) OVER (ORDER BY cents DESC
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_day_higher,
+               max(day_n) OVER (PARTITION BY cents) AS best_day_same
+        FROM pts
+    )
+    SELECT o_orderkey, cents, day_n
+    FROM ranked
+    WHERE day_n = best_day_same
+      AND (best_day_higher IS NULL OR day_n > best_day_higher)
+    """,
+)
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over orders, maximizing
+    (price, recency): an order survives iff NO other order is >= on
+    both dimensions and > on one — the classic database operator
+    (Borzsony/Kossmann/Stocker, ICDE 2001 — public) behind
+    best-tradeoff shortlists. The 2D case needs NO quadratic
+    dominance join: sort by price DESC once, keep a running max of
+    the date over STRICTLY higher-priced rows (RANGE ... 1 PRECEDING
+    on the price axis = 'price > mine', immune to price ties), and a
+    row is on the frontier iff it beats that running max AND is the
+    best date within its own price tie-group. One sort, two windows,
+    linear work — at 100 TB pre-filter with a coarse grid max as the
+    scalable first pass (same trick as join_spatial_grid) before the
+    windowed sweep; the RANGE window over prices is this key's
+    single global sort, bounded output by frontier size."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_n"),
+    )
+    whigher = (
+        Window.orderBy(F.col("cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wsame = Window.partitionBy("cents")
+    ranked = o.select(
+        "o_orderkey",
+        "cents",
+        "day_n",
+        F.max("day_n").over(whigher).alias("best_day_higher"),
+        F.max("day_n").over(wsame).alias("best_day_same"),
+    )
+    return ranked.where(
+        (F.col("day_n") == F.col("best_day_same"))
+        & (
+            F.col("best_day_higher").isNull()
+            | (F.col("day_n") > F.col("best_day_higher"))
+        )
+    ).select("o_orderkey", "cents", "day_n")

@@ -186,6 +186,9 @@ EXTRA_KEYS = [
     # iterative-fixpoint / binary-payload wave
     "events_markov_stationary",
     "multimodal_byte_entropy",
+    # histogram / skyline wave
+    "agg_hdr_histogram",
+    "orders_skyline",
 ]
 
 
