@@ -1123,3 +1123,104 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_exact")
         ).alias("rel_error"),
     )
+
+
+# ------------------------------------------------ nearest as-of join
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+    ), o AS (
+        SELECT o_custkey, epoch_us(o_orderdate) AS ot FROM orders
+    ), bwd AS (
+        SELECT e.event_id, max(o.ot) AS bt
+        FROM e JOIN o ON o.o_custkey = e.user_id AND o.ot <= e.t
+        GROUP BY e.event_id
+    ), fwd AS (
+        SELECT e.event_id, min(o.ot) AS ft
+        FROM e JOIN o ON o.o_custkey = e.user_id AND o.ot > e.t
+        GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, e.t AS ts_us,
+           CASE WHEN bt IS NULL THEN ft
+                WHEN ft IS NULL THEN bt
+                WHEN e.t - bt <= ft - e.t THEN bt ELSE ft END
+             AS nearest_order_us,
+           CASE WHEN bt IS NULL THEN ft - e.t
+                WHEN ft IS NULL THEN e.t - bt
+                WHEN e.t - bt <= ft - e.t THEN e.t - bt
+                ELSE ft - e.t END AS delta_us,
+           CASE WHEN bt IS NOT NULL
+                     AND (ft IS NULL OR e.t - bt <= ft - e.t)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM e LEFT JOIN bwd ON bwd.event_id = e.event_id
+           LEFT JOIN fwd ON fwd.event_id = e.event_id
+    WHERE bt IS NOT NULL OR ft IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each event matches the closest
+    order time in EITHER direction (ties to backward) — the sensor-
+    alignment variant (pandas merge_asof direction='nearest') that
+    the plain backward as-of (join_asof) can't express. Same
+    scalable union+window formulation as join_asof, just both
+    directions at once: tag order times into the event stream, sort
+    once per user on (t, tag) — tag orders BEFORE events at equal t
+    so 'order_time <= event_time' lands in the backward window — and
+    read the running max over preceding rows (backward candidate)
+    and running min over following rows (forward candidate). One
+    shuffle on user_id, one sort, zero inequality joins — the
+    oracle's quadratic per-user candidate join is exactly what this
+    formulation avoids at scale."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.lit(1).alias("tag"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        F.lit(0).alias("tag"),
+    )
+    u = e.unionByName(o)
+    ot = F.when(F.col("tag") == 0, F.col("t"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    cand = u.select(
+        "event_id",
+        "user_id",
+        "t",
+        "tag",
+        F.max(ot).over(wb).alias("bt"),
+        F.min(ot).over(wf).alias("ft"),
+    ).where(F.col("tag") == 1)
+    use_bwd = F.col("bt").isNotNull() & (
+        F.col("ft").isNull()
+        | (F.col("t") - F.col("bt") <= F.col("ft") - F.col("t"))
+    )
+    return cand.where(F.col("bt").isNotNull() | F.col("ft").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts_us"),
+        F.when(use_bwd, F.col("bt")).otherwise(F.col("ft")).alias(
+            "nearest_order_us"
+        ),
+        F.when(use_bwd, F.col("t") - F.col("bt"))
+        .otherwise(F.col("ft") - F.col("t"))
+        .alias("delta_us"),
+        F.when(use_bwd, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -1309,3 +1309,134 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+# ------------------------------------------------- Spearman correlation
+
+def _midrank_sql(var: str, out: str) -> str:
+    # doubled midranks (2*rank = 2*prior + cnt + 1) per l_returnflag
+    # group over the DISTINCT values of ``var`` — exact integers
+    return f"""
+    {out}_g AS (
+        SELECT l_returnflag, {var} AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2
+    ), {out} AS (
+        SELECT l_returnflag, v,
+               2 * coalesce(sum(cnt) OVER (PARTITION BY l_returnflag
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) + cnt + 1 AS r2
+        FROM {out}_g
+    )"""
+
+
+@register(
+    "stat_spearman",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ),{_midrank_sql("x", "rx")},{_midrank_sql("y", "ry")},
+    j AS (
+        SELECT b.l_returnflag, rx.r2 AS a, ry.r2 AS b2
+        FROM base b
+        JOIN rx ON rx.l_returnflag = b.l_returnflag AND rx.v = b.x
+        JOIN ry ON ry.l_returnflag = b.l_returnflag AND ry.v = b.y
+    ), s AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS sa,
+               CAST(sum(b2) AS BIGINT) AS sb,
+               CAST(sum(a*a) AS BIGINT) AS saa,
+               CAST(sum(b2*b2) AS BIGINT) AS sbb,
+               CAST(sum(a*b2) AS BIGINT) AS sab
+        FROM j GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {sql_q4("(CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)"
+                   " / sqrt((CAST(n AS DOUBLE) * saa"
+                   "          - CAST(sa AS DOUBLE) * sa)"
+                   "        * (CAST(n AS DOUBLE) * sbb"
+                   "           - CAST(sb AS DOUBLE) * sb))")} AS spearman_rho
+    FROM s
+    """,
+)
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs price per returnflag)
+    computed EXACTLY with tie midranks: rank both variables over
+    their distinct-value groups (doubled midranks stay integers —
+    the same trick as ml_roc_auc), join the ranks back by value, and
+    run Pearson's formula on the exact integer rank sums. Robust to
+    any monotone transformation of either variable — the rank
+    answer Pearson (agg_corr_exact) can't give.
+
+    Scale shape: two distinct-value aggregates + prefix windows
+    (per-group; swap in the two-level bucketed prefix of ml_roc_auc
+    when distinct values are corpus-sized), two value-keyed rank
+    joins that share the groupBy's partitioning, one final moment
+    aggregate. Exact-integer bound: |Σ(2r)²| < 4n³ — fine through
+    ~10⁶ rows per group; past that, center the ranks and/or promote
+    the moment sums to DOUBLE with fixed-point quantization (the
+    documented escape used by stat_bootstrap_ci)."""
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def midranks(var: str) -> DataFrame:
+        g = base.groupBy("l_returnflag", F.col(var).alias("v")).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        wp = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return g.select(
+            "l_returnflag",
+            "v",
+            (
+                2 * F.coalesce(F.sum("cnt").over(wp), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = midranks("x").select(
+        "l_returnflag", F.col("v").alias("x"), F.col("r2").alias("a")
+    )
+    ry = midranks("y").select(
+        "l_returnflag", F.col("v").alias("y"), F.col("r2").alias("b2")
+    )
+    j = base.join(rx, ["l_returnflag", "x"]).join(ry, ["l_returnflag", "y"])
+    s = j.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b2").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b2") * F.col("b2")).cast("long").alias("sbb"),
+        F.sum(F.col("a") * F.col("b2")).cast("long").alias("sab"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        q4(
+            (
+                F.col("n").cast("double") * F.col("sab")
+                - F.col("sa").cast("double") * F.col("sb")
+            )
+            / F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("saa")
+                    - F.col("sa").cast("double") * F.col("sa")
+                )
+                * (
+                    F.col("n").cast("double") * F.col("sbb")
+                    - F.col("sb").cast("double") * F.col("sb")
+                )
+            )
+        ).alias("spearman_rho"),
+    )

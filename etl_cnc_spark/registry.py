@@ -72,12 +72,13 @@ REGISTRY: dict[str, QueryDef] = {}
 # calibration_bins, events_user_overlap, events_funnel_constrained,
 # text_keyword_extract), then fn_structured_parse,
 # orders_yoy_growth, events_markov_stationary, and
-# multimodal_byte_entropy, agg_hdr_histogram, and orders_skyline.
-# State at end of r5: 341 registered, 197 driver-checked, 144
-# never-checked; the r5 sweep (this window) covers 50, leaving 94.
+# multimodal_byte_entropy, agg_hdr_histogram, orders_skyline,
+# join_asof_nearest, and stat_spearman.
+# State at end of r5: 343 registered, 197 driver-checked, 146
+# never-checked; the r5 sweep (this window) covers 50, leaving 96.
 # Plan: r6 window = first 50 in registry order
 # (`python tools/next_window.py` prints them), r7 window = the
-# remaining 44 plus re-verify slots.  Run `python tools/preflight.py`
+# remaining 46 plus re-verify slots.  Run `python tools/preflight.py`
 # before rotating (catches driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [
     # re-verify after the q8 array-column -> comma-joined-string fix

@@ -1,0 +1,93 @@
+"""Independent-recomputation properties for the thirteenth round-5
+wave (nearest as-of join, exact Spearman rho)."""
+
+from __future__ import annotations
+
+import bisect
+
+import duckdb
+import numpy as np
+
+from etl_cnc_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_asof_nearest_matches_python_bisect(spark, sf_dir):
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT o_custkey, epoch_us(o_orderdate) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    by_cust: dict[int, list[int]] = {}
+    for ck, ot in orders:
+        by_cust.setdefault(ck, []).append(ot)
+    for v in by_cust.values():
+        v.sort()
+    events = con.execute(
+        f"SELECT event_id, user_id, epoch_us(ts) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    out = {r["event_id"]: r for r in
+           REGISTRY["join_asof_nearest"].build(spark, sf_dir).collect()}
+    n_expected = 0
+    for eid, uid, t in events:
+        ts = by_cust.get(uid)
+        if not ts:
+            assert eid not in out
+            continue
+        n_expected += 1
+        i = bisect.bisect_right(ts, t)
+        bt = ts[i - 1] if i > 0 else None
+        ft = ts[i] if i < len(ts) else None
+        if bt is not None and (ft is None or t - bt <= ft - t):
+            nearest, delta, direction = bt, t - bt, "backward"
+        else:
+            nearest, delta, direction = ft, ft - t, "forward"
+        r = out[eid]
+        assert r["nearest_order_us"] == nearest
+        assert r["delta_us"] == delta
+        assert r["direction"] == direction
+        assert r["delta_us"] >= 0
+    assert len(out) == n_expected
+
+
+def test_spearman_matches_numpy_rankdata(spark, sf_dir):
+    """rho recomputed with numpy argsort-based midranks (the fixture
+    prices are synthetic and uncorrelated with quantity, so the
+    check is numeric agreement + bounds, not a domain effect)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_returnflag, CAST(l_quantity AS BIGINT), "
+        f"CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for fl, x, y in rows:
+        by_flag.setdefault(fl, []).append((x, y))
+
+    def midranks(vals: list[int]) -> np.ndarray:
+        arr = np.asarray(vals, dtype=np.float64)
+        order = np.argsort(arr, kind="mergesort")
+        ranks = np.empty(len(arr))
+        sorted_vals = arr[order]
+        i = 0
+        while i < len(arr):
+            j = i
+            while j < len(arr) and sorted_vals[j] == sorted_vals[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2
+            i = j
+        return ranks
+
+    out = {r["l_returnflag"]: r for r in
+           REGISTRY["stat_spearman"].build(spark, sf_dir).collect()}
+    assert set(out) == set(by_flag)
+    for fl, pts in by_flag.items():
+        rx = midranks([p[0] for p in pts])
+        ry = midranks([p[1] for p in pts])
+        rho = float(np.corrcoef(rx, ry)[0, 1])
+        r = out[fl]
+        assert r["n"] == len(pts)
+        assert abs(r["spearman_rho"] - rho) <= 1e-3
+        assert -1.0 - 1e-9 <= r["spearman_rho"] <= 1.0 + 1e-9

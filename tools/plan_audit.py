@@ -189,6 +189,9 @@ EXTRA_KEYS = [
     # histogram / skyline wave
     "agg_hdr_histogram",
     "orders_skyline",
+    # nearest-asof / rank-correlation wave
+    "join_asof_nearest",
+    "stat_spearman",
 ]
 
 
