@@ -91,3 +91,28 @@ def test_spearman_matches_numpy_rankdata(spark, sf_dir):
         assert r["n"] == len(pts)
         assert abs(r["spearman_rho"] - rho) <= 1e-3
         assert -1.0 - 1e-9 <= r["spearman_rho"] <= 1.0 + 1e-9
+
+
+def test_vocab_overlap_matches_python_sets(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    vocab: dict[str, set[str]] = {}
+    for src, text in rows:
+        vocab.setdefault(src, set()).update(text.split(" "))
+    out = REGISTRY["text_vocab_overlap"].build(spark, sf_dir).collect()
+    srcs = sorted(vocab)
+    expected = {(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+                if vocab[a] & vocab[b]}
+    got = {(r["src_a"], r["src_b"]): r for r in out}
+    assert set(got) == expected
+    for (a, b), r in got.items():
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        assert r["vocab_a"] == len(vocab[a]) and r["vocab_b"] == len(vocab[b])
+        assert r["shared"] == inter
+        assert abs(r["jaccard"] - inter / union) <= 1e-3
+        assert abs(
+            r["containment"] - inter / min(len(vocab[a]), len(vocab[b]))
+        ) <= 1e-3

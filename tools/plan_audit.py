@@ -192,6 +192,7 @@ EXTRA_KEYS = [
     # nearest-asof / rank-correlation wave
     "join_asof_nearest",
     "stat_spearman",
+    "text_vocab_overlap",
 ]
 
 
