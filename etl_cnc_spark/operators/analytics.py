@@ -3867,12 +3867,31 @@ def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day_n"),
     )
+    # scalable prefilter: coarse price buckets -> per-bucket max day
+    # -> running max over STRICTLY higher buckets (a bounded,
+    # value-range-sized window). Any row whose day is below that max
+    # is dominated by some row in a strictly higher price bucket
+    # (higher bucket => strictly higher price), so only a frontier
+    # superset reaches the exact global sweep — the one remaining
+    # unpartitioned window runs on the pruned candidates, not the
+    # corpus.
+    bkt = o.withColumn("bkt", F.floor(F.col("cents") / F.lit(1024)))
+    bmax = bkt.groupBy("bkt").agg(F.max("day_n").alias("bday"))
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bcut = bmax.select(
+        "bkt", F.max("bday").over(wb).alias("cut_day")
+    )
+    cand = bkt.join(F.broadcast(bcut), "bkt").where(
+        F.col("cut_day").isNull() | (F.col("day_n") >= F.col("cut_day"))
+    )
     whigher = (
         Window.orderBy(F.col("cents").desc())
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     wsame = Window.partitionBy("cents")
-    ranked = o.select(
+    ranked = cand.select(
         "o_orderkey",
         "cents",
         "day_n",
