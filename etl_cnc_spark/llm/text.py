@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import q4, sql_q4
+from ..utils import pairwise_set_overlap, q4, sql_pairwise_set_overlap, sql_q4
 
 # A tiny function-word list for the language-ID heuristic. The
 # fixture corpus is a synthetic word salad, so the *predictions* are
@@ -1496,28 +1496,12 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_vocab_overlap",
     oracle=f"""
-    WITH dv AS (
-        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
-        FROM documents
-    ), sizes AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS vocab
-        FROM dv GROUP BY source
-    ), pairs AS (
-        SELECT a.source AS src_a, b.source AS src_b,
-               CAST(count(*) AS BIGINT) AS shared
-        FROM dv a JOIN dv b
-          ON a.tok = b.tok AND a.source < b.source
-        GROUP BY 1, 2
-    )
-    SELECT p.src_a, p.src_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
-           p.shared,
-           {sql_q4("CAST(p.shared AS DOUBLE)"
-                   " / (sa.vocab + sb.vocab - p.shared)")} AS jaccard,
-           {sql_q4("CAST(p.shared AS DOUBLE)"
-                   " / least(sa.vocab, sb.vocab)")} AS containment
-    FROM pairs p
-    JOIN sizes sa ON sa.source = p.src_a
-    JOIN sizes sb ON sb.source = p.src_b
+    SELECT src_a, src_b, n_a AS vocab_a, n_b AS vocab_b, shared,
+           jaccard, containment
+    FROM ({sql_pairwise_set_overlap(
+        "SELECT DISTINCT source, unnest(string_split(text, ' ')) AS elem"
+        " FROM documents",
+        "source", "src_a", "src_b")})
     """,
 )
 def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,47 +1510,26 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     design: two sources with near-1 containment are near-duplicates
     at the DOMAIN level (scraping the same sites), visible long
     before any document-level dedup runs. Exact Jaccard and
-    containment of the distinct-token sets, same shape as
-    events_user_overlap: one distinct (source, token) pass, a
-    token-keyed self-join whose output is bounded by |sources|² per
-    token, vocabulary sizes broadcast back in. At 100 TB swap the
-    exact self-join for the KMV sketches (agg_kmv_setops) once
-    |sources| or vocabularies explode — this key is the exact
-    auditor for that estimate."""
+    containment of the distinct-token sets via the shared
+    pairwise_set_overlap helper (same machinery as
+    events_user_overlap): one distinct (source, token) pass, a
+    token-keyed self-join bounded by |sources|² per token,
+    vocabulary sizes broadcast back in. At 100 TB swap the exact
+    self-join for the KMV sketches (agg_kmv_setops) once |sources|
+    or vocabularies explode — this key is the exact auditor for
+    that estimate."""
     dv = (
         table(spark, sf_dir, "documents")
         .select("source", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
     )
-    sizes = dv.groupBy("source").agg(
-        F.count("*").cast("long").alias("vocab")
-    )
-    a = dv.select(F.col("source").alias("src_a"), "tok")
-    b = dv.select(F.col("source").alias("src_b"), "tok")
-    pairs = (
-        a.join(b, "tok")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").cast("long").alias("shared"))
-    )
-    sa = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
-    sb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
-    return (
-        pairs.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
-        .select(
-            "src_a",
-            "src_b",
-            "vocab_a",
-            "vocab_b",
-            "shared",
-            q4(
-                F.col("shared").cast("double")
-                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared"))
-            ).alias("jaccard"),
-            q4(
-                F.col("shared").cast("double")
-                / F.least(F.col("vocab_a"), F.col("vocab_b"))
-            ).alias("containment"),
-        )
+    out = pairwise_set_overlap(dv, "source", "src_a", "src_b")
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("n_a").alias("vocab_a"),
+        F.col("n_b").alias("vocab_b"),
+        "shared",
+        "jaccard",
+        "containment",
     )

@@ -1416,9 +1416,7 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — no log2() call, so no libm boundary to disagree on at
     exact powers of two. One hash aggregate + one bounded window."""
     e = table(spark, sf_dir, "events")
-    vc = F.greatest(
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"), F.lit(1)
-    )
+    vc = F.greatest(cents(F.col("value")), F.lit(1))
     b = e.select(
         "event_type", F.length(F.bin(vc)).cast("long").alias("bucket")
     )

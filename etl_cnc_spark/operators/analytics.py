@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import cents, q4, sql_q4, ts_us
+from ..utils import (
+    cents,
+    pairwise_set_overlap,
+    q4,
+    sql_pairwise_set_overlap,
+    sql_q4,
+    ts_us,
+)
 from .prefix import global_ordered, ntile_from_rank
 
 
@@ -3495,26 +3502,10 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_user_overlap",
     oracle=f"""
-    WITH du AS (
-        SELECT DISTINCT event_type, user_id FROM events
-    ), sizes AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n
-        FROM du GROUP BY event_type
-    ), pairs AS (
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
-               CAST(count(*) AS BIGINT) AS n_both
-        FROM du a JOIN du b
-          ON a.user_id = b.user_id AND a.event_type < b.event_type
-        GROUP BY 1, 2
-    )
-    SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
-           {sql_q4("CAST(p.n_both AS DOUBLE)"
-                   " / (sa.n + sb.n - p.n_both)")} AS jaccard,
-           {sql_q4("CAST(p.n_both AS DOUBLE)"
-                   " / least(sa.n, sb.n)")} AS containment
-    FROM pairs p
-    JOIN sizes sa ON sa.event_type = p.type_a
-    JOIN sizes sb ON sb.event_type = p.type_b
+    SELECT type_a, type_b, n_a, n_b, shared AS n_both, jaccard, containment
+    FROM ({sql_pairwise_set_overlap(
+        "SELECT DISTINCT event_type, user_id AS elem FROM events",
+        "event_type", "type_a", "type_b")})
     """,
 )
 def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3526,37 +3517,22 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose output is bounded by |types|² per user; sizes join in as a
     broadcast of the |types|-row aggregate. The exact companion to
     the KMV-sketch set operations (agg_kmv_setops) — same question,
-    sketch vs exact cost."""
-    du = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
-    sizes = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
-    a = du.select(F.col("event_type").alias("type_a"), "user_id")
-    b = du.select(F.col("event_type").alias("type_b"), "user_id")
-    pairs = (
-        a.join(b, "user_id")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").cast("long").alias("n_both"))
+    sketch vs exact cost. Overlap math lives in the shared
+    pairwise_set_overlap helper (also used by text_vocab_overlap)."""
+    dv = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
     )
-    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .select(
-            "type_a",
-            "type_b",
-            "n_a",
-            "n_b",
-            "n_both",
-            q4(
-                F.col("n_both").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
-            ).alias("jaccard"),
-            q4(
-                F.col("n_both").cast("double")
-                / F.least(F.col("n_a"), F.col("n_b"))
-            ).alias("containment"),
-        )
+    out = pairwise_set_overlap(dv, "event_type", "type_a", "type_b")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.col("shared").alias("n_both"),
+        "jaccard",
+        "containment",
     )
 
 

@@ -138,3 +138,79 @@ def sql_avg_money(expr: str) -> str:
         f"(CAST(sum(CAST(floor(({expr})*100 + 0.5) AS BIGINT)) AS DOUBLE)"
         f"/count({expr}))/100.0"
     )
+
+
+def pairwise_set_overlap(df, group_col: str, out_a: str, out_b: str):
+    """Exact pairwise Jaccard/containment of per-group element sets.
+
+    ``df`` must be a DISTINCT (group, element) frame with exactly two
+    columns: ``group_col`` and one element column (any name). Returns
+    columns (out_a, out_b, vocab-size pair named n_a/n_b via the
+    callers' select, shared, jaccard, containment) — shared by
+    events_user_overlap and text_vocab_overlap so the overlap math
+    lives in ONE place. Shape: one self-join keyed on the element
+    (output bounded by |groups|² per element) + broadcast size joins.
+    """
+    from pyspark.sql import functions as F
+
+    elem = [c for c in df.columns if c != group_col][0]
+    sizes = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n"))
+    a = df.select(F.col(group_col).alias(out_a), elem)
+    b = df.select(F.col(group_col).alias(out_b), elem)
+    pairs = (
+        a.join(b, elem)
+        .where(F.col(out_a) < F.col(out_b))
+        .groupBy(out_a, out_b)
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col(group_col).alias(out_a), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(group_col).alias(out_b), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), out_a)
+        .join(F.broadcast(sb), out_b)
+        .select(
+            out_a,
+            out_b,
+            "n_a",
+            "n_b",
+            "shared",
+            q4(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+            q4(
+                F.col("shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+    )
+
+
+def sql_pairwise_set_overlap(
+    distinct_cte: str, group: str, out_a: str, out_b: str
+) -> str:
+    """DuckDB oracle mirror of :func:`pairwise_set_overlap`.
+
+    ``distinct_cte`` is SQL producing the DISTINCT (group, element)
+    rows with columns named ``{group}`` and ``elem``."""
+    return f"""
+    WITH dv AS ({distinct_cte}),
+    sizes AS (
+        SELECT {group}, CAST(count(*) AS BIGINT) AS n
+        FROM dv GROUP BY {group}
+    ), pairs AS (
+        SELECT a.{group} AS {out_a}, b.{group} AS {out_b},
+               CAST(count(*) AS BIGINT) AS shared
+        FROM dv a JOIN dv b
+          ON a.elem = b.elem AND a.{group} < b.{group}
+        GROUP BY 1, 2
+    )
+    SELECT p.{out_a}, p.{out_b}, sa.n AS n_a, sb.n AS n_b, p.shared,
+           {sql_q4("CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared)")}
+             AS jaccard,
+           {sql_q4("CAST(p.shared AS DOUBLE) / least(sa.n, sb.n)")}
+             AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.{group} = p.{out_a}
+    JOIN sizes sb ON sb.{group} = p.{out_b}
+    """

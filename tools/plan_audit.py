@@ -4,12 +4,14 @@ queries plus the heaviest non-bench operators — the ".explain and
 iterate" evidence trail. For each audited key it extracts the plan
 features that matter at 100 TB:
 
-Reproducibility caveat: exchange counts can differ by ±1 between runs
-for keys whose plans hit exchange/subquery REUSE (e.g. graph_pagerank)
-— reuse depends on what the session planned earlier in the same
-process. Treat a one-count drift on an untouched row as run-order
-noise, not a regression; structural columns (pushdown, join mix, BNL)
-are stable.
+Reproducibility caveat: exchange counts — and, for keys whose plans
+hit exchange/subquery REUSE (e.g. graph_pagerank, graph_kcore), the
+broadcast/sort-merge split in the join-mix column — can differ by ±1
+between runs: reuse depends on what the session planned earlier in
+the same process, and a reused exchange can flip one join's build
+side. Treat a one-count drift on an untouched row as run-order
+noise, not a regression; pushdown, BNL-count, and scan columns are
+stable.
 
 - scan health: PushedFilters present? ReadSchema column count
   (column pruning) vs table width;
