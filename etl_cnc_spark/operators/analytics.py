@@ -3881,3 +3881,76 @@ def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("day_n") > F.col("best_day_higher"))
         )
     ).select("o_orderkey", "cents", "day_n")
+
+
+# ------------------------------------------------ rolling trend slope
+
+SLOPE_WIN = 14  # trailing window (days)
+
+
+@register(
+    "events_rolling_slope",
+    oracle=f"""
+    WITH RECURSIVE {_TS_DENSE_SQL},
+    w AS (
+        SELECT event_type, t, y,
+               CAST(count(*) OVER win AS BIGINT) AS n,
+               CAST(sum(t) OVER win AS BIGINT) AS st,
+               CAST(sum(y) OVER win AS BIGINT) AS sy,
+               CAST(sum(t*t) OVER win AS BIGINT) AS stt,
+               CAST(sum(t*y) OVER win AS BIGINT) AS sty
+        FROM dense
+        WINDOW win AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN {SLOPE_WIN - 1} PRECEDING
+                       AND CURRENT ROW)
+    )
+    SELECT event_type, t, y,
+           {sql_q4("(CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)"
+                   " / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)")}
+             AS slope
+    FROM w WHERE n = {SLOPE_WIN}
+    """,
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope of the daily event volume (trailing
+    14-day window per event_type) — the local-trend feature behind
+    "is this metric accelerating" monitors and forecasting feature
+    sets: a windowed version of agg_linear_trend. The sufficient
+    statistics (n, Σt, Σy, Σt², Σty) accumulate as EXACT BIGINTs
+    inside ROWS frames that all share one (event_type, t) sort, so
+    the slope is a closed-form expression per row — no per-window
+    refit, no UDF, and the cost at 100 TB is the daily-rollup tier's,
+    not the event tier's. Windows shorter than 14 days are dropped
+    (the n = 14 filter) so every emitted slope covers a full
+    window."""
+    dense = _ts_dense(spark, sf_dir)
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-(SLOPE_WIN - 1), 0)
+    )
+    w = dense.select(
+        "event_type",
+        "t",
+        "y",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("t").over(win).cast("long").alias("st"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).over(win).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).over(win).cast("long").alias("sty"),
+    )
+    return w.where(F.col("n") == SLOPE_WIN).select(
+        "event_type",
+        "t",
+        "y",
+        q4(
+            (
+                F.col("n").cast("double") * F.col("sty")
+                - F.col("st").cast("double") * F.col("sy")
+            )
+            / (
+                F.col("n").cast("double") * F.col("stt")
+                - F.col("st").cast("double") * F.col("st")
+            )
+        ).alias("slope"),
+    )

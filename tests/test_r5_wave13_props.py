@@ -116,3 +116,35 @@ def test_vocab_overlap_matches_python_sets(spark, sf_dir):
         assert abs(
             r["containment"] - inter / min(len(vocab[a]), len(vocab[b]))
         ) <= 1e-3
+
+
+def test_rolling_slope_matches_numpy_polyfit(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH bounds AS (SELECT min(CAST(ts AS DATE)) d0 FROM '{sf_dir}/events.parquet')
+        SELECT event_type, datediff('day', (SELECT d0 FROM bounds),
+               CAST(ts AS DATE)), count(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    tmax = 0
+    for et, t, n in rows:
+        series.setdefault(et, {})[t] = n
+        tmax = max(tmax, t)
+    out = REGISTRY["events_rolling_slope"].build(spark, sf_dir).collect()
+    got = {(r["event_type"], r["t"]): r for r in out}
+    W = 14
+    n_expected = 0
+    for et, pts in series.items():
+        dense = [pts.get(t, 0) for t in range(tmax + 1)]
+        for t in range(W - 1, tmax + 1):
+            n_expected += 1
+            ys = dense[t - W + 1: t + 1]
+            xs = list(range(t - W + 1, t + 1))
+            slope = float(np.polyfit(xs, ys, 1)[0])
+            r = got[(et, t)]
+            assert r["y"] == dense[t]
+            assert abs(r["slope"] - slope) <= 1e-3
+    assert len(got) == n_expected

@@ -195,6 +195,7 @@ EXTRA_KEYS = [
     "join_asof_nearest",
     "stat_spearman",
     "text_vocab_overlap",
+    "events_rolling_slope",
 ]
 
 
