@@ -3954,3 +3954,97 @@ def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slope"),
     )
+
+
+# --------------------------------------------------- volatility bands
+
+BAND_WIN = 14
+BAND_K = 2.0
+
+
+@register(
+    "events_volatility_band",
+    oracle=f"""
+    WITH RECURSIVE {_TS_DENSE_SQL},
+    w AS (
+        SELECT event_type, t, y,
+               CAST(count(*) OVER win AS BIGINT) AS n,
+               CAST(sum(y) OVER win AS BIGINT) AS sy,
+               CAST(sum(y*y) OVER win AS BIGINT) AS syy
+        FROM dense
+        WINDOW win AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN {BAND_WIN} PRECEDING
+                       AND 1 PRECEDING)
+    ), b AS (
+        SELECT event_type, t, y, n,
+               CAST(sy AS DOUBLE) / n AS mu,
+               sqrt(greatest((CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * sy / n) / n, 0.0)) AS sigma
+        FROM w WHERE n = {BAND_WIN}
+    )
+    SELECT event_type, t, y,
+           {sql_q4("mu")} AS mean_trailing,
+           {sql_q4("sigma")} AS sigma_trailing,
+           {sql_q4(f"mu - {BAND_K} * sigma")} AS band_lo,
+           {sql_q4(f"mu + {BAND_K} * sigma")} AS band_hi,
+           (y > mu + {BAND_K} * sigma) AS breakout_up,
+           (y < mu - {BAND_K} * sigma) AS breakout_down
+    FROM b
+    """,
+)
+def events_volatility_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing volatility band (Bollinger-style, mean ± 2σ of the
+    PRIOR 14 days) per event_type daily volume, with breakout flags —
+    the alerting primitive that events_anomaly's global z-score
+    can't express: the band adapts locally, and excluding the
+    current row from its own band (ROWS ... 1 PRECEDING) keeps a
+    genuine spike from inflating the very σ that should flag it.
+    Window sums are exact BIGINTs over the daily grid (shared
+    (event_type, t) sort with events_rolling_slope's frames), the
+    population σ comes off the two power sums in one fixed-order
+    expression, and the breakout comparison is the same
+    exact-int-vs-derived-double on both engines. Daily-rollup-tier
+    cost at any scale."""
+    dense = _ts_dense(spark, sf_dir)
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-BAND_WIN, -1)
+    )
+    w = dense.select(
+        "event_type",
+        "t",
+        "y",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("syy"),
+    ).where(F.col("n") == BAND_WIN)
+    mu = F.col("sy").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+            )
+            / F.col("n"),
+            F.lit(0.0),
+        )
+    )
+    b = w.select(
+        "event_type", "t", "y", mu.alias("mu"), sigma.alias("sigma")
+    )
+    return b.select(
+        "event_type",
+        "t",
+        "y",
+        q4(F.col("mu")).alias("mean_trailing"),
+        q4(F.col("sigma")).alias("sigma_trailing"),
+        q4(F.col("mu") - BAND_K * F.col("sigma")).alias("band_lo"),
+        q4(F.col("mu") + BAND_K * F.col("sigma")).alias("band_hi"),
+        (F.col("y") > F.col("mu") + BAND_K * F.col("sigma")).alias(
+            "breakout_up"
+        ),
+        (F.col("y") < F.col("mu") - BAND_K * F.col("sigma")).alias(
+            "breakout_down"
+        ),
+    )

@@ -73,13 +73,13 @@ REGISTRY: dict[str, QueryDef] = {}
 # text_keyword_extract), then fn_structured_parse,
 # orders_yoy_growth, events_markov_stationary, and
 # multimodal_byte_entropy, agg_hdr_histogram, orders_skyline,
-# join_asof_nearest, stat_spearman, text_vocab_overlap, and
-# events_rolling_slope.
-# State at end of r5: 345 registered, 197 driver-checked, 148
-# never-checked; the r5 sweep (this window) covers 50, leaving 98.
+# join_asof_nearest, stat_spearman, text_vocab_overlap,
+# events_rolling_slope, and events_volatility_band.
+# State at end of r5: 346 registered, 197 driver-checked, 149
+# never-checked; the r5 sweep (this window) covers 50, leaving 99.
 # Plan: r6 window = first 50 in registry order
 # (`python tools/next_window.py` prints them), r7 window = the
-# remaining 48 plus re-verify slots.  Run `python tools/preflight.py`
+# remaining 49 plus re-verify slots.  Run `python tools/preflight.py`
 # before rotating (catches driver-canonicalization traps).
 DRIVER_WINDOW: list[str] = [
     # re-verify after the q8 array-column -> comma-joined-string fix

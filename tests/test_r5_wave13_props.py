@@ -148,3 +148,39 @@ def test_rolling_slope_matches_numpy_polyfit(spark, sf_dir):
             assert r["y"] == dense[t]
             assert abs(r["slope"] - slope) <= 1e-3
     assert len(got) == n_expected
+
+
+def test_volatility_band_matches_numpy(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH bounds AS (SELECT min(CAST(ts AS DATE)) d0 FROM '{sf_dir}/events.parquet')
+        SELECT event_type, datediff('day', (SELECT d0 FROM bounds),
+               CAST(ts AS DATE)), count(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    tmax = 0
+    for et, t, n in rows:
+        series.setdefault(et, {})[t] = n
+        tmax = max(tmax, t)
+    out = REGISTRY["events_volatility_band"].build(spark, sf_dir).collect()
+    got = {(r["event_type"], r["t"]): r for r in out}
+    W, K = 14, 2.0
+    n_expected = 0
+    for et, pts in series.items():
+        dense = [pts.get(t, 0) for t in range(tmax + 1)]
+        for t in range(W, tmax + 1):
+            n_expected += 1
+            prior = np.asarray(dense[t - W: t], dtype=np.float64)
+            mu, sigma = float(prior.mean()), float(prior.std())
+            r = got[(et, t)]
+            assert r["y"] == dense[t]
+            assert abs(r["mean_trailing"] - mu) <= 1e-3
+            assert abs(r["sigma_trailing"] - sigma) <= 1e-3
+            assert r["breakout_up"] == (dense[t] > mu + K * sigma)
+            assert r["breakout_down"] == (dense[t] < mu - K * sigma)
+            # band is symmetric around the mean
+            assert abs((r["band_hi"] + r["band_lo"]) / 2 - mu) <= 2e-3
+    assert len(got) == n_expected

@@ -196,6 +196,7 @@ EXTRA_KEYS = [
     "stat_spearman",
     "text_vocab_overlap",
     "events_rolling_slope",
+    "events_volatility_band",
 ]
 
 
