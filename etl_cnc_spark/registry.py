@@ -36,78 +36,48 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 # The driver's correctness sweep checks a bounded prefix of the
-# registry (first 50 keys), so ordering is evidence.  Rounds 1-4
-# accumulated 197 distinct driver-checked keys (193 hash-green, 3
-# rows-only by design, 1 red).  DRIVER_WINDOW r5 = the red key
-# (embed_quantize, re-verify after its q8 array->string fix) plus the
-# next 49 never-driver-checked keys in registry order (the round-4
-# operator wave: curation/attribution/paths/hierarchy/q8-IVF/
-# matryoshka, the fn_* long tail, the text_* tail).  Remainder after
-# the r5 sweep: 52 never-checked keys — the 7 r4 leftovers
-# (pipeline_rag_corpus, pipeline_mix_temperature, text_repetition,
-# pipeline_curriculum, multimodal_framesample, sql_entry_agg,
-# sql_entry_window), the 30 keys from r5's first waves (TPC-H
-# completion, interval/asof-tolerance joins, incremental/containment
-# dedup, KMV/weighted-percentile, BFS, dataset card, IVF-PQ, DPP,
-# BM25/RRF retrieval, KS/PSI/chi2 drift, spatial grid, span dedup,
-# diverse top-k, drift monitor, seasonal/Theil-Sen, link features),
-# and the 15 keys from r5 wave 3 (stat_mann_whitney,
-# stat_jackknife_cv, etl_benford, agg_kmv_setops,
-# agg_bloom_membership, events_autocorr, events_changepoint,
-# events_holt, join_fuzzy_names, etl_survivorship, sql_entry_lateral,
-# text_vocab_growth, text_token_entropy, embed_norm_stats,
-# embed_centroid_inertia).  Wave 4+ added 17 more
-# (win_gaps_islands, graph_kcore, events_decay_counter,
-# ml_point_in_time_features, sql_entry_recursive,
-# stream_topk_windowed, etl_dp_release, agg_equidepth_histogram,
-# events_ab_sequential, events_forecast_backtest, set_intersect_all,
-# join_cardinality_estimate, orders_duplicate_payments,
-# events_diff_in_diff, events_power_analysis, events_mix_shift,
-# graph_random_walk), and the closing waves added 18 more (stat_
-# bootstrap_ci/linreg_multi/welch_ttest, pipeline_preference_pairs,
-# text_tokenizer_fertility, embed_whitening_stats,
-# sim_mips_transform, events_anomaly_mad, ml_train_test_split,
-# agg_countmin_sketch, events_interval_union,
-# stream_upsert_snapshot, ml_confusion_metrics/roc_auc/
-# calibration_bins, events_user_overlap, events_funnel_constrained,
-# text_keyword_extract), then fn_structured_parse,
-# orders_yoy_growth, events_markov_stationary, and
-# multimodal_byte_entropy, agg_hdr_histogram, orders_skyline,
-# join_asof_nearest, stat_spearman, text_vocab_overlap,
-# events_rolling_slope, and events_volatility_band.
-# State at end of r5: 346 registered, 197 driver-checked, 149
-# never-checked; the r5 sweep (this window) covers 50, leaving 99.
-# Plan: r6 window = first 50 in registry order
-# (`python tools/next_window.py` prints them), r7 window = the
-# remaining 49 plus re-verify slots.  Run `python tools/preflight.py`
-# before rotating (catches driver-canonicalization traps).
+# registry (first 50 keys), so ordering is evidence.  Rounds 1-5
+# accumulated 246 distinct driver-checked keys (238 hash-green, 8
+# rows-only by design, 0 red at HEAD).  DRIVER_WINDOW r6 =
+# sim_recall_report + sim_recall_lsh (fresh recall attestation after
+# the IVF-PQ / matryoshka additions, per VERDICT r5 item 7) plus the
+# next 48 never-driver-checked keys in registry order (the r5 join/
+# sketch/ETL/time-series waves).  Remainder after this sweep: 52
+# never-checked keys — r7 window = the next 50 printed by
+# `python tools/next_window.py`, r8 = the final 2 plus re-verify
+# slots.  Run `python tools/preflight.py` before rotating (catches
+# driver-canonicalization traps like r4's embed_quantize numpy-cell
+# issue).
 DRIVER_WINDOW: list[str] = [
-    # re-verify after the q8 array-column -> comma-joined-string fix
-    # (r4's only red row: the driver's canonicalizer cannot
-    # factorize numpy array cells)
-    "embed_quantize",
-    # round-3/4 operators never yet driver-attested
-    "lakehouse_manifest_snapshot", "agg_approx_quantile", "agg_hll_merge",
-    "etl_k_anonymity", "orders_cohort_ltv", "etl_fk_integrity",
-    "etl_skew_report", "orders_order_to_cash",
-    "sample_weighted_deterministic", "events_attribution",
-    "events_resample_gapfill", "events_conversion_paths",
-    "events_bot_detection", "events_time_weighted_avg",
-    "events_capped_balance", "agg_linear_trend", "graph_hierarchy_walk",
-    "graph_hierarchy_rollup",
-    # fn_* long tail
-    "fn_hash_native", "fn_bitwise", "fn_strdist", "fn_sequence",
-    "fn_trig", "fn_url", "fn_struct", "fn_posexplode", "fn_try_arith",
-    "fn_datetime2", "fn_hex", "fn_timezone", "fn_array_setops",
-    "fn_variant", "fn_format", "fn_mask_builtin", "fn_struct_surgery",
-    # LLM-pipeline wave
-    "pipeline_curate_e2e", "text_near_dup_cluster", "sim_topk_pandas",
-    "sim_recall_lsh", "sim_ann_ivf_q8", "embed_matryoshka_topk",
-    # text_* tail
-    "text_tokens", "text_fingerprint", "text_normalize", "text_pii_mask",
-    "text_bigram_freq", "text_lm_score", "text_chunk_windows",
-    "text_ngram_novelty",
+    # §2.10 statistical-gate re-attestation (recall numbers re-measured
+    # after the IVF-PQ and matryoshka retrieval additions)
+    "sim_recall_report", "sim_recall_lsh",
+    # r5 join wave
+    "join_dynamic_partition_pruning", "join_interval_overlap",
+    "join_asof_tolerance", "join_spatial_grid", "join_fuzzy_names",
+    "join_cardinality_estimate", "join_asof_nearest",
+    # sketch / histogram aggregates
+    "agg_kmv_distinct", "agg_kmv_setops", "agg_bloom_membership",
+    "agg_equidepth_histogram", "agg_countmin_sketch", "agg_hdr_histogram",
+    "win_gaps_islands", "set_intersect_all",
+    # ETL data-quality wave
+    "etl_benford", "etl_survivorship", "etl_dp_release",
+    "etl_table_checksum", "etl_pseudonymize",
+    # time-series / experimentation wave
+    "events_dau_mau", "events_ewma", "events_seasonal_decompose",
+    "events_theil_sen", "events_autocorr", "events_changepoint",
+    "events_holt", "events_decay_counter", "ml_point_in_time_features",
+    "events_ab_sequential", "events_forecast_backtest",
+    "orders_duplicate_payments", "events_diff_in_diff",
+    "events_power_analysis", "events_mix_shift", "events_anomaly_mad",
+    "events_interval_union", "events_user_overlap",
+    "events_funnel_constrained", "orders_yoy_growth",
+    "events_markov_stationary", "orders_skyline", "events_rolling_slope",
+    "events_volatility_band", "agg_weighted_percentile",
+    # drift / nonparametric stats
+    "stat_ks_test", "stat_psi_drift", "stat_mann_whitney",
 ]
+
 
 # SURVEY.md §2 contract keys (all driver-green across rounds 1-2 except
 # agg_partial_final, which is in DRIVER_WINDOW above).  Kept as the
