@@ -680,20 +680,20 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``global_ordered`` pass over a composite bucket key (metric ×
     per-metric-normalized value) — one prefix-rank machine over 3N
     rows instead of three over N, which cuts the stage count ~3×
-    (small-input latency is stage-bound; measured 2.7 s → 1.3 s at
-    sf0.01). Per-metric rank falls out arithmetically (global rank −
-    metric_index·N, each metric contributing exactly N rows), then
-    exact ntile(5) buckets from (rank, n); the oracle keeps its
-    ntile(5) formulation and the hashes agree bit-for-bit.
+    (small-input latency is stage-bound). Per-metric rank falls out
+    arithmetically (global rank − metric_index·N, each metric
+    contributing exactly N rows), then exact ntile(5) buckets from
+    (rank, n); the oracle keeps its ntile(5) formulation and the
+    hashes agree bit-for-bit.
 
-    EAGER AT BUILD (documented contract deviation): this key runs the
-    rollup aggregate at plan-construction time (cache() + one bounded
-    stats action — 1 scalar + 3 ranges, never data) and keeps the
-    |users|-row rollup cached for the session. That trades lazy
-    build-time (explain/audit callers pay one small job) for ~3×
-    fewer stages on the hot path — the right trade for the bench
-    representative. Callers needing a fully lazy plan should use the
-    oracle-equivalent SQL entry instead."""
+    FULLY LAZY (SCALE.md rule 1): the per-metric (lo, hi) ranges and
+    the user count feed the plan as a broadcast 1-row stats frame —
+    no job runs at build time, so explain/audit callers pay nothing.
+    (Earlier rounds collected the stats eagerly and inlined literals;
+    the broadcast-stats plan benches equivalently because AQE folds
+    the 1-row exchange into the same stage wave, and the rollup
+    ``cache()`` still deduplicates the events scan across branches
+    once the first action runs.)"""
     e = table(spark, sf_dir, "events")
     mx = e.agg(F.max("ts").alias("now"))
     base = (
@@ -721,43 +721,24 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # One cached per-user rollup feeds every consumer (the melted
-    # rank frame, the count, the final join): the events scan +
+    # rank frame, the stats row, the final join): the events scan +
     # aggregate runs ONCE. cache() (not localCheckpoint) keeps
     # lineage, so executor loss on a real cluster recomputes instead
-    # of failing the query; the rollup is |users| rows — tiny.
+    # of failing the query; the rollup is |users| rows — tiny, and
+    # cache() itself is lazy so no job runs at build.
     base = base.cache()
-    # Bounded metadata collected ONCE at the driver: the user count
-    # and the three per-metric (lo, hi) ranges — 1 scalar + 3 rows,
-    # never data. Inlining them as literals (instead of broadcast
-    # single-row frames) removes three broadcast-exchange waves from
-    # the cold plan; this first action also materializes the cache
-    # every later branch reads. Small-input rank queries are
-    # stage-bound, so each removed wave is wall-clock.
+    # Bounded metadata as a broadcast 1-row frame (1 scalar + 3
+    # per-metric (lo, hi) ranges — metadata, never data): joins into
+    # the plan lazily instead of a driver-side .first() at build.
     stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("recency_days").alias("r_lo"),
-        F.max("recency_days").alias("r_hi"),
-        F.min(-F.col("frequency")).alias("f_lo"),
-        F.max(-F.col("frequency")).alias("f_hi"),
-        F.min(-F.col("monetary_cents")).alias("m_lo"),
-        F.max(-F.col("monetary_cents")).alias("m_hi"),
-    ).first()
-    if not stats["n"]:
-        # empty source: emit the (empty) output schema instead of
-        # crashing on None range literals
-        return base.select(
-            "user_id",
-            "recency_days",
-            "frequency",
-            "monetary_cents",
-            F.lit(None).cast("long").alias("rfm_code"),
-        )
-    n_val = int(stats["n"])
-    rng = {
-        0: (int(stats["r_lo"]), int(stats["r_hi"])),
-        1: (int(stats["f_lo"]), int(stats["f_hi"])),
-        2: (int(stats["m_lo"]), int(stats["m_hi"])),
-    }
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("recency_days").alias("_lo0"),
+        F.max("recency_days").alias("_hi0"),
+        F.min(-F.col("frequency")).alias("_lo1"),
+        F.max(-F.col("frequency")).alias("_hi1"),
+        F.min(-F.col("monetary_cents")).alias("_lo2"),
+        F.max(-F.col("monetary_cents")).alias("_hi2"),
+    )
     # Melt: metric 0 = recency asc, 1 = frequency desc, 2 = monetary
     # desc — descending metrics negate their value, so every metric
     # sorts (value asc, user_id asc) and ties break identically to
@@ -777,18 +758,31 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (metric, value) sort by construction; DIV (never multiply) so a
     # cents-scale span cannot overflow the composite.
     grid = 1 << 20
-
-    def _ck_for(m: int) -> F.Column:
-        lo, hi = rng[m]
-        width = (hi - lo + grid) // grid
-        return F.expr(f"CAST({m * grid} AS BIGINT) + (_v - {lo}) DIV {width}")
-
-    norm = (
-        F.when(F.col("_m") == 0, _ck_for(0))
-        .when(F.col("_m") == 1, _ck_for(1))
-        .otherwise(_ck_for(2))
+    lo = (
+        F.when(F.col("_m") == 0, F.col("_lo0"))
+        .when(F.col("_m") == 1, F.col("_lo1"))
+        .otherwise(F.col("_lo2"))
+    ).cast("long")
+    hi = (
+        F.when(F.col("_m") == 0, F.col("_hi0"))
+        .when(F.col("_m") == 1, F.col("_hi1"))
+        .otherwise(F.col("_hi2"))
+    ).cast("long")
+    keyed = (
+        melted.crossJoin(F.broadcast(stats))
+        .withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .select(
+            "user_id",
+            "_m",
+            "_v",
+            "_n",
+            F.expr(
+                f"CAST(_m AS BIGINT) * {grid}"
+                f" + (_v - _lo) DIV ((_hi - _lo + {grid}) DIV {grid})"
+            ).alias("_ck"),
+        )
     )
-    keyed = melted.select("user_id", "_m", "_v", norm.alias("_ck"))
     ranked = global_ordered(
         keyed,
         [F.col("_ck"), F.col("_v"), F.col("user_id")],
@@ -797,14 +791,17 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Global rank → per-metric rank: metrics are sorted by _m first
     # and each contributes exactly n rows, so metric m's ranks occupy
-    # (m·n, (m+1)·n]; pivot back to one row per user.
-    n = F.lit(n_val).cast("long")
+    # (m·n, (m+1)·n]; pivot back to one row per user. _n rides along
+    # (constant per row) so no second stats join is needed.
+    n = F.col("_n")
     piv = ranked.groupBy("user_id").agg(
         F.max(F.when(F.col("_m") == 0, F.col("_grk"))).alias("_rk_r"),
         F.max(F.when(F.col("_m") == 1, F.col("_grk") - n)).alias("_rk_f"),
         F.max(F.when(F.col("_m") == 2, F.col("_grk") - 2 * n)).alias("_rk_m"),
+        F.max("_n").alias("_n"),
     )
     out = base.join(piv, "user_id")
+    n = F.col("_n")
     return out.select(
         "user_id",
         "recency_days",

@@ -15,8 +15,7 @@ This tool closes the gap two ways:
    DataFrame and flag any output column whose dataType is complex.
    Complex output == driver trap, period.  NOTE: "build" is not free —
    sink/stream/bucketed keys stage real data or run availableNow
-   streams as part of constructing their result frame, and events_rfm
-   collects its bounded stats eagerly; a full no-args run executes
+   streams as part of constructing their result frame; a full no-args run executes
    dozens of small Spark jobs (~minutes), it just skips the final
    collect of every query.
 2. ``--exec``: additionally run each flagged-clean query at sf0.001
