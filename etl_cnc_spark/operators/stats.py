@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.prefix import global_ordered
 from ..registry import register
 from ..utils import q4, sql_q4
 
@@ -443,11 +444,15 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     α=0.05 critical value 1.358·√((n₁+n₂)/(n₁·n₂)) and a drift flag.
 
     Scale shape: values are quantized to integer cents and hash-
-    aggregated FIRST, so the ECDF window runs over the bounded value
-    DOMAIN (≤ |price grid| rows), not the input rows — the single-
-    partition ordered window is bounded however large the fact table
-    grows; cumulative counts are integer (exact, order-free), with
-    doubles appearing only in the final per-gridpoint division."""
+    aggregated FIRST, so the ECDF fold runs over the bounded value
+    DOMAIN (≤ |price grid| rows), not the input rows; and the
+    cumulative counts go through ``global_ordered``'s bucketed prefix
+    machine (operators/prefix.py) rather than an unpartitioned
+    ``Window.orderBy`` — a wide-domain money column (cents grids can
+    reach 10⁷+ distinct points at 100 TB) never funnels through one
+    partition. Cumulative counts are integer (exact, order-free),
+    with doubles appearing only in the final per-gridpoint
+    division."""
     e = table(spark, sf_dir, "events").where(
         F.col("event_type").isin(KS_G1, KS_G2)
     )
@@ -459,14 +464,13 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
     )
-    wcum = Window.orderBy("v_cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = grid.select(
-        "v_cents",
-        F.sum("c1").over(wcum).alias("cum1"),
-        F.sum("c2").over(wcum).alias("cum2"),
-    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "cum1", "c2": "cum2"},
+        rank_col=None,
+    ).select("v_cents", "cum1", "cum2")
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
@@ -646,9 +650,12 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — the same bounded-domain trick as stat_ks_test:
     values quantize to integer cents and hash-aggregate FIRST, so
-    ranks come from a window over the value DOMAIN, not the input
+    ranks come from a fold over the value DOMAIN, not the input
     rows (a naive rank() over 10^11 rows would be a single-partition
-    sort of the whole fact table). Midranks stay INTEGER by tracking
+    sort of the whole fact table), and that fold runs through
+    ``global_ordered``'s bucketed prefix machine (operators/
+    prefix.py), never an unpartitioned window — the cents grid can
+    be 10⁷+ points at 100 TB. Midranks stay INTEGER by tracking
     2x the rank (2·before + t + 1), so the rank-sum R1 is an exact
     order-free integer; doubles appear only in the final z formula,
     evaluated once. The tie term Σ(t³−t) accumulates as int64 —
@@ -666,15 +673,21 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == MWU_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == MWU_G2).cast("long").alias("c2"),
     )
-    wprev = Window.orderBy("v_cents").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    t = F.col("c1") + F.col("c2")
-    cum = grid.select(
+    # Inclusive running sum from the bucketed prefix machine; the
+    # oracle's "UNBOUNDED PRECEDING AND 1 PRECEDING" exclusive sum is
+    # recovered as cum_t − t.
+    with_t = grid.withColumn("t", (F.col("c1") + F.col("c2")).cast("long"))
+    cum = global_ordered(
+        with_t,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"t": "cum_t"},
+        rank_col=None,
+    ).select(
         "c1",
         "c2",
-        t.alias("t"),
-        F.coalesce(F.sum(t).over(wprev), F.lit(0)).alias("before"),
+        "t",
+        (F.col("cum_t") - F.col("t")).alias("before"),
     )
     sums = cum.agg(
         F.sum("c1").cast("long").alias("n1"),

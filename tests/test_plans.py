@@ -337,3 +337,22 @@ def test_substring_span_dedup_joins_on_digest(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_value_grid_folds_have_no_unpartitioned_window(spark, sf_dir):
+    """stat_ks_test / stat_mann_whitney cumulative ECDF/rank folds run
+    through the bucketed prefix machine (operators/prefix.py): every
+    windowspecdefinition in their plans is partitioned (by _pid or a
+    real key) — no "WindowExec: No Partition Defined" over the
+    data-proportional cents grid survives (VERDICT r5 #4). events_rfm
+    is covered by the same assertion (its ranks share the machine)."""
+    for key in ("stat_ks_test", "stat_mann_whitney", "events_rfm"):
+        df = REGISTRY[key].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                # unpartitioned specs render as
+                # windowspecdefinition(<order>, <frame>) with no
+                # partition columns before the ordering spec — every
+                # spec here must carry the _pid partition column.
+                assert "_pid" in line, (key, line)
