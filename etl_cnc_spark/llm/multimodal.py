@@ -360,7 +360,14 @@ ENT_DOC_MOD = 10  # report every 10th doc (bounded driver output)
     "multimodal_byte_entropy",
     oracle=f"""
     WITH chars AS (
-        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        -- char histogram == byte histogram ONLY for pure-ASCII text;
+        -- the Spark side histograms UTF-8 BYTES, so guard the
+        -- assumption loudly instead of silently drifting if a future
+        -- fixture gains multi-byte characters
+        SELECT doc_id, unnest(string_split(
+            CASE WHEN strlen(text) = length(text) THEN text
+                 ELSE error('byte-entropy oracle assumes ASCII text')
+            END, '')) AS ch
         FROM documents WHERE doc_id % {ENT_DOC_MOD} = 0
     ), freq AS (
         SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c

@@ -1417,6 +1417,12 @@ DP_EPS_B = 1.0  # Laplace scale b = sensitivity/epsilon = 1/1
 
 @register(
     "etl_dp_release",
+    notes="NOT a usable DP mechanism as-is: the noise is a keyed-PRF "
+    "pseudo-draw from a PUBLIC md5 of the group key, and n_true is "
+    "emitted alongside for the verification hash - the pseudo_noise "
+    "column name and this note exist so the key is never copied as "
+    "a real private release (swap md5 for a secret-keyed HMAC and "
+    "drop n_true for actual DP).",
     oracle=f"""
     WITH g AS (
         SELECT o_orderpriority, o_orderstatus,
@@ -1435,7 +1441,7 @@ DP_EPS_B = 1.0  # Laplace scale b = sensitivity/epsilon = 1/1
         FROM seeded
     )
     SELECT o_orderpriority, o_orderstatus, n_true,
-           {sql_q4("noise")} AS noise,
+           {sql_q4("noise")} AS pseudo_noise,
            CAST(greatest(0, n_true
                 + CAST(floor(noise + 0.5) AS BIGINT)) AS BIGINT)
                AS n_released
@@ -1488,7 +1494,7 @@ def etl_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_orderstatus",
         "n_true",
-        q4(F.col("noise")).alias("noise"),
+        q4(F.col("noise")).alias("pseudo_noise"),
         F.greatest(
             F.lit(0),
             F.col("n_true") + F.floor(F.col("noise") + F.lit(0.5)).cast("long"),

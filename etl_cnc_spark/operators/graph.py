@@ -106,7 +106,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration join is broadcast-sized, and at web scale the same
     plan shuffles on the vertex id — the standard Pregel-as-joins
     formulation."""
-    edges = trade_edges(spark, sf_dir).cache()
+    # lazy localCheckpoint, not cache — see graph_kcore: released
+    # with the plan instead of pinned in CacheManager.
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("u").agg(F.sum("w").alias("outw"))
     nodes = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("v")
@@ -676,10 +678,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = top.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
+    # lazy localCheckpoint (not cache): materialized once at first
+    # action and released by the ContextCleaner when the plan is
+    # dropped — a long-lived session sweeping many keys does not
+    # accumulate pinned edge lists the way CacheManager entries
+    # would. At 100 TB swap for a reliable checkpoint (lineage
+    # truncation + executor-loss survival), as min_label_components
+    # does.
     sym = (
         und.select(F.col("a").alias("n"), F.col("b").alias("m"))
         .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("m")))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     deg0 = sym.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("degree0"))
     alive = sym.select("n").distinct()
@@ -780,10 +789,13 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
+    # lazy localCheckpoint, not cache — see graph_kcore: computed
+    # once per action, auto-released with the plan, no CacheManager
+    # pinning across a long session.
     sym = (
         und.select(F.col("a").alias("n"), F.col("b").alias("m"))
         .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("m")))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     walk = sym.select("n").distinct().select(
         F.col("n").alias("start"), F.col("n").alias("cur")

@@ -963,7 +963,7 @@ FUZZY_MAX_LEV = 4  # accept pairs within this edit distance
                CAST(min(p_partkey) AS BIGINT) AS rep_key,
                CAST(count(*) AS BIGINT) AS n_rows,
                string_split(p_name, ' ')[1] AS tok1,
-               string_split(p_name, ' ')[2] AS tok2
+               string_split(p_name, ' ')[-1] AS tok2
         FROM part GROUP BY p_name
     ), cand AS (
         SELECT a.p_name AS name_a, b.p_name AS name_b
@@ -989,7 +989,9 @@ FUZZY_MAX_LEV = 4  # accept pairs within this edit distance
 def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching with MULTI-PASS BLOCKING — the
     record-linkage core: candidate name pairs come from two cheap
-    equality blocks (shared first token, shared last token), the
+    equality blocks (shared FIRST token and shared LAST token —
+    element_at(-1), so the two passes key on opposite ends of the
+    name and a typo in either end still blocks via the other), the
     union is deduplicated, and only candidates pay the levenshtein
     edit-distance score; pairs within distance 4 survive.
     (join_fuzzy_blocked is the single-pass sibling on raw supplier
@@ -1015,7 +1017,7 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_key",
         "n_rows",
         toks.getItem(0).alias("tok1"),
-        toks.getItem(1).alias("tok2"),
+        F.element_at(toks, -1).alias("tok2"),
     )
     a = names.select(
         F.col("p_name").alias("name_a"), F.col("tok1").alias("t1a"),

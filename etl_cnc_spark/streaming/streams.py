@@ -584,6 +584,11 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (rmtree-before-rename would lose everything if the driver
         # died in between)
         old = tgt + "_old"
+        # idempotent across crash recovery: a prior batch that died
+        # between the two renames leaves a stale _old dir, and
+        # os.rename onto a non-empty dir raises on POSIX — clear it
+        # first so the next batch recovers instead of wedging
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(tgt):
             os.rename(tgt, old)
         os.rename(nxt, tgt)

@@ -721,7 +721,7 @@ def test_dp_release_matches_python_mechanism(spark, sf_dir):
         noise = -1.0 * (1 if u >= 0 else -1) * math.log(1 - 2 * abs(u))
         r = got[(pri, st)]
         assert r["n_true"] == n
-        assert abs(r["noise"] - noise) <= 1e-3
+        assert abs(r["pseudo_noise"] - noise) <= 1e-3
         assert r["n_released"] == max(0, n + math.floor(noise + 0.5))
         assert r["n_released"] >= 0
 
