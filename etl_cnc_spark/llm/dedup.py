@@ -904,6 +904,8 @@ _MINHASH_ORACLE = REGISTRY["dedup_minhash_relational"].oracle
 
 @register(
     "text_near_dup_cluster",
+    bench=True,  # iterative-join representative: a regression in the
+    # pointer-jumping components loop is driver-visible here
     oracle=f"""
     WITH RECURSIVE mh AS ({_MINHASH_ORACLE}),
     pairs AS (

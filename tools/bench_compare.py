@@ -38,8 +38,11 @@ BASELINE = {
     # families, previously unrepresented in the bench set
     "sim_hybrid_rrf": 1.489,
     "dedup_substring_spans": 1.519,
+    # round-6 freeze (BASELINE.md "Round-6 re-freeze"): iterative
+    # pointer-jumping components representative
+    "text_near_dup_cluster": 2.39,
 }
-BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 11.505
+BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 13.895
 GATE = 2.0
 
 
