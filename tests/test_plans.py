@@ -356,3 +356,39 @@ def test_value_grid_folds_have_no_unpartitioned_window(spark, sf_dir):
                 # partition columns before the ordering spec — every
                 # spec here must carry the _pid partition column.
                 assert "_pid" in line, (key, line)
+
+
+def test_skyline_bucket_prefilter_prunes(spark, sf_dir):
+    """orders_skyline's coarse price-bucket prune must survive in the
+    plan: the candidate scan joins the broadcast bucket-cut table on
+    the bucket key with the cut_day dominance filter attached — if a
+    refactor drops the prefilter, the exact sweep silently runs over
+    the whole corpus and this fails (VERDICT r5 #5)."""
+    df = REGISTRY["orders_skyline"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    prune = [
+        l
+        for l in plan.splitlines()
+        if "BroadcastHashJoin" in l and "bkt" in l and "cut_day" in l
+    ]
+    assert prune, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_is_single_shuffle_window(spark, sf_dir):
+    """join_asof_nearest's scale shape is the union+window
+    formulation: ONE exchange (the user_id shuffle), bidirectional
+    candidates from partitioned windows, and no inequality join
+    anywhere — the oracle's quadratic per-user candidate join must
+    never appear in the Spark plan."""
+    df = REGISTRY["join_asof_nearest"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # both window directions partition by user_id
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, line
