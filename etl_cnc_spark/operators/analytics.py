@@ -4045,3 +4045,320 @@ def events_volatility_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             "breakout_down"
         ),
     )
+
+
+# ===================================================== round-6 wave A
+# BI / financial analytics: ABC classification, price elasticity,
+# drawdown, tail risk. Same discipline as the rest of the module:
+# integer sufficient statistics, fixed-point quantization for per-row
+# transcendentals, global ranks through the bucketed prefix machine.
+
+ABC_A_BPS = 7000  # class A: first 70% of cumulative revenue
+ABC_B_BPS = 9000  # class B: next 20%
+
+
+@register(
+    "orders_abc_analysis",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM rev
+    ), ranked AS (
+        SELECT o_custkey, revenue_cents,
+               CAST(sum(revenue_cents) OVER (
+                    ORDER BY revenue_cents DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT o_custkey, revenue_cents, cum_cents,
+           CAST(cum_cents * 10000 // total_cents AS BIGINT) AS cum_bps,
+           CASE WHEN cum_cents * 10000 // total_cents <= {ABC_A_BPS} THEN 'A'
+                WHEN cum_cents * 10000 // total_cents <= {ABC_B_BPS} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of customers by cumulative revenue
+    share: rank by revenue desc, running share in integer basis
+    points, class A = first 70% of revenue, B = next 20%, C = tail —
+    the inventory/CRM segmentation every BI stack ships.
+
+    Scale shape: revenue rollup is one hash aggregate to |customers|
+    rows; the global ordered running sum goes through the bucketed
+    prefix machine (``global_ordered`` — partitioned windows over
+    revenue-derived buckets + hierarchical offset fold), never a
+    single-partition window; the grand total joins as a broadcast
+    1-row aggregate, and the share math is integer (cents × 10⁴ DIV
+    total) so the class boundary is bit-exact, no float drift."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents")
+    )
+    tot = rev.agg(F.sum("revenue_cents").cast("long").alias("total_cents"))
+    ranked = global_ordered(
+        rev,
+        [F.col("revenue_cents").desc(), F.col("o_custkey")],
+        bucket_key="revenue_cents",
+        bucket_desc=True,
+        sums={"revenue_cents": "cum_cents"},
+        rank_col=None,
+    )
+    bps = F.expr("cum_cents * 10000L DIV total_cents")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "revenue_cents",
+        "cum_cents",
+        bps.alias("cum_bps"),
+        F.when(bps <= ABC_A_BPS, "A")
+        .when(bps <= ABC_B_BPS, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+ELA_Q = 1_000_000  # fixed-point quantum for per-row log terms
+
+
+@register(
+    "orders_price_elasticity",
+    oracle=f"""
+    WITH pts AS (
+        SELECT p.p_brand,
+               CAST(floor(ln(l.l_extendedprice / l.l_quantity) * {ELA_Q}
+                    + 0.5) AS BIGINT) AS x,
+               CAST(floor(ln(l.l_quantity) * {ELA_Q} + 0.5) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ), m AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*y) AS HUGEINT) AS sxy,
+               CAST(sum(x*x) AS HUGEINT) AS sxx
+        FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           {sql_q4(f"(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+                   f" - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+                   f" / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
+                   f" - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))")}
+               AS elasticity
+    FROM m
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log OLS slope
+    d ln(qty) / d ln(unit price) — the classic pricing-analytics
+    regression, computed AS AN AGGREGATE like agg_linear_trend.
+
+    The hash-parity discipline for transcendentals: ln() per row is
+    a double, and summing doubles is partition-order-dependent — so
+    each log term is fixed-point-quantized to 1e-6 BEFORE the sum
+    (identical integers on both engines), the moment sums are exact
+    integers (decimal accumulators against overflow: x,y ~ 1e7 so
+    Σx² terms reach 1e17·rows), and doubles appear only in the final
+    closed-form slope. One broadcast join (part is the small side),
+    one hash aggregate to |brands| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(38,0)"
+    x = F.floor(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")) * ELA_Q + 0.5
+    ).cast("long")
+    y = F.floor(F.log(F.col("l_quantity")) * ELA_Q + 0.5).cast("long")
+    pts = (
+        li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("p_brand", x.alias("x"), y.alias("y"))
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double")) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return m.select("p_brand", "n", q4(slope).alias("elasticity"))
+
+
+@register(
+    "events_drawdown",
+    oracle="""
+    WITH flows AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN -1 ELSE 1 END
+                 * CAST(floor(value*100 + 0.5) AS BIGINT) AS flow_cents
+        FROM events
+    ), bals AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(flow_cents) OVER w AS BIGINT) AS bal
+        FROM flows
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), curve AS (
+        SELECT user_id, bal,
+               CAST(max(bal) OVER w AS BIGINT) AS peak
+        FROM bals
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(bal) AS BIGINT) AS trough_cents
+    FROM curve GROUP BY user_id
+    """,
+)
+def events_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the signed event-value curve
+    (error events debit, everything else credits): running balance,
+    running peak, the deepest peak-to-trough fall, and the global minimum balance — the risk
+    metric behind every portfolio/abuse-budget monitor.
+
+    Scale shape: both windows partition by user_id (ONE shuffle; the
+    per-user sort is the only ordered work and users are the natural
+    parallelism unit), balances are exact integer cents so running
+    max/peak math is order-free within the mandated total order
+    (ts, event_id tiebreak). The final rollup reuses the same
+    partitioning — no second shuffle under AQE."""
+    e = table(spark, sf_dir, "events")
+    flows = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.when(F.col("event_type") == "error", -1).otherwise(1)
+            * cents(F.col("value"))
+        ).alias("flow_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = flows.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("flow_cents").over(w).cast("long").alias("bal"),
+    ).select(
+        "user_id",
+        "bal",
+        F.max("bal").over(w).cast("long").alias("peak"),
+    )
+    dd = F.col("peak") - F.col("bal")
+    return curve.groupBy("user_id").agg(
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(dd).cast("long").alias("max_drawdown_cents"),
+        F.min("bal").cast("long").alias("trough_cents"),
+    )
+
+
+VAR_Q_BPS = 9500  # tail quantile: 95th percentile (in basis points)
+
+
+@register(
+    "events_var_cvar",
+    oracle=f"""
+    WITH grid AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY 1
+    ), cum AS (
+        SELECT g.event_type, g.v_cents, g.c, t.n,
+               CAST(sum(g.c) OVER (PARTITION BY g.event_type
+                    ORDER BY g.v_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_c
+        FROM grid g JOIN tot t ON t.event_type = g.event_type
+    ), var_pt AS (
+        SELECT event_type, n, min(v_cents) AS var_cents
+        FROM cum
+        WHERE cum_c * 10000 >= {VAR_Q_BPS} * n
+        GROUP BY event_type, n
+    ), tail AS (
+        SELECT g.event_type,
+               CAST(sum(g.c) AS BIGINT) AS n_tail,
+               CAST(sum(g.c * g.v_cents) AS BIGINT) AS tail_cents
+        FROM grid g JOIN var_pt v ON v.event_type = g.event_type
+        WHERE g.v_cents >= v.var_cents
+        GROUP BY g.event_type
+    )
+    SELECT v.event_type, v.n, v.var_cents, t.n_tail,
+           {sql_q4("CAST(t.tail_cents AS DOUBLE) / t.n_tail / 100.0")}
+               AS cvar_value
+    FROM var_pt v JOIN tail t ON t.event_type = v.event_type
+    """,
+)
+def events_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of the
+    per-type value distribution at the 95th percentile: VaR = the
+    exact discrete quantile (smallest cents value whose cumulative
+    count covers 95% of rows — integer cross-multiplied, no float
+    rank), CVaR = mean value over the tail at-or-above VaR.
+
+    Scale shape — the stat_ks_test bounded-domain discipline: values
+    hash-aggregate onto the (type × cents) grid FIRST, so the
+    ordered scan runs over the value domain, not the rows; the
+    per-type cumulative window partitions by event_type (bounded
+    per-partition by the cents domain; swap in global_ordered per
+    type if the money domain ever explodes); tail mass comes from
+    integer sums with ONE final division."""
+    e = table(spark, sf_dir, "events")
+    grid = e.groupBy(
+        "event_type", cents(F.col("value")).alias("v_cents")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = grid.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(tot, "event_type").select(
+        "event_type",
+        "v_cents",
+        "c",
+        "n",
+        F.sum("c").over(wcum).cast("long").alias("cum_c"),
+    )
+    var_pt = (
+        cum.where(F.col("cum_c") * 10000 >= VAR_Q_BPS * F.col("n"))
+        .groupBy("event_type", "n")
+        .agg(F.min("v_cents").alias("var_cents"))
+    )
+    tail = (
+        grid.join(
+            var_pt.select("event_type", "var_cents"), "event_type"
+        )
+        .where(F.col("v_cents") >= F.col("var_cents"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_tail"),
+            F.sum(F.col("c") * F.col("v_cents")).cast("long").alias("tail_cents"),
+        )
+    )
+    return var_pt.join(tail, "event_type").select(
+        "event_type",
+        "n",
+        "var_cents",
+        "n_tail",
+        q4(
+            F.col("tail_cents").cast("double") / F.col("n_tail") / 100.0
+        ).alias("cvar_value"),
+    )
