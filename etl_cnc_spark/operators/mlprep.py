@@ -1,0 +1,433 @@
+"""ML feature-preparation and model-evaluation operators: target
+encoding, weight-of-evidence / information value, decile lift-gains,
+and ranking-quality metrics (NDCG / MRR / precision@k).
+
+These are the feature-store and offline-eval queries every tabular-ML
+platform runs as BATCH SQL over the warehouse, re-expressed
+Spark-first with the repo's hash-parity discipline: exact integer
+sufficient statistics through every shuffle, per-term fixed-point
+quantization wherever a transcendental appears inside a sum, doubles
+only in final closed-form expressions. Global ranks go through the
+bucketed prefix machine (operators/prefix.py), never an unpartitioned
+window.
+
+No reference citations possible — /root/reference is empty (see
+SURVEY.md §0); surface derives from public feature-engineering
+practice (target/WoE encoding: credit-scoring literature; NDCG:
+Järvelin & Kekäläinen 2002, public).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..utils import q4, sql_q4
+from .prefix import global_ordered, ntile_from_rank
+
+# ------------------------------------------------- target encoding
+
+TE_PRIOR = 20  # smoothing pseudo-count toward the global mean
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), g AS (
+        SELECT cat, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM lab GROUP BY cat
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(pos) AS BIGINT) AS pos_all
+        FROM g
+    )
+    SELECT g.cat, g.n, g.pos,
+           {sql_q4("CAST(g.pos AS DOUBLE) / g.n")} AS raw_rate,
+           {sql_q4(f"(CAST(g.pos AS DOUBLE) + {TE_PRIOR} * "
+                   f"(CAST(t.pos_all AS DOUBLE) / t.n_all))"
+                   f" / (g.n + {TE_PRIOR})")} AS smoothed_enc
+    FROM g CROSS JOIN tot t
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of a categorical feature
+    (order priority, target = order finished): the per-category
+    target rate shrunk toward the global rate by a pseudo-count
+    prior — the leakage-resistant categorical encoder behind most
+    gradient-boosting feature pipelines.
+
+    Scale shape: ONE hash aggregate to |categories| rows (counts and
+    positive counts — mergeable integers, map-side combined), the
+    global rate joins as a broadcast 1-row aggregate, and the only
+    doubles are the two final divisions per category. The encoder
+    table is tiny by construction; applying it back to the fact
+    table is a broadcast join."""
+    o = table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = lab.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("pos_all"),
+    )
+    prior_rate = F.col("pos_all").cast("double") / F.col("n_all")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n",
+        "pos",
+        q4(F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
+        q4(
+            (F.col("pos").cast("double") + TE_PRIOR * prior_rate)
+            / (F.col("n") + TE_PRIOR)
+        ).alias("smoothed_enc"),
+    )
+
+
+# -------------------------------------- weight of evidence / IV
+
+WOE_Q = 1_000_000_000  # fixed-point quantum for per-category IV terms
+
+
+@register(
+    "ml_woe_iv",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), g AS (
+        SELECT cat, CAST(sum(y) AS BIGINT) AS bad,
+               CAST(count(*) - sum(y) AS BIGINT) AS good
+        FROM lab GROUP BY cat
+    ), tot AS (
+        SELECT CAST(sum(bad) AS BIGINT) AS bad_all,
+               CAST(sum(good) AS BIGINT) AS good_all
+        FROM g
+    ), woe AS (
+        SELECT g.cat, g.good, g.bad,
+               ln((CAST(g.good AS DOUBLE) / t.good_all)
+                  / (CAST(g.bad AS DOUBLE) / t.bad_all)) AS woe,
+               CAST(floor(
+                   (CAST(g.good AS DOUBLE) / t.good_all
+                    - CAST(g.bad AS DOUBLE) / t.bad_all)
+                   * ln((CAST(g.good AS DOUBLE) / t.good_all)
+                        / (CAST(g.bad AS DOUBLE) / t.bad_all))
+                   * {WOE_Q} + 0.5) AS BIGINT) AS iv_term_q
+        FROM g CROSS JOIN tot t
+    ), iv AS (
+        SELECT CAST(sum(iv_term_q) AS BIGINT) AS iv_q FROM woe
+    )
+    SELECT w.cat, w.good, w.bad, {sql_q4("w.woe")} AS woe,
+           {sql_q4(f"CAST(i.iv_q AS DOUBLE) / {WOE_Q}")} AS iv_total
+    FROM woe w CROSS JOIN iv i
+    """,
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence per category + total information value —
+    the credit-scoring feature-screening pair: WoE_i =
+    ln((good_i/good)/(bad_i/bad)), IV = Σ (good%−bad%)·WoE_i.
+    IV > 0.3 ⇒ strong predictor; the screening rule feature
+    platforms batch-compute for every candidate column.
+
+    Hash-parity discipline: the IV sum adds per-category DOUBLES, so
+    each term is fixed-point-quantized (1e-9) before summing —
+    identical integers on both engines regardless of aggregation
+    order; WoE itself is a per-row final expression (safe). One hash
+    aggregate + broadcast totals, same shape as ml_target_encoding."""
+    o = table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = lab.groupBy("cat").agg(
+        F.sum("y").cast("long").alias("bad"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("good"),
+    )
+    tot = g.agg(
+        F.sum("bad").cast("long").alias("bad_all"),
+        F.sum("good").cast("long").alias("good_all"),
+    )
+    gshare = F.col("good").cast("double") / F.col("good_all")
+    bshare = F.col("bad").cast("double") / F.col("bad_all")
+    woe_expr = F.log(gshare / bshare)
+    woe = g.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "good",
+        "bad",
+        woe_expr.alias("woe"),
+        F.floor((gshare - bshare) * woe_expr * WOE_Q + 0.5)
+        .cast("long")
+        .alias("iv_term_q"),
+    )
+    iv = woe.agg(F.sum("iv_term_q").cast("long").alias("iv_q"))
+    return woe.crossJoin(F.broadcast(iv)).select(
+        "cat",
+        "good",
+        "bad",
+        q4(F.col("woe")).alias("woe"),
+        q4(F.col("iv_q").cast("double") / WOE_Q).alias("iv_total"),
+    )
+
+
+# ------------------------------------------------- decile lift/gains
+
+LIFT_K = 10  # deciles
+
+
+@register(
+    "ml_lift_gains",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS score_cents,
+               event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(y) AS BIGINT) AS pos_all
+        FROM scored
+    ), ranked AS (
+        SELECT y,
+               CAST(ntile({LIFT_K}) OVER (
+                    ORDER BY score_cents DESC, event_id) AS BIGINT) AS decile
+        FROM scored
+    ), d AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM ranked GROUP BY decile
+    ), c AS (
+        SELECT decile, n, pos,
+               CAST(sum(pos) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+        FROM d
+    )
+    SELECT c.decile, c.n, c.pos, c.cum_pos,
+           {sql_q4("CAST(c.cum_pos AS DOUBLE) / t.pos_all")} AS gain,
+           {sql_q4("(CAST(c.pos AS DOUBLE) / c.n)"
+                   " / (CAST(t.pos_all AS DOUBLE) / t.n_all)")} AS lift
+    FROM c CROSS JOIN tot t
+    """,
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table for a score against a
+    binary outcome (event value as the model score, purchase as the
+    positive): rank all rows by score desc, cut into exact deciles,
+    report per-decile capture rate (gain) and lift over the base
+    rate — the campaign-targeting evaluation every CRM/ML platform
+    prints before a model ships.
+
+    Scale shape: the GLOBAL ranking is the hard part at 10¹¹ rows
+    and runs through ``global_ordered`` (value-bucketed partitioned
+    windows + hierarchical offset fold — never ntile's
+    single-partition sort); exact SQL-standard deciles then fall out
+    arithmetically from (rank, n). Decile stats are integer
+    mergeable sums; the cumulative fold runs over 10 metadata rows."""
+    e = table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.floor(F.col("value") * 100 + 0.5)).cast("long").alias(
+            "score_cents"
+        ),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("y").cast("long").alias("pos_all"),
+    )
+    ranked = global_ordered(
+        scored,
+        [F.col("score_cents").desc(), F.col("event_id")],
+        bucket_key="score_cents",
+        bucket_desc=True,
+        rank_col="rk",
+    )
+    d = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "y",
+            ntile_from_rank(
+                F.col("rk"), F.col("n_all"), LIFT_K
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("pos").over(wcum).cast("long").alias("cum_pos"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "pos",
+        "cum_pos",
+        q4(F.col("cum_pos").cast("double") / F.col("pos_all")).alias("gain"),
+        q4(
+            (F.col("pos").cast("double") / F.col("n"))
+            / (F.col("pos_all").cast("double") / F.col("n_all"))
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------- ranking eval: NDCG/MRR/P@k
+
+NDCG_NQ = 50  # query block: first 50 vectors (matches sim_topk_exact)
+NDCG_K = 5
+_NDCG_Q = 10**9
+# 1/log2(rank+1) position weights, fixed-point quantized so both
+# engines add identical integers (rank is bounded by K, so the whole
+# discount table is a compile-time constant)
+_DCG_W = [1000000000, 630929754, 500000000, 430676558, 386852807]
+# cumulative ideal DCG for R = 0..5 relevant docs in the corpus
+_IDCG_C = [0, 1000000000, 1630929754, 2130929754, 2561606312, 2948459119]
+
+_SQL_DCG_W = (
+    "CASE rn " + " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_DCG_W)
+    ) + " END"
+)
+_SQL_IDCG = (
+    f"CASE WHEN n_rel_corpus >= {NDCG_K} THEN {_IDCG_C[NDCG_K]} " + " ".join(
+        f"WHEN n_rel_corpus = {r} THEN {_IDCG_C[r]}" for r in range(NDCG_K)
+    ) + " END"
+)
+
+
+@register(
+    "ml_ndcg_eval",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, a.label AS qlabel,
+               CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+               list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum')
+               / sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                    * list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {NDCG_NQ}
+    ), ranked AS (
+        SELECT qid, qlabel, rel,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS BIGINT) AS rn
+        FROM scored
+    ), corp AS (
+        SELECT s.qid, CAST(sum(s.rel) AS BIGINT) AS n_rel_corpus
+        FROM scored s GROUP BY s.qid
+    ), topk AS (
+        SELECT qid,
+               CAST(sum(rel * ({_SQL_DCG_W})) AS BIGINT) AS dcg_q,
+               CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+               CAST(coalesce(min(CASE WHEN rel = 1 THEN rn END), 0)
+                    AS BIGINT) AS first_rel_rank
+        FROM ranked WHERE rn <= {NDCG_K}
+        GROUP BY qid
+    )
+    SELECT t.qid, t.n_rel_topk, t.first_rel_rank, c.n_rel_corpus,
+           {sql_q4(f"CAST(t.dcg_q AS DOUBLE) / ({_SQL_IDCG})")} AS ndcg,
+           {sql_q4("CASE WHEN t.first_rel_rank = 0 THEN 0.0 "
+                   "ELSE 1.0 / t.first_rel_rank END")} AS rr,
+           {sql_q4(f"CAST(t.n_rel_topk AS DOUBLE) / {NDCG_K}")} AS p_at_k
+    FROM topk t JOIN corp c ON c.qid = t.qid
+    """,
+)
+def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the exact cosine retrieval run:
+    per query, NDCG@5 (binary relevance = same class label), the
+    reciprocal rank of the first relevant hit, and precision@5 —
+    the offline metrics every retrieval/RAG deployment tracks
+    (Järvelin & Kekäläinen's DCG formulation, public).
+
+    Hash-parity discipline: the rank-position discounts 1/log2(r+1)
+    are COMPILE-TIME fixed-point constants (rank bounded by k), so
+    DCG sums are exact integers on both engines; the ideal DCG is a
+    CASE lookup on the corpus relevant-count. The ranking itself
+    reuses the sim_topk_exact shape — broadcast query block, JVM
+    zip_with/aggregate folds, per-query bounded window."""
+    from ..llm.dedup import _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(
+        F.col("qn2") * F.col("cn2")
+    )
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.when(F.col("qlabel") == F.col("clabel"), 1)
+        .otherwise(0)
+        .alias("rel"),
+        cos.alias("cos"),
+    )
+    corp = scored.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("n_rel_corpus")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).where(F.col("rn") <= NDCG_K)
+    dcg_w = F.element_at(
+        F.lit(_DCG_W).cast("array<long>"), F.col("rn").cast("int")
+    )
+    topk = ranked.groupBy("qid").agg(
+        F.sum(F.col("rel") * dcg_w).cast("long").alias("dcg_q"),
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rn"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    idcg = F.element_at(
+        F.lit(_IDCG_C).cast("array<long>"),
+        (F.least(F.col("n_rel_corpus"), F.lit(NDCG_K)) + 1).cast("int"),
+    )
+    return topk.join(corp, "qid").select(
+        "qid",
+        "n_rel_topk",
+        "first_rel_rank",
+        "n_rel_corpus",
+        q4(F.col("dcg_q").cast("double") / idcg).alias("ndcg"),
+        q4(
+            F.when(F.col("first_rel_rank") == 0, 0.0).otherwise(
+                1.0 / F.col("first_rel_rank")
+            )
+        ).alias("rr"),
+        q4(F.col("n_rel_topk").cast("double") / NDCG_K).alias("p_at_k"),
+    )

@@ -123,6 +123,7 @@ _OP_MODULES = [
     "etl_cnc_spark.operators.etl",
     "etl_cnc_spark.operators.analytics",
     "etl_cnc_spark.operators.stats",
+    "etl_cnc_spark.operators.mlprep",
     "etl_cnc_spark.operators.graph",
     "etl_cnc_spark.operators.tpch",
     "etl_cnc_spark.functions.scalar",
