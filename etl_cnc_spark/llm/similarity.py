@@ -1738,3 +1738,186 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_rate"
         ),
     )
+
+
+# ----------------------------------------- binary (Hamming) retrieval
+
+HAM_NQ = 50  # query block (matches sim_topk_exact)
+HAM_K = 5
+
+# sign-binarize the 64-dim embedding into two 32-bit halves packed in
+# BIGINTs (a single 64-bit word would overflow the signed fold);
+# MSB-first fold so element 1 is the high bit of each half
+_PACK_H1 = (
+    "aggregate(slice(embedding, 1, 32), 0L,"
+    " (acc, x) -> acc * 2L + IF(x > 0D, 1L, 0L))"
+)
+_PACK_H2 = (
+    "aggregate(slice(embedding, 33, 32), 0L,"
+    " (acc, x) -> acc * 2L + IF(x > 0D, 1L, 0L))"
+)
+_SQL_PACK_H1 = (
+    "list_aggregate([CASE WHEN CAST({col}[i] AS DOUBLE) > 0 THEN"
+    " (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END"
+    " for i in range(1, 33)], 'sum')"
+)
+_SQL_PACK_H2 = (
+    "list_aggregate([CASE WHEN CAST({col}[i + 32] AS DOUBLE) > 0 THEN"
+    " (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END"
+    " for i in range(1, 33)], 'sum')"
+)
+
+
+@register(
+    "embed_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id,
+               {_SQL_PACK_H1.format(col="embedding")} AS h1,
+               {_SQL_PACK_H2.format(col="embedding")} AS h2
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(bit_count(xor(a.h1, b.h1))
+                    + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+        FROM packed a JOIN packed b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {HAM_NQ}
+    ), ranked AS (
+        SELECT qid, cid, hamming,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY hamming, cid) AS BIGINT) AS rn
+        FROM pairs
+    )
+    SELECT qid, cid, hamming, rn FROM ranked WHERE rn <= {HAM_K}
+    """,
+)
+def embed_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch retrieval: sign-binarize each embedding into a
+    64-bit signature (two packed 32-bit halves), then top-k nearest
+    by Hamming distance — popcount(xor) per candidate. This is the
+    64× compression tier under every large-scale vector store
+    (Charikar's SimHash applied to raw dimensions, public): the
+    signature table is 16 bytes/vector, the scan is pure integer
+    ALU, and the scores correlate with cosine well enough to serve
+    as a rerank prefilter (measure with sim_recall_report's harness
+    against sim_topk_exact).
+
+    Scale shape: packing is a one-pass JVM fold at the scan (no
+    Python, no shuffle — the signature can be written back as a
+    column); the query block broadcasts exactly like sim_topk_exact
+    and the per-query candidate ranking is a bounded window. At
+    10⁹ vectors the signature scan is ~16 GB — memory-speed — vs
+    256 GB of float32."""
+    e = table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        F.expr(_PACK_H1).alias("h1"),
+        F.expr(_PACK_H2).alias("h2"),
+    )
+    q = packed.where(F.col("vec_id") < HAM_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("h1").alias("qh1"),
+        F.col("h2").alias("qh2"),
+    )
+    pairs = F.broadcast(q).join(packed, F.col("qid") != F.col("vec_id"))
+    hamming = (
+        F.bit_count(F.col("qh1").bitwiseXOR(F.col("h1")))
+        + F.bit_count(F.col("qh2").bitwiseXOR(F.col("h2")))
+    ).cast("long")
+    w = Window.partitionBy("qid").orderBy("hamming", "cid")
+    return (
+        pairs.select(
+            "qid", F.col("vec_id").alias("cid"), hamming.alias("hamming")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= HAM_K)
+    )
+
+
+# ------------------------------------------------ k-means refinement
+
+KMR_Q = 1_000_000  # fixed-point quantum for per-dim centroid means
+
+
+@register(
+    "sim_kmeans_refine",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce,
+               list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum') AS cn2
+        FROM embeddings WHERE vec_id % greatest(64, CAST(ceil((SELECT count(*) FROM embeddings) / 4096.0) AS BIGINT)) = 0
+    ), vec AS (
+        SELECT vec_id, embedding, list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum') AS n2
+        FROM embeddings
+    ), ranked_cells AS (
+        SELECT v.vec_id, v.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   v.n2 + c.cn2 - 2*(list_aggregate(
+                       [CAST(v.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+                        for i in range(1, 65)], 'sum')),
+                   c.cent_id) AS cell_rank
+        FROM vec v CROSS JOIN cent c
+    ), assign AS (
+        SELECT vec_id, embedding, cent_id AS cell
+        FROM ranked_cells WHERE cell_rank = 1
+    )
+    SELECT a.cell, CAST(r.i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(CAST(floor(CAST(a.embedding[r.i] AS DOUBLE)
+                    * {KMR_Q} + 0.5) AS BIGINT)) // count(*)
+                AS BIGINT) AS centroid_q
+    FROM assign a CROSS JOIN range(1, 65) r(i)
+    GROUP BY a.cell, r.i
+    """,
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement step for the IVF coarse quantizer: E-step
+    assigns every vector to its nearest centroid (same argmin-L2 +
+    cent_id tie-break as the IVF cells), M-step re-computes each
+    cell's centroid as the per-dimension mean — emitted as
+    dim-exploded fixed-point scalars (cell, dim, mean_q), the
+    hash-verifiable form of the update every k-means trainer loops.
+
+    Hash-parity discipline: per-element values are fixed-point
+    quantized (1e-6) BEFORE the sum so the per-cell per-dim
+    accumulators are exact integers (order-free), and the mean is an
+    integer division — no float sum ever crosses a shuffle. Scale
+    shape: assignment is a broadcast centroids × vectors scored
+    pass (centroid count capped at 4096 by capped_centroids), the
+    M-step is one hash aggregate keyed (cell, dim) with map-side
+    combine — 64·C output rows regardless of corpus size; looping
+    this step is the whole trainer (the classic MapReduce k-means,
+    public)."""
+    from .dedup import _dot64, capped_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = capped_centroids(e)
+    vec = e.select(
+        "vec_id", "embedding", _norm2(F.col("embedding")).alias("n2")
+    )
+    pairs = vec.crossJoin(F.broadcast(cent))
+    dist = (
+        F.col("n2")
+        + F.col("cn2")
+        - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cent_id"))
+    assign = (
+        pairs.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    dims = assign.select(
+        "cell",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "cell",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * KMR_Q + 0.5)
+        .cast("long")
+        .alias("xq"),
+    )
+    return dims.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.expr("CAST(sum(xq) DIV count(1) AS BIGINT)").alias("centroid_q"),
+    )

@@ -1533,3 +1533,192 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         "containment",
     )
+
+
+# ------------------------------------------- Gopher-style quality rules
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = "3.0"
+GOPHER_MWL_HI = "10.0"
+GOPHER_ALPHA_FRAC = "0.8"
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_TOPFREQ_MAX = "0.2"
+_SQL_STOPSET = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY doc_id, word
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(sum(c * strlen(word)) AS BIGINT) AS sum_wlen,
+               CAST(sum(CASE WHEN regexp_matches(word, '^[a-zA-Z]+$')
+                    THEN c ELSE 0 END) AS BIGINT) AS n_alpha,
+               CAST(count(CASE WHEN word IN ({_SQL_STOPSET})
+                    THEN 1 END) AS BIGINT) AS n_stop_distinct,
+               CAST(max(c) AS BIGINT) AS top_freq
+        FROM wf GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AS rule_word_count,
+           CAST(sum_wlen AS DOUBLE) / n_words
+               BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}
+               AS rule_mean_word_len,
+           CAST(n_alpha AS DOUBLE) / n_words >= {GOPHER_ALPHA_FRAC}
+               AS rule_alpha_frac,
+           n_stop_distinct >= {GOPHER_MIN_STOPWORDS} AS rule_stopwords,
+           CAST(top_freq AS DOUBLE) / n_words <= {GOPHER_TOPFREQ_MAX}
+               AS rule_repetition,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (CAST(sum_wlen AS DOUBLE) / n_words
+                  BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI})
+             AND (CAST(n_alpha AS DOUBLE) / n_words >= {GOPHER_ALPHA_FRAC})
+             AND (n_stop_distinct >= {GOPHER_MIN_STOPWORDS})
+             AND (CAST(top_freq AS DOUBLE) / n_words <= {GOPHER_TOPFREQ_MAX})
+               AS gopher_pass
+    FROM per_doc
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, public —
+    the MassiveText filtering recipe): word-count bounds, mean word
+    length in [3,10], ≥80% alphabetic words, ≥2 distinct stopwords,
+    and a repetition gate (most frequent word ≤20% of tokens). Each
+    rule is emitted as its own boolean plus the conjunction, so a
+    curation pipeline can report per-rule rejection rates — the form
+    the paper's appendix tables take.
+
+    Scale shape: ONE explode of the corpus into (doc, word, count)
+    — the same token rollup every text_* key shares, map-side
+    combined so the shuffle carries distinct words per doc, not
+    tokens — then one hash aggregate back to per-doc sufficient
+    statistics (5 integers); every rule is a final per-row
+    comparison. The word-frequency tier also feeds the repetition
+    gate via max(c), so no second pass over text."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wf = w.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = wf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("word")).cast("long").alias("sum_wlen"),
+        F.sum(
+            F.when(
+                F.col("word").rlike("^[a-zA-Z]+$"), F.col("c")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alpha"),
+        F.count(F.when(F.col("word").isin(*EN_STOPWORDS), 1))
+        .cast("long")
+        .alias("n_stop_distinct"),
+        F.max("c").cast("long").alias("top_freq"),
+    )
+    mwl = F.col("sum_wlen").cast("double") / F.col("n_words")
+    alpha = F.col("n_alpha").cast("double") / F.col("n_words")
+    topr = F.col("top_freq").cast("double") / F.col("n_words")
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = mwl.between(float(GOPHER_MWL_LO), float(GOPHER_MWL_HI))
+    r_alpha = alpha >= float(GOPHER_ALPHA_FRAC)
+    r_stop = F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS
+    r_rep = topr <= float(GOPHER_TOPFREQ_MAX)
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_frac"),
+        r_stop.alias("rule_stopwords"),
+        r_rep.alias("rule_repetition"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_rep).alias("gopher_pass"),
+    )
+
+
+# ------------------------------------------------- word burstiness
+
+BURST_MIN_DOCS = 25  # report words present in at least this many docs
+
+
+@register(
+    "text_word_burstiness",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wf AS (
+        SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY word, doc_id
+    ), nd AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM documents
+    ), m AS (
+        SELECT word,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS tf,
+               CAST(sum(c*c) AS BIGINT) AS tf2
+        FROM wf GROUP BY word
+    )
+    SELECT m.word, m.df, m.tf,
+           {sql_q4("CAST(m.tf AS DOUBLE) / d.n_docs")} AS mean_per_doc,
+           {sql_q4("(CAST(m.tf2 AS DOUBLE)"
+                   " - CAST(m.tf AS DOUBLE)*m.tf / d.n_docs) / d.n_docs"
+                   " / (CAST(m.tf AS DOUBLE) / d.n_docs)")} AS burstiness
+    FROM m CROSS JOIN nd d
+    WHERE m.df >= {BURST_MIN_DOCS}
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (variance-to-mean ratio of per-document
+    counts, zeros included — Church & Gale's topical-vs-function
+    word diagnostic, public): VMR ≈ 1 means Poisson-scattered
+    (function words), VMR ≫ 1 means the word clumps into few
+    documents (topical) — the signal behind stopword induction and
+    keyword weighting in corpus curation.
+
+    Scale shape: token explode → (word, doc) counts (map-side
+    combine), then a per-word moment rollup (df, Σc, Σc²) — all
+    exact integers; the docs-without-the-word zeros enter through
+    the closed form (moments over N total docs), so no dense
+    word×doc matrix is ever materialized. The doc count joins as a
+    broadcast scalar; output is bounded by the df floor."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wf = w.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nd = d.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    m = wf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2"),
+    )
+    mean = F.col("tf").cast("double") / F.col("n_docs")
+    var = (
+        F.col("tf2").cast("double")
+        - F.col("tf").cast("double") * F.col("tf") / F.col("n_docs")
+    ) / F.col("n_docs")
+    return (
+        m.where(F.col("df") >= BURST_MIN_DOCS)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            "df",
+            "tf",
+            q4(mean).alias("mean_per_doc"),
+            q4(var / mean).alias("burstiness"),
+        )
+    )
