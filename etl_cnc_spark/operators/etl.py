@@ -1634,3 +1634,97 @@ def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders_raw",
         (F.col("n_orders") == F.col("n_orders_raw")).alias("integrity_ok"),
     )
+
+
+# ------------------------------------------------ CDC log compaction
+
+# deterministic op derivation from the event stream: signup = insert,
+# error = delete, anything else = update — a stand-in CDC log with
+# the real compaction semantics
+_CDC_OP = (
+    "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' "
+    "ELSE 'U' END"
+)
+
+
+@register(
+    "etl_cdc_net_changes",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, ts, event_id, {_CDC_OP} AS op,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS val_cents
+        FROM events
+    ), ordered AS (
+        SELECT user_id, ts,
+               first_value(op) OVER w AS f_op,
+               last_value(op) OVER w AS l_op,
+               last_value(val_cents) OVER w AS l_val
+        FROM log
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)
+    ), agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_ops,
+               max(f_op) AS first_op,
+               max(l_op) AS last_op,
+               CAST(max(l_val) AS BIGINT) AS last_val_cents,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us
+        FROM ordered GROUP BY user_id
+    )
+    SELECT user_id, n_ops, first_op, last_op, last_val_cents, last_ts_us,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+                WHEN first_op = 'I' THEN 'I'
+                WHEN last_op = 'D' THEN 'D'
+                ELSE 'U' END AS net_op
+    FROM agg
+    """,
+)
+def etl_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction to NET changes per key — what every
+    warehouse MERGE pre-pass does with a Debezium/DMS change stream:
+    a key inserted then deleted inside the window nets to nothing,
+    inserted then updated nets to one INSERT with the final image,
+    existing-then-deleted nets to DELETE, anything else to UPDATE.
+    Ops derive deterministically from the event stream (signup=I,
+    error=D, else U) so the compaction semantics are fully
+    hash-verified.
+
+    Scale shape: ONE hash aggregate per key — first/last op and the
+    final image via min_by/max_by on the (ts, event_id) total order,
+    all mergeable (map-side combined), no window, no sort, no
+    self-join; the output is |keys| rows ready for a single MERGE.
+    Compare etl_merge_upsert (applies changes) and etl_scd2 (keeps
+    history) — this key is the log→net-delta stage in front of
+    both."""
+    e = table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(_CDC_OP).alias("op"),
+        cents(F.col("value")).alias("val_cents"),
+    )
+    agg = log.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.min_by("op", ordk).alias("first_op"),
+        F.max_by("op", ordk).alias("last_op"),
+        F.max_by("val_cents", ordk).alias("last_val_cents"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_ops",
+        "first_op",
+        "last_op",
+        "last_val_cents",
+        "last_ts_us",
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "NONE"
+        )
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+        .alias("net_op"),
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.prefix import global_ordered
 from ..registry import register
-from ..utils import q4, sql_q4
+from ..utils import cents, q4, sql_q4
 
 _STATUSES = ("F", "O", "P")
 _CROSSTAB_COLS = ", ".join(
@@ -1452,4 +1452,214 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------- Kendall rank correlation
+
+KT_PRICE_BKT = 5000  # price bucket width (~20 buckets; bounds the grid)
+
+
+@register(
+    "stat_kendall_tau",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice / {KT_PRICE_BKT}) AS BIGINT) AS y
+        FROM lineitem
+    ), grid AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY x, y
+    ), cd AS (
+        SELECT
+            CAST(sum(CASE WHEN (g2.x - g1.x) * (g2.y - g1.y) > 0
+                 THEN g1.c * g2.c ELSE 0 END) AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN (g2.x - g1.x) * (g2.y - g1.y) < 0
+                 THEN g1.c * g2.c ELSE 0 END) AS BIGINT) AS disc
+        FROM grid g1 JOIN grid g2
+          ON g1.x < g2.x OR (g1.x = g2.x AND g1.y < g2.y)
+    ), ties AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c*(c-1)) AS BIGINT) AS tie_xy2
+        FROM grid
+    ), tx AS (
+        SELECT CAST(sum(cx*(cx-1)) AS BIGINT) AS tie_x2
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS cx FROM grid GROUP BY x)
+    ), ty AS (
+        SELECT CAST(sum(cy*(cy-1)) AS BIGINT) AS tie_y2
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS cy FROM grid GROUP BY y)
+    )
+    SELECT t.n, cd.conc, cd.disc,
+           {sql_q4("(CAST(cd.conc AS DOUBLE) - cd.disc)"
+                   " / sqrt((CAST(t.n AS DOUBLE)*(t.n-1)/2"
+                   "          - CAST(tx.tie_x2 AS DOUBLE)/2)"
+                   "        * (CAST(t.n AS DOUBLE)*(t.n-1)/2"
+                   "           - CAST(ty.tie_y2 AS DOUBLE)/2))")} AS tau_b
+    FROM cd CROSS JOIN ties t CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (quantity vs bucketed price)
+    with the full tie correction — the concordance answer robust to
+    outliers that Spearman's midranks approximate: tau_b =
+    (C − D) / √((n₀−n₁)(n₀−n₂)).
+
+    Scale shape — the bounded-domain discipline of stat_spearman
+    taken one step further: rows hash-aggregate onto the (x, y)
+    value GRID first, so the quadratic concordant/discordant count
+    runs over grid-cell PAIRS (domain², metadata) instead of row
+    pairs (n², data) — c₁·c₂ products recover the row-pair counts
+    exactly. C, D and all tie terms are exact integers; the one
+    double expression is the final tau. At a wider domain, bucket y
+    (here: price // 5000) to keep the grid bounded — the estimator
+    is then tau over the coarsened variable, stated explicitly
+    rather than silently sampled."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") / KT_PRICE_BKT)
+        .cast("long")
+        .alias("y"),
+    )
+    grid = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g1 = grid.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
+    )
+    g2 = grid.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    sgn = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    cd = (
+        g1.join(
+            F.broadcast(g2),
+            (F.col("x1") < F.col("x2"))
+            | ((F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))),
+        )
+        .agg(
+            F.sum(
+                F.when(sgn > 0, F.col("c1") * F.col("c2")).otherwise(0)
+            )
+            .cast("long")
+            .alias("conc"),
+            F.sum(
+                F.when(sgn < 0, F.col("c1") * F.col("c2")).otherwise(0)
+            )
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    ties = grid.agg(F.sum("c").cast("long").alias("n"))
+    tx = (
+        grid.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .agg(F.sum(F.col("cx") * (F.col("cx") - 1)).cast("long").alias("tie_x2"))
+    )
+    ty = (
+        grid.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .agg(F.sum(F.col("cy") * (F.col("cy") - 1)).cast("long").alias("tie_y2"))
+    )
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    tau = (F.col("conc").cast("double") - F.col("disc")) / F.sqrt(
+        (n0 - F.col("tie_x2").cast("double") / 2)
+        * (n0 - F.col("tie_y2").cast("double") / 2)
+    )
+    return (
+        cd.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select("n", "conc", "disc", q4(tau).alias("tau_b"))
+    )
+
+
+# ------------------------------------------------- one-way ANOVA
+
+ANOVA_F_CRIT = "2.372"  # F(4, inf) upper 5% — fixture has 5 groups
+
+
+@register(
+    "stat_anova_oneway",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sx,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)
+                        * CAST(floor(value*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sxx
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(sx) AS BIGINT) AS sx_all,
+               CAST(sum(sxx) AS BIGINT) AS sxx_all,
+               CAST(sum(CAST(floor(CAST(sx AS DOUBLE) * sx / n
+                        * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS gsq_q
+        FROM s
+    )
+    SELECT k, n_all,
+           {sql_q4("(CAST(gsq_q AS DOUBLE)/1000000 - CAST(sx_all AS DOUBLE)*sx_all/n_all)"
+                   " / (k - 1) / ((sxx_all - CAST(gsq_q AS DOUBLE)/1000000) / (n_all - k))")}
+               AS f_stat,
+           {sql_q4("(CAST(gsq_q AS DOUBLE)/1000000 - CAST(sx_all AS DOUBLE)*sx_all/n_all)"
+                   " / (sxx_all - CAST(sx_all AS DOUBLE)*sx_all/n_all)")}
+               AS eta_sq,
+           (CAST(gsq_q AS DOUBLE)/1000000 - CAST(sx_all AS DOUBLE)*sx_all/n_all) / (k - 1)
+             / ((sxx_all - CAST(gsq_q AS DOUBLE)/1000000) / (n_all - k)) > {ANOVA_F_CRIT}
+               AS significant
+    FROM tot
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event-type groups on the value column:
+    F = between-group mean square / within-group mean square, with
+    effect size η² and a 5% significance flag — the k-group
+    generalization of stat_welch_ttest.
+
+    Scale shape: per-group (n, Σx, Σx²) in ONE hash aggregate over
+    integer cents (mergeable, map-side combined), then the whole
+    decomposition (SSB = Σgᵢ²/nᵢ − G²/N, SSW = Σx² − Σgᵢ²/nᵢ) from
+    k metadata rows. The Σ(gᵢ²/nᵢ) between-group term is
+    fixed-point-quantized per group (1e-6) before summing, so even
+    that sum is an exact order-free integer on both engines."""
+    e = table(spark, sf_dir, "events")
+    xc = cents(F.col("value"))
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xc).cast("long").alias("sx"),
+        F.sum(xc * xc).cast("long").alias("sxx"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("sx").cast("long").alias("sx_all"),
+        F.sum("sxx").cast("long").alias("sxx_all"),
+        F.sum(
+            F.floor(
+                F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                * 1_000_000
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("gsq_q"),
+    )
+    sum_gsq = F.col("gsq_q").cast("double") / 1_000_000
+    ssb = sum_gsq - F.col("sx_all").cast("double") * F.col(
+        "sx_all"
+    ) / F.col("n_all")
+    ssw = F.col("sxx_all") - sum_gsq
+    sst = F.col("sxx_all") - F.col("sx_all").cast("double") * F.col(
+        "sx_all"
+    ) / F.col("n_all")
+    f_stat = ssb / (F.col("k") - 1) / (ssw / (F.col("n_all") - F.col("k")))
+    return tot.select(
+        "k",
+        "n_all",
+        q4(f_stat).alias("f_stat"),
+        q4(ssb / sst).alias("eta_sq"),
+        (f_stat > float(ANOVA_F_CRIT)).alias("significant"),
     )
