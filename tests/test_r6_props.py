@@ -1,0 +1,416 @@
+"""Independent-recomputation properties for the round-6 operator
+waves (ABC analysis, elasticity, drawdown, VaR/CVaR, target encoding,
+WoE/IV, lift-gains, NDCG, Gopher rules, burstiness, Hamming top-k,
+Lloyd step, Kendall tau, ANOVA, CDC net-changes): each key is
+re-derived with plain Python/numpy from the raw parquet — a third
+engine besides Spark and DuckDB, so a shared SQL-vs-SQL blind spot
+cannot hide."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pytest
+
+from etl_cnc_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "events", "lineitem", "part", "documents",
+              "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_abc_analysis_classes_partition_revenue(spark, sf_dir):
+    rows = REGISTRY["orders_abc_analysis"].build(spark, sf_dir).collect()
+    total = sum(r["revenue_cents"] for r in rows)
+    assert rows and total > 0
+    # cum_cents of the max-cum row equals the total; classes ordered
+    by_cum = sorted(rows, key=lambda r: r["cum_cents"])
+    assert by_cum[-1]["cum_cents"] == total
+    seen_b = seen_c = False
+    for r in by_cum:
+        if r["abc_class"] == "B":
+            seen_b = True
+        if r["abc_class"] == "C":
+            seen_c = True
+        if r["abc_class"] == "A":
+            assert not seen_b and not seen_c
+        if r["abc_class"] == "B":
+            assert not seen_c
+    # every class-A row's share is within the band
+    for r in rows:
+        assert r["cum_bps"] == r["cum_cents"] * 10000 // total
+
+
+def test_drawdown_matches_python_scan(spark, sf_dir):
+    con = _con(sf_dir)
+    ev = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id, event_type,"
+        " CAST(floor(value*100 + 0.5) AS BIGINT) FROM events"
+    ).fetchall()
+    curves: dict[int, list[tuple]] = {}
+    for uid, t, eid, et, c in ev:
+        curves.setdefault(uid, []).append(
+            (t, eid, -c if et == "error" else c)
+        )
+    out = {r["user_id"]: r for r in
+           REGISTRY["events_drawdown"].build(spark, sf_dir).collect()}
+    assert set(out) == set(curves)
+    for uid, flows in curves.items():
+        flows.sort()
+        bal = peak = 0
+        max_dd = None
+        peak_seen = None
+        trough = None
+        for _, _, f in flows:
+            bal += f
+            peak_seen = bal if peak_seen is None else max(peak_seen, bal)
+            dd = peak_seen - bal
+            max_dd = dd if max_dd is None else max(max_dd, dd)
+            trough = bal if trough is None else min(trough, bal)
+        r = out[uid]
+        assert r["peak_cents"] == peak_seen
+        assert r["max_drawdown_cents"] == max_dd
+        assert r["trough_cents"] == trough
+
+
+def test_var_cvar_is_exact_discrete_quantile(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = REGISTRY["events_var_cvar"].build(spark, sf_dir).collect()
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, c in vals:
+        by_type.setdefault(et, []).append(c)
+    for r in rows:
+        xs = sorted(by_type[r["event_type"]])
+        n = len(xs)
+        # smallest value whose cumulative count covers 95% of rows
+        k = math.ceil(0.95 * n)
+        assert r["n"] == n
+        assert r["var_cents"] == xs[k - 1]
+        tail = [x for x in xs if x >= r["var_cents"]]
+        assert r["n_tail"] == len(tail)
+        assert abs(r["cvar_value"] - sum(tail) / len(tail) / 100.0) <= 1e-3
+        assert r["cvar_value"] >= r["var_cents"] / 100.0 - 1e-9
+
+
+def test_target_encoding_shrinks_toward_prior(spark, sf_dir):
+    rows = REGISTRY["ml_target_encoding"].build(spark, sf_dir).collect()
+    n_all = sum(r["n"] for r in rows)
+    pos_all = sum(r["pos"] for r in rows)
+    prior = pos_all / n_all
+    for r in rows:
+        raw = r["pos"] / r["n"]
+        assert abs(r["raw_rate"] - raw) <= 1e-3
+        # smoothed estimate lies strictly between raw rate and prior
+        lo, hi = sorted((raw, prior))
+        assert lo - 1e-3 <= r["smoothed_enc"] <= hi + 1e-3
+
+
+def test_woe_iv_matches_python(spark, sf_dir):
+    rows = REGISTRY["ml_woe_iv"].build(spark, sf_dir).collect()
+    good_all = sum(r["good"] for r in rows)
+    bad_all = sum(r["bad"] for r in rows)
+    iv = 0.0
+    for r in rows:
+        g, b = r["good"] / good_all, r["bad"] / bad_all
+        assert abs(r["woe"] - math.log(g / b)) <= 1e-3
+        iv += (g - b) * math.log(g / b)
+    for r in rows:
+        assert abs(r["iv_total"] - iv) <= 1e-3
+
+
+def test_lift_gains_deciles_are_exact_and_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["ml_lift_gains"].build(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_all = sum(r["n"] for r in rows)
+    # SQL-standard ntile: sizes differ by at most 1, big ones first
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+    assert rows[-1]["cum_pos"] == sum(r["pos"] for r in rows)
+    assert abs(rows[-1]["gain"] - 1.0) <= 1e-3
+    cums = [r["cum_pos"] for r in rows]
+    assert cums == sorted(cums)
+    assert n_all == sum(sizes)
+
+
+def test_ndcg_matches_python_rerank(spark, sf_dir):
+    con = _con(sf_dir)
+    emb = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    vecs = {v: np.array(e, dtype=np.float64) for v, _, e in emb}
+    labels = {v: l for v, l, _ in emb}
+    out = {r["qid"]: r for r in
+           REGISTRY["ml_ndcg_eval"].build(spark, sf_dir).collect()}
+    qids = [v for v in vecs if v < 50]
+    assert set(out) == set(qids)
+    for qid in qids:
+        q = vecs[qid]
+        scored = []
+        for cid, c in vecs.items():
+            if cid == qid:
+                continue
+            cos = float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c)))
+            scored.append((-cos, cid))
+        scored.sort()
+        top = [cid for _, cid in scored[:5]]
+        rels = [1 if labels[c] == labels[qid] else 0 for c in top]
+        dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+        n_rel_corpus = sum(
+            1 for c in vecs if c != qid and labels[c] == labels[qid]
+        )
+        idcg = sum(
+            1 / math.log2(j + 2) for j in range(min(5, n_rel_corpus))
+        )
+        r = out[qid]
+        assert r["n_rel_topk"] == sum(rels)
+        assert r["n_rel_corpus"] == n_rel_corpus
+        if idcg:
+            assert abs(r["ndcg"] - dcg / idcg) <= 1e-3
+        first = next((i + 1 for i, x in enumerate(rels) if x), 0)
+        assert r["first_rel_rank"] == first
+        assert abs(r["rr"] - (1 / first if first else 0.0)) <= 1e-3
+
+
+def test_gopher_rules_match_python_counter(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    out = {r["doc_id"]: r for r in
+           REGISTRY["text_gopher_rules"].build(spark, sf_dir).collect()}
+    stop = {"the", "of", "and", "a", "in", "to", "is", "on", "for",
+            "with"}
+    for doc_id, text in docs:
+        words = text.split(" ")
+        c = Counter(words)
+        r = out[doc_id]
+        n = len(words)
+        assert r["n_words"] == n
+        assert r["rule_word_count"] == (20 <= n <= 100_000)
+        mwl = sum(len(w) for w in words) / n
+        assert r["rule_mean_word_len"] == (3.0 <= mwl <= 10.0)
+        alpha = sum(v for w, v in c.items() if w.isalpha()) / n
+        assert r["rule_alpha_frac"] == (alpha >= 0.8)
+        assert r["rule_stopwords"] == (len(stop & set(words)) >= 2)
+        assert r["rule_repetition"] == (max(c.values()) / n <= 0.2)
+        assert r["gopher_pass"] == all(
+            [r["rule_word_count"], r["rule_mean_word_len"],
+             r["rule_alpha_frac"], r["rule_stopwords"],
+             r["rule_repetition"]]
+        )
+
+
+def test_burstiness_matches_numpy_moments(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    n_docs = len(docs)
+    counts: dict[str, list[int]] = {}
+    for _, text in docs:
+        for w, c in Counter(text.split(" ")).items():
+            counts.setdefault(w, []).append(c)
+    out = {r["word"]: r for r in
+           REGISTRY["text_word_burstiness"].build(spark, sf_dir).collect()}
+    expected = {w for w, cs in counts.items() if len(cs) >= 25}
+    assert set(out) == expected
+    for w in expected:
+        full = counts[w] + [0] * (n_docs - len(counts[w]))
+        arr = np.array(full, dtype=np.float64)
+        mean = arr.mean()
+        vmr = arr.var() / mean
+        r = out[w]
+        assert r["df"] == len(counts[w])
+        assert r["tf"] == int(arr.sum())
+        assert abs(r["mean_per_doc"] - mean) <= 1e-3
+        assert abs(r["burstiness"] - vmr) <= 1e-3
+
+
+def test_hamming_topk_matches_numpy_signatures(spark, sf_dir):
+    con = _con(sf_dir)
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    sigs = {
+        v: np.array([1 if x > 0 else 0 for x in e], dtype=np.uint8)
+        for v, e in emb
+    }
+    out = REGISTRY["embed_hamming_topk"].build(spark, sf_dir).collect()
+    got: dict[int, list] = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append(r)
+    for qid, rows in got.items():
+        hams = sorted(
+            (int(np.sum(sigs[qid] != s)), cid)
+            for cid, s in sigs.items()
+            if cid != qid
+        )
+        rows.sort(key=lambda r: r["rn"])
+        assert [(r["hamming"], r["cid"]) for r in rows] == hams[:5]
+
+
+def test_kmeans_refine_centroids_are_cell_means(spark, sf_dir):
+    con = _con(sf_dir)
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    n = len(emb)
+    step = max(64, math.ceil(n / 4096))
+    cents = {v: np.array(e, dtype=np.float64) for v, e in emb
+             if v % step == 0}
+    assign: dict[int, list[int]] = {c: [] for c in cents}
+    for v, e in emb:
+        x = np.array(e, dtype=np.float64)
+        best = min(
+            cents,
+            key=lambda c: (float(((x - cents[c]) ** 2).sum()), c),
+        )
+        assign[best].append(v)
+    out = REGISTRY["sim_kmeans_refine"].build(spark, sf_dir).collect()
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r
+    vecs = {v: e for v, e in emb}
+    for cell, members in assign.items():
+        if not members:
+            assert cell not in by_cell
+            continue
+        qs = np.array(
+            [
+                [math.floor(float(x) * 1_000_000 + 0.5) for x in vecs[m]]
+                for m in members
+            ],
+            dtype=np.int64,
+        )
+        for dim in range(1, 65):
+            r = by_cell[cell][dim]
+            assert r["n_assigned"] == len(members)
+            tot = int(qs[:, dim - 1].sum())
+            assert r["centroid_q"] == tot // len(members) if tot >= 0 \
+                else -((-tot) // len(members)) == r["centroid_q"]
+
+
+def test_kendall_matches_scipy_free_python(spark, sf_dir):
+    con = _con(sf_dir)
+    pts = con.execute(
+        "SELECT CAST(l_quantity AS BIGINT),"
+        " CAST(floor(l_extendedprice / 5000) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    grid = Counter(pts)
+    cells = list(grid.items())
+    conc = disc = 0
+    for i in range(len(cells)):
+        (x1, y1), c1 = cells[i]
+        for j in range(i + 1, len(cells)):
+            (x2, y2), c2 = cells[j]
+            s = (x2 - x1) * (y2 - y1)
+            if s > 0:
+                conc += c1 * c2
+            elif s < 0:
+                disc += c1 * c2
+    n = sum(grid.values())
+    n0 = n * (n - 1) / 2
+    tx = Counter()
+    ty = Counter()
+    for (x, y), c in grid.items():
+        tx[x] += c
+        ty[y] += c
+    n1 = sum(c * (c - 1) / 2 for c in tx.values())
+    n2 = sum(c * (c - 1) / 2 for c in ty.values())
+    tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    r = REGISTRY["stat_kendall_tau"].build(spark, sf_dir).collect()[0]
+    assert r["conc"] == conc and r["disc"] == disc and r["n"] == n
+    assert abs(r["tau_b"] - tau) <= 1e-3
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_anova_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for et, c in vals:
+        groups.setdefault(et, []).append(c)
+    arrs = [np.array(v, dtype=np.float64) for v in groups.values()]
+    n_all = sum(len(a) for a in arrs)
+    k = len(arrs)
+    grand = sum(a.sum() for a in arrs) / n_all
+    ssb = sum(len(a) * (a.mean() - grand) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f = (ssb / (k - 1)) / (ssw / (n_all - k))
+    r = REGISTRY["stat_anova_oneway"].build(spark, sf_dir).collect()[0]
+    assert r["k"] == k and r["n_all"] == n_all
+    assert abs(r["f_stat"] - f) <= max(1e-3, 1e-4 * abs(f))
+    assert abs(r["eta_sq"] - ssb / (ssb + ssw)) <= 1e-3
+
+
+def test_cdc_net_changes_semantics(spark, sf_dir):
+    con = _con(sf_dir)
+    ev = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id, event_type,"
+        " CAST(floor(value*100+0.5) AS BIGINT) FROM events"
+    ).fetchall()
+    logs: dict[int, list[tuple]] = {}
+    for uid, t, eid, et, c in ev:
+        op = "I" if et == "signup" else ("D" if et == "error" else "U")
+        logs.setdefault(uid, []).append((t, eid, op, c))
+    out = {r["user_id"]: r for r in
+           REGISTRY["etl_cdc_net_changes"].build(spark, sf_dir).collect()}
+    assert set(out) == set(logs)
+    for uid, rowset in logs.items():
+        rowset.sort()
+        first_op, last_op = rowset[0][2], rowset[-1][2]
+        r = out[uid]
+        assert r["first_op"] == first_op and r["last_op"] == last_op
+        assert r["n_ops"] == len(rowset)
+        assert r["last_val_cents"] == rowset[-1][3]
+        if first_op == "I" and last_op == "D":
+            assert r["net_op"] == "NONE"
+        elif first_op == "I":
+            assert r["net_op"] == "I"
+        elif last_op == "D":
+            assert r["net_op"] == "D"
+        else:
+            assert r["net_op"] == "U"
+
+
+def test_elasticity_slope_matches_numpy_lstsq(spark, sf_dir):
+    con = _con(sf_dir)
+    pts = con.execute(
+        "SELECT p.p_brand, l.l_extendedprice / l.l_quantity,"
+        " l.l_quantity"
+        " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+        " WHERE l.l_quantity > 0 AND l.l_extendedprice > 0"
+    ).fetchall()
+    by_brand: dict[str, list[tuple]] = {}
+    for b, price, qty in pts:
+        by_brand.setdefault(b, []).append(
+            (
+                math.floor(math.log(price) * 1_000_000 + 0.5),
+                math.floor(math.log(qty) * 1_000_000 + 0.5),
+            )
+        )
+    out = {r["p_brand"]: r for r in
+           REGISTRY["orders_price_elasticity"].build(spark, sf_dir)
+           .collect()}
+    assert set(out) == set(by_brand)
+    for b, xy in by_brand.items():
+        x = np.array([p[0] for p in xy], dtype=np.float64)
+        y = np.array([p[1] for p in xy], dtype=np.float64)
+        slope = float(np.polyfit(x, y, 1)[0])
+        r = out[b]
+        assert r["n"] == len(xy)
+        assert abs(r["elasticity"] - slope) <= max(1e-3, 1e-3 * abs(slope))
