@@ -1194,3 +1194,65 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("p") + SPAN_K - F.min("p")).cast("long").alias("span_words"),
         F.count("*").cast("long").alias("n_shingles"),
     ).drop("grp")
+
+
+# the two embedding-dedup oracles, captured for composition (same
+# pattern as text_near_dup_cluster reusing the MinHash oracle)
+_EXACT_DD_ORACLE = REGISTRY["dedup_embedding_exact"].oracle
+_IVF_DD_ORACLE = REGISTRY["dedup_embedding"].oracle
+
+
+@register(
+    "dedup_recall_report",
+    oracle=f"""
+    WITH exact_pairs AS ({_EXACT_DD_ORACLE}),
+    ivf_pairs AS ({_IVF_DD_ORACLE}),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_matched
+        FROM exact_pairs e JOIN ivf_pairs i
+          ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b
+    ), ce AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_pairs
+    ), ci AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_ivf FROM ivf_pairs
+    )
+    SELECT ce.n_exact, ci.n_ivf, m.n_matched,
+           CAST(m.n_matched * 10000 // ce.n_exact AS BIGINT)
+               AS recall_bps,
+           CAST(m.n_matched * 10000 // ci.n_ivf AS BIGINT)
+               AS precision_bps
+    FROM ce CROSS JOIN ci CROSS JOIN m
+    """,
+)
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the IVF-blocked embedding dedup
+    against the exact all-pairs yardstick — the §2.10 discipline
+    (approximate ops ship with a MEASURED quality gate, not an
+    assertion) applied to the dedup family, the way sim_recall_report
+    does for ANN search. Deterministic on both sides, so unlike the
+    ANN recall keys this one is fully HASH-verified: recall and
+    precision are integer basis points.
+
+    Scale shape: composes two registered builds — candidates are
+    banded/bucketed (dedup_embedding), the yardstick is the
+    documented O(N²/cells) audit pass you run on a SAMPLE at 100 TB
+    (dedup_embedding_exact's docstring); the join is on the
+    (vec_a, vec_b) pair key, counts are metadata."""
+    exact = REGISTRY["dedup_embedding_exact"].build(spark, sf_dir)
+    ivf = REGISTRY["dedup_embedding"].build(spark, sf_dir)
+    m = exact.select("vec_a", "vec_b").join(
+        ivf.select("vec_a", "vec_b"), ["vec_a", "vec_b"]
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    ce = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    ci = ivf.agg(F.count(F.lit(1)).cast("long").alias("n_ivf"))
+    return (
+        ce.crossJoin(F.broadcast(ci))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_matched",
+            F.expr("n_matched * 10000L DIV n_exact").alias("recall_bps"),
+            F.expr("n_matched * 10000L DIV n_ivf").alias("precision_bps"),
+        )
+    )

@@ -4362,3 +4362,151 @@ def events_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tail_cents").cast("double") / F.col("n_tail") / 100.0
         ).alias("cvar_value"),
     )
+
+
+# ------------------------------------------- supply-chain KPIs
+
+PO_SHIP_SLA_DAYS = 30  # on-time = shipped within 30 days of order
+
+
+@register(
+    "orders_perfect_order",
+    oracle=f"""
+    WITH lines AS (
+        SELECT o.o_orderkey,
+               date_trunc('month', o.o_orderdate) AS mon,
+               CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+                         <= {PO_SHIP_SLA_DAYS}
+                     AND l.l_returnflag <> 'R'
+                    THEN 1 ELSE 0 END AS ok_line
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), per_order AS (
+        SELECT o_orderkey, mon,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(min(ok_line) AS BIGINT) AS perfect
+        FROM lines GROUP BY o_orderkey, mon
+    )
+    SELECT CAST(epoch_us(mon) AS BIGINT) AS month_us,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(perfect) AS BIGINT) AS n_perfect,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(perfect) * 10000 // count(*) AS BIGINT)
+               AS perfect_rate_bps
+    FROM per_order GROUP BY mon
+    """,
+)
+def orders_perfect_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-order rate per month — the composite supply-chain KPI
+    (every line shipped within SLA and nothing returned ⇒ the order
+    is 'perfect'; the rate is the number ops dashboards track): an
+    order-level ALL-lines conjunction expressed as min() over 0/1
+    line flags, then a month rollup in integer basis points.
+
+    Scale shape: ONE shuffle on orderkey joins the fact tables (both
+    sides partition on the same key — AQE can pick shuffled-hash),
+    the per-order conjunction is a mergeable min() aggregate on the
+    same key (no window), and the month tier re-aggregates |orders|
+    rows down to |months|. All counters integer end-to-end."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.date_trunc("month", "o_orderdate").alias("mon")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    lines = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderkey",
+        "mon",
+        F.when(
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                <= PO_SHIP_SLA_DAYS
+            )
+            & (F.col("l_returnflag") != "R"),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok_line"),
+    )
+    per_order = lines.groupBy("o_orderkey", "mon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("ok_line").cast("long").alias("perfect"),
+    )
+    return per_order.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("perfect").cast("long").alias("n_perfect"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.expr("sum(perfect) * 10000L DIV count(1)").alias(
+            "perfect_rate_bps"
+        ),
+    ).select(
+        F.unix_micros(F.col("mon")).alias("month_us"),
+        "n_orders",
+        "n_perfect",
+        "n_lines",
+        "perfect_rate_bps",
+    )
+
+
+# ------------------------------------------- burst interval detection
+
+BURST_MIN_PER_HOUR = 6  # burst threshold: hourly event count
+
+
+@register(
+    "events_burst_intervals",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), hot AS (
+        SELECT event_type, hr, c,
+               CAST(datediff('hour', TIMESTAMP '1970-01-01', hr)
+                    AS BIGINT) AS hn
+        FROM hourly WHERE c >= {BURST_MIN_PER_HOUR}
+    ), isl AS (
+        SELECT event_type, hr, c, hn,
+               hn - CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY hn) AS BIGINT) AS grp
+        FROM hot
+    )
+    SELECT event_type,
+           CAST(epoch_us(min(hr)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(hr)) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           CAST(max(c) AS BIGINT) AS peak_per_hour
+    FROM isl GROUP BY event_type, grp
+    """,
+)
+def events_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours where a type's event rate crosses the
+    threshold, merged into maximal CONSECUTIVE-hour intervals via
+    gaps-and-islands (hour index − row_number is constant within a
+    run) — the incident-detection shape behind rate alerting, here
+    as an offline batch sweep with interval start/end/peak/total.
+
+    Scale shape: the hourly rollup hash-aggregates the stream down
+    to (type × hour) — bounded by the time domain, not rows — and
+    the islands window partitions by event_type over those bounded
+    per-type hour sequences. Everything after the first aggregate is
+    metadata-sized; counters integer end-to-end."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hot = hourly.where(F.col("c") >= BURST_MIN_PER_HOUR).withColumn(
+        "hn",
+        (F.unix_micros("hr") / F.lit(3_600_000_000)).cast("long"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hn")
+    isl = hot.withColumn(
+        "grp", F.col("hn") - F.row_number().over(w).cast("long")
+    )
+    return isl.groupBy("event_type", "grp").agg(
+        F.unix_micros(F.min("hr")).alias("start_us"),
+        F.unix_micros(F.max("hr")).alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("total_events"),
+        F.max("c").cast("long").alias("peak_per_hour"),
+    ).drop("grp")

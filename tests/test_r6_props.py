@@ -414,3 +414,85 @@ def test_elasticity_slope_matches_numpy_lstsq(spark, sf_dir):
         r = out[b]
         assert r["n"] == len(xy)
         assert abs(r["elasticity"] - slope) <= max(1e-3, 1e-3 * abs(slope))
+
+
+def test_dedup_recall_report_consistency(spark, sf_dir):
+    r = REGISTRY["dedup_recall_report"].build(spark, sf_dir).collect()[0]
+    assert 0 < r["n_matched"] <= min(r["n_exact"], r["n_ivf"])
+    assert r["recall_bps"] == r["n_matched"] * 10000 // r["n_exact"]
+    assert r["precision_bps"] == r["n_matched"] * 10000 // r["n_ivf"]
+    # IVF candidates that pass tau are a subset of the exact pairs in
+    # spirit; precision should be near-perfect (same tau both sides)
+    assert r["precision_bps"] >= 9900
+
+
+def test_perfect_order_matches_python(spark, sf_dir):
+    import duckdb as _d
+
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT o.o_orderkey, epoch_us(date_trunc('month', o.o_orderdate)),"
+        " datediff('day', o.o_orderdate, l.l_shipdate) <= 30"
+        " AND l.l_returnflag <> 'R'"
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    per_order: dict[int, tuple[int, list[bool]]] = {}
+    for ok, mon, good in rows:
+        m, flags = per_order.setdefault(ok, (mon, []))
+        flags.append(bool(good))
+    months: dict[int, list[bool]] = {}
+    lines_per_month: dict[int, int] = {}
+    for mon, flags in per_order.values():
+        months.setdefault(mon, []).append(all(flags))
+        lines_per_month[mon] = lines_per_month.get(mon, 0) + len(flags)
+    out = {r["month_us"]: r for r in
+           REGISTRY["orders_perfect_order"].build(spark, sf_dir).collect()}
+    assert set(out) == set(months)
+    for mon, perfects in months.items():
+        r = out[mon]
+        assert r["n_orders"] == len(perfects)
+        assert r["n_perfect"] == sum(perfects)
+        assert r["n_lines"] == lines_per_month[mon]
+        assert r["perfect_rate_bps"] == sum(perfects) * 10000 // len(perfects)
+
+
+def test_burst_intervals_are_maximal_runs(spark, sf_dir):
+    con = _con(sf_dir)
+    hot = con.execute(
+        "SELECT event_type,"
+        " CAST(datediff('hour', TIMESTAMP '1970-01-01',"
+        "      date_trunc('hour', ts)) AS BIGINT) AS hn,"
+        " count(*) AS c"
+        " FROM events GROUP BY 1, 2 HAVING count(*) >= 6"
+    ).fetchall()
+    runs: dict[str, list[list[tuple[int, int]]]] = {}
+    for et in {r[0] for r in hot}:
+        hours = sorted((hn, c) for t, hn, c in hot if t == et)
+        cur: list[tuple[int, int]] = []
+        rs = []
+        for hn, c in hours:
+            if cur and hn == cur[-1][0] + 1:
+                cur.append((hn, c))
+            else:
+                if cur:
+                    rs.append(cur)
+                cur = [(hn, c)]
+        if cur:
+            rs.append(cur)
+        runs[et] = rs
+    out = REGISTRY["events_burst_intervals"].build(spark, sf_dir).collect()
+    got: dict[str, set] = {}
+    for r in out:
+        got.setdefault(r["event_type"], set()).add(
+            (r["start_us"], r["end_us"], r["n_hours"], r["total_events"],
+             r["peak_per_hour"])
+        )
+    assert set(got) == set(runs)
+    H = 3_600_000_000
+    for et, rs in runs.items():
+        exp = {
+            (run[0][0] * H, run[-1][0] * H, len(run),
+             sum(c for _, c in run), max(c for _, c in run))
+            for run in rs
+        }
+        assert got[et] == exp
