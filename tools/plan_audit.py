@@ -197,6 +197,28 @@ EXTRA_KEYS = [
     "text_vocab_overlap",
     "events_rolling_slope",
     "events_volatility_band",
+    # r6 wave: global-rank BI/ML keys (must show the prefix machine,
+    # no unpartitioned data windows), the broadcast-scored Lloyd
+    # step, bit-packed Hamming retrieval, bounded-grid tau/VaR, and
+    # the one-aggregate KPI shapes
+    "orders_abc_analysis",
+    "orders_price_elasticity",
+    "events_drawdown",
+    "events_var_cvar",
+    "ml_target_encoding",
+    "ml_woe_iv",
+    "ml_lift_gains",
+    "ml_ndcg_eval",
+    "text_gopher_rules",
+    "text_word_burstiness",
+    "embed_hamming_topk",
+    "sim_kmeans_refine",
+    "stat_kendall_tau",
+    "stat_anova_oneway",
+    "etl_cdc_net_changes",
+    "dedup_recall_report",
+    "orders_perfect_order",
+    "events_burst_intervals",
 ]
 
 
