@@ -4449,7 +4449,7 @@ def orders_perfect_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- burst interval detection
 
-BURST_MIN_PER_HOUR = 6  # burst threshold: hourly event count
+BURST_MIN_PER_HOUR = 3  # burst threshold: hourly event count (>= 3 fires at every fixture scale)
 
 
 @register(

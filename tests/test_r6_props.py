@@ -463,7 +463,7 @@ def test_burst_intervals_are_maximal_runs(spark, sf_dir):
         " CAST(datediff('hour', TIMESTAMP '1970-01-01',"
         "      date_trunc('hour', ts)) AS BIGINT) AS hn,"
         " count(*) AS c"
-        " FROM events GROUP BY 1, 2 HAVING count(*) >= 6"
+        " FROM events GROUP BY 1, 2 HAVING count(*) >= 3"
     ).fetchall()
     runs: dict[str, list[list[tuple[int, int]]]] = {}
     for et in {r[0] for r in hot}:
