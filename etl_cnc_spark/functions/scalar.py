@@ -904,3 +904,65 @@ def fn_structured_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.region") == F.col("n_regionkey"))
         ).alias("xml_roundtrip"),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT lower(seg) AS seg_ci,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           min(seg) AS first_variant
+    FROM mixed GROUP BY lower(seg)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): a mixed-case
+    segment column is grouped CASE-INSENSITIVELY with the
+    UTF8_LCASE collation — the collation engine itself does the
+    ci-equality in the hash aggregate, not a lower() rewrite; the
+    per-group binary-distinct count shows the case variants the
+    collation folded together. The DuckDB oracle expresses the same
+    semantics via lower() grouping (its NOCASE collation can't be a
+    GROUP BY key), which is exactly the rewrite Spark's collation
+    support makes unnecessary.
+
+    Scale note: collated grouping hashes the collation key
+    JVM-side inside the same whole-stage-codegen aggregate as any
+    other groupBy — no extra projection, no UDF; sort orders and
+    joins take the collation the same way."""
+    c = table(spark, sf_dir, "customer")
+    mixed = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        )
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg"),
+    )
+    ci = mixed.select(
+        F.col("seg"),
+        F.expr("seg COLLATE UTF8_LCASE").alias("seg_coll"),
+    )
+    return (
+        ci.groupBy("seg_coll")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("seg")).cast("long").alias(
+                "n_case_variants"
+            ),
+            F.min("seg").alias("first_variant"),
+        )
+        .select(
+            F.lower(F.col("seg_coll")).alias("seg_ci"),
+            "n_rows",
+            "n_case_variants",
+            "first_variant",
+        )
+    )

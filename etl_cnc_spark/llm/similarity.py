@@ -1921,3 +1921,119 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
         F.expr("CAST(sum(xq) DIV count(1) AS BIGINT)").alias("centroid_q"),
     )
+
+
+# ------------------------------------- distributed PCA: power iteration
+
+GPI_Q = 1000  # per-element fixed-point quantum (embeddings are O(1))
+GPI_SCALE = 1000  # iterate-vector renormalization target magnitude
+
+
+def _sgn_scale(v: str, mx: str, target: int, div: str = "//") -> str:
+    """Sign-safe integer rescale: sign(v) * (|v|*target // mx) —
+    computed on non-negative operands so DuckDB's ``//`` and
+    Spark's ``DIV`` (pass ``div="DIV"``) agree exactly."""
+    return (
+        f"CASE WHEN {v} < 0 THEN -((-({v})) * {target} {div} {mx}) "
+        f"ELSE ({v}) * {target} {div} {mx} END"
+    )
+
+
+@register(
+    "embed_gram_power_iter",
+    oracle=f"""
+    WITH el AS (
+        SELECT vec_id, r.i,
+               CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {GPI_Q} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings CROSS JOIN range(1, 65) r(i)
+    ), g AS (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gij
+        FROM el a JOIN el b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), v1 AS (
+        SELECT i, CAST(sum(gij) AS BIGINT) AS v FROM g GROUP BY i
+    ), m1 AS (
+        SELECT CAST(max(abs(v)) AS BIGINT) AS mx FROM v1
+    ), v1n AS (
+        SELECT i, CAST({_sgn_scale("v1.v", "m1.mx", GPI_SCALE)} AS BIGINT)
+                   AS vn
+        FROM v1 CROSS JOIN m1
+    ), v2 AS (
+        SELECT g.i, CAST(sum(g.gij * v1n.vn) AS BIGINT) AS v
+        FROM g JOIN v1n ON v1n.i = g.j
+        GROUP BY g.i
+    ), m2 AS (
+        SELECT CAST(max(abs(v)) AS BIGINT) AS mx FROM v2
+    )
+    SELECT v2.i AS dim, v1n.vn AS v1_q,
+           CAST({_sgn_scale("v2.v", "m2.mx", GPI_SCALE)} AS BIGINT) AS v2_q
+    FROM v2 JOIN v1n ON v1n.i = v2.i CROSS JOIN m2
+    """,
+)
+def embed_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by TWO
+    unrolled power-iteration steps on the 64×64 Gram matrix —
+    distributed PCA the way it actually runs at scale: the Gram
+    accumulates as a (i, j)-keyed integer aggregate over the corpus
+    (mergeable — at 100 TB each partition folds its own 64×64 block
+    and the shuffle carries 4096-cell matrices, not vectors), then
+    each G·v step is a 64-row broadcast join. Everything is exact
+    integer arithmetic: per-element fixed-point quantization, a
+    sign-safe integer renormalization between steps (so the iterate
+    can't overflow and both engines truncate identically), output =
+    the scaled iterate per dimension. Looping the v-step to
+    convergence (or blocking it for top-k directions) is the whole
+    Lanczos/subspace-iteration family; two steps keep the key
+    bounded, and each step provably raises the Rayleigh quotient
+    (the fixture corpus is near-isotropic, so full separation needs
+    more rounds — the loop, not the step, is the variable part)."""
+    e = table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("i"),
+        F.floor(F.col("x").cast("double") * GPI_Q + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    ea = el.select(
+        "vec_id", F.col("i").alias("ai"), F.col("q").alias("aq")
+    )
+    eb = el.select(
+        "vec_id", F.col("i").alias("bi"), F.col("q").alias("bq")
+    )
+    g = (
+        ea.join(eb, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
+        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("gij"))
+    )
+    v1 = g.groupBy("i").agg(F.sum("gij").cast("long").alias("v"))
+    m1 = v1.agg(F.max(F.abs(F.col("v"))).cast("long").alias("mx"))
+    v1n = v1.crossJoin(F.broadcast(m1)).select(
+        "i",
+        F.expr(_sgn_scale("v", "mx", GPI_SCALE, div="DIV"))
+        .cast("long")
+        .alias("vn"),
+    )
+    v2 = (
+        g.join(
+            v1n.select(F.col("i").alias("j"), "vn"), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("gij") * F.col("vn")).cast("long").alias("v"))
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).cast("long").alias("mx"))
+    return (
+        v2.join(v1n.select(F.col("i"), F.col("vn").alias("v1_q")), "i")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("i").alias("dim"),
+            "v1_q",
+            F.expr(_sgn_scale("v", "mx", GPI_SCALE, div="DIV"))
+            .cast("long")
+            .alias("v2_q"),
+        )
+    )

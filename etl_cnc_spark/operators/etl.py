@@ -1728,3 +1728,67 @@ def etl_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("U")
         .alias("net_op"),
     )
+
+
+# --------------------------------------------------- l-diversity audit
+
+L_DIV = 3  # each QI group must carry >= l distinct sensitive values
+
+
+@register(
+    "etl_l_diversity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS group_n,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                    AS BIGINT)) AS BIGINT) AS l_band
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_n, l_band,
+           l_band >= {L_DIV} AS l_diverse,
+           CAST(count(*) OVER () AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN l_band >= {L_DIV} THEN 1 ELSE 0 END)
+                OVER () AS BIGINT) AS n_diverse_groups
+    FROM g
+    """,
+)
+def etl_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion check to etl_k_anonymity
+    (Machanavajjhala et al., public): a QI group that is large
+    enough for k-anonymity can still leak if every member shares the
+    same sensitive value, so each (nation, segment) group must carry
+    ≥ l distinct sensitive values (account-balance bands here).
+    Emits the per-group diversity count + flag and the corpus-level
+    pass rate a release gate would enforce.
+
+    Scale shape: one hash aggregate with a distinct-count on the
+    banded sensitive attribute (bounded band domain ⇒ the distinct
+    set per group is small; exact, no sketch needed), then two
+    metadata-level window totals over |groups| rows. The QI keys
+    reuse etl_k_anonymity's columns so the two audits share a
+    shuffle family in a combined release pipeline."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        )
+        .cast("long")
+        .alias("l_band"),
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_n",
+        "l_band",
+        (F.col("l_band") >= L_DIV).alias("l_diverse"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_groups"),
+        F.sum(
+            F.when(F.col("l_band") >= L_DIV, 1).otherwise(0)
+        )
+        .over(wall)
+        .cast("long")
+        .alias("n_diverse_groups"),
+    )

@@ -431,3 +431,109 @@ def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rr"),
         q4(F.col("n_rel_topk").cast("double") / NDCG_K).alias("p_at_k"),
     )
+
+
+# ------------------------------------------------- PR-AUC (average precision)
+
+AP_Q = 1_000_000_000  # fixed-point quantum for per-threshold AP terms
+
+
+@register(
+    "ml_auc_pr",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grid AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS c_all,
+               CAST(sum(y) AS BIGINT) AS c_pos
+        FROM scored GROUP BY s
+    ), cum AS (
+        SELECT s, c_all, c_pos,
+               CAST(sum(c_all) OVER w AS BIGINT) AS cum_all,
+               CAST(sum(c_pos) OVER w AS BIGINT) AS cum_pos
+        FROM grid
+        WINDOW w AS (ORDER BY s DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT CAST(sum(c_all) AS BIGINT) AS n,
+               CAST(sum(c_pos) AS BIGINT) AS n_pos
+        FROM grid
+    ), terms AS (
+        SELECT CAST(sum(CAST(floor(
+                   CAST(c.c_pos AS DOUBLE) / t.n_pos
+                   * (CAST(c.cum_pos AS DOUBLE) / c.cum_all)
+                   * {AP_Q} + 0.5) AS BIGINT)) AS BIGINT) AS ap_q
+        FROM cum c CROSS JOIN tot t
+        WHERE c.c_pos > 0
+    )
+    SELECT t.n, t.n_pos,
+           {sql_q4(f"CAST(x.ap_q AS DOUBLE) / {AP_Q}")} AS auc_pr,
+           {sql_q4("CAST(t.n_pos AS DOUBLE) / t.n")} AS baseline_rate
+    FROM tot t CROSS JOIN terms x
+    """,
+)
+def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC, step-interpolated with threshold
+    ties handled at the score-group level): AP = Σ over score
+    groups of (ΔTP/POS) · precision-at-group-end — the metric that
+    actually ranks models under class imbalance, complementing
+    ml_roc_auc (a no-skill model scores the base rate here, not
+    0.5, so the baseline rides along).
+
+    Scale shape — the stat_ks_test bounded-domain discipline: rows
+    hash-aggregate onto the score grid FIRST; cumulative TP/ALL are
+    exact integers over the grid (swap in global_ordered if the
+    score domain explodes), and each group's AP term is fixed-point
+    quantized (1e-9) before the final sum so threshold-order float
+    drift cannot change the hash."""
+    e = table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grid = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum("y").cast("long").alias("c_pos"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("s").desc()],
+        bucket_key="s",
+        bucket_desc=True,
+        sums={"c_all": "cum_all", "c_pos": "cum_pos"},
+        rank_col=None,
+    )
+    tot = grid.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum("c_pos").cast("long").alias("n_pos"),
+    )
+    terms = (
+        cum.where(F.col("c_pos") > 0)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("c_pos").cast("double")
+                    / F.col("n_pos")
+                    * (
+                        F.col("cum_pos").cast("double")
+                        / F.col("cum_all")
+                    )
+                    * AP_Q
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("ap_q")
+        )
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        "n",
+        "n_pos",
+        q4(F.col("ap_q").cast("double") / AP_Q).alias("auc_pr"),
+        q4(F.col("n_pos").cast("double") / F.col("n")).alias(
+            "baseline_rate"
+        ),
+    )

@@ -496,3 +496,117 @@ def test_burst_intervals_are_maximal_runs(spark, sf_dir):
             for run in rs
         }
         assert got[et] == exp
+
+
+def test_l_diversity_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    con.execute(
+        f"CREATE VIEW customer AS SELECT *"
+        f" FROM '{sf_dir}/customer.parquet'"
+    )
+    rows = con.execute(
+        "SELECT c_nationkey, c_mktsegment,"
+        " CAST(floor(c_acctbal / 1000) AS BIGINT) FROM customer"
+    ).fetchall()
+    groups: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for nk, seg, band in rows:
+        k = (nk, seg)
+        groups.setdefault(k, set()).add(band)
+        sizes[k] = sizes.get(k, 0) + 1
+    out = {(r["c_nationkey"], r["c_mktsegment"]): r for r in
+           REGISTRY["etl_l_diversity"].build(spark, sf_dir).collect()}
+    assert set(out) == set(groups)
+    n_div = sum(1 for v in groups.values() if len(v) >= 3)
+    for k, bands in groups.items():
+        r = out[k]
+        assert r["l_band"] == len(bands)
+        assert r["group_n"] == sizes[k]
+        assert r["l_diverse"] == (len(bands) >= 3)
+        assert r["n_groups"] == len(groups)
+        assert r["n_diverse_groups"] == n_div
+
+
+def test_collation_groups_fold_case(spark, sf_dir):
+    rows = REGISTRY["fn_collation"].build(spark, sf_dir).collect()
+    for r in rows:
+        assert r["seg_ci"] == r["seg_ci"].lower()
+        assert 1 <= r["n_case_variants"] <= 2
+        assert r["first_variant"].lower() == r["seg_ci"]
+    # ci-grouping must merge the upper/lower synth variants: with both
+    # parities present every segment shows 2 binary variants
+    assert {r["n_case_variants"] for r in rows} == {2}
+
+
+def test_auc_pr_matches_sklearn_free_python(spark, sf_dir):
+    con = _con(sf_dir)
+    pts = con.execute(
+        "SELECT CAST(floor(value*100+0.5) AS BIGINT),"
+        " CASE WHEN event_type='purchase' THEN 1 ELSE 0 END"
+        " FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    grid = defaultdict(lambda: [0, 0])
+    for s, y in pts:
+        grid[s][0] += 1
+        grid[s][1] += y
+    n = sum(v[0] for v in grid.values())
+    n_pos = sum(v[1] for v in grid.values())
+    cum_all = cum_pos = 0
+    ap = 0.0
+    for s in sorted(grid, reverse=True):
+        c_all, c_pos = grid[s]
+        cum_all += c_all
+        cum_pos += c_pos
+        if c_pos:
+            ap += c_pos / n_pos * (cum_pos / cum_all)
+    r = REGISTRY["ml_auc_pr"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == n and r["n_pos"] == n_pos
+    assert abs(r["auc_pr"] - ap) <= 1e-3
+    assert abs(r["baseline_rate"] - n_pos / n) <= 1e-3
+    # AP of a random-ish score should sit near the base rate
+    assert r["auc_pr"] >= r["baseline_rate"] * 0.5
+
+
+def test_gram_power_iter_matches_numpy_eig(spark, sf_dir):
+    con = _con(sf_dir)
+    emb = con.execute("SELECT embedding FROM embeddings").fetchall()
+    Q = np.array(
+        [[math.floor(float(x) * 1000 + 0.5) for x in e] for (e,) in emb],
+        dtype=np.int64,
+    )
+    G = Q.T @ Q
+    out = sorted(
+        REGISTRY["embed_gram_power_iter"].build(spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    assert [r["dim"] for r in out] == list(range(1, 65))
+    # replicate the exact integer pipeline
+    v1 = G.sum(axis=1)
+    mx1 = int(np.abs(v1).max())
+
+    def scale(v, mx, t=1000):
+        return np.where(v < 0, -((-v) * t // mx), v * t // mx)
+
+    v1n = scale(v1, mx1)
+    assert [r["v1_q"] for r in out] == [int(x) for x in v1n]
+    v2 = G @ v1n
+    v2n = scale(v2, int(np.abs(v2).max()))
+    assert [r["v2_q"] for r in out] == [int(x) for x in v2n]
+    # power iteration never decreases the Rayleigh quotient, and it
+    # stays inside the spectrum (the fixture Gram is near-isotropic,
+    # so eigenvector ALIGNMENT after 2 steps is not a valid
+    # expectation — monotone RQ is)
+    w = np.linalg.eigvalsh(G.astype(np.float64))
+    Gf = G.astype(np.float64)
+
+    def rq(v):
+        v = v.astype(np.float64)
+        return (v @ Gf @ v) / (v @ v)
+
+    ones = np.ones(64)
+    assert w[0] - 1e-6 <= rq(ones) <= w[-1] + 1e-6
+    assert rq(v1n) >= rq(ones) - abs(rq(ones)) * 1e-6
+    assert rq(v2n) >= rq(v1n) - abs(rq(v1n)) * 1e-6
+    assert w[0] - 1e-6 <= rq(v2n) <= w[-1] + 1e-6
