@@ -1722,3 +1722,121 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(var / mean).alias("burstiness"),
         )
     )
+
+
+# ------------------------------------- corpus divergence between sources
+
+JSD_Q = 1_000_000_000  # fixed-point quantum for per-word JSD terms
+
+
+@register(
+    "text_js_divergence",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wf AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY source, word
+    ), tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wf GROUP BY source
+    ), shared AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(count(*) AS BIGINT) AS n_shared_words,
+               CAST(sum(a.c) AS BIGINT) AS ca_shared,
+               CAST(sum(b.c) AS BIGINT) AS cb_shared,
+               CAST(sum(CAST(floor(
+                   CAST(a.c AS DOUBLE) / ta.n * log2(
+                       2.0 * (CAST(a.c AS DOUBLE) / ta.n)
+                       / (CAST(a.c AS DOUBLE) / ta.n
+                          + CAST(b.c AS DOUBLE) / tb.n))
+                   * {JSD_Q} + 0.5) AS BIGINT)) AS BIGINT) AS pa_q,
+               CAST(sum(CAST(floor(
+                   CAST(b.c AS DOUBLE) / tb.n * log2(
+                       2.0 * (CAST(b.c AS DOUBLE) / tb.n)
+                       / (CAST(a.c AS DOUBLE) / ta.n
+                          + CAST(b.c AS DOUBLE) / tb.n))
+                   * {JSD_Q} + 0.5) AS BIGINT)) AS BIGINT) AS pb_q
+        FROM wf a
+        JOIN wf b ON a.word = b.word AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.sa AS source_a, s.sb AS source_b, s.n_shared_words,
+           {sql_q4(f"0.5 * (CAST(s.pa_q AS DOUBLE) / {JSD_Q}"
+                   f" + 1.0 - CAST(s.ca_shared AS DOUBLE) / ta.n)"
+                   f" + 0.5 * (CAST(s.pb_q AS DOUBLE) / {JSD_Q}"
+                   f" + 1.0 - CAST(s.cb_shared AS DOUBLE) / tb.n)")}
+               AS jsd_bits
+    FROM shared s
+    JOIN tot ta ON ta.source = s.sa
+    JOIN tot tb ON tb.source = s.sb
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between every pair of source
+    unigram distributions — the symmetric, bounded [0,1] corpus-drift
+    measure curation pipelines use to compare slices before mixing.
+
+    The closed-form trick that keeps it one INNER join: a word
+    present in only one source contributes p·log2(2p/p) = p to its
+    side's sum, so the exclusive-word mass folds in as
+    (1 − shared_mass) analytically — no full-outer join, no zero
+    rows. Per-shared-word terms are fixed-point quantized (1e-9)
+    before summing (order-free integers); scale shape is one token
+    rollup, a word-keyed equi self-join bounded by |sources|² per
+    word, and broadcast per-source totals — the same skeleton as
+    text_vocab_overlap with an information-theoretic payload."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    wf = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = wf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = wf.select(
+        F.col("source").alias("sa"), "word", F.col("c").alias("ca")
+    )
+    b = wf.select(
+        F.col("source").alias("sb"),
+        F.col("word").alias("wb"),
+        F.col("c").alias("cb"),
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, (F.col("word") == F.col("wb")) & (F.col("sa") < F.col("sb")))
+        .join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    term = lambda x, y: F.floor(  # noqa: E731
+        x * F.log2(2.0 * x / (x + y)) * JSD_Q + 0.5
+    ).cast("long")
+    shared = pairs.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_words"),
+        F.sum("ca").cast("long").alias("ca_shared"),
+        F.sum("cb").cast("long").alias("cb_shared"),
+        F.sum(term(p, q)).cast("long").alias("pa_q"),
+        F.sum(term(q, p)).cast("long").alias("pb_q"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    jsd = 0.5 * (
+        F.col("pa_q").cast("double") / JSD_Q
+        + 1.0
+        - F.col("ca_shared").cast("double") / F.col("na")
+    ) + 0.5 * (
+        F.col("pb_q").cast("double") / JSD_Q
+        + 1.0
+        - F.col("cb_shared").cast("double") / F.col("nb")
+    )
+    return shared.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_shared_words",
+        q4(jsd).alias("jsd_bits"),
+    )

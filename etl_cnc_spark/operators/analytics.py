@@ -4510,3 +4510,190 @@ def events_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("total_events"),
         F.max("c").cast("long").alias("peak_per_hour"),
     ).drop("grp")
+
+
+# ------------------------------------------- retention half-life fit
+
+RHL_Q = 1_000_000  # fixed-point quantum for per-week log terms
+RHL_MAX_WEEK = 4  # fit over weeks 1..4 (fixture spans ~5 weeks)
+
+
+@register(
+    "events_retention_halflife",
+    oracle=f"""
+    WITH firstw AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS w0
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT CAST(datediff('week', f.w0, date_trunc('week', e.ts))
+                    AS BIGINT) AS week_n,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS active
+        FROM events e JOIN firstw f ON e.user_id = f.user_id
+        GROUP BY week_n
+    ), base AS (
+        SELECT CAST(active AS BIGINT) AS cohort FROM act WHERE week_n = 0
+    ), pts AS (
+        SELECT week_n AS x,
+               CAST(floor(ln(CAST(a.active AS DOUBLE) / b.cohort)
+                    * {RHL_Q} + 0.5) AS BIGINT) AS ylq
+        FROM act a CROSS JOIN base b
+        WHERE week_n BETWEEN 1 AND {RHL_MAX_WEEK} AND a.active > 0
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(ylq) AS BIGINT) AS sy,
+               CAST(sum(x * ylq) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n,
+           {sql_q4(f"(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)"
+                   f" / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
+                   f" / {RHL_Q}")} AS decay_per_week,
+           {sql_q4(f"-ln(2) / nullif((CAST(n AS DOUBLE)*sxy"
+                   f" - CAST(sx AS DOUBLE)*sy)"
+                   f" / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
+                   f" / {RHL_Q}, 0.0)")} AS halflife_weeks
+    FROM m
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(retention_k) = β·k over weeks
+    1..4 by OLS-through-the-data and report the decay rate and
+    half-life −ln2/β — the single number growth teams quote from a
+    retention curve (NULL when the fitted decay is exactly zero —
+    a flat curve has no finite half-life).
+
+    Composition discipline: the curve comes from the same
+    cohort-join shape as events_retention; the log of each weekly
+    retention ratio is fixed-point quantized (1e-6) BEFORE the
+    moment sums, so the regression inputs are exact integers and the
+    closed-form slope is the only double. Weeks with zero actives
+    drop out explicitly (log undefined) rather than silently."""
+    e = table(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("w0")
+    )
+    wk = F.date_trunc("week", F.col("ts"))
+    act = (
+        e.join(firstw, "user_id")
+        .select(
+            (F.datediff(wk, F.col("w0")) / 7).cast("long").alias("week_n"),
+            "user_id",
+        )
+        .groupBy("week_n")
+        .agg(F.count_distinct("user_id").cast("long").alias("active"))
+    )
+    base = act.where(F.col("week_n") == 0).select(
+        F.col("active").alias("cohort")
+    )
+    pts = (
+        act.where(
+            F.col("week_n").between(1, RHL_MAX_WEEK) & (F.col("active") > 0)
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("week_n").alias("x"),
+            F.floor(
+                F.log(F.col("active").cast("double") / F.col("cohort"))
+                * RHL_Q
+                + 0.5
+            )
+            .cast("long")
+            .alias("ylq"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("ylq").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("ylq")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / RHL_Q
+    )
+    import math as _math
+
+    return m.select(
+        "n",
+        q4(slope).alias("decay_per_week"),
+        q4(
+            F.lit(-_math.log(2)) / F.nullif(slope, F.lit(0.0))
+        ).alias("halflife_weeks"),
+    )
+
+
+# ------------------------------------------- peak credit exposure
+
+EXPO_TERM_DAYS = 30  # an order stays open 30 days from o_orderdate
+
+
+@register(
+    "orders_peak_exposure",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_custkey, o_orderdate AS t, o_orderkey,
+               CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS delta
+        FROM orders
+        UNION ALL
+        SELECT o_custkey, o_orderdate + INTERVAL {EXPO_TERM_DAYS} DAY,
+               o_orderkey,
+               -CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+        FROM orders
+    ), run AS (
+        SELECT o_custkey,
+               CAST(sum(delta) OVER w AS BIGINT) AS open_cents
+        FROM pts
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY t, delta, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey,
+           CAST(max(open_cents) AS BIGINT) AS peak_exposure_cents,
+           CAST(count(*) / 2 AS BIGINT) AS n_orders
+    FROM run GROUP BY o_custkey
+    """,
+)
+def orders_peak_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent credit exposure per customer: each order adds
+    its value at order date and releases it 30 days later; the peak
+    of the running open balance is the number a credit desk sizes
+    limits against — the sweep-line (interval-stabbing-max) shape of
+    events_concurrency carried over to money.
+
+    Scale shape: the open/close melt doubles the rows, ONE shuffle
+    on custkey sorts each customer's ±cents deltas (closes sort
+    before opens on date ties via delta asc — exposure releases
+    before same-day re-draw, the conservative-but-consistent
+    convention both engines pin), and the peak is a mergeable max
+    over the running sum. Exact integer cents throughout."""
+    o = table(spark, sf_dir, "orders")
+    open_pts = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("delta"),
+    )
+    close_pts = o.select(
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr(f"INTERVAL {EXPO_TERM_DAYS} DAYS")).alias("t"),
+        "o_orderkey",
+        (-cents(F.col("o_totalprice"))).alias("delta"),
+    )
+    pts = open_pts.unionByName(close_pts)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("t", "delta", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "o_custkey", F.sum("delta").over(w).cast("long").alias("open_cents")
+    )
+    return run.groupBy("o_custkey").agg(
+        F.max("open_cents").cast("long").alias("peak_exposure_cents"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_orders"),
+    )

@@ -1663,3 +1663,102 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(ssb / sst).alias("eta_sq"),
         (f_stat > float(ANOVA_F_CRIT)).alias("significant"),
     )
+
+
+# ------------------------------------------- equivalence test (TOST)
+
+TOST_G1 = "click"
+TOST_G2 = "view"
+TOST_DELTA_CENTS = 500  # equivalence margin: 5.00 in value units
+TOST_Z = "1.6449"  # one-sided z at alpha = 0.05
+
+
+@register(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sx,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)
+                        * CAST(floor(value*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sxx
+        FROM events WHERE event_type IN ('{TOST_G1}', '{TOST_G2}')
+        GROUP BY event_type
+    ), wide AS (
+        SELECT
+            max(CASE WHEN event_type = '{TOST_G1}' THEN n END) AS n1,
+            max(CASE WHEN event_type = '{TOST_G1}' THEN sx END) AS sx1,
+            max(CASE WHEN event_type = '{TOST_G1}' THEN sxx END) AS sxx1,
+            max(CASE WHEN event_type = '{TOST_G2}' THEN n END) AS n2,
+            max(CASE WHEN event_type = '{TOST_G2}' THEN sx END) AS sx2,
+            max(CASE WHEN event_type = '{TOST_G2}' THEN sxx END) AS sxx2
+        FROM s
+    ), calc AS (
+        SELECT n1, n2,
+               CAST(sx1 AS DOUBLE)/n1 - CAST(sx2 AS DOUBLE)/n2 AS d,
+               sqrt((CAST(sxx1 AS DOUBLE)/n1
+                     - (CAST(sx1 AS DOUBLE)/n1)*(CAST(sx1 AS DOUBLE)/n1))
+                    / n1
+                    + (CAST(sxx2 AS DOUBLE)/n2
+                       - (CAST(sx2 AS DOUBLE)/n2)*(CAST(sx2 AS DOUBLE)/n2))
+                      / n2) AS se
+        FROM wide
+    )
+    SELECT n1, n2, {sql_q4("d / 100.0")} AS mean_diff,
+           {sql_q4("(d + {TOST_DELTA_CENTS}) / se")} AS t_lower,
+           {sql_q4("(d - {TOST_DELTA_CENTS}) / se")} AS t_upper,
+           (d + {TOST_DELTA_CENTS}) / se > {TOST_Z}
+             AND (d - {TOST_DELTA_CENTS}) / se < -{TOST_Z} AS equivalent
+    FROM calc
+    """.replace("{TOST_DELTA_CENTS}", str(TOST_DELTA_CENTS)),
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two one-sided tests (TOST) for EQUIVALENCE of the click and
+    view value means within ±5.00 — the non-inferiority answer a
+    plain t-test cannot give (failing to reject ≠ equivalent):
+    declare equivalence iff the difference is significantly above
+    −δ AND significantly below +δ at one-sided α=0.05.
+
+    Same sufficient-statistics skeleton as stat_welch_ttest (one
+    integer-cents rollup, conditional-pivot to one row, closed-form
+    doubles at the end); the margin enters as an integer cents
+    constant so both engines' test statistics agree bitwise."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(TOST_G1, TOST_G2)
+    )
+    xc = cents(F.col("value"))
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xc).cast("long").alias("sx"),
+        F.sum(xc * xc).cast("long").alias("sxx"),
+    )
+    pick = lambda g, c: F.max(  # noqa: E731
+        F.when(F.col("event_type") == g, F.col(c))
+    )
+    wide = s.agg(
+        pick(TOST_G1, "n").alias("n1"),
+        pick(TOST_G1, "sx").alias("sx1"),
+        pick(TOST_G1, "sxx").alias("sxx1"),
+        pick(TOST_G2, "n").alias("n2"),
+        pick(TOST_G2, "sx").alias("sx2"),
+        pick(TOST_G2, "sxx").alias("sxx2"),
+    )
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    m2 = F.col("sx2").cast("double") / F.col("n2")
+    var1 = F.col("sxx1").cast("double") / F.col("n1") - m1 * m1
+    var2 = F.col("sxx2").cast("double") / F.col("n2") - m2 * m2
+    d = m1 - m2
+    se = F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    t_lo = (d + TOST_DELTA_CENTS) / se
+    t_hi = (d - TOST_DELTA_CENTS) / se
+    z = float(TOST_Z)
+    return wide.select(
+        "n1",
+        "n2",
+        q4(d / 100.0).alias("mean_diff"),
+        q4(t_lo).alias("t_lower"),
+        q4(t_hi).alias("t_upper"),
+        ((t_lo > z) & (t_hi < -z)).alias("equivalent"),
+    )

@@ -610,3 +610,120 @@ def test_gram_power_iter_matches_numpy_eig(spark, sf_dir):
     assert rq(v1n) >= rq(ones) - abs(rq(ones)) * 1e-6
     assert rq(v2n) >= rq(v1n) - abs(rq(v1n)) * 1e-6
     assert w[0] - 1e-6 <= rq(v2n) <= w[-1] + 1e-6
+
+
+def test_retention_halflife_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    pts = con.execute("""
+        WITH firstw AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS w0
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(datediff('week', f.w0, date_trunc('week', e.ts))
+               AS BIGINT), count(DISTINCT e.user_id)
+        FROM events e JOIN firstw f ON e.user_id = f.user_id
+        GROUP BY 1
+    """).fetchall()
+    act = dict(pts)
+    cohort = act[0]
+    xs, ys = [], []
+    for k in range(1, 5):
+        if act.get(k, 0) > 0:
+            xs.append(k)
+            ys.append(math.floor(math.log(act[k] / cohort) * 1e6 + 0.5))
+    x = np.array(xs, dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    n = len(x)
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    ) / 1e6
+    r = REGISTRY["events_retention_halflife"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert abs(r["decay_per_week"] - slope) <= 1e-3
+    if slope == 0:
+        assert r["halflife_weeks"] is None  # flat curve: no finite halflife
+    else:
+        assert abs(r["halflife_weeks"] - (-math.log(2) / slope)) <= max(
+            1e-3, 1e-3 * abs(math.log(2) / slope)
+        )
+
+
+def test_js_divergence_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT source, text FROM documents").fetchall()
+    dist: dict[str, Counter] = {}
+    for src, text in docs:
+        dist.setdefault(src, Counter()).update(text.split(" "))
+    out = {(r["source_a"], r["source_b"]): r for r in
+           REGISTRY["text_js_divergence"].build(spark, sf_dir).collect()}
+    srcs = sorted(dist)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+        if set(dist[a]) & set(dist[b])
+    }
+    assert set(out) == expected_pairs
+    import random
+
+    for a, b in random.Random(7).sample(sorted(expected_pairs), 20):
+        na, nb = sum(dist[a].values()), sum(dist[b].values())
+        words = set(dist[a]) | set(dist[b])
+        jsd = 0.0
+        for wd in words:
+            p, q = dist[a][wd] / na, dist[b][wd] / nb
+            m = (p + q) / 2
+            if p:
+                jsd += 0.5 * p * math.log2(p / m)
+            if q:
+                jsd += 0.5 * q * math.log2(q / m)
+        r = out[(a, b)]
+        assert abs(r["jsd_bits"] - jsd) <= 1e-3
+        assert -1e-9 <= r["jsd_bits"] <= 1.0 + 1e-9
+
+
+def test_tost_equivalence_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT)"
+        " FROM events WHERE event_type IN ('click', 'view')"
+    ).fetchall()
+    g = {"click": [], "view": []}
+    for et, c in vals:
+        g[et].append(c)
+    a, b = np.array(g["click"], float), np.array(g["view"], float)
+    d = a.mean() - b.mean()
+    se = math.sqrt(a.var() / len(a) + b.var() / len(b))
+    r = REGISTRY["stat_tost_equivalence"].build(spark, sf_dir).collect()[0]
+    assert r["n1"] == len(a) and r["n2"] == len(b)
+    assert abs(r["mean_diff"] - d / 100.0) <= 1e-3
+    assert abs(r["t_lower"] - (d + 500) / se) <= 1e-2
+    assert abs(r["t_upper"] - (d - 500) / se) <= 1e-2
+    assert r["equivalent"] == (
+        (d + 500) / se > 1.6449 and (d - 500) / se < -1.6449
+    )
+
+
+def test_peak_exposure_matches_python_sweep(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT o_custkey, epoch_us(o_orderdate), o_orderkey,"
+        " CAST(floor(o_totalprice*100+0.5) AS BIGINT) FROM orders"
+    ).fetchall()
+    DAY_US = 86_400_000_000
+    pts: dict[int, list[tuple]] = {}
+    for ck, t, okey, c in rows:
+        pts.setdefault(ck, []).append((t, c, okey, c))
+        pts.setdefault(ck, []).append((t + 30 * DAY_US, -c, okey, -c))
+    out = {r["o_custkey"]: r for r in
+           REGISTRY["orders_peak_exposure"].build(spark, sf_dir).collect()}
+    assert set(out) == set(pts)
+    for ck, evs in pts.items():
+        evs.sort(key=lambda e: (e[0], e[1], e[2]))
+        bal = 0
+        peak = None
+        for _, delta, _, _ in evs:
+            bal += delta
+            peak = bal if peak is None else max(peak, bal)
+        r = out[ck]
+        assert r["peak_exposure_cents"] == peak
+        assert r["n_orders"] == len(evs) // 2
+        assert bal == 0  # every open has a matching close
