@@ -1840,3 +1840,116 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_words",
         q4(jsd).alias("jsd_bits"),
     )
+
+
+# --------------------------------- Kneser-Ney smoothed LM scoring
+
+KN_D_X100 = 75  # absolute discount D = 0.75, carried as integer 75/100
+
+
+@register(
+    "text_kn_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), doc_bg AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      FROM toks
+    ), bg_cnt AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS bc FROM doc_bg GROUP BY bg
+    ), w1_stats AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(sum(bc) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS types_after
+      FROM bg_cnt GROUP BY 1
+    ), cont AS (
+      SELECT string_split(bg, ' ')[2] AS w2,
+             CAST(count(*) AS BIGINT) AS types_before
+      FROM bg_cnt GROUP BY 1
+    ), n_bg_types AS (
+      SELECT CAST(count(*) AS BIGINT) AS nt FROM bg_cnt
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(floor(ln(
+                 (greatest(CAST(b.bc AS DOUBLE) - {KN_D_X100}/100.0, 0.0)
+                  + ({KN_D_X100}/100.0) * s.types_after
+                    * (CAST(c.types_before AS DOUBLE) / t.nt))
+                 / s.c1) * 1e6) AS BIGINT) AS lp_micro
+      FROM doc_bg d
+      JOIN bg_cnt b ON b.bg = d.bg
+      JOIN w1_stats s ON s.w1 = string_split(d.bg, ' ')[1]
+      JOIN cont c ON c.w2 = string_split(d.bg, ' ')[2]
+      CROSS JOIN n_bg_types t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS kn_logprob_micro_sum,
+           CAST(SUM(lp_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS kn_avg_lp_micro
+    FROM scored GROUP BY doc_id
+    """,
+    notes="same ~1-ulp cross-engine ln() tolerance as text_lm_score; "
+    "per-doc sums exact BIGINT.",
+)
+def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995,
+    public — the smoothing KenLM defaults to): P(w2|w1) =
+    (max(c(w1w2)−D, 0) + D·N1+(w1·)·P_cont(w2)) / c(w1·) with the
+    continuation prior P_cont(w2) = N1+(·w2)/|bigram types| — the
+    principled upgrade over text_lm_score's MLE: probability mass
+    reserved for unseen continuations, in proportion to how
+    PROMISCUOUS each word's left-contexts are, not how frequent the
+    word is. Scored as per-doc mean log-prob (micronats).
+
+    Scale shape: three corpus-global count tables (bigram counts,
+    per-w1 totals + right-type counts, per-w2 left-type counts) —
+    all mergeable hash aggregates joined back to the exploded
+    bigrams (broadcast for bounded vocab, shuffle join beyond); the
+    per-term log is quantized once and per-doc sums stay exact
+    integers."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    doc_bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    bg_cnt = doc_bg.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    )
+    w1c = F.split(F.col("bg"), " ").getItem(0)
+    w2c = F.split(F.col("bg"), " ").getItem(1)
+    w1_stats = bg_cnt.groupBy(w1c.alias("w1")).agg(
+        F.sum("bc").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("types_after"),
+    )
+    cont = bg_cnt.groupBy(w2c.alias("w2")).agg(
+        F.count(F.lit(1)).cast("long").alias("types_before")
+    )
+    nt = bg_cnt.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    D = KN_D_X100 / 100.0
+    p_kn = (
+        F.greatest(F.col("bc").cast("double") - D, F.lit(0.0))
+        + D
+        * F.col("types_after")
+        * (F.col("types_before").cast("double") / F.col("nt"))
+    ) / F.col("c1")
+    scored = (
+        doc_bg.join(F.broadcast(bg_cnt), "bg")
+        .join(F.broadcast(w1_stats), w1c == F.col("w1"))
+        .join(F.broadcast(cont), w2c == F.col("w2"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.floor(F.log(p_kn) * 1e6).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp_micro").cast("long").alias("kn_logprob_micro_sum"),
+        F.expr("SUM(lp_micro) DIV count(*)").alias("kn_avg_lp_micro"),
+    )

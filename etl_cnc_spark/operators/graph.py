@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import sql_q4
+from ..utils import q4, sql_q4
 
 SCALE = 100_000_000  # 1e8 fixed-point
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85
@@ -835,3 +835,113 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").alias("node"),
         *[f"hop{i}" for i in range(1, WALK_STEPS + 1)],
     ).distinct()
+
+
+# ------------------------------------------------- partition modularity
+
+MOD_Q = 1_000_000_000  # fixed-point quantum for per-community terms
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    comm AS (
+        SELECT n_nationkey AS node, CAST(n_regionkey AS BIGINT) AS c
+        FROM nation
+    ), m AS (
+        SELECT CAST(sum(w) AS BIGINT) AS tw FROM edges
+    ), within AS (
+        SELECT cu.c,
+               CAST(sum(CASE WHEN cu.c = cv.c THEN e.w ELSE 0 END)
+                    AS BIGINT) AS w_in,
+               CAST(sum(e.w) AS BIGINT) AS d_out
+        FROM edges e
+        JOIN comm cu ON cu.node = e.u
+        JOIN comm cv ON cv.node = e.v
+        GROUP BY cu.c
+    ), d_in AS (
+        SELECT cv.c, CAST(sum(e.w) AS BIGINT) AS d_in
+        FROM edges e JOIN comm cv ON cv.node = e.v
+        GROUP BY cv.c
+    ), per_comm AS (
+        SELECT w.c, w.w_in, w.d_out, i.d_in, t.tw,
+               CAST(floor((CAST(w.w_in AS DOUBLE) / t.tw
+                    - (CAST(w.d_out AS DOUBLE) / t.tw)
+                      * (CAST(i.d_in AS DOUBLE) / t.tw))
+                    * {MOD_Q} + 0.5) AS BIGINT) AS q_term
+        FROM within w JOIN d_in i ON i.c = w.c CROSS JOIN m t
+    )
+    SELECT c AS community, w_in AS within_weight,
+           d_out AS out_strength, d_in AS in_strength,
+           {sql_q4(f"CAST(q_term AS DOUBLE) / {MOD_Q}")} AS q_contrib,
+           {sql_q4(f"CAST(sum(q_term) OVER () AS DOUBLE) / {MOD_Q}")}
+               AS modularity
+    FROM per_comm
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted modularity of the region partition over the
+    nation trade graph (Newman 2004/Leicht-Newman 2008, public):
+    Q = Σ_c (w_in(c)/W − (out_strength(c)/W)·(in_strength(c)/W)) —
+    'do nations trade within their region more than a random wiring
+    with the same strengths would?' Per-community contributions ride
+    along so the answer is diagnosable, not just a scalar.
+
+    Scale shape: the community map is a broadcast dim (at web scale:
+    the label frame from min_label_components — same formula, label
+    column swapped in); edge weights aggregate ONCE per community
+    with integer sums, per-community Q terms are fixed-point
+    quantized before the metadata-level total. Nothing iterates —
+    this is the evaluation half of community detection, mergeable by
+    construction."""
+    edges = trade_edges(spark, sf_dir)
+    comm = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"),
+        F.col("n_regionkey").cast("long").alias("c"),
+    )
+    m = edges.agg(F.sum("w").cast("long").alias("tw"))
+    cu = comm.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+    cv = comm.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+    tagged = edges.join(F.broadcast(cu), "u").join(F.broadcast(cv), "v")
+    within = tagged.groupBy(F.col("cu").alias("c")).agg(
+        F.sum(F.when(F.col("cu") == F.col("cv"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("w_in"),
+        F.sum("w").cast("long").alias("d_out"),
+    )
+    d_in = tagged.groupBy(F.col("cv").alias("c")).agg(
+        F.sum("w").cast("long").alias("d_in")
+    )
+    per_comm = (
+        within.join(d_in, "c")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "c",
+            "w_in",
+            "d_out",
+            "d_in",
+            F.floor(
+                (
+                    F.col("w_in").cast("double") / F.col("tw")
+                    - (F.col("d_out").cast("double") / F.col("tw"))
+                    * (F.col("d_in").cast("double") / F.col("tw"))
+                )
+                * MOD_Q
+                + 0.5
+            )
+            .cast("long")
+            .alias("q_term"),
+        )
+    )
+    wall = Window.partitionBy()
+    return per_comm.select(
+        F.col("c").alias("community"),
+        F.col("w_in").alias("within_weight"),
+        F.col("d_out").alias("out_strength"),
+        F.col("d_in").alias("in_strength"),
+        q4(F.col("q_term").cast("double") / MOD_Q).alias("q_contrib"),
+        q4(
+            F.sum("q_term").over(wall).cast("double") / MOD_Q
+        ).alias("modularity"),
+    )

@@ -537,3 +537,150 @@ def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "baseline_rate"
         ),
     )
+
+
+# ------------------------------------------------- feature hashing
+
+FH_BUCKETS = 256  # hashing-trick output dimensionality
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(word), 1, 4) AS INTEGER)
+                    % {FH_BUCKETS} AS BIGINT) AS bucket,
+               CASE WHEN CAST('0x' || substr(md5(word), 5, 1) AS INTEGER)
+                         % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM w
+    )
+    SELECT doc_id, bucket,
+           CAST(sum(sgn) AS BIGINT) AS feat_value,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, public): tokens
+    hash into a fixed 256-bucket feature space with a signed-hash
+    correction (second hash decides ±1, making the estimator
+    unbiased under collisions) — the unbounded-vocabulary
+    featurizer that needs NO vocabulary table, dictionary broadcast,
+    or training pass, which is exactly why it scales: per-row pure
+    hash arithmetic, one (doc, bucket) aggregate, output bounded by
+    docs × 256.
+
+    Both engines derive bucket and sign from the same md5 hex
+    prefix, so the sparse feature matrix is hash-verified cell by
+    cell."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10)
+        .cast("long")
+        % FH_BUCKETS
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.col("word")), 5, 1), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        w.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("feat_value"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------- mutual information
+
+MI_Q = 1_000_000_000  # fixed-point quantum for per-cell MI terms
+MI_BAND_W = 100.0  # value band width for the discretized variable
+
+
+@register(
+    "ml_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type AS a,
+               CAST(floor(value / {MI_BAND_W}) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+    ), ma AS (
+        SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY a
+    ), mb AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY b
+    ), terms AS (
+        SELECT CAST(sum(CAST(floor(
+                   CAST(cl.c AS DOUBLE) / t.n
+                   * log2(CAST(cl.c AS DOUBLE) * t.n
+                          / (CAST(ma.ca AS DOUBLE) * mb.cb))
+                   * {MI_Q} + 0.5) AS BIGINT)) AS BIGINT) AS mi_q,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cells cl
+        JOIN ma ON ma.a = cl.a
+        JOIN mb ON mb.b = cl.b
+        CROSS JOIN tot t
+    )
+    SELECT t.n, x.n_cells,
+           {sql_q4(f"CAST(x.mi_q AS DOUBLE) / {MI_Q}")} AS mi_bits
+    FROM tot t CROSS JOIN terms x
+    """,
+)
+def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; value band) in bits — the
+    model-free dependence measure feature selection ranks columns
+    by (zero iff independent; catches non-monotone structure that
+    correlation misses). MI = Σ p(a,b)·log2(p(a,b)/(p(a)p(b))) over
+    the contingency grid.
+
+    Scale shape — the stat_chi2_test skeleton with an
+    information-theoretic payload: one hash aggregate to the
+    bounded (type × band) grid, marginals re-aggregated from the
+    grid (never the rows), and each cell's MI term fixed-point
+    quantized (1e-9) before the final sum so the result is
+    order-free and hash-exact."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("a"),
+        F.floor(F.col("value") / MI_BAND_W).cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    ma = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    mb = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    joined = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.floor(
+        F.col("c").cast("double")
+        / F.col("n")
+        * F.log2(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("ca").cast("double") * F.col("cb"))
+        )
+        * MI_Q
+        + 0.5
+    ).cast("long")
+    terms = joined.agg(
+        F.sum(term).cast("long").alias("mi_q"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        "n",
+        "n_cells",
+        q4(F.col("mi_q").cast("double") / MI_Q).alias("mi_bits"),
+    )

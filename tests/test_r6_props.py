@@ -727,3 +727,134 @@ def test_peak_exposure_matches_python_sweep(spark, sf_dir):
         assert r["peak_exposure_cents"] == peak
         assert r["n_orders"] == len(evs) // 2
         assert bal == 0  # every open has a matching close
+
+
+def test_kn_lm_score_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    bg_cnt: Counter = Counter()
+    doc_bgs: dict[int, list[tuple]] = {}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        bgs = list(zip(w, w[1:]))
+        doc_bgs[doc_id] = bgs
+        bg_cnt.update(bgs)
+    c1: Counter = Counter()
+    types_after: Counter = Counter()
+    types_before: Counter = Counter()
+    for (w1, w2), c in bg_cnt.items():
+        c1[w1] += c
+        types_after[w1] += 1
+        types_before[w2] += 1
+    nt = len(bg_cnt)
+    D = 0.75
+    out = {r["doc_id"]: r for r in
+           REGISTRY["text_kn_lm_score"].build(spark, sf_dir).collect()}
+    for doc_id, bgs in doc_bgs.items():
+        total = 0
+        for w1, w2 in bgs:
+            p = (
+                max(bg_cnt[(w1, w2)] - D, 0.0)
+                + D * types_after[w1] * (types_before[w2] / nt)
+            ) / c1[w1]
+            total += math.floor(math.log(p) * 1e6)
+        r = out[doc_id]
+        assert r["n_bigrams"] == len(bgs)
+        assert abs(r["kn_logprob_micro_sum"] - total) <= len(bgs)  # 1-ulp/term
+        # KN probability is a proper smoothing: every term < 0 logprob
+        assert r["kn_avg_lp_micro"] < 0
+
+
+def test_feature_hashing_matches_python_md5(spark, sf_dir):
+    import hashlib
+
+    con = _con(sf_dir)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    expected: dict[tuple, list[int]] = {}
+    for doc_id, text in docs:
+        for wd in text.split(" "):
+            h = hashlib.md5(wd.encode()).hexdigest()
+            bucket = int(h[:4], 16) % 256
+            sgn = 1 if int(h[4], 16) % 2 == 0 else -1
+            cell = expected.setdefault((doc_id, bucket), [0, 0])
+            cell[0] += sgn
+            cell[1] += 1
+    out = {(r["doc_id"], r["bucket"]): r for r in
+           REGISTRY["ml_feature_hashing"].build(spark, sf_dir).collect()}
+    assert set(out) == set(expected)
+    for k, (v, n) in expected.items():
+        assert out[k]["feat_value"] == v
+        assert out[k]["n_tokens"] == n
+
+
+def test_mutual_info_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    pts = con.execute(
+        "SELECT event_type, CAST(floor(value/100.0) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    cells: Counter = Counter(pts)
+    n = sum(cells.values())
+    ma: Counter = Counter()
+    mb: Counter = Counter()
+    for (a, b), c in cells.items():
+        ma[a] += c
+        mb[b] += c
+    mi = sum(
+        c / n * math.log2(c * n / (ma[a] * mb[b]))
+        for (a, b), c in cells.items()
+    )
+    r = REGISTRY["ml_mutual_info"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == n and r["n_cells"] == len(cells)
+    assert abs(r["mi_bits"] - mi) <= 1e-3
+    assert r["mi_bits"] >= -1e-9  # MI is non-negative
+
+
+def test_modularity_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT *"
+        f" FROM '{sf_dir}/supplier.parquet'"
+    )
+    edges = con.execute("""
+        SELECT c.c_nationkey, s.s_nationkey, count(*)
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN '{}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    """.format(sf_dir)).fetchall()
+    region = dict(con.execute(
+        "SELECT n_nationkey, n_regionkey FROM nation"
+    ).fetchall())
+    W = sum(w for _, _, w in edges)
+    from collections import defaultdict
+
+    w_in = defaultdict(int)
+    d_out = defaultdict(int)
+    d_in = defaultdict(int)
+    for u, v, w in edges:
+        cu, cv = region[u], region[v]
+        d_out[cu] += w
+        d_in[cv] += w
+        if cu == cv:
+            w_in[cu] += w
+    out = {r["community"]: r for r in
+           REGISTRY["graph_modularity"].build(spark, sf_dir).collect()}
+    assert set(out) == set(d_out)
+    q = sum(
+        w_in[c] / W - (d_out[c] / W) * (d_in[c] / W) for c in d_out
+    )
+    for c in d_out:
+        r = out[c]
+        assert r["within_weight"] == w_in[c]
+        assert r["out_strength"] == d_out[c]
+        assert r["in_strength"] == d_in[c]
+        assert abs(r["modularity"] - q) <= 1e-3
+        assert abs(
+            r["q_contrib"]
+            - (w_in[c] / W - (d_out[c] / W) * (d_in[c] / W))
+        ) <= 1e-3
