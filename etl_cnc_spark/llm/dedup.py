@@ -1256,3 +1256,108 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_matched * 10000L DIV n_ivf").alias("precision_bps"),
         )
     )
+
+
+# --------------------------------- content-defined chunk dedup (CDC)
+
+CDC_W = 8  # boundary decision window (chars)
+CDC_HEX0 = "0"  # boundary when md5(window) starts with this (1/16 rate)
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(2, greatest(strlen(text) - {CDC_W - 2}, 2)))
+                   AS i
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, text, CAST(i AS BIGINT) AS s
+        FROM pos
+        WHERE substr(md5(substr(text, i, {CDC_W})), 1, 1) = '{CDC_HEX0}'
+        UNION ALL
+        SELECT doc_id, text, 1 FROM documents
+    ), spans AS (
+        SELECT doc_id, s,
+               coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s) - 1,
+                        strlen(text)) AS e,
+               text
+        FROM starts
+    ), chunks AS (
+        SELECT doc_id, md5(substr(text, CAST(s AS INTEGER),
+                    CAST(e - s + 1 AS INTEGER))) AS digest,
+               e - s + 1 AS chunk_len
+        FROM spans WHERE e >= s
+    )
+    SELECT digest,
+           CAST(max(chunk_len) AS BIGINT) AS chunk_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occur
+    FROM chunks GROUP BY digest
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS backup-dedup
+    primitive, public): a chunk boundary fires wherever the hash of
+    the LOCAL 8-char window has a fixed prefix (1/16 rate, ~16-char
+    expected chunks), so an insertion early in a document shifts no
+    downstream boundary - they depend only on local content, and an
+    identical passage chunks identically wherever it sits. Repeated
+    chunks across the corpus surface as shared digests - the
+    sub-document dedup signal that positional shingling
+    (dedup_substring_spans) approximates with fixed windows.
+
+    Scale shape: the position explode is the only row expansion
+    (linear in corpus chars, map-side); spans come from one per-doc
+    lead() window; only DIGESTS aggregate globally (the shuffle
+    carries 16-byte keys, never text), and the output is the
+    duplicated-chunk catalog (HAVING n >= 2)."""
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(2),
+                F.greatest(F.length("text") - (CDC_W - 2), F.lit(2)),
+            )
+        ).alias("i"),
+    )
+    # sequence() is end-INCLUSIVE (DuckDB's range is exclusive), so
+    # clamp to the last full-window position explicitly
+    bnd = pos.where(
+        (F.col("i") <= F.length("text") - (CDC_W - 1))
+        & (
+            F.substring(F.md5(F.expr(f"substr(text, i, {CDC_W})")), 1, 1)
+            == CDC_HEX0
+        )
+    ).select("doc_id", "text", F.col("i").cast("long").alias("s"))
+    first = d.select("doc_id", "text", F.lit(1).cast("long").alias("s"))
+    starts = bnd.unionByName(first)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    spans = starts.select(
+        "doc_id",
+        "s",
+        F.coalesce(
+            F.lead("s").over(w) - 1, F.length("text").cast("long")
+        ).alias("e"),
+        "text",
+    )
+    chunks = spans.where(F.col("e") >= F.col("s")).select(
+        "doc_id",
+        F.md5(
+            F.expr("substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))")
+        ).alias("digest"),
+        (F.col("e") - F.col("s") + 1).alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.max("chunk_len").cast("long").alias("chunk_len"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occur"),
+        )
+        .where(F.col("n_occur") >= 2)
+    )

@@ -4697,3 +4697,136 @@ def orders_peak_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("open_cents").cast("long").alias("peak_exposure_cents"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_orders"),
     )
+
+
+# ------------------------------------------- repeat-purchase intervals
+
+
+@register(
+    "orders_repurchase_interval",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS gap_days
+        FROM orders
+    ), g AS (
+        SELECT o_custkey, gap_days FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
+           CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS median_gap_days
+    FROM g GROUP BY o_custkey
+    """,
+)
+def orders_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per customer: the day gaps between
+    consecutive orders (lag over the per-customer order history) and
+    their min/max/sum/discrete median (lower-median on even counts, identical in both engines) — the inputs to churn-risk rules like
+    'overdue = 2× median gap with no order'.
+
+    Scale shape: ONE shuffle on custkey; the lag window and the
+    rollup share the same partitioning (AQE reuses the exchange).
+    Gaps are exact integer days; the median is per-customer over a
+    bounded order count. First orders drop out as NULL lags rather
+    than polluting the stats."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        )
+        .cast("long")
+        .alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.sum("gap_days").cast("long").alias("sum_gap_days"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)"
+            " AS BIGINT)"
+        ).alias("median_gap_days"),
+    )
+
+
+# ------------------------------------------- hysteresis alerting
+
+HYST_HI = 6  # alert turns ON when hourly count crosses above
+HYST_LO = 2  # and OFF only when it falls below (debounce band)
+
+
+@register(
+    "events_hysteresis_alerts",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), marked AS (
+        SELECT event_type, hr, c,
+               CASE WHEN c >= {HYST_HI} THEN 1
+                    WHEN c < {HYST_LO} THEN 0 END AS crossing
+        FROM hourly
+    ), states AS (
+        SELECT event_type, hr, c,
+               coalesce(last_value(crossing IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   0) AS alert_on
+        FROM marked
+    )
+    SELECT event_type, CAST(epoch_us(hr) AS BIGINT) AS hr_us, c,
+           alert_on = 1 AS alert_on
+    FROM states
+    """,
+)
+def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting with HYSTERESIS (Schmitt-trigger debounce): the alert
+    turns ON when the hourly rate crosses the high threshold and
+    turns OFF only when it falls below the LOW one — rates wobbling
+    inside the band keep the previous state, which is what kills
+    alert flapping in real monitors. Stateful-looking, but
+    relational: state = the most recent high/low CROSSING, i.e.
+    last_value(crossing IGNORE NULLS) over the per-series time
+    order — no recursion, no UDF.
+
+    Scale shape: the hourly rollup bounds everything by the time
+    domain; the state window partitions by series. The same
+    ignore-nulls last_value trick converts any two-threshold state
+    machine whose state is a function of the LAST transition into a
+    window expression."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    crossing = (
+        F.when(F.col("c") >= HYST_HI, 1)
+        .when(F.col("c") < HYST_LO, 0)
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    states = hourly.select(
+        "event_type",
+        "hr",
+        "c",
+        F.coalesce(
+            F.last(crossing, ignorenulls=True).over(w), F.lit(0)
+        ).alias("alert_on"),
+    )
+    return states.select(
+        "event_type",
+        F.unix_micros("hr").alias("hr_us"),
+        "c",
+        (F.col("alert_on") == 1).alias("alert_on"),
+    )

@@ -858,3 +858,103 @@ def test_modularity_matches_python(spark, sf_dir):
             r["q_contrib"]
             - (w_in[c] / W - (d_out[c] / W) * (d_in[c] / W))
         ) <= 1e-3
+
+
+def test_repurchase_interval_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT o_custkey, epoch_us(o_orderdate), o_orderkey FROM orders"
+    ).fetchall()
+    hist: dict[int, list[tuple]] = {}
+    for ck, t, okey in rows:
+        hist.setdefault(ck, []).append((t, okey))
+    out = {r["o_custkey"]: r for r in
+           REGISTRY["orders_repurchase_interval"].build(spark, sf_dir)
+           .collect()}
+    DAY = 86_400_000_000
+    for ck, orders in hist.items():
+        orders.sort()
+        gaps = [
+            (b[0] - a[0]) // DAY for a, b in zip(orders, orders[1:])
+        ]
+        if not gaps:
+            assert ck not in out
+            continue
+        r = out[ck]
+        assert r["n_gaps"] == len(gaps)
+        assert r["min_gap_days"] == min(gaps)
+        assert r["max_gap_days"] == max(gaps)
+        assert r["sum_gap_days"] == sum(gaps)
+        sg = sorted(gaps)
+        # percentile_disc(0.5): smallest value with cume_dist >= 0.5
+        assert r["median_gap_days"] == sg[(len(sg) - 1) // 2]
+
+
+def test_hysteresis_state_machine(spark, sf_dir):
+    con = _con(sf_dir)
+    hourly = con.execute(
+        "SELECT event_type, epoch_us(date_trunc('hour', ts)), count(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, list[tuple]] = {}
+    for et, hr, c in hourly:
+        series.setdefault(et, []).append((hr, c))
+    out = {(r["event_type"], r["hr_us"]): r["alert_on"] for r in
+           REGISTRY["events_hysteresis_alerts"].build(spark, sf_dir)
+           .collect()}
+    n_flips = 0
+    for et, pts in series.items():
+        pts.sort()
+        state = False
+        prev = None
+        for hr, c in pts:
+            if c >= 6:
+                state = True
+            elif c < 2:
+                state = False
+            # else: keep previous state (the hysteresis band)
+            assert out[(et, hr)] == state, (et, hr, c)
+            if prev is not None and state != prev:
+                n_flips += 1
+            prev = state
+    assert len(out) == sum(len(p) for p in series.values())
+
+
+def test_cdc_chunks_match_python_and_reconstruct(spark, sf_dir):
+    import hashlib
+
+    con = _con(sf_dir)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    chunk_counts: Counter = Counter()
+    chunk_docs: dict[str, set] = {}
+    chunk_len: dict[str, int] = {}
+    for doc_id, text in docs:
+        n = len(text)
+        starts = [1] + [
+            i
+            for i in range(2, n - 6)
+            if hashlib.md5(text[i - 1:i + 7].encode()).hexdigest()[0]
+            == "0"
+        ]
+        spans = list(zip(starts, [s - 1 for s in starts[1:]] + [n]))
+        # chunks must tile the document exactly
+        assert spans[0][0] == 1 and spans[-1][1] == n
+        for (s, e), (s2, _) in zip(spans, spans[1:]):
+            assert s2 == e + 1
+        for s, e in spans:
+            if e < s:
+                continue
+            chunk = text[s - 1:e]
+            dg = hashlib.md5(chunk.encode()).hexdigest()
+            chunk_counts[dg] += 1
+            chunk_docs.setdefault(dg, set()).add(doc_id)
+            chunk_len[dg] = len(chunk)
+    out = {r["digest"]: r for r in
+           REGISTRY["dedup_cdc_chunks"].build(spark, sf_dir).collect()}
+    expected = {d for d, c in chunk_counts.items() if c >= 2}
+    assert set(out) == expected
+    for dg in expected:
+        r = out[dg]
+        assert r["n_occur"] == chunk_counts[dg]
+        assert r["n_docs"] == len(chunk_docs[dg])
+        assert r["chunk_len"] == chunk_len[dg]
