@@ -442,3 +442,105 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_bytes",
         q4(F.col("ent")).alias("entropy_bits"),
     )
+
+
+# --------------------------------------- frame-energy segmentation
+
+ENE_FRAME = 16  # frame width in bytes
+ENE_THRESH = 1600  # active frame: byte-sum energy above this
+ENE_DOC_MOD = 5  # analyze every 5th doc (bounded output)
+
+
+def _energy_batches(it):
+    """Arrow-batched frame energies: numpy frombuffer + reshape —
+    the real signal-processing plumbing (VAD / scene detection runs
+    exactly this shape with a DSP kernel instead of a byte sum)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        out_doc, out_frame, out_energy = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n_full = arr.size // ENE_FRAME
+            if n_full == 0:
+                continue
+            frames = arr[: n_full * ENE_FRAME].reshape(
+                n_full, ENE_FRAME
+            )
+            energies = frames.sum(axis=1, dtype=np.int64)
+            out_doc.extend([int(doc_id)] * n_full)
+            out_frame.extend(range(n_full))
+            out_energy.extend(int(x) for x in energies)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame": out_frame, "energy": out_energy}
+        )
+
+
+@register(
+    "multimodal_energy_segments",
+    oracle=f"""
+    WITH sel AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {ENE_DOC_MOD} = 0
+    ), frames AS (
+        SELECT doc_id,
+               CAST(f AS BIGINT) AS frame,
+               CAST(list_aggregate([ord(substr(text,
+                        CAST(f * {ENE_FRAME} + i AS INTEGER), 1))
+                    for i in range(1, {ENE_FRAME + 1})], 'sum')
+                    AS BIGINT) AS energy
+        FROM sel CROSS JOIN range(0, 256) r(f)
+        WHERE (f + 1) * {ENE_FRAME} <= strlen(text)
+    ), active AS (
+        SELECT doc_id, frame, energy,
+               frame - CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY frame) AS BIGINT) AS grp
+        FROM frames WHERE energy >= {ENE_THRESH}
+    )
+    SELECT doc_id,
+           CAST(min(frame) AS BIGINT) AS seg_start,
+           CAST(max(frame) AS BIGINT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS seg_energy
+    FROM active GROUP BY doc_id, grp
+    """,
+)
+def multimodal_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-energy segmentation over binary payloads — the VAD /
+    scene-detection plumbing shape: payloads split into fixed
+    16-byte frames INSIDE an Arrow-batched mapInPandas pass (numpy
+    frombuffer + reshape + vectorized row sums, no per-row Python),
+    active frames thresholded on energy, and consecutive active
+    frames merged into segments with gaps-and-islands. Swap the
+    byte-sum kernel for spectral energy and this IS voice-activity
+    detection; the relational half (threshold + islands + segment
+    rollup) is unchanged.
+
+    Verification: payloads are ASCII text stand-ins (byte == char,
+    guarded by multimodal_byte_entropy's oracle), so the oracle
+    recomputes frame energies with ord() arithmetic and the whole
+    UDF output is hash-exact. Scale: the Arrow pass is linear and
+    partition-local; only (doc, frame, energy) triples shuffle, and
+    the islands window partitions by doc."""
+    import pandas as pd  # noqa: F401 — imported for the UDF closure
+
+    from pyspark.sql import Window
+
+    p = _payloads(spark, sf_dir).where(
+        F.col("doc_id") % ENE_DOC_MOD == 0
+    ).select("doc_id", "payload")
+    frames = p.mapInPandas(
+        _energy_batches, "doc_id long, frame long, energy long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    active = frames.where(F.col("energy") >= ENE_THRESH).withColumn(
+        "grp",
+        F.col("frame") - F.row_number().over(w).cast("long"),
+    )
+    return active.groupBy("doc_id", "grp").agg(
+        F.min("frame").cast("long").alias("seg_start"),
+        F.max("frame").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    ).drop("grp")

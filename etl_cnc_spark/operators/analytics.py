@@ -4830,3 +4830,137 @@ def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (F.col("alert_on") == 1).alias("alert_on"),
     )
+
+
+# ------------------------------------------- SAX symbolic series
+
+SAX_SEG_DAYS = 5  # PAA segment width (days)
+SAX_Q = "0.6745"  # N(0,1) quartile breakpoints for a 4-letter alphabet
+
+
+@register(
+    "events_sax_symbolic",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), lim AS (
+        SELECT event_type, CAST(min(d) AS BIGINT) AS d0,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM daily GROUP BY event_type
+    ), seg AS (
+        SELECT d.event_type,
+               (d.d - l.d0) // {SAX_SEG_DAYS} AS seg,
+               CAST(count(*) AS BIGINT) AS seg_n,
+               CAST(sum(d.y) AS BIGINT) AS seg_sy,
+               max(l.n) AS n, max(l.sy) AS sy, max(l.syy) AS syy
+        FROM daily d JOIN lim l ON l.event_type = d.event_type
+        GROUP BY d.event_type, (d.d - l.d0) // {SAX_SEG_DAYS}
+    ), paa AS (
+        SELECT event_type, CAST(seg AS BIGINT) AS seg, seg_n,
+               (CAST(seg_sy AS DOUBLE) / seg_n
+                - CAST(sy AS DOUBLE) / n)
+               / sqrt(CAST(syy AS DOUBLE) / n
+                      - (CAST(sy AS DOUBLE) / n)
+                        * (CAST(sy AS DOUBLE) / n)) AS z
+        FROM seg
+    ), sym AS (
+        SELECT event_type, seg, seg_n, z,
+               CASE WHEN z < -{SAX_Q} THEN 'a'
+                    WHEN z < 0 THEN 'b'
+                    WHEN z < {SAX_Q} THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM paa
+    ), words AS (
+        SELECT event_type, string_agg(symbol, '' ORDER BY seg) AS sax_word
+        FROM sym GROUP BY event_type
+    )
+    SELECT s.event_type, s.seg, s.seg_n,
+           floor(s.z * 10000 + 0.5) / 10000.0 AS paa_z,
+           s.symbol, w.sax_word
+    FROM sym s JOIN words w ON w.event_type = s.event_type
+    """,
+)
+def events_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003,
+    public): each type's daily-count series is z-normalized from its
+    integer moment sums, piecewise-aggregated into 5-day segments
+    (PAA), and each segment mapped to a 4-letter alphabet by the
+    N(0,1) quartile breakpoints - the discretization under symbolic
+    motif/anomaly mining; the per-type SAX WORD rides along for
+    direct string comparison between series.
+
+    Scale shape: two integer rollups (daily, then per-segment sums
+    re-aggregating the daily tier) plus a broadcast per-series
+    moment row; z and the breakpoint CASE are final per-segment
+    expressions, and the word is a bounded ordered string-agg over
+    |segments| rows per series. Everything before the final doubles
+    is exact and mergeable."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    lim = daily.groupBy("event_type").agg(
+        F.min("d").cast("long").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    seg = (
+        daily.join(F.broadcast(lim), "event_type")
+        .groupBy(
+            "event_type",
+            F.expr(f"(d - d0) DIV {SAX_SEG_DAYS}").alias("seg"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("seg_n"),
+            F.sum("y").cast("long").alias("seg_sy"),
+            F.max("n").alias("n"),
+            F.max("sy").alias("sy"),
+            F.max("syy").alias("syy"),
+        )
+    )
+    mu = F.col("sy").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.col("syy").cast("double") / F.col("n") - mu * mu
+    )
+    z = (F.col("seg_sy").cast("double") / F.col("seg_n") - mu) / sigma
+    qv = float(SAX_Q)
+    sym = seg.select(
+        "event_type",
+        F.col("seg").cast("long").alias("seg"),
+        "seg_n",
+        z.alias("z"),
+        F.when(z < -qv, "a")
+        .when(z < 0, "b")
+        .when(z < qv, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+    words = sym.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg", "symbol"))
+                ),
+                lambda x: x["symbol"],
+            ),
+            "",
+        ).alias("sax_word")
+    )
+    return sym.join(words, "event_type").select(
+        "event_type",
+        "seg",
+        "seg_n",
+        (F.floor(F.col("z") * 10000 + 0.5) / 10000.0).alias("paa_z"),
+        "symbol",
+        "sax_word",
+    )

@@ -958,3 +958,75 @@ def test_cdc_chunks_match_python_and_reconstruct(spark, sf_dir):
         assert r["n_occur"] == chunk_counts[dg]
         assert r["n_docs"] == len(chunk_docs[dg])
         assert r["chunk_len"] == chunk_len[dg]
+
+
+def test_sax_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    daily = con.execute(
+        "SELECT event_type,"
+        " CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS BIGINT), count(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for et, d, y in daily:
+        series.setdefault(et, {})[d] = y
+    out: dict[tuple, dict] = {}
+    words: dict[str, str] = {}
+    for r in REGISTRY["events_sax_symbolic"].build(spark, sf_dir).collect():
+        out[(r["event_type"], r["seg"])] = r
+        words[r["event_type"]] = r["sax_word"]
+    for et, days in series.items():
+        ys = np.array(list(days.values()), dtype=np.float64)
+        mu, sigma = ys.mean(), ys.std()
+        d0 = min(days)
+        segs: dict[int, list[int]] = {}
+        for d, y in days.items():
+            segs.setdefault((d - d0) // 5, []).append(y)
+        word = []
+        for sg in sorted(segs):
+            z = (np.mean(segs[sg]) - mu) / sigma
+            sym = ("a" if z < -0.6745 else
+                   "b" if z < 0 else
+                   "c" if z < 0.6745 else "d")
+            word.append(sym)
+            r = out[(et, sg)]
+            assert r["symbol"] == sym
+            assert abs(r["paa_z"] - z) <= 1e-3
+            assert r["seg_n"] == len(segs[sg])
+        assert words[et] == "".join(word)
+
+
+def test_energy_segments_match_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    ).fetchall()
+    out: dict[int, set] = {}
+    for r in (REGISTRY["multimodal_energy_segments"]
+              .build(spark, sf_dir).collect()):
+        out.setdefault(r["doc_id"], set()).add(
+            (r["seg_start"], r["seg_end"], r["n_frames"], r["seg_energy"])
+        )
+    for doc_id, text in docs:
+        b = text.encode()
+        n_full = len(b) // 16
+        energies = [
+            sum(b[f * 16:(f + 1) * 16]) for f in range(n_full)
+        ]
+        active = [f for f, e in enumerate(energies) if e >= 1600]
+        runs = []
+        cur: list[int] = []
+        for f in active:
+            if cur and f == cur[-1] + 1:
+                cur.append(f)
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = [f]
+        if cur:
+            runs.append(cur)
+        exp = {
+            (run[0], run[-1], len(run), sum(energies[f] for f in run))
+            for run in runs
+        }
+        assert out.get(doc_id, set()) == exp
