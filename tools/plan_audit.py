@@ -219,6 +219,23 @@ EXTRA_KEYS = [
     "dedup_recall_report",
     "orders_perfect_order",
     "events_burst_intervals",
+    "fn_collation",
+    "etl_l_diversity",
+    "ml_auc_pr",
+    "embed_gram_power_iter",
+    "text_kn_lm_score",
+    "ml_feature_hashing",
+    "ml_mutual_info",
+    "graph_modularity",
+    "events_retention_halflife",
+    "text_js_divergence",
+    "stat_tost_equivalence",
+    "orders_peak_exposure",
+    "orders_repurchase_interval",
+    "events_hysteresis_alerts",
+    "dedup_cdc_chunks",
+    "events_sax_symbolic",
+    "multimodal_energy_segments",
 ]
 
 
