@@ -4964,3 +4964,88 @@ def events_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "sax_word",
     )
+
+
+# ------------------------------------------- supplier scorecard
+
+SCORE_SLA_DAYS = 30
+
+
+@register(
+    "orders_supplier_scorecard",
+    oracle=f"""
+    WITH lines AS (
+        SELECT l.l_suppkey, s.s_name, s.s_nationkey,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                    + 0.5) AS BIGINT) AS net_cents,
+               CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+                         <= {SCORE_SLA_DAYS} THEN 1 ELSE 0 END AS on_time,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    )
+    SELECT l_suppkey, s_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(net_cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(on_time) * 10000 // count(*) AS BIGINT)
+               AS on_time_bps,
+           CAST(sum(returned) * 10000 // count(*) AS BIGINT)
+               AS return_bps,
+           CAST((sum(on_time) * 10000 // count(*))
+                - (sum(returned) * 10000 // count(*)) AS BIGINT)
+               AS score_bps
+    FROM lines GROUP BY l_suppkey, s_name
+    """,
+)
+def orders_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard — the vendor-management rollup every
+    procurement dashboard ships: per supplier, line volume, net
+    revenue (discounted, exact cents), on-time-ship rate and return
+    rate in integer basis points, and a composite score
+    (on-time − returns).
+
+    Scale shape: one orderkey shuffle joins the two fact tables,
+    the supplier dim broadcasts, and the scorecard is a single
+    mergeable hash aggregate to |suppliers| rows — all counters
+    integer, rates by integer division, so the card is hash-exact
+    and mergeable across incremental loads."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    lines = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "l_suppkey",
+            "s_name",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("net_cents"),
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                <= SCORE_SLA_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("on_time"),
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("returned"),
+        )
+    )
+    return lines.groupBy("l_suppkey", "s_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("net_cents").cast("long").alias("revenue_cents"),
+        F.expr("sum(on_time) * 10000L DIV count(1)").alias("on_time_bps"),
+        F.expr("sum(returned) * 10000L DIV count(1)").alias("return_bps"),
+        F.expr(
+            "(sum(on_time) * 10000L DIV count(1))"
+            " - (sum(returned) * 10000L DIV count(1))"
+        ).alias("score_bps"),
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ..llm.text import EN_STOPWORDS
 from ..utils import q4, sql_q4
 from .prefix import global_ordered, ntile_from_rank
 
@@ -683,4 +684,132 @@ def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_cells",
         q4(F.col("mi_q").cast("double") / MI_Q).alias("mi_bits"),
+    )
+
+
+# ------------------------------------------------- rater agreement
+
+KAPPA_Q_THRESH = "0.55"  # quality-score band for the second rater
+
+
+@register(
+    "ml_cohen_kappa",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY doc_id, word
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(sum(c * strlen(word)) AS BIGINT) AS sum_wlen,
+               CAST(count(CASE WHEN word IN ('the', 'of', 'and', 'a', 'in', 'to', 'is', 'on', 'for', 'with')
+                    THEN 1 END) AS BIGINT) AS n_stop_distinct,
+               CAST(max(c) AS BIGINT) AS top_freq,
+               CAST(sum(CASE WHEN word IN ('the', 'of', 'and', 'a', 'in', 'to', 'is', 'on', 'for', 'with') THEN c ELSE 0 END)
+                    AS BIGINT) AS n_stop_tokens
+        FROM wf GROUP BY doc_id
+    ), raters AS (
+        SELECT doc_id,
+               (n_words BETWEEN 20 AND 100000)
+                 AND (CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 3 AND 10)
+                 AND (n_stop_distinct >= 2)
+                 AND (CAST(top_freq AS DOUBLE) / n_words <= 0.2) AS r1,
+               0.5 * least(n_words / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(CAST(sum_wlen AS DOUBLE) / n_words
+                                      / 10.0, 1.0))
+                 + 0.2 * least(10.0 * CAST(n_stop_tokens AS DOUBLE)
+                               / n_words, 1.0)
+                 >= 0.55 AS r2
+        FROM per_doc
+    ), grid AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(r1 AND r2) AS BIGINT) AS a,
+               CAST(count_if(r1 AND NOT r2) AS BIGINT) AS b,
+               CAST(count_if(NOT r1 AND r2) AS BIGINT) AS c,
+               CAST(count_if(NOT r1 AND NOT r2) AS BIGINT) AS d
+        FROM raters
+    )
+    SELECT n, a, b, c, d,
+           floor((CAST(a + d AS DOUBLE) / n) * 10000 + 0.5) / 10000.0 AS po,
+           floor((((CAST(a + d AS DOUBLE) / n) - ((CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d)) / (CAST(n AS DOUBLE) * n))) / (1.0 - ((CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d)) / (CAST(n AS DOUBLE) * n)))) * 10000 + 0.5) / 10000.0 AS kappa
+    FROM grid
+    """,
+)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality
+    'raters' — the Gopher-style rule conjunction vs the continuous
+    quality score thresholded at 0.55 — chance-corrected agreement
+    κ = (p_o − p_e)/(1 − p_e), the number annotation pipelines
+    report before trusting auto-labels (Cohen 1960, public; the
+    2×2 case of Fleiss' multi-rater generalization).
+
+    Scale shape: ONE token rollup feeds BOTH raters' sufficient
+    statistics (shared shuffle — the two label definitions are
+    per-doc expressions over the same five integers), then the 2×2
+    agreement grid is a single count_if aggregate and kappa is one
+    closed-form double."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wf = w.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = wf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("word")).cast("long").alias("sum_wlen"),
+        F.count(F.when(F.col("word").isin(*EN_STOPWORDS), 1))
+        .cast("long")
+        .alias("n_stop_distinct"),
+        F.max("c").cast("long").alias("top_freq"),
+        F.sum(
+            F.when(F.col("word").isin(*EN_STOPWORDS), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_stop_tokens"),
+    )
+    mwl = F.col("sum_wlen").cast("double") / F.col("n_words")
+    r1 = (
+        F.col("n_words").between(20, 100000)
+        & mwl.between(3.0, 10.0)
+        & (F.col("n_stop_distinct") >= 2)
+        & (F.col("top_freq").cast("double") / F.col("n_words") <= 0.2)
+    )
+    score = (
+        0.5 * F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - F.least(mwl / F.lit(10.0), F.lit(1.0)))
+        + 0.2
+        * F.least(
+            F.lit(10.0)
+            * F.col("n_stop_tokens").cast("double")
+            / F.col("n_words"),
+            F.lit(1.0),
+        )
+    )
+    r2 = score >= float(KAPPA_Q_THRESH)
+    raters = per_doc.select(r1.alias("r1"), r2.alias("r2"))
+    grid = raters.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("r1") & F.col("r2")).cast("long").alias("a"),
+        F.count_if(F.col("r1") & ~F.col("r2")).cast("long").alias("b"),
+        F.count_if(~F.col("r1") & F.col("r2")).cast("long").alias("c"),
+        F.count_if(~F.col("r1") & ~F.col("r2")).cast("long").alias("d"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / nd
+    pe = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")).cast("double")
+        * (F.col("b") + F.col("d"))
+    ) / (nd * nd)
+    return grid.select(
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        q4(po).alias("po"),
+        q4((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )

@@ -1030,3 +1030,75 @@ def test_energy_segments_match_python(spark, sf_dir):
             for run in runs
         }
         assert out.get(doc_id, set()) == exp
+
+
+def test_cohen_kappa_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    stop = {"the", "of", "and", "a", "in", "to", "is", "on", "for",
+            "with"}
+    a = b = c = d = 0
+    for _, text in docs:
+        words = text.split(" ")
+        cnt = Counter(words)
+        n = len(words)
+        mwl = sum(len(w) for w in words) / n
+        r1 = (20 <= n <= 100000 and 3 <= mwl <= 10
+              and len(stop & set(words)) >= 2
+              and max(cnt.values()) / n <= 0.2)
+        n_stop_tokens = sum(v for w, v in cnt.items() if w in stop)
+        score = (0.5 * min(n / 100.0, 1.0)
+                 + 0.3 * (1.0 - min(mwl / 10.0, 1.0))
+                 + 0.2 * min(10.0 * n_stop_tokens / n, 1.0))
+        r2 = score >= 0.55
+        if r1 and r2:
+            a += 1
+        elif r1:
+            b += 1
+        elif r2:
+            c += 1
+        else:
+            d += 1
+    n_all = a + b + c + d
+    po = (a + d) / n_all
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n_all * n_all)
+    r = REGISTRY["ml_cohen_kappa"].build(spark, sf_dir).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+    assert abs(r["po"] - po) <= 1e-3
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) <= 1e-3
+    assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9
+
+
+def test_supplier_scorecard_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT *"
+        f" FROM '{sf_dir}/supplier.parquet'"
+    )
+    rows = con.execute("""
+        SELECT l.l_suppkey,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                    + 0.5) AS BIGINT),
+               datediff('day', o.o_orderdate, l.l_shipdate) <= 30,
+               l.l_returnflag = 'R'
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for sk, cents, ot, ret in rows:
+        s = agg[sk]
+        s[0] += 1
+        s[1] += cents
+        s[2] += bool(ot)
+        s[3] += bool(ret)
+    out = {r["l_suppkey"]: r for r in
+           REGISTRY["orders_supplier_scorecard"].build(spark, sf_dir)
+           .collect()}
+    assert set(out) == set(agg)
+    for sk, (nl, rev, ot, ret) in agg.items():
+        r = out[sk]
+        assert r["n_lines"] == nl and r["revenue_cents"] == rev
+        assert r["on_time_bps"] == ot * 10000 // nl
+        assert r["return_bps"] == ret * 10000 // nl
+        assert r["score_bps"] == ot * 10000 // nl - ret * 10000 // nl
