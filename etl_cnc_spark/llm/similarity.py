@@ -2037,3 +2037,125 @@ def embed_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v2_q"),
         )
     )
+
+
+# ------------------------------------------------ MoE expert routing
+
+ROUTE_Q = 1_000_000_000  # fixed-point quantum for per-doc softmax probs
+
+
+@register(
+    "embed_expert_routing",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS expert_id, embedding AS ce
+        FROM embeddings
+        WHERE vec_id % greatest(64, CAST(ceil(
+            (SELECT count(*) FROM embeddings) / 4096.0) AS BIGINT)) = 0
+    ), scores AS (
+        SELECT v.vec_id, c.expert_id,
+               list_aggregate([CAST(v.embedding[i] AS DOUBLE)
+                    * CAST(c.ce[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum') AS s
+        FROM embeddings v CROSS JOIN cent c
+    ), stats AS (
+        SELECT vec_id, max(s) AS smax
+        FROM scores GROUP BY vec_id
+    ), expd AS (
+        SELECT sc.vec_id, sc.expert_id, exp(sc.s - st.smax) AS es
+        FROM scores sc JOIN stats st ON st.vec_id = sc.vec_id
+    ), z AS (
+        SELECT vec_id, sum(es) AS zsum FROM expd GROUP BY vec_id
+    ), probs AS (
+        SELECT e.vec_id, e.expert_id,
+               CAST(floor(e.es / z.zsum * {ROUTE_Q} + 0.5) AS BIGINT)
+                   AS p_q,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY e.es DESC, e.expert_id) AS rk
+        FROM expd e JOIN z ON z.vec_id = e.vec_id
+    ), n AS (
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT expert_id) AS BIGINT) AS n_experts
+        FROM probs
+    )
+    SELECT p.expert_id,
+           CAST(count_if(p.rk = 1) AS BIGINT) AS n_top1,
+           CAST(count_if(p.rk <= 2) AS BIGINT) AS n_top2,
+           CAST(sum(p.p_q) AS BIGINT) AS importance_q,
+           floor((CAST(count_if(p.rk = 1) AS DOUBLE) / n.n_docs) * 10000 + 0.5) / 10000.0 AS load_frac,
+           floor((n.n_experts * (CAST(count_if(p.rk = 1) AS DOUBLE) / n.n_docs) * (CAST(sum(p.p_q) AS DOUBLE) / 1000000000 / n.n_docs)) * 10000 + 0.5) / 10000.0 AS aux_term
+    FROM probs p CROSS JOIN n
+    GROUP BY p.expert_id, n.n_docs, n.n_experts
+    """,
+)
+def embed_expert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts routing statistics (Switch Transformer /
+    Shazeer gating, public): every vector softmax-routes over the
+    capped centroid set standing in as experts; per expert we report
+    the top-1 dispatch count, top-2 capacity demand, total router
+    probability mass (importance), the load fraction f_i, and the
+    per-expert term of the load-balance auxiliary loss
+    C·f_i·P_i — the numbers an MoE data pipeline monitors to catch
+    expert collapse BEFORE training diverges.
+
+    Hash-parity discipline: per-doc softmax probabilities are
+    max-stabilized then fixed-point quantized (1e-9), so the
+    importance sums are exact integers; f_i is an integer ratio.
+    Scale shape: the expert table is a bounded broadcast (≤4096),
+    scoring is a JVM fold per (vec, expert), and the per-vec
+    softmax/rank windows partition by vec_id — one shuffle of
+    (vec × C) skinny rows, rollup to C output rows."""
+    from .dedup import _dot64, capped_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = capped_centroids(e).select(
+        F.col("cent_id").alias("expert_id"), "ce"
+    )
+    scores = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "expert_id",
+            _dot64(F.col("embedding"), F.col("ce")).alias("s"),
+        )
+    )
+    wv = Window.partitionBy("vec_id")
+    expd = scores.withColumn(
+        "es", F.exp(F.col("s") - F.max("s").over(wv))
+    )
+    probs = expd.select(
+        "vec_id",
+        "expert_id",
+        F.floor(
+            F.col("es") / F.sum("es").over(wv) * ROUTE_Q + 0.5
+        )
+        .cast("long")
+        .alias("p_q"),
+        F.row_number()
+        .over(wv.orderBy(F.col("es").desc(), F.col("expert_id")))
+        .alias("rk"),
+    )
+    n = probs.agg(
+        F.count_distinct("vec_id").cast("long").alias("n_docs"),
+        F.count_distinct("expert_id").cast("long").alias("n_experts"),
+    )
+    load = F.col("n_top1").cast("double") / F.col("n_docs")
+    imp = F.col("importance_q").cast("double") / ROUTE_Q / F.col("n_docs")
+    return (
+        probs.groupBy("expert_id")
+        .agg(
+            F.count_if(F.col("rk") == 1).cast("long").alias("n_top1"),
+            F.count_if(F.col("rk") <= 2).cast("long").alias("n_top2"),
+            F.sum("p_q").cast("long").alias("importance_q"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "expert_id",
+            "n_top1",
+            "n_top2",
+            "importance_q",
+            q4(load).alias("load_frac"),
+            q4(F.col("n_experts") * load * imp).alias("aux_term"),
+        )
+    )

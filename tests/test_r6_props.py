@@ -1102,3 +1102,41 @@ def test_supplier_scorecard_matches_python(spark, sf_dir):
         assert r["on_time_bps"] == ot * 10000 // nl
         assert r["return_bps"] == ret * 10000 // nl
         assert r["score_bps"] == ot * 10000 // nl - ret * 10000 // nl
+
+
+def test_expert_routing_matches_numpy_softmax(spark, sf_dir):
+    con = _con(sf_dir)
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    n = len(emb)
+    step = max(64, math.ceil(n / 4096))
+    experts = {v: np.array(e, dtype=np.float64) for v, e in emb
+               if v % step == 0}
+    eids = sorted(experts)
+    E = np.stack([experts[i] for i in eids])
+    n_top1: Counter = Counter()
+    n_top2: Counter = Counter()
+    imp_q: Counter = Counter()
+    for v, e in emb:
+        x = np.array(e, dtype=np.float64)
+        s = E @ x
+        es = np.exp(s - s.max())
+        p = es / es.sum()
+        order = sorted(range(len(eids)), key=lambda i: (-es[i], eids[i]))
+        n_top1[eids[order[0]]] += 1
+        n_top2[eids[order[0]]] += 1
+        n_top2[eids[order[1]]] += 1
+        for i, eid in enumerate(eids):
+            imp_q[eid] += math.floor(p[i] * 1e9 + 0.5)
+    out = {r["expert_id"]: r for r in
+           REGISTRY["embed_expert_routing"].build(spark, sf_dir).collect()}
+    assert set(out) == set(eids)
+    total_top1 = sum(r["n_top1"] for r in out.values())
+    assert total_top1 == n  # every doc dispatched exactly once
+    for eid in eids:
+        r = out[eid]
+        assert r["n_top1"] == n_top1[eid]
+        assert r["n_top2"] == n_top2[eid]
+        assert abs(r["importance_q"] - imp_q[eid]) <= len(emb)  # 1-ulp/term
+        f = n_top1[eid] / n
+        P = imp_q[eid] / 1e9 / n
+        assert abs(r["aux_term"] - len(eids) * f * P) <= 1e-3
