@@ -1953,3 +1953,127 @@ def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lp_micro").cast("long").alias("kn_logprob_micro_sum"),
         F.expr("SUM(lp_micro) DIV count(*)").alias("kn_avg_lp_micro"),
     )
+
+
+# ------------------------------------------------- BPE pair counts
+
+BPE_TOP_K = 20
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair
+        FROM words CROSS JOIN range(1, 64) r(i)
+        WHERE i + 1 <= strlen(w)
+    ), counts AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+    ), ranked AS (
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair)
+                    AS BIGINT) AS rk
+        FROM counts
+    )
+    SELECT rk, pair, n FROM ranked WHERE rk <= {BPE_TOP_K}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting core of BPE tokenizer training (Sennrich et al.
+    2016, public): adjacent symbol-pair frequencies within words
+    across the corpus, ranked — each training iteration merges the
+    top pair and recounts, so this aggregate IS the per-iteration
+    workload; the driver loop around it is trivial. Top-20 emitted
+    (the next-merge candidate queue).
+
+    Scale shape: the pair explode is row-local (positions within
+    words, bounded by word length), counts are one map-side-combined
+    hash aggregate on the pair symbol, and the top-k is a
+    TakeOrderedAndProject — never a full sort. At real tokenizer
+    scale the words tier is pre-aggregated to (word, count) first so
+    pair counts multiply by word frequency instead of re-exploding
+    duplicate words — the same two-tier cascade as text_tfidf."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(w) - 1, 1)),"
+                " i -> substr(w, i, 2))"
+            )
+        ).alias("pair"),
+        F.length("w").alias("wl"),
+    ).where(F.length("pair") == 2)
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= BPE_TOP_K)
+        .select("rk", "pair", "n")
+    )
+
+
+# ------------------------------------------------- length bucketing
+
+LB_BUCKET_TOKENS = 32  # bucket width in tokens
+LB_BATCH_MAX = 512  # padded batch row length (tokens)
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tok, n_tok // {LB_BUCKET_TOKENS} AS bucket
+        FROM lens
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT)
+               AS pad_waste_bucketed,
+           CAST({LB_BATCH_MAX} * count(*) - sum(n_tok) AS BIGINT)
+               AS pad_waste_naive
+    FROM b GROUP BY bucket
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing for batch packing: documents grouped into
+    32-token buckets with, per bucket, the padding waste under
+    bucketed batching (pad to the bucket max) vs naive batching
+    (pad every row to the global 512) — the before/after numbers
+    that justify length-grouped sampling in every training-IO stack
+    (complementing pipeline_seq_pack, which packs instead of pads).
+
+    Scale shape: token counts are row-local (size of split), the
+    bucket rollup is ONE hash aggregate with integer min/max/sum —
+    output bounded by the length domain / 32."""
+    d = table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    b = lens.withColumn(
+        "bucket", F.expr(f"n_tok DIV {LB_BUCKET_TOKENS}")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+        .cast("long")
+        .alias("pad_waste_bucketed"),
+        (F.lit(LB_BATCH_MAX) * F.count(F.lit(1)) - F.sum("n_tok"))
+        .cast("long")
+        .alias("pad_waste_naive"),
+    )

@@ -1762,3 +1762,113 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(t_hi).alias("t_upper"),
         ((t_lo > z) & (t_hi < -z)).alias("equivalent"),
     )
+
+
+# ------------------------------------------------- Levene's test
+
+LEV_Q = 100  # fixed-point quantum for |x - group mean| (1e-2 cents)
+LEV_F_CRIT = "2.372"  # F(4, inf) upper 5% (5 fixture groups)
+
+
+@register(
+    "stat_levene",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS xc
+        FROM events
+    ), gm AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xc) AS BIGINT) AS sx
+        FROM x GROUP BY event_type
+    ), dev AS (
+        SELECT x.event_type,
+               CAST(floor(abs(CAST(x.xc AS DOUBLE)
+                    - CAST(g.sx AS DOUBLE) / g.n) * {LEV_Q} + 0.5)
+                    AS BIGINT) AS z
+        FROM x JOIN gm g ON g.event_type = x.event_type
+    ), s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(z*z) AS BIGINT) AS szz
+        FROM dev GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(sz) AS BIGINT) AS sz_all,
+               CAST(sum(szz) AS BIGINT) AS szz_all,
+               CAST(sum(CAST(floor(CAST(sz AS DOUBLE) * sz / n + 0.5)
+                    AS BIGINT)) AS BIGINT) AS gsq
+        FROM s
+    )
+    SELECT k, n_all,
+           floor(((CAST(gsq AS DOUBLE) - CAST(sz_all AS DOUBLE)*CAST(sz_all AS DOUBLE)/n_all) / (k - 1) / ((CAST(szz_all AS DOUBLE) - CAST(gsq AS DOUBLE)) / (n_all - k))) * 10000 + 0.5) / 10000.0 AS w_stat,
+           ((CAST(gsq AS DOUBLE) - CAST(sz_all AS DOUBLE)*CAST(sz_all AS DOUBLE)/n_all) / (k - 1) / ((CAST(szz_all AS DOUBLE) - CAST(gsq AS DOUBLE)) / (n_all - k))) > 2.372 AS heteroscedastic
+    FROM tot
+    """,
+)
+def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for variance homogeneity across event-type
+    groups — the gate you check BEFORE trusting pooled-variance
+    tests like stat_anova_oneway: run the ANOVA F machinery on the
+    absolute deviations z = |x − group mean| instead of x itself
+    (Levene 1960, public).
+
+    Hash-parity discipline: the deviations are per-row doubles
+    (they subtract a mean), so each is fixed-point quantized at
+    birth — quantum 1e-2 cents, chosen so every downstream moment
+    (z² ≤ 2e13 per row, Σ over the fixture ≤ 1e18) stays inside
+    exact BIGINT on both engines; the one remaining double
+    (Σsz²/n per group) is the SAME IEEE expression in both engines,
+    so its floor agrees bitwise. W is one closed-form double."""
+    e = table(spark, sf_dir, "events")
+    x = e.select("event_type", cents(F.col("value")).alias("xc"))
+    gm = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+    )
+    dev = x.join(F.broadcast(gm), "event_type").select(
+        "event_type",
+        F.floor(
+            F.abs(
+                F.col("xc").cast("double")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+            * LEV_Q
+            + 0.5
+        )
+        .cast("long")
+        .alias("z"),
+    )
+    s = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("sz").cast("long").alias("sz_all"),
+        F.sum("szz").cast("long").alias("szz_all"),
+        F.sum(
+            F.floor(
+                F.col("sz").cast("double") * F.col("sz") / F.col("n") + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("gsq"),
+    )
+    gsq = F.col("gsq").cast("double")
+    ssb = gsq - F.col("sz_all").cast("double") * F.col("sz_all").cast(
+        "double"
+    ) / F.col("n_all")
+    ssw = F.col("szz_all").cast("double") - gsq
+    w_stat = (
+        ssb / (F.col("k") - 1) / (ssw / (F.col("n_all") - F.col("k")))
+    )
+    return tot.select(
+        "k",
+        "n_all",
+        q4(w_stat).alias("w_stat"),
+        (w_stat > float(LEV_F_CRIT)).alias("heteroscedastic"),
+    )

@@ -1140,3 +1140,69 @@ def test_expert_routing_matches_numpy_softmax(spark, sf_dir):
         f = n_top1[eid] / n
         P = imp_q[eid] / 1e9 / n
         assert abs(r["aux_term"] - len(eids) * f * P) <= 1e-3
+
+
+def test_bpe_pair_counts_match_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT text FROM documents").fetchall()
+    cnt: Counter = Counter()
+    for (text,) in docs:
+        for w in text.split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i:i + 2]] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = sorted(
+        REGISTRY["text_bpe_pair_counts"].build(spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert [(r["pair"], r["n"]) for r in out] == ranked
+
+
+def test_length_buckets_match_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT text FROM documents").fetchall()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for (text,) in docs:
+        n = len(text.split(" "))
+        buckets[n // 32].append(n)
+    out = {r["bucket"]: r for r in
+           REGISTRY["pipeline_length_buckets"].build(spark, sf_dir)
+           .collect()}
+    assert set(out) == set(buckets)
+    for b, lens in buckets.items():
+        r = out[b]
+        assert r["n_docs"] == len(lens)
+        assert r["min_tok"] == min(lens) and r["max_tok"] == max(lens)
+        assert r["sum_tok"] == sum(lens)
+        assert r["pad_waste_bucketed"] == max(lens) * len(lens) - sum(lens)
+        assert r["pad_waste_naive"] == 512 * len(lens) - sum(lens)
+        # bucketing can only reduce padding
+        assert r["pad_waste_bucketed"] <= r["pad_waste_naive"]
+
+
+def test_levene_matches_scipy_free_python(spark, sf_dir):
+    con = _con(sf_dir)
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for et, c in vals:
+        groups.setdefault(et, []).append(c)
+    zs = []
+    for v in groups.values():
+        arr = np.array(v, dtype=np.float64)
+        z = np.floor(np.abs(arr - arr.mean()) * 100 + 0.5)
+        zs.append(z)
+    k = len(zs)
+    n_all = sum(len(z) for z in zs)
+    grand = sum(z.sum() for z in zs) / n_all
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w = (ssb / (k - 1)) / (ssw / (n_all - k))
+    r = REGISTRY["stat_levene"].build(spark, sf_dir).collect()[0]
+    assert r["k"] == k and r["n_all"] == n_all
+    assert abs(r["w_stat"] - w) <= max(1e-3, 1e-3 * abs(w))
+    assert r["heteroscedastic"] == (w > 2.372)
