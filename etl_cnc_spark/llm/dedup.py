@@ -1361,3 +1361,64 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occur") >= 2)
     )
+
+
+# ------------------------------------------- threshold sensitivity
+
+SWEEP_TAUS = (625, 1250, 1875, 2500, 3750)  # est_jaccard in 1e-4 units
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH mh AS ({_MINHASH_ORACLE}),
+    taus AS (
+        SELECT unnest([{", ".join(str(t) for t in SWEEP_TAUS)}]) AS tau_bp
+    ), hits AS (
+        SELECT t.tau_bp,
+               CAST(count(m.doc_a) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT m.doc_a) AS BIGINT) AS n_docs_a,
+               CAST(count(DISTINCT m.doc_b) AS BIGINT) AS n_docs_b
+        FROM taus t
+        LEFT JOIN mh m ON m.est_jaccard * 10000 >= t.tau_bp
+        GROUP BY t.tau_bp
+    )
+    SELECT CAST(tau_bp AS BIGINT) AS tau_bp,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           n_docs_a, n_docs_b
+    FROM hits
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for the MinHash dedup: candidate
+    pair counts and affected-document counts at five est_jaccard
+    cutoffs from ONE pass over the candidate table — the tuning
+    curve you read before committing to a dedup threshold (too low
+    deletes distinct content, too high leaves near-dups in; the
+    elbow in n_pairs(τ) is the operating point).
+
+    Scale shape: the expensive part (banded LSH candidates) runs
+    once — this key composes dedup_minhash_relational's build and
+    re-aggregates it per threshold via a broadcast 5-row tau table
+    (a range join against metadata, NOT five scans). At 100 TB the
+    sweep costs the same one candidate pass the chosen-threshold
+    run costs."""
+    mh = REGISTRY["dedup_minhash_relational"].build(spark, sf_dir)
+    taus = spark.range(0).sparkSession.createDataFrame(
+        [(t,) for t in SWEEP_TAUS], "tau_bp long"
+    )
+    hits = (
+        F.broadcast(taus)
+        .join(
+            mh,
+            mh["est_jaccard"] * 10000 >= taus["tau_bp"],
+            "left",
+        )
+        .groupBy("tau_bp")
+        .agg(
+            F.count(F.col("doc_a")).cast("long").alias("n_pairs"),
+            F.count_distinct("doc_a").cast("long").alias("n_docs_a"),
+            F.count_distinct("doc_b").cast("long").alias("n_docs_b"),
+        )
+    )
+    return hits.select("tau_bp", "n_pairs", "n_docs_a", "n_docs_b")

@@ -2159,3 +2159,140 @@ def embed_expert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(F.col("n_experts") * load * imp).alias("aux_term"),
         )
     )
+
+
+# ------------------------------------------------- hubness diagnostics
+
+HUB_K = 5  # neighborhood size for the k-occurrence distribution
+
+
+@register(
+    "embed_hubness_stats",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum')
+               / sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                    * list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS rn
+        FROM scored
+    ), indeg AS (
+        SELECT e.vec_id,
+               CAST(coalesce(k.nk, 0) AS BIGINT) AS n_k
+        FROM embeddings e
+        LEFT JOIN (
+            SELECT cid, count(*) AS nk FROM ranked
+            WHERE rn <= {HUB_K} GROUP BY cid
+        ) k ON k.cid = e.vec_id
+    ), recip AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_recip
+        FROM (SELECT qid, cid FROM ranked WHERE rn <= {HUB_K}) f
+        JOIN (SELECT qid, cid FROM ranked WHERE rn <= {HUB_K}) b
+          ON f.qid = b.cid AND f.cid = b.qid
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_k) AS BIGINT) AS s1,
+               CAST(sum(n_k*n_k) AS BIGINT) AS s2,
+               CAST(sum(n_k*n_k*n_k) AS BIGINT) AS s3,
+               CAST(max(n_k) AS BIGINT) AS max_k,
+               CAST(count_if(n_k = 0) AS BIGINT) AS n_antihubs
+        FROM indeg
+    )
+    SELECT m.n, m.max_k, m.n_antihubs, r.n_recip,
+           floor(((CAST(m.s3 AS DOUBLE)/m.n - 3*(CAST(m.s1 AS DOUBLE)/m.n)*(CAST(m.s2 AS DOUBLE)/m.n) + 2*pow(CAST(m.s1 AS DOUBLE)/m.n, 3)) / pow(CAST(m.s2 AS DOUBLE)/m.n - pow(CAST(m.s1 AS DOUBLE)/m.n, 2), 1.5)) * 10000 + 0.5) / 10000.0 AS k_skewness,
+           CAST(r.n_recip * 10000 // (m.n * {HUB_K}) AS BIGINT)
+               AS reciprocity_bps
+    FROM m CROSS JOIN recip r
+    """,
+)
+def embed_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostics of the exact k-NN graph (Radovanovic et
+    al. 2010, public): the skewness of the k-occurrence distribution
+    (how often each vector appears in others' top-5), the hub
+    maximum, anti-hub count (never retrieved), and edge reciprocity
+    — THE embedding-space health check: high skewness means a few
+    hub vectors dominate every neighbor list (curse of
+    dimensionality) and retrieval quality silently degrades.
+
+    Scale shape: the all-pairs scoring reuses sim_topk_exact's
+    fold (at 100 TB swap the exact graph for the IVF candidates —
+    the diagnostics are identical relational rollups over the edge
+    list); in-degree, moment sums for skewness (Σk, Σk², Σk³ exact
+    integers), and the reciprocity self-join on (q, c) pairs are
+    all bounded by N·k edges."""
+    from .dedup import _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "embedding", _norm2(F.col("embedding")).alias("n2")
+    )
+    a = v.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = a.join(v, F.col("qid") != F.col("vec_id"))
+    cos = _dot64(F.col("qe"), F.col("embedding")) / F.sqrt(
+        F.col("qn2") * F.col("n2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    edges = (
+        pairs.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HUB_K)
+        .select("qid", "cid")
+    )
+    indeg = (
+        e.select("vec_id")
+        .join(
+            edges.groupBy("cid").agg(F.count(F.lit(1)).alias("nk")),
+            e["vec_id"] == F.col("cid"),
+            "left",
+        )
+        .select(
+            "vec_id", F.coalesce("nk", F.lit(0)).cast("long").alias("n_k")
+        )
+    )
+    fwd = edges.select(F.col("qid").alias("fq"), F.col("cid").alias("fc"))
+    bwd = edges.select(F.col("qid").alias("bq"), F.col("cid").alias("bc"))
+    recip = fwd.join(
+        bwd, (F.col("fq") == F.col("bc")) & (F.col("fc") == F.col("bq"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    m = indeg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_k").cast("long").alias("s1"),
+        F.sum(F.col("n_k") * F.col("n_k")).cast("long").alias("s2"),
+        F.sum(F.col("n_k") * F.col("n_k") * F.col("n_k"))
+        .cast("long")
+        .alias("s3"),
+        F.max("n_k").cast("long").alias("max_k"),
+        F.count_if(F.col("n_k") == 0).cast("long").alias("n_antihubs"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mu * mu
+    # central third moment from raw moments: m3 = s3/n - 3 mu s2/n + 2 mu^3
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - 3 * mu * F.col("s2").cast("double") / nd
+        + 2 * mu * mu * mu
+    )
+    return m.crossJoin(F.broadcast(recip)).select(
+        "n",
+        "max_k",
+        "n_antihubs",
+        "n_recip",
+        q4(m3 / F.pow(var, 1.5)).alias("k_skewness"),
+        F.expr(f"n_recip * 10000L DIV (n * {HUB_K})").alias(
+            "reciprocity_bps"
+        ),
+    )

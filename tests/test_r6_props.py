@@ -1206,3 +1206,55 @@ def test_levene_matches_scipy_free_python(spark, sf_dir):
     assert r["k"] == k and r["n_all"] == n_all
     assert abs(r["w_stat"] - w) <= max(1e-3, 1e-3 * abs(w))
     assert r["heteroscedastic"] == (w > 2.372)
+
+
+def test_hubness_stats_match_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    vecs = {v: np.array(e, dtype=np.float64) for v, e in emb}
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    topk: dict[int, list[int]] = {}
+    for qi, qid in enumerate(ids):
+        order = sorted(
+            (i for i in range(len(ids)) if i != qi),
+            key=lambda i: (-S[qi, i], ids[i]),
+        )[:5]
+        topk[qid] = [ids[i] for i in order]
+    indeg = Counter()
+    for qid, ns in topk.items():
+        indeg.update(ns)
+    ks = np.array([indeg.get(v, 0) for v in ids], dtype=np.float64)
+    skew = (((ks - ks.mean()) ** 3).mean()) / (ks.var() ** 1.5)
+    n_recip = sum(
+        1 for q, ns in topk.items() for c in ns if q in topk[c]
+    )
+    r = REGISTRY["embed_hubness_stats"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == len(ids)
+    assert r["max_k"] == int(ks.max())
+    assert r["n_antihubs"] == int((ks == 0).sum())
+    assert r["n_recip"] == n_recip
+    assert abs(r["k_skewness"] - skew) <= 1e-3
+    assert r["reciprocity_bps"] == n_recip * 10000 // (len(ids) * 5)
+
+
+def test_threshold_sweep_is_monotone_and_consistent(spark, sf_dir):
+    pairs = REGISTRY["dedup_minhash_relational"].build(
+        spark, sf_dir
+    ).collect()
+    out = {r["tau_bp"]: r for r in
+           REGISTRY["dedup_threshold_sweep"].build(spark, sf_dir)
+           .collect()}
+    assert set(out) == {625, 1250, 1875, 2500, 3750}
+    prev = None
+    for tau in sorted(out):
+        r = out[tau]
+        exp = [p for p in pairs if p["est_jaccard"] * 10000 >= tau]
+        assert r["n_pairs"] == len(exp)
+        assert r["n_docs_a"] == len({p["doc_a"] for p in exp})
+        assert r["n_docs_b"] == len({p["doc_b"] for p in exp})
+        if prev is not None:
+            assert r["n_pairs"] <= prev  # monotone non-increasing in tau
+        prev = r["n_pairs"]
