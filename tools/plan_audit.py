@@ -236,6 +236,14 @@ EXTRA_KEYS = [
     "dedup_cdc_chunks",
     "events_sax_symbolic",
     "multimodal_energy_segments",
+    "ml_cohen_kappa",
+    "orders_supplier_scorecard",
+    "embed_expert_routing",
+    "text_bpe_pair_counts",
+    "pipeline_length_buckets",
+    "stat_levene",
+    "embed_hubness_stats",
+    "dedup_threshold_sweep",
 ]
 
 
