@@ -5049,3 +5049,122 @@ def orders_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (sum(returned) * 10000L DIV count(1))"
         ).alias("score_bps"),
     )
+
+
+# ------------------------------------------- Weibull survival fit
+
+WBL_Q = 1_000_000  # fixed-point quantum for per-point log-log terms
+WBL_TMAX = 14
+
+
+@register(
+    "events_weibull_fit",
+    oracle=f"""
+    WITH span AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(min(ts) AS DATE),
+                              CAST(max(ts) AS DATE)) AS BIGINT) AS life_days
+        FROM events GROUP BY user_id
+    ), horizon(t) AS (
+        SELECT unnest(range(1, {WBL_TMAX + 1}))
+    ), curve AS (
+        SELECT CAST(h.t AS BIGINT) AS t,
+               CAST(count_if(s.life_days >= h.t) AS BIGINT) AS surviving,
+               CAST(count(*) AS BIGINT) AS cohort
+        FROM horizon h CROSS JOIN span s
+        GROUP BY h.t
+    ), pts AS (
+        SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * {WBL_Q} + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(-ln(CAST(surviving AS DOUBLE) / cohort))
+                    * {WBL_Q} + 0.5) AS BIGINT) AS y
+        FROM curve
+        WHERE surviving > 0 AND surviving < cohort
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(x*x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n,
+           floor(((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / nullif(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx, 0.0)) * 10000 + 0.5) / 10000.0 AS shape_k,
+           floor(exp(-(((CAST(sy AS DOUBLE) / 1000000 - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / nullif(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx, 0.0)) * CAST(sx AS DOUBLE) / 1000000) / nullif(CAST(n AS DOUBLE), 0.0))) / ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / nullif(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx, 0.0))) * 10000 + 0.5) / 10000.0 AS scale_days
+    FROM m
+    """,
+)
+def events_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull survival-model fit from the cohort curve: regress
+    ln(−ln S(t)) on ln t — the straight line a Weibull lifetime
+    produces — giving the shape k (slope; k<1 = infant-mortality
+    churn, k>1 = wear-out) and scale λ = exp(−intercept/k), the two
+    numbers reliability and churn models quote (Weibull plotting,
+    public).
+
+    Composition discipline: the curve is events_survival's rollup;
+    the log-log points are fixed-point quantized before the OLS
+    moment sums (exact integers), degenerate points (S=1 or S=0,
+    log undefined) drop explicitly, and the closed-form slope/
+    intercept are the only doubles."""
+    e = table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+        .cast("long")
+        .alias("life_days")
+    )
+    horizon = spark.range(1, WBL_TMAX + 1).select(F.col("id").alias("t"))
+    curve = (
+        F.broadcast(horizon)
+        .crossJoin(span)
+        .groupBy(F.col("t").cast("long").alias("t"))
+        .agg(
+            F.sum(F.when(F.col("life_days") >= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("surviving"),
+            F.count(F.lit(1)).cast("long").alias("cohort"),
+        )
+    )
+    pts = curve.where(
+        (F.col("surviving") > 0) & (F.col("surviving") < F.col("cohort"))
+    ).select(
+        F.floor(F.log(F.col("t").cast("double")) * WBL_Q + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.log(
+                -F.log(
+                    F.col("surviving").cast("double") / F.col("cohort")
+                )
+            )
+            * WBL_Q
+            + 0.5
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    varx = F.nullif(
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
+    )
+    slope = (
+        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / varx
+    intercept = (
+        F.col("sy").cast("double") / WBL_Q
+        - slope * F.col("sx").cast("double") / WBL_Q
+    ) / F.nullif(F.col("n").cast("double"), F.lit(0.0))
+    return m.select(
+        "n",
+        q4(slope).alias("shape_k"),
+        q4(F.exp(-intercept / F.nullif(slope, F.lit(0.0)))).alias(
+            "scale_days"
+        ),
+    )

@@ -1872,3 +1872,102 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(w_stat).alias("w_stat"),
         (w_stat > float(LEV_F_CRIT)).alias("heteroscedastic"),
     )
+
+
+# ------------------------------------------- Granger causality
+
+GRANGER_X = "click"
+GRANGER_Y = "purchase"
+GRANGER_F_CRIT = "4.225"
+# shared-text closed-form F statistic (identical IEEE order in both
+# engines — the stat_linreg_multi discipline)
+_GC_FSTAT = "(((syy - sy*sy/n - (s1y - s1*sy/n)*(s1y - s1*sy/n) / nullif(s11 - s1*s1/n, 0.0)) - (syy - ((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)))*sy - ((n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)))*s1y - ((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)))*s2y)) / ((syy - ((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)))*sy - ((n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)))*s1y - ((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)))*s2y) / (n - 3)))"
+
+_GC_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count_if(event_type = '__GX__') AS BIGINT) AS x,
+               CAST(count_if(event_type = '__GY__') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT a.y AS yt, b.y AS ylag, b.x AS xlag
+        FROM daily a JOIN daily b ON b.d = a.d - 1
+    ), m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(ylag) AS DOUBLE) AS s1,
+               CAST(sum(xlag) AS DOUBLE) AS s2,
+               CAST(sum(ylag*ylag) AS DOUBLE) AS s11,
+               CAST(sum(xlag*xlag) AS DOUBLE) AS s22,
+               CAST(sum(ylag*xlag) AS DOUBLE) AS s12,
+               CAST(sum(yt) AS DOUBLE) AS sy,
+               CAST(sum(ylag*yt) AS DOUBLE) AS s1y,
+               CAST(sum(xlag*yt) AS DOUBLE) AS s2y,
+               CAST(sum(yt*yt) AS DOUBLE) AS syy
+        FROM lagged
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor((__FS__) * 1e4 + 0.5) / 1e4 AS f_stat,
+           (__FS__) > __CRIT__ AS x_granger_causes_y
+    FROM m
+""".replace("__GX__", GRANGER_X).replace("__GY__", GRANGER_Y).replace(
+    "__FS__", _GC_FSTAT
+).replace("__CRIT__", GRANGER_F_CRIT)
+
+
+@register("stat_granger_causality", oracle=_GC_ORACLE)
+def stat_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag-1): does yesterday's click volume
+    improve today's purchase-volume prediction beyond yesterday's
+    purchases alone? F-test of the nested OLS models
+    y_t ~ y_t-1 vs y_t ~ y_t-1 + x_t-1, both solved in closed form
+    from ten integer moment sums over the lag-joined daily grid
+    (Granger 1969, public) — the first-pass screen behind every
+    'does metric A lead metric B' dashboard question.
+
+    Engine parity by construction: the F statistic is ONE shared
+    expression string evaluated by both engines over identical
+    integer sums (Cramer's rule for the full model, centered forms
+    for the restricted one); daily counts are exact, the lag join is
+    a 1-row-offset self-join on the bounded day grid."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.count_if(F.col("event_type") == GRANGER_X)
+        .cast("long")
+        .alias("x"),
+        F.count_if(F.col("event_type") == GRANGER_Y)
+        .cast("long")
+        .alias("y"),
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("yt"))
+    b = daily.select(
+        F.col("d").alias("db"),
+        F.col("y").alias("ylag"),
+        F.col("x").alias("xlag"),
+    )
+    lagged = a.join(b, F.col("db") == F.col("da") - 1)
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ylag").cast("double").alias("s1"),
+        F.sum("xlag").cast("double").alias("s2"),
+        F.sum(F.col("ylag") * F.col("ylag")).cast("double").alias("s11"),
+        F.sum(F.col("xlag") * F.col("xlag")).cast("double").alias("s22"),
+        F.sum(F.col("ylag") * F.col("xlag")).cast("double").alias("s12"),
+        F.sum("yt").cast("double").alias("sy"),
+        F.sum(F.col("ylag") * F.col("yt")).cast("double").alias("s1y"),
+        F.sum(F.col("xlag") * F.col("yt")).cast("double").alias("s2y"),
+        F.sum(F.col("yt") * F.col("yt")).cast("double").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "floor((" + _GC_FSTAT + ") * 1e4 + 0.5) / 1e4"
+        ).alias("f_stat"),
+        F.expr("(" + _GC_FSTAT + ") > " + GRANGER_F_CRIT).alias(
+            "x_granger_causes_y"
+        ),
+    )

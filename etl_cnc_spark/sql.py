@@ -127,3 +127,25 @@ def sql_entry_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     by hand with doubling, now through the SQL front door.
     Depth-grouped output keeps rows bounded at any table size."""
     return run(spark, sf_dir, _SHARED_RECURSIVE)
+
+
+_SHARED_GROUP_BY_ALL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS min_cents
+FROM orders
+GROUP BY ALL
+"""
+
+
+@register("sql_entry_group_by_all", oracle=_SHARED_GROUP_BY_ALL)
+def sql_entry_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern GROUP BY ALL sugar (every non-aggregate select item
+    becomes a grouping key) as shared SQL text — Spark 4 and DuckDB
+    both implement the inference, and the shared-string discipline
+    verifies the two analyzers infer the SAME key set: if either
+    engine grouped differently the hash would break."""
+    return run(spark, sf_dir, _SHARED_GROUP_BY_ALL)

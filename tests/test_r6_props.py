@@ -1258,3 +1258,87 @@ def test_threshold_sweep_is_monotone_and_consistent(spark, sf_dir):
         if prev is not None:
             assert r["n_pairs"] <= prev  # monotone non-increasing in tau
         prev = r["n_pairs"]
+
+
+def test_weibull_fit_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    spans = con.execute("""
+        SELECT date_diff('day', CAST(min(ts) AS DATE),
+               CAST(max(ts) AS DATE)) FROM events GROUP BY user_id
+    """).fetchall()
+    lives = [s for (s,) in spans]
+    n_cohort = len(lives)
+    xs, ys = [], []
+    for t in range(1, 15):
+        surv = sum(1 for l in lives if l >= t)
+        if 0 < surv < n_cohort:
+            xs.append(math.floor(math.log(t) * 1e6 + 0.5))
+            ys.append(
+                math.floor(math.log(-math.log(surv / n_cohort)) * 1e6 + 0.5)
+            )
+    r = REGISTRY["events_weibull_fit"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == len(xs)
+    if len(xs) < 2:
+        assert r["shape_k"] is None
+        return
+    x, y = np.array(xs, float), np.array(ys, float)
+    n = len(x)
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    intercept = (y.sum() / 1e6 - slope * x.sum() / 1e6) / n
+    assert abs(r["shape_k"] - slope) <= 1e-3
+    assert abs(r["scale_days"] - math.exp(-intercept / slope)) <= max(
+        1e-3, 1e-3 * abs(math.exp(-intercept / slope))
+    )
+
+
+def test_granger_matches_numpy_nested_ols(spark, sf_dir):
+    con = _con(sf_dir)
+    daily = con.execute("""
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT),
+               count_if(event_type = 'click'),
+               count_if(event_type = 'purchase')
+        FROM events GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    by_day = {d: (x, y) for d, x, y in daily}
+    rows = []
+    for d in sorted(by_day):
+        if d - 1 in by_day:
+            rows.append(
+                (by_day[d][1], by_day[d - 1][1], by_day[d - 1][0])
+            )
+    yt = np.array([r[0] for r in rows], float)
+    ylag = np.array([r[1] for r in rows], float)
+    xlag = np.array([r[2] for r in rows], float)
+    n = len(rows)
+    Xr = np.column_stack([np.ones(n), ylag])
+    Xf = np.column_stack([np.ones(n), ylag, xlag])
+    br, *_ = np.linalg.lstsq(Xr, yt, rcond=None)
+    bf, *_ = np.linalg.lstsq(Xf, yt, rcond=None)
+    rss_r = float(((yt - Xr @ br) ** 2).sum())
+    rss_f = float(((yt - Xf @ bf) ** 2).sum())
+    fstat = (rss_r - rss_f) / (rss_f / (n - 3))
+    r = REGISTRY["stat_granger_causality"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert abs(r["f_stat"] - fstat) <= max(1e-3, 1e-3 * abs(fstat))
+    assert r["x_granger_causes_y"] == (fstat > 4.225)
+
+
+def test_group_by_all_matches_explicit_grouping(spark, sf_dir):
+    from etl_cnc_spark.sql import run
+
+    implicit = REGISTRY["sql_entry_group_by_all"].build(spark, sf_dir)
+    explicit = run(spark, sf_dir, """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS min_cents
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """)
+    li = {tuple(r) for r in implicit.collect()}
+    le = {tuple(r) for r in explicit.collect()}
+    assert li == le and len(li) > 0
