@@ -813,3 +813,173 @@ def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(po).alias("po"),
         q4((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+# ------------------------------------------- GBM histogram build
+
+GBM_Q = 1_000_000_000  # fixed-point quantum for per-row gradients
+GBM_LAMBDA = "1.0"  # L2 regularization in the split-gain formula
+GBM_BAND_W = 25.0  # value-band width for the continuous feature
+
+
+@register(
+    "ml_gbm_histogram",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST(hour(ts) AS BIGINT) AS f_hour,
+               CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS f_wday,
+               least(CAST(floor(value / {GBM_BAND_W}) AS BIGINT), 19)
+                   AS f_band
+        FROM events
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(y) AS BIGINT) AS pos_all
+        FROM base
+    ), melted AS (
+        SELECT 'hour' AS feature, f_hour AS bin, y FROM base
+        UNION ALL SELECT 'weekday', f_wday, y FROM base
+        UNION ALL SELECT 'value_band', f_band, y FROM base
+    ), hist AS (
+        SELECT m.feature, m.bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor((m.y - CAST(t.pos_all AS DOUBLE)
+                    / t.n_all) * {GBM_Q} + 0.5) AS BIGINT)) AS BIGINT)
+                   AS g_q
+        FROM melted m CROSS JOIN tot t
+        GROUP BY m.feature, m.bin
+    ), cum AS (
+        SELECT feature, bin, n, g_q,
+               CAST(sum(n) OVER w AS BIGINT) AS nl,
+               CAST(sum(g_q) OVER w AS BIGINT) AS gl_q,
+               CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+               CAST(sum(g_q) OVER (PARTITION BY feature) AS BIGINT) AS gt_q
+        FROM hist
+        WINDOW w AS (PARTITION BY feature ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), gains AS (
+        SELECT c.feature, c.bin, c.n, c.g_q,
+               CASE WHEN c.nl < c.nt THEN
+                 (CAST(c.gl_q AS DOUBLE)/{GBM_Q})
+                   * (CAST(c.gl_q AS DOUBLE)/{GBM_Q})
+                   / (c.nl * (CAST(t.pos_all AS DOUBLE)/t.n_all)
+                      * (1 - CAST(t.pos_all AS DOUBLE)/t.n_all)
+                      + {GBM_LAMBDA})
+                 + (CAST(c.gt_q - c.gl_q AS DOUBLE)/{GBM_Q})
+                   * (CAST(c.gt_q - c.gl_q AS DOUBLE)/{GBM_Q})
+                   / ((c.nt - c.nl) * (CAST(t.pos_all AS DOUBLE)/t.n_all)
+                      * (1 - CAST(t.pos_all AS DOUBLE)/t.n_all)
+                      + {GBM_LAMBDA})
+                 - (CAST(c.gt_q AS DOUBLE)/{GBM_Q})
+                   * (CAST(c.gt_q AS DOUBLE)/{GBM_Q})
+                   / (c.nt * (CAST(t.pos_all AS DOUBLE)/t.n_all)
+                      * (1 - CAST(t.pos_all AS DOUBLE)/t.n_all)
+                      + {GBM_LAMBDA})
+               END AS gain
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT feature, bin, n, g_q,
+           floor(coalesce(gain, 0.0) * 1e4 + 0.5) / 1e4 AS gain,
+           gain IS NOT NULL AND gain = max(gain)
+               OVER (PARTITION BY feature) AS is_best_split
+    FROM gains
+    """,
+)
+def ml_gbm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gradient-boosting histogram-build + split-find iteration
+    (the XGBoost/LightGBM hot loop, public): logistic pseudo-
+    residuals against the constant init p₀, histogrammed per
+    (feature, bin) for three features (hour, weekday, value band),
+    then the exact split gain G_L²/(H_L+λ) + G_R²/(H_R+λ) −
+    G²/(H+λ) at every bin boundary via cumulative window sums, with
+    the argmax flagged per feature. Distributed XGBoost IS this
+    query per tree node: the histogram shuffle is the only
+    data-sized stage.
+
+    Hash-parity discipline: per-row gradients are fixed-point
+    quantized (1e-9) before the histogram sum, so G accumulators
+    are exact integers; H is count × p₀(1−p₀) (exact ratio); gains
+    are final per-bin doubles over bounded bins. The melt is 3× the
+    rows but map-side combines to Σ|bins| ≈ 51 groups."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.hour("ts").cast("long").alias("f_hour"),
+        F.expr("CAST(weekday(CAST(ts AS DATE)) AS BIGINT)").alias("f_wday"),
+        F.least(
+            F.floor(F.col("value") / GBM_BAND_W).cast("long"), F.lit(19)
+        ).alias("f_band"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("y").cast("long").alias("pos_all"),
+    )
+    melted = (
+        base.select(F.lit("hour").alias("feature"),
+                    F.col("f_hour").alias("bin"), "y")
+        .unionByName(
+            base.select(F.lit("weekday").alias("feature"),
+                        F.col("f_wday").alias("bin"), "y")
+        )
+        .unionByName(
+            base.select(F.lit("value_band").alias("feature"),
+                        F.col("f_band").alias("bin"), "y")
+        )
+    )
+    p0 = F.col("pos_all").cast("double") / F.col("n_all")
+    hist = (
+        melted.crossJoin(F.broadcast(tot))
+        .groupBy("feature", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor((F.col("y") - p0) * GBM_Q + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("g_q"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "bin",
+        "n",
+        "g_q",
+        F.sum("n").over(wcum).cast("long").alias("nl"),
+        F.sum("g_q").over(wcum).cast("long").alias("gl_q"),
+        F.sum("n").over(wall).cast("long").alias("nt"),
+        F.sum("g_q").over(wall).cast("long").alias("gt_q"),
+    ).crossJoin(F.broadcast(tot))
+    lam = float(GBM_LAMBDA)
+    h_unit = p0 * (1 - p0)
+    gl = F.col("gl_q").cast("double") / GBM_Q
+    gr = (F.col("gt_q") - F.col("gl_q")).cast("double") / GBM_Q
+    gt = F.col("gt_q").cast("double") / GBM_Q
+    gain = F.when(
+        F.col("nl") < F.col("nt"),
+        gl * gl / (F.col("nl") * h_unit + lam)
+        + gr * gr / ((F.col("nt") - F.col("nl")) * h_unit + lam)
+        - gt * gt / (F.col("nt") * h_unit + lam),
+    )
+    gains = cum.select(
+        "feature", "bin", "n", "g_q", gain.alias("gain_raw")
+    )
+    return gains.select(
+        "feature",
+        "bin",
+        "n",
+        "g_q",
+        (
+            F.floor(F.coalesce(F.col("gain_raw"), F.lit(0.0)) * 1e4 + 0.5)
+            / 1e4
+        ).alias("gain"),
+        (
+            F.col("gain_raw").isNotNull()
+            & (F.col("gain_raw") == F.max("gain_raw").over(wall))
+        ).alias("is_best_split"),
+    )

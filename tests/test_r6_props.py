@@ -1342,3 +1342,57 @@ def test_group_by_all_matches_explicit_grouping(spark, sf_dir):
     li = {tuple(r) for r in implicit.collect()}
     le = {tuple(r) for r in explicit.collect()}
     assert li == le and len(li) > 0
+
+
+def test_gbm_histogram_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute("""
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+               hour(ts), isodow(CAST(ts AS DATE)) - 1,
+               least(CAST(floor(value / 25.0) AS BIGINT), 19)
+        FROM events
+    """).fetchall()
+    n_all = len(rows)
+    pos = sum(r[0] for r in rows)
+    p0 = pos / n_all
+    from collections import defaultdict
+
+    hists = {"hour": defaultdict(lambda: [0, 0]),
+             "weekday": defaultdict(lambda: [0, 0]),
+             "value_band": defaultdict(lambda: [0, 0])}
+    for y, fh, fw, fb in rows:
+        gq = math.floor((y - p0) * 1e9 + 0.5)
+        for feat, b in (("hour", fh), ("weekday", fw), ("value_band", fb)):
+            hists[feat][b][0] += 1
+            hists[feat][b][1] += gq
+    out: dict[tuple, dict] = {}
+    for r in REGISTRY["ml_gbm_histogram"].build(spark, sf_dir).collect():
+        out[(r["feature"], r["bin"])] = r
+    h_unit = p0 * (1 - p0)
+    for feat, hist in hists.items():
+        bins = sorted(hist)
+        nt = sum(hist[b][0] for b in bins)
+        gt = sum(hist[b][1] for b in bins) / 1e9
+        nl = 0
+        glq = 0
+        best = None
+        gains = {}
+        for b in bins:
+            nl += hist[b][0]
+            glq += hist[b][1]
+            if nl < nt:
+                gl = glq / 1e9
+                gr = gt - gl
+                gain = (gl * gl / (nl * h_unit + 1.0)
+                        + gr * gr / ((nt - nl) * h_unit + 1.0)
+                        - gt * gt / (nt * h_unit + 1.0))
+                gains[b] = gain
+                if best is None or gain > gains[best]:
+                    best = b
+        for b in bins:
+            r = out[(feat, b)]
+            assert r["n"] == hist[b][0]
+            assert abs(r["g_q"] - hist[b][1]) <= hist[b][0]  # 1 ulp/term
+            if b in gains:
+                assert abs(r["gain"] - gains[b]) <= 1e-3
+            assert r["is_best_split"] == (b == best)
