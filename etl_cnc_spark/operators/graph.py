@@ -945,3 +945,107 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q_term").over(wall).cast("double") / MOD_Q
         ).alias("modularity"),
     )
+
+
+# ------------------------------------------------- degree assortativity
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH all_edges AS MATERIALIZED ({_EDGES_SQL}),
+    edges AS (SELECT * FROM all_edges WHERE u <> v),
+    deg AS (
+        SELECT n, CAST(sum(w) AS BIGINT) AS d FROM (
+            SELECT u AS n, w FROM edges
+            UNION ALL SELECT v, w FROM edges
+        ) GROUP BY n
+    ), pairs AS (
+        SELECT e.w, du.d AS dx, dv.d AS dy
+        FROM edges e
+        JOIN deg du ON du.n = e.u
+        JOIN deg dv ON dv.n = e.v
+    ), m AS (
+        SELECT CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(w * dx) AS BIGINT) AS sx,
+               CAST(sum(w * dy) AS BIGINT) AS sy,
+               CAST(sum(w * dx * dx) AS HUGEINT) AS sxx,
+               CAST(sum(w * dy * dy) AS HUGEINT) AS syy,
+               CAST(sum(w * dx * dy) AS HUGEINT) AS sxy
+        FROM pairs
+    ), recip AS (
+        SELECT CAST(sum(least(e.w, r.w)) AS BIGINT) AS w_recip
+        FROM edges e JOIN edges r ON r.u = e.v AND r.v = e.u
+    )
+    SELECT m.sw AS total_weight, r.w_recip,
+           CAST(r.w_recip * 10000 // m.sw AS BIGINT) AS reciprocity_bps,
+           floor(((CAST(m.sw AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+                   - CAST(m.sx AS DOUBLE) * m.sy)
+                  / sqrt((CAST(m.sw AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                          - CAST(m.sx AS DOUBLE) * m.sx)
+                         * (CAST(m.sw AS DOUBLE) * CAST(m.syy AS DOUBLE)
+                            - CAST(m.sy AS DOUBLE) * m.sy)))
+                 * 1e4 + 0.5) / 1e4 AS assortativity
+    FROM m CROSS JOIN recip r
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted degree assortativity of the trade graph (Newman
+    2002, public): the edge-weighted Pearson correlation between
+    endpoint strengths — positive means hubs trade with hubs
+    (rich-club), negative means hub-periphery — plus weighted edge
+    reciprocity (how much flow is mutual), the two numbers that
+    characterize a trade network's topology.
+
+    Scale shape: strengths are one union+rollup over the edge list;
+    the correlation moments are integer sums over edges joined to
+    the (broadcastable) strength table — decimal accumulators where
+    strength² × weight can overflow; reciprocity is an edge-keyed
+    self-join. Everything final-double."""
+    edges = trade_edges(spark, sf_dir).where(F.col("u") != F.col("v"))
+    deg = (
+        edges.select(F.col("u").alias("n"), "w")
+        .unionAll(edges.select(F.col("v").alias("n"), "w"))
+        .groupBy("n")
+        .agg(F.sum("w").cast("long").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dy"))
+    pairs = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    dec = "decimal(38,0)"
+    m = pairs.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("dx")).cast("long").alias("sx"),
+        F.sum(F.col("w") * F.col("dy")).cast("long").alias("sy"),
+        F.sum(
+            F.col("w").cast(dec) * F.col("dx").cast(dec) * F.col("dx").cast(dec)
+        ).alias("sxx"),
+        F.sum(
+            F.col("w").cast(dec) * F.col("dy").cast(dec) * F.col("dy").cast(dec)
+        ).alias("syy"),
+        F.sum(
+            F.col("w").cast(dec) * F.col("dx").cast(dec) * F.col("dy").cast(dec)
+        ).alias("sxy"),
+    )
+    rev = edges.select(
+        F.col("u").alias("ru"), F.col("v").alias("rv"), F.col("w").alias("rw")
+    )
+    recip = edges.join(
+        rev, (F.col("ru") == F.col("v")) & (F.col("rv") == F.col("u"))
+    ).agg(
+        F.sum(F.least(F.col("w"), F.col("rw"))).cast("long").alias("w_recip")
+    )
+    swd = F.col("sw").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = swd * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(
+        (swd * F.col("sxx").cast("double") - sxd * sxd)
+        * (swd * F.col("syy").cast("double") - syd * syd)
+    )
+    return m.crossJoin(F.broadcast(recip)).select(
+        F.col("sw").alias("total_weight"),
+        "w_recip",
+        F.expr("w_recip * 10000L DIV sw").alias("reciprocity_bps"),
+        (F.floor(num / den * 1e4 + 0.5) / 1e4).alias("assortativity"),
+    )

@@ -1396,3 +1396,45 @@ def test_gbm_histogram_matches_numpy(spark, sf_dir):
             if b in gains:
                 assert abs(r["gain"] - gains[b]) <= 1e-3
             assert r["is_best_split"] == (b == best)
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT *"
+        f" FROM '{sf_dir}/supplier.parquet'"
+    )
+    edges = con.execute("""
+        SELECT c.c_nationkey, s.s_nationkey, CAST(count(*) AS BIGINT)
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN '{}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2 HAVING c.c_nationkey <> s.s_nationkey
+    """.format(sf_dir)).fetchall()
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for u, v, w in edges:
+        deg[u] += w
+        deg[v] += w
+    ws = np.array([w for _, _, w in edges], float)
+    dx = np.array([deg[u] for u, _, _ in edges], float)
+    dy = np.array([deg[v] for _, v, _ in edges], float)
+    sw = ws.sum()
+    num = sw * (ws * dx * dy).sum() - (ws * dx).sum() * (ws * dy).sum()
+    den = math.sqrt(
+        (sw * (ws * dx * dx).sum() - (ws * dx).sum() ** 2)
+        * (sw * (ws * dy * dy).sum() - (ws * dy).sum() ** 2)
+    )
+    emap = {(u, v): w for u, v, w in edges}
+    w_recip = sum(
+        min(w, emap[(v, u)]) for (u, v), w in emap.items()
+        if (v, u) in emap
+    )
+    r = REGISTRY["graph_assortativity"].build(spark, sf_dir).collect()[0]
+    assert r["total_weight"] == int(sw)
+    assert r["w_recip"] == w_recip
+    assert r["reciprocity_bps"] == w_recip * 10000 // int(sw)
+    assert abs(r["assortativity"] - num / den) <= 1e-3
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
