@@ -2296,3 +2296,194 @@ def embed_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocity_bps"
         ),
     )
+
+
+# --------------------------------------- Rocchio relevance feedback
+
+ROC_NQ = 20  # query block
+ROC_K = 5
+ROC_BETA = "0.75"  # feedback weight (alpha = 1)
+
+
+@register(
+    "sim_rocchio_feedback",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id < {ROC_NQ}
+    ), c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    ), r1 AS (
+        SELECT qid, cid, rn FROM (
+            SELECT q.qid, c.cid,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                       list_aggregate([CAST(q.qe[i] AS DOUBLE)
+                            * CAST(c.ce[i] AS DOUBLE)
+                            for i in range(1, 65)], 'sum')
+                       / sqrt(list_aggregate(list_transform(c.ce,
+                           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+                           'sum')) DESC, c.cid) AS rn
+            FROM q JOIN c ON q.qid <> c.cid
+        ) WHERE rn <= {ROC_K}
+    ), fb AS (
+        SELECT r.qid, i.i,
+               CAST(floor(avg(CAST(c.ce[i.i] AS DOUBLE)) * 1e9 + 0.5)
+                    AS BIGINT) AS fbv_q
+        FROM r1 r JOIN c ON c.cid = r.cid
+        CROSS JOIN range(1, 65) i(i)
+        GROUP BY r.qid, i.i
+    ), q2 AS (
+        -- alpha=1, beta=0.75 scaled x4: v = 4*q + 3*centroid, all
+        -- integer, so round-2 dot products are order-free sums
+        SELECT f.qid, f.i,
+               4 * CAST(floor(CAST(q.qe[f.i] AS DOUBLE) * 1e9 + 0.5)
+                        AS BIGINT) + 3 * f.fbv_q AS vq
+        FROM fb f JOIN q ON q.qid = f.qid
+    ), r2 AS (
+        SELECT qid, cid, rn FROM (
+            SELECT s.qid, s.cid,
+                   row_number() OVER (PARTITION BY s.qid
+                       ORDER BY s.score DESC, s.cid) AS rn
+            FROM (
+                SELECT q2.qid, c.cid,
+                       CAST(sum(q2.vq * CAST(floor(
+                            CAST(c.ce[q2.i] AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT)) AS DOUBLE)
+                       / sqrt(list_aggregate(list_transform(c.ce,
+                           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+                           'sum')) AS score
+                FROM q2 JOIN c ON q2.qid <> c.cid
+                GROUP BY q2.qid, c.cid, c.ce
+            ) s
+        ) WHERE rn <= {ROC_K}
+    )
+    SELECT a.qid,
+           CAST(count(b.cid) AS BIGINT) AS n_overlap,
+           CAST(max(CASE WHEN a.rn = 1 THEN a.cid END) AS BIGINT)
+               AS top1_before,
+           CAST(max(CASE WHEN a.rn = 1 THEN
+                (SELECT r2i.cid FROM r2 r2i
+                 WHERE r2i.qid = a.qid AND r2i.rn = 1) END) AS BIGINT)
+               AS top1_after
+    FROM r1 a LEFT JOIN r2 b ON b.qid = a.qid AND b.cid = a.cid
+    GROUP BY a.qid
+    """,
+)
+def sim_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (1971, public — the
+    classic query-expansion loop): retrieve top-5 by cosine, move
+    the query toward the centroid of what it retrieved
+    (q' = q + 0.75·mean(top-5)), retrieve again, and report how the
+    neighborhood changed (overlap count, top-1 before/after) — the
+    offline A/B every retrieval stack runs before enabling
+    expansion.
+
+    Scale shape: round-1 is the broadcast-query exact pass; the
+    feedback centroid is a (qid, dim)-keyed mean over k·|Q| rows;
+    round-2 re-scores with the expanded queries joined as exploded
+    (qid, dim, v) — the corpus is still scanned ONCE per round with
+    dot products as grouped sums; both rounds' rankings are bounded
+    windows. The round-2 dot is an order-free
+    integer sum (expanded query and corpus components fixed-point
+    quantized; the 1-0.75 mix carried as integer weights 4:3), so no
+    float-order tie can flip a rank between engines."""
+    from .dedup import _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < ROC_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cn = c.withColumn("cnorm", F.sqrt(_norm2(F.col("ce"))))
+    pairs1 = F.broadcast(q).join(cn, F.col("qid") != F.col("cid"))
+    score1 = (
+        F.zip_with(
+            F.col("qe"), F.col("ce"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+    )
+    s1 = F.aggregate(score1, F.lit(0.0), lambda a, x: a + x) / F.col("cnorm")
+    w1 = Window.partitionBy("qid").orderBy(F.col("s").desc(), "cid")
+    r1 = (
+        pairs1.select("qid", "cid", s1.alias("s"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= ROC_K)
+        .select("qid", "cid", "rn")
+    )
+    # feedback centroid per (qid, dim)
+    fb = (
+        r1.join(c, "cid")
+        .select(
+            "qid",
+            F.posexplode("ce").alias("pos", "x"),
+        )
+        .groupBy("qid", (F.col("pos") + 1).alias("i"))
+        .agg(
+            F.floor(F.avg(F.col("x").cast("double")) * 1e9 + 0.5)
+            .cast("long")
+            .alias("fbv_q")
+        )
+    )
+    qd = q.select(
+        "qid", F.posexplode("qe").alias("pos", "qx")
+    ).select("qid", (F.col("pos") + 1).alias("i"), F.col("qx"))
+    # alpha=1, beta=0.75 scaled x4: v = 4*q + 3*centroid — integer, so
+    # the round-2 dot is an order-free BIGINT sum in both engines
+    q2 = fb.join(qd, ["qid", "i"]).select(
+        "qid",
+        "i",
+        (
+            4 * F.floor(F.col("qx").cast("double") * 1e9 + 0.5).cast("long")
+            + 3 * F.col("fbv_q")
+        ).alias("vq"),
+    )
+    cd = cn.select(
+        "cid",
+        "cnorm",
+        F.posexplode("ce").alias("pos", "cx"),
+    ).select(
+        "cid",
+        "cnorm",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("cx").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("cxq"),
+    )
+    s2 = (
+        F.broadcast(q2)
+        .join(cd, "i")
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid", "cnorm")
+        .agg(F.sum(F.col("vq") * F.col("cxq")).cast("long").alias("dot"))
+        .select(
+            "qid",
+            "cid",
+            (F.col("dot").cast("double") / F.col("cnorm")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    r2 = (
+        s2.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= ROC_K)
+        .select("qid", "cid", "rn")
+    )
+    top1_after = r2.where(F.col("rn") == 1).select(
+        F.col("qid").alias("qa"), F.col("cid").alias("top1_after")
+    )
+    joined = r1.alias("a").join(
+        r2.select(F.col("qid").alias("qb"), F.col("cid").alias("cb")),
+        (F.col("qb") == F.col("a.qid")) & (F.col("cb") == F.col("a.cid")),
+        "left",
+    )
+    agg = joined.groupBy(F.col("a.qid").alias("qid")).agg(
+        F.count("cb").cast("long").alias("n_overlap"),
+        F.max(F.when(F.col("a.rn") == 1, F.col("a.cid")))
+        .cast("long")
+        .alias("top1_before"),
+    )
+    return agg.join(top1_after, agg["qid"] == top1_after["qa"]).select(
+        "qid",
+        "n_overlap",
+        "top1_before",
+        F.col("top1_after").cast("long").alias("top1_after"),
+    )

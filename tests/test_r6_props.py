@@ -1438,3 +1438,36 @@ def test_assortativity_matches_numpy(spark, sf_dir):
     assert r["reciprocity_bps"] == w_recip * 10000 // int(sw)
     assert abs(r["assortativity"] - num / den) <= 1e-3
     assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+
+
+def test_rocchio_feedback_consistency(spark, sf_dir):
+    rows = REGISTRY["sim_rocchio_feedback"].build(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 5
+        assert r["top1_before"] != r["qid"]
+        assert r["top1_after"] != r["qid"]
+    # feedback should not completely destroy neighborhoods: on a
+    # near-isotropic corpus most queries keep at least one neighbor
+    keep = sum(1 for r in rows if r["n_overlap"] >= 1)
+    assert keep >= 10
+
+
+def test_readability_matches_python_regex(spark, sf_dir):
+    import re
+
+    con = _con(sf_dir)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    out = {r["doc_id"]: r for r in
+           REGISTRY["text_readability"].build(spark, sf_dir).collect()}
+    pat = re.compile(r"[aeiouy]+")
+    for doc_id, text in docs:
+        words = text.split(" ")
+        syls = [len(pat.findall(w)) for w in words]
+        r = out[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["n_syllables"] == sum(syls)
+        assert r["n_polysyllabic"] == sum(1 for s in syls if s >= 3)
+        flesch = (206.835 - 1.015 * len(words)
+                  - 84.6 * sum(syls) / len(words))
+        assert abs(r["flesch_score"] - flesch) <= 1e-3
