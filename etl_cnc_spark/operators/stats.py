@@ -1971,3 +1971,199 @@ def stat_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_granger_causes_y"
         ),
     )
+
+
+# ------------------------------------------------- Mann-Kendall trend
+
+
+@register(
+    "stat_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON b.d > a.d
+    ), s AS (
+        SELECT CAST(sum(sgn) AS BIGINT) AS s_stat FROM pairs
+    ), ties AS (
+        SELECT CAST(sum(c*(c-1)*(2*c+5)) AS BIGINT) AS tie_term,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c
+              FROM daily GROUP BY y)
+    )
+    SELECT t.n, s.s_stat,
+           floor((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                       WHEN s.s_stat < 0 THEN s.s_stat + 1
+                       ELSE 0 END
+                  / sqrt((CAST(t.n AS DOUBLE)*(t.n-1)*(2*t.n+5)
+                          - t.tie_term) / 18e0))
+                 * 1e4 + 0.5) / 1e4 AS z,
+           abs(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                    WHEN s.s_stat < 0 THEN s.s_stat + 1
+                    ELSE 0 END
+               / sqrt((CAST(t.n AS DOUBLE)*(t.n-1)*(2*t.n+5)
+                       - t.tie_term) / 18e0)) > 1.96 AS trending
+    FROM s CROSS JOIN ties t
+    """,
+)
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-volume series:
+    S = Σ sign(y_j − y_i) over ordered day pairs, tie-corrected
+    variance, continuity-corrected z — the nonparametric trend
+    detector (monotone trend of ANY shape, no linearity assumption)
+    used wherever Theil-Sen estimates the slope; the two are the
+    standard pair (Mann 1945 / Kendall, public).
+
+    Scale shape: the pair sum runs over the bounded DAY GRID
+    (domain², metadata — the stat_kendall_tau discipline), S and the
+    tie terms are exact integers, one final double z."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    sgn = (
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+    sc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    var = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    z = sc / F.sqrt(var)
+    return s.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "s_stat",
+        (F.floor(z * 1e4 + 0.5) / 1e4).alias("z"),
+        (F.abs(z) > 1.96).alias("trending"),
+    )
+
+
+# ------------------------------------------------- runs test
+
+
+@register(
+    "stat_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT quantile_disc(y, 0.5) AS m FROM daily
+    ), signs AS (
+        SELECT d, CASE WHEN y > m THEN 1 ELSE 0 END AS above
+        FROM daily CROSS JOIN med
+        WHERE y <> m
+    ), flips AS (
+        SELECT above,
+               CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+                     OR lag(above) OVER (ORDER BY d) <> above
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ), agg AS (
+        SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(above) AS BIGINT) AS n_above
+        FROM flips
+    )
+    SELECT runs, n, n_above,
+           floor(((runs - (2e0*n_above*(n-n_above)/n + 1))
+                  / sqrt(2e0*n_above*(n-n_above)
+                         * (2e0*n_above*(n-n_above) - n)
+                         / (CAST(n AS DOUBLE)*n*(n-1))))
+                 * 1e4 + 0.5) / 1e4 AS z
+    FROM agg
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily series
+    around its median: count maximal runs of above/below-median
+    days, compare to the expected run count under exchangeability —
+    too FEW runs means clustering/trend, too many means
+    oscillation; the cheap sanity check before any i.i.d.-assuming
+    test (Wald & Wolfowitz 1940, public). Median-equal days drop
+    (the standard dichotomization).
+
+    Scale shape: the run count is a lag() flip sum over the bounded
+    day grid (single ordered pass on metadata); counts are exact
+    integers and z is one closed-form double."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    med = daily.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY y)"
+        ).alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("y") != F.col("m"))
+        .select(
+            "d", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("above")
+        )
+    )
+    w = Window.orderBy("d")
+    flips = signs.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flips.agg(
+        F.sum("new_run").cast("long").alias("runs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("above").cast("long").alias("n_above"),
+    )
+    nd = F.col("n").cast("double")
+    na = F.col("n_above").cast("double")
+    nb = nd - na
+    mu = 2 * na * nb / nd + 1
+    var = 2 * na * nb * (2 * na * nb - nd) / (nd * nd * (nd - 1))
+    z = (F.col("runs") - mu) / F.sqrt(var)
+    return agg.select(
+        "runs",
+        "n",
+        "n_above",
+        (F.floor(z * 1e4 + 0.5) / 1e4).alias("z"),
+    )

@@ -1471,3 +1471,51 @@ def test_readability_matches_python_regex(spark, sf_dir):
         flesch = (206.835 - 1.015 * len(words)
                   - 84.6 * sum(syls) / len(words))
         assert abs(r["flesch_score"] - flesch) <= 1e-3
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    daily = con.execute(
+        "SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS BIGINT), count(*) FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [y for _, y in daily]
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    tie = sum(
+        c * (c - 1) * (2 * c + 5) for c in Counter(ys).values()
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+    sc = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    z = sc / math.sqrt(var)
+    r = REGISTRY["stat_mann_kendall"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == n and r["s_stat"] == s
+    assert abs(r["z"] - z) <= 1e-3
+    assert r["trending"] == (abs(z) > 1.96)
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    daily = con.execute(
+        "SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS BIGINT), count(*) FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [y for _, y in daily]
+    sy = sorted(ys)
+    med = sy[(len(sy) - 1) // 2]
+    signs = [1 if y > med else 0 for y in ys if y != med]
+    runs = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    ) if signs else 0
+    n = len(signs)
+    na = sum(signs)
+    nb = n - na
+    mu = 2 * na * nb / n + 1
+    var = 2 * na * nb * (2 * na * nb - n) / (n * n * (n - 1))
+    z = (runs - mu) / math.sqrt(var)
+    r = REGISTRY["stat_runs_test"].build(spark, sf_dir).collect()[0]
+    assert r["runs"] == runs and r["n"] == n and r["n_above"] == na
+    assert abs(r["z"] - z) <= 1e-3
