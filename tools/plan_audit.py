@@ -244,6 +244,15 @@ EXTRA_KEYS = [
     "stat_levene",
     "embed_hubness_stats",
     "dedup_threshold_sweep",
+    "sql_entry_group_by_all",
+    "events_weibull_fit",
+    "stat_granger_causality",
+    "ml_gbm_histogram",
+    "graph_assortativity",
+    "sim_rocchio_feedback",
+    "text_readability",
+    "stat_mann_kendall",
+    "stat_runs_test",
 ]
 
 
