@@ -42,12 +42,13 @@ REGISTRY: dict[str, QueryDef] = {}
 # sim_recall_report + sim_recall_lsh (fresh recall attestation after
 # the IVF-PQ / matryoshka additions, per VERDICT r5 item 7) plus the
 # next 48 never-driver-checked keys in registry order (the r5 join/
-# sketch/ETL/time-series waves).  Remainder after this sweep: 52
-# never-checked keys — r7 window = the next 50 printed by
-# `python tools/next_window.py`, r8 = the final 2 plus re-verify
-# slots.  Run `python tools/preflight.py` before rotating (catches
-# driver-canonicalization traps like r4's embed_quantize numpy-cell
-# issue).
+# sketch/ETL/time-series waves).  Round 6 also added 56 NEW keys
+# (registry now 398), so the remainder after this sweep is 52 r5
+# leftovers + 56 r6 keys = 108 never-checked — r7/r8 windows = the
+# next 50 each printed by `python tools/next_window.py`, r9 = the
+# final 8 plus re-verify slots.  Run `python tools/preflight.py`
+# before rotating (catches driver-canonicalization traps like r4's
+# embed_quantize numpy-cell issue).
 DRIVER_WINDOW: list[str] = [
     # §2.10 statistical-gate re-attestation (recall numbers re-measured
     # after the IVF-PQ and matryoshka retrieval additions)
