@@ -392,3 +392,47 @@ def test_asof_nearest_is_single_shuffle_window(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "user_id" in line, line
+
+
+def test_lift_gains_ranking_uses_prefix_machine(spark, sf_dir):
+    """ml_lift_gains' global score ranking must run through the
+    bucketed prefix machine — the _pid-partitioned windows — and
+    never a corpus-sized unpartitioned sort; the only unpartitioned
+    window allowed is the 10-row decile fold (bounded metadata)."""
+    df = REGISTRY["ml_lift_gains"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
+    assert "CartesianProduct" not in plan
+    # every windowspec over the data-proportional rank frame is
+    # partitioned; the decile-level fold sits above an aggregation
+    # keyed by 10 deciles, which the plan shows as a Window AFTER the
+    # decile HashAggregate — count unpartitioned specs and require
+    # they only order by the decile column
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "_pid" not in line:
+            assert "decile" in line, line
+
+
+def test_gbm_histogram_aggregates_partial_final(spark, sf_dir):
+    """The gradient histogram must map-side combine (shuffle carries
+    |bins|, not rows) and the split-gain windows partition by
+    feature."""
+    df = REGISTRY["ml_gbm_histogram"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "feature" in line, line
+
+
+def test_abc_analysis_uses_prefix_machine(spark, sf_dir):
+    """orders_abc_analysis' revenue ranking runs through the bucketed
+    prefix machine; no unpartitioned window anywhere (its running
+    sums are all _pid-scoped)."""
+    df = REGISTRY["orders_abc_analysis"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
