@@ -5168,3 +5168,151 @@ def events_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale_days"
         ),
     )
+
+
+# --------------------------------------- Holt-Winters (additive, m=7)
+
+HW_A, HW_B, HW_G = 0.5, 0.3, 0.4
+HW_H = 7
+
+
+@register(
+    "events_holt_winters",
+    oracle="""
+    WITH RECURSIVE __DENSE__,
+    nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM dense GROUP BY event_type
+    ), init AS (
+        SELECT event_type,
+               sum(CASE WHEN t < 7 THEN CAST(y AS DOUBLE) END) / 7 AS lvl,
+               (sum(CASE WHEN t >= 7 AND t < 14 THEN CAST(y AS DOUBLE) END)
+                - sum(CASE WHEN t < 7 THEN CAST(y AS DOUBLE) END)) / 49
+                   AS tr,
+               max(CASE WHEN t = 0 THEN CAST(y AS DOUBLE) END) AS y0, max(CASE WHEN t = 1 THEN CAST(y AS DOUBLE) END) AS y1, max(CASE WHEN t = 2 THEN CAST(y AS DOUBLE) END) AS y2, max(CASE WHEN t = 3 THEN CAST(y AS DOUBLE) END) AS y3, max(CASE WHEN t = 4 THEN CAST(y AS DOUBLE) END) AS y4, max(CASE WHEN t = 5 THEN CAST(y AS DOUBLE) END) AS y5, max(CASE WHEN t = 6 THEN CAST(y AS DOUBLE) END) AS y6
+        FROM dense WHERE t < 14 GROUP BY event_type
+    ), hw AS (
+        SELECT event_type, 6 AS i, lvl, tr,
+               y0 - lvl AS s0, y1 - lvl AS s1, y2 - lvl AS s2, y3 - lvl AS s3, y4 - lvl AS s4, y5 - lvl AS s5, y6 - lvl AS s6,
+               CAST(0.0 AS DOUBLE) AS sse
+        FROM init
+        UNION ALL
+        SELECT h.event_type, h.i + 1,
+               (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr)),
+               (0.3*((0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr)) - h.lvl) + (1-0.3)*h.tr),
+               CASE WHEN (h.i + 1) % 7 = 0 THEN (0.4*(CAST(d.y AS DOUBLE) - (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr))) + (1-0.4)*h.s0) ELSE h.s0 END, CASE WHEN (h.i + 1) % 7 = 1 THEN (0.4*(CAST(d.y AS DOUBLE) - (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr))) + (1-0.4)*h.s1) ELSE h.s1 END, CASE WHEN (h.i + 1) % 7 = 2 THEN (0.4*(CAST(d.y AS DOUBLE) - (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr))) + (1-0.4)*h.s2) ELSE h.s2 END, CASE WHEN (h.i + 1) % 7 = 3 THEN (0.4*(CAST(d.y AS DOUBLE) - (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr))) + (1-0.4)*h.s3) ELSE h.s3 END, CASE WHEN (h.i + 1) % 7 = 4 THEN (0.4*(CAST(d.y AS DOUBLE) - (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr))) + (1-0.4)*h.s4) ELSE h.s4 END, CASE WHEN (h.i + 1) % 7 = 5 THEN (0.4*(CAST(d.y AS DOUBLE) - (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr))) + (1-0.4)*h.s5) ELSE h.s5 END, CASE WHEN (h.i + 1) % 7 = 6 THEN (0.4*(CAST(d.y AS DOUBLE) - (0.5*(CAST(d.y AS DOUBLE) - (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )) + (1-0.5)*(h.lvl + h.tr))) + (1-0.4)*h.s6) ELSE h.s6 END,
+               h.sse + (CAST(d.y AS DOUBLE) - (h.lvl + h.tr + (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END ))) * (CAST(d.y AS DOUBLE) - (h.lvl + h.tr + (CASE WHEN (h.i + 1) % 7 = 0 THEN h.s0 ELSE CASE WHEN (h.i + 1) % 7 = 1 THEN h.s1 ELSE CASE WHEN (h.i + 1) % 7 = 2 THEN h.s2 ELSE CASE WHEN (h.i + 1) % 7 = 3 THEN h.s3 ELSE CASE WHEN (h.i + 1) % 7 = 4 THEN h.s4 ELSE CASE WHEN (h.i + 1) % 7 = 5 THEN h.s5 ELSE CASE WHEN (h.i + 1) % 7 = 6 THEN h.s6 ELSE 0.0 END END END END END END END )))
+        FROM hw h
+        JOIN dense d ON d.event_type = h.event_type AND d.t = h.i + 1
+    ), final AS (
+        SELECT h.* , nn.n
+        FROM hw h JOIN nn ON nn.event_type = h.event_type
+        WHERE h.i = nn.n - 1 AND nn.n >= 15
+    ), hs AS (SELECT unnest(generate_series(1, 7)) AS h)
+    SELECT f.event_type, f.n, CAST(hz.h AS BIGINT) AS h,
+           floor((f.lvl + hz.h * f.tr + (CASE WHEN (f.n - 1 + hz.h) % 7 = 0 THEN f.s0 ELSE CASE WHEN (f.n - 1 + hz.h) % 7 = 1 THEN f.s1 ELSE CASE WHEN (f.n - 1 + hz.h) % 7 = 2 THEN f.s2 ELSE CASE WHEN (f.n - 1 + hz.h) % 7 = 3 THEN f.s3 ELSE CASE WHEN (f.n - 1 + hz.h) % 7 = 4 THEN f.s4 ELSE CASE WHEN (f.n - 1 + hz.h) % 7 = 5 THEN f.s5 ELSE CASE WHEN (f.n - 1 + hz.h) % 7 = 6 THEN f.s6 ELSE 0.0 END END END END END END END )) * 1e4 + 0.5) / 1e4
+               AS forecast,
+           floor(f.lvl * 1e4 + 0.5) / 1e4 AS level,
+           floor(f.tr * 1e4 + 0.5) / 1e4 AS trend,
+           floor((f.sse / (f.n - 7)) * 1e4 + 0.5) / 1e4 AS mse
+    FROM final f CROSS JOIN hs hz
+""".replace("__DENSE__", _TS_DENSE_SQL),
+    notes="sequential double recurrence evaluated in IDENTICAL order "
+    "by both engines (recursive CTE vs array fold) — same class as "
+    "events_holt.",
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (level +
+    trend + weekly seasonality, m=7) of each type's daily series,
+    with a 7-day forecast and one-step-ahead MSE — the seasonal
+    upgrade of events_holt and the classic ops-forecasting workhorse
+    (Winters 1960, public). Init: first-week mean level, week-over-
+    week trend, first-week additive seasonals.
+
+    Scale shape — the events_holt pattern: the recurrence is
+    inherently sequential per series, so it runs as ONE executor-
+    side array fold over the dense daily rollup (thousands of series
+    in parallel, array bounded by the day span; chunk multi-year
+    series with carried state). The seasonal state rides in the fold
+    struct as 7 named slots updated by position CASE — the oracle's
+    recursive CTE mirrors the exact op order, so the doubles agree
+    bitwise."""
+    a, b, g = float(HW_A), float(HW_B), float(HW_G)
+    dense = _ts_dense(spark, sf_dir)
+    ser = (
+        dense.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("t"), F.col("y").cast("double").alias("y"))
+                )
+            ).alias("arr")
+        )
+        .where(F.size(F.col("arr")) >= 15)
+    )
+    week1 = sum(
+        (F.element_at(F.col("arr"), i + 1)["y"] for i in range(1, 7)),
+        F.element_at(F.col("arr"), 1)["y"],
+    )
+    week2 = sum(
+        (F.element_at(F.col("arr"), i + 1)["y"] for i in range(8, 14)),
+        F.element_at(F.col("arr"), 8)["y"],
+    )
+    lvl0 = week1 / 7
+    acc0 = F.struct(
+        lvl0.alias("lvl"),
+        ((week2 - week1) / 49).alias("tr"),
+        *[
+            (F.element_at(F.col("arr"), i + 1)["y"] - lvl0).alias(f"s{i}".format(i=i))
+            for i in range(7)
+        ],
+        F.lit(0.0).alias("sse"),
+    )
+    rest = F.slice(F.col("arr"), 8, F.size(F.col("arr")) - 7)
+
+    def step(acc, e):
+        slot = e["t"] % 7
+        s_old = F.lit(0.0)
+        for i in range(6, -1, -1):
+            s_old = F.when(slot == i, acc[f"s{i}".format(i=i)]).otherwise(s_old)
+        lnew = a * (e["y"] - s_old) + (1 - a) * (acc["lvl"] + acc["tr"])
+        err = e["y"] - (acc["lvl"] + acc["tr"] + s_old)
+        fields = [
+            lnew.alias("lvl"),
+            (b * (lnew - acc["lvl"]) + (1 - b) * acc["tr"]).alias("tr"),
+        ]
+        for i in range(7):
+            fields.append(
+                F.when(
+                    slot == i,
+                    g * (e["y"] - lnew) + (1 - g) * acc[f"s{i}".format(i=i)],
+                )
+                .otherwise(acc[f"s{i}".format(i=i)])
+                .alias(f"s{i}".format(i=i))
+            )
+        fields.append((acc["sse"] + err * err).alias("sse"))
+        return F.struct(*fields)
+
+    final = ser.select(
+        "event_type",
+        F.size(F.col("arr")).cast("long").alias("n"),
+        F.aggregate(rest, acc0, step).alias("st"),
+    )
+    hs = spark.range(1, HW_H + 1).select(F.col("id").alias("h"))
+    fc_season = F.lit(0.0)
+    for i in range(6, -1, -1):
+        fc_season = F.when(
+            (F.col("n") - 1 + F.col("h")) % 7 == i, F.col("st")[f"s{i}".format(i=i)]
+        ).otherwise(fc_season)
+    q4e = lambda c: F.floor(c * 1e4 + 0.5) / 1e4  # noqa: E731
+    return final.crossJoin(F.broadcast(hs)).select(
+        "event_type",
+        "n",
+        F.col("h").cast("long").alias("h"),
+        q4e(
+            F.col("st")["lvl"] + F.col("h") * F.col("st")["tr"] + fc_season
+        ).alias("forecast"),
+        q4e(F.col("st")["lvl"]).alias("level"),
+        q4e(F.col("st")["tr"]).alias("trend"),
+        q4e(F.col("st")["sse"] / (F.col("n") - 7)).alias("mse"),
+    )

@@ -1519,3 +1519,59 @@ def test_runs_test_matches_python(spark, sf_dir):
     r = REGISTRY["stat_runs_test"].build(spark, sf_dir).collect()[0]
     assert r["runs"] == runs and r["n"] == n and r["n_above"] == na
     assert abs(r["z"] - z) <= 1e-3
+
+
+def test_holt_winters_matches_python_recurrence(spark, sf_dir):
+    con = _con(sf_dir)
+    daily = con.execute("""
+        WITH bounds AS (
+            SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+            FROM events
+        ), days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                AS d FROM bounds
+        ), types AS (SELECT DISTINCT event_type FROM events),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.event_type,
+               datediff('day', (SELECT d0 FROM bounds), g.d),
+               COALESCE(daily.n, 0)
+        FROM (SELECT d, event_type FROM days CROSS JOIN types) g
+        LEFT JOIN daily ON g.d = daily.d AND g.event_type = daily.event_type
+        ORDER BY 1, 2
+    """).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, t, y in daily:
+        series.setdefault(et, []).append(float(y))
+    out: dict[tuple, dict] = {}
+    for r in (REGISTRY["events_holt_winters"]
+              .build(spark, sf_dir).collect()):
+        out[(r["event_type"], r["h"])] = r
+    a, b, g = 0.5, 0.3, 0.4
+    for et, ys in series.items():
+        n = len(ys)
+        if n < 15:
+            assert not any(k[0] == et for k in out)
+            continue
+        lvl = sum(ys[:7]) / 7
+        tr = (sum(ys[7:14]) - sum(ys[:7])) / 49
+        s = [ys[i] - lvl for i in range(7)]
+        sse = 0.0
+        for t in range(7, n):
+            so = s[t % 7]
+            err = ys[t] - (lvl + tr + so)
+            lnew = a * (ys[t] - so) + (1 - a) * (lvl + tr)
+            tr = b * (lnew - lvl) + (1 - b) * tr
+            s[t % 7] = g * (ys[t] - lnew) + (1 - g) * so
+            lvl = lnew
+            sse += err * err
+        for h in range(1, 8):
+            r = out[(et, h)]
+            fc = lvl + h * tr + s[(n - 1 + h) % 7]
+            assert r["n"] == n
+            assert abs(r["forecast"] - fc) <= 1e-3
+            assert abs(r["level"] - lvl) <= 1e-3
+            assert abs(r["trend"] - tr) <= 1e-3
+            assert abs(r["mse"] - sse / (n - 7)) <= 1e-3
