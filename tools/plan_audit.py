@@ -253,6 +253,7 @@ EXTRA_KEYS = [
     "text_readability",
     "stat_mann_kendall",
     "stat_runs_test",
+    "events_holt_winters",
 ]
 
 
