@@ -983,3 +983,185 @@ def ml_gbm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("gain_raw") == F.max("gain_raw").over(wall))
         ).alias("is_best_split"),
     )
+
+
+# ------------------------------------------------- Friedman test
+
+FRD_CHI2_CRIT = "9.488"  # chi-square upper 5%, df = k-1 = 4
+
+
+@register(
+    "stat_friedman_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               event_type,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT d, event_type,
+               CAST(2 * rank() OVER (PARTITION BY d ORDER BY y)
+                    + count(*) OVER (PARTITION BY d, y) - 1
+                    AS BIGINT) AS r2
+        FROM daily
+    ), sums AS (
+        SELECT event_type,
+               CAST(sum(r2) AS BIGINT) AS r2_sum,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(max(n_blocks) AS BIGINT) AS n,
+               CAST(sum(CAST(r2_sum AS HUGEINT) * r2_sum) AS HUGEINT)
+                   AS ssq4
+        FROM sums
+    )
+    SELECT k, n,
+           floor((12e0 * (CAST(ssq4 AS DOUBLE) / 4) / (n * k * (k + 1))
+                  - 3e0 * n * (k + 1)) * 1e4 + 0.5) / 1e4 AS chi2,
+           (12e0 * (CAST(ssq4 AS DOUBLE) / 4) / (n * k * (k + 1))
+            - 3e0 * n * (k + 1)) > {FRD_CHI2_CRIT} AS significant
+    FROM tot
+    """,
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across event types with days as blocks:
+    rank the k types WITHIN each day by volume (tie midranks),
+    compare rank sums — the repeated-measures, distribution-free
+    alternative to stat_anova_oneway when day effects would pollute
+    a pooled test (Friedman 1937, public).
+
+    Hash-parity discipline: midranks are carried DOUBLED
+    (2·rank + ties − 1 — the ml_roc_auc integer-midrank trick), so
+    rank sums are exact integers (squares in HUGEINT/decimal); the
+    χ² statistic divides the doubled squares by 4 in one final
+    double expression shared across engines. Scale shape: the rank
+    window partitions by day over k rows each — bounded by the type
+    domain, never data-proportional."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wr = Window.partitionBy("d").orderBy("y")
+    wt = Window.partitionBy("d", "y")
+    ranked = daily.select(
+        "d",
+        "event_type",
+        (
+            2 * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt)
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    dec = "decimal(38,0)"
+    tot = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_blocks").cast("long").alias("n"),
+        F.sum(F.col("r2_sum").cast(dec) * F.col("r2_sum").cast(dec)).alias(
+            "ssq4"
+        ),
+    )
+    chi2 = (
+        12.0
+        * (F.col("ssq4").cast("double") / 4)
+        / (F.col("n") * F.col("k") * (F.col("k") + 1))
+        - 3.0 * F.col("n") * (F.col("k") + 1)
+    )
+    return tot.select(
+        "k",
+        "n",
+        (F.floor(chi2 * 1e4 + 0.5) / 1e4).alias("chi2"),
+        (chi2 > float(FRD_CHI2_CRIT)).alias("significant"),
+    )
+
+
+# ------------------------------------------------- class weighting
+
+CW_BETA = "0.999"  # effective-number-of-samples decay
+
+
+@register(
+    "ml_class_weights",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(count(*) AS BIGINT) AS k
+        FROM g
+    ), w AS (
+        SELECT g.event_type, g.n, t.n_all, t.k,
+               CAST(t.n_all AS DOUBLE) / (t.k * g.n) AS w_invfreq,
+               (1e0 - {CW_BETA}) / (1e0 - pow({CW_BETA}, g.n)) AS w_ens_raw
+        FROM g CROSS JOIN tot t
+    ), z AS (
+        SELECT CAST(sum(CAST(floor(w_ens_raw * 1e12 + 0.5) AS BIGINT))
+                    AS BIGINT) AS zq
+        FROM w
+    )
+    SELECT w.event_type, w.n,
+           floor(w.w_invfreq * 1e4 + 0.5) / 1e4 AS w_invfreq,
+           floor((CAST(floor(w.w_ens_raw * 1e12 + 0.5) AS BIGINT)
+                  * CAST(w.k AS DOUBLE) / z.zq) * 1e4 + 0.5) / 1e4
+               AS w_effective
+    FROM w CROSS JOIN z
+    """,
+)
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance weighting table: inverse-frequency weights
+    (N/(k·n_c)) and the effective-number-of-samples weights
+    (1−β)/(1−β^n_c), normalized to sum to k (Cui et al. 2019,
+    public) — the per-class loss multipliers a trainer reads before
+    fitting on skewed labels.
+
+    The normalizer sums per-class doubles, so each raw weight is
+    fixed-point quantized (1e-12) before the sum — order-free
+    integers — and the per-class output scales by the same quantized
+    values on both engines. One hash aggregate + broadcast totals."""
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    beta = float(CW_BETA)
+    w = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "n_all",
+        "k",
+        (F.col("n_all").cast("double") / (F.col("k") * F.col("n"))).alias(
+            "w_invfreq"
+        ),
+        (
+            (1.0 - beta) / (1.0 - F.pow(F.lit(beta), F.col("n")))
+        ).alias("w_ens_raw"),
+    )
+    wq = F.floor(F.col("w_ens_raw") * 1e12 + 0.5).cast("long")
+    z = w.select(wq.alias("wq")).agg(
+        F.sum("wq").cast("long").alias("zq")
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "event_type",
+        "n",
+        (F.floor(F.col("w_invfreq") * 1e4 + 0.5) / 1e4).alias("w_invfreq"),
+        (
+            F.floor(
+                wq * F.col("k").cast("double") / F.col("zq") * 1e4 + 0.5
+            )
+            / 1e4
+        ).alias("w_effective"),
+    )

@@ -1575,3 +1575,58 @@ def test_holt_winters_matches_python_recurrence(spark, sf_dir):
             assert abs(r["level"] - lvl) <= 1e-3
             assert abs(r["trend"] - tr) <= 1e-3
             assert abs(r["mse"] - sse / (n - 7)) <= 1e-3
+
+
+def test_friedman_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    daily = con.execute(
+        "SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS BIGINT), event_type, count(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    blocks: dict[int, list[tuple]] = {}
+    for d, et, y in daily:
+        blocks.setdefault(d, []).append((et, y))
+    rank_sums: Counter = Counter()
+    n_blocks = 0
+    k = len({et for _, et, _ in daily})
+    for d, cells in blocks.items():
+        if len(cells) < k:
+            pass  # partial blocks still rank among present types
+        ys = sorted(y for _, y in cells)
+        for et, y in cells:
+            lo = sum(1 for v in ys if v < y)
+            ties = sum(1 for v in ys if v == y)
+            midrank = lo + (ties + 1) / 2
+            rank_sums[et] += midrank
+    n = len(blocks)
+    chi2 = (
+        12 / (n * k * (k + 1))
+        * sum(r * r for r in rank_sums.values())
+        - 3 * n * (k + 1)
+    )
+    r = REGISTRY["stat_friedman_test"].build(spark, sf_dir).collect()[0]
+    assert r["k"] == k and r["n"] == n
+    assert abs(r["chi2"] - chi2) <= 1e-3
+    assert r["significant"] == (chi2 > 9.488)
+
+
+def test_class_weights_match_python(spark, sf_dir):
+    con = _con(sf_dir)
+    counts = dict(con.execute(
+        "SELECT event_type, count(*) FROM events GROUP BY 1"
+    ).fetchall())
+    k = len(counts)
+    n_all = sum(counts.values())
+    beta = 0.999
+    raw = {et: (1 - beta) / (1 - beta ** n) for et, n in counts.items()}
+    z = sum(raw.values())
+    out = {r["event_type"]: r for r in
+           REGISTRY["ml_class_weights"].build(spark, sf_dir).collect()}
+    assert set(out) == set(counts)
+    for et, n in counts.items():
+        r = out[et]
+        assert r["n"] == n
+        assert abs(r["w_invfreq"] - n_all / (k * n)) <= 1e-3
+        assert abs(r["w_effective"] - raw[et] * k / z) <= 1e-3
+    # normalized effective weights sum to ~k
+    assert abs(sum(r["w_effective"] for r in out.values()) - k) <= 1e-2

@@ -254,6 +254,8 @@ EXTRA_KEYS = [
     "stat_mann_kendall",
     "stat_runs_test",
     "events_holt_winters",
+    "stat_friedman_test",
+    "ml_class_weights",
 ]
 
 
