@@ -2167,3 +2167,133 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_above",
         (F.floor(z * 1e4 + 0.5) / 1e4).alias("z"),
     )
+
+
+# ------------------------------------------------- Kruskal-Wallis
+
+KW_CHI2_CRIT = "9.488"  # chi-square upper 5%, df = k-1 = 4
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events
+    ), grid AS (
+        SELECT v_cents, CAST(count(*) AS BIGINT) AS t
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents, t,
+               COALESCE(sum(t) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS before
+        FROM grid
+    ), per_group AS (
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(2*c.before + c.t + 1) AS BIGINT) AS r2_sum
+        FROM ev e JOIN cum c ON c.v_cents = e.v_cents
+        GROUP BY e.event_type
+    ), ties AS (
+        SELECT CAST(sum(CAST(t AS HUGEINT)*t*t - t) AS HUGEINT) AS tie3,
+               CAST(sum(t) AS BIGINT) AS n
+        FROM grid
+    )
+    SELECT t.n,
+           CAST(count(*) AS BIGINT) AS k,
+           floor(((12e0 / (CAST(t.n AS DOUBLE) * (t.n + 1))
+                   * sum((CAST(p.r2_sum AS DOUBLE)/2)
+                         * (CAST(p.r2_sum AS DOUBLE)/2) / p.n_g)
+                   - 3e0 * (t.n + 1))
+                  / (1e0 - CAST(t.tie3 AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE)*t.n*t.n - t.n)))
+                 * 1e4 + 0.5) / 1e4 AS h_stat,
+           ((12e0 / (CAST(t.n AS DOUBLE) * (t.n + 1))
+             * sum((CAST(p.r2_sum AS DOUBLE)/2)
+                   * (CAST(p.r2_sum AS DOUBLE)/2) / p.n_g)
+             - 3e0 * (t.n + 1))
+            / (1e0 - CAST(t.tie3 AS DOUBLE)
+               / (CAST(t.n AS DOUBLE)*t.n*t.n - t.n)))
+               > {KW_CHI2_CRIT} AS significant
+    FROM per_group p CROSS JOIN ties t
+    GROUP BY t.n, t.tie3
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test across ALL k event types — the
+    k-group generalization of stat_mann_whitney (and the rank-based
+    sibling of stat_anova_oneway), tie-corrected: H over midrank
+    sums divided by 1 − Σ(t³−t)/(N³−N).
+
+    Scale shape — the bounded-value-DOMAIN discipline once more:
+    ranks derive from the cents grid's exclusive prefix counts
+    (doubled midranks stay integer: 2·before + t + 1), so the rank
+    join is value-keyed against grid metadata and every accumulator
+    is an exact integer until the single closed-form H. The prefix
+    counts run through ``global_ordered``'s bucketed machine (like
+    stat_ks_test/stat_mann_whitney) — no unpartitioned window over
+    the cents grid on the Spark side."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type", cents(F.col("value")).alias("v_cents")
+    )
+    grid = ev.groupBy("v_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"t": "cum_t"},
+        rank_col=None,
+    ).select(
+        "v_cents", "t", (F.col("cum_t") - F.col("t")).alias("before")
+    )
+    per_group = (
+        ev.join(cum, "v_cents")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(2 * F.col("before") + F.col("t") + 1)
+            .cast("long")
+            .alias("r2_sum"),
+        )
+    )
+    dec = "decimal(38,0)"
+    ties = grid.agg(
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tie3"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    h_raw = (
+        12.0
+        / (nd * (F.col("n") + 1))
+        * F.sum(
+            (F.col("r2_sum").cast("double") / 2)
+            * (F.col("r2_sum").cast("double") / 2)
+            / F.col("n_g")
+        )
+        - 3.0 * (F.col("n") + 1)
+    )
+    h = h_raw / (
+        1.0 - F.col("tie3").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    )
+    return (
+        per_group.crossJoin(F.broadcast(ties))
+        .groupBy("n", "tie3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            h.alias("_h"),
+        )
+        .select(
+            "n",
+            "k",
+            (F.floor(F.col("_h") * 1e4 + 0.5) / 1e4).alias("h_stat"),
+            (F.col("_h") > float(KW_CHI2_CRIT)).alias("significant"),
+        )
+    )

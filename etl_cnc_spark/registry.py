@@ -43,8 +43,8 @@ REGISTRY: dict[str, QueryDef] = {}
 # the IVF-PQ / matryoshka additions, per VERDICT r5 item 7) plus the
 # next 48 never-driver-checked keys in registry order (the r5 join/
 # sketch/ETL/time-series waves).  Round 6 also added 56 NEW keys
-# (registry now 401), so the remainder after this sweep is 52 r5
-# leftovers + 59 r6 keys = 111 never-checked — r7/r8 windows = the
+# (registry now 402), so the remainder after this sweep is 52 r5
+# leftovers + 60 r6 keys = 112 never-checked — r7/r8 windows = the
 # next 50 each printed by `python tools/next_window.py`, r9 = the
 # final 8 plus re-verify slots.  Run `python tools/preflight.py`
 # before rotating (catches driver-canonicalization traps like r4's

@@ -1630,3 +1630,35 @@ def test_class_weights_match_python(spark, sf_dir):
         assert abs(r["w_effective"] - raw[et] * k / z) <= 1e-3
     # normalized effective weights sum to ~k
     assert abs(sum(r["w_effective"] for r in out.values()) - k) <= 1e-2
+
+
+def test_kruskal_wallis_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    xs = [v for _, v in vals]
+    order = sorted(xs)
+    # midranks via counts
+    first = {}
+    cnt = Counter(order)
+    pos = 0
+    midrank = {}
+    for v in sorted(cnt):
+        midrank[v] = pos + (cnt[v] + 1) / 2
+        pos += cnt[v]
+    groups: dict[str, list[float]] = {}
+    for et, v in vals:
+        groups.setdefault(et, []).append(midrank[v])
+    n = len(xs)
+    k = len(groups)
+    h = 12 / (n * (n + 1)) * sum(
+        (sum(rs)) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    tie3 = sum(c ** 3 - c for c in cnt.values())
+    h /= 1 - tie3 / (n ** 3 - n)
+    r = REGISTRY["stat_kruskal_wallis"].build(spark, sf_dir).collect()[0]
+    assert r["n"] == n and r["k"] == k
+    assert abs(r["h_stat"] - h) <= max(1e-3, 1e-4 * abs(h))
+    assert r["significant"] == (h > 9.488)

@@ -256,6 +256,7 @@ EXTRA_KEYS = [
     "events_holt_winters",
     "stat_friedman_test",
     "ml_class_weights",
+    "stat_kruskal_wallis",
 ]
 
 
