@@ -361,9 +361,18 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     float threshold to disagree on; ties in the value column cannot
     change the selected value since every tied row carries it).
 
-    Scale shape: one window sort per group + one hash aggregate.
-    Within-group value ordering is the same sort a percentile_disc
-    would need; weights ride along, adding no extra shuffle."""
+    Scale shape: hash-aggregate the fact rows down to the
+    (l_returnflag, v_cents) value grid FIRST (map-side combine; grid
+    cardinality is bounded by the cents value domain, not the row
+    count), then run the cumulative window over the grid.  The window
+    sort per returnflag is therefore grid-sized — at 100 TB the 3-value
+    partition key still means one task per flag, but each task sorts
+    ≤|value domain| rows instead of billions of fact rows.  Collapsing
+    ties before the window cannot change the selected quartile: the
+    grid row's cumulative weight is the max of its tied fact rows'
+    cumulative weights, and every tied row carries the same value, so
+    the first-value-crossing-the-fraction pick is identical (the
+    DuckDB oracle deliberately stays row-level to prove it)."""
     li = table(spark, sf_dir, "lineitem")
     s = li.select(
         "l_returnflag",
@@ -372,13 +381,16 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_cents"),
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
     )
+    grid = s.groupBy("l_returnflag", "v_cents").agg(
+        F.sum("w").cast("long").alias("w")
+    )
     wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("v_cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy("l_returnflag")
-    c = s.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+    c = grid.withColumn("cw", F.sum("w").over(wcum)).withColumn(
         "tw", F.sum("w").over(wall)
     )
     return c.groupBy("l_returnflag").agg(

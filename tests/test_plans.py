@@ -436,3 +436,24 @@ def test_abc_analysis_uses_prefix_machine(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_pid" in line, line
+
+
+def test_weighted_percentile_window_input_is_grid_sized(spark, sf_dir):
+    """agg_weighted_percentile's cumulative-weight window must consume
+    the (l_returnflag, v_cents) value grid, not raw fact rows: a hash
+    aggregate (with a partial/map-side combine) sits between the scan
+    and the Window, so the per-flag window sort is bounded by the
+    cents value domain at any data scale (VERDICT r6 #2)."""
+    plan = plan_of("agg_weighted_percentile", spark, sf_dir)
+    lines = plan.splitlines()
+    tree = [l for l in lines if ") Window" in l or ") HashAggregate" in l]
+    # formatted explain numbers nodes bottom-up: the grid aggregate
+    # must appear (be numbered) BEFORE the first Window node.
+    win_idx = [i for i, l in enumerate(tree) if ") Window" in l]
+    agg_idx = [i for i, l in enumerate(tree) if ") HashAggregate" in l]
+    assert win_idx and agg_idx
+    first_win = int(tree[win_idx[0]].split(")")[0].strip().lstrip("(* "))
+    grid_aggs = [int(l.split(")")[0].strip().lstrip("(* ")) for l in
+                 (tree[i] for i in agg_idx)]
+    assert any(a < first_win for a in grid_aggs), plan
+    assert "partial_sum" in plan
