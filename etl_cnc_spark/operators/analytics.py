@@ -690,12 +690,21 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user count feed the plan as a broadcast 1-row stats frame —
     no job runs at build time, so explain/audit callers pay nothing.
     (Earlier rounds collected the stats eagerly and inlined literals;
-    the broadcast-stats plan benches equivalently because AQE folds
-    the 1-row exchange into the same stage wave, and the rollup
-    ``cache()`` still deduplicates the events scan across branches
-    once the first action runs.)"""
+    the r6 bench showed the broadcast-stats barrier costs ~0.3-0.5 s
+    at sf0.1 — an extra stage wave AQE does not fold.  Round 7 claws
+    most of it back structurally instead of reverting the laziness:
+    the prefix machine's min/max pass is skipped via static ``_ck``
+    bounds, and the final rollup join is eliminated by reconstructing
+    the three metrics from the melted ``_v`` inside the pivot.)"""
     e = table(spark, sf_dir, "events")
-    mx = e.agg(F.max("ts").alias("now"))
+    # Per-user rollup keeps the LAST-ACTIVITY DAY (days since epoch)
+    # instead of pre-computing recency: recency ordering is exactly
+    # last_day DESCENDING (same date ⇔ same recency, so oracle ties
+    # break identically), and recency_days itself falls out later as
+    # now_day − last_day with now_day = max(last_day) riding the
+    # stats broadcast.  This removes the separate global-max-ts job —
+    # the old plan scanned events TWICE (once for the max, once for
+    # the rollup) and paid an extra broadcast wave for it.
     base = (
         e.groupBy("user_id")
         .agg(
@@ -710,42 +719,42 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("monetary_cents"),
         )
-        .crossJoin(F.broadcast(mx))
         .select(
             "user_id",
-            F.datediff(F.col("now").cast("date"), F.col("last_ts").cast("date"))
+            F.unix_date(F.col("last_ts").cast("date"))
             .cast("long")
-            .alias("recency_days"),
+            .alias("last_day"),
             "frequency",
             "monetary_cents",
         )
     )
     # One cached per-user rollup feeds every consumer (the melted
-    # rank frame, the stats row, the final join): the events scan +
-    # aggregate runs ONCE. cache() (not localCheckpoint) keeps
-    # lineage, so executor loss on a real cluster recomputes instead
-    # of failing the query; the rollup is |users| rows — tiny, and
-    # cache() itself is lazy so no job runs at build.
+    # rank frame and the stats row): the events scan + aggregate runs
+    # ONCE. cache() (not localCheckpoint) keeps lineage, so executor
+    # loss on a real cluster recomputes instead of failing the query;
+    # the rollup is |users| rows — tiny, and cache() itself is lazy
+    # so no job runs at build.
     base = base.cache()
-    # Bounded metadata as a broadcast 1-row frame (1 scalar + 3
+    # Bounded metadata as a broadcast 1-row frame (2 scalars + 3
     # per-metric (lo, hi) ranges — metadata, never data): joins into
     # the plan lazily instead of a driver-side .first() at build.
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
-        F.min("recency_days").alias("_lo0"),
-        F.max("recency_days").alias("_hi0"),
+        F.max("last_day").cast("long").alias("_now_day"),
+        F.min(-F.col("last_day")).alias("_lo0"),
+        F.max(-F.col("last_day")).alias("_hi0"),
         F.min(-F.col("frequency")).alias("_lo1"),
         F.max(-F.col("frequency")).alias("_hi1"),
         F.min(-F.col("monetary_cents")).alias("_lo2"),
         F.max(-F.col("monetary_cents")).alias("_hi2"),
     )
-    # Melt: metric 0 = recency asc, 1 = frequency desc, 2 = monetary
-    # desc — descending metrics negate their value, so every metric
-    # sorts (value asc, user_id asc) and ties break identically to
-    # the oracle's per-metric ntile ORDER BY.
+    # Melt: metric 0 = recency asc (≡ last_day desc), 1 = frequency
+    # desc, 2 = monetary desc — descending metrics negate their
+    # value, so every metric sorts (value asc, user_id asc) and ties
+    # break identically to the oracle's per-metric ntile ORDER BY.
     melted = (
         base.select("user_id", F.lit(0).alias("_m"),
-                    F.col("recency_days").alias("_v"))
+                    (-F.col("last_day")).alias("_v"))
         .unionByName(base.select("user_id", F.lit(1).alias("_m"),
                                  (-F.col("frequency")).alias("_v")))
         .unionByName(base.select("user_id", F.lit(2).alias("_m"),
@@ -777,36 +786,49 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_m",
             "_v",
             "_n",
+            "_now_day",
             F.expr(
                 f"CAST(_m AS BIGINT) * {grid}"
                 f" + (_v - _lo) DIV ((_hi - _lo + {grid}) DIV {grid})"
             ).alias("_ck"),
         )
     )
+    # _ck is bounded by construction: metric index ∈ {0,1,2} in the
+    # high bits, normalized value ∈ [0, grid) in the low bits — so the
+    # key spans [0, 3·grid).  Passing static bounds lets the prefix
+    # machine skip its global min/max pass + broadcast (one fewer
+    # stage wave; small-input latency is stage-bound).
     ranked = global_ordered(
         keyed,
         [F.col("_ck"), F.col("_v"), F.col("user_id")],
         bucket_key="_ck",
         rank_col="_grk",
+        bounds=(0, 3 * grid - 1),
     )
     # Global rank → per-metric rank: metrics are sorted by _m first
     # and each contributes exactly n rows, so metric m's ranks occupy
     # (m·n, (m+1)·n]; pivot back to one row per user. _n rides along
-    # (constant per row) so no second stats join is needed.
+    # (constant per row) so no second stats join is needed, and the
+    # melted _v values carry all three metrics (recency, -frequency,
+    # -monetary), so the pivot reconstructs them directly — no join
+    # back to the rollup, one fewer shuffle.
     n = F.col("_n")
     piv = ranked.groupBy("user_id").agg(
         F.max(F.when(F.col("_m") == 0, F.col("_grk"))).alias("_rk_r"),
         F.max(F.when(F.col("_m") == 1, F.col("_grk") - n)).alias("_rk_f"),
         F.max(F.when(F.col("_m") == 2, F.col("_grk") - 2 * n)).alias("_rk_m"),
+        F.max(F.when(F.col("_m") == 0, F.col("_now_day") + F.col("_v")))
+        .alias("_recency"),
+        F.max(F.when(F.col("_m") == 1, -F.col("_v"))).alias("_frequency"),
+        F.max(F.when(F.col("_m") == 2, -F.col("_v"))).alias("_monetary"),
         F.max("_n").alias("_n"),
     )
-    out = base.join(piv, "user_id")
     n = F.col("_n")
-    return out.select(
+    return piv.select(
         "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
+        F.col("_recency").cast("long").alias("recency_days"),
+        F.col("_frequency").cast("long").alias("frequency"),
+        F.col("_monetary").cast("long").alias("monetary_cents"),
         (
             100 * ntile_from_rank(F.col("_rk_r"), n, 5)
             + 10 * ntile_from_rank(F.col("_rk_f"), n, 5)

@@ -121,6 +121,7 @@ def global_ordered(
     sums: dict[str, str] | None = None,
     rank_col: str | None = "rk",
     num_parts: int | None = None,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Append a global 1-based row number (``rank_col``) and, for each
     ``sums`` entry ``{src: dst}``, an inclusive global running BIGINT
@@ -136,6 +137,15 @@ def global_ordered(
     with a unique key) for the rank to be deterministic.  Sum columns
     must be integral (exact BIGINT running sums — the money/cents
     discipline).
+
+    ``bounds``: optional STATIC ``(lo, hi)`` for the bucket key.  When
+    the caller can bound the key by construction (e.g. a composite key
+    built to span ``[0, 3·2^20)``), passing bounds skips the global
+    min/max aggregate + broadcast — one fewer full pass over the input
+    and one fewer AQE stage wave, which dominates small-input latency.
+    Bounds need only be a superset of the true range (bucket balance
+    degrades gracefully; ``_pid`` stays in ``[0, num_parts-1]``), but
+    every key value MUST lie inside them for ranks to be correct.
     """
     sums = sums or {}
     out_cols = df.columns
@@ -146,21 +156,29 @@ def global_ordered(
     key = (
         F.col(bucket_key) if isinstance(bucket_key, str) else bucket_key
     ).cast("long")
-    mm = df.agg(
-        F.min(key).alias("_lo"), F.max(key).alias("_hi")
-    )
     # ordered bucket id from the row's own key value: a pure function
     # of (key, lo, hi, num_parts) — identical in every plan branch.
     # width = ceil(span / num_parts) ≥ 1, so _pid ∈ [0, num_parts-1].
-    pos = (F.col("_hi") - key) if bucket_desc else (key - F.col("_lo"))
-    bucketed = (
-        df.crossJoin(F.broadcast(mm))
-        .withColumn("_pos", pos.cast("long"))
-        .withColumn(
-            "_pid",
-            F.expr(f"_pos DIV ((_hi - _lo + {num_parts}) DIV {num_parts})"),
+    if bounds is not None:
+        lo, hi = int(bounds[0]), int(bounds[1])
+        width = (hi - lo + num_parts) // num_parts
+        pos = (F.lit(hi) - key) if bucket_desc else (key - F.lit(lo))
+        bucketed = df.withColumn("_pos", pos.cast("long")).withColumn(
+            "_pid", F.expr(f"_pos DIV {width}")
         )
-    )
+    else:
+        mm = df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+        pos = (F.col("_hi") - key) if bucket_desc else (key - F.col("_lo"))
+        bucketed = (
+            df.crossJoin(F.broadcast(mm))
+            .withColumn("_pos", pos.cast("long"))
+            .withColumn(
+                "_pid",
+                F.expr(
+                    f"_pos DIV ((_hi - _lo + {num_parts}) DIV {num_parts})"
+                ),
+            )
+        )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = bucketed.withColumn("_lrk", F.row_number().over(w).cast("long"))
