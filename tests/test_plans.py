@@ -457,3 +457,80 @@ def test_weighted_percentile_window_input_is_grid_sized(spark, sf_dir):
                  (tree[i] for i in agg_idx)]
     assert any(a < first_win for a in grid_aggs), plan
     assert "partial_sum" in plan
+
+
+def test_unpartitioned_window_census():
+    """Repo-wide policy (VERDICT r6 #5): every ``Window.orderBy(...)``
+    WITHOUT a partitionBy is enumerated here with a boundedness
+    justification — the input must be metadata-sized (bounded by a
+    value domain, a calendar, or a preceding limit/top-k), never
+    data-proportional.  Data-proportional global ordering must go
+    through operators/prefix.global_ordered instead.  AST-walk so
+    docstrings/comments don't count; a new unlisted site fails until
+    it is either routed through the prefix machine or justified."""
+    import ast
+    import pathlib
+
+    # (module-relative path, enclosing function) -> why it is bounded
+    ALLOW = {
+        # post-TakeOrdered top-k lists (<= tens of rows by limit)
+        ("operators/analytics.py", "events_conversion_paths"):
+            "runs after .limit(20) — 20-row path list",
+        ("operators/etl.py", "etl_skew_report"):
+            "runs after .limit(10) — 10-row hot-key list",
+        ("llm/text.py", "text_bpe_pair_counts"):
+            "rank over distinct char bigrams — |alphabet|^2 bounded",
+        ("llm/retrieval.py", "_bm25_scores"):
+            "runs after .limit(n) — bounded retrieval list",
+        ("llm/retrieval.py", "sim_hybrid_rrf"):
+            "vec list after .limit(LIST_N); fusion joins two bounded "
+            "lists",
+        # calendar-bounded daily series (~thousands of rows at any SF)
+        ("operators/stats.py", "stat_runs_test"):
+            "one row per day — calendar-bounded",
+        ("operators/analytics.py", "events_ab_sequential"):
+            "one row per day — calendar-bounded",
+        # value-domain-bounded grids / bucket tables
+        ("operators/analytics.py", "orders_skyline"):
+            "coarse price-bucket table + pruned frontier candidates; "
+            "bucket count bounded by cents range / 1024",
+        ("operators/mlprep.py", "ml_lift_gains"):
+            "LIFT_K decile rows",
+        ("llm/text.py", "text_vocab_growth"):
+            "one row per doc-id bucket (corpus/VOCAB_BUCKET_W)",
+        ("llm/similarity.py", "ml_roc_auc"):
+            "two-level prefix: per-score-bucket offset table — bucket "
+            "count bounded by the score range, not the corpus",
+    }
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "etl_cnc_spark"
+    found: dict[tuple[str, str], int] = {}
+    for path in sorted(root.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        rel = str(path.relative_to(root))
+
+        def enclosing(node, stack):
+            return stack[-1] if stack else "<module>"
+
+        def walk(node, stack):
+            for child in ast.iter_child_nodes(node):
+                s = stack
+                if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    s = stack + [child.name]
+                if (
+                    isinstance(child, ast.Call)
+                    and isinstance(child.func, ast.Attribute)
+                    and child.func.attr == "orderBy"
+                    and isinstance(child.func.value, ast.Name)
+                    and child.func.value.id == "Window"
+                ):
+                    key = (rel, enclosing(child, stack))
+                    found[key] = found.get(key, 0) + 1
+                walk(child, s)
+
+        walk(tree, [])
+
+    unlisted = {k: v for k, v in found.items() if k not in ALLOW}
+    stale = {k for k in ALLOW if k not in found}
+    assert not unlisted, f"unjustified unpartitioned Window sites: {unlisted}"
+    assert not stale, f"stale allowlist entries: {stale}"
