@@ -505,6 +505,10 @@ def _energy_batches(it):
            CAST(sum(energy) AS BIGINT) AS seg_energy
     FROM active GROUP BY doc_id, grp
     """,
+    bench=True,  # mapInArrow/mapInPandas multimodal representative:
+    # the only plan family (Arrow-batched binary decode + vectorized
+    # frame fold + gaps-and-islands segmentation) previously without
+    # a frozen baseline (BASELINE.md "Round-7 re-freeze").
 )
 def multimodal_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-energy segmentation over binary payloads — the VAD /

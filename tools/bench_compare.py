@@ -41,8 +41,11 @@ BASELINE = {
     # round-6 freeze (BASELINE.md "Round-6 re-freeze"): iterative
     # pointer-jumping components representative
     "text_near_dup_cluster": 2.39,
+    # round-7 freeze (BASELINE.md "Round-7 re-freeze"): Arrow-batched
+    # multimodal decode/segmentation representative
+    "multimodal_energy_segments": 0.774,
 }
-BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 13.895
+BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 14.669
 GATE = 2.0
 
 
