@@ -2309,3 +2309,482 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_h") > float(KW_CHI2_CRIT)).alias("significant"),
         )
     )
+
+
+# ------------------------------- distribution distances (r7 wave)
+
+@register(
+    "stat_wasserstein_1d",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents,
+               sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+               lead(v_cents) OVER (ORDER BY v_cents) AS v_next
+        FROM grid
+        WINDOW w AS (ORDER BY v_cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), num AS (
+        SELECT CAST(sum(abs(cum1*n2 - cum2*n1) * (v_next - v_cents))
+               AS BIGINT) AS w1_num
+        FROM cum CROSS JOIN totals WHERE v_next IS NOT NULL
+    )
+    SELECT n1, n2,
+           {sql_q4("CAST(w1_num AS DOUBLE) / n1 / n2 / 100.0")} AS w1_dist
+    FROM num CROSS JOIN totals
+    """,
+)
+def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the 'click' and
+    'purchase' value distributions — the drift metric that, unlike
+    KS, weighs HOW FAR mass moved, not just the worst ECDF gap:
+    W1 = ∫|ECDF1 − ECDF2| dv, discretized over the cents grid as
+    Σ |cum1·n2 − cum2·n1| · gap / (n1·n2) with gap = next grid point
+    minus this one (the last grid point contributes nothing: both
+    ECDFs are 1 there).
+
+    Scale shape: hash-aggregate to the bounded cents grid FIRST, then
+    ONE bucketed-prefix pass (``global_ordered``) yields both the
+    cumulative counts and the rank used to fetch the next grid value
+    (a grid-sized self-equi-join on rank+1 — never a lead() over an
+    unpartitioned window).  The summand is an exact BIGINT
+    (|cum1·n2 − cum2·n1| ≤ n1·n2, times the cents gap; the total is
+    bounded by n1·n2·span — within int64 through ~1e9×1e9-row
+    groups × 10^7-cent spans split across, which a 100 TB run stays
+    under because the grid aggregate has already collapsed the rows),
+    so the sum is order-free and the only double is the final
+    division."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "cum1", "c2": "cum2"},
+        rank_col="rk",
+    )
+    nxt = cum.select((F.col("rk") - 1).alias("rk"), F.col("v_cents").alias("v_next"))
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    num = (
+        cum.join(nxt, "rk")
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+                )
+                * (F.col("v_next") - F.col("v_cents"))
+            )
+            .cast("long")
+            .alias("w1_num")
+        )
+    )
+    return num.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(
+            F.col("w1_num").cast("double")
+            / F.col("n1")
+            / F.col("n2")
+            / F.lit(100.0)
+        ).alias("w1_dist"),
+    )
+
+
+# Cramér–von Mises: per-gridpoint squared ECDF gap, fixed-point
+# quantized at 1e9 so the cross-engine sum is an exact integer (the
+# double square is evaluated from the same expression text on both
+# sides; rank of the quantization: (n1+n2)·1e9 stays within int64
+# through ~10^9 pooled observations — beyond that, re-scale).
+_CVM_Q = 1_000_000_000
+
+
+@register(
+    "stat_cvm_test",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents, c1, c2,
+               sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        FROM grid
+        WINDOW w AS (ORDER BY v_cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), terms AS (
+        SELECT CAST(sum((c1 + c2) * CAST(floor(
+                   pow(CAST(cum1 AS DOUBLE)/n1 - CAST(cum2 AS DOUBLE)/n2, 2)
+                   * {_CVM_Q} + 0.5) AS BIGINT)) AS BIGINT) AS tq
+        FROM cum CROSS JOIN totals
+    )
+    SELECT n1, n2,
+           {sql_q4(
+               f"CAST(tq AS DOUBLE) / {_CVM_Q}"
+               " * n1 * n2 / ((n1 + n2) * (n1 + n2)) "
+           )} AS cvm_t
+    FROM terms CROSS JOIN totals
+    """,
+)
+def stat_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between the 'click' and
+    'purchase' value distributions: T = n1·n2/(n1+n2)² ·
+    Σ_pooled (ECDF1 − ECDF2)² — KS's max replaced by the integrated
+    squared gap, so T sees cumulative small divergences KS ignores.
+
+    Scale shape: identical to stat_ks_test — bounded cents grid via
+    hash aggregate, cumulative counts through the bucketed prefix
+    machine, totals as a broadcast 1-row frame.  Each grid point's
+    squared gap is fixed-point quantized (×1e9, floor) BEFORE the
+    weighted sum, so the aggregate is an exact integer on both
+    engines (a raw double sum would be exchange-order-dependent);
+    the squared gap itself is computed from the same expression text
+    on both sides."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "cum1", "c2": "cum2"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    gap = (
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum2").cast("double") / F.col("n2")
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(
+                (F.col("c1") + F.col("c2"))
+                * F.floor(F.pow(gap, 2) * _CVM_Q + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("tq")
+        )
+    )
+    return terms.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(
+            F.col("tq").cast("double")
+            / F.lit(_CVM_Q)
+            * F.col("n1")
+            * F.col("n2")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2")))
+        ).alias("cvm_t"),
+    )
+
+
+# Per-cell chi-square contribution, fixed-point quantized at 1e6 so
+# the cross-cell sum is an exact integer; the cell count is bounded
+# by |event_type| x 7 weekdays, so the fold is metadata-sized.
+_CRV_Q = 1_000_000
+
+
+@register(
+    "stat_cramers_v",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type AS r, CAST(isodow(ts) - 1 AS BIGINT) AS c
+        FROM events
+    ), cells AS (
+        SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY r, c
+    ), rt AS (
+        SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY r
+    ), ct AS (
+        SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY c
+    ), tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c) AS BIGINT) AS nc
+        FROM cells
+    ), terms AS (
+        SELECT CAST(sum(CAST(floor(
+                   pow(CAST(o*n - rn*cn AS DOUBLE), 2)
+                   / (CAST(n AS DOUBLE) * rn * cn) * {_CRV_Q} + 0.5)
+               AS BIGINT)) AS BIGINT) AS chi_q
+        FROM cells
+        JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+    )
+    SELECT n, nr, nc,
+           {sql_q4(f"CAST(chi_q AS DOUBLE) / {_CRV_Q}")} AS chi2,
+           {sql_q4(
+               f"sqrt(CAST(chi_q AS DOUBLE) / {_CRV_Q}"
+               " / (n * (least(nr, nc) - 1)))"
+           )} AS cramers_v
+    FROM terms CROSS JOIN tot
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and weekday — the
+    normalized chi-square [0, 1] effect size for two categoricals
+    (is activity mix day-of-week dependent, and by how much).
+
+    Scale shape: ONE hash aggregate to the |types|×7 contingency
+    cells (map-side combined); row totals, column totals, and the
+    grand total all derive from the cell table (metadata-sized) and
+    join back broadcast.  The per-cell chi-square contribution
+    (o·n − r·c)²/(n·r·c) is computed from identical expression text
+    on both engines and fixed-point quantized before the cell sum,
+    so the statistic is an exact integer fold; o·n − r·c stays
+    within int64 (and is exactly representable as a double) for any
+    n the cell aggregate can produce."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("r"),
+        F.expr("CAST(weekday(ts) AS BIGINT)").alias("c"),
+    )
+    cells = e.groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("r").cast("long").alias("nr"),
+        F.count_distinct("c").cast("long").alias("nc"),
+    )
+    cell_q = F.floor(
+        F.pow((F.col("o") * F.col("n") - F.col("rn") * F.col("cn")).cast("double"), 2)
+        / (F.col("n").cast("double") * F.col("rn") * F.col("cn"))
+        * _CRV_Q
+        + 0.5
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(cell_q).cast("long").alias("chi_q"))
+    )
+    chi2 = F.col("chi_q").cast("double") / F.lit(_CRV_Q)
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "nr",
+        "nc",
+        q4(chi2).alias("chi2"),
+        q4(
+            F.sqrt(chi2 / (F.col("n") * (F.least("nr", "nc") - 1)))
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "stat_cohens_d",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), s AS (
+        SELECT
+            CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN event_type = '{KS_G1}' THEN v ELSE 0 END)
+                 AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN event_type = '{KS_G1}' THEN v*v ELSE 0 END)
+                 AS BIGINT) AS ss1,
+            CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN event_type = '{KS_G2}' THEN v ELSE 0 END)
+                 AS BIGINT) AS s2,
+            CAST(sum(CASE WHEN event_type = '{KS_G2}' THEN v*v ELSE 0 END)
+                 AS BIGINT) AS ss2
+        FROM ev
+    ), m AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE)/n1 AS m1, CAST(s2 AS DOUBLE)/n2 AS m2,
+               (ss1 - CAST(s1 AS DOUBLE)*s1/n1) AS q1,
+               (ss2 - CAST(s2 AS DOUBLE)*s2/n2) AS q2
+        FROM s
+    ), d AS (
+        SELECT n1, n2, m1, m2,
+               (m1 - m2) / sqrt((q1 + q2) / (n1 + n2 - 2)) AS d_raw
+        FROM m
+    )
+    SELECT n1, n2,
+           {sql_q4("m1 / 100.0")} AS mean1,
+           {sql_q4("m2 / 100.0")} AS mean2,
+           {sql_q4("d_raw")} AS cohens_d,
+           {sql_q4("d_raw * (1.0 - 3.0 / (4.0*(n1 + n2) - 9.0))")} AS hedges_g
+    FROM d
+    """,
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the 'click' and 'purchase' value
+    distributions (pooled-SD standardized mean difference) plus the
+    small-sample Hedges' g correction — the magnitude companion every
+    significance test (stat_welch_ttest etc.) should ship with.
+
+    Scale shape: ONE global aggregate of six exact BIGINT sufficient
+    statistics (counts, cent sums, squared-cent sums; map-side
+    combined), then pure scalar math on the 1-row result.  Both
+    engines promote the same integers to double in the same
+    expression, so parity is by construction; means are reported in
+    currency units (cents/100)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    v = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is1 = F.col("event_type") == KS_G1
+    s = e.select(F.col("event_type"), v.alias("v")).agg(
+        F.count_if(is1).cast("long").alias("n1"),
+        F.sum(F.when(is1, F.col("v")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(is1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("ss1"),
+        F.count_if(~is1).cast("long").alias("n2"),
+        F.sum(F.when(~is1, F.col("v")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(~is1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    q1 = F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    q2 = F.col("ss2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    d_raw = (m1 - m2) / F.sqrt((q1 + q2) / (F.col("n1") + F.col("n2") - 2))
+    return s.select(
+        "n1",
+        "n2",
+        q4(m1 / F.lit(100.0)).alias("mean1"),
+        q4(m2 / F.lit(100.0)).alias("mean2"),
+        q4(d_raw).alias("cohens_d"),
+        q4(
+            d_raw
+            * (
+                F.lit(1.0)
+                - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n2")) - 9.0)
+            )
+        ).alias("hedges_g"),
+    )
+
+
+PH_DELTA = "0.05"   # drift magnitude tolerance (currency units)
+PH_LAMBDA = "10.0"  # alarm threshold on the PH statistic
+
+
+@register(
+    "stat_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sc,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), cum AS (
+        SELECT d, sc, c,
+               sum(sc) OVER w AS cum_sc, sum(c) OVER w AS cum_c
+        FROM daily
+        WINDOW w AS (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), dev AS (
+        SELECT d,
+               CAST(sc AS DOUBLE)/100.0/c AS x,
+               CAST(cum_sc AS DOUBLE)/100.0/cum_c AS mu,
+               CAST(sc AS DOUBLE)/100.0/c
+                   - CAST(cum_sc AS DOUBLE)/100.0/cum_c - {PH_DELTA} AS dv
+        FROM cum
+    ), mt AS (
+        SELECT d, x, mu, sum(dv) OVER w AS mt
+        FROM dev
+        WINDOW w AS (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), m AS (
+        SELECT d, x, mu, mt, min(mt) OVER w AS mmin
+        FROM mt
+        WINDOW w AS (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) / 86400000000 AS BIGINT)
+               AS day_n,
+           {sql_q4("x")} AS day_mean,
+           {sql_q4("mu")} AS running_mean,
+           {sql_q4("mt - mmin")} AS ph_stat,
+           (mt - mmin) > {PH_LAMBDA} AS alarm
+    FROM m
+    """,
+)
+def stat_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley change detection over the daily purchase-mean
+    series: m_t = Σ_{{s≤t}} (x_s − x̄_s − δ) with x̄_s the running
+    mean, PH_t = m_t − min_{{s≤t}} m_s, alarm when PH_t > λ — the
+    classic sequential mean-shift detector (Page 1954, public) that
+    streaming drift monitors apply per batch.
+
+    Scale shape: the fact rows hash-aggregate to ONE ROW PER DAY
+    first (exact integer cent sums — map-side combined), so every
+    window below runs over the calendar-bounded daily series
+    (metadata-sized at any SF; see the unpartitioned-window census
+    in tests/test_plans.py).  The running mean is a ratio of two
+    integer cumsums; the only order-dependent double fold (the
+    deviation cumsum) runs over the same ascending-day order on both
+    engines, so parity holds."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sc"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.withColumn("cum_sc", F.sum("sc").over(w)).withColumn(
+        "cum_c", F.sum("c").over(w)
+    )
+    x = F.col("sc").cast("double") / 100.0 / F.col("c")
+    mu = F.col("cum_sc").cast("double") / 100.0 / F.col("cum_c")
+    dev = cum.select(
+        "d",
+        x.alias("x"),
+        mu.alias("mu"),
+        (x - mu - F.lit(float(PH_DELTA))).alias("dv"),
+    )
+    m = dev.withColumn("mt", F.sum("dv").over(w)).withColumn(
+        "mmin", F.min("mt").over(w)
+    )
+    return m.select(
+        F.unix_date(F.col("d")).cast("long").alias("day_n"),
+        q4(F.col("x")).alias("day_mean"),
+        q4(F.col("mu")).alias("running_mean"),
+        q4(F.col("mt") - F.col("mmin")).alias("ph_stat"),
+        ((F.col("mt") - F.col("mmin")) > F.lit(float(PH_LAMBDA))).alias("alarm"),
+    )

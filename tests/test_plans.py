@@ -488,6 +488,8 @@ def test_unpartitioned_window_census():
         # calendar-bounded daily series (~thousands of rows at any SF)
         ("operators/stats.py", "stat_runs_test"):
             "one row per day — calendar-bounded",
+        ("operators/stats.py", "stat_page_hinkley"):
+            "one row per day — calendar-bounded",
         ("operators/analytics.py", "events_ab_sequential"):
             "one row per day — calendar-bounded",
         # value-domain-bounded grids / bucket tables
