@@ -2150,3 +2150,167 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "polysyllabic_bps"
         ),
     )
+
+
+# ----------------------------------------------------- Zipf-law fit
+
+ZIPF_TOPN = 1000  # fit over the head of the rank-frequency curve
+_ZIPF_Q = 1_000_000  # fixed-point scale for ln(rank), ln(freq)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY w
+    ), ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM freq
+    ), pts AS (
+        SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * {_ZIPF_Q} + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(CAST(f AS DOUBLE)) * {_ZIPF_Q} + 0.5)
+                    AS BIGINT) AS y
+        FROM ranked WHERE rk <= {ZIPF_TOPN}
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM pts
+    )
+    SELECT n,
+           {sql_q4(
+               "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)"
+               " / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
+           )} AS zipf_slope,
+           {sql_q4(
+               f"(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*sxy"
+               f" - CAST(sx AS DOUBLE)*sy)"
+               f" / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx)"
+               f" / n / {_ZIPF_Q}"
+           )} AS log_c,
+           {sql_q4(
+               "pow(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy, 2)"
+               " / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
+               " * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))"
+           )} AS r2
+    FROM sums
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the top-N rank-frequency curve (natural text slopes
+    toward −1; heavily templated or deduplicated corpora drift away —
+    a cheap corpus-health fingerprint training-data pipelines track
+    across snapshots).
+
+    Scale shape: word frequencies are ONE hash aggregate; ranks come
+    from the bucketed prefix machine over the |vocab|-sized frequency
+    table (descending frequency, word tie-break — never an
+    unpartitioned window), the curve is cut to the top-N head, and
+    the log-log points are fixed-point quantized so the OLS
+    sufficient statistics are exact BIGINTs (the ×1e6 scales cancel
+    in the slope and r²; the intercept divides once at the end).
+    The only doubles are the three closed-form output expressions,
+    built from identical text on both engines."""
+    from ..operators.prefix import global_ordered
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = global_ordered(
+        freq,
+        [F.col("f").desc(), F.col("w")],
+        bucket_key=F.col("f"),
+        bucket_desc=True,
+        rank_col="rk",
+    )
+    pts = ranked.where(F.col("rk") <= ZIPF_TOPN).select(
+        F.floor(F.log(F.col("rk").cast("double")) * _ZIPF_Q + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * _ZIPF_Q + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    var_n = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_n = nd * F.col("syy") - syd * F.col("sy")
+    slope = cov_n / var_n
+    return sums.select(
+        "n",
+        q4(slope).alias("zipf_slope"),
+        q4((syd - slope * F.col("sx")) / F.col("n") / F.lit(_ZIPF_Q)).alias(
+            "log_c"
+        ),
+        q4(F.pow(cov_n, 2) / (var_n * vary_n)).alias("r2"),
+    )
+
+
+@register(
+    "text_hapax_stats",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        FROM words GROUP BY source, w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(f) AS BIGINT) AS tokens,
+           CAST(count_if(f = 1) AS BIGINT) AS hapax,
+           CAST(count_if(f = 2) AS BIGINT) AS dis,
+           {sql_q4("CAST(count_if(f = 1) AS DOUBLE) / count(*)")}
+               AS hapax_ratio,
+           {sql_q4("CAST(count(*) AS DOUBLE) / sum(f)")} AS type_token_ratio
+    FROM freq GROUP BY source
+    """,
+)
+def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-tail profile: vocabulary size, token
+    count, hapax legomena (frequency-1 words), dis legomena
+    (frequency-2), hapax ratio and type-token ratio — the lexical-
+    richness fingerprints that expose boilerplate-heavy or
+    machine-generated sources (low hapax ratio) before they pollute
+    a training mix.
+
+    Scale shape: explode → ONE hash aggregate to (source, word)
+    frequencies (map-side combined) → ONE aggregate to |sources|
+    rows.  All counts are exact integers; the two ratios divide once
+    per source row."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return freq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("f").cast("long").alias("tokens"),
+        F.count_if(F.col("f") == 1).cast("long").alias("hapax"),
+        F.count_if(F.col("f") == 2).cast("long").alias("dis"),
+        q4(
+            F.count_if(F.col("f") == 1).cast("double") / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+        q4(F.count(F.lit(1)).cast("double") / F.sum("f")).alias(
+            "type_token_ratio"
+        ),
+    )

@@ -5338,3 +5338,209 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4e(F.col("st")["tr"]).alias("trend"),
         q4e(F.col("st")["sse"] / (F.col("n") - 7)).alias("mse"),
     )
+
+
+# ---------------------------------------------- backlog aging (BI)
+
+# (bucket id, label, inclusive upper age bound in days); the last
+# bucket is open-ended.  Written once and rendered into BOTH the
+# Spark when-chain and the oracle CASE so the fences cannot drift.
+_AGING_BUCKETS = [
+    (0, "000-030", 30),
+    (1, "031-060", 60),
+    (2, "061-090", 90),
+    (3, "091-180", 180),
+    (4, "181-365", 365),
+    (5, "365+", None),
+]
+_AGING_SQL_CASE = "CASE " + " ".join(
+    f"WHEN age <= {hi} THEN {i}" for i, _, hi in _AGING_BUCKETS if hi
+) + f" ELSE {_AGING_BUCKETS[-1][0]} END"
+_AGING_SQL_LABEL = "CASE " + " ".join(
+    f"WHEN bkt = {i} THEN '{lab}'" for i, lab, _ in _AGING_BUCKETS
+) + " END"
+
+
+@register(
+    "orders_backlog_aging",
+    oracle=f"""
+    WITH cut AS (
+        SELECT max(o_orderdate) AS cutoff FROM orders
+    ), open_o AS (
+        SELECT CAST(datediff('day', o_orderdate, cutoff) AS BIGINT) AS age,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders CROSS JOIN cut
+        WHERE o_orderstatus IN ('O', 'P')
+    ), bucketed AS (
+        SELECT {_AGING_SQL_CASE} AS bkt, cents FROM open_o
+    ), agg AS (
+        SELECT bkt, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM bucketed GROUP BY bkt
+    ), tot AS (
+        SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM agg
+    )
+    SELECT bkt, {_AGING_SQL_LABEL} AS age_bucket, n_orders, value_cents,
+           CAST(value_cents * 10000 // total_cents AS BIGINT) AS share_bps
+    FROM agg CROSS JOIN tot
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the receivables/fulfilment BI
+    staple: every order still open (status O or P) as of the corpus
+    high-water-mark date, bucketed by age into the standard
+    0-30/31-60/61-90/91-180/181-365/365+ bands with order counts,
+    open value, and each band's share of total open value (integer
+    basis points — exact).
+
+    Scale shape: the as-of date is a broadcast 1-row aggregate; the
+    status filter pushes to the scan; ONE hash aggregate collapses
+    to ≤6 bucket rows, and the share denominator folds FROM the
+    bucket table.  Bucket fences are written once and rendered into
+    both engines' CASE chains."""
+    o = table(spark, sf_dir, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("cutoff"))
+    open_o = (
+        o.where(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.datediff(F.col("cutoff"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("age"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    bkt = F.lit(_AGING_BUCKETS[-1][0])
+    for i, _, hi in reversed(_AGING_BUCKETS[:-1]):
+        bkt = F.when(F.col("age") <= hi, i).otherwise(bkt)
+    label = F.lit(None).cast("string")
+    for i, lab, _ in _AGING_BUCKETS:
+        label = F.when(F.col("bkt") == i, lab).otherwise(label)
+    agg = (
+        open_o.select(bkt.alias("bkt"), "cents")
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+    tot = agg.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        label.alias("age_bucket"),
+        "n_orders",
+        "value_cents",
+        F.expr("value_cents * 10000 DIV total_cents")
+        .cast("long")
+        .alias("share_bps"),
+    )
+
+
+# ------------------------------- grid density clustering (DBSCAN-lite)
+
+GC_VB_W = 1000  # value-bucket width: 10 currency units in cents
+GC_MINPTS = 3   # density threshold per (day, value-bucket) cell
+_GC_CELL = 100000  # cell_id = day_n * _GC_CELL + vb (vb < _GC_CELL)
+
+
+@register(
+    "events_grid_cluster",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT CAST(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                    / 86400000000 AS BIGINT) AS day_n,
+               CAST(floor(value*100 + 0.5) AS BIGINT) // {GC_VB_W} AS vb
+        FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+        SELECT day_n, vb, day_n * {_GC_CELL} + vb AS cell_id,
+               CAST(count(*) AS BIGINT) AS n_ev
+        FROM pts GROUP BY day_n, vb
+        HAVING count(*) >= {GC_MINPTS}
+    ), edges AS (
+        SELECT a.cell_id AS u, b.cell_id AS v
+        FROM cells a
+        JOIN cells b
+          ON abs(a.day_n - b.day_n) <= 1 AND abs(a.vb - b.vb) <= 1
+    ), reach AS (
+        SELECT cell_id AS nid, cell_id AS x FROM cells
+        UNION
+        SELECT r.nid, e.v FROM reach r JOIN edges e ON e.u = r.x
+    ), labels AS (
+        SELECT nid, CAST(min(x) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY nid
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(min(day_n) AS BIGINT) AS day_lo,
+           CAST(max(day_n) AS BIGINT) AS day_hi,
+           CAST(min(vb) AS BIGINT) AS vb_lo,
+           CAST(max(vb) AS BIGINT) AS vb_hi
+    FROM labels JOIN cells ON cells.cell_id = labels.nid
+    GROUP BY cluster_id
+    """,
+)
+def events_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering of purchase activity in the
+    (day, value) plane — the DBSCAN-at-scale recipe: quantize points
+    to grid cells, keep cells with ≥ minPts points (density core),
+    connect 8-neighborhood-adjacent dense cells, and label connected
+    components.  Finds contiguous "hot regions" of spend (a promo
+    week at a price band) without any pairwise point distance — the
+    standard way density clustering survives 100 TB, since the
+    pairwise step collapses to |cells| bounded by the grid, not the
+    points.
+
+    Scale shape: ONE hash aggregate to dense grid cells
+    (value-domain × calendar bounded); neighbor edges are a bounded
+    8-way equi-join (each cell explodes to its 9 neighbor keys and
+    equi-joins back — never a distance predicate over points); the
+    component labels come from the same O(log D) pointer-jumping
+    min-label loop the dedup clusterers use (llm/dedup.py
+    ``min_label_components``: scoped checkpoints, convergence
+    guard).  The DuckDB oracle proves the labels with a recursive
+    transitive closure — tractable because the cell table is tiny."""
+    from ..llm.dedup import min_label_components
+
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    pts = e.select(
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("day_n"),
+        (F.floor(F.col("value") * 100 + 0.5).cast("long") / GC_VB_W)
+        .cast("long")
+        .alias("vb"),
+    )
+    cells = (
+        pts.groupBy("day_n", "vb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+        .where(F.col("n_ev") >= GC_MINPTS)
+        .withColumn("cell_id", F.col("day_n") * _GC_CELL + F.col("vb"))
+    )
+    nbr = (
+        cells.select("cell_id", "day_n", "vb")
+        .withColumn("dd", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dv", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            F.col("cell_id").alias("u"),
+            ((F.col("day_n") + F.col("dd")) * _GC_CELL
+             + (F.col("vb") + F.col("dv"))).alias("nkey"),
+        )
+    )
+    edges = nbr.join(
+        cells.select(F.col("cell_id").alias("nkey"), F.col("cell_id").alias("v")),
+        "nkey",
+    ).select("u", "v")
+    labels = min_label_components(edges)
+    return (
+        labels.join(cells, labels["nid"] == cells["cell_id"])
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.min("day_n").cast("long").alias("day_lo"),
+            F.max("day_n").cast("long").alias("day_hi"),
+            F.min("vb").cast("long").alias("vb_lo"),
+            F.max("vb").cast("long").alias("vb_hi"),
+        )
+    )

@@ -1165,3 +1165,277 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("w_effective"),
     )
+
+
+# -------------------------------- out-of-fold (CV) target encoding
+
+TE_CV_K = 5  # deterministic hash folds
+
+
+@register(
+    "ml_target_encoding_cv",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderpriority AS cat,
+               CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                    1, 6)) AS BIGINT) % {TE_CV_K} AS fold,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), gfc AS (
+        SELECT fold, cat, CAST(count(*) AS BIGINT) AS n_fc,
+               CAST(sum(y) AS BIGINT) AS pos_fc
+        FROM lab GROUP BY fold, cat
+    ), gc AS (
+        SELECT cat, CAST(sum(n_fc) AS BIGINT) AS n_c,
+               CAST(sum(pos_fc) AS BIGINT) AS pos_c
+        FROM gfc GROUP BY cat
+    ), gf AS (
+        SELECT fold, CAST(sum(n_fc) AS BIGINT) AS n_f,
+               CAST(sum(pos_fc) AS BIGINT) AS pos_f
+        FROM gfc GROUP BY fold
+    ), tot AS (
+        SELECT CAST(sum(n_f) AS BIGINT) AS n_all,
+               CAST(sum(pos_f) AS BIGINT) AS pos_all
+        FROM gf
+    )
+    SELECT gfc.fold, gfc.cat, gfc.n_fc,
+           {sql_q4(
+               f"(CAST(gc.pos_c - gfc.pos_fc AS DOUBLE) + {TE_PRIOR}"
+               " * (CAST(t.pos_all - gf.pos_f AS DOUBLE)"
+               " / (t.n_all - gf.n_f)))"
+               f" / (gc.n_c - gfc.n_fc + {TE_PRIOR})"
+           )} AS oof_enc
+    FROM gfc
+    JOIN gc USING (cat) JOIN gf USING (fold) CROSS JOIN tot t
+    """,
+)
+def ml_target_encoding_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD target encoding — the leakage-safe variant of
+    ml_target_encoding: rows in hash fold f receive an encoding
+    computed from every fold EXCEPT f (per-category counts minus the
+    fold's own, shrunk by a pseudo-count prior toward the
+    out-of-fold global rate).  This is the encoder the training
+    split must use; encoding with a row's own target leaks.
+
+    Fold assignment is the repo's deterministic content-hash split
+    (md5(key) mod K — stable at any parallelism, append-safe), so
+    the "split" is a pure function of the row, never a persisted
+    table.  Scale shape: ONE hash aggregate to |folds|×|categories|
+    cells; the per-category, per-fold, and global totals all fold
+    FROM that cell table (metadata-sized), and everything joins back
+    broadcast.  The fact table is touched exactly once."""
+    o = table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % TE_CV_K
+    )
+    lab = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        fold.alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    gfc = lab.groupBy("fold", "cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fc"),
+        F.sum("y").cast("long").alias("pos_fc"),
+    )
+    gc = gfc.groupBy("cat").agg(
+        F.sum("n_fc").cast("long").alias("n_c"),
+        F.sum("pos_fc").cast("long").alias("pos_c"),
+    )
+    gf = gfc.groupBy("fold").agg(
+        F.sum("n_fc").cast("long").alias("n_f"),
+        F.sum("pos_fc").cast("long").alias("pos_f"),
+    )
+    tot = gf.agg(
+        F.sum("n_f").cast("long").alias("n_all"),
+        F.sum("pos_f").cast("long").alias("pos_all"),
+    )
+    oof_rate = (F.col("pos_all") - F.col("pos_f")).cast("double") / (
+        F.col("n_all") - F.col("n_f")
+    )
+    return (
+        gfc.join(F.broadcast(gc), "cat")
+        .join(F.broadcast(gf), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "cat",
+            "n_fc",
+            q4(
+                (
+                    (F.col("pos_c") - F.col("pos_fc")).cast("double")
+                    + F.lit(TE_PRIOR) * oof_rate
+                )
+                / (F.col("n_c") - F.col("n_fc") + TE_PRIOR)
+            ).alias("oof_enc"),
+        )
+    )
+
+
+# ------------------------------------- multinomial naive Bayes (text)
+
+NB_Q = 1_000_000  # micronat quantization of per-(word,class) log-probs
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=f"""
+    WITH train_doc AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+    ), test_doc AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+    ), train_tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM train_doc
+    ), cw AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS cw
+        FROM train_tok GROUP BY lang, w
+    ), lt AS (
+        SELECT lang, CAST(sum(cw) AS BIGINT) AS tl FROM cw GROUP BY lang
+    ), vc AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cw
+    ), dl AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS dl
+        FROM train_doc GROUP BY lang
+    ), dd AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS d_all FROM dl
+    ), classes AS (
+        SELECT lt.lang, tl, dl,
+               CAST(floor(ln(1.0 / (tl + v)) * {NB_Q}) AS BIGINT) AS lp0q,
+               CAST(floor(ln(CAST(dl AS DOUBLE) / d_all) * {NB_Q})
+                    AS BIGINT) AS priorq
+        FROM lt JOIN dl USING (lang) CROSS JOIN vc CROSS JOIN dd
+    ), lp AS (
+        SELECT cw.lang, cw.w,
+               CAST(floor(ln(CAST(cw + 1 AS DOUBLE) / (tl + v)) * {NB_Q})
+                    AS BIGINT) AS lpq
+        FROM cw JOIN lt USING (lang) CROSS JOIN vc
+    ), test_cnt AS (
+        SELECT doc_id, lang AS true_lang, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM test_doc) GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT tc.doc_id, tc.true_lang, cl.lang AS cand,
+               CAST(max(cl.priorq)
+                    + sum(tc.c * coalesce(lp.lpq, cl.lp0q)) AS BIGINT)
+                   AS score_q
+        FROM test_cnt tc
+        CROSS JOIN classes cl
+        LEFT JOIN lp ON lp.lang = cl.lang AND lp.w = tc.w
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT doc_id, true_lang, cand,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_q DESC, cand) AS rk
+        FROM scored
+    )
+    SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and
+    evaluated in one query: even doc_ids train Laplace-smoothed
+    per-(word, lang) token log-probs, odd doc_ids are scored
+    (log-prior + Σ count·log-prob, OOV terms falling back to the
+    smoothed-zero class constant) and the output is the confusion
+    matrix of argmax predictions — the classic generative text
+    baseline (McCallum & Nigam 1998, public) as pure batch SQL.
+
+    Scale shape: training is two hash aggregates (token counts to
+    |vocab|×|classes| rows, then per-class totals); class-level
+    constants (vocab size, doc priors, OOV log-prob) ride broadcast
+    1-row / |classes|-row frames.  Scoring joins the test tokens to
+    the log-prob table on the word key — broadcastable when the
+    vocabulary is bounded, a plain shuffle equi-join beyond — and the
+    per-document sum is EXACT: log-probs are quantized to micronat
+    BIGINTs once per (word, class), so no double ever crosses an
+    exchange.  The argmax window is partitioned per document
+    (|classes| rows each)."""
+    d = table(spark, sf_dir, "documents")
+    train_doc = d.where(F.col("doc_id") % 2 == 0)
+    test_doc = d.where(F.col("doc_id") % 2 == 1)
+    cw = (
+        train_doc.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    )
+    lt = cw.groupBy("lang").agg(F.sum("cw").cast("long").alias("tl"))
+    vc = cw.agg(F.count_distinct("w").cast("long").alias("v"))
+    dl = train_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    dd = dl.agg(F.sum("dl").cast("long").alias("d_all"))
+    classes = (
+        lt.join(dl, "lang")
+        .crossJoin(F.broadcast(vc))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "lang",
+            "tl",
+            "dl",
+            F.floor(F.log(F.lit(1.0) / (F.col("tl") + F.col("v"))) * NB_Q)
+            .cast("long")
+            .alias("lp0q"),
+            F.floor(
+                F.log(F.col("dl").cast("double") / F.col("d_all")) * NB_Q
+            )
+            .cast("long")
+            .alias("priorq"),
+        )
+    )
+    lp = (
+        cw.join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(vc))
+        .select(
+            F.col("lang").alias("lp_lang"),
+            F.col("w").alias("lp_w"),
+            F.floor(
+                F.log((F.col("cw") + 1).cast("double") / (F.col("tl") + F.col("v")))
+                * NB_Q
+            )
+            .cast("long")
+            .alias("lpq"),
+        )
+    )
+    test_cnt = (
+        test_doc.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .groupBy("doc_id", "true_lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cand = classes.select(
+        F.col("lang").alias("cand"), "lp0q", "priorq"
+    )
+    scored = (
+        test_cnt.crossJoin(F.broadcast(cand))
+        .join(
+            lp,
+            (F.col("lp_lang") == F.col("cand")) & (F.col("lp_w") == F.col("w")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            (
+                F.max("priorq")
+                + F.sum(F.col("c") * F.coalesce(F.col("lpq"), F.col("lp0q")))
+            )
+            .cast("long")
+            .alias("score_q")
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("cand")
+    )
+    pred = scored.withColumn("rk", F.row_number().over(wp)).where(
+        F.col("rk") == 1
+    )
+    return pred.groupBy(
+        "true_lang", F.col("cand").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

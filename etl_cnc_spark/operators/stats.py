@@ -2788,3 +2788,73 @@ def stat_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("mt") - F.col("mmin")).alias("ph_stat"),
         ((F.col("mt") - F.col("mmin")) > F.lit(float(PH_LAMBDA))).alias("alarm"),
     )
+
+
+@register(
+    "ml_logreg_irls_step",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(isodow(ts) - 1 AS BIGINT) AS x2,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS t
+        FROM events
+    ), sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(count_if(t = 1) AS BIGINT) AS n_pos,
+               CAST(sum(x1) AS DOUBLE) AS s1,
+               CAST(sum(x2) AS DOUBLE) AS s2,
+               CAST(sum(x1*x1) AS DOUBLE) AS s11,
+               CAST(sum(x2*x2) AS DOUBLE) AS s22,
+               CAST(sum(x1*x2) AS DOUBLE) AS s12,
+               CAST(sum(t) AS DOUBLE) AS sy,
+               CAST(sum(x1*t) AS DOUBLE) AS s1y,
+               CAST(sum(x2*t) AS DOUBLE) AS s2y
+        FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_pos,
+           {sql_q4(f"2.0 * {_LR_D0} / {_LR_DET}")} AS b0,
+           {sql_q4(f"2.0 * {_LR_D1} / {_LR_DET}")} AS b1,
+           {sql_q4(f"2.0 * {_LR_D2} / {_LR_DET}")} AS b2
+    FROM sums
+    """,
+)
+def ml_logreg_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact IRLS (Newton) step for logistic regression of
+    "is this a purchase event" on hour-of-day and weekday, from
+    β = 0 — the distributed-GLM building block: at β = 0 every
+    predicted probability is ½, the IRLS weight matrix is I/4, and
+    the step collapses to β₁ = 4·(XᵀX)⁻¹ Xᵀ(y − ½) =
+    2·(XᵀX)⁻¹ Xᵀt with t = 2y − 1 ∈ {{−1, +1}}.  A full fit is
+    this map-reduce step iterated; one step is already the
+    production shape (each iteration = one aggregation pass).
+
+    Scale shape: ONE hash aggregate of ten exact BIGINT sufficient
+    statistics (map-side combined — x1 ≤ 23, x2 ≤ 6, t = ±1, so all
+    sums are exact), then the same shared-text Cramer's-rule 3×3
+    solve ``stat_linreg_multi`` uses (_LR_DET/_LR_D*), evaluated
+    identically on both engines.  No gradient loops over the data,
+    no feature-matrix materialization."""
+    e = table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("x1"),
+        F.expr("CAST(weekday(ts) AS BIGINT)").alias("x2"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("t"),
+    )
+    sums = e.agg(
+        F.count("*").cast("double").alias("n"),
+        F.count_if(F.col("t") == 1).cast("long").alias("n_pos"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("t").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("t")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("t")).cast("double").alias("s2y"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        "n_pos",
+        q4(F.expr(f"2.0 * {_LR_D0} / {_LR_DET}")).alias("b0"),
+        q4(F.expr(f"2.0 * {_LR_D1} / {_LR_DET}")).alias("b1"),
+        q4(F.expr(f"2.0 * {_LR_D2} / {_LR_DET}")).alias("b2"),
+    )

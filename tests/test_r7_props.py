@@ -117,3 +117,188 @@ def test_page_hinkley_matches_numpy(spark, sf_dir):
     for r, want in zip(rows, ph):
         assert abs(r["ph_stat"] - want) < 1e-3
         assert r["alarm"] == (want > 10.0)
+
+
+def test_logreg_step_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT hour(ts), isodow(ts) - 1,"
+        " CASE WHEN event_type='purchase' THEN 1.0 ELSE 0.0 END FROM events"
+    ).fetchall()
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([float(r[2]) for r in rows])
+    # one Newton step from beta=0: (X'WX)^-1 X'(y-0.5), W = I/4
+    beta = np.linalg.solve(X.T @ X / 4.0, X.T @ (y - 0.5))
+    got = REGISTRY["ml_logreg_irls_step"].build(spark, sf_dir).collect()[0]
+    assert got["n"] == len(y) and got["n_pos"] == int(y.sum())
+    for b, name in zip(beta, ("b0", "b1", "b2")):
+        assert abs(got[name] - b) < 1e-3, (name, b, got[name])
+
+
+def test_cv_target_encoding_is_leakage_free(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT o_orderpriority,"
+        " CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))"
+        "      AS BIGINT) % 5,"
+        " CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+        " FROM orders"
+    ).fetchall()
+    got = {
+        (r["fold"], r["cat"]): r
+        for r in REGISTRY["ml_target_encoding_cv"].build(spark, sf_dir).collect()
+    }
+    n = Counter()
+    pos = Counter()
+    for cat, fold, y in rows:
+        n[(fold, cat)] += 1
+        pos[(fold, cat)] += y
+    n_all = sum(n.values())
+    pos_all = sum(pos.values())
+    for (fold, cat), r in got.items():
+        n_fc, pos_fc = n[(fold, cat)], pos[(fold, cat)]
+        n_c = sum(v for (f, c), v in n.items() if c == cat)
+        pos_c = sum(v for (f, c), v in pos.items() if c == cat)
+        n_f = sum(v for (f, c), v in n.items() if f == fold)
+        pos_f = sum(v for (f, c), v in pos.items() if f == fold)
+        oof_rate = (pos_all - pos_f) / (n_all - n_f)
+        want = ((pos_c - pos_fc) + 20 * oof_rate) / (n_c - n_fc + 20)
+        assert r["n_fc"] == n_fc
+        assert abs(r["oof_enc"] - want) < 1e-3
+
+
+def test_naive_bayes_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute(
+        "SELECT doc_id, lang, text FROM documents"
+    ).fetchall()
+    cw = Counter()
+    tl = Counter()
+    dl = Counter()
+    vocab = set()
+    for did, lang, text in docs:
+        if did % 2 == 0:
+            for w in text.split(" "):
+                cw[(lang, w)] += 1
+                tl[lang] += 1
+                vocab.add(w)
+            dl[lang] += 1
+    V = len(vocab)
+    D = sum(dl.values())
+    langs = sorted(dl)
+    confusion = Counter()
+    for did, lang, text in docs:
+        if did % 2 == 1:
+            toks = Counter(text.split(" "))
+            best = None
+            for cand in langs:
+                s = math.floor(math.log(dl[cand] / D) * 1e6)
+                for w, c in toks.items():
+                    lp = (
+                        math.floor(
+                            math.log((cw[(cand, w)] + 1) / (tl[cand] + V)) * 1e6
+                        )
+                        if (cand, w) in cw
+                        else math.floor(math.log(1 / (tl[cand] + V)) * 1e6)
+                    )
+                    s += c * lp
+                if best is None or s > best[0] or (s == best[0] and cand < best[1]):
+                    best = (s, cand)
+            confusion[(lang, best[1])] += 1
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in REGISTRY["ml_naive_bayes"].build(spark, sf_dir).collect()
+    }
+    assert got == dict(confusion)
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    freqs = [
+        r[0]
+        for r in con.execute(
+            "SELECT count(*) AS f FROM (SELECT unnest(string_split(text, ' '))"
+            " AS w FROM documents) GROUP BY w ORDER BY f DESC, w LIMIT 1000"
+        ).fetchall()
+    ]
+    x = np.log(np.arange(1, len(freqs) + 1))
+    y = np.log(np.array(freqs, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    got = REGISTRY["text_zipf_fit"].build(spark, sf_dir).collect()[0]
+    assert got["n"] == len(freqs)
+    assert abs(got["zipf_slope"] - slope) < 1e-3
+    assert abs(got["log_c"] - intercept) < 1e-2
+    assert -3.0 < got["zipf_slope"] < -0.1  # a text corpus, not noise
+
+
+def test_hapax_stats_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    docs = con.execute("SELECT source, text FROM documents").fetchall()
+    freq = {}
+    for src, text in docs:
+        c = freq.setdefault(src, Counter())
+        for w in text.split(" "):
+            c[w] += 1
+    got = {r["source"]: r for r in
+           REGISTRY["text_hapax_stats"].build(spark, sf_dir).collect()}
+    assert set(got) == set(freq)
+    for src, c in freq.items():
+        r = got[src]
+        assert r["vocab"] == len(c)
+        assert r["tokens"] == sum(c.values())
+        assert r["hapax"] == sum(1 for v in c.values() if v == 1)
+        assert r["dis"] == sum(1 for v in c.values() if v == 2)
+
+
+def test_backlog_aging_partitions_open_orders(spark, sf_dir):
+    con = _con(sf_dir)
+    n_open, v_open = con.execute(
+        "SELECT count(*), sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))"
+        " FROM orders WHERE o_orderstatus IN ('O','P')"
+    ).fetchone()
+    rows = REGISTRY["orders_backlog_aging"].build(spark, sf_dir).collect()
+    assert sum(r["n_orders"] for r in rows) == n_open
+    assert sum(r["value_cents"] for r in rows) == v_open
+    assert 9990 <= sum(r["share_bps"] for r in rows) <= 10000  # floor rounding
+    assert all(0 <= r["bkt"] <= 5 for r in rows)
+
+
+def test_grid_cluster_labels_are_connected_and_complete(spark, sf_dir):
+    con = _con(sf_dir)
+    cells = con.execute(
+        "SELECT CAST(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))"
+        " / 86400000000 AS BIGINT),"
+        " CAST(floor(value*100+0.5) AS BIGINT) // 1000, count(*)"
+        " FROM events WHERE event_type = 'purchase'"
+        " GROUP BY 1, 2 HAVING count(*) >= 3"
+    ).fetchall()
+    # python union-find over the 8-neighborhood
+    parent = {}
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+    ids = {(d, v): d * 100000 + v for d, v, _ in cells}
+    for k in ids.values():
+        parent[k] = k
+    for (d, v), k in ids.items():
+        for dd in (-1, 0, 1):
+            for dv in (-1, 0, 1):
+                nb = ids.get((d + dd, v + dv))
+                if nb is not None:
+                    ra, rb = find(k), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    comp = Counter()
+    ev = Counter()
+    for (d, v), k in ids.items():
+        comp[find(k)] += 1
+    # min-label == find root only after full path compression
+    roots = {k: find(k) for k in ids.values()}
+    want = Counter(roots.values())
+    got = {r["cluster_id"]: r["n_cells"] for r in
+           REGISTRY["events_grid_cluster"].build(spark, sf_dir).collect()}
+    # same clusters: python root is the min id reachable by union-find
+    # with min-root merging, matching the engine's min-label semantics
+    assert got == dict(want)
