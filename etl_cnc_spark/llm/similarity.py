@@ -2487,3 +2487,111 @@ def sim_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top1_before",
         F.col("top1_after").cast("long").alias("top1_after"),
     )
+
+
+# --------------------------------------- isotonic recalibration (PAV)
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y,
+               least(9, greatest(0,
+                   CAST(floor((({_SCORE_SQL}) + 3.0) / 0.6) AS BIGINT)))
+                   AS bin
+        FROM embeddings
+    ), bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(y = 1) AS BIGINT) AS pos
+        FROM scored GROUP BY bin
+    ), pairs AS (
+        SELECT a.bin AS j, b.bin AS k,
+               CAST(sum(c.pos) AS BIGINT) AS pos_jk,
+               CAST(sum(c.n) AS BIGINT) AS n_jk
+        FROM bins a JOIN bins b ON a.bin <= b.bin
+        JOIN bins c ON c.bin BETWEEN a.bin AND b.bin
+        GROUP BY a.bin, b.bin
+    ), inner_min AS (
+        SELECT p.j, i.bin AS i,
+               min(CAST(p.pos_jk AS DOUBLE) / p.n_jk) AS mn
+        FROM pairs p JOIN bins i ON p.j <= i.bin AND i.bin <= p.k
+        GROUP BY p.j, i.bin
+    ), iso AS (
+        SELECT i, max(mn) AS iso_rate
+        FROM inner_min WHERE j <= i GROUP BY i
+    )
+    SELECT bins.bin, bins.n, bins.pos,
+           {sql_q4("CAST(bins.pos AS DOUBLE) / bins.n")} AS raw_rate,
+           {sql_q4("iso_rate")} AS iso_rate
+    FROM bins JOIN iso ON iso.i = bins.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the scorer, fit on the
+    ml_calibration_bins reliability table: the monotone step
+    function closest to the observed per-bin positive rates in L2,
+    computed by the CLOSED-FORM minimax identity
+    iso[i] = max_{{j≤i}} min_{{k≥i}} mean(y[j..k]) — equivalent to
+    pool-adjacent-violators but with no sequential pooling loop, so
+    it distributes (Ayer et al. 1955; Barlow et al. 1972, public).
+
+    Scale shape: the data-sized work is ONE hash aggregate to the
+    fixed 10-bin table (scores from the shared bit-identical fold);
+    the minimax then runs over bounded bin-triple joins — ≤ K³ = 1000
+    metadata rows regardless of corpus size.  Interval means are
+    exact integer ratios; both engines compare the identical doubles,
+    so the argmax/argmin selections agree.  The recalibrated
+    ``iso_rate`` column is what a serving layer would look up by
+    score bin."""
+    e = table(spark, sf_dir, "embeddings")
+    score = _score_col()
+    bins = (
+        e.select(
+            (F.col("label") % 2).alias("y"),
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0), F.floor((score + 3.0) / 0.6).cast("long")
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_if(F.col("y") == 1).cast("long").alias("pos"),
+        )
+    )
+    a = bins.select(F.col("bin").alias("j"))
+    b = bins.select(F.col("bin").alias("k"))
+    c = bins.select(F.col("bin").alias("cb"), "n", "pos")
+    pairs = (
+        a.join(b, F.col("j") <= F.col("k"))
+        .join(c, (F.col("cb") >= F.col("j")) & (F.col("cb") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg(
+            F.sum("pos").cast("long").alias("pos_jk"),
+            F.sum("n").cast("long").alias("n_jk"),
+        )
+    )
+    i_bins = bins.select(F.col("bin").alias("i"))
+    inner_min = (
+        pairs.join(
+            i_bins, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k"))
+        )
+        .groupBy("j", "i")
+        .agg(
+            F.min(F.col("pos_jk").cast("double") / F.col("n_jk")).alias("mn")
+        )
+    )
+    iso = (
+        inner_min.where(F.col("j") <= F.col("i"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("iso_rate"))
+    )
+    return bins.join(iso, bins["bin"] == iso["i"]).select(
+        "bin",
+        "n",
+        "pos",
+        q4(F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
+        q4(F.col("iso_rate")).alias("iso_rate"),
+    )

@@ -5544,3 +5544,249 @@ def events_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vb").cast("long").alias("vb_hi"),
         )
     )
+
+
+# ----------------------------- Croston intermittent-demand forecast
+
+CR_A = "0.1"      # smoothing constant for both size and interval
+CR_VTHRESH = 200  # big-ticket threshold making the series intermittent
+
+
+@register(
+    "events_croston",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d, d0
+        FROM bounds
+    ), daily AS (
+        SELECT CAST(ts AS DATE) AS dd, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type = 'purchase' AND value >= {CR_VTHRESH}
+        GROUP BY 1
+    ), dense AS (
+        SELECT CAST(datediff('day', d0, d) AS BIGINT) AS t,
+               coalesce(n, 0) AS y
+        FROM days LEFT JOIN daily ON dd = d
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndem
+        FROM dense
+    ), cr AS (
+        SELECT CAST(-1 AS BIGINT) AS i, CAST(0 AS DOUBLE) AS z,
+               CAST(0 AS DOUBLE) AS p, CAST(0 AS BIGINT) AS q, 0 AS started
+        UNION ALL
+        SELECT c.i + 1,
+               CASE WHEN d.y > 0 AND c.started = 0 THEN CAST(d.y AS DOUBLE)
+                    WHEN d.y > 0 THEN {CR_A}*d.y + 0.9*c.z
+                    ELSE c.z END,
+               CASE WHEN d.y > 0 AND c.started = 0
+                        THEN CAST(c.q + 1 AS DOUBLE)
+                    WHEN d.y > 0 THEN {CR_A}*(c.q + 1) + 0.9*c.p
+                    ELSE c.p END,
+               CASE WHEN d.y > 0 THEN 0 ELSE c.q + 1 END,
+               CASE WHEN d.y > 0 THEN 1 ELSE c.started END
+        FROM cr c JOIN dense d ON d.t = c.i + 1
+    )
+    SELECT n AS n_periods, ndem AS n_demand_days,
+           {sql_q4("z")} AS demand_level,
+           {sql_q4("p")} AS interval_level,
+           {sql_q4("z / p")} AS croston_forecast,
+           {sql_q4("(1.0 - {a}/2.0) * z / p".format(a=CR_A))} AS sba_forecast
+    FROM cr CROSS JOIN nn WHERE i = n - 1 AND started = 1
+    """,
+)
+def events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972; SBA
+    bias correction: Syntetos & Boylan 2005 — both public): the
+    daily count of big-ticket purchases (value ≥ {CR_VTHRESH}) is
+    mostly zeros, which wrecks plain exponential smoothing; Croston
+    smooths the nonzero demand SIZES and the inter-demand INTERVALS
+    as two coupled EWMAs that only update on demand days, and
+    forecasts size/interval.
+
+    Same Spark-first recursion shape as events_holt: the calendar-
+    bounded dense series collects into ONE sorted array and the
+    coupled state (size, interval, gap counter, started flag) folds
+    through a single JVM-side F.aggregate — sequential exactly where
+    the math is, zero Python, and the DuckDB oracle replays the
+    identical recursion as a recursive CTE.  The data-sized work is
+    one filtered hash aggregate to daily counts."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"), "d0"
+    )
+    daily = (
+        e.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= CR_VTHRESH)
+        )
+        .groupBy(F.col("ts").cast("date").alias("dd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dense = (
+        F.broadcast(days)
+        .join(F.broadcast(daily), F.col("d") == F.col("dd"), "left")
+        .select(
+            F.datediff("d", "d0").cast("long").alias("t"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    ser = dense.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("y")))
+        ).alias("arr")
+    )
+    a = float(CR_A)
+    acc0 = F.struct(
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        F.lit(0).cast("long").alias("q"),
+        F.lit(0).alias("started"),
+    )
+
+    def step(acc, e_):
+        y = e_["y"]
+        yd = y.cast("double")
+        demand = y > 0
+        fresh = demand & (acc["started"] == 0)
+        return F.struct(
+            F.when(fresh, yd)
+            .when(demand, F.lit(a) * yd + F.lit(0.9) * acc["z"])
+            .otherwise(acc["z"])
+            .alias("z"),
+            F.when(fresh, (acc["q"] + 1).cast("double"))
+            .when(
+                demand,
+                F.lit(a) * (acc["q"] + 1).cast("double")
+                + F.lit(0.9) * acc["p"],
+            )
+            .otherwise(acc["p"])
+            .alias("p"),
+            F.when(demand, F.lit(0).cast("long"))
+            .otherwise(acc["q"] + 1)
+            .alias("q"),
+            F.when(demand, F.lit(1)).otherwise(acc["started"]).alias("started"),
+        )
+
+    folded = ser.select(
+        F.size("arr").cast("long").alias("n_periods"),
+        F.aggregate(
+            F.col("arr"), F.lit(0).cast("long"),
+            lambda acc, e_: acc + F.when(e_["y"] > 0, 1).otherwise(0)
+        ).alias("n_demand_days"),
+        F.aggregate(F.col("arr"), acc0, step).alias("st"),
+    ).where(F.col("st")["started"] == 1)
+    z = F.col("st")["z"]
+    p = F.col("st")["p"]
+    return folded.select(
+        "n_periods",
+        "n_demand_days",
+        q4(z).alias("demand_level"),
+        q4(p).alias("interval_level"),
+        q4(z / p).alias("croston_forecast"),
+        q4((F.lit(1.0) - F.lit(a) / 2.0) * z / p).alias("sba_forecast"),
+    )
+
+
+# --------------------------------------------- Lorenz decile table
+
+@register(
+    "events_lorenz_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, user_id) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM per_user
+    ), dec AS (
+        SELECT CASE WHEN rk <= (n % 10) * (n // 10 + 1)
+                    THEN (rk - 1) // (n // 10 + 1) + 1
+                    ELSE (n % 10) + (rk - (n % 10) * (n // 10 + 1) - 1)
+                         // (n // 10) + 1 END AS decile,
+               cents
+        FROM ranked
+    ), agg AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM dec GROUP BY decile
+    ), cum AS (
+        SELECT decile, n_users, value_cents,
+               CAST(sum(value_cents) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_value_cents,
+               CAST(sum(value_cents) OVER () AS BIGINT) AS total
+        FROM agg
+    )
+    SELECT decile, n_users, value_cents, cum_value_cents,
+           CAST(cum_value_cents * 10000 // total AS BIGINT) AS cum_share_bps
+    FROM cum
+    """,
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration table of purchase value: spenders sorted
+    ascending, cut into exact SQL-ntile deciles, each reporting its
+    user count, value, and the CUMULATIVE share of total spend in
+    integer basis points — the "bottom 50% of customers hold 8% of
+    revenue" table behind every concentration/Gini chart (the curve
+    events_gini integrates).
+
+    Scale shape: per-user rollup (one hash aggregate) → global ranks
+    through the bucketed prefix machine (value-derived buckets, never
+    an unpartitioned window over users) → exact ntile_from_rank
+    deciles → 10-row epilogue; the only window over an unpartitioned
+    spec runs on the 10-row decile table.  All sums are integer
+    cents; shares are exact floor-division basis points."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_ordered(
+        per_user,
+        [F.col("cents"), F.col("user_id")],
+        bucket_key="cents",
+        rank_col="rk",
+    )
+    n1 = per_user.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = ranked.crossJoin(F.broadcast(n1)).select(
+        ntile_from_rank(F.col("rk"), F.col("n"), 10).alias("decile"),
+        "cents",
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.withColumn(
+        "cum_value_cents", F.sum("value_cents").over(wc).cast("long")
+    ).withColumn(
+        "total",
+        F.sum("value_cents")
+        .over(Window.partitionBy())
+        .cast("long"),
+    )
+    return cum.select(
+        "decile",
+        "n_users",
+        "value_cents",
+        "cum_value_cents",
+        F.expr("cum_value_cents * 10000 DIV total")
+        .cast("long")
+        .alias("cum_share_bps"),
+    )

@@ -2858,3 +2858,241 @@ def ml_logreg_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.expr(f"2.0 * {_LR_D1} / {_LR_DET}")).alias("b1"),
         q4(F.expr(f"2.0 * {_LR_D2} / {_LR_DET}")).alias("b2"),
     )
+
+
+# Anderson–Darling per-gridpoint term, fixed-point quantized at 1e6
+# (same discipline as _CVM_Q): the double term is built from exactly
+# representable integers via identical expression text on both
+# engines, floored once, then summed as exact BIGINTs.
+_AD_Q = 1_000_000
+
+
+@register(
+    "stat_anderson_darling",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents, c1, c2,
+               sum(c1) OVER w AS m1, sum(c1 + c2) OVER w AS b
+        FROM grid
+        WINDOW w AS (ORDER BY v_cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 + c2) AS BIGINT) AS nn
+        FROM grid
+    ), terms AS (
+        SELECT CAST(sum(CAST(floor(
+                   (c1 + c2) * pow(CAST(nn*m1 - n1*b AS DOUBLE), 2)
+                   / (CAST(b AS DOUBLE) * (nn - b)) * {_AD_Q} + 0.5)
+               AS BIGINT)) AS BIGINT) AS tq
+        FROM cum CROSS JOIN totals WHERE b < nn
+    )
+    SELECT n1, n2,
+           {sql_q4(f"CAST(tq AS DOUBLE) / {_AD_Q} / n1 / n2")} AS ad_a2
+    FROM terms CROSS JOIN totals
+    """,
+)
+def stat_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling statistic between the 'click' and
+    'purchase' value distributions — the ECDF-test-trio completion
+    (KS = worst gap, CvM = integrated square, AD = integrated square
+    weighted by 1/(H(1−H)), so TAIL differences count): the
+    tie-aware discrete form of Scholz & Stephens (1987, public),
+    A² = (1/(n1·n2)) Σ_j w_j·(N·M1j − n1·Bj)² / (Bj·(N−Bj)) over
+    distinct pooled values (the Bj = N term is excluded; its
+    numerator is identically zero).
+
+    Scale shape: the stat_ks_test template — bounded cents grid,
+    cumulative counts through the bucketed prefix machine, totals
+    broadcast; the per-gridpoint term is fixed-point quantized before
+    the fold so the sum is an exact integer, and N·M1j − n1·Bj is an
+    exact BIGINT promoted once to double."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    grid = grid.withColumn("cb", F.col("c1") + F.col("c2"))
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "m1", "cb": "b"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum("cb").cast("long").alias("nn"),
+    )
+    num = (F.col("nn") * F.col("m1") - F.col("n1") * F.col("b")).cast("double")
+    term = F.floor(
+        (F.col("c1") + F.col("c2"))
+        * F.pow(num, 2)
+        / (F.col("b").cast("double") * (F.col("nn") - F.col("b")))
+        * _AD_Q
+        + 0.5
+    ).cast("long")
+    terms = (
+        cum.crossJoin(F.broadcast(totals))
+        .where(F.col("b") < F.col("nn"))
+        .agg(F.sum(term).cast("long").alias("tq"))
+    )
+    return terms.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(
+            F.col("tq").cast("double") / F.lit(_AD_Q) / F.col("n1") / F.col("n2")
+        ).alias("ad_a2"),
+    )
+
+
+# Abramowitz & Stegun 26.2.17 normal upper-tail approximation
+# (|error| < 7.5e-8), written ONCE as text over the columns az = |z|
+# and tt = 1/(1 + 0.2316419·az) so both engines evaluate the
+# identical IEEE expression tree.
+_PHI_TAIL = (
+    "(exp(-az*az/2.0) / 2.5066282746310002"
+    " * ((((1.330274429*tt - 1.821255978)*tt + 1.781477937)*tt"
+    " - 0.356563782)*tt + 0.319381530)*tt)"
+)
+BH_ALPHA = "0.05"
+
+
+@register(
+    "stat_benjamini_hochberg",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN isodow(ts) - 1 IN (5, 6) THEN 1 ELSE 0 END AS we,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(count_if(we = 1) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN we = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN we = 1 THEN v*v ELSE 0 END) AS BIGINT)
+                   AS ss1,
+               CAST(count_if(we = 0) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN we = 0 THEN v ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN we = 0 THEN v*v ELSE 0 END) AS BIGINT)
+                   AS ss2
+        FROM ev GROUP BY event_type
+    ), z AS (
+        SELECT event_type, n1, n2,
+               (CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2)
+               / sqrt((ss1 - CAST(s1 AS DOUBLE)*s1/n1)/(n1 - 1)/n1
+                    + (ss2 - CAST(s2 AS DOUBLE)*s2/n2)/(n2 - 1)/n2) AS zv
+        FROM s
+    ), p AS (
+        SELECT event_type, n1, n2, zv, az, tt,
+               2.0 * {_PHI_TAIL} AS pv
+        FROM (SELECT *, abs(zv) AS az, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt
+              FROM z)
+    ), ranked AS (
+        SELECT event_type, n1, n2, zv, pv,
+               row_number() OVER (ORDER BY pv, event_type) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM p
+    ), kstar AS (
+        SELECT coalesce(max(CASE WHEN pv <= {BH_ALPHA} * rk / m
+                                 THEN rk END), 0) AS k
+        FROM ranked
+    )
+    SELECT event_type, n1, n2,
+           {sql_q4("zv")} AS z,
+           {sql_q4("pv")} AS p_value,
+           CAST(rk AS BIGINT) AS p_rank,
+           rk <= k AS rejected
+    FROM ranked CROSS JOIN kstar
+    """,
+)
+def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a family of hypotheses
+    — one weekend-vs-weekday mean-value z-test per event type, with
+    the step-up procedure (reject the k smallest p-values where k is
+    the largest rank with p_(k) ≤ α·k/m) that controls the false
+    discovery rate when many segments are tested at once (Benjamini
+    & Hochberg 1995, public).
+
+    Scale shape: ONE hash aggregate of exact integer sufficient
+    statistics per type; everything after runs on the |event types|-
+    row family table (domain-bounded — see the unpartitioned-window
+    census).  The normal tail probability uses the shared-text
+    Abramowitz–Stegun polynomial (exp is the only transcendental),
+    so both engines produce bit-identical p-values and the step-up
+    comparisons cannot disagree."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CASE WHEN weekday(ts) IN (5, 6) THEN 1 ELSE 0 END").alias(
+            "we"
+        ),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    is1 = F.col("we") == 1
+    s = e.groupBy("event_type").agg(
+        F.count_if(is1).cast("long").alias("n1"),
+        F.sum(F.when(is1, F.col("v")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(is1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("ss1"),
+        F.count_if(~is1).cast("long").alias("n2"),
+        F.sum(F.when(~is1, F.col("v")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(~is1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("ss2"),
+    )
+    zv = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s2").cast("double") / F.col("n2")
+    ) / F.sqrt(
+        (F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+        + (F.col("ss2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    z = s.select("event_type", "n1", "n2", zv.alias("zv"))
+    p = z.withColumn("az", F.abs(F.col("zv"))).withColumn(
+        "tt", F.lit(1.0) / (F.lit(1.0) + 0.2316419 * F.col("az"))
+    ).withColumn("pv", F.expr(f"2.0 * {_PHI_TAIL}"))
+    wr = Window.orderBy("pv", "event_type")
+    ranked = p.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pv")
+                    <= F.lit(float(BH_ALPHA)) * F.col("rk") / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "n1",
+        "n2",
+        q4(F.col("zv")).alias("z"),
+        q4(F.col("pv")).alias("p_value"),
+        F.col("rk").cast("long").alias("p_rank"),
+        (F.col("rk") <= F.col("k")).alias("rejected"),
+    )

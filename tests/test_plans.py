@@ -490,6 +490,11 @@ def test_unpartitioned_window_census():
             "one row per day — calendar-bounded",
         ("operators/stats.py", "stat_page_hinkley"):
             "one row per day — calendar-bounded",
+        ("operators/stats.py", "stat_benjamini_hochberg"):
+            "one row per event_type — domain-bounded hypothesis family",
+        ("operators/analytics.py", "events_lorenz_curve"):
+            "10-row decile table (user ranks go through the prefix "
+            "machine)",
         ("operators/analytics.py", "events_ab_sequential"):
             "one row per day — calendar-bounded",
         # value-domain-bounded grids / bucket tables

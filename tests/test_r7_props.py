@@ -302,3 +302,152 @@ def test_grid_cluster_labels_are_connected_and_complete(spark, sf_dir):
     # same clusters: python root is the min id reachable by union-find
     # with min-root merging, matching the engine's min-label semantics
     assert got == dict(want)
+
+
+def test_anderson_darling_matches_numpy(spark, sf_dir):
+    a, b = _two_sample_cents(sf_dir)
+    row = REGISTRY["stat_anderson_darling"].build(spark, sf_dir).collect()[0]
+    grid, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    m1 = np.searchsorted(a, grid, side="right").astype(float)
+    bb = m1 + np.searchsorted(b, grid, side="right")
+    n1, n2 = len(a), len(b)
+    N = n1 + n2
+    keep = bb < N
+    a2 = float(
+        np.sum(
+            counts[keep]
+            * (N * m1[keep] - n1 * bb[keep]) ** 2
+            / (bb[keep] * (N - bb[keep]))
+        )
+    ) / (n1 * n2)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["ad_a2"] - a2) < 1e-3
+
+
+def test_benjamini_hochberg_stepup(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["stat_benjamini_hochberg"].build(spark, sf_dir).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    m = len(rows)
+    # p-values ascend with rank; the reject set is a prefix and obeys
+    # the step-up rule computed independently here
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    kstar = max(
+        (i + 1 for i, p in enumerate(ps) if p <= 0.05 * (i + 1) / m),
+        default=0,
+    )
+    for i, r in enumerate(rows):
+        assert r["rejected"] == (i + 1 <= kstar)
+    # sanity vs an erf-based normal tail: the A&S polynomial agrees
+    for r in rows:
+        exact = 2 * (1 - 0.5 * (1 + math.erf(abs(r["z"]) / math.sqrt(2))))
+        assert abs(r["p_value"] - exact) < 1e-3
+
+
+def test_isotonic_calibration_is_monotone_l2_optimal(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["ml_isotonic_calibration"].build(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)  # monotone nondecreasing
+    # PAV reference implementation on the same bins
+    blocks = [[r["pos"], r["n"]] for r in rows]
+    stack = []
+    for pos, n in blocks:
+        stack.append([pos, n])
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            p2, n2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+    want = []
+    for pos, n in stack:
+        want.extend([pos / n] * 0)  # lengths handled below
+    # expand pooled blocks back to bins
+    expanded = []
+    i = 0
+    for pos, n in stack:
+        # count how many original bins this block covers
+        acc_n = 0
+        j = i
+        while acc_n < n:
+            acc_n += blocks[j][1]
+            j += 1
+        expanded.extend([pos / n] * (j - i))
+        i = j
+    for got, ref in zip(iso, expanded):
+        assert abs(got - ref) < 1e-3
+
+
+def test_croston_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    daily = dict(
+        con.execute(
+            "SELECT CAST(ts AS DATE), count(*) FROM events"
+            " WHERE event_type='purchase' AND value >= 200 GROUP BY 1"
+        ).fetchall()
+    )
+    d0, d1 = con.execute(
+        "SELECT min(CAST(ts AS DATE)), max(CAST(ts AS DATE)) FROM events"
+    ).fetchone()
+    import datetime
+    ys = []
+    d = d0
+    while d <= d1:
+        ys.append(daily.get(d, 0))
+        d += datetime.timedelta(days=1)
+    z = p = 0.0
+    q = 0
+    started = False
+    nd = 0
+    for y in ys:
+        if y > 0:
+            nd += 1
+            if not started:
+                z, p, started = float(y), float(q + 1), True
+            else:
+                z = 0.1 * y + 0.9 * z
+                p = 0.1 * (q + 1) + 0.9 * p
+            q = 0
+        else:
+            q += 1
+    rows = REGISTRY["events_croston"].build(spark, sf_dir).collect()
+    if not started:
+        assert rows == []
+        return
+    r = rows[0]
+    assert r["n_periods"] == len(ys) and r["n_demand_days"] == nd
+    assert abs(r["demand_level"] - z) < 1e-3
+    assert abs(r["interval_level"] - p) < 1e-3
+    assert abs(r["croston_forecast"] - z / p) < 1e-3
+
+
+def test_lorenz_curve_is_concentration_table(spark, sf_dir):
+    con = _con(sf_dir)
+    vals = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT sum(CAST(floor(value*100+0.5) AS BIGINT)) FROM events"
+            " WHERE event_type='purchase' GROUP BY user_id"
+        ).fetchall()
+    )
+    rows = sorted(
+        REGISTRY["events_lorenz_curve"].build(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert sum(r["n_users"] for r in rows) == len(vals)
+    assert sum(r["value_cents"] for r in rows) == sum(vals)
+    # cumulative column is the prefix sum; shares ascend to ~10000
+    run = 0
+    for r in rows:
+        run += r["value_cents"]
+        assert r["cum_value_cents"] == run
+    assert rows[-1]["cum_share_bps"] == 10000
+    bps = [r["cum_share_bps"] for r in rows]
+    assert bps == sorted(bps)
+    # ascending sort: the bottom decile holds the smallest share
+    assert rows[0]["value_cents"] * len(rows) <= sum(vals)
