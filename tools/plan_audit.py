@@ -281,6 +281,18 @@ EXTRA_KEYS = [
     "events_survival", "events_cusum", "orders_market_basket",
     "events_sequence_match",
     "pipeline_rag_corpus", "pipeline_mix_temperature", "text_repetition",
+    # r7 new-operator waves: ECDF-distance grid folds (must show the
+    # prefix machine, no data-sized windows), the naive-Bayes
+    # two-pass train/score join, grid density clustering (bounded
+    # neighbor equi-join + components loop), Zipf prefix-machine
+    # ranks, the closed-form logistic step, and the bounded-bin
+    # isotonic minimax
+    "stat_wasserstein_1d", "stat_cvm_test", "stat_anderson_darling",
+    "stat_cramers_v", "stat_cohens_d", "stat_page_hinkley",
+    "stat_benjamini_hochberg", "ml_logreg_irls_step",
+    "ml_target_encoding_cv", "ml_naive_bayes", "ml_isotonic_calibration",
+    "text_zipf_fit", "text_hapax_stats", "orders_backlog_aging",
+    "events_grid_cluster", "events_croston", "events_lorenz_curve",
 ]
 
 
