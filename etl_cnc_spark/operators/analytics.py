@@ -5790,3 +5790,153 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_share_bps"),
     )
+
+
+# ------------------------------------------ engagement distribution
+
+# activity-tier fences on days-active-in-corpus (inclusive lower
+# bounds, descending) — rendered into both engines' CASE chains
+_TIER_FENCES = [(20, "power"), (10, "core"), (4, "regular"), (0, "casual")]
+_TIER_SQL = "CASE " + " ".join(
+    f"WHEN days_active >= {lo} THEN '{lab}'" for lo, lab in _TIER_FENCES
+) + " END"
+
+
+@register(
+    "events_activity_histogram",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS days_active,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ), tiered AS (
+        SELECT days_active, n_events, {_TIER_SQL} AS tier FROM per_user
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users FROM per_user
+    )
+    SELECT days_active, tier,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(count(*) * 10000 // max(t.n_users) AS BIGINT) AS user_bps
+    FROM tiered CROSS JOIN tot t
+    GROUP BY days_active, tier
+    """,
+)
+def events_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-frequency histogram (the LN/L28 curve): users
+    bucketed by how many distinct days they were active in the
+    corpus window, with the standard power/core/regular/casual tier
+    labels and each bucket's share of the user base in exact basis
+    points — the distribution behind every DAU/MAU stickiness number
+    (events_dau_mau reports the ratio; this is its shape).
+
+    Scale shape: ONE per-user aggregate (count distinct days is
+    exact per user — the distinct set is per-group, so it map-side
+    combines on user_id), then a calendar-bounded histogram
+    aggregate (≤ |corpus days| rows).  Tier fences are written once
+    and rendered into both engines."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count_distinct(F.col("ts").cast("date"))
+        .cast("long")
+        .alias("days_active"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    tier = F.lit(None).cast("string")
+    for lo, lab in reversed(_TIER_FENCES):
+        tier = F.when(F.col("days_active") >= lo, lab).otherwise(tier)
+    tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_users_all"))
+    return (
+        per_user.select("days_active", "n_events", tier.alias("tier"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("days_active", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.expr("count(1) * 10000 DIV max(n_users_all)")
+            .cast("long")
+            .alias("user_bps"),
+        )
+    )
+
+
+# -------------------------------------------------- slow-mover scan
+
+SLOW_DAYS = 180  # no shipment in this many days => slow mover
+
+
+@register(
+    "parts_slow_movers",
+    oracle=f"""
+    WITH cut AS (
+        SELECT max(l_shipdate) - INTERVAL {SLOW_DAYS} DAY AS cutoff
+        FROM lineitem
+    ), last_ship AS (
+        SELECT l_partkey, max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_partkey
+    ), flagged AS (
+        SELECT p.p_brand,
+               CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN ls.last_ship IS NULL
+                         OR ls.last_ship < cut.cutoff
+                    THEN 1 ELSE 0 END AS slow
+        FROM part p
+        LEFT JOIN last_ship ls ON ls.l_partkey = p.p_partkey
+        CROSS JOIN cut
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(slow) AS BIGINT) AS n_slow,
+           CAST(sum(CASE WHEN slow = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS slow_value_cents,
+           CAST(sum(slow) * 10000 // count(*) AS BIGINT) AS slow_bps
+    FROM flagged GROUP BY p_brand
+    """,
+)
+def parts_slow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-mover / dead-stock scan — the inventory-health BI
+    staple: per brand, how many parts have shipped NOTHING in the
+    last {SLOW_DAYS} days (including parts that never shipped at
+    all — the left join's null branch), the catalog value parked in
+    them, and the slow share in exact basis points.
+
+    Scale shape: lineitem collapses FIRST to one (partkey,
+    last_shipdate) row per part (map-side-combined max — the shuffle
+    carries |parts| rows, not line items), then joins the part
+    dimension; the cutoff is a broadcast 1-row aggregate.  The final
+    rollup is |brands| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cut = li.agg(
+        F.date_sub(F.max("l_shipdate"), SLOW_DAYS).alias("cutoff")
+    )
+    last_ship = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    flagged = (
+        p.join(last_ship, p["p_partkey"] == F.col("pk"), "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "p_brand",
+            F.floor(F.col("p_retailprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.when(
+                F.col("last_ship").isNull()
+                | (F.col("last_ship") < F.col("cutoff")),
+                1,
+            )
+            .otherwise(0)
+            .alias("slow"),
+        )
+    )
+    return flagged.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("slow").cast("long").alias("n_slow"),
+        F.sum(F.when(F.col("slow") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("slow_value_cents"),
+        F.expr("sum(slow) * 10000 DIV count(1)").cast("long").alias("slow_bps"),
+    )

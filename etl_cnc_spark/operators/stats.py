@@ -3096,3 +3096,95 @@ def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("p_rank"),
         (F.col("rk") <= F.col("k")).alias("rejected"),
     )
+
+
+@register(
+    "stat_qq_table",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents,
+               sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        FROM grid
+        WINDOW w AS (ORDER BY v_cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), ps AS (
+        SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS dec
+    )
+    SELECT dec,
+           CAST(min(CASE WHEN 10*cum1 >= dec*n1 THEN v_cents END) AS BIGINT)
+               AS q1_cents,
+           CAST(min(CASE WHEN 10*cum2 >= dec*n2 THEN v_cents END) AS BIGINT)
+               AS q2_cents,
+           {sql_q4(
+               "CAST(min(CASE WHEN 10*cum1 >= dec*n1 THEN v_cents END)"
+               " AS DOUBLE)"
+               " / min(CASE WHEN 10*cum2 >= dec*n2 THEN v_cents END)"
+           )} AS qq_ratio
+    FROM cum CROSS JOIN totals CROSS JOIN ps
+    GROUP BY dec
+    """,
+)
+def stat_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile–quantile table between the 'click' and 'purchase'
+    value distributions: for each decile p, the exact
+    percentile_disc of both groups (smallest value whose cumulative
+    count reaches ⌈p·n⌉ — here as the all-integer comparison
+    10·cum ≥ dec·n) and their ratio — the table a QQ plot or a
+    quantile-mapping calibration is built from, and the quantile
+    companion to the KS/CvM/AD gap statistics.
+
+    Scale shape: the exact quantiles come from the bounded cents
+    grid + bucketed-prefix cumulative counts (the stat_ks_test
+    machinery) crossed with a 9-row broadcast decile frame — never a
+    per-group sort of raw rows and never an approximate
+    percentile: at any SF the post-grid work is |grid|×9."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "cum1", "c2": "cum2"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    ps = spark.range(1, 10).select(F.col("id").cast("long").alias("dec"))
+    q1 = F.min(
+        F.when(10 * F.col("cum1") >= F.col("dec") * F.col("n1"), F.col("v_cents"))
+    ).cast("long")
+    q2 = F.min(
+        F.when(10 * F.col("cum2") >= F.col("dec") * F.col("n2"), F.col("v_cents"))
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(ps))
+        .groupBy("dec")
+        .agg(
+            q1.alias("q1_cents"),
+            q2.alias("q2_cents"),
+            q4(q1.cast("double") / q2).alias("qq_ratio"),
+        )
+    )

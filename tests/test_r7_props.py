@@ -451,3 +451,65 @@ def test_lorenz_curve_is_concentration_table(spark, sf_dir):
     assert bps == sorted(bps)
     # ascending sort: the bottom decile holds the smallest share
     assert rows[0]["value_cents"] * len(rows) <= sum(vals)
+
+
+def test_qq_table_matches_numpy(spark, sf_dir):
+    a, b = _two_sample_cents(sf_dir)
+    rows = sorted(
+        REGISTRY["stat_qq_table"].build(spark, sf_dir).collect(),
+        key=lambda r: r["dec"],
+    )
+    assert [r["dec"] for r in rows] == list(range(1, 10))
+    for r in rows:
+        p = r["dec"] / 10
+        # percentile_disc: smallest value with ECDF >= p
+        q1 = a[int(np.ceil(p * len(a))) - 1]
+        q2 = b[int(np.ceil(p * len(b))) - 1]
+        assert r["q1_cents"] == q1 and r["q2_cents"] == q2
+        assert abs(r["qq_ratio"] - q1 / q2) < 1e-3
+
+
+def test_activity_histogram_covers_users(spark, sf_dir):
+    con = _con(sf_dir)
+    per_user = con.execute(
+        "SELECT count(DISTINCT CAST(ts AS DATE)) FROM events GROUP BY user_id"
+    ).fetchall()
+    rows = REGISTRY["events_activity_histogram"].build(spark, sf_dir).collect()
+    assert sum(r["n_users"] for r in rows) == len(per_user)
+    want = Counter(d for (d,) in per_user)
+    got = Counter()
+    for r in rows:
+        got[r["days_active"]] += r["n_users"]
+        lo = {"power": 20, "core": 10, "regular": 4, "casual": 0}[r["tier"]]
+        hi = {"power": 10**9, "core": 20, "regular": 10, "casual": 4}[r["tier"]]
+        assert lo <= r["days_active"] < hi
+    assert got == want
+
+
+def test_slow_movers_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    cutoff = con.execute(
+        "SELECT max(l_shipdate) - INTERVAL 180 DAY FROM lineitem"
+    ).fetchone()[0]
+    last = dict(con.execute(
+        "SELECT l_partkey, max(l_shipdate) FROM lineitem GROUP BY 1"
+    ).fetchall())
+    parts = con.execute(
+        "SELECT p_partkey, p_brand,"
+        " CAST(floor(p_retailprice*100+0.5) AS BIGINT) FROM part"
+    ).fetchall()
+    want_n = Counter()
+    want_slow = Counter()
+    want_val = Counter()
+    for pk, brand, cents in parts:
+        want_n[brand] += 1
+        ls = last.get(pk)
+        if ls is None or ls < cutoff:
+            want_slow[brand] += 1
+            want_val[brand] += cents
+    rows = REGISTRY["parts_slow_movers"].build(spark, sf_dir).collect()
+    assert {r["p_brand"]: r["n_parts"] for r in rows} == dict(want_n)
+    for r in rows:
+        assert r["n_slow"] == want_slow[r["p_brand"]]
+        assert r["slow_value_cents"] == want_val[r["p_brand"]]
+        assert r["slow_bps"] == r["n_slow"] * 10000 // r["n_parts"]
