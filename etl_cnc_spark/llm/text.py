@@ -2314,3 +2314,131 @@ def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+# ------------------------------------------ Burrows' delta stylometry
+
+BD_TOPN = 50       # most-frequent corpus words form the feature set
+_BD_FQ = 1_000_000  # fixed-point scale for relative frequencies
+_BD_ZQ = 1_000_000  # fixed-point scale for per-word |z1 - z2| terms
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM words GROUP BY source, w
+    ), toks AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY source
+    ), top AS (
+        SELECT w FROM (
+            SELECT w, sum(c) AS tot FROM cnt GROUP BY w
+            ORDER BY tot DESC, w LIMIT {BD_TOPN}
+        )
+    ), grid AS (
+        SELECT top.w, toks.source,
+               CAST(floor(coalesce(cnt.c, 0) * {_BD_FQ}.0 / toks.t)
+                    AS BIGINT) AS fq
+        FROM top CROSS JOIN toks
+        LEFT JOIN cnt ON cnt.w = top.w AND cnt.source = toks.source
+    ), wstat AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS s,
+               CAST(sum(fq) AS BIGINT) AS sf,
+               CAST(sum(fq*fq) AS BIGINT) AS sff
+        FROM grid GROUP BY w
+    ), z AS (
+        SELECT g.w, g.source,
+               (g.fq - CAST(sf AS DOUBLE)/s)
+               / sqrt((sff - CAST(sf AS DOUBLE)*sf/s) / (s - 1)) AS zv
+        FROM grid g JOIN wstat ON wstat.w = g.w
+    )
+    SELECT a.source AS s1, b.source AS s2,
+           {sql_q4(
+               f"CAST(sum(CAST(floor(abs(a.zv - b.zv) * {_BD_ZQ}) AS BIGINT))"
+               f" AS DOUBLE) / {_BD_ZQ} / {BD_TOPN}"
+           )} AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta between every pair of sources — the standard
+    stylometric distance (Burrows 2002, public): each source is a
+    vector of z-scored relative frequencies of the corpus's top-{BD_TOPN}
+    words, and delta is the mean absolute z difference.  Low delta =
+    stylistically interchangeable sources (a templated-content
+    smell); high delta = distinct registers worth separate mixing
+    weights.
+
+    Scale shape: (source, word) counts are ONE hash aggregate; the
+    feature set is a TakeOrdered top-{BD_TOPN} broadcast; the z grid is
+    |top words| × |sources| — metadata-sized — densified with zeros
+    via a bounded cross join.  Relative frequencies and the per-word
+    |z₁−z₂| terms are fixed-point quantized so every cross-engine
+    fold is an exact integer; the z expression itself is shared
+    text over exact integer sums (sample std, ddof=1)."""
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    toks = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    top = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), "w")
+        .limit(BD_TOPN)
+        .select("w")
+    )
+    grid = (
+        F.broadcast(top)
+        .crossJoin(toks)
+        .join(cnt, ["w", "source"], "left")
+        .select(
+            "w",
+            "source",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0)) * F.lit(float(_BD_FQ)) / F.col("t")
+            )
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    wstat = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("fq").cast("long").alias("sf"),
+        F.sum(F.col("fq") * F.col("fq")).cast("long").alias("sff"),
+    )
+    z = grid.join(F.broadcast(wstat), "w").select(
+        "w",
+        "source",
+        (
+            (F.col("fq") - F.col("sf").cast("double") / F.col("s"))
+            / F.sqrt(
+                (F.col("sff") - F.col("sf").cast("double") * F.col("sf") / F.col("s"))
+                / (F.col("s") - 1)
+            )
+        ).alias("zv"),
+    )
+    a = z.select("w", F.col("source").alias("s1"), F.col("zv").alias("z1"))
+    b = z.select("w", F.col("source").alias("s2"), F.col("zv").alias("z2"))
+    return (
+        a.join(b, "w")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            q4(
+                F.sum(
+                    F.floor(F.abs(F.col("z1") - F.col("z2")) * _BD_ZQ).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(_BD_ZQ)
+                / F.lit(BD_TOPN)
+            ).alias("delta")
+        )
+    )

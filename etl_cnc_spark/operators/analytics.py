@@ -5940,3 +5940,77 @@ def parts_slow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slow_value_cents"),
         F.expr("sum(slow) * 10000 DIV count(1)").cast("long").alias("slow_bps"),
     )
+
+
+# ------------------------------------------- cohort retention matrix
+
+@register(
+    "events_cohort_matrix",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS w0
+        FROM events GROUP BY user_id
+    ), weekly AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', e.ts) AS DATE) AS w
+        FROM events e
+    ), cohorts AS (
+        SELECT w0, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firstw GROUP BY w0
+    ), cells AS (
+        SELECT f.w0,
+               CAST(datediff('week', f.w0, a.w) AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM weekly a JOIN firstw f ON f.user_id = a.user_id
+        GROUP BY f.w0, week_offset
+    )
+    SELECT CAST(epoch_us(CAST(c.w0 AS TIMESTAMP)) / 86400000000 AS BIGINT)
+               AS cohort_day,
+           week_offset, active_users, cohort_size,
+           CAST(active_users * 10000 // cohort_size AS BIGINT)
+               AS retention_bps
+    FROM cells c JOIN cohorts ch ON ch.w0 = c.w0
+    """,
+)
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort-retention triangle: users grouped by
+    first-activity week, each (cohort, week-offset) cell reporting
+    how many of the cohort were active that week and the retention
+    rate in exact basis points — the matrix behind every retention
+    heatmap (events_retention reports only the offset marginal; this
+    is the full two-dimensional artifact).
+
+    Scale shape: per-user first week is ONE aggregate; weekly
+    activity dedupes to (user, week) BEFORE the cohort join (the
+    join carries at most |users|×|weeks| deduped rows, not raw
+    events); cohort sizes are a |weeks|-row broadcast.  The matrix
+    itself is |weeks|² cells — calendar-bounded metadata."""
+    e = table(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("w0")
+    )
+    weekly = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    cohorts = firstw.groupBy("w0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        weekly.join(firstw, "user_id")
+        .groupBy(
+            "w0",
+            F.floor(F.datediff(F.col("w"), F.col("w0")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    return cells.join(F.broadcast(cohorts), "w0").select(
+        F.unix_date(F.col("w0")).cast("long").alias("cohort_day"),
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.expr("active_users * 10000 DIV cohort_size")
+        .cast("long")
+        .alias("retention_bps"),
+    )

@@ -3188,3 +3188,103 @@ def stat_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(q1.cast("double") / q2).alias("qq_ratio"),
         )
     )
+
+
+# Studentized-range 5% critical values q(k, df=inf) for k = 2..10
+# (Harter 1960 tables, public), rendered into both engines' CASE.
+_TUKEY_Q = {2: "2.772", 3: "3.314", 4: "3.633", 5: "3.858", 6: "4.030",
+            7: "4.170", 8: "4.286", 9: "4.387", 10: "4.474"}
+_TUKEY_SQL_Q = "CASE k " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in _TUKEY_Q.items()
+) + " END"
+
+
+@register(
+    "stat_tukey_hsd",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v*v) AS BIGINT) AS ss
+        FROM ev GROUP BY g
+    ), msw AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               sum(ss - CAST(s AS DOUBLE)*s/n) AS ssw
+        FROM grp
+    )
+    SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+           {sql_q4("(CAST(a.s AS DOUBLE)/a.n - CAST(b.s AS DOUBLE)/b.n)"
+                   " / 100.0")} AS mean_diff,
+           {sql_q4(
+               f"({_TUKEY_SQL_Q}) * sqrt(ssw / (nn - k) / 2.0"
+               " * (1.0/a.n + 1.0/b.n)) / 100.0"
+           )} AS hsd_crit,
+           abs(CAST(a.s AS DOUBLE)/a.n - CAST(b.s AS DOUBLE)/b.n)
+               > ({_TUKEY_SQL_Q}) * sqrt(ssw / (nn - k) / 2.0
+                  * (1.0/a.n + 1.0/b.n)) AS significant
+    FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN msw
+    """,
+)
+def stat_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey–Kramer HSD post-hoc comparisons across event-type value
+    means — the test you run AFTER stat_anova_oneway rejects: every
+    group pair compared against the studentized-range critical value
+    q(k, ∞)·√(MSW/2·(1/nᵢ+1/nⱼ)), which controls the familywise
+    error rate where repeated t-tests would not (Tukey 1949, public;
+    q table: Harter 1960).
+
+    Scale shape: ONE hash aggregate of exact integer moments per
+    group; MSW and the pair grid are |groups|-bounded epilogue
+    (self-join on the tiny group table).  The q lookup is a shared
+    CASE over k rendered into both engines; means and criticals are
+    the only doubles, built from identical expression text."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    grp = e.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    msw = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ssw"),
+    )
+    a = grp.select(
+        F.col("g").alias("g1"), F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    b = grp.select(
+        F.col("g").alias("g2"), F.col("n").alias("n2"), F.col("s").alias("s2")
+    )
+    pairs = (
+        a.join(b, F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(msw))
+    )
+    mdiff = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s2").cast("double") / F.col("n2")
+    )
+    qcrit = F.expr(_TUKEY_SQL_Q) * F.sqrt(
+        F.col("ssw")
+        / (F.col("nn") - F.col("k"))
+        / 2.0
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return pairs.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        q4(mdiff / F.lit(100.0)).alias("mean_diff"),
+        q4(qcrit / F.lit(100.0)).alias("hsd_crit"),
+        (F.abs(mdiff) > qcrit).alias("significant"),
+    )

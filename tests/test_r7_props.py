@@ -513,3 +513,105 @@ def test_slow_movers_matches_python(spark, sf_dir):
         assert r["n_slow"] == want_slow[r["p_brand"]]
         assert r["slow_value_cents"] == want_val[r["p_brand"]]
         assert r["slow_bps"] == r["n_slow"] * 10000 // r["n_parts"]
+
+
+def test_tukey_hsd_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    ssw = sum(
+        float(np.sum(np.square(np.array(v, dtype=float) - np.mean(v))))
+        for v in groups.values()
+    )
+    msw = ssw / (nn - k)
+    qtab = {2: 2.772, 3: 3.314, 4: 3.633, 5: 3.858, 6: 4.030,
+            7: 4.170, 8: 4.286, 9: 4.387, 10: 4.474}
+    got = REGISTRY["stat_tukey_hsd"].build(spark, sf_dir).collect()
+    assert len(got) == k * (k - 1) // 2
+    for r in got:
+        m1 = np.mean(groups[r["g1"]])
+        m2 = np.mean(groups[r["g2"]])
+        crit = qtab[k] * math.sqrt(
+            msw / 2 * (1 / len(groups[r["g1"]]) + 1 / len(groups[r["g2"]]))
+        )
+        assert abs(r["mean_diff"] - (m1 - m2) / 100) < 1e-3
+        assert abs(r["hsd_crit"] - crit / 100) < 1e-3
+        assert r["significant"] == (abs(m1 - m2) > crit)
+
+
+def test_cohort_matrix_is_consistent(spark, sf_dir):
+    rows = REGISTRY["events_cohort_matrix"].build(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], []).append(r)
+    for day, cells in by_cohort.items():
+        cells.sort(key=lambda r: r["week_offset"])
+        # offset-0 cell exists and covers the whole cohort
+        assert cells[0]["week_offset"] == 0
+        assert cells[0]["active_users"] == cells[0]["cohort_size"]
+        assert cells[0]["retention_bps"] == 10000
+        for c in cells:
+            assert 0 < c["active_users"] <= c["cohort_size"]
+            assert c["retention_bps"] == (
+                c["active_users"] * 10000 // c["cohort_size"]
+            )
+    # marginal matches events_retention's week-0 total
+    total_users = sum(
+        c[0]["cohort_size"] for c in by_cohort.values()
+    )
+    ret = {r["week_n"]: r["active_users"] for r in
+           REGISTRY["events_retention"].build(spark, sf_dir).collect()}
+    assert ret[0] == total_users
+
+
+def test_burrows_delta_is_a_metricish_distance(spark, sf_dir):
+    rows = REGISTRY["text_burrows_delta"].build(spark, sf_dir).collect()
+    seen = {(r["s1"], r["s2"]): r["delta"] for r in rows}
+    srcs = sorted({s for p in seen for s in p})
+    assert len(seen) == len(srcs) * (len(srcs) - 1) // 2
+    assert all(d >= 0 for d in seen.values())
+    assert any(d > 0 for d in seen.values())
+    # python recomputation on one pair
+    con = _con(sf_dir)
+    cnt = con.execute(
+        "SELECT source, w, count(*) FROM (SELECT source,"
+        " unnest(string_split(text,' ')) w FROM documents) GROUP BY 1,2"
+    ).fetchall()
+    from collections import defaultdict
+    per = defaultdict(Counter)
+    tot = Counter()
+    corpus = Counter()
+    for s, w, c in cnt:
+        per[s][w] = c
+        tot[s] += c
+        corpus[w] += c
+    top = [w for w, _ in sorted(corpus.items(), key=lambda x: (-x[1], x[0]))[:50]]
+    fq = {(w, s): per[s][w] * 1_000_000 // tot[s] for w in top for s in per}
+    import statistics
+    z = {}
+    for w in top:
+        vals = [fq[(w, s)] for s in per]
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(
+            (sum(v * v for v in vals) - sum(vals) ** 2 / len(vals))
+            / (len(vals) - 1)
+        )
+        for s in per:
+            z[(w, s)] = (fq[(w, s)] - mu) / sd
+    s1, s2 = srcs[0], srcs[1]
+    want = (
+        sum(
+            math.floor(abs(z[(w, s1)] - z[(w, s2)]) * 1_000_000)
+            for w in top
+        )
+        / 1_000_000
+        / 50
+    )
+    assert abs(seen[(s1, s2)] - want) < 1e-3
