@@ -6014,3 +6014,144 @@ def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("retention_bps"),
     )
+
+
+# --------------------------------------------- margin waterfall (BI)
+
+@register(
+    "orders_margin_waterfall",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                AS BIGINT) AS gross_cents,
+           CAST(sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS discount_cents,
+           CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS net_cents,
+           CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*l_tax*100
+                + 0.5) AS BIGINT)) AS BIGINT) AS tax_cents,
+           CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*(1 + l_tax)
+                *100 + 0.5) AS BIGINT)) AS BIGINT) AS charge_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def orders_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge waterfall per market segment: gross extended
+    price → discount given → net revenue → tax → final charge, every
+    stage an EXACT integer-cent sum (each per-line money expression
+    is quantized to cents BEFORE the sum, the repo's money
+    discipline — so the columns are order-free and reconcile to the
+    penny across reruns; the finance-close artifact).
+
+    Scale shape: the classic fact-to-dimension star — lineitem joins
+    orders on the orderkey (both shuffle on the same key; co-located
+    under bucketing), the customer dimension joins in for the
+    segment, and ONE hash aggregate collapses to 5 segment rows with
+    map-side partials.  All five measures ride the same aggregate
+    pass."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    ext = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    tax = F.col("l_tax")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(cents(ext)).cast("long").alias("gross_cents"),
+        F.sum(cents(ext * disc)).cast("long").alias("discount_cents"),
+        F.sum(cents(ext * (1 - disc))).cast("long").alias("net_cents"),
+        F.sum(cents(ext * (1 - disc) * tax)).cast("long").alias("tax_cents"),
+        F.sum(cents(ext * (1 - disc) * (1 + tax)))
+        .cast("long")
+        .alias("charge_cents"),
+    )
+
+
+# ------------------------------------- order-to-ship lead time bands
+
+# lead-time bands in days (inclusive upper bounds), last open-ended
+_LEAD_BANDS = [(-1, "backdated"), (7, "within_1w"), (30, "within_1m"),
+               (60, "within_2m"), (90, "within_3m"), (None, "over_3m")]
+_LEAD_SQL = "CASE " + " ".join(
+    f"WHEN lead <= {hi} THEN '{lab}'"
+    for hi, lab in _LEAD_BANDS if hi is not None
+) + f" ELSE '{_LEAD_BANDS[-1][1]}' END"
+
+
+@register(
+    "orders_leadtime_bands",
+    oracle=f"""
+    WITH led AS (
+        SELECT o.o_orderpriority,
+               CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS lead
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), banded AS (
+        SELECT o_orderpriority, {_LEAD_SQL} AS band, lead FROM led
+    ), agg AS (
+        SELECT o_orderpriority, band,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(lead) AS BIGINT) AS lead_days_sum
+        FROM banded GROUP BY o_orderpriority, band
+    ), tot AS (
+        SELECT o_orderpriority, CAST(sum(n_lines) AS BIGINT) AS prio_lines
+        FROM agg GROUP BY o_orderpriority
+    )
+    SELECT agg.o_orderpriority, band, n_lines, lead_days_sum,
+           CAST(n_lines * 10000 // prio_lines AS BIGINT) AS band_bps
+    FROM agg JOIN tot ON tot.o_orderpriority = agg.o_orderpriority
+    """,
+)
+def orders_leadtime_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution per order priority: ship
+    date minus order date banded into <=1 week / <=1 / 2 / 3 months /
+    worse, with line counts, total lead days, and each band's share
+    of the priority class in exact basis points — the fulfilment-SLA
+    scorecard (does URGENT actually ship faster, and by how much of
+    the tail).
+
+    Scale shape: lineitem joins orders on the orderkey (the same
+    co-locatable star shuffle as the waterfall), one row-local date
+    difference, ONE hash aggregate to |priorities|x|bands| cells,
+    class totals folded from the cell table and joined back
+    broadcast.  Band fences are written once and rendered into both
+    engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    led = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lead"),
+    )
+    band = F.lit(_LEAD_BANDS[-1][1])
+    for hi, lab in reversed(_LEAD_BANDS[:-1]):
+        band = F.when(F.col("lead") <= hi, lab).otherwise(band)
+    agg = (
+        led.select("o_orderpriority", band.alias("band"), "lead")
+        .groupBy("o_orderpriority", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("lead").cast("long").alias("lead_days_sum"),
+        )
+    )
+    tot = agg.groupBy("o_orderpriority").agg(
+        F.sum("n_lines").cast("long").alias("prio_lines")
+    )
+    return agg.join(F.broadcast(tot), "o_orderpriority").select(
+        "o_orderpriority",
+        "band",
+        "n_lines",
+        "lead_days_sum",
+        F.expr("n_lines * 10000 DIV prio_lines")
+        .cast("long")
+        .alias("band_bps"),
+    )

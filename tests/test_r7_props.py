@@ -615,3 +615,44 @@ def test_burrows_delta_is_a_metricish_distance(spark, sf_dir):
         / 50
     )
     assert abs(seen[(s1, s2)] - want) < 1e-3
+
+
+def test_margin_waterfall_reconciles(spark, sf_dir):
+    con = _con(sf_dir)
+    want = con.execute(
+        "SELECT count(*),"
+        " sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)),"
+        " sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100+0.5)"
+        "     AS BIGINT))"
+        " FROM lineitem"
+    ).fetchone()
+    rows = REGISTRY["orders_margin_waterfall"].build(spark, sf_dir).collect()
+    assert sum(r["n_lines"] for r in rows) == want[0]
+    assert sum(r["gross_cents"] for r in rows) == want[1]
+    assert sum(r["charge_cents"] for r in rows) == want[2]
+    for r in rows:
+        # bridge sanity: net <= gross, charge >= net, discount >= 0
+        assert r["discount_cents"] >= 0
+        assert r["net_cents"] <= r["gross_cents"]
+        assert r["charge_cents"] >= r["net_cents"]
+        # per-line rounding keeps the bridge within n_lines cents
+        assert abs(r["gross_cents"] - r["discount_cents"] - r["net_cents"]) \
+            <= r["n_lines"]
+
+
+def test_leadtime_bands_cover_lines(spark, sf_dir):
+    con = _con(sf_dir)
+    n = con.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    rows = REGISTRY["orders_leadtime_bands"].build(spark, sf_dir).collect()
+    assert sum(r["n_lines"] for r in rows) == n
+    per_prio = {}
+    for r in rows:
+        per_prio.setdefault(r["o_orderpriority"], []).append(r)
+    for prio, cells in per_prio.items():
+        tot = sum(c["n_lines"] for c in cells)
+        for c in cells:
+            assert c["band_bps"] == c["n_lines"] * 10000 // tot
+            # the synthetic corpus contains backdated ship dates; they
+            # must all land in (and only in) the backdated band
+            if c["band"] != "backdated":
+                assert c["lead_days_sum"] >= 0
