@@ -1439,3 +1439,101 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "true_lang", F.col("cand").alias("pred_lang")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+# --------------------------------------------- kNN label classifier
+
+KNN_NQ = 50  # query block (matches ml_ndcg_eval / sim_topk_exact)
+KNN_K = 5
+
+
+@register(
+    "ml_knn_classifier",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               a.label AS true_label, b.label AS nlabel,
+               list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum')
+               / sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                    * list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {KNN_NQ}
+    ), ranked AS (
+        SELECT qid, true_label, nlabel,
+               row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS rn
+        FROM scored
+    ), votes AS (
+        SELECT qid, true_label, nlabel,
+               CAST(count(*) AS BIGINT) AS v
+        FROM ranked WHERE rn <= {KNN_K}
+        GROUP BY qid, true_label, nlabel
+    ), pred AS (
+        SELECT qid, true_label, nlabel AS pred_label,
+               row_number() OVER (PARTITION BY qid
+                    ORDER BY v DESC, nlabel) AS pr
+        FROM votes
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_queries
+    FROM pred WHERE pr = 1 GROUP BY 1, 2
+    """,
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label classification over the embedding
+    corpus: each query vector takes the majority label of its {KNN_K}
+    nearest cosine neighbors (smallest-label tie-break), reported as
+    the confusion matrix — the standard embedding-quality probe (a
+    kNN accuracy that beats the priors means the space encodes the
+    labels).
+
+    Scale shape: the sim_topk_exact retrieval template — the bounded
+    query block broadcasts against the corpus, the cosine is the
+    shared JVM zip_with/aggregate fold, the per-query candidate
+    window is bounded (top-{KNN_K}), and voting + argmax are
+    per-query aggregates over ≤{KNN_K} rows.  Scaling the query side
+    shards the query block; the corpus side stays one scan."""
+    from ..llm.dedup import _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(
+        F.col("qn2") * F.col("cn2")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    ranked = pairs.select(
+        "qid", "true_label", "nlabel", cos.alias("cos"), "cid"
+    ).withColumn("rn", F.row_number().over(wq))
+    votes = (
+        ranked.where(F.col("rn") <= KNN_K)
+        .groupBy("qid", "true_label", "nlabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("v").desc(), F.col("nlabel")
+    )
+    pred = votes.withColumn("pr", F.row_number().over(wv)).where(
+        F.col("pr") == 1
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("nlabel").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_queries"))

@@ -149,3 +149,42 @@ def sql_entry_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies the two analyzers infer the SAME key set: if either
     engine grouped differently the hash would break."""
     return run(spark, sf_dir, _SHARED_GROUP_BY_ALL)
+
+
+# Pipe-syntax key: Spark 4's SQL pipe operators (|>) are a Spark-side
+# dialect, so this key pairs the pipe query with a classically-written
+# oracle computing the identical result — parser-surface coverage the
+# shared-text keys cannot give.
+
+_PIPE_SPARK = """
+FROM orders
+|> WHERE o_orderstatus = 'O'
+|> EXTEND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS open_cents
+   GROUP BY o_orderpriority
+|> WHERE n > 0
+"""
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS open_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+HAVING count(*) > 0
+"""
+
+
+@register("sql_entry_pipe", oracle=_PIPE_ORACLE)
+def sql_entry_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL `|>` operators — FROM →
+    WHERE → EXTEND → AGGREGATE ... GROUP BY → WHERE-over-aggregate):
+    the linear query dialect, executed through the same Catalyst
+    pipeline as classic SQL.  DuckDB has no pipe parser, so the
+    oracle states the equivalent classic query — the hash proves the
+    pipe front-end lowers to the same relational plan (filters
+    pushed, one hash aggregate, integer-cent money discipline)."""
+    return run(spark, sf_dir, _PIPE_SPARK)

@@ -656,3 +656,46 @@ def test_leadtime_bands_cover_lines(spark, sf_dir):
             # must all land in (and only in) the backdated band
             if c["band"] != "backdated":
                 assert c["lead_days_sum"] >= 0
+
+
+def test_pipe_sql_matches_classic(spark, sf_dir):
+    rows = REGISTRY["sql_entry_pipe"].build(spark, sf_dir).collect()
+    con = _con(sf_dir)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT o_orderpriority, count(*),"
+            " sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))"
+            " FROM orders WHERE o_orderstatus='O' GROUP BY 1"
+        ).fetchall()
+    }
+    got = {r["o_orderpriority"]: (r["n"], r["open_cents"]) for r in rows}
+    assert got == want
+
+
+def test_knn_classifier_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    data = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in data])
+    labels = {r[0]: r[1] for r in data}
+    X = np.array([r[2] for r in data], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    confusion = Counter()
+    for qi in range(len(ids)):
+        if ids[qi] >= 50:
+            continue
+        cos = Xn @ Xn[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if i != qi),
+            key=lambda i: (-cos[i], ids[i]),
+        )[:5]
+        votes = Counter(labels[ids[i]] for i in order)
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        confusion[(labels[ids[qi]], best)] += 1
+    got = {
+        (r["true_label"], r["pred_label"]): r["n_queries"]
+        for r in REGISTRY["ml_knn_classifier"].build(spark, sf_dir).collect()
+    }
+    assert got == dict(confusion)

@@ -293,6 +293,9 @@ EXTRA_KEYS = [
     "ml_target_encoding_cv", "ml_naive_bayes", "ml_isotonic_calibration",
     "text_zipf_fit", "text_hapax_stats", "orders_backlog_aging",
     "events_grid_cluster", "events_croston", "events_lorenz_curve",
+    "stat_qq_table", "events_activity_histogram", "parts_slow_movers",
+    "stat_tukey_hsd", "events_cohort_matrix", "text_burrows_delta",
+    "orders_margin_waterfall", "orders_leadtime_bands",
 ]
 
 
