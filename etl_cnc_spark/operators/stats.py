@@ -3288,3 +3288,434 @@ def stat_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(qcrit / F.lit(100.0)).alias("hsd_crit"),
         (F.abs(mdiff) > qcrit).alias("significant"),
     )
+
+
+# ------------------------------------------------- Bartlett's test
+
+BART_CHI2_CRIT = 9.4877  # chi2(k-1=4) upper 5% — 5 fixture groups
+
+
+@register(
+    "stat_bartlett",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS xc
+        FROM events
+    ), g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xc) AS BIGINT) AS sx,
+               CAST(sum(xc*xc) AS BIGINT) AS sxx
+        FROM x GROUP BY event_type
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_all,
+               sum((n-1) * ln((CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*sx/n) / (n-1))) AS sum_ln,
+               sum(1.0/(n-1)) AS sum_inv,
+               sum(CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*sx/n) AS ssw
+        FROM g
+    )
+    SELECT k, n_all,
+           floor((((n_all-k)*ln(ssw/(n_all-k)) - sum_ln)
+                / (1.0 + (sum_inv - 1.0/(n_all-k))/(3.0*(k-1))))
+                * 10000 + 0.5)/10000.0 AS t_stat,
+           (((n_all-k)*ln(ssw/(n_all-k)) - sum_ln)
+                / (1.0 + (sum_inv - 1.0/(n_all-k))/(3.0*(k-1))))
+                > 9.4877 AS heteroscedastic
+    FROM t
+    """,
+)
+def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across the five
+    event-type groups (the parametric sibling of `stat_levene`,
+    sharper under normality): T = ((N-k)·ln(Sp^2) − Σ(n_i−1)·ln(s_i^2))
+    / C with the Bartlett correction C.  Everything derives from the
+    per-group (n, Σx, Σx²) in exact integer cents, so the only float
+    work is k=5 logs on already-exact sums — the same two-level
+    moment discipline as `stat_levene` / `stat_anova_oneway`.
+
+    Scale shape: one map-side-combining hash aggregate to 5 rows,
+    then a single-row fold; nothing downstream sees raw rows."""
+    e = table(spark, sf_dir, "events")
+    xc = cents(F.col("value"))
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xc).cast("long").alias("sx"),
+        F.sum(xc * xc).cast("long").alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    s2 = (F.col("sxx").cast("double") - F.col("sx").cast("double")
+          * F.col("sx") / nn) / (nn - 1)
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum((nn - 1) * F.log(s2)).alias("sum_ln"),
+        F.sum(F.lit(1.0) / (nn - 1)).alias("sum_inv"),
+        F.sum(
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / nn
+        ).alias("ssw"),
+    )
+    kk = F.col("k").cast("double")
+    na = F.col("n_all").cast("double")
+    t_stat = (
+        (na - kk) * F.log(F.col("ssw") / (na - kk)) - F.col("sum_ln")
+    ) / (
+        F.lit(1.0)
+        + (F.col("sum_inv") - F.lit(1.0) / (na - kk)) / (3.0 * (kk - 1))
+    )
+    return t.select(
+        "k",
+        "n_all",
+        q4(t_stat).alias("t_stat"),
+        (t_stat > BART_CHI2_CRIT).alias("heteroscedastic"),
+    )
+
+
+# ------------------------------------------------- McNemar's test
+
+MCN_CHI2_CRIT = 3.8415  # chi2(1) upper 5%
+
+
+@register(
+    "stat_mcnemar",
+    oracle="""
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey FROM lineitem
+        WHERE l_returnflag = 'R'
+    ), per AS (
+        SELECT o.o_custkey,
+               max(CASE WHEN o.o_orderpriority = '1-URGENT'
+                   THEN 1 ELSE 0 END) AS urgent,
+               max(CASE WHEN r.l_orderkey IS NOT NULL
+                   THEN 1 ELSE 0 END) AS returned
+        FROM orders o LEFT JOIN ret r ON r.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    ), cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count_if(urgent=1 AND returned=1) AS BIGINT)
+                   AS both_yes,
+               CAST(count_if(urgent=1 AND returned=0) AS BIGINT)
+                   AS urgent_only,
+               CAST(count_if(urgent=0 AND returned=1) AS BIGINT)
+                   AS returned_only,
+               CAST(count_if(urgent=0 AND returned=0) AS BIGINT)
+                   AS neither
+        FROM per
+    )
+    SELECT n_pairs, both_yes, urgent_only, returned_only, neither,
+           floor((CAST((abs(urgent_only - returned_only) - 1)
+                    * (abs(urgent_only - returned_only) - 1) AS DOUBLE)
+                / (urgent_only + returned_only)) * 10000 + 0.5)
+                / 10000.0 AS chi2,
+           (CAST((abs(urgent_only - returned_only) - 1)
+                    * (abs(urgent_only - returned_only) - 1) AS DOUBLE)
+                / (urgent_only + returned_only)) > 3.8415
+               AS significant
+    FROM cells
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: per customer the
+    pair is (ever placed an URGENT order, ever had an item returned);
+    the continuity-corrected statistic (|b−c|−1)²/(b+c) uses only the
+    discordant cells, asking whether urgency and returns flip in one
+    direction more than the other.  All four 2×2 cells are exact
+    integer counts; the statistic is one float division at the end.
+
+    Scale shape: the returned-orderkey set is a hash-distinct on the
+    join key, the LEFT JOIN is equi-keyed on l_orderkey (no
+    broadcast needed — both sides shuffle on the same key), and the
+    per-customer collapse plus the 1-row cell fold are ordinary
+    map-side-combining aggregates."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ret = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("ret", F.lit(1))
+    )
+    per = (
+        o.join(ret, o.o_orderkey == ret.l_orderkey, "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                .otherwise(0)
+            ).alias("urgent"),
+            F.max(
+                F.when(F.col("ret").isNotNull(), 1).otherwise(0)
+            ).alias("returned"),
+        )
+    )
+    cnt = lambda c: F.count_if(c).cast("long")  # noqa: E731
+    cells = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        cnt((F.col("urgent") == 1) & (F.col("returned") == 1))
+        .alias("both_yes"),
+        cnt((F.col("urgent") == 1) & (F.col("returned") == 0))
+        .alias("urgent_only"),
+        cnt((F.col("urgent") == 0) & (F.col("returned") == 1))
+        .alias("returned_only"),
+        cnt((F.col("urgent") == 0) & (F.col("returned") == 0))
+        .alias("neither"),
+    )
+    disc = F.abs(F.col("urgent_only") - F.col("returned_only")) - 1
+    chi2 = (disc * disc).cast("double") / (
+        F.col("urgent_only") + F.col("returned_only")
+    )
+    return cells.select(
+        "n_pairs",
+        "both_yes",
+        "urgent_only",
+        "returned_only",
+        "neither",
+        q4(chi2).alias("chi2"),
+        (chi2 > MCN_CHI2_CRIT).alias("significant"),
+    )
+
+
+# -------------------------------------------- partial correlation
+
+
+@register(
+    "stat_partial_corr",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_extendedprice) AS BIGINT) AS p,
+               CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS z
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(p) AS BIGINT) AS sp,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(q*q) AS BIGINT) AS sqq,
+               CAST(sum(p*p) AS BIGINT) AS spp,
+               CAST(sum(z*z) AS BIGINT) AS szz,
+               CAST(sum(q*p) AS BIGINT) AS sqp,
+               CAST(sum(q*z) AS BIGINT) AS sqz,
+               CAST(sum(p*z) AS BIGINT) AS spz
+        FROM x
+    ), r AS (
+        SELECT n,
+               (n*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*sp)
+               / sqrt((n*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq)
+                    * (n*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp))
+                   AS r_xy,
+               (n*CAST(sqz AS DOUBLE) - CAST(sq AS DOUBLE)*sz)
+               / sqrt((n*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq)
+                    * (n*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*sz))
+                   AS r_xz,
+               (n*CAST(spz AS DOUBLE) - CAST(sp AS DOUBLE)*sz)
+               / sqrt((n*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp)
+                    * (n*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*sz))
+                   AS r_yz
+        FROM s
+    )
+    SELECT n,
+           floor(r_xy*10000 + 0.5)/10000.0 AS r_xy,
+           floor(r_xz*10000 + 0.5)/10000.0 AS r_xz,
+           floor(r_yz*10000 + 0.5)/10000.0 AS r_yz,
+           floor(((r_xy - r_xz*r_yz)
+                / sqrt((1 - r_xz*r_xz) * (1 - r_yz*r_yz)))
+                * 10000 + 0.5)/10000.0 AS r_xy_given_z
+    FROM r
+    """,
+)
+def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    the first-order recursion over three Pearson correlations.  All
+    ten raw moments accumulate as exact integers (quantity is
+    integral, price truncated to whole dollars, discount on the
+    percent grid — each chosen so squares × rows stay far inside
+    int64 even at sf1000); the float work is nine combinations of
+    already-exact sums, so both engines compute bit-identical inputs
+    to the final q4 rounding.
+
+    Scale shape: ONE map-side-combining global aggregate over the
+    fact table — the same single-pass moment fold as `agg_moments` —
+    then a 1-row closed-form select.  No shuffle wider than 10
+    numbers per partition."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("p"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("z"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("spp"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("q") * F.col("p")).cast("long").alias("sqp"),
+        F.sum(F.col("q") * F.col("z")).cast("long").alias("sqz"),
+        F.sum(F.col("p") * F.col("z")).cast("long").alias("spz"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab).cast("double")
+                - F.col(sa).cast("double") * F.col(sb)) / F.sqrt(
+            (n * F.col(saa).cast("double")
+             - F.col(sa).cast("double") * F.col(sa))
+            * (n * F.col(sbb).cast("double")
+               - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    r = s.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("r_xy"),
+        corr("sqz", "sq", "sz", "sqq", "szz").alias("r_xz"),
+        corr("spz", "sp", "sz", "spp", "szz").alias("r_yz"),
+    )
+    partial = (F.col("r_xy") - F.col("r_xz") * F.col("r_yz")) / F.sqrt(
+        (1 - F.col("r_xz") * F.col("r_xz"))
+        * (1 - F.col("r_yz") * F.col("r_yz"))
+    )
+    return r.select(
+        "n",
+        q4(F.col("r_xy")).alias("r_xy"),
+        q4(F.col("r_xz")).alias("r_xz"),
+        q4(F.col("r_yz")).alias("r_yz"),
+        q4(partial).alias("r_xy_given_z"),
+    )
+
+
+# -------------------------------------------- Durbin-Watson test
+
+DW_Q = 10000  # fixed-point quantum for residuals (1e-4 orders/day)
+
+
+@register(
+    "stat_durbin_watson",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(n) AS BIGINT) AS sn,
+               CAST(sum(d*d) AS BIGINT) AS sdd,
+               CAST(sum(d*n) AS BIGINT) AS sdn
+        FROM daily
+    ), fit AS (
+        SELECT nd,
+               (nd*CAST(sdn AS DOUBLE) - CAST(sd AS DOUBLE)*sn)
+               / (nd*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd)
+                   AS slope,
+               (CAST(sn AS DOUBLE)
+                - (nd*CAST(sdn AS DOUBLE) - CAST(sd AS DOUBLE)*sn)
+                  / (nd*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd)
+                  * sd) / nd AS icept
+        FROM s
+    ), resid AS (
+        SELECT daily.d,
+               CAST(floor((CAST(daily.n AS DOUBLE)
+                    - (f.icept + f.slope*daily.d)) * {DW_Q} + 0.5)
+                    AS BIGINT) AS eq,
+               f.nd, f.slope
+        FROM daily, fit f
+    ), lagged AS (
+        SELECT nd, slope, eq,
+               lag(eq) OVER (ORDER BY d) AS epq
+        FROM resid
+    )
+    SELECT max(nd) AS n_days,
+           floor(max(slope)*10000 + 0.5)/10000.0 AS slope,
+           floor((CAST(sum(CASE WHEN epq IS NULL THEN 0
+                          ELSE (eq-epq)*(eq-epq) END) AS DOUBLE)
+                 / sum(eq*eq)) * 10000 + 0.5)/10000.0 AS dw_stat,
+           (CAST(sum(CASE WHEN epq IS NULL THEN 0
+                     ELSE (eq-epq)*(eq-epq) END) AS DOUBLE)
+                 / sum(eq*eq)) < 1.5 AS positive_autocorr
+    FROM lagged
+    """,
+)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson autocorrelation test on the residuals of the
+    daily order-count trend: fit the OLS line n_d = a + b·d by the
+    closed-form normal equations (exact integer sums), then
+    DW = Σ(e_t − e_{t−1})² / Σe_t² over the day-ordered residual
+    series — DW ≪ 2 flags positively autocorrelated (trending /
+    seasonal) residuals that invalidate an i.i.d. noise assumption.
+    The OLS params derive from exact integer sums (IEEE-identical in
+    both engines), and residuals are then quantized to the 1/DW_Q
+    grid so the quadratic sums accumulate as exact integers — the
+    same fixed-point discipline as `stat_levene`'s LEV_Q.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    daily series in one hash aggregate; the OLS fold is a broadcast
+    1-row frame; the only window runs over one-row-per-day input
+    (metadata-sized at any SF — allowlisted in the unpartitioned-
+    window census), and the final fold is a single-row aggregate."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("d") * F.col("n")).cast("long").alias("sdn"),
+    )
+    nd = F.col("nd").cast("double")
+    slope = (
+        nd * F.col("sdn").cast("double")
+        - F.col("sd").cast("double") * F.col("sn")
+    ) / (
+        nd * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd")
+    )
+    fit = s.select(
+        "nd",
+        slope.alias("slope"),
+        ((F.col("sn").cast("double") - slope * F.col("sd")) / nd)
+        .alias("icept"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "nd",
+        "slope",
+        F.floor(
+            (F.col("n").cast("double")
+             - (F.col("icept") + F.col("slope") * F.col("d"))) * DW_Q
+            + F.lit(0.5)
+        ).cast("long").alias("eq"),
+    )
+    # one row per day — calendar-bounded (census-allowlisted)
+    lagged = resid.withColumn(
+        "epq", F.lag("eq").over(Window.orderBy("d"))
+    )
+    de = F.when(F.col("epq").isNull(), F.lit(0).cast("long")).otherwise(
+        (F.col("eq") - F.col("epq")) * (F.col("eq") - F.col("epq"))
+    )
+    agg = lagged.agg(
+        F.max("nd").alias("n_days"),
+        F.max("slope").alias("slope_raw"),
+        F.sum(de).cast("long").alias("num"),
+        F.sum(F.col("eq") * F.col("eq")).cast("long").alias("den"),
+    )
+    dw = F.col("num").cast("double") / F.col("den")
+    return agg.select(
+        "n_days",
+        q4(F.col("slope_raw")).alias("slope"),
+        q4(dw).alias("dw_stat"),
+        (dw < 1.5).alias("positive_autocorr"),
+    )

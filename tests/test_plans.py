@@ -490,6 +490,8 @@ def test_unpartitioned_window_census():
             "one row per day — calendar-bounded",
         ("operators/stats.py", "stat_page_hinkley"):
             "one row per day — calendar-bounded",
+        ("operators/stats.py", "stat_durbin_watson"):
+            "one row per day — calendar-bounded",
         ("operators/stats.py", "stat_benjamini_hochberg"):
             "one row per event_type — domain-bounded hypothesis family",
         ("operators/analytics.py", "events_lorenz_curve"):

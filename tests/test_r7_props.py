@@ -699,3 +699,95 @@ def test_knn_classifier_matches_numpy(spark, sf_dir):
         for r in REGISTRY["ml_knn_classifier"].build(spark, sf_dir).collect()
     }
     assert got == dict(confusion)
+
+
+def test_bartlett_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    groups = {}
+    for t, v in rows:
+        groups.setdefault(t, []).append(v)
+    k = len(groups)
+    n_all = sum(len(g) for g in groups.values())
+    s2 = {t: np.var(np.array(g, dtype=np.float64), ddof=1)
+          for t, g in groups.items()}
+    sp2 = sum((len(g) - 1) * s2[t] for t, g in groups.items()) / (
+        n_all - k
+    )
+    num = (n_all - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(s2[t]) for t, g in groups.items()
+    )
+    c = 1 + (sum(1.0 / (len(g) - 1) for g in groups.values())
+             - 1.0 / (n_all - k)) / (3 * (k - 1))
+    row = REGISTRY["stat_bartlett"].build(spark, sf_dir).collect()[0]
+    assert row["k"] == k and row["n_all"] == n_all
+    assert abs(row["t_stat"] - num / c) < 1e-2
+
+
+def test_mcnemar_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    urgent = {
+        r[0] for r in con.execute(
+            "SELECT DISTINCT o_custkey FROM orders"
+            " WHERE o_orderpriority='1-URGENT'"
+        ).fetchall()
+    }
+    returned = {
+        r[0] for r in con.execute(
+            "SELECT DISTINCT o.o_custkey FROM orders o JOIN lineitem l"
+            " ON l.l_orderkey = o.o_orderkey WHERE l.l_returnflag='R'"
+        ).fetchall()
+    }
+    allc = {
+        r[0] for r in con.execute(
+            "SELECT DISTINCT o_custkey FROM orders"
+        ).fetchall()
+    }
+    b = len(urgent - returned)
+    c = len(returned - urgent)
+    row = REGISTRY["stat_mcnemar"].build(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == len(allc)
+    assert row["urgent_only"] == b and row["returned_only"] == c
+    assert row["both_yes"] == len(urgent & returned)
+    chi2 = (abs(b - c) - 1) ** 2 / (b + c)
+    assert abs(row["chi2"] - chi2) < 1e-3
+
+
+def test_partial_corr_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    q, p, z = map(np.array, zip(*con.execute(
+        "SELECT CAST(l_quantity AS BIGINT),"
+        " CAST(floor(l_extendedprice) AS BIGINT),"
+        " CAST(floor(l_discount*100+0.5) AS BIGINT) FROM lineitem"
+    ).fetchall()))
+    rxy = np.corrcoef(q, p)[0, 1]
+    rxz = np.corrcoef(q, z)[0, 1]
+    ryz = np.corrcoef(p, z)[0, 1]
+    want = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz * rxz) * (1 - ryz * ryz)
+    )
+    row = REGISTRY["stat_partial_corr"].build(spark, sf_dir).collect()[0]
+    assert row["n"] == len(q)
+    assert abs(row["r_xy"] - rxy) < 1e-3
+    assert abs(row["r_xy_given_z"] - want) < 1e-3
+
+
+def test_durbin_watson_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)"
+        " AS BIGINT) AS d, CAST(count(*) AS BIGINT) FROM orders"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    d = np.array([r[0] for r in rows], dtype=np.float64)
+    n = np.array([r[1] for r in rows], dtype=np.float64)
+    slope, icept = np.polyfit(d, n, 1)
+    e = n - (icept + slope * d)
+    dw = float(np.sum(np.diff(e) ** 2) / np.sum(e * e))
+    row = REGISTRY["stat_durbin_watson"].build(spark, sf_dir).collect()[0]
+    assert row["n_days"] == len(rows)
+    assert abs(row["slope"] - slope) < 1e-3
+    assert abs(row["dw_stat"] - dw) < 1e-3

@@ -296,6 +296,9 @@ EXTRA_KEYS = [
     "stat_qq_table", "events_activity_histogram", "parts_slow_movers",
     "stat_tukey_hsd", "events_cohort_matrix", "text_burrows_delta",
     "orders_margin_waterfall", "orders_leadtime_bands",
+    "sql_entry_pipe", "ml_knn_classifier",
+    "stat_bartlett", "stat_mcnemar", "stat_partial_corr",
+    "stat_durbin_watson",
 ]
 
 
