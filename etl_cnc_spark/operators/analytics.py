@@ -6155,3 +6155,318 @@ def orders_leadtime_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("band_bps"),
     )
+
+
+# --------------------------------------------- bullwhip effect
+
+BW_EPOCH = "1970-01-01"
+
+
+@register(
+    "orders_bullwhip",
+    oracle="""
+    WITH li AS (
+        SELECT p.p_brand,
+               CAST(datediff('day', DATE '1970-01-01', o.o_orderdate)
+                    AS BIGINT) // 7 AS w_ord,
+               CAST(datediff('day', DATE '1970-01-01', l.l_shipdate)
+                    AS BIGINT) // 7 AS w_ship,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ), wo AS (
+        SELECT p_brand, w_ord AS w, CAST(sum(qty) AS BIGINT) AS q
+        FROM li GROUP BY 1, 2
+    ), ws AS (
+        SELECT p_brand, w_ship AS w, CAST(sum(qty) AS BIGINT) AS q
+        FROM li GROUP BY 1, 2
+    ), mo AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q*q) AS BIGINT) AS ss
+        FROM wo GROUP BY 1
+    ), ms AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q*q) AS BIGINT) AS ss
+        FROM ws GROUP BY 1
+    )
+    SELECT mo.p_brand,
+           mo.n AS n_weeks_order, ms.n AS n_weeks_ship,
+           floor(((mo.n*CAST(mo.ss AS DOUBLE)/(CAST(mo.s AS DOUBLE)*mo.s)) - 1.0)
+                * 10000 + 0.5)/10000.0 AS cv2_order,
+           floor(((ms.n*CAST(ms.ss AS DOUBLE)/(CAST(ms.s AS DOUBLE)*ms.s)) - 1.0)
+                * 10000 + 0.5)/10000.0 AS cv2_ship,
+           floor((((ms.n*CAST(ms.ss AS DOUBLE)/(CAST(ms.s AS DOUBLE)*ms.s)) - 1.0)
+                / ((mo.n*CAST(mo.ss AS DOUBLE)/(CAST(mo.s AS DOUBLE)*mo.s)) - 1.0))
+                * 10000 + 0.5)/10000.0 AS bullwhip
+    FROM mo JOIN ms ON ms.p_brand = mo.p_brand
+    """,
+)
+def orders_bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect ratio per part brand: the squared coefficient
+    of variation of WEEKLY SHIPPED quantity over that of WEEKLY
+    ORDERED quantity (Chen et al.'s variance-amplification measure,
+    public OM literature).  CV² folds out of exact integer
+    (n, Σq, Σq²) over the per-week sums — cv² = n·Σq²/ (Σq)² − 1 —
+    so both engines feed identical doubles into the final division;
+    a ratio > 1 means the fulfilment side amplifies demand
+    variability (batching / shortage gaming), the classic supply-
+    chain diagnostic.
+
+    Scale shape: one orderkey-equi join (lineitem⋈orders, both
+    shuffle on the key), a broadcast part-dim join for the brand,
+    then two (brand, week) hash aggregates that collapse to the
+    bounded brand×calendar grid — every downstream frame is
+    metadata-sized.  No window, no driver state."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    week = lambda c: (  # noqa: E731
+        F.datediff(F.col(c), F.lit(BW_EPOCH)).cast("long") / 7
+    ).cast("long")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            week("o_orderdate").alias("w_ord"),
+            week("l_shipdate").alias("w_ship"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+
+    def weekly_cv2(wcol, prefix):
+        weekly = base.groupBy("p_brand", F.col(wcol).alias("w")).agg(
+            F.sum("qty").cast("long").alias("q")
+        )
+        m = weekly.groupBy("p_brand").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{prefix}"),
+            F.sum("q").cast("long").alias(f"s_{prefix}"),
+            F.sum(F.col("q") * F.col("q")).cast("long")
+            .alias(f"ss_{prefix}"),
+        )
+        cv2 = (
+            F.col(f"n_{prefix}").cast("double")
+            * F.col(f"ss_{prefix}")
+            / (F.col(f"s_{prefix}").cast("double") * F.col(f"s_{prefix}"))
+            - 1.0
+        )
+        return m, cv2
+
+    mo, cv2_o = weekly_cv2("w_ord", "ord")
+    ms, cv2_s = weekly_cv2("w_ship", "ship")
+    j = mo.join(ms, "p_brand")
+    return j.select(
+        "p_brand",
+        F.col("n_ord").alias("n_weeks_order"),
+        F.col("n_ship").alias("n_weeks_ship"),
+        q4(cv2_o).alias("cv2_order"),
+        q4(cv2_s).alias("cv2_ship"),
+        q4(cv2_s / cv2_o).alias("bullwhip"),
+    )
+
+
+# --------------------------------------------- EOQ / safety stock
+
+EOQ_ORDER_COST = 75.0  # fixed cost per replenishment order
+EOQ_HOLD_COST = 2.5  # holding cost per unit-period
+EOQ_Z = 1.645  # 95% service level
+
+
+@register(
+    "orders_eoq_policy",
+    oracle=f"""
+    WITH li AS (
+        SELECT p.p_brand,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS lt
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ), span AS (
+        SELECT CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                    AS BIGINT) + 1 AS days FROM orders
+    ), m AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(qty) AS BIGINT) AS d,
+               CAST(sum(lt) AS BIGINT) AS slt,
+               CAST(sum(lt*lt) AS BIGINT) AS sltt
+        FROM li GROUP BY 1
+    )
+    SELECT p_brand, n_lines, d AS total_qty,
+           floor((CAST(slt AS DOUBLE)/n_lines)*10000 + 0.5)/10000.0
+               AS mean_lt_days,
+           floor(sqrt(2.0*d*{EOQ_ORDER_COST}/{EOQ_HOLD_COST})
+                *10000 + 0.5)/10000.0 AS eoq,
+           floor(({EOQ_Z} * sqrt(CAST(sltt AS DOUBLE)/n_lines
+                    - (CAST(slt AS DOUBLE)/n_lines)
+                      *(CAST(slt AS DOUBLE)/n_lines))
+                 * (CAST(d AS DOUBLE)/(SELECT days FROM span)))
+                *10000 + 0.5)/10000.0 AS safety_stock,
+           floor(((CAST(d AS DOUBLE)/(SELECT days FROM span))
+                  * (CAST(slt AS DOUBLE)/n_lines)
+                 + {EOQ_Z} * sqrt(CAST(sltt AS DOUBLE)/n_lines
+                    - (CAST(slt AS DOUBLE)/n_lines)
+                      *(CAST(slt AS DOUBLE)/n_lines))
+                 * (CAST(d AS DOUBLE)/(SELECT days FROM span)))
+                *10000 + 0.5)/10000.0 AS reorder_point
+    FROM m
+    """,
+)
+def orders_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic inventory policy per brand: the Wilson EOQ
+    √(2·D·S/H) on full-period demand D, plus a lead-time-variability
+    safety stock Z·σ_LT·d̄ (lead time = order→ship days, d̄ = daily
+    demand rate over the global calendar span) and the implied
+    reorder point d̄·LT̄ + SS — the textbook (public) inventory
+    control formulas on exact integer demand/lead-time moments.
+
+    Scale shape: one orderkey-equi join + broadcast part dim, a
+    single hash aggregate to the 25-brand grid, and a broadcast
+    1-row calendar span; all float math happens on the bounded
+    grid."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lt"),
+        )
+    )
+    span = o.agg(
+        (
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            + 1
+        ).alias("days")
+    )
+    m = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("d"),
+        F.sum("lt").cast("long").alias("slt"),
+        F.sum(F.col("lt") * F.col("lt")).cast("long").alias("sltt"),
+    )
+    j = m.crossJoin(F.broadcast(span))
+    mean_lt = F.col("slt").cast("double") / F.col("n_lines")
+    sd_lt = F.sqrt(
+        F.col("sltt").cast("double") / F.col("n_lines") - mean_lt * mean_lt
+    )
+    d_bar = F.col("d").cast("double") / F.col("days")
+    eoq = F.sqrt(
+        2.0 * F.col("d").cast("double") * EOQ_ORDER_COST / EOQ_HOLD_COST
+    )
+    ss = EOQ_Z * sd_lt * d_bar
+    return j.select(
+        "p_brand",
+        "n_lines",
+        F.col("d").alias("total_qty"),
+        q4(mean_lt).alias("mean_lt_days"),
+        q4(eoq).alias("eoq"),
+        q4(ss).alias("safety_stock"),
+        q4(d_bar * mean_lt + ss).alias("reorder_point"),
+    )
+
+
+# --------------------------------------------- XYZ analysis
+
+XYZ_X = 1.75  # cv below: steady (X) — fixture monthly-demand CVs
+XYZ_Y = 2.0  # span ~1.55-2.31 at every SF; these cut real terciles
+
+
+@register(
+    "orders_xyz_analysis",
+    oracle=f"""
+    WITH li AS (
+        SELECT l.l_partkey,
+               CAST(datediff('month', DATE '1970-01-01',
+                    date_trunc('month', o.o_orderdate)) AS BIGINT)
+                   AS mon,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), mn AS (
+        SELECT CAST(count(DISTINCT mon) AS BIGINT) AS m FROM li
+    ), pm AS (
+        SELECT l_partkey, mon, CAST(sum(qty) AS BIGINT) AS q
+        FROM li GROUP BY 1, 2
+    ), per AS (
+        SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q*q) AS BIGINT) AS ss
+        FROM pm GROUP BY 1
+    ), cv AS (
+        SELECT l_partkey, s,
+               sqrt((SELECT m FROM mn)*CAST(ss AS DOUBLE)
+                    /(CAST(s AS DOUBLE)*s) - 1.0) AS cv
+        FROM per
+    )
+    SELECT CASE WHEN cv < {XYZ_X} THEN 'X'
+                WHEN cv < {XYZ_Y} THEN 'Y' ELSE 'Z' END AS xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(s) AS BIGINT) AS total_qty,
+           floor((CAST(sum(s) AS DOUBLE)
+                / (SELECT CAST(sum(qty) AS BIGINT) FROM li))
+                *10000 + 0.5)/10000.0 AS qty_share
+    FROM cv GROUP BY 1
+    """,
+)
+def orders_xyz_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the companion of
+    `orders_abc_analysis`): per part, the coefficient of variation
+    of MONTHLY demand over the full calendar of observed months —
+    zero-filled months enter through the closed form
+    cv² = M·Σq²/(Σq)² − 1 (M = global month count), so no calendar
+    densification is materialized.  Parts bucket into X (steady,
+    cv < {XYZ_X}), Y (variable, < {XYZ_Y}), Z (erratic; thresholds sit inside the fixture CV range so the census is a real three-way split); the output
+    is the 3-class census with quantity share.
+
+    Scale shape: orderkey-equi join, (part, month) then part hash
+    aggregates — all exact integers — a broadcast 1-row month count,
+    and a 3-row final census.  The per-part frame is |parts| rows,
+    dimension-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")),
+            F.lit("1970-01-01").cast("timestamp"),
+        ).cast("long").alias("mon"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    mn = base.agg(
+        F.countDistinct("mon").cast("long").alias("m"),
+        F.sum("qty").cast("long").alias("g"),
+    )
+    pm = base.groupBy("l_partkey", "mon").agg(
+        F.sum("qty").cast("long").alias("q")
+    )
+    per = pm.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+    j = per.crossJoin(F.broadcast(mn))
+    cv = F.sqrt(
+        F.col("m").cast("double")
+        * F.col("ss")
+        / (F.col("s").cast("double") * F.col("s"))
+        - 1.0
+    )
+    classed = j.select(
+        F.when(cv < XYZ_X, "X").when(cv < XYZ_Y, "Y").otherwise("Z")
+        .alias("xyz_class"),
+        "s",
+        "g",
+    )
+    return classed.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("s").cast("long").alias("total_qty"),
+        q4(F.sum("s").cast("double") / F.max("g")).alias("qty_share"),
+    )

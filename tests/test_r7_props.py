@@ -791,3 +791,94 @@ def test_durbin_watson_matches_numpy(spark, sf_dir):
     assert row["n_days"] == len(rows)
     assert abs(row["slope"] - slope) < 1e-3
     assert abs(row["dw_stat"] - dw) < 1e-3
+
+
+def test_bullwhip_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT p.p_brand,"
+        " CAST(datediff('day', DATE '1970-01-01', o.o_orderdate)"
+        "   AS BIGINT)//7,"
+        " CAST(datediff('day', DATE '1970-01-01', l.l_shipdate)"
+        "   AS BIGINT)//7,"
+        " CAST(l_quantity AS BIGINT)"
+        " FROM lineitem l JOIN orders o ON o.o_orderkey=l.l_orderkey"
+        " JOIN part p ON p.p_partkey=l.l_partkey"
+    ).fetchall()
+    brand = rows[0][0]
+    wo, ws = Counter(), Counter()
+    for b, w1, w2, q in rows:
+        if b == brand:
+            wo[w1] += q
+            ws[w2] += q
+
+    def cv2(c):
+        v = np.array(list(c.values()), dtype=np.float64)
+        return float(len(v) * np.sum(v * v) / np.sum(v) ** 2 - 1.0)
+
+    got = {
+        r["p_brand"]: r
+        for r in REGISTRY["orders_bullwhip"].build(spark, sf_dir).collect()
+    }[brand]
+    assert got["n_weeks_order"] == len(wo)
+    assert abs(got["cv2_order"] - cv2(wo)) < 1e-3
+    assert abs(got["bullwhip"] - cv2(ws) / cv2(wo)) < 1e-3
+
+
+def test_eoq_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT p.p_brand, CAST(l_quantity AS BIGINT),"
+        " CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)"
+        " FROM lineitem l JOIN orders o ON o.o_orderkey=l.l_orderkey"
+        " JOIN part p ON p.p_partkey=l.l_partkey"
+    ).fetchall()
+    days = con.execute(
+        "SELECT CAST(datediff('day', min(o_orderdate),"
+        " max(o_orderdate)) AS BIGINT) + 1 FROM orders"
+    ).fetchone()[0]
+    brand = rows[0][0]
+    qty = np.array([q for b, q, _ in rows if b == brand], dtype=np.float64)
+    lt = np.array([t for b, _, t in rows if b == brand], dtype=np.float64)
+    d = float(np.sum(qty))
+    eoq = math.sqrt(2 * d * 75.0 / 2.5)
+    ss = 1.645 * float(np.std(lt)) * (d / days)
+    got = {
+        r["p_brand"]: r
+        for r in REGISTRY["orders_eoq_policy"].build(spark, sf_dir).collect()
+    }[brand]
+    assert got["total_qty"] == int(d)
+    assert abs(got["eoq"] - eoq) < 1e-2
+    assert abs(got["safety_stock"] - ss) < 1e-2
+    assert abs(
+        got["reorder_point"] - ((d / days) * float(np.mean(lt)) + ss)
+    ) < 1e-2
+
+
+def test_xyz_census_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT l.l_partkey,"
+        " CAST(datediff('month', DATE '1970-01-01',"
+        "   date_trunc('month', o.o_orderdate)) AS BIGINT),"
+        " CAST(l_quantity AS BIGINT)"
+        " FROM lineitem l JOIN orders o ON o.o_orderkey=l.l_orderkey"
+    ).fetchall()
+    months = len({m for _, m, _ in rows})
+    pm = Counter()
+    for pk, m, q in rows:
+        pm[(pk, m)] += q
+    per = {}
+    for (pk, _), q in pm.items():
+        s, ss = per.get(pk, (0, 0))
+        per[pk] = (s + q, ss + q * q)
+    census = Counter()
+    for pk, (s, ss) in per.items():
+        cv = math.sqrt(months * ss / (s * s) - 1.0)
+        cls = "X" if cv < 1.75 else ("Y" if cv < 2.0 else "Z")
+        census[cls] += 1
+    got = {
+        r["xyz_class"]: r["n_parts"]
+        for r in REGISTRY["orders_xyz_analysis"].build(spark, sf_dir).collect()
+    }
+    assert got == dict(census)

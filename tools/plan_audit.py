@@ -298,7 +298,8 @@ EXTRA_KEYS = [
     "orders_margin_waterfall", "orders_leadtime_bands",
     "sql_entry_pipe", "ml_knn_classifier",
     "stat_bartlett", "stat_mcnemar", "stat_partial_corr",
-    "stat_durbin_watson",
+    "stat_durbin_watson", "orders_bullwhip", "orders_eoq_policy",
+    "orders_xyz_analysis",
 ]
 
 
