@@ -6470,3 +6470,296 @@ def orders_xyz_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("total_qty"),
         q4(F.sum("s").cast("double") / F.max("g")).alias("qty_share"),
     )
+
+
+# ---------------------------------------- interrupted time series
+
+ITS_DAY = 15  # intervention day index (2024-01-16; fixture spans 0..29)
+
+
+@register(
+    "events_interrupted_ts",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), seg AS (
+        SELECT CASE WHEN d < {ITS_DAY} THEN 0 ELSE 1 END AS post,
+               CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(n) AS BIGINT) AS sn,
+               CAST(sum(d*d) AS BIGINT) AS sdd,
+               CAST(sum(d*n) AS BIGINT) AS sdn
+        FROM daily GROUP BY 1
+    ), fit AS (
+        SELECT post, nd,
+               (nd*CAST(sdn AS DOUBLE) - CAST(sd AS DOUBLE)*sn)
+               / (nd*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd)
+                   AS b,
+               (CAST(sn AS DOUBLE)
+                - (nd*CAST(sdn AS DOUBLE) - CAST(sd AS DOUBLE)*sn)
+                  / (nd*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd)
+                  * sd) / nd AS a
+        FROM seg
+    ), wide AS (
+        SELECT max(CASE WHEN post=0 THEN nd END) AS n_pre,
+               max(CASE WHEN post=1 THEN nd END) AS n_post,
+               max(CASE WHEN post=0 THEN b END) AS b_pre,
+               max(CASE WHEN post=1 THEN b END) AS b_post,
+               max(CASE WHEN post=0 THEN a END) AS a_pre,
+               max(CASE WHEN post=1 THEN a END) AS a_post
+        FROM fit
+    )
+    SELECT n_pre, n_post,
+           floor(b_pre*10000 + 0.5)/10000.0 AS slope_pre,
+           floor(b_post*10000 + 0.5)/10000.0 AS slope_post,
+           floor((b_post - b_pre)*10000 + 0.5)/10000.0 AS slope_change,
+           floor(((a_post + b_post*{ITS_DAY})
+                - (a_pre + b_pre*{ITS_DAY}))*10000 + 0.5)/10000.0
+               AS level_change
+    FROM wide
+    """,
+)
+def events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) analysis of
+    daily event volume around a fixed intervention day: separate OLS
+    fits before/after day {ITS_DAY}, reporting both slopes, the
+    slope change, and the level change evaluated AT the intervention
+    — the standard quasi-experimental design when randomization is
+    impossible (public epidemiology/policy literature; the
+    regression siblings of `events_diff_in_diff`).  Both fits are
+    the closed-form normal equations over exact integer sums.
+
+    Scale shape: one hash aggregate to the calendar-bounded daily
+    series, one 2-row segmented aggregate, one 1-row pivot — no
+    window, no join, nothing data-proportional after the first
+    fold."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    seg = daily.groupBy(
+        F.when(F.col("d") < ITS_DAY, 0).otherwise(1).alias("post")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("d") * F.col("n")).cast("long").alias("sdn"),
+    )
+    nd = F.col("nd").cast("double")
+    b = (
+        nd * F.col("sdn").cast("double")
+        - F.col("sd").cast("double") * F.col("sn")
+    ) / (
+        nd * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd")
+    )
+    fit = seg.select(
+        "post",
+        "nd",
+        b.alias("b"),
+        ((F.col("sn").cast("double") - b * F.col("sd")) / nd).alias("a"),
+    )
+    pick = lambda p, c: F.max(  # noqa: E731
+        F.when(F.col("post") == p, F.col(c))
+    )
+    wide = fit.agg(
+        pick(0, "nd").alias("n_pre"),
+        pick(1, "nd").alias("n_post"),
+        pick(0, "b").alias("b_pre"),
+        pick(1, "b").alias("b_post"),
+        pick(0, "a").alias("a_pre"),
+        pick(1, "a").alias("a_post"),
+    )
+    return wide.select(
+        "n_pre",
+        "n_post",
+        q4(F.col("b_pre")).alias("slope_pre"),
+        q4(F.col("b_post")).alias("slope_post"),
+        q4(F.col("b_post") - F.col("b_pre")).alias("slope_change"),
+        q4(
+            (F.col("a_post") + F.col("b_post") * ITS_DAY)
+            - (F.col("a_pre") + F.col("b_pre") * ITS_DAY)
+        ).alias("level_change"),
+    )
+
+
+# --------------------------------------------- peak detection
+
+
+@register(
+    "events_peak_detection",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(sum(v) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM daily
+    ), nb AS (
+        SELECT d, v,
+               lag(v) OVER (ORDER BY d) AS vp,
+               lead(v) OVER (ORDER BY d) AS vn
+        FROM daily
+    )
+    SELECT nb.d AS day_idx,
+           CAST(nb.v AS DOUBLE)/100.0 AS day_value,
+           CAST(nb.v - greatest(nb.vp, nb.vn) AS DOUBLE)/100.0
+               AS prominence
+    FROM nb, m
+    WHERE nb.vp IS NOT NULL AND nb.vn IS NOT NULL
+      AND nb.v > nb.vp AND nb.v > nb.vn
+      AND nb.v * m.nd > m.sv
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on the daily event-value series:
+    a day is a peak when it strictly exceeds both neighbors AND the
+    global mean (the integer cross-multiplied form v·n > Σv avoids
+    any float compare), reported with its prominence over the higher
+    neighbor — the basic signal-processing primitive behind alert
+    review UIs.  All values are exact integer cents end-to-end.
+
+    Scale shape: the fact table collapses to one row per day; the
+    lag/lead window runs over that calendar-bounded series
+    (census-allowlisted), and the mean gate is a broadcast 1-row
+    frame."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("v"))
+    m = daily.agg(
+        F.sum("v").cast("long").alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    # one row per day — calendar-bounded (census-allowlisted)
+    w = Window.orderBy("d")
+    nb = daily.select(
+        "d",
+        "v",
+        F.lag("v").over(w).alias("vp"),
+        F.lead("v").over(w).alias("vn"),
+    )
+    return (
+        nb.crossJoin(F.broadcast(m))
+        .where(
+            F.col("vp").isNotNull()
+            & F.col("vn").isNotNull()
+            & (F.col("v") > F.col("vp"))
+            & (F.col("v") > F.col("vn"))
+            & (F.col("v") * F.col("nd") > F.col("sv"))
+        )
+        .select(
+            F.col("d").alias("day_idx"),
+            (F.col("v").cast("double") / 100.0).alias("day_value"),
+            (
+                (F.col("v") - F.greatest("vp", "vn")).cast("double")
+                / 100.0
+            ).alias("prominence"),
+        )
+    )
+
+
+# ----------------------------------------- seasonality strength
+
+
+@register(
+    "events_seasonality_strength",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(hour(ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(n) AS BIGINT) AS s,
+               CAST(sum(n*n) AS BIGINT) AS ss
+        FROM cell GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(c) AS BIGINT) AS nc,
+               CAST(sum(s) AS BIGINT) AS sa,
+               CAST(sum(ss) AS BIGINT) AS ssa,
+               sum(CAST(s AS DOUBLE)*s/c) AS gsq
+        FROM g
+    ), peak AS (
+        SELECT h, CAST(s AS DOUBLE)/c AS mu,
+               row_number() OVER (ORDER BY CAST(s AS DOUBLE)/c DESC, h)
+                   AS rn
+        FROM g
+    )
+    SELECT t.nc AS n_cells,
+           floor(((t.gsq - CAST(t.sa AS DOUBLE)*t.sa/t.nc)
+                / (CAST(t.ssa AS DOUBLE) - CAST(t.sa AS DOUBLE)*t.sa/t.nc))
+                * 10000 + 0.5)/10000.0 AS eta2,
+           (SELECT h FROM peak WHERE rn = 1) AS peak_hour,
+           floor((SELECT mu FROM peak WHERE rn = 1)*10000 + 0.5)/10000.0
+               AS peak_hour_mean
+    FROM t
+    """,
+)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength of event volume: eta² — the
+    between-hour sum of squares over the total sum of squares of the
+    (day × hour) cell counts — the one-way-ANOVA effect size reused
+    as a seasonality score (eta² → 1 means the hourly profile
+    explains nearly all volume variance), plus the peak hour and its
+    mean.  All moments are exact integers; only the final ratios are
+    float.
+
+    Scale shape: fact table → bounded (day × hour) grid in one hash
+    aggregate, → 24-row hourly fold, → 1-row census with a 24-row
+    argmax window.  Everything after the first fold is
+    metadata-sized."""
+    e = table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = cell.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    t = g.agg(
+        F.sum("c").cast("long").alias("nc"),
+        F.sum("s").cast("long").alias("sa"),
+        F.sum("ss").cast("long").alias("ssa"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("c"))
+        .alias("gsq"),
+        F.max_by(
+            F.struct(
+                F.col("h"),
+                (F.col("s").cast("double") / F.col("c")).alias("mu"),
+            ),
+            F.struct(
+                (F.col("s").cast("double") / F.col("c")).alias("mu"),
+                (-F.col("h")).alias("nh"),
+            ),
+        ).alias("pk"),
+    )
+    ssb = F.col("gsq") - F.col("sa").cast("double") * F.col("sa") / F.col("nc")
+    sst = (
+        F.col("ssa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa") / F.col("nc")
+    )
+    return t.select(
+        F.col("nc").alias("n_cells"),
+        q4(ssb / sst).alias("eta2"),
+        F.col("pk.h").alias("peak_hour"),
+        q4(F.col("pk.mu")).alias("peak_hour_mean"),
+    )

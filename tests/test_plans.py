@@ -499,6 +499,8 @@ def test_unpartitioned_window_census():
             "machine)",
         ("operators/analytics.py", "events_ab_sequential"):
             "one row per day — calendar-bounded",
+        ("operators/analytics.py", "events_peak_detection"):
+            "one row per day — calendar-bounded",
         # value-domain-bounded grids / bucket tables
         ("operators/analytics.py", "orders_skyline"):
             "coarse price-bucket table + pruned frontier candidates; "

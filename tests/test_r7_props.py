@@ -882,3 +882,79 @@ def test_xyz_census_matches_python(spark, sf_dir):
         for r in REGISTRY["orders_xyz_analysis"].build(spark, sf_dir).collect()
     }
     assert got == dict(census)
+
+
+def _daily_counts(sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT CAST(date_diff('day', DATE '2024-01-01',"
+        " CAST(ts AS DATE)) AS BIGINT), CAST(count(*) AS BIGINT)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    return (np.array([r[0] for r in rows], dtype=np.float64),
+            np.array([r[1] for r in rows], dtype=np.float64))
+
+
+def test_interrupted_ts_matches_numpy(spark, sf_dir):
+    d, n = _daily_counts(sf_dir)
+    pre, post = d < 15, d >= 15
+    b1, a1 = np.polyfit(d[pre], n[pre], 1)
+    b2, a2 = np.polyfit(d[post], n[post], 1)
+    row = REGISTRY["events_interrupted_ts"].build(spark, sf_dir).collect()[0]
+    assert row["n_pre"] == int(pre.sum())
+    assert abs(row["slope_pre"] - b1) < 1e-3
+    assert abs(row["slope_post"] - b2) < 1e-3
+    assert abs(
+        row["level_change"] - ((a2 + b2 * 15) - (a1 + b1 * 15))
+    ) < 1e-3
+
+
+def test_peak_detection_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT CAST(date_diff('day', DATE '2024-01-01',"
+        " CAST(ts AS DATE)) AS BIGINT),"
+        " CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    v = [r[1] for r in rows]
+    mean_gate = sum(v) / len(v)
+    want = {
+        rows[i][0]
+        for i in range(1, len(v) - 1)
+        if v[i] > v[i - 1] and v[i] > v[i + 1] and v[i] > mean_gate
+    }
+    got = REGISTRY["events_peak_detection"].build(spark, sf_dir).collect()
+    assert {r["day_idx"] for r in got} == want
+    for r in got:
+        i = [x[0] for x in rows].index(r["day_idx"])
+        assert abs(
+            r["prominence"] - (v[i] - max(v[i - 1], v[i + 1])) / 100.0
+        ) < 1e-6
+
+
+def test_seasonality_strength_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT CAST(hour(ts) AS BIGINT),"
+        " CAST(count(*) AS BIGINT) FROM events"
+        " GROUP BY CAST(date_diff('day', DATE '2024-01-01',"
+        " CAST(ts AS DATE)) AS BIGINT), 1"
+    ).fetchall()
+    by_hour = {}
+    for h, n in rows:
+        by_hour.setdefault(h, []).append(n)
+    allv = np.array([n for _, n in rows], dtype=np.float64)
+    sst = float(np.sum((allv - allv.mean()) ** 2))
+    ssb = sum(
+        len(g) * (np.mean(g) - allv.mean()) ** 2
+        for g in by_hour.values()
+    )
+    row = REGISTRY["events_seasonality_strength"].build(
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n_cells"] == len(rows)
+    assert abs(row["eta2"] - ssb / sst) < 1e-3
+    means = {h: float(np.mean(g)) for h, g in by_hour.items()}
+    peak = min(sorted(means), key=lambda h: (-means[h], h))
+    assert row["peak_hour"] == peak

@@ -299,7 +299,8 @@ EXTRA_KEYS = [
     "sql_entry_pipe", "ml_knn_classifier",
     "stat_bartlett", "stat_mcnemar", "stat_partial_corr",
     "stat_durbin_watson", "orders_bullwhip", "orders_eoq_policy",
-    "orders_xyz_analysis",
+    "orders_xyz_analysis", "events_interrupted_ts",
+    "events_peak_detection", "events_seasonality_strength",
 ]
 
 
