@@ -2442,3 +2442,68 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta")
         )
     )
+
+
+# ------------------------------------------- Simpson diversity
+
+
+@register(
+    "text_simpson_diversity",
+    oracle="""
+    WITH w AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), f AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+        FROM w GROUP BY 1, 2
+    ), s AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(f) AS BIGINT) AS n,
+               CAST(sum(f*(f-1)) AS BIGINT) AS pairs
+        FROM f GROUP BY 1
+    )
+    SELECT lang, vocab, n,
+           floor((CAST(pairs AS DOUBLE)/(CAST(n AS DOUBLE)*(n-1)))
+                *10000 + 0.5)/10000.0 AS simpson_l,
+           floor((CAST(n AS DOUBLE)*(n-1)/pairs)*10000 + 0.5)/10000.0
+               AS inv_simpson,
+           floor((1.0 - CAST(pairs AS DOUBLE)/(CAST(n AS DOUBLE)*(n-1)))
+                *10000 + 0.5)/10000.0 AS gini_simpson
+    FROM s
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity index of the token distribution per
+    language: λ = Σf(f−1)/(N(N−1)) — the probability two tokens
+    drawn without replacement coincide — with its inverse (effective
+    vocabulary size) and the Gini–Simpson complement.  The unbiased
+    pair-count form keeps every accumulator an exact integer; only
+    the three final ratios are float.  Complements the Shannon-based
+    `text_token_entropy` with the pair-collision view of lexical
+    concentration (a corpus-mix health gate: a collapsing
+    inv_simpson flags template/boilerplate flooding).
+
+    Scale shape: explode → ONE (lang, word) hash aggregate
+    (map-side combined) → ONE |langs|-row fold.  Shuffle carries
+    word frequencies, never documents."""
+    d = table(spark, sf_dir, "documents")
+    f = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    s = f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.col("f") * (F.col("f") - 1)).cast("long").alias("pairs"),
+    )
+    nn = F.col("n").cast("double")
+    lam = F.col("pairs").cast("double") / (nn * (nn - 1))
+    return s.select(
+        "lang",
+        "vocab",
+        "n",
+        q4(lam).alias("simpson_l"),
+        q4(nn * (nn - 1) / F.col("pairs")).alias("inv_simpson"),
+        q4(F.lit(1.0) - lam).alias("gini_simpson"),
+    )

@@ -1537,3 +1537,167 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("long").alias("true_label"),
         F.col("nlabel").cast("long").alias("pred_label"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+
+
+# ------------------------------------------ linear attribution
+
+ATTR_Q = 10000  # fixed-point quantum for |x - mean| deviations
+
+
+@register(
+    "ml_linear_attribution",
+    oracle=f"""
+    WITH x AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS x2,
+               CAST(floor(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1*x1) AS BIGINT) AS s11,
+               CAST(sum(x2*x2) AS BIGINT) AS s22,
+               CAST(sum(x1*x2) AS BIGINT) AS s12,
+               CAST(sum(x1*y) AS BIGINT) AS s1y,
+               CAST(sum(x2*y) AS BIGINT) AS s2y
+        FROM x
+    ), b AS (
+        SELECT n, s1, s2,
+               ((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n)
+                 *(CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*sy/n)
+                - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n)
+                 *(CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*sy/n))
+               / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n)
+                 *(CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n)
+                - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n)
+                 *(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n))
+                   AS b1,
+               ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n)
+                 *(CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*sy/n)
+                - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n)
+                 *(CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*sy/n))
+               / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n)
+                 *(CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n)
+                - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n)
+                 *(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n))
+                   AS b2
+        FROM s
+    ), dev AS (
+        SELECT CAST(sum(CAST(floor(abs(CAST(x.x1 AS DOUBLE)
+                    - CAST(b.s1 AS DOUBLE)/b.n)*{ATTR_Q} + 0.5)
+                    AS BIGINT)) AS BIGINT) AS d1,
+               CAST(sum(CAST(floor(abs(CAST(x.x2 AS DOUBLE)
+                    - CAST(b.s2 AS DOUBLE)/b.n)*{ATTR_Q} + 0.5)
+                    AS BIGINT)) AS BIGINT) AS d2,
+               max(b.n) AS n, max(b.b1) AS b1, max(b.b2) AS b2
+        FROM x, b
+    )
+    SELECT f.feature,
+           floor(f.beta*10000 + 0.5)/10000.0 AS beta,
+           floor(f.mac*10000 + 0.5)/10000.0 AS mean_abs_contrib,
+           floor((f.mac/(abs(b1)*(CAST(d1 AS DOUBLE)/{ATTR_Q}/n)
+                 + abs(b2)*(CAST(d2 AS DOUBLE)/{ATTR_Q}/n)))
+                *10000 + 0.5)/10000.0 AS share
+    FROM dev, LATERAL (VALUES
+        ('quantity', b1, abs(b1)*(CAST(d1 AS DOUBLE)/{ATTR_Q}/n)),
+        ('discount_pct', b2, abs(b2)*(CAST(d2 AS DOUBLE)/{ATTR_Q}/n))
+    ) AS f(feature, beta, mac)
+    """,
+)
+def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global feature attribution for the closed-form two-feature
+    OLS of price-in-dollars on (quantity, discount%): for a LINEAR
+    model the exact Shapley value of feature j on row i is
+    β_j·(x_ij − x̄_j), so the global report is β_j, the mean
+    absolute contribution |β_j|·MAD_j, and each feature's share of
+    total attribution — the standard "which feature drives the
+    model" table, computed exactly without any sampling.  Betas come
+    from the centered 2×2 normal equations on exact integer moments;
+    the per-row |x − x̄| deviations are quantized to the 1/ATTR_Q
+    grid (the `stat_levene` discipline) so their sums are exact
+    integers in both engines.
+
+    Scale shape: two map-side-combining passes over the fact table —
+    one 9-number moment fold, then one deviation fold against the
+    broadcast 1-row beta frame — and a 2-row final select.  No
+    shuffle wider than a dozen numbers."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    c = lambda a, sa, sb: (  # noqa: E731
+        F.col(a).cast("double")
+        - F.col(sa).cast("double") * F.col(sb) / n
+    )
+    s11c, s22c, s12c = c("s11", "s1", "s1"), c("s22", "s2", "s2"), c(
+        "s12", "s1", "s2"
+    )
+    s1yc, s2yc = c("s1y", "s1", "sy"), c("s2y", "s2", "sy")
+    det = s11c * s22c - s12c * s12c
+    b = s.select(
+        "n",
+        "s1",
+        "s2",
+        ((s22c * s1yc - s12c * s2yc) / det).alias("b1"),
+        ((s11c * s2yc - s12c * s1yc) / det).alias("b2"),
+    )
+    dq = lambda xc, sc: F.floor(  # noqa: E731
+        F.abs(
+            F.col(xc).cast("double")
+            - F.col(sc).cast("double") / F.col("n")
+        )
+        * ATTR_Q
+        + F.lit(0.5)
+    ).cast("long")
+    dev = x.crossJoin(F.broadcast(b)).agg(
+        F.sum(dq("x1", "s1")).cast("long").alias("d1"),
+        F.sum(dq("x2", "s2")).cast("long").alias("d2"),
+        F.max("n").alias("nn"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+    )
+    mad1 = F.col("d1").cast("double") / ATTR_Q / F.col("nn")
+    mad2 = F.col("d2").cast("double") / ATTR_Q / F.col("nn")
+    total = F.abs(F.col("b1")) * mad1 + F.abs(F.col("b2")) * mad2
+    rows = dev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.col("b1").alias("beta"),
+                    (F.abs(F.col("b1")) * mad1).alias("mac"),
+                    total.alias("tot"),
+                ),
+                F.struct(
+                    F.lit("discount_pct").alias("feature"),
+                    F.col("b2").alias("beta"),
+                    (F.abs(F.col("b2")) * mad2).alias("mac"),
+                    total.alias("tot"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.feature").alias("feature"),
+        q4(F.col("r.beta")).alias("beta"),
+        q4(F.col("r.mac")).alias("mean_abs_contrib"),
+        q4(F.col("r.mac") / F.col("r.tot")).alias("share"),
+    )

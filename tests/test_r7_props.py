@@ -958,3 +958,54 @@ def test_seasonality_strength_matches_numpy(spark, sf_dir):
     means = {h: float(np.mean(g)) for h, g in by_hour.items()}
     peak = min(sorted(means), key=lambda h: (-means[h], h))
     assert row["peak_hour"] == peak
+
+
+def test_simpson_diversity_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT lang, text FROM documents"
+    ).fetchall()
+    freq = {}
+    for lang, text in rows:
+        c = freq.setdefault(lang, Counter())
+        c.update(text.split(" "))
+    got = {
+        r["lang"]: r
+        for r in REGISTRY["text_simpson_diversity"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    for lang, c in freq.items():
+        n = sum(c.values())
+        pairs = sum(f * (f - 1) for f in c.values())
+        lam = pairs / (n * (n - 1))
+        assert got[lang]["vocab"] == len(c)
+        assert got[lang]["n"] == n
+        assert abs(got[lang]["simpson_l"] - lam) < 1e-3
+        assert abs(got[lang]["inv_simpson"] - 1 / lam) < 1e-2
+
+
+def test_linear_attribution_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    x1, x2, y = map(np.array, zip(*con.execute(
+        "SELECT CAST(l_quantity AS BIGINT),"
+        " CAST(floor(l_discount*100+0.5) AS BIGINT),"
+        " CAST(floor(l_extendedprice) AS BIGINT) FROM lineitem"
+    ).fetchall()))
+    X = np.column_stack([np.ones(len(x1)), x1, x2]).astype(np.float64)
+    beta = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)[0]
+    mad1 = float(np.mean(np.abs(x1 - x1.mean())))
+    mad2 = float(np.mean(np.abs(x2 - x2.mean())))
+    got = {
+        r["feature"]: r
+        for r in REGISTRY["ml_linear_attribution"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert abs(got["quantity"]["beta"] - beta[1]) < 1e-2
+    assert abs(got["discount_pct"]["beta"] - beta[2]) < 1e-2
+    mac1, mac2 = abs(beta[1]) * mad1, abs(beta[2]) * mad2
+    assert abs(got["quantity"]["mean_abs_contrib"] - mac1) < 0.05
+    assert abs(
+        got["quantity"]["share"] - mac1 / (mac1 + mac2)
+    ) < 1e-3

@@ -301,6 +301,7 @@ EXTRA_KEYS = [
     "stat_durbin_watson", "orders_bullwhip", "orders_eoq_policy",
     "orders_xyz_analysis", "events_interrupted_ts",
     "events_peak_detection", "events_seasonality_strength",
+    "text_simpson_diversity", "ml_linear_attribution",
 ]
 
 
