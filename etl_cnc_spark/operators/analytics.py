@@ -6763,3 +6763,190 @@ def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pk.h").alias("peak_hour"),
         q4(F.col("pk.mu")).alias("peak_hour_mean"),
     )
+
+
+# --------------------------------------------- Kraljic matrix
+
+KRA_CONC = 1.35  # HHI x n_suppliers: concentration vs uniform sourcing
+
+
+@register(
+    "orders_kraljic_matrix",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ), ps AS (
+        SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS q
+        FROM li GROUP BY 1, 2
+    ), hhi AS (
+        SELECT l_partkey,
+               count(*) * sum(CAST(q AS DOUBLE)*q)
+               / (sum(CAST(q AS DOUBLE)) * sum(q)) AS h
+        FROM ps GROUP BY 1
+    ), sp AS (
+        SELECT l_partkey, CAST(sum(c) AS BIGINT) AS spend
+        FROM li GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(spend) AS BIGINT) AS all_spend,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM sp
+    ), cls AS (
+        SELECT CASE
+                 WHEN sp.spend * t.n_parts > t.all_spend
+                      AND h.h >= {KRA_CONC} THEN 'strategic'
+                 WHEN sp.spend * t.n_parts > t.all_spend
+                      THEN 'leverage'
+                 WHEN h.h >= {KRA_CONC} THEN 'bottleneck'
+                 ELSE 'non_critical'
+               END AS quadrant,
+               sp.spend
+        FROM sp JOIN hhi h ON h.l_partkey = sp.l_partkey, tot t
+    )
+    SELECT quadrant, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(spend) AS BIGINT) AS spend_cents,
+           floor((CAST(sum(spend) AS DOUBLE)
+                / (SELECT all_spend FROM tot))*10000 + 0.5)/10000.0
+               AS spend_share
+    FROM cls GROUP BY quadrant
+    """,
+)
+def orders_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kraljic procurement-portfolio census per part: spend
+    importance (part spend above the mean — the integer
+    cross-multiplied compare spend·N > Σspend, no float) crossed
+    with supply risk (normalized supplier concentration
+    HHI·n_supp ≥ {KRA_CONC} — Herfindahl relative to uniform
+    sourcing, which keeps the gate meaningful at every line density
+    / scale factor) buckets
+    every part into strategic / leverage / bottleneck /
+    non-critical — the classic (public) purchasing-strategy matrix.
+
+    Scale shape: two hash aggregates on the fact table — (part,
+    supplier) then part — an equi self-join on the part dimension
+    key, a broadcast 1-row total, and a 4-row census.  HHI folds
+    from exact integer quantity sums; only the final shares are
+    float."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        cents(F.col("l_extendedprice")).alias("c"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").cast("long").alias("q")
+    )
+    hhi = ps.groupBy("l_partkey").agg(
+        (
+            F.count(F.lit(1))
+            * F.sum(F.col("q").cast("double") * F.col("q"))
+            / (F.sum(F.col("q").cast("double")) * F.sum(F.col("q")))
+        ).alias("h")
+    )
+    sp = li.groupBy("l_partkey").agg(
+        F.sum("c").cast("long").alias("spend")
+    )
+    tot = sp.agg(
+        F.sum("spend").cast("long").alias("all_spend"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    cls = (
+        sp.join(hhi, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(
+                (F.col("spend") * F.col("np") > F.col("all_spend"))
+                & (F.col("h") >= KRA_CONC),
+                "strategic",
+            )
+            .when(
+                F.col("spend") * F.col("np") > F.col("all_spend"),
+                "leverage",
+            )
+            .when(F.col("h") >= KRA_CONC, "bottleneck")
+            .otherwise("non_critical")
+            .alias("quadrant"),
+            "spend",
+            "all_spend",
+        )
+    )
+    return cls.groupBy("quadrant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("spend").cast("long").alias("spend_cents"),
+        q4(F.sum("spend").cast("double") / F.max("all_spend")).alias(
+            "spend_share"
+        ),
+    )
+
+
+# ----------------------------------------------- Fano factor
+
+FANO_MINUTES = 30 * 24 * 60  # fixture calendar span in minutes
+
+
+@register(
+    "events_fano_factor",
+    oracle=f"""
+    WITH pm AS (
+        SELECT event_type,
+               CAST(date_diff('minute', TIMESTAMP '2024-01-01',
+                    date_trunc('minute', ts)) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS sn,
+               CAST(sum(n*n) AS BIGINT) AS snn
+        FROM pm GROUP BY 1
+    )
+    SELECT event_type, sn AS n_events,
+           floor(((CAST(snn AS DOUBLE)
+                 - CAST(sn AS DOUBLE)*sn/{FANO_MINUTES})
+                / CAST(sn AS DOUBLE))*10000 + 0.5)/10000.0
+               AS fano,
+           ((CAST(snn AS DOUBLE)
+                 - CAST(sn AS DOUBLE)*sn/{FANO_MINUTES})
+                / CAST(sn AS DOUBLE)) > 1.0 AS overdispersed
+    FROM s
+    """,
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of per-minute counts)
+    per event type over the fixed fixture calendar: F = Var/Mean
+    with zero minutes entering through the closed form — Var·M =
+    Σn² − (Σn)²/M over the M-minute span, so F = (Σn² − (Σn)²/M)/Σn
+    without materializing empty minutes.  F ≈ 1 is Poisson; F > 1
+    flags bursty (overdispersed) arrivals — the standard point-
+    process dispersion diagnostic, sharper than `text_word_burstiness`'s
+    text analogue because the calendar is exact.
+
+    Scale shape: one (type, minute) hash aggregate — map-side
+    combined, grid-bounded output — then a |types|-row fold of exact
+    integer moments."""
+    e = table(spark, sf_dir, "events")
+    pm = e.groupBy(
+        "event_type",
+        (
+            (
+                F.unix_timestamp(F.date_trunc("minute", F.col("ts")))
+                - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+            )
+            / 60
+        ).cast("long").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = pm.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+    )
+    fano = (
+        F.col("snn").cast("double")
+        - F.col("sn").cast("double") * F.col("sn") / FANO_MINUTES
+    ) / F.col("sn").cast("double")
+    return s.select(
+        "event_type",
+        F.col("sn").alias("n_events"),
+        q4(fano).alias("fano"),
+        (fano > 1.0).alias("overdispersed"),
+    )

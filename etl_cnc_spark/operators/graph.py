@@ -1049,3 +1049,108 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("w_recip * 10000L DIV sw").alias("reciprocity_bps"),
         (F.floor(num / den * 1e4 + 0.5) / 1e4).alias("assortativity"),
     )
+
+
+# ------------------------------------- co-purchase components
+
+COP_MIN_SUP = 2  # min co-occurrence support for a pair edge
+
+
+@register(
+    "graph_copurchase_components",
+    oracle=f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS BIGINT) AS sup
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {COP_MIN_SUP}
+    ), ue AS (
+        SELECT p1 AS u, p2 AS v FROM pairs
+        UNION ALL
+        SELECT p2, p1 FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS v FROM ue
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT r.a, e.v FROM r JOIN ue e ON e.u = r.b
+        )
+        SELECT * FROM r
+    ), comp AS (
+        SELECT a AS nid, CAST(min(b) AS BIGINT) AS label
+        FROM reach GROUP BY a
+    ), sizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_parts
+        FROM comp GROUP BY label
+    ), es AS (
+        SELECT c.label, CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(p.sup) AS BIGINT) AS total_support
+        FROM pairs p JOIN comp c ON c.nid = p.p1
+        GROUP BY c.label
+    )
+    SELECT s.label AS comp_id, s.n_parts, e.n_edges, e.total_support
+    FROM sizes s JOIN es e ON e.label = s.label
+    """,
+)
+def graph_copurchase_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components of the part co-purchase graph: parts are
+    linked when they appear together in ≥{COP_MIN_SUP} orders, and
+    each component (a "bought-together cluster", the structure
+    behind substitution groups and bundle recommendations) is
+    reported with its size, edge count and total support.  Re-uses
+    the pointer-jumping min-label machine (llm/dedup.py) — the
+    O(log D) distributed components loop with scoped checkpoints.
+
+    Scale shape: candidate pairs come from a per-order self-join on
+    the DISTINCT (order, part) projection — order width is bounded
+    (≤7 lines), so the fanout is quadratic in the basket size, never
+    in the table; the support HAVING prunes to a sparse edge set
+    before any iteration; the components loop shuffles (node, label)
+    pairs only.  The oracle walks the same graph with a RECURSIVE
+    min-label closure."""
+    from ..llm.dedup import min_label_components
+
+    li = table(spark, sf_dir, "lineitem")
+    pl = li.select("l_orderkey", "l_partkey").distinct()
+    a = pl.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = pl.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .where(F.col("sup") >= COP_MIN_SUP)
+    )
+    ue = pairs.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    comp = min_label_components(ue)
+    sizes = comp.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    es = (
+        pairs.join(comp, pairs.p1 == comp.nid)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("sup").cast("long").alias("total_support"),
+        )
+    )
+    return sizes.join(es, "label").select(
+        F.col("label").alias("comp_id"),
+        "n_parts",
+        "n_edges",
+        "total_support",
+    )

@@ -1701,3 +1701,147 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("r.mac")).alias("mean_abs_contrib"),
         q4(F.col("r.mac") / F.col("r.tot")).alias("share"),
     )
+
+
+# ------------------------------------- drop-column importance
+
+
+@register(
+    "ml_drop_column_importance",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS x2,
+               CAST(floor(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1*x1) AS BIGINT) AS s11,
+               CAST(sum(x2*x2) AS BIGINT) AS s22,
+               CAST(sum(y*y) AS BIGINT) AS syy,
+               CAST(sum(x1*x2) AS BIGINT) AS s12,
+               CAST(sum(x1*y) AS BIGINT) AS s1y,
+               CAST(sum(x2*y) AS BIGINT) AS s2y
+        FROM x
+    ), ctr AS (
+        SELECT n,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n AS c11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n AS c22,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n AS cyy,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n AS c12,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*sy/n AS c1y,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*sy/n AS c2y
+        FROM s
+    ), r2 AS (
+        SELECT n,
+               ((c22*c1y - c12*c2y)*c1y + (c11*c2y - c12*c1y)*c2y)
+               / ((c11*c22 - c12*c12) * cyy) AS r2_full,
+               c1y*c1y/(c11*cyy) AS r2_x1,
+               c2y*c2y/(c22*cyy) AS r2_x2
+        FROM ctr
+    )
+    SELECT f.feature,
+           floor(f.imp*10000 + 0.5)/10000.0 AS r2_drop,
+           floor(r2_full*10000 + 0.5)/10000.0 AS r2_full,
+           CAST(n AS BIGINT) AS n
+    FROM r2, LATERAL (VALUES
+        ('quantity', r2_full - r2_x2),
+        ('discount_pct', r2_full - r2_x1)
+    ) AS f(feature, imp)
+    """,
+)
+def ml_drop_column_importance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drop-column feature importance for the two-feature OLS of
+    price on (quantity, discount%): importance of feature j is the
+    exact R² lost when the model is refit WITHOUT j — for linear
+    models both the full and the reduced fits have closed forms over
+    the same centered moment matrix, so the usually-expensive
+    retrain-per-feature protocol collapses to one pass of exact
+    integer sums.  R²_full uses β'X'y/SST over the 2×2 normal
+    equations; each reduced fit is the single-feature r².
+
+    Scale shape: ONE map-side-combining aggregate over the fact
+    table (ten integers wide), then 1-row closed-form algebra and a
+    2-row explode.  Nothing else touches data."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    c = lambda a, sa, sb: (  # noqa: E731
+        F.col(a).cast("double")
+        - F.col(sa).cast("double") * F.col(sb) / n
+    )
+    ctr = s.select(
+        "n",
+        c("s11", "s1", "s1").alias("c11"),
+        c("s22", "s2", "s2").alias("c22"),
+        c("syy", "sy", "sy").alias("cyy"),
+        c("s12", "s1", "s2").alias("c12"),
+        c("s1y", "s1", "sy").alias("c1y"),
+        c("s2y", "s2", "sy").alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    r2_full = (
+        (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y"))
+        * F.col("c1y")
+        + (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y"))
+        * F.col("c2y")
+    ) / (det * F.col("cyy"))
+    r2_x1 = (
+        F.col("c1y") * F.col("c1y") / (F.col("c11") * F.col("cyy"))
+    )
+    r2_x2 = (
+        F.col("c2y") * F.col("c2y") / (F.col("c22") * F.col("cyy"))
+    )
+    r2 = ctr.select(
+        "n",
+        r2_full.alias("r2f"),
+        (r2_full - r2_x2).alias("imp1"),
+        (r2_full - r2_x1).alias("imp2"),
+    )
+    rows = r2.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.col("imp1").alias("imp"),
+                    F.col("r2f").alias("r2f"),
+                    F.col("n").cast("long").alias("n"),
+                ),
+                F.struct(
+                    F.lit("discount_pct").alias("feature"),
+                    F.col("imp2").alias("imp"),
+                    F.col("r2f").alias("r2f"),
+                    F.col("n").cast("long").alias("n"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.feature").alias("feature"),
+        q4(F.col("r.imp")).alias("r2_drop"),
+        q4(F.col("r.r2f")).alias("r2_full"),
+        F.col("r.n").alias("n"),
+    )

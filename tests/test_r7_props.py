@@ -1009,3 +1009,127 @@ def test_linear_attribution_matches_numpy(spark, sf_dir):
     assert abs(
         got["quantity"]["share"] - mac1 / (mac1 + mac2)
     ) < 1e-3
+
+
+def test_copurchase_components_match_unionfind(spark, sf_dir):
+    con = _con(sf_dir)
+    pairs = con.execute(
+        "WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM lineitem)"
+        " SELECT a.l_partkey, b.l_partkey, count(*)"
+        " FROM pl a JOIN pl b ON a.l_orderkey=b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey GROUP BY 1,2"
+        " HAVING count(*) >= 2"
+    ).fetchall()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p1, p2, _ in pairs:
+        a, b = find(p1), find(p2)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comps = {}
+    for node in parent:
+        comps.setdefault(find(node), set()).add(node)
+    got = REGISTRY["graph_copurchase_components"].build(
+        spark, sf_dir
+    ).collect()
+    want = {min(m): len(m) for m in comps.values()}
+    assert {r["comp_id"]: r["n_parts"] for r in got} == want
+    sup = {}
+    for p1, p2, s in pairs:
+        sup[find(p1)] = sup.get(find(p1), 0) + s
+    assert {r["comp_id"]: r["total_support"] for r in got} == sup
+
+
+def test_kraljic_census_matches_python(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT l_partkey, l_suppkey,"
+        " CAST(floor(l_extendedprice*100+0.5) AS BIGINT),"
+        " CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    ps, spend = Counter(), Counter()
+    for pk, sk, c, q in rows:
+        ps[(pk, sk)] += q
+        spend[pk] += c
+    by_part = {}
+    for (pk, sk), q in ps.items():
+        by_part.setdefault(pk, []).append(q)
+    total, npts = sum(spend.values()), len(spend)
+    census = Counter()
+    for pk, qs in by_part.items():
+        h = len(qs) * sum(q * q for q in qs) / (sum(qs) ** 2)
+        hi_spend = spend[pk] * npts > total
+        risky = h >= 1.35
+        cls = ("strategic" if hi_spend and risky else
+               "leverage" if hi_spend else
+               "bottleneck" if risky else "non_critical")
+        census[cls] += 1
+    got = {
+        r["quadrant"]: r["n_parts"]
+        for r in REGISTRY["orders_kraljic_matrix"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == dict(census)
+
+
+def test_fano_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT event_type,"
+        " CAST(date_diff('minute', TIMESTAMP '2024-01-01',"
+        " date_trunc('minute', ts)) AS BIGINT),"
+        " CAST(count(*) AS BIGINT) FROM events GROUP BY 1,2"
+    ).fetchall()
+    M = 30 * 24 * 60
+    by_type = {}
+    for t, m, n in rows:
+        by_type.setdefault(t, []).append(n)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_fano_factor"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    for t, ns in by_type.items():
+        filled = np.zeros(M)
+        filled[: len(ns)] = ns  # positions irrelevant for moments
+        var = float(np.mean(filled**2) - np.mean(filled) ** 2)
+        fano = var / float(np.mean(filled))
+        assert got[t]["n_events"] == int(sum(ns))
+        assert abs(got[t]["fano"] - fano) < 1e-3
+
+
+def test_drop_column_importance_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    x1, x2, y = map(np.array, zip(*con.execute(
+        "SELECT CAST(l_quantity AS BIGINT),"
+        " CAST(floor(l_discount*100+0.5) AS BIGINT),"
+        " CAST(floor(l_extendedprice) AS BIGINT) FROM lineitem"
+    ).fetchall()))
+
+    def r2(feats):
+        X = np.column_stack([np.ones(len(y))] + feats).astype(np.float64)
+        yv = y.astype(np.float64)
+        pred = X @ np.linalg.lstsq(X, yv, rcond=None)[0]
+        return 1 - np.sum((yv - pred) ** 2) / np.sum(
+            (yv - yv.mean()) ** 2
+        )
+
+    full, only1, only2 = r2([x1, x2]), r2([x1]), r2([x2])
+    got = {
+        r["feature"]: r
+        for r in REGISTRY["ml_drop_column_importance"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert abs(got["quantity"]["r2_full"] - full) < 1e-3
+    assert abs(got["quantity"]["r2_drop"] - (full - only2)) < 1e-3
+    assert abs(got["discount_pct"]["r2_drop"] - (full - only1)) < 1e-3

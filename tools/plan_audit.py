@@ -302,6 +302,8 @@ EXTRA_KEYS = [
     "orders_xyz_analysis", "events_interrupted_ts",
     "events_peak_detection", "events_seasonality_strength",
     "text_simpson_diversity", "ml_linear_attribution",
+    "graph_copurchase_components", "orders_kraljic_matrix",
+    "events_fano_factor", "ml_drop_column_importance",
 ]
 
 
