@@ -6950,3 +6950,113 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(fano).alias("fano"),
         (fano > 1.0).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------- Ljung-Box test
+
+LB_CHI2_CRIT = 14.0671  # chi2(ACF_MAX_LAG=7) upper 5%
+
+
+@register(
+    "events_ljung_box",
+    oracle=f"""
+    WITH {{_TS_DENSE_SQL}},
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s1,
+               CAST(sum(y*y) AS BIGINT) AS s2
+        FROM dense GROUP BY event_type
+    ), lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+    pairs AS (
+        SELECT a.event_type, l.lag,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+               CAST(sum(a.y) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy
+        FROM dense a
+        CROSS JOIN lags l
+        JOIN dense b ON b.event_type = a.event_type
+                    AND b.t = a.t - l.lag
+        GROUP BY a.event_type, l.lag
+    ), acf AS (
+        SELECT p.event_type, p.lag, s.n,
+               (CAST(p.sxy AS DOUBLE)
+                  - (CAST(s.s1 AS DOUBLE) / s.n) * (p.sx + p.sy)
+                  + p.cnt * (CAST(s.s1 AS DOUBLE) / s.n)
+                          * (CAST(s.s1 AS DOUBLE) / s.n))
+               / (CAST(s.s2 AS DOUBLE)
+                  - s.n * (CAST(s.s1 AS DOUBLE) / s.n)
+                        * (CAST(s.s1 AS DOUBLE) / s.n)) AS r
+        FROM pairs p JOIN stats s ON p.event_type = s.event_type
+    ), q AS (
+        SELECT event_type, max(n) AS n,
+               max(n)*(max(n)+2.0)*sum(r*r/(n-lag)) AS q_stat
+        FROM acf GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           floor(q_stat*10000 + 0.5)/10000.0 AS q_stat,
+           q_stat > {LB_CHI2_CRIT} AS autocorrelated
+    FROM q
+    """.format(_TS_DENSE_SQL=_TS_DENSE_SQL),
+)
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type: Q = n(n+2)·
+    Σ_k r_k²/(n−k) over the first {ACF_MAX_LAG} autocorrelations of
+    the dense daily count series — the single-number "is this series
+    white noise?" gate that `events_autocorr`'s per-lag table feeds
+    in classical Box–Jenkins practice.  The r_k come from the same
+    exact integer lagged cross-product moments as events_autocorr;
+    the Q fold sums {ACF_MAX_LAG} doubles per type in one fixed
+    grouping.
+
+    Scale shape: identical to events_autocorr — one data-sized daily
+    rollup, then broadcast-sized lag joins on the |days|×|types|
+    grid and a |types|-row fold."""
+    dense = _ts_dense(spark, sf_dir)
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.t") == F.col("a.t") - F.col("lag")),
+        )
+        .groupBy("a.event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("a.y") * F.col("b.y")).cast("long").alias("sxy"),
+            F.sum(F.col("a.y")).cast("long").alias("sx"),
+            F.sum(F.col("b.y")).cast("long").alias("sy"),
+        )
+    )
+    ybar = F.col("s1").cast("double") / F.col("n")
+    r = (
+        F.col("sxy").cast("double")
+        - ybar * (F.col("sx") + F.col("sy"))
+        + F.col("cnt") * ybar * ybar
+    ) / (F.col("s2").cast("double") - F.col("n") * ybar * ybar)
+    acf = pairs.join(stats, "event_type").select(
+        "event_type", "lag", "n", r.alias("r")
+    )
+    q = acf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum(
+            F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+        ).alias("rsum"),
+    )
+    q = q.withColumn(
+        "q_stat",
+        F.col("n_days") * (F.col("n_days") + F.lit(2.0)) * F.col("rsum"),
+    )
+    return q.select(
+        "event_type",
+        "n_days",
+        q4(F.col("q_stat")).alias("q_stat"),
+        (F.col("q_stat") > LB_CHI2_CRIT).alias("autocorrelated"),
+    )

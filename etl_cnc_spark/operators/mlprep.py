@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 from ..llm.text import EN_STOPWORDS
-from ..utils import q4, sql_q4
+from ..utils import cents, q4, sql_q4
 from .prefix import global_ordered, ntile_from_rank
 
 # ------------------------------------------------- target encoding
@@ -1844,4 +1844,217 @@ def ml_drop_column_importance(
         q4(F.col("r.imp")).alias("r2_drop"),
         q4(F.col("r.r2f")).alias("r2_full"),
         F.col("r.n").alias("n"),
+    )
+
+
+# ------------------------------------------------ pinball loss
+
+PIN_TAUS = (1, 5, 9)  # tau = k/10
+
+
+@register(
+    "ml_pinball_loss",
+    oracle=f"""
+    WITH x AS (
+        SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), qh AS (
+        SELECT quantile_disc(y, 0.1) AS q1,
+               quantile_disc(y, 0.5) AS q5,
+               quantile_disc(y, 0.9) AS q9,
+               CAST(count(*) AS BIGINT) AS n
+        FROM x
+    ), loss AS (
+        SELECT t.k,
+               CASE t.k WHEN 1 THEN max(q.q1)
+                        WHEN 5 THEN max(q.q5)
+                        ELSE max(q.q9) END AS qhat,
+               max(q.n) AS n,
+               CAST(sum(CASE WHEN x.y > (CASE t.k
+                        WHEN 1 THEN q.q1 WHEN 5 THEN q.q5
+                        ELSE q.q9 END)
+                   THEN t.k * (x.y - (CASE t.k
+                        WHEN 1 THEN q.q1 WHEN 5 THEN q.q5
+                        ELSE q.q9 END))
+                   ELSE (10 - t.k) * ((CASE t.k
+                        WHEN 1 THEN q.q1 WHEN 5 THEN q.q5
+                        ELSE q.q9 END) - x.y) END) AS BIGINT)
+                   AS units
+        FROM x, qh q, (VALUES (1), (5), (9)) AS t(k)
+        GROUP BY t.k
+    )
+    SELECT k/10.0 AS tau,
+           CAST(qhat AS DOUBLE)/100.0 AS q_hat,
+           floor((CAST(units AS DOUBLE)/10.0/n/100.0)*10000 + 0.5)
+                /10000.0 AS mean_pinball
+    FROM loss
+    """,
+)
+def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation of the three constant
+    quantile predictors q̂_τ = percentile_disc(price, τ) for
+    τ ∈ {{0.1, 0.5, 0.9}} — the loss every quantile forecaster is
+    scored with; evaluating the in-sample percentile gives the
+    attainable floor a model must beat.  With τ = k/10 the per-row
+    loss is the INTEGER k·(y−q̂) or (10−k)·(q̂−y) in cents, so the
+    sums are exact and only the final mean divides.
+
+    Scale shape: one percentile fold (sort-based, the documented
+    exact-percentile trade vs the KLL approx default), broadcast of
+    the 1-row q̂ frame, then one conditional integer aggregate over
+    the fact table per τ (a 3-way explode of the same scan)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(cents(F.col("l_extendedprice")).alias("y"))
+    qh = x.agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY y)")
+        .alias("q1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)")
+        .alias("q5"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY y)")
+        .alias("q9"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    taus = F.explode(
+        F.array(*[F.lit(k) for k in PIN_TAUS])
+    ).alias("k")
+    j = x.crossJoin(F.broadcast(qh)).select("y", "n", "q1", "q5", "q9", taus)
+    qhat = (
+        F.when(F.col("k") == 1, F.col("q1"))
+        .when(F.col("k") == 5, F.col("q5"))
+        .otherwise(F.col("q9"))
+    )
+    unit = F.when(
+        F.col("y") > qhat, F.col("k") * (F.col("y") - qhat)
+    ).otherwise((10 - F.col("k")) * (qhat - F.col("y")))
+    loss = j.groupBy("k").agg(
+        F.max(qhat).alias("qhat"),
+        F.max("n").alias("n"),
+        F.sum(unit).cast("long").alias("units"),
+    )
+    return loss.select(
+        (F.col("k") / 10.0).alias("tau"),
+        (F.col("qhat").cast("double") / 100.0).alias("q_hat"),
+        q4(
+            F.col("units").cast("double") / 10.0 / F.col("n") / 100.0
+        ).alias("mean_pinball"),
+    )
+
+
+# --------------------------------------------- learning curve
+
+LC_BUCKETS = 10
+
+
+@register(
+    "ml_learning_curve",
+    oracle=f"""
+    WITH x AS (
+        SELECT CAST(concat('0x', substr(md5(concat(
+                    CAST(l_orderkey AS VARCHAR), '-',
+                    CAST(l_linenumber AS VARCHAR))), 1, 6))
+                    AS BIGINT) % {LC_BUCKETS} AS b,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), pm AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(q*q) AS BIGINT) AS sqq,
+               CAST(sum(q*y) AS BIGINT) AS sqy,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM x GROUP BY b
+    ), cum AS (
+        SELECT b,
+               CAST(sum(n) OVER w AS BIGINT) AS n,
+               CAST(sum(sq) OVER w AS BIGINT) AS sq,
+               CAST(sum(sy) OVER w AS BIGINT) AS sy,
+               CAST(sum(sqq) OVER w AS BIGINT) AS sqq,
+               CAST(sum(sqy) OVER w AS BIGINT) AS sqy,
+               CAST(sum(syy) OVER w AS BIGINT) AS syy
+        FROM pm
+        WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT (b+1.0)/{LC_BUCKETS} AS train_frac, n AS n_rows,
+           floor(((n*CAST(sqy AS DOUBLE) - CAST(sq AS DOUBLE)*sy)
+                 *(n*CAST(sqy AS DOUBLE) - CAST(sq AS DOUBLE)*sy)
+                 /((n*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq)
+                  *(n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy)))
+                *10000 + 0.5)/10000.0 AS r2
+    FROM cum
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve from sufficient statistics: R² of the simple
+    quantity→price regression fit on growing deterministic
+    hash-prefix subsets (10%, 20%, … 100% of rows by
+    md5(orderkey-linenumber) — the `ml_train_test_split` hash
+    discipline, so the curve is stable across reruns and appends).
+    For closed-form models the whole retrain-per-fraction protocol
+    collapses to CUMULATIVE sums of per-bucket exact integer
+    moments: one scan, ten fits.
+
+    Scale shape: one map-side-combining hash aggregate to
+    {LC_BUCKETS} bucket rows, a {LC_BUCKETS}-row cumulative window
+    (domain-bounded — census-allowlisted), and closed-form algebra
+    per row."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % LC_BUCKETS
+    )
+    x = li.select(
+        b.alias("b"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    pm = x.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("q") * F.col("y")).cast("long").alias("sqy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # LC_BUCKETS rows — domain-bounded (census-allowlisted)
+    w = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pm.select(
+        "b",
+        *[
+            F.sum(c).over(w).cast("long").alias(c)
+            for c in ("n", "sq", "sy", "sqq", "sqy", "syy")
+        ],
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sqy").cast("double") - F.col("sq").cast(
+        "double"
+    ) * F.col("sy")
+    vq = n * F.col("sqq").cast("double") - F.col("sq").cast(
+        "double"
+    ) * F.col("sq")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return cum.select(
+        ((F.col("b") + 1.0) / LC_BUCKETS).alias("train_frac"),
+        F.col("n").alias("n_rows"),
+        q4(cov * cov / (vq * vy)).alias("r2"),
     )

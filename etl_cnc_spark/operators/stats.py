@@ -3719,3 +3719,147 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(dw).alias("dw_stat"),
         (dw < 1.5).alias("positive_autocorr"),
     )
+
+
+# ---------------------------------------------- Cook's distance
+
+
+@register(
+    "stat_cooks_distance",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(n) AS BIGINT) AS sn,
+               CAST(sum(d*d) AS BIGINT) AS sdd,
+               CAST(sum(d*n) AS BIGINT) AS sdn
+        FROM daily
+    ), fit AS (
+        SELECT nd, sd, sdd,
+               (nd*CAST(sdn AS DOUBLE) - CAST(sd AS DOUBLE)*sn)
+               / (nd*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd)
+                   AS slope,
+               (CAST(sn AS DOUBLE)
+                - (nd*CAST(sdn AS DOUBLE) - CAST(sd AS DOUBLE)*sn)
+                  / (nd*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd)
+                  * sd) / nd AS icept
+        FROM s
+    ), resid AS (
+        SELECT daily.d, f.nd, f.sd, f.sdd,
+               CAST(floor((CAST(daily.n AS DOUBLE)
+                    - (f.icept + f.slope*daily.d)) * {DW_Q} + 0.5)
+                    AS BIGINT) AS eq
+        FROM daily, fit f
+    ), sse AS (
+        SELECT CAST(sum(eq*eq) AS BIGINT) AS sseq FROM resid
+    ), diag AS (
+        SELECT r.d, r.eq, r.nd,
+               1.0/r.nd
+               + (r.d - CAST(r.sd AS DOUBLE)/r.nd)
+                 *(r.d - CAST(r.sd AS DOUBLE)/r.nd)
+                 /(CAST(r.sdd AS DOUBLE)
+                   - CAST(r.sd AS DOUBLE)*r.sd/r.nd) AS h,
+               CAST(e.sseq AS DOUBLE)/(r.nd - 2) AS s2q
+        FROM resid r, sse e
+    )
+    SELECT d AS day_idx,
+           floor((CAST(eq AS DOUBLE)/{DW_Q})*10000 + 0.5)/10000.0
+               AS residual,
+           floor(h*10000 + 0.5)/10000.0 AS leverage,
+           floor((CAST(eq AS DOUBLE)*eq*h/(2.0*s2q*(1.0-h)*(1.0-h)))
+                *10000 + 0.5)/10000.0 AS cooks_d
+    FROM diag
+    WHERE CAST(eq AS DOUBLE)*eq*h/(2.0*s2q*(1.0-h)*(1.0-h))
+          > 4.0/nd
+    """,
+)
+def stat_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence diagnostics for the daily
+    order-count OLS trend (the companion of `stat_durbin_watson`,
+    which tests the same fit's residual independence): for simple
+    regression the hat value has the closed form h_d = 1/n +
+    (d−d̄)²/S_dd, so D_d = e_d²·h_d/(p·s²(1−h_d)²) needs no matrix
+    algebra; days with D > 4/n (the standard screening fence) are
+    reported with residual and leverage.  Residuals are quantized to
+    the DW_Q grid so SSE is an exact integer; the grid² unit cancels
+    inside D.
+
+    Scale shape: one hash aggregate to the calendar-bounded daily
+    series, two broadcast 1-row folds (fit params, SSE), one
+    filtered select — no window, no data-proportional op past the
+    first fold."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("d") * F.col("n")).cast("long").alias("sdn"),
+    )
+    nd = F.col("nd").cast("double")
+    slope = (
+        nd * F.col("sdn").cast("double")
+        - F.col("sd").cast("double") * F.col("sn")
+    ) / (
+        nd * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd")
+    )
+    fit = s.select(
+        "nd",
+        "sd",
+        "sdd",
+        slope.alias("slope"),
+        ((F.col("sn").cast("double") - slope * F.col("sd")) / nd)
+        .alias("icept"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "nd",
+        "sd",
+        "sdd",
+        F.floor(
+            (F.col("n").cast("double")
+             - (F.col("icept") + F.col("slope") * F.col("d"))) * DW_Q
+            + F.lit(0.5)
+        ).cast("long").alias("eq"),
+    )
+    sse = resid.agg(
+        F.sum(F.col("eq") * F.col("eq")).cast("long").alias("sseq")
+    )
+    ndd = F.col("nd").cast("double")
+    h = (
+        F.lit(1.0) / ndd
+        + (F.col("d") - F.col("sd").cast("double") / ndd)
+        * (F.col("d") - F.col("sd").cast("double") / ndd)
+        / (
+            F.col("sdd").cast("double")
+            - F.col("sd").cast("double") * F.col("sd") / ndd
+        )
+    )
+    s2q = F.col("sseq").cast("double") / (ndd - 2)
+    cooks = (
+        F.col("eq").cast("double")
+        * F.col("eq")
+        * h
+        / (2.0 * s2q * (F.lit(1.0) - h) * (F.lit(1.0) - h))
+    )
+    return (
+        resid.crossJoin(F.broadcast(sse))
+        .where(cooks > 4.0 / ndd)
+        .select(
+            F.col("d").alias("day_idx"),
+            q4(F.col("eq").cast("double") / DW_Q).alias("residual"),
+            q4(h).alias("leverage"),
+            q4(cooks).alias("cooks_d"),
+        )
+    )

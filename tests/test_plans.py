@@ -507,6 +507,8 @@ def test_unpartitioned_window_census():
             "bucket count bounded by cents range / 1024",
         ("operators/mlprep.py", "ml_lift_gains"):
             "LIFT_K decile rows",
+        ("operators/mlprep.py", "ml_learning_curve"):
+            "LC_BUCKETS hash-bucket rows — domain-bounded",
         ("llm/text.py", "text_vocab_growth"):
             "one row per doc-id bucket (corpus/VOCAB_BUCKET_W)",
         ("llm/similarity.py", "ml_roc_auc"):

@@ -1133,3 +1133,110 @@ def test_drop_column_importance_matches_numpy(spark, sf_dir):
     assert abs(got["quantity"]["r2_full"] - full) < 1e-3
     assert abs(got["quantity"]["r2_drop"] - (full - only2)) < 1e-3
     assert abs(got["discount_pct"]["r2_drop"] - (full - only1)) < 1e-3
+
+
+def test_ljung_box_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), count(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    d0 = min(r[1] for r in rows)
+    d1 = max(r[1] for r in rows)
+    ndays = (d1 - d0).days + 1
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_ljung_box"].build(spark, sf_dir).collect()
+    }
+    types = {r[0] for r in rows}
+    for t in types:
+        y = np.zeros(ndays)
+        for tt, d, n in rows:
+            if tt == t:
+                y[(d - d0).days] = n
+        n = len(y)
+        yc = y - y.mean()
+        denom = float(np.sum(yc * yc))
+        q = 0.0
+        for k in range(1, 8):
+            r_k = float(np.sum(yc[k:] * yc[:-k])) / denom
+            q += r_k * r_k / (n - k)
+        q *= n * (n + 2)
+        assert got[t]["n_days"] == n
+        assert abs(got[t]["q_stat"] - q) < 1e-2
+
+
+def test_cooks_distance_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)"
+        " AS BIGINT), CAST(count(*) AS BIGINT) FROM orders"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    d = np.array([r[0] for r in rows], dtype=np.float64)
+    n = np.array([r[1] for r in rows], dtype=np.float64)
+    slope, icept = np.polyfit(d, n, 1)
+    e = n - (icept + slope * d)
+    nd = len(d)
+    h = 1.0 / nd + (d - d.mean()) ** 2 / np.sum((d - d.mean()) ** 2)
+    s2 = np.sum(e * e) / (nd - 2)
+    cooks = e * e * h / (2 * s2 * (1 - h) ** 2)
+    want = {int(d[i]) for i in range(nd) if cooks[i] > 4.0 / nd}
+    got = REGISTRY["stat_cooks_distance"].build(spark, sf_dir).collect()
+    assert {r["day_idx"] for r in got} == want
+    for r in got:
+        i = int(np.where(d == r["day_idx"])[0][0])
+        assert abs(r["cooks_d"] - cooks[i]) < 1e-2
+        assert abs(r["leverage"] - h[i]) < 1e-3
+
+
+def test_pinball_matches_numpy(spark, sf_dir):
+    con = _con(sf_dir)
+    y = np.array([r[0] for r in con.execute(
+        "SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT)"
+        " FROM lineitem"
+    ).fetchall()], dtype=np.int64)
+    got = {
+        round(r["tau"], 2): r
+        for r in REGISTRY["ml_pinball_loss"].build(spark, sf_dir).collect()
+    }
+    ys = np.sort(y)
+    for k in (1, 5, 9):
+        tau = k / 10.0
+        qhat = ys[int(np.ceil(tau * len(ys))) - 1]
+        loss = np.where(
+            y > qhat, tau * (y - qhat), (1 - tau) * (qhat - y)
+        )
+        assert got[tau]["q_hat"] == qhat / 100.0
+        assert abs(
+            got[tau]["mean_pinball"] - float(np.mean(loss)) / 100.0
+        ) < 1e-3
+
+
+def test_learning_curve_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT l_orderkey, l_linenumber,"
+        " CAST(l_quantity AS BIGINT),"
+        " CAST(floor(l_extendedprice) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    buckets = [[] for _ in range(10)]
+    for ok, ln, q, y in rows:
+        b = int(
+            hashlib.md5(f"{ok}-{ln}".encode()).hexdigest()[:6], 16
+        ) % 10
+        buckets[b].append((q, y))
+    got = sorted(
+        REGISTRY["ml_learning_curve"].build(spark, sf_dir).collect(),
+        key=lambda r: r["train_frac"],
+    )
+    acc = []
+    for b in range(10):
+        acc.extend(buckets[b])
+        q = np.array([t[0] for t in acc], dtype=np.float64)
+        y = np.array([t[1] for t in acc], dtype=np.float64)
+        r2 = np.corrcoef(q, y)[0, 1] ** 2
+        assert got[b]["n_rows"] == len(acc)
+        assert abs(got[b]["r2"] - r2) < 1e-3

@@ -304,6 +304,8 @@ EXTRA_KEYS = [
     "text_simpson_diversity", "ml_linear_attribution",
     "graph_copurchase_components", "orders_kraljic_matrix",
     "events_fano_factor", "ml_drop_column_importance",
+    "events_ljung_box", "stat_cooks_distance", "ml_pinball_loss",
+    "ml_learning_curve",
 ]
 
 
