@@ -3863,3 +3863,551 @@ def stat_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(cooks).alias("cooks_d"),
         )
     )
+
+
+# ------------------------------------------- round-7 wave G: classical tests
+
+# chi-square critical values at alpha = 0.05
+CHI2_CRIT_DF2 = "5.9915"
+CHI2_CRIT_DF4 = "9.4877"
+Z_CRIT = "1.96"
+
+
+@register(
+    "stat_jarque_bera",
+    oracle=f"""
+    WITH m AS ({_moments_sql()}),
+    c AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS s2n,
+               CAST(s3 AS DOUBLE) / n AS s3n,
+               CAST(s4 AS DOUBLE) / n AS s4n
+        FROM m
+    ), central AS (
+        SELECT l_returnflag, n,
+               s2n - mu * mu AS m2,
+               s3n - 3 * mu * s2n + 2 * mu * mu * mu AS m3,
+               s4n - 4 * mu * s3n + 6 * mu * mu * s2n
+                   - 3 * mu * mu * mu * mu AS m4
+        FROM c
+    ), sk AS (
+        SELECT l_returnflag, n,
+               m3 / pow(m2, 1.5) AS s,
+               m4 / (m2 * m2) - 3 AS k
+        FROM central
+    )
+    SELECT l_returnflag, n, {sql_q4("s")} AS skewness,
+           {sql_q4("k")} AS excess_kurtosis,
+           {sql_q4("n / 6.0 * (s * s + k * k / 4.0)")} AS jb_stat,
+           n / 6.0 * (s * s + k * k / 4.0) > {CHI2_CRIT_DF2} AS rejected
+    FROM sk
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per returnflag group: JB =
+    n/6·(S² + K²/4) from the same exact BIGINT raw power sums as
+    agg_moments (integer-valued measure → order-free partial
+    aggregation), with the closed form applied once per group.
+    Rejected at the chi-square(2) 0.05 critical value. 100 TB cost:
+    one hash-aggregate pass with map-side combine — the moment sums
+    are the canonical mergeable aggregation state."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+        F.sum(q * q * q).cast("long").alias("s3"),
+        F.sum(q * q * q * q).cast("long").alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    s2n = F.col("s2").cast("double") / F.col("n")
+    s3n = F.col("s3").cast("double") / F.col("n")
+    s4n = F.col("s4").cast("double") / F.col("n")
+    m2 = s2n - mu * mu
+    m3 = s3n - 3 * mu * s2n + 2 * mu * mu * mu
+    m4 = s4n - 4 * mu * s3n + 6 * mu * mu * s2n - 3 * mu * mu * mu * mu
+    s = m3 / F.pow(m2, 1.5)
+    k = m4 / (m2 * m2) - 3
+    jb = F.col("n") / 6.0 * (s * s + k * k / 4.0)
+    return m.select(
+        "l_returnflag",
+        "n",
+        q4(s).alias("skewness"),
+        q4(k).alias("excess_kurtosis"),
+        q4(jb).alias("jb_stat"),
+        (jb > float(CHI2_CRIT_DF2)).alias("rejected"),
+    )
+
+
+@register(
+    "stat_grubbs",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s1,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s2,
+               MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS vmin,
+               MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS vmax
+        FROM orders GROUP BY 1
+    ), d AS (
+        SELECT o_orderpriority, n, vmin, vmax,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd
+        FROM s
+    )
+    SELECT o_orderpriority, n,
+           {sql_q4("mu / 100.0")} AS mean_price,
+           {sql_q4("sd / 100.0")} AS sd_price,
+           CASE WHEN vmax - mu >= mu - vmin THEN vmax ELSE vmin END
+               AS outlier_cents,
+           {sql_q4("greatest(vmax - mu, mu - vmin) / sd")} AS g_stat
+    FROM d
+    """,
+)
+def stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-normed-residual outlier statistic per order
+    priority: G = max|x − x̄|/s with sample sd, plus the candidate
+    outlier value itself (the side with the larger deviation, max
+    wins ties — the CASE is evaluated on exact integers so both
+    engines pick the same side). Sufficient statistics are exact
+    cent-integer sums — one hash-aggregate pass, closed form per
+    group; no sort, no second pass over the data."""
+    o = table(spark, sf_dir, "orders")
+    v = cents(F.col("o_totalprice"))
+    # v² sums exceed BIGINT at scale (≈3.6e15 per row × rows), so the
+    # squared-sum accumulates in decimal(38,0) — exact and mergeable;
+    # DuckDB's SUM(BIGINT) already widens to HUGEINT on the oracle side.
+    vd = v.cast("decimal(19,0)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(vd * vd).alias("s2"),
+        F.min(v).cast("long").alias("vmin"),
+        F.max(v).cast("long").alias("vmax"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        q4(mu / 100.0).alias("mean_price"),
+        q4(sd / 100.0).alias("sd_price"),
+        F.when(
+            F.col("vmax") - mu >= mu - F.col("vmin"), F.col("vmax")
+        )
+        .otherwise(F.col("vmin"))
+        .alias("outlier_cents"),
+        q4(F.greatest(F.col("vmax") - mu, mu - F.col("vmin")) / sd).alias(
+            "g_stat"
+        ),
+    )
+
+
+@register(
+    "stat_mood_median",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        FROM events
+    ), grid AS (
+        SELECT v_cents, CAST(count(*) AS BIGINT) AS t
+        FROM ev GROUP BY 1
+    ), tot AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM grid),
+    med AS (
+        SELECT min(v_cents) AS med_cents
+        FROM (
+            SELECT v_cents,
+                   sum(t) OVER (ORDER BY v_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM grid
+        ), tot
+        WHERE 2 * cum >= n
+    ), per AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(count_if(v_cents > (SELECT med_cents FROM med))
+                   AS BIGINT) AS n_above
+        FROM ev GROUP BY 1
+    ), gl AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(n_above) AS BIGINT) AS tot_above
+        FROM per
+    ), contrib AS (
+        SELECT per.event_type, per.n_g, per.n_above,
+               CAST(per.n_g AS DOUBLE) * gl.tot_above / gl.n AS e_above,
+               CAST(per.n_g AS DOUBLE) * (gl.n - gl.tot_above) / gl.n
+                   AS e_le
+        FROM per, gl
+    ), chi AS (
+        SELECT sum(pow(n_above - e_above, 2) / e_above
+                   + pow((n_g - n_above) - e_le, 2) / e_le) AS chi2
+        FROM contrib
+    )
+    SELECT c.event_type, c.n_g, c.n_above,
+           {sql_q4("c.e_above")} AS exp_above,
+           (SELECT med_cents FROM med) AS median_cents,
+           {sql_q4("chi.chi2")} AS chi2_stat,
+           chi.chi2 > {CHI2_CRIT_DF4} AS rejected
+    FROM contrib c, chi
+    """,
+)
+def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five event types: does each
+    group's share above the GRAND median match its size?  The grand
+    median comes from the bounded cents value grid (hash-aggregate
+    first, then the bucketed ``global_ordered`` prefix machine over
+    grid rows — never a row-level sort), the 2×k contingency counts
+    are one conditional aggregate against the broadcast 1-row median,
+    and the chi-square(k−1) statistic folds once.  Every count is an
+    exact BIGINT; doubles appear only in the final expected/observed
+    closed form.  100 TB: two hash passes over facts + grid-sized
+    ordered work."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select("event_type", cents(F.col("value")).alias("v_cents"))
+    grid = ev.groupBy("v_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"t": "cum"},
+        rank_col=None,
+    )
+    tot = grid.agg(F.sum("t").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("v_cents").cast("long").alias("med_cents"))
+    )
+    per = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.count_if(F.col("v_cents") > F.col("med_cents"))
+            .cast("long")
+            .alias("n_above"),
+            F.first("med_cents").alias("median_cents"),
+        )
+    )
+    gl = per.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("n_above").cast("long").alias("tot_above"),
+    )
+    e_above = (
+        F.col("n_g").cast("double") * F.col("tot_above") / F.col("n")
+    )
+    e_le = (
+        F.col("n_g").cast("double")
+        * (F.col("n") - F.col("tot_above"))
+        / F.col("n")
+    )
+    contrib = per.crossJoin(F.broadcast(gl)).select(
+        "event_type",
+        "n_g",
+        "n_above",
+        "median_cents",
+        e_above.alias("e_above"),
+        e_le.alias("e_le"),
+    )
+    chi = contrib.agg(
+        F.sum(
+            F.pow(F.col("n_above") - F.col("e_above"), 2) / F.col("e_above")
+            + F.pow(
+                (F.col("n_g") - F.col("n_above")) - F.col("e_le"), 2
+            )
+            / F.col("e_le")
+        ).alias("chi2")
+    )
+    return contrib.crossJoin(F.broadcast(chi)).select(
+        "event_type",
+        "n_g",
+        "n_above",
+        q4(F.col("e_above")).alias("exp_above"),
+        "median_cents",
+        q4(F.col("chi2")).alias("chi2_stat"),
+        (F.col("chi2") > float(CHI2_CRIT_DF4)).alias("rejected"),
+    )
+
+
+COCHRAN_TYPES = ("click", "purchase", "view")
+
+
+@register(
+    "stat_cochran_q",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM users),
+    cnt AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('click', 'purchase', 'view')
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS tot
+        FROM cnt GROUP BY 1
+    ), ind AS (
+        SELECT u.user_id, t.event_type,
+               CASE WHEN COALESCE(cnt.c, 0) * nu.n_users > t.tot
+                    THEN 1 ELSE 0 END AS x
+        FROM users u
+        CROSS JOIN totals t
+        CROSS JOIN nu
+        LEFT JOIN cnt ON cnt.user_id = u.user_id
+                     AND cnt.event_type = t.event_type
+    ), rows_ AS (
+        SELECT user_id, CAST(sum(x) AS BIGINT) AS r
+        FROM ind GROUP BY 1
+    ), cols AS (
+        SELECT CAST(sum(CASE WHEN event_type = 'click' THEN x END)
+                   AS BIGINT) AS c_click,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN x END)
+                   AS BIGINT) AS c_purchase,
+               CAST(sum(CASE WHEN event_type = 'view' THEN x END)
+                   AS BIGINT) AS c_view
+        FROM ind
+    ), rs AS (
+        SELECT CAST(sum(r) AS BIGINT) AS t_total,
+               CAST(sum(r * r) AS BIGINT) AS sum_r2
+        FROM rows_
+    )
+    SELECT nu.n_users, cols.c_click, cols.c_purchase, cols.c_view,
+           rs.t_total,
+           {sql_q4("2.0 * (3 * (CAST(c_click AS DOUBLE) * c_click"
+                   " + CAST(c_purchase AS DOUBLE) * c_purchase"
+                   " + CAST(c_view AS DOUBLE) * c_view)"
+                   " - CAST(t_total AS DOUBLE) * t_total)"
+                   " / (3.0 * t_total - sum_r2)")} AS q_stat,
+           2.0 * (3 * (CAST(c_click AS DOUBLE) * c_click
+                   + CAST(c_purchase AS DOUBLE) * c_purchase
+                   + CAST(c_view AS DOUBLE) * c_view)
+                   - CAST(t_total AS DOUBLE) * t_total)
+               / (3.0 * t_total - sum_r2) > {CHI2_CRIT_DF2} AS rejected
+    FROM nu, cols, rs
+    """,
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for k=3 matched binary treatments: per user
+    (block), the indicator "this user's count of type t exceeds the
+    per-user average for t" (integer cross-multiplied — no float
+    threshold), tested for equal prevalence across click/purchase/
+    view.  Q = (k−1)(k·ΣC_j² − T²)/(k·T − ΣR_u²) — every term an
+    exact BIGINT from two hash aggregates (per-user×type counts,
+    then per-user row sums); the dense user×type grid is users ×
+    a broadcast 3-row type frame, so no row explosion beyond 3·U.
+    100 TB: shuffles carry (user, type) counts only."""
+    e = table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    nu = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    cnt = (
+        e.where(F.col("event_type").isin(*COCHRAN_TYPES))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = cnt.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    ind = (
+        users.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nu))
+        .join(cnt, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.when(
+                F.coalesce(F.col("c"), F.lit(0)) * F.col("n_users")
+                > F.col("tot"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("x"),
+        )
+    )
+    rows_ = ind.groupBy("user_id").agg(
+        F.sum("x").cast("long").alias("r")
+    )
+    cols = ind.agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("x")))
+            .cast("long")
+            .alias(f"c_{t}")
+            for t in COCHRAN_TYPES
+        ]
+    )
+    rs = rows_.agg(
+        F.sum("r").cast("long").alias("t_total"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_r2"),
+    )
+    sum_c2 = (
+        F.col("c_click").cast("double") * F.col("c_click")
+        + F.col("c_purchase").cast("double") * F.col("c_purchase")
+        + F.col("c_view").cast("double") * F.col("c_view")
+    )
+    q_stat = (
+        2.0
+        * (3 * sum_c2 - F.col("t_total").cast("double") * F.col("t_total"))
+        / (3.0 * F.col("t_total") - F.col("sum_r2"))
+    )
+    return (
+        F.broadcast(nu)
+        .crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(rs))
+        .select(
+            "n_users",
+            "c_click",
+            "c_purchase",
+            "c_view",
+            "t_total",
+            q4(q_stat).alias("q_stat"),
+            (q_stat > float(CHI2_CRIT_DF2)).alias("rejected"),
+        )
+    )
+
+
+@register(
+    "stat_proportions_ztest",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(count_if(user_id % 2 = 0) AS BIGINT) AS n1,
+               CAST(count_if(user_id % 2 = 0
+                             AND event_type = 'purchase') AS BIGINT) AS x1,
+               CAST(count_if(user_id % 2 = 1) AS BIGINT) AS n2,
+               CAST(count_if(user_id % 2 = 1
+                             AND event_type = 'purchase') AS BIGINT) AS x2
+        FROM events
+    ), p AS (
+        SELECT n1, x1, n2, x2,
+               CAST(x1 AS DOUBLE) / n1 AS p1,
+               CAST(x2 AS DOUBLE) / n2 AS p2,
+               CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+        FROM c
+    )
+    SELECT n1, x1, n2, x2,
+           {sql_q4("p1")} AS p1, {sql_q4("p2")} AS p2,
+           {sql_q4("(p1 - p2) / sqrt(pp * (1 - pp)"
+                   " * (1.0 / n1 + 1.0 / n2))")} AS z_stat,
+           {sql_q4("2 * (asin(sqrt(p1)) - asin(sqrt(p2)))")} AS cohens_h,
+           abs((p1 - p2) / sqrt(pp * (1 - pp)
+               * (1.0 / n1 + 1.0 / n2))) > {Z_CRIT} AS rejected
+    FROM p
+    """,
+)
+def stat_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test (+ Cohen's h effect size) for
+    purchase rate between the even/odd user cohorts — the A/B
+    readout for binary outcomes.  Four conditional counters in ONE
+    map-side-combined aggregate (no per-cohort scan), closed form
+    once; asin/sqrt run on identical doubles in both engines and the
+    result is q4-quantized.  100 TB: one pass, four counters."""
+    e = table(spark, sf_dir, "events")
+    even = F.col("user_id") % 2 == 0
+    pur = F.col("event_type") == "purchase"
+    c = e.agg(
+        F.count_if(even).cast("long").alias("n1"),
+        F.count_if(even & pur).cast("long").alias("x1"),
+        F.count_if(~even).cast("long").alias("n2"),
+        F.count_if(~even & pur).cast("long").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return c.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        q4(p1).alias("p1"),
+        q4(p2).alias("p2"),
+        q4(z).alias("z_stat"),
+        q4(2 * (F.asin(F.sqrt(p1)) - F.asin(F.sqrt(p2)))).alias("cohens_h"),
+        (F.abs(z) > float(Z_CRIT)).alias("rejected"),
+    )
+
+
+@register(
+    "stat_odds_ratio",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(count_if(user_id % 2 = 0
+                             AND event_type = 'purchase') AS BIGINT) AS a,
+               CAST(count_if(user_id % 2 = 0
+                             AND event_type <> 'purchase') AS BIGINT) AS b,
+               CAST(count_if(user_id % 2 = 1
+                             AND event_type = 'purchase') AS BIGINT) AS c_,
+               CAST(count_if(user_id % 2 = 1
+                             AND event_type <> 'purchase') AS BIGINT) AS d
+        FROM events
+    ), m AS (
+        SELECT a, b, c_, d,
+               ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c_))
+                   AS log_or,
+               sqrt(1.0/a + 1.0/b + 1.0/c_ + 1.0/d) AS se
+        FROM c
+    )
+    SELECT a, b, c_, d,
+           {sql_q4("exp(log_or)")} AS odds_ratio,
+           {sql_q4("log_or")} AS log_or,
+           {sql_q4("exp(log_or - 1.96 * se)")} AS ci_lo,
+           {sql_q4("exp(log_or + 1.96 * se)")} AS ci_hi,
+           {sql_q4("(CAST(a AS DOUBLE) / (a + b))"
+                   " / (CAST(c_ AS DOUBLE) / (c_ + d))")} AS risk_ratio
+    FROM m
+    """,
+)
+def stat_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio with the Wald log-normal 95% CI and the risk
+    ratio — exposure = even user cohort, outcome = purchase event.
+    The four cells come from one conditional aggregate (exact
+    BIGINTs); ln/exp/sqrt run once on the single result row, so
+    engine float behavior is applied to identical inputs.  100 TB:
+    one pass, four counters."""
+    e = table(spark, sf_dir, "events")
+    even = F.col("user_id") % 2 == 0
+    pur = F.col("event_type") == "purchase"
+    c = e.agg(
+        F.count_if(even & pur).cast("long").alias("a"),
+        F.count_if(even & ~pur).cast("long").alias("b"),
+        F.count_if(~even & pur).cast("long").alias("c_"),
+        F.count_if(~even & ~pur).cast("long").alias("d"),
+    )
+    log_or = F.log(
+        F.col("a").cast("double")
+        * F.col("d")
+        / (F.col("b").cast("double") * F.col("c_"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c_") + 1.0 / F.col("d")
+    )
+    rr = (F.col("a").cast("double") / (F.col("a") + F.col("b"))) / (
+        F.col("c_").cast("double") / (F.col("c_") + F.col("d"))
+    )
+    return c.select(
+        "a",
+        "b",
+        "c_",
+        "d",
+        q4(F.exp(log_or)).alias("odds_ratio"),
+        q4(log_or).alias("log_or"),
+        q4(F.exp(log_or - 1.96 * se)).alias("ci_lo"),
+        q4(F.exp(log_or + 1.96 * se)).alias("ci_hi"),
+        q4(rr).alias("risk_ratio"),
+    )
