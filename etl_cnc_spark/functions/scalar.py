@@ -966,3 +966,42 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_variant",
         )
     )
+
+
+@register(
+    "fn_edit_distance",
+    oracle="""
+    WITH pairs AS (
+        SELECT string_split(p_name, ' ')[1] AS a,
+               string_split(p_name, ' ')[-1] AS b
+        FROM part
+    )
+    SELECT CAST(levenshtein(a, b) AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           min(a || '|' || b) AS example
+    FROM pairs GROUP BY 1
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance as a first-class scalar (the fuzzy-
+    match workhorse behind entity resolution and spell-tolerant
+    joins): distance between the first and last token of every part
+    name, rolled into a distance histogram with a deterministic
+    example pair per bucket. Both engines implement the standard
+    unit-cost DP, so the integer distances agree exactly. Scale
+    shape: embarrassingly parallel scalar over the scan (whole-stage
+    codegen, JVM-side — never a Python UDF) + one small hash
+    aggregate; the per-value cost is O(len_a × len_b) on short
+    tokens, flat per row at any scale."""
+    p = table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    pairs = p.select(
+        F.element_at(toks, 1).alias("a"),
+        F.element_at(toks, -1).alias("b"),
+    )
+    return pairs.groupBy(
+        F.levenshtein(F.col("a"), F.col("b")).cast("long").alias("dist")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(F.concat_ws("|", F.col("a"), F.col("b"))).alias("example"),
+    )

@@ -295,3 +295,107 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_N)
         .select("doc_id", "lex_rn", "vec_rn", q4(F.col("rrf")).alias("rrf"), "rn")
     )
+
+
+# ------------------------------------------------- MMR diversification
+
+MMR_QUERIES = 4  # query block: embeddings of vec_id 0..3
+MMR_POOL = 30  # relevance pool depth fed into the re-ranker
+MMR_K = 10  # diversified results returned per query
+MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+
+
+@register(
+    "sim_mmr_diversify",
+    notes="Maximal Marginal Relevance re-rank — the greedy argmax is "
+    "inherently sequential per query (not SQL-expressible), so the "
+    "driver records rows-only; tests/test_r7_wave_h.py re-derives the "
+    "full selection with independent numpy and asserts exact ranks.",
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): after
+    an exact cosine top-``MMR_POOL`` retrieval per query, greedily
+    pick ``MMR_K`` results maximizing λ·relevance − (1−λ)·max-sim-to-
+    already-picked — the standard diversification pass between
+    retrieval and a RAG context window, killing near-duplicate hits
+    that would waste prompt tokens.
+
+    Scale shape: the candidate pool per query is BOUNDED (30 rows),
+    so the sequential greedy loop runs inside ``applyInPandas`` per
+    query group — thousands of queries diversify in parallel, each
+    group doing a 30×30 numpy sim matrix and k=10 argmax sweeps;
+    the unbounded part (scoring the corpus) stays relational
+    (broadcast query block, partitioned top-k window). Ties break on
+    candidate id, so the selection is fully deterministic."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.where(F.col("vec_id") >= MMR_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(
+        F.col("qn2") * F.col("cn2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    pool = (
+        F.broadcast(q)
+        .join(c)
+        .select("qid", "cid", cos.alias("rel"), "ce")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+
+    def _mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        emb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["ce"]])
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        sims = (emb @ emb.T) / np.outer(norms, norms)
+        rel = pdf["rel"].to_numpy()
+        cids = pdf["cid"].to_numpy()
+        picked: list[int] = []
+        rows = []
+        for rank in range(1, MMR_K + 1):
+            best = -1
+            best_score = None
+            for i in range(len(cids)):
+                if i in picked:
+                    continue
+                red = max(sims[i, j] for j in picked) if picked else 0.0
+                score = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * red
+                # strict > keeps the smallest cid on exact ties
+                if best_score is None or score > best_score:
+                    best, best_score = i, score
+            picked.append(best)
+            rows.append(
+                (
+                    int(pdf["qid"].iloc[0]),
+                    rank,
+                    int(cids[best]),
+                    float(rel[best]),
+                    float(best_score),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["qid", "rank", "cid", "relevance", "mmr_score"]
+        )
+
+    out = pool.groupBy("qid").applyInPandas(
+        _mmr,
+        "qid long, rank long, cid long, relevance double, mmr_score double",
+    )
+    return out.select(
+        "qid",
+        "rank",
+        "cid",
+        q4(F.col("relevance")).alias("relevance"),
+        q4(F.col("mmr_score")).alias("mmr_score"),
+    )

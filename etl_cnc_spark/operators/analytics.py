@@ -7060,3 +7060,78 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("q_stat")).alias("q_stat"),
         (F.col("q_stat") > LB_CHI2_CRIT).alias("autocorrelated"),
     )
+
+
+@register(
+    "events_allen_relations",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts)
+                   + CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS e
+        FROM events
+    ), seq AS (
+        SELECT user_id, s, e,
+               lag(s) OVER w AS ps, lag(e) OVER w AS pe
+        FROM iv
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id)
+    )
+    SELECT CASE
+               WHEN ps < s AND pe <  s THEN 'precedes'
+               WHEN ps < s AND pe =  s THEN 'meets'
+               WHEN ps < s AND pe <  e THEN 'overlaps'
+               WHEN ps < s AND pe =  e THEN 'finished_by'
+               WHEN ps < s AND pe >  e THEN 'contains'
+               WHEN ps = s AND pe <  e THEN 'starts'
+               ELSE 'equals'
+           END AS relation,
+           CAST(count(*) AS BIGINT) AS pairs
+    FROM seq WHERE ps IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra census over per-user activity intervals:
+    each event spans [ts, ts + value seconds] (duration materialized
+    as exact integer microseconds via the cents grid), consecutive
+    intervals per user — ordered by (start, end, event_id) so the
+    predecessor always starts no later — are classified into the
+    seven Allen relations reachable under that ordering (precedes,
+    meets, overlaps, finished_by, contains, starts, equals), and the
+    census counts each. This is the temporal-reasoning primitive
+    behind conflict detection, downtime attribution, and overlap
+    billing. Scale shape: one lag over a user-partitioned window
+    (shuffle on user_id only), then a 7-group hash aggregate with
+    map-side combine; all comparisons are exact int64 microseconds,
+    so both engines classify identically."""
+    e = table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    dur = F.floor(F.col("value") * 100 + 0.5).cast("long") * 10000
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + dur).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    seq = iv.select(
+        "s",
+        "e",
+        F.lag("s").over(w).alias("ps"),
+        F.lag("e").over(w).alias("pe"),
+    ).where(F.col("ps").isNotNull())
+    ps, pe, st, en = (F.col(c) for c in ("ps", "pe", "s", "e"))
+    rel = (
+        F.when((ps < st) & (pe < st), "precedes")
+        .when((ps < st) & (pe == st), "meets")
+        .when((ps < st) & (pe < en), "overlaps")
+        .when((ps < st) & (pe == en), "finished_by")
+        .when((ps < st) & (pe > en), "contains")
+        .when((ps == st) & (pe < en), "starts")
+        .otherwise("equals")
+    )
+    return (
+        seq.groupBy(rel.alias("relation"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )

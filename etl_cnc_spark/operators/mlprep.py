@@ -2058,3 +2058,182 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         q4(cov * cov / (vq * vy)).alias("r2"),
     )
+
+
+# --------------------------------------------- split conformal prediction
+
+CONF_ALPHA_NUM = 9  # coverage level 1-alpha = 0.9, kept as integers
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                   || '-' || CAST(l_linenumber AS VARCHAR)), 1, 6)
+                   AS BIGINT) % 10 AS b,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_train,
+               (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+               / (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS b1
+        FROM base WHERE b <= 5
+    ), fit2 AS (
+        SELECT n_train, b1,
+               (SELECT (CAST(sum(y) AS DOUBLE)
+                        - b1 * CAST(sum(x) AS DOUBLE)) / count(*)
+                FROM base WHERE b <= 5) AS b0
+        FROM fit
+    ), cal AS (
+        SELECT CAST(floor(abs(y - (b0 + b1 * x)) * 100 + 0.5) AS BIGINT)
+                   AS r
+        FROM base, fit2 WHERE b IN (6, 7)
+    ), kk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cal,
+               CAST(floor(({CONF_ALPHA_NUM} * (count(*) + 1) + 9) / 10.0)
+                   AS BIGINT) AS k
+        FROM cal
+    ), grid AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS t FROM cal GROUP BY 1
+    ), cum AS (
+        SELECT r, sum(t) OVER (ORDER BY r
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM grid
+    ), qh AS (
+        SELECT min(r) AS qhat_cents FROM cum, kk WHERE c >= kk.k
+    ), test AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(count_if(
+                   CAST(floor(abs(y - (b0 + b1 * x)) * 100 + 0.5)
+                       AS BIGINT) <= qhat_cents) AS BIGINT) AS covered
+        FROM base, fit2, qh WHERE b >= 8
+    )
+    SELECT fit2.n_train, kk.n_cal, test.n_test,
+           {sql_q4("fit2.b0")} AS intercept,
+           {sql_q4("fit2.b1")} AS slope,
+           qh.qhat_cents,
+           {sql_q4("CAST(test.covered AS DOUBLE) / test.n_test")}
+               AS coverage
+    FROM fit2, kk, qh, test
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction — the distribution-free interval
+    wrapper around ANY point model: a deterministic md5 hash split
+    (train 60% / calibration 20% / test 20%, append-stable), a
+    closed-form OLS fit of price on quantity from exact integer
+    moments on train, the (1-α)(n+1)-th smallest absolute residual
+    on calibration as the interval half-width q̂, and the empirical
+    coverage of ŷ ± q̂ on held-out test — which the conformal
+    guarantee says must be ≥ 90% regardless of the model's quality.
+
+    Scale shape: three filtered passes over one scan (Spark reuses
+    the base projection), each a hash aggregate with map-side
+    combine; the order statistic runs on the RESIDUAL-CENTS GRID
+    (distinct values, not rows) through ``global_ordered``'s
+    value-bucketed prefix machine — never a single-partition window
+    over data; the 1-row fit/k/q̂ frames broadcast. All comparisons
+    happen on exact integer cents derived from bitwise-identical
+    double arithmetic, so both engines select the same q̂."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    base = li.select(
+        b.alias("b"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    train = base.where(F.col("b") <= 5)
+    m = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n_train").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    b1 = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    fit = m.select(
+        "n_train",
+        b1.alias("b1"),
+        ((sy - b1 * sx) / nd).alias("b0"),
+    )
+    resid = F.floor(
+        F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))) * 100
+        + 0.5
+    ).cast("long")
+    cal = (
+        base.where(F.col("b").isin(6, 7))
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("r"))
+    )
+    kk = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.floor(
+            (CONF_ALPHA_NUM * (F.count(F.lit(1)) + 1) + 9) / 10.0
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    grid = cal.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    cum = global_ordered(
+        grid,
+        [F.col("r")],
+        bucket_key=F.expr("r DIV 65536"),
+        sums={"t": "c"},
+        rank_col=None,
+    )
+    qh = (
+        cum.crossJoin(F.broadcast(kk))
+        .where(F.col("c") >= F.col("k"))
+        .agg(F.min("r").alias("qhat_cents"))
+    )
+    test = (
+        base.where(F.col("b") >= 8)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(resid <= F.col("qhat_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(qh))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            q4(F.col("b0")).alias("intercept"),
+            q4(F.col("b1")).alias("slope"),
+            "qhat_cents",
+            q4(F.col("covered").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
+    )

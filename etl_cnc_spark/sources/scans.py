@@ -253,3 +253,88 @@ def scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "source_orc",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: customer written as ORC (Spark's
+    second native columnar format — same vectorized reader, predicate
+    pushdown, and column pruning machinery as parquet) and read back
+    through a selective segment filter, so the check covers both the
+    writer and the pushdown read path. Money is materialized as exact
+    integer cents BEFORE the write, so the round-trip carries no
+    float re-encoding risk. At 100 TB the format choice is a
+    per-dataset config switch, not a code change — everything
+    downstream consumes the same DataFrame."""
+    c = table(spark, sf_dir, "customer")
+    out = tmpdir(prefix="etlcnc_orc_", stable=True, key=sf_dir)
+    c.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+            "acctbal_cents"
+        ),
+    ).write.mode("overwrite").orc(out)
+    return spark.read.orc(out).where(F.col("c_mktsegment") == "BUILDING")
+
+
+@register(
+    "source_binary_files",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(strlen(n_name) AS BIGINT) AS n_bytes,
+           md5(n_name) AS digest
+    FROM nation
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` datasource — the ingestion path for opaque
+    media/blob corpora (images, audio, model shards): one payload
+    file per nation row (its name bytes) is exported by a DISTRIBUTED `mapInPandas`
+    shard writer (each task writes its own rows' files to shared
+    storage — the scale pattern; no driver collect), then read back
+    with `spark.read.format("binaryFile")`, which yields
+    (path, modificationTime, length, content) rows. The check
+    verifies byte-lossless transport: per-file byte length and md5
+    of the content column must equal the same digests computed
+    relationally from the source strings. Fixture comments are
+    ASCII, so DuckDB's md5(VARCHAR) hashes the identical bytes."""
+    import os
+
+    n = table(spark, sf_dir, "nation")
+    out = tmpdir(prefix="etlcnc_binsrc_", stable=True, key=sf_dir)
+
+    def _export(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for k, name in zip(pdf["n_nationkey"], pdf["n_name"]):
+                path = os.path.join(out, f"nation_{int(k):05d}.bin")
+                with open(path, "wb") as fh:
+                    fh.write(str(name).encode("utf-8"))
+            yield pd.DataFrame({"written": [len(pdf)]})
+
+    # noop sink triggers the export exactly once, executor-side.
+    n.select("n_nationkey", "n_name").mapInPandas(
+        _export, "written long"
+    ).write.format("noop").mode("overwrite").save()
+    b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return b.select(
+        F.regexp_extract(F.col("path"), r"nation_(\d+)\.bin", 1)
+        .cast("int")
+        .alias("n_nationkey"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
