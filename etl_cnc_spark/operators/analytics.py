@@ -7135,3 +7135,145 @@ def events_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy(rel.alias("relation"))
         .agg(F.count(F.lit(1)).alias("pairs"))
     )
+
+
+KM_Q = 1000000000  # fixed-point scale for the log-survival fold
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH span AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(min(ts) AS DATE),
+                              CAST(max(ts) AS DATE)) AS BIGINT) AS t,
+               CAST(max(ts) AS DATE) AS last_day
+        FROM events GROUP BY user_id
+    ), g AS (SELECT max(last_day) AS gmax FROM span),
+    lab AS (
+        SELECT t, last_day < gmax - INTERVAL 2 DAY AS dead
+        FROM span, g
+    ), grid AS (
+        SELECT t,
+               CAST(count_if(dead) AS BIGINT) AS d,
+               CAST(count_if(NOT dead) AS BIGINT) AS c
+        FROM lab GROUP BY t
+    ), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM grid),
+    risk AS (
+        SELECT t, d, c,
+               CAST(n - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+        FROM grid, tot
+    ), terms AS (
+        SELECT t, d, c, n_risk,
+               CASE WHEN d > 0 AND d < n_risk THEN
+                   CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                       * {KM_Q} - 0.5) + 1 AS BIGINT)
+                   ELSE 0 END AS qln,
+               CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS hit_zero
+        FROM risk
+    ), fold AS (
+        SELECT t, d, c, n_risk,
+               sum(qln) OVER w AS cum,
+               max(hit_zero) OVER w AS z
+        FROM terms
+        WINDOW w AS (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t AS t_days, n_risk, d AS d_events, c AS c_censored,
+           CASE WHEN z = 1 THEN 0.0 ELSE
+               floor(exp(CAST(cum AS DOUBLE) / {KM_Q}) * 10000 + 0.5)
+                   / 10000.0 END AS survival
+    FROM fold
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimator WITH right-censoring — the
+    correct lifetime curve when the study window truncates
+    observation (events_survival's naive curve treats every user as
+    fully observed): users whose last event falls within 2 days of
+    the corpus end are CENSORED at their observed lifetime (they
+    leave the risk set without counting as churned), and
+    S(t) = Π_{{t_i ≤ t}} (1 − d_i/n_i) over death times.
+
+    Distribution discipline: the product folds as exp(Σ ln(1−d/n))
+    with each log term FIXED-POINT QUANTIZED to 1e-9 (ceil toward
+    zero, matching both engines bitwise) so the cumulative sum is an
+    exact BIGINT — float associativity can never enter; d = n (curve
+    hits exactly zero) short-circuits through a hit-zero flag
+    instead of ln(0). Scale shape: one per-user rollup (shuffle on
+    user_id), a 1-row global-max broadcast, then ALL windows run on
+    the lifetime-days GRID — calendar-bounded metadata
+    (census-allowlisted), never raw rows."""
+    e = table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+        .cast("long")
+        .alias("t"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    g = span.agg(F.max("last_day").alias("gmax"))
+    lab = span.crossJoin(F.broadcast(g)).select(
+        "t",
+        (F.col("last_day") < F.date_sub(F.col("gmax"), 2)).alias("dead"),
+    )
+    grid = lab.groupBy("t").agg(
+        F.sum(F.when(F.col("dead"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("dead"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    tot = grid.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n"))
+    # lifetime-day grid: bounded by the calendar span (metadata-sized)
+    w_excl = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_excl), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    dd = F.col("d").cast("double")
+    qln = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        (
+            F.floor(
+                F.log(F.lit(1.0) - dd / F.col("n_risk")) * KM_Q - 0.5
+            )
+            + 1
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    hit = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    terms = risk.select(
+        "t", "d", "c", "n_risk", qln.alias("qln"), hit.alias("hit_zero")
+    )
+    fold = terms.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("qln").over(w_incl).alias("cum"),
+        F.max("hit_zero").over(w_incl).alias("z"),
+    )
+    return fold.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("cum").cast("double") / KM_Q) * 10000 + 0.5
+            )
+            / 10000.0
+        )
+        .alias("survival"),
+    )

@@ -1154,3 +1154,100 @@ def graph_copurchase_components(
         "n_edges",
         "total_support",
     )
+
+
+# --------------------------------------------- label propagation (LPA)
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    sql = f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    nbr AS MATERIALIZED (
+        SELECT u AS v, v AS n, w FROM edges WHERE u <> v
+        UNION ALL
+        SELECT v AS v, u AS n, w FROM edges WHERE u <> v
+    ),
+    nodes AS (SELECT n_nationkey AS v FROM nation),
+    lab0 AS (SELECT v, v AS l FROM nodes)
+    """
+    prev = "lab0"
+    for i in range(1, LPA_ROUNDS + 1):
+        sql += f""",
+    votes{i} AS (
+        SELECT nb.v, p.l, CAST(sum(nb.w) AS BIGINT) AS wt
+        FROM nbr nb JOIN {prev} p ON p.v = nb.n
+        GROUP BY nb.v, p.l
+    ),
+    best{i} AS (
+        SELECT v, l FROM (
+            SELECT v, l, row_number() OVER (PARTITION BY v
+                ORDER BY wt DESC, l) AS rn
+            FROM votes{i}
+        ) WHERE rn = 1
+    ),
+    lab{i} AS (
+        SELECT n.v, coalesce(b.l, p.l) AS l
+        FROM nodes n
+        LEFT JOIN best{i} b ON b.v = n.v
+        JOIN {prev} p ON p.v = n.v
+    )
+    """
+        prev = f"lab{i}"
+    sql += f"""
+    SELECT l AS community, CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(min(v) AS BIGINT) AS rep_nation
+    FROM {prev} GROUP BY l
+    """
+    return sql
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    over the undirected nation trade graph, {LPA_ROUNDS} fixed
+    plan-time-unrolled rounds: every node adopts the label carrying
+    the maximum total incident edge weight among its neighbors
+    (ties break on the smaller label — fully deterministic, which
+    is what makes an inherently heuristic community algorithm
+    hash-verifiable across engines); isolated nodes keep their own
+    label. Communities report size and smallest member.
+
+    Scale shape mirrors graph_pagerank: per round one shuffle-join
+    of the label table with the symmetrized edge list and one
+    (v, label) weight aggregate + per-node argmax window — the
+    Pregel-as-joins formulation; the edge derivation is the only
+    fact-table-sized pass and is checkpoint-scoped once."""
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = edges.where(F.col("u") != F.col("v"))
+    nbr = e.select(
+        F.col("u").alias("v"), F.col("v").alias("n"), "w"
+    ).unionAll(e.select(F.col("v").alias("v"), F.col("u").alias("n"), "w"))
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("v")
+    )
+    lab = nodes.select("v", F.col("v").alias("l"))
+    w_best = Window.partitionBy("v").orderBy(F.col("wt").desc(), "l")
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            nbr.join(
+                lab.select(F.col("v").alias("n"), "l"), "n"
+            )
+            .groupBy("v", "l")
+            .agg(F.sum("w").cast("long").alias("wt"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_best))
+            .where(F.col("rn") == 1)
+            .select("v", F.col("l").alias("bl"))
+        )
+        lab = (
+            nodes.join(best, "v", "left")
+            .join(lab, "v")
+            .select("v", F.coalesce(F.col("bl"), F.col("l")).alias("l"))
+        )
+    return lab.groupBy(F.col("l").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("v").cast("long").alias("rep_nation"),
+    )

@@ -4411,3 +4411,586 @@ def stat_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.exp(log_or + 1.96 * se)).alias("ci_hi"),
         q4(rr).alias("risk_ratio"),
     )
+
+
+# ------------------------------------------------- Hurst exponent (R/S)
+
+HURST_SIZES = (8, 16, 32, 64)
+HURST_Q = 1000000000  # fixed-point scale for per-chunk R/S
+HURST_QF = 1000000  # coarser scale for the 4-point log fit (qx*qy
+# products must stay inside int64; 1e-6 on ln moves the slope ~1e-6)
+_HURST_SIZES_SQL = ", ".join(f"({n})" for n in HURST_SIZES)
+
+
+@register(
+    "stat_hurst_rs",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT v, row_number() OVER (ORDER BY hr) - 1 AS i FROM hourly
+    ), sized AS (
+        SELECT s.n, ix.i, ix.v, ix.i // s.n AS chunk,
+               ix.i % s.n + 1 AS k
+        FROM idx ix CROSS JOIN (VALUES {_HURST_SIZES_SQL}) s(n)
+    ), winstats AS (
+        SELECT n, chunk, k, v,
+               CAST(count(*) OVER c AS BIGINT) AS cnt,
+               CAST(sum(v) OVER c AS BIGINT) AS sx,
+               CAST(sum(v * v) OVER c AS BIGINT) AS sxx,
+               CAST(sum(v) OVER (PARTITION BY n, chunk ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM sized
+        WINDOW c AS (PARTITION BY n, chunk)
+    ), devs AS (
+        SELECT n, chunk, cnt, sx, sxx,
+               CAST(cum AS DOUBLE)
+                   - k * (CAST(sx AS DOUBLE) / cnt) AS dev
+        FROM winstats WHERE cnt = n
+    ), per_chunk AS (
+        SELECT n, chunk,
+               greatest(max(dev), 0.0) - least(min(dev), 0.0) AS r,
+               sqrt(CAST(max(sxx) AS DOUBLE) / max(cnt)
+                    - (CAST(max(sx) AS DOUBLE) / max(cnt))
+                      * (CAST(max(sx) AS DOUBLE) / max(cnt))) AS s
+        FROM devs GROUP BY n, chunk
+    ), qrs AS (
+        SELECT n,
+               CAST(floor(r / s * {HURST_Q} + 0.5) AS BIGINT) AS q
+        FROM per_chunk WHERE s > 0
+    ), per_size AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(q) AS BIGINT) AS sq
+        FROM qrs GROUP BY n
+    ), pts AS (
+        SELECT n, n_chunks,
+               CAST(sum(q) AS BIGINT) / CAST(count(*) AS BIGINT) AS dummy
+        FROM qrs GROUP BY n
+    ), logpts AS (
+        SELECT n, n_chunks,
+               CAST(CAST(sq AS DOUBLE) / n_chunks / {HURST_Q} AS DOUBLE)
+                   AS rs_avg,
+               CAST(floor(ln(CAST(n AS DOUBLE)) * {HURST_QF} + 0.5)
+                   AS BIGINT) AS qx,
+               CAST(floor(ln(CAST(sq AS DOUBLE) / n_chunks / {HURST_Q})
+                   * {HURST_QF} + 0.5) AS BIGINT) AS qy
+        FROM per_size
+    ), fit AS (
+        SELECT (CAST(count(*) AS DOUBLE)
+                  * CAST(sum(qx * qy) AS DOUBLE)
+                - CAST(sum(qx) AS DOUBLE) * CAST(sum(qy) AS DOUBLE))
+               / (CAST(count(*) AS DOUBLE)
+                  * CAST(sum(qx * qx) AS DOUBLE)
+                - CAST(sum(qx) AS DOUBLE) * CAST(sum(qx) AS DOUBLE))
+                   AS h
+        FROM logpts
+    )
+    SELECT CAST(l.n AS BIGINT) AS win_n, l.n_chunks,
+           {sql_q4("l.rs_avg")} AS rs_avg,
+           {sql_q4("f.h")} AS hurst
+    FROM logpts l CROSS JOIN fit f
+    """,
+)
+def stat_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via classical rescaled-range (R/S) analysis on
+    the HOURLY activity-value series (the 30-day fixture yields ~720
+    calendar-bounded points): for window sizes 8/16/32/64 hours the
+    series splits into complete chunks, each chunk yields
+    R/S = (range of mean-adjusted prefix sums, zero-anchored) over
+    the population std, and the Hurst exponent is the slope of
+    ln(R/S̄) on ln(n) — H≈0.5 is a random walk, H>0.5 long-range
+    persistence (the memory diagnostic behind capacity planning and
+    anomaly baselining).
+
+    Float discipline: daily values are exact cents; within-chunk
+    prefix sums are exact BIGINT through a PARTITIONED cumulative
+    window; each chunk's R/S and both log coordinates are
+    fixed-point quantized to 1e-9 before any cross-chunk sum, so no
+    float addition ever depends on row order. Scale shape: the hourly
+    grid is calendar-bounded metadata (~hundreds of rows;
+    census-allowlisted row_number); everything below it is
+    chunk-partitioned windows and hash aggregates."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("v"))
+    # calendar-bounded hour grid (census-allowlisted)
+    idx = hourly.select(
+        "v", (F.row_number().over(Window.orderBy("hr")) - 1).alias("i")
+    )
+    sizes = spark.createDataFrame(
+        [(n,) for n in HURST_SIZES], "n int"
+    )
+    sized = idx.crossJoin(F.broadcast(sizes)).select(
+        "n",
+        "i",
+        "v",
+        F.expr("i DIV n").alias("chunk"),
+        (F.col("i") % F.col("n") + 1).alias("k"),
+    )
+    wc = Window.partitionBy("n", "chunk")
+    wcum = (
+        Window.partitionBy("n", "chunk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    winstats = sized.select(
+        "n",
+        "chunk",
+        "k",
+        "v",
+        F.count(F.lit(1)).over(wc).cast("long").alias("cnt"),
+        F.sum("v").over(wc).cast("long").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).over(wc).cast("long").alias("sxx"),
+        F.sum("v").over(wcum).cast("long").alias("cum"),
+    )
+    devs = winstats.where(F.col("cnt") == F.col("n")).select(
+        "n",
+        "chunk",
+        "cnt",
+        "sx",
+        "sxx",
+        (
+            F.col("cum").cast("double")
+            - F.col("k") * (F.col("sx").cast("double") / F.col("cnt"))
+        ).alias("dev"),
+    )
+    mean = F.max("sx").cast("double") / F.max("cnt")
+    per_chunk = devs.groupBy("n", "chunk").agg(
+        (
+            F.greatest(F.max("dev"), F.lit(0.0))
+            - F.least(F.min("dev"), F.lit(0.0))
+        ).alias("r"),
+        F.sqrt(
+            F.max("sxx").cast("double") / F.max("cnt") - mean * mean
+        ).alias("s"),
+    )
+    qrs = per_chunk.where(F.col("s") > 0).select(
+        "n",
+        F.floor(F.col("r") / F.col("s") * HURST_Q + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    per_size = qrs.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    rs_avg = F.col("sq").cast("double") / F.col("n_chunks") / HURST_Q
+    logpts = per_size.select(
+        "n",
+        "n_chunks",
+        rs_avg.alias("rs_avg"),
+        F.floor(F.log(F.col("n").cast("double")) * HURST_QF + 0.5)
+        .cast("long")
+        .alias("qx"),
+        F.floor(
+            F.log(
+                F.col("sq").cast("double") / F.col("n_chunks") / HURST_Q
+            )
+            * HURST_QF
+            + 0.5
+        )
+        .cast("long")
+        .alias("qy"),
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    fit = logpts.agg(
+        (
+            (
+                nd * F.sum(F.col("qx") * F.col("qy")).cast("double")
+                - F.sum("qx").cast("double") * F.sum("qy").cast("double")
+            )
+            / (
+                nd * F.sum(F.col("qx") * F.col("qx")).cast("double")
+                - F.sum("qx").cast("double") * F.sum("qx").cast("double")
+            )
+        ).alias("h")
+    )
+    return logpts.crossJoin(F.broadcast(fit)).select(
+        F.col("n").cast("long").alias("win_n"),
+        "n_chunks",
+        q4(F.col("rs_avg")).alias("rs_avg"),
+        q4(F.col("h")).alias("hurst"),
+    )
+
+
+# --------------------------------------- partial autocorrelation (PACF)
+
+PACF_LAGS = 3
+
+
+@register(
+    "stat_pacf",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT y, row_number() OVER (ORDER BY hr) AS t FROM hourly
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s1,
+               CAST(sum(y * y) AS BIGINT) AS s2
+        FROM idx
+    ), lags AS (SELECT unnest(generate_series(1, {PACF_LAGS})) AS lag),
+    pairs AS (
+        SELECT l.lag, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+               CAST(sum(a.y) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy
+        FROM idx a CROSS JOIN lags l
+        JOIN idx b ON b.t = a.t - l.lag
+        GROUP BY l.lag
+    ), acf AS (
+        SELECT p.lag, p.cnt,
+               (CAST(p.sxy AS DOUBLE)
+                  - (CAST(s.s1 AS DOUBLE) / s.n) * (p.sx + p.sy)
+                  + p.cnt * (CAST(s.s1 AS DOUBLE) / s.n)
+                          * (CAST(s.s1 AS DOUBLE) / s.n))
+               / (CAST(s.s2 AS DOUBLE)
+                  - s.n * (CAST(s.s1 AS DOUBLE) / s.n)
+                        * (CAST(s.s1 AS DOUBLE) / s.n)) AS r
+        FROM pairs p, stats s
+    ), wide AS (
+        SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+               max(CASE WHEN lag = 2 THEN r END) AS r2,
+               max(CASE WHEN lag = 3 THEN r END) AS r3,
+               max(CASE WHEN lag = 1 THEN cnt END) AS c1,
+               max(CASE WHEN lag = 2 THEN cnt END) AS c2,
+               max(CASE WHEN lag = 3 THEN cnt END) AS c3
+        FROM acf
+    ), dl AS (
+        SELECT r1, r2, r3, c1, c2, c3,
+               r1 AS phi11,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+        FROM wide
+    ), dl2 AS (
+        SELECT *,
+               phi11 - phi22 * phi11 AS phi21,
+               (1 - r1 * r1) * (1 - phi22 * phi22) AS e2
+        FROM dl
+    ), dl3 AS (
+        SELECT *,
+               (r3 - phi21 * r2 - phi22 * r1) / e2 AS phi33
+        FROM dl2
+    )
+    SELECT CAST(1 AS BIGINT) AS lag, CAST(c1 AS BIGINT) AS n_terms,
+           {sql_q4("r1")} AS acf, {sql_q4("phi11")} AS pacf FROM dl3
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(c2 AS BIGINT),
+           {sql_q4("r2")}, {sql_q4("phi22")} FROM dl3
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(c3 AS BIGINT),
+           {sql_q4("r3")}, {sql_q4("phi33")} FROM dl3
+    """,
+)
+def stat_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the hourly activity-value series at
+    lags 1–3 via the Durbin–Levinson recursion unrolled in closed
+    form (φ11 = r1; φ22 = (r2−r1²)/(1−r1²); φ33 from the level-2
+    forward coefficients) — THE model-order diagnostic for AR
+    fitting (PACF cuts off after lag p ⇒ AR(p)); complements
+    events_autocorr, which reads the raw ACF.
+
+    Determinism: ACF moments accumulate as exact BIGINTs (hourly
+    cents, lag self-join on the hour index), each rₖ and every
+    Durbin–Levinson line is ONE fixed-order double expression
+    written identically in both engines. Scale shape: one
+    data-proportional aggregate to the calendar-bounded hourly grid
+    (census-allowlisted row_number), then |hours|×3 join rows and a
+    1-row recursion."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    # calendar-bounded hour grid (census-allowlisted)
+    idx = hourly.select(
+        "y", F.row_number().over(Window.orderBy("hr")).alias("t")
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    lags = spark.range(1, PACF_LAGS + 1).select(F.col("id").alias("lag"))
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.t") == F.col("a.t") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("a.y") * F.col("b.y")).cast("long").alias("sxy"),
+            F.sum(F.col("a.y")).cast("long").alias("sx"),
+            F.sum(F.col("b.y")).cast("long").alias("sy"),
+        )
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r = (
+        F.col("sxy").cast("double")
+        - mu * (F.col("sx") + F.col("sy"))
+        + F.col("cnt") * mu * mu
+    ) / (F.col("s2").cast("double") - F.col("n") * mu * mu)
+    acf = pairs.crossJoin(F.broadcast(stats)).select(
+        "lag", "cnt", r.alias("r")
+    )
+    wide = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ],
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("cnt"))).alias(f"c{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r1, r2, r3 = (F.col(c) for c in ("r1", "r2", "r3"))
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = phi11 - phi22 * phi11
+    e2 = (1 - r1 * r1) * (1 - phi22 * phi22)
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / e2
+    rows = []
+    for k, (rr, ph) in enumerate(
+        [(r1, phi11), (r2, phi22), (r3, phi33)], start=1
+    ):
+        rows.append(
+            wide.select(
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"c{k}").cast("long").alias("n_terms"),
+                q4(rr).alias("acf"),
+                q4(ph).alias("pacf"),
+            )
+        )
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionAll(frame)
+    return out
+
+
+# ------------------------------------- Hodges-Lehmann pseudo-median
+
+
+@register(
+    "stat_hodges_lehmann",
+    oracle="""
+    WITH grid AS (
+        SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), walsh AS (
+        SELECT a.f, a.q + b.q AS w2,
+               CAST(sum(CASE WHEN a.q = b.q
+                        THEN a.c * (a.c + 1) // 2
+                        ELSE a.c * b.c END) AS BIGINT) AS wt
+        FROM grid a JOIN grid b ON a.f = b.f AND a.q <= b.q
+        GROUP BY a.f, a.q + b.q
+    ), tot AS (
+        SELECT f, CAST(sum(wt) AS BIGINT) AS t FROM walsh GROUP BY f
+    ), cum AS (
+        SELECT w.f, w.w2,
+               CAST(sum(w.wt) OVER (PARTITION BY w.f ORDER BY w.w2
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c,
+               t.t
+        FROM walsh w JOIN tot t ON w.f = t.f
+    )
+    SELECT f AS l_returnflag, min(t) AS n_pairs,
+           CAST(min(w2) AS DOUBLE) / 2.0 AS pseudo_median
+    FROM cum WHERE 2 * c >= t
+    GROUP BY f
+    """,
+)
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann one-sample pseudo-median of quantity per
+    returnflag: the (lower) median of all Walsh averages
+    (xᵢ+xⱼ)/2, i ≤ j — the location estimator dual to the Wilcoxon
+    signed-rank test, robust to outliers yet far more efficient
+    than the plain median at near-normal data.
+
+    Scale shape: the naive statistic is O(n²) pairs of ROWS; on an
+    integer-valued measure it collapses to the 50-point VALUE GRID —
+    grid×grid pairs with multiplicity weights (cᵢcⱼ off-diagonal,
+    cᵢ(cᵢ+1)/2 on it), a cumulative window over the ~100-point
+    Walsh-sum grid (value-domain bounded, partitioned by flag), and
+    a min over the qualifying half. Exact BIGINT weights end to
+    end; the only double is the final /2. (Pair-count totals reach
+    int64 limits near n≈3e9 rows per group; past that, swap the
+    weight sums to decimal(38,0) — same plan shape.)"""
+    li = table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a, b = grid.alias("a"), grid.alias("b")
+    wt = F.when(
+        F.col("a.q") == F.col("b.q"),
+        F.expr("`a`.c * (`a`.c + 1) DIV 2"),
+    ).otherwise(F.col("a.c") * F.col("b.c"))
+    walsh = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f")) & (F.col("a.q") <= F.col("b.q")),
+        )
+        .groupBy(
+            F.col("a.f").alias("f"),
+            (F.col("a.q") + F.col("b.q")).alias("w2"),
+        )
+        .agg(F.sum(wt).cast("long").alias("wt"))
+    )
+    tot = walsh.groupBy("f").agg(F.sum("wt").cast("long").alias("t"))
+    w_cum = (
+        Window.partitionBy("f")
+        .orderBy("w2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = walsh.join(tot, "f").select(
+        "f",
+        "w2",
+        F.sum("wt").over(w_cum).cast("long").alias("c"),
+        "t",
+    )
+    return (
+        cum.where(2 * F.col("c") >= F.col("t"))
+        .groupBy(F.col("f").alias("l_returnflag"))
+        .agg(
+            F.min("t").alias("n_pairs"),
+            (F.min("w2").cast("double") / 2.0).alias("pseudo_median"),
+        )
+    )
+
+
+# --------------------------------- Theil inequality index decomposition
+
+THEIL_QR = 1000  # per-customer x·ln(x) fixed-point scale
+THEIL_QG = 1000000000000  # per-group decomposition-term scale
+
+
+@register(
+    "stat_theil_decomposition",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), rowq AS (
+        SELECT c.c_nationkey AS nat, cu.x,
+               CAST(floor(CAST(cu.x AS DOUBLE)
+                   * ln(CAST(cu.x AS DOUBLE)) * {THEIL_QR} + 0.5)
+                   AS BIGINT) AS qxlx
+        FROM cust cu JOIN customer c ON cu.o_custkey = c.c_custkey
+    ), grp AS (
+        SELECT nat, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(x) AS BIGINT) AS x_g,
+               CAST(sum(qxlx) AS BIGINT) AS s_g
+        FROM rowq GROUP BY nat
+    ), tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(x_g) AS BIGINT) AS x
+        FROM grp
+    ), gterms AS (
+        SELECT g.nat, g.n_g, g.x_g,
+               CAST(g.x_g AS DOUBLE) / t.x AS share,
+               (CAST(g.s_g AS DOUBLE) / {THEIL_QR}) / g.x_g
+                   - ln(CAST(g.x_g AS DOUBLE) / g.n_g) AS t_g,
+               CAST(floor((CAST(g.x_g AS DOUBLE) / t.x)
+                   * ln((CAST(g.x_g AS DOUBLE) / t.x)
+                        / (CAST(g.n_g AS DOUBLE) / t.n))
+                   * {THEIL_QG} + 0.5) AS BIGINT) AS q_btw,
+               CAST(floor((CAST(g.x_g AS DOUBLE) / t.x)
+                   * ((CAST(g.s_g AS DOUBLE) / {THEIL_QR}) / g.x_g
+                      - ln(CAST(g.x_g AS DOUBLE) / g.n_g))
+                   * {THEIL_QG} + 0.5) AS BIGINT) AS q_win
+        FROM grp g, tot t
+    ), decomp AS (
+        SELECT CAST(sum(q_btw) AS DOUBLE) / {THEIL_QG} AS t_between,
+               CAST(sum(q_win) AS DOUBLE) / {THEIL_QG} AS t_within
+        FROM gterms
+    )
+    SELECT g.nat AS nationkey, g.n_g AS n_cust,
+           {sql_q4("g.share")} AS spend_share,
+           {sql_q4("g.t_g")} AS theil_g,
+           {sql_q4("d.t_between")} AS t_between,
+           {sql_q4("d.t_within")} AS t_within,
+           {sql_q4("d.t_between + d.t_within")} AS t_total
+    FROM gterms g CROSS JOIN decomp d
+    """,
+)
+def stat_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of per-customer spend, exactly
+    decomposed by nation: T_total = T_between + Σ_g share_g·T_g —
+    the additive inequality decomposition (between-group disparity
+    vs within-group dispersion) that Gini cannot provide, and the
+    standard concentration diagnostic for revenue-mix dashboards.
+
+    Float discipline: per-customer x·ln(x) quantizes to a 1e-3
+    fixed-point BIGINT before the group sum (row-order independent);
+    each group's two decomposition terms quantize to 1e-12 before
+    the 25-row fold, so every commutative float sum is integer. The
+    group statistic itself is the closed form T_g = Σx·lnx/X_g −
+    ln(μ_g) over three exact sums. Scale shape: one per-customer
+    rollup (shuffle on custkey), a broadcast customer→nation join,
+    a 25-group aggregate, and 1-row totals broadcast back."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x")
+    )
+    xd = F.col("x").cast("double")
+    rowq = cust.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        cust.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        "x",
+        F.floor(xd * F.log(xd) * THEIL_QR + 0.5).cast("long").alias("qxlx"),
+    )
+    grp = rowq.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("x_g"),
+        F.sum("qxlx").cast("long").alias("s_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("x_g").cast("long").alias("x"),
+    )
+    xg = F.col("x_g").cast("double")
+    share = xg / F.col("x")
+    t_g = (F.col("s_g").cast("double") / THEIL_QR) / F.col("x_g") - F.log(
+        xg / F.col("n_g")
+    )
+    q_btw = F.floor(
+        share
+        * F.log(share / (F.col("n_g").cast("double") / F.col("n")))
+        * THEIL_QG
+        + 0.5
+    ).cast("long")
+    q_win = F.floor(share * t_g * THEIL_QG + 0.5).cast("long")
+    gterms = grp.crossJoin(F.broadcast(tot)).select(
+        "nat",
+        "n_g",
+        share.alias("share"),
+        t_g.alias("t_g"),
+        q_btw.alias("q_btw"),
+        q_win.alias("q_win"),
+    )
+    decomp = gterms.agg(
+        (F.sum("q_btw").cast("double") / THEIL_QG).alias("t_between"),
+        (F.sum("q_win").cast("double") / THEIL_QG).alias("t_within"),
+    )
+    return gterms.crossJoin(F.broadcast(decomp)).select(
+        F.col("nat").alias("nationkey"),
+        F.col("n_g").alias("n_cust"),
+        q4(F.col("share")).alias("spend_share"),
+        q4(F.col("t_g")).alias("theil_g"),
+        q4(F.col("t_between")).alias("t_between"),
+        q4(F.col("t_within")).alias("t_within"),
+        q4(F.col("t_between") + F.col("t_within")).alias("t_total"),
+    )

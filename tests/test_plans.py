@@ -514,6 +514,15 @@ def test_unpartitioned_window_census():
         ("llm/similarity.py", "ml_roc_auc"):
             "two-level prefix: per-score-bucket offset table — bucket "
             "count bounded by the score range, not the corpus",
+        # round-7 wave I: calendar-bounded grids
+        ("operators/analytics.py", "events_kaplan_meier"):
+            "cumulative folds over the lifetime-DAYS grid — "
+            "calendar-bounded (one row per distinct lifespan day)",
+        ("operators/stats.py", "stat_hurst_rs"):
+            "row_number over the hourly series grid — calendar-bounded "
+            "(~720 rows per 30-day month at any SF)",
+        ("operators/stats.py", "stat_pacf"):
+            "row_number over the hourly series grid — calendar-bounded",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent / "etl_cnc_spark"
