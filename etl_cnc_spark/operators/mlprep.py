@@ -2131,14 +2131,18 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage of ŷ ± q̂ on held-out test — which the conformal
     guarantee says must be ≥ 90% regardless of the model's quality.
 
-    Scale shape: three filtered passes over one scan (Spark reuses
-    the base projection), each a hash aggregate with map-side
-    combine; the order statistic runs on the RESIDUAL-CENTS GRID
-    (distinct values, not rows) through ``global_ordered``'s
-    value-bucketed prefix machine — never a single-partition window
-    over data; the 1-row fit/k/q̂ frames broadcast. All comparisons
-    happen on exact integer cents derived from bitwise-identical
-    double arithmetic, so both engines select the same q̂."""
+    Scale shape: TWO scans total. Pass 1 aggregates per-hash-bucket
+    integer moments (10 rows) and the train fit folds from the
+    b≤5 rows of that tiny frame; pass 2 reads only the cal+test
+    buckets once, quantizes residuals, and aggregates straight to
+    the (split, residual-cents) GRID — the calibration order
+    statistic then runs on grid rows through ``global_ordered``'s
+    value-bucketed prefix machine (never a single-partition window
+    over data) and test coverage is a grid-level fold against q̂,
+    not a third scan. The 1-row fit/k/q̂ frames broadcast. All
+    comparisons happen on exact integer cents derived from
+    bitwise-identical double arithmetic, so both engines select the
+    same q̂."""
     li = table(spark, sf_dir, "lineitem")
     b = (
         F.conv(
@@ -2163,13 +2167,20 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
     )
-    train = base.where(F.col("b") <= 5)
-    m = train.agg(
-        F.count(F.lit(1)).cast("long").alias("n_train"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    # pass 1: per-bucket exact moments (10 rows), train fit from b<=5
+    pm = base.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("bsx"),
+        F.sum("y").cast("long").alias("bsy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("bsxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("bsxy"),
+    )
+    m = pm.where(F.col("b") <= 5).agg(
+        F.sum("n").cast("long").alias("n_train"),
+        F.sum("bsx").cast("long").alias("sx"),
+        F.sum("bsy").cast("long").alias("sy"),
+        F.sum("bsxx").cast("long").alias("sxx"),
+        F.sum("bsxy").cast("long").alias("sxy"),
     )
     nd = F.col("n_train").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -2180,26 +2191,34 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1.alias("b1"),
         ((sy - b1 * sx) / nd).alias("b0"),
     )
+    # pass 2: cal+test buckets once -> (split, residual-cents) grid
     resid = F.floor(
         F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))) * 100
         + 0.5
     ).cast("long")
-    cal = (
-        base.where(F.col("b").isin(6, 7))
+    grid2 = (
+        base.where(F.col("b") >= 6)
         .crossJoin(F.broadcast(fit))
-        .select(resid.alias("r"))
+        .groupBy(
+            (F.col("b") >= 8).alias("is_test"), resid.alias("r")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        # grid rows only (distinct residual values); checkpoint-scoped
+        # so the prefix machine's branches replay the grid, not the scan
+        .localCheckpoint(eager=False)
     )
-    kk = cal.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cal"),
+    calgrid = grid2.where(~F.col("is_test")).select("r", "t")
+    testgrid = grid2.where(F.col("is_test")).select("r", "t")
+    kk = calgrid.agg(
+        F.sum("t").cast("long").alias("n_cal"),
         F.floor(
-            (CONF_ALPHA_NUM * (F.count(F.lit(1)) + 1) + 9) / 10.0
+            (CONF_ALPHA_NUM * (F.sum("t") + 1) + 9) / 10.0
         )
         .cast("long")
         .alias("k"),
     )
-    grid = cal.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("t"))
     cum = global_ordered(
-        grid,
+        calgrid,
         [F.col("r")],
         bucket_key=F.expr("r DIV 65536"),
         sums={"t": "c"},
@@ -2210,16 +2229,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= F.col("k"))
         .agg(F.min("r").alias("qhat_cents"))
     )
-    test = (
-        base.where(F.col("b") >= 8)
-        .crossJoin(F.broadcast(fit))
-        .crossJoin(F.broadcast(qh))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_test"),
-            F.sum(F.when(resid <= F.col("qhat_cents"), 1).otherwise(0))
-            .cast("long")
-            .alias("covered"),
-        )
+    test = testgrid.crossJoin(F.broadcast(qh)).agg(
+        F.sum("t").cast("long").alias("n_test"),
+        F.sum(F.when(F.col("r") <= F.col("qhat_cents"), F.col("t")).otherwise(0))
+        .cast("long")
+        .alias("covered"),
     )
     return (
         fit.crossJoin(F.broadcast(kk))

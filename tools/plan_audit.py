@@ -306,6 +306,16 @@ EXTRA_KEYS = [
     "events_fano_factor", "ml_drop_column_importance",
     "events_ljung_box", "stat_cooks_distance", "ml_pinball_loss",
     "ml_learning_curve",
+    # r7 waves G/H/I: classical tests, sources, temporal/retrieval/
+    # survival/inequality operators
+    "stat_jarque_bera", "stat_grubbs", "stat_mood_median",
+    "stat_cochran_q", "stat_proportions_ztest", "stat_odds_ratio",
+    "source_orc", "source_binary_files", "events_allen_relations",
+    "fn_edit_distance", "sim_mmr_diversify", "ml_conformal_interval",
+    "events_kaplan_meier", "stat_hurst_rs", "stat_pacf",
+    "stat_hodges_lehmann", "graph_label_propagation",
+    "stat_theil_decomposition",
+    "stream_rate_source", "stream_late_metrics",
 ]
 
 
