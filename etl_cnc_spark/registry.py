@@ -43,9 +43,10 @@ REGISTRY: dict[str, QueryDef] = {}
 # attested, so its slot goes to text_bm25 / sim_ann_ivfpq /
 # dedup_recall_report — the other subtle-math keys in the same
 # families), then the remaining never-driver-checked keys in registry
-# order.  After this sweep: 344/402 legacy keys checked; r8 window =
-# the next 50 (graph/tpch/embed/ml-eval/sql_entry leftovers plus any
-# r7-wave additions), r9 = the remainder.  `python tools/next_window.py`
+# order.  After this sweep: 344/469 keys checked; 125 remain (the
+# r6/r7 long tail: graph/tpch/embed/ml-eval/sql_entry leftovers plus
+# the r7 waves) — r8 window = the next 50, r9 the next 50, r10 the
+# remainder.  `python tools/next_window.py`
 # prints each rotation; run `python tools/preflight.py --exec <keys>`
 # before rotating (catches driver-canonicalization traps like r4's
 # embed_quantize numpy-cell issue).
