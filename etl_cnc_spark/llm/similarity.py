@@ -2595,3 +2595,100 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
         q4(F.col("iso_rate")).alias("iso_rate"),
     )
+
+
+# --------------------------------------- Mahalanobis OOD scoring
+
+OOD_TOP = 20
+
+
+@register(
+    "embed_mahalanobis_ood",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+    vals AS (
+        SELECT dim,
+               CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1e8 + 0.5)
+                    AS BIGINT) AS xq,
+               CAST(floor(CAST(embedding[dim] AS DOUBLE)
+                          * CAST(embedding[dim] AS DOUBLE) * 1e8 + 0.5)
+                    AS BIGINT) AS x2q
+        FROM embeddings CROSS JOIN dims
+    ), agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xq) AS DOUBLE) / 1e8 AS sx,
+               CAST(sum(x2q) AS DOUBLE) / 1e8 AS sxx
+        FROM vals GROUP BY dim
+    ), arrs AS (
+        SELECT list(sx / n ORDER BY dim) AS mu,
+               list(sxx / n - (sx / n) * (sx / n) ORDER BY dim) AS vr
+        FROM agg
+    ), scored AS (
+        SELECT vec_id, label,
+               list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (CAST(embedding[i] AS DOUBLE) - mu[i])
+                        * (CAST(embedding[i] AS DOUBLE) - mu[i])
+                        / vr[i]), 'sum') AS d2
+        FROM embeddings CROSS JOIN arrs
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           {sql_q4("d2")} AS maha_d2
+    FROM scored ORDER BY d2 DESC, vec_id LIMIT {OOD_TOP}
+    """,
+)
+def embed_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution scoring by diagonal-covariance Mahalanobis
+    distance: per-dimension corpus moments (the embed_whitening_stats
+    sufficient statistics, fixed-point-quantized so the sums are
+    exact) broadcast as μ/σ² ARRAYS, each vector scored with one
+    sequential zip_with fold Σ(x_d−μ_d)²/σ²_d (identical
+    left-to-right order as the oracle's list fold — bitwise
+    reproducible), and the {OOD_TOP} most anomalous vectors
+    surfaced — the embedding-space outlier filter that catches
+    corrupt/adversarial items before they poison contrastive
+    training.
+
+    Scale shape: one 64-group moment aggregate (map-side combined
+    posexplode), a 1-row array broadcast, an embarrassingly parallel
+    per-vector fold, and TakeOrderedAndProject for the top-k — no
+    shuffle of vectors at all."""
+    e = table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    vals = e.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(x * F.lit(1e8) + F.lit(0.5)).cast("long").alias("xq"),
+        F.floor(x * x * F.lit(1e8) + F.lit(0.5)).cast("long").alias("x2q"),
+    )
+    agg = vals.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("xq").cast("double") / F.lit(1e8)).alias("sx"),
+        (F.sum("x2q").cast("double") / F.lit(1e8)).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    stats = agg.select(
+        "dim", mean.alias("mu"), (F.col("sxx") / F.col("n") - mean * mean).alias("vr")
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+            lambda s: s["mu"],
+        ).alias("mu"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "vr"))),
+            lambda s: s["vr"],
+        ).alias("vr"),
+    )
+    scored = e.crossJoin(F.broadcast(arrs))
+    diff = F.zip_with(
+        F.col("embedding"), F.col("mu"), lambda xv, m: xv.cast("double") - m
+    )
+    terms = F.zip_with(diff, F.col("vr"), lambda d, v: d * d / v)
+    d2 = F.aggregate(terms, F.lit(0.0), lambda a, t: a + t)
+    return (
+        scored.select(
+            "vec_id", F.col("label").cast("long").alias("label"), d2.alias("d2")
+        )
+        .orderBy(F.col("d2").desc(), "vec_id")
+        .limit(OOD_TOP)
+        .select("vec_id", "label", q4(F.col("d2")).alias("maha_d2"))
+    )

@@ -2507,3 +2507,99 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(nn * (nn - 1) / F.col("pairs")).alias("inv_simpson"),
         q4(F.lit(1.0) - lam).alias("gini_simpson"),
     )
+
+
+# --------------------------------- train/eval n-gram contamination
+
+CONTAM_N = 5  # shingle width (words)
+CONTAM_THRESH = "0.2"  # contaminated if >= 20% of eval shingles hit
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                   AS BIGINT) % 10 AS b
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, b,
+               unnest(list_transform(
+                   generate_series(1, len(w) - {CONTAM_N - 1}),
+                   i -> array_to_string(w[i:i + {CONTAM_N - 1}], ' ')))
+                   AS s
+        FROM docs WHERE len(w) >= {CONTAM_N}
+    ), es AS (SELECT DISTINCT doc_id, s FROM sh WHERE b = 9),
+    ts AS (SELECT DISTINCT s FROM sh WHERE b <> 9),
+    counts AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM es GROUP BY 1
+    ), hits AS (
+        SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM es e JOIN ts ON e.s = ts.s GROUP BY 1
+    )
+    SELECT c.doc_id, c.n_shingles,
+           coalesce(h.n_hit, 0) AS n_hit,
+           {sql_q4("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / c.n_shingles")}
+               AS hit_ratio,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / c.n_shingles
+               >= {CONTAM_THRESH} AS contaminated
+    FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination audit — the decontamination
+    gate every LLM data pipeline runs before trusting a benchmark
+    (GPT-3 appendix C shape): documents hash-split 90/10 into
+    train/eval by md5(doc_id), each eval doc's DISTINCT 5-word
+    shingles are probed against the global distinct train-shingle
+    set, and the hit ratio flags eval docs whose content leaks from
+    the training corpus.
+
+    Scale shape: only shingle STRINGS shuffle (at true scale,
+    hash-digest them first — same plan); the train side dedups to
+    distinct shingles before the probe join (one hash aggregate),
+    the hit count is a shingle-keyed equi-join + per-doc aggregate,
+    and zero-hit eval docs survive via the left join. No pairwise
+    doc×doc work anywhere — cost is linear in corpus shingles."""
+    d = table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 10
+    )
+    docs = d.select(
+        "doc_id", F.split("text", " ").alias("w"), b.alias("b")
+    ).where(F.size("w") >= CONTAM_N)
+    sh = docs.select(
+        "doc_id",
+        "b",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {CONTAM_N - 1}),"
+                f" i -> array_join(slice(w, i, {CONTAM_N}), ' '))"
+            )
+        ).alias("s"),
+    )
+    es = sh.where(F.col("b") == 9).select("doc_id", "s").distinct()
+    ts = sh.where(F.col("b") != 9).select("s").distinct()
+    counts = es.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    hits = (
+        es.join(ts, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    ratio = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col(
+        "n_shingles"
+    )
+    return counts.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        q4(ratio).alias("hit_ratio"),
+        (ratio >= float(CONTAM_THRESH)).alias("contaminated"),
+    )

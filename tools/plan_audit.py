@@ -316,6 +316,7 @@ EXTRA_KEYS = [
     "stat_hodges_lehmann", "graph_label_propagation",
     "stat_theil_decomposition",
     "stream_rate_source", "stream_late_metrics",
+    "text_contamination_check", "embed_mahalanobis_ood",
 ]
 
 
