@@ -2692,3 +2692,89 @@ def embed_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(OOD_TOP)
         .select("vec_id", "label", q4(F.col("d2")).alias("maha_d2"))
     )
+
+
+# ------------------------------------------- mutual (reciprocal) kNN
+
+RNN_BLOCK = 300  # bounded demonstration universe (vec_id < RNN_BLOCK)
+RNN_K = 5
+
+
+@register(
+    "sim_reciprocal_nn",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               {_SQL_DOT} /
+               sqrt({_SQL_NORM2.format(col="a.embedding")}
+                    * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {RNN_BLOCK} AND b.vec_id < {RNN_BLOCK}
+    ), ranked AS (
+        SELECT qid, cid, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS BIGINT) AS rn
+        FROM scored
+    ), knn AS (SELECT * FROM ranked WHERE rn <= {RNN_K})
+    SELECT x.qid AS vec_a, x.cid AS vec_b,
+           x.rn AS rank_ab, y.rn AS rank_ba,
+           {sql_q4("x.cos")} AS cosine
+    FROM knn x JOIN knn y ON x.qid = y.cid AND x.cid = y.qid
+    WHERE x.qid < x.cid
+    """,
+)
+def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual (reciprocal) k-nearest-neighbor pairs: (a,b) survives
+    only if b is in a's top-{RNN_K} AND a is in b's top-{RNN_K} —
+    the high-precision near-duplicate verifier (mutual-kNN pairs are
+    far likelier to be true duplicates than one-directional hits,
+    the filter hdbscan/two-NN estimators build on). Demonstrated on
+    a bounded {RNN_BLOCK}-vector block; at corpus scale the
+    candidate lists come from the IVF/LSH index keys (sim_ann_*) and
+    this mutual filter is the same self-join on the (query,
+    candidate) ranks — candidates-sized, never corpus².
+
+    Plan: one blocked pairwise scoring stage (JVM fold dot product),
+    a qid-partitioned top-k window, then an equi-join of the kNN
+    list with its own transpose — all shuffles keyed on vector
+    ids."""
+    e = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < RNN_BLOCK
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(
+        F.col("qn2") * F.col("cn2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    knn = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= RNN_K)
+    )
+    x, y = knn.alias("x"), knn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.qid") == F.col("y.cid"))
+            & (F.col("x.cid") == F.col("y.qid")),
+        )
+        .where(F.col("x.qid") < F.col("x.cid"))
+        .select(
+            F.col("x.qid").alias("vec_a"),
+            F.col("x.cid").alias("vec_b"),
+            F.col("x.rn").alias("rank_ab"),
+            F.col("y.rn").alias("rank_ba"),
+            q4(F.col("x.cos")).alias("cosine"),
+        )
+    )

@@ -4994,3 +4994,232 @@ def stat_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("t_within")).alias("t_within"),
         q4(F.col("t_between") + F.col("t_within")).alias("t_total"),
     )
+
+
+# --------------------------------------- Wilcoxon signed-rank (paired)
+
+
+_WSR_Z = ("(w_plus - n * (n + 1) / 4.0)"
+          " / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0)")
+
+
+@register(
+    "stat_wilcoxon_signed",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN event_type = 'click'
+                   THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), diffs AS (
+        SELECT p - c AS d, abs(p - c) AS ad FROM daily WHERE p <> c
+    ), grid AS (
+        SELECT ad, CAST(count(*) AS BIGINT) AS t,
+               CAST(count_if(d > 0) AS BIGINT) AS pos
+        FROM diffs GROUP BY ad
+    ), ranked AS (
+        SELECT ad, t, pos,
+               CAST(coalesce(sum(t) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+        FROM grid
+    ), folded AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n,
+               sum(pos * (before + (t + 1) / 2.0)) AS w_plus,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM ranked
+    )
+    SELECT n,
+           {sql_q4("w_plus")} AS w_plus,
+           {sql_q4("n * (n + 1) / 2.0 - w_plus")} AS w_minus,
+           {sql_q4(_WSR_Z)}
+               AS z_stat
+    FROM folded
+    """,
+)
+def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily totals (purchase vs
+    click revenue per calendar day) — the nonparametric paired-t
+    replacement; complements stat_mann_whitney, which handles the
+    unpaired case. Zero differences drop (Wilcoxon's rule), ties in
+    |d| get midranks, W⁺/W⁻ are the signed rank sums, and the
+    normal approximation carries the standard tie correction
+    Σ(t³−t)/48.
+
+    Exactness: daily totals and differences are integer cents;
+    midranks are dyadic halves (exact in binary), so every sum is
+    bit-reproducible without quantization. Scale shape: one hash
+    aggregate to the calendar-day grid, a cumulative window over the
+    ≤|days| |d|-value grid (census-allowlisted), one closed-form
+    row."""
+    e = table(spark, sf_dir, "events")
+    v = cents(F.col("value"))
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", v).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") == "click", v).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    diffs = daily.where(F.col("p") != F.col("c")).select(
+        (F.col("p") - F.col("c")).alias("d"),
+        F.abs(F.col("p") - F.col("c")).alias("ad"),
+    )
+    grid = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    # |d| grid over calendar days — bounded (census-allowlisted)
+    w_excl = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = grid.select(
+        "ad",
+        "t",
+        "pos",
+        F.coalesce(F.sum("t").over(w_excl), F.lit(0))
+        .cast("long")
+        .alias("before"),
+    )
+    folded = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("pos") * (F.col("before") + (F.col("t") + 1) / 2.0)
+        ).alias("w_plus"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    n = F.col("n")
+    wp = F.col("w_plus")
+    z = (wp - n * (n + 1) / 4.0) / F.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - F.col("tie3") / 48.0
+    )
+    return folded.select(
+        "n",
+        q4(wp).alias("w_plus"),
+        q4(n * (n + 1) / 2.0 - wp).alias("w_minus"),
+        q4(z).alias("z_stat"),
+    )
+
+
+# ------------------------------------------------- Box-Cox lambda scan
+
+BC_LAMBDAS = (-20, -15, -10, -5, 0, 5, 10, 15, 20)  # lambda * 10
+BC_Q = 1000000000  # fixed-point scale for transformed-value sums
+_BC_L_SQL = ", ".join(f"({v})" for v in BC_LAMBDAS)
+
+
+@register(
+    "stat_box_cox",
+    oracle=f"""
+    WITH grid AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem
+    GROUP BY 1
+    ), lam AS (SELECT CAST(l10 AS BIGINT) AS l10 FROM (VALUES {_BC_L_SQL}) t(l10)),
+    trans AS (
+        SELECT l.l10, g.c,
+               CASE WHEN l.l10 = 0 THEN ln(CAST(g.x AS DOUBLE))
+                    ELSE (pow(CAST(g.x AS DOUBLE), l.l10 / 10.0) - 1.0)
+                         / (l.l10 / 10.0) END AS y,
+               ln(CAST(g.x AS DOUBLE)) AS lx
+        FROM grid g CROSS JOIN lam l
+    ), q AS (
+        SELECT l10, c,
+               CAST(floor(y * {BC_Q} + 0.5) AS BIGINT) AS qy,
+               CAST(floor(y * y * {BC_Q} + 0.5) AS BIGINT) AS qyy,
+               CAST(floor(lx * {BC_Q} + 0.5) AS BIGINT) AS qlx
+        FROM trans
+    ), mom AS (
+        SELECT l10, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(c AS HUGEINT) * qy) AS DOUBLE) / {BC_Q} AS sy,
+               CAST(sum(CAST(c AS HUGEINT) * qyy) AS DOUBLE) / {BC_Q}
+                   AS syy,
+               CAST(sum(CAST(c AS HUGEINT) * qlx) AS DOUBLE) / {BC_Q}
+                   AS slx
+        FROM q GROUP BY l10
+    ), ll AS (
+        SELECT l10, n,
+               -n / 2.0 * ln(syy / n - (sy / n) * (sy / n))
+                   + (l10 / 10.0 - 1.0) * slx AS loglik
+        FROM mom
+    ), best AS (SELECT max(loglik) AS m FROM ll)
+    SELECT {sql_q4("ll.l10 / 10.0")} AS lam,
+           {sql_q4("ll.loglik")} AS loglik,
+           ll.loglik = best.m AS is_best
+    FROM ll CROSS JOIN best
+    """,
+)
+def stat_box_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box–Cox power-transform selection: the profile log-likelihood
+    LL(λ) = −n/2·ln σ̂²_λ + (λ−1)Σln x scanned over a fixed λ grid
+    (−2…2 step 0.5, λ=0 → ln x), with the argmax flagged — the
+    normality-restoring transform picker that precedes parametric
+    modeling of skewed positive measures.
+
+    Scale shape: the measure collapses to its 50-point VALUE GRID
+    first (one hash aggregate), so the 9-λ scan transforms grid
+    points, not rows — |grid|×9 work regardless of table size.
+    Transformed values quantize to 1e-9 fixed point per grid cell
+    before the count-weighted sums, so no float accumulation depends
+    on order; pow/ln are computed once per (value, λ) cell with
+    identical expressions in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(F.col("l_quantity").cast("long").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lam = spark.createDataFrame(
+        [(v,) for v in BC_LAMBDAS], "l10 long"
+    )
+    xd = F.col("x").cast("double")
+    ld = F.col("l10") / 10.0
+    y = F.when(F.col("l10") == 0, F.log(xd)).otherwise(
+        (F.pow(xd, ld) - 1.0) / ld
+    )
+    trans = grid.crossJoin(F.broadcast(lam)).select(
+        "l10",
+        "c",
+        y.alias("y"),
+        F.log(xd).alias("lx"),
+    )
+    q = trans.select(
+        "l10",
+        "c",
+        F.floor(F.col("y") * BC_Q + 0.5).cast("long").alias("qy"),
+        F.floor(F.col("y") * F.col("y") * BC_Q + 0.5)
+        .cast("long")
+        .alias("qyy"),
+        F.floor(F.col("lx") * BC_Q + 0.5).cast("long").alias("qlx"),
+    )
+    # weight x quantized-square products exceed int64 at fact-table
+    # cardinalities; accumulate in decimal(38,0) (HUGEINT on the
+    # oracle side) — exact and mergeable
+    cd = F.col("c").cast("decimal(19,0)")
+    mom = q.groupBy("l10").agg(
+        F.sum("c").cast("long").alias("n"),
+        (F.sum(cd * F.col("qy")).cast("double") / BC_Q).alias("sy"),
+        (F.sum(cd * F.col("qyy")).cast("double") / BC_Q).alias("syy"),
+        (F.sum(cd * F.col("qlx")).cast("double") / BC_Q).alias("slx"),
+    )
+    n = F.col("n")
+    loglik = -n / 2.0 * F.log(
+        F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    ) + (F.col("l10") / 10.0 - 1.0) * F.col("slx")
+    ll = mom.select("l10", "n", loglik.alias("loglik"))
+    best = ll.agg(F.max("loglik").alias("m"))
+    return ll.crossJoin(F.broadcast(best)).select(
+        q4(F.col("l10") / 10.0).alias("lam"),
+        q4(F.col("loglik")).alias("loglik"),
+        (F.col("loglik") == F.col("m")).alias("is_best"),
+    )

@@ -523,6 +523,9 @@ def test_unpartitioned_window_census():
             "(~720 rows per 30-day month at any SF)",
         ("operators/stats.py", "stat_pacf"):
             "row_number over the hourly series grid — calendar-bounded",
+        ("operators/stats.py", "stat_wilcoxon_signed"):
+            "cumulative rank fold over the |d| grid of calendar days "
+            "(≤|days| rows)",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent / "etl_cnc_spark"

@@ -317,6 +317,7 @@ EXTRA_KEYS = [
     "stat_theil_decomposition",
     "stream_rate_source", "stream_late_metrics",
     "text_contamination_check", "embed_mahalanobis_ood",
+    "stat_wilcoxon_signed", "stat_box_cox", "sim_reciprocal_nn",
 ]
 
 
