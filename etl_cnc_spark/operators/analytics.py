@@ -7277,3 +7277,76 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+XMR_K = "2.66"  # individuals-chart moving-range control constant
+
+
+@register(
+    "events_xmr_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count_if(event_type = 'error') AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), mr AS (
+        SELECT day, x,
+               abs(x - lag(x) OVER (ORDER BY day)) AS mrv
+        FROM daily
+    ), lim AS (
+        SELECT CAST(avg(CAST(x AS DOUBLE)) AS DOUBLE) AS xbar,
+               CAST(sum(mrv) AS DOUBLE) / count(mrv) AS mrbar
+        FROM mr
+    )
+    SELECT strftime(mr.day, '%Y-%m-%d') AS day, mr.x,
+           CAST(mr.mrv AS BIGINT) AS moving_range,
+           {sql_q4(f"lim.xbar + {XMR_K} * lim.mrbar")} AS ucl,
+           {sql_q4(f"lim.xbar - {XMR_K} * lim.mrbar")} AS lcl,
+           mr.x > lim.xbar + {XMR_K} * lim.mrbar
+               OR mr.x < lim.xbar - {XMR_K} * lim.mrbar
+               AS out_of_control
+    FROM mr CROSS JOIN lim
+    """,
+)
+def events_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals / moving-range (XmR) Shewhart control chart on the
+    daily error count — the SPC primitive for "is today's failure
+    rate a signal or noise": MR_t = |x_t − x_{{t−1}}|, natural
+    process limits x̄ ± 2.66·M̄R, and each day flagged when it
+    breaches them. Complements events_volatility_band (rolling σ)
+    with the classical fixed-constant control methodology.
+
+    Exactness: daily counts and moving ranges are exact integers;
+    x̄/M̄R are single closed-form doubles from those sums; the
+    2.66 constant is one shared literal. Scale shape: one hash
+    aggregate to the calendar-day grid, a lag over that bounded grid
+    (census-allowlisted), a 1-row limits broadcast."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("x")
+    )
+    # calendar-day grid (census-allowlisted)
+    mr = daily.select(
+        "day",
+        "x",
+        F.abs(
+            F.col("x") - F.lag("x").over(Window.orderBy("day"))
+        ).alias("mrv"),
+    )
+    lim = mr.agg(
+        F.avg(F.col("x").cast("double")).alias("xbar"),
+        (F.sum("mrv").cast("double") / F.count("mrv")).alias("mrbar"),
+    )
+    k = float(XMR_K)
+    ucl = F.col("xbar") + k * F.col("mrbar")
+    lcl = F.col("xbar") - k * F.col("mrbar")
+    return mr.crossJoin(F.broadcast(lim)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.col("mrv").cast("long").alias("moving_range"),
+        q4(ucl).alias("ucl"),
+        q4(lcl).alias("lcl"),
+        ((F.col("x") > ucl) | (F.col("x") < lcl)).alias("out_of_control"),
+    )

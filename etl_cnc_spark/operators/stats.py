@@ -5223,3 +5223,84 @@ def stat_box_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("loglik")).alias("loglik"),
         (F.col("loglik") == F.col("m")).alias("is_best"),
     )
+
+
+# --------------------------------------- process capability (Cp / Cpk)
+
+CAP_LSL, CAP_USL = 5, 45  # quantity spec limits
+
+
+@register(
+    "stat_capability",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+               CAST(count_if(l_quantity < {CAP_LSL}
+                    OR l_quantity > {CAP_USL}) AS BIGINT) AS n_out
+        FROM lineitem GROUP BY 1
+    ), d AS (
+        SELECT l_returnflag, n, n_out,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd
+        FROM m
+    )
+    SELECT l_returnflag, n, {sql_q4("mu")} AS mean_qty,
+           {sql_q4("sd")} AS sd_qty,
+           {sql_q4(f"({CAP_USL} - {CAP_LSL}) / (6.0 * sd)")} AS cp,
+           {sql_q4(f"least({CAP_USL} - mu, mu - {CAP_LSL}) / (3.0 * sd)")}
+               AS cpk,
+           {sql_q4("CAST(n_out AS DOUBLE) / n")} AS frac_out_of_spec
+    FROM d
+    """,
+)
+def stat_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability indices per returnflag against quantity
+    spec limits [{CAP_LSL}, {CAP_USL}]: Cp = (USL−LSL)/6σ (potential
+    capability), Cpk = min(USL−μ, μ−LSL)/3σ (actual, centering-
+    penalized), plus the observed out-of-spec fraction — the SPC
+    summary a manufacturing/SLA dashboard pairs with the XmR chart
+    (events_xmr_chart tracks stability over time; Cp/Cpk judge the
+    stable process against its tolerance).
+
+    One map-side-combined hash aggregate of exact integer moments
+    per group; every index is a closed-form double from those
+    sums."""
+    li = table(spark, sf_dir, "lineitem")
+    qv = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(qv).cast("long").alias("s1"),
+        F.sum(qv * qv).cast("long").alias("s2"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < CAP_LSL)
+                | (F.col("l_quantity") > CAP_USL),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_out"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        q4(mu).alias("mean_qty"),
+        q4(sd).alias("sd_qty"),
+        q4((CAP_USL - CAP_LSL) / (6.0 * sd)).alias("cp"),
+        q4(F.least(CAP_USL - mu, mu - CAP_LSL) / (3.0 * sd)).alias("cpk"),
+        q4(F.col("n_out").cast("double") / F.col("n")).alias(
+            "frac_out_of_spec"
+        ),
+    )

@@ -526,6 +526,8 @@ def test_unpartitioned_window_census():
         ("operators/stats.py", "stat_wilcoxon_signed"):
             "cumulative rank fold over the |d| grid of calendar days "
             "(≤|days| rows)",
+        ("operators/analytics.py", "events_xmr_chart"):
+            "lag over the calendar-day grid — bounded",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent / "etl_cnc_spark"

@@ -318,6 +318,7 @@ EXTRA_KEYS = [
     "stream_rate_source", "stream_late_metrics",
     "text_contamination_check", "embed_mahalanobis_ood",
     "stat_wilcoxon_signed", "stat_box_cox", "sim_reciprocal_nn",
+    "events_xmr_chart", "stat_capability",
 ]
 
 
