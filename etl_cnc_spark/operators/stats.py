@@ -4073,13 +4073,19 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one conditional aggregate against the broadcast 1-row median,
     and the chi-square(k−1) statistic folds once.  Every count is an
     exact BIGINT; doubles appear only in the final expected/observed
-    closed form.  100 TB: two hash passes over facts + grid-sized
-    ordered work."""
+    closed form.  100 TB: ONE hash pass over facts to the bounded
+    (type, cents) cell grid; everything downstream is grid-sized."""
     e = table(spark, sf_dir, "events")
-    ev = e.select("event_type", cents(F.col("value")).alias("v_cents"))
-    grid = ev.groupBy("v_cents").agg(
-        F.count(F.lit(1)).cast("long").alias("t")
+    # ONE scan: the (type, cents) cell grid is bounded by
+    # |types| x |value grid|; checkpoint-scoped so the median branch
+    # and the contingency branch replay cells, not the fact table
+    cell = (
+        e.select("event_type", cents(F.col("value")).alias("v_cents"))
+        .groupBy("event_type", "v_cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=False)
     )
+    grid = cell.groupBy("v_cents").agg(F.sum("t").cast("long").alias("t"))
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
@@ -4094,11 +4100,15 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v_cents").cast("long").alias("med_cents"))
     )
     per = (
-        ev.crossJoin(F.broadcast(med))
+        cell.crossJoin(F.broadcast(med))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_g"),
-            F.count_if(F.col("v_cents") > F.col("med_cents"))
+            F.sum("t").cast("long").alias("n_g"),
+            F.sum(
+                F.when(
+                    F.col("v_cents") > F.col("med_cents"), F.col("t")
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_above"),
             F.first("med_cents").alias("median_cents"),
