@@ -7207,11 +7207,17 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lifetime-days GRID — calendar-bounded metadata
     (census-allowlisted), never raw rows."""
     e = table(spark, sf_dir, "events")
-    span = e.groupBy("user_id").agg(
-        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
-        .cast("long")
-        .alias("t"),
-        F.max("ts").cast("date").alias("last_day"),
+    span = (
+        e.groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+            .cast("long")
+            .alias("t"),
+            F.max("ts").cast("date").alias("last_day"),
+        )
+        # |users|-sized rollup feeds both the global-max and the label
+        # branch; checkpoint-scoped so facts are scanned ONCE
+        .localCheckpoint(eager=False)
     )
     g = span.agg(F.max("last_day").alias("gmax"))
     lab = span.crossJoin(F.broadcast(g)).select(
