@@ -4219,15 +4219,20 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT from two hash aggregates (per-user×type counts,
     then per-user row sums); the dense user×type grid is users ×
     a broadcast 3-row type frame, so no row explosion beyond 3·U.
-    100 TB: shuffles carry (user, type) counts only."""
+    100 TB: ONE fact scan to the checkpointed (user, type) rollup;
+    shuffles carry counts only."""
     e = table(spark, sf_dir, "events")
-    users = e.select("user_id").distinct()
-    nu = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    cnt = (
-        e.where(F.col("event_type").isin(*COCHRAN_TYPES))
-        .groupBy("user_id", "event_type")
+    # ONE fact scan: the (user, type) rollup is checkpoint-scoped and
+    # every downstream frame (user list, per-type totals, indicators)
+    # replays rollup rows, never events
+    base = (
+        e.groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
+    users = base.select("user_id").distinct()
+    nu = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    cnt = base.where(F.col("event_type").isin(*COCHRAN_TYPES))
     totals = cnt.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("tot")
     )
