@@ -459,6 +459,50 @@ def test_weighted_percentile_window_input_is_grid_sized(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def test_contamination_has_no_doc_pairs(spark, sf_dir):
+    """text_contamination_check must be linear in corpus shingles:
+    shingle-keyed equi-joins only — no cartesian/BNL doc x doc stage
+    anywhere, and the probe side deduplicates (distinct aggregate)
+    before the join."""
+    plan = plan_of("text_contamination_check", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_conformal_order_statistic_is_grid_sized(spark, sf_dir):
+    """ml_conformal_interval's calibration quantile must consume the
+    checkpointed residual-cents GRID: the final plan scans parquet at
+    most once (the moment pass; the grid pass materializes behind the
+    checkpoint), does no cartesian work, and every Window is
+    partitioned (the prefix machine's folds)."""
+    plan = plan_of("ml_conformal_interval", spark, sf_dir)
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "CartesianProduct" not in plan
+    windows = [l for l in plan.splitlines() if ") Window" in l]
+    # partitioned windows list their partition spec; none may be empty
+    for w in windows:
+        assert "partitionBy=[]" not in w.replace(" ", ""), plan
+
+
+def test_reciprocal_nn_candidates_not_shuffled(spark, sf_dir):
+    """sim_reciprocal_nn: the pairwise scoring stage must broadcast
+    the bounded query block (BNL/BHJ over the block), never exchange
+    the candidate table before scoring."""
+    plan = plan_of("sim_reciprocal_nn", spark, sf_dir)
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    )
+
+
+def test_mood_median_single_fact_scan(spark, sf_dir):
+    """stat_mood_median reads the fact table ONCE: the checkpointed
+    (type, cents) cell grid feeds both the median and contingency
+    branches, so at most one events parquet scan appears."""
+    plan = plan_of("stat_mood_median", spark, sf_dir)
+    assert plan.count("Scan parquet") <= 1, plan
+
+
 def test_unpartitioned_window_census():
     """Repo-wide policy (VERDICT r6 #5): every ``Window.orderBy(...)``
     WITHOUT a partitionBy is enumerated here with a boundedness
