@@ -1451,3 +1451,60 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("cum_n") - F.col("n")) * 100 < 95 * F.col("tot"))
         ).alias("is_p95_bucket"),
     )
+
+
+@register(
+    "agg_hll_sketch_union",
+    notes="Apache DataSketches HLL via hll_sketch_agg/hll_union_agg — "
+    "engine-internal sketch bytes, so the driver records rows-only; "
+    "tests/test_r7_wave_n.py gates the estimate within 2% of exact "
+    "and asserts merge(partials) == single-pass (the mergeability "
+    "property that makes the sketch shuffle-safe).",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketches (Apache
+    DataSketches, Spark 3.5+ built-ins): per-returnflag PARTIAL
+    sketches of l_orderkey union into a global estimate with
+    hll_union_agg — the re-aggregatable distinct-count pattern for
+    100 TB rollup tables, where storing the sketch (not the count)
+    lets any slice re-merge without rescanning facts. Deterministic:
+    DataSketches HLL is hash-based with a fixed default lgK, so the
+    same input yields the same estimate on every run/partitioning.
+    Output: per-flag estimates + the merged global estimate vs the
+    exact distinct count and its relative error (the honest-audit
+    readout)."""
+    li = table(spark, sf_dir, "lineitem")
+    partials = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_agg(l_orderkey)").alias("sk"),
+        F.count_distinct("l_orderkey").cast("long").alias("exact_flag"),
+    )
+    per_flag = partials.select(
+        "l_returnflag",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_flag"),
+        "exact_flag",
+    )
+    merged = partials.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("est_global")
+    )
+    exact = li.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("exact_global")
+    )
+    return (
+        per_flag.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "l_returnflag",
+            "est_flag",
+            "exact_flag",
+            "est_global",
+            "exact_global",
+            q4(
+                F.abs(F.col("est_global") - F.col("exact_global")).cast(
+                    "double"
+                )
+                / F.col("exact_global")
+            ).alias("rel_err"),
+        )
+    )

@@ -7356,3 +7356,92 @@ def events_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(lcl).alias("lcl"),
         ((F.col("x") > ucl) | (F.col("x") < lcl)).alias("out_of_control"),
     )
+
+
+TTC_BUCKET_H = 6  # conversion-latency histogram bucket width (hours)
+
+
+@register(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH su AS (
+        SELECT user_id, min(epoch_us(ts)) AS s
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), conv AS (
+        SELECT su.user_id,
+               CAST(min(epoch_us(e.ts)) - su.s AS BIGINT) AS d_us
+        FROM su JOIN events e
+          ON e.user_id = su.user_id
+         AND e.event_type = 'purchase'
+         AND epoch_us(e.ts) >= su.s
+        GROUP BY su.user_id, su.s
+    ), tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM su) AS n_signup,
+               (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_conv
+    )
+    SELECT CAST(d_us // (3600000000 * {TTC_BUCKET_H}) AS BIGINT)
+               AS bucket_{TTC_BUCKET_H}h,
+           CAST(count(*) AS BIGINT) AS n_users,
+           tot.n_signup, tot.n_conv,
+           {sql_q4("CAST(tot.n_conv AS DOUBLE) / tot.n_signup")}
+               AS conversion_rate
+    FROM conv CROSS JOIN tot
+    GROUP BY 1, tot.n_signup, tot.n_conv
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for each user, the time from
+    FIRST signup to the first purchase at-or-after it, bucketed into
+    {TTC_BUCKET_H}-hour bins, with the overall signup→purchase
+    conversion rate on every row — the activation funnel's
+    time-dimension readout (how long activation takes, not just
+    whether it happens).
+
+    Exactness: all latencies are exact integer microseconds; the
+    bucket id is integer division; the only double is the final
+    rate. Scale shape: one filtered rollup to first-signups (shuffle
+    on user_id), one purchase-side join constrained to ts ≥ s (same
+    user_id partitioning reused), a bounded-bucket histogram
+    aggregate, and 1-row totals broadcast."""
+    e = table(spark, sf_dir, "events")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s"))
+    )
+    pu = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p")
+    )
+    conv = (
+        su.join(pu, "user_id")
+        .where(F.col("p") >= F.col("s"))
+        .groupBy("user_id", "s")
+        .agg((F.min("p") - F.col("s").cast("long")).alias("d_us"))
+    )
+    tot = (
+        su.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+        .crossJoin(
+            conv.agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+        )
+    )
+    bucket = F.expr(f"d_us DIV ({3600000000} * {TTC_BUCKET_H})").cast(
+        "long"
+    )
+    return (
+        conv.crossJoin(F.broadcast(tot))
+        .groupBy(
+            bucket.alias(f"bucket_{TTC_BUCKET_H}h"),
+            "n_signup",
+            "n_conv",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            f"bucket_{TTC_BUCKET_H}h",
+            "n_users",
+            "n_signup",
+            "n_conv",
+            q4(
+                F.col("n_conv").cast("double") / F.col("n_signup")
+            ).alias("conversion_rate"),
+        )
+    )

@@ -319,6 +319,7 @@ EXTRA_KEYS = [
     "text_contamination_check", "embed_mahalanobis_ood",
     "stat_wilcoxon_signed", "stat_box_cox", "sim_reciprocal_nn",
     "events_xmr_chart", "stat_capability",
+    "agg_hll_sketch_union", "events_time_to_convert",
 ]
 
 
