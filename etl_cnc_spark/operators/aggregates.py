@@ -1474,9 +1474,16 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct count and its relative error (the honest-audit
     readout)."""
     li = table(spark, sf_dir, "lineitem")
-    partials = li.groupBy("l_returnflag").agg(
-        F.expr("hll_sketch_agg(l_orderkey)").alias("sk"),
-        F.count_distinct("l_orderkey").cast("long").alias("exact_flag"),
+    # 3-row sketch table feeds both the per-flag readout and the
+    # union; checkpoint-scoped so facts are sketched ONCE (the
+    # exact-global comparator is the one other, inherent scan)
+    partials = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("hll_sketch_agg(l_orderkey)").alias("sk"),
+            F.count_distinct("l_orderkey").cast("long").alias("exact_flag"),
+        )
+        .localCheckpoint(eager=False)
     )
     per_flag = partials.select(
         "l_returnflag",
