@@ -188,3 +188,85 @@ def sql_entry_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe front-end lowers to the same relational plan (filters
     pushed, one hash aggregate, integer-cent money discipline)."""
     return run(spark, sf_dir, _PIPE_SPARK)
+
+
+# UNPIVOT key: Spark's SQL UNPIVOT clause vs a dialect-neutral oracle
+# (DuckDB's UNPIVOT shape differs slightly, so the oracle restates the
+# semantics with UNION ALL — same rows, classic relational form).
+
+_UNPIVOT_SPARK = """
+SELECT l_returnflag, metric, CAST(val AS BIGINT) AS val
+FROM (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+UNPIVOT (val FOR metric IN (qty, price_cents, n_rows))
+"""
+
+_UNPIVOT_ORACLE = """
+WITH agg AS (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS val FROM agg
+UNION ALL
+SELECT l_returnflag, 'price_cents', price_cents FROM agg
+UNION ALL
+SELECT l_returnflag, 'n_rows', n_rows FROM agg
+"""
+
+
+@register("sql_entry_unpivot", oracle=_UNPIVOT_ORACLE)
+def sql_entry_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (wide → long melt in the parser, Spark
+    3.4+): a per-flag metric table unpivots to (flag, metric, val)
+    rows, verified against the classic UNION-ALL restatement —
+    covers the SQL-surface counterpart of the DataFrame
+    ``unpivot_melt`` key. All values are exact BIGINTs, so the melt
+    is hash-identical however either engine orders it."""
+    return run(spark, sf_dir, _UNPIVOT_SPARK)
+
+
+# DISTRIBUTE BY / SORT BY: Spark's physical-layout SQL clauses — the
+# parser surface for controlling partitioning (the thing you tune at
+# 100 TB). Content is unchanged by layout, which is exactly what the
+# oracle verifies.
+
+_DISTRIBUTE_SPARK = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY o_custkey
+DISTRIBUTE BY o_custkey SORT BY o_custkey
+"""
+
+_DISTRIBUTE_ORACLE = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("sql_entry_distribute_by", oracle=_DISTRIBUTE_ORACLE)
+def sql_entry_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY ... SORT BY — Spark's SQL clauses for physical
+    layout (hash-partition the output on a key, sort within each
+    partition): the knob a 100 TB pipeline uses to co-locate a
+    downstream join or pre-sort a write, expressed in the parser.
+    Layout must not change CONTENT, which is what the plain-GROUP BY
+    oracle verifies; the layout itself is asserted by the exchange
+    the clause injects into the plan."""
+    return run(spark, sf_dir, _DISTRIBUTE_SPARK)

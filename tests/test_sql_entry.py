@@ -57,3 +57,49 @@ def test_sql_entry_matches_duckdb(spark, sf_dir):
         for r in engine_sql.run(spark, sf_dir, Q3ISH).collect()
     }
     assert ours == oracle
+
+
+def test_unpivot_matches_dataframe_melt(spark, sf_dir):
+    """sql_entry_unpivot must equal the DataFrame unpivot of the same
+    wide aggregate (parser surface vs API surface, one semantics)."""
+    from etl_cnc_spark.registry import load_all
+
+    got = {
+        (r["l_returnflag"], r["metric"]): r["val"]
+        for r in load_all()["sql_entry_unpivot"].build(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    want = {
+        (r["l_returnflag"], r["metric"]): r["val"]
+        for r in wide.unpivot(
+            "l_returnflag",
+            ["qty", "price_cents", "n_rows"],
+            "metric",
+            "val",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distribute_by_injects_layout_exchange(spark, sf_dir):
+    """DISTRIBUTE BY must add a hashpartitioning exchange on the key
+    (the clause's entire point); content equality is the oracle's
+    job."""
+    import contextlib
+    import io
+
+    from etl_cnc_spark.registry import load_all
+
+    df = load_all()["sql_entry_distribute_by"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue().replace(" ", "").lower()
+    assert "hashpartitioning(o_custkey" in plan, plan
