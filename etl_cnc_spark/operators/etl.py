@@ -1792,3 +1792,57 @@ def etl_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_diverse_groups"),
     )
+
+
+COMPACT_TARGET_FILES = 4  # post-compaction file count
+
+
+@register(
+    "etl_compact_small_files",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem GROUP BY 1
+    """,
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every 100 TB
+    lake runs nightly: a deliberately fragmented copy of lineitem
+    (maxRecordsPerFile forces hundreds of tiny files — the
+    many-writers / streaming-ingest pathology that destroys scan
+    throughput via per-file open overhead and starves the driver
+    with listing) is rewritten through repartition({COMPACT_TARGET_FILES})
+    into exactly {COMPACT_TARGET_FILES} right-sized files. The
+    returned rollup reads the COMPACTED copy, so the oracle verifies
+    compaction is byte-lossless; tests/test_r7_wave_p.py asserts the
+    before/after file counts (fragmented >> compacted == target).
+    At scale the same job targets files of
+    spark.sql.files.maxPartitionBytes so one scan task maps to one
+    file."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    frag = tmpdir(prefix="etlcnc_frag_", stable=True, key=sf_dir)
+    li.write.mode("overwrite").option("maxRecordsPerFile", 500).parquet(
+        frag
+    )
+    compacted = tmpdir(prefix="etlcnc_compact_", stable=True, key=sf_dir)
+    spark.read.parquet(frag).repartition(
+        COMPACT_TARGET_FILES
+    ).write.mode("overwrite").parquet(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )

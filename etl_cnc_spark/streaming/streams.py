@@ -757,3 +757,83 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_input, n_dropped, n_kept)],
         "n_input long, n_dropped long, n_kept long",
     )
+
+
+@register(
+    "stream_incremental_exactly_once",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+    FROM events
+    """,
+)
+def stream_incremental_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once incremental ingestion across RESTARTS — the core
+    streaming guarantee: run 1 (availableNow) drains the first half
+    of the corpus into a parquet sink and commits its file offsets
+    to the checkpoint; a new file then lands; run 2 with the SAME
+    checkpoint processes ONLY the new file (no reprocessing, no
+    loss). The oracle states the guarantee relationally: after both
+    runs the sink equals the full corpus exactly once — any
+    double-processing doubles event_ids and breaks the hash, any
+    missed file drops rows. This is the high-water-mark pattern a
+    100 TB ingest pipeline relies on instead of bookkeeping tables."""
+    tune(spark)
+    import glob
+    import shutil
+
+    src = tmpdir(prefix="etlcnc_incr_src_")
+    hold = tmpdir(prefix="etlcnc_incr_hold_")  # outside the source glob
+    ev = table(spark, sf_dir, "events")
+    halves = {
+        "h1": ev.where(F.dayofmonth("ts") <= 15),
+        "h2": ev.where(F.dayofmonth("ts") > 15),
+    }
+    staged = {}
+    for name, df in halves.items():
+        tmp = os.path.join(hold, "_tmp")
+        df.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*")[0]
+        held = os.path.join(hold, f"{name}.parquet")
+        shutil.move(part, held)
+        shutil.rmtree(tmp)
+        staged[name] = (held, os.path.join(src, f"{name}.parquet"))
+    out = tmpdir(prefix="etlcnc_incr_out_")
+    ck = tmpdir(prefix="etlcnc_incr_ck_")
+
+    def _drain() -> None:
+        s = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(src)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * 100 + 0.5)
+                .cast("long")
+                .alias("v_cents"),
+            )
+        )
+        q = (
+            s.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("incremental drain did not finish")
+
+    # run 1: only h1 visible
+    shutil.move(*staged["h1"])
+    _drain()
+    # a new file lands; run 2 with the SAME checkpoint picks up ONLY it
+    shutil.move(*staged["h2"])
+    _drain()
+    return spark.read.parquet(out)

@@ -320,6 +320,8 @@ EXTRA_KEYS = [
     "stat_wilcoxon_signed", "stat_box_cox", "sim_reciprocal_nn",
     "events_xmr_chart", "stat_capability",
     "agg_hll_sketch_union", "events_time_to_convert",
+    "sql_entry_unpivot", "sql_entry_distribute_by",
+    "etl_compact_small_files",
 ]
 
 
