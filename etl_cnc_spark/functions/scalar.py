@@ -1005,3 +1005,30 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.min(F.concat_ws("|", F.col("a"), F.col("b"))).alias("example"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS members,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation GROUP BY 1
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (ORDER
+    BY ...) (SQL:2016, Spark 4.0 built-in) vs DuckDB's string_agg
+    ORDER BY: the report-friendly "names in one cell" aggregate that
+    is only hash-verifiable because BOTH engines support a
+    deterministic intra-group order (an unordered listagg would be
+    partitioning-dependent and untestable — and unusable at 100 TB
+    for the same reason). One hash aggregate; per-group sort cost is
+    bounded by group size."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr(
+            "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+        ).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )

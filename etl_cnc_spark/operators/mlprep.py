@@ -2251,3 +2251,98 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------ deterministic interpolation oversampling
+
+OS_Q = 100000000  # 1e8 fixed-point for the synthetic-coordinate checksum
+
+
+@register(
+    "ml_oversample_interpolate",
+    oracle=f"""
+    WITH counts AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_orig
+        FROM embeddings GROUP BY 1
+    ), minority AS (
+        SELECT label FROM counts ORDER BY n_orig, label LIMIT 1
+    ), seq AS (
+        SELECT e.label, e.embedding AS a,
+               lead(e.embedding) OVER (PARTITION BY e.label
+                   ORDER BY e.vec_id) AS b
+        FROM embeddings e JOIN minority m ON e.label = m.label
+    ), synth AS (
+        SELECT label,
+               list_transform(generate_series(1, 64),
+                   i -> (CAST(a[i] AS DOUBLE) + CAST(b[i] AS DOUBLE))
+                        / 2.0) AS mid
+        FROM seq WHERE b IS NOT NULL
+    ), sums AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_synth,
+               CAST(sum(list_aggregate(list_transform(mid,
+                   x -> CAST(floor(x * {OS_Q} + 0.5) AS BIGINT)), 'sum'))
+                   AS BIGINT) AS checksum_q
+        FROM synth GROUP BY 1
+    )
+    SELECT c.label, c.n_orig,
+           coalesce(s.n_synth, 0) AS n_synth,
+           coalesce(s.checksum_q, 0) AS checksum_q
+    FROM counts c LEFT JOIN sums s ON c.label = s.label
+    """,
+)
+def ml_oversample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority oversampling (SMOTE's interpolation
+    step, made seed-free): the smallest label class (tie → smaller
+    label) synthesizes midpoints between CONSECUTIVE-by-id member
+    embeddings — the class-imbalance fix for embedding classifiers
+    that needs no RNG, so it is reproducible across reruns and
+    engines. The output audits the synthesis: per-label original
+    counts, synthetic count (|minority|−1), and a fixed-point
+    checksum of every synthetic coordinate (quantized 1e-8 BEFORE
+    the sum — order-free), which the oracle recomputes exactly.
+
+    Scale shape: one 10-group count aggregate, a broadcast 1-row
+    minority pick, a label-PARTITIONED lead window (never
+    unpartitioned), and one checksum aggregate."""
+    e = table(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig")
+    )
+    minority = (
+        counts.orderBy("n_orig", "label").limit(1).select("label")
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    seq = (
+        e.join(F.broadcast(minority), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.col("embedding").alias("a"),
+            F.lead("embedding").over(w).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+    )
+    mid = F.zip_with(
+        F.col("a"),
+        F.col("b"),
+        lambda x, y: (x.cast("double") + y.cast("double")) / 2.0,
+    )
+    qsum = F.aggregate(
+        F.transform(
+            mid, lambda x: F.floor(x * OS_Q + 0.5).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sums = seq.select("label", qsum.alias("q")).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_synth"),
+        F.sum("q").cast("long").alias("checksum_q"),
+    )
+    return counts.join(sums, "label", "left").select(
+        "label",
+        "n_orig",
+        F.coalesce(F.col("n_synth"), F.lit(0)).cast("long").alias("n_synth"),
+        F.coalesce(F.col("checksum_q"), F.lit(0))
+        .cast("long")
+        .alias("checksum_q"),
+    )

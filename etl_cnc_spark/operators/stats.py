@@ -5319,3 +5319,118 @@ def stat_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_out_of_spec"
         ),
     )
+
+
+# --------------------------------- method-of-moments distribution fits
+
+
+@register(
+    "stat_gamma_fit_mom",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS s2
+        FROM lineitem GROUP BY 1
+    ), d AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n / 100.0 AS mu,
+               (CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               / 10000.0 AS var_pop
+        FROM m
+    )
+    SELECT l_returnflag, n, {sql_q4("mu")} AS mean_price,
+           {sql_q4("mu * mu / var_pop")} AS shape_k,
+           {sql_q4("var_pop / mu")} AS scale_theta
+    FROM d
+    """,
+)
+def stat_gamma_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma distribution fit by method of moments per returnflag:
+    shape k = μ²/σ², scale θ = σ²/μ from exact integer-cent power
+    sums (s2 in decimal/HUGEINT — cents² sums pass int64 at scale) —
+    the skewed-positive-amounts model behind claim-size, basket-size
+    and latency distributions; pairs with events_weibull_fit
+    (lifetimes) and stat_box_cox (transform selection). One
+    map-side-combined aggregate, closed form per group."""
+    li = table(spark, sf_dir, "lineitem")
+    v = cents(F.col("l_extendedprice"))
+    vd = v.cast("decimal(19,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(vd * vd).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n") / 100.0
+    var_pop = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    ) / 10000.0
+    return m.select(
+        "l_returnflag",
+        "n",
+        q4(mu).alias("mean_price"),
+        q4(mu * mu / var_pop).alias("shape_k"),
+        q4(var_pop / mu).alias("scale_theta"),
+    )
+
+
+@register(
+    "stat_negbin_fit_mom",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM daily
+    ), d AS (
+        SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS var_pop
+        FROM m
+    )
+    SELECT n, {sql_q4("mu")} AS mean_count,
+           {sql_q4("var_pop")} AS var_count,
+           {sql_q4("var_pop / mu")} AS dispersion,
+           {sql_q4("mu * mu / (var_pop - mu)")} AS nb_r,
+           {sql_q4("mu / var_pop")} AS nb_p
+    FROM d
+    """,
+)
+def stat_negbin_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit by method of moments on (user, day)
+    activity counts: r = μ²/(σ²−μ), p = μ/σ² — the overdispersed
+    count model (Poisson has σ²=μ; real user activity never does,
+    as events_fano_factor measures; this key turns that
+    overdispersion into usable NB parameters for simulation and
+    anomaly thresholds). Exact integer count moments, one rollup +
+    one 1-row closed form."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var_pop = F.col("s2").cast("double") / F.col("n") - mu * mu
+    return m.select(
+        "n",
+        q4(mu).alias("mean_count"),
+        q4(var_pop).alias("var_count"),
+        q4(var_pop / mu).alias("dispersion"),
+        q4(mu * mu / (var_pop - mu)).alias("nb_r"),
+        q4(mu / var_pop).alias("nb_p"),
+    )

@@ -321,7 +321,9 @@ EXTRA_KEYS = [
     "events_xmr_chart", "stat_capability",
     "agg_hll_sketch_union", "events_time_to_convert",
     "sql_entry_unpivot", "sql_entry_distribute_by",
-    "etl_compact_small_files",
+    "etl_compact_small_files", "agg_listagg_ordered",
+    "stat_gamma_fit_mom", "stat_negbin_fit_mom",
+    "ml_oversample_interpolate", "stream_incremental_exactly_once",
 ]
 
 
