@@ -1032,3 +1032,87 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("members"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ------------------------------------------------- geodesic distance
+
+HAV_R_KM = "6371.0"  # mean Earth radius, one shared literal
+HAV_LAT0 = "48.8566"  # reference point (one shared literal pair)
+HAV_LON0 = "2.3522"
+HAV_BAND_KM = 2000
+
+
+@register(
+    "fn_haversine",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 18000) / 100.0 - 90.0 AS lat,
+               (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)
+                    AS BIGINT) % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+    ), d AS (
+        SELECT c_custkey,
+               2.0 * {HAV_R_KM} * asin(sqrt(
+                   pow(sin(radians(lat - {HAV_LAT0}) / 2.0), 2)
+                   + cos(radians({HAV_LAT0})) * cos(radians(lat))
+                     * pow(sin(radians(lon - {HAV_LON0}) / 2.0), 2)
+               )) AS km
+        FROM pts
+    )
+    SELECT CAST(floor(km / {HAV_BAND_KM}) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           {sql_q4("min(km)")} AS min_km,
+           {sql_q4("max(km)")} AS max_km
+    FROM d GROUP BY 1
+    """,
+)
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine great-circle distance as a scalar — the geospatial
+    primitive behind geo-fencing, delivery-radius filters, and
+    location dedup: deterministic pseudo-coordinates derived from
+    the customer key (md5 hash → lat/lon grid, identical in both
+    engines), distance to one reference point via the standard
+    2R·asin(√(sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2))) formula written
+    with byte-identical literals and operation order, rolled into
+    distance-band counts with min/max per band.
+
+    Trig parity (sin/cos/asin/radians) across JVM and DuckDB holds
+    bitwise on identical doubles (established by fn_trig); the band
+    histogram is integer. Embarrassingly parallel scalar + one small
+    hash aggregate."""
+    c = table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    lat = (
+        F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % 18000
+    ) / 100.0 - 90.0
+    lon = (
+        F.conv(F.substring(F.md5(key), 7, 6), 16, 10).cast("long") % 36000
+    ) / 100.0 - 180.0
+    lat0, lon0, r = (
+        F.lit(float(HAV_LAT0)),
+        F.lit(float(HAV_LON0)),
+        float(HAV_R_KM),
+    )
+    km = (
+        2.0
+        * r
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(lat - lat0) / 2.0), 2)
+                + F.cos(F.radians(lat0))
+                * F.cos(F.radians(lat))
+                * F.pow(F.sin(F.radians(lon - lon0) / 2.0), 2)
+            )
+        )
+    )
+    return (
+        c.select(km.alias("km"))
+        .groupBy(F.floor(F.col("km") / HAV_BAND_KM).cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            q4(F.min("km")).alias("min_km"),
+            q4(F.max("km")).alias("max_km"),
+        )
+    )

@@ -2606,3 +2606,75 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(ratio).alias("hit_ratio"),
         (ratio >= float(CONTAM_THRESH)).alias("contaminated"),
     )
+
+
+INTERLEAVE_HEAD = 30  # verified prefix of the interleaved order
+
+
+@register(
+    "pipeline_interleave_roundrobin",
+    oracle=f"""
+    WITH srcs AS (
+        SELECT source,
+               row_number() OVER (ORDER BY source) - 1 AS sidx,
+               CAST(count(*) AS BIGINT) AS n_src
+        FROM documents GROUP BY source
+    ), pos AS (
+        SELECT d.doc_id, d.source, s.n_src,
+               (row_number() OVER (PARTITION BY d.source
+                    ORDER BY d.doc_id) - 1)
+               * (SELECT count(*) FROM srcs) + s.sidx AS p
+        FROM documents d JOIN srcs s ON d.source = s.source
+    )
+    SELECT CAST(p AS BIGINT) AS pos, doc_id, source, n_src
+    FROM pos ORDER BY p LIMIT {INTERLEAVE_HEAD}
+    """,
+)
+def pipeline_interleave_roundrobin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic round-robin source interleaving — the
+    reproducible training-stream order for multi-source corpora
+    (alternating sources per step smooths gradient mixing without an
+    RNG): doc r of source s lands at global position
+    r·|sources| + index(s), with sources indexed by sorted name, so
+    any two runs — and any two ENGINES — derive the identical
+    sequence. The check verifies the first {INTERLEAVE_HEAD}
+    positions exactly (uneven sources leave tail gaps by design —
+    positions stay unique and ordered).
+
+    Scale shape: one row_number per source partition (partitioned
+    window, shuffle on source), a broadcast 20-row source-index
+    table, and TakeOrdered for the audited prefix — no global
+    sort."""
+    d = table(spark, sf_dir, "documents")
+    srcs = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+        .withColumn(
+            "sidx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+    )
+    nsrc = srcs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pos = (
+        d.join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "doc_id",
+            "source",
+            "n_src",
+            (
+                (F.row_number().over(w) - 1) * F.col("n_sources")
+                + F.col("sidx")
+            ).cast("long").alias("pos"),
+        )
+    )
+    return (
+        pos.orderBy("pos")
+        .limit(INTERLEAVE_HEAD)
+        .select("pos", "doc_id", "source", "n_src")
+    )

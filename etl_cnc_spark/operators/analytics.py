@@ -7445,3 +7445,71 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_rate"),
         )
     )
+
+
+@register(
+    "orders_herfindahl",
+    oracle=f"""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS grp, c.c_nationkey AS nat,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT grp, CAST(sum(cents) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_players
+        FROM seg GROUP BY grp
+    ), q AS (
+        SELECT s.grp, t.n_players,
+               CAST(floor(pow(CAST(s.cents AS DOUBLE) / t.t, 2) * 1e12
+                   + 0.5) AS BIGINT) AS qsh
+        FROM seg s JOIN tot t ON s.grp = t.grp
+    )
+    SELECT grp AS c_mktsegment, min(n_players) AS n_nations,
+           {sql_q4("CAST(sum(qsh) AS DOUBLE) / 1e12")} AS hhi,
+           CAST(sum(qsh) AS DOUBLE) / 1e12 > 0.25 AS concentrated
+    FROM q GROUP BY grp
+    """,
+)
+def orders_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of revenue by
+    supplier-nation within each market segment: HHI = Σ shareᵢ² —
+    the antitrust/portfolio concentration readout (HHI > 0.25 =
+    highly concentrated) that complements stat_theil_decomposition
+    (inequality) and events_gini with the squared-share lens.
+
+    Float discipline: each squared share quantizes to 1e-12
+    fixed-point BEFORE the per-group sum, so the 25-term fold is
+    exact-integer; shares come from exact cent sums. Two hash
+    aggregates (fact rollup to (segment, nation) cells, then
+    cell-level fold) — the fact pass map-side combines."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    seg = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("grp"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("cents"))
+    )
+    tot = seg.groupBy("grp").agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_players"),
+    )
+    share = F.col("cents").cast("double") / F.col("t")
+    q = seg.join(tot, "grp").select(
+        "grp",
+        "n_players",
+        F.floor(F.pow(share, 2) * 1e12 + 0.5).cast("long").alias("qsh"),
+    )
+    hhi = F.sum("qsh").cast("double") / 1e12
+    return q.groupBy(F.col("grp").alias("c_mktsegment")).agg(
+        F.min("n_players").alias("n_nations"),
+        q4(hhi).alias("hhi"),
+        (hhi > 0.25).alias("concentrated"),
+    )

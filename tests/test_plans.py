@@ -576,6 +576,9 @@ def test_unpartitioned_window_census():
             "(≤|days| rows)",
         ("operators/analytics.py", "events_xmr_chart"):
             "lag over the calendar-day grid — bounded",
+        ("llm/text.py", "pipeline_interleave_roundrobin"):
+            "source-index rank over the |sources| dimension table "
+            "(~20 rows)",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent / "etl_cnc_spark"

@@ -324,6 +324,8 @@ EXTRA_KEYS = [
     "etl_compact_small_files", "agg_listagg_ordered",
     "stat_gamma_fit_mom", "stat_negbin_fit_mom",
     "ml_oversample_interpolate", "stream_incremental_exactly_once",
+    "fn_haversine", "orders_herfindahl",
+    "pipeline_interleave_roundrobin",
 ]
 
 
