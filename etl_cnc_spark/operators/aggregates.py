@@ -1515,3 +1515,39 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL
+                ELSE l_returnflag END AS l_returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL
+                ELSE l_linestatus END AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+               AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id() — the function that makes ROLLUP
+    output MACHINE-READABLE: subtotal rows carry an explicit level
+    id instead of ambiguous NULLs (a NULL group value could be a
+    real NULL key; gid disambiguates — the thing every BI layer
+    consuming a rollup needs). gid = grouping(flag)·2 +
+    grouping(status), computed identically in both engines; counts
+    and quantity sums are exact BIGINTs at every level (partial
+    aggregation applies per grouping set)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+    )

@@ -298,3 +298,55 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.withColumn("rk", F.row_number().over(wrk).cast("long"))
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "win_session_window",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS t FROM events
+    ), marked AS (
+        SELECT user_id, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                    > 1800000000 OR lag(t) OVER (PARTITION BY user_id
+                        ORDER BY t) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ), sessions AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM marked
+    ), per AS (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           CAST(sum(n_events) AS BIGINT) AS total_events
+    FROM per GROUP BY user_id
+    """,
+)
+def win_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`session_window()` as a BATCH aggregation (Spark's built-in
+    gap-based session assignment, the same operator Structured
+    Streaming uses, applied to a static frame): per-user 30-minute-
+    gap sessions rolled to session counts and sizes. The oracle
+    restates the semantics with the classic gaps-and-islands
+    lag/cumsum construction, so the built-in's session boundaries
+    are verified row-exactly against first principles — the same
+    cross-check events_sessionize does for the manual construction,
+    now covering the ENGINE's operator. One shuffle on user_id;
+    session assignment is a per-partition sort-merge inside the
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_events"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )

@@ -325,7 +325,8 @@ EXTRA_KEYS = [
     "stat_gamma_fit_mom", "stat_negbin_fit_mom",
     "ml_oversample_interpolate", "stream_incremental_exactly_once",
     "fn_haversine", "orders_herfindahl",
-    "pipeline_interleave_roundrobin",
+    "pipeline_interleave_roundrobin", "agg_grouping_id",
+    "win_session_window",
 ]
 
 
