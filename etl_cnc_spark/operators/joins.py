@@ -1226,3 +1226,36 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT control — the per-query override a 100 TB
+    tuner reaches for when the optimizer's default is wrong for a
+    known workload: `/*+ SHUFFLE_HASH(orders) */` forces a
+    shuffled-hash join (build a hash map per partition — beats
+    sort-merge when the build side's partitions fit in memory and
+    the sort would dominate) instead of broadcast/SMJ. Content is
+    strategy-invariant, which the oracle verifies;
+    tests/test_plans.py asserts the hint is actually HONORED
+    (ShuffledHashJoin in the plan) — a hint that silently degrades
+    to default is a tuning trap."""
+    li = table(spark, sf_dir, "lineitem").alias("li")
+    o = table(spark, sf_dir, "orders").hint("shuffle_hash").alias("o")
+    return (
+        li.join(o, F.col("li.l_orderkey") == F.col("o.o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )

@@ -507,6 +507,13 @@ def test_mood_median_single_fact_scan(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2, plan
 
 
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    """join_hint_shuffle_hash must actually plan a ShuffledHashJoin —
+    a silently-ignored hint would make the tuning surface a no-op."""
+    plan = plan_of("join_hint_shuffle_hash", spark, sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+
+
 def test_unpartitioned_window_census():
     """Repo-wide policy (VERDICT r6 #5): every ``Window.orderBy(...)``
     WITHOUT a partitionBy is enumerated here with a boundedness

@@ -326,7 +326,7 @@ EXTRA_KEYS = [
     "ml_oversample_interpolate", "stream_incremental_exactly_once",
     "fn_haversine", "orders_herfindahl",
     "pipeline_interleave_roundrobin", "agg_grouping_id",
-    "win_session_window",
+    "win_session_window", "join_hint_shuffle_hash",
 ]
 
 
