@@ -1456,10 +1456,12 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hll_sketch_union",
     notes="Apache DataSketches HLL via hll_sketch_agg/hll_union_agg — "
-    "engine-internal sketch bytes, so the driver records rows-only; "
-    "tests/test_r7_wave_n.py gates the estimate within 2% of exact "
-    "and asserts merge(partials) == single-pass (the mergeability "
-    "property that makes the sketch shuffle-safe).",
+    "engine-internal sketch bytes, so the driver records rows-only. "
+    "Complements agg_hll_merge (events-side sketch plumbing): THIS "
+    "key is the fact-table audit shape — per-flag estimate vs exact "
+    "side by side, the merged global estimate, and rel_err in the "
+    "output itself; tests/test_r7_wave_n.py gates estimates within "
+    "2% and union-vs-single-pass within 1%.",
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct-count sketches (Apache
