@@ -7513,3 +7513,51 @@ def orders_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(hhi).alias("hhi"),
         (hhi > 0.25).alias("concentrated"),
     )
+
+
+@register(
+    "events_diurnal_weekly_profile",
+    oracle=f"""
+    WITH cells AS (
+        SELECT isodow(ts) AS dow, hour(ts) AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           n, cents,
+           CAST(10000 * n // total AS BIGINT) AS share_bp
+    FROM cells CROSS JOIN tot
+    """,
+)
+def events_diurnal_weekly_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Diurnal × weekly load profile — the (day-of-week, hour-of-day)
+    heat map behind capacity planning, alert-threshold scheduling,
+    and the seasonal baseline every anomaly detector normalizes
+    against: event counts and exact cent totals per (dow, hod) cell
+    with each cell's traffic share in integer basis points.
+    Date-part parity: the ISO weekday (Mon=1..Sun=7 — Spark
+    weekday()+1, DuckDB isodow()) avoids the engines' conflicting
+    dayofweek numbering; hours are 0-23 on identical UTC
+    timestamps. One
+    map-side-combined aggregate to ≤168 cells + a 1-row total
+    broadcast — the cheapest possible full-table profile."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents(F.col("value"))).cast("long").alias("cents"),
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n",
+        "cents",
+        F.expr("10000 * n DIV total").cast("long").alias("share_bp"),
+    )

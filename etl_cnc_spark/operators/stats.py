@@ -5434,3 +5434,122 @@ def stat_negbin_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(mu * mu / (var_pop - mu)).alias("nb_r"),
         q4(mu / var_pop).alias("nb_p"),
     )
+
+
+# --------------------------------- winsorized / trimmed robust means
+
+WINSOR_PCT = 5  # clamp/trim tail mass per side, in percent
+
+
+@register(
+    "stat_winsorized_trimmed",
+    oracle=f"""
+    WITH grid AS (
+        SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS t
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT f, CAST(sum(t) AS BIGINT) AS n FROM grid GROUP BY f
+    ), cum AS (
+        SELECT g.f, g.v, g.t, tt.n,
+               CAST(sum(g.t) OVER (PARTITION BY g.f ORDER BY g.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+        FROM grid g JOIN tot tt ON g.f = tt.f
+    ), bounds AS (
+        SELECT f,
+               min(CASE WHEN 100 * c >= {WINSOR_PCT} * n THEN v END)
+                   AS lo,
+               min(CASE WHEN 100 * c >= (100 - {WINSOR_PCT}) * n THEN v
+                   END) AS hi
+        FROM cum GROUP BY f
+    ), folded AS (
+        SELECT g.f, b.lo, b.hi, tt.n,
+               CAST(sum(g.t * CASE WHEN g.v < b.lo THEN b.lo
+                            WHEN g.v > b.hi THEN b.hi
+                            ELSE g.v END) AS BIGINT) AS wsum,
+               CAST(sum(CASE WHEN g.v BETWEEN b.lo AND b.hi
+                        THEN g.t * g.v ELSE 0 END) AS BIGINT) AS tsum,
+               CAST(sum(CASE WHEN g.v BETWEEN b.lo AND b.hi
+                        THEN g.t ELSE 0 END) AS BIGINT) AS tcnt
+        FROM grid g
+        JOIN bounds b ON g.f = b.f
+        JOIN tot tt ON g.f = tt.f
+        GROUP BY g.f, b.lo, b.hi, tt.n
+    )
+    SELECT f AS l_returnflag, n, lo AS p05, hi AS p95,
+           {sql_q4("CAST(wsum AS DOUBLE) / n")} AS winsorized_mean,
+           {sql_q4("CAST(tsum AS DOUBLE) / tcnt")} AS trimmed_mean,
+           tcnt AS n_kept
+    FROM folded
+    """,
+)
+def stat_winsorized_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per returnflag — the robust
+    location estimators that tame heavy tails without Hodges–
+    Lehmann's pairwise machinery: tail bounds are the p{WINSOR_PCT}/
+    p{100 - WINSOR_PCT} lower order statistics taken on the VALUE
+    GRID (smallest v with 100·cum ≥ p·n — integer arithmetic, no
+    float percentile ambiguity); winsorizing clamps grid values into
+    [lo, hi] before the weighted sum, trimming keeps only in-range
+    values (whole tied-value blocks — documented variant). Every sum
+    is an exact BIGINT over grid cells; one fact pass + grid-sized
+    windows (flag-partitioned) + one grid fold."""
+    li = table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    tot = grid.groupBy("f").agg(F.sum("t").cast("long").alias("n"))
+    w_cum = (
+        Window.partitionBy("f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(tot, "f").select(
+        "f", "v", "t", "n", F.sum("t").over(w_cum).cast("long").alias("c")
+    )
+    bounds = cum.groupBy("f").agg(
+        F.min(
+            F.when(100 * F.col("c") >= WINSOR_PCT * F.col("n"), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                100 * F.col("c") >= (100 - WINSOR_PCT) * F.col("n"),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    clamped = (
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    in_range = F.col("v").between(F.col("lo"), F.col("hi"))
+    folded = (
+        grid.join(bounds, "f")
+        .join(tot, "f")
+        .groupBy("f", "lo", "hi", "n")
+        .agg(
+            F.sum(F.col("t") * clamped).cast("long").alias("wsum"),
+            F.sum(F.when(in_range, F.col("t") * F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("tsum"),
+            F.sum(F.when(in_range, F.col("t")).otherwise(0))
+            .cast("long")
+            .alias("tcnt"),
+        )
+    )
+    return folded.select(
+        F.col("f").alias("l_returnflag"),
+        "n",
+        F.col("lo").alias("p05"),
+        F.col("hi").alias("p95"),
+        q4(F.col("wsum").cast("double") / F.col("n")).alias(
+            "winsorized_mean"
+        ),
+        q4(F.col("tsum").cast("double") / F.col("tcnt")).alias(
+            "trimmed_mean"
+        ),
+        F.col("tcnt").alias("n_kept"),
+    )

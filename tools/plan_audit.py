@@ -327,6 +327,7 @@ EXTRA_KEYS = [
     "fn_haversine", "orders_herfindahl",
     "pipeline_interleave_roundrobin", "agg_grouping_id",
     "win_session_window", "join_hint_shuffle_hash",
+    "stat_winsorized_trimmed", "events_diurnal_weekly_profile",
 ]
 
 
