@@ -7561,3 +7561,177 @@ def events_diurnal_weekly_profile(
         "cents",
         F.expr("10000 * n DIV total").cast("long").alias("share_bp"),
     )
+
+
+@register(
+    "orders_bland_altman",
+    oracle=f"""
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 + l_tax)
+                   * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   - l.line_cents AS d
+        FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS s1,
+               CAST(sum(d * d) AS HUGEINT) AS s2
+        FROM pairs
+    ), d2 AS (
+        SELECT n, CAST(s1 AS DOUBLE) / n AS bias,
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd
+        FROM m
+    ), lim AS (
+        SELECT n, bias, sd,
+               bias - 1.96 * sd AS loa_lo, bias + 1.96 * sd AS loa_hi
+        FROM d2
+    )
+    SELECT lim.n,
+           {sql_q4("lim.bias / 100.0")} AS bias_dollars,
+           {sql_q4("lim.sd / 100.0")} AS sd_dollars,
+           {sql_q4("lim.loa_lo / 100.0")} AS loa_lo_dollars,
+           {sql_q4("lim.loa_hi / 100.0")} AS loa_hi_dollars,
+           (SELECT CAST(count_if(d < lim.loa_lo OR d > lim.loa_hi)
+               AS BIGINT) FROM pairs) AS n_outside
+    FROM lim
+    """,
+)
+def orders_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland–Altman agreement analysis between two measurements of
+    the same quantity — here the order HEADER total vs the summed
+    LINE charges (price·(1+tax)·(1−discount)): mean difference
+    (systematic bias), the SD of differences, the ±1.96σ limits of
+    agreement, and how many orders fall outside them — the
+    reconciliation methodology finance teams use to decide whether
+    header/line drift is systematic (fix the pipeline) or random
+    (tolerate). Orders with no lines are excluded (inner join;
+    etl_fk_integrity owns orphan accounting).
+
+    Exactness: both measurements and their differences are integer
+    cents; moments are exact (d² sums in decimal/HUGEINT); the only
+    doubles are the closed-form bias/SD/limits. Scale shape: one
+    line rollup (shuffle on orderkey), one header join reusing that
+    key, a 1-row moment fold broadcast back for the outside-count
+    pass over the cached difference column."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount"))
+        * 100
+        + 0.5
+    ).cast("long")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).cast("long").alias("line_cents")
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (cents(F.col("o_totalprice")) - F.col("line_cents")).alias("d")
+        )
+        # |orders|-sized difference column feeds the moment fold AND
+        # the outside-count pass; checkpoint-scoped single derivation
+        .localCheckpoint(eager=False)
+    )
+    dd = F.col("d").cast("decimal(19,0)")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(dd * dd).alias("s2"),
+    )
+    bias = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    lim = m.select(
+        "n",
+        bias.alias("bias"),
+        sd.alias("sd"),
+        (bias - 1.96 * sd).alias("loa_lo"),
+        (bias + 1.96 * sd).alias("loa_hi"),
+    )
+    outside = (
+        pairs.crossJoin(F.broadcast(lim))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("d") < F.col("loa_lo"))
+                    | (F.col("d") > F.col("loa_hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outside")
+        )
+    )
+    return lim.crossJoin(F.broadcast(outside)).select(
+        "n",
+        q4(F.col("bias") / 100.0).alias("bias_dollars"),
+        q4(F.col("sd") / 100.0).alias("sd_dollars"),
+        q4(F.col("loa_lo") / 100.0).alias("loa_lo_dollars"),
+        q4(F.col("loa_hi") / 100.0).alias("loa_hi_dollars"),
+        "n_outside",
+    )
+
+
+@register(
+    "orders_basket_size_distribution",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(k) AS BIGINT) AS n_lines
+        FROM sizes
+    )
+    SELECT k AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders_k,
+           tot.n_orders, tot.n_lines,
+           CAST(10000 * count(*) // tot.n_orders AS BIGINT) AS share_bp
+    FROM sizes CROSS JOIN tot
+    GROUP BY k, tot.n_orders, tot.n_lines
+    """,
+)
+def orders_basket_size_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution — lines per order histogram with
+    integer-basis-point shares: the first chart on every commerce
+    dashboard and the fan-out factor that sizes the order→line join
+    at 100 TB (skewed basket sizes are exactly what join_skew_salted
+    exists for; this key MEASURES that skew). One rollup (shuffle on
+    orderkey, map-side combined) to a ≤|max basket| histogram + a
+    1-row total broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    tot = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("k").cast("long").alias("n_lines"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_orders", "n_lines")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_k"))
+        .select(
+            F.col("k").alias("basket_size"),
+            "n_orders_k",
+            "n_orders",
+            "n_lines",
+            F.expr("10000 * n_orders_k DIV n_orders")
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )

@@ -328,6 +328,7 @@ EXTRA_KEYS = [
     "pipeline_interleave_roundrobin", "agg_grouping_id",
     "win_session_window", "join_hint_shuffle_hash",
     "stat_winsorized_trimmed", "events_diurnal_weekly_profile",
+    "orders_bland_altman", "orders_basket_size_distribution",
 ]
 
 
