@@ -270,3 +270,70 @@ def sql_entry_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies; the layout itself is asserted by the exchange
     the clause injects into the plan."""
     return run(spark, sf_dir, _DISTRIBUTE_SPARK)
+
+
+# Parameterized SQL (Spark 3.4+ named parameter binding): the
+# injection-safe templating surface — literals bind server-side, the
+# query TEXT stays constant (one plan cache entry per template).
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_entry_parameterized", oracle=_PARAM_ORACLE)
+def sql_entry_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(text, args={...})``,
+    Spark 3.4+): the status and price floor bind as :status /
+    :min_total parameters instead of interpolated literals — the
+    injection-safe, plan-cache-friendly way applications template
+    queries. The oracle runs the equivalent literal query, verifying
+    the binder substitutes values (not strings) with correct
+    typing."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_total
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_total": 50000.0},
+    )
+
+
+@register("sql_entry_cache_table", oracle=_PARAM_ORACLE)
+def sql_entry_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE — the SQL surface for pinning a hot dataset in the
+    columnar in-memory store (the interactive-dashboard pattern:
+    cache once, slice many): a filtered orders view is CACHEd, the
+    rollup reads through the InMemoryRelation (asserted in
+    tests/test_r7_wave_w.py), and UNCACHE restores state so the
+    shared session never leaks storage. Content must equal the
+    uncached oracle — caching is a performance decision, never a
+    semantics change."""
+    register_views(spark, sf_dir)
+    spark.sql("UNCACHE TABLE IF EXISTS etlcnc_hot_orders")
+    spark.sql(
+        """
+        CACHE TABLE etlcnc_hot_orders AS
+        SELECT * FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM etlcnc_hot_orders
+        GROUP BY o_orderpriority
+        """
+    )

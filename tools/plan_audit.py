@@ -329,6 +329,8 @@ EXTRA_KEYS = [
     "win_session_window", "join_hint_shuffle_hash",
     "stat_winsorized_trimmed", "events_diurnal_weekly_profile",
     "orders_bland_altman", "orders_basket_size_distribution",
+    "udtf_polymorphic", "sql_entry_parameterized",
+    "sql_entry_cache_table",
 ]
 
 
