@@ -5553,3 +5553,129 @@ def stat_winsorized_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("tcnt").alias("n_kept"),
     )
+
+
+# ----------------------------- variance components / intraclass corr
+
+
+@register(
+    "stat_icc_variance_components",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c.c_nationkey AS g,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+    ), grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(x) AS BIGINT) AS s1,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        FROM cust GROUP BY g
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(s1) AS BIGINT) AS t1,
+               CAST(sum(s2) AS HUGEINT) AS t2,
+               CAST(sum(CAST(floor(CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / n_g / 1e6) AS BIGINT))
+                   AS DOUBLE) * 1e6 AS sum_gm
+        FROM grp
+    ), ss AS (
+        SELECT k, n,
+               CAST(t2 AS DOUBLE)
+                   - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / n AS sst,
+               sum_gm - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / n
+                   AS ssb
+        FROM tot
+    ), msq AS (
+        SELECT k, n, sst, ssb, sst - ssb AS ssw,
+               ssb / (k - 1) AS msb,
+               (sst - ssb) / (n - k) AS msw,
+               CAST(n AS DOUBLE) / k AS n0
+        FROM ss
+    )
+    SELECT k AS n_groups, n AS n_custs,
+           {sql_q4("ssb / sst")} AS eta_sq,
+           {sql_q4("(msb - msw) / (msb + (n0 - 1) * msw)")} AS icc1,
+           {sql_q4("msb / msw")} AS f_stat
+    FROM msq
+    """,
+)
+def stat_icc_variance_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance-component decomposition of per-customer spend across
+    nations — η² (between-group share of total variance), the
+    intraclass correlation ICC(1) = (MSB−MSW)/(MSB+(n₀−1)MSW) with
+    the balanced-design n₀ = N/k, and the ANOVA F — the "how much
+    does the grouping explain" readout behind mixed-effects
+    modeling, cluster-randomized power analysis, and feature-
+    usefulness triage (complements stat_anova_oneway's test with
+    the effect-size view and stat_theil_decomposition's entropy
+    lens with the variance lens).
+
+    Exactness: sufficient statistics are exact integer-cent sums
+    (squares in HUGEINT/decimal); the per-group s1²/n_g fold and
+    every mean square are fixed-order closed forms. Scale: one
+    per-customer rollup, one 25-group aggregate, one 1-row fold."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cust = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", F.col("c_nationkey").alias("g"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    grp = cust.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(xd * F.col("x")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("decimal(38,0)")
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.sum("s2").alias("t2"),
+        # per-group s1²/n_g is ONE double expression (identical inputs
+        # → identical doubles in both engines), quantized to 1e6 steps
+        # before the exact integer fold — no order-dependent float sum
+        (
+            F.sum(
+                F.floor(
+                    F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n_g")
+                    / 1e6
+                ).cast("long")
+            ).cast("double")
+            * 1e6
+        ).alias("sum_gm"),
+    )
+    t1d = F.col("t1").cast("double")
+    sst = F.col("t2").cast("double") - t1d * t1d / F.col("n")
+    ssb = F.col("sum_gm") - t1d * t1d / F.col("n")
+    msq = tot.select(
+        "k",
+        "n",
+        sst.alias("sst"),
+        ssb.alias("ssb"),
+        (sst - ssb).alias("ssw"),
+        (ssb / (F.col("k") - 1)).alias("msb"),
+        ((sst - ssb) / (F.col("n") - F.col("k"))).alias("msw"),
+        (F.col("n").cast("double") / F.col("k")).alias("n0"),
+    )
+    return msq.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_custs"),
+        q4(F.col("ssb") / F.col("sst")).alias("eta_sq"),
+        q4(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("n0") - 1) * F.col("msw"))
+        ).alias("icc1"),
+        q4(F.col("msb") / F.col("msw")).alias("f_stat"),
+    )

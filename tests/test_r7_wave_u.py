@@ -15,7 +15,7 @@ REGISTRY = load_all()
 
 def _con(sf_dir):
     con = duckdb.connect()
-    for t in ("orders", "lineitem"):
+    for t in ("orders", "lineitem", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
@@ -64,3 +64,34 @@ def test_basket_size_matches_python(spark, sf_dir):
         assert r["n_orders"] == n_orders
         assert r["n_lines"] == n_lines
         assert r["share_bp"] == 10000 * hist[k] // n_orders
+
+
+def test_icc_matches_numpy(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        """SELECT c.c_nationkey,
+               sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, x in rows:
+        by[g].append(float(x))
+    k = len(by)
+    n = sum(len(v) for v in by.values())
+    grand = sum(sum(v) for v in by.values()) / n
+    ssb = sum(len(v) * (np.mean(v) - grand) ** 2 for v in by.values())
+    sst = sum((x - grand) ** 2 for v in by.values() for x in v)
+    ssw = sst - ssb
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    n0 = n / k
+    out = (
+        REGISTRY["stat_icc_variance_components"]
+        .build(spark, sf_dir)
+        .collect()[0]
+    )
+    assert out["n_groups"] == k and out["n_custs"] == n
+    assert abs(out["eta_sq"] - ssb / sst) < 1e-3
+    assert abs(out["icc1"] - (msb - msw) / (msb + (n0 - 1) * msw)) < 1e-3
+    assert abs(out["f_stat"] - msb / msw) < max(1e-3, abs(msb / msw) * 1e-3)

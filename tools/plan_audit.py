@@ -330,7 +330,7 @@ EXTRA_KEYS = [
     "stat_winsorized_trimmed", "events_diurnal_weekly_profile",
     "orders_bland_altman", "orders_basket_size_distribution",
     "udtf_polymorphic", "sql_entry_parameterized",
-    "sql_entry_cache_table",
+    "sql_entry_cache_table", "stat_icc_variance_components",
 ]
 
 
