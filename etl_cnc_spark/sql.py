@@ -321,6 +321,9 @@ def sql_entry_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics change."""
     register_views(spark, sf_dir)
     spark.sql("UNCACHE TABLE IF EXISTS etlcnc_hot_orders")
+    # CACHE TABLE ... AS creates a temp view; a rebuild in the same
+    # session must drop the previous one (UNCACHE alone does not)
+    spark.sql("DROP VIEW IF EXISTS etlcnc_hot_orders")
     spark.sql(
         """
         CACHE TABLE etlcnc_hot_orders AS
