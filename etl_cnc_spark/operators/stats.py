@@ -5679,3 +5679,101 @@ def stat_icc_variance_components(
         ).alias("icc1"),
         q4(F.col("msb") / F.col("msw")).alias("f_stat"),
     )
+
+
+# ----------------------------------------- grouped MAD robust scale
+
+
+@register(
+    "stat_mad_robust_scale",
+    oracle="""
+    WITH grid AS (
+        SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS t
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT f, CAST(sum(t) AS BIGINT) AS n FROM grid GROUP BY f
+    ), med AS (
+        SELECT c.f, min(c.v) AS m
+        FROM (
+            SELECT g.f, g.v, tt.n,
+                   sum(g.t) OVER (PARTITION BY g.f ORDER BY g.v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c
+            FROM grid g JOIN tot tt ON g.f = tt.f
+        ) c WHERE 2 * c.c >= c.n GROUP BY c.f
+    ), dev AS (
+        SELECT g.f, abs(g.v - m.m) AS av, CAST(sum(g.t) AS BIGINT) AS t
+        FROM grid g JOIN med m ON g.f = m.f
+        GROUP BY g.f, abs(g.v - m.m)
+    ), mad AS (
+        SELECT c.f, min(c.av) AS mad_v
+        FROM (
+            SELECT d.f, d.av, tt.n,
+                   sum(d.t) OVER (PARTITION BY d.f ORDER BY d.av
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c
+            FROM dev d JOIN tot tt ON d.f = tt.f
+        ) c WHERE 2 * c.c >= c.n GROUP BY c.f
+    )
+    SELECT med.f AS l_returnflag, tot.n,
+           CAST(med.m AS BIGINT) AS median_qty,
+           CAST(mad.mad_v AS BIGINT) AS mad,
+           floor(mad.mad_v * 1.4826 * 10000 + 0.5) / 10000.0
+               AS sigma_robust
+    FROM med JOIN mad ON med.f = mad.f JOIN tot ON med.f = tot.f
+    """,
+)
+def stat_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped median-absolute-deviation robust scale: per-flag
+    median, MAD = median(|x − med|), and the consistent
+    σ̂ = 1.4826·MAD — the breakdown-point-0.5 scale estimator that
+    events_anomaly_mad applies globally, now as a per-group library
+    primitive (completing the robust toolkit with
+    stat_winsorized_trimmed's location side). BOTH medians are lower
+    order statistics on the VALUE GRID (exact integers; cumulative
+    windows partitioned by flag over ≤50 grid rows) — no row-level
+    sort anywhere; the only float is the final 1.4826 scaling."""
+    li = table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    tot = grid.groupBy("f").agg(F.sum("t").cast("long").alias("n"))
+
+    def lower_median(df, val_col):
+        w = (
+            Window.partitionBy("f")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.join(tot, "f")
+            .select(
+                "f", val_col, "n", F.sum("t").over(w).alias("c")
+            )
+            .where(2 * F.col("c") >= F.col("n"))
+            .groupBy("f")
+            .agg(F.min(val_col).cast("long").alias("m"))
+        )
+
+    med = lower_median(grid, "v")
+    dev = (
+        grid.join(med, "f")
+        .groupBy("f", F.abs(F.col("v") - F.col("m")).alias("av"))
+        .agg(F.sum("t").cast("long").alias("t"))
+    )
+    mad = lower_median(dev, "av").withColumnRenamed("m", "mad_v")
+    return (
+        med.join(mad, "f")
+        .join(tot, "f")
+        .select(
+            F.col("f").alias("l_returnflag"),
+            "n",
+            F.col("m").alias("median_qty"),
+            F.col("mad_v").alias("mad"),
+            (
+                F.floor(F.col("mad_v") * 1.4826 * 10000 + 0.5) / 10000.0
+            ).alias("sigma_robust"),
+        )
+    )

@@ -43,10 +43,10 @@ REGISTRY: dict[str, QueryDef] = {}
 # attested, so its slot goes to text_bm25 / sim_ann_ivfpq /
 # dedup_recall_report — the other subtle-math keys in the same
 # families), then the remaining never-driver-checked keys in registry
-# order.  After this sweep: 344/478 keys checked; 134 remain (the
+# order.  After this sweep: 344/500 keys checked; 156 remain (the
 # r6/r7 long tail: graph/tpch/embed/ml-eval/sql_entry leftovers plus
-# the r7 waves A-N) — r8 window = the next 50, r9 the next 50, r10
-# the remainder.  `python tools/next_window.py`
+# the r7 waves A-Z) — r8/r9/r10 windows of 50 + a 6-key tail.
+# `python tools/next_window.py`
 # prints each rotation; run `python tools/preflight.py --exec <keys>`
 # before rotating (catches driver-canonicalization traps like r4's
 # embed_quantize numpy-cell issue).

@@ -97,3 +97,38 @@ def test_diurnal_profile_matches_python(spark, sf_dir):
         assert got[k]["cents"] == cents
         assert got[k]["share_bp"] == 10000 * n // total
     assert all(1 <= d <= 7 and 0 <= h <= 23 for d, h in got)
+
+
+def test_mad_robust_scale_matches_python(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for f, q in rows:
+        by[f].append(q)
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        cum = 0
+        for v in xs:
+            cum += 1
+            if 2 * cum >= n:
+                return v
+
+    got = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["stat_mad_robust_scale"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    for f, xs in by.items():
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        r = got[f]
+        assert r["n"] == len(xs)
+        assert r["median_qty"] == med
+        assert r["mad"] == mad
+        assert abs(r["sigma_robust"] - mad * 1.4826) < 1e-3

@@ -331,6 +331,7 @@ EXTRA_KEYS = [
     "orders_bland_altman", "orders_basket_size_distribution",
     "udtf_polymorphic", "sql_entry_parameterized",
     "sql_entry_cache_table", "stat_icc_variance_components",
+    "stat_mad_robust_scale",
 ]
 
 
