@@ -1116,3 +1116,45 @@ def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(F.max("km")).alias("max_km"),
         )
     )
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+    WITH dirty AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 7 = 0 THEN p_name
+                    ELSE CAST(p_size AS VARCHAR) END AS raw
+        FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(TRY_CAST(raw AS BIGINT)) AS BIGINT) AS n_parsed,
+           CAST(count(*) - count(TRY_CAST(raw AS BIGINT)) AS BIGINT)
+               AS n_rescued,
+           CAST(sum(coalesce(TRY_CAST(raw AS BIGINT), 0)) AS BIGINT)
+               AS parsed_sum
+    FROM dirty
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST — the non-throwing cast that makes dirty-data
+    ingestion total instead of job-killing (under ANSI mode a plain
+    CAST on one malformed row fails the whole 100 TB job; TRY_CAST
+    turns it into a NULL you can count and quarantine): a
+    deterministically dirtied column (every 7th part carries its
+    free-text name instead of a number) is parsed, with parse/rescue
+    counts and the sum of the clean subset verified. Same census
+    shape as source_csv_corrupt, at the expression surface."""
+    p = table(spark, sf_dir, "part")
+    raw = F.when(
+        F.col("p_partkey") % 7 == 0, F.col("p_name")
+    ).otherwise(F.col("p_size").cast("string"))
+    parsed = raw.try_cast("bigint")
+    return p.select(parsed.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("v").cast("long").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_rescued"),
+        F.sum(F.coalesce(F.col("v"), F.lit(0))).cast("long").alias(
+            "parsed_sum"
+        ),
+    )

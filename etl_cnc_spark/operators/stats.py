@@ -5777,3 +5777,127 @@ def stat_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sigma_robust"),
         )
     )
+
+
+# --------------------------------------------- Cronbach's alpha
+
+_CRONBACH_ALPHA = ("iv.k / (iv.k - 1.0)"
+                   " * (1.0 - iv.sum_var_i / tv.var_t)")
+
+
+@register(
+    "stat_cronbach_alpha",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cells AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT u.user_id, t.event_type,
+               coalesce(c.c, 0) AS x
+        FROM users u CROSS JOIN types t
+        LEFT JOIN cells c ON c.user_id = u.user_id
+                         AND c.event_type = t.event_type
+    ), item AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s1,
+               CAST(sum(x * x) AS BIGINT) AS s2
+        FROM dense GROUP BY 1
+    ), item_var AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(floor((CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n)) * 1e9 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 1e9 AS sum_var_i
+        FROM item
+    ), totals AS (
+        SELECT user_id, CAST(sum(x) AS BIGINT) AS tx
+        FROM dense GROUP BY 1
+    ), tot_var AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(tx) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(tx * tx) AS DOUBLE) / count(*)
+                   - (CAST(sum(tx) AS DOUBLE) / count(*))
+                     * (CAST(sum(tx) AS DOUBLE) / count(*)) AS var_t
+        FROM totals
+    )
+    SELECT iv.k, tv.n_users,
+           {sql_q4("iv.sum_var_i")} AS sum_item_var,
+           {sql_q4("tv.var_t")} AS var_total,
+           {sql_q4(_CRONBACH_ALPHA)} AS alpha
+    FROM item_var iv CROSS JOIN tot_var tv
+    """,
+)
+def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient, treating the
+    five event types as test "items" and each user's per-type
+    activity count as the item score (dense design — absent
+    (user, type) cells score 0): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_T) —
+    the reliability readout behind composite engagement scores
+    ("do these activity signals measure one underlying trait?").
+
+    Exactness: item and total moments are exact integer sums over
+    the dense user×type frame (users × broadcast 5-type dim, LEFT
+    JOIN + coalesce); per-item population variances quantize to 1e-9
+    before the k-term fold; σ²_T folds once from per-user totals.
+    Scale shape: one (user, type) rollup, a users×k densify with a
+    broadcast type dim, two closed-form folds."""
+    e = table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    cells = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dense = (
+        users.crossJoin(F.broadcast(types))
+        .join(cells, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("x"),
+        )
+    )
+    item = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    var_i = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    )
+    item_var = item.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            F.sum(F.floor(var_i * 1e9 + 0.5).cast("long")).cast("double")
+            / 1e9
+        ).alias("sum_var_i"),
+    )
+    totals = dense.groupBy("user_id").agg(
+        F.sum("x").cast("long").alias("tx")
+    )
+    mu = F.sum("tx").cast("double") / F.count(F.lit(1))
+    tot_var = totals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.sum(F.col("tx") * F.col("tx")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_s2n"),
+        mu.alias("_mu"),
+    ).select(
+        "n_users",
+        (F.col("_s2n") - F.col("_mu") * F.col("_mu")).alias("var_t"),
+    )
+    return item_var.crossJoin(F.broadcast(tot_var)).select(
+        "k",
+        "n_users",
+        q4(F.col("sum_var_i")).alias("sum_item_var"),
+        q4(F.col("var_t")).alias("var_total"),
+        q4(
+            F.col("k")
+            / (F.col("k") - 1.0)
+            * (1.0 - F.col("sum_var_i") / F.col("var_t"))
+        ).alias("alpha"),
+    )

@@ -340,3 +340,32 @@ def sql_entry_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# Aggregate FILTER clause (SQL:2003): per-aggregate predicates without
+# CASE gymnastics — shared dialect-neutral text runs on both engines.
+
+_FILTER_CLAUSE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE l_discount = 0.0) AS BIGINT)
+           AS full_price_cents,
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R'
+            AND l_quantity <= 5) AS BIGINT) AS n_small_returns
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_entry_filter_clause", oracle=_FILTER_CLAUSE)
+def sql_entry_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause — per-aggregate predicates
+    in one pass over the data (the readable alternative to
+    sum(CASE WHEN ...) pivot idioms, and the same single-scan
+    multi-metric shape scan_observe exploits): one dialect-neutral
+    SQL string executes on BOTH engines, so the two parsers must
+    agree on the clause's semantics including FILTERed sums over
+    empty groups (NULL, not 0)."""
+    return run(spark, sf_dir, _FILTER_CLAUSE)

@@ -331,7 +331,8 @@ EXTRA_KEYS = [
     "orders_bland_altman", "orders_basket_size_distribution",
     "udtf_polymorphic", "sql_entry_parameterized",
     "sql_entry_cache_table", "stat_icc_variance_components",
-    "stat_mad_robust_scale",
+    "stat_mad_robust_scale", "fn_try_cast",
+    "sql_entry_filter_clause", "stat_cronbach_alpha",
 ]
 
 
