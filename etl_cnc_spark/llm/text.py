@@ -2678,3 +2678,59 @@ def pipeline_interleave_roundrobin(
         .limit(INTERLEAVE_HEAD)
         .select("pos", "doc_id", "source", "n_src")
     )
+
+
+# ---------------------------------------- compression-ratio quality
+
+COMP_BANDS = (0, 30, 45, 60, 100)  # ratio percent band edges
+
+
+@register(
+    "text_compression_quality",
+    notes="zlib compressibility — the Gopher-family repetition "
+    "signal; the deflate byte count is library-version-dependent, so "
+    "the driver records rows-only; tests/test_r7_wave_y.py recomputes "
+    "every ratio with the same zlib and asserts exact band counts.",
+)
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate: zlib-deflate each document and
+    band it by compressed/raw size — THE cheap repetition detector
+    in LLM curation (boilerplate and template spam compress far
+    below organic prose; Gopher-class pipelines drop the extreme
+    bands). Runs as an Arrow-batched pandas UDF (bulk bytes never
+    leave the executor; one Python call per batch, not per row) —
+    the sanctioned slow-path shape for logic Spark's JVM functions
+    cannot express. Output: per-band doc counts with min/max ratio
+    percews (exact integers from the deterministic level-6
+    deflate)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(texts):
+        import zlib
+
+        return texts.map(
+            lambda t: 100
+            * len(zlib.compress(t.encode("utf-8"), 6))
+            // max(1, len(t.encode("utf-8")))
+        )
+
+    # real type objects (string hints would not resolve from a
+    # function-local pandas import)
+    _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    ratio_pct = pandas_udf(_ratio, "long")
+
+    d = table(spark, sf_dir, "documents")
+    edges = list(COMP_BANDS)
+    band = F.lit(len(edges) - 2)
+    for i in range(len(edges) - 2, -1, -1):
+        band = F.when(F.col("r") < edges[i + 1], i).otherwise(band)
+    r = d.select(ratio_pct(F.col("text")).alias("r"))
+    return (
+        r.groupBy(band.cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("r").cast("long").alias("min_pct"),
+            F.max("r").cast("long").alias("max_pct"),
+        )
+    )

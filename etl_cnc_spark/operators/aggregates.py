@@ -1553,3 +1553,58 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
     )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), ranked AS (
+        SELECT l_returnflag, c, l_orderkey,
+               row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY c DESC, l_orderkey DESC,
+                            l_linenumber DESC) AS rd,
+               row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY c ASC, l_orderkey ASC,
+                            l_linenumber ASC) AS ra
+        FROM v
+    )
+    SELECT a.l_returnflag,
+           max(CASE WHEN a.rd = 1 THEN a.l_orderkey END)
+               AS top_orderkey,
+           max(CASE WHEN a.rd = 1 THEN a.c END) AS top_cents,
+           max(CASE WHEN a.ra = 1 THEN a.l_orderkey END)
+               AS bottom_orderkey,
+           max(CASE WHEN a.ra = 1 THEN a.c END) AS bottom_cents
+    FROM ranked a WHERE a.rd = 1 OR a.ra = 1
+    GROUP BY a.l_returnflag
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by — the argmax/argmin aggregates ("which order
+    carries the extreme value", not just the value): per returnflag,
+    the orderkey of the highest- and lowest-priced line. Bare
+    max_by breaks ties ARBITRARILY (partitioning-dependent — the
+    trap), so the ordering key is a STRUCT (cents, orderkey,
+    linenumber) making the argmax total and engine-independent; the
+    oracle restates it with explicit row_number windows. One
+    map-side-combined aggregate — max_by partials merge, so no
+    window is needed at scale (the oracle's window is the
+    *specification*, not the plan)."""
+    li = table(spark, sf_dir, "lineitem")
+    c = cents(F.col("l_extendedprice"))
+    key_max = F.struct(
+        c.alias("c"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("l"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by(F.col("l_orderkey"), key_max).alias("top_orderkey"),
+        F.max(c).alias("top_cents"),
+        F.min_by(F.col("l_orderkey"), key_max).alias("bottom_orderkey"),
+        F.min(c).alias("bottom_cents"),
+    )

@@ -5901,3 +5901,120 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 - F.col("sum_var_i") / F.col("var_t"))
         ).alias("alpha"),
     )
+
+
+# --------------------------------------------- candidate periodogram
+
+PERIOD_HOURS = (6, 12, 24, 168)
+TWO_PI = "6.283185307179586"  # one shared literal
+PG_Q = 1000  # fixed-point scale for the per-term trig products
+_PERIODS_SQL = ", ".join(f"({p})" for p in PERIOD_HOURS)
+
+
+@register(
+    "stat_periodogram",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT y, row_number() OVER (ORDER BY hr) - 1 AS t FROM hourly
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s1
+        FROM idx
+    ), terms AS (
+        SELECT p.ph, m.n,
+               CAST(floor((i.y - CAST(m.s1 AS DOUBLE) / m.n)
+                   * cos({TWO_PI} * i.t / p.ph) * {PG_Q} + 0.5)
+                   AS BIGINT) AS qc,
+               CAST(floor((i.y - CAST(m.s1 AS DOUBLE) / m.n)
+                   * sin({TWO_PI} * i.t / p.ph) * {PG_Q} + 0.5)
+                   AS BIGINT) AS qs
+        FROM idx i CROSS JOIN (VALUES {_PERIODS_SQL}) p(ph), m
+    ), folded AS (
+        SELECT ph, min(n) AS n,
+               CAST(sum(qc) AS DOUBLE) / {PG_Q} AS c,
+               CAST(sum(qs) AS DOUBLE) / {PG_Q} AS s
+        FROM terms GROUP BY ph
+    ), powr AS (
+        SELECT CAST(ph AS BIGINT) AS period_h, n,
+               sqrt(c * c + s * s) / n AS amp
+        FROM folded
+    ), best AS (SELECT max(amp) AS m FROM powr)
+    SELECT powr.period_h, powr.n,
+           {sql_q4("powr.amp / 100.0")} AS amplitude_dollars,
+           powr.amp = best.m AS is_dominant
+    FROM powr CROSS JOIN best
+    """,
+)
+def stat_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-frequency periodogram of the hourly activity series:
+    DFT power at the operationally meaningful periods (6 h, 12 h,
+    24 h, weekly) on mean-centered values, reported as per-sample
+    amplitude with the dominant cycle flagged — the spectral
+    complement to events_autocorr (which scans lags) and
+    events_seasonal_decompose (which assumes the period; this key
+    FINDS it).
+
+    Float discipline: 2π is one shared literal, each trig product
+    is ONE double expression per (t, period) quantized to 1e-3
+    before the exact integer fold — no order-dependent float sum;
+    both engines evaluate sin/cos on identical doubles. Scale
+    shape: one fact rollup to the calendar-bounded hourly grid
+    (census-allowlisted row_number), a ×4 period fan-out of grid
+    rows, one hash aggregate."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    # calendar-bounded hour grid (census-allowlisted)
+    idx = hourly.select(
+        "y", (F.row_number().over(Window.orderBy("hr")) - 1).alias("t")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in PERIOD_HOURS], "ph int"
+    )
+    two_pi = float(TWO_PI)
+    xc = F.col("y") - F.col("s1").cast("double") / F.col("n")
+    theta = two_pi * F.col("t") / F.col("ph")
+    terms = (
+        idx.crossJoin(F.broadcast(periods))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "ph",
+            "n",
+            F.floor(xc * F.cos(theta) * PG_Q + 0.5)
+            .cast("long")
+            .alias("qc"),
+            F.floor(xc * F.sin(theta) * PG_Q + 0.5)
+            .cast("long")
+            .alias("qs"),
+        )
+    )
+    folded = terms.groupBy("ph").agg(
+        F.min("n").alias("n"),
+        (F.sum("qc").cast("double") / PG_Q).alias("c"),
+        (F.sum("qs").cast("double") / PG_Q).alias("s"),
+    )
+    powr = folded.select(
+        F.col("ph").cast("long").alias("period_h"),
+        "n",
+        (
+            F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("n")
+        ).alias("amp"),
+    )
+    best = powr.agg(F.max("amp").alias("m"))
+    return powr.crossJoin(F.broadcast(best)).select(
+        "period_h",
+        "n",
+        q4(F.col("amp") / 100.0).alias("amplitude_dollars"),
+        (F.col("amp") == F.col("m")).alias("is_dominant"),
+    )

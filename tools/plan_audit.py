@@ -333,6 +333,7 @@ EXTRA_KEYS = [
     "sql_entry_cache_table", "stat_icc_variance_components",
     "stat_mad_robust_scale", "fn_try_cast",
     "sql_entry_filter_clause", "stat_cronbach_alpha",
+    "agg_min_max_by", "text_compression_quality", "stat_periodogram",
 ]
 
 
