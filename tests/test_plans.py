@@ -586,6 +586,8 @@ def test_unpartitioned_window_census():
         ("llm/text.py", "pipeline_interleave_roundrobin"):
             "source-index rank over the |sources| dimension table "
             "(~20 rows)",
+        ("operators/stats.py", "stat_periodogram"):
+            "row_number over the hourly series grid — calendar-bounded",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent / "etl_cnc_spark"
