@@ -2778,3 +2778,147 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(F.col("x.cos")).alias("cosine"),
         )
     )
+
+
+# ------------------------------------- clustering evaluation (NMI)
+
+NMI_Q = 1000000000  # fixed-point scale for entropy terms
+
+
+@register(
+    "ml_cluster_nmi",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce,
+               {_SQL_NORM2.format(col="embedding")} AS cn2
+        FROM embeddings WHERE vec_id % {_SQL_CENT_STEP} = 0
+    ), vec AS (
+        SELECT vec_id, label, embedding,
+               {_SQL_NORM2.format(col="embedding")} AS n2
+        FROM embeddings
+    ), ranked_cells AS (
+        SELECT v.vec_id, v.label, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   v.n2 + c.cn2 - 2*(list_aggregate(
+                       [CAST(v.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+                        for i in range(1, 65)], 'sum')),
+                   c.cent_id) AS cell_rank
+        FROM vec v CROSS JOIN cent c
+    ), assign AS (
+        SELECT vec_id, label, cent_id AS cell
+        FROM ranked_cells WHERE cell_rank = 1
+    ), cm AS (
+        SELECT cell, label, CAST(count(*) AS BIGINT) AS c
+        FROM assign GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+    pur AS (
+        SELECT CAST(sum(mx) AS BIGINT) AS hit FROM (
+            SELECT cell, max(c) AS mx FROM cm GROUP BY cell
+        )
+    ), hc AS (
+        SELECT CAST(sum(CAST(floor(-(CAST(s AS DOUBLE) / t.n)
+            * ln(CAST(s AS DOUBLE) / t.n) * {NMI_Q} + 0.5) AS BIGINT))
+            AS DOUBLE) / {NMI_Q} AS h
+        FROM (SELECT cell, CAST(sum(c) AS BIGINT) AS s FROM cm GROUP BY 1),
+             tot t
+    ), hl AS (
+        SELECT CAST(sum(CAST(floor(-(CAST(s AS DOUBLE) / t.n)
+            * ln(CAST(s AS DOUBLE) / t.n) * {NMI_Q} + 0.5) AS BIGINT))
+            AS DOUBLE) / {NMI_Q} AS h
+        FROM (SELECT label, CAST(sum(c) AS BIGINT) AS s FROM cm GROUP BY 1),
+             tot t
+    ), hj AS (
+        SELECT CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / t.n)
+            * ln(CAST(c AS DOUBLE) / t.n) * {NMI_Q} + 0.5) AS BIGINT))
+            AS DOUBLE) / {NMI_Q} AS h
+        FROM cm, tot t
+    )
+    SELECT tot.n AS n_vecs,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT cell FROM cm)) AS n_cells,
+           {sql_q4("CAST(pur.hit AS DOUBLE) / tot.n")} AS purity,
+           {sql_q4("(hc.h + hl.h - hj.h) / sqrt(hc.h * hl.h)")} AS nmi
+    FROM tot, pur, hc, hl, hj
+    """,
+)
+def ml_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation of the IVF coarse partition
+    against the ground-truth labels: PURITY (majority-label mass per
+    cell) and NORMALIZED MUTUAL INFORMATION
+    I(C;L)/√(H(C)·H(L)) with I = H(C)+H(L)−H(C,L) — the two
+    standard external clustering metrics, here auditing whether the
+    ANN index's cells respect semantic structure (cells that mix
+    labels ⇒ nprobe must grow to hold recall; sim_recall_report
+    measures the symptom, this key the cause).
+
+    Float discipline: every −p·ln p entropy term quantizes to 1e-9
+    before its sum (the contingency table is the only input, so all
+    three entropies fold exactly); assignment reuses sim_ann_ivf's
+    deterministic nearest-centroid rule bit-for-bit. Scale shape:
+    one assignment pass (broadcast centroid block), a (cell, label)
+    contingency aggregate, then metadata-sized folds."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = capped_centroids(e)  # (cent_id, ce, cn2)
+    v = e.select(
+        "vec_id", "label", "embedding", _norm2(F.col("embedding")).alias("n2")
+    )
+    d2 = (
+        F.col("n2")
+        + F.col("cn2")
+        - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") == 1)
+        .select("vec_id", "label", F.col("cent_id").alias("cell"))
+    )
+    cm = assign.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    tot = cm.agg(F.sum("c").cast("long").alias("n"))
+
+    def entropy(df, grp):
+        marg = (
+            df.groupBy(grp).agg(F.sum("c").cast("long").alias("s"))
+            if grp
+            else df.select(F.col("c").alias("s"))
+        )
+        p = F.col("s").cast("double") / F.col("n")
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            (
+                F.sum(
+                    F.floor(-p * F.log(p) * NMI_Q + 0.5).cast("long")
+                ).cast("double")
+                / NMI_Q
+            ).alias("h")
+        )
+
+    hc = entropy(cm, ["cell"]).withColumnRenamed("h", "hc")
+    hl = entropy(cm, ["label"]).withColumnRenamed("h", "hl")
+    hj = entropy(cm, None).withColumnRenamed("h", "hj")
+    pur = (
+        cm.groupBy("cell")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("hit"))
+    )
+    n_cells = cm.select("cell").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    nmi = (F.col("hc") + F.col("hl") - F.col("hj")) / F.sqrt(
+        F.col("hc") * F.col("hl")
+    )
+    return (
+        tot.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hj))
+        .select(
+            F.col("n").alias("n_vecs"),
+            "n_cells",
+            q4(F.col("hit").cast("double") / F.col("n")).alias("purity"),
+            q4(nmi).alias("nmi"),
+        )
+    )

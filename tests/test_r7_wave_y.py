@@ -108,3 +108,52 @@ def test_periodogram_matches_numpy(spark, sf_dir):
     dom = max(amps, key=amps.get)
     assert got[dom]["is_dominant"]
     assert sum(1 for r in got.values() if r["is_dominant"]) == 1
+
+
+def test_cluster_nmi_matches_numpy(spark, sf_dir):
+    rows = _con2_embeddings(sf_dir).execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    n_total = len(rows)
+    step = max(64, -(-n_total // 4096))
+    cents = [(r[0], np.asarray(r[2], dtype=np.float64)) for r in rows
+             if r[0] % step == 0]
+    assign = {}
+    for vid, label, emb in rows:
+        x = np.asarray(emb, dtype=np.float64)
+        best, bd = None, None
+        for cid, ce in cents:
+            d = ((x - ce) ** 2).sum()
+            if bd is None or d < bd - 1e-12 or (abs(d - bd) <= 1e-12 and cid < best):
+                best, bd = cid, d
+        assign[vid] = (best, label)
+    from collections import Counter
+
+    cm = Counter(assign.values())
+    n = sum(cm.values())
+    cells = Counter(c for c, _ in assign.values())
+    labels = Counter(l for _, l in assign.values())
+
+    def H(counts):
+        return -sum((c / n) * math.log(c / n) for c in counts.values())
+
+    hc, hl, hj = H(cells), H(labels), H(cm)
+    nmi = (hc + hl - hj) / math.sqrt(hc * hl)
+    purity = sum(
+        max(v for (cc, _), v in cm.items() if cc == c) for c in cells
+    ) / n
+    out = REGISTRY["ml_cluster_nmi"].build(spark, sf_dir).collect()[0]
+    assert out["n_vecs"] == n
+    assert out["n_cells"] == len(cells)
+    assert abs(out["purity"] - purity) < 1e-3
+    assert abs(out["nmi"] - nmi) < 1e-3
+    assert 0.0 <= out["nmi"] <= 1.0 + 1e-9
+
+
+def _con2_embeddings(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{sf_dir}/embeddings.parquet'"
+    )
+    return con

@@ -334,6 +334,7 @@ EXTRA_KEYS = [
     "stat_mad_robust_scale", "fn_try_cast",
     "sql_entry_filter_clause", "stat_cronbach_alpha",
     "agg_min_max_by", "text_compression_quality", "stat_periodogram",
+    "ml_cluster_nmi",
 ]
 
 
