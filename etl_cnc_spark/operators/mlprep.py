@@ -2346,3 +2346,382 @@ def ml_oversample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("checksum_q"),
     )
+
+
+# ------------------------------------------- retrieval-eval wave (r8)
+
+MAP_K = 10
+# LCM(1..10): multiplying precision@i by this makes every P@i an exact
+# integer (hits_i * (2520/i)), so the AP numerator is order-free.
+_MAP_L = 2520
+_MAP_W = [0] + [_MAP_L // i for i in range(1, MAP_K + 1)]  # 1-indexed
+
+
+@register(
+    "ml_map_at_k",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+               list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum')
+               / sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                    * list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {NDCG_NQ}
+    ), corp AS (
+        SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel_corpus
+        FROM scored GROUP BY qid
+    ), ranked AS (
+        SELECT qid, rel,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS BIGINT) AS rn
+        FROM scored
+    ), hits AS (
+        SELECT qid, rel, rn,
+               CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS h
+        FROM ranked WHERE rn <= {MAP_K}
+    ), num AS (
+        SELECT qid,
+               CAST(sum(CASE WHEN rel = 1
+                    THEN h * (CASE {' '.join(f"WHEN rn = {i} THEN {_MAP_W[i]}" for i in range(1, MAP_K + 1))} END)
+                    ELSE 0 END) AS BIGINT) AS ap_num,
+               CAST(sum(rel) AS BIGINT) AS n_rel_topk
+        FROM hits GROUP BY qid
+    )
+    SELECT c.qid, n.n_rel_topk, c.n_rel_corpus,
+           {sql_q4(f"CASE WHEN least(c.n_rel_corpus, {MAP_K}) = 0 THEN 0.0 "
+                   f"ELSE CAST(n.ap_num AS DOUBLE) / {_MAP_L} "
+                   f"/ least(c.n_rel_corpus, {MAP_K}) END")} AS ap_at_k
+    FROM corp c JOIN num n ON n.qid = c.qid
+    """,
+)
+def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision@10 per query over the exact cosine retrieval
+    run (binary relevance = same class label) — the area-under-PR
+    companion to ml_ndcg_eval: AP rewards putting ALL relevant hits
+    early, not just the first (mean over queries = MAP, the classic
+    TREC leaderboard number; left per-query here so the hash checks
+    every query, not one mean).
+
+    Hash-parity discipline: P@i = hits_i/i is scaled by LCM(1..10) =
+    2520 at COMPILE time, so the AP numerator is an exact BIGINT on
+    both engines; the only double is the final division by
+    2520 * min(n_rel_corpus, k).
+
+    Scale shape: identical to sim_topk_exact — broadcast query block,
+    JVM fold dot products, per-query bounded windows (rank and the
+    running hit count both live inside the k=10 rows of one qid)."""
+    from ..llm.dedup import _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.when(F.col("qlabel") == F.col("clabel"), 1).otherwise(0).alias("rel"),
+        cos.alias("cos"),
+    )
+    corp = scored.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("n_rel_corpus")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).where(F.col("rn") <= MAP_K)
+    wh = (
+        Window.partitionBy("qid")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = ranked.withColumn("h", F.sum("rel").over(wh).cast("long"))
+    pw = F.element_at(F.lit(_MAP_W).cast("array<long>"), F.col("rn").cast("int") + 1)
+    num = hits.groupBy("qid").agg(
+        F.sum(F.when(F.col("rel") == 1, F.col("h") * pw).otherwise(0))
+        .cast("long")
+        .alias("ap_num"),
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+    )
+    m = F.least(F.col("n_rel_corpus"), F.lit(MAP_K))
+    return corp.join(num, "qid").select(
+        "qid",
+        "n_rel_topk",
+        "n_rel_corpus",
+        q4(
+            F.when(m == 0, F.lit(0.0)).otherwise(
+                F.col("ap_num").cast("double") / F.lit(float(_MAP_L)) / m
+            )
+        ).alias("ap_at_k"),
+    )
+
+
+RBO_D = 10  # evaluation depth
+RBO_P = 0.9  # persistence (top-weightedness) parameter
+_RBO_Q = 1_000_000_000_000
+# Per-depth weight (1-p)·p^(d-1)/d, fixed-point at 1e12 — computed once
+# here and embedded as the SAME integer literals in both engines.  An
+# item whose later of its two ranks is m contributes to every depth
+# d >= m, so its total weight is the suffix sum SW[m].
+_RBO_W = [
+    int((1 - RBO_P) * RBO_P ** (d - 1) / d * _RBO_Q + 0.5)
+    for d in range(1, RBO_D + 1)
+]
+_RBO_SW = [0] * (RBO_D + 2)
+for _d in range(RBO_D, 0, -1):
+    _RBO_SW[_d] = _RBO_SW[_d + 1] + _RBO_W[_d - 1]
+
+
+@register(
+    "ml_rank_biased_overlap",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum') AS dot,
+               list_aggregate(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                  AS qn2,
+               list_aggregate(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                  AS cn2
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {NDCG_NQ}
+    ), r_cos AS (
+        SELECT qid, cid,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dot / sqrt(qn2 * cn2) DESC, cid)
+                    AS BIGINT) AS r1
+        FROM scored
+    ), r_dot AS (
+        SELECT qid, cid,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dot DESC, cid) AS BIGINT) AS r2
+        FROM scored
+    ), joined AS (
+        SELECT a.qid, greatest(a.r1, b.r2) AS m
+        FROM r_cos a JOIN r_dot b ON a.qid = b.qid AND a.cid = b.cid
+        WHERE a.r1 <= {RBO_D} AND b.r2 <= {RBO_D}
+    ), per_q AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS overlap_at_d,
+               CAST(sum(CASE {' '.join(f"WHEN m = {d} THEN {_RBO_SW[d]}" for d in range(1, RBO_D + 1))} END)
+                    AS BIGINT) AS rbo_fp
+        FROM joined GROUP BY qid
+    ), queries AS (
+        SELECT DISTINCT qid FROM scored
+    )
+    SELECT q.qid,
+           coalesce(p.overlap_at_d, 0) AS overlap_at_d,
+           {sql_q4(f"CAST(coalesce(p.rbo_fp, 0) AS DOUBLE) / {_RBO_Q}")}
+               AS rbo
+    FROM queries q LEFT JOIN per_q p ON p.qid = q.qid
+    """,
+)
+def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated rank-biased overlap (RBO@10, p=0.9, Webber et al.'s
+    top-weighted list-similarity measure, public) between the cosine
+    ranking and the raw dot-product (MIPS) ranking of each query's
+    candidates — the ranker-agreement audit a retrieval stack runs
+    when switching score functions: RBO ≈ 1 means the cheaper ranker
+    is a drop-in; low RBO means re-evaluate.
+
+    Hash-parity discipline: the per-depth weights (1-p)p^(d-1)/d are
+    COMPILE-TIME fixed-point integers; an item with later-rank m
+    contributes the suffix sum SW[m] (also compile-time), so each
+    query's RBO numerator is an exact BIGINT sum over <= 10 items.
+
+    Scale shape: one broadcast-query scored-pairs stage feeds both
+    rankings (two bounded per-qid windows over the same frame — one
+    shuffle on qid); the fusion join touches 10 rows per query per
+    side, exactly like sim_hybrid_rrf's bounded fusion."""
+    from ..llm.dedup import _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        _dot64(F.col("qe"), F.col("ce")).alias("dot"),
+        (F.col("qn2") * F.col("cn2")).alias("nn"),
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        (F.col("dot") / F.sqrt(F.col("nn"))).desc(), "cid"
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "cid")
+    both = scored.select(
+        "qid",
+        "cid",
+        F.row_number().over(w1).cast("long").alias("r1"),
+        F.row_number().over(w2).cast("long").alias("r2"),
+    )
+    joined = both.where(
+        (F.col("r1") <= RBO_D) & (F.col("r2") <= RBO_D)
+    ).select("qid", F.greatest("r1", "r2").alias("m"))
+    sw = F.element_at(
+        F.lit(_RBO_SW[1 : RBO_D + 1]).cast("array<long>"),
+        F.col("m").cast("int"),
+    )
+    per_q = joined.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_at_d"),
+        F.sum(sw).cast("long").alias("rbo_fp"),
+    )
+    queries = scored.select("qid").distinct()
+    return queries.join(per_q, "qid", "left").select(
+        "qid",
+        F.coalesce("overlap_at_d", F.lit(0)).cast("long").alias("overlap_at_d"),
+        q4(
+            F.coalesce("rbo_fp", F.lit(0)).cast("double") / F.lit(float(_RBO_Q))
+        ).alias("rbo"),
+    )
+
+
+# Kendall's W: 3 rankers x n docs; composite prefix-machine bucket key
+# rk_id * 2^44 + score requires score < 2^44 (a single document longer
+# than 16 TB of characters would violate it — structurally safe).
+_KW_C = 1 << 44
+
+
+@register(
+    "ml_kendall_w",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS s1,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS s2,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS s3
+        FROM documents
+    ), r1 AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY s1, doc_id)
+               AS BIGINT) AS r FROM feat
+    ), r2 AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY s2, doc_id)
+               AS BIGINT) AS r FROM feat
+    ), r3 AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY s3, doc_id)
+               AS BIGINT) AS r FROM feat
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM feat
+    ), rsum AS (
+        SELECT r1.doc_id, r1.r + r2.r + r3.r AS rs
+        FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
+    ), dev AS (
+        SELECT CAST(sum((2*rs - 3*(n+1)) * (2*rs - 3*(n+1))) AS BIGINT)
+               AS s4
+        FROM rsum CROSS JOIN tot
+    ), w AS (
+        SELECT n, CAST(s4 AS DOUBLE)
+               / (3.0 * (CAST(n AS DOUBLE) * n * n - n)) AS w_raw
+        FROM dev CROSS JOIN tot
+    )
+    SELECT n AS n_docs,
+           floor(w_raw * 1e4 + 0.5) / 1e4 AS w_stat,
+           floor(w_raw * (3.0 * (n - 1)) * 1e4 + 0.5) / 1e4 AS chi2
+    FROM w
+    """,
+)
+def ml_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W among three document
+    rankers (char length, token count, distinct-token count; ties
+    broken by doc_id so each ranking is a strict permutation and no
+    tie correction applies) — the agreement audit run before trusting
+    an ensemble of heuristic quality scorers: W near 1 means the
+    scorers are redundant, W near 0 means they measure different
+    things.  chi2 = m(n-1)W is Friedman's large-n significance
+    transform.
+
+    Hash-parity discipline: with t_i = 2*R_i - m(n+1) (exact BIGINT),
+    S4 = sum(t_i^2) = 4S is an exact integer on both engines
+    (|t| <= 6n, so S4 <= 36n^3 stays within int64 through n ~ 6e5
+    docs per exact audit; beyond that, run it on a stratified sample
+    - a concordance estimate does not need the full corpus).
+
+    Scale shape: all three rankings come from ONE prefix machine over
+    the 3n-row melted (ranker, score, doc) frame — composite bucket
+    key ranker*2^44+score, per-ranker rank = global_rank - ranker*n —
+    never an unpartitioned window (the oracle's row_number is
+    single-node DuckDB, where that is fine)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    feat = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("s1"),
+        F.size(words).cast("long").alias("s2"),
+        F.size(F.array_distinct(words)).cast("long").alias("s3"),
+    )
+    melted = feat.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("rk_id"), F.col("s1").alias("s")),
+                F.struct(F.lit(1).alias("rk_id"), F.col("s2").alias("s")),
+                F.struct(F.lit(2).alias("rk_id"), F.col("s3").alias("s")),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.rk_id").alias("rk_id"), F.col("e.s").alias("s"))
+    ranked = global_ordered(
+        melted,
+        [F.col("rk_id"), F.col("s"), F.col("doc_id")],
+        bucket_key=F.col("rk_id").cast("long") * _KW_C + F.col("s"),
+        rank_col="grk",
+    )
+    tot = feat.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rsum = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.col("grk") - F.col("rk_id").cast("long") * F.col("n")).alias("r"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("r").cast("long").alias("rs"))
+    )
+    dev = rsum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (2 * F.col("rs") - 3 * (F.col("n") + 1))
+            * (2 * F.col("rs") - 3 * (F.col("n") + 1))
+        )
+        .cast("long")
+        .alias("s4")
+    )
+    nd = F.col("n").cast("double")
+    return dev.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_docs"),
+        q4(
+            F.col("s4").cast("double")
+            / (F.lit(3.0) * (nd * F.col("n") * F.col("n") - F.col("n")))
+        ).alias("w_stat"),
+        q4(
+            F.col("s4").cast("double")
+            / (F.lit(3.0) * (nd * F.col("n") * F.col("n") - F.col("n")))
+            * (F.lit(3.0) * (F.col("n") - 1))
+        ).alias("chi2"),
+    )
