@@ -6018,3 +6018,715 @@ def stat_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("amp") / 100.0).alias("amplitude_dollars"),
         (F.col("amp") == F.col("m")).alias("is_dominant"),
     )
+
+
+# ------------------------- two-sample distance / effect-size (r8 wave)
+
+_ED_Q = 1_000_000_000  # fixed-point quantum for squared-ECDF-gap summands
+
+
+@register(
+    "stat_energy_distance",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents,
+               sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+               lead(v_cents) OVER (ORDER BY v_cents) AS v_next
+        FROM grid
+        WINDOW w AS (ORDER BY v_cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), num AS (
+        SELECT CAST(sum(CAST(floor(
+                   pow(CAST(cum1 AS DOUBLE)/n1 - CAST(cum2 AS DOUBLE)/n2, 2)
+                   * {_ED_Q} + 0.5) AS BIGINT) * (v_next - v_cents))
+               AS BIGINT) AS eq
+        FROM cum CROSS JOIN totals WHERE v_next IS NOT NULL
+    )
+    SELECT n1, n2,
+           {sql_q4(f"2.0 * CAST(eq AS DOUBLE) / {_ED_Q} / 100.0")}
+               AS energy_dist
+    FROM num CROSS JOIN totals
+    """,
+)
+def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D energy distance between the 'click' and 'purchase' value
+    distributions via Székely's identity E = 2 * integral (F-G)^2 dv
+    — the metric that is zero iff the distributions are equal and,
+    unlike KS, is differentiable in the mass moved (the two-sample
+    counterpart of the energy statistic behind distance correlation).
+
+    Scale shape: the same bounded-cents-grid prefix machine as
+    stat_wasserstein_1d (hash-aggregate to the grid, ONE bucketed
+    prefix pass for both cumulative counts and rank, grid-sized
+    rank+1 self-join for the gap); the squared ECDF gap is
+    fixed-point quantized (x1e9, floor) per grid point BEFORE the
+    gap-weighted sum, so the aggregate is an exact BIGINT on both
+    engines."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "cum1", "c2": "cum2"},
+        rank_col="rk",
+    )
+    nxt = cum.select((F.col("rk") - 1).alias("rk"), F.col("v_cents").alias("v_next"))
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    gap = (
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum2").cast("double") / F.col("n2")
+    )
+    num = (
+        cum.join(nxt, "rk")
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(
+                F.floor(F.pow(gap, 2) * _ED_Q + 0.5).cast("long")
+                * (F.col("v_next") - F.col("v_cents"))
+            )
+            .cast("long")
+            .alias("eq")
+        )
+    )
+    return num.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(
+            F.lit(2.0) * F.col("eq").cast("double") / F.lit(_ED_Q) / F.lit(100.0)
+        ).alias("energy_dist"),
+    )
+
+
+# Romano et al. magnitude thresholds for |delta| (public convention).
+_CLIFF_T = (0.147, 0.33, 0.474)
+
+
+@register(
+    "stat_cliffs_delta",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents, c1, c2,
+               sum(c2) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum2
+        FROM grid
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), num AS (
+        SELECT CAST(sum(c1 * (cum2 - c2)) AS BIGINT) AS n_gt,
+               CAST(sum(c1 * (n2 - cum2)) AS BIGINT) AS n_lt
+        FROM cum CROSS JOIN totals
+    ), d AS (
+        SELECT n1, n2, n_gt, n_lt,
+               CAST(n_gt - n_lt AS DOUBLE) / n1 / n2 AS delta
+        FROM num CROSS JOIN totals
+    )
+    SELECT n1, n2,
+           {sql_q4("delta")} AS delta,
+           CASE WHEN abs(delta) < {_CLIFF_T[0]} THEN 'negligible'
+                WHEN abs(delta) < {_CLIFF_T[1]} THEN 'small'
+                WHEN abs(delta) < {_CLIFF_T[2]} THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+    """,
+)
+def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the 'click' and
+    'purchase' value distributions: d = (#(x>y) - #(x<y)) / (n1*n2),
+    the robust companion a Mann-Whitney significance test needs
+    (significance says the groups differ; delta says by how much,
+    insensitive to any monotone transform), with Romano et al.'s
+    magnitude banding.
+
+    Scale shape: never the n1*n2 pair join — on the bounded cents
+    grid, #(x>y) = sum over grid of c1(v) * cum2(v-), so one hash
+    aggregate + ONE bucketed prefix pass + a broadcast totals frame;
+    both dominance counts are exact BIGINTs (bounded by n1*n2 —
+    within int64 through ~3e9 x 3e9 rows)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c2": "cum2"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    num = cum.crossJoin(F.broadcast(totals)).agg(
+        F.sum(F.col("c1") * (F.col("cum2") - F.col("c2")))
+        .cast("long")
+        .alias("n_gt"),
+        F.sum(F.col("c1") * (F.col("n2") - F.col("cum2")))
+        .cast("long")
+        .alias("n_lt"),
+    )
+    delta = (F.col("n_gt") - F.col("n_lt")).cast("double") / F.col("n1") / F.col(
+        "n2"
+    )
+    return num.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(delta).alias("delta"),
+        F.when(F.abs(delta) < _CLIFF_T[0], "negligible")
+        .when(F.abs(delta) < _CLIFF_T[1], "small")
+        .when(F.abs(delta) < _CLIFF_T[2], "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+# Ansari-Bradley scores a(i) = min(i, N+1-i); T2(k) = 2*sum_{i<=k} a(i)
+# has the closed form k(k+1) for k <= m, else m(m+1)+(2N-m-k+1)(k-m)
+# with m = (N+1)//2 — exact integers, so tie blocks never enumerate.
+_AB_Q = 1_000_000
+
+
+def _sql_ab_t2(k: str) -> str:
+    return (
+        f"(CASE WHEN {k} <= m THEN {k}*({k}+1) "
+        f"ELSE m*(m+1) + (2*nn - m - {k} + 1)*({k} - m) END)"
+    )
+
+
+@register(
+    "stat_ansari_bradley",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents, c1, c2,
+               sum(c1 + c2) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumn
+        FROM grid
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1) + sum(c2) AS BIGINT) AS nn,
+               CAST((sum(c1) + sum(c2) + 1) // 2 AS BIGINT) AS m
+        FROM grid
+    ), terms AS (
+        SELECT CAST(sum(CAST(floor(
+                   c1 * CAST({_sql_ab_t2("cumn")}
+                        - {_sql_ab_t2("(cumn - c1 - c2)")} AS DOUBLE)
+                   / (2.0 * (c1 + c2)) * {_AB_Q} + 0.5) AS BIGINT))
+               AS BIGINT) AS abq
+        FROM cum CROSS JOIN totals
+    )
+    SELECT n1, n2,
+           {sql_q4(f"CAST(abq AS DOUBLE) / {_AB_Q}")} AS ab_stat,
+           {sql_q4(f"CAST(abq AS DOUBLE) / {_AB_Q} / n1")} AS ab_mean
+    FROM terms CROSS JOIN totals
+    """,
+)
+def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion test statistic between the 'click'
+    and 'purchase' value distributions: pooled observations score
+    a(i) = min(rank, N+1-rank) (small at both extremes, large in the
+    middle), ties get the midrank-average score, and the statistic is
+    the group-1 score sum — low AB means group 1 sits in the tails
+    (larger dispersion), the rank test for scale the way
+    Mann-Whitney is the rank test for location.
+
+    Scale shape: no per-observation ranking — on the bounded cents
+    grid, a tie block occupies ranks (cum-c, cum], and 2*sum of
+    scores over any prefix has a CLOSED FORM (quadratic in k, split
+    at the midpoint), so each grid point's score mass is O(1)
+    arithmetic on the prefix counts.  The per-point group-1 share is
+    fixed-point quantized (x1e6) before the sum, making the
+    aggregate an exact BIGINT on both engines."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+        )
+        .groupBy("v_cents")
+        .agg(
+            F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+            F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+        )
+        .withColumn("c", F.col("c1") + F.col("c2"))
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c": "cumn"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum("c").cast("long").alias("nn"),
+        F.shiftright(F.sum("c").cast("long") + 1, 1).alias("m"),
+    )
+
+    def t2(k):
+        return F.when(k <= F.col("m"), k * (k + 1)).otherwise(
+            F.col("m") * (F.col("m") + 1)
+            + (2 * F.col("nn") - F.col("m") - k + 1) * (k - F.col("m"))
+        )
+
+    s2 = t2(F.col("cumn")) - t2(F.col("cumn") - F.col("c1") - F.col("c2"))
+    tq = F.floor(
+        F.col("c1")
+        * s2.cast("double")
+        / (F.lit(2.0) * (F.col("c1") + F.col("c2")))
+        * _AB_Q
+        + 0.5
+    ).cast("long")
+    terms = cum.crossJoin(F.broadcast(totals)).agg(
+        F.sum(tq).cast("long").alias("abq")
+    )
+    return terms.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(F.col("abq").cast("double") / F.lit(_AB_Q)).alias("ab_stat"),
+        q4(F.col("abq").cast("double") / F.lit(_AB_Q) / F.col("n1")).alias(
+            "ab_mean"
+        ),
+    )
+
+
+# ------------------------------ heteroscedasticity / structural break
+
+# Residual squares are quantized to whole dollars^2 (floor(e^2/1e4+.5)
+# on the cents scale) before the auxiliary-regression sums — the LM
+# statistic is DEFINED on that grid, making every aux moment an exact
+# BIGINT on both engines (a raw double sum would be order-dependent).
+_BP_CHI2_CRIT = 3.8415  # chi2(1), alpha = 0.05
+
+
+@register(
+    "stat_breusch_pagan",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS x,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*y) AS BIGINT) AS sxy
+        FROM base
+    ), fit AS (
+        SELECT n, sx, sxx,
+               (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                 / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS b,
+               sy
+        FROM sums
+    ), resid AS (
+        SELECT base.x,
+               CAST(floor(
+                   pow(base.y - (fit.sy - fit.b*fit.sx)/fit.n
+                              - fit.b*base.x, 2) / 10000.0 + 0.5)
+                   AS BIGINT) AS u
+        FROM base CROSS JOIN fit
+    ), aux AS (
+        SELECT CAST(sum(u) AS BIGINT) AS su,
+               CAST(sum(x*u) AS BIGINT) AS sxu,
+               CAST(sum(u*u) AS BIGINT) AS suu
+        FROM resid
+    ), lm AS (
+        SELECT n,
+               CAST(n AS DOUBLE)
+                 * pow(CAST(n AS DOUBLE)*sxu - CAST(sx AS DOUBLE)*su, 2)
+                 / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                 / (CAST(n AS DOUBLE)*suu - CAST(su AS DOUBLE)*su) AS lm_raw
+        FROM aux CROSS JOIN sums
+    )
+    SELECT n, {sql_q4("lm_raw")} AS lm_stat,
+           (lm_raw > {_BP_CHI2_CRIT}) AS het_significant
+    FROM lm
+    """,
+)
+def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker's studentized form) heteroscedasticity
+    test of the events value-on-hour regression: fit OLS, regress the
+    squared residuals on the predictor again, LM = n*R^2_aux ~
+    chi2(1) under homoscedasticity — the standard check before
+    trusting OLS standard errors.
+
+    Scale shape: two passes over events (moments, then residuals
+    against the broadcast 1-row fit), every aggregate an exact
+    BIGINT: the first-pass moments are integer hour x cents sums and
+    the aux moments are sums of the dollars^2-quantized residual
+    squares (u <= ~1e6 at fixture magnitudes, so sum(u^2) stays
+    within int64 through ~1e6 rows per exact audit; rescale the
+    quantum for bigger spans)."""
+    e = table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    sums = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = sums.select("n", "sx", "sxx", b.alias("b"), "sy")
+    u = F.floor(
+        F.pow(
+            F.col("y")
+            - (F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")
+            - F.col("b") * F.col("x"),
+            2,
+        )
+        / F.lit(10000.0)
+        + 0.5
+    ).cast("long")
+    resid = e.crossJoin(F.broadcast(fit)).select("x", u.alias("u"))
+    aux = resid.agg(
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("x") * F.col("u")).cast("long").alias("sxu"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+    )
+    lm_raw = (
+        F.col("n").cast("double")
+        * F.pow(
+            F.col("n").cast("double") * F.col("sxu")
+            - F.col("sx").cast("double") * F.col("su"),
+            2,
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / (
+            F.col("n").cast("double") * F.col("suu")
+            - F.col("su").cast("double") * F.col("su")
+        )
+    )
+    return (
+        aux.crossJoin(F.broadcast(sums))
+        .select("n", lm_raw.alias("lm_raw"))
+        .select(
+            "n",
+            q4(F.col("lm_raw")).alias("lm_stat"),
+            (F.col("lm_raw") > _BP_CHI2_CRIT).alias("het_significant"),
+        )
+    )
+
+
+_CHOW_SPLIT = "2024-01-15"  # mid-corpus structural-break candidate
+_CHOW_F_CRIT = 2.9957  # F(2, inf), alpha = 0.05
+
+
+@register(
+    "stat_chow_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN ts < TIMESTAMP '{_CHOW_SPLIT}' THEN 0 ELSE 1 END
+                   AS seg,
+               CAST(hour(ts) AS BIGINT) AS x,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ), m AS (
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM base GROUP BY seg
+    ), ssr AS (
+        SELECT seg, n,
+               (syy - CAST(sy AS DOUBLE)*sy/n)
+                 - pow(sxy - CAST(sx AS DOUBLE)*sy/n, 2)
+                   / (sxx - CAST(sx AS DOUBLE)*sx/n) AS ssr
+        FROM m
+    ), pooled AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sx) AS BIGINT) AS sx,
+               CAST(sum(sy) AS BIGINT) AS sy,
+               CAST(sum(sxx) AS BIGINT) AS sxx,
+               CAST(sum(sxy) AS BIGINT) AS sxy,
+               CAST(sum(syy) AS BIGINT) AS syy
+        FROM m
+    ), ssr_p AS (
+        SELECT (syy - CAST(sy AS DOUBLE)*sy/n)
+                 - pow(sxy - CAST(sx AS DOUBLE)*sy/n, 2)
+                   / (sxx - CAST(sx AS DOUBLE)*sx/n) AS ssr_pooled,
+               n
+        FROM pooled
+    ), wide AS (
+        SELECT sum(CASE WHEN seg = 0 THEN n END) AS n1,
+               sum(CASE WHEN seg = 1 THEN n END) AS n2,
+               sum(CASE WHEN seg = 0 THEN ssr END) AS ssr1,
+               sum(CASE WHEN seg = 1 THEN ssr END) AS ssr2
+        FROM ssr
+    ), f AS (
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               ((ssr_pooled - ssr1 - ssr2) / 2.0)
+                 / ((ssr1 + ssr2) / (n - 4)) AS f_raw
+        FROM wide CROSS JOIN ssr_p
+    )
+    SELECT n1, n2, {sql_q4("f_raw")} AS f_stat,
+           (f_raw > {_CHOW_F_CRIT}) AS break_significant
+    FROM f
+    """,
+)
+def stat_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test of the events value-on-hour
+    regression at a mid-corpus date: fit the line separately before
+    and after the split, F = ((SSR_pooled - SSR_1 - SSR_2)/k) /
+    ((SSR_1 + SSR_2)/(n - 2k)) with k = 2 parameters — the classic
+    test for "did the relationship change at this date?".
+
+    Scale shape: SSR needs NO residual pass — it is closed-form in
+    the per-segment integer moment sums (centered syy minus the
+    centered-sxy^2/sxx ratio), so the whole test is ONE hash
+    aggregate over events into 2 segment rows, then arithmetic on a
+    broadcast-sized frame.  All moments are exact BIGINTs at any
+    exchange order."""
+    e = table(spark, sf_dir, "events").select(
+        F.when(F.col("ts") < F.lit(_CHOW_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("seg"),
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    m = e.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+
+    def ssr_expr():
+        return (
+            F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        ) - F.pow(
+            F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n"),
+            2,
+        ) / (
+            F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+
+    ssr = m.select("seg", "n", ssr_expr().alias("ssr"))
+    pooled = m.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum("sxy").cast("long").alias("sxy"),
+        F.sum("syy").cast("long").alias("syy"),
+    )
+    ssr_p = pooled.select(ssr_expr().alias("ssr_pooled"), "n")
+    wide = ssr.agg(
+        F.sum(F.when(F.col("seg") == 0, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("seg") == 1, F.col("n"))).alias("n2"),
+        F.sum(F.when(F.col("seg") == 0, F.col("ssr"))).alias("ssr1"),
+        F.sum(F.when(F.col("seg") == 1, F.col("ssr"))).alias("ssr2"),
+    )
+    f_raw = ((F.col("ssr_pooled") - F.col("ssr1") - F.col("ssr2")) / F.lit(2.0)) / (
+        (F.col("ssr1") + F.col("ssr2")) / (F.col("n") - 4)
+    )
+    return (
+        wide.crossJoin(F.broadcast(ssr_p))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            f_raw.alias("f_raw"),
+        )
+        .select(
+            "n1",
+            "n2",
+            q4(F.col("f_raw")).alias("f_stat"),
+            (F.col("f_raw") > _CHOW_F_CRIT).alias("break_significant"),
+        )
+    )
+
+
+# ------------------------------------------- spatial autocorrelation
+
+from .joins import GRID_CELL as _MI_CELL  # noqa: E402
+from .joins import _coord as _mi_coord  # noqa: E402
+from .joins import _sql_coord as _mi_sql_coord  # noqa: E402
+
+
+@register(
+    "stat_moran_i",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(floor({_mi_sql_coord("cx", "c_custkey")} / {_MI_CELL})
+                    AS BIGINT) AS cx,
+               CAST(floor({_mi_sql_coord("cy", "c_custkey")} / {_MI_CELL})
+                    AS BIGINT) AS cy,
+               CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+        FROM customer
+    ), cells AS (
+        SELECT cx, cy, CAST(sum(bal) AS BIGINT) AS v
+        FROM pts GROUP BY cx, cy
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
+        FROM cells
+    ), z AS (
+        SELECT cx, cy,
+               CAST(floor((v - mean_v) / 100.0 + 0.5) AS BIGINT) AS zq
+        FROM cells CROSS JOIN tot
+    ), pairs AS (
+        SELECT a.zq AS za, b.zq AS zb
+        FROM z a
+        CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                           (1,-1),(1,0),(1,1)) o(dx, dy)
+        JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+               CAST(sum(za * zb) AS BIGINT) AS num
+        FROM pairs
+    ), den AS (
+        SELECT CAST(sum(zq * zq) AS BIGINT) AS den FROM z
+    )
+    SELECT n_cells, w_pairs,
+           {sql_q4("CAST(n_cells AS DOUBLE) / w_pairs"
+                   " * num / den")} AS moran_i
+    FROM agg CROSS JOIN den CROSS JOIN tot
+    """,
+)
+def stat_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of account-balance mass over
+    the md5-derived customer grid (queen/8-neighbor cell adjacency,
+    binary weights): I = (n/W) * sum_ij w_ij z_i z_j / sum_i z_i^2 —
+    positive I means balance-rich cells cluster next to each other,
+    ~ -1/(n-1) means spatial randomness.  (Coordinates are the same
+    deterministic md5 stand-in join_spatial_grid uses; the machinery
+    is the real cell-aggregated Moran pipeline.)
+
+    Scale shape: points hash-aggregate to grid cells FIRST, the
+    neighbor structure is an 8-offset equi-join on cell keys (never
+    a distance cross join), and cell deviations are quantized to
+    whole dollars before the cross-product sum, so numerator and
+    denominator are exact BIGINTs on both engines."""
+    c = table(spark, sf_dir, "customer")
+    cell = float(_MI_CELL)
+    pts = c.select(
+        F.floor(_mi_coord("cx", F.col("c_custkey")) / cell)
+        .cast("long")
+        .alias("cx"),
+        F.floor(_mi_coord("cy", F.col("c_custkey")) / cell)
+        .cast("long")
+        .alias("cy"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.sum("bal").cast("long").alias("v"))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+    )
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        F.floor((F.col("v") - F.col("mean_v")) / F.lit(100.0) + 0.5)
+        .cast("long")
+        .alias("zq"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    o = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offs
+        ])
+    )
+    a9 = z.select(
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+        F.col("zq").alias("za"),
+        o.alias("o"),
+    )
+    b = z.select(
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"), F.col("zq").alias("zb")
+    )
+    pairs = a9.join(
+        b,
+        (F.col("bcx") == F.col("acx") + F.col("o.dx"))
+        & (F.col("bcy") == F.col("acy") + F.col("o.dy")),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum(F.col("za") * F.col("zb")).cast("long").alias("num"),
+    )
+    den = z.agg(F.sum(F.col("zq") * F.col("zq")).cast("long").alias("den"))
+    return (
+        agg.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_cells",
+            "w_pairs",
+            q4(
+                F.col("n_cells").cast("double")
+                / F.col("w_pairs")
+                * F.col("num")
+                / F.col("den")
+            ).alias("moran_i"),
+        )
+    )
