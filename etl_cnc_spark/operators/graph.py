@@ -1251,3 +1251,318 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("v").cast("long").alias("rep_nation"),
     )
+
+
+# --------------------------------------------- local structure (r8 wave)
+
+_UND_SQL = f"""
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM ({_EDGES_SQL}) e WHERE u <> v
+"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH und AS MATERIALIZED ({_UND_SQL}),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tri_per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS tri_count FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS nationkey, d.degree,
+           coalesce(t.tri_count, 0) AS tri_count,
+           {sql_q4("CASE WHEN d.degree < 2 THEN 0.0 "
+                   "ELSE 2.0 * coalesce(t.tri_count, 0) "
+                   "/ (d.degree * (d.degree - 1)) END")} AS local_cc
+    FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the undirected nation
+    trade graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how close
+    each node's neighborhood is to a clique, the per-node refinement
+    of graph_triangles' global count (Watts-Strogatz, public).
+
+    Scale shape: triangles come from the same ordered two-path +
+    closing-edge join as graph_triangles (fan-out bounded by
+    forward-degree); each triangle is melted to its 3 corners and
+    hash-counted, so per-node work is proportional to triangle
+    count, never to the neighbor-pair cross product."""
+    edges = trade_edges(spark, sf_dir)
+    und = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tri_per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_count"))
+    )
+    return deg.join(tri_per_node, "node", "left").select(
+        F.col("node").alias("nationkey"),
+        "degree",
+        F.coalesce("tri_count", F.lit(0)).cast("long").alias("tri_count"),
+        q4(
+            F.when(F.col("degree") < 2, 0.0).otherwise(
+                F.lit(2.0)
+                * F.coalesce("tri_count", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            )
+        ).alias("local_cc"),
+    )
+
+
+# Truncated (k-hop) harmonic centrality: 1/d summed over nodes within
+# BFS_ROUNDS hops; 12 = LCM(1..4) makes the sum an exact integer.
+_HC_L = 12
+
+
+def _harmonic_oracle() -> str:
+    sql = f"""
+    WITH all_edges AS MATERIALIZED ({_EDGES_SQL}),
+    edges AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY w DESC, v) AS rk
+            FROM all_edges
+        ) WHERE rk <= {BFS_TOPK}
+    ),
+    d0 AS (SELECT n_nationkey AS src, n_nationkey AS v,
+                  CAST(0 AS BIGINT) AS dist
+           FROM nation)
+    """
+    prev = "d0"
+    for i in range(1, BFS_ROUNDS + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT src, v, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT src, v, dist FROM {prev}
+            UNION ALL
+            SELECT p.src, e.v, p.dist + 1 AS dist
+            FROM {prev} p JOIN edges e ON e.u = p.v
+        ) GROUP BY src, v
+    )"""
+        prev = f"d{i}"
+    return sql + f"""
+    SELECT src AS nationkey,
+           CAST(count_if(dist > 0) AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN dist > 0 THEN {_HC_L} // dist
+                         ELSE 0 END) AS DOUBLE) / {_HC_L} AS harmonic
+    FROM {prev} GROUP BY src
+    """
+
+
+@register("graph_harmonic_centrality", oracle=_harmonic_oracle())
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality of every node in the sparsified
+    (top-3-lanes) directed trade graph: H(u) = sum over nodes v
+    within 4 hops of 1/d(u, v) — the centrality that handles
+    disconnected graphs gracefully (unreachable nodes contribute 0,
+    not infinity), evaluated with the k-bounded BFS every
+    billion-node system uses (Boldi-Vigna's truncated form).
+
+    Hash-parity discipline: distances are small integers, so 1/d is
+    scaled by LCM(1..4) = 12 and the centrality numerator is an
+    exact BIGINT.
+
+    Scale shape: ONE multi-source BFS — the frontier carries (src,
+    v) pairs, each round is an equi-join on the frontier key + a
+    min-aggregate, rounds unrolled into one plan exactly like
+    graph_bfs_distance; 25 sources here, partition-parallel at any
+    source count."""
+    all_edges = trade_edges(spark, sf_dir)
+    wk = Window.partitionBy("u").orderBy(F.col("w").desc(), "v")
+    edges = (
+        all_edges.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= BFS_TOPK)
+        .select("u", "v")
+    )
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("src")
+    )
+    dist = nodes.select(
+        "src", F.col("src").alias("v"), F.lit(0).cast("long").alias("dist")
+    )
+    e2 = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    for _ in range(BFS_ROUNDS):
+        expanded = dist.join(F.broadcast(e2), F.col("v") == F.col("eu")).select(
+            "src",
+            F.col("ev").cast("long").alias("v"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("src", "v")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist.groupBy("src").agg(
+        F.count_if(F.col("dist") > 0).cast("long").alias("n_reached"),
+        (
+            F.sum(
+                F.when(
+                    F.col("dist") > 0,
+                    (F.lit(_HC_L) / F.col("dist")).cast("long"),
+                ).otherwise(0)
+            ).cast("double")
+            / F.lit(_HC_L)
+        ).alias("harmonic"),
+    ).select(F.col("src").alias("nationkey"), "n_reached", "harmonic")
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+    WITH all_edges AS MATERIALIZED ({_EDGES_SQL}),
+    sparse AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY w DESC, v) AS rk
+            FROM all_edges WHERE u <> v
+        ) WHERE rk <= {BFS_TOPK}
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM sparse
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ), edge_min AS (
+        SELECT least(da.degree, db.degree) AS val,
+               CAST(count(*) AS BIGINT) AS e_cnt
+        FROM und e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+        GROUP BY 1
+    ), node_hist AS (
+        SELECT degree AS val, CAST(count(*) AS BIGINT) AS n_cnt
+        FROM deg GROUP BY degree
+    ), grid AS (
+        SELECT coalesce(n.val, e.val) AS val,
+               coalesce(n.n_cnt, 0) AS n_cnt,
+               coalesce(e.e_cnt, 0) AS e_cnt
+        FROM node_hist n FULL JOIN edge_min e ON e.val = n.val
+    ), suff AS (
+        SELECT val,
+               sum(n_cnt) OVER w - n_cnt AS n_k,
+               sum(e_cnt) OVER w - e_cnt AS e_k
+        FROM grid
+        WINDOW w AS (ORDER BY val DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT val AS k, CAST(n_k AS BIGINT) AS n_nodes,
+           CAST(e_k AS BIGINT) AS n_edges,
+           {sql_q4("2.0 * e_k / (n_k * (n_k - 1))")} AS phi
+    FROM suff WHERE n_k >= 2
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve of the undirected trade graph:
+    phi(k) = 2*E_k / (N_k*(N_k-1)) where N_k nodes have degree > k
+    and E_k edges connect two such nodes — phi rising toward 1 at
+    high k means the hubs form a tightly-wired club (Colizza et
+    al.'s unnormalized form, public), evaluated at every degree
+    value present.  Runs on the top-3-lanes sparsified graph (the
+    dense trade graph is complete, so every degree ties and the
+    curve is empty by definition).
+
+    Scale shape: both curves are SUFFIX sums over the bounded degree
+    grid — node-degree and edge-min-degree histograms are hash
+    aggregates, full-outer-merged onto one grid, then ONE descending
+    bucketed-prefix pass yields N_k and E_k for every k (strict >
+    via inclusive-cumsum minus at-value); no per-k rescan, no
+    quadratic grid join."""
+    all_edges = trade_edges(spark, sf_dir).where(F.col("u") != F.col("v"))
+    wk = Window.partitionBy("u").orderBy(F.col("w").desc(), "v")
+    sparse = (
+        all_edges.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= BFS_TOPK)
+        .select("u", "v")
+    )
+    und = sparse.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    edge_min = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(F.least("dega", "degb").alias("val"))
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_cnt"))
+    )
+    node_hist = deg.groupBy(F.col("degree").alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cnt")
+    )
+    grid = (
+        node_hist.join(edge_min, "val", "full")
+        .select(
+            "val",
+            F.coalesce("n_cnt", F.lit(0)).cast("long").alias("n_cnt"),
+            F.coalesce("e_cnt", F.lit(0)).cast("long").alias("e_cnt"),
+        )
+    )
+    from .prefix import global_ordered
+
+    suff = global_ordered(
+        grid,
+        [F.col("val").desc()],
+        bucket_key="val",
+        bucket_desc=True,
+        sums={"n_cnt": "cum_n", "e_cnt": "cum_e"},
+        rank_col=None,
+    )
+    return (
+        suff.select(
+            F.col("val").alias("k"),
+            (F.col("cum_n") - F.col("n_cnt")).alias("n_nodes"),
+            (F.col("cum_e") - F.col("e_cnt")).alias("n_edges"),
+        )
+        .where(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            q4(
+                F.lit(2.0)
+                * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            ).alias("phi"),
+        )
+    )
