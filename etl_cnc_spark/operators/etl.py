@@ -1846,3 +1846,237 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents"),
         )
     )
+
+
+# --------------------------------------------- schema discovery (r8 wave)
+
+# Candidate inclusion dependencies to PROBE (discovery, not the
+# declared-FK audit etl_fk_integrity runs): true FKs, a cross-domain
+# true inclusion, and decoys that must come back partial.
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),  # decoy
+    ("part", "p_size", "nation", "n_nationkey"),  # decoy
+]
+
+
+def _ind_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _IND_CANDIDATES:
+        parts.append(f"""
+    SELECT '{child}.{ck}' AS child_col, '{parent}.{pk}' AS parent_col,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(count(p.pk) AS BIGINT) AS n_contained,
+           floor(CAST(count(p.pk) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+               AS containment,
+           (count(p.pk) = count(*)) AS is_inclusion
+    FROM (SELECT DISTINCT {ck} AS ck FROM {child}) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON p.pk = c.ck
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@register("etl_fk_discovery", oracle=_ind_oracle())
+def etl_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY via inclusion-dependency probing: for
+    each candidate (child column, parent column) pair, the fraction
+    of distinct child values contained in the parent — containment
+    1.0 flags an inclusion dependency (FK candidate), partial
+    containment flags a decoy (the discovery complement of
+    etl_fk_integrity, which audits keys already declared).
+
+    Scale shape: each probe is two DISTINCT hash-aggregates (child
+    and parent collapse to their key domains FIRST — the shuffle
+    carries distinct values, never fact rows) and one left join on
+    the collapsed domains; parents here are dimension-sized so the
+    join broadcasts. The report is one row per candidate pair."""
+    out = None
+    for child, ck, parent, pk in _IND_CANDIDATES:
+        c = table(spark, sf_dir, child).select(F.col(ck).alias("ck")).distinct()
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        row = (
+            c.join(p, F.col("pk") == F.col("ck"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+                F.count("pk").cast("long").alias("n_contained"),
+            )
+            .select(
+                F.lit(f"{child}.{ck}").alias("child_col"),
+                F.lit(f"{parent}.{pk}").alias("parent_col"),
+                "n_child_distinct",
+                "n_contained",
+                q4(
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_distinct")
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child_distinct")).alias(
+                    "is_inclusion"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# Candidate unique keys to probe: true PKs, decoys, and the classic
+# TPC-H composite (l_orderkey, l_linenumber) — which the probe
+# DISCOVERS to be non-unique in this fixture (linenumber is not
+# per-order sequential here), exactly the surprise this tool exists
+# to catch before someone merges on it.
+_PK_CANDIDATES = [
+    ("orders", ["o_orderkey"]),
+    ("orders", ["o_custkey"]),  # decoy
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("lineitem", ["l_orderkey"]),  # decoy
+    ("events", ["event_id"]),
+    ("customer", ["c_custkey"]),
+    ("part", ["p_brand", "p_type", "p_size"]),  # decoy
+]
+
+
+def _pk_oracle() -> str:
+    parts = []
+    for tbl, cols in _PK_CANDIDATES:
+        collist = ", ".join(cols)
+        parts.append(f"""
+    SELECT '{tbl}' AS tbl, '{",".join(cols)}' AS key_cols,
+           (SELECT CAST(count(*) AS BIGINT) FROM {tbl}) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT {collist} FROM {tbl})) AS n_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT {collist} FROM {tbl}))
+             = (SELECT CAST(count(*) AS BIGINT) FROM {tbl}) AS is_unique_key
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@register("etl_pk_discovery", oracle=_pk_oracle())
+def etl_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key / unique-key DISCOVERY: for each candidate column
+    set, row count vs distinct-combination count — equality certifies
+    a unique key (the profiling pass that finds merge keys and dedup
+    grains before anyone declares them).
+
+    Scale shape: each probe is one count plus one DISTINCT hash
+    aggregate over only the candidate columns (column pruning keeps
+    the scan narrow); a composite candidate shuffles its tuple —
+    never a sort. One row per candidate."""
+    out = None
+    for tbl, cols in _PK_CANDIDATES:
+        t = table(spark, sf_dir, tbl)
+        n = t.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        d = (
+            t.select(*cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+        )
+        row = n.crossJoin(d).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(",".join(cols)).alias("key_cols"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_unique_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_FRESH_TABLES = [
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+    ("events", "ts"),
+]
+_FRESH_EPOCH = "1970-01-01"
+
+
+def _fresh_oracle() -> str:
+    parts = []
+    for tbl, col in _FRESH_TABLES:
+        parts.append(f"""
+    SELECT '{tbl}' AS tbl,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(min(d) AS BIGINT) AS first_day,
+           CAST(max(d) AS BIGINT) AS last_day,
+           CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+           CAST(count(*) AS BIGINT) AS days_present,
+           floor(CAST(count(*) AS DOUBLE) / (max(d) - min(d) + 1)
+                 * 1e4 + 0.5) / 1e4 AS coverage,
+           floor(CAST(sum(CASE WHEN d > max_d - (max_d - min_d + 1) // 10
+                          THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)
+                 * 1e4 + 0.5) / 1e4 AS tail_share
+    FROM (
+        SELECT date_diff('day', DATE '{_FRESH_EPOCH}', CAST({col} AS DATE))
+                   AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM {tbl} GROUP BY 1
+    ) g CROSS JOIN (
+        SELECT min(date_diff('day', DATE '{_FRESH_EPOCH}',
+                   CAST({col} AS DATE))) AS min_d,
+               max(date_diff('day', DATE '{_FRESH_EPOCH}',
+                   CAST({col} AS DATE))) AS max_d
+        FROM {tbl}
+    ) s
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@register("etl_freshness_report", oracle=_fresh_oracle())
+def etl_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-freshness / arrival-coverage report per time-keyed
+    table: first/last day present (epoch days), calendar span, days
+    actually present, coverage ratio, and the share of rows landing
+    in the trailing 10% of the span — the table-health numbers an
+    ingestion SLA dashboard reads (gappy coverage = missed loads;
+    collapsed tail share = a stalled feed).
+
+    Scale shape: ONE scan per table hash-aggregates to the bounded
+    per-day grid; every derived number folds over that grid with a
+    broadcast min/max row — fact rows are touched exactly once."""
+    out = None
+    for tbl, col in _FRESH_TABLES:
+        t = table(spark, sf_dir, tbl)
+        d = F.datediff(F.col(col).cast("date"), F.lit(_FRESH_EPOCH).cast("date"))
+        grid = (
+            t.select(d.cast("long").alias("d"))
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        stats = grid.agg(
+            F.min("d").alias("min_d"), F.max("d").alias("max_d")
+        )
+        cutoff = F.col("max_d") - F.floor(
+            (F.col("max_d") - F.col("min_d") + 1) / 10
+        ).cast("long")
+        row = (
+            grid.crossJoin(F.broadcast(stats))
+            .agg(
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.min("d").cast("long").alias("first_day"),
+                F.max("d").cast("long").alias("last_day"),
+                (F.max("d") - F.min("d") + 1).cast("long").alias("span_days"),
+                F.count(F.lit(1)).cast("long").alias("days_present"),
+                F.sum(F.when(F.col("d") > cutoff, F.col("cnt")).otherwise(0))
+                .cast("long")
+                .alias("tail_rows"),
+            )
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_rows",
+                "first_day",
+                "last_day",
+                "span_days",
+                "days_present",
+                q4(
+                    F.col("days_present").cast("double") / F.col("span_days")
+                ).alias("coverage"),
+                q4(F.col("tail_rows").cast("double") / F.col("n_rows")).alias(
+                    "tail_share"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
