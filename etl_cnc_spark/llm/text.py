@@ -2734,3 +2734,243 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("r").cast("long").alias("max_pct"),
         )
     )
+
+
+# ------------------------------------------- stylometry wave (r8)
+
+
+@register(
+    "text_yule_k",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+        FROM tok GROUP BY lang, w
+    ), agg AS (
+        SELECT lang,
+               CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(f*f) AS BIGINT) AS sum_f2
+        FROM tf GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types,
+           floor(1e4 * (CAST(sum_f2 AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens) * 1e4 + 0.5) / 1e4
+               AS yule_k
+    FROM agg
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language — the classic vocabulary-
+    richness constant (K = 1e4 * (sum tf^2 - N) / N^2, invariant to
+    corpus size under Yule's urn model): high K means heavy repetition
+    of few types (boilerplate), low K means diverse language — a
+    drop-in corpus-health scalar next to hapax/Simpson/Zipf.
+
+    Scale shape: sum over types of tf^2 IS the collision mass — one
+    token explode + one (lang, term) hash aggregate + one per-lang
+    fold, all exact BIGINTs; no ranking, no window."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    agg = tf.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sum_f2"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        q4(
+            F.lit(1e4)
+            * (F.col("sum_f2").cast("double") - F.col("n_tokens"))
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+        ).alias("yule_k"),
+    )
+
+
+@register(
+    "text_mendenhall_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hist AS (
+        SELECT lang, CAST(length(w) AS BIGINT) AS wlen,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, length(w)
+    ), tot AS (
+        SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY lang
+    )
+    SELECT h.lang, h.wlen, h.cnt,
+           floor(CAST(h.cnt AS DOUBLE) / t.n * 1e4 + 0.5) / 1e4 AS share
+    FROM hist h JOIN tot t ON t.lang = h.lang
+    """,
+)
+def text_mendenhall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mendenhall's characteristic curve per language: the word-length
+    frequency spectrum (share of 1-letter, 2-letter, ... words) — the
+    oldest stylometric fingerprint, still used to spot machine-
+    generated or template text whose length spectrum diverges from
+    natural prose.
+
+    Scale shape: token explode → (lang, length) hash aggregate →
+    per-lang totals joined back (lang cardinality is bounded, so the
+    totals side broadcasts); output is grid-sized."""
+    d = table(spark, sf_dir, "documents")
+    hist = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", F.length("w").cast("long").alias("wlen"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = hist.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n"))
+    return hist.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "wlen",
+        "cnt",
+        q4(F.col("cnt").cast("double") / F.col("n")).alias("share"),
+    )
+
+
+_STTR_SEG = 20  # tokens per STTR segment (full segments only)
+
+
+@register(
+    "text_sttr_segmented",
+    oracle=f"""
+    WITH segs AS (
+        SELECT lang,
+               unnest([CAST(len(list_distinct(
+                   string_split(text, ' ')[({_STTR_SEG}*(i-1)+1):({_STTR_SEG}*i)]
+               )) AS BIGINT)
+               for i in range(1, len(string_split(text, ' ')) // {_STTR_SEG} + 1)])
+                   AS d
+        FROM documents
+    ), agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(d*d) AS BIGINT) AS sdd
+        FROM segs GROUP BY lang
+    )
+    SELECT lang, n_segments,
+           floor(CAST(sd AS DOUBLE) / n_segments / {_STTR_SEG} * 1e4 + 0.5)
+               / 1e4 AS mean_ttr,
+           floor(sqrt((CAST(sdd AS DOUBLE) / n_segments
+                       - pow(CAST(sd AS DOUBLE) / n_segments, 2)))
+                 / {_STTR_SEG} * 1e4 + 0.5) / 1e4 AS sd_ttr
+    FROM agg WHERE n_segments > 0
+    """,
+)
+def text_sttr_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized type-token ratio per language: TTR computed on
+    fixed 20-token segments (full segments only) then averaged — the
+    stylometry-standard fix for raw TTR's corpus-size dependence
+    (Kubat & Milicka's STTR, public); sd_ttr flags languages whose
+    diversity swings segment to segment (mixed boilerplate + prose).
+
+    Hash-parity discipline: each segment's distinct count is a small
+    integer, so mean and variance come from exact BIGINT sums of d
+    and d^2 — no double accumulates across rows.
+
+    Scale shape: segmentation is a per-document JVM array fold
+    (slice + array_distinct inside one higher-order transform — no
+    explode of raw tokens), then one (lang) hash aggregate over
+    segment counts."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    k = F.floor(F.size(words) / _STTR_SEG).cast("int")
+    # Spark's sequence(1, 0) DESCENDS — clamp the stop and gate on k
+    # so sub-segment documents contribute no (partial) segments.
+    seg_counts = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.size(
+                F.array_distinct(
+                    F.slice(words, (i - 1) * _STTR_SEG + 1, _STTR_SEG)
+                )
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    segs = d.select("lang", F.explode(seg_counts).alias("d"))
+    agg = segs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    mean_d = F.col("sd").cast("double") / F.col("n_segments")
+    return agg.where(F.col("n_segments") > 0).select(
+        "lang",
+        "n_segments",
+        q4(mean_d / _STTR_SEG).alias("mean_ttr"),
+        q4(
+            F.sqrt(
+                F.col("sdd").cast("double") / F.col("n_segments")
+                - F.pow(mean_d, 2)
+            )
+            / _STTR_SEG
+        ).alias("sd_ttr"),
+    )
+
+
+_OOV_K = 16  # in-vocabulary size (top-K corpus terms; 1e5 at real scale)
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w
+    ), vocab AS (
+        SELECT w FROM tf ORDER BY f DESC, w LIMIT {_OOV_K}
+    ), per_doc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count_if(v.w IS NULL) AS BIGINT) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON v.w = t.w
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           floor(CAST(n_oov AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4
+               AS oov_rate
+    FROM per_doc
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-16 terms (top-1e5 at production scale) — the tokenizer-
+    coverage audit run before training: a document whose tokens fall
+    mostly outside the frequent vocabulary will fragment into rare
+    pieces (or UNKs) and is usually noise, code, or another language.
+
+    Scale shape: the vocabulary is a bounded TakeOrdered over the
+    term-frequency aggregate and BROADCASTS into the token probe (a
+    left join against a K-row side); per-doc rates are one hash
+    aggregate.  The token explode is the only data-sized stage."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    vocab = tf.orderBy(F.col("f").desc(), "w").limit(_OOV_K).select(
+        F.col("w").alias("vw")
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), F.col("vw") == F.col("w"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_if(F.col("vw").isNull()).cast("long").alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        q4(F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )
