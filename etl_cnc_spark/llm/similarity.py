@@ -2922,3 +2922,201 @@ def ml_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(nmi).alias("nmi"),
         )
     )
+
+
+# --------------------------------------- probabilistic-eval wave (r8)
+
+# Logistic link over the shared deterministic scorer; probabilities,
+# per-row squared errors, and per-bin gap masses are fixed-point
+# quantized (x1e9) so every aggregate is an exact BIGINT.
+_PROB_Q = 1_000_000_000
+_SQL_PROB = f"1.0 / (1.0 + exp(-({_SCORE_SQL})))"
+
+
+def _prob_col() -> "F.Column":
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-_score_col()))
+
+
+@register(
+    "ml_brier_score",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y, ({_SQL_PROB}) AS p FROM embeddings
+    ), rows_q AS (
+        SELECT y,
+               CAST(floor(p * {_PROB_Q} + 0.5) AS BIGINT) AS pq,
+               CAST(floor(pow(p - (y), 2) * {_PROB_Q} + 0.5) AS BIGINT)
+                   AS bq,
+               least(9, CAST(floor(p * 10) AS BIGINT)) AS bin
+        FROM scored
+    ), bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+               CAST(sum(pq) AS BIGINT) AS spq,
+               CAST(sum(y) AS BIGINT) AS syk
+        FROM rows_q GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(nk) AS BIGINT) AS n,
+               CAST(sum(syk) AS BIGINT) AS sy,
+               CAST(sum(spq) AS BIGINT) AS sp,
+               (SELECT CAST(sum(bq) AS BIGINT) FROM rows_q) AS sbq
+        FROM bins
+    ), decomp AS (
+        SELECT CAST(sum(CAST(floor(nk * pow(
+                   CAST(spq AS DOUBLE) / {_PROB_Q} / nk
+                   - CAST(syk AS DOUBLE) / nk, 2) * {_PROB_Q} + 0.5)
+                   AS BIGINT)) AS BIGINT) AS rel_q,
+               CAST(sum(CAST(floor(nk * pow(
+                   CAST(syk AS DOUBLE) / nk
+                   - CAST(sy AS DOUBLE) / n, 2) * {_PROB_Q} + 0.5)
+                   AS BIGINT)) AS BIGINT) AS res_q
+        FROM bins CROSS JOIN tot
+    )
+    SELECT n,
+           {sql_q4(f"CAST(sbq AS DOUBLE) / {_PROB_Q} / n")} AS brier,
+           {sql_q4(f"CAST(rel_q AS DOUBLE) / {_PROB_Q} / n")} AS reliability,
+           {sql_q4(f"CAST(res_q AS DOUBLE) / {_PROB_Q} / n")} AS resolution,
+           {sql_q4("CAST(sy AS DOUBLE) / n * (1.0 - CAST(sy AS DOUBLE) / n)")}
+               AS uncertainty
+    FROM decomp CROSS JOIN tot
+    """,
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the logistic-linked scorer with Murphy's
+    three-way decomposition (brier ~= reliability - resolution +
+    uncertainty over the 10 fixed probability bins): reliability is
+    the miscalibration mass a recalibration could remove, resolution
+    is the discrimination the model actually has, uncertainty is the
+    irreducible base-rate term — the standard forecast-quality audit.
+
+    Scale shape: one pass bins the quantized probabilities (map-side
+    expression, no global quantile), one 10-row bin aggregate feeds
+    the decomposition; per-row squared errors and per-bin gap masses
+    are x1e9-quantized so every sum is an exact BIGINT."""
+    e = table(spark, sf_dir, "embeddings")
+    p = _prob_col()
+    rows_q = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(p * _PROB_Q + 0.5).cast("long").alias("pq"),
+        F.floor(F.pow(p - (F.col("label") % 2), 2) * _PROB_Q + 0.5)
+        .cast("long")
+        .alias("bq"),
+        F.least(F.lit(9), F.floor(p * 10).cast("long")).alias("bin"),
+    )
+    bins = rows_q.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("pq").cast("long").alias("spq"),
+        F.sum("y").cast("long").alias("syk"),
+    )
+    sbq = rows_q.agg(F.sum("bq").cast("long").alias("sbq"))
+    tot = bins.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("syk").cast("long").alias("sy"),
+    ).crossJoin(F.broadcast(sbq))
+    rel_term = F.floor(
+        F.col("nk")
+        * F.pow(
+            F.col("spq").cast("double") / _PROB_Q / F.col("nk")
+            - F.col("syk").cast("double") / F.col("nk"),
+            2,
+        )
+        * _PROB_Q
+        + 0.5
+    ).cast("long")
+    res_term = F.floor(
+        F.col("nk")
+        * F.pow(
+            F.col("syk").cast("double") / F.col("nk")
+            - F.col("sy").cast("double") / F.col("n"),
+            2,
+        )
+        * _PROB_Q
+        + 0.5
+    ).cast("long")
+    decomp = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(rel_term).cast("long").alias("rel_q"),
+        F.sum(res_term).cast("long").alias("res_q"),
+    )
+    ybar = F.col("sy").cast("double") / F.col("n")
+    return decomp.crossJoin(F.broadcast(tot)).select(
+        "n",
+        q4(F.col("sbq").cast("double") / _PROB_Q / F.col("n")).alias("brier"),
+        q4(F.col("rel_q").cast("double") / _PROB_Q / F.col("n")).alias(
+            "reliability"
+        ),
+        q4(F.col("res_q").cast("double") / _PROB_Q / F.col("n")).alias(
+            "resolution"
+        ),
+        q4(ybar * (F.lit(1.0) - ybar)).alias("uncertainty"),
+    )
+
+
+@register(
+    "ml_ece",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y, ({_SQL_PROB}) AS p FROM embeddings
+    ), rows_q AS (
+        SELECT y,
+               CAST(floor(p * {_PROB_Q} + 0.5) AS BIGINT) AS pq,
+               least(9, CAST(floor(p * 10) AS BIGINT)) AS bin
+        FROM scored
+    ), bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+               CAST(sum(pq) AS BIGINT) AS spq,
+               CAST(sum(y) AS BIGINT) AS syk
+        FROM rows_q GROUP BY bin
+    ), gaps AS (
+        SELECT CAST(sum(nk) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(nk * abs(
+                   CAST(syk AS DOUBLE) / nk
+                   - CAST(spq AS DOUBLE) / {_PROB_Q} / nk)
+                   * {_PROB_Q} + 0.5) AS BIGINT)) AS BIGINT) AS ece_q,
+               max(abs(CAST(syk AS DOUBLE) / nk
+                   - CAST(spq AS DOUBLE) / {_PROB_Q} / nk)) AS mce_raw
+        FROM bins
+    )
+    SELECT n,
+           {sql_q4(f"CAST(ece_q AS DOUBLE) / {_PROB_Q} / n")} AS ece,
+           {sql_q4("mce_raw")} AS mce
+    FROM gaps
+    """,
+)
+def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the logistic-linked
+    scorer over 10 fixed-width probability bins: ECE is the
+    bin-population-weighted mean |accuracy - confidence| gap, MCE the
+    worst bin — the two numbers every model card quotes for
+    calibration (Naeini et al.'s binned estimator, public).
+
+    Scale shape: identical one-pass binning to ml_brier_score
+    (map-side fences, no global quantile); per-bin gap masses are
+    x1e9-quantized before the weighted sum (exact BIGINT), and MCE is
+    a max — order-free by definition."""
+    e = table(spark, sf_dir, "embeddings")
+    p = _prob_col()
+    rows_q = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(p * _PROB_Q + 0.5).cast("long").alias("pq"),
+        F.least(F.lit(9), F.floor(p * 10).cast("long")).alias("bin"),
+    )
+    bins = rows_q.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("pq").cast("long").alias("spq"),
+        F.sum("y").cast("long").alias("syk"),
+    )
+    gap = F.abs(
+        F.col("syk").cast("double") / F.col("nk")
+        - F.col("spq").cast("double") / _PROB_Q / F.col("nk")
+    )
+    gaps = bins.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum(F.floor(F.col("nk") * gap * _PROB_Q + 0.5).cast("long"))
+        .cast("long")
+        .alias("ece_q"),
+        F.max(gap).alias("mce_raw"),
+    )
+    return gaps.select(
+        "n",
+        q4(F.col("ece_q").cast("double") / _PROB_Q / F.col("n")).alias("ece"),
+        q4(F.col("mce_raw")).alias("mce"),
+    )

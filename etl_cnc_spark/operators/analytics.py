@@ -7735,3 +7735,126 @@ def orders_basket_size_distribution(
             .alias("share_bp"),
         )
     )
+
+
+# ------------------------------------------- seasonal / entropy (r8 wave)
+
+
+@register(
+    "orders_seasonal_index",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+               CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sales_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(sales_cents) AS BIGINT) AS total_cents FROM monthly
+    )
+    SELECT mth, n_orders,
+           {sql_q4("CAST(sales_cents AS DOUBLE) / 100.0")} AS sales,
+           {sql_q4("12.0 * sales_cents / total_cents")} AS seasonal_index
+    FROM monthly CROSS JOIN tot
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index of order revenue: index(m) =
+    12 * month_share — the multiplicative seasonality table demand
+    planners deseasonalize forecasts with (index > 1 = peak month);
+    computed over the full multi-year history so each month pools
+    every year's observation.
+
+    Scale shape: one hash aggregate to the 12-row month grid (exact
+    integer cents), one broadcast grand-total row — fact rows are
+    touched once; the index is a ratio of exact BIGINTs."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("long").alias("mth")
+    ).agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("sales_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    tot = monthly.agg(F.sum("sales_cents").cast("long").alias("total_cents"))
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "mth",
+        "n_orders",
+        q4(F.col("sales_cents").cast("double") / F.lit(100.0)).alias("sales"),
+        q4(F.lit(12.0) * F.col("sales_cents") / F.col("total_cents")).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+# Per-cell plog2(1/p) contributions quantized at 1e9: the transition
+# grid is |types|^2-bounded, but exchange order is still arbitrary —
+# integer summands keep the entropy fold exact on both engines.
+_MER_Q = 1_000_000_000
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), trans AS (
+        SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, next
+    ), row_tot AS (
+        SELECT prev, CAST(sum(n) AS BIGINT) AS n_row FROM trans GROUP BY prev
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all FROM trans
+    ), cells AS (
+        SELECT CAST(floor(
+                   (CAST(t.n AS DOUBLE) / o.n_all)
+                   * (-log2(CAST(t.n AS DOUBLE) / r.n_row))
+                   * {_MER_Q} + 0.5) AS BIGINT) AS hq
+        FROM trans t
+        JOIN row_tot r ON r.prev = t.prev
+        CROSS JOIN tot o
+    )
+    SELECT n_all AS n_transitions,
+           {sql_q4(f"CAST(sum(hq) AS DOUBLE) / {_MER_Q}")} AS entropy_rate
+    FROM cells CROSS JOIN tot GROUP BY n_all
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event Markov chain:
+    H = sum over states of pi(prev) * H(next | prev), with pi the
+    empirical source distribution — bits of irreducible surprise per
+    event, the single scalar that summarizes how predictable user
+    behavior is (low rate = rigid funnels, high rate = exploratory
+    traffic); the derived-scalar companion to events_markov's full
+    transition matrix.
+
+    Scale shape: one per-user lag window + one |types|^2 hash
+    aggregate (events_markov's plan), then arithmetic on the bounded
+    grid with per-cell x1e9-quantized plog(1/p) masses so the final
+    fold is an exact BIGINT."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = trans.groupBy("prev").agg(F.sum("n").cast("long").alias("n_row"))
+    tot = trans.agg(F.sum("n").cast("long").alias("n_all"))
+    hq = F.floor(
+        (F.col("n").cast("double") / F.col("n_all"))
+        * (-F.log2(F.col("n").cast("double") / F.col("n_row")))
+        * _MER_Q
+        + 0.5
+    ).cast("long")
+    cells = (
+        trans.join(F.broadcast(row_tot), "prev")
+        .crossJoin(F.broadcast(tot))
+        .select(hq.alias("hq"), "n_all")
+    )
+    return cells.groupBy("n_all").agg(
+        q4(F.sum("hq").cast("double") / _MER_Q).alias("entropy_rate")
+    ).select(F.col("n_all").alias("n_transitions"), "entropy_rate")
