@@ -3120,3 +3120,159 @@ def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("ece_q").cast("double") / _PROB_Q / F.col("n")).alias("ece"),
         q4(F.col("mce_raw")).alias("mce"),
     )
+
+
+# ----------------------------------------- IVF tuning curve (r8 wave)
+
+_SWEEP_NPROBES = (1, 2, 3, 4)
+
+
+def _ivf_recall_sql(nprobe: int) -> str:
+    """recall@TOP_K of the IVF tier at a given nprobe vs exact —
+    parameterized mirror of the registered sim_ann_ivf oracle."""
+    return f"""
+        SELECT CAST({nprobe} AS BIGINT) AS nprobe,
+               CAST(count(DISTINCT e.qid) AS BIGINT) AS n_queries,
+               CAST(count(v.cid) AS BIGINT) AS n_hits,
+               {sql_q4("CAST(count(v.cid) AS DOUBLE) / count(*)")}
+                   AS recall_at_{TOP_K}
+        FROM exact_tk e
+        LEFT JOIN (
+            WITH ranked AS (
+                SELECT qid, cid,
+                       CAST(row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid) AS BIGINT) AS rn
+                FROM (
+                    SELECT a.vec_id AS qid, b.vec_id AS cid,
+                           {_SQL_DOT} /
+                           sqrt({_SQL_NORM2.format(col="a.embedding")}
+                                * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+                    FROM (SELECT vec_id, cent_id AS cell FROM ranked_cells
+                          WHERE cell_rank <= {nprobe}
+                            AND vec_id < {N_QUERIES}) p
+                    JOIN assign ca ON ca.cell = p.cell
+                    JOIN embeddings a ON a.vec_id = p.vec_id
+                    JOIN embeddings b ON b.vec_id = ca.vec_id
+                    WHERE a.vec_id <> b.vec_id
+                )
+            ) SELECT qid, cid FROM ranked WHERE rn <= {TOP_K}
+        ) v ON v.qid = e.qid AND v.cid = e.cid
+    """
+
+
+def _nprobe_sweep_oracle() -> str:
+    body = " UNION ALL ".join(_ivf_recall_sql(p) for p in _SWEEP_NPROBES)
+    return f"""
+    WITH cent AS MATERIALIZED (
+        SELECT vec_id AS cent_id, embedding AS ce,
+               {_SQL_NORM2.format(col="embedding")} AS cn2
+        FROM embeddings WHERE vec_id % {_SQL_CENT_STEP} = 0
+    ), vec AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM2.format(col="embedding")} AS n2
+        FROM embeddings
+    ), ranked_cells AS MATERIALIZED (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   v.n2 + c.cn2 - 2*(list_aggregate(
+                       [CAST(v.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+                        for i in range(1, 65)], 'sum')),
+                   c.cent_id) AS cell_rank
+        FROM vec v CROSS JOIN cent c
+    ), assign AS MATERIALIZED (
+        SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE cell_rank = 1
+    ), exact_tk AS MATERIALIZED (
+        SELECT qid, cid FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS cid,
+                   CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       {_SQL_DOT} /
+                       sqrt({_SQL_NORM2.format(col="a.embedding")}
+                            * {_SQL_NORM2.format(col="b.embedding")}) DESC,
+                       b.vec_id) AS BIGINT) AS rn
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    )
+    {body}
+    """
+
+
+@register(
+    "sim_ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    notes="IVF recall-vs-nprobe tuning curve, fully SQL-oracled "
+    "(deterministic stride centroids).",
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@5 vs the exact tier at nprobe =
+    1..4 — the cost/recall dial every ANN deployment sweeps before
+    picking its operating point (more probed cells = more candidates
+    scanned = higher recall), emitted as verifiable data like
+    sim_recall_report.
+
+    Scale shape: centroid assignment and the exact baseline are
+    computed ONCE and shared across the four operating points (the
+    expensive stages do not multiply with sweep size); each nprobe
+    adds only its bounded probe join and a 50x5-pair recall join."""
+    e = table(spark, sf_dir, "embeddings")
+    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
+    cent = capped_centroids(e)
+    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
+    ranked_cells = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .select("vec_id", "cent_id", "cell_rank")
+        .localCheckpoint(eager=False)
+    )
+    assign = ranked_cells.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid2"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid2"),
+        F.col("embedding").alias("ce2"),
+        _norm2(F.col("embedding")).alias("cn2b"),
+    )
+    exact = (
+        _REG["sim_topk_exact"]
+        .build(spark, sf_dir)
+        .select("qid", "cid")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for p in _SWEEP_NPROBES:
+        probes = ranked_cells.where(
+            (F.col("cell_rank") <= p) & (F.col("vec_id") < N_QUERIES)
+        ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+        cand = (
+            F.broadcast(probes)
+            .join(assign, "cell")
+            .where(F.col("qid") != F.col("cid"))
+            .join(q, F.col("qid") == F.col("qid2"))
+            .join(c, F.col("cid") == F.col("cid2"))
+        )
+        cos = _dot64(F.col("qe"), F.col("ce2")) / F.sqrt(
+            F.col("qn2") * F.col("cn2b")
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+        topk = (
+            cand.select("qid", "cid", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= TOP_K)
+            .select("qid", "cid", F.lit(1).alias("hit"))
+        )
+        row = exact.join(topk, ["qid", "cid"], "left").agg(
+            F.lit(p).cast("long").alias("nprobe"),
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count("hit").cast("long").alias("n_hits"),
+            q4(F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                f"recall_at_{TOP_K}"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2080,3 +2080,88 @@ def etl_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# Categorical columns to entropy-profile (bounded value domains).
+_ENT_COLUMNS = [
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("lineitem", "l_returnflag"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+]
+_ENT_Q = 1_000_000_000
+
+
+def _ent_oracle() -> str:
+    parts = []
+    for tbl, col in _ENT_COLUMNS:
+        parts.append(f"""
+    SELECT '{tbl}.{col}' AS tbl_col,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           floor(CAST(sum(CAST(floor(
+               (CAST(cnt AS DOUBLE) / tot)
+               * (-log2(CAST(cnt AS DOUBLE) / tot))
+               * {_ENT_Q} + 0.5) AS BIGINT)) AS DOUBLE)
+               / {_ENT_Q} * 1e4 + 0.5) / 1e4 AS entropy_bits,
+           floor(CAST(max(cnt) AS DOUBLE) / max(tot) * 1e4 + 0.5) / 1e4
+               AS top_share
+    FROM (
+        SELECT {col} AS v, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS tot
+        FROM {tbl} GROUP BY {col}
+    )
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@register("etl_column_entropy", oracle=_ent_oracle())
+def etl_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of the categorical columns: bits of
+    information per column, distinct count, and the top value's share
+    — the balance numbers a data catalog shows next to NDV (entropy
+    near log2(NDV) = balanced; entropy near 0 with high top_share =
+    a near-constant column that should be a filter, not a feature).
+
+    Scale shape: one hash aggregate per column to its bounded value
+    grid; p*log(1/p) masses are x1e9-quantized per value before the
+    fold, so every sum is an exact BIGINT; top_share is a MAX —
+    order-free.  (A single-pass multi-column variant would scan once
+    per table; profiled columns are listed explicitly to keep
+    pushed-down scans one column wide.)"""
+    out = None
+    for tbl, col in _ENT_COLUMNS:
+        t = table(spark, sf_dir, tbl)
+        grid = t.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        tot = grid.agg(F.sum("cnt").cast("long").alias("tot"))
+        hq = F.floor(
+            (F.col("cnt").cast("double") / F.col("tot"))
+            * (-F.log2(F.col("cnt").cast("double") / F.col("tot")))
+            * _ENT_Q
+            + 0.5
+        ).cast("long")
+        row = (
+            grid.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum("cnt").cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(hq).cast("long").alias("ent_q"),
+                F.max("cnt").cast("long").alias("top_cnt"),
+                F.max("tot").cast("long").alias("tot"),
+            )
+            .select(
+                F.lit(f"{tbl}.{col}").alias("tbl_col"),
+                "n",
+                "n_distinct",
+                q4(F.col("ent_q").cast("double") / _ENT_Q).alias("entropy_bits"),
+                q4(F.col("top_cnt").cast("double") / F.col("tot")).alias(
+                    "top_share"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -6730,3 +6730,130 @@ def stat_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("moran_i"),
         )
     )
+
+
+# ------------------------------- normality vs fitted normal (r8 wave)
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation (|eps| <
+# 1.5e-7, public): evaluated from the SAME expression text on both
+# engines, so each grid point's Phi is bit-identical and the KS max
+# (order-free) hashes exactly.
+_LF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_LF_P = 0.3275911
+_SQRT2 = "1.4142135623730951"
+
+
+def _sql_phi(z: str) -> str:
+    ax = f"abs(({z}) / {_SQRT2})"
+    t = f"(1.0 / (1.0 + {_LF_P} * {ax}))"
+    poly = (
+        f"({t} * ({_LF_A[0]} + {t} * ({_LF_A[1]} + {t} * ({_LF_A[2]}"
+        f" + {t} * ({_LF_A[3]} + {t} * {_LF_A[4]})))))"
+    )
+    erf_ax = f"(1.0 - {poly} * exp(-{ax} * {ax}))"
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN 0.5 * (1.0 + {erf_ax})"
+        f" ELSE 0.5 * (1.0 - {erf_ax}) END)"
+    )
+
+
+def _phi_col(z):
+    ax = F.abs(z / float(_SQRT2))
+    t = F.lit(1.0) / (F.lit(1.0) + _LF_P * ax)
+    poly = t * (
+        _LF_A[0]
+        + t * (_LF_A[1] + t * (_LF_A[2] + t * (_LF_A[3] + t * _LF_A[4])))
+    )
+    erf_ax = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.when(z >= 0, 0.5 * (F.lit(1.0) + erf_ax)).otherwise(
+        0.5 * (F.lit(1.0) - erf_ax)
+    )
+
+
+@register(
+    "stat_lilliefors",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s1,
+               CAST(sum(q*q) AS BIGINT) AS s2
+        FROM base
+    ), fit AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt((s2 - CAST(s1 AS DOUBLE)*s1/n) / (n - 1)) AS sigma
+        FROM sums
+    ), grid AS (
+        SELECT q, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY q
+    ), cum AS (
+        SELECT q, cnt,
+               CAST(sum(cnt) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM grid
+    ), gaps AS (
+        SELECT max(greatest(
+                   abs(CAST(cum AS DOUBLE)/n
+                       - {_sql_phi("(q - mu) / sigma")}),
+                   abs(CAST(cum - cnt AS DOUBLE)/n
+                       - {_sql_phi("(q - mu) / sigma")}))) AS d_raw
+        FROM cum CROSS JOIN fit
+    )
+    SELECT n, {sql_q4("mu")} AS mean_q, {sql_q4("sigma")} AS sd_q,
+           {sql_q4("d_raw")} AS d_stat,
+           (d_raw > 0.886 / sqrt(n)) AS rejected
+    FROM gaps CROSS JOIN fit
+    """,
+)
+def stat_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors normality test of lineitem quantity: KS distance
+    between the ECDF and a Normal fitted from the SAME sample (which
+    is what makes it Lilliefors rather than plain KS — the fitted
+    parameters shrink the distance, so KS critical values would be
+    anti-conservative; 0.886/sqrt(n) is the 5% large-n Lilliefors
+    fence).
+
+    Scale shape: moments are exact integer sums; the ECDF lives on
+    the bounded value grid via ONE bucketed prefix pass; Phi comes
+    from the A&S 7.1.26 rational erf approximation evaluated from
+    identical expression text on both engines, and the statistic is
+    a MAX over grid points — order-free, no quantization needed."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q")
+    )
+    sums = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    fit = sums.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    grid = li.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = global_ordered(
+        grid,
+        [F.col("q")],
+        bucket_key="q",
+        sums={"cnt": "cum"},
+        rank_col=None,
+    )
+    phi = _phi_col((F.col("q") - F.col("mu")) / F.col("sigma"))
+    gap = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - phi),
+        F.abs((F.col("cum") - F.col("cnt")).cast("double") / F.col("n") - phi),
+    )
+    gaps = cum.crossJoin(F.broadcast(fit)).agg(F.max(gap).alias("d_raw"))
+    return gaps.crossJoin(F.broadcast(fit)).select(
+        "n",
+        q4(F.col("mu")).alias("mean_q"),
+        q4(F.col("sigma")).alias("sd_q"),
+        q4(F.col("d_raw")).alias("d_stat"),
+        (F.col("d_raw") > 0.886 / F.sqrt(F.col("n"))).alias("rejected"),
+    )
