@@ -2315,6 +2315,10 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_wasserstein_1d",
+    bench=True,  # the ECDF-grid prefix-machine representative: the
+    # last plan family with no frozen number (VERDICT r7 item 8) —
+    # hash-agg to the bounded cents grid, ONE bucketed prefix pass,
+    # grid-sized rank+1 self-join, broadcast totals.
     oracle=f"""
     WITH ev AS (
         SELECT event_type,

@@ -44,6 +44,9 @@ BASELINE = {
     # round-7 freeze (BASELINE.md "Round-7 re-freeze"): Arrow-batched
     # multimodal decode/segmentation representative
     "multimodal_energy_segments": 0.774,
+    # round-8 freeze (BASELINE.md "Round-8 re-freeze"): the ECDF-grid
+    # prefix-machine representative
+    "stat_wasserstein_1d": 1.009,
 }
 BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 14.669
 GATE = 2.0
