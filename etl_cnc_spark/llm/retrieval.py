@@ -399,3 +399,133 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("relevance")).alias("relevance"),
         q4(F.col("mmr_score")).alias("mmr_score"),
     )
+
+
+# --------------------------------------- contrastive mining (r8 wave)
+
+TRIPLET_NQ = 50  # anchor block (matches sim_topk_exact's query set)
+
+_TM_DOT = (
+    "list_aggregate([CAST(a.embedding[i] AS DOUBLE)"
+    " * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)], 'sum')"
+)
+
+
+@register(
+    "embed_triplet_mining",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS anchor, b.vec_id AS cid,
+               (a.label = b.label) AS same,
+               {_TM_DOT} /
+               sqrt({_SQL_NORM2.format(col="a.embedding")}
+                    * {_SQL_NORM2.format(col="b.embedding")}) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {TRIPLET_NQ}
+    ), pos AS (
+        SELECT anchor, cid AS pos_id, cos AS pos_cos FROM (
+            SELECT anchor, cid, cos,
+                   row_number() OVER (PARTITION BY anchor
+                        ORDER BY cos DESC, cid) AS rn
+            FROM scored WHERE same
+        ) WHERE rn = 1
+    ), sneg AS (
+        SELECT anchor, cid AS sh_id, cos AS sh_cos FROM (
+            SELECT s.anchor, s.cid, s.cos,
+                   row_number() OVER (PARTITION BY s.anchor
+                        ORDER BY s.cos DESC, s.cid) AS rn
+            FROM scored s JOIN pos p ON p.anchor = s.anchor
+            WHERE NOT s.same AND s.cos < p.pos_cos
+        ) WHERE rn = 1
+    ), hard AS (
+        SELECT anchor, cid AS h_id, cos AS h_cos FROM (
+            SELECT anchor, cid, cos,
+                   row_number() OVER (PARTITION BY anchor
+                        ORDER BY cos DESC, cid) AS rn
+            FROM scored WHERE NOT same
+        ) WHERE rn = 1
+    )
+    SELECT p.anchor, p.pos_id,
+           {sql_q4("p.pos_cos")} AS pos_cos,
+           coalesce(s.sh_id, h.h_id) AS neg_id,
+           {sql_q4("coalesce(s.sh_cos, h.h_cos)")} AS neg_cos,
+           {sql_q4("p.pos_cos - coalesce(s.sh_cos, h.h_cos)")} AS margin,
+           (s.sh_id IS NOT NULL) AS semi_hard
+    FROM pos p
+    LEFT JOIN sneg s ON s.anchor = p.anchor
+    LEFT JOIN hard h ON h.anchor = p.anchor
+    """,
+)
+def embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard triplet mining over the embedding corpus (FaceNet's
+    training-data selection rule, public): per anchor, the positive
+    is the nearest same-label vector; the negative is the CLOSEST
+    different-label vector still farther than the positive (semi-hard
+    — informative but not label-noise), falling back to the hardest
+    negative when nothing sits inside the margin band — the exact
+    candidate-generation pass a contrastive-training pipeline runs
+    over its corpus every epoch.
+
+    Scale shape: the anchor block broadcasts against the corpus (at
+    production scale: anchors are mini-batch-sized, or candidates
+    come from the IVF/LSH bucket tiers instead of the full corpus);
+    positive/semi-hard/hard selections are per-anchor bounded top-1
+    windows over the same scored frame — one shuffle on anchor."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") < TRIPLET_NQ).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("ae"),
+        _norm2(F.col("embedding")).alias("an2"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("blabel"),
+        F.col("embedding").alias("be"),
+        _norm2(F.col("embedding")).alias("bn2"),
+    )
+    cos = _dot64(F.col("ae"), F.col("be")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("anchor") != F.col("cid"))
+        .select(
+            "anchor",
+            "cid",
+            (F.col("alabel") == F.col("blabel")).alias("same"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.col("cos").desc(), "cid")
+    pos = (
+        scored.where(F.col("same"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor", F.col("cid").alias("pos_id"), F.col("cos").alias("pos_cos"))
+    )
+    semi = (
+        scored.where(~F.col("same"))
+        .join(pos.select("anchor", "pos_cos"), "anchor")
+        .where(F.col("cos") < F.col("pos_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor", F.col("cid").alias("sh_id"), F.col("cos").alias("sh_cos"))
+    )
+    hard = (
+        scored.where(~F.col("same"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor", F.col("cid").alias("h_id"), F.col("cos").alias("h_cos"))
+    )
+    return (
+        pos.join(semi, "anchor", "left")
+        .join(hard, "anchor", "left")
+        .select(
+            "anchor",
+            "pos_id",
+            q4(F.col("pos_cos")).alias("pos_cos"),
+            F.coalesce("sh_id", "h_id").alias("neg_id"),
+            q4(F.coalesce("sh_cos", "h_cos")).alias("neg_cos"),
+            q4(F.col("pos_cos") - F.coalesce("sh_cos", "h_cos")).alias("margin"),
+            F.col("sh_id").isNotNull().alias("semi_hard"),
+        )
+    )

@@ -6861,3 +6861,225 @@ def stat_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("d_raw")).alias("d_stat"),
         (F.col("d_raw") > 0.886 / F.sqrt(F.col("n"))).alias("rejected"),
     )
+
+
+# ---------------------------- unit-root / stationarity pair (r8 wave)
+
+# Both tests run on the bounded hourly event-count series (calendar
+# grid: ~720 points per fixture month, bounded at any data scale by
+# span/granularity, never by row count).
+_KPSS_L = 6  # Bartlett truncation lag
+_KPSS_CRIT = 0.463  # 5% level-stationarity critical value
+_ADF_CRIT = -2.86  # 5% Dickey-Fuller (constant, no trend)
+
+
+@register(
+    "stat_kpss",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT y,
+               CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t,
+               CAST(sum(y) OVER (ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_y
+        FROM hourly
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        FROM hourly
+    ), s2 AS (
+        SELECT CAST(sum((n*cum_y - t*sy) * (n*cum_y - t*sy)) AS BIGINT)
+               AS ss_q
+        FROM ranked CROSS JOIN tot
+    ), gammas AS (
+        SELECT l.l AS l,
+               CAST(sum((n*a.y - sy) * (n*b.y - sy)) AS BIGINT) AS g_q
+        FROM ranked a
+        CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) l(l)
+        JOIN ranked b ON b.t = a.t - l.l
+        CROSS JOIN tot
+        GROUP BY l.l
+    ), lrv AS (
+        SELECT CAST(sum(CASE WHEN l = 0 THEN 1.0
+                        ELSE 2.0 * (1.0 - CAST(l AS DOUBLE)/{_KPSS_L + 1})
+                        END * g_q) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n) AS s2_lr
+        FROM gammas CROSS JOIN tot GROUP BY n
+    ), eta AS (
+        SELECT n,
+               (CAST(ss_q AS DOUBLE) / (CAST(n AS DOUBLE)*n)
+                / (CAST(n AS DOUBLE)*n)) / s2_lr AS eta_raw
+        FROM s2 CROSS JOIN lrv CROSS JOIN tot
+    )
+    SELECT n AS n_hours, {sql_q4("eta_raw")} AS kpss_eta,
+           (eta_raw > {_KPSS_CRIT}) AS nonstationary
+    FROM eta
+    """,
+)
+def stat_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test of the hourly event-count series:
+    eta = n^-2 * sum of squared partial sums of the demeaned series,
+    over the Bartlett long-run variance (truncation lag 6) — the
+    stationarity test whose NULL is 'stationary', the mirror image of
+    Dickey-Fuller (run both: KPSS rejects AND ADF fails = unit root).
+
+    Hash-parity discipline: demeaned values and partial sums are kept
+    as exact INTEGER numerators scaled by n (n*y_t - sum_y and
+    n*cum_y_t - t*sum_y), so every aggregate — squared partial sums
+    and all seven autocovariances — is an exact BIGINT; doubles enter
+    only in the final ratio.
+
+    Scale shape: events hash-aggregate to the calendar-bounded hourly
+    grid; ONE prefix pass gives rank and cumulative sum; the lag
+    autocovariances are a 7-offset equi-join on the grid rank — all
+    grid-sized."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        hourly,
+        [F.col("h")],
+        bucket_key=F.unix_micros(F.col("h")),
+        sums={"y": "cum_y"},
+        rank_col="t",
+    ).select("y", "t", "cum_y")
+    tot = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    sp = (F.col("n") * F.col("cum_y") - F.col("t") * F.col("sy"))
+    s2 = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.sum(sp * sp).cast("long").alias("ss_q")
+    )
+    lags = F.explode(F.array(*[F.lit(i) for i in range(_KPSS_L + 1)])).alias("l")
+    a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ta")).select(
+        "ya", "ta", lags
+    )
+    b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
+    gammas = (
+        a.join(b, F.col("tb") == F.col("ta") - F.col("l"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("ya") - F.col("sy"))
+                * (F.col("n") * F.col("yb") - F.col("sy"))
+            )
+            .cast("long")
+            .alias("g_q")
+        )
+    )
+    w_l = F.when(F.col("l") == 0, F.lit(1.0)).otherwise(
+        F.lit(2.0) * (F.lit(1.0) - F.col("l").cast("double") / (_KPSS_L + 1))
+    )
+    lrv = gammas.crossJoin(F.broadcast(tot)).groupBy("n").agg(
+        (
+            F.sum(w_l * F.col("g_q")).cast("double")
+            / (F.col("n").cast("double") * F.col("n") * F.col("n"))
+        ).alias("s2_lr")
+    )
+    nd = F.col("n").cast("double")
+    eta_raw = (
+        F.col("ss_q").cast("double") / (nd * F.col("n")) / (nd * F.col("n"))
+    ) / F.col("s2_lr")
+    return (
+        s2.crossJoin(F.broadcast(lrv))
+        .select(F.col("n").alias("n_hours"), eta_raw.alias("eta_raw"))
+        .select(
+            "n_hours",
+            q4(F.col("eta_raw")).alias("kpss_eta"),
+            (F.col("eta_raw") > _KPSS_CRIT).alias("nonstationary"),
+        )
+    )
+
+
+@register(
+    "stat_adf",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t
+        FROM hourly
+    ), pairs AS (
+        SELECT a.y - b.y AS dy, b.y AS x
+        FROM ranked a JOIN ranked b ON b.t = a.t - 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(x*dy) AS BIGINT) AS sxy,
+               CAST(sum(dy*dy) AS BIGINT) AS syy
+        FROM pairs
+    ), fit AS (
+        SELECT n,
+               (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                 / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS beta,
+               (sxx - CAST(sx AS DOUBLE)*sx/n) AS sxx_c,
+               (syy - CAST(sy AS DOUBLE)*sy/n)
+                 - pow(sxy - CAST(sx AS DOUBLE)*sy/n, 2)
+                   / (sxx - CAST(sx AS DOUBLE)*sx/n) AS ssr
+        FROM m
+    )
+    SELECT n AS n_obs, {sql_q4("beta")} AS beta,
+           {sql_q4("beta / sqrt(ssr / (n - 2) / sxx_c)")} AS t_stat,
+           (beta / sqrt(ssr / (n - 2) / sxx_c) < {_ADF_CRIT}) AS stationary
+    FROM fit
+    """,
+)
+def stat_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (constant, no trend, lag 0) of the
+    hourly event-count series: regress the first difference on the
+    lagged level; a strongly negative t on the level coefficient
+    rejects the unit root (series mean-reverts) — KPSS's complement,
+    with the hypotheses reversed.
+
+    Scale shape: the same calendar-bounded hourly grid; the lag pair
+    is a rank+1 self-join on the grid; all regression moments are
+    exact BIGINTs and the t-statistic is closed-form in them (SSR via
+    the centered-moment identity — no residual pass)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        hourly,
+        [F.col("h")],
+        bucket_key=F.unix_micros(F.col("h")),
+        rank_col="t",
+    ).select("y", "t")
+    a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ta"))
+    b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
+    pairs = a.join(b, F.col("tb") == F.col("ta") - 1).select(
+        (F.col("ya") - F.col("yb")).alias("dy"), F.col("yb").alias("x")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    sxx_c = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    ssr = (
+        F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    ) - F.pow(
+        F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n"), 2
+    ) / sxx_c
+    t_stat = beta / F.sqrt(ssr / (F.col("n") - 2) / sxx_c)
+    return m.select(
+        F.col("n").alias("n_obs"),
+        q4(beta).alias("beta"),
+        q4(t_stat).alias("t_stat"),
+        (t_stat < _ADF_CRIT).alias("stationary"),
+    )
