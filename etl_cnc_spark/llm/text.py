@@ -2974,3 +2974,166 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         q4(F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     )
+
+
+# --------------------------------------- curation waterfall (r8 wave)
+
+# Gate rules in application order; a document is attributed to the
+# FIRST rule it fails (the attrition-waterfall convention, so the
+# per-rule "failed here" counts sum to total rejects).
+_QG_MIN_TOKENS = 15
+_QG_MIN_TTR = 0.35
+_QG_MAX_DOM = 0.20
+_QG_RULES = ("too_short", "low_diversity", "repetitive", "exact_dup", "non_en")
+
+
+@register(
+    "pipeline_quality_gate_report",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_dis,
+               (SELECT max(cnt) FROM (
+                   SELECT count(*) AS cnt
+                   FROM unnest(string_split(text, ' ')) AS t(w) GROUP BY w
+               )) AS top_tf,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                   AS dup_rank
+        FROM documents
+    ), flagged AS (
+        SELECT doc_id,
+               (n_tok < {_QG_MIN_TOKENS}) AS f1,
+               (CAST(n_dis AS DOUBLE) / n_tok < {_QG_MIN_TTR}) AS f2,
+               (CAST(top_tf AS DOUBLE) / n_tok > {_QG_MAX_DOM}) AS f3,
+               (dup_rank > 1) AS f4,
+               (lang <> 'en') AS f5
+        FROM feat
+    ), attributed AS (
+        SELECT CASE WHEN f1 THEN 1 WHEN f2 THEN 2 WHEN f3 THEN 3
+                    WHEN f4 THEN 4 WHEN f5 THEN 5 ELSE 0 END AS first_fail,
+               f1, f2, f3, f4, f5
+        FROM flagged
+    ), per_rule AS (
+        SELECT r.ord, r.rule,
+               CAST(sum(CASE r.ord WHEN 1 THEN CAST(f1 AS INT)
+                        WHEN 2 THEN CAST(f2 AS INT)
+                        WHEN 3 THEN CAST(f3 AS INT)
+                        WHEN 4 THEN CAST(f4 AS INT)
+                        ELSE CAST(f5 AS INT) END) AS BIGINT)
+                   AS n_failing_total,
+               CAST(count_if(first_fail = r.ord) AS BIGINT) AS n_failed_here
+        FROM attributed
+        CROSS JOIN (VALUES (1, 'too_short'), (2, 'low_diversity'),
+                           (3, 'repetitive'), (4, 'exact_dup'),
+                           (5, 'non_en')) r(ord, rule)
+        GROUP BY r.ord, r.rule
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM attributed
+    )
+    SELECT a.ord AS rule_order, a.rule, a.n_failing_total, a.n_failed_here,
+           CAST(t.n_docs - sum(b.n_failed_here) AS BIGINT)
+               AS survivors_after
+    FROM per_rule a
+    JOIN per_rule b ON b.ord <= a.ord
+    CROSS JOIN tot t
+    GROUP BY a.ord, a.rule, a.n_failing_total, a.n_failed_here, t.n_docs
+    """,
+)
+def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-gate attrition waterfall over the document corpus:
+    five quality rules (length floor, type-token-ratio floor,
+    top-token dominance, exact-duplicate keep-first, language filter)
+    applied in a fixed order, each document attributed to the FIRST
+    rule it fails — the 'why did my corpus shrink' report every
+    pre-training data pipeline publishes next to its dataset card
+    (n_failing_total = marginal rule hit rate; n_failed_here sums to
+    total rejects; survivors_after tracks the funnel).
+
+    Scale shape: ONE pass computes every per-doc feature (token
+    folds are JVM higher-order functions; the duplicate rank is a
+    text-partitioned window — hash-partitioned, no global order);
+    attribution is a CASE; the waterfall cumulative is a bounded
+    5x5 rule-grid self-join, not a window."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    top_tf = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)).cast("long"),
+        )
+    )
+    wd = Window.partitionBy("text").orderBy("doc_id")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_dis"),
+        top_tf.alias("top_tf"),
+        F.row_number().over(wd).alias("dup_rank"),
+    )
+    flagged = feat.select(
+        (F.col("n_tok") < _QG_MIN_TOKENS).alias("f1"),
+        (F.col("n_dis").cast("double") / F.col("n_tok") < _QG_MIN_TTR).alias("f2"),
+        (F.col("top_tf").cast("double") / F.col("n_tok") > _QG_MAX_DOM).alias("f3"),
+        (F.col("dup_rank") > 1).alias("f4"),
+        (F.col("lang") != "en").alias("f5"),
+    )
+    attributed = flagged.withColumn(
+        "first_fail",
+        F.when(F.col("f1"), 1)
+        .when(F.col("f2"), 2)
+        .when(F.col("f3"), 3)
+        .when(F.col("f4"), 4)
+        .when(F.col("f5"), 5)
+        .otherwise(0),
+    )
+    rules = F.explode(
+        F.array(*[
+            F.struct(F.lit(i + 1).alias("ord"), F.lit(r).alias("rule"))
+            for i, r in enumerate(_QG_RULES)
+        ])
+    )
+    per_rule = (
+        attributed.select("*", rules.alias("r"))
+        .groupBy(F.col("r.ord").alias("ord"), F.col("r.rule").alias("rule"))
+        .agg(
+            F.sum(
+                F.when(F.col("r.ord") == 1, F.col("f1").cast("int"))
+                .when(F.col("r.ord") == 2, F.col("f2").cast("int"))
+                .when(F.col("r.ord") == 3, F.col("f3").cast("int"))
+                .when(F.col("r.ord") == 4, F.col("f4").cast("int"))
+                .otherwise(F.col("f5").cast("int"))
+            )
+            .cast("long")
+            .alias("n_failing_total"),
+            F.count_if(F.col("first_fail") == F.col("r.ord"))
+            .cast("long")
+            .alias("n_failed_here"),
+        )
+    )
+    tot = attributed.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    a = per_rule.select(
+        F.col("ord").alias("a_ord"),
+        F.col("rule").alias("a_rule"),
+        F.col("n_failing_total").alias("a_total"),
+        F.col("n_failed_here").alias("a_here"),
+    )
+    b = per_rule.select(
+        F.col("ord").alias("b_ord"), F.col("n_failed_here").alias("b_here")
+    )
+    return (
+        a.join(b, F.col("b_ord") <= F.col("a_ord"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("a_ord", "a_rule", "a_total", "a_here", "n_docs")
+        .agg(F.sum("b_here").alias("_cum"))
+        .select(
+            F.col("a_ord").alias("rule_order"),
+            F.col("a_rule").alias("rule"),
+            F.col("a_total").alias("n_failing_total"),
+            F.col("a_here").alias("n_failed_here"),
+            (F.col("n_docs") - F.col("_cum")).cast("long").alias(
+                "survivors_after"
+            ),
+        )
+    )
