@@ -44,8 +44,10 @@ REGISTRY: dict[str, QueryDef] = {}
 # ECDF-distance pair stat_wasserstein_1d / stat_anderson_darling, and
 # embed_gram_power_iter), then the remaining never-driver-checked keys
 # in registry order (sources/joins/agg leftovers, the BI epilogue
-# waves, the r7 statistical-test tail).  After this sweep: 394/508
-# checked; 114 remain for the r9/r10 windows + a 14-key tail.
+# waves, the r7 statistical-test tail).  After this sweep: 394
+# driver-checked; the r7 tail plus the ~30 r8-added keys (waves A-I)
+# leave ~144 for the r9/r10 windows + a small tail
+# (`python tools/next_window.py` recounts live).
 # `python tools/next_window.py` prints each rotation; run
 # `python tools/preflight.py --exec <keys>` before rotating (catches
 # driver-canonicalization traps like r4's embed_quantize numpy-cell
