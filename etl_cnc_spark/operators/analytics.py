@@ -7858,3 +7858,78 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("n_all").agg(
         q4(F.sum("hq").cast("double") / _MER_Q).alias("entropy_rate")
     ).select(F.col("n_all").alias("n_transitions"), "entropy_rate")
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ), gaps AS (
+        SELECT event_type, CAST(gap_us // 1000000 AS BIGINT) AS g
+        FROM seq WHERE gap_us IS NOT NULL
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS BIGINT) AS s1,
+               CAST(sum(g*g) AS BIGINT) AS s2
+        FROM gaps GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           {sql_q4("CAST(s1 AS DOUBLE) / n_gaps")} AS mean_gap_s,
+           {sql_q4("(sqrt(CAST(s2 AS DOUBLE)/n_gaps"
+                   " - pow(CAST(s1 AS DOUBLE)/n_gaps, 2))"
+                   " - CAST(s1 AS DOUBLE)/n_gaps)"
+                   " / (sqrt(CAST(s2 AS DOUBLE)/n_gaps"
+                   " - pow(CAST(s1 AS DOUBLE)/n_gaps, 2))"
+                   " + CAST(s1 AS DOUBLE)/n_gaps)")} AS b_index
+    FROM m
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness coefficient per event type:
+    B = (sigma - mu) / (sigma + mu) over each user's inter-arrival
+    gaps pooled by type — B near -1 = metronome-regular, 0 =
+    Poisson, toward +1 = heavy-tailed bursts; the single number that
+    says whether 'bursty traffic' is real or just Poisson clumping
+    (Goh & Barabási 2008, public).
+
+    Scale shape: gaps come from a (user, type)-partitioned lag —
+    per-entity partitions, never a whole-type ordering (a per-type
+    global sort would melt on one executor at 100 TB); gaps floor to
+    whole seconds via integer microsecond division (identical on
+    both engines) so n/sum/sum-of-squares are exact BIGINTs (g^2
+    bounded by span^2 ~ 7e12, within int64 through ~1e6 gaps per
+    type; widen the unit for longer spans)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = (
+        e.select("event_type", gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        # integer floor to whole seconds: exact and identical on both
+        # engines (gaps are non-negative)
+        .select(
+            "event_type",
+            ((F.col("gap_us") - F.col("gap_us") % 1000000) / 1000000)
+            .cast("long")
+            .alias("g"),
+        )
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt(F.col("s2").cast("double") / F.col("n_gaps") - F.pow(mu, 2))
+    return m.select(
+        "event_type",
+        "n_gaps",
+        q4(mu).alias("mean_gap_s"),
+        q4((sigma - mu) / (sigma + mu)).alias("b_index"),
+    )
