@@ -7933,3 +7933,99 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         q4(mu).alias("mean_gap_s"),
         q4((sigma - mu) / (sigma + mu)).alias("b_index"),
     )
+
+
+_ABC_MIG_SPLIT = "1998-07-01"  # mid-history period boundary
+
+
+def _abc_mig_period_sql(pred: str, alias: str) -> str:
+    return f"""
+        SELECT o_custkey, CASE
+            WHEN cum_cents * 10000 // total_cents <= {ABC_A_BPS} THEN 'A'
+            WHEN cum_cents * 10000 // total_cents <= {ABC_B_BPS} THEN 'B'
+            ELSE 'C' END AS {alias}
+        FROM (
+            SELECT o_custkey, revenue_cents,
+                   CAST(sum(revenue_cents) OVER (
+                        ORDER BY revenue_cents DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_cents,
+                   CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_cents
+            FROM (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders WHERE {pred} GROUP BY o_custkey
+            )
+        )
+    """
+
+
+@register(
+    "orders_abc_migration",
+    oracle=f"""
+    WITH p1 AS ({_abc_mig_period_sql(
+        f"o_orderdate < TIMESTAMP '{_ABC_MIG_SPLIT}'", "c1")}),
+    p2 AS ({_abc_mig_period_sql(
+        f"o_orderdate >= TIMESTAMP '{_ABC_MIG_SPLIT}'", "c2")})
+    SELECT coalesce(p1.c1, 'N') AS class_from,
+           coalesce(p2.c2, 'N') AS class_to,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM p1 FULL JOIN p2 ON p2.o_custkey = p1.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-class migration matrix across the mid-history split: each
+    customer is Pareto-classified (A = first 70% of cumulative
+    revenue, B = next 20%, C = rest) independently in each period,
+    then the transition counts (including 'N' for customers present
+    in only one period) show churn out of the A-class and climbers
+    into it — the account-management report behind 'protect your A's,
+    grow your B's'.
+
+    Scale shape: each period runs the orders_abc_analysis machinery
+    (per-customer hash rollup -> ONE bucketed-prefix cumulative pass,
+    never an unpartitioned window) on its date-pruned scan; the
+    migration matrix is a full outer join of two customer-class
+    frames plus a <=16-cell aggregate."""
+    from .prefix import global_ordered
+
+    def period_classes(pred, alias):
+        o = table(spark, sf_dir, "orders").where(pred)
+        rev = o.groupBy("o_custkey").agg(
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents")
+        )
+        tot = rev.agg(F.sum("revenue_cents").cast("long").alias("total_cents"))
+        ranked = global_ordered(
+            rev,
+            [F.col("revenue_cents").desc(), F.col("o_custkey")],
+            bucket_key="revenue_cents",
+            bucket_desc=True,
+            sums={"revenue_cents": "cum_cents"},
+            rank_col=None,
+        )
+        bps = (F.col("cum_cents") * 10000 - F.col("cum_cents") * 10000 % F.col(
+            "total_cents"
+        )) / F.col("total_cents")
+        return ranked.crossJoin(F.broadcast(tot)).select(
+            "o_custkey",
+            F.when(bps <= ABC_A_BPS, "A")
+            .when(bps <= ABC_B_BPS, "B")
+            .otherwise("C")
+            .alias(alias),
+        )
+
+    split = F.lit(_ABC_MIG_SPLIT).cast("timestamp")
+    p1 = period_classes(F.col("o_orderdate") < split, "c1")
+    p2 = period_classes(F.col("o_orderdate") >= split, "c2").select(
+        F.col("o_custkey").alias("k2"), "c2"
+    )
+    return (
+        p1.join(p2, F.col("k2") == F.col("o_custkey"), "full")
+        .groupBy(
+            F.coalesce("c1", F.lit("N")).alias("class_from"),
+            F.coalesce("c2", F.lit("N")).alias("class_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
