@@ -7083,3 +7083,96 @@ def stat_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(t_stat).alias("t_stat"),
         (t_stat < _ADF_CRIT).alias("stationary"),
     )
+
+
+# ------------------------------------ extreme-value tail (r8 wave)
+
+_HILL_K = 100  # tail order statistics used by the Hill estimator
+_HILL_Q = 1_000_000_000
+
+
+@register(
+    "stat_tail_index_hill",
+    oracle=f"""
+    WITH grid AS (
+        SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), cum AS (
+        SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_ge
+        FROM grid
+    ), thresh AS (
+        SELECT CAST(max(v) AS BIGINT) AS u FROM cum WHERE cum_ge >= {_HILL_K}
+    ), tail AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_above,
+               CAST(sum(cnt * CAST(floor(
+                   ln(CAST(v AS DOUBLE) / u) * {_HILL_Q} + 0.5) AS BIGINT))
+                   AS BIGINT) AS lq,
+               CAST(sum(cnt * (v - u)) AS BIGINT) AS excess_cents
+        FROM grid CROSS JOIN thresh WHERE v > u
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k, n_above,
+           {sql_q4("CAST(u AS DOUBLE) / 100.0")} AS threshold,
+           {sql_q4(f"CAST(lq AS DOUBLE) / {_HILL_Q} / {_HILL_K}")}
+               AS xi_hill,
+           {sql_q4(f"CAST(excess_cents AS DOUBLE) / 100.0 / {_HILL_K}")}
+               AS mean_excess
+    FROM tail CROSS JOIN thresh
+    """,
+)
+def stat_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of the purchase-value distribution
+    over the top k=100 order statistics, with the mean excess over
+    the threshold — the peaks-over-threshold numbers behind capacity
+    planning and VaR beyond the sample (xi near 0 = thin tail, xi
+    large = Pareto-heavy; mean excess growing linearly in the
+    threshold also signals heavy tails).  Grid ties AT the threshold
+    contribute ln(u/u)=0, so the estimator is exact on the cents
+    grid without per-observation ordering.
+
+    Scale shape: one hash aggregate to the bounded cents grid, one
+    descending bucketed-prefix pass to locate the k-th order
+    statistic, then a broadcast-threshold fold; per-value log masses
+    are x1e9-quantized so the Hill sum is an exact BIGINT."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    grid = e.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = global_ordered(
+        grid,
+        [F.col("v").desc()],
+        bucket_key="v",
+        bucket_desc=True,
+        sums={"cnt": "cum_ge"},
+        rank_col=None,
+    )
+    thresh = cum.where(F.col("cum_ge") >= _HILL_K).agg(
+        F.max("v").cast("long").alias("u")
+    )
+    lq = F.floor(
+        F.log(F.col("v").cast("double") / F.col("u")) * _HILL_Q + 0.5
+    ).cast("long")
+    tail = (
+        grid.crossJoin(F.broadcast(thresh))
+        .where(F.col("v") > F.col("u"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_above"),
+            F.sum(F.col("cnt") * lq).cast("long").alias("lq"),
+            F.sum(F.col("cnt") * (F.col("v") - F.col("u")))
+            .cast("long")
+            .alias("excess_cents"),
+        )
+    )
+    return tail.crossJoin(F.broadcast(thresh)).select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        "n_above",
+        q4(F.col("u").cast("double") / 100.0).alias("threshold"),
+        q4(F.col("lq").cast("double") / _HILL_Q / _HILL_K).alias("xi_hill"),
+        q4(F.col("excess_cents").cast("double") / 100.0 / _HILL_K).alias(
+            "mean_excess"
+        ),
+    )
