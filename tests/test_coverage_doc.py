@@ -42,3 +42,22 @@ def test_coverage_table_matches_registry():
     assert total == len(reg), f"header total {total} != registry {len(reg)}"
     assert n_hash == reg_hash, f"header hash count {n_hash} != registry {reg_hash}"
     assert n_rows == reg_rows, f"header rows count {n_rows} != registry {reg_rows}"
+
+
+def test_plans_audit_rows_are_registry_keys():
+    """PLANS.md guard: every audited row must name a live registry key
+    (catches renames/deletions leaving orphan rows), and the audit may
+    trail the registry only by a small in-flight margin — a full
+    `tools/plan_audit.py` rerun is part of each round's close."""
+    reg = load_all()
+    plans = os.path.join(os.path.dirname(COVERAGE), "PLANS.md")
+    with open(plans) as f:
+        keys = _table_keys(f.read())
+    assert len(keys) == len(set(keys)), "duplicate rows in PLANS.md"
+    orphans = sorted(set(keys) - set(reg))
+    assert not orphans, f"PLANS.md rows not in registry: {orphans}"
+    missing = sorted(set(reg) - set(keys))
+    assert len(missing) <= 5, (
+        f"PLANS.md trails the registry by {len(missing)} keys "
+        f"(rerun tools/plan_audit.py): {missing[:10]}"
+    )
