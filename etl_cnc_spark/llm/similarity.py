@@ -3276,3 +3276,79 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ------------------------------------------- isotropy audit (r8 wave)
+
+_ISO_Q = 1_000_000_000
+
+
+@register(
+    "embed_isotropy",
+    oracle=f"""
+    WITH comp AS (
+        SELECT u.i AS dim,
+               CAST(floor(
+                   CAST(embedding[u.i] AS DOUBLE)
+                   / sqrt({_SQL_NORM2.format(col="embedding")})
+                   * {_ISO_Q} + 0.5) AS BIGINT) AS cq
+        FROM embeddings
+        CROSS JOIN generate_series(1, 64) AS u(i)
+    ), sums AS (
+        SELECT dim, CAST(sum(cq) AS BIGINT) AS s FROM comp GROUP BY dim
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+    ), norm2 AS (
+        SELECT CAST(sum(CAST(s AS DOUBLE) / {_ISO_Q}
+                        * (CAST(s AS DOUBLE) / {_ISO_Q})) AS DOUBLE) AS m2
+        FROM sums
+    )
+    SELECT n,
+           {sql_q4("(m2 - n) / (CAST(n AS DOUBLE) * (n - 1))")}
+               AS mean_pairwise_cos,
+           {sql_q4("sqrt(m2) / n")} AS mean_vector_norm
+    FROM norm2 CROSS JOIN tot
+    """,
+)
+def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space: the mean pairwise cosine
+    of the NORMALIZED corpus computed WITHOUT a pair join via the
+    sum-vector identity sum_ij v_i.v_j = ||sum_i v_i||^2 — mean
+    off-diagonal cosine = (||S||^2 - n) / (n(n-1)).  Anisotropic
+    spaces (mean cosine far above 0) crush retrieval contrast and are
+    the motivation for whitening (embed_whitening_stats is the fix;
+    this is the detector).  mean_vector_norm = ||S||/n is the
+    companion 'common direction' strength.
+
+    Scale shape: the entire statistic is ONE pass — each vector
+    contributes its 64 normalized components (x1e9-quantized, so the
+    per-dimension sums are exact BIGINTs) to a 64-row aggregate; the
+    O(n^2) pairwise definition never materializes."""
+    e = table(spark, sf_dir, "embeddings")
+    inv_norm = F.lit(1.0) / F.sqrt(_norm2(F.col("embedding")))
+    comp = e.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * inv_norm * _ISO_Q + 0.5).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim0", "cq")
+    )
+    sums = comp.groupBy("dim0").agg(F.sum("cq").cast("long").alias("s"))
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m2 = sums.agg(
+        F.sum(
+            (F.col("s").cast("double") / _ISO_Q)
+            * (F.col("s").cast("double") / _ISO_Q)
+        ).alias("m2")
+    )
+    nd = F.col("n").cast("double")
+    return m2.crossJoin(F.broadcast(tot)).select(
+        "n",
+        q4((F.col("m2") - F.col("n")) / (nd * (F.col("n") - 1))).alias(
+            "mean_pairwise_cos"
+        ),
+        q4(F.sqrt(F.col("m2")) / F.col("n")).alias("mean_vector_norm"),
+    )

@@ -8029,3 +8029,110 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+_PIDX_SPLIT = "1998-07-01"  # same mid-history boundary as abc_migration
+_PIDX_Q = 10_000  # fixed-point quantum for cross-period price terms
+
+
+@register(
+    "orders_price_index",
+    oracle=f"""
+    WITH per AS (
+        SELECT l_partkey AS pk,
+               CASE WHEN l_shipdate < TIMESTAMP '{_PIDX_SPLIT}'
+                    THEN 0 ELSE 1 END AS per,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS ext_c
+        FROM lineitem GROUP BY 1, 2
+    ), matched AS (
+        SELECT p0.pk,
+               p0.qty AS q0, p0.ext_c AS e0,
+               p1.qty AS q1, p1.ext_c AS e1
+        FROM (SELECT * FROM per WHERE per = 0) p0
+        JOIN (SELECT * FROM per WHERE per = 1) p1 ON p1.pk = p0.pk
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(e0) AS BIGINT) AS se0,
+               CAST(sum(e1) AS BIGINT) AS se1,
+               CAST(sum(CAST(floor(CAST(e1 AS DOUBLE) / q1 * q0
+                    * {_PIDX_Q} + 0.5) AS BIGINT)) AS BIGINT) AS p1q0_q,
+               CAST(sum(CAST(floor(CAST(e0 AS DOUBLE) / q0 * q1
+                    * {_PIDX_Q} + 0.5) AS BIGINT)) AS BIGINT) AS p0q1_q
+        FROM matched
+    )
+    SELECT n_parts,
+           {sql_q4(f"CAST(p1q0_q AS DOUBLE) / {_PIDX_Q} / se0")} AS laspeyres,
+           {sql_q4(f"CAST(se1 AS DOUBLE) / (CAST(p0q1_q AS DOUBLE) / {_PIDX_Q})")}
+               AS paasche,
+           {sql_q4(f"sqrt(CAST(p1q0_q AS DOUBLE) / {_PIDX_Q} / se0"
+                   f" * CAST(se1 AS DOUBLE)"
+                   f" / (CAST(p0q1_q AS DOUBLE) / {_PIDX_Q}))")} AS fisher
+    FROM sums
+    """,
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices across the
+    mid-history split, over parts traded in BOTH periods: unit prices
+    are period revenue over period quantity per part; Laspeyres
+    weights by old quantities, Paasche by new, Fisher is their
+    geometric mean — the standard inflation-of-my-basket trio a
+    procurement dashboard tracks.
+
+    Hash-parity discipline: p*q terms that mix periods collapse
+    exactly when price and quantity come from the SAME period
+    (sum(p0*q0) = sum(ext0) — exact cents), and the two genuinely
+    cross-period terms are fixed-point quantized per part (x1e4)
+    before the sum, so every aggregate is an exact BIGINT.
+
+    Scale shape: one lineitem scan hash-aggregates to (part, period);
+    the match is a part-keyed self-join of the two period slices;
+    indices are ratios of the four sums."""
+    li = table(spark, sf_dir, "lineitem")
+    split = F.lit(_PIDX_SPLIT).cast("timestamp")
+    per = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.when(F.col("l_shipdate") < split, 0).otherwise(1).alias("per"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("ext_c"),
+    )
+    p0 = per.where(F.col("per") == 0).select(
+        "pk", F.col("qty").alias("q0"), F.col("ext_c").alias("e0")
+    )
+    p1 = per.where(F.col("per") == 1).select(
+        F.col("pk").alias("pk1"), F.col("qty").alias("q1"), F.col("ext_c").alias("e1")
+    )
+    matched = p0.join(p1, F.col("pk1") == F.col("pk"))
+    p1q0 = F.floor(
+        F.col("e1").cast("double") / F.col("q1") * F.col("q0") * _PIDX_Q + 0.5
+    ).cast("long")
+    p0q1 = F.floor(
+        F.col("e0").cast("double") / F.col("q0") * F.col("q1") * _PIDX_Q + 0.5
+    ).cast("long")
+    sums = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("e0").cast("long").alias("se0"),
+        F.sum("e1").cast("long").alias("se1"),
+        F.sum(p1q0).cast("long").alias("p1q0_q"),
+        F.sum(p0q1).cast("long").alias("p0q1_q"),
+    )
+    lasp = F.col("p1q0_q").cast("double") / _PIDX_Q / F.col("se0")
+    paas = F.col("se1").cast("double") / (
+        F.col("p0q1_q").cast("double") / _PIDX_Q
+    )
+    return sums.select(
+        "n_parts",
+        q4(lasp).alias("laspeyres"),
+        q4(paas).alias("paasche"),
+        q4(
+            F.sqrt(
+                F.col("p1q0_q").cast("double")
+                / _PIDX_Q
+                / F.col("se0")
+                * F.col("se1").cast("double")
+                / (F.col("p0q1_q").cast("double") / _PIDX_Q)
+            )
+        ).alias("fisher"),
+    )
