@@ -2165,3 +2165,113 @@ def etl_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_TCLOSE_T = 0.2  # max allowed EMD (total variation) to the global dist
+_TCLOSE_Q = 1_000_000_000
+
+
+@register(
+    "etl_t_closeness",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer
+    ), cells AS (
+        SELECT c_nationkey, c_mktsegment, band,
+               CAST(count(*) AS BIGINT) AS n_gb
+        FROM base GROUP BY 1, 2, 3
+    ), groups AS (
+        SELECT c_nationkey, c_mktsegment, CAST(sum(n_gb) AS BIGINT) AS n_g
+        FROM cells GROUP BY 1, 2
+    ), bands AS (
+        SELECT band, CAST(sum(n_gb) AS BIGINT) AS n_b FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_b) AS BIGINT) AS n_all,
+               CAST(count(*) AS BIGINT) AS n_bands
+        FROM bands
+    ), dense AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.n_b,
+               coalesce(c.n_gb, 0) AS n_gb
+        FROM groups g
+        CROSS JOIN bands b
+        LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+                         AND c.c_mktsegment = g.c_mktsegment
+                         AND c.band = b.band
+    ), tv AS (
+        SELECT c_nationkey, c_mktsegment, n_g,
+               CAST(sum(CAST(floor(abs(
+                   CAST(n_gb AS DOUBLE) / n_g
+                   - CAST(n_b AS DOUBLE) / n_all)
+                   * {_TCLOSE_Q} + 0.5) AS BIGINT)) AS BIGINT) AS tvq
+        FROM dense CROSS JOIN tot
+        GROUP BY 1, 2, n_g
+    )
+    SELECT c_nationkey, c_mktsegment, n_g AS group_n,
+           {sql_q4(f"0.5 * CAST(tvq AS DOUBLE) / {_TCLOSE_Q}")} AS t_dist,
+           (0.5 * CAST(tvq AS DOUBLE) / {_TCLOSE_Q} <= {_TCLOSE_T})
+               AS t_close
+    FROM tv
+    """,
+)
+def etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the (nation, segment) quasi-identifier
+    groups: the total-variation distance (categorical earth-mover
+    with unit ground distance) between each group's sensitive
+    account-balance-band distribution and the global one — the third
+    rung of the privacy ladder after k-anonymity (group sizes) and
+    l-diversity (distinct sensitive values): a group can be large AND
+    diverse yet still leak via a skewed distribution, which is what
+    t-closeness catches (Li et al., public).
+
+    Scale shape: one hash aggregate to (group x band) cells; the
+    dense group-by-band grid is bounded (|QI groups| x |bands|) via a
+    grid cross join, NOT a data cross join; per-band gaps are
+    x1e9-quantized so each group's TV sum is an exact BIGINT."""
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    cells = base.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gb")
+    )
+    groups = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_gb").cast("long").alias("n_g")
+    )
+    bands = cells.groupBy("band").agg(F.sum("n_gb").cast("long").alias("n_b"))
+    tot = bands.agg(F.sum("n_b").cast("long").alias("n_all"))
+    dense = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(cells, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "n_b",
+            F.coalesce("n_gb", F.lit(0)).alias("n_gb"),
+        )
+    )
+    gap_q = F.floor(
+        F.abs(
+            F.col("n_gb").cast("double") / F.col("n_g")
+            - F.col("n_b").cast("double") / F.col("n_all")
+        )
+        * _TCLOSE_Q
+        + 0.5
+    ).cast("long")
+    tv = (
+        dense.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_g")
+        .agg(F.sum(gap_q).cast("long").alias("tvq"))
+    )
+    t_dist = F.lit(0.5) * F.col("tvq").cast("double") / _TCLOSE_Q
+    return tv.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_g").alias("group_n"),
+        q4(t_dist).alias("t_dist"),
+        (t_dist <= _TCLOSE_T).alias("t_close"),
+    )

@@ -7176,3 +7176,136 @@ def stat_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_excess"
         ),
     )
+
+
+# --------------------------------------- randomization test (r8 wave)
+
+_PERM_N = 20  # md5-salted Monte-Carlo label reassignments
+
+
+@register(
+    "stat_permutation_test",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id,
+               CASE WHEN event_type = '{KS_G1}' THEN 0 ELSE 1 END AS grp,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), obs AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN v END) AS DOUBLE)
+                 / count_if(grp = 0)
+             - CAST(sum(CASE WHEN grp = 1 THEN v END) AS DOUBLE)
+                 / count_if(grp = 1) AS obs_diff
+        FROM ev
+    ), perms AS (
+        SELECT s.s AS salt,
+               CAST(concat('0x', substr(md5(CAST(s.s AS VARCHAR) || '|'
+                    || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 2
+                   AS a,
+               v
+        FROM ev CROSS JOIN generate_series(1, {_PERM_N}) AS s(s)
+    ), per_salt AS (
+        SELECT salt,
+               CAST(sum(CASE WHEN a = 0 THEN v END) AS DOUBLE)
+                 / count_if(a = 0)
+             - CAST(sum(CASE WHEN a = 1 THEN v END) AS DOUBLE)
+                 / count_if(a = 1) AS perm_diff
+        FROM perms GROUP BY salt
+    ), verdict AS (
+        SELECT CAST(count_if(abs(perm_diff) >= abs(obs_diff)) AS BIGINT)
+                   AS n_geq
+        FROM per_salt CROSS JOIN obs
+    )
+    SELECT CAST({_PERM_N} AS BIGINT) AS n_perms,
+           {sql_q4("obs_diff / 100.0")} AS obs_diff,
+           n_geq,
+           {sql_q4(f"CAST(n_geq + 1 AS DOUBLE) / ({_PERM_N} + 1)")}
+               AS p_value
+    FROM verdict CROSS JOIN obs
+    """,
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test of the click-vs-purchase mean
+    difference: 20 deterministic label reassignments (assignment =
+    md5(salt || event_id) parity — engine-neutral 'randomness', the
+    same trick the spatial grid uses for coordinates), p-value =
+    (1 + #{|perm diff| >= |observed|}) / (1 + n_perms) with the
+    add-one convention — the distribution-free significance check
+    that needs no normality or variance assumptions.
+
+    Scale shape: observed and every permuted statistic come from
+    integer-cents group sums (exact at any exchange order); the only
+    expansion is the bounded x20 salt explode feeding one
+    (salt, assignment) hash aggregate — no per-permutation rescan of
+    the fact table."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    ).select(
+        "event_id",
+        F.when(F.col("event_type") == KS_G1, 0).otherwise(1).alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+
+    def mean_diff(frame, key):
+        return frame.groupBy(key).agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    obs = (
+        mean_diff(e, "grp")
+        .agg(
+            (
+                F.sum(F.when(F.col("grp") == 0, F.col("s"))).cast("double")
+                / F.sum(F.when(F.col("grp") == 0, F.col("n")))
+                - F.sum(F.when(F.col("grp") == 1, F.col("s"))).cast("double")
+                / F.sum(F.when(F.col("grp") == 1, F.col("n")))
+            ).alias("obs_diff")
+        )
+    )
+    salts = F.explode(
+        F.array(*[F.lit(s) for s in range(1, _PERM_N + 1)])
+    ).alias("salt")
+    a = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("salt").cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perms = e.select("event_id", "v", salts).select(
+        "salt", a.alias("a"), "v"
+    )
+    per_salt = perms.groupBy("salt", "a").agg(
+        F.sum("v").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).groupBy("salt").agg(
+        (
+            F.sum(F.when(F.col("a") == 0, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("a") == 0, F.col("n")))
+            - F.sum(F.when(F.col("a") == 1, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("a") == 1, F.col("n")))
+        ).alias("perm_diff")
+    )
+    verdict = per_salt.crossJoin(F.broadcast(obs)).agg(
+        F.count_if(F.abs(F.col("perm_diff")) >= F.abs(F.col("obs_diff")))
+        .cast("long")
+        .alias("n_geq")
+    )
+    return verdict.crossJoin(F.broadcast(obs)).select(
+        F.lit(_PERM_N).cast("long").alias("n_perms"),
+        q4(F.col("obs_diff") / 100.0).alias("obs_diff"),
+        "n_geq",
+        q4((F.col("n_geq") + 1).cast("double") / (_PERM_N + 1)).alias("p_value"),
+    )
