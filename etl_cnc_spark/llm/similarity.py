@@ -3352,3 +3352,93 @@ def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q4(F.sqrt(F.col("m2")) / F.col("n")).alias("mean_vector_norm"),
     )
+
+
+@register(
+    "ml_f1_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y, ({_SQL_PROB}) AS p FROM embeddings
+    ), bins AS (
+        SELECT least(99, CAST(floor(p * 100) AS BIGINT)) AS b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT b,
+               CAST(sum(n) OVER w AS BIGINT) AS pp,
+               CAST(sum(pos) OVER w AS BIGINT) AS tp
+        FROM bins
+        WINDOW w AS (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS p_all FROM bins
+    ), scoredrows AS (
+        SELECT b, pp, tp,
+               2.0 * tp / (pp + p_all) AS f1
+        FROM cum CROSS JOIN tot
+    ), best AS (
+        SELECT max(f1) AS best_f1 FROM scoredrows
+    )
+    SELECT {sql_q4("CAST(b AS DOUBLE) / 100.0")} AS threshold,
+           pp AS predicted_pos, tp,
+           {sql_q4("CAST(tp AS DOUBLE) / pp")} AS precision,
+           {sql_q4("CAST(tp AS DOUBLE) / p_all")} AS recall,
+           {sql_q4("f1")} AS f1,
+           (f1 = best_f1) AS is_best
+    FROM scoredrows CROSS JOIN best CROSS JOIN tot
+    """,
+)
+def ml_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification-threshold sweep of the logistic-linked scorer:
+    precision, recall, and F1 at every percent threshold ('predict
+    positive when p >= t'), with the F1-argmax row flagged — the
+    operating-point table that turns a ranked scorer into a
+    deployable classifier (ROC/PR AUC say how good the ranking is;
+    this says where to cut).
+
+    Hash-parity discipline: F1 = 2*TP/(PP + P) is a ratio of exact
+    BIGINTs at every threshold, and the argmax comparison matches
+    identical doubles on both engines.
+
+    Scale shape: one pass to 100 fixed percent bins (map-side
+    fences), ONE descending bucketed-prefix pass over the bounded bin
+    grid for the cumulative TP/PP curves, broadcast totals — no
+    per-threshold rescan, no global quantile."""
+    from ..operators.prefix import global_ordered
+
+    e = table(spark, sf_dir, "embeddings")
+    p = _prob_col()
+    bins = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.least(F.lit(99), F.floor(p * 100).cast("long")).alias("b"),
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    cum = global_ordered(
+        bins,
+        [F.col("b").desc()],
+        bucket_key="b",
+        bucket_desc=True,
+        sums={"n": "pp", "pos": "tp"},
+        rank_col=None,
+    )
+    tot = bins.agg(F.sum("pos").cast("long").alias("p_all"))
+    scoredrows = cum.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "pp",
+        "tp",
+        "p_all",
+        (F.lit(2.0) * F.col("tp") / (F.col("pp") + F.col("p_all"))).alias("f1"),
+    )
+    best = scoredrows.agg(F.max("f1").alias("best_f1"))
+    return scoredrows.crossJoin(F.broadcast(best)).select(
+        q4(F.col("b").cast("double") / 100.0).alias("threshold"),
+        F.col("pp").alias("predicted_pos"),
+        "tp",
+        q4(F.col("tp").cast("double") / F.col("pp")).alias("precision"),
+        q4(F.col("tp").cast("double") / F.col("p_all")).alias("recall"),
+        q4(F.col("f1")).alias("f1"),
+        (F.col("f1") == F.col("best_f1")).alias("is_best"),
+    )
