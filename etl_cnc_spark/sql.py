@@ -369,3 +369,29 @@ def sql_entry_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on the clause's semantics including FILTERed sums over
     empty groups (NULL, not 0)."""
     return run(spark, sf_dir, _FILTER_CLAUSE)
+
+
+# Lateral column aliases: a select item referencing an alias defined
+# earlier in the SAME select list — Spark 4 and DuckDB both implement
+# the rewrite, so the shared text verifies they chain identically.
+_LATERAL_ALIAS = """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS gross_cents,
+       gross_cents - CAST(sum(CAST(floor(l_extendedprice * l_discount
+            * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net_cents,
+       CAST(floor(net_cents / 100.0 * 1e4 + 0.5) / 1e4 AS DOUBLE) AS net
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_entry_lateral_alias", oracle=_LATERAL_ALIAS)
+def sql_entry_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (a select item referencing an alias
+    defined earlier in the same SELECT list, chained two deep:
+    gross_cents -> net_cents -> net) as shared SQL text — the
+    modern-warehouse sugar that saves nested subqueries; both
+    analyzers must expand the chain to the identical expression tree
+    or the hash breaks."""
+    return run(spark, sf_dir, _LATERAL_ALIAS)

@@ -103,3 +103,32 @@ def test_distribute_by_injects_layout_exchange(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue().replace(" ", "").lower()
     assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_lateral_alias_chain_matches_manual(spark, sf_dir):
+    """The two-deep alias chain must equal the manually-expanded
+    expressions (third path besides the two engines' rewrites)."""
+    import duckdb
+
+    from etl_cnc_spark.registry import load_all
+
+    rows = duckdb.execute(
+        "SELECT l_returnflag,"
+        " CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT),"
+        " CAST(sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT))"
+        "      AS BIGINT)"
+        f" FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+    ).fetchall()
+    out = {
+        r["l_returnflag"]: r
+        for r in load_all()["sql_entry_lateral_alias"].build(spark, sf_dir).collect()
+    }
+    assert set(out) == {r[0] for r in rows}
+    for flag, gross, disc in rows:
+        row = out[flag]
+        assert row["gross_cents"] == gross
+        assert row["net_cents"] == gross - disc
+        import math
+        assert math.isclose(
+            row["net"], math.floor((gross - disc) / 100.0 * 1e4 + 0.5) / 1e4
+        )
