@@ -837,3 +837,72 @@ def stream_incremental_exactly_once(
     shutil.move(*staged["h2"])
     _drain()
     return spark.read.parquet(out)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT epoch_us(w) AS window_start_us, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM (
+        SELECT date_trunc('day', e.ts) AS w, c.c_mktsegment, e.value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    )
+    GROUP BY w, c_mktsegment
+    HAVING w + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+                                  - INTERVAL 1 HOUR
+    """,
+    notes="stream-static enrichment join; the oracle states the "
+    "append-mode emission rule: only day windows fully below the "
+    "final watermark (max ts - 1h) flush at end-of-stream.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming pattern: a streaming fact (events) joined to a static
+    dimension (customer segment) with NO state on the static side
+    (Spark re-broadcasts the dim per micro-batch; no watermark needed
+    for the join itself), then a watermarked per-day windowed rollup
+    per segment.  Run via availableNow replay; append mode emits the
+    day windows that closed below the final watermark.
+
+    Scale shape: the streaming side never shuffles for the join when
+    the dim broadcasts (dimension-sized here); the only stateful
+    operator is the windowed aggregate, whose state is bounded by
+    (segments x open windows)."""
+    tune(spark)
+    src = tmpdir(prefix="etlcnc_ssj_src_")
+    ev = table(spark, sf_dir, "events")
+    ev.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.withWatermark("ts", "1 hour").join(dim, "user_id")
+    agg = joined.groupBy(
+        F.window("ts", "1 day"), F.col("c_mktsegment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    out = _run_to_parquet(agg)
+    return spark.read.parquet(out).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "c_mktsegment",
+        "n",
+        "sum_cents",
+    )

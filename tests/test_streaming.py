@@ -265,3 +265,37 @@ def test_stream_restart_resumes_from_checkpoint(spark, sf_dir):
     want = sorted(r["event_id"] for r in e.collect())
     assert first == sum(1 for i in want if i % 2 == 0)
     assert got == want  # every row exactly once — no replays, no loss
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """The drained stream-static join must equal the batch join with
+    the append-mode emission fence (day windows below max ts - 1h),
+    and the last (unflushed) day must be absent."""
+    import duckdb
+
+    from etl_cnc_spark.registry import load_all
+
+    rows = duckdb.execute(
+        """
+        SELECT epoch_us(date_trunc('day', e.ts)) AS w, c.c_mktsegment,
+               count(*) AS n
+        FROM read_parquet(?) e JOIN read_parquet(?) c
+          ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+        """,
+        [f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"],
+    ).fetchall()
+    max_us = duckdb.execute(
+        f"SELECT epoch_us(max(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    fence = max_us - 3_600_000_000
+    expected = {
+        (w, seg): n for w, seg, n in rows if w + 86_400_000_000 <= fence
+    }
+    out = {
+        (r["window_start_us"], r["c_mktsegment"]): r["n"]
+        for r in load_all()["stream_static_join"].build(spark, sf_dir).collect()
+    }
+    assert out == expected
+    last_day = max(w for w, _ in {(w, s) for w, s, _ in rows})
+    assert all(w != last_day for w, _ in out)
