@@ -140,3 +140,35 @@ def test_rich_club_matches_python(spark, sf_dir):
             assert abs(row["phi"] - 2.0 * ek / (nk * (nk - 1))) < 1e-3
         else:
             assert k not in out
+
+
+def test_reciprocity_matches_python(spark, sf_dir):
+    con = _edges(sf_dir)
+    rows = con.execute(EDGES_SQL).fetchall()
+    edges = {(u, v) for u, v, _ in rows if u != v}
+    recip = sum(1 for u, v in edges if (v, u) in edges)
+    row = REGISTRY["graph_reciprocity"].build(spark, sf_dir).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_reciprocated"] == recip
+    assert abs(row["reciprocity"] - recip / len(edges)) < 1e-3
+    assert 0.0 <= row["reciprocity"] <= 1.0
+
+
+def test_degree_gini_matches_python(spark, sf_dir):
+    con = _edges(sf_dir)
+    sparse = _sparse(con, drop_self=True)
+    und = {(min(u, v), max(u, v)) for u, v in sparse}
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    ds = sorted(deg.values())
+    n, sd = len(ds), sum(ds)
+    gini = (2 * sum((i + 1) * d for i, d in enumerate(ds)) - (n + 1) * sd) / (
+        n * sd
+    )
+    row = REGISTRY["graph_degree_gini"].build(spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == n
+    assert row["n_degree_total"] == sd
+    assert abs(row["degree_gini"] - gini) < 1e-3
+    assert 0.0 <= row["degree_gini"] < 1.0
