@@ -3442,3 +3442,80 @@ def ml_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("f1")).alias("f1"),
         (F.col("f1") == F.col("best_f1")).alias("is_best"),
     )
+
+
+@register(
+    "ml_fairness_report",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id % 3 AS grp, label % 2 AS y,
+               CASE WHEN ({_SQL_PROB}) >= 0.5 THEN 1 ELSE 0 END AS pred
+        FROM embeddings
+    ), per_grp AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+               CAST(count_if(y = 1) AS BIGINT) AS n_pos,
+               CAST(count_if(pred = 1 AND y = 1) AS BIGINT) AS tp,
+               CAST(count_if(pred = 1 AND y = 0) AS BIGINT) AS fp
+        FROM scored GROUP BY grp
+    ), overall AS (
+        SELECT CAST(sum(n_pred_pos) AS DOUBLE) / sum(n) AS g_rate
+        FROM per_grp
+    )
+    SELECT grp, n,
+           {sql_q4("CAST(n_pred_pos AS DOUBLE) / n")} AS positive_rate,
+           {sql_q4("CAST(tp AS DOUBLE) / n_pos")} AS tpr,
+           {sql_q4("CAST(fp AS DOUBLE) / (n - n_pos)")} AS fpr,
+           {sql_q4("CAST(n_pred_pos AS DOUBLE) / n - g_rate")}
+               AS dp_gap
+    FROM per_grp CROSS JOIN overall
+    """,
+)
+def ml_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the thresholded logistic scorer across
+    a (synthetic, vec_id%3) protected attribute: per-group selection
+    rate (demographic parity), TPR and FPR (equalized odds), and each
+    group's parity gap vs the global rate — the model-card table a
+    deployment review reads before shipping a classifier; the
+    attribute here is a deterministic stand-in, the machinery is the
+    real audit.
+
+    Scale shape: one pass to |groups| rows (all counts exact BIGINTs
+    at any exchange order), one broadcast global-rate row; every
+    metric is a ratio of exact integers."""
+    e = table(spark, sf_dir, "embeddings")
+    pred = (_prob_col() >= 0.5).cast("int")
+    scored = e.select(
+        (F.col("vec_id") % 3).alias("grp"),
+        (F.col("label") % 2).alias("y"),
+        pred.alias("pred"),
+    )
+    per_grp = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pred").cast("long").alias("n_pred_pos"),
+        F.count_if(F.col("y") == 1).cast("long").alias("n_pos"),
+        F.count_if((F.col("pred") == 1) & (F.col("y") == 1))
+        .cast("long")
+        .alias("tp"),
+        F.count_if((F.col("pred") == 1) & (F.col("y") == 0))
+        .cast("long")
+        .alias("fp"),
+    )
+    glob = per_grp.agg(
+        (F.sum("n_pred_pos").cast("double") / F.sum("n")).alias("g_rate")
+    )
+    return per_grp.crossJoin(F.broadcast(glob)).select(
+        "grp",
+        "n",
+        q4(F.col("n_pred_pos").cast("double") / F.col("n")).alias(
+            "positive_rate"
+        ),
+        q4(F.col("tp").cast("double") / F.col("n_pos")).alias("tpr"),
+        q4(F.col("fp").cast("double") / (F.col("n") - F.col("n_pos"))).alias(
+            "fpr"
+        ),
+        q4(
+            F.col("n_pred_pos").cast("double") / F.col("n") - F.col("g_rate")
+        ).alias("dp_gap"),
+    )

@@ -8136,3 +8136,159 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fisher"),
     )
+
+
+# ------------------------------------------- survival comparison (r8)
+
+_LR_Q = 1_000_000_000
+_LR_CHI2_CRIT = 3.8415  # chi2(1), alpha = 0.05
+
+
+@register(
+    "events_logrank_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(min(ts) AS DATE),
+                              CAST(max(ts) AS DATE)) AS BIGINT) AS t,
+               CAST(max(ts) AS DATE) AS last_day,
+               CAST(count_if(event_type = 'purchase') > 0 AS INT) AS grp
+        FROM events GROUP BY user_id
+    ), g AS (SELECT max(last_day) AS gmax FROM per_user),
+    lab AS (
+        SELECT t, grp, last_day < gmax - INTERVAL 2 DAY AS dead
+        FROM per_user, g
+    ), grid AS (
+        SELECT t,
+               CAST(count_if(dead AND grp = 1) AS BIGINT) AS d1,
+               CAST(count_if(dead AND grp = 0) AS BIGINT) AS d0,
+               CAST(count_if(grp = 1) AS BIGINT) AS a1,
+               CAST(count_if(grp = 0) AS BIGINT) AS a0
+        FROM lab GROUP BY t
+    ), tot AS (
+        SELECT CAST(sum(a1) AS BIGINT) AS nu1,
+               CAST(sum(a0) AS BIGINT) AS nu0
+        FROM grid
+    ), risk AS (
+        SELECT t, d1, d0,
+               CAST(nu1 - coalesce(sum(a1) OVER w, 0) AS BIGINT) AS n1,
+               CAST(nu0 - coalesce(sum(a0) OVER w, 0) AS BIGINT) AS n0
+        FROM grid CROSS JOIN tot
+        WINDOW w AS (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), terms AS (
+        SELECT CAST(floor((d1 - CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0))
+                    * {_LR_Q} + 0.5) AS BIGINT) AS oe_q,
+               CASE WHEN n1 + n0 > 1 THEN
+                   CAST(floor(CAST(d1 + d0 AS DOUBLE) * n1 * n0
+                        * (n1 + n0 - d1 - d0)
+                        / (n1 + n0) / (n1 + n0) / (n1 + n0 - 1)
+                        * {_LR_Q} + 0.5) AS BIGINT)
+                   ELSE 0 END AS v_q
+        FROM risk WHERE d1 + d0 > 0 AND n1 > 0 AND n0 > 0
+    ), s AS (
+        SELECT CAST(coalesce(sum(oe_q), 0) AS BIGINT) AS oe,
+               CAST(coalesce(sum(v_q), 0) AS BIGINT) AS v
+        FROM terms
+    )
+    SELECT nu1 AS n_users_purchasers, nu0 AS n_users_other,
+           {sql_q4(f"CASE WHEN v = 0 THEN 0.0 ELSE "
+                   f"pow(CAST(oe AS DOUBLE) / {_LR_Q}, 2)"
+                   f" / (CAST(v AS DOUBLE) / {_LR_Q}) END")} AS chi2,
+           (v > 0 AND pow(CAST(oe AS DOUBLE) / {_LR_Q}, 2)
+                / (CAST(v AS DOUBLE) / {_LR_Q}) > {_LR_CHI2_CRIT})
+               AS significant
+    FROM s CROSS JOIN tot
+    """,
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the activity-survival
+    curves of purchasers vs non-purchasers: at each observed lifetime
+    the hypergeometric expected deaths under 'same hazard' are
+    compared to group-1's observed deaths; chi2 = (sum(O-E))^2 /
+    sum(V) — the significance companion to events_kaplan_meier's
+    curve (do purchasers actually stay active longer, or does the gap
+    fit chance?).  Same censoring convention as the KM key (users
+    still active within 2 days of the corpus end are censored).
+
+    Scale shape: one per-user rollup, one bounded lifetime-day grid,
+    at-risk counts from ONE prefix pass, per-time O-E and variance
+    terms x1e9-quantized so both folds are exact BIGINTs."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+        .cast("long")
+        .alias("t"),
+        F.max("ts").cast("date").alias("last_day"),
+        (F.count_if(F.col("event_type") == "purchase") > 0)
+        .cast("int")
+        .alias("grp"),
+    )
+    g = per_user.agg(F.max("last_day").alias("gmax"))
+    lab = per_user.crossJoin(F.broadcast(g)).select(
+        "t",
+        "grp",
+        (F.col("last_day") < F.date_sub(F.col("gmax"), 2)).alias("dead"),
+    )
+    grid = lab.groupBy("t").agg(
+        F.count_if(F.col("dead") & (F.col("grp") == 1)).cast("long").alias("d1"),
+        F.count_if(F.col("dead") & (F.col("grp") == 0)).cast("long").alias("d0"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("a1"),
+        F.count_if(F.col("grp") == 0).cast("long").alias("a0"),
+    )
+    tot = grid.agg(
+        F.sum("a1").cast("long").alias("nu1"),
+        F.sum("a0").cast("long").alias("nu0"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("t")],
+        bucket_key="t",
+        sums={"a1": "ca1", "a0": "ca0"},
+        rank_col=None,
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "d1",
+        "d0",
+        (F.col("nu1") - (F.col("ca1") - F.col("a1"))).alias("n1"),
+        (F.col("nu0") - (F.col("ca0") - F.col("a0"))).alias("n0"),
+    )
+    n = F.col("n1") + F.col("n0")
+    d = F.col("d1") + F.col("d0")
+    oe_q = F.floor(
+        (F.col("d1") - d.cast("double") * F.col("n1") / n) * _LR_Q + 0.5
+    ).cast("long")
+    v_q = F.when(
+        n > 1,
+        F.floor(
+            d.cast("double")
+            * F.col("n1")
+            * F.col("n0")
+            * (n - d)
+            / n
+            / n
+            / (n - 1)
+            * _LR_Q
+            + 0.5
+        ).cast("long"),
+    ).otherwise(0)
+    terms = risk.where((d > 0) & (F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        oe_q.alias("oe_q"), v_q.alias("v_q")
+    )
+    # coalesce(0): the terms frame can be EMPTY (a degenerate corpus
+    # with no informative stratum — e.g. every user in one group), so
+    # the sums must not come back NULL, and chi2 guards v = 0.
+    s = terms.agg(
+        F.coalesce(F.sum("oe_q"), F.lit(0)).cast("long").alias("oe"),
+        F.coalesce(F.sum("v_q"), F.lit(0)).cast("long").alias("v"),
+    )
+    chi2_raw = F.pow(F.col("oe").cast("double") / _LR_Q, 2) / (
+        F.col("v").cast("double") / _LR_Q
+    )
+    chi2 = F.when(F.col("v") == 0, F.lit(0.0)).otherwise(chi2_raw)
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("nu1").alias("n_users_purchasers"),
+        F.col("nu0").alias("n_users_other"),
+        q4(chi2).alias("chi2"),
+        ((F.col("v") > 0) & (chi2_raw > _LR_CHI2_CRIT)).alias("significant"),
+    )
