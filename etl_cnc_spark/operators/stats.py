@@ -7309,3 +7309,98 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_geq",
         q4((F.col("n_geq") + 1).cast("double") / (_PERM_N + 1)).alias("p_value"),
     )
+
+
+# ---------------------------------- stratified association (r8 wave)
+
+_MH_Q = 1_000_000_000
+
+
+@register(
+    "stat_mantel_haenszel",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS stratum,
+               CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outc
+        FROM events
+    ), cells AS (
+        SELECT stratum,
+               CAST(count_if(exposed = 1 AND outc = 1) AS BIGINT) AS a,
+               CAST(count_if(exposed = 1 AND outc = 0) AS BIGINT) AS b,
+               CAST(count_if(exposed = 0 AND outc = 1) AS BIGINT) AS c,
+               CAST(count_if(exposed = 0 AND outc = 0) AS BIGINT) AS d
+        FROM base GROUP BY stratum
+    ), terms AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(CAST(floor(CAST(a AS DOUBLE) * d / (a + b + c + d)
+                    * {_MH_Q} + 0.5) AS BIGINT)) AS BIGINT) AS num_q,
+               CAST(sum(CAST(floor(CAST(b AS DOUBLE) * c / (a + b + c + d)
+                    * {_MH_Q} + 0.5) AS BIGINT)) AS BIGINT) AS den_q,
+               CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(c) AS BIGINT) AS sc, CAST(sum(d) AS BIGINT) AS sd
+        FROM cells
+    )
+    SELECT n_strata,
+           {sql_q4("CAST(num_q AS DOUBLE) / den_q")} AS or_mh,
+           {sql_q4("CAST(sa AS DOUBLE) * sd / (CAST(sb AS DOUBLE) * sc)")}
+               AS or_crude
+    FROM terms
+    """,
+)
+def stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio of afternoon exposure vs
+    purchase outcome, stratified by ISO weekday: OR_MH =
+    sum(a_i*d_i/n_i) / sum(b_i*c_i/n_i) — the epidemiology-standard
+    pooled association that a confounded crude OR (also reported, for
+    the Simpson's-paradox comparison) cannot give.
+
+    Scale shape: one hash aggregate to the 7 weekday strata (exact
+    integer 2x2 cells), per-stratum ratio terms x1e9-quantized so
+    numerator and denominator fold as exact BIGINTs."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        # ISO weekday from Spark's Sunday-first dayofweek
+        F.expr("((dayofweek(ts) + 5) % 7) + 1").alias("stratum"),
+        F.when(F.hour("ts") >= 12, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("outc"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count_if((F.col("exposed") == 1) & (F.col("outc") == 1))
+        .cast("long")
+        .alias("a"),
+        F.count_if((F.col("exposed") == 1) & (F.col("outc") == 0))
+        .cast("long")
+        .alias("b"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outc") == 1))
+        .cast("long")
+        .alias("c"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outc") == 0))
+        .cast("long")
+        .alias("d"),
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    num_q = F.floor(
+        F.col("a").cast("double") * F.col("d") / n_i * _MH_Q + 0.5
+    ).cast("long")
+    den_q = F.floor(
+        F.col("b").cast("double") * F.col("c") / n_i * _MH_Q + 0.5
+    ).cast("long")
+    terms = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(num_q).cast("long").alias("num_q"),
+        F.sum(den_q).cast("long").alias("den_q"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("d").cast("long").alias("sd"),
+    )
+    return terms.select(
+        "n_strata",
+        q4(F.col("num_q").cast("double") / F.col("den_q")).alias("or_mh"),
+        q4(
+            F.col("sa").cast("double")
+            * F.col("sd")
+            / (F.col("sb").cast("double") * F.col("sc"))
+        ).alias("or_crude"),
+    )

@@ -76,3 +76,33 @@ def test_fairness_report_matches_numpy(spark, sf_dir):
     # parity gaps sum to ~0 when weighted by group size
     total = sum(out[grp]["n"] * out[grp]["dp_gap"] for grp in (0, 1, 2))
     assert abs(total) < 1.0
+
+
+def test_mantel_haenszel_matches_python(spark, sf_dir):
+    rows = duckdb.execute(
+        "SELECT CAST(isodow(ts) AS BIGINT),"
+        " CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # a, b, c, d
+    for s, e, o in rows:
+        idx = 0 if (e, o) == (1, 1) else 1 if (e, o) == (1, 0) else 2 if (e, o) == (0, 1) else 3
+        cells[s][idx] += 1
+    num = den = 0.0
+    sa = sb = sc = sd = 0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        num += a * d / n
+        den += b * c / n
+        sa += a
+        sb += b
+        sc += c
+        sd += d
+    row = REGISTRY["stat_mantel_haenszel"].build(spark, sf_dir).collect()[0]
+    assert row["n_strata"] == len(cells)
+    assert abs(row["or_mh"] - num / den) < 1e-3
+    assert abs(row["or_crude"] - (sa * sd) / (sb * sc)) < 1e-3
+    assert row["or_mh"] > 0
