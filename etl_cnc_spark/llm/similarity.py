@@ -3519,3 +3519,84 @@ def ml_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pred_pos").cast("double") / F.col("n") - F.col("g_rate")
         ).alias("dp_gap"),
     )
+
+
+# ------------------------------------ MCC / balanced accuracy (r8 wave T)
+
+
+@register(
+    "ml_matthews_corr",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y,
+               CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), c AS (
+        SELECT CAST(count_if(y = 1 AND sq > 0) AS BIGINT) AS tp,
+               CAST(count_if(y = 0 AND sq > 0) AS BIGINT) AS fp,
+               CAST(count_if(y = 0 AND sq <= 0) AS BIGINT) AS tn,
+               CAST(count_if(y = 1 AND sq <= 0) AS BIGINT) AS fn
+        FROM scored
+    )
+    SELECT CAST(tp + fp + tn + fn AS BIGINT) AS n,
+           {sql_q4("(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
+                   " / sqrt(((CAST(tp AS DOUBLE) + fp) * (tp + fn)"
+                   " * (CAST(tn AS DOUBLE) + fp)) * (tn + fn))")} AS mcc,
+           {sql_q4("0.5 * (CAST(tp AS DOUBLE) / (tp + fn)"
+                   " + CAST(tn AS DOUBLE) / (tn + fp))")}
+               AS balanced_accuracy,
+           {sql_q4("CAST(tp AS DOUBLE) / (tp + fn)"
+                   " + CAST(tn AS DOUBLE) / (tn + fp) - 1.0")} AS youden_j,
+           {sql_q4("CAST(tp AS DOUBLE) / (tp + fp)"
+                   " + CAST(tn AS DOUBLE) / (tn + fn) - 1.0")} AS markedness
+    FROM c
+    """,
+)
+def ml_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient + balanced accuracy + Youden's
+    J + markedness for the deterministic scorer — the
+    class-imbalance-robust readouts accuracy/F1 (ml_confusion_metrics)
+    cannot give: MCC is the phi correlation of the 2x2 confusion
+    matrix, J = TPR+TNR-1 is the informedness both classes share, and
+    markedness = PPV+NPV-1 is its dual over predictions.
+
+    Everything derives from the same four exact-integer confusion
+    cells as ml_confusion_metrics (scores 1e-6-quantized before
+    thresholding, so the boundary is engine-stable); the only floats
+    are the final ratios. The MCC denominator groups the first three
+    factors as doubles before the fourth so the product never forms a
+    BIGINT overflow on either engine.
+
+    Scale shape: one conditional aggregate (map-side partials, single
+    reduce) — four counters at 100 TB, same as ml_confusion_metrics."""
+    e = table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long").alias("sq"),
+    )
+    c = scored.agg(
+        F.count_if((F.col("y") == 1) & (F.col("sq") > 0)).cast("long").alias("tp"),
+        F.count_if((F.col("y") == 0) & (F.col("sq") > 0)).cast("long").alias("fp"),
+        F.count_if((F.col("y") == 0) & (F.col("sq") <= 0)).cast("long").alias("tn"),
+        F.count_if((F.col("y") == 1) & (F.col("sq") <= 0)).cast("long").alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(k) for k in ("tp", "fp", "tn", "fn"))
+    tpr = tp.cast("double") / (tp + fn)
+    tnr = tn.cast("double") / (tn + fp)
+    return c.select(
+        (tp + fp + tn + fn).cast("long").alias("n"),
+        q4(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                ((tp.cast("double") + fp) * (tp + fn) * (tn.cast("double") + fp))
+                * (tn + fn)
+            )
+        ).alias("mcc"),
+        q4(F.lit(0.5) * (tpr + tnr)).alias("balanced_accuracy"),
+        q4(tpr + tnr - F.lit(1.0)).alias("youden_j"),
+        q4(
+            tp.cast("double") / (tp + fp)
+            + tn.cast("double") / (tn + fn)
+            - F.lit(1.0)
+        ).alias("markedness"),
+    )

@@ -2725,3 +2725,121 @@ def ml_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(3.0) * (F.col("n") - 1))
         ).alias("chi2"),
     )
+
+
+# ----------------------------------------------- MRR (r8 wave T)
+
+# Cosine quantized to 1e-9 BEFORE ranking so the rank-1-relevant
+# position is engine-stable even at float tie boundaries.
+_MRR_Q = 1_000_000_000
+
+
+@register(
+    "ml_mrr",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+               CAST(floor(list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum')
+               / sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                    * list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                   * {_MRR_Q} + 0.5) AS BIGINT) AS cq
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {NDCG_NQ}
+    ), ranked AS (
+        SELECT qid, rel,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cq DESC, cid) AS BIGINT) AS rn
+        FROM scored
+    )
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(coalesce(min(CASE WHEN rel = 1 THEN rn END), 0) AS BIGINT)
+               AS first_rel_rank,
+           {sql_q4("coalesce(1.0 / min(CASE WHEN rel = 1 THEN rn END), 0.0)")}
+               AS rr
+    FROM ranked GROUP BY qid
+    """,
+)
+def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the FIRST relevant hit per query (mean over
+    queries = MRR, the standard QA/retrieval leaderboard number; left
+    per-query so the hash checks all 50 queries) — the companion to
+    ml_map_at_k when only one good answer matters.
+
+    No per-query sort: the first-relevant rank is computed
+    RELATIONALLY — argmax the best relevant candidate per qid (one
+    hash aggregate over a struct max), then count how many candidates
+    of ANY relevance beat it ((cq, cid) lexicographic compare). The
+    oracle keeps the window form; values agree because cosine is
+    quantized to 1e-9 before ranking on both engines.
+
+    Scale shape: identical to sim_topk_exact — broadcast 50-query
+    block, JVM fold dot products, then two hash aggregates; no window
+    at all on the Spark side, so nothing depends on per-qid candidate
+    counts staying small."""
+    from ..llm.dedup import _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.when(F.col("qlabel") == F.col("clabel"), 1).otherwise(0).alias("rel"),
+        F.floor(cos * _MRR_Q + F.lit(0.5)).cast("long").alias("cq"),
+    )
+    best = (
+        scored.where(F.col("rel") == 1)
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(F.col("cq").alias("a"), (-F.col("cid")).alias("b"))
+            ).alias("bst")
+        )
+        .select(
+            "qid",
+            F.col("bst.a").alias("bcq"),
+            (-F.col("bst.b")).alias("bcid"),
+        )
+    )
+    joined = scored.join(F.broadcast(best), "qid", "left")
+    beat = (F.col("cq") > F.col("bcq")) | (
+        (F.col("cq") == F.col("bcq")) & (F.col("cid") < F.col("bcid"))
+    )
+    out = joined.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.when(
+            F.count(F.col("bcq")) > 0, F.count_if(beat) + 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    return out.select(
+        "qid",
+        "n_candidates",
+        "first_rel_rank",
+        q4(
+            F.when(
+                F.col("first_rel_rank") > 0,
+                F.lit(1.0) / F.col("first_rel_rank"),
+            ).otherwise(0.0)
+        ).alias("rr"),
+    )

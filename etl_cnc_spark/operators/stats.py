@@ -7404,3 +7404,207 @@ def stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sb").cast("double") * F.col("sc"))
         ).alias("or_crude"),
     )
+
+
+# ------------------------------- ordinal association / trend (r8 wave T)
+
+_GKG_PRICE_BKT = 20_000  # o_totalprice band width -> ~25 ordinal bands
+
+
+@register(
+    "stat_gk_gamma",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+               CAST(floor(o_totalprice / {_GKG_PRICE_BKT}.0) AS BIGINT) AS y
+        FROM orders
+    ), grid AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY x, y
+    ), pairs AS (
+        SELECT
+            CAST(sum(CASE WHEN g1.x < g2.x AND g1.y < g2.y
+                 THEN g1.c * g2.c ELSE 0 END) AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN g1.x < g2.x AND g1.y > g2.y
+                 THEN g1.c * g2.c ELSE 0 END) AS BIGINT) AS disc,
+            CAST(sum(CASE WHEN g1.x < g2.x AND g1.y = g2.y
+                 THEN g1.c * g2.c ELSE 0 END) AS BIGINT) AS tie_y,
+            CAST(sum(CASE WHEN g1.x = g2.x
+                 THEN g1.c * g2.c ELSE 0 END) AS BIGINT) AS tie_x
+        FROM grid g1 JOIN grid g2
+          ON g1.x < g2.x OR (g1.x = g2.x AND g1.y < g2.y)
+    )
+    SELECT conc, disc,
+           {sql_q4("CAST(conc - disc AS DOUBLE) / (conc + disc)")} AS gamma,
+           {sql_q4("CAST(conc - disc AS DOUBLE) / (conc + disc + tie_y)")}
+               AS somers_dyx,
+           {sql_q4("CAST(conc - disc AS DOUBLE) / (conc + disc + tie_x)")}
+               AS somers_dxy
+    FROM pairs
+    """,
+)
+def stat_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma + both Somers' D directions for the
+    ordinal pair (order priority rank, total-price band): gamma =
+    (C-D)/(C+D) ignores all ties, Somers' d_Y|X = (C-D)/(C+D+T_Y)
+    penalizes ties on the dependent side — the ordinal-association
+    trio stat_kendall_tau's tau-b doesn't report.
+
+    Pair counting never touches row pairs: rows collapse to the
+    bounded (priority x price-band) contingency grid (<=5 x ~25
+    cells) in ONE hash aggregate, and C/D/ties are conditional sums
+    of c1*c2 products over the grid's ordered self-join — a broadcast
+    nested-loop over <=125x125 cells regardless of input size. All
+    counts exact BIGINTs; the three ratios are the only doubles.
+
+    Scale shape at 100 TB: one shuffle to the grid; the self-join is
+    driver-free and O(cells^2) with cells bounded by the attribute
+    domains, not the data."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        F.floor(F.col("o_totalprice") / float(_GKG_PRICE_BKT))
+        .cast("long")
+        .alias("y"),
+    )
+    grid = base.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g1 = grid.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
+    )
+    g2 = grid.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    ordered = (F.col("x1") < F.col("x2")) | (
+        (F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))
+    )
+    prod = F.col("c1") * F.col("c2")
+    pairs = F.broadcast(g1).join(g2, ordered).agg(
+        F.sum(
+            F.when((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2")), prod)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when((F.col("x1") < F.col("x2")) & (F.col("y1") > F.col("y2")), prod)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+        F.sum(
+            F.when((F.col("x1") < F.col("x2")) & (F.col("y1") == F.col("y2")), prod)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("tie_y"),
+        F.sum(F.when(F.col("x1") == F.col("x2"), prod).otherwise(0))
+        .cast("long")
+        .alias("tie_x"),
+    )
+    cd = F.col("conc") - F.col("disc")
+    return pairs.select(
+        "conc",
+        "disc",
+        q4(cd.cast("double") / (F.col("conc") + F.col("disc"))).alias("gamma"),
+        q4(
+            cd.cast("double") / (F.col("conc") + F.col("disc") + F.col("tie_y"))
+        ).alias("somers_dyx"),
+        q4(
+            cd.cast("double") / (F.col("conc") + F.col("disc") + F.col("tie_x"))
+        ).alias("somers_dxy"),
+    )
+
+
+@register(
+    "stat_jonckheere_terpstra",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(l_linenumber AS BIGINT) AS g,
+               CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem
+    ), grid AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY g, v
+    ), u AS (
+        SELECT CAST(sum(CASE WHEN g1.v < g2.v THEN 2 * g1.c * g2.c
+                             WHEN g1.v = g2.v THEN g1.c * g2.c
+                             ELSE 0 END) AS BIGINT) AS u2
+        FROM grid g1 JOIN grid g2 ON g1.g < g2.g
+    ), gs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(nk) AS BIGINT) AS n,
+               CAST(sum(nk * nk) AS BIGINT) AS sk2,
+               CAST(sum(nk * nk * (2 * nk + 3)) AS BIGINT) AS sk23
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS nk FROM grid GROUP BY g)
+    )
+    SELECT n, n_groups, u2,
+           CAST((n * n - sk2) AS DOUBLE) / 4.0 AS e_u,
+           {sql_q4("(u2 / 2.0 - (n * n - sk2) / 4.0)"
+                   " / sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3) - sk23)"
+                   " / 72.0)")} AS z
+    FROM u, gs
+    """,
+)
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED trend of l_quantity
+    across line numbers (the ordered-alternative upgrade of
+    stat_kruskal_wallis: H only detects *some* difference, JT detects
+    a monotone dose-response): U = sum over group pairs i<j of
+    Mann-Whitney counts #{x_i < x_j} + ties/2, normal-approx z =
+    (U - E)/sqrt(V0) with E = (N^2 - sum nk^2)/4.
+
+    U never sees row pairs: rows collapse to the exact (linenumber x
+    quantity) grid (<=7 x 50 integer cells, values already integral
+    so no binning error), and DOUBLED U (so ties/2 stays integral)
+    folds as a conditional sum of c1*c2 products over the grid's
+    g1.g < g2.g self-join — broadcast nested-loop over <=350x350
+    cells. Group sizes/moments come from one more tiny aggregate;
+    the z ratio is the only float.
+
+    Scale shape at 100 TB: one shuffle to the grid, O(cells^2)
+    bounded pair fold, two broadcast 1-row frames — no driver math,
+    no window anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_linenumber").cast("long").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    grid = base.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g1 = grid.select(
+        F.col("g").alias("ga"), F.col("v").alias("va"), F.col("c").alias("ca")
+    )
+    g2 = grid.select(
+        F.col("g").alias("gb"), F.col("v").alias("vb"), F.col("c").alias("cb")
+    )
+    u = (
+        F.broadcast(g1)
+        .join(g2, F.col("ga") < F.col("gb"))
+        .agg(
+            F.sum(
+                F.when(F.col("va") < F.col("vb"), 2 * F.col("ca") * F.col("cb"))
+                .when(F.col("va") == F.col("vb"), F.col("ca") * F.col("cb"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("u2")
+        )
+    )
+    nk = grid.groupBy("g").agg(F.sum("c").cast("long").alias("nk"))
+    gs = nk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("nk").cast("long").alias("n"),
+        F.sum(F.col("nk") * F.col("nk")).cast("long").alias("sk2"),
+        F.sum(F.col("nk") * F.col("nk") * (2 * F.col("nk") + 3))
+        .cast("long")
+        .alias("sk23"),
+    )
+    nd = F.col("n").cast("double")
+    e_u = (F.col("n") * F.col("n") - F.col("sk2")).cast("double") / F.lit(4.0)
+    v0 = (nd * F.col("n") * (2 * F.col("n") + 3) - F.col("sk23")) / F.lit(72.0)
+    return u.crossJoin(F.broadcast(gs)).select(
+        "n",
+        "n_groups",
+        "u2",
+        e_u.alias("e_u"),
+        q4((F.col("u2") / F.lit(2.0) - e_u) / F.sqrt(v0)).alias("z"),
+    )
