@@ -1158,3 +1158,160 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parsed_sum"
         ),
     )
+
+
+# ------------------------------------------ Luhn checksum (r8 wave V)
+
+# synthetic 12-digit account numbers derived from the order key (the
+# fixtures carry no real PANs); multiplier/offset spread the digit
+# distribution so roughly 1 in 10 validates, as with random numbers
+_LUHN_MUL = 7919
+_LUHN_OFF = 12345
+_LUHN_W = 12
+
+_LUHN_SQL_ACCT = (
+    f"lpad(CAST((o_orderkey * {_LUHN_MUL} + {_LUHN_OFF})"
+    f" % 1000000000000 AS VARCHAR), {_LUHN_W}, '0')"
+)
+# p = position from the right, 0-based; double every second digit
+# starting left of the check digit, subtract 9 on overflow
+_LUHN_SQL_TOTAL = (
+    "list_aggregate([CASE WHEN p % 2 = 0"
+    f" THEN CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT)"
+    f" WHEN CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT) * 2 > 9"
+    f" THEN CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT) * 2 - 9"
+    f" ELSE CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT) * 2 END"
+    f" for p in range(0, {_LUHN_W})], 'sum')"
+)
+
+
+@register(
+    "fn_luhn_check",
+    oracle=f"""
+    WITH accts AS (
+        SELECT {_LUHN_SQL_ACCT} AS acct FROM orders
+    ), totals AS (
+        SELECT CAST(({_LUHN_SQL_TOTAL}) % 10 AS BIGINT) AS rem FROM accts
+    )
+    SELECT rem, CAST(count(*) AS BIGINT) AS n,
+           CAST(rem = 0 AS BOOLEAN) AS luhn_valid
+    FROM totals GROUP BY rem
+    """,
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation over synthesized 12-digit
+    account numbers, reported as the distribution of checksum
+    remainders (rem = 0 is a valid number) — the credit-card/IMEI
+    check-digit primitive a PII-scrubbing or data-quality pass needs
+    (cf. text_pii_mask, which finds candidates; this validates them).
+
+    The whole check is ONE JVM expression: a higher-order fold over
+    the 12 digit positions (substring + conditional doubling with the
+    subtract-9 carry), no UDF, no explode — so it rides whole-stage
+    codegen and costs one map pass plus a 10-row aggregate at any
+    scale."""
+    o = table(spark, sf_dir, "orders")
+    acct = F.expr(
+        f"lpad(CAST((o_orderkey * {_LUHN_MUL}L + {_LUHN_OFF}L)"
+        f" % 1000000000000L AS STRING), {_LUHN_W}, '0')"
+    )
+    total = F.expr(
+        f"aggregate(sequence(0, {_LUHN_W - 1}), 0L, (acc, p) -> acc +"
+        f" CASE WHEN p % 2 = 0"
+        f" THEN CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT)"
+        f" WHEN CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT) * 2 > 9"
+        f" THEN CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT) * 2 - 9"
+        f" ELSE CAST(substring(acct, {_LUHN_W} - p, 1) AS BIGINT) * 2 END)"
+    )
+    return (
+        o.select(acct.alias("acct"))
+        .select((total % 10).alias("rem"))
+        .groupBy("rem")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("rem", "n", (F.col("rem") == 0).alias("luhn_valid"))
+    )
+
+
+# ------------------------------------ IPv4 parse / classify (r8 wave W)
+
+# deterministic synthetic IPv4 per user (Knuth multiplicative hash
+# into the 32-bit space) — the fixtures carry no real addresses
+_INET_MUL = 2654435761
+
+
+@register(
+    "fn_inet",
+    oracle=f"""
+    WITH ips AS (
+        SELECT (user_id * {_INET_MUL}) % 4294967296 AS ip FROM events
+    ), octets AS (
+        SELECT ip, ip // 16777216 AS a, (ip // 65536) % 256 AS b,
+               ip // 256 AS net24
+        FROM ips
+    ), classed AS (
+        SELECT CASE
+                 WHEN a = 10 OR (a = 172 AND b BETWEEN 16 AND 31)
+                      OR (a = 192 AND b = 168) THEN 'private'
+                 WHEN a = 127 THEN 'loopback'
+                 WHEN a = 169 AND b = 254 THEN 'link_local'
+                 WHEN a BETWEEN 224 AND 239 THEN 'multicast'
+                 WHEN a >= 240 THEN 'reserved'
+                 ELSE 'public'
+               END AS ip_class,
+               ip, net24
+        FROM octets
+    )
+    SELECT ip_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT ip) AS BIGINT) AS n_distinct_ips,
+           CAST(count(DISTINCT net24) AS BIGINT) AS n_slash24
+    FROM classed GROUP BY ip_class
+    """,
+)
+def fn_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address arithmetic without any inet type: synthesize a
+    deterministic 32-bit address per event user, split octets by
+    integer division, classify into RFC ranges (private/loopback/
+    link-local/multicast/reserved/public) and count distinct /24
+    networks per class — the address-plane profile a traffic or
+    abuse-analytics pipeline computes before joining threat feeds.
+
+    Everything is integer div/mod expressions (codegen-friendly, no
+    UDF, no string parsing); the only shuffle is the final
+    class-keyed aggregate with two distinct counts, which Spark
+    plans as expand + two-phase hash aggregation.
+
+    Scale shape: map pass + one bounded aggregate (<=6 classes)."""
+    e = table(spark, sf_dir, "events")
+    ip = (F.col("user_id") * _INET_MUL) % F.lit(4294967296).cast("long")
+    octets = e.select(
+        ip.alias("ip"),
+        F.expr(f"((user_id * {_INET_MUL}L) % 4294967296L) DIV 16777216L")
+        .alias("a"),
+        F.expr(
+            f"(((user_id * {_INET_MUL}L) % 4294967296L) DIV 65536L) % 256L"
+        ).alias("b"),
+        F.expr(f"((user_id * {_INET_MUL}L) % 4294967296L) DIV 256L")
+        .alias("net24"),
+    )
+    classed = octets.select(
+        F.when(
+            (F.col("a") == 10)
+            | ((F.col("a") == 172) & F.col("b").between(16, 31))
+            | ((F.col("a") == 192) & (F.col("b") == 168)),
+            "private",
+        )
+        .when(F.col("a") == 127, "loopback")
+        .when((F.col("a") == 169) & (F.col("b") == 254), "link_local")
+        .when(F.col("a").between(224, 239), "multicast")
+        .when(F.col("a") >= 240, "reserved")
+        .otherwise("public")
+        .alias("ip_class"),
+        "ip",
+        "net24",
+    )
+    return classed.groupBy("ip_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("ip").cast("long").alias("n_distinct_ips"),
+        F.countDistinct("net24").cast("long").alias("n_slash24"),
+    )

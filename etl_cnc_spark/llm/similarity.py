@@ -3600,3 +3600,1011 @@ def ml_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("markedness"),
     )
+
+
+# ------------------------------ log loss / Hosmer-Lemeshow (r8 wave U)
+
+# Per-row loss/probability terms are 1e-9-quantized to BIGINTs before
+# summing so the aggregates are order-free on both engines; exp/ln on
+# identical double inputs are the only libm calls.
+_LL_Q = 1_000_000_000
+
+# numerically stable -ln sigmoid((2y-1)*s): max(-t,0) + ln(1+exp(-|t|))
+_LL_SQL = (
+    "greatest(-((2 * (label % 2) - 1) * (({s}))), 0.0)"
+    " + ln(1.0 + exp(-abs((2 * (label % 2) - 1) * (({s})))))"
+).format(s="{s}")
+
+
+@register(
+    "ml_log_loss",
+    oracle=f"""
+    WITH terms AS (
+        SELECT label % 2 AS y,
+               CAST(floor(({_LL_SQL.format(s=_SCORE_SQL)}) * {_LL_Q} + 0.5)
+                    AS BIGINT) AS llq
+        FROM embeddings
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(y = 1) AS BIGINT) AS n_pos,
+               CAST(sum(llq) AS BIGINT) AS sllq
+        FROM terms
+    )
+    SELECT n, n_pos,
+           {sql_q4(f"CAST(sllq AS DOUBLE) / {_LL_Q} / n")} AS log_loss,
+           {sql_q4(
+               "-(CAST(n_pos AS DOUBLE) / n)"
+               " * ln(CAST(n_pos AS DOUBLE) / n)"
+               " - (1.0 - CAST(n_pos AS DOUBLE) / n)"
+               " * ln(1.0 - CAST(n_pos AS DOUBLE) / n)"
+           )} AS baseline_log_loss
+    FROM s
+    """,
+)
+def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy (log loss) of the deterministic scorer
+    under a sigmoid link, next to the no-skill baseline (the entropy
+    of the base rate — a model is only calibrated-useful below it):
+    the proper scoring rule ml_brier_score's quadratic loss
+    complements, and the training objective ml_logreg_irls_step
+    minimizes.
+
+    Per row the stable form max(-t,0) + ln(1+exp(-|t|)) with
+    t = (2y-1)·score avoids overflow for any score; each term is
+    1e-9-quantized to a BIGINT before the sum so the reduce is
+    order-free. Baseline derives from exact integer counts only.
+
+    Scale shape: one conditional aggregate — two counters and one
+    integer sum at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    t = (2 * (F.col("label") % 2) - 1).cast("double") * _score_col()
+    ll = F.greatest(-t, F.lit(0.0)) + F.log(F.lit(1.0) + F.exp(-F.abs(t)))
+    terms = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(ll * _LL_Q + F.lit(0.5)).cast("long").alias("llq"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("y") == 1).cast("long").alias("n_pos"),
+        F.sum("llq").cast("long").alias("sllq"),
+    )
+    p = F.col("n_pos").cast("double") / F.col("n")
+    return s.select(
+        "n",
+        "n_pos",
+        q4(F.col("sllq").cast("double") / _LL_Q / F.col("n")).alias("log_loss"),
+        q4(-p * F.log(p) - (F.lit(1.0) - p) * F.log(F.lit(1.0) - p)).alias(
+            "baseline_log_loss"
+        ),
+    )
+
+
+_HL_BINS = 10
+
+
+@register(
+    "ml_hosmer_lemeshow",
+    oracle=f"""
+    WITH probs AS (
+        SELECT label % 2 AS y,
+               CAST(floor(1.0 / (1.0 + exp(-({_SCORE_SQL}))) * {_LL_Q} + 0.5)
+                    AS BIGINT) AS pq
+        FROM embeddings
+    ), binned AS (
+        SELECT y, pq,
+               least({_HL_BINS - 1}, pq // {_LL_Q // _HL_BINS}) AS bin
+        FROM probs
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(y = 1) AS BIGINT) AS obs_pos,
+           {sql_q4(f"CAST(sum(pq) AS DOUBLE) / {_LL_Q}")} AS exp_pos,
+           {sql_q4(
+               f"power(count_if(y = 1) - CAST(sum(pq) AS DOUBLE) / {_LL_Q}, 2)"
+               f" / (CAST(sum(pq) AS DOUBLE) / {_LL_Q}"
+               f" * (1.0 - CAST(sum(pq) AS DOUBLE) / {_LL_Q} / count(*)))"
+           )} AS hl_contrib
+    FROM binned GROUP BY bin
+    """,
+)
+def ml_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit table for the sigmoid-linked
+    scorer: fixed-width predicted-probability bins, each with observed
+    vs expected positives and its chi-square contribution
+    (O-E)^2 / (E(1-E/n)) — summing hl_contrib gives the HL statistic
+    (chi2, df = bins-2). The calibration-table complement of
+    ml_calibration_bins (which bins raw scores): HL bins the
+    PROBABILITY scale and tests, rather than plots, the fit.
+
+    Fixed-width probability fences instead of rank deciles on
+    purpose: deciles need a global quantile pass, fixed fences are a
+    pure map-side expression. Probabilities are 1e-9-quantized before
+    binning AND before the expected-count sum, so bin membership and
+    E are identical on both engines.
+
+    Scale shape: one pass, one hash aggregate to <=10 bins."""
+    e = table(spark, sf_dir, "embeddings")
+    pq = (
+        F.floor(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_score_col())) * _LL_Q
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pq")
+    )
+    probs = e.select((F.col("label") % 2).alias("y"), pq)
+    binned = probs.select(
+        "y",
+        "pq",
+        F.least(
+            F.lit(_HL_BINS - 1),
+            F.expr(f"pq DIV {_LL_Q // _HL_BINS}"),
+        ).alias("bin"),
+    )
+    ex = F.sum("pq").cast("double") / _LL_Q
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("y") == 1).cast("long").alias("obs_pos"),
+        q4(ex).alias("exp_pos"),
+        q4(
+            F.pow(F.count_if(F.col("y") == 1) - ex, F.lit(2.0))
+            / (ex * (F.lit(1.0) - ex / F.count(F.lit(1))))
+        ).alias("hl_contrib"),
+    )
+
+
+# ----------------------------------------- Fleiss' kappa (r8 wave V)
+
+# Three deterministic pseudo-raters = the shared scorer at three
+# operating points (strict / neutral / lenient thresholds on the
+# 1e-6-quantized score) — annotators that agree on clear cases and
+# disagree near the boundary, which is exactly the structure Fleiss'
+# kappa measures.
+_FK_THRESH = (-500_000, 0, 500_000)
+_FK_M = len(_FK_THRESH)
+
+
+@register(
+    "ml_fleiss_kappa",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), votes AS (
+        SELECT {" + ".join(f"CASE WHEN sq > {t} THEN 1 ELSE 0 END" for t in _FK_THRESH)}
+               AS n_pos
+        FROM scored
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+               CAST(sum(n_pos * (n_pos - 1)
+                    + ({_FK_M} - n_pos) * ({_FK_M} - 1 - n_pos))
+                    AS BIGINT) AS agree2
+        FROM votes
+    )
+    SELECT n, CAST({_FK_M} AS BIGINT) AS n_raters,
+           {sql_q4(f"CAST(agree2 AS DOUBLE) / n / ({_FK_M} * ({_FK_M} - 1))")}
+               AS p_bar,
+           {sql_q4(f"power(CAST(tot_pos AS DOUBLE) / n / {_FK_M}, 2)"
+                   f" + power(1.0 - CAST(tot_pos AS DOUBLE) / n / {_FK_M}, 2)")}
+               AS p_e,
+           {sql_q4(
+               f"(CAST(agree2 AS DOUBLE) / n / ({_FK_M} * ({_FK_M} - 1))"
+               f" - (power(CAST(tot_pos AS DOUBLE) / n / {_FK_M}, 2)"
+               f" + power(1.0 - CAST(tot_pos AS DOUBLE) / n / {_FK_M}, 2)))"
+               f" / (1.0 - (power(CAST(tot_pos AS DOUBLE) / n / {_FK_M}, 2)"
+               f" + power(1.0 - CAST(tot_pos AS DOUBLE) / n / {_FK_M}, 2)))"
+           )} AS kappa
+    FROM s
+    """,
+)
+def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for THREE raters over binary categories — the
+    multi-rater generalization of ml_cohen_kappa that annotation
+    pipelines report when more than two labelers vote: kappa =
+    (P_bar - P_e)/(1 - P_e), with per-item agreement P_i =
+    sum_j n_ij(n_ij - 1) / (m(m-1)) and chance agreement P_e from the
+    pooled category shares. Raters are the deterministic scorer at
+    strict/neutral/lenient thresholds, so near-boundary items carry
+    the disagreement.
+
+    Both kappa ingredients fold as exact integers: agree2 sums
+    n_pos(n_pos-1) + n_neg(n_neg-1) per item (n_pos in 0..3), tot_pos
+    counts votes; the final row is pure arithmetic on three BIGINTs.
+
+    Scale shape: one pass, one aggregate, three counters at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long")
+    n_pos = sum(
+        F.when(sq > t, 1).otherwise(0) for t in _FK_THRESH
+    ).alias("n_pos")
+    votes = e.select(n_pos)
+    m = _FK_M
+    s = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+        F.sum(
+            F.col("n_pos") * (F.col("n_pos") - 1)
+            + (m - F.col("n_pos")) * (m - 1 - F.col("n_pos"))
+        )
+        .cast("long")
+        .alias("agree2"),
+    )
+    p1 = F.col("tot_pos").cast("double") / F.col("n") / m
+    p_e = F.pow(p1, F.lit(2.0)) + F.pow(F.lit(1.0) - p1, F.lit(2.0))
+    p_bar = F.col("agree2").cast("double") / F.col("n") / (m * (m - 1))
+    return s.select(
+        "n",
+        F.lit(m).cast("long").alias("n_raters"),
+        q4(p_bar).alias("p_bar"),
+        q4(p_e).alias("p_e"),
+        q4((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )
+
+
+# ---------------------- chi2 feature selection / KS separation (r8 wave X)
+
+_CHI2_NFEAT = 8
+
+
+@register(
+    "ml_chi2_select",
+    oracle=f"""
+    WITH feats AS (
+        SELECT label % 2 AS y, i,
+               CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+                   AS f
+        FROM embeddings, range(1, {_CHI2_NFEAT + 1}) t(i)
+    ), cells AS (
+        SELECT CAST(i AS BIGINT) AS feature_idx,
+               CAST(count_if(f = 1 AND y = 1) AS BIGINT) AS a,
+               CAST(count_if(f = 1 AND y = 0) AS BIGINT) AS b,
+               CAST(count_if(f = 0 AND y = 1) AS BIGINT) AS c,
+               CAST(count_if(f = 0 AND y = 0) AS BIGINT) AS d
+        FROM feats GROUP BY i
+    )
+    SELECT feature_idx, a + b + c + d AS n,
+           {sql_q4(
+               "(a + b + c + d) * power(CAST(a AS DOUBLE) * d"
+               " - CAST(b AS DOUBLE) * c, 2)"
+               " / ((CAST(a AS DOUBLE) + b) * (c + d))"
+               " / ((CAST(a AS DOUBLE) + c) * (b + d))"
+           )} AS chi2,
+           CAST({sql_q4(
+               "(a + b + c + d) * power(CAST(a AS DOUBLE) * d"
+               " - CAST(b AS DOUBLE) * c, 2)"
+               " / ((CAST(a AS DOUBLE) + b) * (c + d))"
+               " / ((CAST(a AS DOUBLE) + c) * (b + d))"
+           )} > 3.8415 AS BOOLEAN) AS selected
+    FROM cells
+    """,
+)
+def ml_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square univariate feature selection: the signed-ness of
+    each of the first {_CHI2_NFEAT} embedding dimensions scored
+    against the parity label with the 2x2 chi-square statistic
+    (df = 1; selected at the 0.05 critical value 3.8415) — the
+    sklearn-SelectKBest-style screen, run entirely relationally so
+    every feature's score comes from one shared pass.
+
+    The feature axis is a compile-time constant fan-out (explode of
+    range({_CHI2_NFEAT}), not a per-feature job): one conditional
+    aggregate produces all four confusion cells per feature, and the
+    chi2 ratio is arithmetic over exact BIGINT counts. Denominator
+    factors are grouped in double pairs to dodge BIGINT overflow.
+
+    Scale shape: {_CHI2_NFEAT}x row fan-out, one hash aggregate to
+    {_CHI2_NFEAT} rows — no joins, no windows."""
+    e = table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.explode(F.sequence(F.lit(1), F.lit(_CHI2_NFEAT))).alias("i"),
+        F.col("embedding"),
+    ).select(
+        "y",
+        "i",
+        F.when(
+            F.element_at("embedding", F.col("i")).cast("double") > 0, 1
+        )
+        .otherwise(0)
+        .alias("f"),
+    )
+    cells = feats.groupBy(F.col("i").cast("long").alias("feature_idx")).agg(
+        F.count_if((F.col("f") == 1) & (F.col("y") == 1)).cast("long").alias("a"),
+        F.count_if((F.col("f") == 1) & (F.col("y") == 0)).cast("long").alias("b"),
+        F.count_if((F.col("f") == 0) & (F.col("y") == 1)).cast("long").alias("c"),
+        F.count_if((F.col("f") == 0) & (F.col("y") == 0)).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(k) for k in "abcd")
+    n = a + b + c + d
+    chi2 = (
+        n
+        * F.pow(a.cast("double") * d - b.cast("double") * c, F.lit(2.0))
+        / ((a.cast("double") + b) * (c + d))
+        / ((a.cast("double") + c) * (b + d))
+    )
+    return cells.select(
+        "feature_idx",
+        n.alias("n"),
+        q4(chi2).alias("chi2"),
+        (q4(chi2) > 3.8415).alias("selected"),
+    )
+
+
+@register(
+    "ml_ks_separation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y,
+               CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), grp AS (
+        SELECT sq, CAST(count_if(y = 1) AS BIGINT) AS pos,
+               CAST(count_if(y = 0) AS BIGINT) AS neg
+        FROM scored GROUP BY sq
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n1, CAST(sum(neg) AS BIGINT) AS n0
+        FROM grp
+    ), cum AS (
+        SELECT sq,
+               CAST(sum(pos) OVER (ORDER BY sq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cpos,
+               CAST(sum(neg) OVER (ORDER BY sq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cneg
+        FROM grp
+    ), gaps AS (
+        SELECT sq, CAST(abs(cneg * n1 - cpos * n0) AS BIGINT) AS gapq
+        FROM cum, tot
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           {sql_q4("CAST((SELECT max(gapq) FROM gaps) AS DOUBLE)"
+                   " / n0 / n1")} AS ks_stat,
+           CAST((SELECT max(sq) FROM gaps
+                 WHERE gapq = (SELECT max(gapq) FROM gaps)) AS BIGINT)
+               AS ks_threshold_q
+    FROM tot
+    """,
+)
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the scorer: KS = max over
+    thresholds of |F_neg(s) - F_pos(s)| plus the threshold achieving
+    it — the credit-scoring discrimination headline (the two-sample
+    stat_ks_test applied to the score distributions of the two
+    classes), with the score at the max gap as the natural cutoff.
+
+    Scores collapse to distinct 1e-6-quantized values first
+    (groupBy sq), so the CDF prefix runs over the bounded score
+    GRID: the same two-level prefix as ml_roc_auc — per-bucket
+    offsets over an order-preserving coarse bucket table, then the
+    within-bucket prefix partitioned by bucket — so no window ever
+    sees a single global partition. The gap is kept as the exact
+    integer cross-difference |cneg*n1 - cpos*n0| and the argmax
+    breaks ties by MAX sq (a scalar compare, never an engine-
+    dependent arg_max); only the reported KS divides.
+
+    Scale shape at 100 TB: one shuffle to the score grid, bounded
+    prefix, single-row output."""
+    e = table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long").alias("sq"),
+    )
+    grp = scored.groupBy("sq").agg(
+        F.count_if(F.col("y") == 1).cast("long").alias("pos"),
+        F.count_if(F.col("y") == 0).cast("long").alias("neg"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum("neg").cast("long").alias("n0"),
+    )
+    # two-level prefix over the score grid (see ml_roc_auc)
+    grp = grp.withColumn("bkt", F.floor(F.col("sq") / F.lit(1_000_000)))
+    btot = grp.groupBy("bkt").agg(
+        F.sum("pos").cast("long").alias("bpos"),
+        F.sum("neg").cast("long").alias("bneg"),
+    )
+    wboff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt",
+        F.coalesce(F.sum("bpos").over(wboff), F.lit(0)).alias("opos"),
+        F.coalesce(F.sum("bneg").over(wboff), F.lit(0)).alias("oneg"),
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.join(F.broadcast(boff), "bkt").select(
+        "sq",
+        (F.col("opos") + F.sum("pos").over(win)).cast("long").alias("cpos"),
+        (F.col("oneg") + F.sum("neg").over(win)).cast("long").alias("cneg"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "sq",
+        F.abs(F.col("cneg") * F.col("n1") - F.col("cpos") * F.col("n0"))
+        .cast("long")
+        .alias("gapq"),
+    )
+    mg = gaps.agg(F.max("gapq").alias("mg"))
+    thr = (
+        gaps.crossJoin(F.broadcast(mg))
+        .where(F.col("gapq") == F.col("mg"))
+        .agg(
+            F.max("sq").cast("long").alias("ks_threshold_q"),
+            F.max("mg").cast("long").alias("mgv"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(thr)).select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        q4(
+            F.col("mgv").cast("double") / F.col("n0") / F.col("n1")
+        ).alias("ks_stat"),
+        "ks_threshold_q",
+    )
+
+
+# ----------------- DeLong AUC CI / decision-stump split (r8 wave Y)
+
+_DL_Q = 1_000_000_000
+
+
+def _score_cdf_grid(e: DataFrame) -> DataFrame:
+    """Shared scaffold for the threshold-sweep evaluators
+    (ml_ks_separation / ml_auc_delong_ci / ml_gini_impurity_split):
+    collapse rows to the distinct 1e-6-quantized score grid with
+    per-class counts and INCLUSIVE cumulative counts, via the
+    ml_roc_auc two-level prefix (per-bucket offsets over the bounded
+    bucket table, within-bucket prefix partitioned by bucket — no
+    global single-partition window)."""
+    scored = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long").alias("sq"),
+    )
+    grp = scored.groupBy("sq").agg(
+        F.count_if(F.col("y") == 1).cast("long").alias("pos"),
+        F.count_if(F.col("y") == 0).cast("long").alias("neg"),
+    )
+    grp = grp.withColumn("bkt", F.floor(F.col("sq") / F.lit(1_000_000)))
+    btot = grp.groupBy("bkt").agg(
+        F.sum("pos").cast("long").alias("bpos"),
+        F.sum("neg").cast("long").alias("bneg"),
+    )
+    wboff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt",
+        F.coalesce(F.sum("bpos").over(wboff), F.lit(0)).alias("opos"),
+        F.coalesce(F.sum("bneg").over(wboff), F.lit(0)).alias("oneg"),
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grp.join(F.broadcast(boff), "bkt").select(
+        "sq",
+        "pos",
+        "neg",
+        (F.col("opos") + F.sum("pos").over(win)).cast("long").alias("cpos"),
+        (F.col("oneg") + F.sum("neg").over(win)).cast("long").alias("cneg"),
+    )
+
+
+# shared oracle CTE text for the same grid (single-level prefix is
+# fine for DuckDB — the two-level form is a Spark scale shape)
+_GRID_SQL = f"""
+    scored AS (
+        SELECT label % 2 AS y,
+               CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), grid AS (
+        SELECT sq, CAST(count_if(y = 1) AS BIGINT) AS pos,
+               CAST(count_if(y = 0) AS BIGINT) AS neg
+        FROM scored GROUP BY sq
+    ), cum AS (
+        SELECT sq, pos, neg,
+               CAST(sum(pos) OVER (ORDER BY sq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cpos,
+               CAST(sum(neg) OVER (ORDER BY sq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cneg
+        FROM grid
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n1, CAST(sum(neg) AS BIGINT) AS n0
+        FROM grid
+    )
+"""
+
+
+@register(
+    "ml_auc_delong_ci",
+    oracle=f"""
+    WITH {_GRID_SQL},
+    plc AS (
+        SELECT pos, neg,
+               2 * (cneg - neg) + neg AS w10,
+               2 * (n1 - cpos) + pos AS w01,
+               n1, n0
+        FROM cum, tot
+    ), auc AS (
+        SELECT CAST(sum(pos * w10) AS BIGINT) AS auc2num, n1, n0
+        FROM plc GROUP BY n1, n0
+    ), vars AS (
+        SELECT
+            CAST(sum(CAST(floor(pos * power(CAST(w10 AS DOUBLE) / (2 * p.n0)
+                 - CAST(auc2num AS DOUBLE) / (2.0 * p.n1 * p.n0), 2)
+                 * {_DL_Q} + 0.5) AS BIGINT)) AS BIGINT) AS s10q,
+            CAST(sum(CAST(floor(neg * power(CAST(w01 AS DOUBLE) / (2 * p.n1)
+                 - CAST(auc2num AS DOUBLE) / (2.0 * p.n1 * p.n0), 2)
+                 * {_DL_Q} + 0.5) AS BIGINT)) AS BIGINT) AS s01q
+        FROM plc p, auc
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           {sql_q4("CAST(auc2num AS DOUBLE) / (2.0 * n1 * n0)")} AS auc,
+           {sql_q4(
+               f"sqrt(CAST(s10q AS DOUBLE) / {_DL_Q} / (n1 - 1) / n1"
+               f" + CAST(s01q AS DOUBLE) / {_DL_Q} / (n0 - 1) / n0)"
+           )} AS se,
+           {sql_q4(
+               f"CAST(auc2num AS DOUBLE) / (2.0 * n1 * n0)"
+               f" - 1.96 * sqrt(CAST(s10q AS DOUBLE) / {_DL_Q} / (n1 - 1) / n1"
+               f" + CAST(s01q AS DOUBLE) / {_DL_Q} / (n0 - 1) / n0)"
+           )} AS ci_lo,
+           {sql_q4(
+               f"CAST(auc2num AS DOUBLE) / (2.0 * n1 * n0)"
+               f" + 1.96 * sqrt(CAST(s10q AS DOUBLE) / {_DL_Q} / (n1 - 1) / n1"
+               f" + CAST(s01q AS DOUBLE) / {_DL_Q} / (n0 - 1) / n0)"
+           )} AS ci_hi
+    FROM auc, vars
+    """,
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong confidence interval for the scorer's ROC AUC: the
+    placement-value variance estimator (S10 over positives, S01 over
+    negatives) that gives a distribution-free 95% CI WITHOUT
+    bootstrap resampling — the statistically honest companion to
+    ml_roc_auc's point estimate.
+
+    Placement values stay integral: DOUBLED placements 2·n0·V10 =
+    2·neg_below + neg_at (and symmetrically for V01) come straight
+    from the inclusive score-grid prefix, the AUC numerator
+    sum(pos·w10) folds as an exact BIGINT, and the two variance
+    folds quantize each grid cell's squared deviation at 1e-9
+    (bounded by 1 per unit count, so the fold is order-free and far
+    inside 2^63). One broadcast of the single-row AUC frame feeds
+    the deviation pass.
+
+    Scale shape at 100 TB: one shuffle to the score grid, the
+    two-level bounded prefix (shared _score_cdf_grid scaffold), two
+    tiny aggregates."""
+    e = table(spark, sf_dir, "embeddings")
+    cum = _score_cdf_grid(e)
+    tot = cum.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum("neg").cast("long").alias("n0"),
+    )
+    plc = cum.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "neg",
+        (2 * (F.col("cneg") - F.col("neg")) + F.col("neg")).alias("w10"),
+        (2 * (F.col("n1") - F.col("cpos")) + F.col("pos")).alias("w01"),
+        "n1",
+        "n0",
+    )
+    auc = plc.groupBy("n1", "n0").agg(
+        F.sum(F.col("pos") * F.col("w10")).cast("long").alias("auc2num")
+    )
+    j = plc.crossJoin(F.broadcast(auc.select("auc2num")))
+    a = F.col("auc2num").cast("double") / (
+        2.0 * F.col("n1") * F.col("n0")
+    )
+    d10 = F.col("w10").cast("double") / (2 * F.col("n0")) - a
+    d01 = F.col("w01").cast("double") / (2 * F.col("n1")) - a
+    vars_ = j.agg(
+        F.sum(
+            F.floor(F.col("pos") * F.pow(d10, F.lit(2.0)) * _DL_Q + F.lit(0.5))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("s10q"),
+        F.sum(
+            F.floor(F.col("neg") * F.pow(d01, F.lit(2.0)) * _DL_Q + F.lit(0.5))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("s01q"),
+    )
+    out = auc.crossJoin(F.broadcast(vars_))
+    auc_v = F.col("auc2num").cast("double") / (
+        2.0 * F.col("n1") * F.col("n0")
+    )
+    se = F.sqrt(
+        F.col("s10q").cast("double") / _DL_Q / (F.col("n1") - 1) / F.col("n1")
+        + F.col("s01q").cast("double") / _DL_Q / (F.col("n0") - 1) / F.col("n0")
+    )
+    return out.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        q4(auc_v).alias("auc"),
+        q4(se).alias("se"),
+        q4(auc_v - 1.96 * se).alias("ci_lo"),
+        q4(auc_v + 1.96 * se).alias("ci_hi"),
+    )
+
+
+_GINI_Q = 1_000_000_000_000
+
+
+@register(
+    "ml_gini_impurity_split",
+    oracle=f"""
+    WITH {_GRID_SQL},
+    gains AS (
+        SELECT sq,
+               CAST(floor((
+                   (1.0 - (power(CAST(n1 AS DOUBLE), 2)
+                         + power(CAST(n0 AS DOUBLE), 2))
+                        / power(CAST(n1 + n0 AS DOUBLE), 2))
+                   - (CAST(cpos + cneg AS DOUBLE) / (n1 + n0))
+                     * (1.0 - (power(CAST(cpos AS DOUBLE), 2)
+                             + power(CAST(cneg AS DOUBLE), 2))
+                          / power(CAST(cpos + cneg AS DOUBLE), 2))
+                   - (CAST(n1 + n0 - cpos - cneg AS DOUBLE) / (n1 + n0))
+                     * (1.0 - (power(CAST(n1 - cpos AS DOUBLE), 2)
+                             + power(CAST(n0 - cneg AS DOUBLE), 2))
+                          / power(CAST(n1 + n0 - cpos - cneg AS DOUBLE), 2))
+               ) * {_GINI_Q} + 0.5) AS BIGINT) AS gainq,
+               cpos, cneg, n1, n0
+        FROM cum, tot
+        WHERE cpos + cneg < n1 + n0
+    )
+    SELECT (SELECT CAST(max(sq) AS BIGINT) FROM gains
+            WHERE gainq = (SELECT max(gainq) FROM gains)) AS threshold_q,
+           {sql_q4(f"CAST((SELECT max(gainq) FROM gains) AS DOUBLE)"
+                   f" / {_GINI_Q}")} AS gini_gain,
+           {sql_q4("1.0 - (power(CAST(n1 AS DOUBLE), 2)"
+                   " + power(CAST(n0 AS DOUBLE), 2))"
+                   " / power(CAST(n1 + n0 AS DOUBLE), 2)")} AS gini_parent,
+           (SELECT CAST(cpos + cneg AS BIGINT) FROM gains
+            WHERE gainq = (SELECT max(gainq) FROM gains)
+              AND sq = (SELECT max(sq) FROM gains
+                        WHERE gainq = (SELECT max(gainq) FROM gains)))
+               AS n_left
+    FROM tot
+    """,
+)
+def ml_gini_impurity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a decision stump relationally: the best split threshold
+    on the scorer by Gini impurity reduction — gain(t) =
+    G(parent) - (n_l/n)·G(left) - (n_r/n)·G(right) evaluated at EVERY
+    distinct score from one cumulative pass, argmax with a
+    deterministic max-sq tie-break. The CART building block
+    (ml_gbm_histogram's split search, isolated and exactly
+    verifiable).
+
+    Candidate thresholds are the score grid, so the sweep costs one
+    bounded prefix (shared _score_cdf_grid scaffold) + one scan of
+    the grid; gains are quantized to 1e-12 BIGINTs so the argmax
+    compares integers, never engine-ordered doubles. The empty-right
+    split is excluded by construction.
+
+    Scale shape at 100 TB: identical to ml_ks_separation — grid
+    shuffle, bounded prefix, two single-row reductions."""
+    e = table(spark, sf_dir, "embeddings")
+    cum = _score_cdf_grid(e)
+    tot = cum.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum("neg").cast("long").alias("n0"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    nl = (F.col("cpos") + F.col("cneg")).cast("double")
+    nr = n - nl
+    g_par = F.lit(1.0) - (
+        F.pow(F.col("n1").cast("double"), F.lit(2.0))
+        + F.pow(F.col("n0").cast("double"), F.lit(2.0))
+    ) / F.pow(n, F.lit(2.0))
+    g_l = F.lit(1.0) - (
+        F.pow(F.col("cpos").cast("double"), F.lit(2.0))
+        + F.pow(F.col("cneg").cast("double"), F.lit(2.0))
+    ) / F.pow(nl, F.lit(2.0))
+    g_r = F.lit(1.0) - (
+        F.pow((F.col("n1") - F.col("cpos")).cast("double"), F.lit(2.0))
+        + F.pow((F.col("n0") - F.col("cneg")).cast("double"), F.lit(2.0))
+    ) / F.pow(nr, F.lit(2.0))
+    # the empty-right-side split is excluded by making gainq TOTAL
+    # (when-guard inside the expression, not only a filter): Catalyst
+    # may push a later gainq predicate below the row filter, and the
+    # guard keeps g_r's division from ever seeing nr = 0 there
+    gains = j.select(
+        "sq",
+        (F.col("cpos") + F.col("cneg")).cast("long").alias("nl"),
+        F.when(
+            F.col("cpos") + F.col("cneg") < F.col("n1") + F.col("n0"),
+            F.floor(
+                (g_par - nl / n * g_l - nr / n * g_r) * _GINI_Q + F.lit(0.5)
+            ).cast("long"),
+        ).alias("gainq"),
+    ).where(F.col("gainq").isNotNull())
+    mg = gains.agg(F.max("gainq").alias("mg"))
+    best = (
+        gains.crossJoin(F.broadcast(mg))
+        .where(F.col("gainq") == F.col("mg"))
+        .agg(
+            F.max("sq").cast("long").alias("threshold_q"),
+            F.max("mg").cast("long").alias("mgv"),
+            F.max_by("nl", F.col("sq")).cast("long").alias("n_left"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(best)).select(
+        "threshold_q",
+        q4(F.col("mgv").cast("double") / _GINI_Q).alias("gini_gain"),
+        q4(
+            F.lit(1.0)
+            - (
+                F.pow(F.col("n1").cast("double"), F.lit(2.0))
+                + F.pow(F.col("n0").cast("double"), F.lit(2.0))
+            )
+            / F.pow((F.col("n1") + F.col("n0")).cast("double"), F.lit(2.0))
+        ).alias("gini_parent"),
+        "n_left",
+    )
+
+
+# ------------------------------- simplified silhouette (r8 wave Z)
+
+_SIL_CQ = 1_000_000      # per-component centroid quantization
+_SIL_SQ = 1_000_000_000  # per-point silhouette quantization
+
+
+@register(
+    "ml_silhouette_simplified",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, i,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_SIL_CQ}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i
+    ), cents AS (
+        SELECT label AS clabel,
+               list(CAST(sq AS DOUBLE) / {_SIL_CQ} / n ORDER BY i) AS cent
+        FROM comp GROUP BY label
+    ), dists AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               sqrt(list_aggregate([power(CAST(e.embedding[d] AS DOUBLE)
+                    - c.cent[d], 2) for d in range(1, 65)], 'sum')) AS dist
+        FROM embeddings e, cents c
+    ), ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN clabel = label THEN dist END) AS a,
+               min(CASE WHEN clabel <> label THEN dist END) AS b
+        FROM dists GROUP BY vec_id, label
+    ), sil AS (
+        SELECT label,
+               CAST(floor((b - a) / greatest(a, b) * {_SIL_SQ} + 0.5)
+                    AS BIGINT) AS silq
+        FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           {sql_q4(f"CAST(sum(silq) AS DOUBLE) / {_SIL_SQ} / count(*)")}
+               AS mean_silhouette,
+           CAST(count_if(silq < 0) AS BIGINT) AS n_misplaced
+    FROM sil GROUP BY label
+    """,
+)
+def ml_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label cluster:
+    s = (b - a)/max(a, b) with a = distance to the OWN centroid and
+    b = the nearest OTHER centroid — the O(n·k) clustering-quality
+    score sklearn calls silhouette on medoids, avoiding the O(n^2)
+    pairwise definition entirely; n_misplaced counts points whose
+    nearest centroid is foreign (s < 0). Complements
+    embed_centroid_inertia (dispersion) with a separation-aware
+    readout.
+
+    Centroids are exact: per-component sums fold 1e-6-quantized
+    BIGINTs, so both engines divide identical integers; distances
+    are one JVM fold per (point, centroid) against the broadcast
+    k-row centroid-array table; per-point silhouettes are
+    1e-9-quantized before the per-cluster mean so the reduce is
+    order-free.
+
+    Scale shape at 100 TB: one component-grid aggregate (64k rows),
+    a broadcast nested-loop fan-out of k per point (k = |labels|,
+    bounded), one hash aggregate back to k rows."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "x"),
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * _SIL_CQ + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    ).groupBy("label", "i").agg(
+        F.sum("xq").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cents_t = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("i").alias("i"),
+                        (F.col("sq").cast("double") / _SIL_CQ / F.col("n"))
+                        .alias("c"),
+                    )
+                )
+            ),
+            lambda s: s.getField("c"),
+        ).alias("cent")
+    )
+    dists = e.crossJoin(F.broadcast(cents_t)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("cent"),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("dist"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    sil = ab.select(
+        "label",
+        F.floor(
+            (F.col("b") - F.col("a"))
+            / F.greatest("a", "b")
+            * _SIL_SQ
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("silq"),
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        q4(
+            F.sum("silq").cast("double") / _SIL_SQ / F.count(F.lit(1))
+        ).alias("mean_silhouette"),
+        F.count_if(F.col("silq") < 0).cast("long").alias("n_misplaced"),
+    )
+
+
+# ------------------------------ variance spectrum (r8 wave AA)
+
+_VS_Q = 1_000_000
+
+
+@register(
+    "embed_variance_spectrum",
+    oracle=f"""
+    WITH comp AS (
+        SELECT i,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_VS_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_VS_Q}
+                    + 0.5) AS BIGINT)
+                    * CAST(floor(CAST(embedding[i] AS DOUBLE) * {_VS_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS s2
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY i
+    ), vars AS (
+        SELECT CAST(i AS BIGINT) AS dim,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                   / (n - 1) / {_VS_Q} / {_VS_Q} AS v
+        FROM comp
+    ), tot AS (
+        SELECT CAST(sum(CAST(floor(v * {_VS_Q} + 0.5) AS BIGINT)) AS BIGINT)
+                   AS vtq,
+               CAST(sum(CAST(floor(v * v * {_VS_Q} + 0.5) AS BIGINT))
+                   AS BIGINT) AS v2q
+        FROM vars
+    ), ranked AS (
+        SELECT dim, v,
+               CAST(row_number() OVER (ORDER BY v DESC, dim) AS BIGINT)
+                   AS rank,
+               CAST(sum(CAST(floor(v * {_VS_Q} + 0.5) AS BIGINT))
+                    OVER (ORDER BY v DESC, dim
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cvq
+        FROM vars
+    )
+    SELECT dim, rank,
+           {sql_q4("v")} AS variance,
+           {sql_q4(f"CAST(floor(v * {_VS_Q} + 0.5) AS DOUBLE) / vtq")}
+               AS share,
+           {sql_q4("CAST(cvq AS DOUBLE) / vtq")} AS cum_share,
+           {sql_q4(f"power(CAST(vtq AS DOUBLE) / {_VS_Q}, 2)"
+                   f" / (CAST(v2q AS DOUBLE) / {_VS_Q})")} AS effective_dims
+    FROM ranked, tot
+    """,
+)
+def embed_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance spectrum of the embedding space, ranked
+    descending with cumulative explained-variance share and the
+    participation ratio (sum v)^2 / sum v^2 as the effective
+    dimensionality — the PCA-free scree plot that tells a retrieval
+    pipeline how anisotropic its space is (cf. embed_isotropy) and
+    how far matryoshka truncation (embed_matryoshka_topk) can go
+    before recall collapses.
+
+    Per-dimension moments fold as exact 1e-6 fixed-point BIGINTs
+    (one 64-way compile-time fan-out, one hash aggregate to 64
+    rows); the ranking window and cumulative share run on the
+    64-row spectrum (bounded by the declared dimensionality), and
+    shares divide the same quantized integers on both engines.
+
+    Scale shape at 100 TB: one fan-out pass, one 64-row aggregate —
+    the spectrum never depends on corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    xq = F.floor(F.col("x").cast("double") * _VS_Q + F.lit(0.5)).cast("long")
+    comp = (
+        e.select(F.posexplode("embedding").alias("i0", "x"))
+        .select((F.col("i0") + 1).alias("dim"), xq.alias("xq"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xq").cast("long").alias("s1"),
+            F.sum(F.col("xq") * F.col("xq")).cast("long").alias("s2"),
+        )
+    )
+    v = (
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / _VS_Q
+        / _VS_Q
+    )
+    vars_ = comp.select(F.col("dim").cast("long").alias("dim"), v.alias("v"))
+    vq = F.floor(F.col("v") * _VS_Q + F.lit(0.5)).cast("long")
+    tot = vars_.agg(
+        F.sum(vq).cast("long").alias("vtq"),
+        F.sum(
+            F.floor(F.col("v") * F.col("v") * _VS_Q + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("v2q"),
+    )
+    wr = Window.orderBy(F.col("v").desc(), "dim")
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = vars_.select(
+        "dim",
+        "v",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.sum(vq).over(wc).cast("long").alias("cvq"),
+    )
+    out = ranked.crossJoin(F.broadcast(tot))
+    return out.select(
+        "dim",
+        "rank",
+        q4(F.col("v")).alias("variance"),
+        q4(vq.cast("double") / F.col("vtq")).alias("share"),
+        q4(F.col("cvq").cast("double") / F.col("vtq")).alias("cum_share"),
+        q4(
+            F.pow(F.col("vtq").cast("double") / _VS_Q, F.lit(2.0))
+            / (F.col("v2q").cast("double") / _VS_Q)
+        ).alias("effective_dims"),
+    )

@@ -3137,3 +3137,188 @@ def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------- lexical richness indices (r8 wave U)
+
+
+@register(
+    "text_lexical_richness",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+        FROM words GROUP BY lang, w
+    ), agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(f) AS BIGINT) AS n,
+               CAST(count_if(f = 1) AS BIGINT) AS v1,
+               CAST(count_if(f = 2) AS BIGINT) AS v2
+        FROM freq GROUP BY lang
+    )
+    SELECT lang, v AS vocab, n AS tokens,
+           {sql_q4("ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE))")}
+               AS herdan_c,
+           {sql_q4("CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE))")}
+               AS guiraud_r,
+           {sql_q4("power(CAST(n AS DOUBLE),"
+                   " power(CAST(v AS DOUBLE), -0.165))")} AS brunet_w,
+           {sql_q4("CASE WHEN v1 = v THEN 0.0 ELSE"
+                   " 100.0 * ln(CAST(n AS DOUBLE))"
+                   " / (1.0 - CAST(v1 AS DOUBLE) / v) END")} AS honore_r,
+           {sql_q4("CAST(v2 AS DOUBLE) / v")} AS sichel_s
+    FROM agg
+    """,
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-richness index panel: Herdan's C
+    (log-log TTR), Guiraud's R (root TTR), Brunet's W (N^(V^-0.165)),
+    Honoré's R (hapax-weighted 100·lnN / (1 - V1/V)) and Sichel's S
+    (dis-legomena share V2/V) — the size-robust vocabulary-diversity
+    measures stylometry uses where the raw type-token ratio
+    (text_hapax_stats) collapses with corpus length; together they
+    fingerprint template-heavy or machine-generated languages.
+
+    All five indices are single libm expressions over FOUR exact
+    integers (V, N, V1, V2) per language, so the relational work is
+    identical to text_hapax_stats: explode → one hash aggregate to
+    (lang, word) — map-side combined, shuffling only distinct words —
+    → one aggregate to |langs| rows. Degenerate all-hapax corpora
+    (V1 = V) return Honoré R = 0 by spec rather than dividing by 0.
+
+    Scale shape at 100 TB: the only shuffle carries (lang, word)
+    digests; output rows = |language domain|."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    agg = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("f").cast("long").alias("n"),
+        F.count_if(F.col("f") == 1).cast("long").alias("v1"),
+        F.count_if(F.col("f") == 2).cast("long").alias("v2"),
+    )
+    v = F.col("v").cast("double")
+    n = F.col("n").cast("double")
+    v1 = F.col("v1").cast("double")
+    return agg.select(
+        "lang",
+        F.col("v").alias("vocab"),
+        F.col("n").alias("tokens"),
+        q4(F.log(v) / F.log(n)).alias("herdan_c"),
+        q4(v / F.sqrt(n)).alias("guiraud_r"),
+        q4(F.pow(n, F.pow(v, F.lit(-0.165)))).alias("brunet_w"),
+        q4(
+            F.when(F.col("v1") == F.col("v"), F.lit(0.0)).otherwise(
+                F.lit(100.0) * F.log(n) / (F.lit(1.0) - v1 / v)
+            )
+        ).alias("honore_r"),
+        q4(F.col("v2").cast("double") / v).alias("sichel_s"),
+    )
+
+
+# ----------------------------- char bigram entropy rate (r8 wave W)
+
+_CBE_Q = 1_000_000_000
+
+
+@register(
+    "text_char_bigram_entropy",
+    oracle=f"""
+    WITH grams AS (
+        SELECT lang, unnest([substring(text, i, 2)
+               for i in range(1, length(text))]) AS g
+        FROM documents WHERE length(text) >= 2
+    ), cells AS (
+        SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY lang, g
+    ), big AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * {_CBE_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS s2
+        FROM cells GROUP BY lang
+    ), pre AS (
+        SELECT lang, CAST(sum(CAST(floor(c1 * ln(CAST(c1 AS DOUBLE))
+                    * {_CBE_Q} + 0.5) AS BIGINT)) AS BIGINT) AS s1
+        FROM (SELECT lang, substring(g, 1, 1) AS p,
+                     CAST(sum(c) AS BIGINT) AS c1
+              FROM cells GROUP BY lang, p)
+        GROUP BY lang
+    )
+    SELECT b.lang, b.n AS n_bigrams,
+           {sql_q4(f"ln(CAST(b.n AS DOUBLE)) - CAST(b.s2 AS DOUBLE)"
+                   f" / {_CBE_Q} / b.n")} AS h_bigram,
+           {sql_q4(f"ln(CAST(b.n AS DOUBLE)) - CAST(p.s1 AS DOUBLE)"
+                   f" / {_CBE_Q} / b.n")} AS h_prefix,
+           {sql_q4(f"(CAST(p.s1 AS DOUBLE) - CAST(b.s2 AS DOUBLE))"
+                   f" / {_CBE_Q} / b.n")} AS h_cond,
+           {sql_q4(f"exp((CAST(p.s1 AS DOUBLE) - CAST(b.s2 AS DOUBLE))"
+                   f" / {_CBE_Q} / b.n)")} AS perplexity
+    FROM big b JOIN pre p ON p.lang = b.lang
+    """,
+)
+def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-level conditional entropy H(c2|c1) =
+    H(bigram) - H(prefix) in nats, with its perplexity — the
+    Shannon-style order-1 entropy RATE that separates natural
+    language (low, structured) from near-random or templated text,
+    complementing the order-0 token view of text_token_entropy.
+
+    Bigrams come from ONE higher-order explode (transform over
+    sequence, no UDF); both entropies use the H = ln N - (1/N)
+    sum c·ln c identity with each c·ln c term 1e-9-quantized so the
+    folds are order-free, and the prefix marginal is derived FROM the
+    bigram cells (substring of the gram), not a second corpus pass.
+    The conditional entropy cancels the ln N terms: H_cond =
+    (s1 - s2)/(Q·N).
+
+    Scale shape at 100 TB: the only heavy shuffle carries (lang,
+    bigram) cells — bounded by the squared alphabet, not the corpus;
+    everything downstream is |langs|-row arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.where(F.length("text") >= 2).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("g"),
+    )
+    cells = grams.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def _clq(col: Column) -> Column:
+        return (
+            F.floor(col * F.log(col.cast("double")) * _CBE_Q + F.lit(0.5))
+            .cast("long")
+        )
+
+    big = cells.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(_clq(F.col("c"))).cast("long").alias("s2"),
+    )
+    pre = (
+        cells.groupBy("lang", F.substring("g", 1, 1).alias("p"))
+        .agg(F.sum("c").cast("long").alias("c1"))
+        .groupBy("lang")
+        .agg(F.sum(_clq(F.col("c1"))).cast("long").alias("s1"))
+    )
+    j = big.join(pre, "lang")
+    nd = F.col("n").cast("double")
+    h2 = F.log(nd) - F.col("s2").cast("double") / _CBE_Q / F.col("n")
+    h1 = F.log(nd) - F.col("s1").cast("double") / _CBE_Q / F.col("n")
+    hc = (F.col("s1").cast("double") - F.col("s2")) / _CBE_Q / F.col("n")
+    return j.select(
+        "lang",
+        F.col("n").alias("n_bigrams"),
+        q4(h2).alias("h_bigram"),
+        q4(h1).alias("h_prefix"),
+        q4(hc).alias("h_cond"),
+        q4(F.exp(hc)).alias("perplexity"),
+    )

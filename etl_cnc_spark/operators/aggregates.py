@@ -1608,3 +1608,148 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(F.col("l_orderkey"), key_max).alias("bottom_orderkey"),
         F.min(c).alias("bottom_cents"),
     )
+
+
+# --------------------------------- Pythagorean mean family (r8 wave V)
+
+# per-row fixed-point scales chosen so the folds stay far from BIGINT
+# range even at 1e12 rows: ln(x) <= ~12 -> 1.2e10/row at 1e9 scale is
+# too hot, so ln uses 1e6; 1/x <= ~1e-3 at 1e12 scale is <=1e9/row;
+# (x/100)^2 <= ~2.6e7/row.
+_PM_LN_Q = 1_000_000
+_PM_INV_Q = 1_000_000_000_000
+
+
+@register(
+    "agg_pythagorean_means",
+    oracle=f"""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS scents,
+               CAST(sum(CAST(floor(ln(l_extendedprice) * {_PM_LN_Q} + 0.5)
+                    AS BIGINT)) AS BIGINT) AS slnq,
+               CAST(sum(CAST(floor({_PM_INV_Q} / l_extendedprice + 0.5)
+                    AS BIGINT)) AS BIGINT) AS sinvq,
+               CAST(sum(CAST(floor(l_extendedprice * l_extendedprice / 10000
+                    + 0.5) AS BIGINT)) AS BIGINT) AS ssq
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {sql_q4("CAST(scents AS DOUBLE) / 100.0 / n")} AS mean_arith,
+           {sql_q4(f"exp(CAST(slnq AS DOUBLE) / {_PM_LN_Q} / n)")}
+               AS mean_geom,
+           {sql_q4(f"CAST(n AS DOUBLE) * {_PM_INV_Q} / sinvq")}
+               AS mean_harm,
+           {sql_q4("sqrt(CAST(ssq AS DOUBLE) * 10000.0 / n)")} AS mean_rms
+    FROM t
+    """,
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Pythagorean mean ladder of extended price per return
+    flag — arithmetic, geometric (exp of mean log), harmonic
+    (N / sum of reciprocals) and quadratic/RMS — with the AM >= GM >=
+    HM inequality as a built-in sanity invariant; the geometric and
+    harmonic means are the right aggregates for ratios and rates
+    where agg_stats' arithmetic mean misleads.
+
+    Each non-arithmetic mean needs one nonlinear per-row term, so all
+    four fold as order-free BIGINTs at documented fixed-point scales
+    (ln at 1e6, reciprocal at 1e12, square at 1e-4 of cents^2) sized
+    to stay inside 2^63 even at 1e12 input rows; the outer exp/sqrt/
+    divisions run once per group.
+
+    Scale shape: ONE hash aggregate, map-side combined, |flags|
+    output rows."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    t = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents(x)).cast("long").alias("scents"),
+        F.sum(F.floor(F.log(x) * _PM_LN_Q + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("slnq"),
+        F.sum(F.floor(F.lit(_PM_INV_Q) / x + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sinvq"),
+        F.sum(F.floor(x * x / 10000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("ssq"),
+    )
+    nd = F.col("n").cast("double")
+    return t.select(
+        "l_returnflag",
+        "n",
+        q4(F.col("scents").cast("double") / 100.0 / nd).alias("mean_arith"),
+        q4(F.exp(F.col("slnq").cast("double") / _PM_LN_Q / nd)).alias(
+            "mean_geom"
+        ),
+        q4(nd * _PM_INV_Q / F.col("sinvq")).alias("mean_harm"),
+        q4(F.sqrt(F.col("ssq").cast("double") * 10000.0 / nd)).alias(
+            "mean_rms"
+        ),
+    )
+
+
+# ------------------------------- frequency moments (r8 wave Z)
+
+
+@register(
+    "agg_frequency_moments",
+    oracle=f"""
+    WITH freq AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS f0,
+           CAST(sum(c) AS BIGINT) AS f1,
+           CAST(sum(c * c) AS BIGINT) AS f2,
+           CAST(sum(c * c * c) AS BIGINT) AS f3,
+           CAST(max(c) AS BIGINT) AS f_inf,
+           {sql_q4("1.0 - CAST(sum(c * c) AS DOUBLE)"
+                   " / (CAST(sum(c) AS DOUBLE) * sum(c))")}
+               AS gini_simpson,
+           {sql_q4("CAST(sum(c * c) AS DOUBLE) / count(*)"
+                   " / power(CAST(sum(c) AS DOUBLE) / count(*), 2)")}
+               AS skew_factor
+    FROM freq
+    """,
+)
+def agg_frequency_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency moments of the part-key stream (the AMS-sketch
+    quantities, computed EXACTLY): F0 = distinct keys, F1 = stream
+    length, F2 = self-join size, F3, F_inf = heavy-hitter mass, plus
+    the Gini-Simpson diversity 1 - F2/F1^2 and the skew factor
+    F2·F0/F1^2 — the numbers a cost-based optimizer (and every
+    skew-aware join planner, cf. etl_skew_report) needs about a join
+    key: F2/F1 is the expected fan-out of self-joining it.
+
+    One hash aggregate to the key-frequency table (map-side
+    combined), one fold to a single row; all moments exact BIGINTs
+    (c <= F1, so c^3 stays far inside 2^63 for any realistic key
+    frequency).
+
+    Scale shape at 100 TB: the only shuffle carries distinct keys."""
+    li = table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c = F.col("c")
+    return freq.agg(
+        F.count(F.lit(1)).cast("long").alias("f0"),
+        F.sum(c).cast("long").alias("f1"),
+        F.sum(c * c).cast("long").alias("f2"),
+        F.sum(c * c * c).cast("long").alias("f3"),
+        F.max(c).cast("long").alias("f_inf"),
+        q4(
+            F.lit(1.0)
+            - F.sum(c * c).cast("double")
+            / (F.sum(c).cast("double") * F.sum(c))
+        ).alias("gini_simpson"),
+        q4(
+            F.sum(c * c).cast("double")
+            / F.count(F.lit(1))
+            / F.pow(F.sum(c).cast("double") / F.count(F.lit(1)), F.lit(2.0))
+        ).alias("skew_factor"),
+    )

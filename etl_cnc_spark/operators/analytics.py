@@ -8292,3 +8292,168 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(chi2).alias("chi2"),
         ((F.col("v") > 0) & (chi2_raw > _LR_CHI2_CRIT)).alias("significant"),
     )
+
+
+# ------------------------------- inventory safety stock (r8 wave U)
+
+_SS_Z_E4 = 16449   # z for 95% cycle service level, x1e4 (Phi^-1(0.95))
+_SS_LEAD_DAYS = 7  # review/replenishment lead time
+
+
+@register(
+    "orders_safety_stock",
+    oracle=f"""
+    WITH daily AS (
+        SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), s AS (
+        SELECT suppkey,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(q * q) AS BIGINT) AS sq2
+        FROM daily GROUP BY suppkey
+    )
+    SELECT suppkey, n_days,
+           {sql_q4("CAST(sq AS DOUBLE) / n_days")} AS mean_daily,
+           {sql_q4("sqrt((n_days * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)"
+                   " * sq) / (CAST(n_days AS DOUBLE) * (n_days - 1)))")}
+               AS std_daily,
+           {sql_q4(f"{_SS_Z_E4}e-4 * sqrt((n_days * CAST(sq2 AS DOUBLE)"
+                   f" - CAST(sq AS DOUBLE) * sq)"
+                   f" / (CAST(n_days AS DOUBLE) * (n_days - 1)))"
+                   f" * sqrt({_SS_LEAD_DAYS}.0)")} AS safety_stock,
+           {sql_q4(f"CAST(sq AS DOUBLE) / n_days * {_SS_LEAD_DAYS}"
+                   f" + {_SS_Z_E4}e-4 * sqrt((n_days * CAST(sq2 AS DOUBLE)"
+                   f" - CAST(sq AS DOUBLE) * sq)"
+                   f" / (CAST(n_days AS DOUBLE) * (n_days - 1)))"
+                   f" * sqrt({_SS_LEAD_DAYS}.0)")} AS reorder_point
+    FROM s
+    WHERE n_days > 1
+    """,
+)
+def orders_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier safety-stock and reorder-point policy from shipped
+    demand: SS = z · sigma_daily · sqrt(L) and ROP = mu_daily · L + SS
+    at a 95% cycle service level (z = 1.6449) over a 7-day lead time —
+    the king-formula inventory policy that pairs with
+    orders_eoq_policy (how MUCH to order) by answering WHEN to order.
+    Daily demand statistics are over ACTIVE shipping days (documented
+    choice: zero-fill would need the calendar domain).
+
+    Demand variance comes from exact integer moments: quantities are
+    integral, so sum(q) and sum(q^2) fold as BIGINTs and the sample
+    std is one sqrt over exact integers per supplier; suppliers with
+    a single active day are excluded (variance undefined).
+
+    Scale shape at 100 TB: two hash aggregates — (supplier, day) then
+    supplier — both map-side combined; no windows, no joins."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_quantity").cast("long").alias("qi"),
+        )
+        .groupBy("suppkey", "d")
+        .agg(F.sum("qi").cast("long").alias("q"))
+    )
+    s = daily.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean_d = F.col("sq").cast("double") / F.col("n_days")
+    std_d = F.sqrt(
+        (F.col("n_days") * F.col("sq2").cast("double")
+         - F.col("sq").cast("double") * F.col("sq"))
+        / (nd * (F.col("n_days") - 1))
+    )
+    ss = F.lit(_SS_Z_E4 * 1e-4) * std_d * F.sqrt(F.lit(float(_SS_LEAD_DAYS)))
+    return s.where(F.col("n_days") > 1).select(
+        "suppkey",
+        "n_days",
+        q4(mean_d).alias("mean_daily"),
+        q4(std_d).alias("std_daily"),
+        q4(ss).alias("safety_stock"),
+        q4(mean_d * _SS_LEAD_DAYS + ss).alias("reorder_point"),
+    )
+
+
+# ------------------------------------ attribute control chart (r8 wave W)
+
+
+@register(
+    "events_spc_p_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(k) AS BIGINT) AS tk
+        FROM daily
+    )
+    SELECT day, n, k,
+           {sql_q4("CAST(k AS DOUBLE) / n")} AS p,
+           {sql_q4("CAST(tk AS DOUBLE) / tn")} AS p_bar,
+           {sql_q4("CAST(tk AS DOUBLE) / tn + 3.0 * sqrt(CAST(tk AS DOUBLE)"
+                   " / tn * (1.0 - CAST(tk AS DOUBLE) / tn) / n)")} AS ucl,
+           {sql_q4("greatest(0.0, CAST(tk AS DOUBLE) / tn"
+                   " - 3.0 * sqrt(CAST(tk AS DOUBLE) / tn"
+                   " * (1.0 - CAST(tk AS DOUBLE) / tn) / n))")} AS lcl,
+           CAST(CAST(k AS DOUBLE) / n > CAST(tk AS DOUBLE) / tn
+                + 3.0 * sqrt(CAST(tk AS DOUBLE) / tn
+                * (1.0 - CAST(tk AS DOUBLE) / tn) / n)
+             OR CAST(k AS DOUBLE) / n < CAST(tk AS DOUBLE) / tn
+                - 3.0 * sqrt(CAST(tk AS DOUBLE) / tn
+                * (1.0 - CAST(tk AS DOUBLE) / tn) / n)
+             AS BOOLEAN) AS out_of_control
+    FROM daily, tot
+    """,
+)
+def events_spc_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute (p) control chart of the daily purchase share with
+    per-day 3-sigma binomial limits: UCL/LCL = p_bar +- 3·sqrt(
+    p_bar(1-p_bar)/n_day) — the PROPORTION companion to the
+    individuals chart events_xmr_chart (variable limits because each
+    day's subgroup size differs), flagging days whose conversion mix
+    shifted beyond chance.
+
+    The center line comes from exact integer totals (one broadcast
+    1-row frame); each day's limits and flag are pure arithmetic on
+    that row plus the day's own exact counts, so the chart is one
+    hash aggregate to |days| rows and one broadcast join at any
+    scale."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("k").cast("long").alias("tk")
+    )
+    pb = F.col("tk").cast("double") / F.col("tn")
+    sig = F.lit(3.0) * F.sqrt(pb * (F.lit(1.0) - pb) / F.col("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "k",
+        q4(p).alias("p"),
+        q4(pb).alias("p_bar"),
+        q4(pb + sig).alias("ucl"),
+        q4(F.greatest(F.lit(0.0), pb - sig)).alias("lcl"),
+        ((p > pb + sig) | (p < pb - sig)).alias("out_of_control"),
+    )

@@ -1697,3 +1697,111 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("degree_gini"),
         )
     )
+
+
+# ------------------------------ eigenvector centrality (r8 wave W)
+
+_EV_ITER = 4
+# own, smaller fixed-point scale: x <= EV_SCALE after each rescale, so
+# r = sum(x*w) <= EV_SCALE * total incident weight and r * EV_SCALE stays
+# far below 2^63 at the bench scales (pagerank's 1e8 would overflow here
+# because eigenvector centrality has no outdegree division damping r)
+_EV_SCALE = 1_000_000
+
+
+def _eigenvector_oracle() -> str:
+    sql = f"""
+    WITH dir_edges AS MATERIALIZED ({_EDGES_SQL}),
+    edges AS MATERIALIZED (
+        SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT u, v, w FROM dir_edges
+            UNION ALL
+            SELECT v AS u, u AS v, w FROM dir_edges
+        ) GROUP BY u, v
+    ),
+    nodes AS (SELECT n_nationkey AS v FROM nation),
+    x0 AS (SELECT v, CAST({_EV_SCALE} AS BIGINT) AS x FROM nodes)
+    """
+    prev = "x0"
+    for i in range(1, _EV_ITER + 1):
+        sql += f""",
+    raw{i} AS (
+        SELECT n.v, CAST(COALESCE(SUM(p.x * e.w), 0) AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.v = n.v
+        LEFT JOIN {prev} p ON p.v = e.u
+        GROUP BY n.v
+    ),
+    it{i} AS (
+        SELECT v, CAST(r * {_EV_SCALE} // (SELECT MAX(r) FROM raw{i})
+             AS BIGINT) AS x
+        FROM raw{i}
+    )"""
+        prev = f"it{i}"
+    sql += f"""
+    SELECT v AS nationkey, x AS score_fixed,
+           {sql_q4(f"CAST(x AS DOUBLE) / (SELECT SUM(x) FROM {prev})")}
+               AS score_share
+    FROM {prev}
+    """
+    return sql
+
+
+@register("graph_eigenvector_centrality", oracle=_eigenvector_oracle())
+def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality of the UNDIRECTED nation trade graph by
+    {_EV_ITER}-step power iteration with infinity-norm rescaling —
+    the influence measure where a nation is central because its
+    PARTNERS are central (PageRank without damping or out-degree
+    division; the dominant eigenvector of the symmetrized weight
+    matrix).
+
+    Same fixed-point discipline as graph_pagerank: x' = W·x folds as
+    BIGINT sums (order-free), each iteration rescales by the max via
+    one broadcast 1-row frame (integer DIV), and the iteration count
+    is plan-time unrolled so the whole algorithm is ONE Catalyst plan
+    with no driver loop actions. At true scale, pre-normalize w per
+    node to keep x*w < 2^63 (module docstring).
+
+    Scale shape: edge derivation is the only fact-table pass;
+    per-iteration cost is one join + one aggregate on the vertex-id
+    key."""
+    dir_edges = trade_edges(spark, sf_dir)
+    edges = (
+        dir_edges.select("u", "v", "w")
+        .unionAll(
+            dir_edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("v")
+    )
+    x = nodes.select("v", F.lit(_EV_SCALE).cast("long").alias("x"))
+    for _ in range(_EV_ITER):
+        raw = (
+            nodes.join(edges, "v", "left")
+            .join(
+                x.select(F.col("v").alias("u"), F.col("x").alias("xu")), "u", "left"
+            )
+            .groupBy("v")
+            .agg(
+                F.coalesce(F.sum(F.col("xu") * F.col("w")), F.lit(0))
+                .cast("long")
+                .alias("r")
+            )
+        )
+        mx = raw.agg(F.max("r").alias("mx"))
+        x = raw.crossJoin(F.broadcast(mx)).select(
+            "v", F.expr(f"r * {_EV_SCALE}L DIV mx").alias("x")
+        )
+    tot = x.agg(F.sum("x").alias("tot"))
+    return x.crossJoin(F.broadcast(tot)).select(
+        F.col("v").alias("nationkey"),
+        F.col("x").alias("score_fixed"),
+        q4(F.col("x").cast("double") / F.col("tot")).alias("score_share"),
+    )

@@ -7608,3 +7608,669 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_u.alias("e_u"),
         q4((F.col("u2") / F.lit(2.0) - e_u) / F.sqrt(v0)).alias("z"),
     )
+
+
+# -------------------------------- uncertainty coefficient (r8 wave V)
+
+_TU_Q = 1_000_000_000
+
+
+@register(
+    "stat_theil_u",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type AS x, hour(ts) // 6 AS y FROM events
+    ), cells AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY x, y
+    ), hxy AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * {_TU_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+        FROM cells
+    ), hx AS (
+        SELECT CAST(sum(CAST(floor(cx * ln(CAST(cx AS DOUBLE)) * {_TU_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS sx
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x)
+    ), hy AS (
+        SELECT CAST(sum(CAST(floor(cy * ln(CAST(cy AS DOUBLE)) * {_TU_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS sy
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y)
+    ), ent AS (
+        SELECT n,
+               ln(CAST(n AS DOUBLE)) - CAST(sxy AS DOUBLE) / {_TU_Q} / n
+                   AS h_xy,
+               ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE) / {_TU_Q} / n
+                   AS h_x,
+               ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE) / {_TU_Q} / n
+                   AS h_y
+        FROM hxy, hx, hy
+    )
+    SELECT n, {sql_q4("h_x")} AS h_x, {sql_q4("h_y")} AS h_y,
+           {sql_q4("(h_x + h_y - h_xy) / h_y")} AS theil_u_yx,
+           {sql_q4("(h_x + h_y - h_xy) / h_x")} AS theil_u_xy,
+           {sql_q4("2.0 * (h_x + h_y - h_xy) / (h_x + h_y)")}
+               AS u_symmetric
+    FROM ent
+    """,
+)
+def stat_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between event type and
+    6-hour day-part: U(Y|X) = I(X;Y)/H(Y) — the ASYMMETRIC,
+    [0,1]-normalized association measure categorical feature
+    selection uses where stat_cramers_v is symmetric and
+    ml_mutual_info is unnormalized; the symmetric average is also
+    reported. All three entropies come from one identity,
+    H = ln N - (1/N) * sum c·ln c.
+
+    Each c·ln c term is 1e-9-quantized to a BIGINT before its sum,
+    so the three entropy folds are order-free; the cells table is
+    bounded by |event types| x 4 day-parts, and the marginals are
+    two more tiny aggregates over it.
+
+    Scale shape at 100 TB: one shuffle to the bounded contingency
+    cells; everything downstream is arithmetic over <=3 single-row
+    frames."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("x"),
+        (F.hour("ts") / 6).cast("long").alias("y"),
+    )
+    cells = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def _slq(col: Column) -> Column:
+        return (
+            F.floor(col * F.log(col.cast("double")) * _TU_Q + F.lit(0.5))
+            .cast("long")
+        )
+
+    hxy = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(_slq(F.col("c"))).cast("long").alias("sxy"),
+    )
+    hx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .agg(F.sum(_slq(F.col("cx"))).cast("long").alias("sx"))
+    )
+    hy = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .agg(F.sum(_slq(F.col("cy"))).cast("long").alias("sy"))
+    )
+    ent = hxy.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    nd = F.col("n").cast("double")
+    h_xy = F.log(nd) - F.col("sxy").cast("double") / _TU_Q / F.col("n")
+    h_x = F.log(nd) - F.col("sx").cast("double") / _TU_Q / F.col("n")
+    h_y = F.log(nd) - F.col("sy").cast("double") / _TU_Q / F.col("n")
+    mi = h_x + h_y - h_xy
+    return ent.select(
+        "n",
+        q4(h_x).alias("h_x"),
+        q4(h_y).alias("h_y"),
+        q4(mi / h_y).alias("theil_u_yx"),
+        q4(mi / h_x).alias("theil_u_xy"),
+        q4(F.lit(2.0) * mi / (h_x + h_y)).alias("u_symmetric"),
+    )
+
+
+# ------------------------------------- Brunner-Munzel test (r8 wave X)
+
+
+@register(
+    "stat_brunner_munzel",
+    oracle=f"""
+    WITH grid AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               CAST(count_if(l_returnflag = 'A') AS BIGINT) AS ca,
+               CAST(count_if(l_returnflag = 'R') AS BIGINT) AS cr
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        GROUP BY 1
+    ), pri AS (
+        SELECT v, ca, cr,
+               CAST(coalesce(sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pa,
+               CAST(coalesce(sum(cr) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pr
+        FROM grid
+    ), cells AS (
+        SELECT v, ca, cr,
+               2 * (pa + pr) + (ca + cr) + 1 AS m2,
+               2 * pa + ca + 1 AS ma2,
+               2 * pr + cr + 1 AS mr2
+        FROM pri
+    ), sums AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cr) AS BIGINT) AS nr,
+               CAST(sum(ca * m2) AS BIGINT) AS sam2,
+               CAST(sum(cr * m2) AS BIGINT) AS srm2
+        FROM cells
+    ), var_terms AS (
+        SELECT
+            CAST(sum(CAST(floor(ca * power((m2 - ma2
+                 - CAST(sam2 AS DOUBLE) / na + na + 1) / 2.0, 2) + 0.5)
+                 AS BIGINT)) AS BIGINT) AS qa,
+            CAST(sum(CAST(floor(cr * power((m2 - mr2
+                 - CAST(srm2 AS DOUBLE) / nr + nr + 1) / 2.0, 2) + 0.5)
+                 AS BIGINT)) AS BIGINT) AS qr
+        FROM cells, sums
+    )
+    SELECT na, nr,
+           {sql_q4("(CAST(srm2 AS DOUBLE) / nr / 2.0 - (nr + 1) / 2.0) / na")}
+               AS p_hat,
+           {sql_q4(
+               "na * nr * (CAST(srm2 AS DOUBLE) / nr"
+               " - CAST(sam2 AS DOUBLE) / na) / 2.0"
+               " / (na + nr)"
+               " / sqrt(CAST(na AS DOUBLE) * (CAST(qa AS DOUBLE) / (na - 1))"
+               "      + CAST(nr AS DOUBLE) * (CAST(qr AS DOUBLE) / (nr - 1)))"
+           )} AS w_stat
+    FROM sums, var_terms
+    """,
+)
+def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test of returned-vs-
+    accepted line quantities: tests P(X<Y) + P(X=Y)/2 = 1/2 WITHOUT
+    the equal-variance assumption stat_mann_whitney inherits, via
+    studentized midrank means (the rank Welch test); reports the
+    stochastic-superiority estimate p_hat and the W statistic.
+
+    Midranks never touch rows: both groups collapse to the exact
+    integer l_quantity grid (<=50 cells), DOUBLED combined and
+    within-group midranks come from one value-domain-bounded prefix
+    (2·midrank = 2·prior + count + 1 stays BIGINT), the rank-mean
+    sums fold exactly, and the two variance folds quantize each
+    cell's squared deviation to the nearest integer (error <=0.5 per
+    cell over <=50 cells against terms of order n^2 — far inside
+    q4). Only the final ratios divide.
+
+    Scale shape at 100 TB: one shuffle to the 50-cell grid; the
+    window is over the bounded value domain (census-allowlisted),
+    everything else is broadcast 1-row frames."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    grid = li.select(
+        F.col("l_quantity").cast("long").alias("v"), "l_returnflag"
+    ).groupBy("v").agg(
+        F.count_if(F.col("l_returnflag") == "A").cast("long").alias("ca"),
+        F.count_if(F.col("l_returnflag") == "R").cast("long").alias("cr"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pri = grid.select(
+        "v",
+        "ca",
+        "cr",
+        F.coalesce(F.sum("ca").over(wv), F.lit(0)).cast("long").alias("pa"),
+        F.coalesce(F.sum("cr").over(wv), F.lit(0)).cast("long").alias("pr"),
+    )
+    cells = pri.select(
+        "ca",
+        "cr",
+        (2 * (F.col("pa") + F.col("pr")) + F.col("ca") + F.col("cr") + 1)
+        .alias("m2"),
+        (2 * F.col("pa") + F.col("ca") + 1).alias("ma2"),
+        (2 * F.col("pr") + F.col("cr") + 1).alias("mr2"),
+    )
+    sums = cells.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum(F.col("ca") * F.col("m2")).cast("long").alias("sam2"),
+        F.sum(F.col("cr") * F.col("m2")).cast("long").alias("srm2"),
+    )
+    joined = cells.crossJoin(F.broadcast(sums))
+    dev_a = (
+        F.col("m2")
+        - F.col("ma2")
+        - F.col("sam2").cast("double") / F.col("na")
+        + F.col("na")
+        + 1
+    ) / F.lit(2.0)
+    dev_r = (
+        F.col("m2")
+        - F.col("mr2")
+        - F.col("srm2").cast("double") / F.col("nr")
+        + F.col("nr")
+        + 1
+    ) / F.lit(2.0)
+    var_terms = joined.agg(
+        F.sum(
+            F.floor(F.col("ca") * F.pow(dev_a, F.lit(2.0)) + F.lit(0.5))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("qa"),
+        F.sum(
+            F.floor(F.col("cr") * F.pow(dev_r, F.lit(2.0)) + F.lit(0.5))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("qr"),
+    )
+    out = sums.crossJoin(F.broadcast(var_terms))
+    na, nr = F.col("na"), F.col("nr")
+    rbar_a = F.col("sam2").cast("double") / na
+    rbar_r = F.col("srm2").cast("double") / nr
+    s_a = F.col("qa").cast("double") / (na - 1)
+    s_r = F.col("qr").cast("double") / (nr - 1)
+    return out.select(
+        "na",
+        "nr",
+        q4((rbar_r / F.lit(2.0) - (nr + 1) / F.lit(2.0)) / na).alias("p_hat"),
+        q4(
+            na * nr * (rbar_r - rbar_a) / F.lit(2.0)
+            / (na + nr)
+            / F.sqrt(na.cast("double") * s_a + nr.cast("double") * s_r)
+        ).alias("w_stat"),
+    )
+
+
+# -------------------------------------- Poisson rate ratio (r8 wave Y)
+
+
+@register(
+    "stat_rate_ratio",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(min(CAST(ts AS DATE)) AS DATE) AS d0,
+               CAST(max(CAST(ts AS DATE)) AS DATE) AS d1
+        FROM events
+    ), halves AS (
+        SELECT CASE WHEN date_diff('day', d0, CAST(ts AS DATE))
+                    <= CAST(floor(date_diff('day', d0, d1) / 2) AS BIGINT)
+               THEN 1 ELSE 2 END AS half,
+               CAST(ts AS DATE) AS d,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k
+        FROM events, bounds
+    ), s AS (
+        SELECT CAST(count_if(half = 1 AND k = 1) AS BIGINT) AS k1,
+               CAST(count_if(half = 2 AND k = 1) AS BIGINT) AS k2,
+               CAST(count(DISTINCT d) FILTER (WHERE half = 1) AS BIGINT)
+                   AS t1,
+               CAST(count(DISTINCT d) FILTER (WHERE half = 2) AS BIGINT)
+                   AS t2,
+               CAST(count_if(half = 1) AS BIGINT) AS n1,
+               CAST(count_if(half = 2) AS BIGINT) AS n2
+        FROM halves
+    )
+    SELECT k1, k2, t1, t2,
+           {sql_q4("(CAST(k1 AS DOUBLE) / t1) / (CAST(k2 AS DOUBLE) / t2)")}
+               AS rate_ratio,
+           {sql_q4("ln((CAST(k1 AS DOUBLE) / t1) / (CAST(k2 AS DOUBLE) / t2))"
+                   " / sqrt(1.0 / k1 + 1.0 / k2)")} AS z,
+           {sql_q4("2.0 * asin(sqrt(CAST(k1 AS DOUBLE) / n1))"
+                   " - 2.0 * asin(sqrt(CAST(k2 AS DOUBLE) / n2))")}
+               AS cohens_h
+    FROM s
+    """,
+)
+def stat_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period Poisson rate comparison of purchase volume (first
+    calendar half vs second): the rate ratio with its log-scale
+    Wald z (se = sqrt(1/k1 + 1/k2) — the exposure-adjusted test a
+    plain proportions z-test gets wrong when period lengths differ),
+    plus Cohen's h effect size on the per-event purchase SHARE
+    (2·asin sqrt p, the arcsine-stabilized difference) — the
+    practical-significance companion the z-value alone can't give.
+
+    The calendar midpoint comes from a broadcast 1-row min/max frame;
+    all six ingredients (purchase counts, active-day exposures, event
+    totals per half) are exact integers from one conditional
+    aggregate, and the three statistics are single-row arithmetic.
+
+    Scale shape at 100 TB: one pass + one bounded distinct-day
+    aggregate; no windows, no row joins."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    halves = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.datediff(F.to_date("ts"), F.col("d0"))
+            <= F.floor(F.datediff("d1", "d0") / 2).cast("long"),
+            1,
+        )
+        .otherwise(2)
+        .alias("half"),
+        F.to_date("ts").alias("d"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("k"),
+    )
+    s = halves.agg(
+        F.count_if((F.col("half") == 1) & (F.col("k") == 1))
+        .cast("long")
+        .alias("k1"),
+        F.count_if((F.col("half") == 2) & (F.col("k") == 1))
+        .cast("long")
+        .alias("k2"),
+        F.count_distinct(F.when(F.col("half") == 1, F.col("d")))
+        .cast("long")
+        .alias("t1"),
+        F.count_distinct(F.when(F.col("half") == 2, F.col("d")))
+        .cast("long")
+        .alias("t2"),
+        F.count_if(F.col("half") == 1).cast("long").alias("n1"),
+        F.count_if(F.col("half") == 2).cast("long").alias("n2"),
+    )
+    r1 = F.col("k1").cast("double") / F.col("t1")
+    r2 = F.col("k2").cast("double") / F.col("t2")
+    return s.select(
+        "k1",
+        "k2",
+        "t1",
+        "t2",
+        q4(r1 / r2).alias("rate_ratio"),
+        q4(
+            F.log(r1 / r2)
+            / F.sqrt(1.0 / F.col("k1") + 1.0 / F.col("k2"))
+        ).alias("z"),
+        q4(
+            2.0 * F.asin(F.sqrt(F.col("k1").cast("double") / F.col("n1")))
+            - 2.0 * F.asin(F.sqrt(F.col("k2").cast("double") / F.col("n2")))
+        ).alias("cohens_h"),
+    )
+
+
+# ------------------------------------- two-way ANOVA (r8 wave Z)
+
+
+@register(
+    "stat_two_way_anova",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS a, l_linestatus AS b,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+        FROM lineitem
+    ), cells AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yc) AS BIGINT) AS s
+        FROM base GROUP BY a, b
+    ), g AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(count(DISTINCT a) AS BIGINT) AS ka,
+               CAST(count(DISTINCT b) AS BIGINT) AS kb
+        FROM cells
+    ), ssc AS (
+        SELECT CAST(sum(CAST(floor(n * power(CAST(s AS DOUBLE) / n / 100.0
+                 - CAST(st AS DOUBLE) / nt / 100.0, 2) + 0.5) AS BIGINT))
+                 AS BIGINT) AS ss_cells_q
+        FROM cells, g
+    ), ma AS (
+        SELECT CAST(sum(CAST(floor(na * power(CAST(sa AS DOUBLE) / na / 100.0
+                 - CAST(st AS DOUBLE) / nt / 100.0, 2) + 0.5) AS BIGINT))
+                 AS BIGINT) AS ss_a_q
+        FROM (SELECT a, CAST(sum(n) AS BIGINT) AS na,
+                     CAST(sum(s) AS BIGINT) AS sa FROM cells GROUP BY a), g
+    ), mb AS (
+        SELECT CAST(sum(CAST(floor(nb * power(CAST(sb AS DOUBLE) / nb / 100.0
+                 - CAST(st AS DOUBLE) / nt / 100.0, 2) + 0.5) AS BIGINT))
+                 AS BIGINT) AS ss_b_q
+        FROM (SELECT b, CAST(sum(n) AS BIGINT) AS nb,
+                     CAST(sum(s) AS BIGINT) AS sb FROM cells GROUP BY b), g
+    ), sst AS (
+        SELECT CAST(sum(CAST(floor(power(CAST(yc AS DOUBLE) / 100.0
+                 - CAST(st AS DOUBLE) / nt / 100.0, 2) + 0.5) AS BIGINT))
+                 AS BIGINT) AS ss_t_q
+        FROM base, g
+    )
+    SELECT nt AS n, ka, kb,
+           {sql_q4("CAST(ss_a_q AS DOUBLE) / (ka - 1)"
+                   " / (CAST(ss_t_q - ss_cells_q AS DOUBLE)"
+                   " / (nt - n_cells))")} AS f_a,
+           {sql_q4("CAST(ss_b_q AS DOUBLE) / (kb - 1)"
+                   " / (CAST(ss_t_q - ss_cells_q AS DOUBLE)"
+                   " / (nt - n_cells))")} AS f_b,
+           {sql_q4("CAST(ss_cells_q - ss_a_q - ss_b_q AS DOUBLE)"
+                   " / ((ka - 1) * (kb - 1))"
+                   " / (CAST(ss_t_q - ss_cells_q AS DOUBLE)"
+                   " / (nt - n_cells))")} AS f_ab,
+           {sql_q4("CAST(ss_a_q AS DOUBLE) / ss_t_q")} AS eta2_a,
+           {sql_q4("CAST(ss_b_q AS DOUBLE) / ss_t_q")} AS eta2_b,
+           {sql_q4("CAST(ss_cells_q - ss_a_q - ss_b_q AS DOUBLE)"
+                   " / ss_t_q")} AS eta2_ab
+    FROM g, ssc, ma, mb, sst
+    """,
+)
+def stat_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of extended price by return flag x line status
+    with interaction: the textbook cell-mean decomposition SS_cells =
+    SS_A + SS_B + SS_AB against SS_within = SS_T - SS_cells, reported
+    as F ratios and eta-squared effect sizes (exact for balanced
+    designs, the standard descriptive decomposition otherwise —
+    documented). The factorial upgrade of stat_anova_oneway.
+
+    Every mean comes from exact integer cents sums; each squared
+    deviation term (in dollars, so per-term magnitudes stay inside
+    2^53 double-exact range) is floored to the nearest integer before
+    its BIGINT fold — SS_A/SS_B over <=5 marginal rows, SS_cells over
+    <=6 cells, SS_T as ONE extra pass over the fact rows against the
+    broadcast grand mean. Only the final ratios divide.
+
+    Scale shape at 100 TB: two fact passes (cells agg + SS_T fold),
+    everything else bounded-row arithmetic on broadcast 1-row
+    frames."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+        cents(F.col("l_extendedprice")).alias("yc"),
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+    )
+    g = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.count_distinct("a").cast("long").alias("ka"),
+        F.count_distinct("b").cast("long").alias("kb"),
+    )
+    gm = F.col("st").cast("double") / F.col("nt") / 100.0
+
+    def _ssq(nc: Column, sc: Column) -> Column:
+        mean = sc.cast("double") / nc / 100.0
+        return (
+            F.sum(
+                F.floor(nc * F.pow(mean - gm, F.lit(2.0)) + F.lit(0.5))
+                .cast("long")
+            )
+            .cast("long")
+        )
+
+    ssc = cells.crossJoin(F.broadcast(g)).agg(
+        _ssq(F.col("n"), F.col("s")).alias("ss_cells_q")
+    )
+    ma = (
+        cells.groupBy("a")
+        .agg(F.sum("n").cast("long").alias("na"), F.sum("s").cast("long").alias("sa"))
+        .crossJoin(F.broadcast(g))
+        .agg(_ssq(F.col("na"), F.col("sa")).alias("ss_a_q"))
+    )
+    mb = (
+        cells.groupBy("b")
+        .agg(F.sum("n").cast("long").alias("nb"), F.sum("s").cast("long").alias("sb"))
+        .crossJoin(F.broadcast(g))
+        .agg(_ssq(F.col("nb"), F.col("sb")).alias("ss_b_q"))
+    )
+    sst = base.crossJoin(F.broadcast(g)).agg(
+        F.sum(
+            F.floor(
+                F.pow(F.col("yc").cast("double") / 100.0 - gm, F.lit(2.0))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ss_t_q")
+    )
+    out = (
+        g.crossJoin(F.broadcast(ssc))
+        .crossJoin(F.broadcast(ma))
+        .crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(sst))
+    )
+    ms_w = (F.col("ss_t_q") - F.col("ss_cells_q")).cast("double") / (
+        F.col("nt") - F.col("n_cells")
+    )
+    ss_ab = (F.col("ss_cells_q") - F.col("ss_a_q") - F.col("ss_b_q")).cast(
+        "double"
+    )
+    return out.select(
+        F.col("nt").alias("n"),
+        "ka",
+        "kb",
+        q4(
+            F.col("ss_a_q").cast("double") / (F.col("ka") - 1) / ms_w
+        ).alias("f_a"),
+        q4(
+            F.col("ss_b_q").cast("double") / (F.col("kb") - 1) / ms_w
+        ).alias("f_b"),
+        q4(
+            ss_ab / ((F.col("ka") - 1) * (F.col("kb") - 1)) / ms_w
+        ).alias("f_ab"),
+        q4(F.col("ss_a_q").cast("double") / F.col("ss_t_q")).alias("eta2_a"),
+        q4(F.col("ss_b_q").cast("double") / F.col("ss_t_q")).alias("eta2_b"),
+        q4(ss_ab / F.col("ss_t_q")).alias("eta2_ab"),
+    )
+
+
+# --------------------------------- Brown-Forsythe test (r8 wave AA)
+
+
+@register(
+    "stat_brown_forsythe",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+        FROM events
+    ), grid AS (
+        SELECT g, xc, CAST(count(*) AS BIGINT) AS c
+        FROM x GROUP BY g, xc
+    ), cum AS (
+        SELECT g, xc, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY xc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cc,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+        FROM grid
+    ), med AS (
+        SELECT g, CAST(min(xc) AS BIGINT) AS medc
+        FROM cum WHERE 2 * cc >= ng + 1 GROUP BY g
+    ), dev AS (
+        SELECT x.g, abs(x.xc - m.medc) AS z
+        FROM x JOIN med m ON m.g = x.g
+    ), gs AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(z * z) AS BIGINT) AS sz2
+        FROM dev GROUP BY g
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(sz) AS BIGINT) AS szt,
+               CAST(sum(CAST(floor(n * power(CAST(sz AS DOUBLE) / n, 2)
+                    + 0.5) AS BIGINT)) AS BIGINT) AS ssb_partq,
+               CAST(sum(sz2) AS BIGINT) AS sz2t,
+               CAST(sum(CAST(floor(power(CAST(sz AS DOUBLE), 2) / n + 0.5)
+                    AS BIGINT)) AS BIGINT) AS ssw_subq
+        FROM gs
+    )
+    SELECT k, nt,
+           {sql_q4(
+               "((CAST(ssb_partq AS DOUBLE)"
+               " - power(CAST(szt AS DOUBLE), 2) / nt) / (k - 1))"
+               " / ((CAST(sz2t AS DOUBLE) - ssw_subq) / (nt - k))"
+           )} AS f_stat
+    FROM tot
+    """,
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across event
+    types: the Levene ANOVA computed on |x - MEDIAN_g| instead of
+    |x - mean_g| — the robust default statisticians reach for when
+    groups are skewed (stat_levene keeps the classical mean-centered
+    form; this is its heavy-tail-safe sibling).
+
+    Group medians come from the (group, cents) grid with a
+    PARTITIONED cumulative count (per-group rows bounded by the
+    value domain, not the corpus): the median is the smallest cell
+    whose cumulative count reaches ceil((n+1)/2) — the middle
+    element for odd n, the upper median for even n. Deviations |x - med| are exact integers,
+    so the between/within sums fold as BIGINTs (the two mean-square
+    reductions quantize their only fractional terms at +-0.5 over
+    |groups| cells). One grid pass, one deviations pass.
+
+    Scale shape at 100 TB: two fact passes + a bounded-grid window
+    partitioned by group; medians broadcast back via a |groups|-row
+    join."""
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("xc"),
+    )
+    grid = x.groupBy("g", "xc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("g")
+    cum = grid.select(
+        "g",
+        "xc",
+        F.sum("c").over(wc).cast("long").alias("cc"),
+        F.sum("c").over(wg).cast("long").alias("ng"),
+    )
+    med = (
+        cum.where(2 * F.col("cc") >= F.col("ng") + 1)
+        .groupBy("g")
+        .agg(F.min("xc").cast("long").alias("medc"))
+    )
+    dev = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("xc") - F.col("medc")).alias("z")
+    )
+    gs = dev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("sz2"),
+    )
+    tot = gs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sz").cast("long").alias("szt"),
+        F.sum(
+            F.floor(
+                F.col("n")
+                * F.pow(F.col("sz").cast("double") / F.col("n"), F.lit(2.0))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ssb_partq"),
+        F.sum("sz2").cast("long").alias("sz2t"),
+        F.sum(
+            F.floor(
+                F.pow(F.col("sz").cast("double"), F.lit(2.0)) / F.col("n")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ssw_subq"),
+    )
+    ssb = (
+        F.col("ssb_partq").cast("double")
+        - F.pow(F.col("szt").cast("double"), F.lit(2.0)) / F.col("nt")
+    )
+    ssw = F.col("sz2t").cast("double") - F.col("ssw_subq")
+    return tot.select(
+        "k",
+        "nt",
+        q4(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
+        ).alias("f_stat"),
+    )

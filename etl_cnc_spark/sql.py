@@ -395,3 +395,37 @@ def sql_entry_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     analyzers must expand the chain to the identical expression tree
     or the hash breaks."""
     return run(spark, sf_dir, _LATERAL_ALIAS)
+
+
+# Correlated EXISTS / NOT EXISTS subqueries: the classic relational
+# existence test, shared dialect-neutral text on both engines.
+_EXISTS = """
+SELECT s.s_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(count(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+       )) AS BIGINT) AS n_with_bulk_line,
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+       )) AS BIGINT) AS n_never_returned
+FROM supplier s
+GROUP BY s.s_nationkey
+"""
+
+
+@register("sql_entry_exists", oracle=_EXISTS)
+def sql_entry_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS and NOT EXISTS subqueries inside aggregate
+    FILTER clauses, as ONE shared SQL text: both planners must
+    decorrelate the subqueries into semi/anti joins (Catalyst's
+    RewritePredicateSubquery; DuckDB's subquery flattening) and agree
+    on the per-supplier existence semantics. The NOT EXISTS branch is
+    the null-safe anti-join every data-quality orphan check relies
+    on (cf. etl_fk_integrity).
+
+    Scale shape: two semi/anti joins on the supplier key, then one
+    bounded aggregate to |nations| rows — no correlated per-row
+    execution survives planning on either engine."""
+    return run(spark, sf_dir, _EXISTS)

@@ -569,6 +569,15 @@ def test_unpartitioned_window_census():
         ("llm/similarity.py", "ml_roc_auc"):
             "two-level prefix: per-score-bucket offset table — bucket "
             "count bounded by the score range, not the corpus",
+        ("llm/similarity.py", "ml_ks_separation"):
+            "two-level prefix: per-score-bucket offset table — bucket "
+            "count bounded by the score range, not the corpus",
+        ("llm/similarity.py", "_score_cdf_grid"):
+            "shared two-level prefix scaffold (DeLong CI / Gini "
+            "split): bucket table bounded by the score range",
+        ("llm/similarity.py", "embed_variance_spectrum"):
+            "ranking window over the 64-row per-dimension spectrum — "
+            "bounded by the declared dimensionality",
         # round-7 wave I: calendar-bounded grids
         ("operators/analytics.py", "events_kaplan_meier"):
             "cumulative folds over the lifetime-DAYS grid — "
@@ -581,6 +590,9 @@ def test_unpartitioned_window_census():
         ("operators/stats.py", "stat_wilcoxon_signed"):
             "cumulative rank fold over the |d| grid of calendar days "
             "(≤|days| rows)",
+        ("operators/stats.py", "stat_brunner_munzel"):
+            "midrank prefix over the integer l_quantity grid — "
+            "value-domain-bounded (≤50 rows)",
         ("operators/analytics.py", "events_xmr_chart"):
             "lag over the calendar-day grid — bounded",
         ("llm/text.py", "pipeline_interleave_roundrobin"):
