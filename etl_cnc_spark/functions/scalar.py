@@ -1315,3 +1315,70 @@ def fn_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ip").cast("long").alias("n_distinct_ips"),
         F.countDistinct("net24").cast("long").alias("n_slash24"),
     )
+
+
+# --------------------------- deterministic UUIDv3 minting (r8 wave AE)
+
+_UUID_NS = "etlcnc:order:"
+
+
+@register(
+    "fn_uuid_v3",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderkey, md5('{_UUID_NS}' || CAST(o_orderkey AS VARCHAR))
+                   AS hx
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey,
+           substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-3'
+               || substring(hx, 14, 3) || '-'
+               || substring('89ab',
+                    ((strpos('0123456789abcdef', substring(hx, 17, 1)) - 1)
+                     % 4) + 1, 1)
+               || substring(hx, 18, 3) || '-' || substring(hx, 21, 12)
+               AS uuid_v3,
+           CAST(TRUE AS BOOLEAN) AS version_ok
+    FROM h
+    """,
+)
+def fn_uuid_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RFC-4122 version-3 (md5 name-based) UUID minting
+    from the order key within a fixed namespace — the idempotent
+    surrogate-key recipe for entity resolution across reruns (same
+    input, same UUID, no uuid() nondeterminism), with the version
+    nibble forced to 3 and the variant nibble to 10xx exactly as the
+    RFC prescribes.
+
+    Pure string surgery over the md5 hex digest (substring/concat/
+    strpos — the variant nibble maps through '0123...f' lookup then
+    into '89ab'), identical expressions on both engines, no UDF.
+
+    Scale shape: one map expression per row; the key-bounded sample
+    keeps the oracle hash small, the recipe itself is a pure
+    projection at any scale."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    hx = F.md5(F.concat(F.lit(_UUID_NS), F.col("o_orderkey").cast("string")))
+    h = o.select("o_orderkey", hx.alias("hx"))
+    # variant nibble needs a column-valued substring start — spelled
+    # via expr below (F.substring only takes literal positions)
+    uuid = F.concat(
+        F.substring("hx", 1, 8),
+        F.lit("-"),
+        F.substring("hx", 9, 4),
+        F.lit("-3"),
+        F.substring("hx", 14, 3),
+        F.lit("-"),
+        F.expr(
+            "substring('89ab', CAST((instr('0123456789abcdef',"
+            " substring(hx, 17, 1)) - 1) % 4 + 1 AS INT), 1)"
+        ),
+        F.substring("hx", 18, 3),
+        F.lit("-"),
+        F.substring("hx", 21, 12),
+    )
+    return h.select(
+        "o_orderkey",
+        uuid.alias("uuid_v3"),
+        F.lit(True).alias("version_ok"),
+    )

@@ -4608,3 +4608,105 @@ def embed_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("v2q").cast("double") / _VS_Q)
         ).alias("effective_dims"),
     )
+
+
+# ------------------------------- weighted Cohen's kappa (r8 wave AC)
+
+_WK_K = 10  # ordinal scale size (labels 0-9 vs binned score deciles)
+
+
+@register(
+    "ml_weighted_kappa",
+    oracle=f"""
+    WITH rated AS (
+        SELECT label AS r1,
+               least({_WK_K - 1}, greatest(0,
+                   CAST(floor((({_SCORE_SQL}) + 3.0) / 0.6) AS BIGINT)))
+                   AS r2
+        FROM embeddings
+    ), cells AS (
+        SELECT r1, r2, CAST(count(*) AS BIGINT) AS o
+        FROM rated GROUP BY r1, r2
+    ), m1 AS (
+        SELECT r1, CAST(sum(o) AS BIGINT) AS n1 FROM cells GROUP BY r1
+    ), m2 AS (
+        SELECT r2, CAST(sum(o) AS BIGINT) AS n2 FROM cells GROUP BY r2
+    ), tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+    ), obs AS (
+        SELECT CAST(sum((c.r1 - c.r2) * (c.r1 - c.r2) * c.o) AS BIGINT)
+                   AS wo
+        FROM cells c
+    ), exp AS (
+        SELECT CAST(sum((m1.r1 - m2.r2) * (m1.r1 - m2.r2) * m1.n1 * m2.n2)
+                   AS BIGINT) AS we
+        FROM m1, m2
+    )
+    SELECT n,
+           {sql_q4("1.0 - CAST(wo AS DOUBLE) * n / we")} AS kappa_quadratic,
+           {sql_q4("CAST(wo AS DOUBLE) / n")} AS mean_sq_disagreement
+    FROM tot, obs, exp
+    """,
+)
+def ml_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa between the true ordinal
+    label (0-9) and the scorer binned to the same 10-point scale:
+    kappa_w = 1 - sum w_ij O_ij / sum w_ij E_ij with w_ij = (i-j)^2 —
+    THE agreement metric for ordinal raters (graded relevance, essay
+    scoring), where ml_cohen_kappa's unweighted form throws away how
+    FAR a disagreement missed.
+
+    Everything is exact integers: the 10x10 observed cells from one
+    hash aggregate, the expected weighted disagreement as a
+    marginals cross product (sum (i-j)^2 n1_i n2_j — a 10x10
+    broadcast join), and the identity kappa_w = 1 - N·WO/WE divides
+    once. Also reports the raw mean squared disagreement.
+
+    Scale shape at 100 TB: one pass to 100 cells; everything
+    downstream is bounded-row arithmetic."""
+    e = table(spark, sf_dir, "embeddings")
+    r2 = F.least(
+        F.lit(_WK_K - 1),
+        F.greatest(
+            F.lit(0), F.floor((_score_col() + 3.0) / 0.6).cast("long")
+        ),
+    )
+    rated = e.select(F.col("label").cast("long").alias("r1"), r2.alias("r2"))
+    cells = rated.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    m1 = cells.groupBy("r1").agg(F.sum("o").cast("long").alias("n1"))
+    m2 = cells.groupBy("r2").agg(F.sum("o").cast("long").alias("n2"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    obs = cells.agg(
+        F.sum(
+            (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")) * F.col("o")
+        )
+        .cast("long")
+        .alias("wo")
+    )
+    expd = (
+        F.broadcast(m1)
+        .crossJoin(m2)
+        .agg(
+            F.sum(
+                (F.col("r1") - F.col("r2"))
+                * (F.col("r1") - F.col("r2"))
+                * F.col("n1")
+                * F.col("n2")
+            )
+            .cast("long")
+            .alias("we")
+        )
+    )
+    out = tot.crossJoin(F.broadcast(obs)).crossJoin(F.broadcast(expd))
+    return out.select(
+        "n",
+        q4(
+            F.lit(1.0)
+            - F.col("wo").cast("double") * F.col("n") / F.col("we")
+        ).alias("kappa_quadratic"),
+        q4(F.col("wo").cast("double") / F.col("n")).alias(
+            "mean_sq_disagreement"
+        ),
+    )

@@ -8457,3 +8457,267 @@ def events_spc_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.greatest(F.lit(0.0), pb - sig)).alias("lcl"),
         ((p > pb + sig) | (p < pb - sig)).alias("out_of_control"),
     )
+
+
+# ---------------------------------- Bass diffusion fit (r8 wave AB)
+
+
+@register(
+    "events_bass_diffusion",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS fd
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), t0 AS (
+        SELECT min(fd) AS d0 FROM firsts
+    ), daily AS (
+        SELECT CAST(date_diff('day', d0, fd) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_t
+        FROM firsts, t0 GROUP BY 1
+    ), cumu AS (
+        SELECT t, n_t,
+               CAST(coalesce(sum(n_t) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS c
+        FROM daily
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS tn,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS sc2,
+               CAST(sum(c * c * c) AS BIGINT) AS sc3,
+               CAST(sum(c * c * c * c) AS BIGINT) AS sc4,
+               CAST(sum(n_t) AS BIGINT) AS sn,
+               CAST(sum(n_t * c) AS BIGINT) AS snc,
+               CAST(sum(n_t * c * c) AS BIGINT) AS snc2
+        FROM cumu
+    ), solved AS (
+        SELECT tn, sn,
+            ((CAST(sn AS DOUBLE) * (sc2 * 1.0 * sc4 - sc3 * 1.0 * sc3)
+             - CAST(sc AS DOUBLE) * (snc * 1.0 * sc4 - sc3 * 1.0 * snc2)
+             + CAST(sc2 AS DOUBLE) * (snc * 1.0 * sc3 - sc2 * 1.0 * snc2))
+            / (CAST(tn AS DOUBLE) * (sc2 * 1.0 * sc4 - sc3 * 1.0 * sc3)
+             - CAST(sc AS DOUBLE) * (sc * 1.0 * sc4 - sc2 * 1.0 * sc3)
+             + CAST(sc2 AS DOUBLE) * (sc * 1.0 * sc3 - sc2 * 1.0 * sc2)))
+                AS av,
+            ((CAST(tn AS DOUBLE) * (snc * 1.0 * sc4 - sc3 * 1.0 * snc2)
+             - CAST(sn AS DOUBLE) * (sc * 1.0 * sc4 - sc2 * 1.0 * sc3)
+             + CAST(sc2 AS DOUBLE) * (sc * 1.0 * snc2 - snc * 1.0 * sc2))
+            / (CAST(tn AS DOUBLE) * (sc2 * 1.0 * sc4 - sc3 * 1.0 * sc3)
+             - CAST(sc AS DOUBLE) * (sc * 1.0 * sc4 - sc2 * 1.0 * sc3)
+             + CAST(sc2 AS DOUBLE) * (sc * 1.0 * sc3 - sc2 * 1.0 * sc2)))
+                AS bv,
+            ((CAST(tn AS DOUBLE) * (sc2 * 1.0 * snc2 - snc * 1.0 * sc3)
+             - CAST(sc AS DOUBLE) * (sc * 1.0 * snc2 - snc * 1.0 * sc2)
+             + CAST(sn AS DOUBLE) * (sc * 1.0 * sc3 - sc2 * 1.0 * sc2))
+            / (CAST(tn AS DOUBLE) * (sc2 * 1.0 * sc4 - sc3 * 1.0 * sc3)
+             - CAST(sc AS DOUBLE) * (sc * 1.0 * sc4 - sc2 * 1.0 * sc3)
+             + CAST(sc2 AS DOUBLE) * (sc * 1.0 * sc3 - sc2 * 1.0 * sc2)))
+                AS cv
+        FROM mom
+    )
+    SELECT tn AS n_days, sn AS n_adopters,
+           {sql_q4("av")} AS a, {sql_q4("bv")} AS b, {sql_q4("cv")} AS c,
+           {sql_q4("CASE WHEN cv < 0 AND bv * bv - 4 * av * cv >= 0 THEN"
+                   " (-bv - sqrt(bv * bv - 4 * av * cv)) / (2 * cv)"
+                   " ELSE 0.0 END")} AS m_hat,
+           {sql_q4("CASE WHEN cv < 0 AND bv * bv - 4 * av * cv >= 0 THEN"
+                   " av / ((-bv - sqrt(bv * bv - 4 * av * cv)) / (2 * cv))"
+                   " ELSE 0.0 END")} AS p_hat,
+           {sql_q4("CASE WHEN cv < 0 AND bv * bv - 4 * av * cv >= 0 THEN"
+                   " av / ((-bv - sqrt(bv * bv - 4 * av * cv)) / (2 * cv))"
+                   " + bv ELSE 0.0 END")} AS q_hat
+    FROM solved
+    """,
+)
+def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model fit to first-purchase adoption: the
+    discrete Bass regression n_t = a + b*C_(t-1) + c*C_(t-1)^2
+    (Bass 1969's own estimation scheme) solved in closed form, then
+    mapped to the innovation/imitation parameters via m =
+    (-b - sqrt(b^2-4ac))/(2c), p = a/m, q = p + b — the
+    product-adoption forecast curve marketing analytics fits to
+    launch data; degenerate fits (c >= 0 or negative discriminant)
+    report zeros by spec rather than NaN.
+
+    All eight regression moments (up to C^4 and n·C^2) fold as exact
+    BIGINTs over the calendar-bounded adoption-day grid, the 3x3
+    normal equations solve by Cramer's rule on one row, and the
+    cumulative-adopters prefix is a window over <=|days| rows (census
+    allowlisted). C^4 stays under 2^63 up to ~40k adopters; beyond
+    that, pre-scale C (docstring contract, same discipline as the
+    fixed-point graph iterations).
+
+    Scale shape at 100 TB: one fact pass to per-user first purchases,
+    one aggregate to the day grid, bounded-window prefix, single-row
+    algebra."""
+    e = table(spark, sf_dir, "events")
+    firsts = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("fd"))
+    )
+    t0 = firsts.agg(F.min("fd").alias("d0"))
+    daily = (
+        firsts.crossJoin(F.broadcast(t0))
+        .select(F.datediff("fd", "d0").cast("long").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cumu = daily.select(
+        "t",
+        "n_t",
+        F.coalesce(F.sum("n_t").over(wt), F.lit(0)).cast("long").alias("c"),
+    )
+    c = F.col("c")
+    mom = cumu.agg(
+        F.count(F.lit(1)).cast("long").alias("tn"),
+        F.sum(c).cast("long").alias("sc"),
+        F.sum(c * c).cast("long").alias("sc2"),
+        F.sum(c * c * c).cast("long").alias("sc3"),
+        F.sum(c * c * c * c).cast("long").alias("sc4"),
+        F.sum("n_t").cast("long").alias("sn"),
+        F.sum(F.col("n_t") * c).cast("long").alias("snc"),
+        F.sum(F.col("n_t") * c * c).cast("long").alias("snc2"),
+    )
+    tn = F.col("tn").cast("double")
+    sc = F.col("sc").cast("double")
+    sc2 = F.col("sc2").cast("double")
+    sc3 = F.col("sc3").cast("double")
+    sc4 = F.col("sc4").cast("double")
+    sn = F.col("sn").cast("double")
+    snc = F.col("snc").cast("double")
+    snc2 = F.col("snc2").cast("double")
+    det = (
+        tn * (sc2 * sc4 - sc3 * sc3)
+        - sc * (sc * sc4 - sc2 * sc3)
+        + sc2 * (sc * sc3 - sc2 * sc2)
+    )
+    av = (
+        sn * (sc2 * sc4 - sc3 * sc3)
+        - sc * (snc * sc4 - sc3 * snc2)
+        + sc2 * (snc * sc3 - sc2 * snc2)
+    ) / det
+    bv = (
+        tn * (snc * sc4 - sc3 * snc2)
+        - sn * (sc * sc4 - sc2 * sc3)
+        + sc2 * (sc * snc2 - snc * sc2)
+    ) / det
+    cv = (
+        tn * (sc2 * snc2 - snc * sc3)
+        - sc * (sc * snc2 - snc * sc2)
+        + sn * (sc * sc3 - sc2 * sc2)
+    ) / det
+    solved = mom.select(
+        F.col("tn").alias("n_days"),
+        F.col("sn").alias("n_adopters"),
+        av.alias("av"),
+        bv.alias("bv"),
+        cv.alias("cv"),
+    )
+    disc = F.col("bv") * F.col("bv") - 4 * F.col("av") * F.col("cv")
+    ok = (F.col("cv") < 0) & (disc >= 0)
+    m_hat = (-F.col("bv") - F.sqrt(disc)) / (2 * F.col("cv"))
+    return solved.select(
+        "n_days",
+        "n_adopters",
+        q4(F.col("av")).alias("a"),
+        q4(F.col("bv")).alias("b"),
+        q4(F.col("cv")).alias("c"),
+        q4(F.when(ok, m_hat).otherwise(0.0)).alias("m_hat"),
+        q4(F.when(ok, F.col("av") / m_hat).otherwise(0.0)).alias("p_hat"),
+        q4(
+            F.when(ok, F.col("av") / m_hat + F.col("bv")).otherwise(0.0)
+        ).alias("q_hat"),
+    )
+
+
+# ------------------------------------ newsvendor quantity (r8 wave AB)
+
+_NV_CR_PCT = 80  # critical ratio cu/(cu+co) as a percent
+
+
+@register(
+    "orders_newsvendor",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+        FROM lineitem GROUP BY 1
+    ), grid AS (
+        SELECT demand, CAST(count(*) AS BIGINT) AS nd
+        FROM daily GROUP BY demand
+    ), cum AS (
+        SELECT demand,
+               CAST(sum(nd) OVER (ORDER BY demand
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cd,
+               CAST(sum(nd) OVER () AS BIGINT) AS t
+        FROM grid
+    ), pick AS (
+        SELECT CAST(min(demand) AS BIGINT) AS q_star,
+               CAST(max(t) AS BIGINT) AS n_days
+        FROM cum WHERE 100 * cd >= {_NV_CR_PCT} * t
+    ), mu AS (
+        SELECT CAST(sum(demand) AS BIGINT) AS sd FROM daily
+    )
+    SELECT n_days, CAST({_NV_CR_PCT} AS BIGINT) AS critical_ratio_pct,
+           q_star,
+           {sql_q4("CAST(sd AS DOUBLE) / n_days")} AS mean_demand,
+           {sql_q4("CAST(q_star AS DOUBLE) / (CAST(sd AS DOUBLE) / n_days)")}
+               AS q_over_mean
+    FROM pick, mu
+    """,
+)
+def orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal order quantity from the EMPIRICAL daily
+    demand distribution: Q* = the 80th-percentile demand
+    day (the smallest q with F(q) >= cu/(cu+co), here CR = 0.8) —
+    the single-period stocking decision that, unlike
+    orders_safety_stock's normal approximation, uses the observed
+    distribution directly and so survives skewed demand.
+
+    The empirical CDF lives on the (distinct daily demand) grid —
+    calendar-bounded (<=|days| rows, census allowlisted) — and the
+    quantile test 100·cum >= CR·T is exact integer arithmetic; only
+    the reported mean divides.
+
+    Scale shape at 100 TB: one fact pass to daily totals, one
+    bounded-grid prefix, single-row output."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_quantity").cast("long").alias("qi"),
+        )
+        .groupBy("d")
+        .agg(F.sum("qi").cast("long").alias("demand"))
+    )
+    grid = daily.groupBy("demand").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    wd = Window.orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "demand",
+        F.sum("nd").over(wd).cast("long").alias("cd"),
+        F.sum("nd").over(wall).cast("long").alias("t"),
+    )
+    pick = cum.where(100 * F.col("cd") >= _NV_CR_PCT * F.col("t")).agg(
+        F.min("demand").cast("long").alias("q_star"),
+        F.max("t").cast("long").alias("n_days"),
+    )
+    mu = daily.agg(F.sum("demand").cast("long").alias("sd"))
+    out = pick.crossJoin(F.broadcast(mu))
+    mean_d = F.col("sd").cast("double") / F.col("n_days")
+    return out.select(
+        "n_days",
+        F.lit(_NV_CR_PCT).cast("long").alias("critical_ratio_pct"),
+        "q_star",
+        q4(mean_d).alias("mean_demand"),
+        q4(F.col("q_star").cast("double") / mean_d).alias("q_over_mean"),
+    )

@@ -2843,3 +2843,117 @@ def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0.0)
         ).alias("rr"),
     )
+
+
+# ------------------------------ expected reciprocal rank (r8 wave AD)
+
+_ERR_TQ = 1_000_000_000_000  # per-position term quantization
+
+
+@register(
+    "ml_err_at_k",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+               CAST(floor(list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, 65)], 'sum')
+               / sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')
+                    * list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                   * 1000000000 + 0.5) AS BIGINT) AS cq
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {NDCG_NQ}
+    ), ranked AS (
+        SELECT qid, rel,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cq DESC, cid) AS BIGINT) AS rn
+        FROM scored
+    ), topk AS (
+        SELECT qid, rel, rn,
+               CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS hprev
+        FROM ranked WHERE rn <= {MAP_K}
+    ), terms AS (
+        SELECT qid,
+               CAST(sum(CASE WHEN rel = 1 THEN CAST(floor({_ERR_TQ}.0
+                    / (rn * CAST(power(2, coalesce(hprev, 0) + 1) AS BIGINT))
+                    + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS errq,
+               CAST(sum(rel) AS BIGINT) AS n_rel_topk
+        FROM topk GROUP BY qid
+    )
+    SELECT qid, n_rel_topk,
+           {sql_q4(f"CAST(errq AS DOUBLE) / {_ERR_TQ}")} AS err
+    FROM terms
+    """,
+)
+def ml_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank at 10 per query: the cascade-model
+    ranking metric ERR = sum_r (1/r)·R_r·prod_(i<r)(1 - R_i), with
+    binary relevance mapped to the standard satisfaction probability
+    R = 1/2 — unlike AP (ml_map_at_k) or nDCG (ml_ndcg_eval), ERR
+    models a user who STOPS at the first satisfying result, so later
+    hits are discounted by the probability of still reading.
+
+    With R = 1/2 every term is the exact rational 1/(r·2^(h+1))
+    (h = relevant hits before position r), quantized at 1e-12 to a
+    BIGINT per position, so the per-query fold is order-free; the
+    stop-probability product never materializes as a running float.
+
+    Scale shape: the sim_topk_exact scaffold — broadcast 50-query
+    block, JVM cosine fold, per-query bounded top-10 windows."""
+    from ..llm.dedup import _dot64, _norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        _norm2(F.col("embedding")).alias("cn2"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    cos = _dot64(F.col("qe"), F.col("ce")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.when(F.col("qlabel") == F.col("clabel"), 1).otherwise(0).alias("rel"),
+        F.floor(cos * 1_000_000_000 + F.lit(0.5)).cast("long").alias("cq"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cq").desc(), "cid")
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).where(F.col("rn") <= MAP_K)
+    wh = Window.partitionBy("qid").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    topk = ranked.withColumn(
+        "hprev", F.coalesce(F.sum("rel").over(wh), F.lit(0)).cast("long")
+    )
+    term = F.floor(
+        F.lit(float(_ERR_TQ))
+        / (
+            F.col("rn")
+            * F.pow(F.lit(2.0), F.col("hprev") + 1).cast("long")
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    terms = topk.groupBy("qid").agg(
+        F.sum(F.when(F.col("rel") == 1, term).otherwise(0))
+        .cast("long")
+        .alias("errq"),
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+    )
+    return terms.select(
+        "qid",
+        "n_rel_topk",
+        q4(F.col("errq").cast("double") / _ERR_TQ).alias("err"),
+    )

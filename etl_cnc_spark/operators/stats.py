@@ -16,6 +16,8 @@ SURVEY.md §0); surface derives from the driver contract + the public
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -8273,4 +8275,407 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
         ).alias("f_stat"),
+    )
+
+
+# ----------------------------------- circular statistics (r8 wave AB)
+
+_CS_Q = 1_000_000_000
+
+
+@register(
+    "stat_circular_stats",
+    oracle=f"""
+    WITH ang AS (
+        SELECT 2 * pi() * (hour(ts) * 3600 + minute(ts) * 60
+               + CAST(floor(second(ts)) AS BIGINT)) / 86400.0 AS th
+        FROM events
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(cos(th) * {_CS_Q} + 0.5) AS BIGINT))
+                    AS BIGINT) AS cq,
+               CAST(sum(CAST(floor(sin(th) * {_CS_Q} + 0.5) AS BIGINT))
+                    AS BIGINT) AS sq
+        FROM ang
+    )
+    SELECT n,
+           {sql_q4(
+               f"sqrt(power(CAST(cq AS DOUBLE) / {_CS_Q}, 2)"
+               f" + power(CAST(sq AS DOUBLE) / {_CS_Q}, 2)) / n"
+           )} AS r_bar,
+           {sql_q4(
+               "24.0 * (((atan2(CAST(sq AS DOUBLE), CAST(cq AS DOUBLE))"
+               " % (2 * pi())) + 2 * pi()) % (2 * pi())) / (2 * pi())"
+           )} AS mean_hour,
+           {sql_q4(
+               f"n * (power(CAST(cq AS DOUBLE) / {_CS_Q}, 2)"
+               f" + power(CAST(sq AS DOUBLE) / {_CS_Q}, 2)) / (n * 1.0 * n)"
+           )} AS rayleigh_z,
+           {sql_q4(
+               f"exp(-(n * (power(CAST(cq AS DOUBLE) / {_CS_Q}, 2)"
+               f" + power(CAST(sq AS DOUBLE) / {_CS_Q}, 2)) / (n * 1.0 * n)))"
+           )} AS p_approx
+    FROM s
+    """,
+)
+def stat_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of the event time-of-day treated as an
+    angle on the 24 h clock: the mean resultant length R-bar (0 =
+    uniform around the clock, 1 = a single spike), the circular mean
+    hour via atan2, and the Rayleigh uniformity test z = n·R-bar^2
+    with its first-order p ~ exp(-z) — the mathematically correct way
+    to average times-of-day, where events_diurnal_weekly_profile's
+    per-bin histogram can't say '3 am +- 2 h' (linear means wrap
+    around midnight to noon).
+
+    Per-row cos/sin are 1e-9-quantized to BIGINTs before the fold, so
+    the resultant vector is an exact integer pair on both engines;
+    atan2/exp run once on that single row.
+
+    Scale shape at 100 TB: one conditional aggregate — three
+    counters."""
+    e = table(spark, sf_dir, "events")
+    th = (
+        2.0
+        * math.pi
+        * (
+            F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.floor(F.second("ts")).cast("long")
+        )
+        / 86400.0
+    )
+    s = e.select(th.alias("th")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.cos(F.col("th")) * _CS_Q + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cq"),
+        F.sum(F.floor(F.sin(F.col("th")) * _CS_Q + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sq"),
+    )
+    c = F.col("cq").cast("double") / _CS_Q
+    sn = F.col("sq").cast("double") / _CS_Q
+    r2 = c * c + sn * sn
+    two_pi = 2 * math.pi
+    ang = ((F.atan2(sn, c) % two_pi) + two_pi) % two_pi
+    z = F.col("n") * r2 / (F.col("n") * 1.0 * F.col("n"))
+    return s.select(
+        "n",
+        q4(F.sqrt(r2) / F.col("n")).alias("r_bar"),
+        q4(24.0 * ang / two_pi).alias("mean_hour"),
+        q4(z).alias("rayleigh_z"),
+        q4(F.exp(-z)).alias("p_approx"),
+    )
+
+
+# ------------------------------ Cochran-Armitage trend (r8 wave AC)
+
+
+@register(
+    "stat_cochran_armitage",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS a
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(a) AS BIGINT) AS at,
+               CAST(sum(s * n) AS BIGINT) AS sn,
+               CAST(sum(s * s * n) AS BIGINT) AS s2n,
+               CAST(sum(s * a) AS BIGINT) AS sa,
+               CAST(count(*) AS BIGINT) AS k
+        FROM g
+    )
+    SELECT k, nt, at,
+           {sql_q4("(CAST(sa AS DOUBLE) - CAST(at AS DOUBLE) * sn / nt)"
+                   " / sqrt(CAST(at AS DOUBLE) / nt"
+                   " * (1.0 - CAST(at AS DOUBLE) / nt)"
+                   " * (CAST(s2n AS DOUBLE)"
+                   " - CAST(sn AS DOUBLE) * sn / nt))")} AS z_trend,
+           {sql_q4("CAST(at AS DOUBLE) / nt")} AS pooled_rate
+    FROM tot
+    """,
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the order-completion rate
+    rise or fall MONOTONICALLY with priority rank (scores 1..5)?
+    z = (sum s_i a_i - A*sum s_i n_i / N) / sqrt(p(1-p)(sum s_i^2 n_i
+    - (sum s_i n_i)^2/N)) — the dose-response test for a binary
+    outcome over ordered groups, strictly more powerful than
+    stat_chi2_test's omnibus k-proportions comparison when the
+    alternative is a trend (the proportions sibling of
+    stat_jonckheere_terpstra).
+
+    All five moments (N, A, sum sn, sum s^2 n, sum sa) fold as exact
+    BIGINTs in one bounded aggregate over the <=5 priority groups;
+    the z ratio is single-row arithmetic.
+
+    Scale shape at 100 TB: one hash aggregate to 5 rows, one 1-row
+    reduction. Nothing else."""
+    o = table(spark, sf_dir, "orders")
+    g = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s"),
+        F.col("o_orderstatus"),
+    ).groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("a"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("a").cast("long").alias("at"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("long").alias("s2n"),
+        F.sum(F.col("s") * F.col("a")).cast("long").alias("sa"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = F.col("at").cast("double") / F.col("nt")
+    num = F.col("sa").cast("double") - F.col("at").cast("double") * F.col(
+        "sn"
+    ) / F.col("nt")
+    var = p * (F.lit(1.0) - p) * (
+        F.col("s2n").cast("double")
+        - F.col("sn").cast("double") * F.col("sn") / F.col("nt")
+    )
+    return tot.select(
+        "k",
+        "nt",
+        "at",
+        q4(num / F.sqrt(var)).alias("z_trend"),
+        q4(p).alias("pooled_rate"),
+    )
+
+
+# --------------------------- Gumbel extreme-value fit (r8 wave AD)
+
+_GUM_GAMMA = 0.5772156649015329  # Euler-Mascheroni
+_GUM_T = 30  # return period in days
+
+
+@register(
+    "stat_gumbel_fit",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS mx
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(mx) AS BIGINT) AS s1,
+               CAST(sum(mx * mx) AS BIGINT) AS s2
+        FROM daily
+    )
+    SELECT n,
+           {sql_q4("CAST(s1 AS DOUBLE) / n / 100.0")} AS mean_daily_max,
+           {sql_q4(
+               "sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)"
+               " / (CAST(n AS DOUBLE) * (n - 1))) / 100.0"
+               " * sqrt(6.0) / pi()"
+           )} AS beta,
+           {sql_q4(
+               f"CAST(s1 AS DOUBLE) / n / 100.0 - {_GUM_GAMMA}"
+               f" * sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)"
+               f" / (CAST(n AS DOUBLE) * (n - 1))) / 100.0"
+               f" * sqrt(6.0) / pi()"
+           )} AS mu,
+           {sql_q4(
+               f"CAST(s1 AS DOUBLE) / n / 100.0 - {_GUM_GAMMA}"
+               f" * sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)"
+               f" / (CAST(n AS DOUBLE) * (n - 1))) / 100.0"
+               f" * sqrt(6.0) / pi()"
+               f" - sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)"
+               f" / (CAST(n AS DOUBLE) * (n - 1))) / 100.0"
+               f" * sqrt(6.0) / pi()"
+               f" * ln(-ln(1.0 - 1.0 / {_GUM_T}))"
+           )} AS return_level_30d
+    FROM s
+    """,
+)
+def stat_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (type-I extreme value) fit to the DAILY MAXIMUM event
+    value by method of moments: beta = s·sqrt(6)/pi, mu = m - gamma·
+    beta, and the 30-day return level mu - beta·ln(-ln(1 - 1/T)) —
+    the block-maxima risk summary that answers 'how big a spike
+    should we provision for per month', complementing
+    stat_tail_index_hill's peaks-over-threshold view of the same
+    tail.
+
+    Daily maxima are exact integer cents (one calendar-grid
+    aggregate), their two moments fold as BIGINTs, and the three
+    Gumbel quantities are single-row arithmetic on those integers.
+
+    Scale shape at 100 TB: one fact pass to |days| rows, one 1-row
+    reduction."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.max("vc").cast("long").alias("mx"))
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / F.col("n") / 100.0
+    sd = (
+        F.sqrt(
+            (nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1"))
+            / (nd * (F.col("n") - 1))
+        )
+        / 100.0
+    )
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - _GUM_GAMMA * beta
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / _GUM_T))
+    return s.select(
+        "n",
+        q4(mean).alias("mean_daily_max"),
+        q4(beta).alias("beta"),
+        q4(mu).alias("mu"),
+        q4(rl).alias("return_level_30d"),
+    )
+
+
+# --------------------- fixed-effect meta-analysis of strata (r8 wave AD)
+
+_META_Q = 1_000_000_000
+
+
+@register(
+    "stat_meta_fixed_effect",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS stratum,
+               CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outc
+        FROM events
+    ), cells AS (
+        SELECT stratum,
+               CAST(count_if(exposed = 1 AND outc = 1) AS BIGINT) AS a,
+               CAST(count_if(exposed = 1 AND outc = 0) AS BIGINT) AS b,
+               CAST(count_if(exposed = 0 AND outc = 1) AS BIGINT) AS c,
+               CAST(count_if(exposed = 0 AND outc = 0) AS BIGINT) AS d
+        FROM base GROUP BY stratum
+    ), eff AS (
+        SELECT stratum,
+               ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) AS y,
+               1.0 / (1.0/a + 1.0/b + 1.0/c + 1.0/d) AS w
+        FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+    ), pool AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(floor(w * y * {_META_Q} + 0.5) AS BIGINT))
+                   AS BIGINT) AS swyq,
+               CAST(sum(CAST(floor(w * {_META_Q} + 0.5) AS BIGINT))
+                   AS BIGINT) AS swq,
+               CAST(sum(CAST(floor(w * y * y * {_META_Q} + 0.5) AS BIGINT))
+                   AS BIGINT) AS swy2q
+        FROM eff
+    )
+    SELECT k,
+           {sql_q4("CAST(swyq AS DOUBLE) / swq")} AS pooled_log_or,
+           {sql_q4("exp(CAST(swyq AS DOUBLE) / swq)")} AS pooled_or,
+           {sql_q4(f"sqrt(1.0 * {_META_Q} / swq)")} AS se,
+           {sql_q4(
+               f"(CAST(swy2q AS DOUBLE) - CAST(swyq AS DOUBLE) * swyq / swq)"
+               f" / {_META_Q}"
+           )} AS q_het,
+           {sql_q4(
+               f"greatest(0.0, ((CAST(swy2q AS DOUBLE)"
+               f" - CAST(swyq AS DOUBLE) * swyq / swq) / {_META_Q} - (k - 1))"
+               f" / ((CAST(swy2q AS DOUBLE)"
+               f" - CAST(swyq AS DOUBLE) * swyq / swq) / {_META_Q}))"
+           )} AS i2
+    FROM pool
+    """,
+)
+def stat_meta_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect inverse-variance meta-analysis pooling the
+    per-weekday exposure/outcome odds ratios (the same 2x2 strata as
+    stat_mantel_haenszel, pooled the OTHER standard way): pooled
+    lnOR = sum w_i y_i / sum w_i with w = 1/var(lnOR) = 1/(1/a + 1/b
+    + 1/c + 1/d), Cochran's Q = sum w(y - ybar)^2 for heterogeneity
+    and I^2 = max(0, (Q - (k-1))/Q) — the forest-plot bottom line
+    plus the 'should you even pool' diagnostic.
+
+    Strata effects come from exact integer 2x2 cells (one hash
+    aggregate to 7 weekday rows); w, wy and wy^2 are 1e-9-quantized
+    per stratum before their folds so the pooled ratios divide exact
+    integers. Degenerate strata (any empty cell) are excluded by
+    spec.
+
+    Scale shape at 100 TB: one fact pass to 7 strata, bounded-row
+    arithmetic after."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("((dayofweek(ts) + 5) % 7) + 1").alias("stratum"),
+        F.when(F.hour("ts") >= 12, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("outc"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count_if((F.col("exposed") == 1) & (F.col("outc") == 1))
+        .cast("long")
+        .alias("a"),
+        F.count_if((F.col("exposed") == 1) & (F.col("outc") == 0))
+        .cast("long")
+        .alias("b"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outc") == 1))
+        .cast("long")
+        .alias("c"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outc") == 0))
+        .cast("long")
+        .alias("d"),
+    )
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (
+        F.col("d") > 0
+    )
+    y = F.log(
+        F.col("a").cast("double")
+        * F.col("d")
+        / (F.col("b").cast("double") * F.col("c"))
+    )
+    w = 1.0 / (
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    eff = cells.where(ok).select(y.alias("y"), w.alias("w"))
+    pool = eff.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.floor(F.col("w") * F.col("y") * _META_Q + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("swyq"),
+        F.sum(F.floor(F.col("w") * _META_Q + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("swq"),
+        F.sum(
+            F.floor(
+                F.col("w") * F.col("y") * F.col("y") * _META_Q + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("swy2q"),
+    )
+    pooled = F.col("swyq").cast("double") / F.col("swq")
+    q_het = (
+        F.col("swy2q").cast("double")
+        - F.col("swyq").cast("double") * F.col("swyq") / F.col("swq")
+    ) / _META_Q
+    return pool.select(
+        "k",
+        q4(pooled).alias("pooled_log_or"),
+        q4(F.exp(pooled)).alias("pooled_or"),
+        q4(F.sqrt(F.lit(1.0) * _META_Q / F.col("swq"))).alias("se"),
+        q4(q_het).alias("q_het"),
+        q4(
+            F.greatest(
+                F.lit(0.0), (q_het - (F.col("k") - 1)) / q_het
+            )
+        ).alias("i2"),
     )

@@ -595,6 +595,12 @@ def test_unpartitioned_window_census():
             "value-domain-bounded (≤50 rows)",
         ("operators/analytics.py", "events_xmr_chart"):
             "lag over the calendar-day grid — bounded",
+        ("operators/analytics.py", "events_bass_diffusion"):
+            "cumulative-adopters prefix over the calendar-day grid — "
+            "bounded",
+        ("operators/analytics.py", "orders_newsvendor"):
+            "empirical-CDF prefix over distinct daily demands — "
+            "calendar-bounded (≤|days| rows)",
         ("llm/text.py", "pipeline_interleave_roundrobin"):
             "source-index rank over the |sources| dimension table "
             "(~20 rows)",
