@@ -4710,3 +4710,164 @@ def ml_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_sq_disagreement"
         ),
     )
+
+
+# ------------------------- linear CKA between halves (r8 wave AG)
+
+_CKA_Q = 1_000_000
+_CKA_D = 32  # each half of the 64-dim embedding
+
+
+@register(
+    "embed_cka_halves",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(embedding[i] AS DOUBLE) * {_CKA_Q} + 0.5)
+                     AS BIGINT) for i in range(1, 65)] AS eq
+        FROM embeddings
+    ), means AS (
+        SELECT i, CAST(sum(eq[i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT)
+                   AS n
+        FROM q, range(1, 65) t(i) GROUP BY i
+    ), cross_sums AS (
+        SELECT i, j,
+               CAST(sum(eq[i] * eq[j + {_CKA_D}]) AS BIGINT) AS sxy,
+               CAST(sum(eq[i] * eq[j]) AS BIGINT) AS sxx,
+               CAST(sum(eq[i + {_CKA_D}] * eq[j + {_CKA_D}]) AS BIGINT)
+                   AS syy
+        FROM q, range(1, {_CKA_D + 1}) a(i), range(1, {_CKA_D + 1}) b(j)
+        GROUP BY i, j
+    ), cov AS (
+        SELECT c.i, c.j,
+               (CAST(c.sxy AS DOUBLE) - CAST(mi.s AS DOUBLE) * mj2.s / mi.n)
+                   / mi.n / ({_CKA_Q}.0 * {_CKA_Q}) AS cxy,
+               (CAST(c.sxx AS DOUBLE) - CAST(mi.s AS DOUBLE) * mj1.s / mi.n)
+                   / mi.n / ({_CKA_Q}.0 * {_CKA_Q}) AS cxx,
+               (CAST(c.syy AS DOUBLE) - CAST(mi2.s AS DOUBLE) * mj2.s / mi.n)
+                   / mi.n / ({_CKA_Q}.0 * {_CKA_Q}) AS cyy
+        FROM cross_sums c
+        JOIN means mi ON mi.i = c.i
+        JOIN means mi2 ON mi2.i = c.i + {_CKA_D}
+        JOIN means mj1 ON mj1.i = c.j
+        JOIN means mj2 ON mj2.i = c.j + {_CKA_D}
+    ), norms AS (
+        SELECT CAST(sum(CAST(floor(cxy * cxy * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS hxy,
+               CAST(sum(CAST(floor(cxx * cxx * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS hxx,
+               CAST(sum(CAST(floor(cyy * cyy * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS hyy
+        FROM cov
+    )
+    SELECT CAST({_CKA_D} AS BIGINT) AS dims_per_half,
+           {sql_q4("CAST(hxy AS DOUBLE)"
+                   " / sqrt(CAST(hxx AS DOUBLE) * hyy)")} AS cka_linear
+    FROM norms
+    """,
+)
+def embed_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Centered Kernel Alignment between the two 32-dim halves
+    of the embedding: CKA = ||cov(X,Y)||_F^2 / (||cov(X,X)||_F ·
+    ||cov(Y,Y)||_F) — the representation-similarity score deep-
+    learning analysis uses to compare layers/models (Kornblith et
+    al.'s linear case, computed in FEATURE space so nothing is ever
+    n x n). High CKA between halves means the dimensions are
+    redundant; low means the halves carry distinct subspaces
+    (actionable for matryoshka truncation alongside
+    embed_variance_spectrum).
+
+    All second moments fold as exact 1e-6 fixed-point BIGINTs over a
+    compile-time 32x32 fan-out (three covariance matrices from ONE
+    pass); centering happens analytically from the per-dimension
+    mean sums (covariances back in REAL units before squaring), and
+    the three Frobenius folds quantize per-cell at 1e-12. Only the
+    final ratio divides.
+
+    Scale shape at 100 TB: one fan-out pass, one 1024-row aggregate,
+    two broadcast 1-row frames — independent of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _CKA_Q + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("eq")
+    )
+    means = (
+        q.select(F.posexplode("eq").alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    d = _CKA_D
+    ij = q.select(
+        "eq",
+        F.explode(F.sequence(F.lit(1), F.lit(d))).alias("i"),
+    ).select(
+        "eq",
+        "i",
+        F.explode(F.sequence(F.lit(1), F.lit(d))).alias("j"),
+    )
+    cross = ij.groupBy("i", "j").agg(
+        F.sum(
+            F.element_at("eq", F.col("i").cast("int"))
+            * F.element_at("eq", (F.col("j") + d).cast("int"))
+        )
+        .cast("long")
+        .alias("sxy"),
+        F.sum(
+            F.element_at("eq", F.col("i").cast("int"))
+            * F.element_at("eq", F.col("j").cast("int"))
+        )
+        .cast("long")
+        .alias("sxx"),
+        F.sum(
+            F.element_at("eq", (F.col("i") + d).cast("int"))
+            * F.element_at("eq", (F.col("j") + d).cast("int"))
+        )
+        .cast("long")
+        .alias("syy"),
+    )
+    mi = means.select(
+        F.col("i").alias("mi_i"), F.col("s").alias("mi_s"), F.col("n")
+    )
+    mi2 = means.select(
+        (F.col("i") - d).alias("mi2_i"), F.col("s").alias("mi2_s")
+    )
+    mj1 = means.select(F.col("i").alias("mj1_j"), F.col("s").alias("mj1_s"))
+    mj2 = means.select(
+        (F.col("i") - d).alias("mj2_j"), F.col("s").alias("mj2_s")
+    )
+    cov = (
+        cross.join(F.broadcast(mi), cross.i == F.col("mi_i"))
+        .join(F.broadcast(mi2), cross.i == F.col("mi2_i"))
+        .join(F.broadcast(mj1), cross.j == F.col("mj1_j"))
+        .join(F.broadcast(mj2), cross.j == F.col("mj2_j"))
+    )
+    n = F.col("n")
+    qq = float(_CKA_Q) * _CKA_Q
+    cxy = (F.col("sxy").cast("double") - F.col("mi_s").cast("double") * F.col("mj2_s") / n) / n / qq
+    cxx = (F.col("sxx").cast("double") - F.col("mi_s").cast("double") * F.col("mj1_s") / n) / n / qq
+    cyy = (F.col("syy").cast("double") - F.col("mi2_s").cast("double") * F.col("mj2_s") / n) / n / qq
+    norms = cov.agg(
+        F.sum(F.floor(cxy * cxy * 1e12 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("hxy"),
+        F.sum(F.floor(cxx * cxx * 1e12 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("hxx"),
+        F.sum(F.floor(cyy * cyy * 1e12 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("hyy"),
+    )
+    return norms.select(
+        F.lit(d).cast("long").alias("dims_per_half"),
+        q4(
+            F.col("hxy").cast("double")
+            / F.sqrt(F.col("hxx").cast("double") * F.col("hyy"))
+        ).alias("cka_linear"),
+    )

@@ -3322,3 +3322,179 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(hc).alias("h_cond"),
         q4(F.exp(hc)).alias("perplexity"),
     )
+
+
+# ----------------------------------- Heaps' law fit (r8 wave AH)
+
+_HEAPS_Q = 1_000_000_000
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), per_doc AS (
+        SELECT CAST(doc_id // {VOCAB_BUCKET_W} AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS toks
+        FROM words GROUP BY 1
+    ), tok_bucket AS (
+        SELECT bucket, CAST(sum(toks) AS BIGINT) AS toks
+        FROM per_doc GROUP BY bucket
+    ), first_seen AS (
+        SELECT w, CAST(min(doc_id) // {VOCAB_BUCKET_W} AS BIGINT) AS fb
+        FROM words GROUP BY w
+    ), vocab_bucket AS (
+        SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_vocab
+        FROM first_seen GROUP BY fb
+    ), curve AS (
+        SELECT t.bucket,
+               CAST(sum(t.toks) OVER (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n,
+               CAST(sum(COALESCE(v.new_vocab, 0)) OVER (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS v
+        FROM tok_bucket t LEFT JOIN vocab_bucket v ON t.bucket = v.bucket
+    ), pts AS (
+        SELECT CAST(floor(ln(CAST(n AS DOUBLE)) * {_HEAPS_Q} + 0.5)
+                   AS BIGINT) AS xq,
+               CAST(floor(ln(CAST(v AS DOUBLE)) * {_HEAPS_Q} + 0.5)
+                   AS BIGINT) AS yq
+        FROM curve
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+               CAST(sum(CAST(floor(CAST(xq AS DOUBLE) * xq / {_HEAPS_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS sxxq,
+               CAST(sum(CAST(floor(CAST(xq AS DOUBLE) * yq / {_HEAPS_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS sxyq,
+               CAST(sum(CAST(floor(CAST(yq AS DOUBLE) * yq / {_HEAPS_Q}
+                    + 0.5) AS BIGINT)) AS BIGINT) AS syyq
+        FROM pts
+    )
+    SELECT m AS n_points,
+           {sql_q4(
+               f"(CAST(sxyq AS DOUBLE) - CAST(sx AS DOUBLE) * sy / m"
+               f" / {_HEAPS_Q})"
+               f" / (CAST(sxxq AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m"
+               f" / {_HEAPS_Q})"
+           )} AS beta,
+           {sql_q4(
+               f"exp(CAST(sy AS DOUBLE) / m / {_HEAPS_Q}"
+               f" - (CAST(sxyq AS DOUBLE) - CAST(sx AS DOUBLE) * sy / m"
+               f" / {_HEAPS_Q})"
+               f" / (CAST(sxxq AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m"
+               f" / {_HEAPS_Q})"
+               f" * CAST(sx AS DOUBLE) / m / {_HEAPS_Q})"
+           )} AS k,
+           {sql_q4(
+               f"power(CAST(sxyq AS DOUBLE) - CAST(sx AS DOUBLE) * sy / m"
+               f" / {_HEAPS_Q}, 2)"
+               f" / ((CAST(sxxq AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m"
+               f" / {_HEAPS_Q})"
+               f" * (CAST(syyq AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m"
+               f" / {_HEAPS_Q}))"
+           )} AS r2
+    FROM mom
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V = k·N^beta to the corpus vocabulary-growth
+    curve: log-log OLS over the per-bucket (cumulative tokens,
+    cumulative vocabulary) points of text_vocab_growth, reporting
+    beta (typically 0.4-0.6 for natural language — near 1 means the
+    crawl never stops minting tokens, near 0 means it's closed
+    vocabulary/templated), the scale constant k, and the fit R^2.
+
+    The curve reuses the first-seen-bucket trick (no running
+    distinct); per-point ln terms quantize at 1e-9 and the five OLS
+    moments fold as BIGINTs with products rescaled back by one Q so
+    they stay far inside 2^63; slope/intercept/R^2 are single-row
+    arithmetic.
+
+    Scale shape at 100 TB: the vocab_growth shuffles (term digests)
+    plus one bounded-grid prefix and a 1-row reduction."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok_bucket = (
+        words.groupBy(
+            F.expr(f"doc_id DIV {VOCAB_BUCKET_W}").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("toks"))
+    )
+    vocab_bucket = (
+        words.groupBy("w")
+        .agg(F.expr(f"min(doc_id) DIV {VOCAB_BUCKET_W}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tok_bucket.join(vocab_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(wb).cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0)))
+            .over(wb)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    pts = curve.select(
+        F.floor(F.log(F.col("n").cast("double")) * _HEAPS_Q + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("v").cast("double")) * _HEAPS_Q + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(
+            F.floor(
+                F.col("xq").cast("double") * F.col("xq") / _HEAPS_Q + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sxxq"),
+        F.sum(
+            F.floor(
+                F.col("xq").cast("double") * F.col("yq") / _HEAPS_Q + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sxyq"),
+        F.sum(
+            F.floor(
+                F.col("yq").cast("double") * F.col("yq") / _HEAPS_Q + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("syyq"),
+    )
+    m = F.col("m")
+    sxx = F.col("sxxq").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / m / _HEAPS_Q
+    sxy = F.col("sxyq").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ) / m / _HEAPS_Q
+    syy = F.col("syyq").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / m / _HEAPS_Q
+    beta = sxy / sxx
+    intercept = (
+        F.col("sy").cast("double") / m / _HEAPS_Q
+        - beta * F.col("sx").cast("double") / m / _HEAPS_Q
+    )
+    return mom.select(
+        m.alias("n_points"),
+        q4(beta).alias("beta"),
+        q4(F.exp(intercept)).alias("k"),
+        q4(sxy * sxy / (sxx * syy)).alias("r2"),
+    )

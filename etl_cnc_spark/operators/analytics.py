@@ -8721,3 +8721,104 @@ def orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(mean_d).alias("mean_demand"),
         q4(F.col("q_star").cast("double") / mean_d).alias("q_over_mean"),
     )
+
+
+# ----------------------------------- Allan variance (r8 wave AF)
+
+_AV_TAUS = (1, 2, 4, 8)  # averaging windows, in hours
+
+
+@register(
+    "events_allan_variance",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT min(date_trunc('hour', ts)) AS h0 FROM events
+    ), hourly AS (
+        SELECT CAST(date_diff('hour', h0, date_trunc('hour', ts))
+                   AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS m
+        FROM events, t0 GROUP BY 1
+    ), taus AS (
+        SELECT unnest([{", ".join(str(t) for t in _AV_TAUS)}]) AS tau
+    ), binned AS (
+        SELECT t.tau, h.h // t.tau AS b, CAST(sum(h.m) AS BIGINT) AS mb
+        FROM hourly h, taus t GROUP BY t.tau, h.h // t.tau
+    ), diffs AS (
+        SELECT tau, mb,
+               lag(mb) OVER (PARTITION BY tau ORDER BY b) AS prev
+        FROM binned
+    )
+    SELECT CAST(tau AS BIGINT) AS tau_hours,
+           CAST(count(*) AS BIGINT) AS n_diffs,
+           {sql_q4("0.5 * sum(CAST((mb - prev) * (mb - prev) AS DOUBLE))"
+                   " / count(*)")} AS allan_var,
+           {sql_q4("(sum(CAST(mb AS DOUBLE)) + sum(CAST(prev AS DOUBLE)))"
+                   " / (2.0 * count(*))")} AS mean_bin_count,
+           {sql_q4(
+               "0.5 * sum(CAST((mb - prev) * (mb - prev) AS DOUBLE))"
+               " / count(*)"
+               " / ((sum(CAST(mb AS DOUBLE)) + sum(CAST(prev AS DOUBLE)))"
+               " / (2.0 * count(*)))"
+           )} AS avar_over_mean
+    FROM diffs WHERE prev IS NOT NULL
+    GROUP BY tau
+    """,
+)
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the event arrival rate at four averaging
+    windows (1/2/4/8 h): AVAR(tau) = 0.5·mean((m_(i+1) - m_i)^2) over
+    consecutive non-overlapping bins — the MULTI-SCALE stability
+    profile (from clock metrology) that tells drift from white noise
+    where events_fano_factor sees only one scale: for a Poisson
+    stream avar/mean stays ~1 at every tau, trends push it up with
+    tau, over-smoothing pulls it down.
+
+    The hourly grid is calendar-bounded; each tau re-bins it with
+    integer division (a compile-time 4-way fan-out, one hash
+    aggregate), consecutive differences come from a lag window
+    PARTITIONED by tau over bin indexes (bounded by |hours|/tau),
+    and the squared differences fold exactly — only the two means
+    divide.
+
+    Scale shape at 100 TB: one fact pass to |hours| rows; everything
+    after runs on the bounded grid."""
+    e = table(spark, sf_dir, "events")
+    t0 = e.agg(F.min(F.date_trunc("hour", "ts")).alias("h0"))
+    hourly = (
+        e.crossJoin(F.broadcast(t0))
+        .select(
+            (
+                F.unix_timestamp(F.date_trunc("hour", "ts"))
+                - F.unix_timestamp("h0")
+            )
+            .cast("long")
+            .alias("sec")
+        )
+        .select((F.col("sec") / 3600).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    taus = F.explode(
+        F.lit(list(_AV_TAUS)).cast("array<long>")
+    ).alias("tau")
+    binned = (
+        hourly.select("h", "m", taus)
+        .select("tau", F.expr("h DIV tau").alias("b"), "m")
+        .groupBy("tau", "b")
+        .agg(F.sum("m").cast("long").alias("mb"))
+    )
+    wl = Window.partitionBy("tau").orderBy("b")
+    diffs = binned.select(
+        "tau", "mb", F.lag("mb").over(wl).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    d2 = (F.col("mb") - F.col("prev")) * (F.col("mb") - F.col("prev"))
+    avar = F.lit(0.5) * F.sum(d2.cast("double")) / F.count(F.lit(1))
+    meanb = (
+        F.sum(F.col("mb").cast("double")) + F.sum(F.col("prev").cast("double"))
+    ) / (F.lit(2.0) * F.count(F.lit(1)))
+    return diffs.groupBy(F.col("tau").cast("long").alias("tau_hours")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_diffs"),
+        q4(avar).alias("allan_var"),
+        q4(meanb).alias("mean_bin_count"),
+        q4(avar / meanb).alias("avar_over_mean"),
+    )

@@ -2275,3 +2275,144 @@ def etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(t_dist).alias("t_dist"),
         (t_dist <= _TCLOSE_T).alias("t_close"),
     )
+
+
+# ------------------------------ consistent-hash sharding (r8 wave AH)
+
+# ring position = a 48-bit integer folded from the first 12 hex chars
+# of an md5 digest — the same expression on both engines (neither
+# shares a native hex->int across dialects, so the fold IS the spec)
+_CH_NODES_BEFORE = 4
+_CH_NODES_AFTER = 5
+_CH_VNODES = 8
+
+
+def _ring_fold_sql(arg: str) -> str:
+    return (
+        "list_aggregate([CAST(strpos('0123456789abcdef',"
+        f" substring(md5({arg}), p, 1)) - 1 AS BIGINT)"
+        " * CAST(power(16, 12 - p) AS BIGINT)"
+        " for p in range(1, 13)], 'sum')"
+    )
+
+
+def _ring_fold_spark(arg: str) -> str:
+    return (
+        "aggregate(sequence(1, 12), 0L, (acc, p) -> acc +"
+        f" CAST(instr('0123456789abcdef', substring(md5({arg}), p, 1)) - 1"
+        " AS BIGINT) * CAST(power(16, 12 - p) AS BIGINT))"
+    )
+
+
+def _vnode_rows_sql(n_nodes: int) -> str:
+    return (
+        "SELECT n, v, "
+        + _ring_fold_sql("'node' || CAST(n AS VARCHAR) || ':'"
+                         " || CAST(v AS VARCHAR)")
+        + f" AS pos FROM range(0, {n_nodes}) a(n),"
+        f" range(0, {_CH_VNODES}) b(v)"
+    )
+
+
+@register(
+    "etl_consistent_hash_shards",
+    oracle=f"""
+    WITH keys AS (
+        SELECT doc_id, {_ring_fold_sql("'k:' || CAST(doc_id AS VARCHAR)")}
+                   AS kpos
+        FROM documents
+    ), ring_before AS ({_vnode_rows_sql(_CH_NODES_BEFORE)}),
+    ring_after AS ({_vnode_rows_sql(_CH_NODES_AFTER)}),
+    asg_before AS (
+        SELECT k.doc_id,
+               coalesce(min_by(r.n, r.pos) FILTER (WHERE r.pos >= k.kpos),
+                        (SELECT min_by(n, pos) FROM ring_before)) AS node
+        FROM keys k, ring_before r GROUP BY k.doc_id, k.kpos
+    ), asg_after AS (
+        SELECT k.doc_id,
+               coalesce(min_by(r.n, r.pos) FILTER (WHERE r.pos >= k.kpos),
+                        (SELECT min_by(n, pos) FROM ring_after)) AS node
+        FROM keys k, ring_after r GROUP BY k.doc_id, k.kpos
+    )
+    SELECT CAST(b.node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count_if(a.node <> b.node) AS BIGINT) AS n_moved,
+           {sql_q4("CAST(count_if(a.node <> b.node) AS DOUBLE) / count(*)")}
+               AS moved_frac
+    FROM asg_before b JOIN asg_after a ON a.doc_id = b.doc_id
+    GROUP BY b.node
+    """,
+)
+def etl_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash shard assignment with virtual nodes, plus the
+    resharding-movement audit: documents land on a 4-node x 8-vnode
+    md5 ring (clockwise successor rule with wrap), then the ring
+    grows to 5 nodes and the report counts, per original shard, how
+    many keys MOVE — the property that makes consistent hashing the
+    100 TB repartitioning strategy (expected movement ~ 1/(n+1) of
+    keys, vs ~all keys under plain modulo).
+
+    Ring positions are a 48-bit fold of the md5 hex prefix — the
+    identical digit-by-digit expression on both engines, so the ring
+    IS the cross-engine spec. Assignment is one broadcast nested-loop
+    against the 32/40-row vnode table (min position >= key, wrap via
+    the ring's global min — exact integer compares throughout).
+
+    Scale shape: two broadcast fan-outs of ~40 rows per key, two
+    hash aggregates back to |keys|, one 4-row report. No shuffle
+    carries anything but doc_id and two small ints."""
+    d = table(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        F.expr(
+            _ring_fold_spark("concat('k:', CAST(doc_id AS STRING))")
+        ).alias("kpos"),
+    )
+
+    def ring(n_nodes: int) -> DataFrame:
+        return (
+            spark.range(n_nodes)
+            .select(F.col("id").alias("n"))
+            .crossJoin(
+                spark.range(_CH_VNODES).select(F.col("id").alias("v"))
+            )
+            .select(
+                "n",
+                F.expr(
+                    _ring_fold_spark(
+                        "concat('node', CAST(n AS STRING), ':',"
+                        " CAST(v AS STRING))"
+                    )
+                ).alias("pos"),
+            )
+        )
+
+    def assign(ring_df: DataFrame, alias: str) -> DataFrame:
+        r = ring_df
+        wrap = r.agg(F.min_by("n", "pos").alias("wrap_node"))
+        j = keys.crossJoin(F.broadcast(r))
+        per_key = j.groupBy("doc_id", "kpos").agg(
+            F.min_by(
+                "n", F.when(F.col("pos") >= F.col("kpos"), F.col("pos"))
+            ).alias("succ")
+        )
+        return per_key.crossJoin(F.broadcast(wrap)).select(
+            "doc_id",
+            F.coalesce(F.col("succ"), F.col("wrap_node")).alias(alias),
+        )
+
+    before = assign(ring(_CH_NODES_BEFORE), "node_b")
+    after = assign(ring(_CH_NODES_AFTER), "node_a")
+    joined = before.join(after, "doc_id")
+    return joined.groupBy(
+        F.col("node_b").cast("long").alias("node")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.count_if(F.col("node_b") != F.col("node_a"))
+        .cast("long")
+        .alias("n_moved"),
+        q4(
+            F.count_if(F.col("node_b") != F.col("node_a")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("moved_frac"),
+    )

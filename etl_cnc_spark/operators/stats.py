@@ -8679,3 +8679,255 @@ def stat_meta_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i2"),
     )
+
+
+# ------------------------------- Dunn post-hoc test (r8 wave AF)
+
+_DUNN_Z_CRIT = 2.807  # two-sided Bonferroni 0.05 over C(5,2) = 10 pairs
+
+
+@register(
+    "stat_dunn_posthoc",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), grid AS (
+        SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v, g
+    ), vtot AS (
+        SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM grid GROUP BY v
+    ), pri AS (
+        SELECT v, cv,
+               CAST(coalesce(sum(cv) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pv
+        FROM vtot
+    ), ranked AS (
+        SELECT gr.g, gr.c, 2 * p.pv + p.cv + 1 AS mr2
+        FROM grid gr JOIN pri p ON p.v = gr.v
+    ), gs AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * mr2) AS BIGINT) AS smr2
+        FROM ranked GROUP BY g
+    ), ties AS (
+        SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS t3t,
+               CAST(sum(cv) AS BIGINT) AS nt
+        FROM vtot
+    )
+    SELECT a.g AS g1, b.g AS g2,
+           {sql_q4("CAST(a.smr2 AS DOUBLE) / a.n / 2.0")} AS mean_rank_1,
+           {sql_q4("CAST(b.smr2 AS DOUBLE) / b.n / 2.0")} AS mean_rank_2,
+           {sql_q4(
+               "(CAST(a.smr2 AS DOUBLE) / a.n"
+               " - CAST(b.smr2 AS DOUBLE) / b.n) / 2.0"
+               " / sqrt((CAST(nt AS DOUBLE) * (nt + 1) / 12.0"
+               " - CAST(t3t AS DOUBLE) / (12.0 * (nt - 1)))"
+               " * (1.0 / a.n + 1.0 / b.n))"
+           )} AS z,
+           CAST(abs({sql_q4(
+               "(CAST(a.smr2 AS DOUBLE) / a.n"
+               " - CAST(b.smr2 AS DOUBLE) / b.n) / 2.0"
+               " / sqrt((CAST(nt AS DOUBLE) * (nt + 1) / 12.0"
+               " - CAST(t3t AS DOUBLE) / (12.0 * (nt - 1)))"
+               " * (1.0 / a.n + 1.0 / b.n))"
+           )}) > {_DUNN_Z_CRIT} AS BOOLEAN) AS significant
+    FROM gs a JOIN gs b ON a.g < b.g, ties
+    """,
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test: WHICH event-type pairs differ after
+    stat_kruskal_wallis says 'some do' — pairwise z on tie-corrected
+    midrank means, z_ij = (Rbar_i - Rbar_j)/sqrt((N(N+1)/12 -
+    sum(t^3-t)/(12(N-1)))(1/n_i + 1/n_j)), flagged at the Bonferroni
+    critical value 2.807 for the 10 pairs. The k-group follow-up the
+    omnibus tests can't give.
+
+    Midranks never see rows: values collapse to the cents grid,
+    DOUBLED midranks (2·prior + count + 1) come from one
+    value-domain-bounded prefix, and per-group rank sums fold as
+    exact BIGINTs; the tie correction reads the same grid. The
+    pairwise table is a self-join of the |groups|-row summary.
+
+    Scale shape at 100 TB: one shuffle to the value grid, one bounded
+    prefix, a 5x5 broadcast self-join."""
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    grid = x.groupBy("v", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vtot = grid.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pri = vtot.select(
+        "v",
+        "cv",
+        F.coalesce(F.sum("cv").over(wv), F.lit(0)).cast("long").alias("pv"),
+    )
+    ranked = grid.join(pri, "v").select(
+        "g", "c", (2 * F.col("pv") + F.col("cv") + 1).alias("mr2")
+    )
+    gs = ranked.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("mr2")).cast("long").alias("smr2"),
+    )
+    ties = vtot.agg(
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("long")
+        .alias("t3t"),
+        F.sum("cv").cast("long").alias("nt"),
+    )
+    a = gs.select(
+        F.col("g").alias("g1"),
+        F.col("n").alias("n1"),
+        F.col("smr2").alias("smr1"),
+    )
+    b = gs.select(
+        F.col("g").alias("g2"),
+        F.col("n").alias("n2"),
+        F.col("smr2").alias("smr2b"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(ties))
+    )
+    r1 = F.col("smr1").cast("double") / F.col("n1")
+    r2 = F.col("smr2b").cast("double") / F.col("n2")
+    ntd = F.col("nt").cast("double")
+    var = (
+        ntd * (F.col("nt") + 1) / 12.0
+        - F.col("t3t").cast("double") / (12.0 * (F.col("nt") - 1))
+    ) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    z = q4((r1 - r2) / F.lit(2.0) / F.sqrt(var))
+    return pairs.select(
+        "g1",
+        "g2",
+        q4(r1 / F.lit(2.0)).alias("mean_rank_1"),
+        q4(r2 / F.lit(2.0)).alias("mean_rank_2"),
+        z.alias("z"),
+        (F.abs(z) > _DUNN_Z_CRIT).alias("significant"),
+    )
+
+
+# ----------------------------- sign test / Wilson CI (r8 wave AG)
+
+
+@register(
+    "stat_sign_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count_if(event_type = 'click') AS BIGINT) AS x,
+               CAST(count_if(event_type = 'view') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(count_if(x > y) AS BIGINT) AS n_pos,
+               CAST(count_if(x < y) AS BIGINT) AS n_neg,
+               CAST(count_if(x = y) AS BIGINT) AS n_tie
+        FROM daily
+    )
+    SELECT n_pos, n_neg, n_tie,
+           {sql_q4(
+               "(CAST(n_pos AS DOUBLE) - 0.5 * (n_pos + n_neg))"
+               " / sqrt(0.25 * (n_pos + n_neg))"
+           )} AS z,
+           CAST(abs((CAST(n_pos AS DOUBLE) - 0.5 * (n_pos + n_neg))
+               / sqrt(0.25 * (n_pos + n_neg))) > 1.96 AS BOOLEAN)
+               AS significant
+    FROM s
+    """,
+)
+def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on daily click vs view counts: S = #days
+    clicks exceed views against Binomial(n, 1/2) with ties dropped
+    (the textbook rule), normal-approximation z — the
+    assumption-free-est paired test there is, the fallback when even
+    stat_wilcoxon_signed's symmetric-differences assumption is too
+    strong.
+
+    One calendar-grid aggregate produces the three exact sign counts;
+    the z-statistic is single-row arithmetic.
+
+    Scale shape at 100 TB: one fact pass to |days| rows, one 1-row
+    reduction."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("d"), "event_type")
+        .groupBy("d")
+        .agg(
+            F.count_if(F.col("event_type") == "click").cast("long").alias("x"),
+            F.count_if(F.col("event_type") == "view").cast("long").alias("y"),
+        )
+    )
+    s = daily.agg(
+        F.count_if(F.col("x") > F.col("y")).cast("long").alias("n_pos"),
+        F.count_if(F.col("x") < F.col("y")).cast("long").alias("n_neg"),
+        F.count_if(F.col("x") == F.col("y")).cast("long").alias("n_tie"),
+    )
+    m = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    z = (F.col("n_pos").cast("double") - 0.5 * m) / F.sqrt(0.25 * m)
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        q4(z).alias("z"),
+        (F.abs(q4(z)) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "stat_wilson_ci",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(hour(ts) >= 18) AS BIGINT) AS k
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           {sql_q4("CAST(k AS DOUBLE) / n")} AS p_hat,
+           {sql_q4(
+               "(CAST(k AS DOUBLE) / n + 1.9208 / n - 1.96 * sqrt("
+               "CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n) / n"
+               " + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+               " / (1.0 + 3.8416 / n)"
+           )} AS ci_lo,
+           {sql_q4(
+               "(CAST(k AS DOUBLE) / n + 1.9208 / n + 1.96 * sqrt("
+               "CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n) / n"
+               " + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+               " / (1.0 + 3.8416 / n)"
+           )} AS ci_hi
+    FROM s
+    """,
+)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the evening share of
+    each event type: the interval (p + z^2/2n +- z*sqrt(p(1-p)/n +
+    z^2/4n^2)) / (1 + z^2/n) that, unlike the naive Wald interval,
+    never escapes [0,1] and stays honest at small counts or extreme
+    shares — the per-segment uncertainty band every dashboard
+    proportion should carry (z = 1.96: z^2 = 3.8416, z^2/2 = 1.9208,
+    z^2/4 = 0.9604 folded as literals).
+
+    Exact integer counts per type, single-row arithmetic after — one
+    hash aggregate at any scale."""
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.hour("ts") >= 18).cast("long").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    half = 1.96 * F.sqrt(p * (F.lit(1.0) - p) / n + 0.9604 / (n * n))
+    denom = F.lit(1.0) + 3.8416 / n
+    center = p + 1.9208 / n
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        q4(p).alias("p_hat"),
+        q4((center - half) / denom).alias("ci_lo"),
+        q4((center + half) / denom).alias("ci_hi"),
+    )

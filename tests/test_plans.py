@@ -566,6 +566,9 @@ def test_unpartitioned_window_census():
             "LC_BUCKETS hash-bucket rows — domain-bounded",
         ("llm/text.py", "text_vocab_growth"):
             "one row per doc-id bucket (corpus/VOCAB_BUCKET_W)",
+        ("llm/text.py", "text_heaps_law"):
+            "same bucket-grid prefix as text_vocab_growth — one row "
+            "per doc-id bucket",
         ("llm/similarity.py", "ml_roc_auc"):
             "two-level prefix: per-score-bucket offset table — bucket "
             "count bounded by the score range, not the corpus",
@@ -593,6 +596,9 @@ def test_unpartitioned_window_census():
         ("operators/stats.py", "stat_brunner_munzel"):
             "midrank prefix over the integer l_quantity grid — "
             "value-domain-bounded (≤50 rows)",
+        ("operators/stats.py", "stat_dunn_posthoc"):
+            "midrank prefix over the value-cents grid — "
+            "value-domain-bounded",
         ("operators/analytics.py", "events_xmr_chart"):
             "lag over the calendar-day grid — bounded",
         ("operators/analytics.py", "events_bass_diffusion"):
