@@ -654,3 +654,118 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_match_meta"),
         F.sum("nbytes").cast("long").alias("total_bytes"),
     )
+
+
+# ------------------------------ WAV header parsing (r8 wave AI)
+
+# little-endian field decode: byte k of a blob as an integer via its
+# two hex chars — the identical digit arithmetic on both engines
+_WAV_RATES = {0: 8000, 1: 16000, 2: 44100}
+
+
+def _le_u32_sql(col: str, pos: int) -> str:
+    # bytes pos..pos+3 of BLOB col, little-endian
+    return " + ".join(
+        f"(CAST(strpos('0123456789ABCDEF', substring(hex({col}),"
+        f" {2 * (pos + i) - 1}, 1)) - 1 AS BIGINT) * 16"
+        f" + CAST(strpos('0123456789ABCDEF', substring(hex({col}),"
+        f" {2 * (pos + i)}, 1)) - 1 AS BIGINT)) * {256 ** i}"
+        for i in range(4)
+    )
+
+
+@register(
+    "multimodal_wav_header",
+    oracle=f"""
+    WITH framed AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 8000
+                 WHEN 1 THEN 16000 ELSE 44100 END AS true_rate
+        FROM documents
+    ), payloads AS (
+        SELECT doc_id, true_rate,
+               'RIFF\\x24\\x00\\x00\\x00WAVEfmt \\x10\\x00\\x00\\x00'::BLOB
+               || CASE doc_id % 3
+                    WHEN 0 THEN '\\x01\\x00\\x01\\x00\\x40\\x1F\\x00\\x00'::BLOB
+                    WHEN 1 THEN '\\x01\\x00\\x01\\x00\\x80\\x3E\\x00\\x00'::BLOB
+                    ELSE '\\x01\\x00\\x02\\x00\\x44\\xAC\\x00\\x00'::BLOB
+                  END AS payload
+        FROM framed
+    ), parsed AS (
+        SELECT doc_id, true_rate,
+               {_le_u32_sql("payload", 25)} AS sample_rate,
+               CAST(strpos('0123456789ABCDEF', substring(hex(payload), 45, 1))
+                    - 1 AS BIGINT) * 16
+               + CAST(strpos('0123456789ABCDEF', substring(hex(payload), 46,
+                    1)) - 1 AS BIGINT) AS channels
+        FROM payloads
+    )
+    SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(sample_rate = true_rate) AS BIGINT) AS n_rate_ok
+    FROM parsed GROUP BY sample_rate, channels
+    """,
+)
+def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary WAV (RIFF/fmt) header FIELD decoding without any audio
+    library: frame each document with a real 24-byte canonical fmt
+    chunk (PCM, mono/stereo, 8 k/16 k/44.1 k by doc class), then
+    parse the little-endian u32 sample rate at offset 24 and the u16
+    channel count at offset 22 back out of the raw bytes — the
+    metadata-extraction step an audio ingest runs on billions of
+    clips before any decoder touches them.
+
+    Byte arithmetic is hex-digit folds (strpos over '0..F' on
+    hex(payload) — the same expression both engines evaluate), so
+    the decode is pure whole-stage-codegen projection; the report
+    groups by (rate, channels) and reconciles against the planted
+    truth.
+
+    Scale shape: one map pass over 24-byte header prefixes, one
+    bounded aggregate (<=3 format rows)."""
+    d = table(spark, sf_dir, "documents")
+    fmt = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.expr("X'01000100401F0000'"),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.expr("X'01000100803E0000'"))
+        .otherwise(F.expr("X'0100020044AC0000'"))
+    )
+    payloads = d.select(
+        "doc_id",
+        F.element_at(
+            F.lit([8000, 16000, 44100]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("true_rate"),
+        F.concat(
+            F.expr("X'524946462400000057415645666D742010000000'"), fmt
+        ).alias("payload"),
+    )
+
+    def hexdig(pos: int) -> str:
+        return (
+            f"CAST(instr('0123456789ABCDEF', substring(hex(payload),"
+            f" {pos}, 1)) - 1 AS BIGINT)"
+        )
+
+    le_u32 = " + ".join(
+        f"({hexdig(2 * (25 + i) - 1)} * 16 + {hexdig(2 * (25 + i))})"
+        f" * {256 ** i}"
+        for i in range(4)
+    )
+    channels = f"{hexdig(45)} * 16 + {hexdig(46)}"
+    parsed = payloads.select(
+        "true_rate",
+        F.expr(le_u32).alias("sample_rate"),
+        F.expr(channels).alias("channels"),
+    )
+    return parsed.groupBy(
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("sample_rate") == F.col("true_rate"))
+        .cast("long")
+        .alias("n_rate_ok"),
+    )

@@ -8931,3 +8931,123 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4((center - half) / denom).alias("ci_lo"),
         q4((center + half) / denom).alias("ci_hi"),
     )
+
+
+# --------------------------- seasonal Mann-Kendall (r8 wave AI)
+
+
+@register(
+    "stat_seasonal_mann_kendall",
+    oracle=f"""
+    WITH grid AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS season,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN a.m < b.m THEN 1
+                             WHEN a.m > b.m THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_total
+        FROM grid a JOIN grid b
+          ON a.season = b.season AND a.d < b.d
+    ), pers AS (
+        SELECT season, CAST(count(*) AS BIGINT) AS n FROM grid
+        GROUP BY season
+    ), ties AS (
+        SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+        FROM (SELECT season, m, CAST(count(*) AS BIGINT) AS t
+              FROM grid GROUP BY season, m)
+    ), v AS (
+        SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS nsum,
+               CAST(count(*) AS BIGINT) AS n_seasons
+        FROM pers
+    )
+    SELECT n_seasons, s_total,
+           {sql_q4("CAST(nsum - tie_sum AS DOUBLE) / 18.0")} AS var_s,
+           {sql_q4(
+               "CASE WHEN s_total > 0 THEN (s_total - 1)"
+               " / sqrt(CAST(nsum - tie_sum AS DOUBLE) / 18.0)"
+               " WHEN s_total < 0 THEN (s_total + 1)"
+               " / sqrt(CAST(nsum - tie_sum AS DOUBLE) / 18.0)"
+               " ELSE 0.0 END"
+           )} AS z
+    FROM s, ties, v
+    """,
+)
+def stat_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test with hour-of-day seasons: the
+    MK sign statistic S computed WITHIN each of the 24 hourly series
+    across days, then summed — so a diurnal cycle (which wrecks the
+    plain stat_mann_kendall by comparing 3 am to noon) cancels out
+    and only the cross-day monotone trend is tested. Tie-corrected
+    variance sum n(n-1)(2n+5)/18 per season, continuity-corrected z.
+
+    All pair signs come from the (season, day) calendar grid's
+    within-season self-join (24 x C(30,2) pairs — bounded by the
+    calendar, not the data); S, ties, and the variance fold as exact
+    BIGINTs, only z divides.
+
+    Scale shape at 100 TB: one fact pass to the <=24x|days| grid,
+    one bounded pair join, 1-row output."""
+    e = table(spark, sf_dir, "events")
+    grid = e.select(
+        F.hour("ts").cast("long").alias("season"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).groupBy("season", "d").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    a = grid.select(
+        F.col("season").alias("sa"), F.col("d").alias("da"), F.col("m").alias("ma")
+    )
+    b = grid.select(
+        F.col("season").alias("sb"), F.col("d").alias("db"), F.col("m").alias("mb")
+    )
+    s = (
+        F.broadcast(a)
+        .join(b, (F.col("sa") == F.col("sb")) & (F.col("da") < F.col("db")))
+        .agg(
+            F.sum(
+                F.when(F.col("ma") < F.col("mb"), 1)
+                .when(F.col("ma") > F.col("mb"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_total")
+        )
+    )
+    pers = grid.groupBy("season").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        grid.groupBy("season", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    v = pers.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("long")
+        .alias("nsum"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+    )
+    out = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(v))
+    var_s = (F.col("nsum") - F.col("tie_sum")).cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_total") > 0,
+            (F.col("s_total") - 1) / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_total") < 0,
+            (F.col("s_total") + 1) / F.sqrt(var_s),
+        )
+        .otherwise(0.0)
+    )
+    return out.select(
+        "n_seasons",
+        "s_total",
+        q4(var_s).alias("var_s"),
+        q4(z).alias("z"),
+    )
