@@ -4871,3 +4871,131 @@ def embed_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("hxx").cast("double") * F.col("hyy"))
         ).alias("cka_linear"),
     )
+
+
+# --------------------- Johnson-Lindenstrauss projection (r8 wave AL)
+
+_JL_D = 16        # target dimensionality
+_JL_XQ = 1_000_000
+_JL_RQ = 1_000_000_000
+# deterministic +-1 sign matrix: s_ij = 1 - 2*((73 i + 149 j + i j) % 2)
+_JL_SIGN_SQL = "(1 - 2 * ((73 * i + 149 * j + i * j) % 2))"
+
+
+@register(
+    "embed_random_projection",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(embedding[i] AS DOUBLE) * {_JL_XQ} + 0.5)
+                     AS BIGINT) for i in range(1, 65)] AS eq
+        FROM embeddings WHERE vec_id < {HAM_NQ}
+    ), proj AS (
+        SELECT vec_id, eq,
+               [list_aggregate([eq[i] * {_JL_SIGN_SQL}
+                    for i in range(1, 65)], 'sum')
+                for j in range(1, {_JL_D + 1})] AS y
+        FROM q
+    ), pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_aggregate([(a.eq[i] - b.eq[i]) * (a.eq[i] - b.eq[i])
+                    for i in range(1, 65)], 'sum') AS d64,
+               list_aggregate([(a.y[j] - b.y[j]) * (a.y[j] - b.y[j])
+                    for j in range(1, {_JL_D + 1})], 'sum') AS dproj
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ), ratios AS (
+        SELECT CAST(floor(CAST(dproj AS DOUBLE) / {_JL_D} / d64 * {_JL_RQ}
+                   + 0.5) AS BIGINT) AS rq
+        FROM pairs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           {sql_q4(f"CAST(sum(rq) AS DOUBLE) / {_JL_RQ} / count(*)")}
+               AS mean_ratio,
+           {sql_q4(f"CAST(min(rq) AS DOUBLE) / {_JL_RQ}")} AS min_ratio,
+           {sql_q4(f"CAST(max(rq) AS DOUBLE) / {_JL_RQ}")} AS max_ratio,
+           {sql_q4(f"CAST(count_if(rq BETWEEN {int(0.8 * _JL_RQ)}"
+                   f" AND {int(12 * _JL_RQ) // 10}) AS DOUBLE) / count(*)")}
+               AS frac_within_20pct
+    FROM ratios
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project the 50-query block from
+    64 to {_JL_D} dimensions with a deterministic +-1 sign matrix
+    (the Achlioptas database-friendly construction) and measure the
+    pairwise squared-distance distortion ratio d_proj^2/(k·d^2) over
+    all C(50,2) pairs — mean/min/max and the fraction inside +-20%,
+    the empirical check behind using random projections as the cheap
+    first stage of ANN at 100 TB (project once, filter, re-rank
+    exact).
+
+    Components quantize at 1e-6 so projections are exact BIGINT sign
+    combinations; both squared distances fold as exact integers, and
+    per-pair ratios quantize at 1e-9 before the order-free summary
+    folds.
+
+    Scale shape: the projection is a per-row JVM fold (64x{_JL_D}
+    compile-time signs, no matrix shuffle); the pair audit is the
+    bounded 50-block self-join."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < HAM_NQ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _JL_XQ + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("eq"),
+    )
+    proj_expr = F.expr(
+        f"transform(sequence(1, {_JL_D}), j -> aggregate(sequence(1, 64),"
+        f" 0L, (acc, i) -> acc + element_at(eq, i)"
+        f" * CAST(1 - 2 * ((73 * i + 149 * j + i * j) % 2) AS BIGINT)))"
+    )
+    proj = q.select("vec_id", "eq", proj_expr.alias("y"))
+    a = proj.select(
+        F.col("vec_id").alias("ia"),
+        F.col("eq").alias("ea"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("ib"),
+        F.col("eq").alias("eb"),
+        F.col("y").alias("yb"),
+    )
+    d64 = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dproj = F.aggregate(
+        F.zip_with(F.col("ya"), F.col("yb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("ia") < F.col("ib"))
+        .select(d64.alias("d64"), dproj.alias("dproj"))
+    )
+    ratios = pairs.select(
+        F.floor(
+            F.col("dproj").cast("double") / _JL_D / F.col("d64") * _JL_RQ
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rq")
+    )
+    lo, hi = int(0.8 * _JL_RQ), int(12 * _JL_RQ) // 10
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        q4(F.sum("rq").cast("double") / _JL_RQ / F.count(F.lit(1))).alias(
+            "mean_ratio"
+        ),
+        q4(F.min("rq").cast("double") / _JL_RQ).alias("min_ratio"),
+        q4(F.max("rq").cast("double") / _JL_RQ).alias("max_ratio"),
+        q4(
+            F.count_if(F.col("rq").between(lo, hi)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("frac_within_20pct"),
+    )

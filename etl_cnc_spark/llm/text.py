@@ -3498,3 +3498,179 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.exp(intercept)).alias("k"),
         q4(sxy * sxy / (sxx * syy)).alias("r2"),
     )
+
+
+# ------------------------------ Renyi entropy spectrum (r8 wave AJ)
+
+_RENYI_Q = 1_000_000_000
+
+
+@register(
+    "text_renyi_spectrum",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+        FROM words GROUP BY lang, w
+    ), tot AS (
+        SELECT lang, CAST(sum(f) AS BIGINT) AS n,
+               CAST(max(f) AS BIGINT) AS fmax,
+               CAST(count(*) AS BIGINT) AS v
+        FROM freq GROUP BY lang
+    ), folds AS (
+        SELECT f.lang,
+               CAST(sum(CAST(floor(sqrt(CAST(f.f AS DOUBLE) / t.n)
+                    * {_RENYI_Q} + 0.5) AS BIGINT)) AS BIGINT) AS s_half,
+               CAST(sum(CAST(floor(f.f * ln(CAST(f.f AS DOUBLE)) * 1e6
+                    + 0.5) AS BIGINT)) AS BIGINT) AS s_ln,
+               CAST(sum(f.f * f.f) AS BIGINT) AS s_sq
+        FROM freq f JOIN tot t ON t.lang = f.lang
+        GROUP BY f.lang
+    )
+    SELECT t.lang, t.v AS vocab, t.n AS tokens,
+           {sql_q4(f"2.0 * ln(CAST(s_half AS DOUBLE) / {_RENYI_Q})")}
+               AS h_renyi_half,
+           {sql_q4("ln(CAST(t.n AS DOUBLE))"
+                   " - CAST(s_ln AS DOUBLE) / 1e6 / t.n")} AS h_shannon,
+           {sql_q4("-ln(CAST(s_sq AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n))")}
+               AS h_renyi_2,
+           {sql_q4("-ln(CAST(t.fmax AS DOUBLE) / t.n)")} AS h_min
+    FROM tot t JOIN folds f2 ON f2.lang = t.lang
+    """,
+)
+def text_renyi_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renyi entropy spectrum of the per-language word distribution
+    at alpha = 1/2, 1, 2, infinity: H_1/2 (weights rare words up),
+    Shannon H_1, collision entropy H_2 = -ln sum p^2 (what a
+    birthday-attack or near-dup sampler feels), and min-entropy
+    H_inf = -ln p_max (the single most predictable token) — the
+    whole diversity PROFILE, monotone decreasing in alpha; how fast
+    it drops tells a curation pass whether diversity lives in the
+    head or the tail.
+
+    All four points come from one frequency table: sqrt/ln terms
+    quantize per word type at fixed scales and fold as BIGINTs, the
+    collision sum is exact integer f^2, and H_inf reads max(f). The
+    H_1/2 fold sums sqrt(p) directly so the engine never forms
+    p^alpha doubles row-by-row.
+
+    Scale shape at 100 TB: one (lang, word) hash aggregate — same
+    single shuffle as text_hapax_stats — then |langs|-row math."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    tot = freq.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n"),
+        F.max("f").cast("long").alias("fmax"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    folds = (
+        freq.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.sqrt(F.col("f").cast("double") / F.col("n")) * _RENYI_Q
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_half"),
+            F.sum(
+                F.floor(
+                    F.col("f") * F.log(F.col("f").cast("double")) * 1e6
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_ln"),
+            F.sum(F.col("f") * F.col("f")).cast("long").alias("s_sq"),
+        )
+    )
+    j = tot.join(folds, "lang")
+    nd = F.col("n").cast("double")
+    return j.select(
+        "lang",
+        F.col("v").alias("vocab"),
+        F.col("n").alias("tokens"),
+        q4(
+            F.lit(2.0) * F.log(F.col("s_half").cast("double") / _RENYI_Q)
+        ).alias("h_renyi_half"),
+        q4(F.log(nd) - F.col("s_ln").cast("double") / 1e6 / F.col("n")).alias(
+            "h_shannon"
+        ),
+        q4(-F.log(F.col("s_sq").cast("double") / (nd * F.col("n")))).alias(
+            "h_renyi_2"
+        ),
+        q4(-F.log(F.col("fmax").cast("double") / F.col("n"))).alias("h_min"),
+    )
+
+
+# -------------------------- dedup importance weights (r8 wave AL)
+
+_DW_Q = 1_000_000_000
+
+
+@register(
+    "pipeline_dedup_weights",
+    oracle=f"""
+    WITH clustered AS (
+        SELECT doc_id, lang, md5(text) AS ck FROM documents
+    ), sizes AS (
+        SELECT ck, CAST(count(*) AS BIGINT) AS sz FROM clustered GROUP BY ck
+    ), weighted AS (
+        SELECT c.lang, s.sz,
+               CAST(floor(1.0 * {_DW_Q} / s.sz + 0.5) AS BIGINT) AS wq
+        FROM clustered c JOIN sizes s ON s.ck = c.ck
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(sz = 1) AS BIGINT) AS n_unique,
+           {sql_q4(f"CAST(sum(wq) AS DOUBLE) / {_DW_Q}")} AS effective_docs,
+           {sql_q4(f"CAST(sum(wq) AS DOUBLE) / {_DW_Q} / count(*)")}
+               AS effective_frac
+    FROM weighted GROUP BY lang
+    """,
+)
+def pipeline_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware importance weights: every document gets weight
+    1/|its exact-duplicate cluster| (md5 content key), so training on
+    the FULL corpus with these weights equals training on the
+    deduplicated corpus — the keep-everything alternative to
+    dedup_exact's row dropping that preserves shard locality and
+    lets the weight column ride along at 100 TB instead of forcing a
+    rewrite. Per language: document count, singleton count, the
+    effective (weighted) document count and its fraction.
+
+    Weights quantize at 1e-9 per document before the per-language
+    fold (order-free); summed over a whole cluster they telescope to
+    exactly 1, so sum(effective_docs) across languages equals the
+    global distinct-content count — the property test's invariant.
+
+    Scale shape: one hash aggregate to content digests, one digest
+    join back (shuffles carry md5 keys, never text), one |langs|-row
+    report."""
+    d = table(spark, sf_dir, "documents")
+    clustered = d.select("doc_id", "lang", F.md5("text").alias("ck"))
+    sizes = clustered.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    weighted = clustered.join(sizes, "ck").select(
+        "lang",
+        "sz",
+        F.floor(F.lit(1.0) * _DW_Q / F.col("sz") + F.lit(0.5))
+        .cast("long")
+        .alias("wq"),
+    )
+    return weighted.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("sz") == 1).cast("long").alias("n_unique"),
+        q4(F.sum("wq").cast("double") / _DW_Q).alias("effective_docs"),
+        q4(
+            F.sum("wq").cast("double") / _DW_Q / F.count(F.lit(1))
+        ).alias("effective_frac"),
+    )

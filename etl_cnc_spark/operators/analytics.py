@@ -8822,3 +8822,75 @@ def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(meanb).alias("mean_bin_count"),
         q4(avar / meanb).alias("avar_over_mean"),
     )
+
+
+# --------------------------- semi-Markov dwell times (r8 wave AK)
+
+
+@register(
+    "events_markov_dwell_times",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS nxt
+        FROM events
+    ), dwell AS (
+        SELECT event_type,
+               CAST(date_diff('second', ts, nxt) AS BIGINT) AS gap_s
+        FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           {sql_q4("CAST(sum(gap_s) AS DOUBLE) / count(*)")} AS mean_dwell_s,
+           {sql_q4(
+               "sqrt((count(*) * CAST(sum(gap_s * gap_s) AS DOUBLE)"
+               " - CAST(sum(gap_s) AS DOUBLE) * sum(gap_s))"
+               " / (CAST(count(*) AS DOUBLE) * (count(*) - 1)))"
+           )} AS std_dwell_s,
+           {sql_q4(
+               "sqrt((count(*) * CAST(sum(gap_s * gap_s) AS DOUBLE)"
+               " - CAST(sum(gap_s) AS DOUBLE) * sum(gap_s))"
+               " / (CAST(count(*) AS DOUBLE) * (count(*) - 1)))"
+               " / (CAST(sum(gap_s) AS DOUBLE) / count(*))"
+           )} AS cv_dwell
+    FROM dwell GROUP BY event_type
+    """,
+)
+def events_markov_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-Markov dwell-time profile: how long a user SITS in each
+    state (event type) before their next event — mean, std, and the
+    coefficient of variation per state (CV ~ 1 is memoryless/
+    exponential, CV >> 1 is bursty, CV << 1 is scheduled). The
+    holding-time half of the chain whose jump probabilities
+    events_markov already reports: together they specify the full
+    semi-Markov process.
+
+    Per-user successor timestamps come from one lead() window
+    PARTITIONED by user (bounded per-user history); gaps are exact
+    integer seconds and both moments fold as BIGINTs, so the three
+    statistics are ratios of exact integers per state.
+
+    Scale shape at 100 TB: one shuffle on user_id for the lead
+    window, one hash aggregate to |event types| rows."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", "ts", F.lead("ts").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    dwell = seq.select(
+        "event_type",
+        (F.unix_timestamp("nxt") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("gap_s"),
+    )
+    n = F.count(F.lit(1))
+    sg = F.sum("gap_s").cast("double")
+    sg2 = F.sum(F.col("gap_s") * F.col("gap_s")).cast("double")
+    std = F.sqrt((n * sg2 - sg * sg) / (n.cast("double") * (n - 1)))
+    return dwell.groupBy("event_type").agg(
+        n.cast("long").alias("n_transitions"),
+        q4(sg / n).alias("mean_dwell_s"),
+        q4(std).alias("std_dwell_s"),
+        q4(std / (sg / n)).alias("cv_dwell"),
+    )

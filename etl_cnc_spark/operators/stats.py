@@ -9051,3 +9051,187 @@ def stat_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(var_s).alias("var_s"),
         q4(z).alias("z"),
     )
+
+
+# ----------------------- Poisson GLM trend, one Newton step (r8 wave AJ)
+
+
+@register(
+    "stat_poisson_trend_glm",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS x,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM daily
+    )
+    SELECT t AS n_days, sy AS n_events,
+           {sql_q4(
+               "ln(CAST(sy AS DOUBLE) / t)"
+               " - (CAST(sx AS DOUBLE) / t)"
+               " * (CAST(t AS DOUBLE) / sy)"
+               " * (CAST(t AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(t AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+           )} AS beta0,
+           {sql_q4(
+               "(CAST(t AS DOUBLE) / sy)"
+               " * (CAST(t AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(t AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+           )} AS beta1,
+           {sql_q4(
+               "exp((CAST(t AS DOUBLE) / sy)"
+               " * (CAST(t AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(t AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+           )} AS rate_ratio_per_day,
+           {sql_q4("CAST(sy AS DOUBLE) / t")} AS mean_daily
+    FROM mom
+    """,
+)
+def stat_poisson_trend_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson log-linear trend of daily purchase counts: ONE exact
+    Newton/IRLS step for the GLM ln mu_t = b0 + b1·t from the
+    canonical start (b0 = ln ybar, b1 = 0), where the step is
+    closed-form — at the start the working weights are constant ybar,
+    so Delta_b1 = (T/sum y)·(T·sum xy - sum x·sum y)/(T·sum x^2 -
+    (sum x)^2) and b0 re-centers to keep the fitted total — giving
+    the multiplicative daily growth rate exp(b1) with count-model
+    (not least-squares) weighting; the GLM sibling of
+    events_forecast_baseline's OLS trend and the same one-step
+    discipline as ml_logreg_irls_step.
+
+    All five regression moments fold as exact BIGINTs over the
+    calendar-day grid; the step, the re-centered intercept, and
+    exp(b1) are single-row arithmetic.
+
+    Scale shape at 100 TB: one fact pass to |days| rows, one 1-row
+    reduction."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            F.col("event_type"),
+        )
+        .groupBy("x")
+        .agg(
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("y")
+        )
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    t = F.col("t").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    b1 = (t / sy) * (t * sxy - sx * sy) / (t * sxx - sx * sx)
+    b0 = F.log(sy / t) - (sx / F.col("t")) * b1
+    return mom.select(
+        F.col("t").alias("n_days"),
+        F.col("sy").alias("n_events"),
+        q4(b0).alias("beta0"),
+        q4(b1).alias("beta1"),
+        q4(F.exp(b1)).alias("rate_ratio_per_day"),
+        q4(sy / t).alias("mean_daily"),
+    )
+
+
+# ------------------------------ Gini mean difference (r8 wave AK)
+
+
+@register(
+    "stat_gini_mean_difference",
+    oracle=f"""
+    WITH grid AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), pre AS (
+        SELECT v, c,
+               CAST(coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below,
+               CAST(coalesce(sum(c * v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS sum_below
+        FROM grid
+    ), s AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * v) AS BIGINT) AS sv,
+               CAST(sum(c * (below * v - sum_below)) AS BIGINT) AS pair_abs
+        FROM pre
+    )
+    SELECT n,
+           {sql_q4("CAST(sv AS DOUBLE) / n / 100.0")} AS mean_value,
+           {sql_q4("2.0 * pair_abs / (CAST(n AS DOUBLE) * (n - 1)) / 100.0")}
+               AS gmd,
+           {sql_q4("CAST(pair_abs AS DOUBLE) / n / sv")} AS gini_coeff
+    FROM s
+    """,
+)
+def stat_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference of the event value: GMD = E|X_i - X_j|
+    over all pairs — the dispersion measure that, unlike the std,
+    is defined without squaring (robust to moderate tails) and whose
+    normalized form GMD/(2·mean) IS the Gini coefficient of the
+    VALUE distribution (events_gini measures user-total inequality;
+    this measures transaction-size inequality).
+
+    The O(n^2) pair sum collapses via the sorted identity
+    sum_pairs|xi - xj| = sum_k c_k·(below_k·v_k - sum_below_k) on
+    the cents grid: one value-domain-bounded prefix (price range is
+    fixed, so the grid is bounded at any corpus size), every term an
+    exact BIGINT; only the final three ratios divide.
+
+    Scale shape at 100 TB: one shuffle to the value grid, one
+    bounded prefix, 1-row output."""
+    e = table(spark, sf_dir, "events")
+    grid = e.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = grid.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long").alias("below"),
+        F.coalesce(F.sum(F.col("c") * F.col("v")).over(wv), F.lit(0))
+        .cast("long")
+        .alias("sum_below"),
+    )
+    s = pre.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("v")).cast("long").alias("sv"),
+        F.sum(
+            F.col("c") * (F.col("below") * F.col("v") - F.col("sum_below"))
+        )
+        .cast("long")
+        .alias("pair_abs"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        q4(F.col("sv").cast("double") / F.col("n") / 100.0).alias(
+            "mean_value"
+        ),
+        q4(
+            F.lit(2.0) * F.col("pair_abs") / (nd * (F.col("n") - 1)) / 100.0
+        ).alias("gmd"),
+        q4(F.col("pair_abs").cast("double") / F.col("n") / F.col("sv")).alias(
+            "gini_coeff"
+        ),
+    )

@@ -599,6 +599,9 @@ def test_unpartitioned_window_census():
         ("operators/stats.py", "stat_dunn_posthoc"):
             "midrank prefix over the value-cents grid — "
             "value-domain-bounded",
+        ("operators/stats.py", "stat_gini_mean_difference"):
+            "sorted-identity prefix over the value-cents grid — "
+            "value-domain-bounded (price range is fixed)",
         ("operators/analytics.py", "events_xmr_chart"):
             "lag over the calendar-day grid — bounded",
         ("operators/analytics.py", "events_bass_diffusion"):
