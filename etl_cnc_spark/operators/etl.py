@@ -2416,3 +2416,89 @@ def etl_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("moved_frac"),
     )
+
+
+# ---------------------------- partition-spec planning (r8 wave AM)
+
+_PSP_TARGET_ROWS = 25_000  # "healthy partition" floor for the audit
+
+
+@register(
+    "etl_partition_spec_planner",
+    oracle=f"""
+    WITH specs AS (
+        SELECT unnest(['day', 'week', 'month']) AS spec
+    ), bucketed AS (
+        SELECT s.spec,
+               CASE s.spec
+                 WHEN 'day' THEN strftime(CAST(l_shipdate AS DATE),
+                      '%Y-%m-%d')
+                 WHEN 'week' THEN strftime(date_trunc('week',
+                      CAST(l_shipdate AS DATE)), '%Y-%m-%d')
+                 ELSE strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+               END AS bucket
+        FROM lineitem, specs s
+    ), parts AS (
+        SELECT spec, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY spec, bucket
+    )
+    SELECT spec,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           {sql_q4("CAST(sum(n) AS DOUBLE) / count(*)")} AS avg_rows,
+           {sql_q4("CAST(max(n) AS DOUBLE) * count(*) / sum(n)")}
+               AS skew_ratio,
+           {sql_q4(f"CAST(count_if(n < {_PSP_TARGET_ROWS}) AS DOUBLE)"
+                   f" / count(*)")} AS small_frac
+    FROM parts GROUP BY spec
+    """,
+)
+def etl_partition_spec_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec planning audit: bucket the fact table under
+    three candidate calendar specs (day / ISO week / month) in ONE
+    pass and report, per spec, the partition count, the max/avg row
+    load, the skew ratio (max over mean — the straggler predictor),
+    and the fraction of partitions under the healthy-size floor —
+    the numbers that decide a 100 TB table's layout BEFORE an
+    expensive rewrite (day gives pruning but small files; month
+    gives fat scans; the report quantifies the trade).
+
+    The spec axis is a compile-time 3-way fan-out (explode, not three
+    jobs); buckets are pure calendar expressions, so the whole audit
+    is one hash aggregate to |specs x buckets| rows plus a 3-row
+    summary. Pairs with etl_compact_small_files (fixing the layout
+    this report chooses).
+
+    Scale shape: one fan-out fact pass, bounded calendar-grid
+    aggregates."""
+    li = table(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    bucketed = li.select(
+        F.explode(F.lit(["day", "week", "month"])).alias("spec"), d.alias("d")
+    ).select(
+        "spec",
+        F.when(F.col("spec") == "day", F.date_format("d", "yyyy-MM-dd"))
+        .when(
+            F.col("spec") == "week",
+            F.date_format(F.date_trunc("week", "d"), "yyyy-MM-dd"),
+        )
+        .otherwise(F.date_format("d", "yyyy-MM"))
+        .alias("bucket"),
+    )
+    parts = bucketed.groupBy("spec", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return parts.groupBy("spec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        q4(F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_rows"),
+        q4(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n")
+        ).alias("skew_ratio"),
+        q4(
+            F.count_if(F.col("n") < _PSP_TARGET_ROWS).cast("double")
+            / F.count(F.lit(1))
+        ).alias("small_frac"),
+    )

@@ -9235,3 +9235,156 @@ def stat_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_coeff"
         ),
     )
+
+
+# ------------------------------------- Lepage test (r8 wave AM)
+
+
+@register(
+    "stat_lepage",
+    oracle=f"""
+    WITH grid AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               CAST(count_if(l_returnflag = 'A') AS BIGINT) AS ca,
+               CAST(count_if(l_returnflag = 'R') AS BIGINT) AS cr
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        GROUP BY 1
+    ), pri AS (
+        SELECT v, ca, cr, ca + cr AS c,
+               CAST(coalesce(sum(ca + cr) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS p
+        FROM grid
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cr) AS BIGINT) AS nr,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM pri
+    ), scores AS (
+        SELECT ca, cr, c,
+               2 * p + c + 1 AS w2,
+               (n + 1) - abs(2 * p + c + 1 - (n + 1)) AS a2,
+               na, nr, n
+        FROM pri, tot
+    ), folds AS (
+        SELECT CAST(sum(cr * w2) AS BIGINT) AS tw,
+               CAST(sum(c * w2) AS BIGINT) AS sw,
+               CAST(sum(c * w2 * w2) AS BIGINT) AS sw2,
+               CAST(sum(cr * a2) AS BIGINT) AS ta,
+               CAST(sum(c * a2) AS BIGINT) AS sa,
+               CAST(sum(c * a2 * a2) AS BIGINT) AS sa2,
+               CAST(max(na) AS BIGINT) AS na, CAST(max(nr) AS BIGINT) AS nr,
+               CAST(max(n) AS BIGINT) AS n
+        FROM scores
+    )
+    SELECT na, nr,
+           {sql_q4(
+               "(CAST(tw AS DOUBLE) - CAST(nr AS DOUBLE) * sw / n)"
+               " / sqrt(CAST(na AS DOUBLE) * nr / (CAST(n AS DOUBLE)"
+               " * (n - 1)) * (CAST(sw2 AS DOUBLE)"
+               " - CAST(sw AS DOUBLE) * sw / n))"
+           )} AS z_location,
+           {sql_q4(
+               "(CAST(ta AS DOUBLE) - CAST(nr AS DOUBLE) * sa / n)"
+               " / sqrt(CAST(na AS DOUBLE) * nr / (CAST(n AS DOUBLE)"
+               " * (n - 1)) * (CAST(sa2 AS DOUBLE)"
+               " - CAST(sa AS DOUBLE) * sa / n))"
+           )} AS z_scale,
+           {sql_q4(
+               "power((CAST(tw AS DOUBLE) - CAST(nr AS DOUBLE) * sw / n)"
+               " / sqrt(CAST(na AS DOUBLE) * nr / (CAST(n AS DOUBLE)"
+               " * (n - 1)) * (CAST(sw2 AS DOUBLE)"
+               " - CAST(sw AS DOUBLE) * sw / n)), 2)"
+               " + power((CAST(ta AS DOUBLE) - CAST(nr AS DOUBLE) * sa / n)"
+               " / sqrt(CAST(na AS DOUBLE) * nr / (CAST(n AS DOUBLE)"
+               " * (n - 1)) * (CAST(sa2 AS DOUBLE)"
+               " - CAST(sa AS DOUBLE) * sa / n)), 2)"
+           )} AS lepage_l
+    FROM folds
+    """,
+)
+def stat_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage combined location-scale test of returned-vs-accepted
+    quantities: L = z_Wilcoxon^2 + z_AnsariBradley^2 ~ chi2(2) — one
+    statistic that catches a shift OR a spread change (either alone
+    can miss the other), unifying what stat_mann_whitney and
+    stat_ansari_bradley test separately.
+
+    Both components are LINEAR RANK STATISTICS with midrank scores,
+    so the general tie-exact machinery applies once: from the <=50
+    cell quantity grid, doubled midranks w2 = 2·prior + count + 1
+    give the Wilcoxon score and a2 = (N+1) - |w2 - (N+1)| the folded
+    Ansari-Bradley score; T, the score mean and the score variance
+    all fold as exact BIGINTs (E = n_R·abar, Var = n_A n_R /(N(N-1))
+    · sum c(s - sbar)^2), and the doubling cancels inside each z.
+
+    Scale shape at 100 TB: one shuffle to the bounded grid, one
+    value-domain prefix (census-allowlisted pattern), single-row
+    algebra. Score cubes stay under 2^63 through ~10^6-row groups;
+    beyond that, rescale scores (module discipline)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    grid = li.select(
+        F.col("l_quantity").cast("long").alias("v"), "l_returnflag"
+    ).groupBy("v").agg(
+        F.count_if(F.col("l_returnflag") == "A").cast("long").alias("ca"),
+        F.count_if(F.col("l_returnflag") == "R").cast("long").alias("cr"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pri = grid.select(
+        "ca",
+        "cr",
+        (F.col("ca") + F.col("cr")).alias("c"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cr")).over(wv), F.lit(0))
+        .cast("long")
+        .alias("p"),
+    )
+    tot = pri.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    scores = pri.crossJoin(F.broadcast(tot)).select(
+        "ca",
+        "cr",
+        "c",
+        "na",
+        "nr",
+        "n",
+        (2 * F.col("p") + F.col("c") + 1).alias("w2"),
+        (
+            (F.col("n") + 1)
+            - F.abs(2 * F.col("p") + F.col("c") + 1 - (F.col("n") + 1))
+        ).alias("a2"),
+    )
+    folds = scores.agg(
+        F.sum(F.col("cr") * F.col("w2")).cast("long").alias("tw"),
+        F.sum(F.col("c") * F.col("w2")).cast("long").alias("sw"),
+        F.sum(F.col("c") * F.col("w2") * F.col("w2")).cast("long").alias("sw2"),
+        F.sum(F.col("cr") * F.col("a2")).cast("long").alias("ta"),
+        F.sum(F.col("c") * F.col("a2")).cast("long").alias("sa"),
+        F.sum(F.col("c") * F.col("a2") * F.col("a2")).cast("long").alias("sa2"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nr").cast("long").alias("nr"),
+        F.max("n").cast("long").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    scale = F.col("na").cast("double") * F.col("nr") / (n * (F.col("n") - 1))
+
+    def _z(t: str, s: str, s2: str) -> Column:
+        return (
+            F.col(t).cast("double") - F.col("nr").cast("double") * F.col(s) / F.col("n")
+        ) / F.sqrt(
+            scale
+            * (F.col(s2).cast("double") - F.col(s).cast("double") * F.col(s) / F.col("n"))
+        )
+
+    zw = _z("tw", "sw", "sw2")
+    za = _z("ta", "sa", "sa2")
+    return folds.select(
+        "na",
+        "nr",
+        q4(zw).alias("z_location"),
+        q4(za).alias("z_scale"),
+        q4(zw * zw + za * za).alias("lepage_l"),
+    )

@@ -48,9 +48,9 @@ REGISTRY: dict[str, QueryDef] = {}
 # driver-checked; the r7 tail plus the ~30 r8-added keys (waves A-I)
 # leave ~144 for the r9/r10 windows + a small tail
 # (`python tools/next_window.py` recounts live).
-# Late-r8 state: waves T-AE grew the registry to 591 keys, so 247
-# are never-driver-checked before this window runs; after it, ~197
-# remain for the r9/r10/r11 windows (50 each) plus a tail.
+# Late-r8 state: waves T-AM grew the registry to 608 keys, so 264
+# are never-driver-checked before this window runs; after it, ~214
+# remain for the r9-r12 windows (50 each) plus a tail.
 # `python tools/next_window.py` prints each rotation; run
 # `python tools/preflight.py --exec <keys>` before rotating (catches
 # driver-canonicalization traps like r4's embed_quantize numpy-cell

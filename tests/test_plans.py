@@ -602,6 +602,9 @@ def test_unpartitioned_window_census():
         ("operators/stats.py", "stat_gini_mean_difference"):
             "sorted-identity prefix over the value-cents grid — "
             "value-domain-bounded (price range is fixed)",
+        ("operators/stats.py", "stat_lepage"):
+            "midrank prefix over the integer l_quantity grid — "
+            "value-domain-bounded (≤50 rows)",
         ("operators/analytics.py", "events_xmr_chart"):
             "lag over the calendar-day grid — bounded",
         ("operators/analytics.py", "events_bass_diffusion"):
