@@ -3674,3 +3674,77 @@ def pipeline_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wq").cast("double") / _DW_Q / F.count(F.lit(1))
         ).alias("effective_frac"),
     )
+
+
+# --------------------------- langid confusion matrix (r8 wave AN)
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT (lang = 'en') AS is_en,
+               (CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.02) AS pred_en
+        FROM documents
+    ), c AS (
+        SELECT CAST(count_if(is_en AND pred_en) AS BIGINT) AS tp,
+               CAST(count_if(NOT is_en AND pred_en) AS BIGINT) AS fp,
+               CAST(count_if(NOT is_en AND NOT pred_en) AS BIGINT) AS tn,
+               CAST(count_if(is_en AND NOT pred_en) AS BIGINT) AS fn
+        FROM scored
+    )
+    SELECT tp, fp, tn, fn,
+           {sql_q4("CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn)")}
+               AS accuracy,
+           {sql_q4("CAST(tp AS DOUBLE) / (tp + fp)")} AS precision_en,
+           {sql_q4("CAST(tp AS DOUBLE) / (tp + fn)")} AS recall_en
+    FROM c
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the text_langid heuristic against the
+    DECLARED language label: TP/FP/TN/FN plus accuracy and
+    English-class precision/recall — the detector-quality readout a
+    curation pipeline checks before trusting language routing (the
+    declared label plays gold here; in production it is a held-out
+    annotation set).
+
+    Same stopword-ratio predictor as text_langid (shared spec), one
+    conditional aggregate, four counters, three ratios.
+
+    Scale shape at 100 TB: one pass, 1-row output."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    hits = F.size(F.filter(words, lambda x: x.isin(*EN_STOPWORDS)))
+    pred = (hits.cast("double") / F.size(words)) >= 0.02
+    scored = d.select(
+        (F.col("lang") == "en").alias("is_en"), pred.alias("pred_en")
+    )
+    c = scored.agg(
+        F.count_if(F.col("is_en") & F.col("pred_en")).cast("long").alias("tp"),
+        F.count_if(~F.col("is_en") & F.col("pred_en")).cast("long").alias("fp"),
+        F.count_if(~F.col("is_en") & ~F.col("pred_en"))
+        .cast("long")
+        .alias("tn"),
+        F.count_if(F.col("is_en") & ~F.col("pred_en"))
+        .cast("long")
+        .alias("fn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        q4(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"))
+        ).alias("accuracy"),
+        q4(F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "precision_en"
+        ),
+        q4(F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias(
+            "recall_en"
+        ),
+    )

@@ -8894,3 +8894,114 @@ def events_markov_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(std).alias("std_dwell_s"),
         q4(std / (sg / n)).alias("cv_dwell"),
     )
+
+
+# ------------------------------ price/volume bridge (r8 wave AN)
+
+
+@register(
+    "orders_price_volume_bridge",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+               max(CAST(l_shipdate AS DATE)) AS d1
+        FROM lineitem
+    ), classed AS (
+        SELECT l_returnflag AS category,
+               CASE WHEN date_diff('day', d0, CAST(l_shipdate AS DATE))
+                    <= CAST(floor(date_diff('day', d0, d1) / 2) AS BIGINT)
+               THEN 1 ELSE 2 END AS period,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS rc
+        FROM lineitem, bounds
+    ), per AS (
+        SELECT category, period,
+               CAST(sum(q) AS BIGINT) AS qty,
+               CAST(sum(rc) AS BIGINT) AS revc
+        FROM classed GROUP BY category, period
+    ), wide AS (
+        SELECT category,
+               CAST(max(CASE WHEN period = 1 THEN qty END) AS BIGINT) AS q1,
+               CAST(max(CASE WHEN period = 2 THEN qty END) AS BIGINT) AS q2,
+               CAST(max(CASE WHEN period = 1 THEN revc END) AS BIGINT) AS r1,
+               CAST(max(CASE WHEN period = 2 THEN revc END) AS BIGINT) AS r2
+        FROM per GROUP BY category
+    )
+    SELECT category, q1, q2,
+           {sql_q4("CAST(r1 AS DOUBLE) / 100.0")} AS rev1,
+           {sql_q4("CAST(r2 AS DOUBLE) / 100.0")} AS rev2,
+           {sql_q4("(CAST(r2 AS DOUBLE) - r1) / 100.0")} AS delta_rev,
+           {sql_q4("(CAST(r2 AS DOUBLE) / q2 - CAST(r1 AS DOUBLE) / q1)"
+                   " * q2 / 100.0")} AS price_effect,
+           {sql_q4("(CAST(q2 AS DOUBLE) - q1)"
+                   " * (CAST(r1 AS DOUBLE) / q1) / 100.0")} AS volume_effect
+    FROM wide
+    """,
+)
+def orders_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume variance bridge per return-flag category between
+    the two calendar halves of the shipping history: delta revenue =
+    (p2 - p1)·q2 + (q2 - q1)·p1 with p = revenue/quantity — the FP&A
+    walk that says how much of a revenue move came from PRICE vs
+    VOLUME (the identity closes exactly by construction, which the
+    property test asserts). The two-period companion to
+    orders_yoy_growth's pure growth rates.
+
+    All inputs are exact integers (quantities, cents revenues) from
+    ONE conditional aggregate over a broadcast calendar midpoint; the
+    bridge terms are single-row-per-category arithmetic on those
+    integers.
+
+    Scale shape at 100 TB: one fact pass to 3x2 cells, a 3-row
+    pivot, no joins beyond the broadcast bounds frame."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        F.max(F.to_date("l_shipdate")).alias("d1"),
+    )
+    classed = li.crossJoin(F.broadcast(bounds)).select(
+        F.col("l_returnflag").alias("category"),
+        F.when(
+            F.datediff(F.to_date("l_shipdate"), F.col("d0"))
+            <= F.floor(F.datediff("d1", "d0") / 2).cast("long"),
+            1,
+        )
+        .otherwise(2)
+        .alias("period"),
+        F.col("l_quantity").cast("long").alias("q"),
+        cents(F.col("l_extendedprice")).alias("rc"),
+    )
+    per = classed.groupBy("category", "period").agg(
+        F.sum("q").cast("long").alias("qty"),
+        F.sum("rc").cast("long").alias("revc"),
+    )
+    wide = per.groupBy("category").agg(
+        F.max(F.when(F.col("period") == 1, F.col("qty")))
+        .cast("long")
+        .alias("q1"),
+        F.max(F.when(F.col("period") == 2, F.col("qty")))
+        .cast("long")
+        .alias("q2"),
+        F.max(F.when(F.col("period") == 1, F.col("revc")))
+        .cast("long")
+        .alias("r1"),
+        F.max(F.when(F.col("period") == 2, F.col("revc")))
+        .cast("long")
+        .alias("r2"),
+    )
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    p2 = F.col("r2").cast("double") / F.col("q2")
+    return wide.select(
+        "category",
+        "q1",
+        "q2",
+        q4(F.col("r1").cast("double") / 100.0).alias("rev1"),
+        q4(F.col("r2").cast("double") / 100.0).alias("rev2"),
+        q4((F.col("r2").cast("double") - F.col("r1")) / 100.0).alias(
+            "delta_rev"
+        ),
+        q4((p2 - p1) * F.col("q2") / 100.0).alias("price_effect"),
+        q4(
+            (F.col("q2").cast("double") - F.col("q1")) * p1 / 100.0
+        ).alias("volume_effect"),
+    )
