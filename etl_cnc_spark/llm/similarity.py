@@ -4999,3 +4999,118 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("frac_within_20pct"),
     )
+
+
+# ------------------------------- multiclass F1 report (r8 wave AO)
+
+
+@register(
+    "ml_multiclass_f1",
+    oracle=f"""
+    WITH rated AS (
+        SELECT label AS y,
+               least(9, greatest(0,
+                   CAST(floor((({_SCORE_SQL}) + 3.0) / 0.6) AS BIGINT)))
+                   AS pred
+        FROM embeddings
+    ), per AS (
+        SELECT c AS class,
+               CAST((SELECT count(*) FROM rated WHERE y = c AND pred = c)
+                   AS BIGINT) AS tp,
+               CAST((SELECT count(*) FROM rated WHERE y <> c AND pred = c)
+                   AS BIGINT) AS fp,
+               CAST((SELECT count(*) FROM rated WHERE y = c AND pred <> c)
+                   AS BIGINT) AS fn
+        FROM range(0, 10) t(c)
+    ), macro AS (
+        SELECT CAST(sum(tp) AS BIGINT) AS stp, CAST(sum(fp) AS BIGINT)
+                   AS sfp, CAST(sum(fn) AS BIGINT) AS sfn,
+               CAST(sum(CAST(floor(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                    ELSE 2.0 * tp / (2 * tp + fp + fn) END * 1000000000
+                    + 0.5) AS BIGINT)) AS BIGINT) AS f1q,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per
+    )
+    SELECT CAST(class AS BIGINT) AS class, tp + fn AS support,
+           {sql_q4("CASE WHEN tp + fp = 0 THEN 0.0"
+                   " ELSE CAST(tp AS DOUBLE) / (tp + fp) END")} AS precision_,
+           {sql_q4("CASE WHEN tp + fn = 0 THEN 0.0"
+                   " ELSE CAST(tp AS DOUBLE) / (tp + fn) END")} AS recall_,
+           {sql_q4("CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0"
+                   " ELSE 2.0 * tp / (2 * tp + fp + fn) END")} AS f1,
+           {sql_q4("CAST(f1q AS DOUBLE) / 1000000000 / k")} AS macro_f1,
+           {sql_q4("2.0 * stp / (2 * stp + sfp + sfn)")} AS micro_f1
+    FROM per, macro
+    """,
+)
+def ml_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 with macro- and micro-averages
+    for the 10-class problem (true label vs the scorer binned to the
+    same scale) — the MULTICLASS classification report every existing
+    binary eval (ml_confusion_metrics, ml_matthews_corr) can't give:
+    macro-F1 weights classes equally (exposes minority-class
+    failure), micro-F1 weights rows (and equals accuracy here since
+    every row gets exactly one prediction).
+
+    The Spark side computes all 10 one-vs-rest cells from ONE
+    conditional aggregate over the (class fan-out x rows) frame; the
+    oracle spells them as correlated scalar subqueries per class.
+    Macro averages quantize per-class F1 at 1e-9 before the fold so
+    the mean is order-free.
+
+    Scale shape at 100 TB: a 10x compile-time fan-out, one hash
+    aggregate to 10 rows, two broadcast 1-row frames."""
+    e = table(spark, sf_dir, "embeddings")
+    pred = F.least(
+        F.lit(9),
+        F.greatest(F.lit(0), F.floor((_score_col() + 3.0) / 0.6).cast("long")),
+    )
+    rated = e.select(F.col("label").cast("long").alias("y"), pred.alias("pred"))
+    fan = rated.select(
+        "y", "pred", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("c")
+    )
+    per = fan.groupBy(F.col("c").cast("long").alias("class")).agg(
+        F.count_if((F.col("y") == F.col("c")) & (F.col("pred") == F.col("c")))
+        .cast("long")
+        .alias("tp"),
+        F.count_if((F.col("y") != F.col("c")) & (F.col("pred") == F.col("c")))
+        .cast("long")
+        .alias("fp"),
+        F.count_if((F.col("y") == F.col("c")) & (F.col("pred") != F.col("c")))
+        .cast("long")
+        .alias("fn"),
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, 0.0).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    macro = per.agg(
+        F.sum("tp").cast("long").alias("stp"),
+        F.sum("fp").cast("long").alias("sfp"),
+        F.sum("fn").cast("long").alias("sfn"),
+        F.sum(F.floor(f1 * 1_000_000_000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("f1q"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    out = per.crossJoin(F.broadcast(macro))
+    return out.select(
+        "class",
+        (F.col("tp") + F.col("fn")).cast("long").alias("support"),
+        q4(
+            F.when(F.col("tp") + F.col("fp") == 0, 0.0).otherwise(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+            )
+        ).alias("precision_"),
+        q4(
+            F.when(F.col("tp") + F.col("fn") == 0, 0.0).otherwise(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+            )
+        ).alias("recall_"),
+        q4(f1).alias("f1"),
+        q4(F.col("f1q").cast("double") / 1_000_000_000 / F.col("k")).alias(
+            "macro_f1"
+        ),
+        q4(
+            2.0 * F.col("stp") / (2 * F.col("stp") + F.col("sfp") + F.col("sfn"))
+        ).alias("micro_f1"),
+    )

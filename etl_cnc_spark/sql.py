@@ -429,3 +429,32 @@ def sql_entry_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded aggregate to |nations| rows — no correlated per-row
     execution survives planning on either engine."""
     return run(spark, sf_dir, _EXISTS)
+
+
+# Inline VALUES table: literal dimension data joined against facts —
+# the quick-lookup idiom every ad-hoc analysis uses; shared text.
+_VALUES_JOIN = """
+SELECT t.tier, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders o
+JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+             ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+             ('5-LOW', 'cold')) AS t(priority, tier)
+  ON o.o_orderpriority = t.priority
+GROUP BY t.tier
+"""
+
+
+@register("sql_entry_values", oracle=_VALUES_JOIN)
+def sql_entry_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table as a join dimension, in ONE shared SQL
+    text: both parsers must bind the aliased anonymous rowset
+    (t(priority, tier)) and plan the 5-row literal side as the build
+    input — Catalyst folds it to a LocalRelation and broadcasts,
+    which is exactly the right 100 TB plan for a literal lookup (no
+    scan, no shuffle on the dim side).
+
+    Scale shape: broadcast hash join of a 5-row literal against the
+    fact scan, one bounded aggregate."""
+    return run(spark, sf_dir, _VALUES_JOIN)
