@@ -9005,3 +9005,191 @@ def orders_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q2").cast("double") - F.col("q1")) * p1 / 100.0
         ).alias("volume_effect"),
     )
+
+
+# ----------------------- competing-risks incidence (r8 wave AP)
+
+_CIF_Q = 1_000_000_000_000
+
+
+@register(
+    "events_competing_risks_cif",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE)) AS entry,
+               min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS DATE) END) AS p_day,
+               min(CASE WHEN event_type = 'error'
+                   THEN CAST(ts AS DATE) END) AS e_day,
+               max(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY user_id
+    ), coded AS (
+        SELECT CASE
+                 WHEN p_day IS NOT NULL AND (e_day IS NULL OR p_day <= e_day)
+                   THEN CAST(date_diff('day', entry, p_day) AS BIGINT)
+                 WHEN e_day IS NOT NULL
+                   THEN CAST(date_diff('day', entry, e_day) AS BIGINT)
+                 ELSE CAST(date_diff('day', entry, last_day) AS BIGINT)
+               END AS t,
+               CASE
+                 WHEN p_day IS NOT NULL AND (e_day IS NULL OR p_day <= e_day)
+                   THEN 1
+                 WHEN e_day IS NOT NULL THEN 2
+                 ELSE 0
+               END AS k
+        FROM per_user
+    ), grid AS (
+        SELECT t,
+               CAST(count_if(k = 1) AS BIGINT) AS d1,
+               CAST(count_if(k = 2) AS BIGINT) AS d2,
+               CAST(count(*) AS BIGINT) AS leave_t
+        FROM coded GROUP BY t
+    ), risk AS (
+        SELECT t, d1, d2,
+               CAST(sum(leave_t) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_at_risk
+        FROM grid
+    ), haz AS (
+        SELECT t, d1, d2, n_at_risk,
+               CAST(floor(ln(1.0 - CAST(d1 + d2 AS DOUBLE) / n_at_risk)
+                   * {_CIF_Q} + 0.5) AS BIGINT) AS lnq
+        FROM risk WHERE d1 + d2 < n_at_risk
+    ), surv AS (
+        SELECT t, d1, d2, n_at_risk,
+               exp(CAST(coalesce(sum(lnq) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS DOUBLE) / {_CIF_Q}) AS s_minus
+        FROM haz
+    ), terms AS (
+        SELECT t, d1, d2, n_at_risk,
+               CAST(sum(CAST(floor(s_minus * d1 / n_at_risk * {_CIF_Q}
+                   + 0.5) AS BIGINT)) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cif1q,
+               CAST(sum(CAST(floor(s_minus * d2 / n_at_risk * {_CIF_Q}
+                   + 0.5) AS BIGINT)) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cif2q
+        FROM surv
+    )
+    SELECT t AS day, n_at_risk, d1 AS n_purchase, d2 AS n_error,
+           {sql_q4(f"CAST(cif1q AS DOUBLE) / {_CIF_Q}")} AS cif_purchase,
+           {sql_q4(f"CAST(cif2q AS DOUBLE) / {_CIF_Q}")} AS cif_error
+    FROM terms
+    """,
+)
+def events_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS:
+    from each user's cohort entry (first event), the first purchase
+    and the first error compete; CIF_k(t) = sum_(s<=t) S(s-)·
+    d_k(s)/n(s) with S the all-cause Kaplan-Meier survivor — the
+    estimator that events_kaplan_meier (single risk) gets WRONG under
+    competition, because 1 - KM_k overstates incidence when the
+    other risk removes users first. Ties on the first day go to
+    purchase (documented); users with neither event censor at their
+    last activity.
+
+    Scale discipline: per-user coding is one hash aggregate; the
+    day grid is calendar-bounded, at-risk counts come from a
+    DESCENDING prefix (suffix sum), the survivor prefix runs in
+    1e-12-quantized log space, and the two incidence prefixes fold
+    quantized per-day terms — so every window is over <=|days| rows
+    and all folds are order-free BIGINTs.
+
+    Scale shape at 100 TB: one fact pass to users, one to the day
+    grid, three bounded-grid prefixes (census-allowlisted family)."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("p_day"),
+        F.min(F.when(F.col("event_type") == "error", F.to_date("ts"))).alias(
+            "e_day"
+        ),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    p_first = F.col("p_day").isNotNull() & (
+        F.col("e_day").isNull() | (F.col("p_day") <= F.col("e_day"))
+    )
+    coded = per_user.select(
+        F.when(p_first, F.datediff("p_day", "entry"))
+        .when(F.col("e_day").isNotNull(), F.datediff("e_day", "entry"))
+        .otherwise(F.datediff("last_day", "entry"))
+        .cast("long")
+        .alias("t"),
+        F.when(p_first, 1)
+        .when(F.col("e_day").isNotNull(), 2)
+        .otherwise(0)
+        .alias("k"),
+    )
+    grid = coded.groupBy("t").agg(
+        F.count_if(F.col("k") == 1).cast("long").alias("d1"),
+        F.count_if(F.col("k") == 2).cast("long").alias("d2"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("leave_t").over(wdesc).cast("long").alias("n_at_risk"),
+    )
+    haz = risk.where(F.col("d1") + F.col("d2") < F.col("n_at_risk")).select(
+        "t",
+        "d1",
+        "d2",
+        "n_at_risk",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - (F.col("d1") + F.col("d2")).cast("double") / F.col("n_at_risk")
+            )
+            * _CIF_Q
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lnq"),
+    )
+    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    surv = haz.select(
+        "t",
+        "d1",
+        "d2",
+        "n_at_risk",
+        F.exp(
+            F.coalesce(F.sum("lnq").over(wasc), F.lit(0)).cast("double")
+            / _CIF_Q
+        ).alias("s_minus"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def _cifq(dcol: str) -> Column:
+        term = F.floor(
+            F.col("s_minus") * F.col(dcol) / F.col("n_at_risk") * _CIF_Q
+            + F.lit(0.5)
+        ).cast("long")
+        return F.sum(term).over(wcum).cast("long")
+
+    terms = surv.select(
+        "t",
+        "d1",
+        "d2",
+        "n_at_risk",
+        _cifq("d1").alias("cif1q"),
+        _cifq("d2").alias("cif2q"),
+    )
+    return terms.select(
+        F.col("t").alias("day"),
+        "n_at_risk",
+        F.col("d1").alias("n_purchase"),
+        F.col("d2").alias("n_error"),
+        q4(F.col("cif1q").cast("double") / _CIF_Q).alias("cif_purchase"),
+        q4(F.col("cif2q").cast("double") / _CIF_Q).alias("cif_error"),
+    )

@@ -610,6 +610,9 @@ def test_unpartitioned_window_census():
         ("operators/analytics.py", "events_bass_diffusion"):
             "cumulative-adopters prefix over the calendar-day grid — "
             "bounded",
+        ("operators/analytics.py", "events_competing_risks_cif"):
+            "at-risk suffix + survivor/incidence prefixes over the "
+            "calendar-day grid — bounded (three windows)",
         ("operators/analytics.py", "orders_newsvendor"):
             "empirical-CDF prefix over distinct daily demands — "
             "calendar-bounded (≤|days| rows)",
