@@ -1382,3 +1382,56 @@ def fn_uuid_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         uuid.alias("uuid_v3"),
         F.lit(True).alias("version_ok"),
     )
+
+
+# ------------------------- arbitrary time_bucket (r8 wave AQ)
+
+_TB_WIDTH_S = 27_180  # 7h33m — deliberately calendar-hostile
+_TB_ORIGIN = "2024-01-01 00:00:00"
+
+
+@register(
+    "fn_time_bucket",
+    oracle=f"""
+    WITH b AS (
+        SELECT epoch_us(TIMESTAMP '{_TB_ORIGIN}')
+               + (CAST(floor((epoch_us(ts)
+                    - epoch_us(TIMESTAMP '{_TB_ORIGIN}'))
+                    / ({_TB_WIDTH_S} * 1000000.0)) AS BIGINT))
+                 * {_TB_WIDTH_S} * 1000000 AS bucket_us
+        FROM events
+    )
+    SELECT CAST(bucket_us AS BIGINT) AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket_us
+    """,
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width, origin-aligned time bucketing — the
+    hypertable-rollup primitive for widths the calendar functions
+    can't express (here 7 h 33 m from a fixed origin): bucket =
+    origin + floor((ts - origin)/width)·width, reported as an
+    epoch-microsecond key with per-bucket counts. date_trunc covers
+    only calendar units; this covers shift schedules, billing
+    periods, and sensor frames.
+
+    Pure epoch integer arithmetic (identical floor-division
+    expression on both engines, output already in the epoch-us hash
+    encoding), so bucketing is a map expression and the rollup is
+    one hash aggregate whose cardinality is the time span over the
+    width — calendar-bounded at any corpus size."""
+    e = table(spark, sf_dir, "events")
+    origin_us = F.unix_micros(F.lit(_TB_ORIGIN).cast("timestamp"))
+    width_us = F.lit(_TB_WIDTH_S * 1_000_000).cast("long")
+    bucket = (
+        origin_us
+        + F.floor(
+            (F.unix_micros("ts") - origin_us) / (_TB_WIDTH_S * 1_000_000.0)
+        ).cast("long")
+        * width_us
+    )
+    return (
+        e.select(bucket.cast("long").alias("bucket_us"))
+        .groupBy("bucket_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
