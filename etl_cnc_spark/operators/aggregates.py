@@ -1612,12 +1612,14 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------- Pythagorean mean family (r8 wave V)
 
-# per-row fixed-point scales chosen so the folds stay far from BIGINT
-# range even at 1e12 rows: ln(x) <= ~12 -> 1.2e10/row at 1e9 scale is
-# too hot, so ln uses 1e6; 1/x <= ~1e-3 at 1e12 scale is <=1e9/row;
-# (x/100)^2 <= ~2.6e7/row.
+# per-row fixed-point scales sized against 2^63 ~ 9.2e18 (see the
+# docstring for the resulting per-group row bounds): ln(x) <= ~12 ->
+# ~1.2e7/row at 1e6 scale (safe to ~7e11 rows); 1/x <= ~1e-3 ->
+# ~1.1e6/row at 1e9 scale (safe to ~8e12 rows; the previous 1e12
+# scale overflowed past ~7e9 rows); (x/100)^2 <= ~1.1e6/row
+# (safe to ~8e12 rows).
 _PM_LN_Q = 1_000_000
-_PM_INV_Q = 1_000_000_000_000
+_PM_INV_Q = 1_000_000_000
 
 
 @register(
@@ -1656,9 +1658,16 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each non-arithmetic mean needs one nonlinear per-row term, so all
     four fold as order-free BIGINTs at documented fixed-point scales
-    (ln at 1e6, reciprocal at 1e12, square at 1e-4 of cents^2) sized
-    to stay inside 2^63 even at 1e12 input rows; the outer exp/sqrt/
-    divisions run once per group.
+    (ln at 1e6, reciprocal at 1e9, square at 1e-4 of cents^2).
+    Overflow bounds per GROUP against 2^63, at price in [9e2, 1.1e5]:
+    the reciprocal fold is <= ~1.1e6/row -> safe to ~8e12 rows; the
+    ln fold <= ~1.2e7/row -> ~7e11 rows; the square fold <= ~1.2e6/row
+    -> ~7e12 rows; the cents sum <= ~1.1e7/row -> ~8e11 rows. The
+    binding bound is therefore ~7e11 rows per group — comfortably
+    above a 100 TB lineitem (~7e11 rows TOTAL, split across flags).
+    Quantization error is mean-zero rounding, averaging out as
+    O(1/sqrt(n)) relative; the outer exp/sqrt/divisions run once per
+    group.
 
     Scale shape: ONE hash aggregate, map-side combined, |flags|
     output rows."""

@@ -9053,9 +9053,11 @@ _CIF_Q = 1_000_000_000_000
         FROM grid
     ), haz AS (
         SELECT t, d1, d2, n_at_risk,
-               CAST(floor(ln(1.0 - CAST(d1 + d2 AS DOUBLE) / n_at_risk)
-                   * {_CIF_Q} + 0.5) AS BIGINT) AS lnq
-        FROM risk WHERE d1 + d2 < n_at_risk
+               CASE WHEN d1 + d2 < n_at_risk THEN
+                   CAST(floor(ln(1.0 - CAST(d1 + d2 AS DOUBLE) / n_at_risk)
+                       * {_CIF_Q} + 0.5) AS BIGINT)
+               END AS lnq
+        FROM risk
     ), surv AS (
         SELECT t, d1, d2, n_at_risk,
                exp(CAST(coalesce(sum(lnq) OVER (ORDER BY t
@@ -9089,7 +9091,12 @@ def events_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
     competition, because 1 - KM_k overstates incidence when the
     other risk removes users first. Ties on the first day go to
     purchase (documented); users with neither event censor at their
-    last activity.
+    last activity. Terminal day: when every remaining at-risk user
+    fails (d1+d2 = n_at_risk, which by the suffix-sum construction
+    can only be the last grid day), ln(1-d/n) is -inf, so the
+    log-survivor term is NULLed for that row — it feeds no later
+    prefix — but the day's finite CIF increments S(t-)*d_k/n ARE
+    emitted, completing the Aalen-Johansen mass at 1.
 
     Scale discipline: per-user coding is one hash aggregate; the
     day grid is calendar-bounded, at-risk counts come from a
@@ -9139,21 +9146,23 @@ def events_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2",
         F.sum("leave_t").over(wdesc).cast("long").alias("n_at_risk"),
     )
-    haz = risk.where(F.col("d1") + F.col("d2") < F.col("n_at_risk")).select(
+    haz = risk.select(
         "t",
         "d1",
         "d2",
         "n_at_risk",
-        F.floor(
-            F.log(
-                F.lit(1.0)
-                - (F.col("d1") + F.col("d2")).cast("double") / F.col("n_at_risk")
-            )
-            * _CIF_Q
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("lnq"),
+        F.when(
+            F.col("d1") + F.col("d2") < F.col("n_at_risk"),
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    - (F.col("d1") + F.col("d2")).cast("double")
+                    / F.col("n_at_risk")
+                )
+                * _CIF_Q
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("lnq"),
     )
     wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     surv = haz.select(

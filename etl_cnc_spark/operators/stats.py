@@ -7924,6 +7924,14 @@ def stat_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals per half) are exact integers from one conditional
     aggregate, and the three statistics are single-row arithmetic.
 
+    Degenerate inputs, by spec: if either half has zero purchase
+    events (k1 = 0 or k2 = 0), the rate ratio and/or its log-scale z
+    are NULL — ln(0) and 1/0 are undefined and no continuity
+    correction is applied; Cohen's h (an arcsine of a share) remains
+    defined as long as each half has at least one event. Callers
+    wanting a finite statistic at zero counts should apply their own
+    Haldane-Anscombe-style +0.5 upstream.
+
     Scale shape at 100 TB: one pass + one bounded distinct-day
     aggregate; no windows, no row joins."""
     e = table(spark, sf_dir, "events")
