@@ -56,30 +56,32 @@ REGISTRY: dict[str, QueryDef] = {}
 # driver-canonicalization traps like r4's embed_quantize numpy-cell
 # issue).
 DRIVER_WINDOW: list[str] = [
-    # heaviest never-checked keys first (VERDICT r7 item 3)
-    "events_grid_cluster", "ml_conformal_interval", "ml_logreg_irls_step",
-    "stat_wasserstein_1d", "stat_anderson_darling", "embed_gram_power_iter",
-    # sources / joins / agg leftovers
-    "source_orc", "source_binary_files", "join_hint_shuffle_hash",
-    "agg_hll_sketch_union", "agg_grouping_id", "agg_min_max_by",
-    "etl_compact_small_files",
-    # BI epilogue: orders/events analytics waves
-    "orders_backlog_aging", "events_croston", "events_lorenz_curve",
-    "events_activity_histogram", "parts_slow_movers",
-    "events_cohort_matrix", "orders_margin_waterfall",
-    "orders_leadtime_bands", "orders_bullwhip", "orders_eoq_policy",
-    "orders_xyz_analysis", "events_interrupted_ts",
-    "events_peak_detection", "events_seasonality_strength",
-    "orders_kraljic_matrix", "events_fano_factor", "events_ljung_box",
-    "events_allen_relations", "events_kaplan_meier", "events_xmr_chart",
-    "events_time_to_convert", "orders_herfindahl",
-    "events_diurnal_weekly_profile", "orders_bland_altman",
-    "orders_basket_size_distribution",
-    # statistical-test tail
-    "stat_cvm_test", "stat_cramers_v", "stat_cohens_d",
-    "stat_page_hinkley", "stat_benjamini_hochberg", "stat_qq_table",
-    "stat_tukey_hsd", "stat_bartlett", "stat_mcnemar",
-    "stat_partial_corr", "stat_durbin_watson", "stat_cooks_distance",
+    # r9 rotation: the never-driver-checked LLM-family keys (VERDICT
+    # r8 item 1 — they carry the subtlest math), then the two keys
+    # that landed after the r8 sweep (events_competing_risks_cif —
+    # terminal-day fix this round — and fn_time_bucket) and
+    # agg_pythagorean_means (reciprocal-fold scale changed this
+    # round).  All 50 preflight --exec clean at rotation time.
+    "dedup_embedding_exact", "dedup_incremental", "dedup_containment",
+    "dedup_cdc_chunks", "dedup_threshold_sweep",
+    "sim_topk_diverse", "sim_mips_transform", "sim_kmeans_refine",
+    "sim_rocchio_feedback", "sim_reciprocal_nn", "sim_ivf_nprobe_sweep",
+    "sim_mmr_diversify",
+    "embed_norm_stats", "embed_centroid_inertia", "embed_whitening_stats",
+    "embed_hamming_topk", "embed_expert_routing", "embed_hubness_stats",
+    "embed_mahalanobis_ood", "embed_isotropy", "embed_variance_spectrum",
+    "embed_cka_halves", "embed_random_projection", "embed_triplet_mining",
+    "pipeline_length_buckets", "pipeline_interleave_roundrobin",
+    "pipeline_quality_gate_report", "pipeline_dedup_weights",
+    "text_js_divergence", "text_kn_lm_score", "text_bpe_pair_counts",
+    "text_readability", "text_zipf_fit", "text_hapax_stats",
+    "text_burrows_delta", "text_simpson_diversity",
+    "text_contamination_check", "text_compression_quality",
+    "text_yule_k", "text_mendenhall_curve", "text_sttr_segmented",
+    "text_oov_rate", "text_lexical_richness", "text_char_bigram_entropy",
+    "text_heaps_law", "text_renyi_spectrum", "text_langid_confusion",
+    "events_competing_risks_cif", "fn_time_bucket",
+    "agg_pythagorean_means",
 ]
 
 
