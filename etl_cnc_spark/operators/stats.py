@@ -9396,3 +9396,648 @@ def stat_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(za).alias("z_scale"),
         q4(zw * zw + za * za).alias("lepage_l"),
     )
+
+
+# ------------------------------------------- round-9 wave A: ECDF + rank
+
+# Kuiper one-sided deviations share the KS cents grid; the asymptotic
+# stat uses Stephens' finite-n modifier on sqrt(ne), ne = n1*n2/(n1+n2).
+_KUIPER_CRIT = "1.747"  # V* critical value at alpha = 0.05
+
+
+@register(
+    "stat_kuiper_test",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents,
+               sum(c1) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+               sum(c2) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM grid
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), d AS (
+        SELECT CAST(max(cum1 * n2 - cum2 * n1) AS BIGINT) AS dplus_num,
+               CAST(max(cum2 * n1 - cum1 * n2) AS BIGINT) AS dminus_num
+        FROM cum CROSS JOIN totals
+    ), v AS (
+        SELECT n1, n2,
+               CAST(greatest(dplus_num, 0) AS DOUBLE) / n1 / n2 AS d_plus,
+               CAST(greatest(dminus_num, 0) AS DOUBLE) / n1 / n2 AS d_minus,
+               sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS sqrt_ne
+        FROM d CROSS JOIN totals
+    )
+    SELECT n1, n2, {sql_q4("d_plus")} AS d_plus,
+           {sql_q4("d_minus")} AS d_minus,
+           {sql_q4("d_plus + d_minus")} AS kuiper_v,
+           {sql_q4("(d_plus + d_minus)"
+                   " * (sqrt_ne + 0.155 + 0.24 / sqrt_ne)")} AS v_stat,
+           (d_plus + d_minus) * (sqrt_ne + 0.155 + 0.24 / sqrt_ne)
+               > {_KUIPER_CRIT} AS rejected
+    FROM v
+    """,
+)
+def stat_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's two-sample test between the 'click' and 'purchase'
+    value distributions: V = D+ + D- (the sum of the one-sided ECDF
+    deviations) — the rotation-invariant cousin of KS that keeps its
+    sensitivity at the distribution TAILS, where KS's single max |.|
+    goes numb; V* uses Stephens' finite-n modifier and the alpha=0.05
+    critical value 1.747.
+
+    Exactness: on the shared cents grid, D+ = max(cum1*n2 - cum2*n1)
+    / (n1*n2) — the max runs over exact BIGINT numerators, so both
+    engines pick the same extremum with no float comparison; each
+    one-sided max clamps at 0 (an everywhere-dominated ECDF has
+    D+ = 0, the empty-max convention).
+
+    Scale shape: identical to stat_ks_test — one hash aggregate to
+    the bounded cents grid, ONE bucketed prefix pass
+    (operators/prefix.global_ordered), broadcast totals; no
+    unpartitioned window, no row-level sort."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "cum1", "c2": "cum2"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        .cast("long")
+        .alias("dplus_num"),
+        F.max(F.col("cum2") * F.col("n1") - F.col("cum1") * F.col("n2"))
+        .cast("long")
+        .alias("dminus_num"),
+    )
+    dp = (
+        F.greatest(F.col("dplus_num"), F.lit(0)).cast("double")
+        / F.col("n1")
+        / F.col("n2")
+    )
+    dm = (
+        F.greatest(F.col("dminus_num"), F.lit(0)).cast("double")
+        / F.col("n1")
+        / F.col("n2")
+    )
+    sqrt_ne = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    vstat = (dp + dm) * (sqrt_ne + 0.155 + 0.24 / sqrt_ne)
+    return d.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(dp).alias("d_plus"),
+        q4(dm).alias("d_minus"),
+        q4(dp + dm).alias("kuiper_v"),
+        q4(vstat).alias("v_stat"),
+        (vstat > float(_KUIPER_CRIT)).alias("rejected"),
+    )
+
+
+# Cucconi's C is asymptotically Exp(1) under H0, so p ~ exp(-C) and
+# the alpha = 0.05 rejection boundary is C > -ln(0.05).
+_CUCCONI_CRIT = "2.9957"
+
+
+@register(
+    "stat_cucconi",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents, c1, c2,
+               sum(c1 + c2) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+        FROM grid
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 + c2) AS BIGINT) AS nn
+        FROM grid
+    ), folds AS (
+        -- tie blocks take the mid-rank; 2*mid = 2*prev + cnt + 1 is an
+        -- integer, so both squared-rank sums fold as exact HUGEINT/decimal
+        SELECT CAST(sum(c2 * (2*(cumn - c1 - c2) + (c1 + c2) + 1)
+                         * (2*(cumn - c1 - c2) + (c1 + c2) + 1)) AS HUGEINT)
+                   AS s1_4,
+               CAST(sum(c2 * (2*(nn + 1) - (2*(cumn - c1 - c2) + (c1 + c2) + 1))
+                         * (2*(nn + 1) - (2*(cumn - c1 - c2) + (c1 + c2) + 1)))
+                   AS HUGEINT) AS s2_4
+        FROM cum CROSS JOIN totals
+    ), uv AS (
+        SELECT n1, n2, nn,
+               (6.0 * (CAST(s1_4 AS DOUBLE) / 4.0)
+                 - CAST(n2 AS DOUBLE) * (nn + 1) * (2*nn + 1))
+               / sqrt(CAST(n1 AS DOUBLE) * n2 * (nn + 1)
+                      * (2*nn + 1) * (8*nn + 11) / 5.0) AS u,
+               (6.0 * (CAST(s2_4 AS DOUBLE) / 4.0)
+                 - CAST(n2 AS DOUBLE) * (nn + 1) * (2*nn + 1))
+               / sqrt(CAST(n1 AS DOUBLE) * n2 * (nn + 1)
+                      * (2*nn + 1) * (8*nn + 11) / 5.0) AS v,
+               2.0 * (CAST(nn AS DOUBLE)*nn - 4)
+                 / ((2*nn + 1) * (8.0*nn + 11)) - 1.0 AS rho
+        FROM folds CROSS JOIN totals
+    )
+    SELECT n1, n2, {sql_q4("u")} AS u, {sql_q4("v")} AS v,
+           {sql_q4("rho")} AS rho,
+           {sql_q4("(u*u + v*v - 2*rho*u*v) / (2*(1 - rho*rho))")} AS c_stat,
+           (u*u + v*v - 2*rho*u*v) / (2*(1 - rho*rho)) > {_CUCCONI_CRIT}
+               AS rejected
+    FROM uv
+    """,
+)
+def stat_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi's joint location-scale rank test between the 'click'
+    and 'purchase' value distributions: U standardizes the sum of
+    SQUARED ranks of group 2, V the sum of squared CONTRARY ranks
+    (N+1-R), and C = (U² + V² - 2ρUV)/(2(1-ρ²)) rejects when either
+    the center or the spread differs — one test where Lepage needs
+    two, and older than both (Cucconi 1968, public literature). Under
+    H0, C is asymptotically Exp(1), so the alpha=0.05 boundary is
+    -ln(0.05) ≈ 2.9957. Ties take tie-block mid-ranks.
+
+    Exactness: 2·midrank = 2·prev + cnt + 1 is an integer on the
+    cents grid, so both squared-rank folds accumulate 4·S as exact
+    wide integers (decimal(38,0) on Spark, HUGEINT on DuckDB — the
+    fold is bounded by 4N³, inside 1e38 to N ~ 2.9e12 rows) and the
+    closed form divides once per statistic.
+
+    Scale shape: one hash aggregate to the bounded cents grid, ONE
+    bucketed prefix pass for cumulative counts, broadcast totals —
+    the same census-allowlisted ECDF machine as stat_ks_test."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cn = (F.col("c1") + F.col("c2")).alias("cn")
+    cum = global_ordered(
+        grid.select("v_cents", "c1", "c2", cn),
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"cn": "cumn"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).cast("long").alias("nn"),
+    )
+    dec = "decimal(38,0)"
+    two_m = (
+        2 * (F.col("cumn") - F.col("c1") - F.col("c2"))
+        + (F.col("c1") + F.col("c2"))
+        + 1
+    ).cast(dec)
+    two_m_contra = (2 * (F.col("nn") + 1)).cast(dec) - two_m
+    folds = cum.crossJoin(F.broadcast(totals)).agg(
+        F.sum(F.col("c2").cast(dec) * two_m * two_m).alias("s1_4"),
+        F.sum(F.col("c2").cast(dec) * two_m_contra * two_m_contra).alias(
+            "s2_4"
+        ),
+    )
+    nn = F.col("nn").cast("double")
+    denom = F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        * (nn + 1)
+        * (2 * nn + 1)
+        * (8 * nn + 11)
+        / 5.0
+    )
+    u = (
+        6.0 * (F.col("s1_4").cast("double") / 4.0)
+        - F.col("n2").cast("double") * (nn + 1) * (2 * nn + 1)
+    ) / denom
+    v = (
+        6.0 * (F.col("s2_4").cast("double") / 4.0)
+        - F.col("n2").cast("double") * (nn + 1) * (2 * nn + 1)
+    ) / denom
+    rho = 2.0 * (nn * nn - 4) / ((2 * nn + 1) * (8.0 * nn + 11)) - 1.0
+    c_stat = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    return folds.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(u).alias("u"),
+        q4(v).alias("v"),
+        q4(rho).alias("rho"),
+        q4(c_stat).alias("c_stat"),
+        (c_stat > float(_CUCCONI_CRIT)).alias("rejected"),
+    )
+
+
+@register(
+    "stat_dagostino_k2",
+    oracle=f"""
+    WITH m AS ({{_moments_sql}}),
+    c AS (
+        SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS s2n,
+               CAST(s3 AS DOUBLE) / n AS s3n,
+               CAST(s4 AS DOUBLE) / n AS s4n
+        FROM m
+    ), central AS (
+        SELECT l_returnflag, n,
+               s2n - mu*mu AS m2,
+               s3n - 3*mu*s2n + 2*mu*mu*mu AS m3,
+               s4n - 4*mu*s3n + 6*mu*mu*s2n - 3*mu*mu*mu*mu AS m4
+        FROM c
+    ), zskew AS (
+        SELECT l_returnflag, n, m2, m4,
+               (m3 / pow(m2, 1.5))
+                 * sqrt((n+1)*(n+3) / (6*(n-2))) AS y,
+               -1 + sqrt(2 * (3*(n*n + 27*n - 70)*(n+1)*(n+3)
+                   / ((n-2)*(n+5)*(n+7)*(n+9)) - 1)) AS w2
+        FROM central
+    ), z1 AS (
+        SELECT l_returnflag, n, m2, m4,
+               (1.0 / sqrt(ln(sqrt(w2))))
+                 * ln(y / sqrt(2.0/(w2-1))
+                      + sqrt(pow(y / sqrt(2.0/(w2-1)), 2) + 1)) AS z_skew
+        FROM zskew
+    ), zkurt AS (
+        SELECT l_returnflag, n, z_skew,
+               (m4/(m2*m2) - 3.0*(n-1)/(n+1))
+                 / sqrt(24.0*n*(n-2)*(n-3) / ((n+1)*(n+1)*(n+3)*(n+5)))
+                   AS x,
+               6.0 + 8.0 / (6.0*(n*n - 5*n + 2) / ((n+7)*(n+9))
+                            * sqrt(6.0*(n+3)*(n+5) / (n*(n-2)*(n-3))))
+                 * (2.0 / (6.0*(n*n - 5*n + 2) / ((n+7)*(n+9))
+                           * sqrt(6.0*(n+3)*(n+5) / (n*(n-2)*(n-3))))
+                    + sqrt(1.0 + 4.0 / pow(6.0*(n*n - 5*n + 2)
+                        / ((n+7)*(n+9))
+                        * sqrt(6.0*(n+3)*(n+5) / (n*(n-2)*(n-3))), 2)))
+                   AS a
+        FROM z1
+    ), z2 AS (
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n, z_skew,
+               ((1.0 - 2.0/(9.0*a))
+                 - cbrt((1.0 - 2.0/a) / (1.0 + x * sqrt(2.0/(a-4)))))
+                 / sqrt(2.0/(9.0*a)) AS z_kurt
+        FROM zkurt
+    )
+    SELECT l_returnflag, n, {{q4_zs}} AS z_skew, {{q4_zk}} AS z_kurt,
+           {{q4_k2}} AS k2_stat,
+           z_skew*z_skew + z_kurt*z_kurt > {{crit}} AS rejected
+    FROM z2
+    """.format(
+        _moments_sql=_moments_sql(),
+        q4_zs=sql_q4("z_skew"),
+        q4_zk=sql_q4("z_kurt"),
+        q4_k2=sql_q4("z_skew*z_skew + z_kurt*z_kurt"),
+        crit=CHI2_CRIT_DF2,
+    ),
+)
+def stat_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test per return flag:
+    the skewness z (D'Agostino 1970 Johnson-SU transform) and the
+    kurtosis z (Anscombe-Glynn 1983 cube-root transform) are each
+    approximately standard normal under H0, and K² = z_s² + z_k² ~
+    chi-square(2) — the finite-n-calibrated refinement of
+    stat_jarque_bera, whose n/6 form over-rejects below n ~ 2000.
+
+    Exactness: the same exact BIGINT raw power sums as agg_moments /
+    stat_jarque_bera (l_quantity is integer-valued, x^4 <= 50^4, so
+    the folds are order-free); the two z transforms are closed-form
+    double arithmetic applied ONCE per group in an identical operation
+    order on both engines (cbrt handles the negative branch
+    identically in Spark and DuckDB).
+
+    Scale shape: ONE hash-aggregate pass with map-side combine,
+    |flags| output rows, no second pass."""
+    li = table(spark, sf_dir, "lineitem")
+    qn = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(qn).cast("long").alias("s1"),
+        F.sum(qn * qn).cast("long").alias("s2"),
+        F.sum(qn * qn * qn).cast("long").alias("s3"),
+        F.sum(qn * qn * qn * qn).cast("long").alias("s4"),
+    )
+    n = F.col("n_raw").cast("double")
+    mu = F.col("s1").cast("double") / n
+    s2n = F.col("s2").cast("double") / n
+    s3n = F.col("s3").cast("double") / n
+    s4n = F.col("s4").cast("double") / n
+    m2 = s2n - mu * mu
+    m3 = s3n - 3 * mu * s2n + 2 * mu * mu * mu
+    m4 = s4n - 4 * mu * s3n + 6 * mu * mu * s2n - 3 * mu * mu * mu * mu
+    # --- skewness z (Johnson SU)
+    y = (m3 / F.pow(m2, 1.5)) * F.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    w2 = -1 + F.sqrt(
+        2
+        * (
+            3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+            / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+            - 1
+        )
+    )
+    y_over_a = y / F.sqrt(2.0 / (w2 - 1))
+    z_skew = (1.0 / F.sqrt(F.log(F.sqrt(w2)))) * F.log(
+        y_over_a + F.sqrt(y_over_a * y_over_a + 1)
+    )
+    # --- kurtosis z (Anscombe-Glynn)
+    x = (m4 / (m2 * m2) - 3.0 * (n - 1) / (n + 1)) / F.sqrt(
+        24.0 * n * (n - 2) * (n - 3) / ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    )
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+    ) * F.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / F.pow(sb1, 2)))
+    z_kurt = (
+        (1.0 - 2.0 / (9.0 * a))
+        - F.cbrt((1.0 - 2.0 / a) / (1.0 + x * F.sqrt(2.0 / (a - 4))))
+    ) / F.sqrt(2.0 / (9.0 * a))
+    k2 = z_skew * z_skew + z_kurt * z_kurt
+    return m.select(
+        "l_returnflag",
+        F.col("n_raw").cast("long").alias("n"),
+        q4(z_skew).alias("z_skew"),
+        q4(z_kurt).alias("z_kurt"),
+        q4(k2).alias("k2_stat"),
+        (k2 > float(CHI2_CRIT_DF2)).alias("rejected"),
+    )
+
+
+# Geary's C and Getis-Ord G share Moran's queen-adjacency cell grid.
+_GO_OFFSETS_SQL = (
+    "(VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))"
+)
+
+
+def _go_offsets_col() -> Column:
+    offs = [
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ]
+    return F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offs
+        ])
+    )
+
+
+@register(
+    "stat_geary_c",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(floor({_mi_sql_coord("cx", "c_custkey")} / {_MI_CELL})
+                    AS BIGINT) AS cx,
+               CAST(floor({_mi_sql_coord("cy", "c_custkey")} / {_MI_CELL})
+                    AS BIGINT) AS cy,
+               CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+        FROM customer
+    ), cells AS (
+        SELECT cx, cy, CAST(sum(bal) AS BIGINT) AS v
+        FROM pts GROUP BY cx, cy
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
+        FROM cells
+    ), z AS (
+        SELECT cx, cy,
+               CAST(floor((v - mean_v) / 100.0 + 0.5) AS BIGINT) AS zq
+        FROM cells CROSS JOIN tot
+    ), pairs AS (
+        SELECT a.zq AS za, b.zq AS zb
+        FROM z a
+        CROSS JOIN {_GO_OFFSETS_SQL} o(dx, dy)
+        JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+               CAST(sum((za - zb) * (za - zb)) AS BIGINT) AS num
+        FROM pairs
+    ), den AS (
+        SELECT CAST(sum(zq * zq) AS BIGINT) AS den FROM z
+    )
+    SELECT n_cells, w_pairs,
+           {sql_q4("CAST(n_cells - 1 AS DOUBLE) * num"
+                   " / (2.0 * w_pairs * den)")} AS geary_c,
+           CAST(n_cells - 1 AS DOUBLE) * num / (2.0 * w_pairs * den) < 1.0
+               AS positive_autocorr
+    FROM agg CROSS JOIN den CROSS JOIN tot
+    """,
+)
+def stat_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C spatial contiguity ratio of account-balance mass over
+    the md5-derived customer grid (queen 8-neighbor adjacency, binary
+    weights): C = (n-1)·Σ w_ij (x_i-x_j)² / (2W·Σ z_i²) — the LOCAL
+    pairwise-difference companion of stat_moran_i (which correlates
+    against the global mean): C < 1 means neighbors are more alike
+    than chance, C > 1 more different; C is sensitive to local
+    structure that a few extreme cells can hide from Moran's I.
+
+    Exactness: the pairwise term runs on the SAME whole-dollar
+    quantized deviations zq as Moran's I, so (z_i - z_j)² and both
+    fold sums are exact BIGINTs on both engines; the only doubles are
+    the final ratio.
+
+    Scale shape: points hash-aggregate to grid cells FIRST; neighbor
+    structure is an 8-offset equi-join on cell keys (never a distance
+    cross join); O(cells) rows everywhere."""
+    c = table(spark, sf_dir, "customer")
+    cell = float(_MI_CELL)
+    pts = c.select(
+        F.floor(_mi_coord("cx", F.col("c_custkey")) / cell)
+        .cast("long")
+        .alias("cx"),
+        F.floor(_mi_coord("cy", F.col("c_custkey")) / cell)
+        .cast("long")
+        .alias("cy"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.sum("bal").cast("long").alias("v"))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+    )
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        F.floor((F.col("v") - F.col("mean_v")) / F.lit(100.0) + 0.5)
+        .cast("long")
+        .alias("zq"),
+    )
+    a9 = z.select(
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+        F.col("zq").alias("za"),
+        _go_offsets_col().alias("o"),
+    )
+    b = z.select(
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+        F.col("zq").alias("zb"),
+    )
+    pairs = a9.join(
+        b,
+        (F.col("bcx") == F.col("acx") + F.col("o.dx"))
+        & (F.col("bcy") == F.col("acy") + F.col("o.dy")),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum((F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb")))
+        .cast("long")
+        .alias("num"),
+    )
+    den = z.agg(F.sum(F.col("zq") * F.col("zq")).cast("long").alias("den"))
+    geary = (
+        (F.col("n_cells") - 1).cast("double")
+        * F.col("num")
+        / (2.0 * F.col("w_pairs") * F.col("den"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_cells",
+            "w_pairs",
+            q4(geary).alias("geary_c"),
+            (geary < 1.0).alias("positive_autocorr"),
+        )
+    )
+
+
+@register(
+    "stat_getis_ord_g",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(floor({_mi_sql_coord("cx", "c_custkey")} / {_MI_CELL})
+                    AS BIGINT) AS cx,
+               CAST(floor({_mi_sql_coord("cy", "c_custkey")} / {_MI_CELL})
+                    AS BIGINT) AS cy
+        FROM customer
+    ), cells AS (
+        SELECT cx, cy, CAST(count(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY cx, cy
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(cnt) AS BIGINT) AS s1,
+               CAST(sum(cnt * cnt) AS BIGINT) AS s2
+        FROM cells
+    ), pairs AS (
+        SELECT a.cnt AS ca, b.cnt AS cb
+        FROM cells a
+        CROSS JOIN {_GO_OFFSETS_SQL} o(dx, dy)
+        JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+               CAST(sum(ca * cb) AS BIGINT) AS num
+        FROM pairs
+    )
+    SELECT n_cells, w_pairs,
+           {sql_q4("CAST(num AS DOUBLE) / (CAST(s1 AS DOUBLE)*s1 - s2)")}
+               AS g_stat,
+           {sql_q4("CAST(w_pairs AS DOUBLE)"
+                   " / (CAST(n_cells AS DOUBLE) * (n_cells - 1))")}
+               AS g_expected,
+           CAST(num AS DOUBLE) / (CAST(s1 AS DOUBLE)*s1 - s2)
+             > CAST(w_pairs AS DOUBLE)
+               / (CAST(n_cells AS DOUBLE) * (n_cells - 1)) AS hot_clustering
+    FROM agg CROSS JOIN tot
+    """,
+)
+def stat_getis_ord_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Getis-Ord G of customer DENSITY over the md5-derived
+    grid (queen adjacency, binary weights): G = Σ w_ij x_i x_j /
+    Σ_{i≠j} x_i x_j with x = per-cell customer count — the hot-spot
+    statistic that distinguishes clustering of HIGH values from mere
+    autocorrelation (Moran/Geary treat high-high and low-low alike);
+    G above its expectation W/(n(n-1)) means the mass concentrates
+    in adjacent hot cells. Counts are naturally positive, the
+    precondition Getis-Ord requires.
+
+    Exactness: numerator and the Σ_{i≠j} x_i x_j = (Σx)² - Σx²
+    denominator identity fold as exact BIGINTs.
+
+    Scale shape: one hash aggregate to cells, one 8-offset equi-join,
+    broadcast totals; never a distance cross join."""
+    c = table(spark, sf_dir, "customer")
+    cell = float(_MI_CELL)
+    pts = c.select(
+        F.floor(_mi_coord("cx", F.col("c_custkey")) / cell)
+        .cast("long")
+        .alias("cx"),
+        F.floor(_mi_coord("cy", F.col("c_custkey")) / cell)
+        .cast("long")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    a9 = cells.select(
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+        F.col("cnt").alias("ca"),
+        _go_offsets_col().alias("o"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+        F.col("cnt").alias("cb"),
+    )
+    pairs = a9.join(
+        b,
+        (F.col("bcx") == F.col("acx") + F.col("o.dx"))
+        & (F.col("bcy") == F.col("acy") + F.col("o.dy")),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("num"),
+    )
+    g = F.col("num").cast("double") / (
+        F.col("s1").cast("double") * F.col("s1") - F.col("s2")
+    )
+    g_exp = F.col("w_pairs").cast("double") / (
+        F.col("n_cells").cast("double") * (F.col("n_cells") - 1)
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_cells",
+        "w_pairs",
+        q4(g).alias("g_stat"),
+        q4(g_exp).alias("g_expected"),
+        (g > g_exp).alias("hot_clustering"),
+    )
