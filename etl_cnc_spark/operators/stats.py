@@ -10041,3 +10041,752 @@ def stat_getis_ord_g(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(g_exp).alias("g_expected"),
         (g > g_exp).alias("hot_clustering"),
     )
+
+
+# ---------------------------------------- round-9 wave B: econometrics
+
+_CCF_MAX_LAG = 7
+
+
+@register(
+    "stat_ccf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS x,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT x, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM ranked
+    ), lags AS (
+        SELECT l FROM range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG} + 1) r(l)
+    ), cross_terms AS (
+        -- r_k pairs x_t with y_(t+k); negative k pairs x_(t-k) with y_t
+        SELECT l.l AS lag,
+               CAST(count(*) AS BIGINT) AS n_ov,
+               CAST(sum(a.x * b.y) AS BIGINT) AS sxy,
+               CAST(sum(a.x) AS BIGINT) AS sx_ov,
+               CAST(sum(b.y) AS BIGINT) AS sy_ov
+        FROM lags l
+        JOIN ranked a ON TRUE
+        JOIN ranked b ON b.t = a.t + l.l
+        GROUP BY l.l
+    )
+    SELECT lag, n_ov,
+           {sql_q4("(CAST(sxy AS DOUBLE)"
+                   "  - CAST(sx_ov AS DOUBLE) * sy / n"
+                   "  - CAST(sy_ov AS DOUBLE) * sx / n"
+                   "  + CAST(n_ov AS DOUBLE) * sx * sy / n / n)"
+                   " / n / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / n"
+                   "          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n) / n)")}
+               AS ccf
+    FROM cross_terms CROSS JOIN m
+    """,
+)
+def stat_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample cross-correlation function between the daily 'click' and
+    'purchase' count series at lags -7..+7: r_k = (1/n)·Σ_t (x_t-x̄)
+    (y_{t+k}-ȳ) / (s_x·s_y) with full-series means and standard
+    deviations (the standard CCF normalization — the quantity behind
+    'does click volume LEAD purchase volume, and by how many days').
+    Positive-lag peaks mean x leads y.
+
+    Exactness: all cross-products, overlap sums and full-series
+    moments are exact BIGINT folds over the calendar-bounded day
+    grid; the centered numerator expands by the bilinearity identity
+    Σ(x-x̄)(y'-ȳ) = Σxy' - x̄Σy' - ȳΣx + n_ov·x̄ȳ so no residual
+    pass is needed and both engines evaluate one fixed double
+    expression per lag.
+
+    Scale shape: one hash aggregate to days, a 15-lag × day-grid
+    equi-join on the rank index (grid-sized, never the fact table),
+    one 1-row moments frame broadcast to all lags."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("x"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("y"),
+    )
+    ranked = global_ordered(
+        daily,
+        [F.col("day")],
+        bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+        rank_col="t",
+    ).select("x", "y", "t")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = ranked.select(
+        F.col("x").alias("xa"), F.col("t").alias("ta")
+    ).crossJoin(F.broadcast(lags))
+    b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
+    ct = (
+        a.join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ov"),
+            F.sum(F.col("xa") * F.col("yb")).cast("long").alias("sxy"),
+            F.sum("xa").cast("long").alias("sx_ov"),
+            F.sum("yb").cast("long").alias("sy_ov"),
+        )
+    )
+    n = F.col("n").cast("double")
+    num = (
+        F.col("sxy").cast("double")
+        - F.col("sx_ov").cast("double") * F.col("sy") / n
+        - F.col("sy_ov").cast("double") * F.col("sx") / n
+        + F.col("n_ov").cast("double") * F.col("sx") * F.col("sy") / n / n
+    )
+    den = F.sqrt(
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n)
+        / n
+        * (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n)
+        / n
+    )
+    return ct.crossJoin(F.broadcast(m)).select(
+        "lag",
+        "n_ov",
+        q4(num / n / den).alias("ccf"),
+    )
+
+
+@register(
+    "stat_lin_ccc",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = '{KS_G1}'
+                   THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = '{KS_G2}'
+                   THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy,
+               CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy
+        FROM daily
+    ), c AS (
+        SELECT n,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n) / n AS cxy,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / n AS cxx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n) / n AS cyy,
+               (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)) / n AS dmean
+        FROM m
+    )
+    SELECT n AS n_days,
+           {sql_q4("cxy / sqrt(cxx * cyy)")} AS pearson_r,
+           {sql_q4("2.0 * cxy / (cxx + cyy + dmean * dmean)")} AS lin_ccc,
+           {sql_q4("(2.0 * cxy / (cxx + cyy + dmean * dmean))"
+                   " / (cxy / sqrt(cxx * cyy))")} AS accuracy_cb
+    FROM c
+    """,
+)
+def stat_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between the daily
+    'click' and 'purchase' revenue series: CCC = 2·s_xy / (s_x² +
+    s_y² + (x̄-ȳ)²) — agreement with the 45° line, not just linear
+    association (Pearson r rewards any line; CCC also charges for
+    scale and location bias). The ratio CCC/r is Lin's accuracy
+    (bias-correction) factor C_b ∈ (0,1].
+
+    Exactness: per-day cent sums are exact BIGINTs; the second-order
+    folds accumulate in decimal(38,0) (HUGEINT on DuckDB) since a
+    day's cents can reach 1e11 at 100 TB and its square 1e22; the
+    closed form runs once.
+
+    Scale shape: ONE hash aggregate to the bounded day grid, one
+    1-row moment frame; no windows, no joins."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == KS_G1, cents(F.col("value"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == KS_G2, cents(F.col("value"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    xd = F.col("x").cast(dec)
+    yd = F.col("y").cast(dec)
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n) / n
+    cxx = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n) / n
+    cyy = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n) / n
+    dmean = (F.col("sx").cast("double") - F.col("sy").cast("double")) / n
+    r = cxy / F.sqrt(cxx * cyy)
+    ccc = 2.0 * cxy / (cxx + cyy + dmean * dmean)
+    return m.select(
+        F.col("n").alias("n_days"),
+        q4(r).alias("pearson_r"),
+        q4(ccc).alias("lin_ccc"),
+        q4(ccc / r).alias("accuracy_cb"),
+    )
+
+
+@register(
+    "stat_newey_west",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t*t) AS BIGINT) AS stt,
+               CAST(sum(t*y) AS BIGINT) AS sty
+        FROM ranked
+    ), fit AS (
+        SELECT nd, st, stt,
+               CAST(floor(4 * pow(CAST(nd AS DOUBLE) / 100, 2.0/9.0))
+                   AS BIGINT) AS lw,
+               (nd*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)
+                 / (nd*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st) AS b,
+               (CAST(sy AS DOUBLE)
+                - (nd*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)
+                  / (nd*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st)
+                  * st) / nd AS a
+        FROM m
+    ), resid AS (
+        SELECT r.t,
+               f.nd * r.t - f.st AS xc,
+               CAST(floor(r.y - f.a - f.b * r.t + 0.5) AS BIGINT) AS eq,
+               f.nd, f.st, f.stt, f.lw, f.b
+        FROM ranked r, fit f
+    ), xe AS (
+        SELECT t, CAST(xc * eq AS HUGEINT) AS u,
+               CAST(eq AS HUGEINT) AS eqh, nd, st, stt, lw, b
+        FROM resid
+    ), meat AS (
+        -- (L+1)-scaled Bartlett fold: (L+1)*S0 + 2*sum_l (L+1-l)*S_l
+        SELECT CAST(sum(CASE WHEN a.t = b.t THEN (a.lw + 1) * a.u * b.u
+                             ELSE 2 * (a.lw + 1 - (a.t - b.t)) * a.u * b.u
+                        END) AS HUGEINT) AS s_fold
+        FROM xe a JOIN xe b
+          ON a.t - b.t >= 0 AND a.t - b.t <= a.lw
+    ), ssr AS (
+        SELECT CAST(sum(eqh * eqh) AS HUGEINT) AS see FROM xe
+    ), outp AS (
+        SELECT nd, lw, b,
+               (stt - CAST(st AS DOUBLE)*st/nd) AS sxx_c,
+               CAST(s_fold AS DOUBLE) / (lw + 1)
+                 / (CAST(nd AS DOUBLE) * nd) AS s_meat,
+               CAST(see AS DOUBLE) / (nd - 2) AS s2
+        FROM fit CROSS JOIN meat CROSS JOIN ssr
+    )
+    SELECT nd AS n_days, lw AS nw_lag,
+           {sql_q4("b / 100.0")} AS slope_dollars,
+           {sql_q4("sqrt(s2 / sxx_c) / 100.0")} AS se_ols,
+           {sql_q4("sqrt(s_meat / (sxx_c * sxx_c)) / 100.0")} AS se_hac,
+           {sql_q4("b / sqrt(s_meat / (sxx_c * sxx_c))")} AS t_hac
+    FROM outp
+    """,
+)
+def stat_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of daily order revenue with Newey-West HAC standard
+    errors (Bartlett kernel, the standard data-driven lag L =
+    floor(4·(T/100)^(2/9))): autocorrelated residuals make the naive
+    OLS se overstate the trend's significance; the HAC 'meat'
+    Σ_l w_l Σ_t u_t u_{t-l} with u_t = (t-t̄)·e_t repairs it without
+    modeling the error process. Reports both se's and the robust t.
+
+    Exactness: the centered regressor is carried as the exact integer
+    nd·t - Σt and residuals are floored to exact cents, so every
+    u_t·u_{t-l} product is integer; the Bartlett weights w_l =
+    1 - l/(L+1) fold exactly by scaling the whole sum by (L+1)
+    ((L+1-l) is integer), accumulated in decimal(38,0)/HUGEINT —
+    no float sum over lag terms whose order could differ between
+    engines.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    day grid in one hash aggregate; the lag structure is a banded
+    self-join ON THE GRID (|days|·(L+1) pairs — metadata-sized at
+    any SF); the window in global_ordered is the allowlisted
+    day-grid rank."""
+    o = table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        daily,
+        [F.col("day")],
+        bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+        rank_col="t",
+    ).select("y", "t")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    ndd = F.col("nd").cast("double")
+    b = (ndd * F.col("sty") - F.col("st").cast("double") * F.col("sy")) / (
+        ndd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    )
+    fit = m.select(
+        "nd",
+        "st",
+        "stt",
+        F.floor(4 * F.pow(ndd / 100, F.lit(2.0) / 9.0)).cast("long").alias("lw"),
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / ndd).alias("a"),
+    )
+    resid = ranked.crossJoin(F.broadcast(fit)).select(
+        "t",
+        (F.col("nd") * F.col("t") - F.col("st")).alias("xc"),
+        F.floor(F.col("y") - F.col("a") - F.col("b") * F.col("t") + 0.5)
+        .cast("long")
+        .alias("eq"),
+        "nd",
+        "st",
+        "stt",
+        "lw",
+        "b",
+    )
+    xe = resid.select(
+        "t",
+        (F.col("xc") * F.col("eq")).cast(dec).alias("u"),
+        F.col("eq").cast(dec).alias("eqh"),
+        "nd",
+        "st",
+        "stt",
+        "lw",
+        "b",
+    )
+    a_ = xe.select(
+        F.col("t").alias("ta"), F.col("u").alias("ua"), F.col("lw").alias("lwa")
+    )
+    b_ = xe.select(F.col("t").alias("tb"), F.col("u").alias("ub"))
+    lag_l = F.col("ta") - F.col("tb")
+    meat = (
+        a_.join(b_, (lag_l >= 0) & (lag_l <= F.col("lwa")))
+        .agg(
+            F.sum(
+                F.when(
+                    lag_l == 0,
+                    (F.col("lwa") + 1).cast(dec) * F.col("ua") * F.col("ub"),
+                ).otherwise(
+                    (2 * (F.col("lwa") + 1 - lag_l)).cast(dec)
+                    * F.col("ua")
+                    * F.col("ub")
+                )
+            ).alias("s_fold")
+        )
+    )
+    ssr = xe.agg(F.sum(F.col("eqh") * F.col("eqh")).alias("see"))
+    sxx_c = F.col("stt") - F.col("st").cast("double") * F.col("st") / F.col("nd")
+    s_meat = (
+        F.col("s_fold").cast("double")
+        / (F.col("lw") + 1)
+        / (F.col("nd").cast("double") * F.col("nd"))
+    )
+    s2 = F.col("see").cast("double") / (F.col("nd") - 2)
+    return (
+        fit.crossJoin(F.broadcast(meat))
+        .crossJoin(F.broadcast(ssr))
+        .select(
+            F.col("nd").alias("n_days"),
+            F.col("lw").alias("nw_lag"),
+            q4(F.col("b") / 100.0).alias("slope_dollars"),
+            q4(F.sqrt(s2 / sxx_c) / 100.0).alias("se_ols"),
+            q4(F.sqrt(s_meat / (sxx_c * sxx_c)) / 100.0).alias("se_hac"),
+            q4(F.col("b") / F.sqrt(s_meat / (sxx_c * sxx_c))).alias("t_hac"),
+        )
+    )
+
+
+@register(
+    "stat_white_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t*t) AS BIGINT) AS stt,
+               CAST(sum(t*y) AS BIGINT) AS sty
+        FROM ranked
+    ), fit AS (
+        SELECT nd,
+               (nd*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)
+                 / (nd*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st) AS b,
+               (CAST(sy AS DOUBLE)
+                - (nd*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)
+                  / (nd*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st)
+                  * st) / nd AS a
+        FROM m
+    ), resid AS (
+        SELECT r.t,
+               CAST(floor((r.y - f.a - f.b*r.t) * {DW_Q} + 0.5) AS HUGEINT)
+                   AS eq,
+               f.nd
+        FROM ranked r, fit f
+    ), aux AS (
+        SELECT max(nd) AS nd,
+               CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS m01,
+               CAST(sum(CAST(t AS HUGEINT)*t) AS HUGEINT) AS m02,
+               CAST(sum(CAST(t AS HUGEINT)*t*t) AS HUGEINT) AS m03,
+               CAST(sum(CAST(t AS HUGEINT)*t*t*t) AS HUGEINT) AS m04,
+               CAST(sum(eq*eq) AS HUGEINT) AS g0,
+               CAST(sum(CAST(t AS HUGEINT)*eq*eq) AS HUGEINT) AS g1,
+               CAST(sum(CAST(t AS HUGEINT)*t*eq*eq) AS HUGEINT) AS g2,
+               CAST(sum(eq*eq*eq*eq) AS HUGEINT) AS q4s
+        FROM resid
+    ), d AS (
+        SELECT CAST(nd AS DOUBLE) AS t0,
+               CAST(m01 AS DOUBLE) AS m01, CAST(m02 AS DOUBLE) AS m02,
+               CAST(m03 AS DOUBLE) AS m03, CAST(m04 AS DOUBLE) AS m04,
+               CAST(g0 AS DOUBLE) AS g0, CAST(g1 AS DOUBLE) AS g1,
+               CAST(g2 AS DOUBLE) AS g2, CAST(q4s AS DOUBLE) AS q4s,
+               nd
+        FROM aux
+    ), cr AS (
+        SELECT nd, t0, g0, g1, g2, q4s,
+               t0*(m02*m04 - m03*m03) - m01*(m01*m04 - m03*m02)
+                 + m02*(m01*m03 - m02*m02) AS det,
+               g0*(m02*m04 - m03*m03) - m01*(g1*m04 - m03*g2)
+                 + m02*(g1*m03 - m02*g2) AS det0,
+               t0*(g1*m04 - m03*g2) - g0*(m01*m04 - m03*m02)
+                 + m02*(m01*g2 - g1*m02) AS det1,
+               t0*(m02*g2 - g1*m03) - m01*(m01*g2 - g1*m02)
+                 + g0*(m01*m03 - m02*m02) AS det2
+        FROM d
+    ), r2 AS (
+        SELECT nd,
+               ((det0/det)*g0 + (det1/det)*g1 + (det2/det)*g2
+                 - t0*(g0/t0)*(g0/t0))
+               / (q4s - t0*(g0/t0)*(g0/t0)) AS r_sq
+        FROM cr
+    )
+    SELECT nd AS n_days, {sql_q4("r_sq")} AS aux_r2,
+           {sql_q4("nd * r_sq")} AS white_lm,
+           nd * r_sq > {CHI2_CRIT_DF2} AS heteroskedastic
+    FROM r2
+    """,
+)
+def stat_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White's heteroskedasticity test on the daily order-count trend:
+    regress the squared OLS residuals on the regressor and its square
+    (e² ~ c0 + c1·t + c2·t²) and reject homoskedasticity when
+    LM = T·R² exceeds chi-square(2) — the specification-free check
+    that the trend's error variance is constant, which the OLS se of
+    stat_durbin_watson's fit silently assumes.
+
+    Exactness: residuals quantize to the DW_Q grid so e² and e⁴ fold
+    as exact wide integers (decimal(38,0)/HUGEINT), the aux normal
+    equations' moment matrix is exact t-power sums, and the 3×3
+    solve is Cramer's rule written in ONE fixed parenthesization on
+    both engines; R² comes from the SSReg = c·g - T·ȳ² identity, so
+    there is no second residual pass.
+
+    Scale shape: one hash aggregate to the day grid, a broadcast
+    1-row fit frame, one grid-sized fold; the only window is the
+    allowlisted day-grid rank."""
+    o = table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        daily,
+        [F.col("day")],
+        bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+        rank_col="t",
+    ).select("y", "t")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    ndd = F.col("nd").cast("double")
+    b = (ndd * F.col("sty") - F.col("st").cast("double") * F.col("sy")) / (
+        ndd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    )
+    fit = m.select(
+        "nd",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / ndd).alias("a"),
+    )
+    resid = ranked.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.floor((F.col("y") - F.col("a") - F.col("b") * F.col("t")) * DW_Q + 0.5)
+        .cast(dec)
+        .alias("eq"),
+        "nd",
+    )
+    td = F.col("t").cast(dec)
+    aux = resid.agg(
+        F.max("nd").alias("nd"),
+        F.sum(td).alias("m01"),
+        F.sum(td * F.col("t")).alias("m02"),
+        F.sum(td * F.col("t") * F.col("t")).alias("m03"),
+        F.sum(td * F.col("t") * F.col("t") * F.col("t")).alias("m04"),
+        F.sum(F.col("eq") * F.col("eq")).alias("g0"),
+        F.sum(td * F.col("eq") * F.col("eq")).alias("g1"),
+        F.sum(td * F.col("t") * F.col("eq") * F.col("eq")).alias("g2"),
+        F.sum(F.col("eq") * F.col("eq") * F.col("eq") * F.col("eq")).alias(
+            "q4s"
+        ),
+    )
+    t0 = F.col("nd").cast("double")
+    m01 = F.col("m01").cast("double")
+    m02 = F.col("m02").cast("double")
+    m03 = F.col("m03").cast("double")
+    m04 = F.col("m04").cast("double")
+    g0 = F.col("g0").cast("double")
+    g1 = F.col("g1").cast("double")
+    g2 = F.col("g2").cast("double")
+    q4s = F.col("q4s").cast("double")
+    det = (
+        t0 * (m02 * m04 - m03 * m03)
+        - m01 * (m01 * m04 - m03 * m02)
+        + m02 * (m01 * m03 - m02 * m02)
+    )
+    det0 = (
+        g0 * (m02 * m04 - m03 * m03)
+        - m01 * (g1 * m04 - m03 * g2)
+        + m02 * (g1 * m03 - m02 * g2)
+    )
+    det1 = (
+        t0 * (g1 * m04 - m03 * g2)
+        - g0 * (m01 * m04 - m03 * m02)
+        + m02 * (m01 * g2 - g1 * m02)
+    )
+    det2 = (
+        t0 * (m02 * g2 - g1 * m03)
+        - m01 * (m01 * g2 - g1 * m02)
+        + g0 * (m01 * m03 - m02 * m02)
+    )
+    ybar2 = t0 * (g0 / t0) * (g0 / t0)
+    r_sq = ((det0 / det) * g0 + (det1 / det) * g1 + (det2 / det) * g2 - ybar2) / (
+        q4s - ybar2
+    )
+    return aux.select(
+        F.col("nd").alias("n_days"),
+        q4(r_sq).alias("aux_r2"),
+        q4(F.col("nd") * r_sq).alias("white_lm"),
+        (F.col("nd") * r_sq > float(CHI2_CRIT_DF2)).alias("heteroskedastic"),
+    )
+
+
+# MacKinnon 5% critical value for the Engle-Granger residual ADF with
+# one regressor and a constant in the cointegrating regression.
+_EG_CRIT = "-3.37"
+
+
+@register(
+    "stat_cointegration_eg",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = '{KS_G1}'
+                   THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = '{KS_G2}'
+                   THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy
+        FROM daily
+    ), fit AS (
+        SELECT n,
+               (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy)
+                 / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) AS b,
+               (CAST(sy AS DOUBLE)
+                - (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy)
+                  / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx)
+                  * sx) / n AS a
+        FROM m
+    ), resid AS (
+        SELECT day,
+               CAST(floor(d.y - f.a - f.b*d.x + 0.5) AS BIGINT) AS u,
+               f.n, f.b
+        FROM daily d, fit f
+    ), ranked AS (
+        SELECT u, n, b,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM resid
+    ), pairs AS (
+        SELECT a.u - b.u AS du, b.u AS ul, a.n, a.b
+        FROM ranked a JOIN ranked b ON b.t = a.t - 1
+    ), df AS (
+        SELECT max(n) AS n_days, max(b) AS beta,
+               CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(CAST(ul AS HUGEINT)*du) AS HUGEINT) AS suldu,
+               CAST(sum(CAST(ul AS HUGEINT)*ul) AS HUGEINT) AS sull,
+               CAST(sum(CAST(du AS HUGEINT)*du) AS HUGEINT) AS sdudu
+        FROM pairs
+    ), g AS (
+        SELECT n_days, beta, np,
+               CAST(suldu AS DOUBLE) / CAST(sull AS DOUBLE) AS gamma,
+               (CAST(sdudu AS DOUBLE)
+                - CAST(suldu AS DOUBLE) / CAST(sull AS DOUBLE)
+                  * CAST(suldu AS DOUBLE)) AS ssr,
+               CAST(sull AS DOUBLE) AS sull_d
+        FROM df
+    )
+    SELECT n_days, {sql_q4("beta")} AS beta, {sql_q4("gamma")} AS gamma,
+           {sql_q4("gamma / sqrt(ssr / (np - 1) / sull_d)")} AS tau,
+           gamma / sqrt(ssr / (np - 1) / sull_d) < {_EG_CRIT}
+               AS cointegrated
+    FROM g
+    """,
+)
+def stat_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test between the daily
+    'click' and 'purchase' revenue series: (1) OLS the long-run
+    relation y = a + b·x; (2) Dickey-Fuller-test the residuals
+    (Δu_t = γ·u_{t-1}, no constant — residuals are mean-zero by
+    construction). τ below MacKinnon's -3.37 rejects the unit root in
+    u, i.e. the two series share a common stochastic trend and the
+    spread y - b·x is mean-reverting (the statistical basis of
+    pairs-style monitoring; a plain correlation cannot distinguish
+    cointegration from two series that merely both trend).
+
+    Exactness: the long-run OLS moments fold as decimal(38,0)/
+    HUGEINT (day cent-sums square past int64 at 100 TB); residuals
+    floor to exact cents so every DF regression moment is an exact
+    wide-integer fold; γ, SSR (via the γ-identity, no second pass)
+    and τ are closed-form doubles evaluated once.
+
+    Scale shape: one fact pass to the day grid, broadcast 1-row fit,
+    rank+1 self-join on the grid for the lag pair — the same bounded
+    machinery as stat_adf."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == KS_G1, cents(F.col("value"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == KS_G2, cents(F.col("value"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    xd = F.col("x").cast(dec)
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = m.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx")) / nd).alias("a"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "day",
+        F.floor(F.col("y") - F.col("a") - F.col("b") * F.col("x") + 0.5)
+        .cast("long")
+        .alias("u"),
+        "n",
+        "b",
+    )
+    ranked = global_ordered(
+        resid,
+        [F.col("day")],
+        bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+        rank_col="t",
+    ).select("u", "n", "b", "t")
+    a_ = ranked.select(
+        F.col("u").alias("ua"),
+        F.col("t").alias("ta"),
+        F.col("n").alias("n"),
+        F.col("b").alias("bb"),
+    )
+    b_ = ranked.select(F.col("u").alias("ub"), F.col("t").alias("tb"))
+    pairs = a_.join(b_, F.col("tb") == F.col("ta") - 1).select(
+        (F.col("ua") - F.col("ub")).alias("du"),
+        F.col("ub").alias("ul"),
+        "n",
+        "bb",
+    )
+    uld = F.col("ul").cast(dec)
+    dud = F.col("du").cast(dec)
+    df = pairs.agg(
+        F.max("n").alias("n_days"),
+        F.max("bb").alias("beta"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(uld * F.col("du")).alias("suldu"),
+        F.sum(uld * F.col("ul")).alias("sull"),
+        F.sum(dud * F.col("du")).alias("sdudu"),
+    )
+    gamma = F.col("suldu").cast("double") / F.col("sull").cast("double")
+    ssr = (
+        F.col("sdudu").cast("double")
+        - F.col("suldu").cast("double")
+        / F.col("sull").cast("double")
+        * F.col("suldu").cast("double")
+    )
+    tau = gamma / F.sqrt(ssr / (F.col("np") - 1) / F.col("sull").cast("double"))
+    return df.select(
+        "n_days",
+        q4(F.col("beta")).alias("beta"),
+        q4(gamma).alias("gamma"),
+        q4(tau).alias("tau"),
+        (tau < float(_EG_CRIT)).alias("cointegrated"),
+    )
