@@ -2957,3 +2957,513 @@ def ml_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rel_topk",
         q4(F.col("errq").cast("double") / _ERR_TQ).alias("err"),
     )
+
+
+# ------------------------------------------ round-9 wave C: model eval
+
+
+@register(
+    "ml_survival_cindex",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE)) AS entry,
+               min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS DATE) END) AS p_day,
+               max(CAST(ts AS DATE)) AS last_day,
+               CAST(count_if(event_type = 'click') AS BIGINT) AS s
+        FROM events GROUP BY user_id
+    ), coded AS (
+        SELECT CASE WHEN p_day IS NOT NULL
+                    THEN CAST(date_diff('day', entry, p_day) AS BIGINT)
+                    ELSE CAST(date_diff('day', entry, last_day) AS BIGINT)
+               END AS t,
+               CASE WHEN p_day IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               s
+        FROM per_user
+    ), cells AS (
+        SELECT t, s, CAST(count(*) AS BIGINT) AS c_all,
+               CAST(count_if(ev = 1) AS BIGINT) AS c_ev
+        FROM coded GROUP BY t, s
+    ), dense AS (
+        SELECT dt.t, ds.s,
+               coalesce(c.c_all, 0) AS c_all, coalesce(c.c_ev, 0) AS c_ev
+        FROM (SELECT DISTINCT t FROM cells) dt
+        CROSS JOIN (SELECT DISTINCT s FROM cells) ds
+        LEFT JOIN cells c ON c.t = dt.t AND c.s = ds.s
+    ), suf AS (
+        SELECT t, s, c_all, c_ev,
+               CAST(coalesce(sum(c_all) OVER (PARTITION BY s ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS a_later
+        FROM dense
+    ), pre AS (
+        SELECT t, s, c_all, c_ev, a_later,
+               CAST(coalesce(sum(a_later) OVER (PARTITION BY t ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS b_lt,
+               CAST(sum(a_later) OVER (PARTITION BY t) AS BIGINT) AS b_tot
+        FROM suf
+    ), folds AS (
+        SELECT CAST(sum(c_ev * (2*b_lt + a_later)) AS BIGINT) AS num2,
+               CAST(sum(c_ev * 2 * b_tot) AS BIGINT) AS den2,
+               CAST(sum(c_ev) AS BIGINT) AS n_events,
+               CAST(sum(c_all) AS BIGINT) AS n_subjects
+        FROM pre
+    )
+    SELECT n_subjects, n_events,
+           CAST(den2 / 2 AS BIGINT) AS comparable_pairs,
+           floor(CAST(num2 AS DOUBLE) / den2 * 10000 + 0.5)/10000.0
+               AS c_index
+    FROM folds
+    """,
+)
+def ml_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index for time-to-purchase with censoring
+    at last activity, scored by the user's click count (higher score
+    should predict EARLIER purchase): over comparable pairs (i has
+    the event and t_i < t_j), C = P(score_i > score_j) with 0.5
+    credit for score ties — THE standard discrimination metric for
+    survival models, which ml_roc_auc cannot give because censored
+    subjects have no binary label.
+
+    Scale discipline: never the O(n²) pair enumeration. Subjects
+    collapse to the (duration-day × score) grid; the pair counts come
+    from a 2-D dominance prefix on the DENSE grid — a per-score
+    suffix over days (who fails LATER) then a per-day prefix over
+    scores (who scores LOWER) — so every window is PARTITIONED (by s
+    or by t) and the numerator/denominator fold as exact BIGINTs
+    (doubled to absorb the half-credit). The score here is a small
+    integer; continuous risk scores must be quantized to a bounded
+    grid first (same contract as the ECDF family).
+
+    Scale shape at 100 TB: one fact pass to users, one to the grid,
+    a |days|×|scores| dense frame (calendar × score-domain bounded),
+    two partitioned windows, one fold."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("p_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count_if(F.col("event_type") == "click").cast("long").alias("s"),
+    )
+    coded = per_user.select(
+        F.when(
+            F.col("p_day").isNotNull(), F.datediff("p_day", "entry")
+        )
+        .otherwise(F.datediff("last_day", "entry"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("p_day").isNotNull(), 1).otherwise(0).alias("ev"),
+        "s",
+    )
+    cells = coded.groupBy("t", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.count_if(F.col("ev") == 1).cast("long").alias("c_ev"),
+    )
+    dt = cells.select("t").distinct()
+    ds = cells.select("s").distinct()
+    dense = (
+        dt.crossJoin(ds)
+        .join(cells, ["t", "s"], "left")
+        .select(
+            "t",
+            "s",
+            F.coalesce(F.col("c_all"), F.lit(0)).alias("c_all"),
+            F.coalesce(F.col("c_ev"), F.lit(0)).alias("c_ev"),
+        )
+    )
+    w_suf = (
+        Window.partitionBy("s")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suf = dense.select(
+        "t",
+        "s",
+        "c_all",
+        "c_ev",
+        F.coalesce(F.sum("c_all").over(w_suf), F.lit(0))
+        .cast("long")
+        .alias("a_later"),
+    )
+    w_pre = (
+        Window.partitionBy("t")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("t")
+    pre = suf.select(
+        "t",
+        "s",
+        "c_all",
+        "c_ev",
+        "a_later",
+        F.coalesce(F.sum("a_later").over(w_pre), F.lit(0))
+        .cast("long")
+        .alias("b_lt"),
+        F.sum("a_later").over(w_tot).cast("long").alias("b_tot"),
+    )
+    folds = pre.agg(
+        F.sum(F.col("c_ev") * (2 * F.col("b_lt") + F.col("a_later")))
+        .cast("long")
+        .alias("num2"),
+        F.sum(F.col("c_ev") * 2 * F.col("b_tot")).cast("long").alias("den2"),
+        F.sum("c_ev").cast("long").alias("n_events"),
+        F.sum("c_all").cast("long").alias("n_subjects"),
+    )
+    return folds.select(
+        "n_subjects",
+        "n_events",
+        (F.col("den2") / 2).cast("long").alias("comparable_pairs"),
+        q4(F.col("num2").cast("double") / F.col("den2")).alias("c_index"),
+    )
+
+
+_TWEEDIE_Q = 1_000_000  # per-row unit-deviance fixed point
+
+
+@register(
+    "ml_tweedie_deviance",
+    oracle=f"""
+    WITH purch AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS yc
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ), daymu AS (
+        SELECT day, CAST(sum(yc) AS BIGINT) AS dsum,
+               CAST(count(*) AS BIGINT) AS dcnt
+        FROM purch GROUP BY day
+    ), gmean AS (
+        SELECT CAST(sum(yc) AS BIGINT) AS gsum,
+               CAST(count(*) AS BIGINT) AS gcnt
+        FROM purch
+    ), dev AS (
+        SELECT CAST(sum(CAST(floor((
+                   -8.0 * sqrt(yc / 100.0)
+                   + 4.0 * (yc / 100.0)
+                     / sqrt(CAST(dsum AS DOUBLE) / dcnt / 100.0)
+                   + 4.0 * sqrt(CAST(dsum AS DOUBLE) / dcnt / 100.0)
+               ) * {_TWEEDIE_Q} + 0.5) AS HUGEINT)) AS HUGEINT) AS d_day,
+               CAST(sum(CAST(floor((
+                   -8.0 * sqrt(yc / 100.0)
+                   + 4.0 * (yc / 100.0)
+                     / sqrt(CAST(gsum AS DOUBLE) / gcnt / 100.0)
+                   + 4.0 * sqrt(CAST(gsum AS DOUBLE) / gcnt / 100.0)
+               ) * {_TWEEDIE_Q} + 0.5) AS HUGEINT)) AS HUGEINT) AS d_null,
+               CAST(count(*) AS BIGINT) AS n
+        FROM purch JOIN daymu USING (day) CROSS JOIN gmean
+    )
+    SELECT n,
+           {sql_q4(f"CAST(d_null AS DOUBLE) / {_TWEEDIE_Q} / n")}
+               AS mean_dev_null,
+           {sql_q4(f"CAST(d_day AS DOUBLE) / {_TWEEDIE_Q} / n")}
+               AS mean_dev_day,
+           {sql_q4("1.0 - CAST(d_day AS DOUBLE) / CAST(d_null AS DOUBLE)")}
+               AS deviance_r2
+    FROM dev
+    """,
+)
+def ml_tweedie_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tweedie unit deviance (power p = 1.5 — the compound
+    Poisson-gamma family insurers and revenue modelers fit) of
+    purchase values under two predictors: the global mean (null
+    model) and the per-day mean (a seasonal model), plus the deviance
+    pseudo-R² 1 - D_model/D_null — squared error is the WRONG loss
+    for a zero-inflated skewed target, and this is the right
+    model-comparison number. At p = 1.5 the unit deviance reduces to
+    d(y,μ) = -8√y + 4y/√μ + 4√μ (zero at y = μ, positive
+    elsewhere; y > 0 rows only, per the Tweedie support).
+
+    Exactness: y is exact cents; μ enters as one fixed double
+    expression per row from exact integer day/global sums, and the
+    per-row deviance quantizes at 1e-6 before the fold, accumulating
+    in decimal(38,0)/HUGEINT — order-free at any parallelism.
+
+    Scale shape: one pass to the day-mean frame (hash agg), one
+    broadcast-joined deviance pass, single-row output."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    purch = e.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(
+        F.to_date("ts").alias("day"),
+        cents(F.col("value")).alias("yc"),
+    )
+    daymu = purch.groupBy("day").agg(
+        F.sum("yc").cast("long").alias("dsum"),
+        F.count(F.lit(1)).cast("long").alias("dcnt"),
+    )
+    glob = purch.agg(
+        F.sum("yc").cast("long").alias("gsum"),
+        F.count(F.lit(1)).cast("long").alias("gcnt"),
+    )
+
+    def _dev(mu_expr) -> F.Column:
+        y = F.col("yc") / 100.0
+        return F.floor(
+            (
+                -8.0 * F.sqrt(y)
+                + 4.0 * y / F.sqrt(mu_expr)
+                + 4.0 * F.sqrt(mu_expr)
+            )
+            * _TWEEDIE_Q
+            + F.lit(0.5)
+        ).cast(dec)
+
+    mu_day = F.col("dsum").cast("double") / F.col("dcnt") / 100.0
+    mu_glob = F.col("gsum").cast("double") / F.col("gcnt") / 100.0
+    dev = (
+        purch.join(F.broadcast(daymu), "day")
+        .crossJoin(F.broadcast(glob))
+        .agg(
+            F.sum(_dev(mu_day)).alias("d_day"),
+            F.sum(_dev(mu_glob)).alias("d_null"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return dev.select(
+        "n",
+        q4(F.col("d_null").cast("double") / _TWEEDIE_Q / F.col("n")).alias(
+            "mean_dev_null"
+        ),
+        q4(F.col("d_day").cast("double") / _TWEEDIE_Q / F.col("n")).alias(
+            "mean_dev_day"
+        ),
+        q4(
+            1.0 - F.col("d_day").cast("double") / F.col("d_null").cast("double")
+        ).alias("deviance_r2"),
+    )
+
+
+# The multiclass scorer's continuous class position (shared with
+# ml_multiclass_f1): p = (score + 3) / 0.6 over classes 0..9.
+_TOPK_KS = (1, 2, 3, 5)
+
+
+@register(
+    "ml_topk_accuracy",
+    oracle="""
+    WITH rated AS (
+        SELECT label AS y,
+               (list_aggregate([CAST(embedding[i] AS DOUBLE)
+                   * (CAST(i * 37 % 19 - 9 AS DOUBLE) / 10.0)
+                   for i in range(1, 65)], 'sum') + 0.5 + 3.0) / 0.6 AS p
+        FROM embeddings
+    ), nb AS (
+        SELECT y,
+               len(list_filter(range(0, 10), c ->
+                   abs(p - (c + 0.5)) < abs(p - (y + 0.5))
+                   OR (abs(p - (c + 0.5)) = abs(p - (y + 0.5)) AND c < y)))
+                   AS n_better
+        FROM rated
+    ), ks AS (SELECT k FROM (VALUES (1), (2), (3), (5)) t(k)), agg AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(n_better < k) AS BIGINT) AS hits
+        FROM nb CROSS JOIN ks GROUP BY k
+    )
+    SELECT k, n, hits,
+           floor(CAST(hits AS DOUBLE) / n * 10000 + 0.5)/10000.0
+               AS topk_accuracy
+    FROM agg
+    """,
+)
+def ml_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k accuracy for the 10-class problem at k ∈ {1,2,3,5}: a
+    prediction 'hits at k' when the true class ranks among the k
+    classes nearest the scorer's continuous position (ties broken by
+    class index, so the ranking is total and both engines agree
+    bit-for-bit) — the metric that separates 'almost right'
+    multiclass models from 'confidently wrong' ones, where plain
+    accuracy (= top-1) treats both the same. Top-1 here coincides
+    with ml_multiclass_f1's micro-F1 construction by design.
+
+    Scale discipline: NO per-row window and NO shuffle on row keys —
+    the rank of the true class is computed as a JVM-side array fold
+    (filter+size over the 10-class sequence per row; a list
+    comprehension in the oracle), then one conditional aggregate per
+    k. Everything stays in whole-stage codegen.
+
+    Scale shape at 100 TB: one scan, one 4-row hash aggregate."""
+    e = table(spark, sf_dir, "embeddings")
+    score = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda x, i: x.cast("double")
+                * ((i * 37 % 19 - 9).cast("double") / 10.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + 0.5
+    )
+    p = (score + 3.0) / 0.6
+    rated = e.select(F.col("label").cast("long").alias("y"), p.alias("p"))
+    d_true = F.abs(F.col("p") - (F.col("y") + 0.5))
+    n_better = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda c: (F.abs(F.col("p") - (c + 0.5)) < d_true)
+            | (
+                (F.abs(F.col("p") - (c + 0.5)) == d_true)
+                & (c < F.col("y"))
+            ),
+        )
+    )
+    nb = rated.select("y", n_better.alias("n_better"))
+    ks = spark.createDataFrame([(k,) for k in _TOPK_KS], "k long")
+    agg = (
+        nb.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("n_better") < F.col("k"))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    return agg.select(
+        "k",
+        "n",
+        "hits",
+        q4(F.col("hits").cast("double") / F.col("n")).alias("topk_accuracy"),
+    )
+
+
+_RIDGE_LAMBDA = "0.1"  # ridge penalty on the standardized design
+
+
+@register(
+    "ml_ridge_closed_form",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sd,
+               CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sp,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+               CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sdd,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sqd,
+               CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                   * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS sqp,
+               CAST(sum(CAST(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                   AS HUGEINT)
+                   * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS sdp,
+               CAST(sum(CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                   AS HUGEINT)
+                   * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS spp
+        FROM lineitem
+    ), r AS (
+        SELECT n,
+               (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*sd/n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq/n)
+                      * (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd/n))
+                   AS r12,
+               (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*sp/n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq/n)
+                      * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp/n))
+                   AS r1y,
+               (CAST(sdp AS DOUBLE) - CAST(sd AS DOUBLE)*sp/n)
+                 / sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd/n)
+                      * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp/n))
+                   AS r2y
+        FROM t
+    )
+    SELECT n,
+           floor(r12*10000 + 0.5)/10000.0 AS r12,
+           floor((1.0*r1y - r12*r2y) / (1.0 - r12*r12)
+               * 10000 + 0.5)/10000.0 AS beta_qty_ols,
+           floor((1.0*r2y - r12*r1y) / (1.0 - r12*r12)
+               * 10000 + 0.5)/10000.0 AS beta_disc_ols,
+           floor(((1.0 + {_RIDGE_LAMBDA})*r1y - r12*r2y)
+               / ((1.0 + {_RIDGE_LAMBDA})*(1.0 + {_RIDGE_LAMBDA}) - r12*r12)
+               * 10000 + 0.5)/10000.0 AS beta_qty_ridge,
+           floor(((1.0 + {_RIDGE_LAMBDA})*r2y - r12*r1y)
+               / ((1.0 + {_RIDGE_LAMBDA})*(1.0 + {_RIDGE_LAMBDA}) - r12*r12)
+               * 10000 + 0.5)/10000.0 AS beta_disc_ridge
+    FROM r
+    """,
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression of extended price on (quantity, discount) in
+    STANDARDIZED units, solved in closed form against the OLS
+    solution: on a standardized 2-feature design the normal equations
+    reduce to the correlation matrix, so β_ridge = (R + λI)⁻¹ r_y
+    with a 2×2 inverse — showing exactly how the L2 penalty shrinks
+    each coefficient toward 0 relative to OLS (λ = 0), the
+    regularization-path intuition behind every large-scale linear
+    model. λ = 0.1.
+
+    Exactness: all nine sufficient sums fold as exact integers
+    (price-involving squares in decimal(38,0)/HUGEINT since
+    cents² × rows passes int64); the three correlations and both
+    2×2 solves are fixed closed-form double expressions evaluated
+    once.
+
+    Scale shape at 100 TB: ONE hash-aggregate pass with map-side
+    combine, single-row output — the canonical mergeable-sufficient-
+    statistics regression."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    qv = F.col("l_quantity").cast("long")
+    dv = cents(F.col("l_discount"))
+    pv = cents(F.col("l_extendedprice"))
+    t = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(qv).cast("long").alias("sq"),
+        F.sum(dv).cast("long").alias("sd"),
+        F.sum(pv).cast("long").alias("sp"),
+        F.sum(qv * qv).cast("long").alias("sqq"),
+        F.sum(dv * dv).cast("long").alias("sdd"),
+        F.sum(qv * dv).cast("long").alias("sqd"),
+        F.sum(qv.cast(dec) * pv).alias("sqp"),
+        F.sum(dv.cast(dec) * pv).alias("sdp"),
+        F.sum(pv.cast(dec) * pv).alias("spp"),
+    )
+    n = F.col("n").cast("double")
+
+    def _corr(sxy, sx, sy, sxx, syy) -> F.Column:
+        return (
+            F.col(sxy).cast("double")
+            - F.col(sx).cast("double") * F.col(sy) / n
+        ) / F.sqrt(
+            (F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx) / n)
+            * (
+                F.col(syy).cast("double")
+                - F.col(sy).cast("double") * F.col(sy) / n
+            )
+        )
+
+    r12 = _corr("sqd", "sq", "sd", "sqq", "sdd")
+    r1y = _corr("sqp", "sq", "sp", "sqq", "spp")
+    r2y = _corr("sdp", "sd", "sp", "sdd", "spp")
+    lam = float(_RIDGE_LAMBDA)
+
+    def _solve(shift: float, a: F.Column, b: F.Column) -> F.Column:
+        return ((1.0 + shift) * a - r12 * b) / (
+            (1.0 + shift) * (1.0 + shift) - r12 * r12
+        )
+
+    return t.select(
+        "n",
+        q4(r12).alias("r12"),
+        q4(_solve(0.0, r1y, r2y)).alias("beta_qty_ols"),
+        q4(_solve(0.0, r2y, r1y)).alias("beta_disc_ols"),
+        q4(_solve(lam, r1y, r2y)).alias("beta_qty_ridge"),
+        q4(_solve(lam, r2y, r1y)).alias("beta_disc_ridge"),
+    )
