@@ -5114,3 +5114,121 @@ def ml_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("stp") / (2 * F.col("stp") + F.col("sfp") + F.col("sfn"))
         ).alias("micro_f1"),
     )
+
+
+# -------------------------------- round-9 wave D: intrinsic dimension
+
+_ID_K = 10  # neighbors per anchor for the Levina-Bickel MLE
+_ID_ANCHOR_MOD = 25  # anchors = vec_id % 25 == 0 (query-side bounded)
+_ID_Q = 1_000_000
+
+
+@register(
+    "embed_intrinsic_dim",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id % {_ID_ANCHOR_MOD} = 0
+    ), pairs AS (
+        SELECT a.qid, b.vec_id AS cid,
+               list_aggregate([pow(CAST(a.qe[i] AS DOUBLE)
+                    - CAST(b.embedding[i] AS DOUBLE), 2)
+                    for i in range(1, 65)], 'sum') AS d2
+        FROM anchors a JOIN embeddings b ON b.vec_id <> a.qid
+    ), ranked AS (
+        SELECT qid, d2,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+        FROM pairs WHERE d2 > 0
+    ), per_anchor AS (
+        SELECT qid,
+               2.0 * ({_ID_K} - 1)
+               / (({_ID_K} - 1) * ln(max(CASE WHEN rn = {_ID_K} THEN d2 END))
+                  - sum(CASE WHEN rn < {_ID_K} THEN ln(d2) ELSE 0 END))
+                   AS id_mle
+        FROM ranked WHERE rn <= {_ID_K} GROUP BY qid
+    ), q AS (
+        SELECT CAST(floor(id_mle * {_ID_Q} + 0.5) AS BIGINT) AS idq
+        FROM per_anchor
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST({_ID_K} AS BIGINT) AS k,
+           {sql_q4(f"CAST(sum(idq) AS DOUBLE) / {_ID_Q} / count(*)")}
+               AS mean_intrinsic_dim,
+           {sql_q4(f"CAST(min(idq) AS DOUBLE) / {_ID_Q}")} AS min_id,
+           {sql_q4(f"CAST(max(idq) AS DOUBLE) / {_ID_Q}")} AS max_id
+    FROM q
+    """,
+)
+def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levina-Bickel maximum-likelihood intrinsic dimensionality of
+    the embedding manifold (NeurIPS 2004, public): per anchor x with
+    k-NN distances T_1 <= ... <= T_k, m(x) = [(1/(k-1))·Σ ln(T_k/
+    T_j)]⁻¹, averaged over a deterministic anchor set (vec_id %
+    25 == 0). Embeddings advertising 64 dims routinely live on a
+    ~10-20-dim manifold — this number decides how aggressively
+    embed_random_projection / matryoshka truncation / PQ codebooks
+    can compress before recall collapses.
+
+    The distance work runs on SQUARED distances (rank-equivalent, no
+    sqrt in the hot loop; the MLE absorbs the 1/2 via ln d² = 2 ln d),
+    zero-distance duplicates are excluded per the estimator's
+    support, ranking ties break on candidate id so both engines pick
+    identical neighbor sets, and per-anchor estimates quantize at
+    1e-6 before the order-free mean fold.
+
+    Scale shape at 100 TB: anchors are a FIXED-rate sample (corpus/25
+    rows — in production a bounded query set), so the candidate join
+    is anchors × corpus with the per-anchor top-k reduced by a
+    partitioned window — the same query-side-bounded brute-force
+    shape as sim_topk_exact; an IVF-blocked variant drops in via
+    sim_ann_ivf's centroid machinery when anchors stop being
+    bounded."""
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % _ID_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("ce"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        anchors.join(cand, F.col("cid") != F.col("qid"))
+        .select("qid", "cid", d2.alias("d2"))
+        .where(F.col("d2") > 0)
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    ranked = pairs.select(
+        "qid", "d2", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= _ID_K)
+    per_anchor = ranked.groupBy("qid").agg(
+        (
+            2.0
+            * (_ID_K - 1)
+            / (
+                (_ID_K - 1)
+                * F.log(F.max(F.when(F.col("rn") == _ID_K, F.col("d2"))))
+                - F.sum(
+                    F.when(F.col("rn") < _ID_K, F.log("d2")).otherwise(0.0)
+                )
+            )
+        ).alias("id_mle")
+    )
+    qv = per_anchor.select(
+        F.floor(F.col("id_mle") * _ID_Q + 0.5).cast("long").alias("idq")
+    )
+    return qv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.lit(_ID_K).cast("long").alias("k"),
+        q4(F.sum("idq").cast("double") / _ID_Q / F.count(F.lit(1))).alias(
+            "mean_intrinsic_dim"
+        ),
+        q4(F.min("idq").cast("double") / _ID_Q).alias("min_id"),
+        q4(F.max("idq").cast("double") / _ID_Q).alias("max_id"),
+    )

@@ -3748,3 +3748,222 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_en"
         ),
     )
+
+
+# --------------------------------- round-9 wave D: corpus boilerplate
+
+_BP_SEG_WORDS = 8  # non-overlapping segment width ("line" analog)
+_BP_MIN_DOCS = 3  # a segment in >= this many distinct docs is boilerplate
+_BP_FRAC_Q = 1_000_000_000
+
+
+@register(
+    "text_boilerplate_segments",
+    oracle=f"""
+    WITH idx AS (
+        SELECT doc_id, source, text,
+               unnest(range(0, CAST(ceil(len(string_split(text, ' '))
+                   / {_BP_SEG_WORDS}.0) AS BIGINT))) AS i
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '),
+                              i*{_BP_SEG_WORDS} + 1,
+                              i*{_BP_SEG_WORDS} + {_BP_SEG_WORDS}), ' '))
+                   AS h
+        FROM idx
+    ), freq AS (
+        SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndoc
+        FROM segs GROUP BY h
+    ), per_doc AS (
+        SELECT s.doc_id, s.source,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(count_if(f.ndoc >= {_BP_MIN_DOCS}) AS BIGINT) AS n_bp
+        FROM segs s JOIN freq f USING (h)
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_segs) AS BIGINT) AS n_segments,
+           CAST(sum(n_bp) AS BIGINT) AS n_boilerplate,
+           {sql_q4(f"CAST(sum(CAST(floor(CAST(n_bp AS DOUBLE) / n_segs"
+                   f" * {_BP_FRAC_Q} + 0.5) AS BIGINT)) AS DOUBLE)"
+                   f" / {_BP_FRAC_Q} / count(*)")} AS avg_bp_fraction,
+           CAST(count_if(2 * n_bp >= n_segs) AS BIGINT) AS n_docs_majority_bp
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection, the line-dedup curation
+    rule of CCNet/RefinedWeb-style pipelines re-expressed on word
+    segments: split every document into non-overlapping 8-word
+    segments, hash each, and call a segment boilerplate when it
+    appears in >= 3 DISTINCT documents (nav bars, license footers,
+    templated headers at web scale). Reports, per source, the average
+    boilerplate fraction and how many documents are majority-
+    boilerplate — the docs a curation pass should strip or drop.
+
+    Exactness: segment membership is an md5 equi-join (no float);
+    per-doc fractions quantize at 1e-9 before the source-level mean
+    so the fold is order-free; the majority test is the integer
+    2*n_bp >= n_segs.
+
+    Scale shape at 100 TB: segments ~ words/8 rows; ONE hash
+    aggregate to the segment-frequency table (map-side combined),
+    one hash equi-join back on the digest (shuffle on h — the same
+    shape as dedup_exact), one doc-level and one source-level
+    aggregate. No windows, no cross joins."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / float(_BP_SEG_WORDS)).cast("long")
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("i"),
+        words.alias("ws"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.col("i") * _BP_SEG_WORDS + 1,
+                    _BP_SEG_WORDS,
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    freq = segs.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("long").alias("ndoc")
+    )
+    per_doc = (
+        segs.join(freq, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.count_if(F.col("ndoc") >= _BP_MIN_DOCS)
+            .cast("long")
+            .alias("n_bp"),
+        )
+    )
+    frac_q = F.floor(
+        F.col("n_bp").cast("double") / F.col("n_segs") * _BP_FRAC_Q + 0.5
+    ).cast("long")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_segs").cast("long").alias("n_segments"),
+        F.sum("n_bp").cast("long").alias("n_boilerplate"),
+        q4(
+            F.sum(frac_q).cast("double") / _BP_FRAC_Q / F.count(F.lit(1))
+        ).alias("avg_bp_fraction"),
+        F.count_if(2 * F.col("n_bp") >= F.col("n_segs"))
+        .cast("long")
+        .alias("n_docs_majority_bp"),
+    )
+
+
+# char classes audited by the script profile (ASCII ranges; bytes
+# outside them count as non-ASCII/other — the script-mismatch signal)
+_SCRIPT_CLASSES = (
+    ("letter", "[a-zA-Z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\r\\n]"),
+    ("punct", "[!-/:-@\\[-`{-~]"),
+)
+
+
+@register(
+    "text_unicode_script_profile",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {", ".join(
+                   f"CAST(length(text) - length(regexp_replace(text,"
+                   f" '{pat}', '', 'g')) AS BIGINT) AS n_{name}"
+                   for name, pat in _SCRIPT_CLASSES
+               )}
+        FROM documents
+    ), per_lang AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               {", ".join(
+                   f"CAST(sum(n_{name}) AS BIGINT) AS n_{name}"
+                   for name, _ in _SCRIPT_CLASSES
+               )}
+        FROM per_doc GROUP BY lang
+    )
+    SELECT lang, n_docs, n_chars,
+           {", ".join(
+               sql_q4(f"CAST(n_{name} AS DOUBLE) / n_chars")
+               + f" AS frac_{name}"
+               for name, _ in _SCRIPT_CLASSES
+           )},
+           {sql_q4("CAST(n_chars - n_letter - n_digit - n_space - n_punct"
+                   " AS DOUBLE) / n_chars")} AS frac_other,
+           CAST(n_chars - n_letter - n_digit - n_space - n_punct AS DOUBLE)
+               / n_chars > 0.2 AS script_mismatch
+    FROM per_lang
+    """,
+)
+def text_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per language label: fractions of ASCII
+    letters, digits, whitespace, punctuation, and everything else —
+    the cheap first-line curation signal that catches mislabeled or
+    mojibake documents (a corpus labeled 'en' whose non-ASCII
+    fraction exceeds 20% is flagged as a script mismatch) and feeds
+    charset-aware sampling decisions before any expensive language-ID
+    model runs.
+
+    Exactness: each class count is length(text) minus the length
+    after deleting that class (regexp_replace, global), so every
+    ingredient is an exact BIGINT; fractions divide once per lang.
+
+    Scale shape at 100 TB: one scan with per-row regex work (JVM
+    codegen), ONE hash aggregate to |langs| rows; no joins, no
+    windows, no UDFs."""
+    d = table(spark, sf_dir, "documents")
+    cols = [
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), pat, ""))
+        )
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in _SCRIPT_CLASSES
+    ]
+    per_doc = d.select(
+        "lang", F.length("text").cast("long").alias("n_chars"), *cols
+    )
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        *[
+            F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
+            for name, _ in _SCRIPT_CLASSES
+        ],
+    )
+    other = (
+        F.col("n_chars")
+        - F.col("n_letter")
+        - F.col("n_digit")
+        - F.col("n_space")
+        - F.col("n_punct")
+    ).cast("double") / F.col("n_chars")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        *[
+            q4(F.col(f"n_{name}").cast("double") / F.col("n_chars")).alias(
+                f"frac_{name}"
+            )
+            for name, _ in _SCRIPT_CLASSES
+        ],
+        q4(other).alias("frac_other"),
+        (other > 0.2).alias("script_mismatch"),
+    )
