@@ -10790,3 +10790,442 @@ def stat_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(tau).alias("tau"),
         (tau < float(_EG_CRIT)).alias("cointegrated"),
     )
+
+
+# ------------------------------------- round-9 wave E: exact + ranked
+
+# ln(x!) exactly for x <= 19 (math.lgamma round-trip literals shared
+# by BOTH engines); Stirling's series from x >= 20 (|err| < 1e-13).
+_LNFACT_SMALL = (
+    "0.0", "0.0", "0.693147180559945", "1.7917594692280554",
+    "3.178053830347945", "4.787491742782047", "6.579251212010102",
+    "8.525161361065415", "10.604602902745249", "12.801827480081467",
+    "15.104412573075514", "17.502307845873887", "19.987214495661885",
+    "22.55216385312342", "25.191221182738683", "27.89927138384089",
+    "30.671860106080672", "33.50507345013689", "36.39544520803305",
+    "39.339884187199495",
+)
+_LN_2PI = "1.8378770664093453"  # ln(2*pi)
+_FISHER_COHORT_MOD = 199  # deterministic user cohort (exact tests
+# need small tables; the support enumeration below is bounded by the
+# cohort's smaller margin BY DESIGN — at scale use stat_chi2_test /
+# stat_proportions_ztest for large tables)
+
+
+def _sql_lnfact(x: str) -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN {v}" for i, v in enumerate(_LNFACT_SMALL)
+    )
+    return (
+        f"(CASE CAST({x} AS BIGINT) {cases} ELSE "
+        f"CAST({x} AS DOUBLE)*ln(CAST({x} AS DOUBLE)) - CAST({x} AS DOUBLE)"
+        f" + 0.5*({_LN_2PI} + ln(CAST({x} AS DOUBLE)))"
+        f" + 1.0/(12.0*CAST({x} AS DOUBLE))"
+        f" - 1.0/(360.0*pow(CAST({x} AS DOUBLE), 3))"
+        f" + 1.0/(1260.0*pow(CAST({x} AS DOUBLE), 5)) END)"
+    )
+
+
+def _lnfact(x: Column) -> Column:
+    xd = x.cast("double")
+    stirling = (
+        xd * F.log(xd)
+        - xd
+        + 0.5 * (F.lit(float(_LN_2PI)) + F.log(xd))
+        + 1.0 / (12.0 * xd)
+        - 1.0 / (360.0 * F.pow(xd, 3))
+        + 1.0 / (1260.0 * F.pow(xd, 5))
+    )
+    expr = stirling
+    for i in range(len(_LNFACT_SMALL) - 1, -1, -1):
+        expr = F.when(x == i, F.lit(float(_LNFACT_SMALL[i]))).otherwise(expr)
+    return expr
+
+
+@register(
+    "stat_fisher_exact",
+    oracle=f"""
+    WITH cohort AS (
+        SELECT CASE WHEN CAST(ts AS DATE) <= DATE '{PSI_SPLIT}'
+                    THEN 0 ELSE 1 END AS half,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        FROM events
+        WHERE user_id % {_FISHER_COHORT_MOD} = 0
+          AND event_type IN ('error', 'signup')
+    ), cells AS (
+        SELECT CAST(count_if(half = 0 AND is_err = 1) AS BIGINT) AS a,
+               CAST(count_if(half = 0 AND is_err = 0) AS BIGINT) AS b,
+               CAST(count_if(half = 1 AND is_err = 1) AS BIGINT) AS c,
+               CAST(count_if(half = 1 AND is_err = 0) AS BIGINT) AS d
+        FROM cohort
+    ), marg AS (
+        SELECT a, b, c, d, a+b AS r1, c+d AS r2, a+c AS c1, a+b+c+d AS n
+        FROM cells
+    ), support AS (
+        SELECT m.*, unnest(range(greatest(0, m.c1 - m.r2),
+                                 least(m.r1, m.c1) + 1)) AS k
+        FROM marg m
+    ), lp AS (
+        SELECT a, b, c, d, r1, r2, c1, n, k,
+               {_sql_lnfact("r1")} - {_sql_lnfact("k")}
+                 - {_sql_lnfact("r1 - k")}
+               + {_sql_lnfact("r2")} - {_sql_lnfact("c1 - k")}
+                 - {_sql_lnfact("r2 - (c1 - k)")}
+               - ({_sql_lnfact("n")} - {_sql_lnfact("c1")}
+                 - {_sql_lnfact("n - c1")}) AS lnp
+        FROM support
+    ), obs AS (
+        SELECT max(CASE WHEN k = a THEN lnp END) AS lnp_obs FROM lp
+    ), pv AS (
+        SELECT CAST(sum(CAST(floor(exp(lnp) * 1e15 + 0.5) AS BIGINT))
+                   FILTER (WHERE exp(lnp) <= exp(lnp_obs) * 1.0000001)
+                   AS BIGINT) AS p_num
+        FROM lp CROSS JOIN obs
+    )
+    SELECT a, b, c, d,
+           {sql_q4("CASE WHEN b*c = 0 THEN NULL"
+                   " ELSE CAST(a AS DOUBLE)*d / (CAST(b AS DOUBLE)*c) END")}
+               AS odds_ratio,
+           {sql_q4("CAST(p_num AS DOUBLE) / 1e15")} AS p_two_sided,
+           CAST(p_num AS DOUBLE) / 1e15 < 0.05 AS significant
+    FROM cells CROSS JOIN pv
+    """,
+)
+def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test on the 2×2 table (calendar half × error-vs-
+    signup) over a deterministic small user cohort (user_id % 199 =
+    0): the hypergeometric tail summed over the full support, two-
+    sided by the standard 'all tables at most as probable as the
+    observed one' rule (with R's 1+1e-7 tolerance) — valid at any
+    cell count, where stat_chi2_test's asymptotics break below ~5
+    expected per cell.
+
+    No factorial table: ln C(n,k) evaluates through a CLOSED-FORM
+    ln-factorial — exact literals for x <= 19 (identical strings
+    parsed to identical doubles by both engines) and Stirling's
+    series (three correction terms, |err| < 1e-13) beyond — so the
+    support enumeration is the only data-shaped structure, and it is
+    bounded by the cohort's smaller margin BY DESIGN. Per-k
+    probabilities quantize at 1e-15 before the tail fold so the sum
+    is order-free.
+
+    Scale shape: one filtered scan to a 1-row cell frame, a support
+    explode bounded by min(r1, c1) (cohort-sized — exact tests are
+    for small tables; large tables belong to the chi-square /
+    z-test keys), closed-form doubles per support row."""
+    e = table(spark, sf_dir, "events")
+    cohort = e.where(
+        (F.col("user_id") % _FISHER_COHORT_MOD == 0)
+        & F.col("event_type").isin("error", "signup")
+    ).select(
+        F.when(F.to_date("ts") <= F.lit(PSI_SPLIT), 0).otherwise(1).alias("half"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    cells = cohort.agg(
+        F.count_if((F.col("half") == 0) & (F.col("is_err") == 1))
+        .cast("long")
+        .alias("a"),
+        F.count_if((F.col("half") == 0) & (F.col("is_err") == 0))
+        .cast("long")
+        .alias("b"),
+        F.count_if((F.col("half") == 1) & (F.col("is_err") == 1))
+        .cast("long")
+        .alias("c"),
+        F.count_if((F.col("half") == 1) & (F.col("is_err") == 0))
+        .cast("long")
+        .alias("d"),
+    )
+    marg = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("c") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+    )
+    support = marg.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("c1") - F.col("r2")),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("k"),
+    )
+    lnp = (
+        _lnfact(F.col("r1"))
+        - _lnfact(F.col("k"))
+        - _lnfact(F.col("r1") - F.col("k"))
+        + _lnfact(F.col("r2"))
+        - _lnfact(F.col("c1") - F.col("k"))
+        - _lnfact(F.col("r2") - (F.col("c1") - F.col("k")))
+        - (
+            _lnfact(F.col("n"))
+            - _lnfact(F.col("c1"))
+            - _lnfact(F.col("n") - F.col("c1"))
+        )
+    )
+    lp = support.select("a", "b", "c", "d", "k", lnp.alias("lnp"))
+    obs = lp.agg(
+        F.max(F.when(F.col("k") == F.col("a"), F.col("lnp"))).alias("lnp_obs")
+    )
+    pv = (
+        lp.crossJoin(F.broadcast(obs))
+        .where(F.exp(F.col("lnp")) <= F.exp(F.col("lnp_obs")) * 1.0000001)
+        .agg(
+            F.sum(F.floor(F.exp(F.col("lnp")) * 1e15 + 0.5).cast("long"))
+            .cast("long")
+            .alias("p_num")
+        )
+    )
+    odds = F.when(
+        F.col("b") * F.col("c") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.col("a").cast("double") * F.col("d") / (F.col("b").cast("double") * F.col("c"))
+    )
+    return cells.crossJoin(F.broadcast(pv)).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        q4(odds).alias("odds_ratio"),
+        q4(F.col("p_num").cast("double") / 1e15).alias("p_two_sided"),
+        (F.col("p_num").cast("double") / 1e15 < 0.05).alias("significant"),
+    )
+
+
+_QUADE_K = 5  # treatments = the five event types
+_QUADE_F_CRIT = "2.372"  # F(k-1, inf) upper 5% point
+
+
+@register(
+    "stat_quade_test",
+    oracle=f"""
+    WITH cell0 AS (
+        SELECT date_trunc('week', CAST(ts AS DATE)) AS wk, event_type AS trt,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT w.wk, t.trt, coalesce(c.y, 0) AS y
+        FROM (SELECT DISTINCT wk FROM cell0) w
+        CROSS JOIN (SELECT DISTINCT trt FROM cell0) t
+        LEFT JOIN cell0 c ON c.wk = w.wk AND c.trt = t.trt
+    ), rnk AS (
+        SELECT a.wk, a.trt, a.y,
+               CAST(2 * count_if(b.y < a.y)
+                    + count_if(b.y = a.y) + 1 AS BIGINT) AS r2
+        FROM dense a JOIN dense b ON b.wk = a.wk
+        GROUP BY a.wk, a.trt, a.y
+    ), rng AS (
+        SELECT wk, CAST(max(y) - min(y) AS BIGINT) AS rg
+        FROM dense GROUP BY wk
+    ), q AS (
+        SELECT a.wk,
+               CAST(2 * count_if(b.rg < a.rg)
+                    + count_if(b.rg = a.rg) + 1 AS BIGINT) AS q2
+        FROM rng a JOIN rng b ON TRUE
+        GROUP BY a.wk, a.rg
+    ), s AS (
+        SELECT r.wk, r.trt,
+               CAST(q.q2 * (r.r2 - ({_QUADE_K} + 1)) AS BIGINT) AS s4
+        FROM rnk r JOIN q USING (wk)
+    ), folds AS (
+        SELECT CAST(count(DISTINCT wk) AS BIGINT) AS b,
+               CAST(sum(s4 * s4) AS BIGINT) AS a_tot
+        FROM s
+    ), percol AS (
+        SELECT CAST(sum(sj * sj) AS BIGINT) AS b_num
+        FROM (SELECT trt, CAST(sum(s4) AS BIGINT) AS sj FROM s GROUP BY trt)
+    )
+    SELECT b AS n_blocks, CAST({_QUADE_K} AS BIGINT) AS k,
+           {sql_q4("CAST(b - 1 AS DOUBLE) * b_num"
+                   " / (CAST(b AS DOUBLE) * a_tot - b_num)")} AS quade_f,
+           CAST(b - 1 AS DOUBLE) * b_num
+               / (CAST(b AS DOUBLE) * a_tot - b_num) > {_QUADE_F_CRIT}
+               AS rejected
+    FROM folds CROSS JOIN percol
+    """,
+)
+def stat_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade's weighted rank test for the week × event-type layout:
+    like Friedman, ranks within each block — but each block is
+    WEIGHTED by the rank of its range, so blocks where treatments
+    differ strongly dominate (Quade 1979; more powerful than
+    Friedman at small treatment counts). F = (b-1)·B/(A-B) with
+    S_ij = Q_i·(r_ij - (k+1)/2), compared to the asymptotic
+    F(k-1, ∞) 5% point.
+
+    Exactness: within-block mid-ranks and block-range ranks carry as
+    DOUBLED integers (2·midrank = 2·#less + #eq + 1) and S scales by
+    4 (S4 = Q2·(r2-(k+1))), so A, B and the F numerator/denominator
+    fold as exact BIGINTs — the 1/16 cancels in the ratio.
+
+    Scale shape: one hash aggregate to the |weeks|×k dense grid, a
+    within-block 5-row self-join, a |weeks|² range-rank join (both
+    calendar-bounded), three grid folds."""
+    e = table(spark, sf_dir, "events")
+    cell0 = e.groupBy(
+        F.date_trunc("week", F.to_date("ts")).alias("wk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wks = cell0.select("wk").distinct()
+    trts = cell0.select("trt").distinct()
+    dense = (
+        wks.crossJoin(trts)
+        .join(cell0, ["wk", "trt"], "left")
+        .select("wk", "trt", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    a = dense.select(
+        F.col("wk").alias("awk"), F.col("trt").alias("atrt"), F.col("y").alias("ay")
+    )
+    b = dense.select(F.col("wk").alias("bwk"), F.col("y").alias("by"))
+    rnk = (
+        a.join(b, F.col("bwk") == F.col("awk"))
+        .groupBy("awk", "atrt", "ay")
+        .agg(
+            (
+                2 * F.count_if(F.col("by") < F.col("ay"))
+                + F.count_if(F.col("by") == F.col("ay"))
+                + 1
+            )
+            .cast("long")
+            .alias("r2")
+        )
+        .select(
+            F.col("awk").alias("wk"), F.col("atrt").alias("trt"), "r2"
+        )
+    )
+    rng = dense.groupBy("wk").agg(
+        (F.max("y") - F.min("y")).cast("long").alias("rg")
+    )
+    ra = rng.select(F.col("wk").alias("awk"), F.col("rg").alias("arg"))
+    rb = rng.select(F.col("rg").alias("brg"))
+    qq = (
+        ra.crossJoin(rb)
+        .groupBy("awk", "arg")
+        .agg(
+            (
+                2 * F.count_if(F.col("brg") < F.col("arg"))
+                + F.count_if(F.col("brg") == F.col("arg"))
+                + 1
+            )
+            .cast("long")
+            .alias("q2")
+        )
+        .select(F.col("awk").alias("wk"), "q2")
+    )
+    s = rnk.join(qq, "wk").select(
+        "wk",
+        "trt",
+        (F.col("q2") * (F.col("r2") - (_QUADE_K + 1))).cast("long").alias("s4"),
+    )
+    folds = s.agg(
+        F.count_distinct("wk").cast("long").alias("b"),
+        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("a_tot"),
+    )
+    percol = (
+        s.groupBy("trt")
+        .agg(F.sum("s4").cast("long").alias("sj"))
+        .agg(F.sum(F.col("sj") * F.col("sj")).cast("long").alias("b_num"))
+    )
+    fstat = (
+        (F.col("b") - 1).cast("double")
+        * F.col("b_num")
+        / (F.col("b").cast("double") * F.col("a_tot") - F.col("b_num"))
+    )
+    return folds.crossJoin(F.broadcast(percol)).select(
+        F.col("b").alias("n_blocks"),
+        F.lit(_QUADE_K).cast("long").alias("k"),
+        q4(fstat).alias("quade_f"),
+        (fstat > float(_QUADE_F_CRIT)).alias("rejected"),
+    )
+
+
+_BC_BIN_CENTS = 2500  # $25 histogram bins (shared with stat_psi_drift)
+_BC_Q = 1_000_000_000_000
+
+
+@register(
+    "stat_bhattacharyya",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(floor(value*100 + 0.5) / {_BC_BIN_CENTS})
+                   AS BIGINT) AS bin
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT bin,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY bin
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), fold AS (
+        SELECT CAST(sum(CAST(floor(sqrt((CAST(c1 AS DOUBLE) / n1)
+                   * (CAST(c2 AS DOUBLE) / n2)) * {_BC_Q} + 0.5) AS BIGINT))
+                   AS BIGINT) AS bcq,
+               CAST(count(*) AS BIGINT) AS n_bins
+        FROM grid CROSS JOIN totals
+    )
+    SELECT n1, n2, n_bins,
+           {sql_q4(f"CAST(bcq AS DOUBLE) / {_BC_Q}")} AS bc_coefficient,
+           {sql_q4(f"sqrt(greatest(0.0, 1.0 - CAST(bcq AS DOUBLE) / {_BC_Q}))")}
+               AS hellinger,
+           {sql_q4(f"-ln(CAST(bcq AS DOUBLE) / {_BC_Q})")} AS bhattacharyya_d
+    FROM fold CROSS JOIN totals
+    """,
+)
+def stat_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient BC = Σ√(p_i·q_i) between the 'click'
+    and 'purchase' value histograms ($25 bins, shared with
+    stat_psi_drift), with the Hellinger distance √(1-BC) (a proper
+    metric, bounded [0,1]) and the Bhattacharyya distance -ln BC —
+    the overlap-based drift numbers that stay finite where KL/PSI
+    blow up on empty bins (a bin missing from one side simply
+    contributes 0 to BC, no epsilon hacks).
+
+    Exactness: bin counts are exact; each √(p·q) term quantizes at
+    1e-12 before the fold so the sum is order-free; the three
+    statistics are one double expression each.
+
+    Scale shape: one hash aggregate to the bounded bin grid, one
+    broadcast totals frame, one grid fold — no prefix pass even (the
+    coefficient needs no cumulative structure)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(cents(F.col("value")) / _BC_BIN_CENTS).cast("long").alias("bin"),
+    ).groupBy("bin").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    term = F.floor(
+        F.sqrt(
+            (F.col("c1").cast("double") / F.col("n1"))
+            * (F.col("c2").cast("double") / F.col("n2"))
+        )
+        * _BC_Q
+        + 0.5
+    ).cast("long")
+    fold = grid.crossJoin(F.broadcast(totals)).agg(
+        F.sum(term).cast("long").alias("bcq"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    bc = F.col("bcq").cast("double") / _BC_Q
+    return fold.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        "n_bins",
+        q4(bc).alias("bc_coefficient"),
+        q4(F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc))).alias("hellinger"),
+        q4(-F.log(bc)).alias("bhattacharyya_d"),
+    )

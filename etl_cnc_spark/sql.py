@@ -458,3 +458,30 @@ def sql_entry_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: broadcast hash join of a 5-row literal against the
     fact scan, one bounded aggregate."""
     return run(spark, sf_dir, _VALUES_JOIN)
+
+
+# LIMIT/OFFSET pagination: the second page of a stable ranking —
+# shared text, deterministic total order (balance DESC, key ASC).
+_OFFSET_PAGE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+FROM customer
+ORDER BY bal_cents DESC, c_custkey
+LIMIT 10 OFFSET 10
+"""
+
+
+@register("sql_entry_offset", oracle=_OFFSET_PAGE)
+def sql_entry_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET pagination over a deterministic total order
+    (balance DESC with key tie-break), as ONE shared SQL text —
+    OFFSET landed in Spark 3.4, so both planners run the identical
+    page-2 query. Catalyst plans the pair as a single
+    TakeOrderedAndProject (a global top-(limit+offset) then a local
+    drop — never a full sort), which is the only acceptable
+    pagination plan at 100 TB: cost grows with offset+limit, not
+    with the table.
+
+    Scale shape: one pushed-down scan of three columns, one
+    take-ordered top-20, 10 output rows."""
+    return run(spark, sf_dir, _OFFSET_PAGE)
