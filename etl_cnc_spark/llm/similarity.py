@@ -5232,3 +5232,113 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.min("idq").cast("double") / _ID_Q).alias("min_id"),
         q4(F.max("idq").cast("double") / _ID_Q).alias("max_id"),
     )
+
+
+# ---------------------------- round-9 wave F: Brier decomposition
+
+_MURPHY_Q = 1_000_000_000_000
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 AS y,
+               least(9, greatest(0,
+                   CAST(floor((({_SCORE_SQL}) + 3.0) / 0.6) AS BIGINT)))
+                   AS bin
+        FROM embeddings
+    ), bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+               CAST(count_if(y = 1) AS BIGINT) AS pos_k
+        FROM scored GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_k) AS BIGINT) AS n,
+               CAST(sum(pos_k) AS BIGINT) AS pos
+        FROM bins
+    ), folds AS (
+        SELECT CAST(sum(CAST(floor(n_k * pow((bin + 0.5) / 10.0
+                   - CAST(pos_k AS DOUBLE) / n_k, 2) * {_MURPHY_Q} + 0.5)
+                   AS BIGINT)) AS BIGINT) AS relq,
+               CAST(sum(CAST(floor(n_k * pow(CAST(pos_k AS DOUBLE) / n_k
+                   - CAST(pos AS DOUBLE) / n, 2) * {_MURPHY_Q} + 0.5)
+                   AS BIGINT)) AS BIGINT) AS resq
+        FROM bins CROSS JOIN tot
+    )
+    SELECT n,
+           {sql_q4(f"CAST(relq AS DOUBLE) / {_MURPHY_Q} / n")} AS reliability,
+           {sql_q4(f"CAST(resq AS DOUBLE) / {_MURPHY_Q} / n")} AS resolution,
+           {sql_q4("CAST(pos AS DOUBLE) / n * (1.0 - CAST(pos AS DOUBLE) / n)")}
+               AS uncertainty,
+           {sql_q4(f"CAST(relq AS DOUBLE) / {_MURPHY_Q} / n"
+                   f" - CAST(resq AS DOUBLE) / {_MURPHY_Q} / n"
+                   f" + CAST(pos AS DOUBLE) / n"
+                   f" * (1.0 - CAST(pos AS DOUBLE) / n)")} AS brier_score
+    FROM folds CROSS JOIN tot
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the BINNED
+    forecaster (bin midpoints as forecast probabilities, the same 10
+    fixed bins as ml_calibration_bins): BS = REL - RES + UNC, where
+    reliability charges miscalibration (forecast vs observed rate per
+    bin), resolution credits how far the bins pull apart from the
+    base rate, and uncertainty is the irreducible ō(1-ō). The
+    decomposition is an EXACT identity when forecasts are constant
+    within bins — which the midpoint construction guarantees — so the
+    reported brier_score is the sum by construction, and the three
+    terms answer 'is my model bad because it's miscalibrated or
+    because it can't discriminate?' (ml_brier_score alone can't).
+
+    Per-bin terms quantize at 1e-12 before the 10-row fold; all
+    ingredients are exact counts.
+
+    Scale shape at 100 TB: one scan, one 10-row hash aggregate, one
+    broadcast totals frame."""
+    e = table(spark, sf_dir, "embeddings")
+    binned = e.select(
+        (F.col("label") % 2).alias("y"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor((_score_col() + 3.0) / 0.6).cast("long")
+            ),
+        ).alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_k"),
+        F.count_if(F.col("y") == 1).cast("long").alias("pos_k"),
+    )
+    tot = bins.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("pos_k").cast("long").alias("pos"),
+    )
+    o_k = F.col("pos_k").cast("double") / F.col("n_k")
+    p_k = (F.col("bin") + 0.5) / 10.0
+    obar = F.col("pos").cast("double") / F.col("n")
+    folds = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(F.col("n_k") * F.pow(p_k - o_k, 2) * _MURPHY_Q + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("relq"),
+        F.sum(
+            F.floor(F.col("n_k") * F.pow(o_k - obar, 2) * _MURPHY_Q + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("resq"),
+    )
+    rel = F.col("relq").cast("double") / _MURPHY_Q / F.col("n")
+    res = F.col("resq").cast("double") / _MURPHY_Q / F.col("n")
+    unc = obar * (1.0 - obar)
+    return folds.crossJoin(F.broadcast(tot)).select(
+        "n",
+        q4(rel).alias("reliability"),
+        q4(res).alias("resolution"),
+        q4(unc).alias("uncertainty"),
+        q4(rel - res + unc).alias("brier_score"),
+    )

@@ -9202,3 +9202,90 @@ def events_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("cif1q").cast("double") / _CIF_Q).alias("cif_purchase"),
         q4(F.col("cif2q").cast("double") / _CIF_Q).alias("cif_error"),
     )
+
+
+# ------------------------------ round-9 wave F: epoch-folding period scan
+
+# candidate periods in seconds; 8 phase bins; chi2(7) 5% = 14.067
+_EF_PERIODS = (21600, 28800, 43200, 86400, 604800)
+_EF_BINS = 8
+_EF_CHI2_CRIT = "14.067"
+
+
+@register(
+    "events_epoch_folding",
+    oracle=f"""
+    WITH secs AS (
+        SELECT epoch_us(ts) // 1000000 AS s FROM events
+    ), periods AS (
+        SELECT p FROM (VALUES {", ".join(f"({p})" for p in _EF_PERIODS)})
+            t(p)
+    ), folded AS (
+        SELECT p, CAST((s % p) * {_EF_BINS} // p AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS o
+        FROM secs CROSS JOIN periods GROUP BY p, b
+    ), per_p AS (
+        SELECT CAST(p AS BIGINT) AS period_s,
+               CAST(sum(o) AS BIGINT) AS n,
+               CAST(sum(o * o) AS BIGINT) AS so2,
+               CAST(max_by(b, o * 16 - b) AS BIGINT) AS peak_bin,
+               CAST(max(o) AS BIGINT) AS peak_count
+        FROM folded GROUP BY p
+    )
+    SELECT period_s, n, peak_bin, peak_count,
+           {sql_q4(f"{_EF_BINS}.0 * so2 / n - n")} AS chi2_stat,
+           {_EF_BINS}.0 * so2 / n - n > {_EF_CHI2_CRIT} AS periodic
+    FROM per_p
+    """,
+)
+def events_epoch_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-folding periodicity scan of the event stream (the X-ray-
+    astronomy classic applied to weblogs): fold event timestamps
+    modulo each candidate period (6h/8h/12h/24h/week) into 8 phase
+    bins and test uniformity with Pearson's χ²(7) — a strongly
+    periodic signal concentrates mass in a few phases of the RIGHT
+    period and stays flat under wrong ones. Complements
+    stat_periodogram (which needs an evenly-spaced series; folding
+    works on raw point events) and reports each period's peak phase.
+
+    Exactness: χ² = B·Σo²/n - n is an exact-integer identity
+    (Σ(o - n/B)²/(n/B) expanded), so the only double is the final
+    expression; the peak bin ties break toward the smaller bin via
+    max_by on the single integer key o*16 - b (bins < 16) so both
+    engines pick the same phase.
+
+    Scale shape at 100 TB: a 5-period compile-time fan-out, ONE hash
+    aggregate to 5×8 = 40 cells (map-side combined), closed form per
+    period; no windows, no joins."""
+    e = table(spark, sf_dir, "events")
+    secs = e.select((F.unix_micros(F.col("ts")) / 1_000_000).cast("long").alias("s"))
+    periods = spark.createDataFrame(
+        [(p,) for p in _EF_PERIODS], "p long"
+    )
+    folded = (
+        secs.crossJoin(F.broadcast(periods))
+        .groupBy(
+            "p",
+            ((F.col("s") % F.col("p")) * _EF_BINS / F.col("p"))
+            .cast("long")
+            .alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    per_p = folded.groupBy(F.col("p").alias("period_s")).agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+        F.max_by(F.col("b"), F.col("o") * 16 - F.col("b"))
+        .cast("long")
+        .alias("peak_bin"),
+        F.max("o").cast("long").alias("peak_count"),
+    )
+    chi2 = float(_EF_BINS) * F.col("so2") / F.col("n") - F.col("n")
+    return per_p.select(
+        "period_s",
+        "n",
+        "peak_bin",
+        "peak_count",
+        q4(chi2).alias("chi2_stat"),
+        (chi2 > float(_EF_CHI2_CRIT)).alias("periodic"),
+    )

@@ -11229,3 +11229,243 @@ def stat_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc))).alias("hellinger"),
         q4(-F.log(bc)).alias("bhattacharyya_d"),
     )
+
+
+# Acklam's inverse-normal-CDF rational approximation (public domain
+# algorithm, |relative error| < 1.15e-9) — only the u > 0.5 half is
+# needed (normal scores of positive ranks). Constants are shared
+# string literals so both engines parse identical doubles.
+_QN_A = ("-3.969683028665376e+01", "2.209460984245205e+02",
+         "-2.759285104469687e+02", "1.383577518672690e+02",
+         "-3.066479806614716e+01", "2.506628277459239e+00")
+_QN_B = ("-5.447609879822406e+01", "1.615858368580409e+02",
+         "-1.556989798598866e+02", "6.680131188771972e+01",
+         "-1.328068155288572e+01")
+_QN_C = ("-7.784894002430293e-03", "-3.223964580411365e-01",
+         "-2.400758277161838e+00", "-2.549732539343734e+00",
+         "4.374664141464968e+00", "2.938163982698783e+00")
+_QN_D = ("7.784695709041462e-03", "3.224671290700398e-01",
+         "2.445134137142996e+00", "3.754408661907416e+00")
+_QN_PHIGH = "0.97575"
+
+
+def _sql_qnorm_upper(u: str) -> str:
+    # Horner over rc for the central branch, over qt for the tail
+    horner_a = f"({_QN_A[0]})"
+    for v in _QN_A[1:]:
+        horner_a = f"({horner_a}*rc + ({v}))"
+    horner_b = f"({_QN_B[0]})"
+    for v in _QN_B[1:]:
+        horner_b = f"({horner_b}*rc + ({v}))"
+    horner_c = f"({_QN_C[0]})"
+    for v in _QN_C[1:]:
+        horner_c = f"({horner_c}*qt + ({v}))"
+    horner_d = f"({_QN_D[0]})"
+    for v in _QN_D[1:]:
+        horner_d = f"({horner_d}*qt + ({v}))"
+    central = f"({horner_a} * qc / ({horner_b}*rc + 1.0))"
+    tail = f"(-{horner_c} / ({horner_d}*qt + 1.0))"
+    return (
+        f"(SELECT CASE WHEN u <= {_QN_PHIGH} THEN {central} ELSE {tail} END"
+        f" FROM (SELECT ({u}) AS u, (({u}) - 0.5) AS qc,"
+        f" (({u}) - 0.5)*(({u}) - 0.5) AS rc,"
+        f" sqrt(-2.0*ln(1.0 - ({u}))) AS qt))"
+    )
+
+
+def _qnorm_upper(u: Column) -> Column:
+    qc = u - 0.5
+    rc = qc * qc
+    ha = F.lit(float(_QN_A[0]))
+    for v in _QN_A[1:]:
+        ha = ha * rc + F.lit(float(v))
+    hb = F.lit(float(_QN_B[0]))
+    for v in _QN_B[1:]:
+        hb = hb * rc + F.lit(float(v))
+    qt = F.sqrt(-2.0 * F.log(1.0 - u))
+    hc = F.lit(float(_QN_C[0]))
+    for v in _QN_C[1:]:
+        hc = hc * qt + F.lit(float(v))
+    hd = F.lit(float(_QN_D[0]))
+    for v in _QN_D[1:]:
+        hd = hd * qt + F.lit(float(v))
+    central = ha * qc / (hb * rc + 1.0)
+    tail = -hc / (hd * qt + 1.0)
+    return F.when(u <= float(_QN_PHIGH), central).otherwise(tail)
+
+
+_FK_Q = 1_000_000_000
+
+
+@register(
+    "stat_fligner_killeen",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), ggrid AS (
+        SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        FROM ev GROUP BY 1, 2
+    ), gcum AS (
+        SELECT event_type, v, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n_g
+        FROM ggrid
+    ), med AS (
+        SELECT event_type, min(v) AS med_v
+        FROM gcum WHERE 2 * cum >= n_g GROUP BY event_type
+    ), dgrid AS (
+        SELECT g.event_type, abs(g.v - m.med_v) AS d,
+               CAST(sum(g.c) AS BIGINT) AS c
+        FROM ggrid g JOIN med m USING (event_type)
+        GROUP BY 1, 2
+    ), dtot AS (
+        SELECT d, CAST(sum(c) AS BIGINT) AS ct FROM dgrid GROUP BY d
+    ), dcum AS (
+        SELECT d, ct,
+               sum(ct) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dtot
+    ), nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM dtot),
+    scores AS (
+        SELECT d,
+               CAST(floor({_sql_qnorm_upper(
+                   "0.5 + (2.0*(cum - ct) + ct + 1)"
+                   " / (4.0 * (n + 1))")} * {_FK_Q} + 0.5) AS BIGINT) AS aq
+        FROM dcum CROSS JOIN nn
+    ), joined AS (
+        SELECT g.event_type, g.c, s.aq
+        FROM dgrid g JOIN scores s USING (d)
+    ), per_g AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+               CAST(sum(c * aq) AS BIGINT) AS s_g
+        FROM joined GROUP BY event_type
+    ), gl AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(s_g) AS BIGINT) AS s,
+               (SELECT CAST(sum(c * CAST(aq AS HUGEINT) * aq) AS HUGEINT)
+                FROM joined) AS ss
+        FROM per_g
+    ), chi AS (
+        SELECT sum(CAST(n_g AS DOUBLE)
+                   * pow(CAST(s_g AS DOUBLE) / {_FK_Q} / n_g
+                         - CAST(s AS DOUBLE) / {_FK_Q} / n, 2))
+               / max((CAST(ss AS DOUBLE) / {_FK_Q} / {_FK_Q}
+                   - CAST(s AS DOUBLE) * s / {_FK_Q} / {_FK_Q} / n)
+                  / (n - 1)) AS x2
+        FROM per_g CROSS JOIN gl
+    )
+    SELECT (SELECT n FROM gl) AS n,
+           CAST((SELECT count(*) FROM per_g) AS BIGINT) AS k,
+           {sql_q4("x2")} AS fk_stat,
+           x2 > {CHI2_CRIT_DF4} AS rejected
+    FROM chi
+    """,
+)
+def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen homogeneity-of-variance test across the five
+    event types: normal scores a_i = Φ⁻¹(1/2 + r_i/(2(N+1))) of the
+    ranks of |x - median_g|, compared across groups by the χ²(k-1)
+    statistic Σ n_g(ā_g - ā)²/s² — THE robust variance test (Conover
+    et al.'s simulation winner) where Bartlett collapses under
+    non-normality and Levene still assumes mean-friendly tails.
+
+    Φ⁻¹ is Acklam's rational approximation (public domain, |rel err|
+    < 1.15e-9) written as ONE fixed expression from shared literal
+    constants, so both engines produce bit-identical scores; only the
+    u > 1/2 half is needed (ranks are positive). Group medians come
+    from per-group bounded-grid prefixes, tie blocks take mid-ranks
+    (2m = 2·prev + cnt + 1, exact), and scores quantize at 1e-9
+    before all folds (squares in decimal(38,0)/HUGEINT).
+
+    Scale shape: two hash aggregates to bounded grids, per-group
+    partitioned prefixes + ONE global d-grid prefix, broadcast
+    totals; no row-level sort."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    )
+    ggrid = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_g = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_gt = Window.partitionBy("event_type")
+    gcum = ggrid.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w_g).alias("cum"),
+        F.sum("c").over(w_gt).alias("n_g"),
+    )
+    med = (
+        gcum.where(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("med_v"))
+    )
+    dgrid = (
+        ggrid.join(med, "event_type")
+        .groupBy("event_type", F.abs(F.col("v") - F.col("med_v")).alias("d"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    dtot = dgrid.groupBy("d").agg(F.sum("c").cast("long").alias("ct"))
+    dcum = global_ordered(
+        dtot,
+        [F.col("d")],
+        bucket_key="d",
+        sums={"ct": "cum"},
+        rank_col=None,
+    )
+    nn = dtot.agg(F.sum("ct").cast("long").alias("n"))
+    u = (
+        0.5
+        + (2.0 * (F.col("cum") - F.col("ct")) + F.col("ct") + 1)
+        / (4.0 * (F.col("n") + 1))
+    )
+    scores = dcum.crossJoin(F.broadcast(nn)).select(
+        "d",
+        F.floor(_qnorm_upper(u) * _FK_Q + F.lit(0.5)).cast("long").alias("aq"),
+    )
+    joined = dgrid.join(scores, "d")
+    per_g = joined.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("c") * F.col("aq")).cast("long").alias("s_g"),
+    )
+    dec = "decimal(38,0)"
+    ss = joined.agg(
+        F.sum(F.col("c").cast(dec) * F.col("aq") * F.col("aq")).alias("ss")
+    )
+    gl = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    abar_g = F.col("s_g").cast("double") / _FK_Q / F.col("n_g")
+    abar = F.col("s").cast("double") / _FK_Q / F.col("n")
+    s2 = (
+        F.col("ss").cast("double") / _FK_Q / _FK_Q
+        - F.col("s").cast("double") * F.col("s") / _FK_Q / _FK_Q / F.col("n")
+    ) / (F.col("n") - 1)
+    chi = (
+        per_g.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(ss))
+        .agg(
+            F.sum(F.col("n_g").cast("double") * F.pow(abar_g - abar, 2)).alias(
+                "num"
+            ),
+            F.max(s2).alias("s2"),
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    x2 = F.col("num") / F.col("s2")
+    return chi.select(
+        "n",
+        "k",
+        q4(x2).alias("fk_stat"),
+        (x2 > float(CHI2_CRIT_DF4)).alias("rejected"),
+    )
