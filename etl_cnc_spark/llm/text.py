@@ -3967,3 +3967,74 @@ def text_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(other).alias("frac_other"),
         (other > 0.2).alias("script_mismatch"),
     )
+
+
+@register(
+    "text_chao1_richness",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        FROM words GROUP BY lang, w
+    ), folds AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS v_obs,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count_if(c = 1) AS BIGINT) AS f1,
+               CAST(count_if(c = 2) AS BIGINT) AS f2
+        FROM freq GROUP BY lang
+    )
+    SELECT lang, n_tokens, v_obs, f1, f2,
+           {sql_q4("v_obs + CASE WHEN f2 > 0"
+                   " THEN CAST(f1 AS DOUBLE)*f1 / (2.0*f2)"
+                   " ELSE CAST(f1 AS DOUBLE)*(f1 - 1) / 2.0 END")}
+               AS chao1,
+           {sql_q4("1.0 - CAST(f1 AS DOUBLE) / n_tokens")}
+               AS good_turing_coverage
+    FROM folds
+    """,
+)
+def text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per language: V̂ = V_obs +
+    f1²/(2·f2) from the singleton/doubleton counts (the bias-corrected
+    f1(f1-1)/2 form when f2 = 0), plus Good-Turing coverage
+    1 - f1/N — the 'how much vocabulary have we NOT seen yet'
+    numbers that decide whether a corpus slice is big enough to
+    train a tokenizer on, where text_heaps_law can only extrapolate
+    a power law and text_vocab_growth only reports the curve.
+
+    Exactness: everything derives from exact type-frequency counts
+    (two hash aggregates); the estimators are one closed-form double
+    per language.
+
+    Scale shape at 100 TB: explode to words, hash-aggregate to the
+    (lang, word) type table (map-side combined), then a |langs|-row
+    fold over per-type counts — the same two-level shape as
+    text_vocab_growth; no windows, no joins."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = words.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    folds = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count_if(F.col("c") == 1).cast("long").alias("f1"),
+        F.count_if(F.col("c") == 2).cast("long").alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    chao1 = F.col("v_obs") + F.when(
+        F.col("f2") > 0, f1 * f1 / (2.0 * F.col("f2"))
+    ).otherwise(f1 * (f1 - 1) / 2.0)
+    return folds.select(
+        "lang",
+        "n_tokens",
+        "v_obs",
+        "f1",
+        "f2",
+        q4(chao1).alias("chao1"),
+        q4(1.0 - f1 / F.col("n_tokens")).alias("good_turing_coverage"),
+    )

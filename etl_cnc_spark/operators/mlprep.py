@@ -3467,3 +3467,131 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(_solve(lam, r1y, r2y)).alias("beta_qty_ridge"),
         q4(_solve(lam, r2y, r1y)).alias("beta_disc_ridge"),
     )
+
+
+@register(
+    "ml_r2_shapley",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sd,
+               CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sp,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+               CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sdd,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sqd,
+               CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                   * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS sqp,
+               CAST(sum(CAST(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                   AS HUGEINT)
+                   * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS sdp,
+               CAST(sum(CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                   AS HUGEINT)
+                   * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS spp
+        FROM lineitem
+    ), r AS (
+        SELECT n,
+               (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*sd/n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq/n)
+                      * (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd/n))
+                   AS r12,
+               (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*sp/n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq/n)
+                      * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp/n))
+                   AS r1y,
+               (CAST(sdp AS DOUBLE) - CAST(sd AS DOUBLE)*sp/n)
+                 / sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd/n)
+                      * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp/n))
+                   AS r2y
+        FROM t
+    ), d AS (
+        SELECT n, r12, r1y, r2y,
+               (r1y*r1y + r2y*r2y - 2.0*r12*r1y*r2y) / (1.0 - r12*r12)
+                   AS r2_full
+        FROM r
+    )
+    SELECT n,
+           floor(r1y*r1y*10000 + 0.5)/10000.0 AS r2_qty_alone,
+           floor(r2y*r2y*10000 + 0.5)/10000.0 AS r2_disc_alone,
+           floor(r2_full*10000 + 0.5)/10000.0 AS r2_full,
+           floor((0.5*r1y*r1y + 0.5*(r2_full - r2y*r2y))*10000 + 0.5)/10000.0
+               AS shapley_qty,
+           floor((0.5*r2y*r2y + 0.5*(r2_full - r1y*r1y))*10000 + 0.5)/10000.0
+               AS shapley_disc
+    FROM d
+    """,
+)
+def ml_r2_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley (LMG) decomposition of regression R² between the two
+    price predictors: φ_j averages feature j's marginal R²
+    contribution over both insertion orders — φ_qty = ½R²({q}) +
+    ½(R²({q,d}) - R²({d})) — the ONLY attribution that both sums
+    exactly to the full R² and stays fair under correlated features,
+    where 'drop-column importance' double-counts shared variance.
+    For two standardized features everything is closed-form in three
+    correlations (R² full by the standard two-predictor identity).
+
+    Exactness: the same nine exact sufficient sums as
+    ml_ridge_closed_form (wide folds in decimal(38,0)/HUGEINT);
+    correlations and the decomposition are fixed double expressions
+    evaluated once.
+
+    Scale shape at 100 TB: ONE hash-aggregate pass, single-row
+    output."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    qv = F.col("l_quantity").cast("long")
+    dv = cents(F.col("l_discount"))
+    pv = cents(F.col("l_extendedprice"))
+    t = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(qv).cast("long").alias("sq"),
+        F.sum(dv).cast("long").alias("sd"),
+        F.sum(pv).cast("long").alias("sp"),
+        F.sum(qv * qv).cast("long").alias("sqq"),
+        F.sum(dv * dv).cast("long").alias("sdd"),
+        F.sum(qv * dv).cast("long").alias("sqd"),
+        F.sum(qv.cast(dec) * pv).alias("sqp"),
+        F.sum(dv.cast(dec) * pv).alias("sdp"),
+        F.sum(pv.cast(dec) * pv).alias("spp"),
+    )
+    n = F.col("n").cast("double")
+
+    def _corr(sxy, sx, sy, sxx, syy) -> F.Column:
+        return (
+            F.col(sxy).cast("double")
+            - F.col(sx).cast("double") * F.col(sy) / n
+        ) / F.sqrt(
+            (F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx) / n)
+            * (
+                F.col(syy).cast("double")
+                - F.col(sy).cast("double") * F.col(sy) / n
+            )
+        )
+
+    r12 = _corr("sqd", "sq", "sd", "sqq", "sdd")
+    r1y = _corr("sqp", "sq", "sp", "sqq", "spp")
+    r2y = _corr("sdp", "sd", "sp", "sdd", "spp")
+    r2_full = (r1y * r1y + r2y * r2y - 2.0 * r12 * r1y * r2y) / (
+        1.0 - r12 * r12
+    )
+    return t.select(
+        "n",
+        q4(r1y * r1y).alias("r2_qty_alone"),
+        q4(r2y * r2y).alias("r2_disc_alone"),
+        q4(r2_full).alias("r2_full"),
+        q4(0.5 * r1y * r1y + 0.5 * (r2_full - r2y * r2y)).alias("shapley_qty"),
+        q4(0.5 * r2y * r2y + 0.5 * (r2_full - r1y * r1y)).alias(
+            "shapley_disc"
+        ),
+    )

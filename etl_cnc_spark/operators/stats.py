@@ -11469,3 +11469,235 @@ def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(x2).alias("fk_stat"),
         (x2 > float(CHI2_CRIT_DF4)).alias("rejected"),
     )
+
+
+# -------------------------------------- round-9 wave G: estimation
+
+_CR_SPLIT = PSI_SPLIT  # reuse the calendar midpoint
+
+
+@register(
+    "stat_capture_recapture",
+    oracle=f"""
+    WITH marks AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN CAST(ts AS DATE) <= DATE '{_CR_SPLIT}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+               CAST(max(CASE WHEN CAST(ts AS DATE) > DATE '{_CR_SPLIT}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS in2
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT CAST(sum(in1) AS BIGINT) AS n1,
+               CAST(sum(in2) AS BIGINT) AS n2,
+               CAST(sum(in1 * in2) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM marks
+    )
+    SELECT n1, n2, m, observed,
+           {sql_q4("(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0")}
+               AS chapman_n,
+           {sql_q4("sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)"
+                   " * (n2 - m)) / ((CAST(m AS DOUBLE) + 1) * (m + 1)"
+                   " * (m + 2)))")} AS chapman_se,
+           {sql_q4("(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0"
+                   " - CAST(observed AS DOUBLE)")} AS est_unseen
+    FROM c
+    """,
+)
+def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman's capture-recapture estimate of the TOTAL user
+    population from two occasions (first vs second calendar half):
+    N̂ = (n1+1)(n2+1)/(m+1) - 1 with its standard error — the
+    bias-corrected Lincoln-Petersen estimator ecologists and
+    dedup/coverage auditors use to answer 'how many users exist that
+    we never logged?', where a plain distinct count can only say how
+    many we saw. est_unseen = N̂ minus the observed union.
+
+    Exactness: the three marks (seen-in-1, seen-in-2, recaptured) are
+    one per-user max aggregate, so n1, n2, m are exact; the estimator
+    and Seber's variance are single closed-form doubles.
+
+    Scale shape at 100 TB: one hash aggregate to users (map-side
+    combined max flags), one 1-row fold, closed form."""
+    e = table(spark, sf_dir, "events")
+    marks = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.to_date("ts") <= F.lit(_CR_SPLIT), 1).otherwise(0)
+        ).alias("in1"),
+        F.max(
+            F.when(F.to_date("ts") > F.lit(_CR_SPLIT), 1).otherwise(0)
+        ).alias("in2"),
+    )
+    c = marks.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("observed"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1.0
+    se = F.sqrt(
+        ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m))
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        "observed",
+        q4(chapman).alias("chapman_n"),
+        q4(se).alias("chapman_se"),
+        q4(chapman - F.col("observed").cast("double")).alias("est_unseen"),
+    )
+
+
+_SIEGEL_Q = 1_000_000_000
+
+
+@register(
+    "stat_siegel_slopes",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), slopes AS (
+        SELECT a.t AS ti, b.t AS tj,
+               CAST(floor(CAST(b.y - a.y AS DOUBLE) / (b.t - a.t)
+                   * {_SIEGEL_Q} + 0.5) AS BIGINT) AS sq
+        FROM ranked a JOIN ranked b ON b.t <> a.t
+    ), permed AS (
+        SELECT ti, sq,
+               row_number() OVER (PARTITION BY ti ORDER BY sq, tj) AS rn,
+               count(*) OVER (PARTITION BY ti) AS np
+        FROM slopes
+    ), mi AS (
+        SELECT ti, sq AS m_i FROM permed WHERE 2 * rn = np + 1 OR 2 * rn = np
+    ), gmed AS (
+        SELECT m_i FROM (
+            SELECT m_i, row_number() OVER (ORDER BY m_i, ti) AS rn,
+                   count(*) OVER () AS nm
+            FROM mi
+        ) WHERE 2 * rn = nm + 1 OR 2 * rn = nm
+    ), fit AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_days,
+               CAST(m_i AS DOUBLE) / {_SIEGEL_Q} AS slope
+        FROM gmed
+    ), icept AS (
+        SELECT i FROM (
+            SELECT CAST(floor(r.y - f.slope * r.t + 0.5) AS BIGINT) AS i,
+                   row_number() OVER (
+                       ORDER BY CAST(floor(r.y - f.slope * r.t + 0.5)
+                           AS BIGINT), r.t) AS rn,
+                   count(*) OVER () AS nr
+            FROM ranked r CROSS JOIN fit f
+        ) WHERE 2 * rn = nr + 1 OR 2 * rn = nr
+    )
+    SELECT n_days, {sql_q4("slope")} AS slope,
+           CAST((SELECT i FROM icept) AS BIGINT) AS intercept
+    FROM fit
+    """,
+)
+def stat_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel's REPEATED-median trend of the daily order-count series:
+    slope = median_i( median_{j≠i} (y_j-y_i)/(t_j-t_i) ) — the
+    highest-breakdown (50%) robust line: Theil-Sen's single median
+    over all pairs (events_theil_sen) tolerates ~29% outliers; the
+    repeated median survives when HALF the days are corrupted, which
+    is exactly the incident-heavy telemetry case.
+
+    Determinism: pairwise slopes quantize at 1e-9 (exact BIGINT keys),
+    every median is the LOWER median selected by row_number over the
+    total order (value, index) — identical tie resolution on both
+    engines; the intercept is the lower median of the exact-integer
+    residuals y - slope·t.
+
+    Scale shape: the fact table collapses to the calendar-bounded day
+    grid first, so the pair join is |days|² (metadata-sized); the
+    per-i medians run as PARTITIONED windows over i, and the only
+    global windows are over |days| rows (census-allowlisted)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        daily,
+        [F.col("day")],
+        bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+        rank_col="t",
+    ).select("y", "t")
+    a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ti"))
+    b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tj"))
+    slopes = a.join(b, F.col("tj") != F.col("ti")).select(
+        "ti",
+        "tj",
+        F.floor(
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("tj") - F.col("ti"))
+            * _SIEGEL_Q
+            + 0.5
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    w_i = Window.partitionBy("ti").orderBy("sq", "tj")
+    w_ic = Window.partitionBy("ti")
+    permed = slopes.select(
+        "ti",
+        "sq",
+        F.row_number().over(w_i).alias("rn"),
+        F.count(F.lit(1)).over(w_ic).alias("np"),
+    )
+    mi = permed.where(
+        (2 * F.col("rn") == F.col("np") + 1) | (2 * F.col("rn") == F.col("np"))
+    ).select("ti", F.col("sq").alias("m_i"))
+    w_g = Window.orderBy("m_i", "ti")
+    w_gc = Window.partitionBy()
+    gmed = (
+        mi.select(
+            "m_i",
+            F.row_number().over(w_g).alias("rn"),
+            F.count(F.lit(1)).over(w_gc).alias("nm"),
+        )
+        .where(
+            (2 * F.col("rn") == F.col("nm") + 1)
+            | (2 * F.col("rn") == F.col("nm"))
+        )
+        .select("m_i")
+    )
+    n_days = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    fit = gmed.crossJoin(F.broadcast(n_days)).select(
+        "n_days", (F.col("m_i").cast("double") / _SIEGEL_Q).alias("slope")
+    )
+    resid = ranked.crossJoin(F.broadcast(fit)).select(
+        "n_days",
+        "slope",
+        F.floor(F.col("y") - F.col("slope") * F.col("t") + 0.5)
+        .cast("long")
+        .alias("i"),
+        "t",
+    )
+    w_r = Window.orderBy("i", "t")
+    icept = (
+        resid.select(
+            "n_days",
+            "slope",
+            "i",
+            F.row_number().over(w_r).alias("rn"),
+            F.count(F.lit(1)).over(w_gc).alias("nr"),
+        )
+        .where(
+            (2 * F.col("rn") == F.col("nr") + 1)
+            | (2 * F.col("rn") == F.col("nr"))
+        )
+    )
+    return icept.select(
+        "n_days",
+        q4(F.col("slope")).alias("slope"),
+        F.col("i").cast("long").alias("intercept"),
+    )

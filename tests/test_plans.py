@@ -621,6 +621,13 @@ def test_unpartitioned_window_census():
             "(~20 rows)",
         ("operators/stats.py", "stat_periodogram"):
             "row_number over the hourly series grid — calendar-bounded",
+        ("operators/analytics.py", "_median_of"):
+            "median prefix over the distinct daily-count grid — "
+            "calendar-bounded (≤|days| rows; transfer-entropy helper)",
+        ("operators/stats.py", "stat_siegel_slopes"):
+            "two lower-median selections over |days|-sized frames "
+            "(per-day repeated medians, then residual median) — "
+            "calendar-bounded",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent / "etl_cnc_spark"
