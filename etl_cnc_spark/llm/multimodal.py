@@ -769,3 +769,182 @@ def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rate_ok"),
     )
+
+
+# ------------------------------- round-9 wave H: perceptual hash (DCT)
+
+_PH_MOD = 10  # sample every 10th doc (bounded like byte_entropy)
+_PH_N = 8  # synthetic image side: 8x8 grayscale from the byte stream
+_PH_LOW = 4  # keep the low-frequency 4x4 block (15 ACs, DC dropped)
+_PH_Q = 1_000_000
+
+
+@register(
+    "multimodal_phash_dct",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, text,
+               CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE doc_id % {_PH_MOD} = 0
+    ), px AS (
+        SELECT doc_id, source, n,
+               unnest(range(0, {_PH_N * _PH_N})) AS i
+        FROM docs
+    ), pixels AS (
+        SELECT p.doc_id, p.source,
+               CAST(p.i // {_PH_N} AS BIGINT) AS r,
+               CAST(p.i % {_PH_N} AS BIGINT) AS c,
+               CAST(ascii(d.text[CAST(p.i % p.n AS BIGINT) + 1]) AS BIGINT)
+                   AS v
+        FROM px p JOIN docs d USING (doc_id)
+    ), freqs AS (
+        SELECT u, v FROM range(0, {_PH_LOW}) a(u), range(0, {_PH_LOW}) b(v)
+        WHERE NOT (u = 0 AND v = 0)
+    ), coefs AS (
+        SELECT p.doc_id, p.source, f.u, f.v,
+               CAST(floor(sum(p.v
+                   * cos(pi() * (2*p.r + 1) * f.u / {2 * _PH_N})
+                   * cos(pi() * (2*p.c + 1) * f.v / {2 * _PH_N}))
+                   * {_PH_Q} + 0.5) AS BIGINT) AS cq
+        FROM pixels p CROSS JOIN freqs f
+        GROUP BY p.doc_id, p.source, f.u, f.v
+    ), med AS (
+        SELECT doc_id, source, cq AS med_cq
+        FROM (
+            SELECT doc_id, source, cq,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cq, u, v) AS rn
+            FROM coefs
+        ) WHERE rn = {(_PH_LOW * _PH_LOW - 1 + 1) // 2}
+    ), hashes AS (
+        SELECT c.doc_id, c.source,
+               CAST(sum(CASE WHEN c.cq > m.med_cq
+                   THEN CAST(1 AS BIGINT) << CAST(c.u * {_PH_LOW} + c.v - 1
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+        FROM coefs c JOIN med m USING (doc_id)
+        GROUP BY c.doc_id, c.source
+    ), groups AS (
+        SELECT source, phash, CAST(count(*) AS BIGINT) AS grp
+        FROM hashes GROUP BY source, phash
+    )
+    SELECT source,
+           CAST(sum(grp) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_hashes,
+           CAST(max(grp) AS BIGINT) AS max_bucket,
+           CAST(sum(grp * (grp - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM groups GROUP BY source
+    """,
+)
+def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (pHash) pipeline over a synthetic image modality
+    — the DCT-based near-duplicate-image signature (public pHash
+    algorithm) with the image decode STUBBED deterministically (the
+    8×8 'grayscale image' is the doc's byte stream laid out row-major,
+    since no image codec ships in this container): 2-D DCT-II, keep
+    the low-frequency 4×4 block, drop DC, threshold the 15 ACs at
+    their median, pack bits → a 15-bit signature; report per-source
+    bucket statistics (the candidate-pair count an image-dedup pass
+    would verify).
+
+    The Spark-side plumbing is the REAL pipeline shape: pixel fan-out
+    (64/doc), a 15-frequency broadcast cross join, one hash aggregate
+    per (doc, u, v) with both cosine factors evaluated identically in
+    both engines, per-doc median by partitioned row_number (lower
+    median of 15), bit-packing as an integer fold, then bucket
+    aggregation — swap the pixels CTE for a real decoder UDF and
+    nothing else changes.
+
+    Scale shape at 100 TB: sampled docs × 64 pixels × 15 freqs rows
+    into ONE map-side-combined aggregate; per-doc windows are
+    15-row partitions; output bounded by |sources|."""
+    d = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _PH_MOD == 0
+    )
+    docs = d.select(
+        "doc_id", "source", "text", F.length("text").cast("long").alias("n")
+    )
+    px = docs.select(
+        "doc_id",
+        "source",
+        "n",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(_PH_N * _PH_N - 1))).alias("i"),
+    )
+    pixels = px.select(
+        "doc_id",
+        "source",
+        (F.col("i") / _PH_N).cast("long").alias("r"),
+        (F.col("i") % _PH_N).cast("long").alias("c"),
+        F.ascii(
+            F.col("text").substr(
+                (F.col("i") % F.col("n") + 1).cast("int"), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("pv"),
+    )
+    freqs = spark.createDataFrame(
+        [
+            (u, v)
+            for u in range(_PH_LOW)
+            for v in range(_PH_LOW)
+            if (u, v) != (0, 0)
+        ],
+        "u long, v long",
+    )
+    import math as _math
+
+    pi = F.lit(_math.pi)
+    coefs = (
+        pixels.crossJoin(F.broadcast(freqs))
+        .groupBy("doc_id", "source", "u", "v")
+        .agg(
+            F.floor(
+                F.sum(
+                    F.col("pv")
+                    * F.cos(pi * (2 * F.col("r") + 1) * F.col("u") / (2 * _PH_N))
+                    * F.cos(pi * (2 * F.col("c") + 1) * F.col("v") / (2 * _PH_N))
+                )
+                * _PH_Q
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("cq", "u", "v")
+    med = (
+        coefs.select(
+            "doc_id", "source", "cq", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == (_PH_LOW * _PH_LOW - 1 + 1) // 2)
+        .select("doc_id", F.col("cq").alias("med_cq"))
+    )
+    hashes = (
+        coefs.join(med, "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN cq > med_cq THEN"
+                    f" shiftleft(1L, cast(u * {_PH_LOW} + v - 1 AS int))"
+                    f" ELSE 0L END"
+                )
+            )
+            .cast("long")
+            .alias("phash")
+        )
+    )
+    groups = hashes.groupBy("source", "phash").agg(
+        F.count(F.lit(1)).cast("long").alias("grp")
+    )
+    return groups.groupBy("source").agg(
+        F.sum("grp").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_hashes"),
+        F.max("grp").cast("long").alias("max_bucket"),
+        F.sum(F.col("grp") * (F.col("grp") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+    )

@@ -11701,3 +11701,108 @@ def stat_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("slope")).alias("slope"),
         F.col("i").cast("long").alias("intercept"),
     )
+
+
+_WATSON_CRIT = "0.187"  # asymptotic 5% point of the U^2 distribution
+
+
+@register(
+    "stat_watson_u2",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type IN ('{KS_G1}', '{KS_G2}')
+    ), grid AS (
+        SELECT v_cents,
+               CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1,
+               CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2
+        FROM ev GROUP BY v_cents
+    ), cum AS (
+        SELECT v_cents, c1, c2,
+               sum(c1) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+               sum(c2) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM grid
+    ), totals AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM grid
+    ), folds AS (
+        SELECT CAST(sum(CAST((c1 + c2) AS HUGEINT)
+                   * (cum1*n2 - cum2*n1) * (cum1*n2 - cum2*n1)) AS HUGEINT)
+                   AS std2,
+               CAST(sum(CAST((c1 + c2) AS HUGEINT)
+                   * (cum1*n2 - cum2*n1)) AS HUGEINT) AS std1
+        FROM cum CROSS JOIN totals
+    )
+    SELECT n1, n2,
+           {sql_q4("(CAST(std2 AS DOUBLE) - CAST(std1 AS DOUBLE)"
+                   " * CAST(std1 AS DOUBLE) / (n1 + n2))"
+                   " / (CAST(n1 AS DOUBLE) * n2"
+                   "    * pow(CAST(n1 + n2 AS DOUBLE), 2))")} AS u2_stat,
+           (CAST(std2 AS DOUBLE) - CAST(std1 AS DOUBLE)
+               * CAST(std1 AS DOUBLE) / (n1 + n2))
+               / (CAST(n1 AS DOUBLE) * n2
+                  * pow(CAST(n1 + n2 AS DOUBLE), 2)) > {_WATSON_CRIT}
+               AS rejected
+    FROM folds CROSS JOIN totals
+    """,
+)
+def stat_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watson's two-sample U² between the 'click' and 'purchase'
+    value distributions: the Cramér-von Mises statistic CENTERED on
+    the mean ECDF gap — U² = (1/(n1·n2·N²))·[Σ t·D² - (Σ t·D)²/N]
+    with D the integer gap numerator cum1·n2 - cum2·n1 and t the tie
+    count — making the test invariant to where the 'origin' of the
+    value axis sits (the circular-data version of CvM, also the right
+    choice when a constant offset between the samples should not
+    count as a difference). Completes the ECDF-distance tier:
+    KS (max), Kuiper (tails), CvM (integrated), AD (tail-weighted),
+    Watson (rotation-invariant integrated).
+
+    Exactness: both folds run on exact integer D with tie weights,
+    accumulated in decimal(38,0)/HUGEINT (D ~ n1·n2 squares past
+    int64 fast); one double expression at the end.
+
+    Scale shape: identical to stat_ks_test — one hash aggregate to
+    the cents grid, ONE bucketed prefix pass, broadcast totals."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_G1, KS_G2)
+    )
+    grid = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+    ).groupBy("v_cents").agg(
+        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    )
+    cum = global_ordered(
+        grid,
+        [F.col("v_cents")],
+        bucket_key="v_cents",
+        sums={"c1": "cum1", "c2": "cum2"},
+        rank_col=None,
+    )
+    totals = grid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    dnum = (F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).cast(dec)
+    t = (F.col("c1") + F.col("c2")).cast(dec)
+    folds = cum.crossJoin(F.broadcast(totals)).agg(
+        F.sum(t * dnum * dnum).alias("std2"),
+        F.sum(t * dnum).alias("std1"),
+    )
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    u2 = (
+        F.col("std2").cast("double")
+        - F.col("std1").cast("double") * F.col("std1").cast("double") / nn
+    ) / (F.col("n1").cast("double") * F.col("n2") * nn * nn)
+    return folds.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        q4(u2).alias("u2_stat"),
+        (u2 > float(_WATSON_CRIT)).alias("rejected"),
+    )
