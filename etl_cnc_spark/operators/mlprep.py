@@ -2964,6 +2964,9 @@ def ml_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_survival_cindex",
+    bench=True,  # the dense-2D-dominance-grid representative: per-score
+    # suffix + per-day prefix partitioned windows over the dense
+    # duration×score frame (frozen r9, BASELINE.md)
     oracle="""
     WITH per_user AS (
         SELECT user_id,
