@@ -5342,3 +5342,157 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(unc).alias("uncertainty"),
         q4(rel - res + unc).alias("brier_score"),
     )
+
+
+# --------------------------- round-9 wave I: Procrustes half-alignment
+
+_PR_Q = 1_000_000
+
+
+def _pr_sign(i: int, j: int) -> float:
+    return 1.0 if (i * 31 + j * 17) % 2 == 0 else -1.0
+
+
+def _pr_proj_sql(col: str, lo: int, axis: int) -> str:
+    terms = " + ".join(
+        f"CAST({col}[{lo + i}] AS DOUBLE) * ({_pr_sign(lo + i, axis)})"
+        for i in range(32)
+    )
+    return f"(({terms}) / sqrt(32.0))"
+
+
+def _pr_proj(col, lo: int, axis: int):
+    acc = F.lit(0.0)
+    for i in range(32):
+        acc = acc + F.element_at(col, lo + i).cast("double") * F.lit(
+            _pr_sign(lo + i, axis)
+        )
+    return acc / F.lit(float(32) ** 0.5)
+
+
+@register(
+    "embed_procrustes_2d",
+    oracle=f"""
+    WITH proj AS (
+        SELECT CAST(floor({_pr_proj_sql("embedding", 1, 1)} * {_PR_Q} + 0.5)
+                   AS BIGINT) AS a1,
+               CAST(floor({_pr_proj_sql("embedding", 1, 2)} * {_PR_Q} + 0.5)
+                   AS BIGINT) AS a2,
+               CAST(floor({_pr_proj_sql("embedding", 33, 1)} * {_PR_Q} + 0.5)
+                   AS BIGINT) AS b1,
+               CAST(floor({_pr_proj_sql("embedding", 33, 2)} * {_PR_Q} + 0.5)
+                   AS BIGINT) AS b2
+        FROM embeddings
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a1) AS BIGINT) AS sa1, CAST(sum(a2) AS BIGINT) AS sa2,
+               CAST(sum(b1) AS BIGINT) AS sb1, CAST(sum(b2) AS BIGINT) AS sb2,
+               CAST(sum(CAST(a1 AS HUGEINT)*b1) AS HUGEINT) AS s11,
+               CAST(sum(CAST(a1 AS HUGEINT)*b2) AS HUGEINT) AS s12,
+               CAST(sum(CAST(a2 AS HUGEINT)*b1) AS HUGEINT) AS s21,
+               CAST(sum(CAST(a2 AS HUGEINT)*b2) AS HUGEINT) AS s22,
+               CAST(sum(CAST(a1 AS HUGEINT)*a1 + CAST(a2 AS HUGEINT)*a2)
+                   AS HUGEINT) AS ssa,
+               CAST(sum(CAST(b1 AS HUGEINT)*b1 + CAST(b2 AS HUGEINT)*b2)
+                   AS HUGEINT) AS ssb
+        FROM proj
+    ), m AS (
+        SELECT n,
+               (CAST(s11 AS DOUBLE) - CAST(sa1 AS DOUBLE)*sb1/n) AS m11,
+               (CAST(s12 AS DOUBLE) - CAST(sa1 AS DOUBLE)*sb2/n) AS m12,
+               (CAST(s21 AS DOUBLE) - CAST(sa2 AS DOUBLE)*sb1/n) AS m21,
+               (CAST(s22 AS DOUBLE) - CAST(sa2 AS DOUBLE)*sb2/n) AS m22,
+               (CAST(ssa AS DOUBLE)
+                 - (CAST(sa1 AS DOUBLE)*sa1 + CAST(sa2 AS DOUBLE)*sa2)/n)
+                   AS ssa_c,
+               (CAST(ssb AS DOUBLE)
+                 - (CAST(sb1 AS DOUBLE)*sb1 + CAST(sb2 AS DOUBLE)*sb2)/n)
+                   AS ssb_c
+        FROM s
+    )
+    SELECT n,
+           {sql_q4("atan2(m12 - m21, m11 + m22)")} AS rotation_rad,
+           {sql_q4(f"sqrt(pow(m11 + m22, 2) + pow(m12 - m21, 2))"
+                   f" / sqrt(ssa_c * ssb_c)")} AS congruence,
+           {sql_q4(f"(ssa_c + ssb_c"
+                   f" - 2.0*sqrt(pow(m11 + m22, 2) + pow(m12 - m21, 2)))"
+                   f" / ({_PR_Q}.0 * {_PR_Q})")} AS procrustes_d2
+    FROM m
+    """,
+)
+def embed_procrustes_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between the 2-D random-
+    projection shadows of the embedding's two HALVES (dims 1-32 vs
+    33-64, each projected by a deterministic ±1/√32 map): the optimal
+    rotation angle atan2(M12-M21, M11+M22), the congruence
+    coefficient max_R tr(RᵀM)/√(SSa·SSb) ∈ [0,1], and the residual
+    Procrustes distance — 'do the two halves carry the same mutual
+    geometry up to rotation?', the ROTATIONAL companion of
+    embed_cka_halves (CKA is invariant to any isotropy-preserving
+    map; Procrustes pins down the actual aligning rotation, which is
+    what a dimension-truncation or matryoshka decision needs). In 2-D
+    the SVD underlying Procrustes collapses to one closed-form atan2
+    — no iteration, no linear-algebra library.
+
+    Exactness: projections quantize at 1e-6 per vector, all cross/
+    self products fold as decimal(38,0)/HUGEINT, centering uses the
+    Σxy - ΣxΣy/n identity, and the three outputs are fixed double
+    expressions.
+
+    Scale shape at 100 TB: ONE scan with per-row JVM arithmetic, ONE
+    hash-aggregate fold, single-row output."""
+    e = table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    proj = e.select(
+        F.floor(_pr_proj(F.col("embedding"), 1, 1) * _PR_Q + 0.5)
+        .cast("long")
+        .alias("a1"),
+        F.floor(_pr_proj(F.col("embedding"), 1, 2) * _PR_Q + 0.5)
+        .cast("long")
+        .alias("a2"),
+        F.floor(_pr_proj(F.col("embedding"), 33, 1) * _PR_Q + 0.5)
+        .cast("long")
+        .alias("b1"),
+        F.floor(_pr_proj(F.col("embedding"), 33, 2) * _PR_Q + 0.5)
+        .cast("long")
+        .alias("b2"),
+    )
+
+    def d(c):
+        return F.col(c).cast(dec)
+
+    s = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a1").cast("long").alias("sa1"),
+        F.sum("a2").cast("long").alias("sa2"),
+        F.sum("b1").cast("long").alias("sb1"),
+        F.sum("b2").cast("long").alias("sb2"),
+        F.sum(d("a1") * F.col("b1")).alias("s11"),
+        F.sum(d("a1") * F.col("b2")).alias("s12"),
+        F.sum(d("a2") * F.col("b1")).alias("s21"),
+        F.sum(d("a2") * F.col("b2")).alias("s22"),
+        F.sum(d("a1") * F.col("a1") + d("a2") * F.col("a2")).alias("ssa"),
+        F.sum(d("b1") * F.col("b1") + d("b2") * F.col("b2")).alias("ssb"),
+    )
+    n = F.col("n").cast("double")
+    m11 = F.col("s11").cast("double") - F.col("sa1").cast("double") * F.col("sb1") / n
+    m12 = F.col("s12").cast("double") - F.col("sa1").cast("double") * F.col("sb2") / n
+    m21 = F.col("s21").cast("double") - F.col("sa2").cast("double") * F.col("sb1") / n
+    m22 = F.col("s22").cast("double") - F.col("sa2").cast("double") * F.col("sb2") / n
+    ssa_c = F.col("ssa").cast("double") - (
+        F.col("sa1").cast("double") * F.col("sa1")
+        + F.col("sa2").cast("double") * F.col("sa2")
+    ) / n
+    ssb_c = F.col("ssb").cast("double") - (
+        F.col("sb1").cast("double") * F.col("sb1")
+        + F.col("sb2").cast("double") * F.col("sb2")
+    ) / n
+    tr = F.sqrt(F.pow(m11 + m22, 2) + F.pow(m12 - m21, 2))
+    return s.select(
+        "n",
+        q4(F.atan2(m12 - m21, m11 + m22)).alias("rotation_rad"),
+        q4(tr / F.sqrt(ssa_c * ssb_c)).alias("congruence"),
+        q4((ssa_c + ssb_c - 2.0 * tr) / (float(_PR_Q) * _PR_Q)).alias(
+            "procrustes_d2"
+        ),
+    )

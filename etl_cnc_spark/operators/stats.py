@@ -11806,3 +11806,349 @@ def stat_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(u2).alias("u2_stat"),
         (u2 > float(_WATSON_CRIT)).alias("rejected"),
     )
+
+
+# ----------------------------------- round-9 wave I: time-series fits
+
+
+@register(
+    "stat_yule_walker_ar2",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t
+        FROM hourly
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM ranked
+    ), lag1 AS (
+        SELECT CAST(sum((a.y * nn - sy) * (b.y * nn - sy)) AS HUGEINT) AS s
+        FROM ranked a JOIN ranked b ON b.t = a.t - 1
+        CROSS JOIN (SELECT n AS nn, sy FROM m) t
+    ), lag2 AS (
+        SELECT CAST(sum((a.y * nn - sy) * (b.y * nn - sy)) AS HUGEINT) AS s
+        FROM ranked a JOIN ranked b ON b.t = a.t - 2
+        CROSS JOIN (SELECT n AS nn, sy FROM m) t
+    ), den AS (
+        SELECT CAST(sum((y * nn - sy) * (y * nn - sy)) AS HUGEINT) AS s
+        FROM ranked CROSS JOIN (SELECT n AS nn, sy FROM m) t
+    ), r AS (
+        SELECT n,
+               CAST(lag1.s AS DOUBLE) / CAST(den.s AS DOUBLE) AS r1,
+               CAST(lag2.s AS DOUBLE) / CAST(den.s AS DOUBLE) AS r2,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n) / n AS c0
+        FROM m CROSS JOIN lag1 CROSS JOIN lag2 CROSS JOIN den
+    )
+    SELECT n AS n_hours, {sql_q4("r1")} AS r1, {sql_q4("r2")} AS r2,
+           {sql_q4("r1 * (1.0 - r2) / (1.0 - r1*r1)")} AS phi1,
+           {sql_q4("(r2 - r1*r1) / (1.0 - r1*r1)")} AS phi2,
+           {sql_q4("c0 * (1.0"
+                   " - r1 * (r1 * (1.0 - r2) / (1.0 - r1*r1))"
+                   " - r2 * ((r2 - r1*r1) / (1.0 - r1*r1)))")}
+               AS noise_var,
+           ((r2 - r1*r1) / (1.0 - r1*r1)) + (r1 * (1.0 - r2) / (1.0 - r1*r1))
+               < 1.0
+           AND ((r2 - r1*r1) / (1.0 - r1*r1)) - (r1 * (1.0 - r2)
+               / (1.0 - r1*r1)) < 1.0
+           AND abs((r2 - r1*r1) / (1.0 - r1*r1)) < 1.0 AS stationary
+    FROM r
+    """,
+)
+def stat_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit of the hourly event-count series: φ1 =
+    r1(1-r2)/(1-r1²), φ2 = (r2-r1²)/(1-r1²) from the lag-1/lag-2
+    autocorrelations, the innovation variance c0·(1 - φ1r1 - φ2r2),
+    and the stationarity-triangle check (φ1+φ2<1, φ2-φ1<1, |φ2|<1) —
+    the minimal model that separates 'momentum' from 'oscillation'
+    where events_autocorr only reports the correlations and stat_pacf
+    only reports their partialization.
+
+    Exactness: centered cross-products use the scaled-residual
+    identity (y·n - Σy is an exact integer, so every lag sum folds
+    exactly in decimal(38,0)/HUGEINT with the n² scale cancelling in
+    the r1/r2 ratios); the closed forms run once.
+
+    Scale shape: one hash aggregate to the calendar-bounded hourly
+    grid, two rank-offset self-joins ON THE GRID, one fold each."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        hourly,
+        [F.col("h")],
+        bucket_key=F.unix_micros(F.col("h")),
+        rank_col="t",
+    ).select("y", "t")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+
+    def _lag_fold(k: int):
+        a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ta"))
+        b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
+        j = a.join(b, F.col("tb") == F.col("ta") - k).crossJoin(F.broadcast(m))
+        za = (F.col("ya") * F.col("n") - F.col("sy")).cast(dec)
+        zb = (F.col("yb") * F.col("n") - F.col("sy")).cast(dec)
+        return j.agg(F.sum(za * zb).alias("s"))
+
+    lag1 = _lag_fold(1).select(F.col("s").alias("s1"))
+    lag2 = _lag_fold(2).select(F.col("s").alias("s2"))
+    z = (F.col("y") * F.col("n") - F.col("sy")).cast(dec)
+    den = (
+        ranked.crossJoin(F.broadcast(m))
+        .agg(F.sum(z * z).alias("s"))
+        .select(F.col("s").alias("sd"))
+    )
+    r1 = F.col("s1").cast("double") / F.col("sd").cast("double")
+    r2 = F.col("s2").cast("double") / F.col("sd").cast("double")
+    phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    c0 = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    ) / F.col("n")
+    return (
+        m.crossJoin(F.broadcast(lag1))
+        .crossJoin(F.broadcast(lag2))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_hours"),
+            q4(r1).alias("r1"),
+            q4(r2).alias("r2"),
+            q4(phi1).alias("phi1"),
+            q4(phi2).alias("phi2"),
+            q4(c0 * (1.0 - r1 * phi1 - r2 * phi2)).alias("noise_var"),
+            (
+                (phi2 + phi1 < 1.0)
+                & (phi2 - phi1 < 1.0)
+                & (F.abs(phi2) < 1.0)
+            ).alias("stationary"),
+        )
+    )
+
+
+@register(
+    "stat_cox_stuart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ), pairs AS (
+        SELECT CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM ranked a
+        JOIN ranked b ON b.t = a.t + (a.n - a.n % 2) / 2
+        WHERE a.t <= a.n / 2
+    ), c AS (
+        SELECT CAST(count_if(sgn = 1) AS BIGINT) AS n_up,
+               CAST(count_if(sgn = -1) AS BIGINT) AS n_dn,
+               CAST(count_if(sgn <> 0) AS BIGINT) AS m
+        FROM pairs
+    ), tail AS (
+        SELECT CAST(sum(CAST(floor(exp(
+                   {_sql_lnfact("m")} - {_sql_lnfact("k")}
+                     - {_sql_lnfact("m - k")} - m * ln(2.0)
+               ) * 1e15 + 0.5) AS BIGINT)) AS BIGINT) AS tailq
+        FROM c CROSS JOIN (SELECT unnest(range(0, (SELECT m FROM c) + 1))
+            AS k) ks
+        WHERE k >= greatest((SELECT n_up FROM c), (SELECT n_dn FROM c))
+    )
+    SELECT n_up, n_dn, m,
+           {sql_q4("least(1.0, 2.0 * CAST(tailq AS DOUBLE) / 1e15)")}
+               AS p_two_sided,
+           least(1.0, 2.0 * CAST(tailq AS DOUBLE) / 1e15) < 0.05
+               AS trend_detected,
+           n_up > n_dn AS increasing
+    FROM c CROSS JOIN tail
+    """,
+)
+def stat_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test on the daily event-count series: pair
+    day t with day t + n/2, count sign(later - earlier), and test the
+    up-count against Binomial(m, 1/2) with the EXACT two-sided tail —
+    the O(n) distribution-free trend check (Mann-Kendall, which
+    exists separately, is the O(n²)-pairs deep version; Cox-Stuart is
+    what you run first at 100 TB). Ties drop, per the classical rule.
+
+    The binomial tail reuses the closed-form ln-factorial (exact
+    literals + Stirling — no factorial table), each term quantized at
+    1e-15 before the fold, so the p-value is order-free and exact to
+    the quantum; the pairing join is a rank-offset equi-join on the
+    calendar day grid.
+
+    Scale shape: one hash aggregate to days, one grid self-join, a
+    support explode bounded by m = |days|/2."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        daily,
+        [F.col("day")],
+        bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+        rank_col="t",
+    ).select("y", "t")
+    ntot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ranked.crossJoin(F.broadcast(ntot)).select(
+        F.col("y").alias("ya"), F.col("t").alias("ta"), "n"
+    )
+    b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
+    half = ((F.col("n") - F.col("n") % 2) / 2).cast("long")
+    pairs = (
+        a.where(F.col("ta") <= F.col("n") / 2)
+        .join(b, F.col("tb") == F.col("ta") + half)
+        .select(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sgn")
+        )
+    )
+    c = pairs.agg(
+        F.count_if(F.col("sgn") == 1).cast("long").alias("n_up"),
+        F.count_if(F.col("sgn") == -1).cast("long").alias("n_dn"),
+        F.count_if(F.col("sgn") != 0).cast("long").alias("m"),
+    )
+    ks = c.select(
+        "n_up",
+        "n_dn",
+        "m",
+        F.explode(F.sequence(F.lit(0), F.col("m"))).alias("k"),
+    ).where(F.col("k") >= F.greatest(F.col("n_up"), F.col("n_dn")))
+    term = F.floor(
+        F.exp(
+            _lnfact(F.col("m"))
+            - _lnfact(F.col("k"))
+            - _lnfact(F.col("m") - F.col("k"))
+            - F.col("m") * F.log(F.lit(2.0))
+        )
+        * 1e15
+        + F.lit(0.5)
+    ).cast("long")
+    tail = ks.agg(F.sum(term).cast("long").alias("tailq"))
+    p = F.least(F.lit(1.0), 2.0 * F.col("tailq").cast("double") / 1e15)
+    return c.crossJoin(F.broadcast(tail)).select(
+        "n_up",
+        "n_dn",
+        "m",
+        q4(p).alias("p_two_sided"),
+        (p < 0.05).alias("trend_detected"),
+        (F.col("n_up") > F.col("n_dn")).alias("increasing"),
+    )
+
+
+_PAGE_K = 4  # ordered treatments: the four 6-hour day-parts
+_PAGE_Z_CRIT = "1.6449"  # one-sided 5% normal point (ordered alternative)
+
+
+@register(
+    "stat_page_trend",
+    oracle=f"""
+    WITH cells0 AS (
+        SELECT date_trunc('week', CAST(ts AS DATE)) AS wk,
+               CAST(hour(ts) // 6 AS BIGINT) AS part,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT w.wk, p.part, coalesce(c.y, 0) AS y
+        FROM (SELECT DISTINCT wk FROM cells0) w
+        CROSS JOIN (SELECT unnest(range(0, {_PAGE_K})) AS part) p
+        LEFT JOIN cells0 c ON c.wk = w.wk AND c.part = p.part
+    ), rnk AS (
+        SELECT a.wk, a.part,
+               CAST(2 * count_if(b.y < a.y)
+                    + count_if(b.y = a.y) + 1 AS BIGINT) AS r2
+        FROM dense a JOIN dense b ON b.wk = a.wk
+        GROUP BY a.wk, a.part, a.y
+    ), folds AS (
+        SELECT CAST(count(DISTINCT wk) AS BIGINT) AS b,
+               CAST(sum((part + 1) * r2) AS BIGINT) AS l2
+        FROM rnk
+    )
+    SELECT b AS n_blocks, CAST({_PAGE_K} AS BIGINT) AS k,
+           CAST(l2 / 2.0 AS DOUBLE) AS page_l,
+           {sql_q4(f"(l2 - b * {_PAGE_K} * ({_PAGE_K} + 1.0)"
+                   f" * ({_PAGE_K} + 1.0) / 2.0)"
+                   f" / sqrt(b * {_PAGE_K}.0 * {_PAGE_K}"
+                   f" * ({_PAGE_K} + 1.0)"
+                   f" * ({_PAGE_K} * {_PAGE_K} - 1.0) / 36.0)")} AS z,
+           (l2 - b * {_PAGE_K} * ({_PAGE_K} + 1.0) * ({_PAGE_K} + 1.0) / 2.0)
+               / sqrt(b * {_PAGE_K}.0 * {_PAGE_K} * ({_PAGE_K} + 1.0)
+                 * ({_PAGE_K} * {_PAGE_K} - 1.0) / 36.0) > {_PAGE_Z_CRIT}
+               AS increasing_through_day
+    FROM folds
+    """,
+)
+def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative over the week ×
+    day-part layout (night < morning < afternoon < evening): L =
+    Σ_j j·R_j over within-block ranks, z-standardized with E[L] =
+    b·k(k+1)²/4 and Var[L] = b·k²(k+1)(k²-1)/144 — the test to run
+    when the hypothesis is a MONOTONE ordering of treatments
+    (activity rising through the day), where Friedman/Quade only ask
+    'any difference?' and waste power ignoring the order.
+
+    Exactness: within-block mid-ranks carry doubled (2m = 2·#less +
+    #eq + 1) so L2 = 2L folds as an exact BIGINT; the z expression
+    absorbs the 2 (E and sd scale with it) and is one fixed double.
+
+    Scale shape: one hash aggregate to the |weeks|×4 dense grid, a
+    4-row within-block self-join, one fold."""
+    e = table(spark, sf_dir, "events")
+    cells0 = e.groupBy(
+        F.date_trunc("week", F.to_date("ts")).alias("wk"),
+        (F.hour("ts") / 6).cast("long").alias("part"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wks = cells0.select("wk").distinct()
+    parts = spark.range(_PAGE_K).select(F.col("id").cast("long").alias("part"))
+    dense = (
+        wks.crossJoin(F.broadcast(parts))
+        .join(cells0, ["wk", "part"], "left")
+        .select("wk", "part", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    a = dense.select(
+        F.col("wk").alias("awk"), F.col("part").alias("apart"), F.col("y").alias("ay")
+    )
+    b = dense.select(F.col("wk").alias("bwk"), F.col("y").alias("by"))
+    rnk = (
+        a.join(b, F.col("bwk") == F.col("awk"))
+        .groupBy("awk", "apart", "ay")
+        .agg(
+            (
+                2 * F.count_if(F.col("by") < F.col("ay"))
+                + F.count_if(F.col("by") == F.col("ay"))
+                + 1
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    folds = rnk.agg(
+        F.count_distinct("awk").cast("long").alias("b"),
+        F.sum((F.col("apart") + 1) * F.col("r2")).cast("long").alias("l2"),
+    )
+    k = float(_PAGE_K)
+    e_l2 = F.col("b") * k * (k + 1.0) * (k + 1.0) / 2.0
+    sd_l2 = F.sqrt(
+        F.col("b") * k * k * (k + 1.0) * (k * k - 1.0) / 36.0
+    )
+    z = (F.col("l2") - e_l2) / sd_l2
+    return folds.select(
+        F.col("b").alias("n_blocks"),
+        F.lit(_PAGE_K).cast("long").alias("k"),
+        (F.col("l2") / 2.0).cast("double").alias("page_l"),
+        q4(z).alias("z"),
+        (z > float(_PAGE_Z_CRIT)).alias("increasing_through_day"),
+    )
