@@ -4038,3 +4038,133 @@ def text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(chao1).alias("chao1"),
         q4(1.0 - f1 / F.col("n_tokens")).alias("good_turing_coverage"),
     )
+
+
+# ------------------------- round-9 wave J: token-budget allocation
+
+_BA_Q = 1_000_000_000
+_STOP_SQL_BA = _STOP_SQL  # reuse text_quality's stopword list
+
+
+@register(
+    "pipeline_budget_allocation",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(floor((
+                 0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(CAST(list_aggregate(list_transform(
+                       string_split(text, ' '),
+                       w -> CAST(length(w) AS BIGINT)), 'sum') AS DOUBLE)
+                     / len(string_split(text, ' ')) / 10.0, 1.0))
+                 + 0.2 * least(10.0 * (CAST(len(list_filter(
+                       string_split(text, ' '),
+                       x -> x IN ({_STOP_SQL_BA}))) AS DOUBLE)
+                     / len(string_split(text, ' '))), 1.0)
+               ) * {_BA_Q} + 0.5) AS BIGINT) AS qq
+        FROM documents
+    ), per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS tokens,
+               CAST(sum(qq) // count(*) AS BIGINT) AS aq
+        FROM feat GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget FROM per_src
+    ), ranked AS (
+        SELECT source, n_docs, tokens, aq,
+               CAST(row_number() OVER (ORDER BY aq DESC, source) AS BIGINT)
+                   AS rnk,
+               CAST(coalesce(sum(tokens) OVER (ORDER BY aq DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM per_src
+    )
+    SELECT source, rnk AS quality_rank, n_docs, tokens,
+           {sql_q4(f"CAST(aq AS DOUBLE) / {_BA_Q}")} AS avg_quality,
+           CAST(least(tokens, greatest(0, budget - cum_before)) AS BIGINT)
+               AS alloc_tokens,
+           {sql_q4("CAST(least(tokens, greatest(0, budget - cum_before))"
+                   " AS DOUBLE) / tokens")} AS take_fraction
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def pipeline_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token-budget allocation across sources: rank
+    sources by mean document quality (the shared text_quality score),
+    then fill a 50%-of-corpus token budget top-down — full take until
+    the boundary source, a partial take there, zero below — the
+    closed-form solution to maximizing total quality under a token
+    budget when quality is constant within a source (the first-order
+    version of the temperature mixing in pipeline_training_mix, and
+    the number a curation run needs BEFORE sampling: how much of each
+    source survives).
+
+    Determinism: per-doc quality quantizes at 1e-9 and the per-source
+    key is the integer floor-division mean (sum // count), so the
+    greedy order (aq DESC, source) is a total order both engines
+    agree on; the fill is one prefix sum over the |sources| dimension
+    and two clamps — all exact integers.
+
+    Scale shape at 100 TB: one scan with JVM per-row scoring, one
+    hash aggregate to |sources| rows, one prefix over that ~20-row
+    dimension (census-allowlisted), broadcast budget."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(words, lambda x: x.isin(*EN_STOPWORDS)))
+    quality = (
+        0.5 * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+        + 0.3
+        * (
+            1.0
+            - F.least(
+                sum_word_len.cast("double") / n_words / 10.0, F.lit(1.0)
+            )
+        )
+        + 0.2 * F.least(10.0 * (n_stop.cast("double") / n_words), F.lit(1.0))
+    )
+    feat = d.select(
+        "source",
+        n_words.cast("long").alias("n_words"),
+        F.floor(quality * _BA_Q + F.lit(0.5)).cast("long").alias("qq"),
+    )
+    per_src = feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("tokens"),
+        F.floor(F.sum("qq") / F.count(F.lit(1))).cast("long").alias("aq"),
+    )
+    tot = per_src.agg(
+        F.floor(F.sum("tokens") / 2).cast("long").alias("budget")
+    )
+    w = Window.orderBy(F.col("aq").desc(), "source")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_src.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "aq",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.coalesce(F.sum("tokens").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    alloc = F.least(
+        F.col("tokens"), F.greatest(F.lit(0), F.col("budget") - F.col("cum_before"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("rnk").alias("quality_rank"),
+        "n_docs",
+        "tokens",
+        q4(F.col("aq").cast("double") / _BA_Q).alias("avg_quality"),
+        alloc.cast("long").alias("alloc_tokens"),
+        q4(alloc.cast("double") / F.col("tokens")).alias("take_fraction"),
+    )

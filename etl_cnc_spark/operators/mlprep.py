@@ -3598,3 +3598,167 @@ def ml_r2_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shapley_disc"
         ),
     )
+
+
+_QINI_Q = 1_000_000_000
+
+
+@register(
+    "ml_qini_auuc",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id % 2 AS treated,
+               CAST(count_if(event_type = 'click') AS BIGINT) AS s,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT s,
+               CAST(count_if(treated = 1) AS BIGINT) AS nt,
+               CAST(count_if(treated = 0) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS yt,
+               CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS yc
+        FROM per_user GROUP BY s
+    ), cum AS (
+        SELECT s,
+               sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+               sum(yt) OVER w AS cyt, sum(yc) OVER w AS cyc,
+               sum(nt + nc) OVER w AS cn
+        FROM grid
+        WINDOW w AS (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT CAST(sum(nt) AS BIGINT) AS tnt,
+               CAST(sum(nc) AS BIGINT) AS tnc,
+               CAST(sum(yt) AS BIGINT) AS tyt,
+               CAST(sum(yc) AS BIGINT) AS tyc,
+               CAST(sum(nt + nc) AS BIGINT) AS tn
+        FROM grid
+    ), pts AS (
+        SELECT s, cn,
+               CASE WHEN cnc = 0 THEN CAST(cyt AS DOUBLE)
+                    ELSE cyt - CAST(cyc AS DOUBLE) * cnt / cnc END AS qini,
+               lag(cn, 1, 0) OVER (ORDER BY s DESC) AS cn_prev,
+               lag(CASE WHEN cnc = 0 THEN CAST(cyt AS DOUBLE)
+                    ELSE cyt - CAST(cyc AS DOUBLE) * cnt / cnc END, 1, 0.0)
+                   OVER (ORDER BY s DESC) AS qini_prev
+        FROM cum
+    ), area AS (
+        SELECT CAST(sum(CAST(floor((cn - cn_prev)
+                   * (qini + qini_prev) / 2.0 / tn * {_QINI_Q} + 0.5)
+                   AS BIGINT)) AS BIGINT) AS areaq
+        FROM pts CROSS JOIN tot
+    )
+    SELECT tn AS n_users, tnt AS n_treated, tnc AS n_control,
+           {sql_q4("CAST(tyt AS DOUBLE) / tnt - CAST(tyc AS DOUBLE) / tnc")}
+               AS ate,
+           {sql_q4("tyt - CAST(tyc AS DOUBLE) * tnt / tnc")} AS qini_final,
+           {sql_q4(f"CAST(areaq AS DOUBLE) / {_QINI_Q}")} AS auuc,
+           {sql_q4(f"CAST(areaq AS DOUBLE) / {_QINI_Q}"
+                   " - 0.5 * (tyt - CAST(tyc AS DOUBLE) * tnt / tnc)")}
+               AS qini_coefficient
+    FROM area CROSS JOIN tot
+    """,
+)
+def ml_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve / AUUC evaluation of an uplift ranking: users split
+    into treatment (user_id parity — the same deterministic A/B
+    assignment as events_ab_test) are ranked by click count as the
+    uplift score; at each score threshold Qini(k) = Y_t(k) -
+    Y_c(k)·N_t(k)/N_c(k) (incremental purchases vs the control
+    extrapolation), AUUC is the trapezoid area over the targeted
+    fraction, and the Qini coefficient subtracts the random-targeting
+    triangle 0.5·Qini(100%) — THE uplift-model metric: ROC/AUC
+    evaluates 'who buys', Qini evaluates 'who buys BECAUSE OF the
+    treatment', which is what incentive-spend decisions need.
+
+    Scale discipline: never a per-user global rank — users collapse
+    to the bounded SCORE GRID first (integer click counts; continuous
+    uplift scores must be quantized, the ECDF-family contract), so
+    the descending cumulative pass and the trapezoid lag both run
+    over grid rows. Blocks with no controls yet fall back to
+    Y_t (documented guard); per-segment trapezoid terms quantize at
+    1e-9 before the fold.
+
+    Scale shape at 100 TB: one hash aggregate to users, one to the
+    score grid, one bucketed descending prefix + lag, broadcast
+    totals."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("treated"),
+        F.count_if(F.col("event_type") == "click").cast("long").alias("s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    grid = per_user.groupBy("s").agg(
+        F.count_if(F.col("treated") == 1).cast("long").alias("nt"),
+        F.count_if(F.col("treated") == 0).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    cnall = (F.col("nt") + F.col("nc")).alias("nall")
+    cum = global_ordered(
+        grid.select("s", "nt", "nc", "yt", "yc", cnall),
+        [F.col("s").desc()],
+        bucket_key="s",
+        bucket_desc=True,
+        sums={"nt": "cnt", "nc": "cnc", "yt": "cyt", "yc": "cyc", "nall": "cn"},
+        rank_col=None,
+    )
+    tot = grid.agg(
+        F.sum("nt").cast("long").alias("tnt"),
+        F.sum("nc").cast("long").alias("tnc"),
+        F.sum("yt").cast("long").alias("tyt"),
+        F.sum("yc").cast("long").alias("tyc"),
+        F.sum(F.col("nt") + F.col("nc")).cast("long").alias("tn"),
+    )
+    qini = F.when(F.col("cnc") == 0, F.col("cyt").cast("double")).otherwise(
+        F.col("cyt") - F.col("cyc").cast("double") * F.col("cnt") / F.col("cnc")
+    )
+    w = Window.orderBy(F.col("s").desc())
+    pts = cum.select(
+        "s",
+        "cn",
+        qini.alias("qini"),
+        F.lag("cn", 1, 0).over(w).alias("cn_prev"),
+        F.lag(qini, 1, 0.0).over(w).alias("qini_prev"),
+    )
+    area = pts.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(
+                (F.col("cn") - F.col("cn_prev"))
+                * (F.col("qini") + F.col("qini_prev"))
+                / 2.0
+                / F.col("tn")
+                * _QINI_Q
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("areaq")
+    )
+    ate = F.col("tyt").cast("double") / F.col("tnt") - F.col("tyc").cast(
+        "double"
+    ) / F.col("tnc")
+    qini_final = F.col("tyt") - F.col("tyc").cast("double") * F.col(
+        "tnt"
+    ) / F.col("tnc")
+    auuc = F.col("areaq").cast("double") / _QINI_Q
+    return area.crossJoin(F.broadcast(tot)).select(
+        F.col("tn").alias("n_users"),
+        F.col("tnt").alias("n_treated"),
+        F.col("tnc").alias("n_control"),
+        q4(ate).alias("ate"),
+        q4(qini_final).alias("qini_final"),
+        q4(auuc).alias("auuc"),
+        q4(auuc - 0.5 * qini_final).alias("qini_coefficient"),
+    )

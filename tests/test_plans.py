@@ -624,6 +624,12 @@ def test_unpartitioned_window_census():
         ("operators/analytics.py", "_median_of"):
             "median prefix over the distinct daily-count grid — "
             "calendar-bounded (≤|days| rows; transfer-entropy helper)",
+        ("operators/mlprep.py", "ml_qini_auuc"):
+            "trapezoid lag over the integer click-count score grid — "
+            "value-domain-bounded",
+        ("llm/text.py", "pipeline_budget_allocation"):
+            "quality-rank + token prefix over the |sources| dimension "
+            "table (~20 rows)",
         ("operators/stats.py", "stat_siegel_slopes"):
             "two lower-median selections over |days|-sized frames "
             "(per-day repeated medians, then residual median) — "
