@@ -12152,3 +12152,305 @@ def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(z).alias("z"),
         (z > float(_PAGE_Z_CRIT)).alias("increasing_through_day"),
     )
+
+
+# -------------------------------------- round-9 wave K: diagnostics
+
+
+@register(
+    "stat_vif",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s2,
+               CAST(sum(CAST(floor(l_tax*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s3,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s11,
+               CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s22,
+               CAST(sum(CAST(floor(l_tax*100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_tax*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s33,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s12,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_tax*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s13,
+               CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_tax*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s23
+        FROM lineitem
+    ), r AS (
+        SELECT n,
+               (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n)
+                 / sqrt((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n)
+                      * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n))
+                   AS r12,
+               (CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE)*s3/n)
+                 / sqrt((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n)
+                      * (CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE)*s3/n))
+                   AS r13,
+               (CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE)*s3/n)
+                 / sqrt((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n)
+                      * (CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE)*s3/n))
+                   AS r23
+        FROM t
+    ), v AS (
+        SELECT n, r12, r13, r23,
+               1.0 - r12*r12 - r13*r13 - r23*r23 + 2.0*r12*r13*r23 AS detr
+        FROM r
+    )
+    SELECT n,
+           {sql_q4("r12")} AS r_qty_disc, {sql_q4("r13")} AS r_qty_tax,
+           {sql_q4("r23")} AS r_disc_tax,
+           {sql_q4("(1.0 - r23*r23) / detr")} AS vif_qty,
+           {sql_q4("(1.0 - r13*r13) / detr")} AS vif_disc,
+           {sql_q4("(1.0 - r12*r12) / detr")} AS vif_tax,
+           greatest((1.0 - r23*r23) / detr, (1.0 - r13*r13) / detr,
+                    (1.0 - r12*r12) / detr) > 5.0 AS collinearity_flag
+    FROM v
+    """,
+)
+def stat_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the three-feature design
+    (quantity, discount, tax): VIF_j = 1/(1-R²_j) where R²_j regresses
+    feature j on the other two — via the closed 3×3 identity VIF_j =
+    (1 - r_kl²)/det(R) with det(R) = 1 - r12² - r13² - r23² +
+    2·r12·r13·r23 — the pre-flight multicollinearity check every
+    regression (ml_ridge_closed_form, stat_linreg_multi) should read
+    first; VIF > 5 flags coefficients whose signs/magnitudes are
+    unstable.
+
+    Exactness: nine exact integer sufficient sums in one pass (all
+    within int64 — the largest is cents² × rows ~ 1e8·n), three
+    correlations and the determinant identity as fixed doubles.
+
+    Scale shape at 100 TB: ONE hash-aggregate pass, single-row
+    output."""
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = cents(F.col("l_discount"))
+    x3 = cents(F.col("l_tax"))
+    t = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("s1"),
+        F.sum(x2).cast("long").alias("s2"),
+        F.sum(x3).cast("long").alias("s3"),
+        F.sum(x1 * x1).cast("long").alias("s11"),
+        F.sum(x2 * x2).cast("long").alias("s22"),
+        F.sum(x3 * x3).cast("long").alias("s33"),
+        F.sum(x1 * x2).cast("long").alias("s12"),
+        F.sum(x1 * x3).cast("long").alias("s13"),
+        F.sum(x2 * x3).cast("long").alias("s23"),
+    )
+    n = F.col("n").cast("double")
+
+    def _c(sxy, sx, sy, sxx, syy) -> Column:
+        return (
+            F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(sy) / n
+        ) / F.sqrt(
+            (F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx) / n)
+            * (F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(sy) / n)
+        )
+
+    r12 = _c("s12", "s1", "s2", "s11", "s22")
+    r13 = _c("s13", "s1", "s3", "s11", "s33")
+    r23 = _c("s23", "s2", "s3", "s22", "s33")
+    detr = 1.0 - r12 * r12 - r13 * r13 - r23 * r23 + 2.0 * r12 * r13 * r23
+    v1 = (1.0 - r23 * r23) / detr
+    v2 = (1.0 - r13 * r13) / detr
+    v3 = (1.0 - r12 * r12) / detr
+    return t.select(
+        "n",
+        q4(r12).alias("r_qty_disc"),
+        q4(r13).alias("r_qty_tax"),
+        q4(r23).alias("r_disc_tax"),
+        q4(v1).alias("vif_qty"),
+        q4(v2).alias("vif_disc"),
+        q4(v3).alias("vif_tax"),
+        (F.greatest(v1, v2, v3) > 5.0).alias("collinearity_flag"),
+    )
+
+
+@register(
+    "stat_ridit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), grid AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS t
+        FROM ev GROUP BY v
+    ), ref AS (
+        SELECT v, t,
+               CAST(coalesce(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below,
+               CAST(sum(t) OVER () AS BIGINT) AS n_ref
+        FROM grid
+    ), scored AS (
+        -- 2*N_ref*ridit(v) = 2*below + t is an exact integer
+        SELECT e.event_type, 2*r.below + r.t AS rid2n, r.n_ref
+        FROM ev e JOIN ref r USING (v)
+    ), per AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(rid2n) AS BIGINT) AS s2n,
+               max(n_ref) AS n_ref
+        FROM scored GROUP BY event_type
+    )
+    SELECT event_type, n_g,
+           {sql_q4("CAST(s2n AS DOUBLE) / (2.0 * n_ref * n_g)")}
+               AS mean_ridit,
+           {sql_q4("(CAST(s2n AS DOUBLE) / (2.0 * n_ref * n_g) - 0.5)"
+                   " / sqrt(1.0 / (12.0 * n_g))")} AS z,
+           abs((CAST(s2n AS DOUBLE) / (2.0 * n_ref * n_g) - 0.5)
+               / sqrt(1.0 / (12.0 * n_g))) > {Z_CRIT} AS shifted
+    FROM per
+    """,
+)
+def stat_ridit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridit analysis (Bross 1958) of each event type's value
+    distribution against the pooled reference: ridit(v) = P(ref < v)
+    + ½P(ref = v), so the mean ridit is P(group > ref) + ½P(=) — a
+    direct probability statement ('55% of this group's values beat a
+    random reference value') that chi-square cells can't give for
+    ORDINAL data; z uses the Var = 1/(12n) null approximation.
+
+    Exactness: 2·N_ref·ridit = 2·below + t is an exact integer on the
+    cents grid (one bucketed prefix), so group sums fold exactly and
+    the mean/z are one double expression per group.
+
+    Scale shape: one hash aggregate to the grid, ONE prefix pass, a
+    grid-sized equi-join back to rows, one |types|-row aggregate."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    )
+    grid = ev.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    cum = global_ordered(
+        grid,
+        [F.col("v")],
+        bucket_key="v",
+        sums={"t": "cumt"},
+        rank_col=None,
+    )
+    n_ref = grid.agg(F.sum("t").cast("long").alias("n_ref"))
+    ref = cum.select(
+        "v", "t", (F.col("cumt") - F.col("t")).alias("below")
+    )
+    scored = ev.join(ref, "v").select(
+        "event_type", (2 * F.col("below") + F.col("t")).alias("rid2n")
+    )
+    per = (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("rid2n").cast("long").alias("s2n"),
+        )
+        .crossJoin(F.broadcast(n_ref))
+    )
+    mean_r = F.col("s2n").cast("double") / (2.0 * F.col("n_ref") * F.col("n_g"))
+    z = (mean_r - 0.5) / F.sqrt(1.0 / (12.0 * F.col("n_g")))
+    return per.select(
+        "event_type",
+        "n_g",
+        q4(mean_r).alias("mean_ridit"),
+        q4(z).alias("z"),
+        (F.abs(z) > float(Z_CRIT)).alias("shifted"),
+    )
+
+
+_GT_Q = 1_000_000_000_000
+
+
+@register(
+    "stat_g_test",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) <= DATE '{PSI_SPLIT}'
+                    THEN 0 ELSE 1 END AS half,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), marg AS (
+        SELECT c.event_type, c.half, c.o,
+               r.rt, h.ht, t.n
+        FROM cells c
+        JOIN (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+              FROM cells GROUP BY 1) r USING (event_type)
+        JOIN (SELECT half, CAST(sum(o) AS BIGINT) AS ht
+              FROM cells GROUP BY 1) h USING (half)
+        CROSS JOIN (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells) t
+    ), fold AS (
+        SELECT CAST(sum(o * CAST(floor(ln(CAST(o AS DOUBLE) * n
+                   / (CAST(rt AS DOUBLE) * ht)) * {_GT_Q} + 0.5)
+                   AS BIGINT)) AS BIGINT) AS gq,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               max(n) AS n
+        FROM marg WHERE o > 0
+    )
+    SELECT n, n_cells,
+           {sql_q4(f"2.0 * gq / {_GT_Q}")} AS g_stat,
+           2.0 * gq / {_GT_Q} > {CHI2_CRIT_DF4} AS dependent
+    FROM fold
+    """,
+)
+def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence for the event-
+    type × calendar-half table: G = 2·Σ O·ln(O·N/(R·C)) ~ χ²(df) —
+    the information-theoretic counterpart of stat_chi2_test that is
+    ADDITIVE across table partitions (G of a merged table = sum of
+    component G's plus the between-table G), which is why it is the
+    right test to compute distributed and roll up; Pearson's X² has
+    no such decomposition. Zero cells contribute 0 by the O·ln(O)
+    convention.
+
+    Exactness: observed and marginal counts are exact; each cell's
+    ln term quantizes at 1e-12 and is weighted by the integer O
+    before the ≤10-term fold.
+
+    Scale shape: one hash aggregate to the 5×2 cell table, two
+    broadcast marginal joins, one fold."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.when(F.to_date("ts") <= F.lit(PSI_SPLIT), 0).otherwise(1).alias("half"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rmarg = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    hmarg = cells.groupBy("half").agg(F.sum("o").cast("long").alias("ht"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    marg = (
+        cells.join(F.broadcast(rmarg), "event_type")
+        .join(F.broadcast(hmarg), "half")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.floor(
+        F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("rt").cast("double") * F.col("ht"))
+        )
+        * _GT_Q
+        + F.lit(0.5)
+    ).cast("long")
+    fold = marg.where(F.col("o") > 0).agg(
+        F.sum(F.col("o") * term).cast("long").alias("gq"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").alias("n"),
+    )
+    g = 2.0 * F.col("gq") / _GT_Q
+    return fold.select(
+        "n",
+        "n_cells",
+        q4(g).alias("g_stat"),
+        (g > float(CHI2_CRIT_DF4)).alias("dependent"),
+    )
