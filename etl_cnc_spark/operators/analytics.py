@@ -9475,3 +9475,216 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("teq_xy") > F.col("teq_yx")).alias("click_drives_purchase"),
         )
     )
+
+
+# --------------------- round-9 wave L: Viterbi as a tropical-matrix scan
+
+# 2-state HMM over daily activity (quiet/busy), all log-probs
+# quantized at 1e-9 so the tropical (max,+) algebra is EXACT int64:
+# transitions stay 0.9 / switch 0.1; emissions: quiet emits low-
+# activity days w.p. 0.8, busy emits high w.p. 0.8; uniform start.
+_HMM_Q = 1_000_000_000
+_HMM_STAY = -105360516  # ln 0.9
+_HMM_SWITCH = -2302585093  # ln 0.1
+_HMM_MATCH = -223143551  # ln 0.8
+_HMM_MISS = -1609437912  # ln 0.2
+_HMM_START = -693147181  # ln 0.5
+
+
+@register(
+    "events_hmm_viterbi",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT min(y) AS m FROM (
+            SELECT y, sum(cnt) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(cnt) OVER () AS n
+            FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+                  FROM daily GROUP BY y)
+        ) WHERE 2 * cum >= n
+    ), obs AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0 END AS hi
+        FROM daily
+    ), nfold AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM obs),
+    rec AS (
+        -- sequential left-fold of the exact tropical recurrence:
+        -- v_s(t) = max_s' (v_s'(t-1) + trans(s',s)) + emit(s, hi_t)
+        SELECT t,
+               CAST({_HMM_START} AS BIGINT)
+                 + CASE WHEN hi = 0 THEN {_HMM_MATCH}
+                   ELSE {_HMM_MISS} END AS v0,
+               CAST({_HMM_START} AS BIGINT)
+                 + CASE WHEN hi = 1 THEN {_HMM_MATCH}
+                   ELSE {_HMM_MISS} END AS v1
+        FROM obs WHERE t = 1
+        UNION ALL
+        SELECT o.t,
+               greatest(r.v0 + {_HMM_STAY}, r.v1 + {_HMM_SWITCH})
+                 + CASE WHEN o.hi = 0 THEN {_HMM_MATCH}
+                   ELSE {_HMM_MISS} END AS v0,
+               greatest(r.v1 + {_HMM_STAY}, r.v0 + {_HMM_SWITCH})
+                 + CASE WHEN o.hi = 1 THEN {_HMM_MATCH}
+                   ELSE {_HMM_MISS} END AS v1
+        FROM rec r JOIN obs o ON o.t = r.t + 1
+    ), fin AS (
+        SELECT v0, v1 FROM rec CROSS JOIN nfold WHERE t = tt
+    )
+    SELECT (SELECT tt FROM nfold) AS n_days,
+           {sql_q4(f"greatest(v0, v1) / {_HMM_Q}.0")} AS viterbi_loglik,
+           CASE WHEN v1 > v0 THEN 1 ELSE 0 END AS final_state_busy
+    FROM fin
+    """,
+)
+def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi best-path score of a 2-state HMM (quiet/busy) over the
+    daily activity sequence, computed as an ASSOCIATIVE SCAN: each
+    day becomes a 2×2 tropical (max,+) matrix of quantized-integer
+    log-probs, and the sequential Viterbi recurrence — inherently a
+    left fold — parallelizes because tropical matrix product is
+    associative: ⌈log₂ T⌉ rounds of pairwise combination over the
+    day grid replace the T-step chain. Every entry is an EXACT int64
+    (max and + preserve the 1e-9 quantization), so the parallel
+    combination order cannot change the result — the property that
+    makes the scan safe on a 1000-executor cluster. The oracle runs
+    the same recurrence as a sequential recursive CTE over identical
+    integers; hash parity across the two evaluation orders is itself
+    the associativity proof.
+
+    Scale shape at 100 TB: one hash aggregate to the calendar day
+    grid, then ~⌈log₂|days|⌉ (~9 for a year) self-joins over a frame
+    that HALVES each round — the same pointer-doubling discipline as
+    the connected-components family; no per-row sequential state."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    grid = daily.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    med = (
+        grid.select(
+            "y",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(wt).alias("n"),
+        )
+        .where(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("y").alias("m"))
+    )
+    from ..operators.prefix import global_ordered as _go
+
+    obs = (
+        _go(
+            daily,
+            [F.col("day")],
+            bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+            rank_col="t",
+        )
+        .crossJoin(F.broadcast(med))
+        .select(
+            "t",
+            F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("hi"),
+        )
+    )
+    # per-day tropical matrix M_t[i][j] = trans(i->j) + emit(j, hi_t)
+    emit0 = F.when(F.col("hi") == 0, _HMM_MATCH).otherwise(_HMM_MISS)
+    emit1 = F.when(F.col("hi") == 1, _HMM_MATCH).otherwise(_HMM_MISS)
+    mats = obs.select(
+        "t",
+        (F.lit(_HMM_STAY) + emit0).cast("long").alias("m00"),
+        (F.lit(_HMM_SWITCH) + emit1).cast("long").alias("m01"),
+        (F.lit(_HMM_SWITCH) + emit0).cast("long").alias("m10"),
+        (F.lit(_HMM_STAY) + emit1).cast("long").alias("m11"),
+        emit0.cast("long").alias("e0"),
+        emit1.cast("long").alias("e1"),
+    )
+    # Blelloch-style doubling over the TAIL matrices M_2..M_T (the
+    # chain is v_1 ⊗ M_2 ⊗ ... ⊗ M_T with v_1 = start + emit(day 1)):
+    # combine adjacent (odd, even) pairs with the tropical product —
+    # pairing preserves left-to-right order, associativity does the
+    # rest — until at most one matrix remains.
+    cur = (
+        mats.where(F.col("t") >= 2)
+        .select(
+            (F.col("t") - 1).alias("t"), "m00", "m01", "m10", "m11"
+        )
+        .localCheckpoint()
+    )
+    n_rows = cur.count()
+    while n_rows > 1:
+        a = cur.select(
+            F.floor((F.col("t") + 1) / 2).cast("long").alias("g"),
+            (F.col("t") % 2).alias("side"),
+            "m00",
+            "m01",
+            "m10",
+            "m11",
+        )
+        left = a.where(F.col("side") == 1).select(
+            "g",
+            F.col("m00").alias("a00"),
+            F.col("m01").alias("a01"),
+            F.col("m10").alias("a10"),
+            F.col("m11").alias("a11"),
+        )
+        right = a.where(F.col("side") == 0).select(
+            "g",
+            F.col("m00").alias("b00"),
+            F.col("m01").alias("b01"),
+            F.col("m10").alias("b10"),
+            F.col("m11").alias("b11"),
+        )
+
+        def _combine(ai: str, aj: str, bi: str, bj: str, alone: str):
+            return F.coalesce(
+                F.greatest(
+                    F.col(ai) + F.col(bi), F.col(aj) + F.col(bj)
+                ),
+                F.col(alone),
+            ).cast("long")
+
+        cur = (
+            left.join(right, "g", "left")
+            .select(
+                F.col("g").alias("t"),
+                _combine("a00", "a01", "b00", "b10", "a00").alias("m00"),
+                _combine("a00", "a01", "b01", "b11", "a01").alias("m01"),
+                _combine("a10", "a11", "b00", "b10", "a10").alias("m10"),
+                _combine("a10", "a11", "b01", "b11", "a11").alias("m11"),
+            )
+            .localCheckpoint()
+        )
+        n_rows = cur.count()
+    v1 = mats.where(F.col("t") == 1).select(
+        (F.lit(_HMM_START) + F.col("e0")).cast("long").alias("v0"),
+        (F.lit(_HMM_START) + F.col("e1")).cast("long").alias("v1"),
+    )
+    nfold = obs.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    if n_rows == 0:  # single-day series: no tail product
+        vt = v1
+    else:
+        tail = cur.select("m00", "m01", "m10", "m11")
+        vt = v1.crossJoin(F.broadcast(tail)).select(
+            F.greatest(
+                F.col("v0") + F.col("m00"), F.col("v1") + F.col("m10")
+            )
+            .cast("long")
+            .alias("v0"),
+            F.greatest(
+                F.col("v0") + F.col("m01"), F.col("v1") + F.col("m11")
+            )
+            .cast("long")
+            .alias("v1"),
+        )
+    return vt.crossJoin(F.broadcast(nfold)).select(
+        "n_days",
+        q4(
+            F.greatest(F.col("v0"), F.col("v1")).cast("double") / _HMM_Q
+        ).alias("viterbi_loglik"),
+        F.when(F.col("v1") > F.col("v0"), 1).otherwise(0).alias(
+            "final_state_busy"
+        ),
+    )

@@ -624,6 +624,9 @@ def test_unpartitioned_window_census():
         ("operators/analytics.py", "_median_of"):
             "median prefix over the distinct daily-count grid — "
             "calendar-bounded (≤|days| rows; transfer-entropy helper)",
+        ("operators/analytics.py", "events_hmm_viterbi"):
+            "median prefix over the distinct daily-count grid — "
+            "calendar-bounded (observation binarization)",
         ("operators/mlprep.py", "ml_qini_auuc"):
             "trapezoid lag over the integer click-count score grid — "
             "value-domain-bounded",
