@@ -12454,3 +12454,137 @@ def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(g).alias("g_stat"),
         (g > float(CHI2_CRIT_DF4)).alias("dependent"),
     )
+
+
+_BD_Q = 1_000_000_000
+_CHI2_CRIT_DF6 = "12.592"
+
+
+@register(
+    "stat_breslow_day",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS stratum,
+               CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outc
+        FROM events
+    ), cells AS (
+        SELECT stratum,
+               CAST(count_if(exposed = 1 AND outc = 1) AS BIGINT) AS a,
+               CAST(count_if(exposed = 1 AND outc = 0) AS BIGINT) AS b,
+               CAST(count_if(exposed = 0 AND outc = 1) AS BIGINT) AS c,
+               CAST(count_if(exposed = 0 AND outc = 0) AS BIGINT) AS d
+        FROM base GROUP BY stratum
+    ), mh AS (
+        SELECT CAST(sum(CAST(floor(CAST(a AS DOUBLE) * d / (a + b + c + d)
+                    * {_BD_Q} + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(sum(CAST(floor(CAST(b AS DOUBLE) * c / (a + b + c + d)
+                    * {_BD_Q} + 0.5) AS BIGINT)) AS DOUBLE) AS psi
+        FROM cells
+    ), fitted AS (
+        SELECT stratum, a,
+               (psi*(a + b + a + c) + ((a+b+c+d) - (a+b) - (a+c)))
+                   AS bq,
+               psi, CAST(a + b AS DOUBLE) AS r, CAST(a + c AS DOUBLE) AS cc,
+               CAST(a + b + c + d AS DOUBLE) AS nn
+        FROM cells CROSS JOIN mh
+    ), roots AS (
+        SELECT stratum, a, psi, r, cc, nn,
+               (bq - sqrt(bq*bq - 4.0*(psi - 1.0)*psi*r*cc))
+                   / (2.0*(psi - 1.0)) AS e_a
+        FROM fitted
+    ), terms AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(CAST(floor(pow(a - e_a, 2)
+                   / (1.0/(1.0/e_a + 1.0/(r - e_a) + 1.0/(cc - e_a)
+                      + 1.0/(nn - r - cc + e_a)))
+                   * {_BD_Q} + 0.5) AS BIGINT)) AS BIGINT) AS bdq
+        FROM roots
+    )
+    SELECT n_strata, {sql_q4("(SELECT psi FROM mh)")} AS or_mh,
+           {sql_q4(f"CAST(bdq AS DOUBLE) / {_BD_Q}")} AS bd_stat,
+           CAST(bdq AS DOUBLE) / {_BD_Q} > {_CHI2_CRIT_DF6}
+               AS heterogeneous
+    FROM terms
+    """,
+)
+def stat_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day homogeneity test for the weekday-stratified odds
+    ratios behind stat_mantel_haenszel: under the common OR ψ (the MH
+    estimate), each stratum's expected a-cell is the root of the
+    quadratic ψ(r-A)(c-A) = A(N-r-c+A) — CLOSED FORM, the minus root
+    is the admissible one — and BD = Σ (a-Ã)²·[1/Ã + 1/(r-Ã) +
+    1/(c-Ã) + 1/(N-r-c+Ã)] ~ χ²(K-1). MH answers 'what is the pooled
+    OR?'; Breslow-Day answers 'is pooling even legitimate?' — the
+    pair is how stratified association is actually reported.
+
+    Exactness: exact integer 2×2 cells per stratum; ψ from the same
+    1e-9-quantized MH folds; the quadratic root, variance and
+    per-stratum term are one fixed double expression, quantized at
+    1e-9 before the 7-row fold.
+
+    Scale shape: one hash aggregate to 7 strata, a broadcast 1-row ψ,
+    closed form per stratum."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("((dayofweek(ts) + 5) % 7) + 1").alias("stratum"),
+        F.when(F.hour("ts") >= 12, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("outc"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count_if((F.col("exposed") == 1) & (F.col("outc") == 1))
+        .cast("long")
+        .alias("a"),
+        F.count_if((F.col("exposed") == 1) & (F.col("outc") == 0))
+        .cast("long")
+        .alias("b"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outc") == 1))
+        .cast("long")
+        .alias("c"),
+        F.count_if((F.col("exposed") == 0) & (F.col("outc") == 0))
+        .cast("long")
+        .alias("d"),
+    )
+    ntot = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    mh = cells.agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("a").cast("double") * F.col("d") / ntot * _BD_Q + 0.5
+                ).cast("long")
+            ).cast("double")
+            / F.sum(
+                F.floor(
+                    F.col("b").cast("double") * F.col("c") / ntot * _BD_Q + 0.5
+                ).cast("long")
+            ).cast("double")
+        ).alias("psi")
+    )
+    j = cells.crossJoin(F.broadcast(mh))
+    r = (F.col("a") + F.col("b")).cast("double")
+    cc = (F.col("a") + F.col("c")).cast("double")
+    nn = ntot.cast("double")
+    bq = F.col("psi") * (r + cc) + (nn - r - cc)
+    e_a = (
+        bq - F.sqrt(bq * bq - 4.0 * (F.col("psi") - 1.0) * F.col("psi") * r * cc)
+    ) / (2.0 * (F.col("psi") - 1.0))
+    vinv = (
+        1.0 / e_a
+        + 1.0 / (r - e_a)
+        + 1.0 / (cc - e_a)
+        + 1.0 / (nn - r - cc + e_a)
+    )
+    term = F.floor(
+        F.pow(F.col("a") - e_a, 2) / (1.0 / vinv) * _BD_Q + 0.5
+    ).cast("long")
+    terms = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(term).cast("long").alias("bdq"),
+    )
+    bd = F.col("bdq").cast("double") / _BD_Q
+    return terms.crossJoin(F.broadcast(mh)).select(
+        "n_strata",
+        q4(F.col("psi")).alias("or_mh"),
+        q4(bd).alias("bd_stat"),
+        (bd > float(_CHI2_CRIT_DF6)).alias("heterogeneous"),
+    )
