@@ -9688,3 +9688,277 @@ def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_state_busy"
         ),
     )
+
+
+# ---------------------- round-9 wave N: survival weights + attribution
+
+
+@register(
+    "events_gehan_wilcoxon",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id % 2 AS grp,
+               CASE WHEN min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) IS NOT NULL
+                    THEN CAST(date_diff('day', min(CAST(ts AS DATE)),
+                        min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END)) AS BIGINT)
+                    ELSE CAST(date_diff('day', min(CAST(ts AS DATE)),
+                        max(CAST(ts AS DATE))) AS BIGINT)
+               END AS t,
+               min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS DATE) END) IS NOT NULL AS dead
+        FROM events GROUP BY user_id
+    ), lab AS (
+        SELECT t, grp, dead FROM per_user
+    ), grid AS (
+        SELECT t,
+               CAST(count_if(dead AND grp = 1) AS BIGINT) AS d1,
+               CAST(count_if(dead AND grp = 0) AS BIGINT) AS d0,
+               CAST(count_if(grp = 1) AS BIGINT) AS a1,
+               CAST(count_if(grp = 0) AS BIGINT) AS a0
+        FROM lab GROUP BY t
+    ), tot AS (
+        SELECT CAST(sum(a1) AS BIGINT) AS nu1,
+               CAST(sum(a0) AS BIGINT) AS nu0
+        FROM grid
+    ), risk AS (
+        SELECT t, d1, d0,
+               CAST(nu1 - coalesce(sum(a1) OVER w, 0) AS BIGINT) AS n1,
+               CAST(nu0 - coalesce(sum(a0) OVER w, 0) AS BIGINT) AS n0
+        FROM grid CROSS JOIN tot
+        WINDOW w AS (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), terms AS (
+        -- Gehan weight w_t = n1 + n0 (total at risk): early deaths,
+        -- observed on many subjects, dominate
+        SELECT CAST(floor((n1 + n0)
+                    * (d1 - CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0))
+                    * {_LR_Q} + 0.5) AS BIGINT) AS oe_q,
+               CASE WHEN n1 + n0 > 1 THEN
+                   CAST(floor(CAST(n1 + n0 AS DOUBLE) * (n1 + n0)
+                        * (d1 + d0) * n1 * n0 * (n1 + n0 - d1 - d0)
+                        / (n1 + n0) / (n1 + n0) / (n1 + n0 - 1)
+                        * {_LR_Q} + 0.5) AS BIGINT)
+                   ELSE 0 END AS v_q
+        FROM risk WHERE d1 + d0 > 0 AND n1 > 0 AND n0 > 0
+    ), fold AS (
+        SELECT CAST(sum(oe_q) AS BIGINT) AS oe,
+               CAST(sum(v_q) AS HUGEINT) AS v
+        FROM terms
+    )
+    SELECT (SELECT nu1 FROM tot) AS n_grp1,
+           (SELECT nu0 FROM tot) AS n_grp0,
+           {sql_q4(f"CAST(oe AS DOUBLE) / {_LR_Q}")} AS weighted_oe,
+           {sql_q4(f"(CAST(oe AS DOUBLE) / {_LR_Q})"
+                   f" / sqrt(CAST(v AS DOUBLE) / {_LR_Q})")} AS z,
+           abs((CAST(oe AS DOUBLE) / {_LR_Q})
+               / sqrt(CAST(v AS DOUBLE) / {_LR_Q})) > 1.96
+               AS rejected
+    FROM fold
+    """,
+)
+def events_gehan_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gehan-Wilcoxon (generalized Wilcoxon) comparison of the two
+    A/B arms' time-to-first-purchase curves (user-parity assignment,
+    censoring at last activity): the
+    logrank machinery with weight w_t = n_at_risk — EARLY separations
+    dominate, where events_logrank_test (w_t = 1) weights all event
+    times equally and is most powerful only under proportional
+    hazards. Reporting both is the standard survival-analysis
+    practice: logrank significant + Gehan not (or vice versa) tells
+    you WHERE the curves differ.
+
+    Exactness: identical day-grid machinery as the logrank key (one
+    hash aggregate, one suffix-risk prefix); weighted O-E and w²V
+    terms quantize at 1e-9, the variance fold accumulates in
+    decimal(38,0)/HUGEINT since w² = (n1+n0)² scales it past int64 at
+    100 TB populations.
+
+    Scale shape: one pass to users, one to the day grid, one bounded
+    prefix, one fold."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    per_user = e.groupBy("user_id").agg(
+        (F.first(F.col("user_id")) % 2).alias("grp"),
+        F.min(F.to_date("ts")).alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("p_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    lab = per_user.select(
+        F.when(
+            F.col("p_day").isNotNull(), F.datediff("p_day", "entry")
+        )
+        .otherwise(F.datediff("last_day", "entry"))
+        .cast("long")
+        .alias("t"),
+        "grp",
+        F.col("p_day").isNotNull().alias("dead"),
+    )
+    grid = lab.groupBy("t").agg(
+        F.count_if(F.col("dead") & (F.col("grp") == 1)).cast("long").alias("d1"),
+        F.count_if(F.col("dead") & (F.col("grp") == 0)).cast("long").alias("d0"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("a1"),
+        F.count_if(F.col("grp") == 0).cast("long").alias("a0"),
+    )
+    tot = grid.agg(
+        F.sum("a1").cast("long").alias("nu1"),
+        F.sum("a0").cast("long").alias("nu0"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d0",
+        (F.col("nu1") - F.coalesce(F.sum("a1").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+        (F.col("nu0") - F.coalesce(F.sum("a0").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n0"),
+    )
+    nn = (F.col("n1") + F.col("n0")).cast("double")
+    dd = (F.col("d1") + F.col("d0")).cast("double")
+    oe_q = F.floor(
+        nn * (F.col("d1") - dd * F.col("n1") / nn) * _LR_Q + 0.5
+    ).cast("long")
+    v_q = F.when(
+        F.col("n1") + F.col("n0") > 1,
+        F.floor(
+            nn
+            * nn
+            * dd
+            * F.col("n1")
+            * F.col("n0")
+            * (nn - dd)
+            / nn
+            / nn
+            / (nn - 1)
+            * _LR_Q
+            + 0.5
+        ).cast(dec),
+    ).otherwise(F.lit(0).cast(dec))
+    terms = risk.where(
+        (F.col("d1") + F.col("d0") > 0) & (F.col("n1") > 0) & (F.col("n0") > 0)
+    )
+    fold = terms.agg(
+        F.sum(oe_q).cast("long").alias("oe"),
+        F.sum(v_q).alias("v"),
+    )
+    oe = F.col("oe").cast("double") / _LR_Q
+    z = oe / F.sqrt(F.col("v").cast("double") / _LR_Q)
+    return fold.crossJoin(F.broadcast(tot)).select(
+        F.col("nu1").alias("n_grp1"),
+        F.col("nu0").alias("n_grp0"),
+        q4(oe).alias("weighted_oe"),
+        q4(z).alias("z"),
+        (F.abs(z) > 1.96).alias("rejected"),
+    )
+
+
+_SHAP_Q = 1_000_000_000
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=f"""
+    WITH first_p AS (
+        SELECT user_id, min(ts) AS p_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), touches AS (
+        SELECT DISTINCT e.user_id, e.event_type AS channel
+        FROM events e JOIN first_p p USING (user_id)
+        WHERE e.ts < p.p_ts AND e.event_type <> 'purchase'
+    ), set_size AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS k
+        FROM touches GROUP BY user_id
+    ), credits AS (
+        SELECT t.channel,
+               CAST(floor(1.0 / s.k * {_SHAP_Q} + 0.5) AS BIGINT) AS cq
+        FROM touches t JOIN set_size s USING (user_id)
+    ), per_ch AS (
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS conversions_touched,
+               CAST(sum(cq) AS BIGINT) AS shapq
+        FROM credits GROUP BY channel
+    ), tot AS (
+        SELECT CAST(sum(shapq) AS BIGINT) AS totq,
+               (SELECT CAST(count(*) AS BIGINT) FROM set_size) AS n_conv,
+               (SELECT CAST(count(*) AS BIGINT) FROM first_p)
+                 - (SELECT CAST(count(*) AS BIGINT) FROM set_size)
+                   AS n_unattributed
+        FROM per_ch
+    )
+    SELECT channel, conversions_touched,
+           {sql_q4(f"CAST(shapq AS DOUBLE) / {_SHAP_Q}")} AS shapley_credit,
+           {sql_q4("CAST(shapq AS DOUBLE) / totq")} AS credit_share,
+           n_conv, n_unattributed
+    FROM per_ch CROSS JOIN tot
+    """,
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution for conversions: each
+    converting user's pre-purchase channel SET defines a coalition,
+    and under the subset-characteristic game v(S) = conversions whose
+    touch set ⊆ S the Shapley value collapses to a CLOSED FORM —
+    split each conversion equally among the |S| channels present
+    (the unanimity-basis decomposition: v = Σ_T conv(T)·u_T and
+    φ_c(u_T) = 1/|T| for c ∈ T) — so the game-theoretically fair
+    attribution that position rules (events_attribution's first/last
+    touch) and regression attribution (ml_linear_attribution) both
+    approximate is computed EXACTLY with no 2^k enumeration.
+    Conversions with no prior touches are reported as unattributed.
+
+    Exactness: per-conversion credits 1/|S| quantize at 1e-9 and fold
+    as BIGINTs; everything else is exact counts.
+
+    Scale shape at 100 TB: one semi-join of events to first purchases
+    (shuffle on user_id), one distinct, two hash aggregates —
+    |channels| output rows; never a subset enumeration."""
+    e = table(spark, sf_dir, "events")
+    first_p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    touches = (
+        e.join(first_p, "user_id")
+        .where((F.col("ts") < F.col("p_ts")) & (F.col("event_type") != "purchase"))
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    set_size = touches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    credits = touches.join(set_size, "user_id").select(
+        "channel",
+        F.floor(1.0 / F.col("k") * _SHAP_Q + 0.5).cast("long").alias("cq"),
+    )
+    per_ch = credits.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("conversions_touched"),
+        F.sum("cq").cast("long").alias("shapq"),
+    )
+    n_conv = set_size.agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    n_p = first_p.agg(F.count(F.lit(1)).cast("long").alias("n_p"))
+    tot = (
+        per_ch.agg(F.sum("shapq").cast("long").alias("totq"))
+        .crossJoin(F.broadcast(n_conv))
+        .crossJoin(F.broadcast(n_p))
+        .select(
+            "totq",
+            "n_conv",
+            (F.col("n_p") - F.col("n_conv")).alias("n_unattributed"),
+        )
+    )
+    return per_ch.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "conversions_touched",
+        q4(F.col("shapq").cast("double") / _SHAP_Q).alias("shapley_credit"),
+        q4(F.col("shapq").cast("double") / F.col("totq")).alias(
+            "credit_share"
+        ),
+        "n_conv",
+        "n_unattributed",
+    )
