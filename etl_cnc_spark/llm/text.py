@@ -4168,3 +4168,114 @@ def pipeline_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.cast("long").alias("alloc_tokens"),
         q4(alloc.cast("double") / F.col("tokens")).alias("take_fraction"),
     )
+
+
+_CER_Q = 1_000_000_000
+
+
+@register(
+    "text_char_entropy_rate",
+    oracle=f"""
+    WITH docs AS (
+        SELECT lang, text FROM documents
+    ), bi AS (
+        SELECT lang, substr(text, i, 2) AS g
+        FROM docs, LATERAL (
+            SELECT unnest(range(1, length(text))) AS i
+        )
+    ), tri AS (
+        SELECT lang, substr(text, i, 3) AS g
+        FROM docs, LATERAL (
+            SELECT unnest(range(1, length(text) - 1)) AS i
+        )
+    ), hbi AS (
+        SELECT lang,
+               CAST(sum(c * CAST(floor(-log2(CAST(c AS DOUBLE) / n)
+                   * {_CER_Q} + 0.5) AS BIGINT)) AS HUGEINT) AS hq,
+               max(n) AS n
+        FROM (
+            SELECT lang, g, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n
+            FROM bi GROUP BY lang, g
+        ) GROUP BY lang
+    ), htri AS (
+        SELECT lang,
+               CAST(sum(c * CAST(floor(-log2(CAST(c AS DOUBLE) / n)
+                   * {_CER_Q} + 0.5) AS BIGINT)) AS HUGEINT) AS hq,
+               max(n) AS n
+        FROM (
+            SELECT lang, g, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n
+            FROM tri GROUP BY lang, g
+        ) GROUP BY lang
+    )
+    SELECT b.lang, b.n AS n_bigrams, t.n AS n_trigrams,
+           {sql_q4(f"CAST(b.hq AS DOUBLE) / {_CER_Q} / b.n")} AS h_bigram,
+           {sql_q4(f"CAST(t.hq AS DOUBLE) / {_CER_Q} / t.n")} AS h_trigram,
+           {sql_q4(f"CAST(t.hq AS DOUBLE) / {_CER_Q} / t.n"
+                   f" - CAST(b.hq AS DOUBLE) / {_CER_Q} / b.n")}
+               AS entropy_rate_bits
+    FROM hbi b JOIN htri t USING (lang)
+    """,
+)
+def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level conditional entropy rate per language:
+    H(c₃ | c₁c₂) = H(trigram) - H(bigram) — Shannon's block-entropy
+    ladder, the classic 'how predictable is this text, given two
+    characters of context' number that separates natural language
+    (~1-2 bits/char) from templated/generated filler and from
+    encrypted/compressed noise (→ log₂|alphabet|), one level deeper
+    than text_char_bigram_entropy's unconditional H₂.
+
+    Exactness: n-gram counts are exact; each -c·log₂(c/n) term
+    quantizes at 1e-9 and the folds accumulate in decimal(38,0)/
+    HUGEINT (token-scale sums × 1e9 pass int64 at 100 TB); the
+    subtraction is one double per language.
+
+    Scale shape at 100 TB: two n-gram explodes into map-side-combined
+    hash aggregates keyed (lang, gram); per-lang totals by a window
+    partitioned by lang; |langs| output rows."""
+    d = table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+
+    def _grams(k: int):
+        idx = F.explode(
+            F.sequence(F.lit(1), F.length("text") - (k - 1))
+        ).alias("i")
+        g = d.select("lang", "text", idx).select(
+            "lang", F.col("text").substr(F.col("i"), F.lit(k)).alias("g")
+        )
+        cnt = g.groupBy("lang", "g").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        wl = Window.partitionBy("lang")
+        withn = cnt.select(
+            "lang", "c", F.sum("c").over(wl).cast("long").alias("n")
+        )
+        term = F.floor(
+            -F.log2(F.col("c").cast("double") / F.col("n")) * _CER_Q
+            + F.lit(0.5)
+        ).cast("long")
+        return withn.groupBy("lang").agg(
+            F.sum(F.col("c").cast(dec) * term).alias("hq"),
+            F.max("n").alias("n"),
+        )
+
+    hbi = _grams(2).select(
+        "lang", F.col("hq").alias("hq2"), F.col("n").alias("n2")
+    )
+    htri = _grams(3).select(
+        "lang", F.col("hq").alias("hq3"), F.col("n").alias("n3")
+    )
+    h2 = F.col("hq2").cast("double") / _CER_Q / F.col("n2")
+    h3 = F.col("hq3").cast("double") / _CER_Q / F.col("n3")
+    return hbi.join(htri, "lang").select(
+        "lang",
+        F.col("n2").alias("n_bigrams"),
+        F.col("n3").alias("n_trigrams"),
+        q4(h2).alias("h_bigram"),
+        q4(h3).alias("h_trigram"),
+        q4(h3 - h2).alias("entropy_rate_bits"),
+    )

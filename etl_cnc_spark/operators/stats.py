@@ -12588,3 +12588,97 @@ def stat_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(bd).alias("bd_stat"),
         (bd > float(_CHI2_CRIT_DF6)).alias("heterogeneous"),
     )
+
+
+# -------------------------------- round-9 wave O: randomness checks
+
+
+@register(
+    "stat_runs_up_down",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), diffs AS (
+        SELECT a.t,
+               CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM ranked a JOIN ranked b ON b.t = a.t + 1
+    ), nz AS (
+        -- classical treatment: drop ties, then count sign changes
+        SELECT sgn, row_number() OVER (ORDER BY t) AS i
+        FROM diffs WHERE sgn <> 0
+    ), runs AS (
+        -- runs = 1 + sign changes; the first row's NULL comparison is
+        -- excluded by count_if on both engines
+        SELECT 1 + CAST(count_if(NOT same) AS BIGINT) AS r,
+               CAST(count(*) AS BIGINT) + 1 AS n
+        FROM (
+            SELECT sgn = lag(sgn) OVER (ORDER BY i) AS same FROM nz
+        )
+    )
+    SELECT n, r AS n_runs,
+           {sql_q4("(2.0 * n - 1.0) / 3.0")} AS expected_runs,
+           {sql_q4("(r - (2.0 * n - 1.0) / 3.0)"
+                   " / sqrt((16.0 * n - 29.0) / 90.0)")} AS z,
+           abs((r - (2.0 * n - 1.0) / 3.0)
+               / sqrt((16.0 * n - 29.0) / 90.0)) > {Z_CRIT}
+               AS nonrandom
+    FROM runs
+    """,
+)
+def stat_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-up-and-down randomness test of the daily event-count
+    series: count maximal monotone runs in the SIGN of successive
+    differences (ties dropped, the classical rule) and compare with
+    E[R] = (2n-1)/3, Var[R] = (16n-29)/90 — sensitive to
+    oscillation/momentum structure that stat_runs_test's
+    above/below-median runs (which exist separately) cannot see,
+    because it looks at local moves, not levels.
+
+    Exactness: signs, run counts and n are exact integers from the
+    day grid (a rank+1 self-join and one lag over the nonzero-sign
+    sequence); the z is one double expression.
+
+    Scale shape: one hash aggregate to days, grid-sized join + lag
+    (calendar-bounded, census-allowlisted), one fold."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = global_ordered(
+        daily,
+        [F.col("day")],
+        bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
+        rank_col="t",
+    ).select("y", "t")
+    a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ta"))
+    b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
+    diffs = a.join(b, F.col("tb") == F.col("ta") + 1).select(
+        F.col("ta").alias("t"),
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    nz = diffs.where(F.col("sgn") != 0)
+    w = Window.orderBy("t")
+    seq = nz.select(
+        "sgn", (F.col("sgn") == F.lag("sgn").over(w)).alias("same")
+    )
+    runs = seq.agg(
+        (1 + F.count_if(~F.col("same"))).cast("long").alias("r"),
+        (F.count(F.lit(1)) + 1).cast("long").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    z = (F.col("r") - (2.0 * n - 1.0) / 3.0) / F.sqrt((16.0 * n - 29.0) / 90.0)
+    return runs.select(
+        "n",
+        F.col("r").alias("n_runs"),
+        q4((2.0 * n - 1.0) / 3.0).alias("expected_runs"),
+        q4(z).alias("z"),
+        (F.abs(z) > float(Z_CRIT)).alias("nonrandom"),
+    )

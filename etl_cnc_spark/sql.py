@@ -485,3 +485,59 @@ def sql_entry_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one pushed-down scan of three columns, one
     take-ordered top-20, 10 output rows."""
     return run(spark, sf_dir, _OFFSET_PAGE)
+
+
+# Named WINDOW clause: one definition, several consumers — shared text.
+_NAMED_WINDOW = """
+SELECT o_orderpriority,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER wf AS BIGINT) AS running_cents,
+       CAST(lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER w AS BIGINT) AS prev_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority
+              ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+QUALIFY rn <= 3
+"""
+# Spark has no QUALIFY: express the same query with a subquery filter.
+_NAMED_WINDOW_SPARK = """
+SELECT * FROM (
+    SELECT o_orderpriority,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER wf AS BIGINT) AS running_cents,
+           CAST(lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER w AS BIGINT) AS prev_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WHERE rn <= 3
+"""
+
+
+@register("sql_entry_named_window", oracle=_NAMED_WINDOW)
+def sql_entry_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause — define the partition/order spec once and
+    consume it from three window functions (row_number, a framed
+    running sum, lag): the maintainability idiom for multi-metric
+    window queries, and a planner test that both engines merge the
+    consumers into ONE window operator over one sort (Catalyst's
+    window-group coalescing) instead of three. The oracle filters the
+    top-3 with QUALIFY; Spark (no QUALIFY) uses the equivalent
+    subquery — same named-window text otherwise, same result.
+
+    Scale shape: one scan, ONE partitioned sort serving all three
+    functions, top-3 per priority output."""
+    return run(spark, sf_dir, _NAMED_WINDOW_SPARK)

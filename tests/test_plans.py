@@ -624,6 +624,11 @@ def test_unpartitioned_window_census():
         ("operators/analytics.py", "_median_of"):
             "median prefix over the distinct daily-count grid — "
             "calendar-bounded (≤|days| rows; transfer-entropy helper)",
+        ("operators/analytics.py", "events_gehan_wilcoxon"):
+            "at-risk suffix prefix over the survival day grid — "
+            "calendar-bounded (same shape as events_logrank_test)",
+        ("operators/stats.py", "stat_runs_up_down"):
+            "lag over the nonzero-sign day sequence — calendar-bounded",
         ("operators/analytics.py", "events_hmm_viterbi"):
             "median prefix over the distinct daily-count grid — "
             "calendar-bounded (observation binarization)",
