@@ -56,32 +56,36 @@ REGISTRY: dict[str, QueryDef] = {}
 # driver-canonicalization traps like r4's embed_quantize numpy-cell
 # issue).
 DRIVER_WINDOW: list[str] = [
-    # r9 rotation: the never-driver-checked LLM-family keys (VERDICT
-    # r8 item 1 — they carry the subtlest math), then the two keys
-    # that landed after the r8 sweep (events_competing_risks_cif —
-    # terminal-day fix this round — and fn_time_bucket) and
-    # agg_pythagorean_means (reciprocal-fold scale changed this
-    # round).  All 50 preflight --exec clean at rotation time.
-    "dedup_embedding_exact", "dedup_incremental", "dedup_containment",
-    "dedup_cdc_chunks", "dedup_threshold_sweep",
-    "sim_topk_diverse", "sim_mips_transform", "sim_kmeans_refine",
-    "sim_rocchio_feedback", "sim_reciprocal_nn", "sim_ivf_nprobe_sweep",
-    "sim_mmr_diversify",
-    "embed_norm_stats", "embed_centroid_inertia", "embed_whitening_stats",
-    "embed_hamming_topk", "embed_expert_routing", "embed_hubness_stats",
-    "embed_mahalanobis_ood", "embed_isotropy", "embed_variance_spectrum",
-    "embed_cka_halves", "embed_random_projection", "embed_triplet_mining",
-    "pipeline_length_buckets", "pipeline_interleave_roundrobin",
-    "pipeline_quality_gate_report", "pipeline_dedup_weights",
-    "text_js_divergence", "text_kn_lm_score", "text_bpe_pair_counts",
-    "text_readability", "text_zipf_fit", "text_hapax_stats",
-    "text_burrows_delta", "text_simpson_diversity",
-    "text_contamination_check", "text_compression_quality",
-    "text_yule_k", "text_mendenhall_curve", "text_sttr_segmented",
-    "text_oov_rate", "text_lexical_richness", "text_char_bigram_entropy",
-    "text_heaps_law", "text_renyi_spectrum", "text_langid_confusion",
-    "events_competing_risks_cif", "fn_time_bucket",
-    "agg_pythagorean_means",
+    # r10 rotation: the local-only multimodal keys the r9 verdict asked
+    # to attest first (VERDICT r9 item 4; its third name
+    # "sim_matryoshka" resolves to embed_matryoshka_topk, already
+    # driver-green in r9, so multimodal_framesample takes the slot),
+    # then the next 47 never-driver-checked keys in registry order
+    # (the ETL profiling/sharding wave, the BI/reliability events
+    # tail, and the classical-stats tail).  All 50 preflight --exec
+    # clean at rotation time.
+    "multimodal_energy_segments", "multimodal_byte_entropy",
+    "multimodal_framesample",
+    "agg_frequency_moments",
+    "etl_fk_discovery", "etl_pk_discovery", "etl_freshness_report",
+    "etl_column_entropy", "etl_t_closeness", "etl_consistent_hash_shards",
+    "etl_partition_spec_planner",
+    "orders_seasonal_index", "events_markov_entropy_rate",
+    "events_interarrival_burstiness", "orders_abc_migration",
+    "orders_price_index", "events_logrank_test", "orders_safety_stock",
+    "events_spc_p_chart", "events_bass_diffusion", "orders_newsvendor",
+    "events_allan_variance", "events_markov_dwell_times",
+    "orders_price_volume_bridge", "events_epoch_folding",
+    "events_transfer_entropy", "events_hmm_viterbi",
+    "events_gehan_wilcoxon", "events_attribution_shapley",
+    "events_reliability_growth",
+    "stat_jarque_bera", "stat_grubbs", "stat_mood_median",
+    "stat_cochran_q", "stat_proportions_ztest", "stat_odds_ratio",
+    "stat_hurst_rs", "stat_pacf", "stat_hodges_lehmann",
+    "stat_theil_decomposition", "stat_wilcoxon_signed", "stat_box_cox",
+    "stat_capability", "stat_gamma_fit_mom", "stat_negbin_fit_mom",
+    "stat_winsorized_trimmed", "stat_icc_variance_components",
+    "stat_mad_robust_scale", "stat_cronbach_alpha", "stat_periodogram",
 ]
 
 
