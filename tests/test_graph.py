@@ -58,21 +58,48 @@ def test_lm_score_probability_axioms(spark, sf_dir):
 def test_min_label_components_long_path(spark):
     """A 41-node path (diameter 40, > the old 20-round cap) must fully
     converge — pointer jumping covers 2^rounds hops — and every node
-    must get label 0."""
+    must get label 0. ``local_max_edges=0`` forces the distributed
+    loop (the default would take the single-executor union-find
+    shortcut on a graph this small)."""
     from etl_cnc_spark.llm.dedup import min_label_components
 
     pairs = [(i, i + 1) for i in range(40)]
     edges = spark.createDataFrame(
         pairs + [(v, u) for u, v in pairs], "u long, v long"
     )
-    rows = min_label_components(edges).collect()
+    rows = min_label_components(edges, local_max_edges=0).collect()
     assert len(rows) == 41
     assert {r["label"] for r in rows} == {0}
 
 
+def test_min_label_components_local_path_matches_loop(spark):
+    """The default small-graph path (executor-side union-find) must
+    produce exactly the distributed loop's output — min reachable id
+    per node — on a graph with several components, a long chain, a
+    cycle, and a self-loop."""
+    from etl_cnc_spark.llm.dedup import min_label_components
+
+    pairs = (
+        [(i, i + 1) for i in range(10, 25)]  # chain: min 10
+        + [(3, 7), (7, 9), (9, 3)]  # cycle: min 3
+        + [(40, 40)]  # self-loop singleton
+        + [(50, 51)]
+    )
+    edges = spark.createDataFrame(
+        pairs + [(v, u) for u, v in pairs], "u long, v long"
+    )
+    local = {r["nid"]: r["label"] for r in min_label_components(edges).collect()}
+    loop = {
+        r["nid"]: r["label"]
+        for r in min_label_components(edges, local_max_edges=0).collect()
+    }
+    assert local == loop
+    assert local[24] == 10 and local[9] == 3 and local[40] == 40 and local[51] == 50
+
+
 def test_min_label_components_raises_on_round_cap(spark):
     """Exhausting max_rounds must raise, never silently return
-    partially-propagated labels."""
+    partially-propagated labels (loop path forced)."""
     import pytest
 
     from etl_cnc_spark.llm.dedup import min_label_components
@@ -82,4 +109,4 @@ def test_min_label_components_raises_on_round_cap(spark):
         pairs + [(v, u) for u, v in pairs], "u long, v long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        min_label_components(edges, max_rounds=2)
+        min_label_components(edges, max_rounds=2, local_max_edges=0)
