@@ -1529,3 +1529,72 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_if(F.col("bdays") <= 5).cast("long").alias("n_within_week"),
     )
+
+
+@register(
+    "fn_soundex",
+    oracle="""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_parts
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        GROUP BY w
+    ), chars AS (
+        SELECT w, t.pos AS pos, substr(w, CAST(t.pos AS INT), 1) AS ch
+        FROM words, UNNEST(range(1, length(w) + 1)) AS t(pos)
+    ), coded AS (
+        SELECT w, pos,
+               CASE WHEN ch IN ('b','f','p','v') THEN '1'
+                    WHEN ch IN ('c','g','j','k','q','s','x','z') THEN '2'
+                    WHEN ch IN ('d','t') THEN '3'
+                    WHEN ch = 'l' THEN '4'
+                    WHEN ch IN ('m','n') THEN '5'
+                    WHEN ch = 'r' THEN '6'
+                    WHEN ch IN ('a','e','i','o','u','y') THEN '0'
+                    ELSE NULL END AS code
+        FROM chars
+    ), seq AS (
+        SELECT w, pos, code,
+               lag(code) OVER (PARTITION BY w ORDER BY pos) AS prev
+        FROM coded WHERE code IS NOT NULL
+    ), kept AS (
+        SELECT w, pos, code FROM seq
+        WHERE pos > 1 AND code BETWEEN '1' AND '6'
+          AND (prev IS NULL OR prev <> code)
+    )
+    SELECT w.w AS word,
+           upper(substr(w.w, 1, 1))
+             || rpad(substr(coalesce(k.digits, ''), 1, 3), 3, '0') AS sx,
+           w.n_parts
+    FROM words w
+    LEFT JOIN (SELECT w, string_agg(code, '' ORDER BY pos) AS digits
+               FROM kept GROUP BY w) k ON k.w = w.w
+    """,
+)
+def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builtin ``soundex()`` over the part-name vocabulary — the
+    phonetic blocking key every record-linkage pipeline uses (same
+    family as etl_record_linkage_fs, which blocks exactly). Spark's
+    codegen'd soundex is hash-verified against a from-scratch
+    RELATIONAL spelling of classic American Soundex in the oracle:
+    per-character codes (B F P V→1, C G J K Q S X Z→2, D T→3, L→4,
+    M N→5, R→6), vowels + Y coded '0' as adjacency SEPARATORS, H and
+    W fully TRANSPARENT (dropped before the lag, so equal codes
+    across an H/W collapse — 'ashcraft' → A261), adjacent equal codes
+    collapsed including against the first letter ('pfister' → P236),
+    first letter + first three digits right-padded with zeros. The
+    vocabulary is alpha-only lowercase words, within the relational
+    spec's domain (Spark returns non-letter-initial strings verbatim;
+    no such words exist here).
+
+    Scale shape: one explode + hash aggregate to the distinct
+    vocabulary, then a per-word codegen'd expression — no joins over
+    data, no Python."""
+    p = table(spark, sf_dir, "part")
+    words = (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+    return words.select(
+        "word", F.soundex("word").alias("sx"), "n_parts"
+    )

@@ -10060,3 +10060,121 @@ def events_reliability_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(1.0 - beta).alias("growth_rate"),
         (beta < 1.0).alias("reliability_improving"),
     )
+
+
+# ------------------------------------------------------------------
+# Erlang-C staffing model (r10)
+
+_EC_AHT_S = "180.0"  # average handle time, seconds (configured, not fitted)
+_EC_LEVELS = 8  # staffing grid: floor(a)+1 .. floor(a)+8 agents
+
+
+@register(
+    "events_erlang_c",
+    oracle=f"""
+    WITH p AS (
+        SELECT CAST(count_if(event_type = 'purchase') AS BIGINT) AS n,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 3.6e9 AS hours
+        FROM events
+    ), prm AS (
+        SELECT n / hours AS lam,
+               n / hours * ({_EC_AHT_S} / 3600.0) AS a,
+               CAST(floor(n / hours * ({_EC_AHT_S} / 3600.0)) AS BIGINT) + 1
+                   AS cmin
+        FROM p
+    ), eb AS (
+        WITH RECURSIVE r(k, b) AS (
+            SELECT CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+            UNION ALL
+            SELECT k + 1,
+                   (SELECT a FROM prm) * b
+                     / ((k + 1) + (SELECT a FROM prm) * b)
+            FROM r WHERE k < (SELECT cmin + {_EC_LEVELS - 1} FROM prm)
+        )
+        SELECT * FROM r
+    ), grid AS (
+        SELECT prm.cmin + g.j AS c, prm.lam, prm.a, eb.b
+        FROM prm, UNNEST(range(0, {_EC_LEVELS})) AS g(j)
+        JOIN eb ON eb.k = prm.cmin + g.j
+    ), m AS (
+        SELECT c, lam, a,
+               b / (1.0 - (a / c) * (1.0 - b)) AS ec,
+               c * (3600.0 / {_EC_AHT_S}) - lam AS spare
+        FROM grid
+    )
+    SELECT c AS agents,
+           {sql_q4("a")} AS offered_erlangs,
+           {sql_q4("a / c")} AS occupancy,
+           {sql_q4("ec")} AS prob_wait,
+           {sql_q4("ec / spare * 3600.0")} AS asa_seconds,
+           {sql_q4("1.0 - ec * exp(-spare * (20.0 / 3600.0))")}
+               AS service_level_20s
+    FROM m
+    """,
+)
+def events_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing table from the purchase stream: arrival rate
+    λ = purchases per observed hour, a fixed 180 s average handle
+    time (a queueing-model parameter, not fitted), offered load
+    a = λ·AHT erlangs, and for each staffing level c = ⌊a⌋+1 … ⌊a⌋+8
+    the M/M/c delay probability (Erlang C), agent occupancy, average
+    speed of answer, and the 20-second service level — the canonical
+    contact-center / ticket-queue sizing readout.
+
+    Numerics: Erlang B via the stable RECURRENCE B(k) = a·B(k-1) /
+    (k + a·B(k-1)) — no factorials, no lgamma, identical double
+    sequence on both engines (Spark folds it with F.aggregate over
+    sequence(1, c); the oracle unrolls the same recurrence in a
+    recursive CTE) — then C = B/(1 − ρ(1 − B)). c > a by
+    construction, so the spare capacity divisor is positive.
+
+    Scale shape: ONE aggregate over events (count + ts extremes),
+    then all queueing math happens on an 8-row broadcast grid. The
+    fold is O(c) per row — fine for any human-scale staffing level;
+    for a ≫ 10⁴ you'd switch to the log-domain closed form."""
+    e = table(spark, sf_dir, "events")
+    aht = float(_EC_AHT_S)
+    p = e.agg(
+        F.count_if(F.col("event_type") == "purchase").cast("long").alias("n"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 3.6e9
+        ).alias("hours"),
+    )
+    prm = p.select(
+        (F.col("n") / F.col("hours")).alias("lam"),
+        (F.col("n") / F.col("hours") * (aht / 3600.0)).alias("a"),
+        (F.floor(F.col("n") / F.col("hours") * (aht / 3600.0)).cast("long") + 1).alias(
+            "cmin"
+        ),
+    )
+    grid = prm.select(
+        "lam",
+        "a",
+        F.explode(
+            F.sequence(F.col("cmin"), F.col("cmin") + F.lit(_EC_LEVELS - 1))
+        ).alias("c"),
+    )
+    b = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("c")),
+        F.lit(1.0),
+        lambda acc, k: F.col("a") * acc / (k.cast("double") + F.col("a") * acc),
+    )
+    m = grid.select(
+        "c",
+        "lam",
+        "a",
+        b.alias("b"),
+        (F.col("c") * (3600.0 / aht) - F.col("lam")).alias("spare"),
+    ).withColumn(
+        "ec", F.col("b") / (1.0 - (F.col("a") / F.col("c")) * (1.0 - F.col("b")))
+    )
+    return m.select(
+        F.col("c").alias("agents"),
+        q4(F.col("a")).alias("offered_erlangs"),
+        q4(F.col("a") / F.col("c")).alias("occupancy"),
+        q4(F.col("ec")).alias("prob_wait"),
+        q4(F.col("ec") / F.col("spare") * 3600.0).alias("asa_seconds"),
+        q4(1.0 - F.col("ec") * F.exp(-F.col("spare") * (20.0 / 3600.0))).alias(
+            "service_level_20s"
+        ),
+    )

@@ -2502,3 +2502,126 @@ def etl_partition_spec_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("small_frac"),
     )
+
+
+# ------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (r10)
+
+# Conditional agreement probabilities for each comparison field:
+# m = P(agree | same entity), u = P(agree | different entities).
+# Fixed literals (the error-rate priors a linkage run is configured
+# with; estimating them by EM is a separate fitting step) shared by
+# both engines so the log2 weights parse identically.
+_FS_M_SEG, _FS_U_SEG = "0.95", "0.20"
+_FS_M_BAL, _FS_U_BAL = "0.98", "0.05"
+_FS_M_TAIL, _FS_U_TAIL = "0.92", "0.001"
+_FS_MATCH_T = "8.0"  # total-weight thresholds: match / possible
+_FS_POSSIBLE_T = "0.0"
+
+
+@register(
+    "etl_record_linkage_fs",
+    oracle=f"""
+    WITH a AS (
+        SELECT c_custkey AS a_key, c_nationkey AS nk, c_mktsegment AS seg,
+               c_acctbal AS bal, substr(c_name, -3) AS tail3
+        FROM customer WHERE c_custkey % 2 = 0
+    ), b AS (
+        SELECT c_custkey AS b_key, c_nationkey AS nk, c_mktsegment AS seg,
+               round(c_acctbal) AS bal, substr(c_name, -3) AS tail3
+        FROM customer WHERE c_custkey % 3 = 0
+    ), pairs AS (
+        SELECT a.a_key, b.b_key,
+               CAST(a.seg = b.seg AS BOOLEAN) AS agree_seg,
+               CAST(abs(a.bal - b.bal) <= 0.5 AS BOOLEAN) AS agree_bal,
+               CAST(a.tail3 = b.tail3 AS BOOLEAN) AS agree_tail
+        FROM a JOIN b
+          ON a.nk = b.nk AND floor(a.bal / 500) = floor(b.bal / 500)
+    ), scored AS (
+        SELECT a_key, b_key, agree_seg, agree_bal, agree_tail,
+           (CASE WHEN agree_seg
+                 THEN log2({_FS_M_SEG} / {_FS_U_SEG})
+                 ELSE log2((1.0 - {_FS_M_SEG}) / (1.0 - {_FS_U_SEG})) END
+          + CASE WHEN agree_bal
+                 THEN log2({_FS_M_BAL} / {_FS_U_BAL})
+                 ELSE log2((1.0 - {_FS_M_BAL}) / (1.0 - {_FS_U_BAL})) END
+          + CASE WHEN agree_tail
+                 THEN log2({_FS_M_TAIL} / {_FS_U_TAIL})
+                 ELSE log2((1.0 - {_FS_M_TAIL}) / (1.0 - {_FS_U_TAIL})) END)
+               AS weight
+        FROM pairs
+    )
+    SELECT a_key, b_key, agree_seg, agree_bal, agree_tail,
+           {sql_q4("weight")} AS fs_weight,
+           CASE WHEN weight >= {_FS_MATCH_T} THEN 'match'
+                ELSE 'possible' END AS fs_class
+    FROM scored WHERE weight >= {_FS_POSSIBLE_T}
+    """,
+)
+def etl_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring between two overlapping
+    customer extracts (the 'CRM vs billing' dedup every master-data
+    pipeline runs): side A = even custkeys with raw fields, side B =
+    custkeys divisible by 3 with a coarsened balance (rounded to the
+    dollar) — keys divisible by 6 are the true same-entity pairs.
+    Candidate pairs come ONLY from blocking on (nation, balance/500
+    bucket); each pair gets a field-agreement vector (market segment,
+    balance within 0.5, last-3-name-chars) and the classic FS total
+    weight Σ log2(m/u) on agree, Σ log2((1-m)/(1-u)) on disagree,
+    thresholded into match / possible classes (non-matches dropped).
+
+    Scale shape: the join key IS the blocking key, so candidate
+    generation is an equi-join whose fan-out is the block size —
+    never |A|×|B|; weights are one codegen'd expression per pair. At
+    100 TB you tighten the blocking key (add phonetic name blocks,
+    cf. fn_soundex) — the plan shape is unchanged."""
+    c = table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("a_nk"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_acctbal").alias("a_bal"),
+        F.substring("c_name", -3, 3).alias("a_tail3"),
+    )
+    b = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("b_nk"),
+        F.col("c_mktsegment").alias("b_seg"),
+        F.round(F.col("c_acctbal")).alias("b_bal"),
+        F.substring("c_name", -3, 3).alias("b_tail3"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_nk") == F.col("b_nk"))
+        & (F.floor(F.col("a_bal") / 500) == F.floor(F.col("b_bal") / 500)),
+    ).select(
+        "a_key",
+        "b_key",
+        (F.col("a_seg") == F.col("b_seg")).alias("agree_seg"),
+        (F.abs(F.col("a_bal") - F.col("b_bal")) <= 0.5).alias("agree_bal"),
+        (F.col("a_tail3") == F.col("b_tail3")).alias("agree_tail"),
+    )
+
+    def w(flag: str, m: str, u: str):
+        mf, uf = float(m), float(u)
+        return F.when(F.col(flag), F.lit(mf / uf)).otherwise(
+            F.lit((1.0 - mf) / (1.0 - uf))
+        )
+
+    weight = (
+        F.log2(w("agree_seg", _FS_M_SEG, _FS_U_SEG))
+        + F.log2(w("agree_bal", _FS_M_BAL, _FS_U_BAL))
+        + F.log2(w("agree_tail", _FS_M_TAIL, _FS_U_TAIL))
+    )
+    scored = pairs.withColumn("weight", weight)
+    return scored.where(F.col("weight") >= float(_FS_POSSIBLE_T)).select(
+        "a_key",
+        "b_key",
+        "agree_seg",
+        "agree_bal",
+        "agree_tail",
+        q4(F.col("weight")).alias("fs_weight"),
+        F.when(F.col("weight") >= float(_FS_MATCH_T), F.lit("match"))
+        .otherwise(F.lit("possible"))
+        .alias("fs_class"),
+    )

@@ -12811,3 +12811,214 @@ def stat_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("svq").cast("double") / _EB_Q / F.col("m")) / F.col("v")
         ).alias("variance_ratio"),
     )
+
+
+# ------------------------------------------------------------------
+# Wald sequential probability ratio test (r10)
+
+_SPRT_P0 = "0.20"  # H0 conversion rate (≈ the uniform 5-type share)
+_SPRT_P1 = "0.30"  # H1 conversion rate
+_SPRT_LN19 = "2.9444389791664403"  # ln(19) = ln((1-0.05)/0.05), A = +, B = -
+
+
+@register(
+    "stat_sprt_ab",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+               CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS rk,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (ORDER BY event_id) AS BIGINT) AS cum_x
+        FROM events
+    ), llr AS (
+        SELECT rk, cum_x,
+               cum_x * ln({_SPRT_P1} / {_SPRT_P0})
+                 + (rk - cum_x) * ln((1.0 - {_SPRT_P1}) / (1.0 - {_SPRT_P0}))
+                   AS llr
+        FROM seq
+    ), agg AS (
+        SELECT CAST(max(rk) AS BIGINT) AS n_total,
+               CAST(max(cum_x) AS BIGINT) AS x_total,
+               CAST(min(CASE WHEN llr >= {_SPRT_LN19} THEN rk END) AS BIGINT)
+                   AS n_hi,
+               CAST(min(CASE WHEN llr <= -{_SPRT_LN19} THEN rk END) AS BIGINT)
+                   AS n_lo
+        FROM llr
+    ), dec AS (
+        SELECT n_total, x_total,
+               CASE
+                 WHEN n_hi IS NOT NULL AND (n_lo IS NULL OR n_hi <= n_lo)
+                   THEN 'accept_h1'
+                 WHEN n_lo IS NOT NULL THEN 'accept_h0'
+                 ELSE 'continue' END AS decision,
+               COALESCE(LEAST(n_hi, n_lo), n_hi, n_lo, n_total) AS n_report
+        FROM agg
+    )
+    SELECT d.n_total, d.x_total, d.decision,
+           d.n_report AS n_decision,
+           {sql_q4("l.llr")} AS llr_at_decision
+    FROM dec d JOIN llr l ON l.rk = d.n_report
+    """,
+)
+def stat_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test on the event stream:
+    H0: P(purchase) = 0.20 vs H1: P(purchase) = 0.30, observations
+    ordered by event_id. The running log-likelihood ratio
+    LLR_n = x_n·ln(p1/p0) + (n−x_n)·ln(q1/q0) stops at the first
+    crossing of ±ln(19) (α = β = 0.05); the output is the single
+    decision row — total stream size, the decision, the sample size
+    the test SEQUENTIALLY stopped at, and the LLR there. SPRT is the
+    canonical always-valid A/B stopping rule: it needs ~half the
+    samples of the fixed-horizon z-test at the same error rates.
+
+    Scale shape: the global conversion prefix comes from the bucketed
+    prefix machine (``global_ordered`` — never a single-partition
+    window), the crossing scan is one conditional-min aggregate over
+    it, and the LLR at the stop index is recovered with a broadcast
+    join of the 1-row decision frame back to the ranked stream. At
+    100 TB the stream ranks once and everything after is metadata."""
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("x"),
+    )
+    ranked = global_ordered(
+        seq,
+        [F.col("event_id")],
+        bucket_key=F.col("event_id"),
+        sums={"x": "cum_x"},
+        rank_col="rk",
+    )
+    p0, p1 = float(_SPRT_P0), float(_SPRT_P1)
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    ln19 = float(_SPRT_LN19)
+    llr = ranked.select(
+        "rk",
+        "cum_x",
+        (F.col("cum_x") * F.lit(l1) + (F.col("rk") - F.col("cum_x")) * F.lit(l0)).alias(
+            "llr"
+        ),
+    )
+    agg = llr.agg(
+        F.max("rk").cast("long").alias("n_total"),
+        F.max("cum_x").cast("long").alias("x_total"),
+        F.min(F.when(F.col("llr") >= ln19, F.col("rk"))).cast("long").alias("n_hi"),
+        F.min(F.when(F.col("llr") <= -ln19, F.col("rk"))).cast("long").alias("n_lo"),
+    )
+    dec = agg.select(
+        "n_total",
+        "x_total",
+        F.when(
+            F.col("n_hi").isNotNull()
+            & (F.col("n_lo").isNull() | (F.col("n_hi") <= F.col("n_lo"))),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("n_lo").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce(
+            F.least("n_hi", "n_lo"), F.col("n_hi"), F.col("n_lo"), F.col("n_total")
+        ).alias("n_report"),
+    )
+    return llr.join(F.broadcast(dec), llr["rk"] == dec["n_report"]).select(
+        "n_total",
+        "x_total",
+        "decision",
+        F.col("n_report").alias("n_decision"),
+        q4(F.col("llr")).alias("llr_at_decision"),
+    )
+
+
+# ------------------------------------------------------------------
+# Holm step-down multiple-testing correction (r10)
+
+_HOLM_P0 = "0.25"  # null evening share: hours 18-23 of a uniform day
+
+
+@register(
+    "stat_holm_stepdown",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(EXTRACT(hour FROM ts) >= 18) AS BIGINT)
+                   AS x_evening
+        FROM events GROUP BY event_type
+    ), z AS (
+        SELECT event_type, n, x_evening,
+               (CAST(x_evening AS DOUBLE) / n - {_HOLM_P0})
+                 / sqrt({_HOLM_P0} * (1.0 - {_HOLM_P0}) / n) AS zval,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM g
+    ), r AS (
+        SELECT event_type, n, x_evening, zval, m,
+               CAST(rank() OVER (ORDER BY abs(zval) DESC, event_type)
+                    AS BIGINT) AS rk
+        FROM z
+    ), t AS (
+        SELECT event_type, n, x_evening, zval, rk,
+               {_sql_qnorm_upper("1.0 - 0.025 / (m - rk + 1.0)")} AS thr
+        FROM r
+    )
+    SELECT event_type, n, x_evening,
+           {sql_q4("zval")} AS z_stat, rk,
+           {sql_q4("thr")} AS z_crit,
+           CAST(min(CASE WHEN abs(zval) >= thr THEN 1 ELSE 0 END)
+                OVER (ORDER BY rk) AS BOOLEAN) AS rejected_holm
+    FROM t
+    """,
+)
+def stat_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down (Bonferroni-Holm) multiple-testing correction
+    over the per-event-type evening-share z-tests (H0: share of
+    events in hours 18-23 equals the uniform 0.25; familywise
+    α = 0.05 two-sided). Hypotheses are ranked by |z| descending and
+    the i-th is tested at α/(m−i+1); the step-down STOPS at the first
+    failure — later hypotheses stay unrejected even past their own
+    threshold — expressed exactly as a running boolean min over the
+    rank order. Per-rank critical values come from the shared Acklam
+    inverse-normal literals, so both engines evaluate the identical
+    rational approximation (complements stat_benjamini_hochberg's
+    step-up FDR with the FWER-controlling step-down).
+
+    Scale shape: ONE conditional aggregate over events to m =
+    |event_type| rows; every window after that is over the
+    domain-bounded hypothesis family (5 rows), never the data."""
+    e = table(spark, sf_dir, "events")
+    p0 = float(_HOLM_P0)
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.hour("ts") >= 18).cast("long").alias("x_evening"),
+    )
+    zval = (F.col("x_evening").cast("double") / F.col("n") - p0) / F.sqrt(
+        F.lit(p0 * (1.0 - p0)) / F.col("n")
+    )
+    z = g.select("event_type", "n", "x_evening", zval.alias("zval")).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    r = z.withColumn(
+        "rk",
+        F.rank()
+        .over(Window.orderBy(F.abs(F.col("zval")).desc(), F.col("event_type")))
+        .cast("long"),
+    )
+    t = r.withColumn(
+        "thr", _qnorm_upper(1.0 - 0.025 / (F.col("m") - F.col("rk") + 1.0))
+    )
+    return t.select(
+        "event_type",
+        "n",
+        "x_evening",
+        q4(F.col("zval")).alias("z_stat"),
+        "rk",
+        q4(F.col("thr")).alias("z_crit"),
+        F.min(F.when(F.abs(F.col("zval")) >= F.col("thr"), 1).otherwise(0))
+        .over(Window.orderBy("rk"))
+        .cast("boolean")
+        .alias("rejected_holm"),
+    )

@@ -549,6 +549,9 @@ def test_unpartitioned_window_census():
             "one row per day — calendar-bounded",
         ("operators/stats.py", "stat_benjamini_hochberg"):
             "one row per event_type — domain-bounded hypothesis family",
+        ("operators/stats.py", "stat_holm_stepdown"):
+            "one row per event_type — domain-bounded hypothesis family "
+            "(rank + running step-down min over 5 rows)",
         ("operators/analytics.py", "events_lorenz_curve"):
             "10-row decile table (user ranks go through the prefix "
             "machine)",
