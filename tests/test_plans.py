@@ -678,3 +678,55 @@ def test_unpartitioned_window_census():
     stale = {k for k in ALLOW if k not in found}
     assert not unlisted, f"unjustified unpartitioned Window sites: {unlisted}"
     assert not stale, f"stale allowlist entries: {stale}"
+
+
+def test_record_linkage_blocks_as_equi_join(spark, sf_dir):
+    """etl_record_linkage_fs's candidate generation must plan as a
+    real equi-join on the blocking key (hash or sort-merge or
+    broadcast) — a nested-loop/cartesian plan would mean the blocking
+    predicate failed to become the join key and pair generation is
+    |A|x|B|."""
+    plan = plan_of("etl_record_linkage_fs", spark, sf_dir)
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adamic_adar_no_cartesian(spark, sf_dir):
+    """graph_adamic_adar's two-hop enumeration is an equi-join on the
+    middle node and the existing-edge removal an anti equi-join —
+    never a cartesian product over parts."""
+    plan = plan_of("graph_adamic_adar", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sprt_uses_prefix_machine_not_global_window(spark, sf_dir):
+    """stat_sprt_ab's running conversion count must come from the
+    bucketed prefix machine — a single-partition global Window over
+    the event stream would serialize the whole corpus through one
+    task at 100 TB."""
+    import contextlib
+    import io
+
+    from etl_cnc_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["stat_sprt_ab"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the prefix machine windows partition by bucket; no unpartitioned
+    # data-proportional Window may appear
+    for line in plan.splitlines():
+        if "Window" in line and "PartitionSpec" not in line:
+            # formatted plans show window specs inline; reject any
+            # window whose partition clause is empty over the stream
+            assert "windowspecdefinition(" not in line or (
+                "_bkt" in line or "bucket" in line
+            ), line
