@@ -1222,7 +1222,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest + a semi join back — the 100 TB analogue of a suffix-array
     pass, but shuffle-partitioned by digest so no node ever holds
     the corpus. Span merging windows partition per doc (bounded by
-    doc length). Only digests shuffle, never text."""
+    doc length). Only digests shuffle, never text. The digest frame
+    feeds BOTH the duplicate aggregate and the probe side of the semi
+    join, so it is lazily localCheckpoint'd: the slice+concat+md5
+    expression tree (the dominant per-row cost) runs ONCE and the
+    probe side reads the cached partitions — at 100 TB this persists
+    a (doc_id, pos, digest) frame to executor MEMORY_AND_DISK, the
+    standard cache-vs-recompute call for a twice-read intermediate
+    (drop the checkpoint to trade a second full compute pass for zero
+    storage)."""
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("ws")).where(
         F.size("ws") >= SPAN_K
@@ -1237,11 +1245,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(" ", F.slice(F.col("ws"), F.col("p") + 1, SPAN_K))
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
+    # "appears in >= 2 DISTINCT docs" == min(doc_id) != max(doc_id):
+    # a plain min/max aggregate with full map-side combine, instead of
+    # the two-shuffle expansion countDistinct would plan (the oracle
+    # spells it count(DISTINCT doc_id) >= 2 — identical predicate)
     dup = (
         sh.groupBy("sh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .where(F.col("d_lo") != F.col("d_hi"))
         .select("sh")
     )
     dpos = sh.join(dup, "sh", "left_semi").select("doc_id", "p")
