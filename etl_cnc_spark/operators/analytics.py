@@ -10178,3 +10178,576 @@ def events_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             "service_level_20s"
         ),
     )
+
+
+# ------------------------------------------------------------------
+# Greenwood confidence bands for the Kaplan-Meier curve (r10)
+
+KM_GW_Q = 10**12  # fixed-point scale for the Greenwood variance fold
+
+
+@register(
+    "events_km_greenwood",
+    oracle=f"""
+    WITH span AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(min(ts) AS DATE),
+                              CAST(max(ts) AS DATE)) AS BIGINT) AS t,
+               CAST(max(ts) AS DATE) AS last_day
+        FROM events GROUP BY user_id
+    ), g AS (SELECT max(last_day) AS gmax FROM span),
+    lab AS (
+        SELECT t, last_day < gmax - INTERVAL 2 DAY AS dead
+        FROM span, g
+    ), grid AS (
+        SELECT t,
+               CAST(count_if(dead) AS BIGINT) AS d,
+               CAST(count_if(NOT dead) AS BIGINT) AS c
+        FROM lab GROUP BY t
+    ), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM grid),
+    risk AS (
+        SELECT t, d, c,
+               CAST(n - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+        FROM grid, tot
+    ), terms AS (
+        SELECT t, d, n_risk,
+               CASE WHEN d > 0 AND d < n_risk THEN
+                   CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                       * {KM_Q} - 0.5) + 1 AS BIGINT)
+                   ELSE 0 END AS qln,
+               CASE WHEN d > 0 AND d < n_risk THEN
+                   CAST(floor(CAST(d AS DOUBLE)
+                       / (CAST(n_risk AS DOUBLE) * (n_risk - d))
+                       * {KM_GW_Q} + 0.5) AS BIGINT)
+                   ELSE 0 END AS qgw,
+               CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS hit_zero
+        FROM risk
+    ), fold AS (
+        SELECT t, d, n_risk,
+               sum(qln) OVER w AS cum,
+               sum(qgw) OVER w AS gsum,
+               max(hit_zero) OVER w AS z
+        FROM terms
+        WINDOW w AS (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+        SELECT t, d, n_risk,
+               CASE WHEN z = 1 THEN 0.0
+                    ELSE exp(CAST(cum AS DOUBLE) / {KM_Q}) END AS surv,
+               CAST(gsum AS DOUBLE) / {KM_GW_Q} AS gv, z
+        FROM fold
+    )
+    SELECT t AS t_days, n_risk, d AS d_events,
+           {sql_q4("surv")} AS survival,
+           {sql_q4("CASE WHEN z = 1 THEN 0.0"
+                   " ELSE surv * sqrt(gv) END")} AS se_greenwood,
+           {sql_q4("CASE WHEN z = 1 THEN 0.0"
+                   " ELSE greatest(surv - 1.96 * surv * sqrt(gv), 0.0)"
+                   " END")} AS ci_lo,
+           {sql_q4("CASE WHEN z = 1 THEN 0.0"
+                   " ELSE least(surv + 1.96 * surv * sqrt(gv), 1.0)"
+                   " END")} AS ci_hi
+    FROM s
+    """,
+)
+def events_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwood standard errors and 95% confidence bands for the
+    Kaplan-Meier survival curve (same censoring scheme and exact
+    quantized log-survivor fold as events_kaplan_meier):
+    Var(S(t)) = S(t)² · Σ_{{t_i ≤ t}} d_i/(n_i(n_i − d_i)) — the
+    estimator every survival readout needs before anyone compares
+    two curves by eye. The Greenwood sum folds as 1e-12 fixed-point
+    BIGINTs (same discipline as the 1e-9 log-survivor fold), so both
+    running sums are exact at any parallelism; doubles enter only in
+    the final S·√v and the 1.96 bands, clipped to [0, 1]. After the
+    curve hits zero the variance is reported as 0 (the curve is
+    degenerate there).
+
+    Scale shape: identical to events_kaplan_meier — one per-user
+    rollup, a 1-row broadcast, then calendar-bounded grid windows."""
+    e = table(spark, sf_dir, "events")
+    span = (
+        e.groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+            .cast("long")
+            .alias("t"),
+            F.max("ts").cast("date").alias("last_day"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = span.agg(F.max("last_day").alias("gmax"))
+    lab = span.crossJoin(F.broadcast(g)).select(
+        "t",
+        (F.col("last_day") < F.date_sub(F.col("gmax"), 2)).alias("dead"),
+    )
+    grid = lab.groupBy("t").agg(
+        F.sum(F.when(F.col("dead"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("dead"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    tot = grid.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n"))
+    w_excl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_excl), F.lit(0))
+        ).alias("n_risk"),
+    )
+    dd = F.col("d").cast("double")
+    live = (F.col("d") > 0) & (F.col("d") < F.col("n_risk"))
+    qln = F.when(
+        live,
+        (F.floor(F.log(F.lit(1.0) - dd / F.col("n_risk")) * KM_Q - 0.5) + 1)
+        .cast("long"),
+    ).otherwise(F.lit(0))
+    qgw = F.when(
+        live,
+        F.floor(
+            dd
+            / (F.col("n_risk").cast("double") * (F.col("n_risk") - F.col("d")))
+            * KM_GW_Q
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    hit = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    terms = risk.select(
+        "t", "d", "n_risk", qln.alias("qln"), qgw.alias("qgw"), hit.alias("hit_zero")
+    )
+    fold = terms.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum("qln").over(w_incl).alias("cum"),
+        F.sum("qgw").over(w_incl).alias("gsum"),
+        F.max("hit_zero").over(w_incl).alias("z"),
+    )
+    surv = F.when(F.col("z") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("cum").cast("double") / KM_Q)
+    )
+    gv = F.col("gsum").cast("double") / KM_GW_Q
+    se = F.when(F.col("z") == 1, F.lit(0.0)).otherwise(surv * F.sqrt(gv))
+    return fold.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        q4(surv).alias("survival"),
+        q4(se).alias("se_greenwood"),
+        q4(
+            F.when(F.col("z") == 1, F.lit(0.0)).otherwise(
+                F.greatest(surv - 1.96 * surv * F.sqrt(gv), F.lit(0.0))
+            )
+        ).alias("ci_lo"),
+        q4(
+            F.when(F.col("z") == 1, F.lit(0.0)).otherwise(
+                F.least(surv + 1.96 * surv * F.sqrt(gv), F.lit(1.0))
+            )
+        ).alias("ci_hi"),
+    )
+
+
+# ------------------------------------------------------------------
+# Classical additive time-series decomposition (r10)
+
+
+@register(
+    "events_classical_decomposition",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS dn,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT min(dn) AS lo, max(dn) AS hi FROM daily
+    ), spine AS (
+        SELECT CAST(t.dn AS BIGINT) AS dn
+        FROM bounds, UNNEST(range(lo, hi + 1)) AS t(dn)
+    ), filled AS (
+        SELECT s.dn, COALESCE(d.x, 0) AS x
+        FROM spine s LEFT JOIN daily d ON d.dn = s.dn
+    ), ma AS (
+        SELECT dn, x,
+               CAST(sum(x) OVER w AS BIGINT) AS trend7,
+               CAST(count(*) OVER w AS BIGINT) AS w_n
+        FROM filled
+        WINDOW w AS (ORDER BY dn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+        SELECT dn, x, trend7,
+               CAST(7 * x - trend7 AS BIGINT) AS det7,
+               dn % 7 AS dow
+        FROM ma WHERE w_n = 7
+    ), seas AS (
+        SELECT dow,
+               CAST(sum(det7) AS BIGINT) AS s_num,
+               CAST(count(*) AS BIGINT) AS s_cnt
+        FROM det GROUP BY dow
+    )
+    SELECT d.dn AS day_n, d.x AS x_cents,
+           {sql_q4("d.trend7 / 7.0")} AS trend,
+           {sql_q4("CAST(s.s_num AS DOUBLE) / s.s_cnt / 7.0")} AS seasonal,
+           {sql_q4("(d.det7 - CAST(s.s_num AS DOUBLE) / s.s_cnt) / 7.0")}
+               AS residual
+    FROM det d JOIN seas s ON s.dow = d.dow
+    """,
+)
+def events_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily purchase-revenue
+    series: trend = centered 7-day moving average (full windows
+    only), seasonal = per-day-of-week mean of the detrended series
+    (uncentered seasonal indices, textbook 'method of seasonal
+    averages'), residual = x − trend − seasonal. The first-look
+    decomposition behind every seasonality report, complementing
+    events_holt_winters' recursive smoother with the closed-form
+    classical one.
+
+    Exactness: the series is built on a GAP-FREE day-number spine
+    (missing days fill as 0, so the centered window is always 7 real
+    days); the detrended series is kept in ×7 integer scale
+    (det7 = 7x − Σ₇x, exact BIGINT), the seasonal means divide two
+    exact integers, and doubles appear only in the final /7.0
+    projections — no float fold anywhere, so partial-agg order can
+    never shift a hash. Scale shape: one aggregate to the
+    calendar-bounded daily grid; spine, windows and seasonal means
+    are all metadata-sized."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("dn")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    bounds = daily.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
+    )
+    filled = spine.join(daily, "dn", "left").select(
+        "dn", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    w7 = Window.orderBy("dn").rowsBetween(-3, 3)
+    ma = filled.select(
+        "dn",
+        "x",
+        F.sum("x").over(w7).cast("long").alias("trend7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("w_n"),
+    )
+    det = ma.where(F.col("w_n") == 7).select(
+        "dn",
+        "x",
+        "trend7",
+        (7 * F.col("x") - F.col("trend7")).cast("long").alias("det7"),
+        (F.col("dn") % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("det7").cast("long").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    sm = F.col("s_num").cast("double") / F.col("s_cnt")
+    return det.join(F.broadcast(seas), "dow").select(
+        F.col("dn").alias("day_n"),
+        F.col("x").alias("x_cents"),
+        q4(F.col("trend7") / 7.0).alias("trend"),
+        q4(sm / 7.0).alias("seasonal"),
+        q4((F.col("det7") - sm) / 7.0).alias("residual"),
+    )
+
+
+# ------------------------------------------------------------------
+# Markov removal-effect attribution (r10)
+
+_MKV_Q = 1_000_000_000_000  # 1e-12 fixed-point absorption probabilities
+_MKV_K = 100  # fixpoint iterations (integer recurrence goes stationary)
+_MKV_CH = ("click", "error", "signup", "view")  # transient channels 1..4
+# state indices: 0=start, 1..4 channels (alphabetical), 5=conv, 6=null
+
+_MKV_JOURNEY_SQL = """
+    first_p AS (
+        SELECT user_id, p_ts, p_id FROM (
+            SELECT user_id, ts AS p_ts, event_id AS p_id,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ), j AS (
+        SELECT e.user_id, e.ts, e.event_id,
+               CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END AS st,
+               p.p_ts IS NOT NULL AS has_p
+        FROM events e LEFT JOIN first_p p USING (user_id)
+        WHERE e.event_type <> 'purchase'
+          AND (p.p_ts IS NULL OR (e.ts, e.event_id) < (p.p_ts, p.p_id))
+    ), steps AS (
+        SELECT user_id,
+               coalesce(lag(st) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), 0) AS i,
+               st AS j FROM j
+    ), lasts AS (
+        SELECT user_id, st AS last_st, has_p FROM (
+            SELECT user_id, st, has_p,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM j
+        ) WHERE rn = 1
+    ), terminals AS (
+        SELECT user_id, last_st AS i,
+               CASE WHEN has_p THEN 5 ELSE 6 END AS j
+        FROM lasts
+        UNION ALL
+        SELECT p.user_id, 0 AS i, 5 AS j
+        FROM first_p p
+        WHERE p.user_id NOT IN (SELECT user_id FROM j)
+    ), pairs AS (
+        SELECT i, j FROM steps UNION ALL SELECT i, j FROM terminals
+    ), variants AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3), (4)) v(rm)
+    ), trans AS MATERIALIZED (
+        SELECT v.rm,
+               p.i,
+               CASE WHEN v.rm > 0 AND p.j = v.rm THEN 6 ELSE p.j END AS j,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pairs p CROSS JOIN variants v
+        GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "events_attribution_markov",
+    oracle=f"""
+    WITH {_MKV_JOURNEY_SQL},
+    cells AS MATERIALIZED (
+        SELECT v.rm, g.i AS i,
+               coalesce(list(struct_pack(j := t.j, n := t.n)), []) AS prs,
+               coalesce(sum(t.n), 0) AS rs
+        FROM (SELECT DISTINCT rm FROM trans) v
+        CROSS JOIN UNNEST(range(7)) AS g(i)
+        LEFT JOIN trans t ON t.rm = v.rm AND t.i = g.i
+        GROUP BY v.rm, g.i
+    ), mat AS MATERIALIZED (
+        SELECT rm,
+               list(list_transform(range(7), jj ->
+                   coalesce(list_sum(list_transform(prs, s ->
+                       CASE WHEN s.j = jj THEN s.n ELSE 0 END)), 0))
+                   ORDER BY i) AS m,
+               list(rs ORDER BY i) AS rs
+        FROM cells GROUP BY rm
+    ), it AS (
+        WITH RECURSIVE r(rm, k, p) AS (
+            SELECT rm, 0,
+                   [CAST(0 AS BIGINT), 0, 0, 0, 0, {_MKV_Q}, 0]
+            FROM mat
+            UNION ALL
+            SELECT r.rm, r.k + 1,
+                   list_transform(range(7), ii ->
+                     CASE WHEN ii = 5 THEN CAST({_MKV_Q} AS BIGINT)
+                          WHEN ii = 6 THEN CAST(0 AS BIGINT)
+                          WHEN m.rs[ii + 1] = 0 THEN r.p[ii + 1]
+                          ELSE CAST((2 * list_sum(list_transform(range(7),
+                                   jj -> m.m[ii + 1][jj + 1] * r.p[jj + 1]))
+                                + m.rs[ii + 1]) // (2 * m.rs[ii + 1])
+                               AS BIGINT)
+                     END)
+            FROM r JOIN mat m ON m.rm = r.rm WHERE r.k < {_MKV_K}
+        )
+        SELECT rm, p[1] AS p_start FROM r WHERE k = {_MKV_K}
+    ), eff AS (
+        SELECT c.rm,
+               f.p_start AS pf,
+               c.p_start AS pr,
+               1000000 - (1000000 * c.p_start) // f.p_start AS req
+        FROM it c CROSS JOIN (SELECT p_start FROM it WHERE rm = 0) f
+        WHERE c.rm > 0 AND f.p_start > 0
+    ), touches AS (
+        SELECT j AS rm, CAST(sum(n) AS BIGINT) AS n_in
+        FROM trans WHERE rm = 0 AND j BETWEEN 1 AND 4 GROUP BY j
+    ), tot AS (SELECT CAST(sum(req) AS BIGINT) AS totq FROM eff)
+    SELECT CASE e.rm WHEN 1 THEN 'click' WHEN 2 THEN 'error'
+                WHEN 3 THEN 'signup' WHEN 4 THEN 'view' END AS channel,
+           coalesce(t.n_in, 0) AS n_transitions_in,
+           {sql_q4("CAST(e.pf AS DOUBLE) / " + str(_MKV_Q))} AS p_conv,
+           {sql_q4("CAST(e.pr AS DOUBLE) / " + str(_MKV_Q))} AS p_conv_removed,
+           {sql_q4("CAST(e.req AS DOUBLE) / 1000000.0")} AS removal_effect,
+           {sql_q4("CAST(e.req AS DOUBLE) / tot.totq")} AS attribution_share
+    FROM eff e LEFT JOIN touches t ON t.rm = e.rm CROSS JOIN tot
+    """,
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014 —
+    the other industry-standard data-driven attribution beside the
+    Shapley key): per-user journeys (events ordered by (ts, event_id),
+    truncated at the first purchase) become a first-order chain over
+    START → {{click, error, signup, view}} → CONV/NULL; a channel's
+    credit is its REMOVAL EFFECT — how much the start→conversion
+    absorption probability drops when every transition into the
+    channel is redirected to NULL — normalized across channels.
+
+    Exactness — the novel bit: absorption probabilities come from a
+    FIXED-POINT INTEGER recurrence, not a float linear solve. p is
+    kept at 1e-12 fixed point; each of the {_MKV_K} Jacobi steps
+    computes p'_i = round(Σ_j n_ij·p_j / n_i) in exact BIGINT
+    arithmetic (round-half-up as (2S+n) div (2n)), so the iteration
+    goes exactly stationary and BOTH engines — the Spark
+    aggregate/transform fold and the oracle's recursive CTE over a
+    LIST column — produce bit-identical integers. Removal effects are
+    then exact 1e-6 integers (1e6 − 1e6·p_rem div p_full), so their
+    normalizing sum is also order-free. Overflow bound: Σ_j n_ij·p_j
+    ≤ n_i·1e12 — fine to ~10⁶ transitions per state per variant
+    locally; at 100 TB drop the fixed point to 1e-9 or fold in
+    DECIMAL(38).
+
+    Scale shape: one window pass over per-user journeys (shuffle on
+    user_id) → a ≤ 5·49-cell transition grid (domain-bounded
+    metadata); the five chain variants (full + 4 removals) ride one
+    grid explode, and all fixpoint math happens on five 1-row frames
+    of maps — the corpus is touched once."""
+    e = table(spark, sf_dir, "events")
+    st = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "view", 4)
+    )
+    first_p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("pk"))
+    )
+    j = (
+        e.where(F.col("event_type") != "purchase")
+        .join(first_p, "user_id", "left")
+        .where(
+            F.col("pk").isNull() | (F.struct("ts", "event_id") < F.col("pk"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            st.cast("long").alias("st"),
+            F.col("pk").isNotNull().alias("has_p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = j.select(
+        F.coalesce(F.lag("st").over(w_u), F.lit(0)).cast("long").alias("i"),
+        F.col("st").alias("j"),
+    )
+    lasts = j.groupBy("user_id").agg(
+        F.max_by("st", F.struct("ts", "event_id")).alias("last_st"),
+        F.max("has_p").alias("has_p"),
+    )
+    terminals = lasts.select(
+        F.col("last_st").cast("long").alias("i"),
+        F.when(F.col("has_p"), F.lit(5)).otherwise(F.lit(6)).cast("long").alias("j"),
+    ).unionByName(
+        first_p.join(j.select("user_id").distinct(), "user_id", "left_anti").select(
+            F.lit(0).cast("long").alias("i"), F.lit(5).cast("long").alias("j")
+        )
+    )
+    pairs = steps.unionByName(terminals)
+    variants = spark.range(5).select(F.col("id").cast("long").alias("rm"))
+    trans = (
+        pairs.crossJoin(F.broadcast(variants))
+        .select(
+            "rm",
+            "i",
+            F.when((F.col("rm") > 0) & (F.col("j") == F.col("rm")), F.lit(6))
+            .otherwise(F.col("j"))
+            .cast("long")
+            .alias("j"),
+        )
+        .groupBy("rm", "i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    mats = trans.groupBy("rm").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct((F.col("i") * 7 + F.col("j")).alias("k"), F.col("n").alias("v"))
+            )
+        ).alias("mm"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("i").alias("k"), F.col("n").alias("v")))
+        ).alias("_ign"),
+    )
+    rsums = trans.groupBy("rm", "i").agg(F.sum("n").cast("long").alias("rn"))
+    rsm = rsums.groupBy("rm").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("i").alias("k"), F.col("rn").alias("v")))
+        ).alias("rs")
+    )
+    row = mats.select("rm", "mm").join(rsm, "rm")
+    fold = f"""
+    aggregate(sequence(1, {_MKV_K}),
+      array(0L, 0L, 0L, 0L, 0L, {_MKV_Q}L, 0L),
+      (acc, k) -> transform(sequence(0, 6), ii ->
+          CASE WHEN ii = 5 THEN {_MKV_Q}L
+               WHEN ii = 6 THEN 0L
+               WHEN coalesce(element_at(rs, CAST(ii AS LONG)), 0L) = 0L
+                    THEN element_at(acc, ii + 1)
+               ELSE (2L * aggregate(sequence(0, 6), 0L, (s, jj) ->
+                       s + coalesce(element_at(mm, CAST(ii * 7 + jj AS LONG)), 0L)
+                           * element_at(acc, jj + 1))
+                     + element_at(rs, CAST(ii AS LONG)))
+                    div (2L * element_at(rs, CAST(ii AS LONG)))
+          END))
+    """
+    it = row.select("rm", F.element_at(F.expr(fold), 1).alias("p_start"))
+    full = it.where(F.col("rm") == 0).select(F.col("p_start").alias("pf"))
+    eff = (
+        it.where(F.col("rm") > 0)
+        .crossJoin(F.broadcast(full))
+        .where(F.col("pf") > 0)
+        .select(
+            "rm",
+            "pf",
+            F.col("p_start").alias("pr"),
+            (
+                F.lit(1000000)
+                - F.expr("(1000000L * p_start) div pf")
+            )
+            .cast("long")
+            .alias("req"),
+        )
+    )
+    touches = (
+        trans.where((F.col("rm") == 0) & F.col("j").between(1, 4))
+        .groupBy(F.col("j").alias("rm"))
+        .agg(F.sum("n").cast("long").alias("n_in"))
+    )
+    tot = eff.agg(F.sum("req").cast("long").alias("totq"))
+    ch = (
+        F.when(F.col("rm") == 1, F.lit("click"))
+        .when(F.col("rm") == 2, F.lit("error"))
+        .when(F.col("rm") == 3, F.lit("signup"))
+        .when(F.col("rm") == 4, F.lit("view"))
+    )
+    return (
+        eff.join(F.broadcast(touches), "rm", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ch.alias("channel"),
+            F.coalesce(F.col("n_in"), F.lit(0)).cast("long").alias(
+                "n_transitions_in"
+            ),
+            q4(F.col("pf").cast("double") / _MKV_Q).alias("p_conv"),
+            q4(F.col("pr").cast("double") / _MKV_Q).alias("p_conv_removed"),
+            q4(F.col("req").cast("double") / 1000000.0).alias("removal_effect"),
+            q4(F.col("req").cast("double") / F.col("totq")).alias(
+                "attribution_share"
+            ),
+        )
+    )

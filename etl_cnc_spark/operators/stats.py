@@ -13022,3 +13022,111 @@ def stat_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("boolean")
         .alias("rejected_holm"),
     )
+
+
+# ------------------------------------------------------------------
+# Pettitt change-point test (r10)
+
+
+@register(
+    "stat_pettitt",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ranked AS (
+        SELECT day, x,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(2 * rank() OVER (ORDER BY x)
+                    + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
+        FROM daily
+    ), u AS (
+        SELECT t,
+               CAST(sum(r2) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t * (n + 1) AS BIGINT) AS u_t
+        FROM ranked, n_
+    ), k AS (
+        SELECT CAST(max(abs(u_t)) AS BIGINT) AS k_stat,
+               CAST(min(CASE WHEN abs(u_t) = (SELECT max(abs(u_t)) FROM u)
+                             THEN t END) AS BIGINT) AS t_change
+        FROM u WHERE t < (SELECT n FROM n_)
+    )
+    SELECT k.t_change, k.k_stat, n_.n,
+           {sql_q4("2.0 * exp(-6.0 * k.k_stat * k.k_stat"
+                   " / (CAST(n_.n AS DOUBLE)*n_.n*n_.n + n_.n*n_.n))")}
+               AS p_approx,
+           (2.0 * exp(-6.0 * k.k_stat * k.k_stat
+                / (CAST(n_.n AS DOUBLE)*n_.n*n_.n + n_.n*n_.n)) < 0.05)
+               AS rejected
+    FROM k, n_
+    """,
+)
+def stat_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt non-parametric change-point test on the daily
+    event-count series: U_t = Σ_{{i≤t}} Σ_{{j>t}} sgn(x_i − x_j),
+    K = max_t |U_t| over t < n, the split day at the max (earliest on
+    ties) and the classic approximation p ≈ 2·exp(−6K²/(n³+n²)).
+    Rank-based and distribution-free — the standard 'did the level
+    shift, and when' readout (complements stat_cusum's parametric
+    chart and stat_mann_kendall's monotone trend).
+
+    Exactness: the double sum collapses by the midrank identity
+    U_t = Σ_{{i≤t}} R2_i − t(n+1), where R2_i = 2·rank + ties − 1 is
+    TWICE the midrank — so every U_t is an exact BIGINT (sgn ties
+    contribute zero exactly), and only the final p-value touches
+    doubles. Scale shape: one hash aggregate to the calendar-bounded
+    daily grid; every window after that is metadata-sized."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    n_ = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_day = Window.orderBy("day")
+    w_rank = Window.orderBy("x")
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w_day).cast("long").alias("t"),
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = ranked.crossJoin(F.broadcast(n_)).select(
+        "t",
+        "n",
+        (F.sum("r2").over(w_cum) - F.col("t") * (F.col("n") + 1))
+        .cast("long")
+        .alias("u_t"),
+    )
+    interior = u.where(F.col("t") < F.col("n"))
+    k = interior.agg(
+        F.max(F.abs(F.col("u_t"))).cast("long").alias("k_stat"),
+        F.min(F.col("n")).cast("long").alias("n"),
+    )
+    t_change = (
+        interior.join(F.broadcast(k), F.abs(F.col("u_t")) == F.col("k_stat"))
+        .agg(F.min("t").cast("long").alias("t_change"))
+    )
+    nd = F.col("n").cast("double")
+    p = 2.0 * F.exp(
+        -6.0 * F.col("k_stat") * F.col("k_stat") / (nd * nd * nd + nd * nd)
+    )
+    return (
+        t_change.crossJoin(F.broadcast(k))
+        .select(
+            "t_change",
+            "k_stat",
+            "n",
+            q4(p).alias("p_approx"),
+            (p < 0.05).alias("rejected"),
+        )
+    )

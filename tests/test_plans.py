@@ -552,6 +552,15 @@ def test_unpartitioned_window_census():
         ("operators/stats.py", "stat_holm_stepdown"):
             "one row per event_type — domain-bounded hypothesis family "
             "(rank + running step-down min over 5 rows)",
+        ("operators/stats.py", "stat_pettitt"):
+            "one row per day — calendar-bounded (rank + prefix over "
+            "the daily grid)",
+        ("operators/analytics.py", "events_km_greenwood"):
+            "lifetime-day grid — calendar-bounded (same shape as "
+            "events_kaplan_meier)",
+        ("operators/analytics.py", "events_classical_decomposition"):
+            "one row per day — calendar-bounded spine (centered 7-day "
+            "moving average)",
         ("operators/analytics.py", "events_lorenz_curve"):
             "10-row decile table (user ranks go through the prefix "
             "machine)",
