@@ -10751,3 +10751,149 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Dynamic time warping between daily series (r10)
+
+
+@register(
+    "events_dtw_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS dn,
+               CAST(count_if(event_type = 'view') AS BIGINT) AS av,
+               CAST(count_if(event_type = 'click') AS BIGINT) AS bv
+        FROM events GROUP BY 1
+    ), bounds AS (SELECT min(dn) AS lo, max(dn) AS hi FROM daily),
+    spine AS (
+        SELECT CAST(t.dn AS BIGINT) AS dn FROM bounds,
+               UNNEST(range(lo, hi + 1)) AS t(dn)
+    ), ser AS (
+        SELECT list(coalesce(d.av, 0) ORDER BY s.dn) AS a,
+               list(coalesce(d.bv, 0) ORDER BY s.dn) AS b,
+               CAST(count(*) AS INT) AS t
+        FROM spine s LEFT JOIN daily d ON d.dn = s.dn
+    ), dp AS (
+        SELECT t, a, b,
+               list_reduce(
+                 list_concat(
+                   [list_reduce(
+                      list_concat([[abs(a[1] - b[1])]],
+                          list_transform(range(2, t + 1),
+                                         j -> [CAST(j AS BIGINT)])),
+                      (acc, jx) -> acc ||
+                        [acc[len(acc)]
+                         + abs(a[1] - b[CAST(jx[1] AS INT)])])],
+                   list_transform(range(2, t + 1),
+                                  i -> [CAST(i AS BIGINT)])),
+                 (prev, ix) ->
+                   list_reduce(
+                     list_concat(
+                       [[abs(a[CAST(ix[1] AS INT)] - b[1]) + prev[1]]],
+                       list_transform(range(2, t + 1),
+                                      j -> [CAST(j AS BIGINT)])),
+                     (acc, jx) -> acc ||
+                       [abs(a[CAST(ix[1] AS INT)] - b[CAST(jx[1] AS INT)])
+                        + least(prev[CAST(jx[1] AS INT)],
+                                prev[CAST(jx[1] AS INT) - 1],
+                                acc[len(acc)])])
+               ) AS lastrow,
+               list_sum(list_transform(range(1, t + 1),
+                   i -> abs(a[CAST(i AS INT)] - b[CAST(i AS INT)])))
+                   AS lockstep
+        FROM ser
+    )
+    SELECT CAST(t AS BIGINT) AS t_len,
+           CAST(lastrow[t] AS BIGINT) AS dtw_distance,
+           CAST(lockstep AS BIGINT) AS lockstep_distance,
+           {sql_q4("CAST(lastrow[t] AS DOUBLE) / (2 * t)")} AS dtw_per_step,
+           {sql_q4("CAST(lockstep AS DOUBLE) / t")} AS lockstep_per_step
+    FROM dp
+    """,
+)
+def events_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping distance between the daily 'view' and
+    'click' count series (gap-free day spine, |·| cost) — the
+    alignment-tolerant series similarity every ops/marketing 'does
+    engagement lead conversion, and by how many days' question needs,
+    reported against the lockstep (Manhattan) distance it improves
+    on. Full 2-D DP: D(i,j) = |a_i − b_j| + min(D(i−1,j), D(i,j−1),
+    D(i−1,j−1)).
+
+    Exactness — the interesting bit: the ENTIRE T×T dynamic program
+    runs as a nested exact-BIGINT fold over array columns (outer fold
+    over rows carrying the previous DP row, inner fold building the
+    next row left-to-right), so both engines execute the identical
+    integer recurrence: Spark as nested `aggregate`/`concat` HOFs in
+    one codegen'd projection, the oracle as nested `list_reduce`
+    (seeded by the first element, rows boxed as single-element lists
+    to keep the accumulator type). No floats until the final
+    per-step normalizations, so the hash is exact by construction —
+    the 2-D companion to the 1-D Viterbi tropical scan.
+
+    Scale shape: one aggregate to the calendar-bounded daily grid;
+    the DP itself is metadata-sized (T ≈ observed days, T² cells on
+    a 1-row frame). For T beyond ~10⁴ you'd band the DP
+    (Sakoe-Chiba) — the fold shape is unchanged, the inner range
+    just narrows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("dn")
+    ).agg(
+        F.count_if(F.col("event_type") == "view").cast("long").alias("av"),
+        F.count_if(F.col("event_type") == "click").cast("long").alias("bv"),
+    )
+    ser = daily.agg(
+        F.min("dn").alias("lo"),
+        F.max("dn").alias("hi"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dn").alias("k"), F.col("av").alias("v")))
+        ).alias("am"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dn").alias("k"), F.col("bv").alias("v")))
+        ).alias("bm"),
+    ).select(
+        F.expr(
+            "transform(sequence(lo, hi), d -> coalesce(element_at(am, d), 0L))"
+        ).alias("a"),
+        F.expr(
+            "transform(sequence(lo, hi), d -> coalesce(element_at(bm, d), 0L))"
+        ).alias("b"),
+        (F.col("hi") - F.col("lo") + 1).cast("int").alias("t"),
+    )
+    dp_expr = """
+    element_at(
+      aggregate(sequence(2, t),
+        aggregate(sequence(2, t),
+          array(abs(element_at(a, 1) - element_at(b, 1))),
+          (acc, j) -> concat(acc, array(element_at(acc, -1)
+                        + abs(element_at(a, 1) - element_at(b, j))))),
+        (prev, i) ->
+          aggregate(sequence(2, t),
+            array(abs(element_at(a, i) - element_at(b, 1))
+                  + element_at(prev, 1)),
+            (acc, j) -> concat(acc, array(
+                abs(element_at(a, i) - element_at(b, j))
+                + least(element_at(prev, j), element_at(prev, j - 1),
+                        element_at(acc, -1)))))),
+      t)
+    """
+    lock_expr = (
+        "aggregate(sequence(1, t), 0L, (s, i) ->"
+        " s + abs(element_at(a, i) - element_at(b, i)))"
+    )
+    dp = ser.select(
+        "t",
+        F.expr(dp_expr).cast("long").alias("dtw"),
+        F.expr(lock_expr).cast("long").alias("lockstep"),
+    )
+    return dp.select(
+        F.col("t").cast("long").alias("t_len"),
+        F.col("dtw").alias("dtw_distance"),
+        F.col("lockstep").alias("lockstep_distance"),
+        q4(F.col("dtw").cast("double") / (2 * F.col("t"))).alias("dtw_per_step"),
+        q4(F.col("lockstep").cast("double") / F.col("t")).alias(
+            "lockstep_per_step"
+        ),
+    )

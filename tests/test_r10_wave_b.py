@@ -246,3 +246,46 @@ def test_attribution_markov_fixpoint_matches_linear_solve(spark, sf_dir):
     p = np.linalg.solve(np.eye(len(trans_idx)) - Qm, r).ravel()
     p_start = p[trans_idx.index(0)]
     assert abs(_absorb(pairs, None) / 1e12 - p_start) < 1e-6
+
+
+# ------------------------------------------------------- DTW (wave C)
+
+
+def test_dtw_matches_python(spark, sf_dir):
+    rows = duckdb.execute(
+        f"""
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT),
+               count_if(event_type = 'view'),
+               count_if(event_type = 'click')
+        FROM '{sf_dir}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    daily = {dn: (av, bv) for dn, av, bv in rows}
+    lo, hi = min(daily), max(daily)
+    a = [daily.get(d, (0, 0))[0] for d in range(lo, hi + 1)]
+    b = [daily.get(d, (0, 0))[1] for d in range(lo, hi + 1)]
+    t = len(a)
+    INF = 1 << 60
+    prev = None
+    for i in range(t):
+        cur = [0] * t
+        for j in range(t):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                cur[j] = c
+            elif i == 0:
+                cur[j] = cur[j - 1] + c
+            elif j == 0:
+                cur[j] = prev[j] + c
+            else:
+                cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    dtw = prev[t - 1]
+    lock = sum(abs(x - y) for x, y in zip(a, b))
+    r = REGISTRY["events_dtw_daily"].build(spark, sf_dir).collect()[0]
+    assert r["t_len"] == t
+    assert r["dtw_distance"] == dtw
+    assert r["lockstep_distance"] == lock
+    assert abs(r["dtw_per_step"] - dtw / (2 * t)) < 1e-4
+    # warping can only help: DTW <= lockstep, and both are >= 0
+    assert 0 <= dtw <= lock
