@@ -4279,3 +4279,104 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(h3).alias("h_trigram"),
         q4(h3 - h2).alias("entropy_rate_bits"),
     )
+
+
+# ------------------------------------------------------------------
+# PMI collocations (r10)
+
+_PMI_MIN_COUNT = 5  # bigram support floor (standard collocation practice)
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+    ), n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT ws[CAST(t.i AS INT)] AS w1,
+                   ws[CAST(t.i AS INT) + 1] AS w2
+            FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        ) GROUP BY w1, w2
+    ), n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bi)
+    SELECT b.w1, b.w2, b.c AS c_bigram, ua.c AS c_w1, ub.c AS c_w2,
+           {sql_q4("ln((CAST(b.c AS DOUBLE) * n1.n * n1.n)"
+                   " / (CAST(n2.n AS DOUBLE) * ua.c * ub.c))")} AS pmi,
+           {sql_q4("ln((CAST(b.c AS DOUBLE) * n1.n * n1.n)"
+                   " / (CAST(n2.n AS DOUBLE) * ua.c * ub.c))"
+                   " / (-ln(CAST(b.c AS DOUBLE) / n2.n))")} AS npmi
+    FROM bi b
+    JOIN uni ua ON ua.w = b.w1
+    JOIN uni ub ON ub.w = b.w2
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE b.c >= {_PMI_MIN_COUNT}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations over the corpus:
+    adjacent word bigrams with support ≥ {_PMI_MIN_COUNT}, scored by
+    PMI = ln(p(w1,w2) / (p(w1)p(w2))) and its normalized form
+    NPMI = PMI / −ln p(w1,w2) ∈ [−1, 1] — the classic phrase-mining
+    signal a tokenizer-curation pipeline uses to decide which word
+    pairs deserve merged tokens (and a direct lens on templated
+    boilerplate). All probabilities are exact count ratios; the
+    single log runs on an identically-parenthesized argument
+    (c·N1²)/(N2·c1·c2) in both engines, so the q4 hash is stable.
+
+    Scale shape: one explode for unigrams, one positional zip for
+    bigrams, three hash aggregates, two equi-joins onto the unigram
+    counts (broadcastable: the distinct vocabulary is tiny relative
+    to the corpus) and two 1-row broadcast totals. Nothing pairwise,
+    nothing data×data."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n2 = bi.agg(F.sum("c").cast("long").alias("n2"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        bi.where(F.col("c") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi = F.log(
+        (F.col("c").cast("double") * F.col("n1") * F.col("n1"))
+        / (F.col("n2").cast("double") * F.col("c_w1") * F.col("c_w2"))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("c").alias("c_bigram"),
+        "c_w1",
+        "c_w2",
+        q4(pmi).alias("pmi"),
+        q4(pmi / (-F.log(F.col("c").cast("double") / F.col("n2")))).alias(
+            "npmi"
+        ),
+    )

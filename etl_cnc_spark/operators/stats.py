@@ -13130,3 +13130,146 @@ def stat_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p < 0.05).alias("rejected"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Gaussian kernel density estimate (r10)
+
+_KDE_GRID = 40  # evaluation grid: lo..hi in 41 steps
+_KDE_Q = 1_000_000_000  # 1e-9 fixed point for the kernel-sum fold
+_KDE_SQRT2PI = "2.5066282746310002"  # sqrt(2*pi), shared literal
+
+
+@register(
+    "stat_kde_gaussian",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(nb) AS BIGINT) AS n,
+               CAST(sum(v * nb) AS BIGINT) AS sv,
+               CAST(sum(v * v * nb) AS BIGINT) AS svv,
+               CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        FROM b
+    ), h AS (
+        SELECT n, lo, hi,
+               1.06 * sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * sv / n) / (n - 1)) / 10000.0
+                 * pow(CAST(n AS DOUBLE), -0.2) AS bw
+        FROM s
+    ), grid AS (
+        SELECT h.n, h.bw,
+               CAST(g.i AS BIGINT) AS gi,
+               h.lo + (CAST(g.i AS BIGINT) * (h.hi - h.lo)) // {_KDE_GRID}
+                   AS xc
+        FROM h, UNNEST(range(0, {_KDE_GRID} + 1)) AS g(i)
+    ), terms AS (
+        SELECT g.gi, g.xc, g.n, g.bw,
+               CAST(sum(CAST(floor(b.nb * exp(
+                   -((g.xc - b.v) / 100.0 / g.bw)
+                    * ((g.xc - b.v) / 100.0 / g.bw) / 2.0)
+                   * {_KDE_Q} + 0.5) AS BIGINT)) AS BIGINT) AS ksum
+        FROM grid g CROSS JOIN b
+        GROUP BY g.gi, g.xc, g.n, g.bw
+    )
+    SELECT gi AS grid_idx,
+           {sql_q4("xc / 100.0")} AS x,
+           {sql_q4(f"CAST(ksum AS DOUBLE) / {_KDE_Q}"
+                   f" / (n * bw * {_KDE_SQRT2PI})")} AS density
+    FROM terms
+    """,
+)
+def stat_kde_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel density estimate of the purchase-value
+    distribution on a 41-point evaluation grid, Silverman's
+    rule-of-thumb bandwidth h = 1.06·σ̂·n^(−1/5) — the smooth
+    histogram every distribution readout wants next to
+    agg_histogram's bars.
+
+    Exactness: values bin to exact cents FIRST (one hash aggregate),
+    so the kernel sum runs over the value-DOMAIN-bounded bin table,
+    not the data; each bin's kernel contribution n_b·K(·) is
+    quantized to 1e-9 BIGINTs before summing (the order-free fold
+    discipline), and σ̂, h, and the grid points derive from exact
+    integer sums (grid x's are exact integer cents via floor
+    division). Doubles meet only in identically-parenthesized
+    expressions, so the hash is stable at any parallelism.
+
+    Scale shape: one aggregate to cents bins (domain-bounded), a
+    41-row grid broadcast, one bins×grid product that is
+    bounded×bounded (never data×data), one final aggregate. At
+    100 TB only the first aggregate touches the corpus."""
+    e = table(spark, sf_dir, "events")
+    b = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        .localCheckpoint(eager=False)
+    )
+    s = b.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("nb")).cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v") * F.col("nb")).cast("long").alias("svv"),
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+    )
+    h = s.select(
+        "n",
+        "lo",
+        "hi",
+        (
+            F.lit(1.06)
+            * F.sqrt(
+                (
+                    F.col("svv").cast("double")
+                    - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+            / 10000.0
+            * F.pow(F.col("n").cast("double"), F.lit(-0.2))
+        ).alias("bw"),
+    )
+    grid = h.select(
+        "n",
+        "bw",
+        F.explode(F.sequence(F.lit(0), F.lit(_KDE_GRID))).alias("gi0"),
+        "lo",
+        "hi",
+    ).select(
+        "n",
+        "bw",
+        F.col("gi0").cast("long").alias("gi"),
+        "lo",
+        "hi",
+    ).select(
+        "n",
+        "bw",
+        "gi",
+        (
+            F.col("lo")
+            + F.expr(f"(gi * (hi - lo)) div {_KDE_GRID}")
+        ).cast("long").alias("xc"),
+    )
+    z = (F.col("xc") - F.col("v")) / 100.0 / F.col("bw")
+    term = F.floor(
+        F.col("nb") * F.exp(-z * z / 2.0) * _KDE_Q + 0.5
+    ).cast("long")
+    terms = (
+        grid.join(b)  # bounded grid × domain-bounded bins
+        .groupBy("gi", "xc", "n", "bw")
+        .agg(F.sum(term).cast("long").alias("ksum"))
+    )
+    return terms.select(
+        F.col("gi").alias("grid_idx"),
+        q4(F.col("xc") / 100.0).alias("x"),
+        q4(
+            F.col("ksum").cast("double")
+            / _KDE_Q
+            / (F.col("n") * F.col("bw") * float(_KDE_SQRT2PI))
+        ).alias("density"),
+    )

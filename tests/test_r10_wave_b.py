@@ -289,3 +289,84 @@ def test_dtw_matches_python(spark, sf_dir):
     assert abs(r["dtw_per_step"] - dtw / (2 * t)) < 1e-4
     # warping can only help: DTW <= lockstep, and both are >= 0
     assert 0 <= dtw <= lock
+
+
+# ------------------------------------------- PMI collocations (wave C)
+
+
+def test_pmi_collocations_match_python(spark, sf_dir):
+    from collections import Counter
+
+    from etl_cnc_spark.llm.text import _PMI_MIN_COUNT
+
+    docs = [
+        r[0].split(" ")
+        for r in duckdb.execute(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    uni, bi = Counter(), Counter()
+    for ws in docs:
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n1, n2 = sum(uni.values()), sum(bi.values())
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in REGISTRY["text_pmi_collocations"].build(spark, sf_dir).collect()
+    }
+    expected = {k: c for k, c in bi.items() if c >= _PMI_MIN_COUNT}
+    assert set(out) == set(expected)
+    for (w1, w2), c in expected.items():
+        r = out[(w1, w2)]
+        pmi = math.log((c * n1 * n1) / (n2 * uni[w1] * uni[w2]))
+        npmi = pmi / (-math.log(c / n2))
+        assert r["c_bigram"] == c and r["c_w1"] == uni[w1] and r["c_w2"] == uni[w2]
+        assert abs(r["pmi"] - pmi) < 1e-4
+        assert abs(r["npmi"] - npmi) < 1e-4
+        assert -1.0 - 1e-9 <= r["npmi"] <= 1.0 + 1e-9
+
+
+# ------------------------------------------------- Gaussian KDE (wave C)
+
+
+def test_kde_matches_python(spark, sf_dir):
+    from etl_cnc_spark.operators.stats import _KDE_GRID, _KDE_Q
+
+    vals = [
+        r[0]
+        for r in duckdb.execute(
+            f"""
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+            FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'
+            """
+        ).fetchall()
+    ]
+    from collections import Counter
+
+    bins = Counter(vals)
+    n = len(vals)
+    sv, svv = sum(vals), sum(v * v for v in vals)
+    sd = math.sqrt((svv - sv * sv / n) / (n - 1)) / 10000.0
+    bw = 1.06 * sd * n ** (-0.2)
+    lo, hi = min(vals), max(vals)
+    out = {
+        r["grid_idx"]: r
+        for r in REGISTRY["stat_kde_gaussian"].build(spark, sf_dir).collect()
+    }
+    assert len(out) == _KDE_GRID + 1
+    total = 0.0
+    for gi in range(_KDE_GRID + 1):
+        xc = lo + (gi * (hi - lo)) // _KDE_GRID
+        ksum = sum(
+            math.floor(nb * math.exp(-(((xc - v) / 100.0 / bw) ** 2) / 2.0) * _KDE_Q + 0.5)
+            for v, nb in bins.items()
+        )
+        dens = ksum / _KDE_Q / (n * bw * math.sqrt(2 * math.pi))
+        r = out[gi]
+        assert abs(r["x"] - xc / 100.0) < 1e-4
+        assert abs(r["density"] - dens) < 1e-4
+        assert r["density"] >= 0.0
+        total += r["density"]
+    # the grid Riemann sum of a density over its support is near 1
+    step = (hi - lo) / 100.0 / _KDE_GRID
+    assert 0.5 < total * step < 1.5
