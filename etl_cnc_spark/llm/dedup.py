@@ -129,7 +129,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded here to doc_id<40 on the pair side)."""
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
+    # size >= 2 guard: sequence(1, 0) descends and element_at(w, 0)
+    # throws; single-token docs have no shingles (oracle range empty).
+    sh = w.where(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -411,12 +413,26 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(w) - 1),"
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-        ).alias("shingles"),
+    # size >= 2 guard: single-token docs have no 2-gram shingles —
+    # MinHashLSH rejects empty (all-zero) vectors, and Spark's
+    # sequence(1, 0) descends into element_at(w, 0).  The guard MUST
+    # be followed by a lineage break: approxSimilarityJoin adds its
+    # own isnotnull(hashes-UDF) predicate which pushdown inlines at
+    # the scan, where codegen CSE evaluates the MinHash UDF chain
+    # EAGERLY — before the size conjunct can short-circuit — so
+    # without the break a single short doc crashes the whole join.
+    # (The relational twin dedup_minhash_relational is the 100 TB
+    # path; this ml.feature variant carries the materialization.)
+    sh = (
+        w.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            ).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(sh)
@@ -654,7 +670,9 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join, estimate agg) run at 100 TB with more hash rows."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
     w = d.select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
+    # size >= 2 guard: sequence(1, 0) descends and element_at(w, 0)
+    # throws; single-token docs have no shingles (oracle range empty).
+    sh = w.where(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -748,7 +766,9 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle bytes (same plan, fingerprint collisions ~2^-64)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
-    grams = toks.select(
+    # size >= _GRAM_N guard: shorter docs have no n-grams; Spark's
+    # sequence(1, 0) descends and slice(w, 0, n) throws.
+    grams = toks.where(F.size("w") >= _GRAM_N).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -1128,7 +1148,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     key)."""
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
+    # size >= 2 guard: sequence(1, 0) descends and element_at(w, 0)
+    # throws; single-token docs have no shingles (oracle range empty).
+    sh = w.where(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(

@@ -271,7 +271,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint are near-dup candidates."""
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
+    # size >= 3 guard: Spark's sequence(1, 0) DESCENDS (element_at 0
+    # throws); short docs have no trigrams, same as the oracle.
+    sh = w.where(F.size("w") >= 3).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -372,7 +374,9 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject, no full sort)."""
     d = table(spark, sf_dir, "documents")
     w = d.select(F.split("text", " ").alias("w"))
-    sh = w.select(
+    # size >= 2 guard: sequence(1, 0) descends and element_at(w, 0)
+    # throws; single-token docs have no bigrams (oracle range is empty).
+    sh = w.where(F.size("w") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(w) - 1),"
@@ -446,7 +450,9 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     that (Catalyst/AQE picks)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
-    doc_bg = toks.select(
+    # size >= 2 guard on the bigram path only (unigram counts keep
+    # every doc): sequence(1, 0) descends and element_at(w, 0) throws.
+    doc_bg = toks.where(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -641,7 +647,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the final ratio is float (one division, quantized)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
-    grams = toks.select(
+    # size >= 3 guard: short docs have no trigrams; Spark's
+    # sequence(1, 0) would descend and element_at(w, 0) throws.
+    grams = toks.where(F.size("w") >= 3).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -1909,7 +1917,9 @@ def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
-    doc_bg = toks.select(
+    # size >= 2 guard: sequence(1, 0) descends and element_at(w, 0)
+    # throws; single-token docs have no bigrams (oracle range empty).
+    doc_bg = toks.where(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -4342,7 +4352,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
     bi = (
-        toks.select(
+        # size(ws) >= 2 guard: sequence(1, 0) would step DOWN to [1, 0]
+        # and element_at(ws, 0) throws — single-token docs have no
+        # bigrams, exactly like the oracle's empty range(1, len(ws)).
+        toks.where(F.size("ws") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(ws) - 1),"

@@ -10679,9 +10679,6 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct((F.col("i") * 7 + F.col("j")).alias("k"), F.col("n").alias("v"))
             )
         ).alias("mm"),
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("i").alias("k"), F.col("n").alias("v")))
-        ).alias("_ign"),
     )
     rsums = trans.groupBy("rm", "i").agg(F.sum("n").cast("long").alias("rn"))
     rsm = rsums.groupBy("rm").agg(
@@ -10862,8 +10859,13 @@ def events_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         (F.col("hi") - F.col("lo") + 1).cast("int").alias("t"),
     )
+    # t=1 short-circuit: sequence(2, 1) DESCENDS in Spark (step -1),
+    # so the fold would read element_at(prev, 0)/NULL cells instead of
+    # the oracle's cleanly-empty range(2, 2) — a single-day series is
+    # just the one-cell DP |a1 - b1|.
     dp_expr = """
-    element_at(
+    CASE WHEN t < 2 THEN abs(element_at(a, 1) - element_at(b, 1))
+    ELSE element_at(
       aggregate(sequence(2, t),
         aggregate(sequence(2, t),
           array(abs(element_at(a, 1) - element_at(b, 1))),
@@ -10878,6 +10880,7 @@ def events_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + least(element_at(prev, j), element_at(prev, j - 1),
                         element_at(acc, -1)))))),
       t)
+    END
     """
     lock_expr = (
         "aggregate(sequence(1, t), 0L, (s, i) ->"

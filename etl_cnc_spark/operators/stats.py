@@ -13156,7 +13156,7 @@ _KDE_SQRT2PI = "2.5066282746310002"  # sqrt(2*pi), shared literal
     ), h AS (
         SELECT n, lo, hi,
                1.06 * sqrt((CAST(svv AS DOUBLE)
-                   - CAST(sv AS DOUBLE) * sv / n) / (n - 1)) / 10000.0
+                   - CAST(sv AS DOUBLE) * sv / n) / (n - 1)) / 100.0
                  * pow(CAST(n AS DOUBLE), -0.2) AS bw
         FROM s
     ), grid AS (
@@ -13230,7 +13230,7 @@ def stat_kde_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / (F.col("n") - 1)
             )
-            / 10000.0
+            / 100.0
             * F.pow(F.col("n").cast("double"), F.lit(-0.2))
         ).alias("bw"),
     )

@@ -346,7 +346,7 @@ def test_kde_matches_python(spark, sf_dir):
     bins = Counter(vals)
     n = len(vals)
     sv, svv = sum(vals), sum(v * v for v in vals)
-    sd = math.sqrt((svv - sv * sv / n) / (n - 1)) / 10000.0
+    sd = math.sqrt((svv - sv * sv / n) / (n - 1)) / 100.0
     bw = 1.06 * sd * n ** (-0.2)
     lo, hi = min(vals), max(vals)
     out = {

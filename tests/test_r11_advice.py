@@ -1,0 +1,171 @@
+"""Round-11 ADVICE regression tests.
+
+Four advisor findings (ADVICE r10) and the shared-pattern hardening
+they prompted:
+
+1. stat_kde_gaussian's Silverman bandwidth was 100x undersmoothed
+   (cents-scale sigma divided by 10000 instead of 100) — and the
+   oracle + recomputation test mirrored the same constant, so the
+   gates were circular.  The independent test here derives the
+   bandwidth in DOLLARS from scratch.
+2. Spark's ``sequence(start, stop)`` DESCENDS when start > stop
+   (step defaults to -1), so every ``transform(sequence(1,
+   size(w) - k), ...)`` n-gram builder crashed on docs with fewer
+   than k+1 tokens via ``element_at(w, 0)`` — while the DuckDB
+   oracles' ``range()`` is cleanly empty.  All n-gram sites now
+   pre-filter short docs; the degenerate-corpus tests here lock
+   that in.
+3. events_dtw_daily's DP fold used ``aggregate(sequence(2, t), ...)``
+   which for a single-day series (t=1) silently folded over the
+   descending [2, 1] — now short-circuited to the 1-cell DP.
+4. events_attribution_markov carried an unused ``_ign``
+   map_from_entries aggregate with duplicate keys that only failed
+   to throw because the optimizer pruned it — deleted.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+import pyspark.sql.functions as F  # noqa: F401
+from etl_cnc_spark.registry import REGISTRY, load_all
+
+load_all()
+
+
+# ------------------------------------------------------------------
+# 1. KDE bandwidth: independent dollars-from-scratch recomputation
+
+
+def test_kde_silverman_bandwidth_in_dollars(spark, sf_dir):
+    """Non-circular bandwidth check: derive sigma directly from the
+    dollar values (never touching the cents fixed-point pipeline) and
+    assert the published density matches a plain-Python Gaussian KDE
+    with h = 1.06 * sigma * n^(-1/5) at every grid point."""
+    vals = [
+        round(r[0] * 100) / 100.0
+        for r in duckdb.execute(
+            f"""
+            SELECT value FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'purchase'
+            """
+        ).fetchall()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+    bw = 1.06 * sd * n ** (-0.2)
+    rows = REGISTRY["stat_kde_gaussian"].build(spark, sf_dir).collect()
+    assert len(rows) == 41
+    for r in rows:
+        x = r["x"]
+        dens = sum(
+            math.exp(-(((x - v) / bw) ** 2) / 2.0) for v in vals
+        ) / (n * bw * math.sqrt(2 * math.pi))
+        # the engine quantizes kernel terms at 1e-9 and q4's the
+        # output; 1e-3 absolute headroom is orders above both and
+        # orders below the 100x-undersmoothing failure mode
+        assert abs(r["density"] - dens) < 1e-3, (x, r["density"], dens)
+
+
+# ------------------------------------------------------------------
+# 2. degenerate corpus: empty / 1-token / 2-token docs must not crash
+#    any n-gram builder, and must match the oracle's empty-range rows
+
+
+@pytest.fixture(scope="module")
+def tiny_docs_dir(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("tinydocs")
+    rows = [
+        (0, "", "en", "web", 0),
+        (1, "solo", "en", "web", 4),
+        (2, "two words", "en", "web", 9),
+        (3, "three word doc", "en", "web", 14),
+        (4, "three word doc", "en", "web", 14),
+        (5, "a b a b a b a b a b", "en", "web", 19),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(p / "documents.parquet"))
+    return str(p)
+
+
+TEXT_NGRAM_KEYS = [
+    "text_fingerprint",
+    "text_bigram_freq",
+    "text_lm_score",
+    "text_ngram_novelty",
+    "text_kn_lm_score",
+    "text_pmi_collocations",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_relational",
+    "dedup_contamination",
+    "dedup_containment",
+]
+
+
+@pytest.mark.parametrize("key", TEXT_NGRAM_KEYS)
+def test_ngram_ops_survive_single_token_docs(spark, tiny_docs_dir, key):
+    # must not raise "SQL array indices start at 1"
+    rows = REGISTRY[key].build(spark, tiny_docs_dir).collect()
+    assert isinstance(rows, list)
+
+
+def test_minhash_lsh_survives_single_token_docs(spark, tiny_docs_dir):
+    # the ml.feature MinHashLSH path additionally rejects empty
+    # feature vectors — short docs must be excluded before fit()
+    rows = REGISTRY["dedup_minhash"].build(spark, tiny_docs_dir).collect()
+    ids = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    assert 0 not in ids and 1 not in ids
+
+
+def test_bigram_semantics_on_tiny_corpus(spark, tiny_docs_dir):
+    """Short docs contribute NO bigrams (they are dropped, exactly as
+    the oracle's empty range does) while longer docs still count."""
+    out = {
+        r["bg"]: r["n"]
+        for r in REGISTRY["text_bigram_freq"].build(spark, tiny_docs_dir).collect()
+    }
+    assert "two words" in out and out["two words"] == 1
+    assert out["a b"] == 5 and out["b a"] == 4
+    assert not any(bg.startswith("solo") for bg in out)
+
+
+def test_fingerprint_drops_sub_trigram_docs(spark, tiny_docs_dir):
+    ids = {
+        r["doc_id"]
+        for r in REGISTRY["text_fingerprint"].build(spark, tiny_docs_dir).collect()
+    }
+    # docs 0-2 have < 3 tokens -> no trigram shingles -> no fingerprint
+    assert ids == {3, 4, 5}
+
+
+# ------------------------------------------------------------------
+# 3. events_dtw_daily single-day series: 1-cell DP, no NULL fold
+
+
+def test_dtw_single_day_series(spark, tmp_path):
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for i in range(7):
+        rows.append((i, base, 100 + i, "view", 1.0, "{}"))
+    for i in range(3):
+        rows.append((100 + i, base, 200 + i, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["events_dtw_daily"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["t_len"] == 1
+    assert r["dtw_distance"] == 4  # |7 views - 3 clicks|
+    assert r["lockstep_distance"] == 4
+    assert abs(r["dtw_per_step"] - 2.0) < 1e-9
+    assert abs(r["lockstep_per_step"] - 4.0) < 1e-9
