@@ -56,36 +56,34 @@ REGISTRY: dict[str, QueryDef] = {}
 # driver-canonicalization traps like r4's embed_quantize numpy-cell
 # issue).
 DRIVER_WINDOW: list[str] = [
-    # r10 rotation: the local-only multimodal keys the r9 verdict asked
-    # to attest first (VERDICT r9 item 4; its third name
-    # "sim_matryoshka" resolves to embed_matryoshka_topk, already
-    # driver-green in r9, so multimodal_framesample takes the slot),
-    # then the next 47 never-driver-checked keys in registry order
-    # (the ETL profiling/sharding wave, the BI/reliability events
-    # tail, and the classical-stats tail).  All 50 preflight --exec
+    # r11 rotation (VERDICT r10 item 1): the four round-10 keys that
+    # were still local-only lead (text_pmi_collocations and
+    # stat_kde_gaussian also carry this round's ADVICE fixes —
+    # single-token bigram guard and the corrected Silverman
+    # bandwidth), then the next 46 never-driver-checked keys in
+    # registry order (the r10 wave-A/B tail incl. the two other
+    # ADVICE-touched keys events_attribution_markov/events_dtw_daily,
+    # then the classical-stats backlog).  All 50 preflight --exec
     # clean at rotation time.
-    "multimodal_energy_segments", "multimodal_byte_entropy",
-    "multimodal_framesample",
-    "agg_frequency_moments",
-    "etl_fk_discovery", "etl_pk_discovery", "etl_freshness_report",
-    "etl_column_entropy", "etl_t_closeness", "etl_consistent_hash_shards",
-    "etl_partition_spec_planner",
-    "orders_seasonal_index", "events_markov_entropy_rate",
-    "events_interarrival_burstiness", "orders_abc_migration",
-    "orders_price_index", "events_logrank_test", "orders_safety_stock",
-    "events_spc_p_chart", "events_bass_diffusion", "orders_newsvendor",
-    "events_allan_variance", "events_markov_dwell_times",
-    "orders_price_volume_bridge", "events_epoch_folding",
-    "events_transfer_entropy", "events_hmm_viterbi",
-    "events_gehan_wilcoxon", "events_attribution_shapley",
-    "events_reliability_growth",
-    "stat_jarque_bera", "stat_grubbs", "stat_mood_median",
-    "stat_cochran_q", "stat_proportions_ztest", "stat_odds_ratio",
-    "stat_hurst_rs", "stat_pacf", "stat_hodges_lehmann",
-    "stat_theil_decomposition", "stat_wilcoxon_signed", "stat_box_cox",
-    "stat_capability", "stat_gamma_fit_mom", "stat_negbin_fit_mom",
-    "stat_winsorized_trimmed", "stat_icc_variance_components",
-    "stat_mad_robust_scale", "stat_cronbach_alpha", "stat_periodogram",
+    "text_pmi_collocations", "stat_kde_gaussian",
+    "multimodal_mime_sniff", "multimodal_phash_dct",
+    "etl_record_linkage_fs", "events_erlang_c", "events_km_greenwood",
+    "events_classical_decomposition", "events_attribution_markov",
+    "events_dtw_daily",
+    "stat_energy_distance", "stat_cliffs_delta", "stat_ansari_bradley",
+    "stat_breusch_pagan", "stat_chow_test", "stat_moran_i",
+    "stat_lilliefors", "stat_kpss", "stat_adf", "stat_tail_index_hill",
+    "stat_permutation_test", "stat_mantel_haenszel", "stat_gk_gamma",
+    "stat_jonckheere_terpstra", "stat_theil_u", "stat_brunner_munzel",
+    "stat_rate_ratio", "stat_two_way_anova", "stat_brown_forsythe",
+    "stat_circular_stats", "stat_cochran_armitage", "stat_gumbel_fit",
+    "stat_meta_fixed_effect", "stat_dunn_posthoc", "stat_sign_test",
+    "stat_wilson_ci", "stat_seasonal_mann_kendall",
+    "stat_poisson_trend_glm", "stat_gini_mean_difference",
+    "stat_lepage", "stat_kuiper_test", "stat_cucconi",
+    "stat_dagostino_k2", "stat_geary_c", "stat_getis_ord_g",
+    "stat_ccf", "stat_lin_ccc", "stat_newey_west", "stat_white_test",
+    "stat_cointegration_eg",
 ]
 
 
