@@ -739,3 +739,36 @@ def test_sprt_uses_prefix_machine_not_global_window(spark, sf_dir):
             assert "windowspecdefinition(" not in line or (
                 "_bkt" in line or "bucket" in line
             ), line
+
+
+def test_two_phase_components_plan_shapes(spark):
+    """VERDICT r10 item 8: pin the two-phase connected-components gate
+    at the PLAN level. Below the local_max_edges threshold the helper
+    must finish with exactly ONE Arrow-batched union-find
+    (FlatMapGroupsInPandas) and no join in the plan; forcing the
+    distributed path must instead return pointer-jumping loop output
+    (a checkpoint-truncated scan — no pandas stage). The local=loop
+    label-equivalence test lives in test_graph.py; this one protects
+    the perf win from a silent gate regression."""
+    import contextlib
+    import io
+
+    from etl_cnc_spark.llm.dedup import min_label_components
+
+    edges_rows = [(0, 1), (1, 0), (1, 2), (2, 1), (5, 6), (6, 5)]
+    edges = spark.createDataFrame(edges_rows, "u long, v long")
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    local_plan = plan(min_label_components(edges))
+    # formatted plans print each node twice (tree + detail): count
+    # the tree line "FlatMapGroupsInPandas (N)" exactly once
+    assert local_plan.count("FlatMapGroupsInPandas (") == 1, local_plan
+    assert "Join" not in local_plan, local_plan
+
+    loop_plan = plan(min_label_components(edges, local_max_edges=0))
+    assert "FlatMapGroupsInPandas" not in loop_plan, loop_plan
