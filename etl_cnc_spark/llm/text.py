@@ -4394,3 +4394,369 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "npmi"
         ),
     )
+
+
+# ------------------------------------------------------------------
+# ROUGE-L and Self-BLEU generation-eval metrics (r11)
+
+_RL_MAX_DOC = 40  # bounded candidate/reference pair block
+
+
+@register(
+    "text_rouge_l",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < {_RL_MAX_DOC}
+    ), p AS (
+        SELECT c.doc_id // 2 AS pair_id,
+               c.w AS a, r.w AS b,
+               CAST(len(c.w) AS BIGINT) AS la,
+               CAST(len(r.w) AS BIGINT) AS lb
+        FROM t c JOIN t r ON r.doc_id = c.doc_id + 1
+        WHERE c.doc_id % 2 = 0
+    ), dp AS (
+        SELECT pair_id, la, lb,
+               list_reduce(
+                 list_concat(
+                   [list_transform(range(1, CAST(lb AS INT) + 2),
+                                   x -> CAST(0 AS BIGINT))],
+                   list_transform(range(1, CAST(la AS INT) + 1),
+                                  i -> [CAST(i AS BIGINT)])),
+                 (prev, ix) ->
+                   list_reduce(
+                     list_concat(
+                       [[CAST(0 AS BIGINT)]],
+                       list_transform(range(1, CAST(lb AS INT) + 1),
+                                      j -> [CAST(j AS BIGINT)])),
+                     (acc, jx) -> acc ||
+                       [CASE WHEN a[CAST(ix[1] AS INT)]
+                                  = b[CAST(jx[1] AS INT)]
+                             THEN prev[CAST(jx[1] AS INT)] + 1
+                             ELSE greatest(
+                                 prev[CAST(jx[1] AS INT) + 1],
+                                 acc[len(acc)]) END])
+               ) AS lastrow
+        FROM p
+    )
+    SELECT pair_id, la, lb,
+           lastrow[CAST(lb AS INT) + 1] AS lcs_len,
+           {sql_q4("CAST(lastrow[CAST(lb AS INT) + 1] AS DOUBLE) / la")}
+               AS rouge_prec,
+           {sql_q4("CAST(lastrow[CAST(lb AS INT) + 1] AS DOUBLE) / lb")}
+               AS rouge_rec,
+           {sql_q4("CASE WHEN lastrow[CAST(lb AS INT) + 1] = 0 THEN 0.0"
+                   " ELSE 2.0 * (CAST(lastrow[CAST(lb AS INT) + 1]"
+                   " AS DOUBLE) / la)"
+                   " * (CAST(lastrow[CAST(lb AS INT) + 1] AS DOUBLE) / lb)"
+                   " / ((CAST(lastrow[CAST(lb AS INT) + 1] AS DOUBLE) / la)"
+                   " + (CAST(lastrow[CAST(lb AS INT) + 1] AS DOUBLE) / lb))"
+                   " END")} AS rouge_f1
+    FROM dp
+    """,
+)
+def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L between candidate/reference document pairs (doc 2k vs
+    doc 2k+1 in a bounded id block): longest-common-subsequence
+    precision, recall and F1 — the reference-based generation-eval
+    metric every summarization / SFT-quality pipeline reports.
+
+    Exactness: the full (la+1)x(lb+1) LCS dynamic program runs as a
+    nested exact-BIGINT fold over the token arrays (outer fold
+    carries the previous DP row, inner fold builds the next row
+    left-to-right) — the same nested-HOF machinery as
+    events_dtw_daily, so both engines execute the identical integer
+    recurrence and only the final precision/recall/F1 projections
+    are float (identically parenthesized, q4).
+
+    Scale shape: pairing is an equi-join on doc_id+1 inside a
+    bounded id block; the DP is per-pair metadata (la,lb <= corpus
+    max doc length, ~100 tokens here) evaluated inside one codegen'd
+    projection — at 100 TB the pair table is whatever the eval set
+    is, and each pair's cost is its own token product, never
+    data x data."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < _RL_MAX_DOC)
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    c = t.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("doc_id").alias("cid"),
+        F.col("w").alias("a"),
+    )
+    r = t.select(F.col("doc_id").alias("rid"), F.col("w").alias("b"))
+    p = (
+        c.join(r, c["cid"] + 1 == r["rid"])
+        .select(
+            "pair_id",
+            "a",
+            "b",
+            F.size("a").cast("long").alias("la"),
+            F.size("b").cast("long").alias("lb"),
+        )
+    )
+    dp_expr = """
+    aggregate(sequence(1, CAST(la AS INT)),
+      array_repeat(0L, CAST(lb AS INT) + 1),
+      (prev, i) ->
+        aggregate(sequence(1, CAST(lb AS INT)),
+          array(0L),
+          (acc, j) -> concat(acc, array(
+              CASE WHEN element_at(a, i) = element_at(b, j)
+                   THEN element_at(prev, j) + 1L
+                   ELSE greatest(element_at(prev, j + 1),
+                                 element_at(acc, -1)) END))))
+    """
+    scored = p.select(
+        "pair_id",
+        "la",
+        "lb",
+        F.element_at(F.expr(dp_expr), (F.col("lb") + 1).cast("int"))
+        .alias("lcs_len"),
+    )
+    prec = F.col("lcs_len").cast("double") / F.col("la")
+    rec = F.col("lcs_len").cast("double") / F.col("lb")
+    return scored.select(
+        "pair_id",
+        "la",
+        "lb",
+        "lcs_len",
+        q4(prec).alias("rouge_prec"),
+        q4(rec).alias("rouge_rec"),
+        q4(
+            F.when(F.col("lcs_len") == 0, F.lit(0.0)).otherwise(
+                2.0 * prec * rec / (prec + rec)
+            )
+        ).alias("rouge_f1"),
+    )
+
+
+@register(
+    "text_self_bleu",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < {_RL_MAX_DOC}
+    ), p AS (
+        SELECT c.doc_id // 2 AS pair_id,
+               c.w AS a, r.w AS b,
+               CAST(len(c.w) AS BIGINT) AS la,
+               CAST(len(r.w) AS BIGINT) AS lb
+        FROM t c JOIN t r ON r.doc_id = c.doc_id + 1
+        WHERE c.doc_id % 2 = 0
+    ), cu AS (
+        SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cc
+        FROM (SELECT pair_id, unnest(a) AS g FROM p) GROUP BY 1, 2
+    ), ru AS (
+        SELECT pair_id, g, CAST(count(*) AS BIGINT) AS rc
+        FROM (SELECT pair_id, unnest(b) AS g FROM p) GROUP BY 1, 2
+    ), u1 AS (
+        SELECT cu.pair_id,
+               CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS clip1,
+               CAST(sum(cc) AS BIGINT) AS tot1
+        FROM cu LEFT JOIN ru ON ru.pair_id = cu.pair_id AND ru.g = cu.g
+        GROUP BY cu.pair_id
+    ), cb AS (
+        SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cc
+        FROM (
+            SELECT pair_id, a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS g
+            FROM p, UNNEST(range(1, len(a))) AS x(i)
+        ) GROUP BY 1, 2
+    ), rb AS (
+        SELECT pair_id, g, CAST(count(*) AS BIGINT) AS rc
+        FROM (
+            SELECT pair_id, b[CAST(i AS INT)] || ' ' || b[CAST(i AS INT) + 1] AS g
+            FROM p, UNNEST(range(1, len(b))) AS x(i)
+        ) GROUP BY 1, 2
+    ), u2 AS (
+        SELECT cb.pair_id,
+               CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS clip2,
+               CAST(sum(cc) AS BIGINT) AS tot2
+        FROM cb LEFT JOIN rb ON rb.pair_id = cb.pair_id AND rb.g = cb.g
+        GROUP BY cb.pair_id
+    )
+    SELECT p.pair_id, la, lb, clip1, tot1, clip2, tot2,
+           {sql_q4("CAST(clip1 AS DOUBLE) / tot1")} AS p1,
+           {sql_q4("CAST(clip2 AS DOUBLE) / tot2")} AS p2,
+           {sql_q4("CASE WHEN la > lb THEN 1.0"
+                   " ELSE exp(1.0 - CAST(lb AS DOUBLE) / la) END")} AS bp,
+           {sql_q4("CASE WHEN clip1 = 0 OR clip2 = 0 THEN 0.0 ELSE"
+                   " (CASE WHEN la > lb THEN 1.0"
+                   "  ELSE exp(1.0 - CAST(lb AS DOUBLE) / la) END)"
+                   " * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / tot1)"
+                   "              + ln(CAST(clip2 AS DOUBLE) / tot2)))"
+                   " END")} AS bleu2
+    FROM p JOIN u1 ON u1.pair_id = p.pair_id
+           JOIN u2 ON u2.pair_id = p.pair_id
+    """,
+)
+def text_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-2 between candidate/reference document pairs (the
+    same doc-2k/doc-2k+1 block as text_rouge_l): clipped unigram and
+    bigram precisions, brevity penalty, and their geometric mean —
+    BLEU as a corpus-diversity / near-duplication lens (high
+    self-BLEU across a generated corpus flags mode collapse) and the
+    n-gram-precision complement to ROUGE-L's recall view.
+
+    Exactness: clipped counts are pure integer min/sum aggregates
+    over per-pair n-gram count tables; only the final precision/BP/
+    geometric-mean projections are float (identically parenthesized
+    in both engines, q4).
+
+    Scale shape: two explodes (uni/bigram) per side, four hash
+    aggregates, two per-pair equi-joins on (pair_id, gram) — all
+    shuffles keyed by the pair, nothing data x data; bigram build
+    guards single-token docs (Spark's descending sequence(1, 0))."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < _RL_MAX_DOC)
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    c = t.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("doc_id").alias("cid"),
+        F.col("w").alias("a"),
+    )
+    r = t.select(F.col("doc_id").alias("rid"), F.col("w").alias("b"))
+    p = c.join(r, c["cid"] + 1 == r["rid"]).select(
+        "pair_id",
+        "a",
+        "b",
+        F.size("a").cast("long").alias("la"),
+        F.size("b").cast("long").alias("lb"),
+    )
+
+    def grams(col: str, n: int) -> F.Column:
+        if n == 1:
+            return F.explode(F.col(col))
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, size({col}) - 1),"
+                f" i -> concat(element_at({col}, i), ' ',"
+                f" element_at({col}, i + 1)))"
+            )
+        )
+
+    def clipped(n: int, clip_name: str, tot_name: str) -> DataFrame:
+        # size >= 2 guard for the bigram path (sequence(1, 0) descends)
+        base = p if n == 1 else p.where((F.size("a") >= 2) & (F.size("b") >= 2))
+        cg = (
+            base.select("pair_id", grams("a", n).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("cc"))
+        )
+        rg = (
+            base.select("pair_id", grams("b", n).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("rc"))
+        )
+        return (
+            cg.join(rg, ["pair_id", "g"], "left")
+            .groupBy("pair_id")
+            .agg(
+                F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+                .cast("long")
+                .alias(clip_name),
+                F.sum("cc").cast("long").alias(tot_name),
+            )
+        )
+
+    u1 = clipped(1, "clip1", "tot1")
+    u2 = clipped(2, "clip2", "tot2")
+    joined = p.select("pair_id", "la", "lb").join(u1, "pair_id").join(u2, "pair_id")
+    p1 = F.col("clip1").cast("double") / F.col("tot1")
+    p2 = F.col("clip2").cast("double") / F.col("tot2")
+    bp = F.when(F.col("la") > F.col("lb"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("lb").cast("double") / F.col("la"))
+    )
+    return joined.select(
+        "pair_id",
+        "la",
+        "lb",
+        "clip1",
+        "tot1",
+        "clip2",
+        "tot2",
+        q4(p1).alias("p1"),
+        q4(p2).alias("p2"),
+        q4(bp).alias("bp"),
+        q4(
+            F.when((F.col("clip1") == 0) | (F.col("clip2") == 0), F.lit(0.0))
+            .otherwise(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))))
+        ).alias("bleu2"),
+    )
+
+
+_VOCAB_KS = [100, 500, 2000, 8000, 30000]
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ), ranked AS (
+        SELECT w, c,
+               CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rn,
+               CAST(sum(c) OVER (ORDER BY c DESC, w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM uni
+    ), tots AS (
+        SELECT CAST(count(*) AS BIGINT) AS nv,
+               CAST(sum(c) AS BIGINT) AS tot
+        FROM uni
+    )
+    SELECT k, least(k, nv) AS vocab_used, cum AS covered_tokens, tot
+               AS total_tokens,
+           {sql_q4("CAST(cum AS DOUBLE) / tot")} AS coverage
+    FROM (SELECT CAST(unnest({_VOCAB_KS}) AS BIGINT) AS k) g
+    CROSS JOIN tots
+    JOIN ranked ON ranked.rn = least(g.k, tots.nv)
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design coverage curve: what fraction of all corpus
+    token OCCURRENCES the top-K vocabulary types cover, for a K grid
+    — the first plot anyone sizing a vocab (or auditing OOV fallout)
+    draws. Ties rank deterministically by (count desc, token).
+
+    Exactness: counts and the cumulative coverage are exact BIGINTs;
+    only the final ratio is float (one division, q4).
+
+    Scale shape: one explode + hash aggregate to the vocab table,
+    then the range-partitioned bucketed-prefix rank helper
+    (global_ordered with an inclusive running sum — never a
+    single-partition window), a 1-row totals broadcast, and a
+    5-row grid equi-join on rank = least(K, |V|). At 100 TB the
+    vocab table is the only shuffled payload."""
+    from ..operators.prefix import global_ordered
+
+    d = table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = global_ordered(
+        uni,
+        [F.col("c").desc(), F.col("w")],
+        bucket_key="c",
+        bucket_desc=True,
+        sums={"c": "cum"},
+        rank_col="rn",
+    )
+    tots = uni.agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    grid = spark.createDataFrame([(k,) for k in _VOCAB_KS], "k long")
+    return (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(tots))
+        .join(ranked, F.col("rn") == F.least(F.col("k"), F.col("nv")))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("nv")).alias("vocab_used"),
+            F.col("cum").alias("covered_tokens"),
+            F.col("tot").alias("total_tokens"),
+            q4(F.col("cum").cast("double") / F.col("tot")).alias("coverage"),
+        )
+    )
