@@ -1598,3 +1598,132 @@ def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.select(
         "word", F.soundex("word").alias("sx"), "n_parts"
     )
+
+
+# ------------------------------------------------------------------
+# Jaro-Winkler similarity, from scratch in relational HOFs (r11)
+
+
+@register(
+    "fn_jaro_winkler",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1] AS s1,
+               string_split(text, ' ')[len(string_split(text, ' '))] AS s2
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, s1, s2,
+           CAST(floor(jaro_similarity(s1, s2) * 10000 + 0.5) AS BIGINT)
+               / 10000.0 AS jaro,
+           CAST(floor(jaro_winkler_similarity(s1, s2) * 10000 + 0.5)
+               AS BIGINT) / 10000.0 AS jaro_winkler
+    FROM t
+    """,
+)
+def fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro and Jaro-Winkler similarity between each bounded doc's
+    first and last token — the fuzzy-matching scorer behind record
+    linkage and typo-tolerant entity resolution, built FROM SCRATCH
+    in pure JVM-side higher-order functions (Spark has no builtin):
+    the greedy windowed character matching runs as a fold over the
+    first string's positions carrying a 64-bit used-position bitmask
+    plus the matched index lists, transpositions compare the matched
+    sequences in i- vs j-order, and the Winkler prefix boost applies
+    above the classic 0.7 threshold. The oracle is DuckDB's native
+    jaro_winkler_similarity — an independent reference
+    implementation, which is the point: hash parity proves the
+    relational reconstruction IS the textbook algorithm.
+
+    Scale shape: one bounded scan + one codegen'd projection per
+    row; per-pair cost is |s1| x window (strings <= 63 chars for the
+    bitmask — token-sized inputs by construction)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    t = d.select(
+        "doc_id",
+        F.expr("element_at(split(text, ' '), 1)").alias("s1"),
+        F.expr("element_at(split(text, ' '), -1)").alias("s2"),
+    )
+    # fold state: mask of used positions in s2, matched i/j lists
+    match_fold = """
+    aggregate(
+      sequence(1, CAST(length(s1) AS INT)),
+      named_struct('mask', 0L, 'ii', CAST(array() AS ARRAY<INT>),
+                   'jj', CAST(array() AS ARRAY<INT>)),
+      (acc, i) -> CASE WHEN size(filter(
+            sequence(greatest(1, i - CAST(win AS INT)),
+                     least(CAST(length(s2) AS INT), i + CAST(win AS INT))),
+            j -> substring(s2, j, 1) = substring(s1, i, 1)
+                 AND (shiftright(acc.mask, j - 1) & 1L) = 0L)) = 0
+        THEN acc
+        ELSE named_struct(
+          'mask', acc.mask | shiftleft(1L, try_element_at(filter(
+            sequence(greatest(1, i - CAST(win AS INT)),
+                     least(CAST(length(s2) AS INT), i + CAST(win AS INT))),
+            j -> substring(s2, j, 1) = substring(s1, i, 1)
+                 AND (shiftright(acc.mask, j - 1) & 1L) = 0L), 1) - 1),
+          'ii', concat(acc.ii, array(i)),
+          'jj', concat(acc.jj, array(try_element_at(filter(
+            sequence(greatest(1, i - CAST(win AS INT)),
+                     least(CAST(length(s2) AS INT), i + CAST(win AS INT))),
+            j -> substring(s2, j, 1) = substring(s1, i, 1)
+                 AND (shiftright(acc.mask, j - 1) & 1L) = 0L), 1))))
+        END)
+    """
+    base = t.select(
+        "doc_id",
+        "s1",
+        "s2",
+        F.expr(
+            "greatest(CAST(greatest(length(s1), length(s2)) AS INT)"
+            " div 2 - 1, 0)"
+        ).alias("win"),
+    ).select("doc_id", "s1", "s2", "win", F.expr(match_fold).alias("mt"))
+    scored = base.select(
+        "doc_id",
+        "s1",
+        "s2",
+        F.expr("size(mt.ii)").alias("m"),
+        F.expr(
+            """
+            CASE WHEN size(mt.ii) = 0 THEN 0L ELSE
+            aggregate(sequence(1, size(mt.ii)), 0L, (s, k) ->
+              s + CASE WHEN substring(s1, element_at(mt.ii, k), 1)
+                          <> substring(s2,
+                              element_at(array_sort(mt.jj), k), 1)
+                       THEN 1L ELSE 0L END) END
+            """
+        ).alias("diff"),
+        F.expr(
+            """
+            aggregate(sequence(1, least(4, CAST(least(length(s1),
+                length(s2)) AS INT))), 0L, (s, k) ->
+              CASE WHEN s = k - 1
+                        AND substring(s1, k, 1) = substring(s2, k, 1)
+                   THEN s + 1L ELSE s END)
+            """
+        ).alias("prefix_len"),
+    )
+    jaro = F.when(F.col("s1") == F.col("s2"), F.lit(1.0)).otherwise(
+        F.when(F.col("m") == 0, F.lit(0.0)).otherwise(
+            (
+                F.col("m").cast("double") / F.length("s1")
+                + F.col("m").cast("double") / F.length("s2")
+                + (F.col("m") - F.floor(F.col("diff") / 2)).cast("double")
+                / F.col("m")
+            )
+            / 3.0
+        )
+    )
+    withj = scored.select("doc_id", "s1", "s2", "prefix_len", jaro.alias("j"))
+    jw = F.when(
+        F.col("j") > 0.7,
+        F.col("j") + F.col("prefix_len") * 0.1 * (1.0 - F.col("j")),
+    ).otherwise(F.col("j"))
+    return withj.select(
+        "doc_id",
+        "s1",
+        "s2",
+        q4(F.col("j")).alias("jaro"),
+        q4(jw).alias("jaro_winkler"),
+    )

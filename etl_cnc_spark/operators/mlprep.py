@@ -3762,3 +3762,160 @@ def ml_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(auuc).alias("auuc"),
         q4(auuc - 0.5 * qini_final).alias("qini_coefficient"),
     )
+
+
+# ------------------------------------------------------------------
+# One exact EM step for a 2-component 1-D Gaussian mixture (r11)
+
+_GMM_Q = 1_000_000_000  # 1e-9 fixed point for per-bin responsibilities
+
+
+@register(
+    "ml_gmm_em_step",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(nb) AS BIGINT) AS n,
+               CAST(sum(v * nb) AS BIGINT) AS sv,
+               CAST(sum(v * v * nb) AS HUGEINT) AS svv
+        FROM b
+    ), init AS (
+        SELECT n, sv, svv,
+               CAST(sv AS DOUBLE) / n AS mc,
+               sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+                    / (n - 1)) AS sdc
+        FROM s
+    ), e AS (
+        SELECT i.n, i.mc, i.sdc, b.v, b.nb,
+               CAST(floor(
+                   exp(-((b.v - (i.mc - i.sdc)) / i.sdc)
+                       * ((b.v - (i.mc - i.sdc)) / i.sdc) / 2.0)
+                 / (exp(-((b.v - (i.mc - i.sdc)) / i.sdc)
+                        * ((b.v - (i.mc - i.sdc)) / i.sdc) / 2.0)
+                    + exp(-((b.v - (i.mc + i.sdc)) / i.sdc)
+                          * ((b.v - (i.mc + i.sdc)) / i.sdc) / 2.0))
+                 * {_GMM_Q} + 0.5) AS BIGINT) AS r1q
+        FROM b CROSS JOIN init i
+    ), m AS (
+        SELECT any_value(n) AS n,
+               CAST(sum(CAST(r1q AS HUGEINT) * nb) AS HUGEINT) AS n1,
+               CAST(sum(CAST({_GMM_Q} - r1q AS HUGEINT) * nb) AS HUGEINT)
+                   AS n2,
+               CAST(sum(CAST(r1q AS HUGEINT) * nb * v) AS HUGEINT) AS s1,
+               CAST(sum(CAST({_GMM_Q} - r1q AS HUGEINT) * nb * v) AS HUGEINT)
+                   AS s2,
+               CAST(sum(CAST(r1q AS HUGEINT) * nb * v * v) AS HUGEINT) AS q1,
+               CAST(sum(CAST({_GMM_Q} - r1q AS HUGEINT) * nb * v * v)
+                   AS HUGEINT) AS q2
+        FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {sql_q4(f"CAST(n1 AS DOUBLE) / (CAST({_GMM_Q} AS DOUBLE) * n)")}
+               AS w1,
+           {sql_q4(f"CAST(n2 AS DOUBLE) / (CAST({_GMM_Q} AS DOUBLE) * n)")}
+               AS w2,
+           {sql_q4("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0")} AS mu1,
+           {sql_q4("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0")} AS mu2,
+           {sql_q4("sqrt(CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+                   " - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+                   " * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))) / 100.0")}
+               AS sigma1,
+           {sql_q4("sqrt(CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+                   " - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+                   " * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) / 100.0")}
+               AS sigma2
+    FROM m
+    """,
+)
+def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact EM step for a two-component 1-D Gaussian mixture on
+    the purchase-value distribution, from the deterministic
+    moment-split initialization (mu = mean -/+ sd, shared sigma = sd,
+    equal weights) — the distributed-EM building block: the E-step is
+    embarrassingly parallel, the M-step is a handful of mergeable
+    sums, which is exactly how Spark ML's GaussianMixture iterates.
+
+    Exactness: values bin to exact cents FIRST (the KDE discipline),
+    so the E-step runs over the value-DOMAIN-bounded bin table; each
+    bin's responsibility quantizes ONCE to a 1e-9 BIGINT (r2 is the
+    exact complement), and every M-step sum accumulates
+    DECIMAL(38,0)/HUGEINT products — order-free 128-bit integers.
+    Doubles appear only in the init moments and the final
+    weight/mean/sigma projections, all identically parenthesized.
+
+    Scale shape: one hash aggregate to cents bins, a 1-row moments
+    broadcast, one bins-sized projection + aggregate. At 100 TB only
+    the first aggregate touches the corpus; responsibilities never
+    materialize per row."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    b = (
+        e.groupBy(F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    dec = "decimal(38,0)"
+    s = b.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("nb")).cast("long").alias("sv"),
+        F.sum((F.col("v") * F.col("nb")).cast(dec) * F.col("v")).alias("svv"),
+    )
+    init = s.select(
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mc"),
+        F.sqrt(
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sdc"),
+    )
+    z1 = (F.col("v") - (F.col("mc") - F.col("sdc"))) / F.col("sdc")
+    z2 = (F.col("v") - (F.col("mc") + F.col("sdc"))) / F.col("sdc")
+    phi1 = F.exp(-z1 * z1 / 2.0)
+    phi2 = F.exp(-z2 * z2 / 2.0)
+    est = b.crossJoin(F.broadcast(init)).select(
+        "n",
+        "v",
+        "nb",
+        F.floor(phi1 / (phi1 + phi2) * _GMM_Q + 0.5).cast("long").alias("r1q"),
+    )
+    r1d = F.col("r1q").cast(dec)
+    r2d = (F.lit(_GMM_Q) - F.col("r1q")).cast(dec)
+    m = est.groupBy("n").agg(
+        F.sum(r1d * F.col("nb")).alias("n1"),
+        F.sum(r2d * F.col("nb")).alias("n2"),
+        F.sum(r1d * F.col("nb") * F.col("v")).alias("s1"),
+        F.sum(r2d * F.col("nb") * F.col("v")).alias("s2"),
+        F.sum(r1d * F.col("nb") * F.col("v") * F.col("v")).alias("q1"),
+        F.sum(r2d * F.col("nb") * F.col("v") * F.col("v")).alias("q2"),
+    )
+    mu1d = F.col("s1").cast("double") / F.col("n1").cast("double")
+    mu2d = F.col("s2").cast("double") / F.col("n2").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        q4(
+            F.col("n1").cast("double") / (F.lit(float(_GMM_Q)) * F.col("n"))
+        ).alias("w1"),
+        q4(
+            F.col("n2").cast("double") / (F.lit(float(_GMM_Q)) * F.col("n"))
+        ).alias("w2"),
+        q4(mu1d / 100.0).alias("mu1"),
+        q4(mu2d / 100.0).alias("mu2"),
+        q4(
+            F.sqrt(
+                F.col("q1").cast("double") / F.col("n1").cast("double")
+                - mu1d * mu1d
+            )
+            / 100.0
+        ).alias("sigma1"),
+        q4(
+            F.sqrt(
+                F.col("q2").cast("double") / F.col("n2").cast("double")
+                - mu2d * mu2d
+            )
+            / 100.0
+        ).alias("sigma2"),
+    )

@@ -13273,3 +13273,316 @@ def stat_kde_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("bw") * float(_KDE_SQRT2PI))
         ).alias("density"),
     )
+
+
+# ------------------------------------------------------------------
+# Hampel filter (r11)
+
+# flag iff |x - med| > 3 * 1.4826 * MAD; in x2-scaled integer units
+# (d = |2x - med2|, mad2 = 4*MAD) that is 2*d > 4.4478*mad2, i.e.
+# 20000*d > 44478*mad2 — exact BIGINT comparison, no floats anywhere.
+_HAMPEL_K_NUM = 44478  # 3 * 1.4826 * 10000
+_HAMPEL_K_DEN = 20000  # 2 * 10000
+
+
+@register(
+    "stat_hampel_filter",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), win AS (
+        SELECT d, rev_c,
+               list_sort(list(rev_c) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS s
+        FROM daily
+    ), med AS (
+        SELECT d, rev_c, s, CAST(len(s) AS BIGINT) AS n,
+               CAST(s[CAST((len(s) + 1) // 2 AS INT)]
+                    + s[CAST((len(s) + 2) // 2 AS INT)] AS BIGINT) AS med2
+        FROM win
+    ), mad AS (
+        SELECT d, rev_c, n, med2,
+               CAST(ds[CAST((len(ds) + 1) // 2 AS INT)]
+                    + ds[CAST((len(ds) + 2) // 2 AS INT)] AS BIGINT) AS mad2
+        FROM (SELECT *, list_sort(list_transform(s,
+                  v -> abs(2*v - med2))) AS ds FROM med)
+    )
+    SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) / 86400000000 AS BIGINT)
+               AS day_n,
+           rev_c, n AS n_window, med2, mad2,
+           {_HAMPEL_K_DEN} * abs(2*rev_c - med2) > {_HAMPEL_K_NUM} * mad2
+               AS is_outlier
+    FROM mad
+    """,
+)
+def stat_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier over the daily purchase-revenue series: a
+    centered +/-3-day rolling window, exact window median and MAD,
+    flag when |x − med| > 3·1.4826·MAD — the robust outlier filter
+    that survives the very spikes a rolling z-score gets dragged by
+    (the robust companion to events_anomaly_mad's global-MAD key).
+
+    Exactness — the interesting bit: there are NO floats at all.
+    Medians use the x2 midrank trick (med2 = s_lo + s_hi), the MAD
+    doubles again (mad2 = 4·MAD as |2v − med2| midranks), and the
+    1.4826-scaled threshold becomes the integer cross-multiplication
+    20000·|2x − med2| > 44478·mad2 — bit-identical on any engine.
+
+    Scale shape: fact rows hash-aggregate to one row per day first
+    (map-side combined cents), so the unpartitioned rolling window
+    runs over the calendar-bounded daily series (census-allowlisted);
+    the 7-element sort inside each row is constant work."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_c"),
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    win = daily.withColumn("s", F.sort_array(F.collect_list("rev_c").over(w)))
+    med = win.select(
+        "d",
+        "rev_c",
+        "s",
+        F.size("s").cast("long").alias("n"),
+        (
+            F.element_at("s", ((F.size("s") + 1) / 2).cast("int"))
+            + F.element_at("s", ((F.size("s") + 2) / 2).cast("int"))
+        ).cast("long").alias("med2"),
+    )
+    mad = med.withColumn(
+        "ds", F.expr("sort_array(transform(s, v -> abs(2*v - med2)))")
+    ).select(
+        "d",
+        "rev_c",
+        "n",
+        "med2",
+        (
+            F.element_at("ds", ((F.size("ds") + 1) / 2).cast("int"))
+            + F.element_at("ds", ((F.size("ds") + 2) / 2).cast("int"))
+        ).cast("long").alias("mad2"),
+    )
+    return mad.select(
+        F.unix_date(F.col("d")).cast("long").alias("day_n"),
+        "rev_c",
+        F.col("n").alias("n_window"),
+        "med2",
+        "mad2",
+        (
+            _HAMPEL_K_DEN * F.abs(2 * F.col("rev_c") - F.col("med2"))
+            > _HAMPEL_K_NUM * F.col("mad2")
+        ).alias("is_outlier"),
+    )
+
+
+# ------------------------------------------------------------------
+# Bradley-Terry preference strengths (r11)
+
+_BT_K = 40  # MM fixed-point iterations (5 items: converged long before)
+
+
+@register(
+    "stat_bradley_terry",
+    oracle=f"""
+    WITH tc AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), ty AS (
+        SELECT a.event_type,
+               CAST((SELECT count(*) FROM (SELECT DISTINCT event_type
+                     FROM events) b WHERE b.event_type < a.event_type)
+                    AS INT) AS i
+        FROM (SELECT DISTINCT event_type FROM events) a
+    ), dense AS (
+        SELECT u.user_id, ty.i, coalesce(tc.c, 0) AS c
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN ty
+        LEFT JOIN tc ON tc.user_id = u.user_id
+                    AND tc.event_type = ty.event_type
+    ), w AS (
+        SELECT CASE WHEN a.c > b.c THEN a.i ELSE b.i END AS wi,
+               CASE WHEN a.c > b.c THEN b.i ELSE a.i END AS li,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dense a JOIN dense b
+          ON b.user_id = a.user_id AND a.i < b.i
+        WHERE a.c <> b.c GROUP BY 1, 2
+    ), mrow AS MATERIALIZED (
+        SELECT list(coalesce(w.n, 0) ORDER BY g.k) AS mm
+        FROM range(25) g(k)
+        LEFT JOIN w ON w.wi * 5 + w.li = g.k
+    ), it AS (
+        WITH RECURSIVE r(k, p) AS (
+            -- CAST matters: a bare [1.0, ...] list types as
+            -- DECIMAL(2,1) and the whole recursion would run in
+            -- 1-digit decimal, not IEEE double
+            SELECT 0, [CAST(1.0 AS DOUBLE), 1.0, 1.0, 1.0, 1.0]
+            UNION ALL
+            SELECT r.k + 1,
+                   list_transform(range(0, 5), i ->
+                     CASE WHEN list_sum(list_transform(range(0, 5),
+                              j -> m.mm[CAST(i*5 + j AS INT) + 1])) = 0
+                          THEN 0.0
+                          ELSE CAST(list_sum(list_transform(range(0, 5),
+                                 j -> m.mm[CAST(i*5 + j AS INT) + 1]))
+                               AS DOUBLE)
+                             / list_reduce(list_transform(range(0, 5),
+                                 j -> CASE WHEN j = i THEN 0.0
+                                      WHEN m.mm[CAST(i*5 + j AS INT) + 1]
+                                         + m.mm[CAST(j*5 + i AS INT) + 1]
+                                         = 0 THEN 0.0
+                                      ELSE CAST(
+                                          m.mm[CAST(i*5 + j AS INT) + 1]
+                                        + m.mm[CAST(j*5 + i AS INT) + 1]
+                                          AS DOUBLE)
+                                        / (r.p[CAST(i AS INT) + 1]
+                                           + r.p[CAST(j AS INT) + 1])
+                                      END),
+                                 (a, b) -> a + b)
+                     END)
+            FROM r, mrow m WHERE r.k < {_BT_K}
+        )
+        SELECT p FROM r WHERE k = {_BT_K}
+    ), fin AS (
+        SELECT p,
+               list_reduce(p, (a, b) -> a + b) AS s
+        FROM it
+    )
+    SELECT ty.event_type,
+           CAST(list_sum(list_transform(range(0, 5),
+               j -> m.mm[CAST(ty.i*5 + j AS INT) + 1])) AS BIGINT) AS wins,
+           CAST(list_sum(list_transform(range(0, 5),
+               j -> m.mm[CAST(ty.i*5 + j AS INT) + 1]
+                  + m.mm[CAST(j*5 + ty.i AS INT) + 1])) AS BIGINT)
+               AS comparisons,
+           {sql_q4("fin.p[ty.i + 1] / fin.s")} AS strength
+    FROM ty, mrow m, fin
+    """,
+)
+def stat_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over the five event types:
+    each user 'prefers' type i over type j when they emitted more i
+    than j events; the BT model turns the resulting pairwise win
+    matrix into per-type strengths via the classic MM fixed point
+    p_i ← W_i / Σ_j m_ij/(p_i + p_j) — the same estimator an RLHF
+    data pipeline runs over human preference pairs to rank policies
+    or prompts (pipeline_preference_pairs builds such pairs; this is
+    the model fitted on top).
+
+    Exactness: the win/comparison matrix is exact BIGINT counts; the
+    {_BT_K} MM iterations run as DOUBLE folds with one shared
+    parenthesization — Spark's aggregate/transform HOFs and the
+    oracle's recursive CTE evaluate the identical IEEE operation
+    sequence (left-fold term order, 0.0 seed), so the q4 hash is
+    stable. Strengths are normalized to sum 1 by the same left fold.
+
+    Scale shape: one (user, type) hash aggregate, a x5 dense grid
+    (type domain is bounded), one per-user self-join bounded to 10
+    pair rows per user, one 25-cell aggregate to a single map row —
+    the MM fold is metadata-sized. At 100 TB only the first
+    aggregate touches the corpus."""
+    e = table(spark, sf_dir, "events")
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = e.select("event_type").distinct()
+    idx = (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            F.col("b.event_type") < F.col("a.event_type"),
+            "left",
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count(F.col("b.event_type")).cast("int").alias("i"))
+    )
+    users = e.select("user_id").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(idx))
+        .join(tc, ["user_id", "event_type"], "left")
+        .select("user_id", "i", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    d1 = dense.select(
+        "user_id", F.col("i").alias("i1"), F.col("c").alias("c1")
+    )
+    d2 = dense.select(
+        F.col("user_id").alias("uid2"),
+        F.col("i").alias("i2"),
+        F.col("c").alias("c2"),
+    )
+    wins = (
+        d1.join(d2, (d1["user_id"] == d2["uid2"]) & (d1["i1"] < d2["i2"]))
+        .where(F.col("c1") != F.col("c2"))
+        .select(
+            F.when(F.col("c1") > F.col("c2"), F.col("i1"))
+            .otherwise(F.col("i2"))
+            .alias("wi"),
+            F.when(F.col("c1") > F.col("c2"), F.col("i2"))
+            .otherwise(F.col("i1"))
+            .alias("li"),
+        )
+        .groupBy("wi", "li")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    mrow = wins.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("wi") * 5 + F.col("li")).cast("long").alias("k"),
+                    F.col("n").alias("v"),
+                )
+            )
+        ).alias("mm")
+    )
+    m_ij = (
+        "(coalesce(element_at(mm, CAST(i*5 + j AS LONG)), 0L)"
+        " + coalesce(element_at(mm, CAST(j*5 + i AS LONG)), 0L))"
+    )
+    wsum = (
+        "aggregate(sequence(0, 4), 0L, (s, j) ->"
+        " s + coalesce(element_at(mm, CAST(i*5 + j AS LONG)), 0L))"
+    )
+    fold = f"""
+    aggregate(sequence(1, {_BT_K}),
+      transform(sequence(0, 4), x -> 1.0D),
+      (p, it) -> transform(sequence(0, 4), i ->
+        CASE WHEN {wsum} = 0L THEN 0.0D
+        ELSE CAST({wsum} AS DOUBLE)
+           / aggregate(sequence(0, 4), CAST(0.0 AS DOUBLE), (s, j) ->
+               s + (CASE WHEN j = i THEN 0.0D
+                    WHEN {m_ij} = 0L THEN 0.0D
+                    ELSE CAST({m_ij} AS DOUBLE)
+                       / (element_at(p, i + 1) + element_at(p, j + 1))
+                    END))
+        END))
+    """
+    scored = mrow.select(
+        "mm",
+        F.expr(fold).alias("p"),
+    ).select(
+        "mm",
+        "p",
+        F.expr("aggregate(p, CAST(0.0 AS DOUBLE), (a, b) -> a + b)").alias("s"),
+    )
+    per_type = scored.select(
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, 4), i -> struct(
+                  i AS i,
+                  CAST({wsum} AS LONG) AS wins,
+                  CAST(aggregate(sequence(0, 4), 0L, (s, j) ->
+                      s + {m_ij}) AS LONG) AS comparisons,
+                  element_at(p, i + 1) / s AS strength))
+                """
+            )
+        ).alias("r")
+    ).select("r.i", "r.wins", "r.comparisons", "r.strength")
+    return per_type.join(F.broadcast(idx), "i").select(
+        "event_type",
+        "wins",
+        "comparisons",
+        q4(F.col("strength")).alias("strength"),
+    )
