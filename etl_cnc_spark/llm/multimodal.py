@@ -948,3 +948,84 @@ def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("candidate_pairs"),
     )
+
+
+# ------------------------------------------------------------------
+# Cross-asset frame-level dedup (r11)
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(substr(text, 1 + CAST(i AS INT) * {FRAME_BYTES},
+                          {FRAME_BYTES})) AS fd
+        FROM documents,
+             UNNEST(range(0, (octet_length(encode(text)) - 1)
+                             // {FRAME_BYTES} + 1)) AS g(i)
+    ), dup AS (
+        SELECT fd, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM f GROUP BY fd
+        HAVING min(doc_id) <> max(doc_id)
+    )
+    SELECT d.fd, d.n_frames,
+           CAST(count(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+           d.min_doc, d.max_doc
+    FROM dup d JOIN f ON f.fd = d.fd
+    GROUP BY d.fd, d.n_frames, d.min_doc, d.max_doc
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset frame-level deduplication: chunk every binary
+    payload into fixed {FRAME_BYTES}-byte frames, digest each frame,
+    and report digests that occur in MORE THAN ONE asset — the video/
+    audio dedup primitive (find shared intros, stingers, reposted
+    segments) that runs before any expensive perceptual hash. The
+    byte-chunk stand-in keeps the real geometry (a decoder would
+    chunk GOPs/keyframes); ASCII fixtures make the digests
+    SQL-verifiable.
+
+    Scale shape: one row-local explode (frames per asset — bounded by
+    payload size over frame size), one digest hash aggregate where
+    the >=2-distinct-assets gate is the map-side-combinable
+    min(doc)!=max(doc) trick (NOT countDistinct — no second shuffle),
+    then one semi-join-shaped re-aggregation restricted to the tiny
+    duplicated-digest set for the exact distinct-asset count. Only
+    32-byte digests ever shuffle — never payload bytes."""
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    f = p.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.expr(
+                f"sequence(0, (octet_length(payload) - 1)"
+                f" div {FRAME_BYTES})"
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.expr(
+                f"substring(payload, 1 + CAST(i AS INT) * {FRAME_BYTES},"
+                f" {FRAME_BYTES})"
+            )
+        ).alias("fd"),
+    ).localCheckpoint(eager=False)
+    dup = (
+        f.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("min_doc") != F.col("max_doc"))
+    )
+    return (
+        dup.join(f, "fd")
+        .groupBy("fd", "n_frames", "min_doc", "max_doc")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .select("fd", "n_frames", "n_docs", "min_doc", "max_doc")
+    )

@@ -10900,3 +10900,162 @@ def events_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lockstep_per_step"
         ),
     )
+
+
+# ------------------------------------------------------------------
+# CUPED variance reduction (r11)
+
+
+@register(
+    "events_cuped",
+    oracle="""
+    WITH span AS (
+        SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+                + CAST(max(epoch_us(ts)) AS BIGINT)) // 2 AS mid
+        FROM events
+    ), per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                   AND epoch_us(ts) < mid
+                   THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS x,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                   AND epoch_us(ts) >= mid
+                   THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS y
+        FROM events CROSS JOIN span
+        GROUP BY user_id, user_id % 2
+    ), pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM per_user
+    ), arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+               CAST(sum(x) AS BIGINT) AS sx_a,
+               CAST(sum(y) AS BIGINT) AS sy_a
+        FROM per_user GROUP BY arm
+    )
+    SELECT arm, n_a AS n_users,
+           q4x.mean_y, q4x.mean_y_cuped, q4x.theta, q4x.rho2
+    FROM arms CROSS JOIN pooled,
+    LATERAL (SELECT
+        CAST(floor(CAST(sy_a AS DOUBLE) / n_a / 100.0 * 10000 + 0.5)
+            AS BIGINT) / 10000.0 AS mean_y,
+        CAST(floor((CAST(sy_a AS DOUBLE) / n_a
+             - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+               * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n))
+             / 100.0 * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_y_cuped,
+        CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+             * 10000 + 0.5) AS BIGINT) / 10000.0 AS theta,
+        CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)))
+             * 10000 + 0.5) AS BIGINT) / 10000.0 AS rho2) q4x
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the modern
+    A/B-testing standard): per-user purchase revenue in the second
+    half of the calendar span (the 'experiment period' Y) adjusted by
+    the first-half pre-period covariate X via
+    Ycv = Y − θ·(X − X̄), θ = cov(X,Y)/var(X) pooled across arms
+    (user_id % 2). Reports per-arm raw and CUPED-adjusted means plus
+    the achieved variance-reduction factor ρ² = corr(X,Y)² — the
+    fraction of metric variance the pre-period covariate removes.
+
+    Exactness: X/Y are exact per-user cent sums; θ, the adjusted
+    means and ρ² derive from five pooled co-moment sums accumulated
+    as 128-bit integers (DECIMAL(38,0)/HUGEINT — the agg_corr_exact
+    discipline), so every double meets identically-parenthesized
+    inputs and the q4 hash is stable at any parallelism.
+
+    Scale shape: one pass to per-user sums (hash aggregate on
+    user_id), one 1-row pooled aggregate + one 2-row arm aggregate,
+    closed-form projections. The calendar midpoint is a 1-row
+    broadcast — no window, no second scan of the fact table."""
+    e = table(spark, sf_dir, "events")
+    span = e.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("mid")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_p & (F.unix_micros("ts") < F.col("mid")), cents
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_p & (F.unix_micros("ts") >= F.col("mid")), cents
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("x").cast("long").alias("sx_a"),
+        F.sum("y").cast("long").alias("sy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ) / F.col("n")
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("n")
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / F.col("n")
+    theta = cov / varx
+    return j.select(
+        "arm",
+        F.col("n_a").alias("n_users"),
+        q4(F.col("sy_a").cast("double") / F.col("n_a") / 100.0).alias(
+            "mean_y"
+        ),
+        q4(
+            (
+                F.col("sy_a").cast("double") / F.col("n_a")
+                - theta
+                * (
+                    F.col("sx_a").cast("double") / F.col("n_a")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            )
+            / 100.0
+        ).alias("mean_y_cuped"),
+        q4(theta).alias("theta"),
+        q4(cov * cov / (varx * vary)).alias("rho2"),
+    )
