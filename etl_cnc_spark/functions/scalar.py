@@ -1727,3 +1727,119 @@ def fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("j")).alias("jaro"),
         q4(jw).alias("jaro_winkler"),
     )
+
+
+# ------------------------------------------------------------------
+# Geohash encoding (r11)
+
+_GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+# 30-bit interleave, longitude first (even bit positions from the
+# MSB), i.e. the standard geohash bit order for an even bit count.
+_GH_BITS = " + ".join(
+    f"(((lon_q >> {14 - k}) & 1) << {29 - 2 * k})"
+    f" + (((lat_q >> {14 - k}) & 1) << {28 - 2 * k})"
+    for k in range(15)
+)
+_GH_CHARS = "concat(" + ", ".join(
+    f"substr('{_GH_B32}', CAST(((gh >> {25 - 5 * j}) & 31) AS INT) + 1, 1)"
+    for j in range(6)
+) + ")"
+
+
+@register(
+    "fn_geohash",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST('0x' || substr(md5('ghx' || CAST(c_custkey AS VARCHAR)),
+                    1, 12) AS BIGINT) % 360000000 AS lon_u,
+               CAST('0x' || substr(md5('ghx' || CAST(c_custkey AS VARCHAR)),
+                    13, 12) AS BIGINT) % 180000000 AS lat_u
+        FROM customer
+    ), quant AS (
+        SELECT c_custkey, lon_u, lat_u,
+               (lon_u * 32768) // 360000000 AS lon_q,
+               (lat_u * 32768) // 180000000 AS lat_q
+        FROM pts
+    ), bits AS (
+        SELECT c_custkey, lon_u, lat_u, {_GH_BITS} AS gh
+        FROM quant
+    ), coded AS (
+        SELECT c_custkey, lon_u, lat_u, {_GH_CHARS} AS geohash6
+        FROM bits
+    )
+    SELECT substr(geohash6, 1, 3) AS cell3,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           min(geohash6) AS min_gh6,
+           max(geohash6) AS max_gh6,
+           {sql_q4("CAST(sum(lat_u) AS DOUBLE) / count(*) / 1000000.0 - 90.0")}
+               AS mean_lat,
+           {sql_q4("CAST(sum(lon_u) AS DOUBLE) / count(*) / 1000000.0 - 180.0")}
+               AS mean_lon
+    FROM coded
+    GROUP BY 1
+    """,
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (Niemeyer 2008, public-domain scheme) as a
+    pure-integer scalar: deterministic micro-degree pseudo-coordinates
+    from md5 of the customer key (12 hex chars -> BIGINT, mod the
+    micro-degree domain — the fn_haversine idiom at integer
+    precision), quantized to 15 bits per axis entirely in BIGINT
+    arithmetic (lon_u * 2^15 DIV 360e6 — no float rounding anywhere
+    near a cell boundary), bit-interleaved longitude-first into the
+    30-bit code, and emitted as the canonical 6-character base32
+    string.  Rolled up by the 3-character prefix (the containing
+    ~156 km x 156 km cell): count, min/max full hash, exact-integer
+    mean coordinates.  Geohash prefixes ARE the spatial partition
+    key: prefix equality = spatial proximity, which is what makes
+    this the standard lakehouse partitioning/bucketing column for
+    geo data (cf. join_spatial_grid's ad-hoc grid cells).
+
+    Scale shape: embarrassingly parallel scalar expression (bit ops
+    + one md5) followed by one map-side-combinable aggregate whose
+    output is bounded by the 32^3 prefix domain, never the input
+    rows.  At 100 TB the encode is a zero-shuffle projection and the
+    rollup is the partition-pruning manifest."""
+    c = table(spark, sf_dir, "customer")
+    key = F.concat(F.lit("ghx"), F.col("c_custkey").cast("string"))
+    pts = c.select(
+        "c_custkey",
+        (F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+         % 360000000).alias("lon_u"),
+        (F.conv(F.substring(F.md5(key), 13, 12), 16, 10).cast("long")
+         % 180000000).alias("lat_u"),
+    )
+    quant = pts.select(
+        "c_custkey",
+        "lon_u",
+        "lat_u",
+        F.expr("(lon_u * 32768) DIV 360000000").alias("lon_q"),
+        F.expr("(lat_u * 32768) DIV 180000000").alias("lat_q"),
+    )
+    bits = quant.select(
+        "c_custkey", "lon_u", "lat_u", F.expr(_GH_BITS).alias("gh")
+    )
+    coded = bits.select(
+        "c_custkey", "lon_u", "lat_u", F.expr(_GH_CHARS).alias("geohash6")
+    )
+    return (
+        coded.groupBy(F.substring("geohash6", 1, 3).alias("cell3"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pts"),
+            F.min("geohash6").alias("min_gh6"),
+            F.max("geohash6").alias("max_gh6"),
+            q4(
+                F.sum("lat_u").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0
+                - 90.0
+            ).alias("mean_lat"),
+            q4(
+                F.sum("lon_u").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0
+                - 180.0
+            ).alias("mean_lon"),
+        )
+    )

@@ -1915,3 +1915,113 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "common_neighbors",
         q4(F.col("aaq") / 1e9).alias("adamic_adar"),
     )
+
+
+# ------------------------------------------------------------------
+# Jaccard-coefficient link prediction (r11)
+
+
+@register(
+    "graph_jaccard_linkpred",
+    oracle=f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {COP_MIN_SUP}
+    ), ue AS (
+        SELECT p1 AS u, p2 AS v FROM pairs
+        UNION ALL
+        SELECT p2, p1 FROM pairs
+    ), deg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS d FROM ue GROUP BY u
+    ), two_hop AS (
+        SELECT e1.u AS pa, e2.v AS pb,
+               CAST(count(*) AS BIGINT) AS common_neighbors
+        FROM ue e1 JOIN ue e2 ON e1.v = e2.u
+        WHERE e1.u < e2.v
+        GROUP BY e1.u, e2.v
+    ), cand AS (
+        SELECT t.pa, t.pb, t.common_neighbors,
+               da.d AS deg_a, db.d AS deg_b
+        FROM two_hop t
+        JOIN deg da ON da.u = t.pa
+        JOIN deg db ON db.u = t.pb
+        LEFT JOIN pairs p ON p.p1 = t.pa AND p.p2 = t.pb
+        WHERE p.p1 IS NULL
+    )
+    SELECT pa AS part_a, pb AS part_b, common_neighbors, deg_a, deg_b,
+           {sql_q4("CAST(common_neighbors AS DOUBLE)"
+                   " / (deg_a + deg_b - common_neighbors)")} AS jaccard
+    FROM cand WHERE common_neighbors >= 2
+    """,
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction on the part co-purchase
+    graph: for every UNLINKED pair reachable in two hops, the
+    neighborhood overlap |N(a) INTERSECT N(b)| / |N(a) UNION N(b)|
+    (Liben-Nowell & Kleinberg 2003) — the normalized companion to
+    graph_adamic_adar (same candidate generator, overlap RATIO
+    instead of hub-damped sum, so a pair with few-but-identical
+    neighborhoods outranks a pair sharing a couple of hub
+    neighbors).  |union| = deg(a) + deg(b) - |intersect| comes from
+    the degree table, so the score is an exact integer ratio taken
+    to double once — hash-identical across engines with no
+    transcendental terms at all.
+
+    Scale shape: identical to graph_adamic_adar — support-pruned
+    edges self-joined on the middle node (fan-out bounded by the
+    pruned degree distribution, never |parts|^2), existing edges
+    leave via an anti-join, degrees arrive from one hash aggregate
+    joined twice on the endpoint keys.  At 100 TB cap hub degrees
+    before the self-join, as for any common-neighbor method.
+    (Fixture note: at larger SFs the support-pruned graph gets
+    sparser, so sf0.1 legitimately yields zero open two-hop triads —
+    the same documented behavior as graph_adamic_adar.)"""
+    li = table(spark, sf_dir, "lineitem")
+    pl = li.select("l_orderkey", "l_partkey").distinct()
+    a = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= COP_MIN_SUP)
+        .select("p1", "p2")
+    )
+    ue = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = ue.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e1 = ue.select(F.col("u").alias("pa"), F.col("v").alias("z"))
+    e2 = ue.select(F.col("u").alias("z"), F.col("v").alias("pb"))
+    two_hop = (
+        e1.join(e2, "z")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    unlinked = two_hop.join(
+        pairs,
+        (two_hop["pa"] == pairs["p1"]) & (two_hop["pb"] == pairs["p2"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("pb"), F.col("d").alias("deg_b"))
+    cand = unlinked.join(da, "pa").join(db, "pb")
+    return cand.where(F.col("common_neighbors") >= 2).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "common_neighbors",
+        "deg_a",
+        "deg_b",
+        q4(
+            F.col("common_neighbors").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
+        ).alias("jaccard"),
+    )

@@ -13586,3 +13586,292 @@ def stat_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comparisons",
         q4(F.col("strength")).alias("strength"),
     )
+
+
+# ------------------------------------------------------------------
+# Chatterjee's xi rank correlation (r11)
+
+
+@register(
+    "stat_chatterjee_xi",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT d, y,
+               CAST(count(*) OVER (ORDER BY y RANGE BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+               CAST(count(*) OVER (ORDER BY y DESC RANGE BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS l
+        FROM daily
+    ), seq AS (
+        SELECT r, l,
+               lag(r) OVER (ORDER BY d) AS rp,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM ranked
+    ), sums AS (
+        SELECT max(n) AS n_days,
+               CAST(sum(CASE WHEN rp IS NULL THEN 0
+                             ELSE abs(r - rp) END) AS BIGINT) AS sum_abs_dr,
+               CAST(sum(2 * l * (n - l)) AS BIGINT) AS denom
+        FROM seq
+    )
+    SELECT n_days, sum_abs_dr, denom,
+           CASE WHEN denom = 0 THEN NULL
+                ELSE floor((1.0 - CAST(n_days AS DOUBLE) * sum_abs_dr
+                            / denom) * 1e4 + 0.5) / 1e4 END AS xi
+    FROM sums
+    """,
+)
+def stat_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi rank correlation (Chatterjee 2021, JASA) of the
+    daily event volume against time: xi = 1 - n*SUM|r_{i+1} - r_i| /
+    (2*SUM l_i(n - l_i)) where rows are ordered by the regressor (day),
+    r_i = #{j: y_j <= y_i} and l_i = #{j: y_j >= y_i}.  Unlike
+    Pearson/Spearman it converges to a measure of FUNCTIONAL
+    dependence (0 = independent, 1 = y is a measurable function of x),
+    detecting non-monotone signal the classical coefficients miss —
+    the modern companion to stat_spearman / stat_kendall_tau.  Days
+    are unique so the regressor has no ties and the canonical
+    definition applies with no randomized tie-break; y-ties are
+    handled exactly by the r/l rank counts.  Every term is an exact
+    BIGINT; one final double division.
+
+    Scale shape: one map-side-combinable groupBy collapses the fact
+    table to the calendar-bounded daily grid; the rank counts and the
+    lag run as windows over that metadata-sized frame (census
+    allowlist: one row per day), never over raw events."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w_le = Window.orderBy("y").rangeBetween(Window.unboundedPreceding, 0)
+    w_ge = Window.orderBy(F.col("y").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w_le).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_ge).cast("long").alias("l"),
+    )
+    seq = ranked.select(
+        "r",
+        "l",
+        F.lag("r").over(Window.orderBy("d")).alias("rp"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    agg = seq.agg(
+        F.max("n").alias("n_days"),
+        F.sum(
+            F.when(F.col("rp").isNull(), F.lit(0)).otherwise(
+                F.abs(F.col("r") - F.col("rp"))
+            )
+        )
+        .cast("long")
+        .alias("sum_abs_dr"),
+        F.sum(F.lit(2) * F.col("l") * (F.col("n") - F.col("l")))
+        .cast("long")
+        .alias("denom"),
+    )
+    return agg.select(
+        "n_days",
+        "sum_abs_dr",
+        "denom",
+        F.when(F.col("denom") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            q4(
+                1.0
+                - F.col("n_days").cast("double")
+                * F.col("sum_abs_dr")
+                / F.col("denom")
+            )
+        )
+        .alias("xi"),
+    )
+
+
+# ------------------------------------------------------------------
+# Hoeffding's D independence statistic (r11)
+
+
+@register(
+    "stat_hoeffding_d",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ), dom AS (
+        SELECT a.x, a.y, a.cnt,
+               CAST(sum(CASE WHEN b.x < a.x THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS lt_x,
+               CAST(sum(CASE WHEN b.x = a.x THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS eq_x,
+               CAST(sum(CASE WHEN b.y < a.y THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS lt_y,
+               CAST(sum(CASE WHEN b.y = a.y THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS eq_y,
+               CAST(sum(CASE WHEN b.x < a.x AND b.y < a.y
+                             THEN b.cnt ELSE 0 END) AS BIGINT) AS c_ll,
+               CAST(sum(CASE WHEN b.x = a.x AND b.y < a.y
+                             THEN b.cnt ELSE 0 END) AS BIGINT) AS c_el,
+               CAST(sum(CASE WHEN b.x < a.x AND b.y = a.y
+                             THEN b.cnt ELSE 0 END) AS BIGINT) AS c_le
+        FROM cells a, cells b
+        GROUP BY a.x, a.y, a.cnt
+    ), terms AS (
+        SELECT cnt,
+               2 * lt_x + eq_x + 1 AS r2,
+               2 * lt_y + eq_y + 1 AS s2,
+               4 + 4 * c_ll + 2 * c_el + 2 * c_le + (cnt - 1) AS q4v
+        FROM dom
+    ), sums AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               sum(CAST(cnt AS HUGEINT) * (q4v - 4) * (q4v - 8)) AS sa,
+               sum(CAST(cnt AS HUGEINT) * (r2 - 2) * (r2 - 4)
+                   * (s2 - 2) * (s2 - 4)) AS sb,
+               sum(CAST(cnt AS HUGEINT) * (r2 - 4) * (s2 - 4)
+                   * (q4v - 4)) AS sc
+        FROM terms
+    )
+    SELECT n AS n_rows,
+           CAST(sa AS DOUBLE) / 16.0 AS d1,
+           CAST(sb AS DOUBLE) / 16.0 AS d2,
+           CAST(sc AS DOUBLE) / 16.0 AS d3,
+           floor(30.0 * (CAST((CAST(n AS HUGEINT) - 2) * (n - 3) * sa
+                              + sb - 2 * (CAST(n AS HUGEINT) - 2) * sc
+                              AS DOUBLE)
+                         / CAST(16 * CAST(n AS HUGEINT) * (n - 1) * (n - 2)
+                                * (n - 3) * (n - 4) AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS d_stat
+    FROM sums
+    """,
+)
+def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D statistic of independence (Hoeffding 1948;
+    Hollander & Wolfe §8.6) between l_quantity and l_discount:
+    D = 30*[(n-2)(n-3)D1 + D2 - 2(n-2)D3] / [n(n-1)(n-2)(n-3)(n-4)]
+    with D1 = SUM(Q-1)(Q-2), D2 = SUM(R-1)(R-2)(S-1)(S-2),
+    D3 = SUM(R-2)(S-2)(Q-1), where R/S are midranks and Q is the
+    bivariate rank (points strictly below in both coordinates count
+    1, tied on exactly one coordinate 1/2, tied on both 1/4 — the
+    SAS PROC CORR HOEFFDING tie convention).  D detects ANY
+    dependence with a nondegenerate joint distribution, including
+    relationships Spearman/Kendall/xi miss.  Everything is exact
+    integer arithmetic: midranks are carried as 2R (always odd
+    integers), bivariate ranks as 4Q, so D1/D2/D3 appear as /16
+    rationals folded into DECIMAL(38,0) sums; one final double
+    division.  Exactness bound: |SB| <= 16*n^5 caps the decimal fold
+    at n ~ 4e7 rows — beyond that, coarsen the value grids first
+    (the quantity/discount domains here are already 50x11).
+
+    Scale shape: ONE map-side-combinable groupBy collapses the fact
+    table to the 50x11 value-domain cell grid; the dominance counts
+    (2-D prefix sums) run on the broadcast bounded grid squared
+    (<=550^2 metadata rows, never data x data); the D sums are one
+    tiny aggregate.  The same shape serves any pair of bounded or
+    binned columns at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("cnt").alias("cb")
+    )
+    paired = cells.crossJoin(F.broadcast(b))
+
+    def _csum(cond, name):
+        return (
+            F.sum(F.when(cond, F.col("cb")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
+    dom = paired.groupBy("x", "y", "cnt").agg(
+        _csum(F.col("xb") < F.col("x"), "lt_x"),
+        _csum(F.col("xb") == F.col("x"), "eq_x"),
+        _csum(F.col("yb") < F.col("y"), "lt_y"),
+        _csum(F.col("yb") == F.col("y"), "eq_y"),
+        _csum((F.col("xb") < F.col("x")) & (F.col("yb") < F.col("y")), "c_ll"),
+        _csum((F.col("xb") == F.col("x")) & (F.col("yb") < F.col("y")), "c_el"),
+        _csum((F.col("xb") < F.col("x")) & (F.col("yb") == F.col("y")), "c_le"),
+    )
+    dec = "decimal(38,0)"
+    terms = dom.select(
+        "cnt",
+        (F.lit(2) * F.col("lt_x") + F.col("eq_x") + 1).alias("r2"),
+        (F.lit(2) * F.col("lt_y") + F.col("eq_y") + 1).alias("s2"),
+        (
+            F.lit(4)
+            + F.lit(4) * F.col("c_ll")
+            + F.lit(2) * F.col("c_el")
+            + F.lit(2) * F.col("c_le")
+            + (F.col("cnt") - 1)
+        ).alias("q4v"),
+    )
+    sums = terms.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt").cast(dec)
+            * (F.col("q4v") - 4)
+            * (F.col("q4v") - 8)
+        )
+        .cast(dec)
+        .alias("sa"),
+        F.sum(
+            F.col("cnt").cast(dec)
+            * (F.col("r2") - 2)
+            * (F.col("r2") - 4)
+            * (F.col("s2") - 2)
+            * (F.col("s2") - 4)
+        )
+        .cast(dec)
+        .alias("sb"),
+        F.sum(
+            F.col("cnt").cast(dec)
+            * (F.col("r2") - 4)
+            * (F.col("s2") - 4)
+            * (F.col("q4v") - 4)
+        )
+        .cast(dec)
+        .alias("sc"),
+    )
+    nd = F.col("n").cast(dec)
+    num = (
+        ((nd - 2) * (nd - 3)).cast(dec) * F.col("sa")
+        + F.col("sb")
+        - (F.lit(2) * (nd - 2)).cast(dec) * F.col("sc")
+    ).cast(dec)
+    den = (
+        F.lit(16).cast(dec)
+        * nd
+        * (nd - 1)
+        * (nd - 2)
+        * (nd - 3)
+        * (nd - 4)
+    ).cast(dec)
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        (F.col("sa").cast("double") / 16.0).alias("d1"),
+        (F.col("sb").cast("double") / 16.0).alias("d2"),
+        (F.col("sc").cast("double") / 16.0).alias("d3"),
+        q4(F.lit(30.0) * (num.cast("double") / den.cast("double"))).alias(
+            "d_stat"
+        ),
+    )

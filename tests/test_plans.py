@@ -555,6 +555,9 @@ def test_unpartitioned_window_census():
         ("operators/stats.py", "stat_pettitt"):
             "one row per day — calendar-bounded (rank + prefix over "
             "the daily grid)",
+        ("operators/stats.py", "stat_chatterjee_xi"):
+            "one row per day — calendar-bounded (rank counts + lag "
+            "over the daily event-volume grid)",
         ("operators/stats.py", "stat_hampel_filter"):
             "one row per day — calendar-bounded (centered ±3-day "
             "rolling median/MAD over the daily revenue series)",
