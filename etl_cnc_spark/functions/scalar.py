@@ -1740,10 +1740,15 @@ _GH_BITS = " + ".join(
     f" + (((lat_q >> {14 - k}) & 1) << {28 - 2 * k})"
     for k in range(15)
 )
-_GH_CHARS = "concat(" + ", ".join(
-    f"substr('{_GH_B32}', CAST(((gh >> {25 - 5 * j}) & 31) AS INT) + 1, 1)"
-    for j in range(6)
-) + ")"
+def _gh_chars(col: str, nchars: int) -> str:
+    """Base32 string of the low ``5 * nchars`` bits of ``col`` — the
+    alphabet is ASCII-ascending, so lexicographic string order equals
+    numeric code order and min/max commute with this encode."""
+    return "concat(" + ", ".join(
+        f"substr('{_GH_B32}', "
+        f"CAST((({col} >> {5 * (nchars - 1 - j)}) & 31) AS INT) + 1, 1)"
+        for j in range(nchars)
+    ) + ")"
 
 
 @register(
@@ -1764,20 +1769,25 @@ _GH_CHARS = "concat(" + ", ".join(
     ), bits AS (
         SELECT c_custkey, lon_u, lat_u, {_GH_BITS} AS gh
         FROM quant
-    ), coded AS (
-        SELECT c_custkey, lon_u, lat_u, {_GH_CHARS} AS geohash6
+    ), agg AS (
+        SELECT gh >> 15 AS cell_id,
+               CAST(count(*) AS BIGINT) AS n_pts,
+               min(gh) AS min_gh,
+               max(gh) AS max_gh,
+               CAST(sum(lat_u) AS BIGINT) AS slat,
+               CAST(sum(lon_u) AS BIGINT) AS slon
         FROM bits
+        GROUP BY 1
     )
-    SELECT substr(geohash6, 1, 3) AS cell3,
-           CAST(count(*) AS BIGINT) AS n_pts,
-           min(geohash6) AS min_gh6,
-           max(geohash6) AS max_gh6,
-           {sql_q4("CAST(sum(lat_u) AS DOUBLE) / count(*) / 1000000.0 - 90.0")}
+    SELECT {_gh_chars("cell_id", 3)} AS cell3,
+           n_pts,
+           {_gh_chars("min_gh", 6)} AS min_gh6,
+           {_gh_chars("max_gh", 6)} AS max_gh6,
+           {sql_q4("CAST(slat AS DOUBLE) / n_pts / 1000000.0 - 90.0")}
                AS mean_lat,
-           {sql_q4("CAST(sum(lon_u) AS DOUBLE) / count(*) / 1000000.0 - 180.0")}
+           {sql_q4("CAST(slon AS DOUBLE) / n_pts / 1000000.0 - 180.0")}
                AS mean_lon
-    FROM coded
-    GROUP BY 1
+    FROM agg
     """,
 )
 def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1799,8 +1809,15 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: embarrassingly parallel scalar expression (bit ops
     + one md5) followed by one map-side-combinable aggregate whose
     output is bounded by the 32^3 prefix domain, never the input
-    rows.  At 100 TB the encode is a zero-shuffle projection and the
-    rollup is the partition-pruning manifest."""
+    rows.  The aggregate runs entirely on the INTEGER code (group by
+    gh >> 15, min/max of gh) and the base32 strings are rendered
+    post-aggregate: the alphabet is ASCII-ascending so string min/max
+    equals numeric min/max, and keeping strings out of the aggregate
+    keeps it a hash aggregate with a narrow long-typed shuffle row
+    (min/max over strings would demote Spark to SortAggregate —
+    pinned by tests/test_plans.py).  At 100 TB the encode is a
+    zero-shuffle projection and the rollup is the partition-pruning
+    manifest."""
     c = table(spark, sf_dir, "customer")
     key = F.concat(F.lit("ghx"), F.col("c_custkey").cast("string"))
     pts = c.select(
@@ -1820,26 +1837,22 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = quant.select(
         "c_custkey", "lon_u", "lat_u", F.expr(_GH_BITS).alias("gh")
     )
-    coded = bits.select(
-        "c_custkey", "lon_u", "lat_u", F.expr(_GH_CHARS).alias("geohash6")
+    agg = bits.groupBy(F.expr("gh >> 15").alias("cell_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.min("gh").alias("min_gh"),
+        F.max("gh").alias("max_gh"),
+        F.sum("lat_u").cast("long").alias("slat"),
+        F.sum("lon_u").cast("long").alias("slon"),
     )
-    return (
-        coded.groupBy(F.substring("geohash6", 1, 3).alias("cell3"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pts"),
-            F.min("geohash6").alias("min_gh6"),
-            F.max("geohash6").alias("max_gh6"),
-            q4(
-                F.sum("lat_u").cast("double")
-                / F.count(F.lit(1))
-                / 1000000.0
-                - 90.0
-            ).alias("mean_lat"),
-            q4(
-                F.sum("lon_u").cast("double")
-                / F.count(F.lit(1))
-                / 1000000.0
-                - 180.0
-            ).alias("mean_lon"),
-        )
+    return agg.select(
+        F.expr(_gh_chars("cell_id", 3)).alias("cell3"),
+        "n_pts",
+        F.expr(_gh_chars("min_gh", 6)).alias("min_gh6"),
+        F.expr(_gh_chars("max_gh", 6)).alias("max_gh6"),
+        q4(
+            F.col("slat").cast("double") / F.col("n_pts") / 1000000.0 - 90.0
+        ).alias("mean_lat"),
+        q4(
+            F.col("slon").cast("double") / F.col("n_pts") / 1000000.0 - 180.0
+        ).alias("mean_lon"),
     )

@@ -13779,18 +13779,28 @@ def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the quantity/discount domains here are already 50x11).
 
     Scale shape: ONE map-side-combinable groupBy collapses the fact
-    table to the 50x11 value-domain cell grid; the dominance counts
+    table to the 50x11 value-domain cell grid (lazily
+    localCheckpoint'd — both cross sides replay the materialized
+    grid, so the fact table is scanned once); the dominance counts
     (2-D prefix sums) run on the broadcast bounded grid squared
     (<=550^2 metadata rows, never data x data); the D sums are one
     tiny aggregate.  The same shape serves any pair of bounded or
     binned columns at 100 TB."""
     li = table(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.col("l_quantity").cast("long").alias("x"),
-        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("y"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # the <=550-row cell grid feeds BOTH cross sides: a lazy
+    # localCheckpoint materializes it once so the fact table is
+    # scanned once, not once per side (the dedup_substring_spans
+    # twice-read-frame discipline)
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     b = cells.select(
         F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("cnt").alias("cb")
     )

@@ -778,3 +778,40 @@ def test_two_phase_components_plan_shapes(spark):
 
     loop_plan = plan(min_label_components(edges, local_max_edges=0))
     assert "FlatMapGroupsInPandas" not in loop_plan, loop_plan
+
+
+def test_jaccard_linkpred_no_cartesian(spark, sf_dir):
+    """graph_jaccard_linkpred shares graph_adamic_adar's candidate
+    generator: the two-hop enumeration and both degree joins must be
+    equi-joins — never a cartesian product over parts."""
+    plan = plan_of("graph_jaccard_linkpred", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hoeffding_grid_is_broadcast(spark, sf_dir):
+    """stat_hoeffding_d's dominance counts run on the 50x11 value
+    cell grid crossed with a BROADCAST copy of itself: the grid is
+    lazily localCheckpoint'd so BOTH cross sides replay the
+    materialized cells (the plan shows checkpoint replays, not two
+    fact scans) and the pairing is a broadcast nested-loop over
+    bounded metadata, never an exchange of data-sized rows."""
+    plan = plan_of("stat_hoeffding_d", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    # formatted output names each node twice (tree + detail):
+    # 0 parquet scans post-checkpoint, 2 checkpoint-replay nodes
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+
+
+def test_geohash_single_scan_hash_aggregate(spark, sf_dir):
+    """fn_geohash is a zero-join scalar projection plus ONE hash
+    aggregate over the integer code: exactly one scan node (the
+    formatted output names it twice — tree + detail), no join, and
+    NO SortAggregate — min/max run on the long gh, the base32
+    strings are rendered post-aggregate."""
+    plan = plan_of("fn_geohash", spark, sf_dir)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Join" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
