@@ -4251,10 +4251,14 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
 
     def _grams(k: int):
+        # length >= k guard: Spark's sequence(1, 0) DESCENDS to [1, 0]
+        # and substr(text, 0, k) re-reads position 1, so a doc shorter
+        # than k would count a phantom gram while the oracle's range()
+        # is cleanly empty (the r11 ADVICE n-gram discipline).
         idx = F.explode(
             F.sequence(F.lit(1), F.length("text") - (k - 1))
         ).alias("i")
-        g = d.select("lang", "text", idx).select(
+        g = d.where(F.length("text") >= k).select("lang", "text", idx).select(
             "lang", F.col("text").substr(F.col("i"), F.lit(k)).alias("g")
         )
         cnt = g.groupBy("lang", "g").agg(

@@ -169,3 +169,39 @@ def test_dtw_single_day_series(spark, tmp_path):
     assert r["lockstep_distance"] == 4
     assert abs(r["dtw_per_step"] - 2.0) < 1e-9
     assert abs(r["lockstep_per_step"] - 4.0) < 1e-9
+
+
+def test_char_entropy_rate_drops_sub_k_docs(spark, tmp_path_factory):
+    """text_char_entropy_rate's char-gram builders pre-filter docs
+    shorter than k CHARS: Spark's descending sequence(1, 0) would
+    otherwise count a phantom gram via substr(text, 0, k) (position 0
+    re-reads position 1) while the oracle's range() is cleanly empty.
+    A 1-char doc must contribute nothing; the per-lang rate must match
+    a from-scratch Python recomputation over the surviving docs."""
+    import math
+    from collections import Counter
+
+    p = tmp_path_factory.mktemp("cerdocs")
+    rows = [
+        (0, "x", "en", "web", 1),       # < 2 chars: no bigrams at all
+        (1, "ab", "en", "web", 2),      # bigrams yes, trigrams no
+        (2, "abcab", "en", "web", 5),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(p / "documents.parquet"))
+
+    out = REGISTRY["text_char_entropy_rate"].build(spark, str(p)).collect()
+    assert len(out) == 1 and out[0]["lang"] == "en"
+
+    def h(grams):
+        c = Counter(grams)
+        n = sum(c.values())
+        return -sum(v / n * math.log2(v / n) for v in c.values())
+
+    bi = ["ab", "bc", "ca", "ab"] + ["ab"]          # doc2 + doc1
+    tri = ["abc", "bca", "cab"]                      # doc2 only
+    expect = h(tri) - h(bi)
+    assert out[0]["n_bigrams"] == 5 and out[0]["n_trigrams"] == 3
+    assert abs(out[0]["entropy_rate_bits"] - expect) < 1e-3
