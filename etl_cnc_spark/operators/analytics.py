@@ -10945,19 +10945,26 @@ def events_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL (SELECT
         CAST(floor(CAST(sy_a AS DOUBLE) / n_a / 100.0 * 10000 + 0.5)
             AS BIGINT) / 10000.0 AS mean_y,
+        CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) <= 0.0
+             THEN NULL ELSE
         CAST(floor((CAST(sy_a AS DOUBLE) / n_a
              - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
                * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n))
-             / 100.0 * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_y_cuped,
+             / 100.0 * 10000 + 0.5) AS BIGINT) / 10000.0 END AS mean_y_cuped,
+        CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) <= 0.0
+             THEN NULL ELSE
         CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
-             * 10000 + 0.5) AS BIGINT) / 10000.0 AS theta,
+             * 10000 + 0.5) AS BIGINT) / 10000.0 END AS theta,
+        CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) <= 0.0
+             OR (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) <= 0.0
+             THEN NULL ELSE
         CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
              * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
              / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
                 * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)))
-             * 10000 + 0.5) AS BIGINT) / 10000.0 AS rho2) q4x
+             * 10000 + 0.5) AS BIGINT) / 10000.0 END AS rho2) q4x
     """,
 )
 def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11039,23 +11046,38 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy"
     ) / F.col("n")
     theta = cov / varx
+    # degenerate guard: a constant pre-period covariate (e.g. a span
+    # with no pre-midpoint purchases at all -> every x = 0) zeroes
+    # varx, which under Spark 4's default ANSI mode is a whole-job
+    # DIVIDE_BY_ZERO crash while DuckDB's double division is inf —
+    # NULL the adjusted columns instead (CASE branches short-circuit
+    # the division); same for vary in the rho2 denominator.
+    deg_x = varx <= F.lit(0.0)
+    deg_xy = deg_x | (vary <= F.lit(0.0))
+    null_d = F.lit(None).cast("double")
     return j.select(
         "arm",
         F.col("n_a").alias("n_users"),
         q4(F.col("sy_a").cast("double") / F.col("n_a") / 100.0).alias(
             "mean_y"
         ),
-        q4(
-            (
-                F.col("sy_a").cast("double") / F.col("n_a")
-                - theta
-                * (
-                    F.col("sx_a").cast("double") / F.col("n_a")
-                    - F.col("sx").cast("double") / F.col("n")
+        F.when(deg_x, null_d)
+        .otherwise(
+            q4(
+                (
+                    F.col("sy_a").cast("double") / F.col("n_a")
+                    - theta
+                    * (
+                        F.col("sx_a").cast("double") / F.col("n_a")
+                        - F.col("sx").cast("double") / F.col("n")
+                    )
                 )
+                / 100.0
             )
-            / 100.0
-        ).alias("mean_y_cuped"),
-        q4(theta).alias("theta"),
-        q4(cov * cov / (varx * vary)).alias("rho2"),
+        )
+        .alias("mean_y_cuped"),
+        F.when(deg_x, null_d).otherwise(q4(theta)).alias("theta"),
+        F.when(deg_xy, null_d)
+        .otherwise(q4(cov * cov / (varx * vary)))
+        .alias("rho2"),
     )

@@ -13751,12 +13751,13 @@ def stat_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sa AS DOUBLE) / 16.0 AS d1,
            CAST(sb AS DOUBLE) / 16.0 AS d2,
            CAST(sc AS DOUBLE) / 16.0 AS d3,
+           CASE WHEN n <= 4 THEN NULL ELSE
            floor(30.0 * (CAST((CAST(n AS HUGEINT) - 2) * (n - 3) * sa
                               + sb - 2 * (CAST(n AS HUGEINT) - 2) * sc
                               AS DOUBLE)
                          / CAST(16 * CAST(n AS HUGEINT) * (n - 1) * (n - 2)
                                 * (n - 3) * (n - 4) AS DOUBLE))
-                 * 1e4 + 0.5) / 1e4 AS d_stat
+                 * 1e4 + 0.5) / 1e4 END AS d_stat
     FROM sums
     """,
 )
@@ -13876,12 +13877,17 @@ def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (nd - 3)
         * (nd - 4)
     ).cast(dec)
+    # n <= 4 zeroes the denominator product — under Spark 4's default
+    # ANSI mode a whole-job crash on a tiny input; NULL instead (the
+    # statistic is undefined below 5 observations by construction)
     return sums.select(
         F.col("n").alias("n_rows"),
         (F.col("sa").cast("double") / 16.0).alias("d1"),
         (F.col("sb").cast("double") / 16.0).alias("d2"),
         (F.col("sc").cast("double") / 16.0).alias("d3"),
-        q4(F.lit(30.0) * (num.cast("double") / den.cast("double"))).alias(
-            "d_stat"
-        ),
+        F.when(F.col("n") <= 4, F.lit(None).cast("double"))
+        .otherwise(
+            q4(F.lit(30.0) * (num.cast("double") / den.cast("double")))
+        )
+        .alias("d_stat"),
     )

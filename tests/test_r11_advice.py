@@ -205,3 +205,49 @@ def test_char_entropy_rate_drops_sub_k_docs(spark, tmp_path_factory):
     expect = h(tri) - h(bi)
     assert out[0]["n_bigrams"] == 5 and out[0]["n_trigrams"] == 3
     assert abs(out[0]["entropy_rate_bits"] - expect) < 1e-3
+
+
+def test_cuped_null_on_constant_preperiod(spark, tmp_path_factory):
+    """events_cuped with a span whose pre-midpoint half contains NO
+    purchases: every user's covariate x is 0, varx = 0, and the theta
+    division would be a whole-job DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode — the guard must publish NULL adjusted columns
+    while the raw per-arm means survive."""
+    import datetime as dt
+
+    p = tmp_path_factory.mktemp("cupeddeg")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for u in range(4):
+        rows.append((u, "view", t0, 0.0))
+        rows.append((u, "purchase", t0 + dt.timedelta(days=9), 10.0 + u))
+    spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(str(p / "events.parquet"))
+    out = {
+        r["arm"]: r
+        for r in REGISTRY["events_cuped"].build(spark, str(p)).collect()
+    }
+    assert set(out) == {0, 1}
+    for arm, r in out.items():
+        assert r["n_users"] == 2
+        assert r["mean_y"] is not None
+        assert r["theta"] is None
+        assert r["mean_y_cuped"] is None
+        assert r["rho2"] is None
+
+
+def test_hoeffding_null_below_five_rows(spark, tmp_path_factory):
+    """stat_hoeffding_d on n <= 4 rows: the n(n-1)...(n-4) denominator
+    is zero and D is undefined — the guard must publish NULL instead
+    of the ANSI DIVIDE_BY_ZERO crash, with the component sums intact."""
+    p = tmp_path_factory.mktemp("hoeffdeg")
+    rows = [(1.0, 0.01), (2.0, 0.02), (3.0, 0.03)]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_discount double"
+    ).write.mode("overwrite").parquet(str(p / "lineitem.parquet"))
+    out = REGISTRY["stat_hoeffding_d"].build(spark, str(p)).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 3
+    assert out[0]["d_stat"] is None
+    assert out[0]["d1"] is not None
