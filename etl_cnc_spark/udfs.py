@@ -336,13 +336,20 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "nation").createOrReplaceTempView(
         "etlcnc_nation_udtf"
     )
-    # single-partition fold of the 25-row dim (bounded); at scale the
-    # same UDTF runs WITH PARTITION BY + a reducer over partials
+    # WITH SINGLE PARTITION declares the one-instance fold the
+    # terminate() contract assumes: without it the UDTF instantiates
+    # once PER SCAN SPLIT, so the result silently depends on
+    # spark.sql.files.maxPartitionBytes (one row per split — caught
+    # by the r11 partition-invariance sweep, which also tripped a
+    # Spark codegen NPE on empty splits feeding the TABLE argument).
+    # At scale the same UDTF runs WITH PARTITION BY + a reducer over
+    # partials instead.
     out = spark.sql(
         """
         SELECT p.col_name, p.n_rows, p.n_distinct, p.min_len, p.max_len
         FROM etlcnc_profile_col(
-            TABLE(SELECT n_name FROM etlcnc_nation_udtf)) p
+            TABLE(SELECT n_name FROM etlcnc_nation_udtf)
+            WITH SINGLE PARTITION) p
         """
     )
     return out

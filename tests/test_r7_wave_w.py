@@ -66,3 +66,32 @@ def test_cache_table_reads_in_memory(spark, sf_dir):
     assert "InMemory" in plan, plan
     # cleanliness: drop the cache so the shared session doesn't leak
     spark.sql("UNCACHE TABLE IF EXISTS etlcnc_hot_orders")
+
+
+def test_udtf_polymorphic_partition_invariant(spark, sf_dir):
+    """WITH SINGLE PARTITION pins the one-instance terminate() fold:
+    the result must be ONE row with full-table counts even when the
+    input arrives pre-split across many partitions (without the
+    clause the UDTF instantiates per split — one row per partition,
+    caught by the r11 partition-invariance sweep)."""
+    from etl_cnc_spark.catalog import table
+
+    n = table(spark, sf_dir, "nation").select("n_name").repartition(7)
+    n.createOrReplaceTempView("etlcnc_nation_udtf")
+    # the registered function survives from the build; re-run the SQL
+    # against the multi-partition view
+    from etl_cnc_spark.registry import REGISTRY as R
+
+    R["udtf_polymorphic"].build(spark, sf_dir)  # registers the UDTF
+    n.createOrReplaceTempView("etlcnc_nation_udtf")  # re-point at 7 parts
+    out = spark.sql(
+        """
+        SELECT p.n_rows, p.n_distinct
+        FROM etlcnc_profile_col(
+            TABLE(SELECT n_name FROM etlcnc_nation_udtf)
+            WITH SINGLE PARTITION) p
+        """
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 25
+    assert out[0]["n_distinct"] == 25
