@@ -13775,8 +13775,9 @@ def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic: midranks are carried as 2R (always odd
     integers), bivariate ranks as 4Q, so D1/D2/D3 appear as /16
     rationals folded into DECIMAL(38,0) sums; one final double
-    division.  Exactness bound: |SB| <= 16*n^5 caps the decimal fold
-    at n ~ 4e7 rows — beyond that, coarsen the value grids first
+    division.  Exactness bound: |SB| <= 16*n^5 must stay under
+    DECIMAL(38,0)'s 10^38 ceiling, i.e. n <= (10^38/16)^(1/5)
+    ~ 2.3e7 rows — beyond that, coarsen the value grids first
     (the quantity/discount domains here are already 50x11).
 
     Scale shape: ONE map-side-combinable groupBy collapses the fact

@@ -20,6 +20,17 @@ def plan_of(key: str, spark, sf_dir: str) -> str:
     return buf.getvalue()
 
 
+def node_count(plan: str, name: str) -> int:
+    """Count physical-plan NODES named ``name`` in a formatted explain,
+    normalizing the Spark quirk that each node is printed twice (once
+    in the tree, once as a ``(N) Name`` detail header).  Counting only
+    the detail headers localizes the duplication to this helper — if a
+    Spark upgrade changes the tree rendering, only this regex moves."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) " + re.escape(name), plan, re.M))
+
+
 def test_scan_pruning_and_pushdown(spark, sf_dir):
     """Column pruning + predicate pushdown reach the parquet reader."""
     plan = plan_of("scan_parquet_pruned", spark, sf_dir)
@@ -479,7 +490,7 @@ def test_conformal_order_statistic_is_grid_sized(spark, sf_dir):
     plan = plan_of("ml_conformal_interval", spark, sf_dir)
     # two scans pre-materialization: the moment pass + the (lazily
     # checkpointed) grid pass; runtime replays the grid, not the scan
-    assert plan.count("Scan parquet") <= 2, plan
+    assert node_count(plan, "Scan parquet") <= 1, plan
     assert "CartesianProduct" not in plan
     windows = [l for l in plan.splitlines() if ") Window" in l]
     # partitioned windows list their partition spec; none may be empty
@@ -504,7 +515,7 @@ def test_mood_median_single_fact_scan(spark, sf_dir):
     (the lazy checkpoint prints its parent lineage per reference;
     runtime replays checkpointed cells, one real scan)."""
     plan = plan_of("stat_mood_median", spark, sf_dir)
-    assert plan.count("Scan parquet") <= 2, plan
+    assert node_count(plan, "Scan parquet") <= 1, plan
 
 
 def test_shuffle_hash_hint_is_honored(spark, sf_dir):
@@ -771,9 +782,9 @@ def test_two_phase_components_plan_shapes(spark):
         return buf.getvalue()
 
     local_plan = plan(min_label_components(edges))
-    # formatted plans print each node twice (tree + detail): count
-    # the tree line "FlatMapGroupsInPandas (N)" exactly once
-    assert local_plan.count("FlatMapGroupsInPandas (") == 1, local_plan
+    # exactly ONE Arrow union-find node (node_count normalizes the
+    # tree+detail double-print quirk of formatted explain)
+    assert node_count(local_plan, "FlatMapGroupsInPandas") == 1, local_plan
     assert "Join" not in local_plan, local_plan
 
     loop_plan = plan(min_label_components(edges, local_max_edges=0))
@@ -798,20 +809,19 @@ def test_hoeffding_grid_is_broadcast(spark, sf_dir):
     bounded metadata, never an exchange of data-sized rows."""
     plan = plan_of("stat_hoeffding_d", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in plan
-    # formatted output names each node twice (tree + detail):
     # 0 parquet scans post-checkpoint, 2 checkpoint-replay nodes
-    assert plan.count("Scan parquet") == 0, plan
-    assert plan.count("Scan ExistingRDD") == 4, plan
+    # (node_count normalizes the tree+detail double-print quirk)
+    assert node_count(plan, "Scan parquet") == 0, plan
+    assert node_count(plan, "Scan ExistingRDD") == 2, plan
 
 
 def test_geohash_single_scan_hash_aggregate(spark, sf_dir):
     """fn_geohash is a zero-join scalar projection plus ONE hash
-    aggregate over the integer code: exactly one scan node (the
-    formatted output names it twice — tree + detail), no join, and
-    NO SortAggregate — min/max run on the long gh, the base32
+    aggregate over the integer code: exactly one scan node, no join,
+    and NO SortAggregate — min/max run on the long gh, the base32
     strings are rendered post-aggregate."""
     plan = plan_of("fn_geohash", spark, sf_dir)
-    assert plan.count("Scan parquet") == 2, plan
+    assert node_count(plan, "Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "SortAggregate" not in plan, plan
     assert "HashAggregate" in plan, plan

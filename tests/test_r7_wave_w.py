@@ -95,3 +95,7 @@ def test_udtf_polymorphic_partition_invariant(spark, sf_dir):
     assert len(out) == 1
     assert out[0]["n_rows"] == 25
     assert out[0]["n_distinct"] == 25
+    # cleanliness: drop the repartition(7) view so the shared session
+    # doesn't leak a 7-partition frame to later tests (mirrors the
+    # UNCACHE cleanup in test_cache_table_reads_in_memory)
+    spark.catalog.dropTempView("etlcnc_nation_udtf")
