@@ -30,17 +30,29 @@ from ..utils import q4, sql_q4, sql_sum_money, sum_money, ts_us
     bench=True,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window × event_type aggregate."""
+    """Tumbling 1-hour window × event_type aggregate.
+
+    The bucket is computed as pure integer arithmetic on epoch micros
+    (floor-mod so pre-1970 timestamps floor correctly) — exactly the
+    rewrite Catalyst's ResolveTimeWindows applies to a non-overlapping
+    ``F.window`` (floor((t - offset) / slide) * slide), minus the
+    struct(start, end) wrapping and timestamp round-trips that the
+    generic rule keeps.  Grouping on one LONG instead of a
+    struct-of-two-timestamps narrows the shuffle key 4x and keeps the
+    whole aggregate in integer codegen; measured ~25% faster at sf0.1
+    (r12 interleaved 8-run: 0.264 s vs 0.364 s).  The streaming
+    execution of the same logic — where the window operator and
+    watermarking are actually load-bearing — stays on ``F.window`` in
+    streaming/streams.py (stream_watermark) and the stream-batch
+    parity tests."""
     e = table(spark, sf_dir, "events")
+    hour_us = 3600 * 1000 * 1000
+    us = F.unix_micros(F.col("ts"))
+    bucket = us - ((us % hour_us) + hour_us) % hour_us
     return (
-        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        e.groupBy(bucket.alias("window_start_us"), "event_type")
         .agg(F.count("*").alias("n"), sum_money(F.col("value")).alias("total_value"))
-        .select(
-            ts_us(F.col("window.start")).alias("window_start_us"),
-            "event_type",
-            "n",
-            "total_value",
-        )
+        .select("window_start_us", "event_type", "n", "total_value")
     )
 
 
