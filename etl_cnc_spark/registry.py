@@ -56,34 +56,35 @@ REGISTRY: dict[str, QueryDef] = {}
 # driver-canonicalization traps like r4's embed_quantize numpy-cell
 # issue).
 DRIVER_WINDOW: list[str] = [
-    # r11 rotation (VERDICT r10 item 1): the four round-10 keys that
-    # were still local-only lead (text_pmi_collocations and
-    # stat_kde_gaussian also carry this round's ADVICE fixes —
-    # single-token bigram guard and the corrected Silverman
-    # bandwidth), then the next 46 never-driver-checked keys in
-    # registry order (the r10 wave-A/B tail incl. the two other
-    # ADVICE-touched keys events_attribution_markov/events_dtw_daily,
-    # then the classical-stats backlog).  All 50 preflight --exec
-    # clean at rotation time.
-    "text_pmi_collocations", "stat_kde_gaussian",
-    "multimodal_mime_sniff", "multimodal_phash_dct",
-    "etl_record_linkage_fs", "events_erlang_c", "events_km_greenwood",
-    "events_classical_decomposition", "events_attribution_markov",
-    "events_dtw_daily",
-    "stat_energy_distance", "stat_cliffs_delta", "stat_ansari_bradley",
-    "stat_breusch_pagan", "stat_chow_test", "stat_moran_i",
-    "stat_lilliefors", "stat_kpss", "stat_adf", "stat_tail_index_hill",
-    "stat_permutation_test", "stat_mantel_haenszel", "stat_gk_gamma",
-    "stat_jonckheere_terpstra", "stat_theil_u", "stat_brunner_munzel",
-    "stat_rate_ratio", "stat_two_way_anova", "stat_brown_forsythe",
-    "stat_circular_stats", "stat_cochran_armitage", "stat_gumbel_fit",
-    "stat_meta_fixed_effect", "stat_dunn_posthoc", "stat_sign_test",
-    "stat_wilson_ci", "stat_seasonal_mann_kendall",
-    "stat_poisson_trend_glm", "stat_gini_mean_difference",
-    "stat_lepage", "stat_kuiper_test", "stat_cucconi",
-    "stat_dagostino_k2", "stat_geary_c", "stat_getis_ord_g",
-    "stat_ccf", "stat_lin_ccc", "stat_newey_west", "stat_white_test",
-    "stat_cointegration_eg",
+    # r12 rotation (VERDICT r11 item 1): ALL 13 round-11-added keys
+    # lead (so no round's additions stay unattested more than one
+    # cycle), then stream_tumbling — driver-green since r2 but its
+    # batch implementation changed this round (integer epoch-micros
+    # bucket) and changed keys re-attest (the r9 precedent) — then
+    # the next 36 never-driver-checked keys in tools/next_window.py
+    # (registry) order: the classical-stats tail, the text-curation
+    # leftovers, and the ml_ evaluation tier.  All 50 preflight
+    # --exec clean at rotation time.
+    "events_cuped", "fn_geohash", "fn_jaro_winkler",
+    "graph_jaccard_linkpred", "ml_gmm_em_step",
+    "multimodal_frame_dedup", "stat_bradley_terry",
+    "stat_chatterjee_xi", "stat_hampel_filter", "stat_hoeffding_d",
+    "text_rouge_l", "text_self_bleu", "text_vocab_coverage_curve",
+    "stream_tumbling",
+    "stat_fisher_exact", "stat_quade_test", "stat_bhattacharyya",
+    "stat_fligner_killeen", "stat_capture_recapture",
+    "stat_siegel_slopes", "stat_watson_u2", "stat_yule_walker_ar2",
+    "stat_cox_stuart", "stat_page_trend", "stat_vif", "stat_ridit",
+    "stat_g_test", "stat_breslow_day", "stat_runs_up_down",
+    "stat_empirical_bayes_rates", "stat_sprt_ab", "stat_holm_stepdown",
+    "stat_pettitt",
+    "text_boilerplate_segments", "text_unicode_script_profile",
+    "text_chao1_richness", "pipeline_budget_allocation",
+    "text_char_entropy_rate",
+    "ml_target_encoding", "ml_woe_iv", "ml_lift_gains", "ml_ndcg_eval",
+    "ml_auc_pr", "ml_feature_hashing", "ml_mutual_info",
+    "ml_cohen_kappa", "stat_friedman_test", "ml_class_weights",
+    "ml_target_encoding_cv", "ml_naive_bayes",
 ]
 
 
