@@ -4764,3 +4764,83 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(F.col("cum").cast("double") / F.col("tot")).alias("coverage"),
         )
     )
+
+
+TEMP_MIX_BUDGET = 1000000  # training token budget the mix is planned for
+
+
+@register(
+    "pipeline_temperature_mix",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS tokens
+        FROM documents GROUP BY lang
+    ), s AS (
+        SELECT lang, docs, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS s_micro
+        FROM per_lang
+    ), tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+               CAST(SUM(s_micro) AS BIGINT) AS s_total
+        FROM s
+    )
+    SELECT lang, docs, tokens,
+           {sql_q4("CAST(tokens AS DOUBLE) / total")} AS share,
+           {sql_q4("CAST(s_micro AS DOUBLE) / s_total")} AS temp_weight,
+           {sql_q4(f"{TEMP_MIX_BUDGET} * (CAST(s_micro AS DOUBLE) / s_total)"
+                   " / CAST(tokens AS DOUBLE)")} AS epochs
+    FROM s CROSS JOIN tot
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mix planning (the exponential
+    smoothing of XLM-R / mBERT / GPT-3 data mixing, public): sampling
+    weight for language L is count_L^alpha / sum(count^alpha) with
+    alpha = 1/2, which upsamples low-resource languages relative to
+    their raw share without going all the way to uniform
+    (pipeline_training_mix's target). Also reports expected EPOCHS
+    over each language's corpus for a fixed training token budget —
+    epochs > 1 flags languages the plan would repeat (memorization /
+    dedup-pressure signal).
+
+    Float discipline: alpha = 1/2 makes count^alpha a SQRT — the one
+    power both engines round identically (IEEE-754 correctly-rounded,
+    unlike pow) — and each sqrt quantizes to integer micro-units
+    BEFORE the cross-language sum, so the normalizing constant is an
+    exact BIGINT fold no matter the partial-aggregation order.
+
+    Scale shape: one map-side-combinable groupBy to |languages| rows;
+    the totals broadcast back as a 1-row aggregate. The fact table is
+    scanned once; nothing downstream is data-sized."""
+    d = table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias("tokens"),
+    )
+    s = per_lang.select(
+        "lang",
+        "docs",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    tot = s.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.sum("s_micro").cast("long").alias("s_total"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "docs",
+        "tokens",
+        q4(F.col("tokens").cast("double") / F.col("total")).alias("share"),
+        q4(F.col("s_micro").cast("double") / F.col("s_total")).alias("temp_weight"),
+        q4(
+            F.lit(TEMP_MIX_BUDGET)
+            * (F.col("s_micro").cast("double") / F.col("s_total"))
+            / F.col("tokens").cast("double")
+        ).alias("epochs"),
+    )

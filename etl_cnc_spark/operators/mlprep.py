@@ -3919,3 +3919,239 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("sigma2"),
     )
+
+
+@register(
+    "ml_quantile_normalize",
+    oracle=f"""
+    WITH p AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), q AS (
+        SELECT CAST(l_quantity AS BIGINT) * 100 AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), pint AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v) - cnt AS lo,
+               SUM(cnt) OVER (ORDER BY v) AS hi
+        FROM p
+    ), qint AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v) - cnt AS lo,
+               SUM(cnt) OVER (ORDER BY v) AS hi
+        FROM q
+    ), ov AS (
+        SELECT p.v AS pv, p.lo AS plo, p.hi AS phi,
+               qq.v AS qv, qq.lo AS qlo, qq.hi AS qhi,
+               least(p.hi, qq.hi) - greatest(p.lo, qq.lo) AS olap
+        FROM pint p JOIN qint qq ON p.hi > qq.lo AND qq.hi > p.lo
+    )
+    SELECT 'l_extendedprice' AS measure, pv AS v,
+           CAST(plo AS BIGINT) AS rank_lo, CAST(phi AS BIGINT) AS rank_hi,
+           {sql_q4("CAST(pv * (phi - plo) + SUM(qv * olap) AS DOUBLE)"
+                   " / CAST(2 * (phi - plo) AS DOUBLE)")} AS norm
+    FROM ov GROUP BY pv, plo, phi
+    UNION ALL
+    SELECT 'l_quantity' AS measure, qv AS v,
+           CAST(qlo AS BIGINT) AS rank_lo, CAST(qhi AS BIGINT) AS rank_hi,
+           {sql_q4("CAST(qv * (qhi - qlo) + SUM(pv * olap) AS DOUBLE)"
+                   " / CAST(2 * (qhi - qlo) AS DOUBLE)")} AS norm
+    FROM ov GROUP BY qv, qlo, qhi
+    """,
+)
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003, public — the
+    batch-effect remover that forces k columns onto one common
+    distribution: replace the r-th smallest of each column by the
+    MEAN of the r-th smallest across all columns). Computed at the
+    DISTRIBUTION grain, not the row grain: each measure's ECDF is a
+    piecewise-constant quantile function over its distinct-value grid
+    (cells carry half-open global-rank intervals), and the normalized
+    value of a cell is the rank-interval-weighted average of the
+    OTHER measure's quantile function over that interval — an
+    interval-overlap join between the two grids. Ties need no
+    tiebreak: a cell IS its tie class. Both measures land in cent
+    units (quantity x100) so the mean is unit-consistent; the
+    numerator folds as exact BIGINTs, one final double division per
+    cell (q4).
+
+    Scale shape: two map-side-combinable groupBys to the value grids;
+    global rank intervals via the bucketed prefix machine (never a
+    single-partition window); the 50-cell quantity grid BROADCASTS
+    into the overlap join, so the price grid never shuffles for it.
+    Output is grid-sized, not row-sized — the mapping table a scoring
+    job would broadcast back against the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    # lazily materialize both value grids: the fact table is scanned
+    # ONCE per measure — the prefix machine's min/max pass, the rank
+    # pass, and both downstream aggregates all replay the grids
+    p = (
+        li.groupBy(cents(F.col("l_extendedprice")).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    q = (
+        li.groupBy((F.col("l_quantity").cast("long") * 100).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    pint = global_ordered(
+        p, [F.col("v")], bucket_key="v", sums={"cnt": "hi"}, rank_col=None
+    ).select("v", (F.col("hi") - F.col("cnt")).alias("lo"), "hi")
+    qint = global_ordered(
+        q, [F.col("v")], bucket_key="v", sums={"cnt": "hi"}, rank_col=None
+    ).select("v", (F.col("hi") - F.col("cnt")).alias("lo"), "hi")
+    ov = (
+        pint.alias("p")
+        .join(
+            F.broadcast(qint.alias("q")),
+            (F.col("p.hi") > F.col("q.lo")) & (F.col("q.hi") > F.col("p.lo")),
+        )
+        .select(
+            F.col("p.v").alias("pv"),
+            F.col("p.lo").alias("plo"),
+            F.col("p.hi").alias("phi"),
+            F.col("q.v").alias("qv"),
+            F.col("q.lo").alias("qlo"),
+            F.col("q.hi").alias("qhi"),
+            (
+                F.least(F.col("p.hi"), F.col("q.hi"))
+                - F.greatest(F.col("p.lo"), F.col("q.lo"))
+            ).alias("olap"),
+        )
+        # grid-sized; both normalization aggregates replay it instead
+        # of re-running the prefix ranks + overlap join
+        .localCheckpoint(eager=False)
+    )
+    p_norm = ov.groupBy("pv", "plo", "phi").agg(
+        F.sum(F.col("qv") * F.col("olap")).cast("long").alias("qsum")
+    ).select(
+        F.lit("l_extendedprice").alias("measure"),
+        F.col("pv").alias("v"),
+        F.col("plo").alias("rank_lo"),
+        F.col("phi").alias("rank_hi"),
+        q4(
+            (F.col("pv") * (F.col("phi") - F.col("plo")) + F.col("qsum")).cast(
+                "double"
+            )
+            / (F.lit(2) * (F.col("phi") - F.col("plo"))).cast("double")
+        ).alias("norm"),
+    )
+    q_norm = ov.groupBy("qv", "qlo", "qhi").agg(
+        F.sum(F.col("pv") * F.col("olap")).cast("long").alias("psum")
+    ).select(
+        F.lit("l_quantity").alias("measure"),
+        F.col("qv").alias("v"),
+        F.col("qlo").alias("rank_lo"),
+        F.col("qhi").alias("rank_hi"),
+        q4(
+            (F.col("qv") * (F.col("qhi") - F.col("qlo")) + F.col("psum")).cast(
+                "double"
+            )
+            / (F.lit(2) * (F.col("qhi") - F.col("qlo"))).cast("double")
+        ).alias("norm"),
+    )
+    return p_norm.unionByName(q_norm)
+
+
+@register(
+    "ml_impute_group_median",
+    oracle=f"""
+    WITH ca AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT) AS tot
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), aov AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN n_orders > 0 THEN tot // n_orders END AS aov
+        FROM ca
+    ), med AS (
+        SELECT c_nationkey, med FROM (
+            SELECT c_nationkey, aov AS med,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY aov) AS rn,
+                   count(*) OVER (PARTITION BY c_nationkey) AS n
+            FROM aov WHERE aov IS NOT NULL
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(count(*) FILTER (WHERE a.aov IS NULL) AS BIGINT) AS n_missing,
+           CAST(max(m.med) AS BIGINT) AS median_aov_cents,
+           {sql_q4("CAST(SUM(COALESCE(a.aov, m.med)) AS DOUBLE) / count(*)")}
+               AS mean_imputed_aov
+    FROM aov a
+    JOIN nation n ON n.n_nationkey = a.c_nationkey
+    LEFT JOIN med m ON m.c_nationkey = a.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def ml_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation of a NATURALLY missing feature — the
+    standard feature-store treatment for join-induced NULLs: average
+    order value is undefined for customers who never ordered, so the
+    missing entries take their nation's (lower) median AOV, with the
+    missingness itself kept as a feature (n_missing per nation).
+    AOV = exact integer cents DIV order count; the median uses the
+    index rule rn = (n+1) DIV 2 over observed values only — no
+    interpolation semantics to disagree on. A nation with zero
+    observed customers publishes NULL (NULL-sum semantics agree on
+    both engines).
+
+    Scale shape: one left-join aggregate collapses orders to a
+    per-customer (count, cents) pair; the per-nation median windows
+    are PARTITIONED by nation (at 100 TB swap the exact median for
+    approx_percentile per group and keep the identical shape — the
+    events_anomaly_mad note); the 25-row median frame broadcast-joins
+    back. Output is |nations| rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    ca = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0))
+            .cast("long")
+            .alias("tot"),
+        )
+    )
+    aov = ca.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(
+            F.col("n_orders") > 0, F.expr("tot DIV n_orders")
+        ).alias("aov"),
+    )
+    wv = Window.partitionBy("c_nationkey").orderBy("aov")
+    wn = Window.partitionBy("c_nationkey")
+    med = (
+        aov.where(F.col("aov").isNotNull())
+        .select(
+            "c_nationkey",
+            F.col("aov").alias("med"),
+            F.row_number().over(wv).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("c_nationkey", "med")
+    )
+    return (
+        aov.join(F.broadcast(n), aov["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(med), "c_nationkey", "left")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.count_if(F.col("aov").isNull()).cast("long").alias("n_missing"),
+            F.max("med").cast("long").alias("median_aov_cents"),
+            q4(
+                F.sum(F.coalesce(F.col("aov"), F.col("med"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_imputed_aov"),
+        )
+        .withColumnRenamed("n_name", "nation")
+    )

@@ -13892,3 +13892,116 @@ def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("d_stat"),
     )
+
+
+@register(
+    "stat_ancova",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sx,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS sxy,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+        SELECT grp, n, sx, sy,
+               CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / n) * 1000 + 0.5)
+                    AS BIGINT) AS sxy_milli,
+               CAST(floor((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE) / n) * 1000 + 0.5)
+                    AS BIGINT) AS sxx_milli
+        FROM s
+    ), pooled AS (
+        SELECT CAST(SUM(sxy_milli) AS BIGINT) AS sp,
+               CAST(SUM(sxx_milli) AS BIGINT) AS sxp,
+               CAST(SUM(sx) AS BIGINT) AS sx_all,
+               CAST(SUM(n) AS BIGINT) AS n_all
+        FROM m
+    )
+    SELECT grp, n,
+           {sql_q4("CAST(sx AS DOUBLE) / n")} AS mean_qty,
+           {sql_q4("CAST(sy AS DOUBLE) / n / 100.0")} AS mean_price,
+           {sql_q4("CAST(sp AS DOUBLE) / CAST(sxp AS DOUBLE) / 100.0")}
+               AS pooled_slope,
+           {sql_q4("(CAST(sy AS DOUBLE) / n"
+                   " - (CAST(sp AS DOUBLE) / CAST(sxp AS DOUBLE))"
+                   " * (CAST(sx AS DOUBLE) / n"
+                   " - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)))"
+                   " / 100.0")} AS adj_mean_price
+    FROM m CROSS JOIN pooled
+    """,
+)
+def stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANCOVA adjusted group means (Fisher's analysis of
+    covariance, public textbook form): compare mean extended price
+    across return flags CONTROLLING for quantity — each group's mean
+    is shifted along the POOLED within-group regression slope
+    b_w = sum_g Sxy_g / sum_g Sxx_g to the grand covariate mean:
+    adj_g = ybar_g - b_w (xbar_g - xbar). The covariate-blind group
+    contrast (agg_groupby's mean) conflates mix and level; ANCOVA
+    separates them — the BI staple behind "same basket size, who
+    pays more?".
+
+    Float discipline: the five per-group sufficient statistics fold
+    as exact DECIMAL(38,0)/HUGEINT integers; the per-group corrected
+    co-moments Sxy_g, Sxx_g become ONE double each, quantized to
+    fixed-point milli-units BEFORE the cross-group pooling sum, so
+    the pooled numerator/denominator are exact BIGINT folds no
+    matter how the 3 group rows merge. Exactness bound at the milli
+    scale: |Sxy_g| <= 2 n max|x*y| ~ 1.1e9 n, so sxy_milli stays in
+    BIGINT to n ~ 8e6 rows PER GROUP — beyond that, pool at unit
+    scale (drop the *1000) for headroom to n ~ 8e9.
+
+    Scale shape: ONE map-side-combinable groupBy to |groups| rows of
+    integer sums; the pooled row is a broadcast 1-row aggregate over
+    those; every downstream expression is per-group scalar math."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+    )
+    n = F.col("n")
+    fx = lambda c: F.col(c).cast("double")  # noqa: E731
+    # |groups| rows; lazily materialized so the pooled aggregate and
+    # the final projection replay it — ONE fact scan, not two
+    m = s.select(
+        "grp",
+        "n",
+        "sx",
+        "sy",
+        F.floor((fx("sxy") - fx("sx") * fx("sy") / n) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("sxy_milli"),
+        F.floor((fx("sxx") - fx("sx") * fx("sx") / n) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("sxx_milli"),
+    ).localCheckpoint(eager=False)
+    pooled = m.agg(
+        F.sum("sxy_milli").cast("long").alias("sp"),
+        F.sum("sxx_milli").cast("long").alias("sxp"),
+        F.sum("sx").cast("long").alias("sx_all"),
+        F.sum("n").cast("long").alias("n_all"),
+    )
+    b = fx("sp") / fx("sxp")
+    xbar_all = fx("sx_all") / fx("n_all")
+    return m.crossJoin(F.broadcast(pooled)).select(
+        "grp",
+        "n",
+        q4(fx("sx") / n).alias("mean_qty"),
+        q4(fx("sy") / n / 100.0).alias("mean_price"),
+        q4(b / 100.0).alias("pooled_slope"),
+        q4((fx("sy") / n - b * (fx("sx") / n - xbar_all)) / 100.0).alias(
+            "adj_mean_price"
+        ),
+    )

@@ -825,3 +825,49 @@ def test_geohash_single_scan_hash_aggregate(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "SortAggregate" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_r12_wave_a_single_materialized_lineage(spark, sf_dir):
+    """The three r12 keys whose frames feed two consumers are lazily
+    localCheckpoint'd: the final plans replay the materialized frame
+    (Scan ExistingRDD) with ZERO residual parquet scans — without the
+    checkpoint, udtf_polymorphic_partitioned ran its Python UDTF stage
+    twice and ml_quantile_normalize re-derived its grids 8x. No
+    cartesian work anywhere."""
+    for key, max_replays in (
+        ("udtf_polymorphic_partitioned", 2),
+        ("ml_quantile_normalize", 2),
+        ("stat_ancova", 2),
+    ):
+        plan = plan_of(key, spark, sf_dir)
+        assert node_count(plan, "Scan parquet") == 0, (key, plan)
+        assert node_count(plan, "Scan ExistingRDD") <= max_replays, (key, plan)
+        assert "CartesianProduct" not in plan, key
+
+
+def test_udtf_partitioned_survives_repartition(spark, sf_dir):
+    """The analyze()-declared PartitioningColumn must hold under a
+    hostile input layout: with the source pre-split across 7
+    partitions the UDTF still instantiates once per DISTINCT region
+    (5 complete rows), because Catalyst inserts the shuffle the UDTF
+    demanded — the at-scale counterpart of the WITH SINGLE PARTITION
+    regression pin in test_r7_wave_w.py."""
+    from etl_cnc_spark.catalog import table
+
+    REGISTRY["udtf_polymorphic_partitioned"].build(spark, sf_dir)  # registers
+    n = (
+        table(spark, sf_dir, "nation")
+        .select("n_regionkey", "n_name")
+        .repartition(7)
+    )
+    n.createOrReplaceTempView("etlcnc_nation_udtf_part")
+    out = spark.sql(
+        """
+        SELECT p.grp, p.n_rows FROM etlcnc_profile_grp(
+            TABLE(SELECT n_regionkey, n_name
+                  FROM etlcnc_nation_udtf_part)) p
+        """
+    ).collect()
+    assert len(out) == 5
+    assert sum(r["n_rows"] for r in out) == 25
+    spark.catalog.dropTempView("etlcnc_nation_udtf_part")
