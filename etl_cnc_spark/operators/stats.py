@@ -13926,13 +13926,16 @@ def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT grp, n,
            {sql_q4("CAST(sx AS DOUBLE) / n")} AS mean_qty,
            {sql_q4("CAST(sy AS DOUBLE) / n / 100.0")} AS mean_price,
-           {sql_q4("CAST(sp AS DOUBLE) / CAST(sxp AS DOUBLE) / 100.0")}
-               AS pooled_slope,
-           {sql_q4("(CAST(sy AS DOUBLE) / n"
-                   " - (CAST(sp AS DOUBLE) / CAST(sxp AS DOUBLE))"
-                   " * (CAST(sx AS DOUBLE) / n"
-                   " - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)))"
-                   " / 100.0")} AS adj_mean_price
+           CASE WHEN sxp = 0 THEN NULL ELSE
+               {sql_q4("CAST(sp AS DOUBLE) / CAST(sxp AS DOUBLE) / 100.0")}
+           END AS pooled_slope,
+           CASE WHEN sxp = 0 THEN NULL ELSE
+               {sql_q4("(CAST(sy AS DOUBLE) / n"
+                       " - (CAST(sp AS DOUBLE) / CAST(sxp AS DOUBLE))"
+                       " * (CAST(sx AS DOUBLE) / n"
+                       " - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)))"
+                       " / 100.0")}
+           END AS adj_mean_price
     FROM m CROSS JOIN pooled
     """,
 )
@@ -13995,13 +13998,22 @@ def stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = fx("sp") / fx("sxp")
     xbar_all = fx("sx_all") / fx("n_all")
+    # a constant covariate (sxp = 0) has no within-group slope: publish
+    # NULL instead of double-division infinities whose downstream
+    # floor/round semantics the two engines need not share (the
+    # events_cuped ANSI-degeneracy precedent)
+    degenerate = F.col("sxp") == 0
     return m.crossJoin(F.broadcast(pooled)).select(
         "grp",
         "n",
         q4(fx("sx") / n).alias("mean_qty"),
         q4(fx("sy") / n / 100.0).alias("mean_price"),
-        q4(b / 100.0).alias("pooled_slope"),
-        q4((fx("sy") / n - b * (fx("sx") / n - xbar_all)) / 100.0).alias(
-            "adj_mean_price"
+        F.when(degenerate, F.lit(None)).otherwise(q4(b / 100.0)).alias(
+            "pooled_slope"
         ),
+        F.when(degenerate, F.lit(None))
+        .otherwise(
+            q4((fx("sy") / n - b * (fx("sx") / n - xbar_all)) / 100.0)
+        )
+        .alias("adj_mean_price"),
     )

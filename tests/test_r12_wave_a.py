@@ -264,3 +264,38 @@ def test_ancova_adjustment_identity(spark, sf_dir):
             assert r["adj_mean_price"] < r["mean_price"]
         if r["pooled_slope"] > 0 and r["mean_qty"] < xbar - 1e-6:
             assert r["adj_mean_price"] > r["mean_price"]
+
+
+def test_ancova_constant_covariate_publishes_null(spark, sf_dir, tmp_path):
+    """A constant covariate has Sxx = 0 in every group: the pooled
+    slope is undefined and BOTH engines must publish NULL, not a
+    double-division infinity (whose floor/q4 semantics they need not
+    share). Exercised on a synthetic lineitem with one quantity."""
+    import duckdb as ddb
+
+    rows = [("A", 1, 10.0), ("A", 1, 12.0), ("R", 1, 20.0), ("R", 1, 24.0)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity long, l_extendedprice double"
+    )
+    d = str(tmp_path / "li_const")
+    df.write.mode("overwrite").parquet(d)
+    syn = str(tmp_path)
+    import shutil, os
+    os.makedirs(os.path.join(syn, "x"), exist_ok=True)
+    shutil.move(d, os.path.join(syn, "x", "lineitem.parquet"))
+    out = (
+        REGISTRY["stat_ancova"].build(spark, os.path.join(syn, "x")).collect()
+    )
+    assert len(out) == 2
+    for r in out:
+        assert r["pooled_slope"] is None
+        assert r["adj_mean_price"] is None
+        assert r["mean_qty"] == 1.0
+    # oracle agrees: run the registered SQL over the same parquet
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(syn, 'x', 'lineitem.parquet')}/*.parquet'"
+    )
+    orows = con.execute(REGISTRY["stat_ancova"].oracle).fetchall()
+    assert all(r[4] is None and r[5] is None for r in orows)
