@@ -795,13 +795,22 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting: the spec's
     EXISTS/NOT-EXISTS pair decorrelated into per-order supplier
-    counts ("multi-supplier order where exactly one supplier — this
+    stats ("multi-supplier order where exactly one supplier — this
     one — was late"). "late" = shipped >60 days after order date.
 
-    One lineitem⋈orders shuffle builds the late-flag frame; the
-    per-order distinct-supplier stats reuse the same orderkey
-    partitioning (no extra exchange); supplier is broadcastable.
-    """
+    The two distinct-count predicates are rewritten as min/max folds
+    (the dedup_substring_spans r10 trick, proved here by parity
+    against the oracle's literal count(DISTINCT) formulation):
+    ">= 2 distinct suppliers" is min != max and "exactly 1 distinct
+    late supplier" is min = max over the late-only key — plain
+    map-side-combinable aggregates, where the countDistinct pair
+    planned an Expand (2x shuffle width, double aggregation). r12
+    interleaved 8-run A/B at sf0.1: 0.691 s vs 0.957 s median.
+
+    One lineitem⋈orders shuffle builds the late-flag frame (its two
+    consumers each replan it — at 100 TB persist/cache `lo` if the
+    join dominates; measured a wash at local scale); supplier is
+    broadcastable."""
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
     lo = (
@@ -815,16 +824,22 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
+    late_s = F.when(F.col("late"), F.col("l_suppkey"))
     st = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+        F.min("l_suppkey").alias("mn_s"),
+        F.max("l_suppkey").alias("mx_s"),
+        F.min(late_s).alias("mn_l"),
+        F.max(late_s).alias("mx_l"),
     )
     s = table(spark, sf_dir, "supplier")
     return (
         lo.join(st, "l_orderkey")
-        .where(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .where(
+            F.col("late")
+            & (F.col("mn_s") != F.col("mx_s"))
+            & F.col("mn_l").isNotNull()
+            & (F.col("mn_l") == F.col("mx_l"))
+        )
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

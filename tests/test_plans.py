@@ -871,3 +871,13 @@ def test_udtf_partitioned_survives_repartition(spark, sf_dir):
     assert len(out) == 5
     assert sum(r["n_rows"] for r in out) == 25
     spark.catalog.dropTempView("etlcnc_nation_udtf_part")
+
+
+def test_q21_has_no_expand(spark, sf_dir):
+    """tpch_q21's distinct-count predicates are min/max folds: the
+    plan must contain NO Expand node (the countDistinct pair doubled
+    the shuffle width) and keep a HashAggregate per-order stage."""
+    plan = plan_of("tpch_q21", spark, sf_dir)
+    assert node_count(plan, "Expand") == 0, plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan, plan
