@@ -13958,7 +13958,11 @@ def stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how the 3 group rows merge. Exactness bound at the milli
     scale: |Sxy_g| <= 2 n max|x*y| ~ 1.1e9 n, so sxy_milli stays in
     BIGINT to n ~ 8e6 rows PER GROUP — beyond that, pool at unit
-    scale (drop the *1000) for headroom to n ~ 8e9.
+    scale (drop the *1000) for headroom to n ~ 8e9.  The bound is
+    ENFORCED, not just documented (ADVICE r12): a milli value that
+    would leave BIGINT raises loudly via raise_error — matching the
+    oracle's raising CAST — instead of letting the non-ANSI
+    double->long cast saturate into a silent cross-engine divergence.
 
     Scale shape: ONE map-side-combinable groupBy to |groups| rows of
     integer sums; the pooled row is a broadcast 1-row aggregate over
@@ -13976,6 +13980,31 @@ def stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     fx = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    # Loud overflow guard (ADVICE r12): past the documented milli-scale
+    # bound the non-ANSI double->long cast would silently SATURATE while
+    # the oracle's DuckDB CAST raises — a silent cross-engine divergence
+    # class.  Raise here too, so overflow is a failure with a remedy in
+    # the message, never a wrong answer.  Doubles this close to 2^63 are
+    # 2048 apart, so back off one representable step.
+    milli_max = float(2**63 - 2**11)
+
+    def milli(d, label):  # d: double co-moment; exact BIGINT after floor
+        v = d * 1000 + F.lit(0.5)
+        return (
+            F.when(
+                F.abs(v) >= F.lit(milli_max),
+                F.raise_error(
+                    F.lit(
+                        f"stat_ancova: |{label}|*1000 exceeds BIGINT; "
+                        "pool at unit scale (drop the *1000) for headroom"
+                    )
+                ),
+            )
+            .otherwise(F.floor(v))
+            .cast("long")
+        )
+
     # |groups| rows; lazily materialized so the pooled aggregate and
     # the final projection replay it — ONE fact scan, not two
     m = s.select(
@@ -13983,12 +14012,8 @@ def stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx",
         "sy",
-        F.floor((fx("sxy") - fx("sx") * fx("sy") / n) * 1000 + F.lit(0.5))
-        .cast("long")
-        .alias("sxy_milli"),
-        F.floor((fx("sxx") - fx("sx") * fx("sx") / n) * 1000 + F.lit(0.5))
-        .cast("long")
-        .alias("sxx_milli"),
+        milli(fx("sxy") - fx("sx") * fx("sy") / n, "Sxy_g").alias("sxy_milli"),
+        milli(fx("sxx") - fx("sx") * fx("sx") / n, "Sxx_g").alias("sxx_milli"),
     ).localCheckpoint(eager=False)
     pooled = m.agg(
         F.sum("sxy_milli").cast("long").alias("sp"),

@@ -62,14 +62,15 @@ def _engine_literals(key: str) -> list[str]:
 def _candidates(key: str) -> list[tuple[float, int, str]]:
     """(value, effective_decimals, spelled) for every literal, plus
     power-of-ten DESCALINGS of integer literals — the fixed-point
-    discipline ships e.g. 16449 for z*1e4 (orders_safety_stock), and
-    a scaled copy of a wrong constant is exactly as dangerous."""
+    discipline ships quantile constants as z*1e4-style scaled
+    integers (orders_safety_stock), and a scaled copy of a wrong
+    constant is exactly as dangerous."""
     out: list[tuple[float, int, str]] = []
     for s in _engine_literals(key):
         v = float(s)
         mantissa, _, exp = s.replace("E", "e").partition("e")
         frac = len(mantissa.split(".")[1]) if "." in mantissa else 0
-        decimals = max(0, frac - int(exp or 0))  # 16449e-4 → 4 decimals
+        decimals = max(0, frac - int(exp or 0))  # 12321e-4 → 4 decimals
         out.append((v, decimals, s))
         if decimals == 0 and not exp:
             for k in range(1, 7):
@@ -77,22 +78,70 @@ def _candidates(key: str) -> list[tuple[float, int, str]]:
     return out
 
 
-def _assert_ships_rounding_of(key: str, derived: float) -> None:
-    """The engine's closest literal (possibly a power-of-ten-scaled
-    integer) must be ``derived`` correctly rounded at its own printed
-    precision."""
+def _own_decimal_literals(key: str) -> list[tuple[float, int, str]]:
+    """Decimal-spelled literals (a '.' or an exponent — bare integers
+    are query parameters/years, not formula coefficients) from the
+    key's OWN shipping surface only: build source + oracle SQL, no
+    module fallback."""
+    q = REGISTRY[key]
+    texts = [q.oracle or ""]
+    try:
+        texts.append(inspect.getsource(q.build))
+    except (OSError, TypeError):
+        pass
+    out: list[tuple[float, int, str]] = []
+    for t in texts:
+        for s in _NUM_RE.findall(t):
+            if "." not in s and "e" not in s and "E" not in s:
+                continue
+            mantissa, _, exp = s.replace("E", "e").partition("e")
+            frac = len(mantissa.split(".")[1]) if "." in mantissa else 0
+            decimals = max(0, frac - int(exp or 0))
+            out.append((float(s), decimals, s))
+    return out
+
+
+def _assert_ships_rounding_of(
+    key: str, derived: float, siblings: tuple = ()
+) -> None:
+    """Two tiers (ADVICE r12 — the previous global argmin could latch
+    onto a coincidental nearby literal and mask a wrong shipped
+    constant):
+
+    1. EXISTENCE: some literal on the key's surfaces (build source +
+       oracle, module-constant fallback, power-of-ten descalings of
+       integers) is ``derived`` correctly rounded at >= 2 effective
+       decimals.
+    2. CLEAN NEIGHBORHOOD: on the key's OWN surface (build source +
+       oracle only — module-wide literals belong to other keys'
+       formulas), every decimal-spelled literal within 2% of
+       ``derived`` must be a correct rounding of ``derived`` or of a
+       declared SIBLING derivation (itself computed from scratch,
+       e.g. Wilson's conventional-z family z^2 and z^2/2).  A wrong
+       constant near the right value — the dangerous class — now
+       trips the assert no matter what else the source contains."""
     cands = _candidates(key)
     assert cands, f"{key}: no numeric literals found"
-    v, decimals, spelled = min(cands, key=lambda c: abs(c[0] - derived))
-    tol = 0.5 * 10.0 ** (-decimals)
-    assert abs(v - derived) <= tol + 1e-12, (
-        f"{key}: ships {spelled} but the from-scratch derivation gives "
-        f"{derived:.8f} (tolerance {tol:g} at {decimals} decimals)"
+    exact = [
+        (v, decimals, spelled)
+        for v, decimals, spelled in cands
+        if decimals >= 2 and abs(v - derived) <= 0.5 * 10.0 ** (-decimals) + 1e-12
+    ]
+    assert exact, (
+        f"{key}: no literal (>=2 effective decimals) is the correct "
+        f"rounding of the from-scratch derivation {derived:.8f}"
     )
-    # the match must also be meaningfully precise — at least 2
-    # effective decimals (guards against the argmin latching onto an
-    # unrelated round number like 2 or 10)
-    assert decimals >= 2, f"{key}: matched literal {spelled} too coarse"
+    targets = [derived] + [fn() for fn in siblings]
+    for v, decimals, spelled in _own_decimal_literals(key):
+        if decimals < 2 or abs(v - derived) > 0.02 * abs(derived):
+            continue
+        tol = 0.5 * 10.0 ** (-decimals)
+        assert any(abs(v - t) <= tol + 1e-12 for t in targets), (
+            f"{key}: own-surface literal {spelled} sits within 2% of "
+            f"the derivation {derived:.8f} but is a correct rounding "
+            f"of neither it nor any declared sibling "
+            f"({[f'{t:.6f}' for t in targets]})"
+        )
 
 
 # --- first-principles machinery (math stdlib only) -------------------
@@ -153,7 +202,17 @@ def test_normal_quantile_machinery():
     # Phi(z(p)) round-trips, symmetry, and the chi2(1) = z^2 identity
     for p in (0.75, 0.95, 0.975, 0.9975):
         assert abs(_phi(_z(p)) - p) < 1e-9
-    assert abs(_z(0.975) ** 2 - _chi2_q(0.95, 2) * 0.0 - _z(0.975) ** 2) == 0.0
+    # chi2(1) = z^2 for real (ADVICE r12 — the old assertion was
+    # identically zero): the chi2 machinery here is even-dof only, so
+    # check P(chi2_1 <= z_{0.975}^2) = 2*Phi(z_{0.975}) - 1 = 0.95
+    # through the erf-based Phi, a genuinely different route
+    v = _z(0.975) ** 2
+    assert abs((2.0 * _phi(math.sqrt(v)) - 1.0) - 0.95) < 1e-9
+    # chi2(2) quantile has the Exp(1/2) closed form -2 ln(1-p)
+    for p in (0.5, 0.9, 0.95, 0.99):
+        assert abs(_chi2_q(p, 2) - (-2.0 * math.log(1.0 - p))) < 1e-7
+    # quantile/CDF round-trip at an even dof the engine actually uses
+    assert abs(_chi2_cdf_even(_chi2_q(0.95, 4), 4) - 0.95) < 1e-9
     # median is zero
     assert abs(_z(0.5)) < 1e-9
 
@@ -215,9 +274,23 @@ DERIVATIONS: list[tuple[str, str, object]] = [
 ]
 
 
+# Sibling constants: OTHER from-scratch-derived values a key's own
+# surface legitimately ships near the primary derivation.  Wilson's
+# score interval is SPECIFIED on the conventional two-decimal z and
+# carries its square and half-square — derived here by rounding the
+# bisection z to the spec's two decimals, never by spelling any
+# target literal (this file's discipline).
+SIBLINGS: dict[str, tuple] = {
+    "stat_wilson_ci": (
+        lambda: round(_z(0.975), 2) ** 2,
+        lambda: round(_z(0.975), 2) ** 2 / 2.0,
+    ),
+}
+
+
 @pytest.mark.parametrize(
     "key,what,derive", DERIVATIONS, ids=[k for k, _, _ in DERIVATIONS]
 )
 def test_shared_constant_is_correct_rounding(key, what, derive):
     assert key in REGISTRY, key
-    _assert_ships_rounding_of(key, derive())
+    _assert_ships_rounding_of(key, derive(), SIBLINGS.get(key, ()))

@@ -184,13 +184,20 @@ def main() -> int:
         # test evidence: does any test chunk mention the key WITHOUT
         # repeating the literal (i.e. derive it another way)?
         mentioning = {p: t for p, t in tests.items() if name in t}
+        # ADVICE r12: match by parsed VALUE, not by one canonical repr
+        # spelling — '1.4826e0', '0.10', '1.06000' are the same
+        # constant and must count as circular mentions too.
+        mention_lits = {p: _literals(t) for p, t in mentioning.items()}
         verdicts = []
         independent_somewhere = False
         for lit in suspicious:
-            # match the literal loosely (1.06 vs 1.0600001 won't match; fine)
-            lit_pat = re.compile(re.escape(repr(lit) if lit != int(lit) else str(int(lit))))
-            indep = [p for p, t in mentioning.items() if not lit_pat.search(t)]
-            circ = [p for p, t in mentioning.items() if lit_pat.search(t)]
+            def _repeats(vals: set[float], lit: float = lit) -> bool:
+                return any(
+                    v == lit or abs(v - lit) <= 1e-12 * max(1.0, abs(lit))
+                    for v in vals
+                )
+            indep = [p for p, vals in mention_lits.items() if not _repeats(vals)]
+            circ = [p for p, vals in mention_lits.items() if _repeats(vals)]
             if indep:
                 independent_somewhere = True
             verdicts.append((lit, len(indep), len(circ)))
