@@ -2374,20 +2374,34 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").where(
         F.col("event_type").isin(KS_G1, KS_G2)
     )
-    grid = e.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
-    ).groupBy("v_cents").agg(
-        F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
-        F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+    # grid is BOUNDED (cents-domain-sized, not data-sized) and feeds
+    # FOUR consumers (global_ordered's min/max pass, its bucketed
+    # prefix, its per-bucket totals, and the n1/n2 totals below);
+    # without the lazy checkpoint each consumer replays the full
+    # events scan + aggregate — 10 parquet scans / 19 exchanges in
+    # the r12 plan, the r13 steady-state elevation (1.4-1.7x gate)
+    grid = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+        )
+        .groupBy("v_cents")
+        .agg(
+            F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
+            F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+        )
+        .localCheckpoint(eager=False)
     )
+    # cum is the same grid-sized frame with two consumers (itself and
+    # its rank+1 shift) — one more lazy checkpoint halves the prefix
+    # machinery
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col="rk",
-    )
+    ).localCheckpoint(eager=False)
     nxt = cum.select((F.col("rk") - 1).alias("rk"), F.col("v_cents").alias("v_next"))
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
