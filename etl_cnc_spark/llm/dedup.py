@@ -421,6 +421,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan, where codegen CSE evaluates the MinHash UDF chain
     # EAGERLY — before the size conjunct can short-circuit — so
     # without the break a single short doc crashes the whole join.
+    # This frame is DATA-SCALED, but it stays a localCheckpoint: the
+    # lineage TRUNCATION is load-bearing (verified against the
+    # pushdown crash), while a cache boundary's pushdown behavior is
+    # not a contract — the documented exception to the SCALE.md r13
+    # data-scaled->persist rule.
     # (The relational twin dedup_minhash_relational is the 100 TB
     # path; this ml.feature variant carries the materialization.)
     sh = (
@@ -1246,13 +1251,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Span merging windows partition per doc (bounded by
     doc length). Only digests shuffle, never text. The digest frame
     feeds BOTH the duplicate aggregate and the probe side of the semi
-    join, so it is lazily localCheckpoint'd: the slice+concat+md5
-    expression tree (the dominant per-row cost) runs ONCE and the
-    probe side reads the cached partitions — at 100 TB this persists
-    a (doc_id, pos, digest) frame to executor MEMORY_AND_DISK, the
-    standard cache-vs-recompute call for a twice-read intermediate
-    (drop the checkpoint to trade a second full compute pass for zero
-    storage)."""
+    join, so it is persist()ed: the slice+concat+md5 expression tree
+    (the dominant per-row cost) runs ONCE and the probe side reads
+    the cached partitions — at 100 TB this persists a (doc_id, pos,
+    digest) frame to executor MEMORY_AND_DISK with LINEAGE KEPT, so
+    an executor loss recomputes the lost partitions instead of
+    failing the job (r13: flipped from localCheckpoint per the
+    SCALE.md data-scaled checkpoint rule; drop the persist to trade
+    a second full compute pass for zero storage)."""
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("ws")).where(
         F.size("ws") >= SPAN_K
@@ -1267,7 +1273,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(" ", F.slice(F.col("ws"), F.col("p") + 1, SPAN_K))
         ).alias("sh"),
-    ).localCheckpoint(eager=False)
+        # DATA-SCALED (corpus positional shingles): persist(), not
+        # localCheckpoint — lineage kept so executor loss recomputes
+        # (SCALE.md r13 checkpoint rule); the slice+concat+md5 tree
+        # still runs once with both consumers reading the cache
+    ).persist()
     # "appears in >= 2 DISTINCT docs" == min(doc_id) != max(doc_id):
     # a plain min/max aggregate with full map-side combine, instead of
     # the two-shuffle expansion countDistinct would plan (the oracle

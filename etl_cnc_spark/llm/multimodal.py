@@ -1013,7 +1013,9 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" {FRAME_BYTES})"
             )
         ).alias("fd"),
-    ).localCheckpoint(eager=False)
+        # DATA-SCALED (one digest row per frame): persist() keeps
+        # lineage so executor loss recomputes (SCALE.md r13 rule)
+    ).persist()
     dup = (
         f.groupBy("fd")
         .agg(

@@ -120,12 +120,15 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     two formulations agree bitwise.)
 
     The corpus is SPLIT ONCE: the per-doc (dl, tf-structs) base frame
-    — doc-count-sized integers, no text — is lazily localCheckpoint'd
-    and every consumer (corpus stats, the tf explode, df, scoring)
-    replays it; before r12 the split + array folds re-ran up to 3x
-    (stats pass, tf pass, and tf's second consumer). The tiny matched
-    (doc, term) frame is checkpointed too. r12 interleaved 8-run A/B
-    on sim_hybrid_rrf: 1.135 s vs 1.244 s."""
+    — doc-count-sized integers, no text — is persist()ed and every
+    consumer (corpus stats, the tf explode, df, scoring) reads the
+    cache; before r12 the split + array folds re-ran up to 3x
+    (stats pass, tf pass, and tf's second consumer). The matched
+    (doc, term) frame is persisted too. r12 interleaved 8-run A/B
+    on sim_hybrid_rrf: 1.135 s vs 1.244 s. r13: both frames moved
+    from localCheckpoint to persist() — they are DATA-SCALED, and
+    persist keeps lineage so executor loss recomputes instead of
+    failing the job (SCALE.md checkpoint rule)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
@@ -141,11 +144,15 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         )
         for t in QUERY_TERMS
     ]
+    # DATA-SCALED (doc-count-sized): persist(), not localCheckpoint —
+    # lineage is kept so an executor loss RECOMPUTES the partitions
+    # instead of failing the job (SCALE.md round-13 checkpoint rule);
+    # reuse across the four consumers is identical.
     base = d.select(
         "doc_id",
         F.size("ws").cast("long").alias("dl"),
         F.array(*per_term).alias("terms"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("double").alias("n_words"),
@@ -154,7 +161,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         base.select("doc_id", "dl", F.explode("terms").alias("s"))
         .select("doc_id", "dl", "s.term", "s.tf")
         .where(F.col("tf") > 0)
-        .localCheckpoint(eager=False)
+        .persist()  # doc x matched-terms — data-scaled, same rule
     )
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     contrib: Column = (

@@ -3223,7 +3223,9 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.crossJoin(F.broadcast(cent))
         .withColumn("cell_rank", F.row_number().over(wc))
         .select("vec_id", "cent_id", "cell_rank")
-        .localCheckpoint(eager=False)
+        # |vectors| x |centroids| — DATA-SCALED, persist() per the
+        # SCALE.md r13 rule (lineage kept, executor loss recomputes)
+        .persist()
     )
     assign = ranked_cells.where(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")

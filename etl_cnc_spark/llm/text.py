@@ -2583,9 +2583,11 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id", F.split("text", " ").alias("w"), b.alias("b")
     ).where(F.size("w") >= CONTAM_N)
-    # shingle index built ONCE (checkpoint-scoped): the eval and
-    # train branches replay shingle rows, not the corpus scan — at
-    # 100 TB this materialization IS the inverted index build
+    # shingle index built ONCE (persist()ed — DATA-SCALED, so lineage
+    # is kept and executor loss recomputes, SCALE.md r13 rule): the
+    # eval and train branches read cached shingle rows, not the
+    # corpus scan — at 100 TB this materialization IS the inverted
+    # index build
     sh = docs.select(
         "doc_id",
         "b",
@@ -2595,7 +2597,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> array_join(slice(w, i, {CONTAM_N}), ' '))"
             )
         ).alias("s"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     es = sh.where(F.col("b") == 9).select("doc_id", "s").distinct()
     ts = sh.where(F.col("b") != 9).select("s").distinct()
     counts = es.groupBy("doc_id").agg(

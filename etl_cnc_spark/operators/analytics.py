@@ -7216,8 +7216,9 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").cast("date").alias("last_day"),
         )
         # |users|-sized rollup feeds both the global-max and the label
-        # branch; checkpoint-scoped so facts are scanned ONCE
-        .localCheckpoint(eager=False)
+        # branch — DATA-SCALED, so persist() (lineage kept, executor
+        # loss recomputes; SCALE.md r13 rule): facts scanned ONCE
+        .persist()
     )
     g = span.agg(F.max("last_day").alias("gmax"))
     lab = span.crossJoin(F.broadcast(g)).select(
@@ -7636,8 +7637,9 @@ def orders_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cents(F.col("o_totalprice")) - F.col("line_cents")).alias("d")
         )
         # |orders|-sized difference column feeds the moment fold AND
-        # the outside-count pass; checkpoint-scoped single derivation
-        .localCheckpoint(eager=False)
+        # the outside-count pass — DATA-SCALED, so persist() (lineage
+        # kept, executor loss recomputes; SCALE.md r13 rule)
+        .persist()
     )
     dd = F.col("d").cast("decimal(19,0)")
     m = pairs.agg(
@@ -10276,7 +10278,9 @@ def events_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
             F.max("ts").cast("date").alias("last_day"),
         )
-        .localCheckpoint(eager=False)
+        # |users|-sized — DATA-SCALED, persist() per the SCALE.md
+        # r13 rule (lineage kept, executor loss recomputes)
+        .persist()
     )
     g = span.agg(F.max("last_day").alias("gmax"))
     lab = span.crossJoin(F.broadcast(g)).select(
@@ -10638,7 +10642,9 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             st.cast("long").alias("st"),
             F.col("pk").isNotNull().alias("has_p"),
         )
-        .localCheckpoint(eager=False)
+        # per-event frame — DATA-SCALED, persist() per the SCALE.md
+        # r13 rule (lineage kept, executor loss recomputes)
+        .persist()
     )
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = j.select(

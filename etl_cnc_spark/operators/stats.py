@@ -4242,13 +4242,14 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: ONE fact scan to the checkpointed (user, type) rollup;
     shuffles carry counts only."""
     e = table(spark, sf_dir, "events")
-    # ONE fact scan: the (user, type) rollup is checkpoint-scoped and
-    # every downstream frame (user list, per-type totals, indicators)
-    # replays rollup rows, never events
+    # ONE fact scan: the (user, type) rollup feeds every downstream
+    # frame (user list, per-type totals, indicators) — |users|-scaled,
+    # so persist() per the SCALE.md r13 rule (lineage kept, executor
+    # loss recomputes); consumers read the cache, never events
     base = (
         e.groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     users = base.select("user_id").distinct()
     nu = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))

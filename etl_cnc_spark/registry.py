@@ -56,42 +56,147 @@ REGISTRY: dict[str, QueryDef] = {}
 # driver-canonicalization traps like r4's embed_quantize numpy-cell
 # issue).
 DRIVER_WINDOW: list[str] = [
-    # REQUEST TO THE DRIVER (VERDICT r11 item 7): if the correctness
-    # window can be widened to 100 keys/round, the never-driver-checked
-    # backlog (~97 after this round) clears in ONE round instead of
-    # two — every key in the registry would then carry a driver
-    # attestation. The ordering below already supports any prefix
-    # length; tools/next_window.py prints the continuation.
+    # REQUEST TO THE DRIVER (re-stated; VERDICT r11 item 7 / r12
+    # item 2): with a 100-key correctness window the never-driver-
+    # checked backlog clears THIS round — the ordering below supports
+    # any prefix length (the 115 keys listed cover the whole backlog
+    # plus every key changed since its last attestation).
     #
-    # r12 rotation (VERDICT r11 item 1): ALL 13 round-11-added keys
-    # lead (so no round's additions stay unattested more than one
-    # cycle), then stream_tumbling — driver-green since r2 but its
-    # batch implementation changed this round (integer epoch-micros
-    # bucket) and changed keys re-attest (the r9 precedent) — then
-    # the next 36 never-driver-checked keys in tools/next_window.py
-    # (registry) order: the classical-stats tail, the text-curation
-    # leftovers, and the ml_ evaluation tier.  All 50 preflight
-    # --exec clean at rotation time.
-    "events_cuped", "fn_geohash", "fn_jaro_winkler",
-    "graph_jaccard_linkpred", "ml_gmm_em_step",
-    "multimodal_frame_dedup", "stat_bradley_terry",
-    "stat_chatterjee_xi", "stat_hampel_filter", "stat_hoeffding_d",
-    "text_rouge_l", "text_self_bleu", "text_vocab_coverage_curve",
-    "stream_tumbling",
-    "stat_fisher_exact", "stat_quade_test", "stat_bhattacharyya",
-    "stat_fligner_killeen", "stat_capture_recapture",
-    "stat_siegel_slopes", "stat_watson_u2", "stat_yule_walker_ar2",
-    "stat_cox_stuart", "stat_page_trend", "stat_vif", "stat_ridit",
-    "stat_g_test", "stat_breslow_day", "stat_runs_up_down",
-    "stat_empirical_bayes_rates", "stat_sprt_ab", "stat_holm_stepdown",
-    "stat_pettitt",
-    "text_boilerplate_segments", "text_unicode_script_profile",
-    "text_chao1_richness", "pipeline_budget_allocation",
-    "text_char_entropy_rate",
-    "ml_target_encoding", "ml_woe_iv", "ml_lift_gains", "ml_ndcg_eval",
-    "ml_auc_pr", "ml_feature_hashing", "ml_mutual_info",
-    "ml_cohen_kappa", "stat_friedman_test", "ml_class_weights",
-    "ml_target_encoding_cv", "ml_naive_bayes",
+    # r13 rotation (VERDICT r12 item 1): the 5 r12-added keys lead
+    # (so no round's additions stay unattested more than one cycle),
+    # then the three keys STRUCTURALLY CHANGED since their last
+    # attestation — tpch_q21 (r12 min/max-fold rewrite), sim_hybrid_rrf
+    # (r12 BM25 single-split + r13 persist flip), stat_wasserstein_1d
+    # (r13: its grid lineage replayed the events scan 10x; two lazy
+    # checkpoints collapse it to one) — changed keys re-attest, the
+    # r9/r12 precedent. Then the next 42 never-driver-checked keys in
+    # tools/next_window.py (registry) order: the ml_ evaluation tier,
+    # the graph family, the TPC-H tail. Positions 51-60 carry the ten
+    # keys whose data-scaled frames flipped localCheckpoint->persist()
+    # this round (SCALE.md r13 checkpoint rule — caching strategy
+    # only, values identical, each re-proved locally at three SFs and
+    # three invariance axes); they re-attest inside a 100-key window
+    # and next round otherwise. Positions 61+ finish the backlog
+    # (streaming leftovers, ml_ eval tail, the sql_entry_* family).
+    # All 50-prefix keys preflight --exec clean at rotation time.
+    "udtf_polymorphic_partitioned",
+    "pipeline_temperature_mix",
+    "ml_quantile_normalize",
+    "ml_impute_group_median",
+    "stat_ancova",
+    "tpch_q21",
+    "sim_hybrid_rrf",
+    "stat_wasserstein_1d",
+    "ml_knn_classifier",
+    "ml_linear_attribution",
+    "ml_drop_column_importance",
+    "ml_pinball_loss",
+    "ml_learning_curve",
+    "ml_oversample_interpolate",
+    "ml_map_at_k",
+    "ml_rank_biased_overlap",
+    "ml_kendall_w",
+    "ml_mrr",
+    "ml_err_at_k",
+    "ml_survival_cindex",
+    "ml_tweedie_deviance",
+    "ml_topk_accuracy",
+    "ml_ridge_closed_form",
+    "ml_r2_shapley",
+    "ml_qini_auuc",
+    "graph_bfs_distance",
+    "graph_link_features",
+    "graph_kcore",
+    "graph_random_walk",
+    "graph_modularity",
+    "graph_assortativity",
+    "graph_copurchase_components",
+    "graph_label_propagation",
+    "graph_clustering_coefficient",
+    "graph_harmonic_centrality",
+    "graph_rich_club",
+    "graph_reciprocity",
+    "graph_degree_gini",
+    "graph_eigenvector_centrality",
+    "graph_adamic_adar",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "fn_structured_parse",
+    "fn_collation",
+    "fn_edit_distance",
+    "agg_listagg_ordered",
+    "fn_haversine",
+    "text_bm25",
+    "dedup_substring_spans",
+    "text_contamination_check",
+    "multimodal_frame_dedup",
+    "events_kaplan_meier",
+    "orders_bland_altman",
+    "events_km_greenwood",
+    "events_attribution_markov",
+    "stat_cochran_q",
+    "sim_ivf_nprobe_sweep",
+    "fn_try_cast",
+    "fn_luhn_check",
+    "fn_inet",
+    "fn_uuid_v3",
+    "fn_business_days",
+    "fn_soundex",
+    "stream_drift_monitor",
+    "stream_topk_windowed",
+    "win_session_window",
+    "stream_upsert_snapshot",
+    "stream_rate_source",
+    "stream_late_metrics",
+    "stream_incremental_exactly_once",
+    "stream_static_join",
+    "ml_confusion_metrics",
+    "ml_roc_auc",
+    "ml_calibration_bins",
+    "ml_isotonic_calibration",
+    "ml_cluster_nmi",
+    "ml_brier_score",
+    "ml_ece",
+    "ml_f1_threshold_sweep",
+    "ml_fairness_report",
+    "ml_matthews_corr",
+    "ml_log_loss",
+    "ml_hosmer_lemeshow",
+    "ml_fleiss_kappa",
+    "ml_chi2_select",
+    "ml_ks_separation",
+    "ml_auc_delong_ci",
+    "ml_gini_impurity_split",
+    "ml_silhouette_simplified",
+    "ml_weighted_kappa",
+    "ml_multiclass_f1",
+    "embed_intrinsic_dim",
+    "ml_brier_decomposition",
+    "embed_procrustes_2d",
+    "multimodal_wav_header",
+    "udtf_polymorphic",
+    "sql_entry_agg",
+    "sql_entry_window",
+    "sql_entry_lateral",
+    "sql_entry_recursive",
+    "sql_entry_group_by_all",
+    "sql_entry_pipe",
+    "sql_entry_unpivot",
+    "sql_entry_distribute_by",
+    "sql_entry_parameterized",
+    "sql_entry_cache_table",
+    "sql_entry_filter_clause",
+    "sql_entry_lateral_alias",
+    "sql_entry_exists",
+    "sql_entry_values",
+    "sql_entry_offset",
+    "sql_entry_named_window",
+    # r13 wave A (added after the rotation above; leads the r14
+    # window if still unattested then):
+    "stream_tumbling_window_twin",
 ]
 
 

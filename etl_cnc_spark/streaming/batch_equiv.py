@@ -57,6 +57,48 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tumbling_window_twin",
+    oracle=f"""
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+           event_type, count(*) AS n, {sql_sum_money("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.window`` twin of stream_tumbling (VERDICT r12 item 8): the
+    SAME tumbling 1-hour aggregate through Catalyst's own window
+    operator instead of the hand-applied integer epoch-micros floor
+    bucket.  Identical output schema and oracle, so hash parity of
+    BOTH keys against the SAME SQL is standing executable evidence
+    that the r12 integer-bucket rewrite equals the window operator —
+    if either side ever drifts (a Spark upgrade changing window
+    alignment, or a bucket-arithmetic regression), one of the two
+    gates goes red.  The floor-mod edge cases the fixture can't reach
+    (pre-1970 timestamps, exact hour boundaries, epoch zero) are
+    pinned on synthetic parquet in tests/test_r13_wave_a.py, where
+    both builds and a from-scratch Python floor are compared.
+
+    Scale shape: identical to stream_tumbling minus the 4x-narrower
+    shuffle key — this twin carries the struct(start, end) group key
+    deliberately; the benched production path stays integer."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+        .select(
+            ts_us(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
     "stream_sliding",
     oracle="""
     SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)
