@@ -232,6 +232,13 @@ def capped_centroids(e: DataFrame) -> DataFrame:
             F.col("embedding").alias("ce"),
             _norm2(F.col("embedding")).alias("cn2"),
         )
+        # BOUNDED (<= 4096 rows by the cap) and fanned into several
+        # consumers by every ANN key — lazily checkpointed AT THE
+        # SOURCE (SCALE.md r13 rule; the trade_edges pattern): the
+        # count pass + stride filter run once per query, not once
+        # per consumer (sim_ann_ivfpq re-scanned embeddings 11x
+        # before r13)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1350,8 +1357,12 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented O(N²/cells) audit pass you run on a SAMPLE at 100 TB
     (dedup_embedding_exact's docstring); the join is on the
     (vec_a, vec_b) pair key, counts are metadata."""
-    exact = REGISTRY["dedup_embedding_exact"].build(spark, sf_dir)
-    ivf = REGISTRY["dedup_embedding"].build(spark, sf_dir)
+    # both pair lists are consumed twice (the match join + their own
+    # counts) and each replays an expensive composed build — DATA-
+    # SCALED, persist() per the SCALE.md r13 rule (12 embeddings
+    # scans before r13)
+    exact = REGISTRY["dedup_embedding_exact"].build(spark, sf_dir).persist()
+    ivf = REGISTRY["dedup_embedding"].build(spark, sf_dir).persist()
     m = exact.select("vec_a", "vec_b").join(
         ivf.select("vec_a", "vec_b"), ["vec_a", "vec_b"]
     ).agg(F.count(F.lit(1)).cast("long").alias("n_matched"))

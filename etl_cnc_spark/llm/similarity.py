@@ -83,6 +83,27 @@ CENT_MOD = 64  # baseline centroid stride; COUNT capped by capped_centroids()
 NPROBE = 2
 
 
+def _ivf_ranked_cells(e: "DataFrame") -> "DataFrame":
+    """IVF assignment pass, shared by every IVF key: rank all
+    centroids per vector by squared L2 and keep (vec_id, cent_id,
+    cell_rank) only.  The frame is DATA-SCALED (N x C rows) and every
+    caller consumes it TWICE (cell assignment + query probes), so it
+    is persist()ed per the SCALE.md r13 rule — the O(N*C) dot-product
+    pass (the dominant ANN cost) runs once, lineage survives, and an
+    executor loss recomputes instead of failing the job.  Trimming to
+    ids BEFORE the persist keeps the cache free of embedding arrays."""
+    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
+    cent = capped_centroids(e)
+    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
+    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
+    return (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .select("vec_id", "cent_id", "cell_rank")
+        .persist()
+    )
+
+
 @register(
     "sim_ann_ivf",
     oracle=f"""
@@ -143,14 +164,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        is ~NPROBE/C of the corpus, the IVF recall/cost dial.
     Recall@k vs sim_topk_exact is measured in tests/test_llm.py."""
     e = table(spark, sf_dir, "embeddings")
-    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
-    cent = capped_centroids(e)
-    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
-    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
-    ranked_cells = (
-        vec.crossJoin(F.broadcast(cent))
-        .withColumn("cell_rank", F.row_number().over(wc))
-    )
+    ranked_cells = _ivf_ranked_cells(e)
     assign = ranked_cells.where(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
     )
@@ -646,13 +660,7 @@ def sim_ann_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell for candidates, int folds for scoring, one ranking window
     per stage — no pairwise stage, no Python."""
     e = table(spark, sf_dir, "embeddings")
-    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
-    cent = capped_centroids(e)
-    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
-    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
-    ranked_cells = vec.crossJoin(F.broadcast(cent)).withColumn(
-        "cell_rank", F.row_number().over(wc)
-    )
+    ranked_cells = _ivf_ranked_cells(e)
     assign = ranked_cells.where(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
     )
@@ -1014,13 +1022,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # IVF candidate generation (same machinery as sim_ann_ivf)
-    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
-    cent = capped_centroids(e)
-    cd2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
-    wc = Window.partitionBy("vec_id").orderBy(cd2.asc(), F.col("cent_id"))
-    ranked_cells = vec.crossJoin(F.broadcast(cent)).withColumn(
-        "cell_rank", F.row_number().over(wc)
-    )
+    ranked_cells = _ivf_ranked_cells(e)
     assign = ranked_cells.where(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
     )
@@ -2394,7 +2396,9 @@ def sim_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    cn = c.withColumn("cnorm", F.sqrt(_norm2(F.col("ce"))))
+    # corpus norms feed round-1 scoring AND the round-2 exploded side
+    # — DATA-SCALED, persist() per the SCALE.md r13 rule
+    cn = c.withColumn("cnorm", F.sqrt(_norm2(F.col("ce")))).persist()
     pairs1 = F.broadcast(q).join(cn, F.col("qid") != F.col("cid"))
     score1 = (
         F.zip_with(
@@ -2409,6 +2413,10 @@ def sim_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") <= ROC_K)
         .select("qid", "cid", "rn")
+        # bounded (ROC_NQ x ROC_K rows), two consumers (feedback
+        # centroid + overlap join) — lazy checkpoint so round-1
+        # scoring runs once
+        .localCheckpoint(eager=False)
     )
     # feedback centroid per (qid, dim)
     fb = (
@@ -2466,6 +2474,9 @@ def sim_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= ROC_K)
         .select("qid", "cid", "rn")
+        # bounded, two consumers (top-1 + overlap) — lazy checkpoint
+        # so round-2 scoring runs once
+        .localCheckpoint(eager=False)
     )
     top1_after = r2.where(F.col("rn") == 1).select(
         F.col("qid").alias("qa"), F.col("cid").alias("top1_after")
@@ -3215,18 +3226,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive stages do not multiply with sweep size); each nprobe
     adds only its bounded probe join and a 50x5-pair recall join."""
     e = table(spark, sf_dir, "embeddings")
-    vec = e.select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2"))
-    cent = capped_centroids(e)
-    d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
-    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
-    ranked_cells = (
-        vec.crossJoin(F.broadcast(cent))
-        .withColumn("cell_rank", F.row_number().over(wc))
-        .select("vec_id", "cent_id", "cell_rank")
-        # |vectors| x |centroids| — DATA-SCALED, persist() per the
-        # SCALE.md r13 rule (lineage kept, executor loss recomputes)
-        .persist()
-    )
+    ranked_cells = _ivf_ranked_cells(e)
     assign = ranked_cells.where(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("cid"), F.col("cent_id").alias("cell")
     )

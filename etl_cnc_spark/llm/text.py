@@ -1919,6 +1919,9 @@ def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     # size >= 2 guard: sequence(1, 0) descends and element_at(w, 0)
     # throws; single-token docs have no bigrams (oracle range empty).
+    # corpus bigrams feed the count table AND the scoring join;
+    # the bigram-vocab counts feed four consumers — both DATA-SCALED,
+    # persist() per the SCALE.md r13 rule (5 documents scans pre-r13)
     doc_bg = toks.where(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
@@ -1927,10 +1930,10 @@ def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
             )
         ).alias("bg"),
-    )
+    ).persist()
     bg_cnt = doc_bg.groupBy("bg").agg(
         F.count(F.lit(1)).cast("long").alias("bc")
-    )
+    ).persist()
     w1c = F.split(F.col("bg"), " ").getItem(0)
     w2c = F.split(F.col("bg"), " ").getItem(1)
     w1_stats = bg_cnt.groupBy(w1c.alias("w1")).agg(
@@ -4619,13 +4622,16 @@ def text_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("a"),
     )
     r = t.select(F.col("doc_id").alias("rid"), F.col("w").alias("b"))
+    # the paired-doc frame feeds the uni/bi clipped-count branches and
+    # the length totals (~5 consumers; 10 documents scans before r13)
+    # — DATA-SCALED, persist() per the SCALE.md r13 rule
     p = c.join(r, c["cid"] + 1 == r["rid"]).select(
         "pair_id",
         "a",
         "b",
         F.size("a").cast("long").alias("la"),
         F.size("b").cast("long").alias("lb"),
-    )
+    ).persist()
 
     def grams(col: str, n: int) -> F.Column:
         if n == 1:

@@ -369,6 +369,9 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (delta, event_id) so ends sort before starts at equal instants
     deterministically."""
     e = table(spark, sf_dir, "events")
+    # 2x|events| boundary rows feeding global_ordered's three passes
+    # — DATA-SCALED, persist() per the SCALE.md r13 rule (8 events
+    # scans before r13)
     bounds = e.select(
         F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
     ).unionAll(
@@ -377,7 +380,7 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
             "event_id",
         )
-    )
+    ).persist()
     running = global_ordered(
         bounds,
         [F.col("t"), F.col("delta"), F.col("event_id")],
@@ -601,10 +604,15 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the oracle's association order exactly."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
+    # the deduped (basket, brand) table feeds FOUR consumers (basket
+    # count, brand marginals, both self-join sides) — DATA-SCALED,
+    # persist() per the SCALE.md r13 rule (5 lineitem + 5 part scans
+    # before r13)
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()
     )
     n = ob.select(F.countDistinct("ok").alias("baskets"))
     brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
@@ -9386,10 +9394,14 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, a rank+1 self-join ON THE GRID, two 8-row conditional
     tables with grid-sized marginal joins — all metadata-sized."""
     e = table(spark, sf_dir, "events")
+    # calendar-day grid feeding the two median machines AND the coded
+    # series — BOUNDED, lazy checkpoint (this key replayed the events
+    # scan 108x before r13: trans x coded x daily lineage was
+    # multiplicative)
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count_if(F.col("event_type") == "click").cast("long").alias("x"),
         F.count_if(F.col("event_type") == "purchase").cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
 
     def _median_of(col: str):
         grid = daily.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -9422,6 +9434,8 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("x") > F.col("mx"), 1).otherwise(0).alias("xb"),
             F.when(F.col("y") > F.col("my"), 1).otherwise(0).alias("yb"),
         )
+        # day-grid sized, two consumers (a, b) — bounded checkpoint
+        .localCheckpoint(eager=False)
     )
     a = coded.select(
         F.col("t").alias("ta"), F.col("xb").alias("x"), F.col("yb").alias("y")
@@ -9429,13 +9443,19 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = coded.select(
         F.col("t").alias("tb"), F.col("xb").alias("xn"), F.col("yb").alias("yn")
     )
-    trans = a.join(b, F.col("tb") == F.col("ta") + 1).select("x", "y", "xn", "yn")
+    trans = (
+        a.join(b, F.col("tb") == F.col("ta") + 1)
+        .select("x", "y", "xn", "yn")
+        # day-grid sized, EIGHT consumers (nfold + 2x(c3+3 marginals))
+        # — bounded checkpoint
+        .localCheckpoint(eager=False)
+    )
     nfold = trans.agg(F.count(F.lit(1)).cast("long").alias("nt"))
 
     def _te(tgt_next: str, cond_self: str, cond_other: str):
         c3 = trans.groupBy(tgt_next, cond_self, cond_other).agg(
             F.count(F.lit(1)).cast("long").alias("c3")
-        )
+        ).localCheckpoint(eager=False)  # <=8 rows, 4 consumers
         m_self = c3.groupBy(cond_self).agg(
             F.sum("c3").cast("long").alias("c_self")
         )

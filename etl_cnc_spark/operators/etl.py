@@ -498,19 +498,22 @@ def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _flag(cond) -> F.Column:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
+    # each 1-row audit aggregate feeds one union branch per check —
+    # BOUNDED, lazy checkpoint so each table is scanned ONCE for its
+    # conditional fold (4 orders + 4 lineitem scans before r13)
     o_agg = o.agg(
         F.count(F.lit(1)).alias("total"),
         _flag(F.col("o_custkey").isNull()).alias("null_cust"),
         _flag(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dups"),
-    )
+    ).localCheckpoint(eager=False)
     l_agg = li.agg(
         F.count(F.lit(1)).alias("total"),
         _flag((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
             "bad_disc"
         ),
         _flag(F.col("l_quantity") <= 0).alias("bad_qty"),
-    )
+    ).localCheckpoint(eager=False)
     orphans = (
         li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1968,13 +1971,21 @@ def etl_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for tbl, cols in _PK_CANDIDATES:
         t = table(spark, sf_dir, tbl)
-        n = t.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        d = (
-            t.select(*cols)
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+        # ONE scan per candidate (r13; was two — count + distinct):
+        # group by the candidate tuple, then n_rows = Σ group counts
+        # and n_distinct = group count.  Same shuffle the DISTINCT
+        # already paid, exact NULL-combination semantics (groupBy
+        # keeps null groups, unlike count_distinct), no second pass
+        # over the fact table.
+        g = (
+            t.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum("_c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            )
         )
-        row = n.crossJoin(d).select(
+        row = g.select(
             F.lit(tbl).alias("tbl"),
             F.lit(",".join(cols)).alias("key_cols"),
             "n_rows",
@@ -2134,9 +2145,11 @@ def etl_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for tbl, col in _ENT_COLUMNS:
         t = table(spark, sf_dir, tbl)
+        # bounded value grid, two consumers (totals + entropy fold) —
+        # lazy checkpoint so each column's scan runs once
         grid = t.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
-        )
+        ).localCheckpoint(eager=False)
         tot = grid.agg(F.sum("cnt").cast("long").alias("tot"))
         hq = F.floor(
             (F.col("cnt").cast("double") / F.col("tot"))

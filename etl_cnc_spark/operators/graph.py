@@ -74,7 +74,16 @@ def _pagerank_oracle() -> str:
 
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted nation→nation trade edges from the star schema."""
+    """Weighted nation→nation trade edges from the star schema.
+
+    The aggregated edge frame is BOUNDED (≤ |nations|² rows) and every
+    graph key fans it into several consumers (degrees, symmetrized
+    copies, per-iteration joins), so it is lazily localCheckpoint'd AT
+    THE SOURCE (SCALE.md r13 checkpoint rule): the 4-table star join +
+    aggregate runs once per query — before r13, keys without a
+    caller-side checkpoint replayed it per consumer
+    (graph_bfs_distance: 15 lineitem scans; graph_harmonic_centrality:
+    16)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -87,6 +96,7 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -106,13 +116,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration join is broadcast-sized, and at web scale the same
     plan shuffles on the vertex id — the standard Pregel-as-joins
     formulation."""
-    # lazy localCheckpoint, not cache — see graph_kcore: released
-    # with the plan instead of pinned in CacheManager.
-    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # trade_edges checkpoints at the source since r13 — no caller-side
+    # checkpoint needed (see its docstring; lazy, released with plan).
+    edges = trade_edges(spark, sf_dir)
     deg = edges.groupBy("u").agg(F.sum("w").alias("outw"))
+    # 25-row dim, replayed per iteration through the growing state
+    # lineage — bounded, so one lazy checkpoint collapses the replays
+    # (graph_eigenvector_centrality re-scanned nation 92x before r13)
     nodes = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     base = (15 * SCALE) // (100 * 25)
     pr = nodes.select("v", F.lit(SCALE // 25).cast("long").alias("pr"))
     for _ in range(N_ITER):
@@ -896,10 +909,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the evaluation half of community detection, mergeable by
     construction."""
     edges = trade_edges(spark, sf_dir)
+    # 25-row dim feeding several consumers — bounded, lazy checkpoint
     comm = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"),
         F.col("n_regionkey").cast("long").alias("c"),
-    )
+    ).localCheckpoint(eager=False)
     m = edges.agg(F.sum("w").cast("long").alias("tw"))
     cu = comm.select(F.col("node").alias("u"), F.col("c").alias("cu"))
     cv = comm.select(F.col("node").alias("v"), F.col("c").alias("cv"))
@@ -1219,14 +1233,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v, label) weight aggregate + per-node argmax window — the
     Pregel-as-joins formulation; the edge derivation is the only
     fact-table-sized pass and is checkpoint-scoped once."""
-    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = trade_edges(spark, sf_dir)  # source-checkpointed (r13)
     e = edges.where(F.col("u") != F.col("v"))
     nbr = e.select(
         F.col("u").alias("v"), F.col("v").alias("n"), "w"
     ).unionAll(e.select(F.col("v").alias("v"), F.col("u").alias("n"), "w"))
+    # 25-row dim, replayed per iteration through the growing state
+    # lineage — bounded, so one lazy checkpoint collapses the replays
+    # (graph_eigenvector_centrality re-scanned nation 92x before r13)
     nodes = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     lab = nodes.select("v", F.col("v").alias("l"))
     w_best = Window.partitionBy("v").orderBy(F.col("wt").desc(), "l")
     for _ in range(LPA_ROUNDS):
@@ -1406,9 +1423,10 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= BFS_TOPK)
         .select("u", "v")
     )
+    # 25-row dim replayed per BFS round — bounded, lazy checkpoint
     nodes = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("src")
-    )
+    ).localCheckpoint(eager=False)
     dist = nodes.select(
         "src", F.col("src").alias("v"), F.lit(0).cast("long").alias("dist")
     )
@@ -1778,9 +1796,12 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("long").alias("w"))
         .localCheckpoint(eager=False)
     )
+    # 25-row dim, replayed per iteration through the growing state
+    # lineage — bounded, so one lazy checkpoint collapses the replays
+    # (graph_eigenvector_centrality re-scanned nation 92x before r13)
     nodes = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     x = nodes.select("v", F.lit(_EV_SCALE).cast("long").alias("x"))
     for _ in range(_EV_ITER):
         raw = (
@@ -1876,7 +1897,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets repeat less — so sf0.1 legitimately yields zero open
     two-hop triads; the driver-scale sf0.01 graph predicts 74.)"""
     li = table(spark, sf_dir, "lineitem")
-    pl = li.select("l_orderkey", "l_partkey").distinct()
+    # pl feeds BOTH sides of the co-purchase self-join and pairs feeds
+    # FOUR consumers (the symmetrized copies x3 via ue, the anti-join)
+    # — both DATA-SCALED, so persist() per the SCALE.md r13 rule
+    # (before r13 this key replayed the lineitem scan 14x)
+    pl = li.select("l_orderkey", "l_partkey").distinct().persist()
     a = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
     b = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
     pairs = (
@@ -1886,6 +1911,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") >= COP_MIN_SUP)
         .select("p1", "p2")
+        .persist()
     )
     ue = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
@@ -1983,7 +2009,10 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparser, so sf0.1 legitimately yields zero open two-hop triads —
     the same documented behavior as graph_adamic_adar.)"""
     li = table(spark, sf_dir, "lineitem")
-    pl = li.select("l_orderkey", "l_partkey").distinct()
+    # pl / pairs fan into multiple consumers — DATA-SCALED, persist()
+    # per the SCALE.md r13 rule (this key replayed lineitem 18x
+    # before r13; same shape as graph_adamic_adar)
+    pl = li.select("l_orderkey", "l_partkey").distinct().persist()
     a = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
     b = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
     pairs = (
@@ -1993,6 +2022,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") >= COP_MIN_SUP)
         .select("p1", "p2")
+        .persist()
     )
     ue = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))

@@ -237,13 +237,16 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically from (rank, n). Decile stats are integer
     mergeable sums; the cumulative fold runs over 10 metadata rows."""
     e = table(spark, sf_dir, "events")
+    # per-event scored frame feeding the totals row and the prefix
+    # machine's three passes — DATA-SCALED, persist() per the SCALE.md
+    # r13 rule (6 events scans before r13)
     scored = e.select(
         (F.floor(F.col("value") * 100 + 0.5)).cast("long").alias(
             "score_cents"
         ),
         "event_id",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-    )
+    ).persist()
     tot = scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_all"),
         F.sum("y").cast("long").alias("pos_all"),
@@ -1358,10 +1361,15 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     train_doc = d.where(F.col("doc_id") % 2 == 0)
     test_doc = d.where(F.col("doc_id") % 2 == 1)
+    # vocab x classes token-count table, three consumers (class
+    # totals, vocab size, the log-prob table) — vocabulary-scaled, so
+    # persist() per the SCALE.md r13 rule (this key replayed the
+    # documents scan 8x before r13)
     cw = (
         train_doc.select("lang", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+        .persist()
     )
     lt = cw.groupBy("lang").agg(F.sum("cw").cast("long").alias("tl"))
     vc = cw.agg(F.count_distinct("w").cast("long").alias("v"))

@@ -10124,16 +10124,19 @@ def stat_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the rank index (grid-sized, never the fact table),
     one 1-row moments frame broadcast to all lags."""
     e = table(spark, sf_dir, "events")
+    # calendar-day grid: bounded, consumed 3x inside global_ordered —
+    # lazy checkpoint (this key replayed the events scan 12x pre-r13)
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("x"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
+    # ranked grid feeds the moments row and BOTH lag-join sides
     ranked = global_ordered(
         daily,
         [F.col("day")],
         bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
         rank_col="t",
-    ).select("x", "y", "t")
+    ).select("x", "y", "t").localCheckpoint(eager=False)
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
