@@ -317,8 +317,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d2 = F.col("n2") + F.col("cn2") - 2 * _dot64(F.col("embedding"), F.col("ce"))
     wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id"))
-    ranked_cells = vec.crossJoin(F.broadcast(cent)).withColumn(
-        "cell_rank", F.row_number().over(wc)
+    # N x C assignment pass consumed twice (assign + probes) — trim
+    # to ids and persist() per the SCALE.md r13 rule (the similarity
+    # module's _ivf_ranked_cells pattern; kept inline here to avoid a
+    # circular import)
+    ranked_cells = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .select("vec_id", "cent_id", "cell_rank")
+        .persist()
     )
     assign = ranked_cells.where(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("aid"), F.col("cent_id").alias("cell")
@@ -703,7 +710,7 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("mh"))
+        .agg(F.min("hv").alias("mh")).persist()
     )
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"), F.col("mh").alias("mha")
@@ -935,7 +942,7 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.alias("words"),
         (F.col("n_chars").between(50, 2000) & (words >= 8)).alias("q"),
         (F.col("doc_id") % _EVAL_MOD == _EVAL_REM).alias("is_eval"),
-    )
+    ).persist()
     train = base.where(~F.col("is_eval"))
     w_best = Window.partitionBy(F.md5("text")).orderBy(
         F.col("words").desc(), "doc_id"
@@ -944,7 +951,7 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.where("q")
         .withColumn("rn", F.row_number().over(w_best))
         .where(F.col("rn") == 1)
-        .select("doc_id")
+        .select("doc_id").persist()
     )
     grams = (
         base.select("doc_id", F.split("text", " ").alias("w"))
@@ -1526,7 +1533,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a range join against metadata, NOT five scans). At 100 TB the
     sweep costs the same one candidate pass the chosen-threshold
     run costs."""
-    mh = REGISTRY["dedup_minhash_relational"].build(spark, sf_dir)
+    mh = REGISTRY["dedup_minhash_relational"].build(spark, sf_dir).persist()
     taus = spark.range(0).sparkSession.createDataFrame(
         [(t,) for t in SWEEP_TAUS], "tau_bp long"
     )

@@ -510,7 +510,7 @@ def embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             (F.col("alabel") == F.col("blabel")).alias("same"),
             cos.alias("cos"),
-        )
+        ).persist()
     )
     w = Window.partitionBy("anchor").orderBy(F.col("cos").desc(), "cid")
     pos = (

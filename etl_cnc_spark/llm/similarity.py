@@ -2000,7 +2000,7 @@ def embed_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x").cast("double") * GPI_Q + 0.5)
         .cast("long")
         .alias("q"),
-    )
+    ).persist()
     ea = el.select(
         "vec_id", F.col("i").alias("ai"), F.col("q").alias("aq")
     )
@@ -2010,7 +2010,7 @@ def embed_gram_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         ea.join(eb, "vec_id")
         .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
-        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("gij"))
+        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("gij")).localCheckpoint(eager=False)
     )
     v1 = g.groupBy("i").agg(F.sum("gij").cast("long").alias("v"))
     m1 = v1.agg(F.max(F.abs(F.col("v"))).cast("long").alias("mx"))
@@ -2251,7 +2251,7 @@ def embed_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= HUB_K)
-        .select("qid", "cid")
+        .select("qid", "cid").localCheckpoint(eager=False)
     )
     indeg = (
         e.select("vec_id")
@@ -2570,7 +2570,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.count_if(F.col("y") == 1).cast("long").alias("pos"),
-        )
+        ).localCheckpoint(eager=False)
     )
     a = bins.select(F.col("bin").alias("j"))
     b = bins.select(F.col("bin").alias("k"))
@@ -2771,7 +2771,10 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("qid") != F.col("cid"))
         .select("qid", "cid", cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= RNN_K)
+        # persist, not checkpoint: reuse across both reciprocal sides
+        # is identical, and the plan pin asserting the broadcast
+        # scoring stage stays visible in the cached plan
+        .where(F.col("rn") <= RNN_K).persist()
     )
     x, y = knn.alias("x"), knn.alias("y")
     return (
@@ -3012,12 +3015,12 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bq"),
         F.least(F.lit(9), F.floor(p * 10).cast("long")).alias("bin"),
-    )
+    ).persist()
     bins = rows_q.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("nk"),
         F.sum("pq").cast("long").alias("spq"),
         F.sum("y").cast("long").alias("syk"),
-    )
+    ).localCheckpoint(eager=False)
     sbq = rows_q.agg(F.sum("bq").cast("long").alias("sbq"))
     tot = bins.agg(
         F.sum("nk").cast("long").alias("n"),
@@ -3417,7 +3420,7 @@ def ml_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         bins,
         [F.col("b").desc()],
@@ -3433,7 +3436,7 @@ def ml_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         "p_all",
         (F.lit(2.0) * F.col("tp") / (F.col("pp") + F.col("p_all"))).alias("f1"),
-    )
+    ).localCheckpoint(eager=False)
     best = scoredrows.agg(F.max("f1").alias("best_f1"))
     return scoredrows.crossJoin(F.broadcast(best)).select(
         q4(F.col("b").cast("double") / 100.0).alias("threshold"),
@@ -3996,7 +3999,7 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = scored.groupBy("sq").agg(
         F.count_if(F.col("y") == 1).cast("long").alias("pos"),
         F.count_if(F.col("y") == 0).cast("long").alias("neg"),
-    )
+    ).localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum("pos").cast("long").alias("n1"),
         F.sum("neg").cast("long").alias("n0"),
@@ -4065,10 +4068,13 @@ def _score_cdf_grid(e: DataFrame) -> DataFrame:
         (F.col("label") % 2).alias("y"),
         F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long").alias("sq"),
     )
+    # score-grid-sized (bounded by the 1e-6 quantization domain) and
+    # consumed by the bucket totals AND the final prefix join — lazy
+    # checkpoint per the SCALE.md r13 rule
     grp = scored.groupBy("sq").agg(
         F.count_if(F.col("y") == 1).cast("long").alias("pos"),
         F.count_if(F.col("y") == 0).cast("long").alias("neg"),
-    )
+    ).localCheckpoint(eager=False)
     grp = grp.withColumn("bkt", F.floor(F.col("sq") / F.lit(1_000_000)))
     btot = grp.groupBy("bkt").agg(
         F.sum("pos").cast("long").alias("bpos"),
@@ -4085,13 +4091,17 @@ def _score_cdf_grid(e: DataFrame) -> DataFrame:
         .orderBy("sq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # every caller fans the cumulative grid into several consumers
+    # (totals + placement + variance folds) — checkpoint at the
+    # source, the trade_edges pattern (12 embeddings scans in
+    # ml_auc_delong_ci before r13)
     return grp.join(F.broadcast(boff), "bkt").select(
         "sq",
         "pos",
         "neg",
         (F.col("opos") + F.sum("pos").over(win)).cast("long").alias("cpos"),
         (F.col("oneg") + F.sum("neg").over(win)).cast("long").alias("cneg"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 # shared oracle CTE text for the same grid (single-level prefix is
@@ -4195,7 +4205,7 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * (F.col("n1") - F.col("cpos")) + F.col("pos")).alias("w01"),
         "n1",
         "n0",
-    )
+    ).localCheckpoint(eager=False)
     auc = plc.groupBy("n1", "n0").agg(
         F.sum(F.col("pos") * F.col("w10")).cast("long").alias("auc2num")
     )
@@ -4330,7 +4340,7 @@ def ml_gini_impurity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (g_par - nl / n * g_l - nr / n * g_r) * _GINI_Q + F.lit(0.5)
             ).cast("long"),
         ).alias("gainq"),
-    ).where(F.col("gainq").isNotNull())
+    ).where(F.col("gainq").isNotNull()).localCheckpoint(eager=False)
     mg = gains.agg(F.max("gainq").alias("mg"))
     best = (
         gains.crossJoin(F.broadcast(mg))
@@ -4676,7 +4686,7 @@ def ml_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     rated = e.select(F.col("label").cast("long").alias("r1"), r2.alias("r2"))
     cells = rated.groupBy("r1", "r2").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    )
+    ).localCheckpoint(eager=False)
     m1 = cells.groupBy("r1").agg(F.sum("o").cast("long").alias("n1"))
     m2 = cells.groupBy("r2").agg(F.sum("o").cast("long").alias("n2"))
     tot = cells.agg(F.sum("o").cast("long").alias("n"))
@@ -4796,7 +4806,7 @@ def embed_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "long"
             ),
         ).alias("eq")
-    )
+    ).persist()
     means = (
         q.select(F.posexplode("eq").alias("i0", "x"))
         .groupBy((F.col("i0") + 1).alias("i"))
@@ -4833,7 +4843,7 @@ def embed_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("syy"),
-    )
+    ).localCheckpoint(eager=False)
     mi = means.select(
         F.col("i").alias("mi_i"), F.col("s").alias("mi_s"), F.col("n")
     )

@@ -391,7 +391,7 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full vocab never meets any global ordering stage.
     from ..operators.prefix import global_ordered
 
-    top = counts.orderBy(F.col("n").desc(), "bg").limit(50)
+    top = counts.orderBy(F.col("n").desc(), "bg").limit(50).localCheckpoint(eager=False)
     return global_ordered(
         top,
         [F.col("n").desc(), F.col("bg")],
@@ -533,7 +533,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("toks"),
         F.md5("text").alias("h"),
-    ).where(F.col("toks") >= MIN_TOKENS)
+    ).where(F.col("toks") >= MIN_TOKENS).persist()
     winners = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     final = kept.join(winners.select("doc_id"), "doc_id")
     per_lang = final.groupBy("lang").agg(
@@ -796,7 +796,7 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("tokens"),
-    )
+    ).persist()
     run = global_ordered(
         d,
         [F.col("doc_id")],
@@ -971,7 +971,7 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "words",
         F.expr("_c1000 DIV words").alias("difficulty"),
-    )
+    ).persist()
     ranked = global_ordered(
         scored,
         [F.col("difficulty"), F.col("doc_id")],
@@ -1802,7 +1802,7 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = w.groupBy("source", "word").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).persist()
     tot = wf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     a = wf.select(
         F.col("source").alias("sa"), "word", F.col("c").alias("ca")
@@ -2235,7 +2235,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f")).persist()
     )
     ranked = global_ordered(
         freq,
@@ -2251,7 +2251,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log(F.col("f").cast("double")) * _ZIPF_Q + 0.5)
         .cast("long")
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     sums = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
@@ -2397,7 +2397,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = (
         d.select("source", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
     )
     toks = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
     top = (
@@ -2419,7 +2419,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("fq"),
-        )
+        ).localCheckpoint(eager=False)
     )
     wstat = grid.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("s"),
@@ -2436,7 +2436,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("s") - 1)
             )
         ).alias("zv"),
-    )
+    ).localCheckpoint(eager=False)
     a = z.select("w", F.col("source").alias("s1"), F.col("zv").alias("z1"))
     b = z.select("w", F.col("source").alias("s2"), F.col("zv").alias("z2"))
     return (
@@ -4353,11 +4353,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus) and two 1-row broadcast totals. Nothing pairwise,
     nothing data×data."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    toks = d.select("doc_id", F.split("text", " ").alias("ws")).persist()
     uni = (
         toks.select(F.explode("ws").alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
     )
     n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
     bi = (
@@ -4376,7 +4376,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
     )
     n2 = bi.agg(F.sum("c").cast("long").alias("n2"))
     ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
@@ -4745,7 +4745,7 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
     )
     ranked = global_ordered(
         uni,

@@ -976,7 +976,7 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = e.groupBy("user_id").agg(
         F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
         F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
-    )
+    ).persist()
     h = users.select(
         "user_id",
         "in_a",
@@ -984,7 +984,7 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
-    )
+    ).persist()
     sku = (
         h.orderBy("h", "user_id")
         .limit(KMV_K)

@@ -64,14 +64,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+        .agg(F.min("ts").alias("t_view")).persist()
     )
     c = (
         e.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+        .agg(F.min("ts").alias("t_click")).persist()
     )
     p = (
         e.where(F.col("event_type") == "purchase")
@@ -496,7 +496,7 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+    ).persist()
     total = per_user.agg(
         F.sum("cents").cast("long").alias("total_cents")
     )
@@ -1076,7 +1076,7 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("cents")
-    )
+    ).persist()
     ranked = global_ordered(
         per_user, [F.col("cents"), F.col("user_id")], bucket_key="cents"
     ).select("cents", "rk")
@@ -1991,7 +1991,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit(SEAS_EPOCH).cast("date"))
         .cast("long")
         .alias("day_n"),
-    ).agg(F.count("*").cast("long").alias("n"))
+    ).agg(F.count("*").cast("long").alias("n")).localCheckpoint(eager=False)
     types = daily.select("event_type").distinct()
     days = daily.select("day_n").distinct()
     grid = (
@@ -2021,7 +2021,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("n") - F.col("trend")) * F.lit(1e6) + F.lit(0.5))
         .cast("long")
         .alias("detr_e6"),
-    )
+    ).localCheckpoint(eager=False)
     seasonal = detr.groupBy("event_type", "dow").agg(
         (F.sum("detr_e6").cast("double") / F.count("*") / F.lit(1e6)).alias(
             "seasonal"
@@ -2103,7 +2103,7 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit(SEAS_EPOCH).cast("date"))
         .cast("long")
         .alias("day_n"),
-    ).agg(F.count("*").cast("long").alias("n"))
+    ).agg(F.count("*").cast("long").alias("n")).localCheckpoint(eager=False)
     a = daily.alias("a")
     b = daily.alias("b")
     slopes = a.join(
@@ -2198,6 +2198,10 @@ def _ts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("dd"), "event_type").agg(
         F.count(F.lit(1)).alias("n_raw")
     )
+    # every time-series caller fans the dense grid into several
+    # consumers (per-type stats + both lag-join sides) — BOUNDED
+    # (days x types), so checkpoint at the source, the trade_edges
+    # pattern (events_autocorr re-scanned events 9x before r13)
     return grid.join(
         F.broadcast(daily),
         (F.col("d") == F.col("dd")) & (grid.event_type == daily.event_type),
@@ -2206,7 +2210,7 @@ def _ts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.event_type.alias("event_type"),
         F.datediff("d", "d0").alias("t"),
         F.coalesce("n_raw", F.lit(0)).cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 ACF_MAX_LAG = 7
@@ -3254,7 +3258,7 @@ def events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(cents(F.col("value"))).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)
     tot = cells.groupBy("period").agg(F.sum("n").cast("long").alias("n_tot"))
     c0 = cells.where(F.col("period") == 0).select(
         "event_type", F.col("n").alias("n0"), F.col("cents").alias("cents0")
@@ -3366,7 +3370,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = table(spark, sf_dir, "events").select(
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
-    )
+    ).persist()
     wv = Window.partitionBy("event_type").orderBy("vc")
     wn = Window.partitionBy("event_type")
     med = base.select(
@@ -3388,7 +3392,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("vc") - F.col("med")).alias("d"),
         "med",
         "n",
-    )
+    ).persist()
     wd = Window.partitionBy("event_type").orderBy("d")
     dmed = dev.select(
         "event_type",
@@ -3616,7 +3620,7 @@ def events_funnel_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("t").alias("t_view"))
+        .agg(F.min("t").alias("t_view")).persist()
     )
     c = (
         e.where(F.col("event_type") == "click")
@@ -3626,7 +3630,7 @@ def events_funnel_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("t") <= F.col("t_view") + FUNNEL_CLICK_US)
         )
         .groupBy("user_id")
-        .agg(F.min("t").alias("t_click"))
+        .agg(F.min("t").alias("t_click")).persist()
     )
     p = (
         e.where(F.col("event_type") == "purchase")
@@ -3636,7 +3640,7 @@ def events_funnel_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("t") <= F.col("t_click") + FUNNEL_BUY_US)
         )
         .groupBy("user_id")
-        .agg(F.min("t").alias("t_buy"))
+        .agg(F.min("t").alias("t_buy")).persist()
     )
     nv = v.agg(F.count("*").cast("long").alias("n_view"))
     nc = c.agg(F.count("*").cast("long").alias("n_click_1h"))
@@ -3786,10 +3790,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lag("event_type").over(wseq).alias("prev")
-    ).where(F.col("prev").isNotNull())
+    ).where(F.col("prev").isNotNull()).persist()
     c = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
         F.count("*").cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     r = c.groupBy("prev").agg(F.sum("n").cast("long").alias("rs"))
     p = c.join(r, "prev").select(
         "prev", "next", (F.col("n").cast("double") / F.col("rs")).alias("p")
@@ -4129,7 +4133,7 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents")
-    )
+    ).persist()
     tot = rev.agg(F.sum("revenue_cents").cast("long").alias("total_cents"))
     ranked = global_ordered(
         rev,
@@ -4351,7 +4355,7 @@ def events_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     grid = e.groupBy(
         "event_type", cents(F.col("value")).alias("v_cents")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=False)
     tot = grid.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("n")
     )
@@ -4603,7 +4607,7 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     firstw = e.groupBy("user_id").agg(
         F.min(F.date_trunc("week", F.col("ts"))).alias("w0")
-    )
+    ).persist()
     wk = F.date_trunc("week", F.col("ts"))
     act = (
         e.join(firstw, "user_id")
@@ -4612,7 +4616,7 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .groupBy("week_n")
-        .agg(F.count_distinct("user_id").cast("long").alias("active"))
+        .agg(F.count_distinct("user_id").cast("long").alias("active")).persist()
     )
     base = act.where(F.col("week_n") == 0).select(
         F.col("active").alias("cohort")
@@ -4631,7 +4635,7 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("ylq"),
-        )
+        ).localCheckpoint(eager=False)
     )
     m = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -4937,7 +4941,7 @@ def events_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
         .cast("long")
         .alias("d"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).localCheckpoint(eager=False)
     lim = daily.groupBy("event_type").agg(
         F.min("d").cast("long").alias("d0"),
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -4956,7 +4960,7 @@ def events_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n"),
             F.max("sy").alias("sy"),
             F.max("syy").alias("syy"),
-        )
+        ).localCheckpoint(eager=False)
     )
     mu = F.col("sy").cast("double") / F.col("n")
     sigma = F.sqrt(
@@ -5432,7 +5436,7 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum("cents").cast("long").alias("value_cents"),
-        )
+        ).localCheckpoint(eager=False)
     )
     tot = agg.agg(F.sum("value_cents").cast("long").alias("total_cents"))
     return agg.crossJoin(F.broadcast(tot)).select(
@@ -5762,7 +5766,7 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+    ).persist()
     ranked = global_ordered(
         per_user,
         [F.col("cents"), F.col("user_id")],
@@ -7416,7 +7420,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = (
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min(F.unix_micros("ts")).alias("s"))
+        .agg(F.min(F.unix_micros("ts")).alias("s")).persist()
     )
     pu = e.where(F.col("event_type") == "purchase").select(
         "user_id", F.unix_micros("ts").alias("p")
@@ -7425,7 +7429,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         su.join(pu, "user_id")
         .where(F.col("p") >= F.col("s"))
         .groupBy("user_id", "s")
-        .agg((F.min("p") - F.col("s").cast("long")).alias("d_us"))
+        .agg((F.min("p") - F.col("s").cast("long")).alias("d_us")).persist()
     )
     tot = (
         su.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
@@ -8005,7 +8009,7 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         o = table(spark, sf_dir, "orders").where(pred)
         rev = o.groupBy("o_custkey").agg(
             F.sum(cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents")
-        )
+        ).persist()
         tot = rev.agg(F.sum("revenue_cents").cast("long").alias("total_cents"))
         ranked = global_ordered(
             rev,
@@ -8233,7 +8237,7 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count_if(F.col("event_type") == "purchase") > 0)
         .cast("int")
         .alias("grp"),
-    )
+    ).persist()
     g = per_user.agg(F.max("last_day").alias("gmax"))
     lab = per_user.crossJoin(F.broadcast(g)).select(
         "t",
@@ -8245,7 +8249,7 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("dead") & (F.col("grp") == 0)).cast("long").alias("d0"),
         F.count_if(F.col("grp") == 1).cast("long").alias("a1"),
         F.count_if(F.col("grp") == 0).cast("long").alias("a0"),
-    )
+    ).localCheckpoint(eager=False)
     tot = grid.agg(
         F.sum("a1").cast("long").alias("nu1"),
         F.sum("a0").cast("long").alias("nu0"),
@@ -8256,7 +8260,7 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_key="t",
         sums={"a1": "ca1", "a0": "ca0"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     risk = cum.crossJoin(F.broadcast(tot)).select(
         "d1",
         "d0",
@@ -9583,8 +9587,8 @@ def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
-    grid = daily.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).localCheckpoint(eager=False)
+    grid = daily.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt")).localCheckpoint(eager=False)
     w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wt = Window.partitionBy()
     med = (
@@ -9609,7 +9613,7 @@ def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "t",
             F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("hi"),
-        )
+        ).localCheckpoint(eager=False)
     )
     # per-day tropical matrix M_t[i][j] = trans(i->j) + emit(j, hi_t)
     emit0 = F.when(F.col("hi") == 0, _HMM_MATCH).otherwise(_HMM_MISS)
@@ -9943,13 +9947,13 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_p = (
         e.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
+        .agg(F.min("ts").alias("p_ts")).persist()
     )
     touches = (
         e.join(first_p, "user_id")
         .where((F.col("ts") < F.col("p_ts")) & (F.col("event_type") != "purchase"))
         .select("user_id", F.col("event_type").alias("channel"))
-        .distinct()
+        .distinct().persist()
     )
     set_size = touches.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("k")
@@ -10047,7 +10051,7 @@ def events_reliability_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     daily = e.where(F.col("event_type") == "error").groupBy(
         F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("errs"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("errs")).localCheckpoint(eager=False)
     from ..operators.prefix import global_ordered as _go
 
     ranked = _go(
@@ -10064,7 +10068,7 @@ def events_reliability_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log(F.col("cum").cast("double")) * _DU_Q + 0.5)
         .cast("long")
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     m = lg.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
@@ -10453,7 +10457,7 @@ def events_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .cast("long")
         .alias("x")
-    )
+    ).localCheckpoint(eager=False)
     bounds = daily.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
@@ -10474,7 +10478,7 @@ def events_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         "trend7",
         (7 * F.col("x") - F.col("trend7")).cast("long").alias("det7"),
         (F.col("dn") % 7).alias("dow"),
-    )
+    ).localCheckpoint(eager=False)
     seas = det.groupBy("dow").agg(
         F.sum("det7").cast("long").alias("s_num"),
         F.count(F.lit(1)).cast("long").alias("s_cnt"),
@@ -11045,7 +11049,7 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("y"),
-        )
+        ).persist()
     )
     dec = "decimal(38,0)"
     pooled = per_user.agg(

@@ -2250,7 +2250,7 @@ def etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = base.groupBy("c_nationkey", "c_mktsegment", "band").agg(
         F.count(F.lit(1)).cast("long").alias("n_gb")
-    )
+    ).localCheckpoint(eager=False)
     groups = cells.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("n_gb").cast("long").alias("n_g")
     )

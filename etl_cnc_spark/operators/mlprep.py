@@ -155,7 +155,7 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lab.groupBy("cat").agg(
         F.sum("y").cast("long").alias("bad"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("good"),
-    )
+    ).localCheckpoint(eager=False)
     tot = g.agg(
         F.sum("bad").cast("long").alias("bad_all"),
         F.sum("good").cast("long").alias("good_all"),
@@ -171,7 +171,7 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((gshare - bshare) * woe_expr * WOE_Q + 0.5)
         .cast("long")
         .alias("iv_term_q"),
-    )
+    ).localCheckpoint(eager=False)
     iv = woe.agg(F.sum("iv_term_q").cast("long").alias("iv_q"))
     return woe.crossJoin(F.broadcast(iv)).select(
         "cat",
@@ -398,7 +398,7 @@ def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("rel"),
         cos.alias("cos"),
-    )
+    ).persist()
     corp = scored.groupBy("qid").agg(
         F.sum("rel").cast("long").alias("n_rel_corpus")
     )
@@ -500,7 +500,7 @@ def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = scored.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("c_all"),
         F.sum("y").cast("long").alias("c_pos"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("s").desc()],
@@ -508,7 +508,7 @@ def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_desc=True,
         sums={"c_all": "cum_all", "c_pos": "cum_pos"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     tot = grid.agg(
         F.sum("c_all").cast("long").alias("n"),
         F.sum("c_pos").cast("long").alias("n_pos"),
@@ -659,7 +659,7 @@ def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.groupBy(
         F.col("event_type").alias("a"),
         F.floor(F.col("value") / MI_BAND_W).cast("long").alias("b"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=False)
     tot = cells.agg(F.sum("c").cast("long").alias("n"))
     ma = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
     mb = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
@@ -912,7 +912,7 @@ def ml_gbm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.floor(F.col("value") / GBM_BAND_W).cast("long"), F.lit(19)
         ).alias("f_band"),
-    )
+    ).persist()
     tot = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_all"),
         F.sum("y").cast("long").alias("pos_all"),
@@ -927,7 +927,7 @@ def ml_gbm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             base.select(F.lit("value_band").alias("feature"),
                         F.col("f_band").alias("bin"), "y")
-        )
+        ).persist()
     )
     p0 = F.col("pos_all").cast("double") / F.col("n_all")
     hist = (
@@ -1135,7 +1135,7 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     tot = g.agg(
         F.sum("n").cast("long").alias("n_all"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -1240,11 +1240,11 @@ def ml_target_encoding_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("cat"),
         fold.alias("fold"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-    )
+    ).persist()
     gfc = lab.groupBy("fold", "cat").agg(
         F.count(F.lit(1)).cast("long").alias("n_fc"),
         F.sum("y").cast("long").alias("pos_fc"),
-    )
+    ).localCheckpoint(eager=False)
     gc = gfc.groupBy("cat").agg(
         F.sum("n_fc").cast("long").alias("n_c"),
         F.sum("pos_fc").cast("long").alias("pos_c"),
@@ -2448,7 +2448,7 @@ def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.when(F.col("qlabel") == F.col("clabel"), 1).otherwise(0).alias("rel"),
         cos.alias("cos"),
-    )
+    ).persist()
     corp = scored.groupBy("qid").agg(
         F.sum("rel").cast("long").alias("n_rel_corpus")
     )
@@ -2580,7 +2580,7 @@ def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         _dot64(F.col("qe"), F.col("ce")).alias("dot"),
         (F.col("qn2") * F.col("cn2")).alias("nn"),
-    )
+    ).persist()
     w1 = Window.partitionBy("qid").orderBy(
         (F.col("dot") / F.sqrt(F.col("nn"))).desc(), "cid"
     )
@@ -2685,7 +2685,7 @@ def ml_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("s1"),
         F.size(words).cast("long").alias("s2"),
         F.size(F.array_distinct(words)).cast("long").alias("s3"),
-    )
+    ).persist()
     melted = feat.select(
         "doc_id",
         F.explode(
@@ -2695,7 +2695,7 @@ def ml_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.lit(2).alias("rk_id"), F.col("s3").alias("s")),
             )
         ).alias("e"),
-    ).select("doc_id", F.col("e.rk_id").alias("rk_id"), F.col("e.s").alias("s"))
+    ).select("doc_id", F.col("e.rk_id").alias("rk_id"), F.col("e.s").alias("s")).persist()
     ranked = global_ordered(
         melted,
         [F.col("rk_id"), F.col("s"), F.col("doc_id")],
@@ -2812,7 +2812,7 @@ def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.when(F.col("qlabel") == F.col("clabel"), 1).otherwise(0).alias("rel"),
         F.floor(cos * _MRR_Q + F.lit(0.5)).cast("long").alias("cq"),
-    )
+    ).persist()
     best = (
         scored.where(F.col("rel") == 1)
         .groupBy("qid")
@@ -3702,7 +3702,7 @@ def ml_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("y"),
-    )
+    ).persist()
     grid = per_user.groupBy("s").agg(
         F.count_if(F.col("treated") == 1).cast("long").alias("nt"),
         F.count_if(F.col("treated") == 0).cast("long").alias("nc"),
@@ -3712,7 +3712,7 @@ def ml_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
         .cast("long")
         .alias("yc"),
-    )
+    ).localCheckpoint(eager=False)
     cnall = (F.col("nt") + F.col("nc")).alias("nall")
     cum = global_ordered(
         grid.select("s", "nt", "nc", "yt", "yc", cnall),
@@ -3721,7 +3721,7 @@ def ml_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_desc=True,
         sums={"nt": "cnt", "nc": "cnc", "yt": "cyt", "yc": "cyc", "nall": "cn"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     tot = grid.agg(
         F.sum("nt").cast("long").alias("tnt"),
         F.sum("nc").cast("long").alias("tnc"),

@@ -160,7 +160,7 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zed = pts.select(
         "p_partkey", "x", "y", _z_spark(F.col("x"), F.col("y")).alias("z")
-    )
+    ).persist()
     n_df = zed.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     filed = (
         global_ordered(

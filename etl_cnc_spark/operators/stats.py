@@ -477,14 +477,14 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = ev.groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col=None,
-    ).select("v_cents", "cum1", "cum2")
+    ).select("v_cents", "cum1", "cum2").localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
@@ -686,7 +686,7 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = ev.groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == MWU_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == MWU_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     # Inclusive running sum from the bucketed prefix machine; the
     # oracle's "UNBOUNDED PRECEDING AND 1 PRECEDING" exclusive sum is
     # recovered as cum_t − t.
@@ -702,7 +702,7 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c2",
         "t",
         (F.col("cum_t") - F.col("t")).alias("before"),
-    )
+    ).localCheckpoint(eager=False)
     sums = cum.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -915,7 +915,7 @@ def stat_chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 7
         ).alias("dow"),
     )
-    obs = g.groupBy("event_type", "dow").agg(F.count("*").cast("long").alias("o"))
+    obs = g.groupBy("event_type", "dow").agg(F.count("*").cast("long").alias("o")).localCheckpoint(eager=False)
     rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
     ct = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
     tot = obs.agg(
@@ -1537,7 +1537,7 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = base.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     g1 = grid.select(
         F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
     )
@@ -2255,7 +2255,7 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = ev.groupBy("v_cents").agg(
         F.count(F.lit(1)).cast("long").alias("t")
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
@@ -2264,7 +2264,7 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col=None,
     ).select(
         "v_cents", "t", (F.col("cum_t") - F.col("t")).alias("before")
-    )
+    ).localCheckpoint(eager=False)
     per_group = (
         ev.join(cum, "v_cents")
         .groupBy("event_type")
@@ -2499,14 +2499,14 @@ def stat_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -2597,7 +2597,7 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("r"),
         F.expr("CAST(weekday(ts) AS BIGINT)").alias("c"),
     )
-    cells = e.groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = e.groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("o")).localCheckpoint(eager=False)
     rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
     ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
     tot = cells.agg(
@@ -2945,7 +2945,7 @@ def stat_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     grid = grid.withColumn("cb", F.col("c1") + F.col("c2"))
     cum = global_ordered(
         grid,
@@ -2953,7 +2953,7 @@ def stat_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_key="v_cents",
         sums={"c1": "m1", "cb": "b"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -3179,14 +3179,14 @@ def stat_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -3818,7 +3818,7 @@ def stat_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
         .cast("long")
         .alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(eager=False)
     s = daily.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("d").cast("long").alias("sd"),
@@ -3852,7 +3852,7 @@ def stat_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
              - (F.col("icept") + F.col("slope") * F.col("d"))) * DW_Q
             + F.lit(0.5)
         ).cast("long").alias("eq"),
-    )
+    ).localCheckpoint(eager=False)
     sse = resid.agg(
         F.sum(F.col("eq") * F.col("eq")).cast("long").alias("sseq")
     )
@@ -4744,11 +4744,11 @@ def stat_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y")).localCheckpoint(eager=False)
     # calendar-bounded hour grid (census-allowlisted)
     idx = hourly.select(
         "y", F.row_number().over(Window.orderBy("hr")).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     stats = idx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("s1"),
@@ -4775,7 +4775,7 @@ def stat_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("s2").cast("double") - F.col("n") * mu * mu)
     acf = pairs.crossJoin(F.broadcast(stats)).select(
         "lag", "cnt", r.alias("r")
-    )
+    ).localCheckpoint(eager=False)
     wide = acf.agg(
         *[
             F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
@@ -4863,7 +4863,7 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = li.groupBy(
         F.col("l_returnflag").alias("f"),
         F.col("l_quantity").cast("long").alias("q"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=False)
     a, b = grid.alias("a"), grid.alias("b")
     wt = F.when(
         F.col("a.q") == F.col("b.q"),
@@ -4878,7 +4878,7 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.f").alias("f"),
             (F.col("a.q") + F.col("b.q")).alias("w2"),
         )
-        .agg(F.sum(wt).cast("long").alias("wt"))
+        .agg(F.sum(wt).cast("long").alias("wt")).localCheckpoint(eager=False)
     )
     tot = walsh.groupBy("f").agg(F.sum("wt").cast("long").alias("t"))
     w_cum = (
@@ -4987,12 +4987,12 @@ def stat_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nat"),
         "x",
         F.floor(xd * F.log(xd) * THEIL_QR + 0.5).cast("long").alias("qxlx"),
-    )
+    ).persist()
     grp = rowq.groupBy("nat").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
         F.sum("x").cast("long").alias("x_g"),
         F.sum("qxlx").cast("long").alias("s_g"),
-    )
+    ).localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.sum("x_g").cast("long").alias("x"),
@@ -5520,7 +5520,7 @@ def stat_winsorized_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = li.groupBy(
         F.col("l_returnflag").alias("f"),
         F.col("l_quantity").cast("long").alias("v"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("t")).localCheckpoint(eager=False)
     tot = grid.groupBy("f").agg(F.sum("t").cast("long").alias("n"))
     w_cum = (
         Window.partitionBy("f")
@@ -5529,7 +5529,7 @@ def stat_winsorized_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = grid.join(tot, "f").select(
         "f", "v", "t", "n", F.sum("t").over(w_cum).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     bounds = cum.groupBy("f").agg(
         F.min(
             F.when(100 * F.col("c") >= WINSOR_PCT * F.col("n"), F.col("v"))
@@ -5759,7 +5759,7 @@ def stat_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = li.groupBy(
         F.col("l_returnflag").alias("f"),
         F.col("l_quantity").cast("long").alias("v"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("t")).localCheckpoint(eager=False)
     tot = grid.groupBy("f").agg(F.sum("t").cast("long").alias("n"))
 
     def lower_median(df, val_col):
@@ -5990,11 +5990,11 @@ def stat_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y")).localCheckpoint(eager=False)
     # calendar-bounded hour grid (census-allowlisted)
     idx = hourly.select(
         "y", (F.row_number().over(Window.orderBy("hr")) - 1).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     m = idx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("s1"),
@@ -6104,14 +6104,14 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col="rk",
-    )
+    ).localCheckpoint(eager=False)
     nxt = cum.select((F.col("rk") - 1).alias("rk"), F.col("v_cents").alias("v_next"))
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
@@ -6207,14 +6207,14 @@ def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c2": "cum2"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -6321,7 +6321,7 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
             F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
         )
-        .withColumn("c", F.col("c1") + F.col("c2"))
+        .withColumn("c", F.col("c1") + F.col("c2")).localCheckpoint(eager=False)
     )
     cum = global_ordered(
         grid,
@@ -6329,7 +6329,7 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_key="v_cents",
         sums={"c": "cumn"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -6699,7 +6699,7 @@ def stat_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cy"),
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
     )
-    cells = pts.groupBy("cx", "cy").agg(F.sum("bal").cast("long").alias("v"))
+    cells = pts.groupBy("cx", "cy").agg(F.sum("bal").cast("long").alias("v")).localCheckpoint(eager=False)
     tot = cells.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
@@ -6710,7 +6710,7 @@ def stat_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("v") - F.col("mean_v")) / F.lit(100.0) + 0.5)
         .cast("long")
         .alias("zq"),
-    )
+    ).localCheckpoint(eager=False)
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
     o = F.explode(
         F.array(*[
@@ -6857,14 +6857,14 @@ def stat_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("sigma"),
     )
-    grid = li.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grid = li.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("cnt")).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("q")],
         bucket_key="q",
         sums={"cnt": "cum"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     phi = _phi_col((F.col("q") - F.col("mu")) / F.col("sigma"))
     gap = F.greatest(
         F.abs(F.col("cum").cast("double") / F.col("n") - phi),
@@ -6955,14 +6955,14 @@ def stat_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         hourly,
         [F.col("h")],
         bucket_key=F.unix_micros(F.col("h")),
         sums={"y": "cum_y"},
         rank_col="t",
-    ).select("y", "t", "cum_y")
+    ).select("y", "t", "cum_y").localCheckpoint(eager=False)
     tot = hourly.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
@@ -7063,13 +7063,13 @@ def stat_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         hourly,
         [F.col("h")],
         bucket_key=F.unix_micros(F.col("h")),
         rank_col="t",
-    ).select("y", "t")
+    ).select("y", "t").localCheckpoint(eager=False)
     a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ta"))
     b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
     pairs = a.join(b, F.col("tb") == F.col("ta") - 1).select(
@@ -7158,7 +7158,7 @@ def stat_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     grid = e.select(
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
-    ).groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt")).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v").desc()],
@@ -7166,7 +7166,7 @@ def stat_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_desc=True,
         sums={"cnt": "cum_ge"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     thresh = cum.where(F.col("cum_ge") >= _HILL_K).agg(
         F.max("v").cast("long").alias("u")
     )
@@ -8083,11 +8083,11 @@ def stat_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("a"),
         F.col("l_linestatus").alias("b"),
         cents(F.col("l_extendedprice")).alias("yc"),
-    )
+    ).persist()
     cells = base.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("yc").cast("long").alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     g = cells.agg(
         F.sum("n").cast("long").alias("nt"),
         F.sum("s").cast("long").alias("st"),
@@ -8779,8 +8779,8 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
     )
-    grid = x.groupBy("v", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    vtot = grid.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    grid = x.groupBy("v", "g").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=False)
+    vtot = grid.groupBy("v").agg(F.sum("c").cast("long").alias("cv")).localCheckpoint(eager=False)
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     pri = vtot.select(
         "v",
@@ -9019,7 +9019,7 @@ def stat_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
         .cast("long")
         .alias("d"),
-    ).groupBy("season", "d").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ).groupBy("season", "d").agg(F.count(F.lit(1)).cast("long").alias("m")).localCheckpoint(eager=False)
     a = grid.select(
         F.col("season").alias("sa"), F.col("d").alias("da"), F.col("m").alias("ma")
     )
@@ -9490,14 +9490,14 @@ def stat_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -9621,7 +9621,7 @@ def stat_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cn = (F.col("c1") + F.col("c2")).alias("cn")
     cum = global_ordered(
         grid.select("v_cents", "c1", "c2", cn),
@@ -9629,7 +9629,7 @@ def stat_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_key="v_cents",
         sums={"cn": "cumn"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -9899,7 +9899,7 @@ def stat_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cy"),
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
     )
-    cells = pts.groupBy("cx", "cy").agg(F.sum("bal").cast("long").alias("v"))
+    cells = pts.groupBy("cx", "cy").agg(F.sum("bal").cast("long").alias("v")).localCheckpoint(eager=False)
     tot = cells.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
@@ -9910,7 +9910,7 @@ def stat_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("v") - F.col("mean_v")) / F.lit(100.0) + 0.5)
         .cast("long")
         .alias("zq"),
-    )
+    ).localCheckpoint(eager=False)
     a9 = z.select(
         F.col("cx").alias("acx"),
         F.col("cy").alias("acy"),
@@ -10363,13 +10363,13 @@ def stat_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         daily,
         [F.col("day")],
         bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
         rank_col="t",
-    ).select("y", "t")
+    ).select("y", "t").localCheckpoint(eager=False)
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("t").cast("long").alias("st"),
@@ -10549,13 +10549,13 @@ def stat_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         daily,
         [F.col("day")],
         bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
         rank_col="t",
-    ).select("y", "t")
+    ).select("y", "t").localCheckpoint(eager=False)
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("t").cast("long").alias("st"),
@@ -10578,7 +10578,7 @@ def stat_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(dec)
         .alias("eq"),
         "nd",
-    )
+    ).localCheckpoint(eager=False)
     td = F.col("t").cast(dec)
     aux = resid.agg(
         F.max("nd").alias("nd"),
@@ -10738,7 +10738,7 @@ def stat_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     xd = F.col("x").cast(dec)
     m = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -10763,13 +10763,13 @@ def stat_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u"),
         "n",
         "b",
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         resid,
         [F.col("day")],
         bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
         rank_col="t",
-    ).select("u", "n", "b", "t")
+    ).select("u", "n", "b", "t").localCheckpoint(eager=False)
     a_ = ranked.select(
         F.col("u").alias("ua"),
         F.col("t").alias("ta"),
@@ -11087,13 +11087,13 @@ def stat_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell0 = e.groupBy(
         F.date_trunc("week", F.to_date("ts")).alias("wk"),
         F.col("event_type").alias("trt"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).localCheckpoint(eager=False)
     wks = cell0.select("wk").distinct()
     trts = cell0.select("trt").distinct()
     dense = (
         wks.crossJoin(trts)
         .join(cell0, ["wk", "trt"], "left")
-        .select("wk", "trt", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+        .select("wk", "trt", F.coalesce(F.col("y"), F.lit(0)).alias("y")).localCheckpoint(eager=False)
     )
     a = dense.select(
         F.col("wk").alias("awk"), F.col("trt").alias("atrt"), F.col("y").alias("ay")
@@ -11407,7 +11407,7 @@ def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ggrid = ev.groupBy("event_type", "v").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     w_g = (
         Window.partitionBy("event_type")
         .orderBy("v")
@@ -11642,13 +11642,13 @@ def stat_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         daily,
         [F.col("day")],
         bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
         rank_col="t",
-    ).select("y", "t")
+    ).select("y", "t").localCheckpoint(eager=False)
     a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ti"))
     b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tj"))
     slopes = a.join(b, F.col("tj") != F.col("ti")).select(
@@ -11794,14 +11794,14 @@ def stat_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v_cents").agg(
         F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
         F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
@@ -11896,13 +11896,13 @@ def stat_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         hourly,
         [F.col("h")],
         bucket_key=F.unix_micros(F.col("h")),
         rank_col="t",
-    ).select("y", "t")
+    ).select("y", "t").localCheckpoint(eager=False)
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
@@ -12011,13 +12011,13 @@ def stat_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         daily,
         [F.col("day")],
         bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
         rank_col="t",
-    ).select("y", "t")
+    ).select("y", "t").localCheckpoint(eager=False)
     ntot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = ranked.crossJoin(F.broadcast(ntot)).select(
         F.col("y").alias("ya"), F.col("t").alias("ta"), "n"
@@ -12128,13 +12128,13 @@ def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells0 = e.groupBy(
         F.date_trunc("week", F.to_date("ts")).alias("wk"),
         (F.hour("ts") / 6).cast("long").alias("part"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).localCheckpoint(eager=False)
     wks = cells0.select("wk").distinct()
     parts = spark.range(_PAGE_K).select(F.col("id").cast("long").alias("part"))
     dense = (
         wks.crossJoin(F.broadcast(parts))
         .join(cells0, ["wk", "part"], "left")
-        .select("wk", "part", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+        .select("wk", "part", F.coalesce(F.col("y"), F.lit(0)).alias("y")).localCheckpoint(eager=False)
     )
     a = dense.select(
         F.col("wk").alias("awk"), F.col("part").alias("apart"), F.col("y").alias("ay")
@@ -12350,15 +12350,15 @@ def stat_ridit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     ev = e.select(
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
-    )
-    grid = ev.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    ).persist()
+    grid = ev.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t")).localCheckpoint(eager=False)
     cum = global_ordered(
         grid,
         [F.col("v")],
         bucket_key="v",
         sums={"t": "cumt"},
         rank_col=None,
-    )
+    ).localCheckpoint(eager=False)
     n_ref = grid.agg(F.sum("t").cast("long").alias("n_ref"))
     ref = cum.select(
         "v", "t", (F.col("cumt") - F.col("t")).alias("below")
@@ -12440,7 +12440,7 @@ def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.groupBy(
         "event_type",
         F.when(F.to_date("ts") <= F.lit(PSI_SPLIT), 0).otherwise(1).alias("half"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("o")).localCheckpoint(eager=False)
     rmarg = cells.groupBy("event_type").agg(
         F.sum("o").cast("long").alias("rt")
     )
@@ -12666,13 +12666,13 @@ def stat_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_ordered(
         daily,
         [F.col("day")],
         bucket_key=F.datediff(F.col("day"), F.lit("1970-01-01")),
         rank_col="t",
-    ).select("y", "t")
+    ).select("y", "t").localCheckpoint(eager=False)
     a = ranked.select(F.col("y").alias("ya"), F.col("t").alias("ta"))
     b = ranked.select(F.col("y").alias("yb"), F.col("t").alias("tb"))
     diffs = a.join(b, F.col("tb") == F.col("ta") + 1).select(
@@ -12903,14 +12903,14 @@ def stat_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("x"),
-    )
+    ).persist()
     ranked = global_ordered(
         seq,
         [F.col("event_id")],
         bucket_key=F.col("event_id"),
         sums={"x": "cum_x"},
         rank_col="rk",
-    )
+    ).localCheckpoint(eager=False)
     p0, p1 = float(_SPRT_P0), float(_SPRT_P1)
     l1 = math.log(p1 / p0)
     l0 = math.log((1.0 - p1) / (1.0 - p0))
@@ -13099,7 +13099,7 @@ def stat_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
-    )
+    ).localCheckpoint(eager=False)
     n_ = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
     w_day = Window.orderBy("day")
     w_rank = Window.orderBy("x")

@@ -277,7 +277,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DRIFT_NBINS - 1),
         ).alias("b"),
     )
-    cur = binned.groupBy("day_n", "b").agg(F.count("*").cast("long").alias("nb"))
+    cur = binned.groupBy("day_n", "b").agg(F.count("*").cast("long").alias("nb")).localCheckpoint(eager=False)
     ref = cur.where(F.col("day_n") == 0).select("b", F.col("nb").alias("nb_ref"))
     days = cur.groupBy("day_n").agg(F.sum("nb").cast("long").alias("n_day"))
     ref_total = ref.agg(F.sum("nb_ref").cast("long").alias("n_ref"))

@@ -154,6 +154,10 @@ def pairwise_set_overlap(df, group_col: str, out_a: str, out_b: str):
     from pyspark.sql import functions as F
 
     elem = [c for c in df.columns if c != group_col][0]
+    # the distinct (group, element) frame feeds the size aggregate AND
+    # both self-join sides — DATA-SCALED, persist() per the SCALE.md
+    # r13 rule (both callers re-scanned their fact table 4x before)
+    df = df.persist()
     sizes = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n"))
     a = df.select(F.col(group_col).alias(out_a), elem)
     b = df.select(F.col(group_col).alias(out_b), elem)
