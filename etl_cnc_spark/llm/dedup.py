@@ -1367,7 +1367,13 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both pair lists are consumed twice (the match join + their own
     # counts) and each replays an expensive composed build — DATA-
     # SCALED, persist() per the SCALE.md r13 rule (12 embeddings
-    # scans before r13)
+    # scans before r13).  Composition stacks cache entries (the inner
+    # builds persist their own intermediates — ranked cells,
+    # centroids); that stacking is bounded to THIS key's lifetime:
+    # the registry's top-level cache release (registry.py
+    # _with_cache_release, ADVICE r13) drops every entry at the next
+    # build, and the depth counter keeps the inner builds from
+    # clearing mid-composition.
     exact = REGISTRY["dedup_embedding_exact"].build(spark, sf_dir).persist()
     ivf = REGISTRY["dedup_embedding"].build(spark, sf_dir).persist()
     m = exact.select("vec_a", "vec_b").join(

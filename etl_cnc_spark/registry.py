@@ -14,6 +14,7 @@ Checks (SURVEY.md §5):
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -261,6 +262,47 @@ _OP_MODULES = [
 ]
 
 
+# --- deterministic cache release (ADVICE r13, medium) ---------------
+#
+# Builds persist() their data-scaled intermediates (SCALE.md r13
+# checkpoint rule) but can NOT unpersist them: the returned DataFrame
+# is lazy, so the cache must outlive the build call itself.  Without a
+# release point, a 696-key single-session sweep accumulates every
+# key's MEMORY_AND_DISK entries in the CacheManager until session end.
+#
+# The deterministic release point is the START of the NEXT top-level
+# build: every harness that matters (the grading driver, check.py,
+# bench.py, pytest) is sequential and has fully consumed key N's
+# result before building key N+1.  ``register`` wraps each build with
+# a depth counter so COMPOSED builds (dedup_recall_report invoking
+# REGISTRY["dedup_embedding"].build) never clear mid-build, and only
+# the outermost entry releases.  ``spark.catalog.clearCache()`` drops
+# SQL CacheManager entries only — lineage is kept on every persist()
+# site, so a released frame recomputes correctly if an unconsumed
+# DataFrame still references it (perf, never correctness), and
+# localCheckpoint blocks (RDD-level storage, e.g. dedup_minhash's
+# documented lineage break) are untouched.  Set
+# ``AUTO_RELEASE_CACHES = False`` to opt out (e.g. a notebook that
+# deliberately shares caches across queries).
+AUTO_RELEASE_CACHES = True
+_build_depth = 0
+
+
+def _with_cache_release(fn: BuildFn) -> BuildFn:
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _build_depth
+        if _build_depth == 0 and AUTO_RELEASE_CACHES:
+            spark.catalog.clearCache()
+        _build_depth += 1
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            _build_depth -= 1
+
+    return wrapped
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -276,7 +318,12 @@ def register(
             raise ValueError(f"duplicate query key: {name}")
         resolved = check or ("hash" if oracle is not None else "rows")
         REGISTRY[name] = QueryDef(
-            name=name, build=fn, oracle=oracle, check=resolved, notes=notes, bench=bench
+            name=name,
+            build=_with_cache_release(fn),
+            oracle=oracle,
+            check=resolved,
+            notes=notes,
+            bench=bench,
         )
         return fn
 

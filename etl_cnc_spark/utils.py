@@ -140,7 +140,9 @@ def sql_avg_money(expr: str) -> str:
     )
 
 
-def pairwise_set_overlap(df, group_col: str, out_a: str, out_b: str):
+def pairwise_set_overlap(
+    df, group_col: str, out_a: str, out_b: str, *, cache_input: bool = True
+):
     """Exact pairwise Jaccard/containment of per-group element sets.
 
     ``df`` must be a DISTINCT (group, element) frame with exactly two
@@ -150,6 +152,14 @@ def pairwise_set_overlap(df, group_col: str, out_a: str, out_b: str):
     events_user_overlap and text_vocab_overlap so the overlap math
     lives in ONE place. Shape: one self-join keyed on the element
     (output bounded by |groups|² per element) + broadcast size joins.
+
+    ``cache_input`` (default True): the helper persist()s ``df``
+    because it is consumed three times (size aggregate + both
+    self-join sides) and both measured callers re-scanned their fact
+    table 4x without it (SCALE.md r13 audit). Pass ``False`` when the
+    caller has already cached/checkpointed the frame, so the helper
+    does not register a second redundant CacheManager entry
+    (ADVICE r13, low).
     """
     from pyspark.sql import functions as F
 
@@ -157,7 +167,8 @@ def pairwise_set_overlap(df, group_col: str, out_a: str, out_b: str):
     # the distinct (group, element) frame feeds the size aggregate AND
     # both self-join sides — DATA-SCALED, persist() per the SCALE.md
     # r13 rule (both callers re-scanned their fact table 4x before)
-    df = df.persist()
+    if cache_input:
+        df = df.persist()
     sizes = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n"))
     a = df.select(F.col(group_col).alias(out_a), elem)
     b = df.select(F.col(group_col).alias(out_b), elem)

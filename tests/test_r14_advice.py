@@ -1,0 +1,103 @@
+"""Round-14 ADVICE regression tests: deterministic cache release.
+
+ADVICE r13 (medium) flagged that the ~100 persist() sites added by the
+SCALE.md checkpoint rule have no release path — a 696-key
+single-session sweep accumulates every key's MEMORY_AND_DISK entries
+in the CacheManager until session end.  The fix is in
+registry._with_cache_release: every registered build clears the SQL
+cache at TOP-LEVEL entry (the previous key's result is fully consumed
+by then in every sequential harness), while a depth counter keeps
+composed builds (dedup_recall_report → dedup_embedding*) from
+clearing mid-composition.  These tests pin both halves plus the
+pairwise_set_overlap cache_input opt-out (ADVICE r13, low).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_cnc_spark import registry as R
+from etl_cnc_spark.registry import load_all
+from etl_cnc_spark.utils import pairwise_set_overlap
+
+REGISTRY = load_all()
+
+
+def _cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_next_top_level_build_releases_previous_caches(spark, sf_dir):
+    """Key N's persist() entries are dropped when key N+1 builds."""
+    # events_user_overlap persists its distinct (group, element) frame
+    # via pairwise_set_overlap — materialize it so the entry is live.
+    out = REGISTRY["events_user_overlap"].build(spark, sf_dir)
+    out.collect()
+    assert not _cache_empty(spark), "expected a live cache entry after build"
+    # agg_global persists nothing: after ITS top-level entry clears,
+    # the CacheManager must be empty again.
+    REGISTRY["agg_global"].build(spark, sf_dir).collect()
+    assert _cache_empty(spark), "previous key's caches must be released"
+
+
+def test_composed_builds_do_not_clear_mid_build(spark, sf_dir):
+    """The depth counter: an inner registered build invoked from
+    inside an outer build must NOT clear the outer's persists."""
+    captured = {}
+
+    def outer(s, d):
+        inner_frame = s.range(10).withColumn("v", F.col("id") * 2)
+        inner_frame = inner_frame.persist()
+        inner_frame.count()  # materialize the cache entry
+        captured["frame"] = inner_frame
+        # a registered (wrapped) build at depth 1 — must not clear
+        REGISTRY["agg_global"].build(s, d).collect()
+        assert not _cache_empty(s), (
+            "inner registered build cleared the outer build's cache"
+        )
+        return inner_frame
+
+    wrapped = R._with_cache_release(outer)
+    res = wrapped(spark, sf_dir)
+    assert res.count() == 10
+    captured["frame"].unpersist()
+
+
+def test_release_is_top_level_only_and_resets_depth_on_error(spark, sf_dir):
+    """The depth counter unwinds on exception, so a failed build does
+    not permanently disable the release for the rest of the session."""
+
+    def boom(s, d):
+        raise RuntimeError("boom")
+
+    wrapped = R._with_cache_release(boom)
+    try:
+        wrapped(spark, sf_dir)
+    except RuntimeError:
+        pass
+    assert R._build_depth == 0
+
+
+def test_pairwise_set_overlap_cache_input_opt_out(spark):
+    """cache_input=False registers NO CacheManager entry (the caller
+    already cached the frame); results are identical either way."""
+    spark.catalog.clearCache()
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "b"), ("g2", "c"), ("g3", "a")]
+    dv = spark.createDataFrame(rows, "grp string, elem string")
+
+    out_nocache = pairwise_set_overlap(
+        dv, "grp", "ga", "gb", cache_input=False
+    )
+    got_nocache = sorted(
+        tuple(r) for r in out_nocache.collect()
+    )
+    assert _cache_empty(spark), "cache_input=False must not persist"
+
+    out_cached = pairwise_set_overlap(dv, "grp", "ga", "gb")
+    got_cached = sorted(tuple(r) for r in out_cached.collect())
+    assert not _cache_empty(spark), "default path persists the input"
+    spark.catalog.clearCache()
+
+    assert got_nocache == got_cached
+    # pairs with a shared element: (g1,g2) share b, (g1,g3) share a
+    assert len(got_nocache) == 2
