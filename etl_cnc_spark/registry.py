@@ -37,109 +37,37 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 # The driver's correctness sweep checks a bounded prefix of the
-# registry (first 50 keys), so ordering is evidence.  Rounds 1-7
-# accumulated 344 distinct driver-checked keys (0 red ever).
-# DRIVER_WINDOW r8 = the six heaviest never-checked keys the r7
-# verdict asked to attest first (VERDICT r7 item 3: events_grid_cluster
-# DBSCAN-at-scale, ml_conformal_interval, ml_logreg_irls_step, the
-# ECDF-distance pair stat_wasserstein_1d / stat_anderson_darling, and
-# embed_gram_power_iter), then the remaining never-driver-checked keys
-# in registry order (sources/joins/agg leftovers, the BI epilogue
-# waves, the r7 statistical-test tail).  After this sweep: 394
-# driver-checked; the r7 tail plus the ~30 r8-added keys (waves A-I)
-# leave ~144 for the r9/r10 windows + a small tail
-# (`python tools/next_window.py` recounts live).
-# Late-r8 state: waves T-AM grew the registry to 608 keys, so 264
-# are never-driver-checked before this window runs; after it, ~214
-# remain for the r9-r12 windows (50 each) plus a tail.
-# `python tools/next_window.py` prints each rotation; run
-# `python tools/preflight.py --exec <keys>` before rotating (catches
-# driver-canonicalization traps like r4's embed_quantize numpy-cell
-# issue).
+# registry, so ordering is evidence.  Rounds 1-13 accumulated 640
+# distinct driver-checked keys (zero red ever); rotation history and
+# per-round evidence live in .claude/skills/verify/SKILL.md.  Run
+# `python tools/next_window.py` to recount the never-checked backlog
+# and `python tools/preflight.py --exec <keys>` before rotating
+# (catches driver-canonicalization traps: complex-typed output cells
+# break the driver's pandas hasher).
 DRIVER_WINDOW: list[str] = [
-    # REQUEST TO THE DRIVER (re-stated; VERDICT r11 item 7 / r12
-    # item 2): with a 100-key correctness window the never-driver-
-    # checked backlog clears THIS round — the ordering below supports
-    # any prefix length (the 115 keys listed cover the whole backlog
-    # plus every key changed since its last attestation).
+    # REQUEST TO THE DRIVER (standing since r11): with a 100-key
+    # correctness window BOTH backlogs clear this round — the ordering
+    # below supports any prefix length.
     #
-    # r13 rotation (VERDICT r12 item 1): the 5 r12-added keys lead
-    # (so no round's additions stay unattested more than one cycle),
-    # then the three keys STRUCTURALLY CHANGED since their last
-    # attestation — tpch_q21 (r12 min/max-fold rewrite), sim_hybrid_rrf
-    # (r12 BM25 single-split + r13 persist flip), stat_wasserstein_1d
-    # (r13: its grid lineage replayed the events scan 10x; two lazy
-    # checkpoints collapse it to one) — changed keys re-attest, the
-    # r9/r12 precedent. Then the next 42 never-driver-checked keys in
-    # tools/next_window.py (registry) order: the ml_ evaluation tier,
-    # the graph family, the TPC-H tail. Positions 51-60 carry the ten
-    # keys whose data-scaled frames flipped localCheckpoint->persist()
-    # this round (SCALE.md r13 checkpoint rule — caching strategy
-    # only, values identical, each re-proved locally at three SFs and
-    # three invariance axes); they re-attest inside a 100-key window
-    # and next round otherwise. Positions 61+ finish the backlog
-    # (streaming leftovers, ml_ eval tail, the sql_entry_* family).
-    # All 50-prefix keys preflight --exec clean at rotation time.
-    "udtf_polymorphic_partitioned",
-    "pipeline_temperature_mix",
-    "ml_quantile_normalize",
-    "ml_impute_group_median",
-    "stat_ancova",
-    "tpch_q21",
-    "sim_hybrid_rrf",
-    "stat_wasserstein_1d",
-    "ml_knn_classifier",
-    "ml_linear_attribution",
-    "ml_drop_column_importance",
-    "ml_pinball_loss",
-    "ml_learning_curve",
-    "ml_oversample_interpolate",
-    "ml_map_at_k",
-    "ml_rank_biased_overlap",
-    "ml_kendall_w",
-    "ml_mrr",
-    "ml_err_at_k",
-    "ml_survival_cindex",
-    "ml_tweedie_deviance",
-    "ml_topk_accuracy",
-    "ml_ridge_closed_form",
-    "ml_r2_shapley",
-    "ml_qini_auuc",
-    "graph_bfs_distance",
-    "graph_link_features",
-    "graph_kcore",
-    "graph_random_walk",
-    "graph_modularity",
-    "graph_assortativity",
-    "graph_copurchase_components",
-    "graph_label_propagation",
-    "graph_clustering_coefficient",
-    "graph_harmonic_centrality",
-    "graph_rich_club",
-    "graph_reciprocity",
-    "graph_degree_gini",
-    "graph_eigenvector_centrality",
-    "graph_adamic_adar",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "fn_structured_parse",
-    "fn_collation",
-    "fn_edit_distance",
-    "agg_listagg_ordered",
-    "fn_haversine",
-    "text_bm25",
-    "dedup_substring_spans",
-    "text_contamination_check",
-    "multimodal_frame_dedup",
-    "events_kaplan_meier",
-    "orders_bland_altman",
-    "events_km_greenwood",
-    "events_attribution_markov",
-    "stat_cochran_q",
-    "sim_ivf_nprobe_sweep",
+    # r14 rotation (VERDICT r13 items 1+2):
+    # - Positions 1-56: every never-driver-checked key, leading with
+    #   stream_tumbling_window_twin (the one r13-new key), then
+    #   tools/next_window.py order (fn tail, stream tail, the ml_
+    #   evaluation tier, the sql_entry_* family).
+    # - Positions 57-100: re-attests of keys CHANGED by the r13
+    #   checkpoint/re-scan campaign whose last attestation predates
+    #   the change (changed keys re-attest — the r9/r12/r13
+    #   precedent): the ten localCheckpoint->persist() flip keys
+    #   first, then one representative per repaired shared helper
+    #   (etl_pk_discovery one-pass rewrite, _te, _ivf_ranked_cells,
+    #   capped_centroids, trade_edges, pairwise_set_overlap,
+    #   _score_cdf_grid, _ts_dense, _bm25_scores), then the stat and
+    #   dedup/pipeline/ml tiers of the 125-key stale-changed queue
+    #   (the remainder cycles through the r15 window).
+    # All 100 keys preflight --exec clean at rotation time; every key
+    # below re-verified at sf0.01 against its oracle at the rotation
+    # HEAD (the r14 cache-release wrapper touches every build path).
+    "stream_tumbling_window_twin",
     "fn_try_cast",
     "fn_luhn_check",
     "fn_inet",
@@ -195,9 +123,50 @@ DRIVER_WINDOW: list[str] = [
     "sql_entry_values",
     "sql_entry_offset",
     "sql_entry_named_window",
-    # r13 wave A (added after the rotation above; leads the r14
-    # window if still unattested then):
-    "stream_tumbling_window_twin",
+    "dedup_substring_spans",
+    "text_contamination_check",
+    "multimodal_frame_dedup",
+    "events_kaplan_meier",
+    "events_km_greenwood",
+    "orders_bland_altman",
+    "events_attribution_markov",
+    "stat_cochran_q",
+    "sim_ivf_nprobe_sweep",
+    "text_bm25",
+    "etl_pk_discovery",
+    "events_transfer_entropy",
+    "sim_ann_ivf",
+    "sim_ann_ivf_q8",
+    "sim_ann_ivfpq",
+    "sim_reciprocal_nn",
+    "sim_rocchio_feedback",
+    "dedup_embedding",
+    "graph_pagerank",
+    "graph_jaccard_linkpred",
+    "events_user_overlap",
+    "text_vocab_overlap",
+    "stat_fligner_killeen",
+    "stat_newey_west",
+    "stat_yule_walker_ar2",
+    "stat_pacf",
+    "stat_periodogram",
+    "stat_kruskal_wallis",
+    "stat_mann_whitney",
+    "stat_ks_test",
+    "stat_anderson_darling",
+    "stat_energy_distance",
+    "stat_moran_i",
+    "stat_geary_c",
+    "dedup_minhash_relational",
+    "dedup_recall_report",
+    "dedup_threshold_sweep",
+    "pipeline_curate_e2e",
+    "pipeline_training_mix",
+    "pipeline_seq_pack",
+    "text_self_bleu",
+    "ml_auc_pr",
+    "ml_ndcg_eval",
+    "ml_lift_gains",
 ]
 
 
