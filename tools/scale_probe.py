@@ -139,15 +139,13 @@ def generate(spark) -> None:
                     "text", F.regexp_replace("text", r"(\S+)", rf"$1q{i}")
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if i > 0 and t == "embeddings":
-                dim = (i - 1) % 64
+                def _perturb(d):
+                    return lambda x, j: (
+                        x + F.when(j == F.lit(d), F.lit(0.7)).otherwise(F.lit(0.0))
+                    ).cast("float")
+
                 rep = rep.withColumn(
-                    "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda x, j, d=dim: (
-                            x + F.when(j == F.lit(d), F.lit(0.7)).otherwise(F.lit(0.0))
-                        ).cast("float"),
-                    ),
+                    "embedding", F.transform("embedding", _perturb((i - 1) % 64))
                 )
             parts.append(rep)
         out = parts[0]
