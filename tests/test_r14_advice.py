@@ -101,3 +101,30 @@ def test_pairwise_set_overlap_cache_input_opt_out(spark):
     assert got_nocache == got_cached
     # pairs with a shared element: (g1,g2) share b, (g1,g3) share a
     assert len(got_nocache) == 2
+
+
+def test_persist_flip_key_partition_count_invariant(spark, sf_dir):
+    """VERDICT r13 item 8: the r13 persist-flip keys materialize
+    data-scaled frames mid-plan; pin that the materialized frame's
+    CONTENT is invariant to shuffle partition count (1 vs 64) — the
+    one invariance axis the cpus/splits/arrow harness does not vary
+    directly.  text_bm25 is the representative flip key (its per-doc
+    base frame is the r13 persist() site feeding stats, tf and
+    scoring)."""
+    from etl_cnc_spark.registry import load_all
+
+    reg = load_all()
+
+    def rows_at(n_parts: int):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            df = reg["text_bm25"].build(spark, sf_dir)
+            return sorted(tuple(str(c) for c in r) for r in df.collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    one = rows_at(1)
+    many = rows_at(64)
+    assert len(one) > 0
+    assert one == many
