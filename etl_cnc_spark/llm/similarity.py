@@ -3847,6 +3847,257 @@ def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ Krippendorff's alpha (r14 wave A)
+
+
+@register(
+    "ml_krippendorff_alpha",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(floor(({_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT) AS sq
+        FROM embeddings
+    ), votes AS (
+        SELECT {" + ".join(f"CASE WHEN sq > {t} THEN 1 ELSE 0 END" for t in _FK_THRESH)}
+               AS n_pos
+        FROM scored
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(n_pos) AS BIGINT) AS p,
+               CAST(sum(n_pos * n_pos) AS BIGINT) AS p2
+        FROM votes
+    )
+    SELECT n_units,
+           CAST(n_units * {_FK_M} AS BIGINT) AS n_values,
+           {sql_q4(f"CAST(2 * ({_FK_M} * p - p2) AS DOUBLE)"
+                   f" / (n_units * {_FK_M} * ({_FK_M} - 1))")} AS d_obs,
+           {sql_q4(f"CAST(2 * p * (n_units * {_FK_M} - p) AS DOUBLE)"
+                   f" / (CAST(n_units * {_FK_M} AS DOUBLE)"
+                   f" * (n_units * {_FK_M} - 1))")} AS d_exp,
+           CASE WHEN p = 0 OR p = n_units * {_FK_M} THEN NULL ELSE
+           {sql_q4(
+               f"1.0 - (CAST(2 * ({_FK_M} * p - p2) AS DOUBLE)"
+               f" / (n_units * {_FK_M} * ({_FK_M} - 1)))"
+               f" / (CAST(2 * p * (n_units * {_FK_M} - p) AS DOUBLE)"
+               f" / (CAST(n_units * {_FK_M} AS DOUBLE)"
+               f" * (n_units * {_FK_M} - 1)))"
+           )} END AS alpha
+    FROM s
+    """,
+)
+def ml_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal level, complete binary data) over
+    the SAME three deterministic pseudo-raters as ml_fleiss_kappa —
+    the agreement coefficient annotation teams report when the chance
+    model must come from the VALUE distribution rather than per-rater
+    marginals: alpha = 1 - D_obs/D_exp, with observed disagreement
+    from the per-unit coincidence counts (2·n_pos·n_neg ordered
+    disagreeing pairs per unit over m(m-1) pairable values) and
+    expected disagreement from pooling all n = N·m values
+    (2·P·(n-P)/(n(n-1)) — note the finite-sample n-1, the term that
+    distinguishes alpha from Fleiss' pi-style chance). Degenerate
+    all-one-category data (D_exp = 0) publishes NULL on both engines.
+
+    Both ingredients reduce to three exact BIGINTs in ONE pass
+    (N, sum n_pos, sum n_pos²): per-unit disagreement folds as
+    2(m·P - P2) because 2·n_pos·(m-n_pos) summed is 2(m·ΣP - ΣP²).
+
+    Scale shape: one scan, one global hash aggregate, pure arithmetic
+    on the 1-row result — three counters at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    m = _FK_M
+    sq = F.floor(_score_col() * 1e6 + F.lit(0.5)).cast("long")
+    n_pos = sum(F.when(sq > t, 1).otherwise(0) for t in _FK_THRESH).alias(
+        "n_pos"
+    )
+    s = e.select(n_pos).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n_pos") * F.col("n_pos")).cast("long").alias("p2"),
+    )
+    nu, p, p2 = F.col("n_units"), F.col("p"), F.col("p2")
+    d_obs = (2 * (m * p - p2)).cast("double") / (nu * m * (m - 1))
+    d_exp = (2 * p * (nu * m - p)).cast("double") / (
+        (nu * m).cast("double") * (nu * m - 1)
+    )
+    return s.select(
+        "n_units",
+        (nu * m).cast("long").alias("n_values"),
+        q4(d_obs).alias("d_obs"),
+        q4(d_exp).alias("d_exp"),
+        F.when((p == 0) | (p == nu * m), F.lit(None).cast("double"))
+        .otherwise(q4(F.lit(1.0) - d_obs / d_exp))
+        .alias("alpha"),
+    )
+
+
+# ------------------------------ linear-time MMD two-sample test (r14 wave A)
+
+_MMD_B = 16  # deterministic pairing buckets (vec_id mod B); B scales
+#              with N in production — fixed here for oracle parity
+_MMD_2S2 = 128.0  # 2*sigma^2 with sigma^2 = d = 64 (bandwidth-by-dim
+#                   convention — data-independent, unlike the median
+#                   heuristic, so the kernel is a shared constant)
+_MMD_Q = 1_000_000_000  # fixed-point quantum for the h-statistic fold
+
+_SQL_MMD_N2 = (
+    "list_aggregate(list_transform({c}, x ->"
+    " CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')"
+)
+_SQL_MMD_DOT = (
+    "list_aggregate([CAST({u}[i] AS DOUBLE)*CAST({v}[i] AS DOUBLE)"
+    " for i in range(1, 65)], 'sum')"
+)
+
+
+def _sql_mmd_k(u: str, v: str) -> str:
+    n2u = _SQL_MMD_N2.format(c=u)
+    n2v = _SQL_MMD_N2.format(c=v)
+    dot = _SQL_MMD_DOT.format(u=u, v=v)
+    return f"exp(-((({n2u}) + ({n2v})) - 2.0*({dot})) / {_MMD_2S2})"
+
+
+@register(
+    "embed_mmd_linear",
+    oracle=f"""
+    WITH two AS (
+        SELECT label, vec_id, embedding, vec_id % {_MMD_B} AS bkt
+        FROM embeddings WHERE label IN (0, 1)
+    ), rk AS (
+        SELECT label, bkt, embedding,
+               row_number() OVER (PARTITION BY label, bkt
+                                  ORDER BY vec_id) AS rx
+        FROM two
+    ), pr AS (
+        SELECT label, bkt, (rx + 1) // 2 AS p, rx % 2 AS side, embedding
+        FROM rk
+    ), ao AS (SELECT label, bkt, p, embedding AS a FROM pr WHERE side = 1),
+    ae AS (SELECT label, bkt, p, embedding AS b FROM pr WHERE side = 0),
+    pairs AS (
+        SELECT ao.label, ao.bkt, ao.p, ao.a, ae.b
+        FROM ao JOIN ae
+          ON ao.label = ae.label AND ao.bkt = ae.bkt AND ao.p = ae.p
+    ), j AS (
+        SELECT x.a AS xa, x.b AS xb, y.a AS ya, y.b AS yb
+        FROM (SELECT * FROM pairs WHERE label = 0) x
+        JOIN (SELECT * FROM pairs WHERE label = 1) y
+          ON x.bkt = y.bkt AND x.p = y.p
+    ), terms AS (
+        SELECT CAST(floor((
+                   ({_sql_mmd_k("xa", "xb")}) + ({_sql_mmd_k("ya", "yb")})
+                 - ({_sql_mmd_k("xa", "yb")}) - ({_sql_mmd_k("xb", "ya")})
+               ) * {_MMD_Q} + 0.5) AS BIGINT) AS hq
+        FROM j
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(hq) AS BIGINT) AS h_sum_nano,
+           {sql_q4(f"CAST(sum(hq) AS DOUBLE) / {_MMD_Q} / count(*)"
+                   f" * 1000000.0")} AS mmd2_micro
+    FROM terms
+    """,
+)
+def embed_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gretton's LINEAR-TIME MMD² estimator (NeurIPS 2009 / JMLR 2012
+    §6) between the label-0 and label-1 embedding populations with an
+    RBF kernel — the embedding-space two-sample test a curation
+    pipeline runs to ask "did this source drift in representation
+    space?".  The quadratic all-pairs U-statistic is the textbook
+    form; at 100 TB it is unrunnable, and THE published answer is the
+    linear estimator: pair up samples, average
+    h((x1,y1),(x2,y2)) = k(x1,x2)+k(y1,y2)-k(x1,y2)-k(x2,y1)
+    over disjoint quadruples — an unbiased MMD² estimate from ONE
+    pass, any fixed measurable pairing being valid.
+
+    Pairing is deterministic and shuffle-friendly: vec_id mod 16
+    buckets, adjacent-by-vec_id pairs within (label, bucket) (odd
+    leftovers drop; X-pairs inner-join Y-pairs on (bucket, pair), so
+    unmatched tails drop symmetrically).  The ranking window is
+    partitioned by (label, bucket); in production B grows with N so
+    a bucket stays executor-sized — the estimator is indifferent to
+    the pairing, so re-bucketing never changes its validity.
+
+    Numerics: squared distance via the shared exact-order folds
+    (norm² + norm² - 2·dot, same operation order as the oracle's
+    list_aggregate), bandwidth 2sigma² = 128 (sigma² = d) so the exp
+    argument is a shared derived double; each quadruple's h is
+    fixed-point quantized (x1e9, floor+0.5) so the global sum is an
+    exact BIGINT on both engines.  h_sum_nano is the exact integer
+    statistic; mmd2_micro is its q4-quantized mean in micro-units.
+
+    Scale shape: one scan, one bucketed rank, one (bucket, pair)
+    equi-join of two halves of the SAME aggregated frame (persisted
+    per the SCALE.md r13 rule), one global hash aggregate — O(N)
+    kernel evaluations, never O(N²)."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("label").isin(0, 1))
+    w = Window.partitionBy("label", "bkt").orderBy("vec_id")
+    r = (
+        e.select(
+            "label",
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") % _MMD_B).alias("bkt"),
+        )
+        .select(
+            "label",
+            "bkt",
+            "embedding",
+            F.row_number().over(w).alias("rx"),
+        )
+        .select(
+            "label",
+            "bkt",
+            F.expr("(rx + 1) div 2").alias("p"),
+            (F.col("rx") % 2).alias("side"),
+            "embedding",
+        )
+    )
+    # the paired frame feeds BOTH join sides (X half and Y half) —
+    # DATA-SCALED, persist() per the SCALE.md r13 rule
+    g = (
+        r.groupBy("label", "bkt", "p")
+        .agg(
+            F.first(
+                F.when(F.col("side") == 1, F.col("embedding")), ignorenulls=True
+            ).alias("a"),
+            F.first(
+                F.when(F.col("side") == 0, F.col("embedding")), ignorenulls=True
+            ).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .persist()
+    )
+    x = g.where(F.col("label") == 0).select(
+        "bkt", "p", F.col("a").alias("xa"), F.col("b").alias("xb")
+    )
+    y = g.where(F.col("label") == 1).select(
+        "bkt", "p", F.col("a").alias("ya"), F.col("b").alias("yb")
+    )
+    j = x.join(y, ["bkt", "p"])
+
+    def k(u: str, v: str):
+        sq = (_norm2(F.col(u)) + _norm2(F.col(v))) - 2.0 * _dot64(
+            F.col(u), F.col(v)
+        )
+        return F.exp(-sq / _MMD_2S2)
+
+    h = k("xa", "xb") + k("ya", "yb") - k("xa", "yb") - k("xb", "ya")
+    terms = j.select(
+        F.floor(h * _MMD_Q + 0.5).cast("long").alias("hq")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("hq").cast("long").alias("h_sum_nano"),
+    ).select(
+        "n_pairs",
+        "h_sum_nano",
+        q4(
+            F.col("h_sum_nano").cast("double")
+            / _MMD_Q
+            / F.col("n_pairs")
+            * 1000000.0
+        ).alias("mmd2_micro"),
+    )
+
+
 # ---------------------- chi2 feature selection / KS separation (r8 wave X)
 
 _CHI2_NFEAT = 8

@@ -14060,3 +14060,142 @@ def stat_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("adj_mean_price"),
     )
+
+
+# ----------------------- Taylor's power law (fluctuation scaling, r14 wave A)
+
+_TL_Q = 1_000_000_000  # fixed-point quantum for the per-part log terms
+
+
+@register(
+    "stat_taylor_law",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_partkey,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+        FROM lineitem
+    ), per AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qc) AS BIGINT) AS s,
+               CAST(sum(qc * qc) AS BIGINT) AS ss
+        FROM q GROUP BY 1
+    ), mv AS (
+        SELECT CAST(s AS DOUBLE) / n / 100.0 AS m,
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                   / (n - 1) / 10000.0 AS v
+        FROM per WHERE n >= 2
+    ), lt AS (
+        SELECT CAST(floor(ln(m) * {_TL_Q} + 0.5) AS BIGINT) AS qx,
+               CAST(floor(ln(v) * {_TL_Q} + 0.5) AS BIGINT) AS qy,
+               CAST(floor(ln(m) * ln(v) * {_TL_Q} + 0.5) AS BIGINT) AS qxy,
+               CAST(floor(ln(m) * ln(m) * {_TL_Q} + 0.5) AS BIGINT) AS qxx
+        FROM mv WHERE m > 0 AND v > 0
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+               CAST(sum(qxy) AS BIGINT) AS sxy,
+               CAST(sum(qxx) AS BIGINT) AS sxx
+        FROM lt
+    )
+    SELECT k AS n_groups,
+           CASE WHEN k * CAST(sxx AS DOUBLE) / {_TL_Q}
+                     - (CAST(sx AS DOUBLE) / {_TL_Q})
+                       * (CAST(sx AS DOUBLE) / {_TL_Q}) = 0 THEN NULL ELSE
+           {sql_q4(
+               f"(k * CAST(sxy AS DOUBLE) / {_TL_Q}"
+               f" - (CAST(sx AS DOUBLE) / {_TL_Q})"
+               f" * (CAST(sy AS DOUBLE) / {_TL_Q}))"
+               f" / (k * CAST(sxx AS DOUBLE) / {_TL_Q}"
+               f" - (CAST(sx AS DOUBLE) / {_TL_Q})"
+               f" * (CAST(sx AS DOUBLE) / {_TL_Q}))"
+           )} END AS slope_b,
+           CASE WHEN k * CAST(sxx AS DOUBLE) / {_TL_Q}
+                     - (CAST(sx AS DOUBLE) / {_TL_Q})
+                       * (CAST(sx AS DOUBLE) / {_TL_Q}) = 0 THEN NULL ELSE
+           {sql_q4(
+               f"(CAST(sy AS DOUBLE) / {_TL_Q}"
+               f" - ((k * CAST(sxy AS DOUBLE) / {_TL_Q}"
+               f" - (CAST(sx AS DOUBLE) / {_TL_Q})"
+               f" * (CAST(sy AS DOUBLE) / {_TL_Q}))"
+               f" / (k * CAST(sxx AS DOUBLE) / {_TL_Q}"
+               f" - (CAST(sx AS DOUBLE) / {_TL_Q})"
+               f" * (CAST(sx AS DOUBLE) / {_TL_Q})))"
+               f" * (CAST(sx AS DOUBLE) / {_TL_Q})) / k"
+           )} END AS intercept_ln_a
+    FROM s
+    """,
+)
+def stat_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law (fluctuation scaling): across parts, the
+    variance of order quantity scales as var ~ a * mean^b, so
+    ln(var) regresses linearly on ln(mean) with slope b — the classic
+    ecology/operations diagnostic (b = 1 Poisson-like demand, b -> 2
+    clustered/bursty demand) that a demand-planning pipeline fits to
+    decide which SKUs need safety-stock multipliers.
+
+    Numerics: per-part sufficient statistics (n, sum q, sum q²) fold
+    as exact BIGINTs in integer cents; sample mean/variance derive
+    identically on both engines; each part's four log terms (ln m,
+    ln v, their product, ln² m) are fixed-point quantized (x1e9,
+    floor+0.5) so the four OLS sums are exact BIGINTs; the closed-form
+    slope/intercept use one shared parenthesization.  Zero-variance
+    and singleton parts drop on both engines; a degenerate all-equal-
+    mean family (OLS denominator 0) publishes NULL.
+
+    Scale shape: one lineitem scan, one hash aggregate keyed on
+    l_partkey (map-side combinable), then a second global aggregate
+    over one row per part — two shuffles of shrinking width, no
+    windows, no joins. 100 TB of lineitem folds to |parts| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    per = (
+        li.select(
+            "l_partkey",
+            F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("qc"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qc").cast("long").alias("s"),
+            F.sum(F.col("qc") * F.col("qc")).cast("long").alias("ss"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    m = F.col("s").cast("double") / F.col("n") / 100.0
+    v = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+        / 10000.0
+    )
+    lt = per.select(m.alias("m"), v.alias("v")).where(
+        (F.col("m") > 0) & (F.col("v") > 0)
+    )
+    lm, lv = F.log(F.col("m")), F.log(F.col("v"))
+    terms = lt.select(
+        F.floor(lm * _TL_Q + 0.5).cast("long").alias("qx"),
+        F.floor(lv * _TL_Q + 0.5).cast("long").alias("qy"),
+        F.floor(lm * lv * _TL_Q + 0.5).cast("long").alias("qxy"),
+        F.floor(lm * lm * _TL_Q + 0.5).cast("long").alias("qxx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum("qxy").cast("long").alias("sxy"),
+        F.sum("qxx").cast("long").alias("sxx"),
+    )
+    kk = F.col("k")
+    sx = F.col("sx").cast("double") / _TL_Q
+    sy = F.col("sy").cast("double") / _TL_Q
+    sxy = kk * F.col("sxy").cast("double") / _TL_Q
+    sxx = kk * F.col("sxx").cast("double") / _TL_Q
+    den = sxx - sx * sx
+    slope = (sxy - sx * sy) / den
+    return s.select(
+        kk.alias("n_groups"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(q4(slope))
+        .alias("slope_b"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(q4((sy - slope * sx) / kk))
+        .alias("intercept_ln_a"),
+    )
