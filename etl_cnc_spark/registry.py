@@ -239,30 +239,39 @@ _OP_MODULES = [
 # release point, a 696-key single-session sweep accumulates every
 # key's MEMORY_AND_DISK entries in the CacheManager until session end.
 #
-# The deterministic release point is the START of the NEXT top-level
-# build: every harness that matters (the grading driver, check.py,
-# bench.py, pytest) is sequential and has fully consumed key N's
-# result before building key N+1.  ``register`` wraps each build with
-# a depth counter so COMPOSED builds (dedup_recall_report invoking
-# REGISTRY["dedup_embedding"].build) never clear mid-build, and only
-# the outermost entry releases.  ``spark.catalog.clearCache()`` drops
-# SQL CacheManager entries only — lineage is kept on every persist()
-# site, so a released frame recomputes correctly if an unconsumed
-# DataFrame still references it (perf, never correctness), and
-# localCheckpoint blocks (RDD-level storage, e.g. dedup_minhash's
-# documented lineage break) are untouched.  Set
-# ``AUTO_RELEASE_CACHES = False`` to opt out (e.g. a notebook that
-# deliberately shares caches across queries).
+# The deterministic release point is the START of the next top-level
+# build of a DIFFERENT key: every harness that matters (the grading
+# driver, check.py, bench.py, pytest) is sequential and has fully
+# consumed key N's result before building key N+1, so clearing there
+# bounds the CacheManager to ONE key's working set.  Same-key rebuilds
+# deliberately KEEP the caches — CacheManager matches the rebuilt plan
+# by canonicalized-plan equality, so bench.py's warmup + timed-run
+# protocol measures warm steady state exactly as it did before this
+# wrapper existed (the frozen BASELINE.md gates assume that protocol).
+# ``register`` wraps each build with a depth counter so COMPOSED
+# builds (dedup_recall_report invoking REGISTRY["dedup_embedding"]
+# .build) never clear mid-build; only the outermost entry releases.
+# ``spark.catalog.clearCache()`` drops SQL CacheManager entries only —
+# lineage is kept on every persist() site, so a released frame
+# recomputes correctly if an unconsumed DataFrame still references it
+# (perf, never correctness), and localCheckpoint blocks (RDD-level
+# storage, e.g. dedup_minhash's documented lineage break) are
+# untouched.  Set ``AUTO_RELEASE_CACHES = False`` to opt out (e.g. a
+# notebook that deliberately shares caches across queries).
 AUTO_RELEASE_CACHES = True
 _build_depth = 0
+_last_top_key: str | None = None
 
 
-def _with_cache_release(fn: BuildFn) -> BuildFn:
+def _with_cache_release(fn: BuildFn, name: str | None = None) -> BuildFn:
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        global _build_depth
+        global _build_depth, _last_top_key
         if _build_depth == 0 and AUTO_RELEASE_CACHES:
-            spark.catalog.clearCache()
+            key = name or fn.__name__
+            if _last_top_key is not None and _last_top_key != key:
+                spark.catalog.clearCache()
+            _last_top_key = key
         _build_depth += 1
         try:
             return fn(spark, sf_dir)
@@ -288,7 +297,7 @@ def register(
         resolved = check or ("hash" if oracle is not None else "rows")
         REGISTRY[name] = QueryDef(
             name=name,
-            build=_with_cache_release(fn),
+            build=_with_cache_release(fn, name),
             oracle=oracle,
             check=resolved,
             notes=notes,

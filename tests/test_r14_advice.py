@@ -40,6 +40,21 @@ def test_next_top_level_build_releases_previous_caches(spark, sf_dir):
     assert _cache_empty(spark), "previous key's caches must be released"
 
 
+def test_same_key_rebuild_keeps_caches(spark, sf_dir):
+    """bench.py's warmup + timed-run protocol rebuilds the SAME key;
+    the release must NOT fire between same-key rebuilds (CacheManager
+    plan-equality lets the rebuilt plan hit the warm entry — the
+    steady state the frozen BASELINE.md gates were measured in)."""
+    out = REGISTRY["events_user_overlap"].build(spark, sf_dir)
+    out.collect()
+    assert not _cache_empty(spark)
+    REGISTRY["events_user_overlap"].build(spark, sf_dir).collect()
+    assert not _cache_empty(spark), "same-key rebuild must keep caches"
+    # a different key still releases
+    REGISTRY["agg_global"].build(spark, sf_dir).collect()
+    assert _cache_empty(spark)
+
+
 def test_composed_builds_do_not_clear_mid_build(spark, sf_dir):
     """The depth counter: an inner registered build invoked from
     inside an outer build must NOT clear the outer's persists."""
