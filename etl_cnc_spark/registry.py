@@ -167,6 +167,11 @@ DRIVER_WINDOW: list[str] = [
     "ml_auc_pr",
     "ml_ndcg_eval",
     "ml_lift_gains",
+    # r14 wave A (added after the rotation above; leads the r15
+    # window if still unattested then):
+    "ml_krippendorff_alpha",
+    "embed_mmd_linear",
+    "stat_taylor_law",
 ]
 
 
