@@ -70,7 +70,6 @@ from etl_cnc_spark import catalog  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/etlcnc_scale_sf1")
-REPLICAS = 10
 OFF = 1_000_000  # key shift per replica (max fixture key is 149,999)
 
 # keys whose builds carry explicit overflow/degeneracy guards — the
@@ -118,16 +117,16 @@ def _write_single_parquet(df, out_path: str) -> None:
     shutil.rmtree(tmp)
 
 
-def generate(spark) -> None:
-    os.makedirs(OUT_DIR, exist_ok=True)
+def generate(spark, out_dir: str, replicas: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
     for t in FIXED_DIMS:
         df = catalog.table(spark, BASE_SF, t)
-        _write_single_parquet(df, f"{OUT_DIR}/{t}.parquet")
+        _write_single_parquet(df, f"{out_dir}/{t}.parquet")
         print(f"gen {t}: copied (fixed dim)")
     for t, keys in KEY_SHIFTS.items():
         base = catalog.table(spark, BASE_SF, t)
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             rep = base
             for k in keys:
                 rep = rep.withColumn(k, (F.col(k) + F.lit(i * OFF)).cast("long"))
@@ -139,21 +138,26 @@ def generate(spark) -> None:
                     "text", F.regexp_replace("text", r"(\S+)", rf"$1q{i}")
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if i > 0 and t == "embeddings":
-                def _perturb(d):
+                # dim cycles mod 64; the replica-scaled magnitude keeps
+                # replicas i and i+64 separated when the dim collides
+                def _perturb(d, eps):
                     return lambda x, j: (
-                        x + F.when(j == F.lit(d), F.lit(0.7)).otherwise(F.lit(0.0))
+                        x + F.when(j == F.lit(d), F.lit(eps)).otherwise(F.lit(0.0))
                     ).cast("float")
 
                 rep = rep.withColumn(
-                    "embedding", F.transform("embedding", _perturb((i - 1) % 64))
+                    "embedding",
+                    F.transform(
+                        "embedding", _perturb((i - 1) % 64, 0.7 + 0.01 * i)
+                    ),
                 )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        _write_single_parquet(out, f"{OUT_DIR}/{t}.parquet")
-        n = spark.read.parquet(f"{OUT_DIR}/{t}.parquet").count()
-        print(f"gen {t}: {n} rows ({REPLICAS} replicas)")
+        _write_single_parquet(out, f"{out_dir}/{t}.parquet")
+        n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+        print(f"gen {t}: {n} rows ({replicas} replicas)")
 
 
 def _table_scan_counts(df) -> dict[str, int]:
@@ -175,7 +179,7 @@ def _table_scan_counts(df) -> dict[str, int]:
     return counts
 
 
-def run_probe(spark, keys: list[str] | None) -> int:
+def run_probe(spark, keys: list[str] | None, base_sf: str, out_dir: str) -> int:
     reg = load_all()
     bench_keys = [k for k, q in sorted(reg.items()) if q.bench]
     probe = keys or (bench_keys + GUARD_KEYS + SCAN_KEYS)
@@ -183,7 +187,7 @@ def run_probe(spark, keys: list[str] | None) -> int:
     rows = []
     for k in probe:
         row = {"key": k}
-        for label, sf in (("base", BASE_SF), ("sf1", OUT_DIR)):
+        for label, sf in (("base", base_sf), ("sf1", out_dir)):
             try:
                 reg[k].build(spark, sf).collect()  # warm-up
                 runs = []
@@ -200,8 +204,8 @@ def run_probe(spark, keys: list[str] | None) -> int:
             if row["ratio"] >= 100:
                 failures.append(f"{k}: super-quadratic ratio {row['ratio']}x")
         if k in SCAN_KEYS and not isinstance(row.get("sf1"), str):
-            c_base = _table_scan_counts(reg[k].build(spark, BASE_SF))
-            c_sf1 = _table_scan_counts(reg[k].build(spark, OUT_DIR))
+            c_base = _table_scan_counts(reg[k].build(spark, base_sf))
+            c_sf1 = _table_scan_counts(reg[k].build(spark, out_dir))
             row["scan_counts"] = {"base": c_base, "sf1": c_sf1}
             if c_base != c_sf1:
                 failures.append(f"{k}: scan counts drifted {c_base} -> {c_sf1}")
@@ -223,7 +227,7 @@ def run_probe(spark, keys: list[str] | None) -> int:
     return 1 if failures else 0
 
 
-def run_parity(spark, keys: list[str] | None) -> int:
+def run_parity(spark, keys: list[str] | None, out_dir: str) -> int:
     from etl_cnc_spark.oracle import compare
 
     reg = load_all()
@@ -234,7 +238,7 @@ def run_parity(spark, keys: list[str] | None) -> int:
     for k in probe:
         t0 = time.time()
         try:
-            res = compare(reg[k], spark, OUT_DIR)
+            res = compare(reg[k], spark, out_dir)
         except Exception as exc:  # noqa: BLE001
             failures += 1
             print(f"FAIL {k:28s} EXC {type(exc).__name__}: {str(exc)[:200]}")
@@ -252,16 +256,19 @@ def main() -> int:
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--parity", action="store_true")
     ap.add_argument("--keys", nargs="*", default=None)
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--base", default=BASE_SF)
+    ap.add_argument("--out", default=OUT_DIR)
     args = ap.parse_args()
     spark = get_spark("etl-cnc-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     rc = 0
     if args.gen:
-        generate(spark)
+        generate(spark, args.out, args.replicas)
     if args.run:
-        rc |= run_probe(spark, args.keys)
+        rc |= run_probe(spark, args.keys, args.base, args.out)
     if args.parity:
-        rc |= run_parity(spark, args.keys)
+        rc |= run_parity(spark, args.keys, args.out)
     return rc
 
 
