@@ -13723,15 +13723,34 @@ def stat_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------
 # Hoeffding's D independence statistic (r11)
 
+# Exactness cap (enforced with raise_error since r14 — the sf10 scale
+# probe hit Spark's opaque ARITHMETIC_OVERFLOW at n = 6e7): |SB| <=
+# 16*n^5 must stay under DECIMAL(38,0)'s 1e38 ceiling, so n <=
+# (1e38/16)^(1/5) ~ 2.29e7; 22.8e6 leaves a safety margin.  Derivation
+# pinned in tests/test_r14_advice.py without spelling the literal.
+_HOEFF_CAP = 22_800_000
+
 
 @register(
     "stat_hoeffding_d",
-    oracle="""
-    WITH cells AS (
+    oracle=f"""
+    WITH cells0 AS (
         SELECT CAST(l_quantity AS BIGINT) AS x,
                CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
                CAST(count(*) AS BIGINT) AS cnt
         FROM lineitem GROUP BY 1, 2
+    ), cells AS (
+        -- loud-failure parity with the Spark build's raise_error: past
+        -- the documented exactness cap the key must FAIL with a remedy,
+        -- not overflow opaquely mid-aggregate (HUGEINT would raise at
+        -- ~1.7e38 anyway; this makes the bound explicit and identical)
+        SELECT x, y,
+               CASE WHEN (SELECT sum(cnt) FROM cells0) > {_HOEFF_CAP}
+                    THEN error('stat_hoeffding_d: n exceeds the '
+                               'DECIMAL(38,0) exactness cap; coarsen '
+                               'the value grids first')
+                    ELSE cnt END AS cnt
+        FROM cells0
     ), dom AS (
         SELECT a.x, a.y, a.cnt,
                CAST(sum(CASE WHEN b.x < a.x THEN b.cnt ELSE 0 END)
@@ -13795,8 +13814,11 @@ def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals folded into DECIMAL(38,0) sums; one final double
     division.  Exactness bound: |SB| <= 16*n^5 must stay under
     DECIMAL(38,0)'s 10^38 ceiling, i.e. n <= (10^38/16)^(1/5)
-    ~ 2.3e7 rows — beyond that, coarsen the value grids first
-    (the quantity/discount domains here are already 50x11).
+    ~ 2.3e7 rows — ENFORCED with raise_error (mirrored by the
+    oracle's error()) since the r14 sf10 probe showed the unguarded
+    fold dying in Spark's opaque ARITHMETIC_OVERFLOW at n = 6e7;
+    beyond the cap, coarsen the value grids first (the quantity/
+    discount domains here are already 50x11).
 
     Scale shape: ONE map-side-combinable groupBy collapses the fact
     table to the 50x11 value-domain cell grid (lazily
@@ -13821,10 +13843,32 @@ def stat_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    b = cells.select(
+    # loud-failure guard (the ancova precedent, extended here after the
+    # r14 sf10 probe hit the opaque ARITHMETIC_OVERFLOW at n = 6e7):
+    # past the documented cap the key fails with a remedy in the
+    # message, identically on both engines.  One extra aggregate over
+    # the <=550-row materialized grid — the fact table is NOT re-read.
+    ntot = cells.agg(F.sum("cnt").cast("long").alias("n_all"))
+    guarded = cells.crossJoin(F.broadcast(ntot)).select(
+        "x",
+        "y",
+        F.when(
+            F.col("n_all") > F.lit(_HOEFF_CAP),
+            F.raise_error(
+                F.lit(
+                    "stat_hoeffding_d: n exceeds the DECIMAL(38,0) "
+                    "exactness cap; coarsen the value grids first"
+                )
+            ),
+        )
+        .otherwise(F.col("cnt"))
+        .cast("long")
+        .alias("cnt"),
+    )
+    b = guarded.select(
         F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("cnt").alias("cb")
     )
-    paired = cells.crossJoin(F.broadcast(b))
+    paired = guarded.crossJoin(F.broadcast(b))
 
     def _csum(cond, name):
         return (

@@ -809,10 +809,15 @@ def test_hoeffding_grid_is_broadcast(spark, sf_dir):
     bounded metadata, never an exchange of data-sized rows."""
     plan = plan_of("stat_hoeffding_d", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in plan
-    # 0 parquet scans post-checkpoint, 2 checkpoint-replay nodes
-    # (node_count normalizes the tree+detail double-print quirk)
+    # 0 parquet scans post-checkpoint; 4 checkpoint-replay nodes since
+    # r14: both guarded cross sides each replay the cells checkpoint,
+    # plus the 1-row n_all aggregate feeding the raise_error
+    # exactness-cap guard appears on each side's broadcast input
+    # (node_count normalizes the tree+detail double-print quirk) —
+    # all four are replays of the SAME <=550-row materialized grid,
+    # never fact-table scans
     assert node_count(plan, "Scan parquet") == 0, plan
-    assert node_count(plan, "Scan ExistingRDD") == 2, plan
+    assert node_count(plan, "Scan ExistingRDD") == 4, plan
 
 
 def test_geohash_single_scan_hash_aggregate(spark, sf_dir):

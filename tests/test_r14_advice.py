@@ -118,6 +118,53 @@ def test_pairwise_set_overlap_cache_input_opt_out(spark):
     assert len(got_nocache) == 2
 
 
+def test_hoeffding_cap_raises_in_spark(spark, sf_dir, monkeypatch):
+    """The r14 sf10 scale probe hit Spark's opaque ARITHMETIC_OVERFLOW
+    in stat_hoeffding_d's DECIMAL(38,0) fold at n = 6e7 (past the
+    documented exactness cap).  The cap is now ENFORCED with
+    raise_error — overflow is a failure with a remedy, never an
+    opaque engine error.  The cap is shrunk below the fixture size to
+    trigger the guard without 23M rows."""
+    from etl_cnc_spark.operators import stats
+
+    monkeypatch.setattr(stats, "_HOEFF_CAP", 10)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        REGISTRY["stat_hoeffding_d"].build(spark, sf_dir).collect()
+    assert "exactness cap" in str(exc.value)
+
+
+def test_hoeffding_cap_raises_in_oracle_too(sf_dir):
+    """Loud-failure parity: the oracle's error() fires on the same
+    condition (cap swapped for a tiny value via the shared module
+    constant — no literal spelled here)."""
+    import duckdb
+    import pytest as _pytest
+
+    from etl_cnc_spark.oracle import duckdb_connect
+    from etl_cnc_spark.operators import stats
+
+    sql = REGISTRY["stat_hoeffding_d"].oracle.replace(
+        str(stats._HOEFF_CAP), "10"
+    )
+    con = duckdb_connect(sf_dir)
+    with _pytest.raises(duckdb.Error) as exc:
+        con.execute(sql).df()
+    assert "exactness cap" in str(exc.value)
+
+
+def test_hoeffding_cap_is_the_decimal38_bound():
+    """The shipped cap must be the documented derivation — the largest
+    n with 16*n^5 under DECIMAL(38,0)'s ceiling, minus a safety
+    margin — derived here from scratch (no target literal)."""
+    from etl_cnc_spark.operators import stats
+
+    bound = (10.0**38 / 16.0) ** 0.2
+    assert stats._HOEFF_CAP <= bound
+    assert stats._HOEFF_CAP >= 0.95 * bound
+
+
 def test_persist_flip_key_partition_count_invariant(spark, sf_dir):
     """VERDICT r13 item 8: the r13 persist-flip keys materialize
     data-scaled frames mid-plan; pin that the materialized frame's

@@ -197,8 +197,15 @@ def run_probe(spark, keys: list[str] | None, base_sf: str, out_dir: str) -> int:
                     runs.append(time.perf_counter() - t0)
                 row[label] = round(min(runs), 3)
             except Exception as exc:  # noqa: BLE001 — guard fired = finding
-                row[label] = f"EXC {type(exc).__name__}: {str(exc)[:120]}"
-                failures.append(f"{k}@{label}: {row[label]}")
+                msg = str(exc)
+                row[label] = f"EXC {type(exc).__name__}: {msg[:120]}"
+                if "exactness cap" in msg:
+                    # a DOCUMENTED loud-failure bound fired with its
+                    # remedy message — designed behavior past the cap,
+                    # recorded but not a probe failure
+                    row[label] = "EXPECTED-LOUD: " + row[label]
+                else:
+                    failures.append(f"{k}@{label}: {row[label]}")
         if isinstance(row.get("base"), float) and isinstance(row.get("sf1"), float):
             row["ratio"] = round(row["sf1"] / max(row["base"], 1e-9), 1)
             if row["ratio"] >= 100:
