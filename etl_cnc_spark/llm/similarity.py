@@ -4022,6 +4022,9 @@ def embed_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point quantized (x1e9, floor+0.5) so the global sum is an
     exact BIGINT on both engines.  h_sum_nano is the exact integer
     statistic; mmd2_micro is its q4-quantized mean in micro-units.
+    Exactness bound: |h| <= 2 so each term is <= 2e9; BIGINT holds the
+    fold to ~4.6e9 pairs (~9e9 vectors) — past that, publish the mean
+    from per-bucket partial sums instead of the global integer.
 
     Scale shape: one scan, one bucketed rank, one (bucket, pair)
     equi-join of two halves of the SAME aggregated frame (persisted

@@ -14220,12 +14220,18 @@ def stat_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(lm * lv * _TL_Q + 0.5).cast("long").alias("qxy"),
         F.floor(lm * lm * _TL_Q + 0.5).cast("long").alias("qxx"),
     )
+    # sums in DECIMAL(38,0): |ln| terms reach ~3e10 at the 1e9 quantum,
+    # so BIGINT would cap the fold at ~3e8 part groups; decimal carries
+    # the fold to any realistic |parts| and is invisible to the hash
+    # (only the q4 doubles are output; DuckDB's sum(BIGINT) is already
+    # HUGEINT)
+    dec = "decimal(38,0)"
     s = terms.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("qx").cast("long").alias("sx"),
-        F.sum("qy").cast("long").alias("sy"),
-        F.sum("qxy").cast("long").alias("sxy"),
-        F.sum("qxx").cast("long").alias("sxx"),
+        F.sum(F.col("qx").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("qy").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("qxy").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("qxx").cast(dec)).cast(dec).alias("sxx"),
     )
     kk = F.col("k")
     sx = F.col("sx").cast("double") / _TL_Q
