@@ -3939,6 +3939,16 @@ _MMD_2S2 = 128.0  # 2*sigma^2 with sigma^2 = d = 64 (bandwidth-by-dim
 #                   heuristic, so the kernel is a shared constant)
 _MMD_Q = 1_000_000_000  # fixed-point quantum for the h-statistic fold
 
+# Exactness cap (enforced with raise_error since r15 — the hoeffding
+# precedent for documented-but-unenforced bounds): |h| <= 2 so each
+# quantized term is <= 2e9 + 1, and the published h_sum_nano column is
+# itself a BIGINT, so the fold must stay under 2^63 - 1; n_pairs <=
+# floor((2^63 - 1) / (2*1e9 + 1)) ~ 4.61e9.  4.6e9 leaves a margin.
+# Past the cap, publish the mean from per-bucket partial sums instead
+# of the global integer (see docstring).  Derivation pinned in
+# tests/test_r15_advice.py without spelling the literal.
+_MMD_PAIR_CAP = 4_600_000_000
+
 _SQL_MMD_N2 = (
     "list_aggregate(list_transform({c}, x ->"
     " CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')"
@@ -3989,7 +3999,14 @@ def _sql_mmd_k(u: str, v: str) -> str:
         FROM j
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(hq) AS BIGINT) AS h_sum_nano,
+           -- loud-failure parity with the Spark build's raise_error:
+           -- past the documented BIGINT exactness cap the key must
+           -- FAIL with a remedy, not publish a wrapped integer
+           CASE WHEN count(*) > {_MMD_PAIR_CAP}
+                THEN error('embed_mmd_linear: n_pairs exceeds the '
+                           'BIGINT exactness cap on h_sum_nano; '
+                           'publish per-bucket partial sums instead')
+                ELSE CAST(sum(hq) AS BIGINT) END AS h_sum_nano,
            {sql_q4(f"CAST(sum(hq) AS DOUBLE) / {_MMD_Q} / count(*)"
                    f" * 1000000.0")} AS mmd2_micro
     FROM terms
@@ -4023,8 +4040,11 @@ def embed_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT on both engines.  h_sum_nano is the exact integer
     statistic; mmd2_micro is its q4-quantized mean in micro-units.
     Exactness bound: |h| <= 2 so each term is <= 2e9; BIGINT holds the
-    fold to ~4.6e9 pairs (~9e9 vectors) — past that, publish the mean
-    from per-bucket partial sums instead of the global integer.
+    fold to ~4.6e9 pairs (~9e9 vectors) — ENFORCED with raise_error
+    (mirrored by the oracle's error()) since r15, because the non-ANSI
+    long sum would otherwise WRAP silently past 2^63; past the cap,
+    publish the mean from per-bucket partial sums instead of the
+    global integer.
 
     Scale shape: one scan, one bucketed rank, one (bucket, pair)
     equi-join of two halves of the SAME aggregated frame (persisted
@@ -4086,14 +4106,32 @@ def embed_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = j.select(
         F.floor(h * _MMD_Q + 0.5).cast("long").alias("hq")
     )
+    # loud-failure guard (ADVICE r14, the hoeffding precedent): the
+    # non-ANSI long sum WRAPS silently past 2^63, so the wrapped value
+    # must never be published — past the documented pair cap the key
+    # fails with a remedy, identically on both engines.  The guard is a
+    # projection over the one-row aggregate: no extra scan, and the
+    # wrapped sum is discarded unevaluated when the guard fires.
     return terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("hq").cast("long").alias("h_sum_nano"),
+        F.sum("hq").cast("long").alias("h_sum_raw"),
     ).select(
         "n_pairs",
-        "h_sum_nano",
+        F.when(
+            F.col("n_pairs") > F.lit(_MMD_PAIR_CAP),
+            F.raise_error(
+                F.lit(
+                    "embed_mmd_linear: n_pairs exceeds the BIGINT "
+                    "exactness cap on h_sum_nano; publish per-bucket "
+                    "partial sums instead"
+                )
+            ),
+        )
+        .otherwise(F.col("h_sum_raw"))
+        .cast("long")
+        .alias("h_sum_nano"),
         q4(
-            F.col("h_sum_nano").cast("double")
+            F.col("h_sum_raw").cast("double")
             / _MMD_Q
             / F.col("n_pairs")
             * 1000000.0

@@ -14136,9 +14136,10 @@ _TL_Q = 1_000_000_000  # fixed-point quantum for the per-part log terms
         FROM mv WHERE m > 0 AND v > 0
     ), s AS (
         SELECT CAST(count(*) AS BIGINT) AS k,
-               CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
-               CAST(sum(qxy) AS BIGINT) AS sxy,
-               CAST(sum(qxx) AS BIGINT) AS sxx
+               CAST(sum(qx) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(qy) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(qxy) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(qxx) AS DECIMAL(38,0)) AS sxx
         FROM lt
     )
     SELECT k AS n_groups,
@@ -14223,8 +14224,11 @@ def stat_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums in DECIMAL(38,0): |ln| terms reach ~3e10 at the 1e9 quantum,
     # so BIGINT would cap the fold at ~3e8 part groups; decimal carries
     # the fold to any realistic |parts| and is invisible to the hash
-    # (only the q4 doubles are output; DuckDB's sum(BIGINT) is already
-    # HUGEINT)
+    # (only the q4 doubles are output).  The oracle casts its HUGEINT
+    # sums to the SAME DECIMAL(38,0) so both engines carry the fold to
+    # the identical 1e38 bound — a bare HUGEINT->BIGINT cast there
+    # would error at ~9.2e18 (~3e8 groups), exactly the scale this
+    # decimal fold exists for (ADVICE r14).
     dec = "decimal(38,0)"
     s = terms.agg(
         F.count(F.lit(1)).cast("long").alias("k"),

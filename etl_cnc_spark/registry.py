@@ -256,16 +256,99 @@ _OP_MODULES = [
 # ``register`` wraps each build with a depth counter so COMPOSED
 # builds (dedup_recall_report invoking REGISTRY["dedup_embedding"]
 # .build) never clear mid-build; only the outermost entry releases.
-# ``spark.catalog.clearCache()`` drops SQL CacheManager entries only —
+# Release is SCOPED to the build's own entries (ADVICE r14, low): a
+# persist()/cache() interception, active only while a registered build
+# is on the stack, records exactly the frames the build cached, and the
+# release unpersists those — never ``spark.catalog.clearCache()``, so a
+# host application/notebook's own cached frames are untouched.
+# ``unpersist(blocking=False)`` drops the SQL CacheManager entry only —
 # lineage is kept on every persist() site, so a released frame
 # recomputes correctly if an unconsumed DataFrame still references it
 # (perf, never correctness), and localCheckpoint blocks (RDD-level
 # storage, e.g. dedup_minhash's documented lineage break) are
-# untouched.  Set ``AUTO_RELEASE_CACHES = False`` to opt out (e.g. a
-# notebook that deliberately shares caches across queries).
+# untouched.  One edge is inherited from CacheManager's plan-equality
+# matching: if the host cached the SAME canonical plan a build also
+# persists, they share one entry and the release drops it (the host's
+# frame recomputes — again perf only).  Set ``AUTO_RELEASE_CACHES =
+# False`` to opt out (e.g. a notebook that deliberately shares caches
+# across queries).
+#
+# Thread-safety: the module globals below (depth counter, last key,
+# tracked lists) assume SEQUENTIAL top-level builds in one driver
+# thread — the contract every harness here has (grading driver,
+# check.py, bench.py, pytest).  Concurrent job submission from
+# multiple driver threads would race the depth counter and could
+# release one thread's frames mid-build; such a host should set
+# AUTO_RELEASE_CACHES = False and manage its own cache lifecycle.
 AUTO_RELEASE_CACHES = True
 _build_depth = 0
 _last_top_key: str | None = None
+_tracked_frames: list[DataFrame] = []  # persisted by the current top key
+_tracked_tables: list[str] = []  # CACHE TABLE names pinned by the key
+
+
+def track_sql_cached_table(name: str) -> None:
+    """Record a ``CACHE TABLE name`` issued inside a registered build
+    so the deterministic release can UNCACHE it (DataFrame-level
+    interception cannot see SQL-surface cache commands)."""
+    if _build_depth > 0:
+        _tracked_tables.append(name)
+
+
+def _release_tracked(spark: SparkSession) -> None:
+    global _tracked_frames, _tracked_tables
+    for df in _tracked_frames:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # a dead frame just means nothing left to release
+    _tracked_frames = []
+    for t in _tracked_tables:
+        try:
+            spark.sql(f"UNCACHE TABLE IF EXISTS {t}")
+        except Exception:
+            pass
+    _tracked_tables = []
+
+
+# Interception point: builds call plain ``df.persist()`` / ``.cache()``
+# (85 sites follow the SCALE.md r13 checkpoint rule); wrapping the two
+# DataFrame methods once here records the returned frame when — and
+# only when — a registered build is on the stack (_build_depth > 0).
+# Outside a build (host code, tests driving persist directly) the
+# original behavior is byte-for-byte unchanged.  NOTE: Spark 4 made
+# ``pyspark.sql.DataFrame`` an abstract facade whose CONCRETE subclass
+# (pyspark.sql.classic.dataframe.DataFrame) overrides persist/cache —
+# the wrap must land on every class that DEFINES the method in its own
+# __dict__, or instances never see it.
+def _wrap_tracking(cls, method: str) -> None:
+    orig = cls.__dict__[method]
+
+    @functools.wraps(orig)
+    def tracking(self, *args, **kwargs):
+        out = orig(self, *args, **kwargs)
+        if _build_depth > 0:
+            _tracked_frames.append(out)
+        return out
+
+    setattr(cls, method, tracking)
+
+
+def _install_tracking() -> None:
+    classes = [DataFrame]
+    try:  # the classic (py4j) engine — the one local/cluster runs use
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        classes.append(_CDF)
+    except ImportError:  # pre-4.0 layout: DataFrame is already concrete
+        pass
+    for cls in classes:
+        for method in ("persist", "cache"):
+            if method in cls.__dict__:
+                _wrap_tracking(cls, method)
+
+
+_install_tracking()
 
 
 def _with_cache_release(fn: BuildFn, name: str | None = None) -> BuildFn:
@@ -275,7 +358,7 @@ def _with_cache_release(fn: BuildFn, name: str | None = None) -> BuildFn:
         if _build_depth == 0 and AUTO_RELEASE_CACHES:
             key = name or fn.__name__
             if _last_top_key is not None and _last_top_key != key:
-                spark.catalog.clearCache()
+                _release_tracked(spark)
             _last_top_key = key
         _build_depth += 1
         try:
