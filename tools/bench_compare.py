@@ -47,8 +47,13 @@ BASELINE = {
     # round-8 freeze (BASELINE.md "Round-8 re-freeze"): the ECDF-grid
     # prefix-machine representative
     "stat_wasserstein_1d": 1.009,
+    # round-9 freeze (BASELINE.md "Round-9 re-freeze"): the dense
+    # 2-D dominance-grid survival representative (VERDICT r14 caught
+    # this entry missing — the tool gated 14 of the 15 bench queries
+    # and divided a 15-query total by a 14-query baseline)
+    "ml_survival_cindex": 0.862,
 }
-BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 14.669
+BASELINE_TOTAL = round(sum(BASELINE.values()), 3)  # 16.540 (15 queries)
 GATE = 2.0
 
 
