@@ -45,84 +45,23 @@ REGISTRY: dict[str, QueryDef] = {}
 # (catches driver-canonicalization traps: complex-typed output cells
 # break the driver's pandas hasher).
 DRIVER_WINDOW: list[str] = [
-    # REQUEST TO THE DRIVER (standing since r11): with a 100-key
-    # correctness window BOTH backlogs clear this round — the ordering
-    # below supports any prefix length.
+    # r15 rotation (VERDICT r14 item 1). The driver takes a 50-key
+    # prefix; the ordering below supports any prefix length, and the
+    # FULL list is the reproducible stale-changed re-attest queue from
+    # `python tools/stale_queue.py` (a key is stale when its build/
+    # oracle source or a narrow shared helper changed after its last
+    # driver attestation — the r9/r12/r13 "changed keys re-attest"
+    # precedent, now recomputable instead of hand-diffed).
     #
-    # r14 rotation (VERDICT r13 items 1+2):
-    # - Positions 1-56: every never-driver-checked key, leading with
-    #   stream_tumbling_window_twin (the one r13-new key), then
-    #   tools/next_window.py order (fn tail, stream tail, the ml_
-    #   evaluation tier, the sql_entry_* family).
-    # - Positions 57-100: re-attests of keys CHANGED by the r13
-    #   checkpoint/re-scan campaign whose last attestation predates
-    #   the change (changed keys re-attest — the r9/r12/r13
-    #   precedent): the ten localCheckpoint->persist() flip keys
-    #   first, then one representative per repaired shared helper
-    #   (etl_pk_discovery one-pass rewrite, _te, _ivf_ranked_cells,
-    #   capped_centroids, trade_edges, pairwise_set_overlap,
-    #   _score_cdf_grid, _ts_dense, _bm25_scores), then the stat and
-    #   dedup/pipeline/ml tiers of the 125-key stale-changed queue
-    #   (the remainder cycles through the r15 window).
-    # All 100 keys preflight --exec clean at rotation time; every key
-    # below re-verified at sf0.01 against its oracle at the rotation
-    # HEAD (the r14 cache-release wrapper touches every build path).
-    "stream_tumbling_window_twin",
-    "fn_try_cast",
-    "fn_luhn_check",
-    "fn_inet",
-    "fn_uuid_v3",
-    "fn_business_days",
-    "fn_soundex",
-    "stream_drift_monitor",
-    "stream_topk_windowed",
-    "win_session_window",
-    "stream_upsert_snapshot",
-    "stream_rate_source",
-    "stream_late_metrics",
-    "stream_incremental_exactly_once",
-    "stream_static_join",
-    "ml_confusion_metrics",
-    "ml_roc_auc",
-    "ml_calibration_bins",
-    "ml_isotonic_calibration",
-    "ml_cluster_nmi",
-    "ml_brier_score",
-    "ml_ece",
-    "ml_f1_threshold_sweep",
-    "ml_fairness_report",
-    "ml_matthews_corr",
-    "ml_log_loss",
-    "ml_hosmer_lemeshow",
-    "ml_fleiss_kappa",
-    "ml_chi2_select",
-    "ml_ks_separation",
-    "ml_auc_delong_ci",
-    "ml_gini_impurity_split",
-    "ml_silhouette_simplified",
-    "ml_weighted_kappa",
-    "ml_multiclass_f1",
-    "embed_intrinsic_dim",
-    "ml_brier_decomposition",
-    "embed_procrustes_2d",
-    "multimodal_wav_header",
-    "udtf_polymorphic",
-    "sql_entry_agg",
-    "sql_entry_window",
-    "sql_entry_lateral",
-    "sql_entry_recursive",
-    "sql_entry_group_by_all",
-    "sql_entry_pipe",
-    "sql_entry_unpivot",
-    "sql_entry_distribute_by",
-    "sql_entry_parameterized",
+    # Positions 1-41 — stale-changed re-attests, leading with the two
+    # r14/r15-changed keys (stat_hoeffding_d: enforced DECIMAL cap;
+    # sql_entry_cache_table: tracked release), then the ten r13
+    # persist-flip keys, one representative per repaired shared helper
+    # (etl_pk_discovery, _te, _ivf_ranked_cells/capped_centroids,
+    # trade_edges, pairwise_set_overlap, _score_cdf_grid, _ts_dense,
+    # _bm25_scores), then the stat and dedup/pipeline tiers.
+    "stat_hoeffding_d",
     "sql_entry_cache_table",
-    "sql_entry_filter_clause",
-    "sql_entry_lateral_alias",
-    "sql_entry_exists",
-    "sql_entry_values",
-    "sql_entry_offset",
-    "sql_entry_named_window",
     "dedup_substring_spans",
     "text_contamination_check",
     "multimodal_frame_dedup",
@@ -162,16 +101,151 @@ DRIVER_WINDOW: list[str] = [
     "dedup_threshold_sweep",
     "pipeline_curate_e2e",
     "pipeline_training_mix",
+    # Positions 42-50 — the 9 never-driver-checked keys (the sql_entry
+    # tail + the three r14 wave-A keys); backlog reaches 0 here.
+    "sql_entry_filter_clause",
+    "sql_entry_lateral_alias",
+    "sql_entry_exists",
+    "sql_entry_values",
+    "sql_entry_offset",
+    "sql_entry_named_window",
+    "ml_krippendorff_alpha",
+    "embed_mmd_linear",
+    "stat_taylor_law",
+    # Positions 51+ — the remainder of the stale-changed queue in
+    # tools/stale_queue.py order (oldest debt included: keys whose
+    # narrow helpers changed in r3-r12 after their only attestation).
+    # A longer driver prefix drains more; otherwise these cycle
+    # through the r16+ windows.
     "pipeline_seq_pack",
     "text_self_bleu",
     "ml_auc_pr",
     "ml_ndcg_eval",
     "ml_lift_gains",
-    # r14 wave A (added after the rotation above; leads the r15
-    # window if still unattested then):
-    "ml_krippendorff_alpha",
-    "embed_mmd_linear",
-    "stat_taylor_law",
+    "source_stream_files",
+    "sink_stream",
+    "stream_watermark",
+    "stream_stateful",
+    "dedup_minhash",
+    "source_csv",
+    "source_json",
+    "sink_parquet",
+    "sink_csv_json",
+    "source_text",
+    "scan_schema_merge",
+    "source_csv_corrupt",
+    "sink_partition_overwrite",
+    "sink_python_ds",
+    "join_nearest_time",
+    "join_fuzzy_names",
+    "agg_kmv_setops",
+    "sort_zorder",
+    "join_bucketed",
+    "etl_quality_report",
+    "etl_column_entropy",
+    "etl_t_closeness",
+    "events_funnel",
+    "events_concurrency",
+    "events_pareto",
+    "orders_market_basket",
+    "events_rfm",
+    "events_gini",
+    "events_seasonal_decompose",
+    "events_theil_sen",
+    "events_autocorr",
+    "events_changepoint",
+    "events_holt",
+    "events_forecast_backtest",
+    "events_mix_shift",
+    "events_anomaly_mad",
+    "events_funnel_constrained",
+    "events_markov_stationary",
+    "events_rolling_slope",
+    "events_volatility_band",
+    "orders_abc_analysis",
+    "events_var_cvar",
+    "events_retention_halflife",
+    "events_sax_symbolic",
+    "events_holt_winters",
+    "orders_backlog_aging",
+    "events_lorenz_curve",
+    "events_ljung_box",
+    "events_time_to_convert",
+    "orders_abc_migration",
+    "events_logrank_test",
+    "events_hmm_viterbi",
+    "events_attribution_shapley",
+    "events_reliability_growth",
+    "events_classical_decomposition",
+    "events_cuped",
+    "agg_weighted_percentile",
+    "stat_chi2_test",
+    "stat_kendall_tau",
+    "stat_cvm_test",
+    "stat_cramers_v",
+    "stat_qq_table",
+    "stat_cooks_distance",
+    "stat_hodges_lehmann",
+    "stat_theil_decomposition",
+    "stat_winsorized_trimmed",
+    "stat_mad_robust_scale",
+    "stat_cliffs_delta",
+    "stat_ansari_bradley",
+    "stat_lilliefors",
+    "stat_kpss",
+    "stat_adf",
+    "stat_tail_index_hill",
+    "stat_two_way_anova",
+    "stat_dunn_posthoc",
+    "stat_seasonal_mann_kendall",
+    "stat_kuiper_test",
+    "stat_cucconi",
+    "stat_ccf",
+    "stat_white_test",
+    "stat_cointegration_eg",
+    "stat_quade_test",
+    "stat_siegel_slopes",
+    "stat_watson_u2",
+    "stat_cox_stuart",
+    "stat_page_trend",
+    "stat_ridit",
+    "stat_g_test",
+    "stat_runs_up_down",
+    "stat_sprt_ab",
+    "stat_pettitt",
+    "text_fingerprint",
+    "text_bigram_freq",
+    "text_lm_score",
+    "text_ngram_novelty",
+    "pipeline_curriculum",
+    "text_js_divergence",
+    "text_kn_lm_score",
+    "text_zipf_fit",
+    "text_burrows_delta",
+    "text_pmi_collocations",
+    "text_vocab_coverage_curve",
+    "ml_woe_iv",
+    "ml_mutual_info",
+    "ml_gbm_histogram",
+    "ml_class_weights",
+    "ml_target_encoding_cv",
+    "ml_naive_bayes",
+    "graph_triangles",
+    "stream_foreach_batch",
+    "stream_kafka_wire",
+    "stream_stream_join",
+    "dedup_ngram_jaccard",
+    "dedup_cluster",
+    "dedup_contamination",
+    "text_near_dup_cluster",
+    "dedup_containment",
+    "sim_topk_diverse",
+    "sim_kmeans_refine",
+    "embed_gram_power_iter",
+    "embed_expert_routing",
+    "embed_hubness_stats",
+    "embed_cka_halves",
+    "embed_triplet_mining",
 ]
 
 
