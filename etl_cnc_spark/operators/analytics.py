@@ -267,16 +267,30 @@ def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-user history cap (VERDICT r14 item 4): bounds the collected
+# state to 4096 one-char events (~4 KB per aggregation buffer), so
+# the census classifies the collect as cap-bounded instead of a
+# documented trade.  Truncation semantics — the FIRST 4096 events by
+# (ts, event_id) — are mirrored exactly in the oracle, so hash parity
+# holds even at scales where the cap binds (fixture max is 99
+# events/user at sf0.1, so fixture results are unchanged).
+_SEQ_MAX_EVENTS = 4096
+
+
 @register(
     "events_sequence_match",
-    oracle="""
-    WITH seq AS (
+    oracle=f"""
+    WITH ranked AS (
         SELECT user_id,
-               string_agg(CASE event_type WHEN 'view' THEN 'v'
-                          WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
-                          WHEN 'signup' THEN 's' ELSE 'e' END, ''
-                          ORDER BY ts, event_id) AS s
-        FROM events GROUP BY user_id
+               CASE event_type WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    WHEN 'signup' THEN 's' ELSE 'e' END AS ch,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), seq AS (
+        SELECT user_id, string_agg(ch, '' ORDER BY rn) AS s
+        FROM ranked WHERE rn <= {_SEQ_MAX_EVENTS} GROUP BY user_id
     )
     SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
            regexp_matches(s, 'v.*c.*p') AS funnel_vcp,
@@ -291,14 +305,18 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ClickHouse sequenceMatch / windowFunnel family): each user's
     time-ordered event types compress to a one-char-per-event string,
     and funnels become regexes — 'v.*c.*p' is view→click→purchase in
-    order. One groupBy builds the sequence (sort_array of (ts, id,
-    char) structs gives deterministic order under ties without a
-    window shuffle), then pattern checks are per-row regex — trivially
-    parallel however many users.
+    order. A user-partitioned row_number caps each history at
+    _SEQ_MAX_EVENTS BEFORE the collect (first events by (ts,
+    event_id)), so the aggregation buffer is bounded by the constant —
+    never data-scaled — and the groupBy reuses the window's hash
+    partitioning on user_id (one shuffle total). sort_array over the
+    (rn, char) structs keeps the order deterministic; pattern checks
+    are per-row regex — trivially parallel however many users.
 
-    At 100 TB the per-user string is bounded by history length;
-    for unbounded histories the same shape runs windowed (sessionized
-    sequences) or with a max-events cap pushed into a slice()."""
+    At 100 TB a pathological user's history truncates to the cap
+    identically on both engines; for full-history semantics over
+    unbounded histories the same shape runs windowed (sessionized
+    sequences)."""
     e = table(spark, sf_dir, "events")
     ch = (
         F.when(F.col("event_type") == "view", "v")
@@ -307,14 +325,18 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", "s")
         .otherwise("e")
     )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        e.select("user_id", "ts", "event_id", ch.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SEQ_MAX_EVENTS)
+    )
     seq = (
-        e.select(
+        capped.select(
             "user_id",
-            F.struct(
-                F.col("ts").alias("ts"),
-                F.col("event_id").alias("event_id"),
-                ch.alias("c"),
-            ).alias("ev"),
+            F.struct(F.col("rn").alias("rn"), F.col("c").alias("c")).alias(
+                "ev"
+            ),
         )
         .groupBy("user_id")
         .agg(

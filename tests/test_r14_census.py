@@ -16,8 +16,9 @@ Bound classes:
   buckets, 5x5 pair grids, PQ codebooks, 64 dims, <=10 labels,
   SHARD_SIZE manifest shards, 32 simhash bits).
 - documented-trade: data-scaled by design WITH the mitigation stated
-  in the key's docstring (events_sequence_match's per-user history —
-  sessionize or slice()-cap for unbounded histories).
+  in the key's docstring.  Empty since r15: events_sequence_match —
+  the one such row — now enforces its per-user cap in code (rn <=
+  _SEQ_MAX_EVENTS pre-filter) and reclassified as frame-bounded.
 """
 
 from __future__ import annotations
@@ -34,8 +35,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/stats.py", "stat_hampel_filter"): "frame: rolling days on the daily grid",
     ("operators/stats.py", "stat_bradley_terry"): "grid: 5x5 event-type pair wins",
     ("operators/analytics.py", "events_sequence_match"): (
-        "documented-trade: per-user history; docstring states the"
-        " sessionize/slice() cap for unbounded histories"
+        "frame: rn<=_SEQ_MAX_EVENTS pre-filter bounds each user's"
+        " collected history at 4096 chars (r15: the former"
+        " documented-trade row, now cap-enforced in code)"
     ),
     ("operators/analytics.py", "events_cusum"): "grid: daily",
     ("operators/analytics.py", "events_conversion_paths"): "frame: rpos<=3 pre-filter",

@@ -191,3 +191,32 @@ def test_bench_compare_baseline_matches_registry_bench_set():
     # rendered value is pinned in BASELINE.md prose
     assert bc.BASELINE_TOTAL == round(sum(bc.BASELINE.values()), 3)
     assert abs(bc.BASELINE_TOTAL - 16.540) < 1e-9
+
+
+# ------------------------- 5. sequence-match cap (VERDICT r14 item 4)
+
+
+def test_sequence_match_cap_binds_identically_on_both_engines(spark, sf_dir):
+    """When the per-user history cap binds, BOTH engines truncate to
+    the first N events by (ts, event_id) — shrink the cap via the
+    shared module constant and compare full results."""
+    from etl_cnc_spark.operators import analytics
+
+    orig = analytics._SEQ_MAX_EVENTS
+    try:
+        analytics._SEQ_MAX_EVENTS = 5  # far below the fixture max
+        got = sorted(
+            tuple(r)
+            for r in REGISTRY["events_sequence_match"]
+            .build(spark, sf_dir)
+            .collect()
+        )
+    finally:
+        analytics._SEQ_MAX_EVENTS = orig
+    sql = REGISTRY["events_sequence_match"].oracle.replace(
+        f"rn <= {orig}", "rn <= 5"
+    )
+    con = duckdb_connect(sf_dir)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+    assert max(r[1] for r in got) == 5  # the cap actually bound
