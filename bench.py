@@ -6,6 +6,13 @@ Runs the flagship query set at ``$SPARK_GRAFT_SF_DIR`` (default
 1 warm-up + 3 timed runs, median wall-clock around ``.collect()``.
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--probe`` (VERDICT r14 item 8) additionally writes per-query host
+forensics to STDERR — 1-minute load average sampled right before each
+query's timed runs plus the individual run times — so a contended
+bench run carries its own steal attribution instead of needing
+interleaved by-hand reruns.  Stdout stays the one JSON line either
+way (the driver's contract).
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ N_TIMED = 3
 
 
 def main() -> int:
+    probe = "--probe" in sys.argv[1:]
     reg = load_all()
     bench_keys = [k for k, q in sorted(reg.items()) if q.bench]
     spark = get_spark("etl-cnc-bench")
@@ -34,12 +42,24 @@ def main() -> int:
     for key in bench_keys:
         build = reg[key].build
         build(spark, SF_DIR).collect()  # warm-up (JIT, code cache, FS cache)
+        load1 = os.getloadavg()[0]
         runs = []
         for _ in range(N_TIMED):
             t0 = time.perf_counter()
             build(spark, SF_DIR).collect()
             runs.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(runs), 3)
+        if probe:
+            print(
+                json.dumps(
+                    {
+                        "query": key,
+                        "load1_before": round(load1, 2),
+                        "runs": [round(r, 3) for r in runs],
+                    }
+                ),
+                file=sys.stderr,
+            )
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
