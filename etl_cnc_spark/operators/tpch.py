@@ -807,10 +807,19 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned an Expand (2x shuffle width, double aggregation). r12
     interleaved 8-run A/B at sf0.1: 0.691 s vs 0.957 s median.
 
-    One lineitem⋈orders shuffle builds the late-flag frame (its two
-    consumers each replan it — at 100 TB persist/cache `lo` if the
-    join dominates; measured a wash at local scale); supplier is
-    broadcastable."""
+    r15 (guide §2.4, remove the second pass outright): the old plan
+    joined the late-row frame BACK to the per-order stats to count
+    each late lineitem — lineitem⋈orders ran twice (two 3-task
+    ~200 ms stages + a ~1 MB shuffle each at sf0.1; two full fact
+    passes at 100 TB).  But when "exactly one distinct late supplier"
+    holds, EVERY late row of the order belongs to that supplier
+    (mn_l = mx_l), so the join-back is redundant: fold the late-row
+    count into the same aggregate (``n_late_rows = count_if(late)``)
+    and emit ``sum(n_late_rows)`` per supplier.  One fact pass, one
+    shuffle, and the supplier join now sees one row per qualifying
+    order instead of one per late lineitem.  Hash parity vs the
+    unchanged count(*) oracle proves the equivalence; 8-run A/B at
+    sf0.1: 0.846 s → 0.628 s median (see OPTIMIZATION_r15.md)."""
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
     lo = (
@@ -830,19 +839,18 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_suppkey").alias("mx_s"),
         F.min(late_s).alias("mn_l"),
         F.max(late_s).alias("mx_l"),
+        F.count_if(F.col("late")).cast("long").alias("n_late_rows"),
     )
     s = table(spark, sf_dir, "supplier")
     return (
-        lo.join(st, "l_orderkey")
-        .where(
-            F.col("late")
-            & (F.col("mn_s") != F.col("mx_s"))
+        st.where(
+            (F.col("mn_s") != F.col("mx_s"))
             & F.col("mn_l").isNotNull()
             & (F.col("mn_l") == F.col("mx_l"))
         )
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("mn_l") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
