@@ -24,3 +24,12 @@ def test_q21_single_fact_pass(spark, sf_dir):
     assert len(scans) == 3, plan  # lineitem, orders, supplier — once each
     # the distinct-count rewrite from r12 must survive too
     assert node_count(plan, "Expand") == 0, plan
+
+
+def test_cindex_single_fact_scan(spark, sf_dir):
+    """r15: the (t, s) cell grid is persist()ed — its three consumers
+    (dt spine, ds spine, dense left join) share one events scan + one
+    per-user aggregate instead of replaying the fact lineage 3x."""
+    plan = plan_of("ml_survival_cindex", spark, sf_dir)
+    assert node_count(plan, "Scan parquet") == 1, plan
+    assert "InMemoryRelation" in plan, plan
