@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import q4, sql_q4
+from ..utils import q4, spread_scan, sql_q4
 from .dedup import _SQL_CENT_STEP, _SQL_DOT, _SQL_NORM2, _dot64, _norm2, capped_centroids
 
 N_QUERIES = 50
@@ -53,7 +53,14 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries are always the small side); dot products are JVM-side
     higher-order-function folds — no Python, no UDF. Ranking uses the
     raw double cosine (bitwise identical to the oracle's fold) with
-    cid as tie-break."""
+    cid as tie-break.
+
+    r15: the candidate side goes through ``spread_scan`` — the Q·N·d
+    fold is compute-dense but the embeddings file is byte-small, so
+    the scan planned ONE split and the whole fold ran on one task
+    (704 ms single-task stage at sf0.1, 31 cores idle).  The helper
+    repartitions only while the file would plan fewer splits than the
+    shuffle parallelism, so at production scale it is a no-op."""
     e = table(spark, sf_dir, "embeddings")
     # Pre-compute each side's squared norm BEFORE the join: one fold per
     # row (N+Q folds) instead of two folds per pair (2·N·Q) — the values
@@ -63,7 +70,7 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         _norm2(F.col("embedding")).alias("qn2"),
     )
-    c = e.select(
+    c = spread_scan(e, sf_dir, "embeddings", "vec_id").select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         _norm2(F.col("embedding")).alias("cn2"),

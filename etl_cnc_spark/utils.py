@@ -24,14 +24,71 @@ nondeterministic run to run.
 from __future__ import annotations
 
 import atexit
+import math
+import os
+import re
 import shutil
 import tempfile
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 _STABLE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark size conf ('134217728', '128m', '1g', '4MB')."""
+    m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", conf_val.strip().lower())
+    if not m:
+        return int(conf_val)
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+            "t": 1 << 40, "p": 1 << 50}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def spread_scan(df: DataFrame, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Hash-repartition a scan-backed frame on ``key`` — but ONLY when
+    its parquet file would plan fewer scan splits than the session's
+    shuffle parallelism (guide §2.5 "input skew: one huge unsplittable
+    file → repartition immediately after the read").
+
+    Why: scan splits are sized by INPUT BYTES
+    (``spark.sql.files.maxPartitionBytes``), so a compute-dense
+    downstream stage (per-row higher-order-function folds over wide
+    array columns — the similarity family's dot products) inherits
+    byte-sized parallelism: a sub-128 MB file plans ONE task and
+    serializes the whole fold while the rest of the cluster idles
+    (measured: sim_topk_exact's 100 k-pair fold ran 704 ms on 1 task
+    at sf0.1).
+
+    The decision is PURE METADATA (os.path file size vs two session
+    confs — no job, no plan compile) and SCALE-ADAPTIVE: once the
+    input exceeds maxPartitionBytes x shuffle.partitions the scan
+    already plans enough splits and this returns ``df`` unchanged, so
+    a 100 TB run never pays an extra pass.  Hash partitioning on a
+    real column is deterministic under retries (never round-robin on
+    nondeterministic input).  Known limit: a small-bytes decision can
+    under-trigger for a single-row-group file that Spark cannot split
+    anyway — exactly the case where the repartition helps most, and
+    file size catches it."""
+    spark = df.sparkSession
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df  # non-local path (object store): scan sizing unknown
+    mpb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if math.ceil(size / mpb) >= parts:
+        return df
+    # explicit numPartitions: a bare repartition(col) is a coalescible
+    # REPARTITION_BY_COL whose ~KB-sized shuffle AQE folds straight
+    # back to ONE partition (measured: the shuffle was paid and the
+    # fold stayed serial); the user-specified count is respected.
+    return df.repartition(parts, key)
 
 
 def tmpdir(prefix: str, *, stable: bool = False, key: str = "") -> str:

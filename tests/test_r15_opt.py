@@ -33,3 +33,52 @@ def test_cindex_single_fact_scan(spark, sf_dir):
     plan = plan_of("ml_survival_cindex", spark, sf_dir)
     assert node_count(plan, "Scan parquet") == 1, plan
     assert "InMemoryRelation" in plan, plan
+
+
+def test_spread_scan_small_file_repartitions(spark, sf_dir):
+    """r15: a byte-small scan feeding a compute-dense fold is spread
+    to the session's shuffle parallelism with a PINNED partition count
+    (a bare repartition(col) is AQE-coalescible and measured useless)."""
+    from etl_cnc_spark.catalog import table
+    from etl_cnc_spark.utils import spread_scan
+
+    e = table(spark, sf_dir, "embeddings")
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = spread_scan(e, sf_dir, "embeddings", "vec_id")
+    assert out.rdd.getNumPartitions() == parts
+
+
+def test_spread_scan_big_file_noop(spark, sf_dir):
+    """r15: once the file plans >= shuffle.partitions scan splits the
+    helper returns the frame UNCHANGED — at production scale no extra
+    shuffle is ever paid (simulated by shrinking maxPartitionBytes so
+    the fixture file counts as 'big')."""
+    from etl_cnc_spark.catalog import table
+    from etl_cnc_spark.utils import spread_scan
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        e = table(spark, sf_dir, "embeddings")
+        out = spread_scan(e, sf_dir, "embeddings", "vec_id")
+        assert out is e
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_spread_scan_size_parser():
+    from etl_cnc_spark.utils import _size_bytes
+
+    assert _size_bytes("134217728b") == 128 << 20
+    assert _size_bytes("128m") == 128 << 20
+    assert _size_bytes("128MB") == 128 << 20
+    assert _size_bytes("1g") == 1 << 30
+    assert _size_bytes("4096") == 4096
+
+
+def test_topk_exact_fold_is_spread(spark, sf_dir):
+    """r15: sim_topk_exact's candidate side carries the spread-scan
+    exchange, so the Q·N·d fold no longer runs on one byte-sized
+    scan split."""
+    plan = plan_of("sim_topk_exact", spark, sf_dir)
+    assert "hashpartitioning(vec_id" in plan, plan
