@@ -782,14 +782,29 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # desc, 2 = monetary desc — descending metrics negate their
     # value, so every metric sorts (value asc, user_id asc) and ties
     # break identically to the oracle's per-metric ntile ORDER BY.
-    melted = (
-        base.select("user_id", F.lit(0).alias("_m"),
-                    (-F.col("last_day")).alias("_v"))
-        .unionByName(base.select("user_id", F.lit(1).alias("_m"),
-                                 (-F.col("frequency")).alias("_v")))
-        .unionByName(base.select("user_id", F.lit(2).alias("_m"),
-                                 (-F.col("monetary_cents")).alias("_v")))
-    )
+    # r15: ONE explode of a 3-struct array instead of a 3-way union
+    # of per-metric selects — the union read the cached rollup three
+    # times and EMBEDDED its lineage three times, tripling the
+    # analyzer/optimizer work (the profile showed a ~1.6 s zero-stage
+    # planning gap at sf0.1); the generator melts in one pass over
+    # one cache read with an identical (user_id, _m, _v) output.
+    melted = base.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("_m"), (-F.col("last_day")).alias("_v")
+                ),
+                F.struct(
+                    F.lit(1).alias("_m"), (-F.col("frequency")).alias("_v")
+                ),
+                F.struct(
+                    F.lit(2).alias("_m"),
+                    (-F.col("monetary_cents")).alias("_v"),
+                ),
+            )
+        ).alias("_mv"),
+    ).select("user_id", F.col("_mv._m").alias("_m"), F.col("_mv._v").alias("_v"))
     # Composite ordered bucket key: metric index in the high bits, the
     # value normalized to a common [0, 2^20) grid in the low bits (per-
     # metric span differs by orders of magnitude — raw values would
@@ -828,6 +843,13 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key spans [0, 3·grid).  Passing static bounds lets the prefix
     # machine skip its global min/max pass + broadcast (one fewer
     # stage wave; small-input latency is stage-bound).
+    # r15: persist() — the prefix machine consumes `keyed` TWICE
+    # (the per-bucket window and the per-bucket totals), so uncached
+    # both branches replay the melt + stats crossJoin and the plan
+    # embeds that lineage twice (planning is half this query's local
+    # wall time; at scale it is a second pass over the melted rows).
+    # Lineage kept (SCALE.md rule); released at the next key's build.
+    keyed = keyed.persist()
     ranked = global_ordered(
         keyed,
         [F.col("_ck"), F.col("_v"), F.col("user_id")],

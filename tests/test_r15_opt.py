@@ -82,3 +82,12 @@ def test_topk_exact_fold_is_spread(spark, sf_dir):
     scan split."""
     plan = plan_of("sim_topk_exact", spark, sf_dir)
     assert "hashpartitioning(vec_id" in plan, plan
+
+
+def test_rfm_melts_with_one_generate(spark, sf_dir):
+    """r15: the metric melt is ONE explode of a 3-struct array (a
+    single Generate node over one cache read), not a 3-way union of
+    per-metric selects that tripled the rollup lineage in the plan."""
+    plan = plan_of("events_rfm", spark, sf_dir)
+    assert node_count(plan, "Generate") == 1, plan
+    assert node_count(plan, "Union") == 0, plan
