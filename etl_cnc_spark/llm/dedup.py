@@ -507,9 +507,16 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("doc_id").alias("doc_a"), "fp")
     b = d.select(F.col("doc_id").alias("doc_b"), "fp")
     pairs = a.join(b, "fp").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
+    # r15: explode-symmetrize (one pass over pairs) — the 2-way union
+    # consumed `pairs` twice and replayed the fingerprint self-join.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
     labels = min_label_components(edges)
     return labels.select(F.col("nid").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -1045,11 +1052,22 @@ def text_near_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = mh.where(F.col("est_jaccard") >= NEARDUP_TAU).select(
         "doc_a", "doc_b"
     )
+    # r15: symmetrize with ONE explode instead of a 2-way union — the
+    # union consumed `pairs` twice, so the whole candidate chain
+    # (bucket join + 16-slot md5 estimate aggregate) executed twice
+    # per run (two identical ~2.5 s-exRun stages in the profile).
     edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
     labels = min_label_components(edges)
     return labels.select(
         F.col("nid").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -91,3 +91,13 @@ def test_rfm_melts_with_one_generate(spark, sf_dir):
     plan = plan_of("events_rfm", spark, sf_dir)
     assert node_count(plan, "Generate") == 1, plan
     assert node_count(plan, "Union") == 0, plan
+
+
+def test_cluster_edges_symmetrize_without_union(spark, sf_dir):
+    """r15: the symmetric edge frames are one explode over the pair
+    frame — the 2-way union consumed `pairs` twice and re-executed
+    the whole candidate chain (bucket join + md5 estimate aggregate)
+    per run (two identical heavy stages in the profile)."""
+    for key in ("text_near_dup_cluster", "dedup_cluster"):
+        plan = plan_of(key, spark, sf_dir)
+        assert node_count(plan, "Union") == 0, (key, plan)
