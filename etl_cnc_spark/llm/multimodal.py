@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ..utils import q4
+from ..utils import q4, spread_scan
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,6 +534,12 @@ def multimodal_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir).where(
         F.col("doc_id") % ENE_DOC_MOD == 0
     ).select("doc_id", "payload")
+    # r15 (guide §2.5): the Arrow decode+fold pass is compute-dense
+    # but the documents file is byte-small, so the scan planned ONE
+    # split and the whole Python pass ran on one task (354 ms stage at
+    # sf0.1).  spread_scan repartitions only while the file would plan
+    # fewer splits than the shuffle parallelism — a no-op at scale.
+    p = spread_scan(p, sf_dir, "documents", "doc_id")
     frames = p.mapInPandas(
         _energy_batches, "doc_id long, frame long, energy long"
     )
