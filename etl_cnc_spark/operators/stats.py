@@ -2390,18 +2390,22 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
             F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # cum is the same grid-sized frame with two consumers (itself and
-    # its rank+1 shift) — one more lazy checkpoint halves the prefix
-    # machinery
+    # its rank+1 shift).  r15: both reuse points moved from lazy
+    # localCheckpoint to persist() — the checkpoint's RDD
+    # materialization BARRIER serializes the stage pipeline (the
+    # cindex A/B measured the same swap), while the cache shares one
+    # computation with lineage kept; the r14 release wrapper bounds
+    # the cache to this key's lifetime.
     cum = global_ordered(
         grid,
         [F.col("v_cents")],
         bucket_key="v_cents",
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col="rk",
-    ).localCheckpoint(eager=False)
+    ).persist()
     nxt = cum.select((F.col("rk") - 1).alias("rk"), F.col("v_cents").alias("v_next"))
     totals = grid.agg(
         F.sum("c1").cast("long").alias("n1"),

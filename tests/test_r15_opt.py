@@ -93,6 +93,16 @@ def test_rfm_melts_with_one_generate(spark, sf_dir):
     assert node_count(plan, "Union") == 0, plan
 
 
+def test_wasserstein_cached_grid_single_scan(spark, sf_dir):
+    """r15: the cents grid and the cumulative frame are persist()ed
+    (not lazily checkpointed) — consumers share one computation
+    without the RDD materialization barrier, and the single events
+    scan stays visible to plan audits."""
+    plan = plan_of("stat_wasserstein_1d", spark, sf_dir)
+    assert node_count(plan, "Scan parquet") == 1, plan
+    assert "InMemoryRelation" in plan, plan
+
+
 def test_cluster_edges_symmetrize_without_union(spark, sf_dir):
     """r15: the symmetric edge frames are one explode over the pair
     frame — the 2-way union consumed `pairs` twice and re-executed
