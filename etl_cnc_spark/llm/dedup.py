@@ -725,23 +725,20 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sig.select(
         F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"), F.col("mh").alias("mhb")
     )
-    cand = (
+    # r15 (guide §2.4): the bucket join ALREADY enumerates exactly the
+    # matching signature components — one row per (pair, h) with equal
+    # mh — so the per-pair match count IS count(*) of the join output.
+    # The old shape re-derived it the oracle's way: distinct candidate
+    # pairs, then TWO more joins back to the signature table and a
+    # filtered count over all 16 slots — three extra shuffles
+    # (distinct + 2 joins) for a value the first join already carries.
+    # The oracle deliberately keeps its literal re-join formulation;
+    # hash parity proves the equivalence.
+    est = (
         a.join(b, (F.col("ha") == F.col("hb")) & (F.col("mha") == F.col("mhb")))
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("da"), "h", F.col("mh").alias("mha"))
-    sb = sig.select(F.col("doc_id").alias("db"), F.col("h").alias("h2"), F.col("mh").alias("mhb"))
-    est = (
-        cand.join(sa, F.col("doc_a") == F.col("da"))
-        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("h2") == F.col("h")))
         .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.count(F.when(F.col("mha") == F.col("mhb"), 1)).cast("double") / 16
-            ).alias("est_j")
-        )
+        .agg((F.count(F.lit(1)).cast("double") / 16).alias("est_j"))
     )
     return est.select("doc_a", "doc_b", q4(F.col("est_j")).alias("est_jaccard"))
 

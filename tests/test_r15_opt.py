@@ -93,6 +93,24 @@ def test_rfm_melts_with_one_generate(spark, sf_dir):
     assert node_count(plan, "Union") == 0, plan
 
 
+def test_minhash_estimate_single_join(spark, sf_dir):
+    """r15: est_jaccard comes straight from the bucket join's per-pair
+    row count — the old distinct + two re-joins against the signature
+    table are gone, so exactly ONE join remains in the plan."""
+    plan = plan_of("dedup_minhash_relational", spark, sf_dir)
+    joins = sum(
+        node_count(plan, n)
+        for n in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+    )
+    assert joins == 1, plan
+
+
 def test_wasserstein_cached_grid_single_scan(spark, sf_dir):
     """r15: the cents grid and the cumulative frame are persist()ed
     (not lazily checkpointed) — consumers share one computation
