@@ -1815,11 +1815,28 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r")
             )
+            # r15: raw has TWO consumers (the max rescale aggregate and
+            # the rescaled x), so uncached each iteration evaluates its
+            # predecessor twice — 2^ITER replays of the innermost step
+            # (measured 3.3 s at sf0.01 for a 25-node graph).  One
+            # bounded persist per iteration makes the unrolled plan
+            # linear again; lineage kept, released at the next key.
+            # coalesce(1) first: the state is nation-keyed (≤25 rows at
+            # ANY fact scale) but inherits 16 shuffle partitions, and a
+            # CACHED partitioning is frozen past AQE coalescing — so
+            # every downstream wave of this 25-row loop was 16 tasks of
+            # scheduling overhead.  One partition of metadata is the
+            # right layout at every scale; no shuffle is added.
+            .coalesce(1)
+            .persist()
         )
         mx = raw.agg(F.max("r").alias("mx"))
         x = raw.crossJoin(F.broadcast(mx)).select(
             "v", F.expr(f"r * {_EV_SCALE}L DIV mx").alias("x")
         )
+    # the final x also has two consumers (the share total and the
+    # output projection) — one more bounded persist
+    x = x.persist()
     tot = x.agg(F.sum("x").alias("tot"))
     return x.crossJoin(F.broadcast(tot)).select(
         F.col("v").alias("nationkey"),
