@@ -471,7 +471,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.range(1).select(
         F.lit(BFS_SRC).cast("long").alias("v"), F.lit(0).cast("long").alias("dist")
     )
-    e2 = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    # r15: persist the sparsified edge list once — each round's
+    # broadcast otherwise replays the top-k window pass (4x); the
+    # frame is nation-bounded (≤ 25·BFS_TOPK rows at any fact scale),
+    # so one metadata partition is the right layout at every scale.
+    e2 = (
+        edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+        .coalesce(1)
+        .persist()
+    )
     for _ in range(BFS_ROUNDS):
         expanded = dist.join(
             F.broadcast(e2), F.col("v") == F.col("eu")
@@ -483,6 +491,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(expanded)
             .groupBy("v")
             .agg(F.min("dist").cast("long").alias("dist"))
+            # r15: dist has TWO consumers per round (the union branch
+            # and the frontier expansion), so the unrolled plan
+            # replayed the innermost round 2^BFS_ROUNDS times — the
+            # eigenvector-centrality bug class.  One bounded persist
+            # per round makes the unroll linear; coalesce(1) because
+            # a cached 16-partition layout of ≤25 rows is frozen past
+            # AQE coalescing and floods every wave with empty tasks.
+            .coalesce(1)
+            .persist()
         )
     return dist
 
@@ -1430,7 +1447,18 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = nodes.select(
         "src", F.col("src").alias("v"), F.lit(0).cast("long").alias("dist")
     )
-    e2 = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    # r15: same two fixes as graph_bfs_distance — persist the
+    # sparsified edges once (each round's broadcast replayed the
+    # top-k window), and persist each round's frontier, which has TWO
+    # consumers (union branch + expansion), so the unroll replayed
+    # the innermost round 2^BFS_ROUNDS times.  Frames are
+    # nation-bounded (≤ 25·25 rows); one partition is right at any
+    # fact scale.
+    e2 = (
+        edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+        .coalesce(1)
+        .persist()
+    )
     for _ in range(BFS_ROUNDS):
         expanded = dist.join(F.broadcast(e2), F.col("v") == F.col("eu")).select(
             "src",
@@ -1441,6 +1469,8 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(expanded)
             .groupBy("src", "v")
             .agg(F.min("dist").cast("long").alias("dist"))
+            .coalesce(1)
+            .persist()
         )
     return dist.groupBy("src").agg(
         F.count_if(F.col("dist") > 0).cast("long").alias("n_reached"),

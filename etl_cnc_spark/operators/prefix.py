@@ -179,6 +179,14 @@ def global_ordered(
                 ),
             )
         )
+    # r15: the bucketed frame has TWO consumers (the per-bucket window
+    # below and the per-bucket totals) — uncached, both replay the
+    # caller's whole upstream lineage, so every prefix-machine user
+    # paid its input twice (and the no-bounds path a third time for
+    # the min/max pass).  persist() shares one computation across the
+    # branches; lineage is kept (SCALE.md data-scaled rule) and the
+    # registry release wrapper bounds the cache to the calling key.
+    bucketed = bucketed.persist()
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = bucketed.withColumn("_lrk", F.row_number().over(w).cast("long"))
