@@ -186,7 +186,14 @@ def global_ordered(
     # the min/max pass).  persist() shares one computation across the
     # branches; lineage is kept (SCALE.md data-scaled rule) and the
     # registry release wrapper bounds the cache to the calling key.
-    bucketed = bucketed.persist()
+    # Only inside a registered build: a direct caller (tests, host
+    # code) has no release point, and an untracked entry would sit in
+    # the CacheManager for the session's lifetime — exactly what the
+    # r14 release discipline exists to prevent.
+    from ..registry import in_registered_build
+
+    if in_registered_build():
+        bucketed = bucketed.persist()
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = bucketed.withColumn("_lrk", F.row_number().over(w).cast("long"))

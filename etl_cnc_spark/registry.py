@@ -361,6 +361,14 @@ _tracked_frames: list[DataFrame] = []  # persisted by the current top key
 _tracked_tables: list[str] = []  # CACHE TABLE names pinned by the key
 
 
+def in_registered_build() -> bool:
+    """True while a registered build is on the stack — shared helpers
+    use this to persist() reuse points ONLY when the release wrapper
+    will reclaim them (a direct caller outside any build would leak
+    the entry in the CacheManager for the session's lifetime)."""
+    return _build_depth > 0
+
+
 def track_sql_cached_table(name: str) -> None:
     """Record a ``CACHE TABLE name`` issued inside a registered build
     so the deterministic release can UNCACHE it (DataFrame-level

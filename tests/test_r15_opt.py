@@ -93,6 +93,31 @@ def test_rfm_melts_with_one_generate(spark, sf_dir):
     assert node_count(plan, "Union") == 0, plan
 
 
+def test_global_ordered_direct_call_leaks_no_cache(spark, sf_dir):
+    """r15: global_ordered persists its bucketed frame ONLY inside a
+    registered build (where the release wrapper reclaims it) — a
+    direct call has no release point, so persisting there would leave
+    a CacheManager entry for the session's lifetime and break the r14
+    release invariant for every later key."""
+    from pyspark.sql import functions as F
+
+    from etl_cnc_spark.operators.prefix import global_ordered
+    from etl_cnc_spark.registry import REGISTRY
+
+    before_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    df = spark.range(50).select(F.col("id").alias("k"))
+    global_ordered(df, [F.col("k")], bucket_key="k").collect()
+    if before_empty:
+        assert (
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        ), "direct global_ordered call must not register a cache entry"
+    # inside a registered build the persist IS taken and released at
+    # the next key's top-level build (the r14 invariant end-to-end)
+    REGISTRY["topk_global"].build(spark, sf_dir).collect()
+    REGISTRY["agg_global"].build(spark, sf_dir).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_minhash_estimate_single_join(spark, sf_dir):
     """r15: est_jaccard comes straight from the bucket join's per-pair
     row count — the old distinct + two re-joins against the signature
