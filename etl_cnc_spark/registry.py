@@ -45,24 +45,42 @@ REGISTRY: dict[str, QueryDef] = {}
 # (catches driver-canonicalization traps: complex-typed output cells
 # break the driver's pandas hasher).
 DRIVER_WINDOW: list[str] = [
-    # r15 rotation (VERDICT r14 item 1). The driver takes a 50-key
-    # prefix; the ordering below supports any prefix length, and the
-    # FULL list is the reproducible stale-changed re-attest queue from
-    # `python tools/stale_queue.py` (a key is stale when its build/
-    # oracle source or a narrow shared helper changed after its last
-    # driver attestation — the r9/r12/r13 "changed keys re-attest"
-    # precedent, now recomputable instead of hand-diffed).
+    # r15 rotation (optimization round). The driver takes a 50-key
+    # prefix; the ordering below supports any prefix length.
     #
-    # Positions 1-41 — stale-changed re-attests, leading with the two
-    # r14/r15-changed keys (stat_hoeffding_d: enforced DECIMAL cap;
-    # sql_entry_cache_table: tracked release), then the ten r13
-    # persist-flip keys, one representative per repaired shared helper
-    # (etl_pk_discovery, _te, _ivf_ranked_cells/capped_centroids,
-    # trade_edges, pairwise_set_overlap, _score_cdf_grid, _ts_dense,
-    # _bm25_scores), then the stat and dedup/pipeline tiers.
+    # Positions 1-19 — changed-keys re-attest (the r9/r12/r13
+    # precedent): the r15 optimization round rewrote 12 builds
+    # outright (single-fact-pass q21, single-join minhash estimate,
+    # explode-melt rfm, spread-scan topk/energy,
+    # persist-not-checkpoint cindex/wasserstein, explode-symmetrized
+    # cluster edges, linearized BFS/eigenvector unrolls) and touched
+    # every prefix-machine caller via global_ordered's persist; the
+    # direct rewrites + their composers lead, after the two
+    # still-unattested r14/r15-changed keys (stat_hoeffding_d:
+    # enforced DECIMAL cap; sql_entry_cache_table: tracked release).
+    #
+    # Positions 20-41 — the prior rotation's stale-changed queue in
+    # `python tools/stale_queue.py` order; positions 42-50 — the 9
+    # never-driver-checked keys, so the backlog still reaches 0 with
+    # a 50-key window.  51+ — the remaining stale queue for r16+.
     "stat_hoeffding_d",
     "sql_entry_cache_table",
+    "tpch_q21",
+    "dedup_minhash_relational",
+    "text_near_dup_cluster",
+    "dedup_cluster",
+    "events_rfm",
+    "sim_topk_exact",
+    "ml_survival_cindex",
+    "stat_wasserstein_1d",
+    "multimodal_energy_segments",
+    "graph_eigenvector_centrality",
+    "graph_bfs_distance",
+    "graph_harmonic_centrality",
+    "graph_pagerank",
     "dedup_substring_spans",
+    "dedup_recall_report",
+    "dedup_threshold_sweep",
     "text_contamination_check",
     "multimodal_frame_dedup",
     "events_kaplan_meier",
@@ -80,29 +98,12 @@ DRIVER_WINDOW: list[str] = [
     "sim_reciprocal_nn",
     "sim_rocchio_feedback",
     "dedup_embedding",
-    "graph_pagerank",
     "graph_jaccard_linkpred",
     "events_user_overlap",
     "text_vocab_overlap",
     "stat_fligner_killeen",
     "stat_newey_west",
     "stat_yule_walker_ar2",
-    "stat_pacf",
-    "stat_periodogram",
-    "stat_kruskal_wallis",
-    "stat_mann_whitney",
-    "stat_ks_test",
-    "stat_anderson_darling",
-    "stat_energy_distance",
-    "stat_moran_i",
-    "stat_geary_c",
-    "dedup_minhash_relational",
-    "dedup_recall_report",
-    "dedup_threshold_sweep",
-    "pipeline_curate_e2e",
-    "pipeline_training_mix",
-    # Positions 42-50 — the 9 never-driver-checked keys (the sql_entry
-    # tail + the three r14 wave-A keys); backlog reaches 0 here.
     "sql_entry_filter_clause",
     "sql_entry_lateral_alias",
     "sql_entry_exists",
@@ -112,11 +113,17 @@ DRIVER_WINDOW: list[str] = [
     "ml_krippendorff_alpha",
     "embed_mmd_linear",
     "stat_taylor_law",
-    # Positions 51+ — the remainder of the stale-changed queue in
-    # tools/stale_queue.py order (oldest debt included: keys whose
-    # narrow helpers changed in r3-r12 after their only attestation).
-    # A longer driver prefix drains more; otherwise these cycle
-    # through the r16+ windows.
+    "stat_pacf",
+    "stat_periodogram",
+    "stat_kruskal_wallis",
+    "stat_mann_whitney",
+    "stat_ks_test",
+    "stat_anderson_darling",
+    "stat_energy_distance",
+    "stat_moran_i",
+    "stat_geary_c",
+    "pipeline_curate_e2e",
+    "pipeline_training_mix",
     "pipeline_seq_pack",
     "text_self_bleu",
     "ml_auc_pr",
@@ -148,7 +155,6 @@ DRIVER_WINDOW: list[str] = [
     "events_concurrency",
     "events_pareto",
     "orders_market_basket",
-    "events_rfm",
     "events_gini",
     "events_seasonal_decompose",
     "events_theil_sen",
@@ -235,9 +241,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_kafka_wire",
     "stream_stream_join",
     "dedup_ngram_jaccard",
-    "dedup_cluster",
     "dedup_contamination",
-    "text_near_dup_cluster",
     "dedup_containment",
     "sim_topk_diverse",
     "sim_kmeans_refine",
