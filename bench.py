@@ -13,6 +13,18 @@ query's timed runs plus the individual run times — so a contended
 bench run carries its own steal attribution instead of needing
 interleaved by-hand reruns.  Stdout stays the one JSON line either
 way (the driver's contract).
+
+r16 protocol fix (VERDICT r15 "what's wrong" #1, additions-only):
+every timed run is now COLD at the Spark cache layer — the tracked
+persist()/cache()/CACHE TABLE entries a build registers are released
+(``registry.release_caches``) between the warm-up and each timed run,
+so a timed run recomputes its persisted subtrees from the parquet
+inputs instead of reading the warm-up's materialized cache.  The
+warm-up still serves its original purpose (JIT, code cache, FS page
+cache).  Queries, timing methodology (median of 3 ``.collect()``
+wall-clocks), env contract and the one-line stdout JSON are
+unchanged; the warm-protocol numbers measured at the same HEAD are
+recorded in OPTIMIZATION_r16.md and the re-freeze note in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -24,7 +36,7 @@ import statistics
 import sys
 import time
 
-from etl_cnc_spark.registry import load_all
+from etl_cnc_spark.registry import load_all, release_caches
 from etl_cnc_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,6 +57,10 @@ def main() -> int:
         load1 = os.getloadavg()[0]
         runs = []
         for _ in range(N_TIMED):
+            # cold-run discipline (r16): drop the tracked cache entries
+            # so this run recomputes persisted subtrees, outside the
+            # timed region (the release is bookkeeping, not the query)
+            release_caches(spark)
             t0 = time.perf_counter()
             build(spark, SF_DIR).collect()
             runs.append(time.perf_counter() - t0)
