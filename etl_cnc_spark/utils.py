@@ -75,13 +75,25 @@ def spread_scan(df: DataFrame, sf_dir: str, name: str, key: str) -> DataFrame:
     spark = df.sparkSession
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        size = os.path.getsize(path)
+        # a parquet table is often a DIRECTORY of part files (the
+        # production layout) — getsize on a dir returns the ~4 KB
+        # dirent size, which would make every table look tiny and the
+        # helper repartition at ANY scale (ADVICE r15, low): sum the
+        # direct children instead (parquet part files are flat).
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                size = sum(e.stat().st_size for e in it if e.is_file())
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return df  # non-local path (object store): scan sizing unknown
-    mpb = _size_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    )
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        mpb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        return df  # unparseable conf (e.g. a managed 'auto'): no-op
     if math.ceil(size / mpb) >= parts:
         return df
     # explicit numPartitions: a bare repartition(col) is a coalescible

@@ -34,6 +34,20 @@ from pyspark.sql import SparkSession  # noqa: E402
 from etl_cnc_spark.registry import load_all  # noqa: E402
 
 
+def _rest_ts_ms(ts: str) -> float:
+    """REST status-API timestamp ('2026-08-18T04:12:43.123GMT') →
+    epoch milliseconds.  strptime on the FULL format (ADVICE r15, low:
+    the old [20:23] millisecond slice broke silently if the format
+    varied, and time.mktime interpreted the GMT stamp in local time —
+    offsets only stayed consistent by luck).  Parsed as UTC via
+    calendar.timegm; deltas come from real datetime math."""
+    import calendar
+    import datetime as _dt
+
+    dt = _dt.datetime.strptime(ts.removesuffix("GMT"), "%Y-%m-%dT%H:%M:%S.%f")
+    return calendar.timegm(dt.timetuple()) * 1000.0 + dt.microsecond / 1000.0
+
+
 def _spark() -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     return (
@@ -97,24 +111,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"\n=== {key} run{run}: wall {wall:.3f}s, {len(new)} stages ===")
             if not new:
                 continue
-            t_base = min(
-                time.mktime(time.strptime(after[s]["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S"))
-                * 1000
-                + float(after[s]["submissionTime"][20:23])
-                for s in new
-            )
+            t_base = min(_rest_ts_ms(after[s]["submissionTime"]) for s in new)
             for sid in new:
                 s = after[sid]
-                sub = (
-                    time.mktime(time.strptime(s["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S")) * 1000
-                    + float(s["submissionTime"][20:23])
-                    - t_base
-                )
-                comp = (
-                    time.mktime(time.strptime(s["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")) * 1000
-                    + float(s["completionTime"][20:23])
-                    - t_base
-                )
+                sub = _rest_ts_ms(s["submissionTime"]) - t_base
+                comp = _rest_ts_ms(s["completionTime"]) - t_base
                 print(
                     f"  stage {sid:4d} +{sub:7.0f}ms dur={comp - sub:6.0f}ms "
                     f"tasks={s['numCompleteTasks']:3d} "
