@@ -1274,20 +1274,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level verdict.
 
     Scale shape: positional shingling is a narrow explode (~L rows
-    per doc); the duplicate test is one hash aggregate on the shingle
-    digest + a semi join back — the 100 TB analogue of a suffix-array
-    pass, but shuffle-partitioned by digest so no node ever holds
-    the corpus. Span merging windows partition per doc (bounded by
-    doc length). Only digests shuffle, never text. The digest frame
-    feeds BOTH the duplicate aggregate and the probe side of the semi
-    join, so it is persist()ed: the slice+concat+md5 expression tree
-    (the dominant per-row cost) runs ONCE and the probe side reads
-    the cached partitions — at 100 TB this persists a (doc_id, pos,
-    digest) frame to executor MEMORY_AND_DISK with LINEAGE KEPT, so
-    an executor loss recomputes the lost partitions instead of
-    failing the job (r13: flipped from localCheckpoint per the
-    SCALE.md data-scaled checkpoint rule; drop the persist to trade
-    a second full compute pass for zero storage)."""
+    per doc); the duplicate test is ONE digest-partitioned window
+    (min/max doc_id per digest — r16, replacing the r13–r15
+    aggregate + semi-join shape) — the 100 TB analogue of a
+    suffix-array pass, but shuffle-partitioned by digest so no node
+    ever holds the corpus. Span merging windows partition per doc
+    (bounded by doc length). Only digests shuffle, never text; the
+    positional frame crosses the wire exactly once (the old shape
+    shuffled it twice — once combined into the aggregate, once whole
+    as the semi-join probe — and needed a data-scaled persist so the
+    md5 tree ran once for its two consumers; single-consumer now, so
+    the cache is gone too)."""
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("ws")).where(
         F.size("ws") >= SPAN_K
@@ -1312,22 +1309,29 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(" ", F.slice(F.col("ws"), F.col("p") + 1, SPAN_K))
         ).alias("sh"),
-        # DATA-SCALED (corpus positional shingles): persist(), not
-        # localCheckpoint — lineage kept so executor loss recomputes
-        # (SCALE.md r13 checkpoint rule); the slice+concat+md5 tree
-        # still runs once with both consumers reading the cache
-    ).persist()
-    # "appears in >= 2 DISTINCT docs" == min(doc_id) != max(doc_id):
-    # a plain min/max aggregate with full map-side combine, instead of
-    # the two-shuffle expansion countDistinct would plan (the oracle
-    # spells it count(DISTINCT doc_id) >= 2 — identical predicate)
-    dup = (
-        sh.groupBy("sh")
-        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
-        .where(F.col("d_lo") != F.col("d_hi"))
-        .select("sh")
     )
-    dpos = sh.join(dup, "sh", "left_semi").select("doc_id", "p")
+    # "appears in >= 2 DISTINCT docs" == min(doc_id) != max(doc_id)
+    # OVER the digest partition (r16, guide §2.4): the old shape
+    # aggregated the digests (one shuffle of combined digests) and
+    # then semi-joined the SAME positional frame back on the digest
+    # (a second full shuffle of it, plus a persist so the md5 tree
+    # ran once for the two consumers).  One partitioned window
+    # computes the identical per-digest min/max in a single shuffle
+    # of the positional frame, with ONE consumer — so the join, the
+    # second shuffle AND the data-scaled cache are all gone.  Each
+    # window group is one digest's occurrence list (collision-sized,
+    # bounded in practice), never a data-proportional partition.
+    wsh = Window.partitionBy("sh")
+    dpos = (
+        sh.select(
+            "doc_id",
+            "p",
+            F.min("doc_id").over(wsh).alias("_d_lo"),
+            F.max("doc_id").over(wsh).alias("_d_hi"),
+        )
+        .where(F.col("_d_lo") != F.col("_d_hi"))
+        .select("doc_id", "p")
+    )
     wlag = Window.partitionBy("doc_id").orderBy("p")
     flagged = dpos.withColumn(
         "new_span",

@@ -342,12 +342,18 @@ def test_bm25_aggregates_are_partial_final(spark, sf_dir):
 
 
 def test_substring_span_dedup_joins_on_digest(spark, sf_dir):
-    """Duplicate-shingle filtering is a semi join on the digest —
-    no all-pairs comparison anywhere in the plan."""
+    """Duplicate-shingle filtering is a single digest-partitioned
+    window (r16: min/max over the digest partition replaced the
+    agg + semi-join shape — one shuffle of the positional frame
+    instead of two, no join) — no all-pairs comparison anywhere,
+    and no join of the data-scaled positional frame at all."""
     plan = plan_of("dedup_substring_spans", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan  # the semi-join is gone (r16)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the duplicate test is the digest-partitioned window
+    assert "windowspecdefinition(sh" in plan, plan
 
 
 def test_value_grid_folds_have_no_unpartitioned_window(spark, sf_dir):
