@@ -1845,33 +1845,35 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r")
             )
-            # r15: raw has TWO consumers (the max rescale aggregate and
-            # the rescaled x), so uncached each iteration evaluates its
-            # predecessor twice — 2^ITER replays of the innermost step
-            # (measured 3.3 s at sf0.01 for a 25-node graph).  One
-            # bounded persist per iteration makes the unrolled plan
-            # linear again; lineage kept, released at the next key.
-            # coalesce(1) first: the state is nation-keyed (≤25 rows at
-            # ANY fact scale) but inherits 16 shuffle partitions, and a
-            # CACHED partitioning is frozen past AQE coalescing — so
-            # every downstream wave of this 25-row loop was 16 tasks of
-            # scheduling overhead.  One partition of metadata is the
-            # right layout at every scale; no shuffle is added.
+            # coalesce(1) (r15): the state is nation-keyed (≤25 rows at
+            # ANY fact scale) but inherits 16 shuffle partitions — one
+            # partition of metadata is the right layout at every scale;
+            # no shuffle is added (AQE would coalesce too, but the
+            # explicit coalesce makes the single-partition layout a
+            # plan-level guarantee the window below relies on).
             .coalesce(1)
-            .persist()
         )
-        mx = raw.agg(F.max("r").alias("mx"))
-        x = raw.crossJoin(F.broadcast(mx)).select(
-            "v", F.expr(f"r * {_EV_SCALE}L DIV mx").alias("x")
+        # r16 (VERDICT r15 item 4): the max rescale folds into the SAME
+        # single-partition stage as a window aggregate — the r15 shape
+        # (separate max aggregate + broadcast crossJoin) made raw a
+        # 2-consumer frame, which needed a per-iteration persist and
+        # paid one broadcast-exchange stage wave per iteration.  With
+        # ``max(r) OVER ()`` evaluated inside raw's one bounded
+        # partition, raw has ONE consumer, the unrolled plan is linear
+        # WITHOUT any cache, and each iteration is one aggregate wave
+        # instead of three (agg → cache-read max → broadcast join).
+        # Integer semantics unchanged: (r · SCALE) DIV max, same DIV.
+        x = raw.select(
+            "v", F.expr(f"r * {_EV_SCALE}L DIV (max(r) OVER ())").alias("x")
         )
-    # the final x also has two consumers (the share total and the
-    # output projection) — one more bounded persist
-    x = x.persist()
-    tot = x.agg(F.sum("x").alias("tot"))
-    return x.crossJoin(F.broadcast(tot)).select(
+    # the share total folds into the same bounded partition the same
+    # way (the r15 shape persisted x and broadcast a 1-row total)
+    return x.select(
         F.col("v").alias("nationkey"),
         F.col("x").alias("score_fixed"),
-        q4(F.col("x").cast("double") / F.col("tot")).alias("score_share"),
+        q4(
+            F.col("x").cast("double") / F.expr("sum(x) OVER ()")
+        ).alias("score_share"),
     )
 
 
