@@ -26,7 +26,7 @@ literature (Robertson & Zaragoza 2009; Cormack et al. 2009).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -105,13 +105,36 @@ _BM25_CTE = f"""
 """
 
 
+# Spark-side expression STRINGS for the BM25 stage (r16, VERDICT r15
+# item 1): the Column-object formulation built the same trees through
+# hundreds of py4j round trips per bench run (~0.5 s of sim_hybrid_rrf's
+# local wall was Python-side expression construction, measured r15);
+# f-string templates parse JVM-side in one call per select.  Every
+# literal keeps its exact double form via the `D` suffix (a bare SQL
+# `0.5` would parse as DECIMAL and change the arithmetic type lattice).
+_PER_TERM_STRUCTS = ", ".join(
+    f"struct('{t}' AS term, CAST(size(filter(ws, w -> w = '{t}')) AS BIGINT) AS tf)"
+    for t in QUERY_TERMS
+)
+_CONTRIB_SPARK = (
+    "ln(1.0D + ((n_docs - df) + 0.5D) / (df + 0.5D))"
+    f" * (CAST(tf AS DOUBLE) * {BM25_K1P1}D)"
+    f" / (tf + {BM25_K1}D * ({BM25_OMB}D + {BM25_B}D * (dl / avgdl)))"
+)
+_SLOT_EXPRS = [
+    f"sum(CASE WHEN term = '{t}' THEN contrib ELSE 0.0D END) AS s{i}"
+    for i, t in enumerate(QUERY_TERMS)
+]
+_SCORE_SPARK = " + ".join(f"s{i}" for i in range(len(QUERY_TERMS)))
+
+
 def _bm25_scores(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """(doc_id, n_terms, score, rn) for the top-``n`` BM25 docs — the
     shared lexical stage of both retrieval keys.
 
     Deliberately does NOT explode the corpus into words: per-term
-    frequencies come from |Q| array folds per document (``F.filter``
-    + ``size`` over the split array), so tf and dl are computed
+    frequencies come from |Q| array folds per document (``filter`` +
+    ``size`` over the split array), so tf and dl are computed
     row-locally with ZERO data-sized shuffle — the only shuffles are
     the 4-row df aggregate, the 1-row corpus stats, and the final
     per-doc score aggregate. (An exploded-words formulation shuffles
@@ -128,81 +151,49 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     on sim_hybrid_rrf: 1.135 s vs 1.244 s. r13: both frames moved
     from localCheckpoint to persist() — they are DATA-SCALED, and
     persist keeps lineage so executor loss recomputes instead of
-    failing the job (SCALE.md checkpoint rule)."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
-    def _eq(term: str):
-        # closure factory: a plain 1-arg lambda (a `t=t` default would
-        # make PySpark treat it as the (value, index) 2-arg form)
-        return lambda w: w == F.lit(term)
+    failing the job (SCALE.md checkpoint rule).
 
-    per_term = [
-        F.struct(
-            F.lit(t).alias("term"),
-            F.size(F.filter(F.col("ws"), _eq(t))).cast("long").alias("tf"),
-        )
-        for t in QUERY_TERMS
-    ]
+    r16: the expression trees are built from SQL strings (module
+    constants above) instead of per-node Column calls — identical
+    Catalyst expressions (hash parity at three SFs proves it), a
+    fraction of the py4j traffic."""
+    d = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "split(text, ' ') AS ws"
+    )
     # DATA-SCALED (doc-count-sized): persist(), not localCheckpoint —
     # lineage is kept so an executor loss RECOMPUTES the partitions
     # instead of failing the job (SCALE.md round-13 checkpoint rule);
     # reuse across the four consumers is identical.
-    base = d.select(
+    base = d.selectExpr(
         "doc_id",
-        F.size("ws").cast("long").alias("dl"),
-        F.array(*per_term).alias("terms"),
+        "CAST(size(ws) AS BIGINT) AS dl",
+        f"array({_PER_TERM_STRUCTS}) AS terms",
     ).persist()
     stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("double").alias("n_words"),
-    ).select("n_docs", (F.col("n_words") / F.col("n_docs")).alias("avgdl"))
+        F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) AS n_words"),
+    ).selectExpr("n_docs", "n_words / n_docs AS avgdl")
     tf = (
-        base.select("doc_id", "dl", F.explode("terms").alias("s"))
-        .select("doc_id", "dl", "s.term", "s.tf")
-        .where(F.col("tf") > 0)
+        base.selectExpr("doc_id", "dl", "inline(terms)")
+        .where("tf > 0")
         .persist()  # doc x matched-terms — data-scaled, same rule
     )
-    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    contrib: Column = (
-        F.log(
-            F.lit(1.0)
-            + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        * (F.col("tf").cast("double") * F.lit(float(BM25_K1P1)))
-        / (
-            F.col("tf")
-            + F.lit(float(BM25_K1))
-            * (
-                F.lit(float(BM25_OMB))
-                + F.lit(float(BM25_B)) * (F.col("dl") / F.col("avgdl"))
-            )
-        )
-    )
+    dfx = tf.groupBy("term").agg(F.expr("CAST(count(1) AS BIGINT) AS df"))
     scored = (
         tf.join(F.broadcast(dfx), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", "term", contrib.alias("contrib"))
+        .selectExpr("doc_id", "term", f"{_CONTRIB_SPARK} AS contrib")
     )
-    slots = [
-        F.sum(
-            F.when(F.col("term") == t, F.col("contrib")).otherwise(F.lit(0.0))
-        ).alias(f"s{i}")
-        for i, t in enumerate(QUERY_TERMS)
-    ]
     per_doc = scored.groupBy("doc_id").agg(
-        *slots, F.count("*").cast("long").alias("n_terms")
-    )
-    score = sum(
-        (F.col(f"s{i}") for i in range(1, len(QUERY_TERMS))), F.col("s0")
+        *[F.expr(s) for s in _SLOT_EXPRS],
+        F.expr("CAST(count(1) AS BIGINT) AS n_terms"),
     )
     # Global top-n WITHOUT a corpus-sized single-partition window:
     # orderBy+limit plans as TakeOrderedAndProject (per-partition
     # top-n, merged at the driver-side take), and row_number then
     # runs over the already-bounded n rows.
     top = (
-        per_doc.select("doc_id", "n_terms", score.alias("score"))
+        per_doc.selectExpr("doc_id", "n_terms", f"{_SCORE_SPARK} AS score")
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(n)
     )
@@ -278,33 +269,40 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row query × corpus pass, same shape as ``sim_topk_exact``),
     and each takes its top-100 via TakeOrderedAndProject before any
     single-partition ranking window runs."""
-    lex = _bm25_scores(spark, sf_dir, LIST_N).select(
-        "doc_id", F.col("rn").alias("lex_rn")
+    lex = _bm25_scores(spark, sf_dir, LIST_N).selectExpr(
+        "doc_id", "rn AS lex_rn"
+    )
+    # same Catalyst trees as the r15 Column-object build (_dot64 /
+    # _norm2 HOF folds), expressed as SQL strings — see _bm25_scores'
+    # r16 note; hash parity at three SFs pins the equivalence.
+    norm2 = "aggregate({col}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    dot = (
+        "aggregate(zip_with(qe, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     e = table(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") == HYB_QID).select(
-        F.col("embedding").alias("qe"), _norm2(F.col("embedding")).alias("qn2")
-    )
-    cos = _dot64(F.col("qe"), F.col("embedding")) / F.sqrt(
-        F.col("qn2") * _norm2(F.col("embedding"))
+    qv = e.where(F.col("vec_id") == HYB_QID).selectExpr(
+        "embedding AS qe", f"{norm2.format(col='embedding')} AS qn2"
     )
     wv = Window.orderBy(F.col("cos").desc(), "doc_id")
     vec = (
         e.crossJoin(F.broadcast(qv))
-        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .selectExpr(
+            "vec_id AS doc_id",
+            f"{dot} / sqrt(qn2 * {norm2.format(col='embedding')}) AS cos",
+        )
         .orderBy(F.col("cos").desc(), "doc_id")
         .limit(LIST_N)
         .withColumn("rn", F.row_number().over(wv).cast("long"))
-        .select("doc_id", F.col("rn").alias("vec_rn"))
+        .selectExpr("doc_id", "rn AS vec_rn")
     )
-    fused = lex.join(vec, "doc_id", "full").select(
+    fused = lex.join(vec, "doc_id", "full").selectExpr(
         "doc_id",
         "lex_rn",
         "vec_rn",
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rn")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rn")), F.lit(0.0))
-        ).alias("rrf"),
+        f"coalesce(1.0D / ({RRF_K} + lex_rn), 0.0D)"
+        f" + coalesce(1.0D / ({RRF_K} + vec_rn), 0.0D) AS rrf",
     )
     w = Window.orderBy(F.col("rrf").desc(), "doc_id")
     return (

@@ -24,7 +24,7 @@ from ..utils import (
     sql_q4,
     ts_us,
 )
-from .prefix import global_ordered, ntile_from_rank
+from .prefix import global_ordered, ntile_from_rank, sql_ntile_from_rank
 
 
 @register(
@@ -735,28 +735,21 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stats broadcast.  This removes the separate global-max-ts job —
     # the old plan scanned events TWICE (once for the max, once for
     # the rollup) and paid an extra broadcast wave for it.
-    base = (
-        e.groupBy("user_id")
-        .agg(
-            F.max("ts").alias("last_ts"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("monetary_cents"),
-        )
-        .select(
-            "user_id",
-            F.unix_date(F.col("last_ts").cast("date"))
-            .cast("long")
-            .alias("last_day"),
-            "frequency",
-            "monetary_cents",
-        )
+    # r16: the aggregate expressions are SQL strings (one JVM parse
+    # each instead of ~10 py4j Column calls each), and last_day folds
+    # INTO the aggregate (unix_date of the max is the max of the
+    # unix_dates — monotone), dropping the post-agg projection: one
+    # fewer DataFrame op, and every op here re-analyzes the lineage.
+    base = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(unix_date(CAST(max(ts) AS DATE)) AS BIGINT) AS last_day"
+        ),
+        F.expr("count(1) AS frequency"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(floor(value * 100 + 0.5D) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT) AS monetary_cents"
+        ),
     )
     # One cached per-user rollup feeds every consumer (the melted
     # rank frame and the stats row): the events scan + aggregate runs
@@ -769,14 +762,14 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-metric (lo, hi) ranges — metadata, never data): joins into
     # the plan lazily instead of a driver-side .first() at build.
     stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.max("last_day").cast("long").alias("_now_day"),
-        F.min(-F.col("last_day")).alias("_lo0"),
-        F.max(-F.col("last_day")).alias("_hi0"),
-        F.min(-F.col("frequency")).alias("_lo1"),
-        F.max(-F.col("frequency")).alias("_hi1"),
-        F.min(-F.col("monetary_cents")).alias("_lo2"),
-        F.max(-F.col("monetary_cents")).alias("_hi2"),
+        F.expr("CAST(count(1) AS BIGINT) AS _n"),
+        F.expr("CAST(max(last_day) AS BIGINT) AS _now_day"),
+        F.expr("min(-last_day) AS _lo0"),
+        F.expr("max(-last_day) AS _hi0"),
+        F.expr("min(-frequency) AS _lo1"),
+        F.expr("max(-frequency) AS _hi1"),
+        F.expr("min(-monetary_cents) AS _lo2"),
+        F.expr("max(-monetary_cents) AS _hi2"),
     )
     # Melt: metric 0 = recency asc (≡ last_day desc), 1 = frequency
     # desc, 2 = monetary desc — descending metrics negate their
@@ -788,23 +781,15 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analyzer/optimizer work (the profile showed a ~1.6 s zero-stage
     # planning gap at sf0.1); the generator melts in one pass over
     # one cache read with an identical (user_id, _m, _v) output.
-    melted = base.select(
+    # (r16: inline(...) emits (_m, _v) as top-level columns in the
+    # same single Generate, dropping the struct-unpack projection and
+    # building the whole melt from one JVM-parsed string.)
+    melted = base.selectExpr(
         "user_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("_m"), (-F.col("last_day")).alias("_v")
-                ),
-                F.struct(
-                    F.lit(1).alias("_m"), (-F.col("frequency")).alias("_v")
-                ),
-                F.struct(
-                    F.lit(2).alias("_m"),
-                    (-F.col("monetary_cents")).alias("_v"),
-                ),
-            )
-        ).alias("_mv"),
-    ).select("user_id", F.col("_mv._m").alias("_m"), F.col("_mv._v").alias("_v"))
+        "inline(array(struct(0 AS _m, -last_day AS _v),"
+        " struct(1 AS _m, -frequency AS _v),"
+        " struct(2 AS _m, -monetary_cents AS _v)))",
+    )
     # Composite ordered bucket key: metric index in the high bits, the
     # value normalized to a common [0, 2^20) grid in the low bits (per-
     # metric span differs by orders of magnitude — raw values would
@@ -812,44 +797,37 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (metric, value) sort by construction; DIV (never multiply) so a
     # cents-scale span cannot overflow the composite.
     grid = 1 << 20
-    lo = (
-        F.when(F.col("_m") == 0, F.col("_lo0"))
-        .when(F.col("_m") == 1, F.col("_lo1"))
-        .otherwise(F.col("_lo2"))
-    ).cast("long")
-    hi = (
-        F.when(F.col("_m") == 0, F.col("_hi0"))
-        .when(F.col("_m") == 1, F.col("_hi1"))
-        .otherwise(F.col("_hi2"))
-    ).cast("long")
-    keyed = (
-        melted.crossJoin(F.broadcast(stats))
-        .withColumn("_lo", lo)
-        .withColumn("_hi", hi)
-        .select(
-            "user_id",
-            "_m",
-            "_v",
-            "_n",
-            "_now_day",
-            F.expr(
-                f"CAST(_m AS BIGINT) * {grid}"
-                f" + (_v - _lo) DIV ((_hi - _lo + {grid}) DIV {grid})"
-            ).alias("_ck"),
-        )
+    # r16: _lo/_hi inline into the one _ck expression (a single
+    # JVM-parsed string; the old shape paid two withColumns — two
+    # more full-lineage analyses — plus ~25 py4j Column calls).
+    # CASE duplication is plan-text only: identical integer math.
+    _lo = (
+        "CAST(CASE WHEN _m = 0 THEN _lo0 WHEN _m = 1 THEN _lo1"
+        " ELSE _lo2 END AS BIGINT)"
+    )
+    _hi = (
+        "CAST(CASE WHEN _m = 0 THEN _hi0 WHEN _m = 1 THEN _hi1"
+        " ELSE _hi2 END AS BIGINT)"
+    )
+    keyed = melted.crossJoin(F.broadcast(stats)).selectExpr(
+        "user_id",
+        "_m",
+        "_v",
+        "_n",
+        "_now_day",
+        f"CAST(_m AS BIGINT) * {grid}"
+        f" + (_v - {_lo}) DIV (({_hi} - {_lo} + {grid}) DIV {grid}) AS _ck",
     )
     # _ck is bounded by construction: metric index ∈ {0,1,2} in the
     # high bits, normalized value ∈ [0, grid) in the low bits — so the
     # key spans [0, 3·grid).  Passing static bounds lets the prefix
     # machine skip its global min/max pass + broadcast (one fewer
     # stage wave; small-input latency is stage-bound).
-    # r15: persist() — the prefix machine consumes `keyed` TWICE
-    # (the per-bucket window and the per-bucket totals), so uncached
-    # both branches replay the melt + stats crossJoin and the plan
-    # embeds that lineage twice (planning is half this query's local
-    # wall time; at scale it is a second pass over the melted rows).
-    # Lineage kept (SCALE.md rule); released at the next key's build.
-    keyed = keyed.persist()
+    # r16 (ADVICE r15, low): the r15 keyed.persist() here is GONE —
+    # since r15 the prefix machine persists its own derived bucketed
+    # frame, and `keyed`'s ONLY consumer is that machine, so a second
+    # cache of the same data-scaled 3N-row melt double-held executor
+    # memory (and paid an extra cache-write pass) for zero sharing.
     ranked = global_ordered(
         keyed,
         [F.col("_ck"), F.col("_v"), F.col("user_id")],
@@ -864,30 +842,24 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # melted _v values carry all three metrics (recency, -frequency,
     # -monetary), so the pivot reconstructs them directly — no join
     # back to the rollup, one fewer shuffle.
-    n = F.col("_n")
     piv = ranked.groupBy("user_id").agg(
-        F.max(F.when(F.col("_m") == 0, F.col("_grk"))).alias("_rk_r"),
-        F.max(F.when(F.col("_m") == 1, F.col("_grk") - n)).alias("_rk_f"),
-        F.max(F.when(F.col("_m") == 2, F.col("_grk") - 2 * n)).alias("_rk_m"),
-        F.max(F.when(F.col("_m") == 0, F.col("_now_day") + F.col("_v")))
-        .alias("_recency"),
-        F.max(F.when(F.col("_m") == 1, -F.col("_v"))).alias("_frequency"),
-        F.max(F.when(F.col("_m") == 2, -F.col("_v"))).alias("_monetary"),
-        F.max("_n").alias("_n"),
+        F.expr("max(CASE WHEN _m = 0 THEN _grk END) AS _rk_r"),
+        F.expr("max(CASE WHEN _m = 1 THEN _grk - _n END) AS _rk_f"),
+        F.expr("max(CASE WHEN _m = 2 THEN _grk - 2 * _n END) AS _rk_m"),
+        F.expr("max(CASE WHEN _m = 0 THEN _now_day + _v END) AS _recency"),
+        F.expr("max(CASE WHEN _m = 1 THEN -_v END) AS _frequency"),
+        F.expr("max(CASE WHEN _m = 2 THEN -_v END) AS _monetary"),
+        F.expr("max(_n) AS _n"),
     )
-    n = F.col("_n")
-    return piv.select(
+    return piv.selectExpr(
         "user_id",
-        F.col("_recency").cast("long").alias("recency_days"),
-        F.col("_frequency").cast("long").alias("frequency"),
-        F.col("_monetary").cast("long").alias("monetary_cents"),
-        (
-            100 * ntile_from_rank(F.col("_rk_r"), n, 5)
-            + 10 * ntile_from_rank(F.col("_rk_f"), n, 5)
-            + ntile_from_rank(F.col("_rk_m"), n, 5)
-        )
-        .cast("long")
-        .alias("rfm_code"),
+        "CAST(_recency AS BIGINT) AS recency_days",
+        "CAST(_frequency AS BIGINT) AS frequency",
+        "CAST(_monetary AS BIGINT) AS monetary_cents",
+        "CAST(100 * " + sql_ntile_from_rank("_rk_r", "_n", 5)
+        + " + 10 * " + sql_ntile_from_rank("_rk_f", "_n", 5)
+        + " + " + sql_ntile_from_rank("_rk_m", "_n", 5)
+        + " AS BIGINT) AS rfm_code",
     )
 
 

@@ -67,12 +67,26 @@ def _exclusive_offsets(
     which matters for latency: each extra exchange is a whole AQE
     stage wave, and small-input queries are stage-bound, not
     row-bound."""
-    t = totals.withColumn("_bkt", F.expr(f"_pid DIV {_BUCKET}"))
+    # partition by the group EXPRESSION (not a pre-added _bkt column):
+    # in the common ≤1024-pid path this keeps the whole fold ONE
+    # DataFrame op — every extra op here re-analyzes the caller's full
+    # data lineage, which is pure driver latency (r16, guide §7.3)
     w_excl = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(F.expr(f"_pid DIV {_BUCKET}"))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    if num_parts is not None and num_parts <= _BUCKET:
+        return totals.select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(c).over(w_excl), F.lit(0))
+                .cast("long")
+                .alias(f"_off_{c}")
+                for c in cols
+            ],
+        )
+    t = totals.withColumn("_bkt", F.expr(f"_pid DIV {_BUCKET}"))
     within = t.select(
         "_pid",
         "_bkt",
@@ -83,10 +97,6 @@ def _exclusive_offsets(
             for c in cols
         ],
     )
-    if num_parts is not None and num_parts <= _BUCKET:
-        return within.select(
-            "_pid", *[F.col(f"_w_{c}").alias(f"_off_{c}") for c in cols]
-        )
     bkt_tot = t.groupBy("_bkt").agg(
         *[F.sum(c).cast("long").alias(c) for c in cols]
     )
@@ -159,26 +169,56 @@ def global_ordered(
     # ordered bucket id from the row's own key value: a pure function
     # of (key, lo, hi, num_parts) — identical in every plan branch.
     # width = ceil(span / num_parts) ≥ 1, so _pid ∈ [0, num_parts-1].
+    #
+    # r16: a STRING bucket_key (the common case — ~40 of the ~50 call
+    # sites) takes a single-select path with the bucket id as one SQL
+    # expression; the old shape added two withColumns, and every
+    # DataFrame op here re-analyzes the caller's whole lineage (pure
+    # driver latency at any scale — guide §7.3 "query planning").
+    # The SQL string computes the IDENTICAL integer arithmetic on the
+    # same casts, so _pid is bit-equal; a Column bucket_key keeps the
+    # two-step shape (a Column can't be inlined into a SQL string).
+    key_sql = (
+        f"CAST(`{bucket_key}` AS BIGINT)"
+        if isinstance(bucket_key, str)
+        else None
+    )
     if bounds is not None:
         lo, hi = int(bounds[0]), int(bounds[1])
         width = (hi - lo + num_parts) // num_parts
-        pos = (F.lit(hi) - key) if bucket_desc else (key - F.lit(lo))
-        bucketed = df.withColumn("_pos", pos.cast("long")).withColumn(
-            "_pid", F.expr(f"_pos DIV {width}")
-        )
+        if key_sql is not None:
+            pos_sql = (
+                f"CAST(({hi}L - {key_sql}) AS BIGINT)"
+                if bucket_desc
+                else f"CAST(({key_sql} - {lo}L) AS BIGINT)"
+            )
+            bucketed = df.select(
+                "*", F.expr(f"{pos_sql} DIV {width}").alias("_pid")
+            )
+        else:
+            pos = (F.lit(hi) - key) if bucket_desc else (key - F.lit(lo))
+            bucketed = df.withColumn("_pos", pos.cast("long")).withColumn(
+                "_pid", F.expr(f"_pos DIV {width}")
+            )
     else:
         mm = df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
-        pos = (F.col("_hi") - key) if bucket_desc else (key - F.col("_lo"))
-        bucketed = (
-            df.crossJoin(F.broadcast(mm))
-            .withColumn("_pos", pos.cast("long"))
-            .withColumn(
-                "_pid",
-                F.expr(
-                    f"_pos DIV ((_hi - _lo + {num_parts}) DIV {num_parts})"
-                ),
+        wid_sql = f"((_hi - _lo + {num_parts}) DIV {num_parts})"
+        if key_sql is not None:
+            pos_sql = (
+                f"CAST((_hi - {key_sql}) AS BIGINT)"
+                if bucket_desc
+                else f"CAST(({key_sql} - _lo) AS BIGINT)"
             )
-        )
+            bucketed = df.crossJoin(F.broadcast(mm)).select(
+                "*", F.expr(f"{pos_sql} DIV {wid_sql}").alias("_pid")
+            )
+        else:
+            pos = (F.col("_hi") - key) if bucket_desc else (key - F.col("_lo"))
+            bucketed = (
+                df.crossJoin(F.broadcast(mm))
+                .withColumn("_pos", pos.cast("long"))
+                .withColumn("_pid", F.expr(f"_pos DIV {wid_sql}"))
+            )
     # r15: the bucketed frame has TWO consumers (the per-bucket window
     # below and the per-bucket totals) — uncached, both replay the
     # caller's whole upstream lineage, so every prefix-machine user
@@ -194,13 +234,20 @@ def global_ordered(
 
     if in_registered_build():
         bucketed = bucketed.persist()
+    # single-select stages (r16): the old withColumn-per-column chains
+    # re-analyzed the full caller lineage once per column — with ~50
+    # call sites that was the engine's largest block of driver-side
+    # planning time (events_rfm/wasserstein builds ~0.5 s each).
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = bucketed.withColumn("_lrk", F.row_number().over(w).cast("long"))
-    for src, dst in sums.items():
-        local = local.withColumn(
-            f"_lrun_{dst}", F.sum(src).over(w_run).cast("long")
-        )
+    local = bucketed.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("_lrk"),
+        *[
+            F.sum(src).over(w_run).cast("long").alias(f"_lrun_{dst}")
+            for src, dst in sums.items()
+        ],
+    )
     totals = local.groupBy("_pid").agg(
         F.count(F.lit(1)).cast("long").alias("_cnt"),
         *[
@@ -211,27 +258,38 @@ def global_ordered(
     offsets = _exclusive_offsets(
         totals, ["_cnt"] + [f"_tot_{d}" for d in sums.values()], num_parts
     )
-    offsets = offsets.select(
-        "_pid",
-        F.col("_off__cnt").alias("_off"),
-        *[
-            F.col(f"_off__tot_{dst}").alias(f"_off_{dst}")
-            for dst in sums.values()
-        ],
-    )
-    out = local.join(F.broadcast(offsets), "_pid")
-    proj = list(out_cols)
+    proj: list = list(out_cols)
     if rank_col is not None:
-        out = out.withColumn(
-            rank_col, (F.col("_off") + F.col("_lrk")).cast("long")
+        proj.append(
+            (F.col("_off__cnt") + F.col("_lrk")).cast("long").alias(rank_col)
         )
-        proj.append(rank_col)
-    for dst in sums.values():
-        out = out.withColumn(
-            dst, (F.col(f"_off_{dst}") + F.col(f"_lrun_{dst}")).cast("long")
-        )
-        proj.append(dst)
-    return out.select(*proj)
+    proj.extend(
+        (F.col(f"_off__tot_{dst}") + F.col(f"_lrun_{dst}"))
+        .cast("long")
+        .alias(dst)
+        for dst in sums.values()
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(*proj)
+
+
+def sql_ntile_from_rank(rk: str, n: str, k: int) -> str:
+    """Spark-SQL string mirror of :func:`ntile_from_rank` — the exact
+    same expression tree built from one JVM-side parse instead of ~15
+    py4j Column calls per use (r16 build-latency work).  The idiv form
+    ``CAST((a - a % b) / b AS BIGINT)`` matches the Column helper's
+    double-division-after-exact-remainder shape bit for bit."""
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
+
+    q = idiv(n, f"CAST({k} AS BIGINT)")
+    r = f"(({n}) % {k})"
+    big = f"({r} * ({q} + 1))"
+    return (
+        f"CAST(CASE WHEN ({rk}) <= {big}"
+        f" THEN {idiv(f'({rk}) - 1', f'{q} + 1')} + 1"
+        f" ELSE {r} + {idiv(f'({rk}) - {big} - 1', q)} + 1 END AS BIGINT)"
+    )
 
 
 def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:

@@ -54,7 +54,17 @@ def tune(spark: SparkSession) -> SparkSession:
     (``__spark_entry__.py``); these confs are all runtime-settable and
     make oracle comparison deterministic (UTC timestamps) and local
     execution sane (shuffle partitions ~ cores).
+
+    Idempotent per session and MEMOIZED on the session object (r16):
+    every ``catalog.table`` call funnels through here, so an untuned
+    path would pay ~8 py4j conf round trips per table reference —
+    pure driver-side chatter that the bench measures as build time.
+    The confs are only ever set to values derived from the session
+    itself, so re-running them is a no-op by construction; skipping
+    the re-run changes nothing but the py4j traffic.
     """
+    if getattr(spark, "_etlcnc_tuned", False):
+        return spark
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores ts as TIMESTAMP(NANOS).  Older Spark 4
@@ -75,4 +85,5 @@ def tune(spark: SparkSession) -> SparkSession:
         conf.set("spark.sql.shuffle.partitions", str(max(8, par // 2)))
     except Exception:  # pragma: no cover - conf may be static in some envs
         pass
+    spark._etlcnc_tuned = True
     return spark
