@@ -695,36 +695,32 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     components / 16. The exact same three shuffles (signature agg,
     bucket join, estimate agg) run at 100 TB with more hash rows."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
-    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    w = d.selectExpr("doc_id", "split(text, ' ') AS w")
     # size >= 2 guard: sequence(1, 0) descends and element_at(w, 0)
     # throws; single-token docs have no shingles (oracle range empty).
-    sh = w.where(F.size("w") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-            )
-        ).alias("sh"),
-    ).distinct()
-    sig = (
-        sh.select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("h"), "sh")
-        .select(
+    # (r16: expression strings — one JVM parse per select instead of
+    # ~40 py4j Column calls; identical trees, hash parity pins it.)
+    sh = (
+        w.where("size(w) >= 2")
+        .selectExpr(
             "doc_id",
-            "h",
-            F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("sh"))).alias(
-                "hv"
-            ),
+            "explode(transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
+            " AS sh",
+        )
+        .distinct()
+    )
+    sig = (
+        sh.selectExpr("doc_id", "explode(sequence(1, 16)) AS h", "sh")
+        .selectExpr(
+            "doc_id", "h", "md5(concat(CAST(h AS STRING), '|', sh)) AS hv"
         )
         .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("mh")).persist()
+        .agg(F.expr("min(hv) AS mh"))
+        .persist()
     )
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"), F.col("mh").alias("mha")
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"), F.col("mh").alias("mhb")
-    )
+    a = sig.selectExpr("doc_id AS doc_a", "h AS ha", "mh AS mha")
+    b = sig.selectExpr("doc_id AS doc_b", "h AS hb", "mh AS mhb")
     # r15 (guide §2.4): the bucket join ALREADY enumerates exactly the
     # matching signature components — one row per (pair, h) with equal
     # mh — so the per-pair match count IS count(*) of the join output.

@@ -2380,15 +2380,17 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the lazy checkpoint each consumer replays the full
     # events scan + aggregate — 10 parquet scans / 19 exchanges in
     # the r12 plan, the r13 steady-state elevation (1.4-1.7x gate)
+    # (r16: expressions as JVM-parsed SQL strings — the profile showed
+    # ~half this query's cold wall was driver-side plan construction)
     grid = (
-        e.select(
+        e.selectExpr(
             "event_type",
-            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+            "CAST(floor(value * 100 + 0.5D) AS BIGINT) AS v_cents",
         )
         .groupBy("v_cents")
         .agg(
-            F.count_if(F.col("event_type") == KS_G1).cast("long").alias("c1"),
-            F.count_if(F.col("event_type") == KS_G2).cast("long").alias("c2"),
+            F.expr(f"CAST(count_if(event_type = '{KS_G1}') AS BIGINT) AS c1"),
+            F.expr(f"CAST(count_if(event_type = '{KS_G2}') AS BIGINT) AS c2"),
         )
         .persist()
     )
@@ -2406,23 +2408,19 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums={"c1": "cum1", "c2": "cum2"},
         rank_col="rk",
     ).persist()
-    nxt = cum.select((F.col("rk") - 1).alias("rk"), F.col("v_cents").alias("v_next"))
+    nxt = cum.selectExpr("rk - 1 AS rk", "v_cents AS v_next")
     totals = grid.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
+        F.expr("CAST(sum(c1) AS BIGINT) AS n1"),
+        F.expr("CAST(sum(c2) AS BIGINT) AS n2"),
     )
     num = (
         cum.join(nxt, "rk")
         .crossJoin(F.broadcast(totals))
         .agg(
-            F.sum(
-                F.abs(
-                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
-                )
-                * (F.col("v_next") - F.col("v_cents"))
+            F.expr(
+                "CAST(sum(abs(cum1 * n2 - cum2 * n1)"
+                " * (v_next - v_cents)) AS BIGINT) AS w1_num"
             )
-            .cast("long")
-            .alias("w1_num")
         )
     )
     return num.crossJoin(F.broadcast(totals)).select(
